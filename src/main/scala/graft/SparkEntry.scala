@@ -1,13 +1,91 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator claimed done in SURVEY.md §2 gets a `queries` entry and,
+  * when SQL-expressible, an `oracleSql` entry with IDENTICAL column names
+  * (the driver's compare sorts columns by name before hashing values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"    -> Relational.pricingSummary _,
+    "q2_revenue_filter"     -> Relational.revenueFilter _,
+    "q3_cust_nation_region" -> Relational.custNationRegion _,
+    "q4_order_priority"     -> Relational.orderRevenueByPriority _,
+    "q5_semi_join"          -> Relational.semiJoinSegments _,
+    "q6_anti_join"          -> Relational.antiJoinSegments _,
+    "q7_top_orders"         -> Relational.topOrdersPerCustomer _,
+    "q8_distinct"           -> Relational.distinctLangSource _
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(cast(floor(l_quantity*100) as bigint))/100.0 AS sum_qty,
+        |  sum(cast(floor(l_extendedprice*100) as bigint))/100.0 AS sum_base_price,
+        |  sum(cast(floor(l_extendedprice*(1.0-l_discount)*100) as bigint))/100.0 AS sum_disc_price,
+        |  sum(cast(floor(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) as bigint))/100.0 AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_filter" ->
+      """SELECT
+        |  sum(cast(floor(l_extendedprice*l_discount*100) as bigint))/100.0 AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |  AND l_quantity < 24.0""".stripMargin,
+    "q3_cust_nation_region" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  sum(cast(floor(c_acctbal*100) as bigint))/100.0 AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority,
+        |  sum(cast(floor(l_extendedprice*(1.0-l_discount)*100) as bigint))/100.0 AS revenue,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_cust
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q7_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q8_distinct" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |ORDER BY lang, source""".stripMargin
+  )
 }
