@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Relational
+import graft.ops.{Dedup, Relational, Similarity, TextAnalytics}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,19 @@ object SparkEntry {
     "q5_semi_join"          -> Relational.semiJoinSegments _,
     "q6_anti_join"          -> Relational.antiJoinSegments _,
     "q7_top_orders"         -> Relational.topOrdersPerCustomer _,
-    "q8_distinct"           -> Relational.distinctLangSource _
+    "q8_distinct"           -> Relational.distinctLangSource _,
+    "q9_token_stats"        -> TextAnalytics.tokenStats _,
+    "q10_quality_score"     -> TextAnalytics.qualityScore _,
+    "q11_lang_id"           -> TextAnalytics.langId _,
+    "q12_fingerprint"       -> TextAnalytics.fingerprint _,
+    "q13_exact_dedup"       -> Dedup.exactDedup _,
+    "q14_minhash_lsh"       -> Dedup.minhashLshPairs _,
+    "q15_jaccard_pairs"     -> Dedup.jaccardPairs _,
+    "q16_simhash"           -> Dedup.simhash _,
+    "q17_simhash_pairs"     -> Dedup.simhashPairs _,
+    "q18_embedding_neardup" -> Similarity.nearDupPairs _,
+    "q19_knn_bruteforce"    -> Similarity.knnBruteForce _,
+    "q20_lsh_knn"           -> Similarity.lshKnn _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,6 +98,18 @@ object SparkEntry {
         |ORDER BY o_custkey, rn""".stripMargin,
     "q8_distinct" ->
       """SELECT DISTINCT lang, source FROM documents
-        |ORDER BY lang, source""".stripMargin
+        |ORDER BY lang, source""".stripMargin,
+    "q9_token_stats"        -> TextAnalytics.tokenStatsSql,
+    "q10_quality_score"     -> TextAnalytics.qualityScoreSql,
+    "q11_lang_id"           -> TextAnalytics.langIdSql,
+    "q12_fingerprint"       -> TextAnalytics.fingerprintSql,
+    "q13_exact_dedup"       -> Dedup.exactDedupSql,
+    "q14_minhash_lsh"       -> Dedup.minhashLshPairsSql,
+    "q15_jaccard_pairs"     -> Dedup.jaccardPairsSql,
+    "q16_simhash"           -> Dedup.simhashSql,
+    "q17_simhash_pairs"     -> Dedup.simhashPairsSql,
+    "q18_embedding_neardup" -> Similarity.nearDupPairsSql,
+    "q19_knn_bruteforce"    -> Similarity.knnBruteForceSql,
+    "q20_lsh_knn"           -> Similarity.lshKnnSql
   )
 }

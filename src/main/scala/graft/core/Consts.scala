@@ -1,0 +1,74 @@
+package graft.core
+
+/** Shared constants for the text-analysis / dedup / similarity operators.
+  *
+  * Both the Spark implementation and the generated DuckDB oracle SQL are
+  * built from these values, so the two sides cannot drift. Everything is
+  * deterministic (fixed seeds, fixed lists) because the driver's oracle
+  * compare is an exact hash match.
+  */
+object Consts {
+
+  /** Fixed-point scale for embedding quantization: floor(x * 1e6) as i64.
+    * Integer dot products / norms are then exact and order-independent,
+    * which makes cosine similarity bit-identical across engines (the only
+    * floating ops left — sqrt, multiply, divide — are correctly-rounded
+    * IEEE ops on exactly-representable inputs). */
+  val QuantScale = 1000000L
+
+  /** MinHash: 16 permutations approximated by seed-prefixed md5; the
+    * signature entry for seed s is min over shingles of md5("s|" ++ sh).
+    * Lexicographic min over hex strings is portable across engines.
+    * 16 = 4 bands x 4 rows (LSH banding; ~0.5 Jaccard threshold knee). */
+  val MinhashSeeds: Range = 0 until 16
+  val LshBands = 4
+  val LshRowsPerBand = 4
+
+  /** SimHash over token md5s: bit k of a token = high bit of hex nibble k
+    * (portable: substring of the hex digest). 16-bit fingerprint. */
+  val SimHashBits = 16
+  val HexHigh: Seq[String] = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** Near-dup / similarity thresholds (picked against the planted dups in
+    * the synthetic testdata: ~25 pairs at jaccard >= 0.8 per SF). */
+  val MinhashJaccardThreshold = 0.5
+  val JaccardPairThreshold = 0.05
+  val SimhashMaxHamming = 3
+  val CosineNearDupThreshold = 0.35
+
+  /** Brute-force kNN defaults: first `KnnQueries` vec_ids are the query
+    * set, top `KnnK` neighbors each. */
+  val KnnQueries = 10
+  val KnnK = 5
+
+  /** Stopword list for quality scoring (subset that appears in the
+    * synthetic corpus plus common English function words). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "is", "in", "on", "for")
+
+  /** Language-ID marker tokens, in tie-break priority order: the CASE
+    * chain tests languages in this order and first max wins. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** "BPE-ish" token pattern: letter runs, digit runs, single symbols.
+    * Kept to constructs with identical semantics in Java regex (Spark)
+    * and RE2 (DuckDB). */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Random-hyperplane LSH for embeddings: 8 planes x 64 dims, integer
+    * coefficients in [-100, 100] from a seeded LCG (seed 42, mirroring
+    * the reference's seeded index build — /root/reference/src/ann.rs:254).
+    * Integer projections keep the bucket assignment engine-portable. */
+  val LshPlanes = 8
+  val EmbeddingDim = 64
+  val Hyperplanes: Seq[Seq[Long]] = {
+    var s = 42L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    Seq.fill(LshPlanes)(Seq.fill(EmbeddingDim)(((next() >>> 16) % 201L) - 100L))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Consts, Tables}
+
+/** Similarity search over the `embeddings` table (64-d float vectors).
+  *
+  * Engine-portability trick: quantize each element to floor(x * 1e6) as
+  * i64 once, then dot products and norms are EXACT integer sums
+  * (order-independent → identical in Spark and DuckDB), and cosine
+  * similarity = dot / (sqrt(na) * sqrt(nb)) involves only
+  * correctly-rounded IEEE ops on exactly-representable inputs — the
+  * doubles hash-match across engines.
+  *
+  * Scale shapes:
+  *  - brute-force kNN broadcasts the (small) query set against the
+  *    corpus — one scan, no shuffle of the corpus, per-query top-k via
+  *    window (reference analogue: exact search, /root/reference/src/ann.rs:262-268);
+  *  - `lshKnn` assigns every vector a random-hyperplane bucket (seeded,
+  *    mirroring the reference's seed-42 RP forest, ann.rs:254) and joins
+  *    queries to their bucket only — the candidate set shrinks ~2^planes,
+  *    the join is an equi-join on bucket id, and the corpus side can be
+  *    written bucket-partitioned so queries prune partitions;
+  *  - `nearDupPairs` is the O(n^2) correctness baseline; at scale the
+  *    same threshold filter runs over LSH-bucket candidates instead.
+  */
+object Similarity {
+
+  /** floor(x * 1e6) per element, as array<bigint>. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * lit(Consts.QuantScale.toDouble)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine similarity from quantized ints (engine-portable double). */
+  def qcosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    qdot(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  private def quantized(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", qdot(col("v"), col("v")))
+
+  private val sqlQuantized =
+    """SELECT vec_id, label, v, list_sum([v[i+1]*v[i+1] for i in range(len(v))]) AS nrm
+      |  FROM (SELECT vec_id, label, [cast(floor(cast(x as double)*1000000.0) as bigint) for x in embedding] v FROM embeddings)""".stripMargin
+  private val sqlDot = "list_sum([a.v[i+1]*b.v[i+1] for i in range(len(a.v))])"
+  private val sqlCos = s"cast($sqlDot as double) / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.nrm as double)))"
+
+  // -------------------------------------------------------------------
+  // Brute-force kNN: first KnnQueries ids vs whole corpus, top KnnK.
+  // -------------------------------------------------------------------
+
+  def knnBruteForce(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = quantized(spark, sfDir)
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def knnBruteForceSql: String =
+    s"""WITH q AS ($sqlQuantized)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) as bigint) AS rank,
+       |    $sqlCos AS sim
+       |  FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |WHERE rank <= ${Consts.KnnK}
+       |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup pairs (O(n^2) baseline).
+  // -------------------------------------------------------------------
+
+  def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val a = q.alias("a"); val b = q.alias("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim",
+        qcosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("sim") >= Consts.CosineNearDupThreshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  def nearDupPairsSql: String =
+    s"""WITH q AS ($sqlQuantized)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $sqlCos AS sim
+       |FROM q a JOIN q b ON a.vec_id < b.vec_id
+       |WHERE $sqlCos >= ${Consts.CosineNearDupThreshold}
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Random-hyperplane LSH kNN (the scale path).
+  // -------------------------------------------------------------------
+
+  /** Bucket id: bit j = sign of the integer projection onto plane j. */
+  def lshBucket(v: Column): Column =
+    Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
+      when(qdot(v, typedLit(hp)) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = quantized(spark, sfDir).withColumn("bucket", lshBucket(col("v")))
+    val queries = broadcast(
+      bucketed.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qnrm"), col("bucket").as("qbucket")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    bucketed.join(queries,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def lshKnnSql: String = {
+    val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
+      val lits = hp.mkString("[", ", ", "]")
+      s"CASE WHEN list_sum([v[i+1] * ($lits)[i+1] for i in range(len(v))]) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH q AS ($sqlQuantized),
+       |bucketed AS (SELECT vec_id, label, v, nrm, cast($planes as bigint) AS bucket FROM q)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) as bigint) AS rank,
+       |    $sqlCos AS sim
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.vec_id < ${Consts.KnnQueries} AND a.bucket = b.bucket AND b.vec_id != a.vec_id)
+       |WHERE rank <= ${Consts.KnnK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Consts, Tables}
+
+/** Text-analysis operators over the `documents` table: tokenization
+  * stats, quality scoring, language-ID, and content fingerprinting.
+  *
+  * All per-document — embarrassingly parallel map work with no shuffle
+  * except final ordering; at 100 TB these run at scan speed and stay
+  * inside whole-stage codegen (no UDFs, only built-in + higher-order
+  * functions). Each operator has a `*Sql` twin generating the DuckDB
+  * oracle from the same Consts, so Spark and oracle cannot drift.
+  */
+object TextAnalytics {
+
+  /** Whitespace tokens of trimmed text, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= lit(""))
+
+  /** Distinct word 3-gram shingles (set semantics, for Jaccard/MinHash). */
+  def shingles3(toks: Column): Column =
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3), i =>
+          concat_ws(" ",
+            element_at(toks, i + 1),
+            element_at(toks, i + 2),
+            element_at(toks, i + 3))))
+        .otherwise(expr("cast(array() as array<string>)")))
+
+  private val sqlTokens = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+  private[ops] val sqlShingles =
+    "list_distinct(CASE WHEN len(t) >= 3 THEN [t[i+1]||' '||t[i+2]||' '||t[i+3] for i in range(len(t)-2)] ELSE [] END)"
+
+  // -------------------------------------------------------------------
+  // Token stats: counts + BPE-ish token count + mean token length.
+  // -------------------------------------------------------------------
+
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        regexp_count(col("text"), lit(Consts.BpeTokenPattern)).cast("long").as("n_bpe_tokens"),
+        (aggregate(transform(tokens(col("text")), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          size(tokens(col("text"))).cast("double")).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  def tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  cast(length(text) as bigint) AS n_chars,
+       |  cast(len(t) as bigint) AS n_tokens,
+       |  cast(len(regexp_extract_all(text, '${Consts.BpeTokenPattern}')) as bigint) AS n_bpe_tokens,
+       |  cast(list_sum([cast(length(x) as bigint) for x in t]) as double) / cast(len(t) as double) AS mean_token_len
+       |FROM (SELECT doc_id, text, $sqlTokens t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Quality score: character-class + stopword ratios.
+  // -------------------------------------------------------------------
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    def classRatio(pattern: String): Column =
+      (nChars - length(regexp_replace(col("text"), pattern, ""))) / nChars
+    val stopRatio =
+      size(filter(t, x => x.isin(Consts.Stopwords: _*))).cast("double") /
+        size(t).cast("double")
+    d.select(
+        col("doc_id"),
+        nChars.cast("long").as("n_chars"),
+        classRatio("[a-z]").as("alpha_ratio"),
+        classRatio("[0-9]").as("digit_ratio"),
+        classRatio(" ").as("space_ratio"),
+        stopRatio.as("stopword_ratio"),
+        (classRatio("[a-z]") * (lit(1.0) - stopRatio)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreSql: String = {
+    val stops = Consts.Stopwords.map(s => s"'$s'").mkString(", ")
+    def ratio(p: String) =
+      s"(cast(length(text) as double) - length(regexp_replace(text, '$p', '', 'g'))) / cast(length(text) as double)"
+    s"""SELECT doc_id,
+       |  cast(length(text) as bigint) AS n_chars,
+       |  ${ratio("[a-z]")} AS alpha_ratio,
+       |  ${ratio("[0-9]")} AS digit_ratio,
+       |  ${ratio(" ")} AS space_ratio,
+       |  cast(len(list_filter(t, x -> x IN ($stops))) as double) / cast(len(t) as double) AS stopword_ratio,
+       |  ${ratio("[a-z]")} * (1.0 - cast(len(list_filter(t, x -> x IN ($stops))) as double) / cast(len(t) as double)) AS quality
+       |FROM (SELECT doc_id, text, $sqlTokens t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Language ID: marker-token scores, argmax with fixed tie-break order,
+  // confusion-matrix style aggregate against the label column.
+  // -------------------------------------------------------------------
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = tokens(col("text"))
+    val scored = d.select(
+      (col("lang") +: col("doc_id") +:
+        Consts.LangMarkers.map { case (l, markers) =>
+          size(filter(t, x => x.isin(markers: _*))).as(s"s_$l")
+        }): _*)
+    val langs = Consts.LangMarkers.map(_._1)
+    val pred = langs.foldRight(lit("und")) { (l, rest) =>
+      val others = langs.filterNot(_ == l).map(o => col(s"s_$o"))
+      when(col(s"s_$l") >= greatest(others: _*), lit(l)).otherwise(rest)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  def langIdSql: String = {
+    val langs = Consts.LangMarkers.map(_._1)
+    val scoreCols = Consts.LangMarkers.map { case (l, markers) =>
+      val in = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($in))) AS s_$l"
+    }.mkString(",\n  ")
+    val caseChain = langs.map { l =>
+      val others = langs.filterNot(_ == l).map(o => s"s_$o").mkString(", ")
+      s"WHEN s_$l >= greatest($others) THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT lang, pred_lang, count(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE $caseChain ELSE 'und' END AS pred_lang
+       |  FROM (SELECT lang, $scoreCols
+       |        FROM (SELECT lang, $sqlTokens t FROM documents)))
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Fingerprint: whole-content md5 + min shingle hash (winnow-style).
+  // -------------------------------------------------------------------
+
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val sh = shingles3(tokens(col("text")))
+    d.select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("content_hash"),
+        array_min(transform(sh, s => md5(s.cast("binary")))).as("min_shingle_hash"),
+        size(sh).cast("long").as("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  def fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(text) AS content_hash,
+       |  list_min([md5(x) for x in s]) AS min_shingle_hash,
+       |  cast(len(s) as bigint) AS n_shingles
+       |FROM (SELECT doc_id, text, $sqlShingles s
+       |      FROM (SELECT doc_id, text, $sqlTokens t FROM documents))
+       |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.core.Consts
+import graft.ops.{Dedup, Similarity, TextAnalytics}
+import org.apache.spark.sql.functions._
+
+class TextDedupSimilaritySpec extends SparkSpec {
+
+  test("tokenStats covers every document with sane values") {
+    val df = TextAnalytics.tokenStats(spark, sf0001)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(df.count() == docs)
+    assert(df.filter(col("n_tokens") <= 0 || col("mean_token_len") <= 0).count() == 0)
+    // token counts reconcile with character counts (tokens + separators)
+    assert(df.filter(col("n_chars") < col("n_tokens")).count() == 0)
+  }
+
+  test("qualityScore ratios are all within [0, 1]") {
+    val df = TextAnalytics.qualityScore(spark, sf0001)
+    val bad = df.filter(
+      col("alpha_ratio") < 0 || col("alpha_ratio") > 1 ||
+      col("digit_ratio") < 0 || col("digit_ratio") > 1 ||
+      col("space_ratio") < 0 || col("space_ratio") > 1 ||
+      col("stopword_ratio") < 0 || col("stopword_ratio") > 1 ||
+      col("quality") < 0 || col("quality") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("langId classifies every document exactly once") {
+    val df = TextAnalytics.langId(spark, sf0001)
+    val total = df.agg(sum("n")).collect()(0).getLong(0)
+    assert(total == spark.read.parquet(s"$sf0001/documents.parquet").count())
+  }
+
+  test("fingerprint is unique per distinct text and deterministic") {
+    val df = TextAnalytics.fingerprint(spark, sf0001).cache()
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").distinct().count()
+    assert(df.select("content_hash").distinct().count() == texts)
+    // re-running produces identical hashes (pure function of content)
+    val again = TextAnalytics.fingerprint(spark, sf0001)
+    assert(df.exceptAll(again).count() == 0)
+    df.unpersist()
+  }
+
+  test("minhash LSH finds the planted near-duplicates") {
+    val pairs = Dedup.minhashLshPairs(spark, sf0001).cache()
+    val n = pairs.count()
+    assert(n > 0, "expected planted near-dup pairs in the synthetic corpus")
+    // every reported pair clears the verification threshold
+    assert(pairs.filter(col("jaccard") < Consts.MinhashJaccardThreshold).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("simhash signatures stay within 16 bits; near-dups have close hashes") {
+    val sig = Dedup.simhash(spark, sf0001).cache()
+    assert(sig.filter(col("simhash") < 0 || col("simhash") >= (1L << 16)).count() == 0)
+    // planted near-dup pairs (high jaccard) should collide in simhash space
+    val dups = Dedup.minhashLshPairs(spark, sf0001)
+      .filter(col("jaccard") >= 0.8)
+    val a = sig.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val joined = dups.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val avgHam = joined.agg(avg("hamming")).collect()(0).getDouble(0)
+    assert(avgHam <= 4.0, s"avg hamming of near-dups was $avgHam")
+    sig.unpersist()
+  }
+
+  test("brute-force kNN returns exactly k ranked neighbors per query") {
+    val knn = Similarity.knnBruteForce(spark, sf0001).cache()
+    val perQuery = knn.groupBy("query_id").count().collect()
+    assert(perQuery.length == Consts.KnnQueries)
+    assert(perQuery.forall(_.getAs[Long]("count") == Consts.KnnK))
+    // ranks are 1..k and sim is non-increasing with rank
+    val viol = knn.groupBy("query_id")
+      .agg(expr("max_by(sim, rank)").as("last"), expr("min_by(sim, rank)").as("first"))
+      .filter(col("last") > col("first")).count()
+    assert(viol == 0)
+    knn.unpersist()
+  }
+
+  test("LSH kNN results are a subset of the full similarity ordering") {
+    // every LSH neighbor must share the query's bucket and its sim must
+    // match the brute-force computed sim for the same pair
+    val lsh = Similarity.lshKnn(spark, sf0001)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("lsh_sim"))
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+    // spot check: for pairs present in both, sims agree exactly
+    val joined = lsh.join(bf, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("lsh_sim") =!= col("sim")).count() == 0)
+  }
+
+  test("exact dedup keeps one row per distinct content") {
+    val d = Dedup.exactDedup(spark, sf0001)
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").distinct().count()
+    assert(d.count() == texts)
+  }
+}
