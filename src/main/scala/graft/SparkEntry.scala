@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Relational, Similarity, TextAnalytics}
+import graft.ops.{Dedup, Events, Relational, Similarity, TextAnalytics}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +37,13 @@ object SparkEntry {
     "q17_simhash_pairs"     -> Dedup.simhashPairs _,
     "q18_embedding_neardup" -> Similarity.nearDupPairs _,
     "q19_knn_bruteforce"    -> Similarity.knnBruteForce _,
-    "q20_lsh_knn"           -> Similarity.lshKnn _
+    "q20_lsh_knn"           -> Similarity.lshKnn _,
+    "q21_hourly_windows"    -> Events.hourlyTypeCounts _,
+    "q22_sessionize"        -> Events.sessionize _,
+    "q23_asof_join"         -> Events.clickErrorAsOf _,
+    "q24_user_pivot"        -> Events.userTypePivot _,
+    "q25_sliding_windows"   -> Events.slidingWindowCounts _,
+    "q26_stream_windows"    -> EventStream.hourlyTypeCountsStream _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,6 +117,13 @@ object SparkEntry {
     "q17_simhash_pairs"     -> Dedup.simhashPairsSql,
     "q18_embedding_neardup" -> Similarity.nearDupPairsSql,
     "q19_knn_bruteforce"    -> Similarity.knnBruteForceSql,
-    "q20_lsh_knn"           -> Similarity.lshKnnSql
+    "q20_lsh_knn"           -> Similarity.lshKnnSql,
+    "q21_hourly_windows"    -> Events.hourlyTypeCountsSql,
+    "q22_sessionize"        -> Events.sessionizeSql,
+    "q23_asof_join"         -> Events.clickErrorAsOfSql,
+    "q24_user_pivot"        -> Events.userTypePivotSql,
+    "q25_sliding_windows"   -> Events.slidingWindowCountsSql,
+    // the streaming replay computes the same result as the batch window agg
+    "q26_stream_windows"    -> Events.hourlyTypeCountsSql
   )
 }

@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -24,7 +26,20 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright. Read nanos as long (legacy escape hatch) and convert to a
+    * microsecond timestamp — the data is microsecond-aligned, so the
+    * div-1000 is lossless. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(table(spark, sfDir, "events"))
+  }
+
+  /** ts: long (epoch nanos) -> ts: timestamp, if needed (no-op otherwise). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

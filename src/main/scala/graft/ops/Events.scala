@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.ExactSums._
+
+/** Event-time operators over the `events` table: tumbling/sliding
+  * windows, gap sessionization, as-of join, and typed pivots.
+  *
+  * Portability notes:
+  *  - all timestamps are exported as epoch MICROSECONDS (bigint) —
+  *    `unix_micros` here, `epoch_us` in the DuckDB oracle — so no
+  *    engine-specific timestamp formatting can drift;
+  *  - nullable bigints are coalesced to -1 before output (a null in an
+  *    int64 column degrades to float64 in arrow/pandas and breaks dtype
+  *    equality).
+  *
+  * Scale shapes: every operator here is a single shuffle on its natural
+  * key (window bucket, user_id) with map-side partial aggregation; the
+  * as-of join is the union-sort trick — one shuffle on user_id, a sorted
+  * window scan within partitions, and NO range-explosion join.
+  */
+object Events {
+
+  private val HourUs = 3600L * 1000000L
+  private val SlideUs = 900L * 1000000L
+  private val SessionGapUs = 30L * 60L * 1000000L
+
+  // -------------------------------------------------------------------
+  // Tumbling 1-hour windows per event type.
+  // -------------------------------------------------------------------
+
+  def hourlyTypeCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_us", "event_type")
+
+  def hourlyTypeCountsSql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      |  count(*) AS n,
+      |  sum(cast(floor(value*100) as bigint))/100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Sliding 1-hour windows every 15 minutes.
+  // -------------------------------------------------------------------
+
+  def slidingWindowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+      .orderBy("window_start_us", "event_type")
+
+  /** Oracle mirrors Spark's window grid (origin at epoch 0, starts at
+    * multiples of the slide): an event at t falls in the 4 windows that
+    * start at ((t div slide) - j) * slide, j in 0..3. */
+  def slidingWindowCountsSql: String =
+    s"""SELECT window_start_us, event_type, count(*) AS n FROM (
+       |  SELECT ((epoch_us(ts) // $SlideUs) - j) * $SlideUs AS window_start_us, event_type
+       |  FROM events, unnest([0, 1, 2, 3]) AS t(j))
+       |GROUP BY 1, 2
+       |ORDER BY window_start_us, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Gap sessionization: 30-minute inactivity splits per-user sessions.
+  // -------------------------------------------------------------------
+
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def sessionizeSql: String =
+    s"""SELECT user_id, session_id,
+       |  min(epoch_us(ts)) AS session_start_us,
+       |  max(epoch_us(ts)) AS session_end_us,
+       |  count(*) AS n_events,
+       |  sum(cast(floor(value*100) as bigint))/100.0 AS sum_value
+       |FROM (
+       |  SELECT user_id, ts, value,
+       |    cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS session_id
+       |  FROM (
+       |    SELECT user_id, ts, value, event_id,
+       |      CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > $SessionGapUs
+       |           THEN 1 ELSE 0 END AS new_session
+       |    FROM (
+       |      SELECT user_id, ts, value, event_id,
+       |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |      FROM events)))
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // As-of join: each click matched to the latest error at-or-before it
+  // for the same user. Implemented as union + sorted window (single
+  // shuffle on user_id), not a range join.
+  // -------------------------------------------------------------------
+
+  def clickErrorAsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "error").cast("int").as("is_err"))
+    // errors sort before clicks at equal ts so an exactly-simultaneous
+    // error is visible to the click (ASOF <= semantics)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("is_err").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_err_id",
+        last(when(col("is_err") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_err_us",
+        last(when(col("is_err") === 1, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("is_err") === 0)
+      .select(
+        col("event_id").as("click_id"),
+        col("user_id"),
+        col("ts_us").as("click_us"),
+        coalesce(col("last_err_id"), lit(-1L)).as("err_id"),
+        coalesce(col("ts_us") - col("last_err_us"), lit(-1L)).as("gap_us"))
+      .orderBy("click_id")
+  }
+
+  def clickErrorAsOfSql: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  epoch_us(c.ts) AS click_us,
+      |  coalesce(e.event_id, -1) AS err_id,
+      |  coalesce(epoch_us(c.ts) - epoch_us(e.ts), -1) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id AND c.ts >= e.ts
+      |ORDER BY click_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-user event-type pivot.
+  // -------------------------------------------------------------------
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def userTypePivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = EventTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    val purchaseValue =
+      moneySum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+        .as("purchase_value")
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(counts.head, (counts.tail :+ purchaseValue): _*)
+      .orderBy("user_id")
+  }
+
+  def userTypePivotSql: String = {
+    val counts = EventTypes
+      .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS n_$t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $counts,
+       |  sum(cast(floor(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END * 100) as bigint))/100.0 AS purchase_value
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+}

