@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Dedup, Events, Relational, Similarity, TextAnalytics}
+import graft.ops.{ChatOracle, Dedup, Events, Relational, Similarity, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -43,7 +43,14 @@ object SparkEntry {
     "q23_asof_join"         -> Events.clickErrorAsOf _,
     "q24_user_pivot"        -> Events.userTypePivot _,
     "q25_sliding_windows"   -> Events.slidingWindowCounts _,
-    "q26_stream_windows"    -> EventStream.hourlyTypeCountsStream _
+    "q26_stream_windows"    -> EventStream.hourlyTypeCountsStream _,
+    "q27_chunk_fixed"       -> ChatOracle.chunkFixed _,
+    "q28_folder_filter"     -> ChatOracle.folderFilter _,
+    "q29_exclude_filter"    -> ChatOracle.excludeFilter _,
+    "q30_extension_filter"  -> ChatOracle.extensionFilter _,
+    "q31_primary_langs"     -> ChatOracle.primaryLangs _,
+    "q32_human_list"        -> ChatOracle.humanList _,
+    "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnn _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,6 +131,13 @@ object SparkEntry {
     "q24_user_pivot"        -> Events.userTypePivotSql,
     "q25_sliding_windows"   -> Events.slidingWindowCountsSql,
     // the streaming replay computes the same result as the batch window agg
-    "q26_stream_windows"    -> Events.hourlyTypeCountsSql
+    "q26_stream_windows"    -> Events.hourlyTypeCountsSql,
+    "q27_chunk_fixed"       -> ChatOracle.chunkFixedSql,
+    "q28_folder_filter"     -> ChatOracle.folderFilterSql,
+    "q29_exclude_filter"    -> ChatOracle.excludeFilterSql,
+    "q30_extension_filter"  -> ChatOracle.extensionFilterSql,
+    "q31_primary_langs"     -> ChatOracle.primaryLangsSql,
+    "q32_human_list"        -> ChatOracle.humanListSql,
+    "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnnSql
   )
 }

@@ -1,0 +1,108 @@
+package graft.chat
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** ANN index build + search (reference: src/ann.rs).
+  *
+  * The reference keeps everything in RAM and serializes the whole index
+  * as one JSON blob (ann.rs:7-11, main.rs:368). Here the "index" is a
+  * Parquet table `(chunk_id, file, code, language, extension, vector)`
+  * plus, for the approximate path, a leaf assignment from a seeded
+  * random-projection forest (16 trees, seed 42 — ann.rs:254 parity)
+  * stored `(tree, leaf, chunk_id)` and written partitioned by
+  * (tree, leaf) so a query's candidate lookup becomes partition pruning
+  * at the scan, not a shuffle.
+  *
+  * Search (I9-I11): exact = distance expression + TakeOrderedAndProject
+  * (orderBy+limit compiles to Spark's physical top-k, no full sort);
+  * approx = per-tree leaf lookup -> union of candidate leaves -> exact
+  * distance top-k over candidates only.
+  */
+object AnnIndex {
+
+  val NumTrees = 16  // ann.rs:254
+  val Seed = 42L     // ann.rs:254
+  val LeafTarget = 100
+
+  def save(chunks: DataFrame, path: String): Unit =
+    chunks.write.mode("overwrite").parquet(s"$path/chunks")
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/chunks")
+
+  /** Dim sniffing (S4 analog): schema-on-read makes the reference's
+    * 512-then-1024 deserialize fallback (main.rs:554-565) a one-liner. */
+  def dim(chunks: DataFrame): Int =
+    chunks.select(size(col("vector"))).head().getInt(0)
+
+  private def distance(q: Array[Float]): Column = {
+    val lit_q = typedLit(q.toSeq)
+    VectorFunctions.cosineDistance(col("vector"), lit_q)
+  }
+
+  /** I9 exact kNN: full-scan distance + physical top-k. `rank` mirrors
+    * the reference's enumeration-position `index` (hyde.rs:1225-1233). */
+  def knnExact(chunks: DataFrame, query: Array[Float], k: Int): DataFrame = {
+    val hits = chunks
+      .withColumn("distance", distance(query))
+      .orderBy(col("distance").asc, col("chunk_id").asc)
+      .limit(k)
+    hits.withColumn("rank",
+      (row_number().over(Window.orderBy(col("distance").asc, col("chunk_id").asc)) - 1))
+  }
+
+  // -------------------------------------------------------------------
+  // Random-projection forest (approximate path).
+  // -------------------------------------------------------------------
+
+  /** Seeded per-tree hyperplanes; depth chosen so expected leaf size
+    * <= LeafTarget. Returns (tree, level) -> plane. */
+  def sampleForest(dim: Int, nRows: Long, seed: Long = Seed): Array[Array[Array[Float]]] = {
+    val depth = math.max(1,
+      math.ceil(math.log(math.max(1.0, nRows.toDouble / LeafTarget)) / math.log(2)).toInt)
+    val rng = new scala.util.Random(seed)
+    Array.fill(NumTrees)(Array.fill(depth)(Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat)))
+  }
+
+  private def leafExpr(planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, lvl) =>
+      when(VectorFunctions.dot(col("vector"), typedLit(p.toSeq)) >= 0,
+        lit(1L << lvl)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** I8: leaf assignment for every (tree, vector). The result is written
+    * partitioned by (tree, leaf): queries prune to NumTrees partitions. */
+  def buildForestIndex(chunks: DataFrame, forest: Array[Array[Array[Float]]]): DataFrame =
+    forest.zipWithIndex.map { case (planes, t) =>
+      chunks.select(lit(t).as("tree"), leafExpr(planes).as("leaf"), col("chunk_id"))
+    }.reduce(_ unionAll _)
+
+  def saveForestIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/forest")
+
+  /** Query-side leaf ids, one per tree (driver-side tiny compute). */
+  def queryLeaves(query: Array[Float], forest: Array[Array[Array[Float]]]): Seq[(Int, Long)] =
+    forest.zipWithIndex.map { case (planes, t) =>
+      val leaf = planes.zipWithIndex.map { case (p, lvl) =>
+        val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        if (d >= 0) 1L << lvl else 0L
+      }.sum
+      (t, leaf)
+    }.toSeq
+
+  /** I9 approximate kNN: candidate chunk_ids from the query's leaf in
+    * each tree (partition-pruned scan), then exact top-k over those. */
+  def knnApprox(spark: SparkSession, chunks: DataFrame, forestIndex: DataFrame,
+                forest: Array[Array[Array[Float]]],
+                query: Array[Float], k: Int): DataFrame = {
+    val leaves = queryLeaves(query, forest)
+    val cond = leaves.map { case (t, l) =>
+      col("tree") === t && col("leaf") === l
+    }.reduce(_ || _)
+    val candidates = forestIndex.filter(cond).select("chunk_id").distinct()
+    knnExact(chunks.join(candidates, "chunk_id"), query, k)
+  }
+}

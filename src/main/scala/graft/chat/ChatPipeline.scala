@@ -1,0 +1,148 @@
+package graft.chat
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chat.Schemas._
+
+/** End-to-end orchestration (reference: src/main.rs command flows +
+  * hyde.rs retrieve, SURVEY.md §3).
+  *
+  * index:  chunk_repo -> embed -> chunks parquet + RP-forest index +
+  *         profile.json          (main.rs:274-382)
+  * query:  classify -> hyde doc -> embed -> kNN(k*2) -> filters ->
+  *         rerank|distance sort -> truncate k -> synthesize
+  *         (hyde.rs:468-576: over-fetch k*2 at :500, truncate at :519)
+  */
+object ChatPipeline {
+
+  case class QueryOutput(results: Seq[RetrievalResult], answer: Seq[String])
+
+  def index(spark: SparkSession, repoDir: String, outDir: String,
+            embedder: Embedder = new HashingEmbedder()): Long = {
+    val chunks = Chunker.chunkRepo(spark, repoDir)
+    val rows = Embed.embedChunks(spark, chunks, embedder).toDF()
+    AnnIndex.save(rows, outDir)
+    val chunksDf = AnnIndex.load(spark, outDir)
+    val n = chunksDf.count()
+    val forest = AnnIndex.sampleForest(embedder.dim, n)
+    AnnIndex.saveForestIndex(AnnIndex.buildForestIndex(chunksDf, forest), outDir)
+    // profile job over the same scan
+    val files = filesFrame(spark, repoDir)
+    val profile = Profile.profile(files, repoDir.split('/').last)
+    writeProfileJson(profile, s"$outDir/profile.json")
+    n
+  }
+
+  /** files DataFrame for the profile job: (path, filename, extension,
+    * line_count, content). */
+  def filesFrame(spark: SparkSession, repoDir: String): DataFrame = {
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(repoDir)
+      .select(
+        col("path"),
+        element_at(split(col("path"), "/"), -1).as("filename"),
+        col("content").cast("string").as("content"))
+      .withColumn("extension",
+        when(col("filename").contains("."),
+          element_at(split(col("filename"), "\\."), -1)).otherwise(lit(null)))
+      .withColumn("line_count", size(split(col("content"), "\n")).cast("long"))
+  }
+
+  def writeProfileJson(p: RepoProfile, path: String): Unit = {
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n") + "\""
+    def arr(xs: Seq[String]) = xs.map(js).mkString("[", ",", "]")
+    val json =
+      s"""{"name":${js(p.name)},"primary_languages":${arr(p.primary_languages)},
+         |"build_files":${arr(p.build_files)},"frameworks":${arr(p.frameworks)},
+         |"readme_summary":${p.readme_summary.map(js).getOrElse("null")}}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  /** The retrieve flow (hyde.rs:468-576) with pluggable ChatClient. */
+  def query(spark: SparkSession, indexDir: String, question: String, k: Int = 3,
+            rerank: Boolean = false,
+            client: ChatClient = new MockChatClient(),
+            embedder: Embedder = new HashingEmbedder(),
+            approx: Boolean = false): QueryOutput = {
+    val chunks = AnnIndex.load(spark, indexDir)
+    val classification = client.classify(question)                 // Step 1 (L1)
+    val hypoDoc = client.hyde(question, classification)            // Step 2 (L2)
+    val qVec = embedder.embed(hypoDoc)                             // embed hypo ONLY (hyde.rs:500)
+    val hits =
+      if (approx) {
+        val n = chunks.count()
+        val forest = AnnIndex.sampleForest(embedder.dim, n)
+        val idx = spark.read.parquet(s"$indexDir/forest")
+        AnnIndex.knnApprox(spark, chunks, idx, forest, qVec, k * 2)
+      } else AnnIndex.knnExact(chunks, qVec, k * 2)                // Step 3, over-fetch F1
+    val filtered = Retrieval.applyFilters(hits, classification, k) // Step 4 + truncate
+    val ordered =
+      if (rerank) Retrieval.lexicalRerank(filtered, question)      // Step 5 (R2)
+      else filtered.orderBy(col("distance").asc)                   // F10
+    val rows = ordered.select("file", "code", "language", "extension", "distance")
+      .collect().zipWithIndex.map { case (r, i) =>
+        RetrievalResult(r.getString(0), r.getString(1),
+          Option(r.getString(2)), Option(r.getString(3)), r.getDouble(4), i)
+      }.toSeq
+    val snippets = rows.map(r => (r.file, r.code, r.distance))
+    val profile = readProfile(indexDir)
+    QueryOutput(rows, client.synthesize(question, classification, profile, snippets).toSeq)
+  }
+
+  def readProfile(indexDir: String): Option[RepoProfile] = {
+    val p = java.nio.file.Paths.get(s"$indexDir/profile.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      // profile.json is produced by writeProfileJson above; parse the
+      // name field only (enough for the synthesis header)
+      val s = java.nio.file.Files.readString(p)
+      val name = "\"name\":\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("repo")
+      Some(RepoProfile(name, Seq.empty, Seq.empty, Seq.empty, None))
+    }
+  }
+}
+
+/** Thin CLI mirroring main.rs:42-92 commands (index / query /
+  * interactive REPL holding one session — SURVEY.md §3.3). */
+object ChatCli {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-chat")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.toList match {
+      case "index" :: repo :: out :: Nil =>
+        val n = ChatPipeline.index(spark, repo, out)
+        println(s"indexed $n chunks from $repo -> $out")
+      case "query" :: indexDir :: question :: rest =>
+        val k = rest.headOption.map(_.toInt).getOrElse(3)
+        val out = ChatPipeline.query(spark, indexDir, question, k)
+        out.results.foreach(r =>
+          println(f"Chunk ${r.rank} | ${r.file} | Relevance ${r.distance}%.4f"))
+        out.answer.foreach(print)
+      case "interactive" :: Nil =>
+        println("commands: index <repo> <out> | load <dir> | query <q> | exit")
+        var indexDir: Option[String] = None
+        var line = ""
+        while ({ line = Option(scala.io.StdIn.readLine("> ")).getOrElse("exit"); line != "exit" }) {
+          line.split("\\s+").toList match {
+            case "index" :: repo :: out :: Nil =>
+              ChatPipeline.index(spark, repo, out); indexDir = Some(out)
+            case "load" :: dir :: Nil => indexDir = Some(dir)
+            case "query" :: qs if indexDir.isDefined =>
+              val out = ChatPipeline.query(spark, indexDir.get, qs.mkString(" "))
+              out.answer.foreach(print); println()
+            case _ => println("unrecognized (or no index loaded)")
+          }
+        }
+      case _ =>
+        System.err.println("usage: index <repo> <out> | query <indexDir> <question> [k] | interactive")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,115 @@
+package graft.chat
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.chat.Schemas.CodeChunk
+
+/** Repository scan + chunking (reference: src/chunker.rs).
+  *
+  * Spark-first shape: `binaryFile` recursive scan -> supported-extension
+  * filter (P1) -> flatMap chunk split (P3, the UDTF shape) -> projection
+  * (P4) -> observable stats (P5). The reference uses tree-sitter
+  * AST-aligned chunks (chunker.rs:89-116); tree-sitter isn't on the JVM
+  * classpath, so chunking parity here is BEHAVIORAL: deterministic
+  * line-greedy packing with max_size=1000 chars (chunker.rs:70),
+  * hard-splitting oversized lines, per-file chunk order preserved.
+  *
+  * Gitignore semantics (chunker.rs:22 WalkBuilder standard_filters):
+  * Spark has no gitignore-aware source, so a driver-side pre-pass parses
+  * root .gitignore patterns into a path filter column (simple glob
+  * subset: dir names, *.ext, exact paths) — enough for standard layouts.
+  */
+object Chunker {
+
+  val MaxChunkSize = 1000 // chars, chunker.rs:70
+
+  /** Greedy line-packing chunk split: each chunk <= maxSize chars,
+    * lines never split unless a single line exceeds maxSize. */
+  def splitContent(content: String, maxSize: Int = MaxChunkSize): Seq[String] = {
+    if (content.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+    content.split("\n", -1).foreach { line0 =>
+      // re-attach the newline we split on (last line has none)
+      val line = line0 + "\n"
+      if (line.length > maxSize) {
+        flush()
+        line.grouped(maxSize).foreach(out += _)
+      } else {
+        if (cur.length + line.length > maxSize) flush()
+        cur ++= line
+      }
+    }
+    flush()
+    // drop the trailing newline artifact on the final chunk to round-trip
+    if (out.nonEmpty && !content.endsWith("\n")) {
+      val last = out.last
+      out(out.length - 1) = last.stripSuffix("\n")
+    }
+    out.toSeq
+  }
+
+  /** Driver-side .gitignore pre-pass: returns predicate over relative
+    * paths (true = keep). Supports the common subset: comment lines,
+    * `dir/`, `*.ext`, bare names, leading-slash anchors. */
+  def gitignorePredicate(root: Path): String => Boolean = {
+    val gi = root.resolve(".gitignore")
+    val patterns: Seq[String] =
+      if (Files.exists(gi))
+        Files.readAllLines(gi).asScala.toSeq
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      else Seq.empty
+    val always = Seq(".git/") // standard filter
+    val all = patterns ++ always
+    (rel: String) => !all.exists { p0 =>
+      val p = p0.stripPrefix("/")
+      if (p.endsWith("/")) {
+        val d = p.stripSuffix("/")
+        rel == d || rel.startsWith(d + "/") || rel.contains("/" + d + "/")
+      } else if (p.startsWith("*.")) {
+        rel.endsWith(p.stripPrefix("*"))
+      } else {
+        rel == p || rel.endsWith("/" + p)
+      }
+    }
+  }
+
+  /** S1+P1-P4: scan a directory into chunk rows. Uses Spark's binaryFile
+    * source for the distributed read; the gitignore pre-pass and
+    * extension filter prune before content ever moves. */
+  def chunkRepo(spark: SparkSession, root: String): Dataset[CodeChunk] = {
+    import spark.implicits._
+    val rootPath = Paths.get(root).toAbsolutePath
+    val keep = gitignorePredicate(rootPath)
+    val rootStr = rootPath.toString
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(rootStr)
+      .select(col("path"), col("content"))
+    val supported = Language.supportedExtensions.toSet
+    files.flatMap { row =>
+      val uri = row.getString(0)
+      val path = uri.stripPrefix("file:")
+      val rel = path.stripPrefix(rootStr).stripPrefix("/")
+      val ext = rel.split('.').lastOption.filter(_ => rel.contains('.')).map(_.toLowerCase)
+      ext match {
+        case Some(e) if supported.contains(e) && keep(rel) =>
+          val bytes = row.getAs[Array[Byte]](1)
+          val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          val lang = Language.detect(e)
+          splitContent(text).map(chunk => CodeChunk(rel, chunk, lang, Some(e)))
+        case _ => Seq.empty
+      }
+    }
+  }
+
+  /** P5: observable per-language stats of a chunk set. */
+  def chunkStats(chunks: DataFrame): DataFrame =
+    chunks.groupBy(coalesce(col("language"), lit("unknown")).as("language"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("file_path")).as("n_files"))
+      .orderBy("language")
+}

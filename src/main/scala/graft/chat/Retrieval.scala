@@ -1,0 +1,160 @@
+package graft.chat
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.chat.Schemas.QueryClassification
+
+/** Query-time filtering / sorting / top-k pipeline (reference:
+  * src/hyde.rs:824-1214, ops F1-F10) and the rerank stage (R2).
+  *
+  * Operates on the kNN candidate DataFrame `(file, code, language,
+  * extension, distance, rank)`. Semantics replicate the reference
+  * exactly, including its quirks:
+  *  - folder matching is SUBSTRING-based, not path-segment-normalized
+  *    (hyde.rs:833-839);
+  *  - the doc-extension set differs between the code/doc split
+  *    (md|txt|rst|adoc — hyde.rs:1016) and the non-code preference sort
+  *    (md|txt|rst — hyde.rs:1190); both are preserved;
+  *  - doc quota decision tree (hyde.rs:1117-1160) including the
+  *    >=3-code-rows check, a genuine count barrier.
+  */
+object Retrieval {
+
+  // -------------------------------------------------------------------
+  // F2: folder include-filter (hyde.rs:824-866).
+  // -------------------------------------------------------------------
+
+  def folderMatch(path: Column, folder: String): Column = {
+    val lastSeg = folder.split('/').lastOption.getOrElse(folder)
+    path.contains(s"/$folder/") ||
+      path.startsWith(s"$folder/") ||
+      (path.contains(s"/$folder") && path.endsWith(s"/$lastSeg"))
+  }
+
+  def folderFilter(df: DataFrame, folders: Seq[String]): DataFrame =
+    if (folders.isEmpty) df
+    else df.filter(folders.map(f => folderMatch(col("file"), f)).reduce(_ || _))
+
+  // -------------------------------------------------------------------
+  // F3: extension include-filter with path fallback (hyde.rs:868-927).
+  // -------------------------------------------------------------------
+
+  def extensionFilter(df: DataFrame, targets: Seq[String]): DataFrame = {
+    if (targets.isEmpty) return df
+    val norm = targets.map(_.dropWhile(_ == '.'))
+    val metaMatch = norm.map(t =>
+      regexp_replace(col("extension"), "^\\.+", "") === t).reduce(_ || _)
+    val pathMatch = norm.map(t => col("file").endsWith(s".$t")).reduce(_ || _)
+    df.filter(when(col("extension").isNotNull, metaMatch).otherwise(pathMatch))
+  }
+
+  // -------------------------------------------------------------------
+  // F4: exclude anti-filter (hyde.rs:929-964). The bare contains check
+  // subsumes the slash variants; replicated in full regardless.
+  // -------------------------------------------------------------------
+
+  def excludeFilter(df: DataFrame, patterns: Seq[String]): DataFrame =
+    if (patterns.isEmpty) df
+    else {
+      val lower_file = lower(col("file"))
+      val hit = patterns.map { p0 =>
+        val p = p0.toLowerCase
+        lower_file.contains(p) || lower_file.contains(s"/$p/") ||
+          lower_file.startsWith(s"$p/") || lower_file.endsWith(s"/$p")
+      }.reduce(_ || _)
+      df.filter(!hit)
+    }
+
+  // -------------------------------------------------------------------
+  // F5: code/doc classification (hyde.rs:1012-1056).
+  // -------------------------------------------------------------------
+
+  val DocExtsSplit = Seq("md", "txt", "rst", "adoc")   // hyde.rs:1016
+  val DocExtsPrefer = Seq("md", "txt", "rst")          // hyde.rs:1190
+
+  def isDocCol: Column = {
+    val lf = lower(col("file"))
+    val pathIsCode = !lf.endsWith(".md") && !lf.endsWith(".txt") &&
+      !lf.contains("/docs/") && !lf.contains("readme") &&
+      !lf.contains("resources") && !lf.contains("changelog") &&
+      !lf.contains("license")
+    when(col("extension").isNotNull, col("extension").isin(DocExtsSplit: _*))
+      .otherwise(!pathIsCode)
+  }
+
+  // -------------------------------------------------------------------
+  // F6: language-priority sort key (hyde.rs:1064-1107).
+  // -------------------------------------------------------------------
+
+  def langMatchCol(targetLang: String): Column = {
+    val t = targetLang.toLowerCase
+    val extToLang = Language.dimensionRows
+      .map { case (e, l) => (e, l.toLowerCase) }.toMap
+    val viaExt = extToLang.filter(_._2 == t).keys.toSeq
+    val extMatch =
+      if (viaExt.isEmpty) lit(false)
+      else col("extension").isNotNull && lower(col("extension")).isin(viaExt: _*)
+    (lower(col("language")) === t) || extMatch
+  }
+
+  // -------------------------------------------------------------------
+  // The composed pipeline (apply_llm_based_filtering, hyde.rs:976-1214).
+  // -------------------------------------------------------------------
+
+  def applyFilters(results: DataFrame, c: QueryClassification, k: Int): DataFrame = {
+    var df = folderFilter(results, c.target_folders.getOrElse(Seq.empty))
+    df = extensionFilter(df, c.target_extensions.getOrElse(Seq.empty))
+    df = excludeFilter(df, c.exclude_patterns.getOrElse(Seq.empty))
+
+    // the branch/priority pair makes the final order a SINGLE orderBy —
+    // deterministic under any partitioning (no reliance on union order)
+    val out =
+      if (c.wants_code && c.confidence > 0.7) {
+        val tagged = df.withColumn("is_doc", isDocCol)
+        val code = tagged.filter(!col("is_doc"))
+        val docs = tagged.filter(col("is_doc"))
+        val sortedCode = (c.language match {
+          case Some(lang) => code.withColumn("priority", langMatchCol(lang).cast("int"))
+          case None       => code.withColumn("priority", lit(0))
+        }).withColumn("branch", lit(0))
+        val nCode = sortedCode.count()
+        val docLimit: Int =
+          if (c.confidence > 0.8) 0
+          else c.intent match {
+            case "how_it_works" => if (nCode >= 3) 0 else 1
+            case "implementation" | "debugging" => 0
+            case "explanation" => 1
+            case _ => 0
+          }
+        val quotaDocs = docs.orderBy(col("distance").asc).limit(docLimit)
+          .withColumn("priority", lit(0)).withColumn("branch", lit(1))
+        sortedCode.unionAll(quotaDocs).drop("is_doc")
+      } else {
+        val isDocPrefer = (col("extension").isNotNull &&
+          col("extension").isin(DocExtsPrefer: _*)).cast("int")
+        val priority = if (!c.wants_code) isDocPrefer else lit(0)
+        df.withColumn("priority", priority).withColumn("branch", lit(0))
+      }
+    out.orderBy(col("branch").asc, col("priority").desc, col("distance").asc)
+      .limit(k) // F9 truncate
+      .drop("branch", "priority")
+  }
+
+  // -------------------------------------------------------------------
+  // R2: rerank — deterministic lexical-overlap cross-scorer stand-in
+  // for the cross-encoder (rerank.rs:16-19); higher = better,
+  // descending sort (hyde.rs:529-542).
+  // -------------------------------------------------------------------
+
+  def lexicalRerank(results: DataFrame, query: String): DataFrame = {
+    val qTokens = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
+    val codeTokens = array_distinct(
+      filter(split(lower(col("code")), "\\W+"), t => t =!= lit("")))
+    val overlap = size(array_intersect(codeTokens, typedLit(qTokens))).cast("double")
+    val denom = sqrt(lit(qTokens.size.toDouble) * size(codeTokens).cast("double"))
+    results
+      .withColumn("rerank_score",
+        when(size(codeTokens) > 0, overlap / denom).otherwise(lit(0.0)))
+      .orderBy(col("rerank_score").desc, col("distance").asc)
+  }
+}

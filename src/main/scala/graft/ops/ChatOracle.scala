@@ -1,0 +1,260 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.chat.Retrieval
+import graft.core.Tables
+
+/** DuckDB-oracle-checkable projections of the chat-engine operators
+  * (SURVEY.md §2) onto the driver's `documents` table.
+  *
+  * The chat pipeline itself runs over repositories (covered by
+  * ChatSpec); these queries exercise the SAME operator semantics —
+  * chunk flatMap, the reference's folder/extension/exclude filter
+  * predicates, profile aggregation quirks, and the hashing-embedder
+  * similarity join — on oracle-comparable data.
+  *
+  * Path synthesis: file = 'repo/' || source || '/' || lang || '/doc_'
+  * || doc_id || ('.md' for en/zh else '.txt'); extension metadata is
+  * 'md' for en, NULL for zh (exercising the null-ext path fallback,
+  * hyde.rs:892-909), 'txt' otherwise.
+  */
+object ChatOracle {
+
+  val ChunkSize = 200
+
+  private def withPath(d: DataFrame): DataFrame =
+    d.withColumn("file",
+        concat(lit("repo/"), col("source"), lit("/"), col("lang"),
+          lit("/doc_"), col("doc_id"),
+          when(col("lang").isin("en", "zh"), lit(".md")).otherwise(lit(".txt"))))
+      .withColumn("extension",
+        when(col("lang") === "en", lit("md"))
+          .when(col("lang") === "zh", lit(null).cast("string"))
+          .otherwise(lit("txt")))
+
+  private val sqlPath =
+    """SELECT doc_id, text, lang, source,
+      |  'repo/' || source || '/' || lang || '/doc_' || doc_id ||
+      |    (CASE WHEN lang IN ('en','zh') THEN '.md' ELSE '.txt' END) AS file,
+      |  CASE WHEN lang = 'en' THEN 'md' WHEN lang = 'zh' THEN NULL ELSE 'txt' END AS extension
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------------
+  // P3 chunk flatMap analog: fixed-size chunking (the SQL-expressible
+  // projection of the chunker; the line-aware chunker is spec-tested).
+  // -------------------------------------------------------------------
+
+  def chunkFixed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), floor((length(col("text")) - 1) / ChunkSize).cast("int")),
+            i => substring_index_chunk(col("text"), i))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk"), length(col("chunk")).cast("long").as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private def substring_index_chunk(text: Column, i: Column): Column =
+    substring(text, (i * ChunkSize + 1).cast("int"), lit(ChunkSize))
+
+  def chunkFixedSql: String =
+    s"""SELECT doc_id, cast(i as bigint) AS chunk_idx,
+       |  substring(text, i*$ChunkSize + 1, $ChunkSize) AS chunk,
+       |  cast(length(substring(text, i*$ChunkSize + 1, $ChunkSize)) as bigint) AS chunk_len
+       |FROM documents, unnest(range(cast(floor((length(text)-1)/$ChunkSize) as bigint) + 1)) AS t(i)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // F2 folder include-filter (substring semantics, hyde.rs:824-866).
+  // -------------------------------------------------------------------
+
+  val TargetFolders = Seq("src1", "src2")
+
+  def folderFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Retrieval.folderFilter(withPath(Tables.documents(spark, sfDir)), TargetFolders)
+      .select("doc_id", "file").orderBy("doc_id")
+
+  def folderFilterSql: String = {
+    val conds = TargetFolders.map { f =>
+      s"(contains(file, '/$f/') OR starts_with(file, '$f/') OR (contains(file, '/$f') AND ends_with(file, '/$f')))"
+    }.mkString(" OR ")
+    s"""SELECT doc_id, file FROM ($sqlPath)
+       |WHERE $conds
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // F4 exclude anti-filter — note the substring quirk: excluding 'src1'
+  // also drops src10..src19 (contains, not segment match).
+  // -------------------------------------------------------------------
+
+  val ExcludePatterns = Seq("src1", "fr")
+
+  def excludeFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Retrieval.excludeFilter(withPath(Tables.documents(spark, sfDir)), ExcludePatterns)
+      .select("doc_id", "file").orderBy("doc_id")
+
+  def excludeFilterSql: String = {
+    val conds = ExcludePatterns.map { p =>
+      s"(contains(lower(file), '$p') OR contains(lower(file), '/$p/') OR starts_with(lower(file), '$p/') OR ends_with(lower(file), '/$p'))"
+    }.mkString(" OR ")
+    s"""SELECT doc_id, file FROM ($sqlPath)
+       |WHERE NOT ($conds)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // F3 extension filter with null-metadata path fallback: target 'md'
+  // keeps en via metadata and zh via the .md path suffix.
+  // -------------------------------------------------------------------
+
+  val TargetExtensions = Seq(".md")
+
+  def extensionFilter(spark: SparkSession, sfDir: String): DataFrame =
+    Retrieval.extensionFilter(withPath(Tables.documents(spark, sfDir)), TargetExtensions)
+      .select("doc_id", "file", "extension").orderBy("doc_id")
+
+  def extensionFilterSql: String = {
+    val norm = TargetExtensions.map(_.dropWhile(_ == '.'))
+    val meta = norm.map(t => s"regexp_replace(extension, '^\\.+', '') = '$t'").mkString(" OR ")
+    val path = norm.map(t => s"ends_with(file, '.$t')").mkString(" OR ")
+    s"""SELECT doc_id, file, extension FROM ($sqlPath)
+       |WHERE CASE WHEN extension IS NOT NULL THEN ($meta) ELSE ($path) END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // A3 primary-languages analog: top-5-by-loc THEN filter > 10
+  // (repo.rs:135-138 order), loc = summed token count per lang.
+  // -------------------------------------------------------------------
+
+  def primaryLangs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("lang").agg(sum("n_tok").as("loc"))
+    val w = Window.orderBy(col("loc").desc, col("lang").asc)
+    d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .filter(col("loc") > 10)
+      .select("rank", "lang", "loc")
+      .orderBy("rank")
+  }
+
+  def primaryLangsSql: String =
+    """SELECT rank, lang, loc FROM (
+      |  SELECT lang, loc,
+      |    cast(row_number() OVER (ORDER BY loc DESC, lang ASC) as bigint) AS rank
+      |  FROM (
+      |    SELECT lang, cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != ''))) as bigint) AS loc
+      |    FROM documents GROUP BY lang))
+      |WHERE rank <= 5 AND loc > 10
+      |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // A7 human_list string-agg over the primary languages.
+  // -------------------------------------------------------------------
+
+  def humanList(spark: SparkSession, sfDir: String): DataFrame = {
+    val langs = primaryLangs(spark, sfDir)
+      .agg(collect_list(col("lang")).as("ls"))
+    langs.select(
+      size(col("ls")).cast("long").as("n_languages"),
+      when(size(col("ls")) === 0, lit(""))
+        .when(size(col("ls")) === 1, element_at(col("ls"), 1))
+        .when(size(col("ls")) === 2,
+          concat(element_at(col("ls"), 1), lit(" and "), element_at(col("ls"), 2)))
+        .otherwise(concat(
+          array_join(slice(col("ls"), lit(1), size(col("ls")) - 1), ", "),
+          lit(", and "), element_at(col("ls"), -1)))
+        .as("human_list"))
+  }
+
+  def humanListSql: String =
+    s"""SELECT cast(len(ls) as bigint) AS n_languages,
+       |  CASE WHEN len(ls) = 0 THEN ''
+       |       WHEN len(ls) = 1 THEN ls[1]
+       |       WHEN len(ls) = 2 THEN ls[1] || ' and ' || ls[2]
+       |       ELSE array_to_string(ls[1:len(ls)-1], ', ') || ', and ' || ls[len(ls)]
+       |  END AS human_list
+       |FROM (SELECT list(lang ORDER BY rank) AS ls FROM (
+       |  SELECT rank, lang FROM (
+       |    SELECT lang, loc,
+       |      cast(row_number() OVER (ORDER BY loc DESC, lang ASC) as bigint) AS rank
+       |    FROM (
+       |      SELECT lang, sum(cast(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) as bigint)) AS loc
+       |      FROM documents GROUP BY lang))
+       |  WHERE rank <= 5 AND loc > 10))""".stripMargin
+
+  // -------------------------------------------------------------------
+  // HashingEmbedder similarity join: sparse bag-of-hashed-tokens cosine
+  // via an inverted-index equi-join on the hash bucket — the scalable
+  // text-similarity shape (term-partitioned join, no dense vectors
+  // shuffled). Mirrors graft.chat.HashingEmbedder bucket semantics
+  // exactly: bucket = nib(md5[0])*16 + nib(md5[1]).
+  // -------------------------------------------------------------------
+
+  val EmbedQueries = 5
+  val EmbedK = 5
+
+  private def bucketed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextAnalytics.tokens(lower(col("text")))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .withColumn("b", expr(
+        "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + instr('0123456789abcdef', substring(h, 2, 1)) - 1"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+
+  def hashEmbedKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val buckets = bucketed(spark, sfDir).cache()
+    val norms = buckets.groupBy("doc_id").agg(sum(col("c") * col("c")).as("nrm"))
+    val q = buckets.filter(col("doc_id") < EmbedQueries)
+      .select(col("doc_id").as("query_id"), col("b"), col("c").as("qc"))
+    val dots = broadcast(q).join(buckets, Seq("b"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("qc") * col("c")).as("dot"))
+    val qn = norms.select(col("doc_id").as("query_id"), col("nrm").as("qnrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("doc_id").asc)
+    dots.join(broadcast(qn), "query_id").join(norms, "doc_id")
+      .withColumn("sim",
+        col("dot").cast("double") / (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= EmbedK)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rank"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def hashEmbedKnnSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |buckets AS (
+       |  SELECT doc_id,
+       |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS b,
+       |    count(*) AS c
+       |  FROM hashed GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sum(c*c) AS nrm FROM buckets GROUP BY doc_id),
+       |dots AS (
+       |  SELECT q.doc_id AS query_id, d.doc_id AS doc_id, sum(q.c * d.c) AS dot
+       |  FROM buckets q JOIN buckets d ON q.b = d.b
+       |  WHERE q.doc_id < $EmbedQueries AND d.doc_id != q.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT dots.query_id, dots.doc_id AS neighbor_id,
+       |    cast(row_number() OVER (PARTITION BY dots.query_id
+       |      ORDER BY cast(dot as double) / (sqrt(cast(qn.nrm as double)) * sqrt(cast(dn.nrm as double))) DESC,
+       |               dots.doc_id ASC) as bigint) AS rank,
+       |    cast(dot as double) / (sqrt(cast(qn.nrm as double)) * sqrt(cast(dn.nrm as double))) AS sim
+       |  FROM dots
+       |  JOIN norms qn ON qn.doc_id = dots.query_id
+       |  JOIN norms dn ON dn.doc_id = dots.doc_id)
+       |WHERE rank <= $EmbedK
+       |ORDER BY query_id, rank""".stripMargin
+}

@@ -1,0 +1,253 @@
+package graft
+
+import java.nio.file.Files
+import graft.chat._
+import graft.chat.Schemas._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ports of the reference's unit fixtures (hyde.rs:1237-1750,
+  * repo.rs:488-562, language.rs:127-155 — see FIXTURES.md) plus
+  * end-to-end index/query coverage. */
+class ChatSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- language.rs tests -------------------------------------------
+
+  test("language detection incl. case-insensitivity and unknown") {
+    assert(Language.detect("rs").contains("Rust"))
+    assert(Language.detect("RS").contains("Rust"))
+    assert(Language.detect("js").contains("JavaScript"))
+    assert(Language.detect("TS").contains("TypeScript"))
+    assert(Language.detect("cpp").contains("C++"))
+    assert(Language.detect("cs").contains("C#"))
+    assert(Language.detect("py").contains("Python"))
+    assert(Language.detect("md").contains("Markdown"))
+    assert(Language.detect("unknown").isEmpty)
+  }
+
+  // ---- repo.rs tests -----------------------------------------------
+
+  test("human_list over 0/1/2/3 items") {
+    assert(Profile.humanList(Seq.empty) == "")
+    assert(Profile.humanList(Seq("Rust")) == "Rust")
+    assert(Profile.humanList(Seq("Rust", "Python")) == "Rust and Python")
+    assert(Profile.humanList(Seq("Rust", "Python", "JavaScript")) ==
+      "Rust, Python, and JavaScript")
+  }
+
+  test("is_build_file allowlist") {
+    assert(Profile.isBuildFile("Cargo.toml"))
+    assert(Profile.isBuildFile("package.json"))
+    assert(Profile.isBuildFile("pom.xml"))
+    assert(Profile.isBuildFile("Makefile"))
+    assert(!Profile.isBuildFile("main.rs"))
+    assert(!Profile.isBuildFile("index.js"))
+  }
+
+  test("project type: build file beats language") {
+    assert(Profile.projectType(Seq("package.json"), Seq("JavaScript")) == "Node.js project")
+    assert(Profile.projectType(Seq.empty, Seq("Python")) == "Python project")
+    assert(Profile.projectType(Seq.empty, Seq.empty) == "Software project")
+  }
+
+  test("primary languages: take-5-then-filter order (repo.rs:135-138)") {
+    // six languages; the 6th by line count is big enough to pass the
+    // >10 filter but must be dropped by the take(5) FIRST
+    val files = Seq(
+      ("a.rs", "a.rs", "rs", 100L, ""), ("b.py", "b.py", "py", 90L, ""),
+      ("c.js", "c.js", "js", 80L, ""), ("d.go", "d.go", "go", 70L, ""),
+      ("e.java", "e.java", "java", 60L, ""), ("f.rb", "f.rb", "rb", 50L, ""),
+      ("g.md", "g.md", "md", 5L, "")
+    ).toDF("path", "filename", "extension", "line_count", "content")
+    val primary = Profile.primaryLanguages(files)
+    assert(primary == Seq("Rust", "Python", "JavaScript", "Go", "Java"))
+    assert(!primary.contains("Ruby")) // dropped by take(5) despite 50 > 10
+    assert(!primary.contains("Markdown")) // dropped by the >10 filter
+  }
+
+  // ---- hyde.rs retrieval-filter fixtures ---------------------------
+
+  private def results(rows: (String, String, String, String, Double)*): DataFrame =
+    rows.toSeq.toDF("file", "code", "extension", "language", "distance")
+      .select(col("file"), col("code"),
+        when(col("extension") === "", lit(null)).otherwise(col("extension")).as("extension"),
+        when(col("language") === "", lit(null)).otherwise(col("language")).as("language"),
+        col("distance"))
+
+  private def cls(language: Option[String] = None, intent: String = "implementation",
+                  wantsCode: Boolean = true, confidence: Double = 0.8,
+                  folders: Option[Seq[String]] = None, exts: Option[Seq[String]] = None,
+                  excludes: Option[Seq[String]] = None) =
+    QueryClassification(language, intent, wantsCode, confidence, folders, exts, excludes)
+
+  private val mixed = results(
+    ("README.md", "# Documentation", "md", "", 0.1),
+    ("src/hyde.rs", "fn hyde_impl() {}", "rs", "rust", 0.3),
+    ("docs/guide.md", "## Guide", "md", "", 0.2),
+    ("src/main.rs", "fn main() {}", "rs", "rust", 0.4))
+
+  test("code-over-docs: wants_code + confidence 0.8 excludes docs (hyde.rs:1451-1489)") {
+    val out = Retrieval.applyFilters(mixed, cls(confidence = 0.8), k = 10).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("src/hyde.rs", "src/main.rs"))
+  }
+
+  test("language priority beats distance (hyde.rs:1491-1526)") {
+    val df = results(
+      ("src/main.py", "def main():", "py", "python", 0.2),
+      ("src/app.js", "function app() {}", "js", "javascript", 0.1),
+      ("src/hyde.rs", "fn hyde_impl() {}", "rs", "rust", 0.3))
+    val out = Retrieval.applyFilters(df,
+      cls(language = Some("rust"), confidence = 0.9), k = 10).collect()
+    assert(out.head.getString(0) == "src/hyde.rs")
+    assert(out.map(_.getString(0)).toSeq == Seq("src/hyde.rs", "src/app.js", "src/main.py"))
+  }
+
+  test("low confidence preserves distance order (hyde.rs:1528-1549)") {
+    val out = Retrieval.applyFilters(mixed, cls(confidence = 0.5), k = 10).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("README.md", "docs/guide.md", "src/hyde.rs", "src/main.rs"))
+  }
+
+  test("folder filter keeps src/ and lib/ only (hyde.rs:1551-1589)") {
+    val df = results(
+      ("src/main.rs", "fn main() {}", "rs", "rust", 0.2),
+      ("tests/test.rs", "#[test] fn test() {}", "rs", "rust", 0.3),
+      ("lib/utils.rs", "pub fn util() {}", "rs", "rust", 0.4),
+      ("benches/bench.rs", "fn bench() {}", "rs", "rust", 0.1))
+    val out = Retrieval.applyFilters(df,
+      cls(folders = Some(Seq("src", "lib"))), k = 10).collect()
+    assert(out.map(_.getString(0)).toSet == Set("src/main.rs", "lib/utils.rs"))
+  }
+
+  test("exclude patterns drop test/target/docs (hyde.rs:1622-1656)") {
+    val df = results(
+      ("src/main.rs", "fn main() {}", "rs", "rust", 0.2),
+      ("tests/test.rs", "#[test] fn test() {}", "rs", "rust", 0.1),
+      ("target/debug/main", "binary", "", "", 0.3),
+      ("docs/guide.md", "## Guide", "md", "", 0.15))
+    val out = Retrieval.applyFilters(df,
+      cls(excludes = Some(Seq("test", "target", "docs")), confidence = 0.5), k = 10).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("src/main.rs"))
+  }
+
+  test("extension filter with null-extension path fallback (hyde.rs:868-927)") {
+    val df = results(
+      ("src/main.rs", "fn main() {}", "rs", "rust", 0.2),
+      ("src/app.js", "function app() {}", "js", "javascript", 0.1),
+      ("noext/script.py", "print()", "", "", 0.3),  // null ext, .py path
+      ("noext/binary", "bin", "", "", 0.05))        // null ext, no match
+    val out = Retrieval.applyFilters(df,
+      cls(exts = Some(Seq(".rs", "py")), confidence = 0.5), k = 10).collect()
+    assert(out.map(_.getString(0)).toSet == Set("src/main.rs", "noext/script.py"))
+  }
+
+  test("combined folder+extension: exactly src/main.rs survives (hyde.rs:1658-1695)") {
+    val df = results(
+      ("src/main.rs", "fn main() {}", "rs", "rust", 0.2),
+      ("src/lib.py", "def lib():", "py", "python", 0.2),
+      ("lib/utils.rs", "pub fn util() {}", "rs", "rust", 0.4),
+      ("README.md", "# Documentation", "md", "", 0.1))
+    val out = Retrieval.applyFilters(df,
+      cls(folders = Some(Seq("src")), exts = Some(Seq("rs"))), k = 10).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("src/main.rs"))
+  }
+
+  test("doc quota: explanation intent admits 1 doc at confidence 0.75") {
+    val out = Retrieval.applyFilters(mixed,
+      cls(intent = "explanation", confidence = 0.75), k = 10).collect()
+    // code first (by distance), then exactly one closest doc
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("src/hyde.rs", "src/main.rs", "README.md"))
+  }
+
+  test("how_it_works: docs excluded when >=3 code results") {
+    val df = results(
+      ("a.rs", "fn a() {}", "rs", "rust", 0.1),
+      ("b.rs", "fn b() {}", "rs", "rust", 0.2),
+      ("c.rs", "fn c() {}", "rs", "rust", 0.3),
+      ("README.md", "# Doc", "md", "", 0.05))
+    val out = Retrieval.applyFilters(df,
+      cls(intent = "how_it_works", confidence = 0.75), k = 10).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a.rs", "b.rs", "c.rs"))
+  }
+
+  // ---- chunker ------------------------------------------------------
+
+  test("splitContent: <=1000 chars, round-trips, splits oversized lines") {
+    val text = (1 to 100).map(i => s"line $i: " + "x" * 20).mkString("\n")
+    val chunks = Chunker.splitContent(text)
+    assert(chunks.forall(_.length <= 1000))
+    assert(chunks.mkString("") == text)
+    val longLine = "y" * 2500
+    val c2 = Chunker.splitContent(longLine)
+    assert(c2.forall(_.length <= 1000) && c2.mkString("") == longLine)
+  }
+
+  // ---- end-to-end ---------------------------------------------------
+
+  private def makeRepo(): java.io.File = {
+    val dir = Files.createTempDirectory("graft_repo").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(dir, rel); f.getParentFile.mkdirs()
+      Files.writeString(f.toPath, content)
+    }
+    w("src/main.rs", "fn main() {\n    println!(\"search engine entry\");\n}\n")
+    w("src/search.rs", "pub fn cosine_similarity_search(query: &str) -> Vec<Hit> {\n    // vector search over the index\n}\n")
+    w("lib/utils.py", "def tokenize(text):\n    return text.split()\n")
+    w("README.md", "# Demo repo\nA vector search demo.\nUsed for tests.\n")
+    w("Cargo.toml", "[dependencies]\ntokio = \"1\"\nserde = \"1\"\n")
+    w(".gitignore", "target/\n*.log\n")
+    w("target/debug/out.rs", "fn ignored() {}\n")
+    w("build.log", "should be ignored\n")
+    dir
+  }
+
+  test("index + query end-to-end on a temp repo") {
+    val repo = makeRepo()
+    val out = Files.createTempDirectory("graft_idx").toFile
+    val n = ChatPipeline.index(spark, repo.getAbsolutePath, out.getAbsolutePath)
+    assert(n > 0)
+    val chunks = AnnIndex.load(spark, out.getAbsolutePath)
+    // gitignore pre-pass: nothing from target/ or *.log
+    assert(chunks.filter(col("file").startsWith("target/")).count() == 0)
+    // query retrieves the search implementation
+    val res = ChatPipeline.query(spark, out.getAbsolutePath,
+      "how does the rust similarity search implementation work", k = 3)
+    assert(res.results.nonEmpty)
+    assert(res.results.exists(_.file.endsWith(".rs")))
+    assert(res.answer.nonEmpty)
+    // profile captured build files + frameworks
+    val profileJson = Files.readString(new java.io.File(out, "profile.json").toPath)
+    assert(profileJson.contains("Tokio") && profileJson.contains("Serde"))
+    assert(profileJson.contains("Cargo.toml"))
+  }
+
+  test("approximate kNN agrees with exact on overlapping hits") {
+    val repo = makeRepo()
+    val out = Files.createTempDirectory("graft_idx2").toFile
+    ChatPipeline.index(spark, repo.getAbsolutePath, out.getAbsolutePath)
+    val chunks = AnnIndex.load(spark, out.getAbsolutePath)
+    val emb = new HashingEmbedder()
+    val q = emb.embed("cosine similarity search")
+    val exact = AnnIndex.knnExact(chunks, q, 5)
+      .select("chunk_id", "distance").as[(Long, Double)].collect().toMap
+    val n = chunks.count()
+    val forest = AnnIndex.sampleForest(emb.dim, n)
+    val idx = spark.read.parquet(s"${out.getAbsolutePath}/forest")
+    val approx = AnnIndex.knnApprox(spark, chunks, idx, forest, q, 5)
+      .select("chunk_id", "distance").as[(Long, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (id, d) =>
+      exact.get(id).foreach(ed => assert(math.abs(ed - d) < 1e-12))
+    }
+  }
+
+  test("rerank orders by lexical overlap descending") {
+    val df = results(
+      ("a.rs", "cosine similarity search implementation", "rs", "rust", 0.5),
+      ("b.rs", "unrelated parser tokens", "rs", "rust", 0.1))
+    val out = Retrieval.lexicalRerank(df, "cosine similarity search").collect()
+    assert(out.head.getString(0) == "a.rs")
+  }
+}
