@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{ChatOracle, Dedup, Events, Relational, Similarity, TextAnalytics}
+import graft.ops.{ChatOracle, Dedup, Events, Multimodal, Relational, Similarity, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -50,7 +50,9 @@ object SparkEntry {
     "q30_extension_filter"  -> ChatOracle.extensionFilter _,
     "q31_primary_langs"     -> ChatOracle.primaryLangs _,
     "q32_human_list"        -> ChatOracle.humanList _,
-    "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnn _
+    "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnn _,
+    "q34_media_features"    -> Multimodal.mediaFeatures _,
+    "q35_frame_sample"      -> Multimodal.frameSample _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,6 +140,8 @@ object SparkEntry {
     "q30_extension_filter"  -> ChatOracle.extensionFilterSql,
     "q31_primary_langs"     -> ChatOracle.primaryLangsSql,
     "q32_human_list"        -> ChatOracle.humanListSql,
-    "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnnSql
+    "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnnSql,
+    "q34_media_features"    -> Multimodal.mediaFeaturesSql,
+    "q35_frame_sample"      -> Multimodal.frameSampleSql
   )
 }

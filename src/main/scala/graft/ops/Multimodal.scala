@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY
+  * columns with typed metadata, processed by batched executor-side
+  * workers (the Scala analog of mapInPandas batching: mapPartitions +
+  * grouped(batch), one decoder instance per partition).
+  *
+  * The DECODE step is a deliberate STUB — no image/audio codecs exist
+  * in this container — but everything around it is real and tested:
+  * the schema (binary payload + typed meta struct), partition-local
+  * batch shape, deterministic feature extraction over raw bytes, and
+  * frame sampling that explodes one media row into frame rows.
+  *
+  * At scale: payloads never shuffle — features/frames are computed at
+  * the scan and only the (small) derived columns move. Media tables
+  * should be written with payloads in their own parquet column chunk so
+  * metadata-only queries never read bytes (columnar pruning is free).
+  *
+  * The synthetic media table derives payload = utf8(text) from the
+  * documents table (ASCII-only), which makes the byte-level outputs
+  * SQL-oracle-checkable via ascii()/substring in DuckDB.
+  */
+object Multimodal {
+
+  val FeatureBatch = 16
+  val FrameSize = 64 // bytes per synthetic "frame"
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                      format: String, duration_ms: Long)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           distinct_bytes: Long, mean_byte: Double)
+  case class Frame(media_id: Long, frame_idx: Long, frame_len: Long, frame_hash: String)
+
+  /** STUB decoder boundary. A real deployment plugs an actual codec in
+    * here (per-partition instance, batch-at-a-time); the fake returns
+    * deterministic byte-level "features" so the plumbing is testable. */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]]
+  }
+
+  /** ??? in spirit: identity "decode" — the bytes ARE the fake frames. */
+  class StubDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] = payloads
+  }
+
+  /** Deterministic media table derived from documents: payload is the
+    * utf8 text, kind cycles image/audio/video by doc_id. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("payload"),
+        lit("raw").as("format"),
+        (col("n_chars") * 10).as("duration_ms"))
+      .as[MediaRow]
+  }
+
+  /** Batched feature extraction over the binary payload: one decoder
+    * per partition, grouped(16) batches — the real inference shape. */
+  def mediaFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decoder: MediaDecoder = new StubDecoder
+    mediaTable(spark, sfDir)
+      .mapPartitions { it =>
+        it.grouped(FeatureBatch).flatMap { batch =>
+          val decoded = decoder.decodeBatch(batch.map(_.payload))
+          batch.zip(decoded).map { case (m, bytes) =>
+            val n = bytes.length.toLong
+            val distinct = bytes.toSet.size.toLong
+            val mean = if (n == 0) 0.0
+              else bytes.map(b => (b & 0xff).toLong).sum.toDouble / n.toDouble
+            MediaFeatures(m.media_id, m.kind, n, distinct, mean)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  def mediaFeaturesSql: String =
+    """SELECT media_id, kind,
+      |  cast(length(text) as bigint) AS n_bytes,
+      |  cast(len(list_distinct([substring(text, i+1, 1) for i in range(length(text))])) as bigint) AS distinct_bytes,
+      |  cast(list_sum([ascii(substring(text, i+1, 1)) for i in range(length(text))]) as double) / cast(length(text) as double) AS mean_byte
+      |FROM (SELECT doc_id AS media_id,
+      |        ['image','audio','video'][cast(doc_id % 3 + 1 as int)] AS kind, text
+      |      FROM documents)
+      |ORDER BY media_id""".stripMargin
+
+  /** Frame sampling: video payloads exploded into fixed-size frames
+    * (1 media row -> N frame rows), hashed for downstream dedup. */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decoder: MediaDecoder = new StubDecoder
+    mediaTable(spark, sfDir)
+      .filter(col("kind") === "video").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(FeatureBatch).flatMap { batch =>
+          val decoded = decoder.decodeBatch(batch.map(_.payload))
+          batch.zip(decoded).flatMap { case (m, bytes) =>
+            bytes.grouped(FrameSize).zipWithIndex.map { case (frame, idx) =>
+              val md = java.security.MessageDigest.getInstance("MD5").digest(frame)
+              Frame(m.media_id, idx.toLong, frame.length.toLong,
+                md.map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
+  def frameSampleSql: String =
+    s"""SELECT media_id, cast(i as bigint) AS frame_idx,
+       |  cast(length(substring(text, i*$FrameSize + 1, $FrameSize)) as bigint) AS frame_len,
+       |  md5(substring(text, i*$FrameSize + 1, $FrameSize)) AS frame_hash
+       |FROM (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+       |  unnest(range(cast(floor((length(text)-1)/$FrameSize) as bigint) + 1)) AS t(i)
+       |ORDER BY media_id, frame_idx""".stripMargin
+}
