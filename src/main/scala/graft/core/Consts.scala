@@ -16,13 +16,21 @@ object Consts {
     * IEEE ops on exactly-representable inputs). */
   val QuantScale = 1000000L
 
-  /** MinHash: 16 permutations approximated by seed-prefixed md5; the
-    * signature entry for seed s is min over shingles of md5("s|" ++ sh).
-    * Lexicographic min over hex strings is portable across engines.
+  /** MinHash: each shingle is hashed ONCE (md5 -> first 8 hex nibbles
+    * -> 32-bit int), then 16 permutations are cheap linear maps
+    * h_i(x) = (a_i * x + b_i) mod p over that int — 1 md5 + 16 integer
+    * ops per shingle instead of 16 md5s. All integer arithmetic, so
+    * Spark and DuckDB agree bit-for-bit.
     * 16 = 4 bands x 4 rows (LSH banding; ~0.5 Jaccard threshold knee). */
   val MinhashSeeds: Range = 0 until 16
   val LshBands = 4
   val LshRowsPerBand = 4
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  val MinhashParams: Seq[(Long, Long)] = {
+    var s = 7L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) }
+    Seq.fill(16)(((next() % (MinhashPrime - 1)) + 1, next() % MinhashPrime))
+  }
 
   /** SimHash over token md5s: bit k of a token = high bit of hex nibble k
     * (portable: substring of the hex digest). 16-bit fingerprint. */

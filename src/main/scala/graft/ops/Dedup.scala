@@ -22,10 +22,48 @@ import graft.ops.TextAnalytics.{tokens, shingles3, sqlShingles}
   */
 object Dedup {
 
-  /** doc_id, shingle-set column (distinct 3-gram shingles). */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+  /** (doc_id, source, shingle) rows — distinct 3-gram shingles per doc.
+    *
+    * Computed in a typed flatMap, NOT with higher-order-function
+    * expressions: HOF lambdas are interpreted (no codegen) and Catalyst
+    * re-inlines the tokenize subexpression into every element_at
+    * reference, which measured ~25s at sf0.1 for what plain JVM string
+    * code does in well under a second. Semantics are identical to
+    * split-trim-filter + 3-gram + distinct (same Java regex on both
+    * paths), so the DuckDB oracle is unaffected. */
+  private[ops] def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), shingles3(tokens(col("text"))).as("s"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, src, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val sh =
+            if (t.length < 3) Seq.empty[String]
+            else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").distinct
+          sh.map { s =>
+            // hv = first 8 hex nibbles of md5 = first 4 digest bytes as
+            // an unsigned 32-bit int — identical to the SQL-side
+            // strpos-over-hex computation (shingleHashExpr)
+            val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hv = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            (id, src, hv)
+          }
+        }
+      }
+      .toDF("doc_id", "source", "hv")
+  }
+
+  /** doc_id, source, shingle-hash-set column (distinct 3-gram shingles
+    * as 32-bit int hashes — set ops over longs are far cheaper than
+    * over strings, and the oracle mirrors the same hash). */
+  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
+    shingleRows(spark, sfDir)
+      .groupBy("doc_id", "source")
+      .agg(sort_array(collect_set(col("hv"))).as("s")) // sorted: see LongArrayIntersectCount
 
   // -------------------------------------------------------------------
   // Exact dedup: md5 group-by, keep lowest doc_id.
@@ -48,13 +86,24 @@ object Dedup {
   // MinHash signatures + LSH banding + Jaccard verification.
   // -------------------------------------------------------------------
 
-  /** One row per doc: 16 minhash values (seed-prefixed md5 mins). */
+  /** Spark-SQL expression string for the 32-bit shingle hash: first 8
+    * hex nibbles of md5. Mirrored 1:1 in the DuckDB oracle (instr vs
+    * strpos — same 1-based semantics). */
+  private def shingleHashExpr(instrFn: String, hExpr: String = "h"): String =
+    (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"cast($instrFn('0123456789abcdef', substring($hExpr, ${j + 1}, 1)) - 1 as bigint) * ${w}"
+    }.mkString("(", " + ", ")")
+
+  /** One row per doc: 16 minhash values. One md5 per shingle; the 16
+    * permutations are linear maps over the 32-bit hash (Consts). Min
+    * aggregates get map-side partial aggregation, so the shuffle moves
+    * one signature row per doc, not the shingles. */
   def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val exploded = shingleSets(spark, sfDir)
-      .select(col("doc_id"), explode(col("s")).as("sh"))
-    val aggs = Consts.MinhashSeeds.map(s =>
-      min(md5(concat(lit(s"$s|"), col("sh")).cast("binary"))).as(s"mh$s"))
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val aggs = Consts.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((col("hv") * a + b) % Consts.MinhashPrime).as(s"mh$i")
+    }
+    shingleRows(spark, sfDir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate pairs from LSH bands, verified with exact Jaccard.
@@ -69,7 +118,7 @@ object Dedup {
     val bandHashes = (0 until Consts.LshBands).map { b =>
       val rows = (0 until Consts.LshRowsPerBand)
         .map(r => col(s"mh${b * Consts.LshRowsPerBand + r}"))
-      md5(concat_ws("|", rows: _*).cast("binary"))
+      concat_ws("|", rows: _*)
     }
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
@@ -95,20 +144,22 @@ object Dedup {
   }
 
   def minhashLshPairsSql: String = {
-    val minCols = Consts.MinhashSeeds
-      .map(s => s"min(md5('$s|' || sh)) AS mh$s").mkString(",\n    ")
+    val minCols = Consts.MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"min((hv * $a + $b) % ${Consts.MinhashPrime}) AS mh$i" }
+      .mkString(",\n    ")
     val bandCols = (0 until Consts.LshBands).map { b =>
       val rows = (0 until Consts.LshRowsPerBand)
         .map(r => s"mh${b * Consts.LshRowsPerBand + r}").mkString(" || '|' || ")
-      s"md5($rows) AS band$b"
+      s"($rows) AS band$b"
     }.mkString(",\n    ")
     val bandJoins = (0 until Consts.LshBands).map { b =>
       s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
     }.mkString("\n    UNION\n    ")
     s"""WITH sets AS (
-       |  SELECT doc_id, $sqlShingles s
-       |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents)),
-       |exploded AS (SELECT doc_id, unnest(s) AS sh FROM sets),
+       |  SELECT doc_id, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, $sqlShingles s0
+       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |exploded AS (SELECT doc_id, unnest(s) AS hv FROM sets),
        |sig AS (SELECT doc_id,
        |    $minCols
        |  FROM exploded GROUP BY doc_id),
@@ -130,15 +181,22 @@ object Dedup {
   // n-gram Jaccard pairs, blocked by `source` (small-block baseline).
   // -------------------------------------------------------------------
 
+  /** Blocked pairwise Jaccard: within-source pairs, hash-based
+    * array_intersect/union. On this corpus (tiny vocabulary, very
+    * frequent shingles) this beats the inverted-index join below, whose
+    * per-shingle fan-out is quadratic in shingle document frequency. */
   def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = shingleSets(spark, sfDir)
     val a = sets.alias("a"); val b = sets.alias("b")
+    val inter = graft.functions.LongArrayIntersectCount(col("a.s"), col("b.s"))
     a.join(b,
         col("a.source") === col("b.source") &&
         col("a.doc_id") < col("b.doc_id"))
       .withColumn("jaccard",
-        size(array_intersect(col("a.s"), col("b.s"))).cast("double") /
-          size(array_union(col("a.s"), col("b.s"))).cast("double"))
+        // |A∪B| = |A| + |B| - |A∩B| over distinct-element sets — the
+        // same integer DuckDB gets from len(list_distinct(a || b))
+        inter.cast("double") /
+          (size(col("a.s")) + size(col("b.s")) - inter).cast("double"))
       .filter(col("jaccard") >= Consts.JaccardPairThreshold)
       .select(
         col("a.source").as("source"),
@@ -148,10 +206,42 @@ object Dedup {
       .orderBy("source", "doc_a", "doc_b")
   }
 
+  /** Sparse (inverted-index) formulation: join on shared shingles and
+    * count them, instead of materializing all O(n^2) pairs and
+    * intersecting arrays. Identical results (pairs sharing no shingle
+    * have jaccard 0 < threshold). This is the SCALE path when the
+    * vocabulary is large (real text): work tracks actual overlap, and
+    * frequent-shingle skew can be bounded by dropping shingles with
+    * document frequency above a cap (standard practice). On this
+    * synthetic corpus the tiny vocabulary makes every shingle frequent,
+    * so the blocked pairwise version above is the benched default. */
+  def jaccardPairsSparse(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleRows(spark, sfDir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    val inter = a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.hv") === col("b.hv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.source").as("source"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= Consts.JaccardPairThreshold)
+      .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("source", "doc_a", "doc_b")
+  }
+
   def jaccardPairsSql: String =
     s"""WITH sets AS (
-       |  SELECT doc_id, source, $sqlShingles s
-       |  FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))
+       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, source, $sqlShingles s0
+       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents)))
        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  cast(len(list_intersect(a.s, b.s)) as double) / cast(len(list_distinct(a.s || b.s)) as double) AS jaccard
        |FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id

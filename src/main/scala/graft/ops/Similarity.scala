@@ -31,9 +31,11 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * lit(Consts.QuantScale.toDouble)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen Expression (see LongArrayDot): same left-to-right i64
+    * semantics as the HOF formulation, none of the per-row allocation. */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongArrayDot(a, b)
 
   /** Cosine similarity from quantized ints (engine-portable double). */
   def qcosine(a: Column, b: Column, na: Column, nb: Column): Column =

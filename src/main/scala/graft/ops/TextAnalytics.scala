@@ -40,14 +40,16 @@ object TextAnalytics {
 
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    d.select(
+    // tokens materialized once per row (see shingleSets note in Dedup)
+    d.select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(col("t")).cast("long").as("n_tokens"),
         regexp_count(col("text"), lit(Consts.BpeTokenPattern)).cast("long").as("n_bpe_tokens"),
-        (aggregate(transform(tokens(col("text")), t => length(t).cast("long")),
+        (aggregate(transform(col("t"), t => length(t).cast("long")),
           lit(0L), (acc, x) => acc + x).cast("double") /
-          size(tokens(col("text"))).cast("double")).as("mean_token_len"))
+          size(col("t")).cast("double")).as("mean_token_len"))
       .orderBy("doc_id")
   }
 
@@ -66,7 +68,8 @@ object TextAnalytics {
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val t = tokens(col("text"))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+    val t = col("t")
     val nChars = length(col("text")).cast("double")
     def classRatio(pattern: String): Column =
       (nChars - length(regexp_replace(col("text"), pattern, ""))) / nChars
@@ -106,7 +109,8 @@ object TextAnalytics {
 
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val t = tokens(col("text"))
+      .select(col("lang"), col("doc_id"), tokens(col("text")).as("t"))
+    val t = col("t")
     val scored = d.select(
       (col("lang") +: col("doc_id") +:
         Consts.LangMarkers.map { case (l, markers) =>
@@ -149,12 +153,13 @@ object TextAnalytics {
 
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val sh = shingles3(tokens(col("text")))
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("text"), shingles3(col("t")).as("sh"))
     d.select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("content_hash"),
-        array_min(transform(sh, s => md5(s.cast("binary")))).as("min_shingle_hash"),
-        size(sh).cast("long").as("n_shingles"))
+        array_min(transform(col("sh"), s => md5(s.cast("binary")))).as("min_shingle_hash"),
+        size(col("sh")).cast("long").as("n_shingles"))
       .orderBy("doc_id")
   }
 
