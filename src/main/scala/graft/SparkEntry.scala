@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{ChatOracle, Dedup, Events, Multimodal, Relational, Similarity, TextAnalytics}
+import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Similarity, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -52,7 +52,11 @@ object SparkEntry {
     "q32_human_list"        -> ChatOracle.humanList _,
     "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnn _,
     "q34_media_features"    -> Multimodal.mediaFeatures _,
-    "q35_frame_sample"      -> Multimodal.frameSample _
+    "q35_frame_sample"      -> Multimodal.frameSample _,
+    "q36_rollup"            -> Analytics.rollupCounts _,
+    "q37_running_windows"   -> Analytics.runningOrderStats _,
+    "q38_set_ops"           -> Analytics.cohortSetOps _,
+    "q39_exact_median"      -> Analytics.medianPriceBySegment _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,6 +146,10 @@ object SparkEntry {
     "q32_human_list"        -> ChatOracle.humanListSql,
     "q33_hash_embed_knn"    -> ChatOracle.hashEmbedKnnSql,
     "q34_media_features"    -> Multimodal.mediaFeaturesSql,
-    "q35_frame_sample"      -> Multimodal.frameSampleSql
+    "q35_frame_sample"      -> Multimodal.frameSampleSql,
+    "q36_rollup"            -> Analytics.rollupCountsSql,
+    "q37_running_windows"   -> Analytics.runningOrderStatsSql,
+    "q38_set_ops"           -> Analytics.cohortSetOpsSql,
+    "q39_exact_median"      -> Analytics.medianPriceBySegmentSql
   )
 }
