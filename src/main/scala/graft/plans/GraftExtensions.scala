@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Add, Expression, ExpressionInfo, Generator, LambdaFunction, Literal, Multiply, NamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ZipWith}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-surface extension points (SURVEY.md §4 custom-work list):
+  *
+  *  - `chunk_text(text, max_size)` — the chunk flatMap (op P3) as a
+  *    Catalyst Generator, so SQL users get the chunker as a
+  *    lateral-view/UDTF without touching the Scala API;
+  *  - [[DotProductRewrite]] — an optimizer rule recognizing the
+  *    higher-order-function dot product `aggregate(zip_with(a, b, *),
+  *    0L, +)` over array<bigint> and swapping in the codegen
+  *    [[graft.functions.LongArrayDot]] (HOF lambdas are interpreted;
+  *    the native expression measured ~30x faster on pair joins).
+  *
+  * Register with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(ChunkText.description)
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
+}
+
+/** Generator form of the line-greedy chunker (1 text -> N chunk rows).
+  * Mirrors graft.chat.Chunker.splitContent exactly. */
+case class ChunkText(text: Expression, maxSize: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(text, maxSize)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    val m = maxSize.eval(input)
+    if (t == null || m == null) return Seq.empty
+    val chunks = graft.chat.Chunker.splitContent(
+      t.asInstanceOf[UTF8String].toString, m.asInstanceOf[Int])
+    chunks.zipWithIndex.map { case (c, i) =>
+      InternalRow(i, UTF8String.fromString(c))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ChunkText =
+    copy(text = newChildren(0), maxSize = newChildren(1))
+}
+
+object ChunkText {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("chunk_text"),
+    new ExpressionInfo(classOf[ChunkText].getName, "chunk_text"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => ChunkText(t, Literal(graft.chat.Chunker.MaxChunkSize))
+      case Seq(t, m) => ChunkText(t, m)
+      case _ => throw new IllegalArgumentException(
+        "chunk_text(text[, max_size]) takes 1 or 2 arguments")
+    })
+}
+
+/** Rewrites `aggregate(zip_with(a, b, (x, y) -> x * y), 0L,
+  * (acc, v) -> acc + v)` over array<bigint> into LongArrayDot(a, b).
+  * Semantics are identical (left-to-right exact i64 accumulation). */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+                Seq(lx: NamedLambdaVariable, ly: NamedLambdaVariable), _)),
+            Literal(0L, LongType),
+            LambdaFunction(Add(acc: NamedLambdaVariable, v: NamedLambdaVariable, _),
+              Seq(lacc: NamedLambdaVariable, lv: NamedLambdaVariable), _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(lfin: NamedLambdaVariable), _))
+          if isLongArray(a) && isLongArray(b) &&
+            x.exprId == lx.exprId && y.exprId == ly.exprId &&
+            acc.exprId == lacc.exprId && v.exprId == lv.exprId &&
+            fin.exprId == lfin.exprId =>
+        graft.functions.LongArrayDot(a, b)
+    }
+}
