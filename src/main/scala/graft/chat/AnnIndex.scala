@@ -38,10 +38,11 @@ object AnnIndex {
   def dim(chunks: DataFrame): Int =
     chunks.select(size(col("vector"))).head().getInt(0)
 
-  private def distance(q: Array[Float]): Column = {
-    val lit_q = typedLit(q.toSeq)
-    VectorFunctions.cosineDistance(col("vector"), lit_q)
-  }
+  private def distance(q: Array[Float]): Column =
+    // native fused-loop expression; bit-identical to the HOF
+    // formulation (VectorFunctions.cosineDistance) and the anchor the
+    // ANN pushdown rule pattern-matches on
+    graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq))
 
   /** I9 exact kNN: full-scan distance + physical top-k. `rank` mirrors
     * the reference's enumeration-position `index` (hyde.rs:1225-1233). */

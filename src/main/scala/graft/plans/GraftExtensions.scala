@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ChunkText.description)
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(session => AnnPushdownRule(session))
   }
 }
 

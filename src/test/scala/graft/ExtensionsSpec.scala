@@ -85,4 +85,55 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("longarraydot"))
     assert(df.collect()(0).getDouble(0) == 14.0)
   }
+
+  test("ANN pushdown rewrites brute-force kNN into a forest semi-join") {
+    import org.apache.spark.sql.functions._
+    val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(repoDir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    (1 to 40).foreach(i => w(s"src/file$i.rs",
+      s"fn function_$i() { let value_$i = compute_$i(); }\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx").toFile
+    graft.chat.ChatPipeline.index(spark, repoDir.getAbsolutePath, idxDir.getAbsolutePath)
+    graft.plans.AnnCatalog.register(spark, idxDir.getAbsolutePath)
+    try {
+      val emb = new graft.chat.HashingEmbedder()
+      val q = emb.embed("compute function value")
+      val chunks = graft.chat.AnnIndex.load(spark, idxDir.getAbsolutePath)
+      // user writes plain brute-force kNN...
+      val knn = chunks
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      val optimized = knn.queryExecution.optimizedPlan.toString
+      // ...the optimizer consults the registered index
+      assert(optimized.contains("LeftSemi"), s"pushdown did not fire:\n$optimized")
+      // results equal the explicit approximate search
+      val n = chunks.count()
+      val forest = graft.chat.AnnIndex.sampleForest(emb.dim, n)
+      val forestIdx = spark.read.parquet(s"${idxDir.getAbsolutePath}/forest")
+      val explicitApprox = graft.chat.AnnIndex
+        .knnApprox(spark, chunks, forestIdx, forest, q, 5)
+        .select("chunk_id", "distance").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val pushed = knn.select("chunk_id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(pushed.toSeq == explicitApprox.toSeq)
+    } finally graft.plans.AnnCatalog.clear()
+  }
+
+  test("without registration the kNN plan is untouched") {
+    import org.apache.spark.sql.functions._
+    graft.plans.AnnCatalog.clear()
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Seq.fill(64)(0.1f)
+    val knn = emb
+      .withColumn("distance",
+        graft.functions.CosineDistanceExpr(col("embedding"), typedLit(q)))
+      .orderBy(col("distance").asc).limit(3)
+    assert(!knn.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    assert(knn.collect().length == 3)
+  }
 }
