@@ -120,6 +120,10 @@ object ChatCli {
         val n = ChatPipeline.index(spark, repo, out)
         println(s"indexed $n chunks from $repo -> $out")
       case "query" :: indexDir :: question :: rest =>
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexDir, "chunks"))) {
+          System.err.println(s"error: no index at $indexDir (run: index <repo> $indexDir)")
+          spark.stop(); sys.exit(2)
+        }
         val k = rest.headOption.map(_.toInt).getOrElse(3)
         val out = ChatPipeline.query(spark, indexDir, question, k)
         out.results.foreach(r =>

@@ -32,10 +32,13 @@ object Chunker {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
-    content.split("\n", -1).foreach { line0 =>
-      // re-attach the newline we split on (last line has none)
-      val line = line0 + "\n"
-      if (line.length > maxSize) {
+    val parts = content.split("\n", -1)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      // re-attach the newline we split on; the FINAL part never had one
+      // (for n newlines, split -1 yields n+1 parts)
+      val line = if (i < parts.length - 1) p + "\n" else p
+      if (line.isEmpty) ()
+      else if (line.length > maxSize) {
         flush()
         line.grouped(maxSize).foreach(out += _)
       } else {
@@ -44,11 +47,6 @@ object Chunker {
       }
     }
     flush()
-    // drop the trailing newline artifact on the final chunk to round-trip
-    if (out.nonEmpty && !content.endsWith("\n")) {
-      val last = out.last
-      out(out.length - 1) = last.stripSuffix("\n")
-    }
     out.toSeq
   }
 

@@ -1,0 +1,89 @@
+package graft
+
+import graft.chat.{Chunker, HashingEmbedder}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5 pyramid level 2): chunker round-trip
+  * and bounds, embedder determinism/normalization, distance symmetry —
+  * driver-side pure functions, no Spark session needed. */
+class PropertySpec extends AnyFunSuite {
+
+  /** Seeded exhaustive-ish sampler (no scalatest-scalacheck bridge in
+    * the offline cache): 100 deterministic samples per property. */
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (0 until 100).foreach { _ =>
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(for { a <- ga; b <- gb } yield (a, b)) { case (a, b) => f(a, b) }
+
+  private val textGen: Gen[String] = Gen.chooseNum(0, 50).flatMap { n =>
+    Gen.listOfN(n,
+      Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(30)),
+        Gen.const("\n"),
+        Gen.const(" "),
+        Gen.listOfN(120, Gen.alphaChar).map(_.mkString))
+    ).map(_.mkString)
+  }
+
+  test("chunker: every chunk within budget and concatenation round-trips") {
+    forAll(textGen, Gen.chooseNum(8, 64)) { (text: String, max: Int) =>
+      val chunks = Chunker.splitContent(text, max)
+      assert(chunks.forall(_.length <= max))
+      assert(chunks.mkString("") == text)
+      assert(chunks.forall(_.nonEmpty))
+    }
+  }
+
+  test("embedder: deterministic, L2-normalized, order-insensitive to batching") {
+    val emb = new HashingEmbedder()
+    forAll(Gen.listOfN(5, Gen.alphaStr.suchThat(_.nonEmpty))) { words =>
+      val text = words.mkString(" ")
+      val v1 = emb.embed(text)
+      val v2 = emb.embed(text)
+      assert(v1.toSeq == v2.toSeq)
+      val norm = math.sqrt(v1.map(x => x.toDouble * x.toDouble).sum)
+      assert(math.abs(norm - 1.0) < 1e-5)
+      // batching does not change individual vectors
+      val batched = emb.embedBatch(Seq(text, "other words", text))
+      assert(batched(0).toSeq == v1.toSeq && batched(2).toSeq == v1.toSeq)
+    }
+  }
+
+  test("cosine distance: symmetric, zero on self, within [0, 2]") {
+    val emb = new HashingEmbedder()
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    forAll(Gen.alphaStr.suchThat(_.trim.nonEmpty), Gen.alphaStr.suchThat(_.trim.nonEmpty)) {
+      (s1: String, s2: String) =>
+        val a = emb.embed(s1); val b = emb.embed(s2)
+        assert(math.abs(dist(a, b) - dist(b, a)) < 1e-12)
+        assert(dist(a, a) < 1e-9)
+        val d = dist(a, b)
+        assert(d >= -1e-9 && d <= 2.0 + 1e-9)
+    }
+  }
+
+  test("minhash linear permutations stay within [0, p)") {
+    import graft.core.Consts
+    forAll(Gen.chooseNum(0L, (1L << 32) - 1)) { hv: Long =>
+      Consts.MinhashParams.foreach { case (a, b) =>
+        val v = (hv * a + b) % Consts.MinhashPrime
+        assert(v >= 0 && v < Consts.MinhashPrime)
+      }
+    }
+  }
+}
