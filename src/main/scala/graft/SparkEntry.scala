@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Similarity, TextAnalytics}
+import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Scale, Similarity, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -56,7 +56,10 @@ object SparkEntry {
     "q36_rollup"            -> Analytics.rollupCounts _,
     "q37_running_windows"   -> Analytics.runningOrderStats _,
     "q38_set_ops"           -> Analytics.cohortSetOps _,
-    "q39_exact_median"      -> Analytics.medianPriceBySegment _
+    "q39_exact_median"      -> Analytics.medianPriceBySegment _,
+    "q40_salted_agg"        -> Scale.saltedTypeCounts _,
+    "q41_bucketed_join"     -> Scale.bucketedOrderRevenue _,
+    "q42_ivf_knn"           -> Similarity.ivfKnn _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,6 +153,11 @@ object SparkEntry {
     "q36_rollup"            -> Analytics.rollupCountsSql,
     "q37_running_windows"   -> Analytics.runningOrderStatsSql,
     "q38_set_ops"           -> Analytics.cohortSetOpsSql,
-    "q39_exact_median"      -> Analytics.medianPriceBySegmentSql
+    "q39_exact_median"      -> Analytics.medianPriceBySegmentSql,
+    // salted + bucketed variants produce byte-identical results to the
+    // plain formulations; what differs is the physical plan (spec-tested)
+    "q40_salted_agg"        -> Scale.saltedTypeCountsSql,
+    "q41_bucketed_join"     -> Scale.bucketedOrderRevenueSql,
+    "q42_ivf_knn"           -> Similarity.ivfKnnSql
   )
 }

@@ -77,6 +77,15 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q4's oracle, shared with the bucketed variant (Scale). */
+  val orderRevenueByPriorityOracle: String =
+    """SELECT o_orderpriority,
+      |  sum(cast(floor(l_extendedprice*(1.0-l_discount)*100) as bigint))/100.0 AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Left-semi join: customers that have at least one order. */
   def semiJoinSegments(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)

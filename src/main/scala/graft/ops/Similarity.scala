@@ -130,6 +130,86 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------------------------
+  // IVF-style kNN: coarse quantizer = first NCentroids vectors; every
+  // vector is assigned to its most-similar centroid (an inverted list);
+  // a query probes its NProbe nearest centroids and searches only those
+  // lists. At scale the corpus is written partitioned by centroid so a
+  // probe is partition pruning, and the assignment join broadcasts the
+  // (tiny) centroid set — the corpus never shuffles.
+  // -------------------------------------------------------------------
+
+  val NCentroids = 16
+  val NProbe = 2
+
+  def ivfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val cent = broadcast(
+      q.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+    def topByCentroid(df: DataFrame, keyCol: String, keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol).orderBy(col("csim").desc, col("cid").asc)
+      df.join(cent, col(keyCol) =!= lit(-1L)) // cross with broadcast centroids
+        .withColumn("csim", qcosine(col("cv"), col("v"), col("cnrm"), col("nrm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(keyCol), col("cid"))
+    }
+    val assign = topByCentroid(q.withColumnRenamed("vec_id", "vid"), "vid", 1)
+    val probes = topByCentroid(
+      q.filter(col("vec_id") < Consts.KnnQueries).withColumnRenamed("vec_id", "qid"),
+      "qid", NProbe)
+    val qv = q.select(col("vec_id").as("qid2"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val dv = q.select(col("vec_id").as("vid2"), col("v"), col("nrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    probes.join(assign, "cid").filter(col("qid") =!= col("vid"))
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id")).distinct()
+      .join(qv, col("query_id") === col("qid2"))
+      .join(dv, col("neighbor_id") === col("vid2"))
+      .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfKnnSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT a.vec_id AS vid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q a, cent)
+       |  WHERE crank <= 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q a, cent WHERE a.vec_id < ${Consts.KnnQueries})
+       |  WHERE crank <= $NProbe),
+       |cands AS (
+       |  SELECT DISTINCT probes.qid AS query_id, assign.vid AS neighbor_id
+       |  FROM probes JOIN assign ON probes.cid = assign.cid
+       |  WHERE probes.qid != assign.vid)
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    cast(row_number() OVER (PARTITION BY c.query_id ORDER BY $sqlCos DESC, c.neighbor_id ASC) as bigint) AS rank,
+       |    $sqlCos AS sim
+       |  FROM cands c
+       |  JOIN q a ON a.vec_id = c.query_id
+       |  JOIN q b ON b.vec_id = c.neighbor_id)
+       |WHERE rank <= ${Consts.KnnK}
+       |ORDER BY query_id, rank""".stripMargin
+
   def lshKnnSql: String = {
     val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
       val lits = hp.mkString("[", ", ", "]")

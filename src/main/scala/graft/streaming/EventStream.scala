@@ -67,6 +67,16 @@ object EventStream {
         unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on a
+    * content key — the streaming twin of the batch exact-dedup operator
+    * (training-data pipelines dedup the firehose before it lands).
+    * State stores one key per distinct id inside the watermark horizon;
+    * late duplicates beyond it are dropped by the watermark itself. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("content_hash", "ts")
+
   // -------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState).
   // -------------------------------------------------------------------

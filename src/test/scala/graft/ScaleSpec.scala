@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Relational, Scale, Similarity}
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation equals the plain group-by exactly") {
+    val salted = Scale.saltedTypeCounts(spark, sf0001)
+    val plain = graft.core.Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100).cast("long")) / lit(100.0)).as("sum_value"))
+      .orderBy("event_type")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("bucketed join runs without a shuffle below the join") {
+    val df = Scale.bucketedOrderRevenue(spark, sf0001)
+    val rows = df.collect()
+    // same values as the shuffle-join formulation
+    val shuffled = Relational.orderRevenueByPriority(spark, sf0001).collect()
+    assert(rows.toSeq == shuffled.toSeq)
+    assert(Scale.joinHasNoExchangeBelow(df),
+      "expected bucketed scans to satisfy the join's distribution; plan:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("IVF kNN neighbors carry exact similarities and bounded ranks") {
+    val ivf = Similarity.ivfKnn(spark, sf0001).cache()
+    assert(ivf.filter(col("rank") < 1 || col("rank") > graft.core.Consts.KnnK).count() == 0)
+    // sims agree with brute force for overlapping pairs
+    val bf = Similarity.knnBruteForce(spark, sf0001)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bf_sim"))
+    val joined = ivf.join(bf, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("sim") =!= col("bf_sim")).count() == 0)
+    ivf.unpersist()
+  }
+
+  test("streaming dedup drops duplicate content within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "content_hash")
+    val q = EventStream.dedupStream(df).writeStream
+      .format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:00:00"), "aaa"), (t("2024-01-01 10:00:00"), "aaa"),
+      (t("2024-01-01 10:01:00"), "bbb"))
+    q.processAllAvailable()
+    // same content again in a later batch, same event time -> still dropped
+    mem.addData((t("2024-01-01 10:00:00"), "aaa"), (t("2024-01-01 10:05:00"), "ccc"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_test").collect()
+    q.stop()
+    assert(out.map(_.getString(1)).sorted.toSeq == Seq("aaa", "bbb", "ccc"))
+  }
+}
