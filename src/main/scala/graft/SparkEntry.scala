@@ -59,7 +59,9 @@ object SparkEntry {
     "q39_exact_median"      -> Analytics.medianPriceBySegment _,
     "q40_salted_agg"        -> Scale.saltedTypeCounts _,
     "q41_bucketed_join"     -> Scale.bucketedOrderRevenue _,
-    "q42_ivf_knn"           -> Similarity.ivfKnn _
+    "q42_ivf_knn"           -> Similarity.ivfKnn _,
+    "q43_json_extract"      -> Events.jsonPropStats _,
+    "q44_time_parts"        -> Events.timePartCounts _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,6 +160,8 @@ object SparkEntry {
     // plain formulations; what differs is the physical plan (spec-tested)
     "q40_salted_agg"        -> Scale.saltedTypeCountsSql,
     "q41_bucketed_join"     -> Scale.bucketedOrderRevenueSql,
-    "q42_ivf_knn"           -> Similarity.ivfKnnSql
+    "q42_ivf_knn"           -> Similarity.ivfKnnSql,
+    "q43_json_extract"      -> Events.jsonPropStatsSql,
+    "q44_time_parts"        -> Events.timePartCountsSql
   )
 }

@@ -158,6 +158,53 @@ object Events {
       |ORDER BY click_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // JSON scalar extraction over the props column.
+  // -------------------------------------------------------------------
+
+  /** Parse `props` (a JSON object string) and aggregate the extracted
+    * scalar — JSON path extraction at scan time, no UDF. */
+  def jsonPropStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  def jsonPropStatsSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
+      |  min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
+      |  max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Calendar-part extraction (hour/day/month histogram).
+  // -------------------------------------------------------------------
+
+  def timePartCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(
+        month(col("ts")).cast("long").as("month"),
+        dayofmonth(col("ts")).cast("long").as("day"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("month", "day", "hour")
+
+  def timePartCountsSql: String =
+    """SELECT cast(extract(month FROM ts) as bigint) AS month,
+      |  cast(extract(day FROM ts) as bigint) AS day,
+      |  cast(extract(hour FROM ts) as bigint) AS hour,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY month, day, hour""".stripMargin
+
+  // -------------------------------------------------------------------
   // Per-user event-type pivot.
   // -------------------------------------------------------------------
 
