@@ -27,8 +27,12 @@ object AnnIndex {
   val Seed = 42L     // ann.rs:254
   val LeafTarget = 100
 
+  /** Chunks are written partitioned by language: the retrieval filters
+    * (F3/F6) and language-targeted queries then prune partitions at the
+    * scan instead of reading the whole corpus (SURVEY.md §1.3). Null
+    * languages land in the hive default partition and read back null. */
   def save(chunks: DataFrame, path: String): Unit =
-    chunks.write.mode("overwrite").parquet(s"$path/chunks")
+    chunks.write.mode("overwrite").partitionBy("language").parquet(s"$path/chunks")
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/chunks")
@@ -43,6 +47,27 @@ object AnnIndex {
     // formulation (VectorFunctions.cosineDistance) and the anchor the
     // ANN pushdown rule pattern-matches on
     graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq))
+
+  /** Batch kNN: many queries against the corpus in ONE job — the batch
+    * generalization of I9 (SURVEY.md §2.I calls this the marquee Spark
+    * operator). The query set is broadcast, the corpus is scanned once,
+    * and per-query top-k comes from a window on query_id: one shuffle
+    * of k*|queries| candidate rows, never the corpus. */
+  def knnBatch(spark: SparkSession, chunks: DataFrame,
+               queries: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    import spark.implicits._
+    val qDf = broadcast(
+      queries.map { case (id, v) => (id, v.toSeq) }.toDF("query_id", "qvec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("distance").asc, col("chunk_id").asc)
+    chunks.join(qDf)
+      .withColumn("distance",
+        graft.functions.CosineDistanceExpr(col("vector"), col("qvec")))
+      .withColumn("rank", (row_number().over(w) - 1))
+      .filter(col("rank") < k)
+      .drop("qvec")
+      .orderBy("query_id", "rank")
+  }
 
   /** I9 exact kNN: full-scan distance + physical top-k. `rank` mirrors
     * the reference's enumeration-position `index` (hyde.rs:1225-1233). */

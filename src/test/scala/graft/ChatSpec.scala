@@ -250,4 +250,42 @@ class ChatSpec extends SparkSpec {
     val out = Retrieval.lexicalRerank(df, "cosine similarity search").collect()
     assert(out.head.getString(0) == "a.rs")
   }
+
+  test("batch kNN equals per-query exact kNN, one job for all queries") {
+    val repo = makeRepo()
+    val out = Files.createTempDirectory("graft_idx3").toFile
+    ChatPipeline.index(spark, repo.getAbsolutePath, out.getAbsolutePath)
+    val chunks = AnnIndex.load(spark, out.getAbsolutePath)
+    val emb = new HashingEmbedder()
+    val queries = Seq(
+      1L -> emb.embed("cosine similarity search"),
+      2L -> emb.embed("tokenize text"),
+      3L -> emb.embed("demo repo readme"))
+    val batch = AnnIndex.knnBatch(spark, chunks, queries, k = 3)
+      .select("query_id", "chunk_id", "distance", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    queries.foreach { case (qid, v) =>
+      val exact = AnnIndex.knnExact(chunks, v, 3)
+        .select("chunk_id", "distance", "rank").collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1), r.getInt(2)))
+      assert(batch.filter(_._1 == qid).toSeq == exact.toSeq)
+    }
+  }
+
+  test("index layout is partitioned by language and prunes on filter") {
+    val repo = makeRepo()
+    val out = Files.createTempDirectory("graft_idx4").toFile
+    ChatPipeline.index(spark, repo.getAbsolutePath, out.getAbsolutePath)
+    // physical layout: language=... subdirectories
+    val dirs = new java.io.File(out, "chunks").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("language=")))
+    // a language filter reaches the scan as a partition filter
+    val chunks = AnnIndex.load(spark, out.getAbsolutePath)
+    val plan = chunks.filter(col("language") === "Rust")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("language"))
+    // null-language chunks (README.md has Markdown; utils.py Python) round-trip
+    assert(chunks.count() > 0)
+  }
 }
