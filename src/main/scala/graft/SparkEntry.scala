@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Scale, Similarity, TextAnalytics}
+import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Scale, Similarity, Sketches, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -61,7 +61,11 @@ object SparkEntry {
     "q41_bucketed_join"     -> Scale.bucketedOrderRevenue _,
     "q42_ivf_knn"           -> Similarity.ivfKnn _,
     "q43_json_extract"      -> Events.jsonPropStats _,
-    "q44_time_parts"        -> Events.timePartCounts _
+    "q44_time_parts"        -> Events.timePartCounts _,
+    // q45 has no SQL oracle (sketch outputs are engine-specific): the
+    // driver records a rows-only check; the spec pins the error bound
+    "q45_approx_distinct"   -> Sketches.approxDistinctUsers _,
+    "q46_bloom_semi_join"   -> Sketches.bloomPrunedOrderLineitems _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,6 +166,7 @@ object SparkEntry {
     "q41_bucketed_join"     -> Scale.bucketedOrderRevenueSql,
     "q42_ivf_knn"           -> Similarity.ivfKnnSql,
     "q43_json_extract"      -> Events.jsonPropStatsSql,
-    "q44_time_parts"        -> Events.timePartCountsSql
+    "q44_time_parts"        -> Events.timePartCountsSql,
+    "q46_bloom_semi_join"   -> Sketches.bloomPrunedSql
   )
 }

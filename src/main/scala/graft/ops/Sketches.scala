@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Sketch-based operators: HyperLogLog approximate distinct counts and
+  * Bloom-filter join pruning. The reference has no approximate
+  * aggregates (SURVEY.md §2.I); these are north-star additions for the
+  * 100 TB regime, where exact distinct counts and full shuffles stop
+  * being affordable.
+  *
+  * No DuckDB oracle: sketch outputs are engine-specific by nature.
+  * The specs pin their behavior against exact computation instead
+  * (HLL within its error bound; Bloom prefilter = exact semi-join
+  * after re-verification).
+  */
+object Sketches {
+
+  /** Exact vs HLL distinct users per event type, with the relative
+    * error — demonstrates `approx_count_distinct` (default rsd 5%). */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"))
+      .orderBy("event_type")
+
+  /** Bloom-prefiltered semi-join: build a Bloom filter over the small
+    * side's keys, prefilter the big side with `might_contain` at the
+    * scan, THEN run the exact semi-join over the survivors. Results are
+    * exactly the plain semi-join (false positives are removed by the
+    * join); what changes at scale is that the big side's shuffle input
+    * shrinks to the filter's pass-rate before any exchange. */
+  def bloomPrunedOrderLineitems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val l = Tables.lineitem(spark, sfDir)
+    val expectedKeys = math.max(1000L, o.count())
+    val bloom = o.stat.bloomFilter("o_orderkey", expectedKeys, 0.03)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    l.filter(mightContain(col("l_orderkey")))         // sketch prefilter
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.ExactSums.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The exact formulation the Bloom variant must reproduce. */
+  def exactOrderLineitems(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    Tables.lineitem(spark, sfDir)
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.ExactSums.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle for the BLOOM variant: since verification makes it exact,
+    * it matches the plain semi-join SQL. */
+  def bloomPrunedSql: String =
+    """SELECT l_returnflag, count(*) AS n_lines,
+      |  sum(cast(floor(l_extendedprice*100) as bigint))/100.0 AS sum_price
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+}
