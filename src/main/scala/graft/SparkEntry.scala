@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Scale, Similarity, Sketches, TextAnalytics}
+import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Scale, Similarity, Sketches, Statistics, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -65,7 +65,9 @@ object SparkEntry {
     // q45 has no SQL oracle (sketch outputs are engine-specific): the
     // driver records a rows-only check; the spec pins the error bound
     "q45_approx_distinct"   -> Sketches.approxDistinctUsers _,
-    "q46_bloom_semi_join"   -> Sketches.bloomPrunedOrderLineitems _
+    "q46_bloom_semi_join"   -> Sketches.bloomPrunedOrderLineitems _,
+    "q47_exact_corr"        -> Statistics.quantityPriceCorr _,
+    "q48_edit_distance"     -> Statistics.partNameNearDup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -167,6 +169,8 @@ object SparkEntry {
     "q42_ivf_knn"           -> Similarity.ivfKnnSql,
     "q43_json_extract"      -> Events.jsonPropStatsSql,
     "q44_time_parts"        -> Events.timePartCountsSql,
-    "q46_bloom_semi_join"   -> Sketches.bloomPrunedSql
+    "q46_bloom_semi_join"   -> Sketches.bloomPrunedSql,
+    "q47_exact_corr"        -> Statistics.quantityPriceCorrSql,
+    "q48_edit_distance"     -> Statistics.partNameNearDupSql
   )
 }
