@@ -42,6 +42,13 @@ object Consts {
   val MinhashJaccardThreshold = 0.5
   val JaccardPairThreshold = 0.05
   val SimhashMaxHamming = 3
+
+  /** Pigeonhole bands for the simhash pair join: with 4 bands over 16
+    * bits, any pair within hamming distance 3 (< number of bands) must
+    * agree on at least one whole band, so band equality is a lossless
+    * candidate filter. Invariant: SimhashMaxHamming < SimhashBands and
+    * SimhashBands divides SimHashBits. */
+  val SimhashBands = 4
   val CosineNearDupThreshold = 0.35
 
   /** Brute-force kNN defaults: first `KnnQueries` vec_ids are the query

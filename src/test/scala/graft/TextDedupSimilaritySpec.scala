@@ -91,6 +91,55 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(joined.filter(col("lsh_sim") =!= col("sim")).count() == 0)
   }
 
+  test("sparse inverted-index jaccard equals the blocked pairwise baseline") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val sparse = Dedup.jaccardPairsSparse(spark, sf)
+      val blocked = Dedup.jaccardPairsBlocked(spark, sf)
+      assert(sparse.exceptAll(blocked).count() == 0, s"sparse-only rows at $sf")
+      assert(blocked.exceptAll(sparse).count() == 0, s"blocked-only rows at $sf")
+    }
+  }
+
+  test("df-capped jaccard keeps the qualifying pairs (cap above the planted dups' rare shingles)") {
+    // cap=50 is far above this corpus's max df (25 at sf0.1): results exact
+    val capped = Dedup.jaccardPairsSparse(spark, sf001, dfCap = Some(50L))
+    val exact = Dedup.jaccardPairsBlocked(spark, sf001)
+    assert(capped.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(capped).count() == 0)
+  }
+
+  test("banded simhash pair join equals the all-pairs baseline and avoids the nested loop") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val banded = Dedup.simhashPairs(spark, sf)
+      val allPairs = Dedup.simhashPairsAllPairs(spark, sf)
+      assert(banded.exceptAll(allPairs).count() == 0, s"banded-only rows at $sf")
+      assert(allPairs.exceptAll(banded).count() == 0, s"all-pairs-only rows at $sf")
+    }
+    // the candidate join must be an equi-join, not a broadcast nested loop
+    val plan = Dedup.simhashPairs(spark, sf0001).queryExecution.executedPlan
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    assert(!flatten(plan).exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "banded simhash join should not contain a nested-loop join")
+  }
+
+  test("tiled GEMM near-dup equals the row-pair join baseline") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val tiled = Similarity.nearDupPairs(spark, sf)
+      val pairwise = Similarity.nearDupPairsPairwise(spark, sf)
+      assert(tiled.exceptAll(pairwise).count() == 0, s"tiled-only rows at $sf")
+      assert(pairwise.exceptAll(tiled).count() == 0, s"pairwise-only rows at $sf")
+    }
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val d = Dedup.exactDedup(spark, sf0001)
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
