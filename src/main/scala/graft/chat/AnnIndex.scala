@@ -63,7 +63,7 @@ object AnnIndex {
     chunks.join(qDf)
       .withColumn("distance",
         graft.functions.CosineDistanceExpr(col("vector"), col("qvec")))
-      .withColumn("rank", (row_number().over(w) - 1))
+      .withColumn("rank", (row_number().over(w) - 1).cast("long"))
       .filter(col("rank") < k)
       .drop("qvec")
       .orderBy("query_id", "rank")
@@ -76,8 +76,16 @@ object AnnIndex {
       .withColumn("distance", distance(query))
       .orderBy(col("distance").asc, col("chunk_id").asc)
       .limit(k)
-    hits.withColumn("rank",
-      (row_number().over(Window.orderBy(col("distance").asc, col("chunk_id").asc)) - 1))
+    // rank over <= k post-limit rows WITHOUT a global window (whose
+    // "No Partition Defined" warning would drown out real ones; a
+    // constant partition key doesn't help — Spark 4's
+    // EliminateWindowPartitions folds it away). coalesce(1) makes the
+    // single partition explicit, the local sort pins the order, and
+    // monotonically_increasing_id (nondeterministic, so never pushed
+    // below the sort) numbers rows 0..k-1 in that order.
+    hits.coalesce(1)
+      .sortWithinPartitions(col("distance").asc, col("chunk_id").asc)
+      .withColumn("rank", monotonically_increasing_id())
   }
 
   // -------------------------------------------------------------------
@@ -108,6 +116,35 @@ object AnnIndex {
 
   def saveForestIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/forest")
+
+  /** Persist the sampled hyperplanes alongside the leaf index. The
+    * planes ARE the index identity: re-deriving them from (seed, dim,
+    * live row count) silently breaks the moment the count drifts from
+    * build time (e.g. after IncrementalIndex appends, or if sampling
+    * ever changes), because forest depth is a function of n and every
+    * plane after the first draw shifts with it. Tiny table:
+    * trees x depth rows of dim floats. */
+  def savePlanes(spark: SparkSession, forest: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (planes, t) <- forest.zipWithIndex.toSeq
+      (p, lvl) <- planes.zipWithIndex
+    } yield (t, lvl, p.toSeq)
+    rows.toDF("tree", "level", "plane")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/planes")
+  }
+
+  def loadPlanes(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$path/planes")
+      .select("tree", "level", "plane")
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }
+
+  def hasPlanes(path: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(path, "planes"))
 
   /** Query-side leaf ids, one per tree (driver-side tiny compute). */
   def queryLeaves(query: Array[Float], forest: Array[Array[Array[Float]]]): Seq[(Int, Long)] =

@@ -25,6 +25,7 @@ object ChatPipeline {
     val chunksDf = AnnIndex.load(spark, outDir)
     val n = chunksDf.count()
     val forest = AnnIndex.sampleForest(embedder.dim, n)
+    AnnIndex.savePlanes(spark, forest, outDir)
     AnnIndex.saveForestIndex(AnnIndex.buildForestIndex(chunksDf, forest), outDir)
     // profile job over the same scan
     val files = filesFrame(spark, repoDir)
@@ -34,11 +35,23 @@ object ChatPipeline {
   }
 
   /** files DataFrame for the profile job: (path, filename, extension,
-    * line_count, content). */
+    * line_count, content). Applies the same gitignore + .git pre-pass
+    * as Chunker.chunkRepo, so profile line counts and build-file
+    * detection never include ignored artifacts (target/, logs, .git
+    * internals) — matching the reference's gitignore-aware repo walk
+    * (repo.rs WalkBuilder standard filters). */
   def filesFrame(spark: SparkSession, repoDir: String): DataFrame = {
+    val rootPath = java.nio.file.Paths.get(repoDir).toAbsolutePath
+    val keep = Chunker.gitignorePredicate(rootPath)
+    val rootStr = rootPath.toString
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .load(repoDir)
+      .load(rootStr)
+      .filter { row =>
+        val rel = row.getAs[String]("path").stripPrefix("file:")
+          .stripPrefix(rootStr).stripPrefix("/")
+        keep(rel)
+      }
       .select(
         col("path"),
         element_at(split(col("path"), "/"), -1).as("filename"),
@@ -72,8 +85,9 @@ object ChatPipeline {
     val qVec = embedder.embed(hypoDoc)                             // embed hypo ONLY (hyde.rs:500)
     val hits =
       if (approx) {
-        val n = chunks.count()
-        val forest = AnnIndex.sampleForest(embedder.dim, n)
+        // the persisted planes are authoritative — never re-sample from
+        // the live count, which drifts after incremental appends
+        val forest = AnnIndex.loadPlanes(spark, indexDir)
         val idx = spark.read.parquet(s"$indexDir/forest")
         AnnIndex.knnApprox(spark, chunks, idx, forest, qVec, k * 2)
       } else AnnIndex.knnExact(chunks, qVec, k * 2)                // Step 3, over-fetch F1

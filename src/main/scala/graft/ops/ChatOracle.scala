@@ -48,6 +48,11 @@ object ChatOracle {
 
   def chunkFixed(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // empty texts chunk to nothing on BOTH sides: without this guard
+      // Spark's sequence(0, floor((0-1)/size)) = sequence(0,-1) counts
+      // DOWN (default step -1) and would emit a phantom chunk_idx -1
+      // row where DuckDB's range(0) is empty
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         posexplode(
           transform(
@@ -65,6 +70,7 @@ object ChatOracle {
        |  substring(text, i*$ChunkSize + 1, $ChunkSize) AS chunk,
        |  cast(length(substring(text, i*$ChunkSize + 1, $ChunkSize)) as bigint) AS chunk_len
        |FROM documents, unnest(range(cast(floor((length(text)-1)/$ChunkSize) as bigint) + 1)) AS t(i)
+       |WHERE length(text) > 0
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
   // -------------------------------------------------------------------
@@ -136,8 +142,15 @@ object ChatOracle {
       .select(col("lang"),
         size(TextAnalytics.tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("lang").agg(sum("n_tok").as("loc"))
-    val w = Window.orderBy(col("loc").desc, col("lang").asc)
-    d.withColumn("rank", row_number().over(w).cast("long"))
+    // global rank over the per-language aggregate (|langs| rows),
+    // WITHOUT a partitionless window (whose "No Partition Defined"
+    // warning would drown out real ones): coalesce(1) makes the single
+    // partition explicit, the local sort pins the order, and
+    // monotonically_increasing_id (nondeterministic, so never pushed
+    // below the sort) numbers rows in that order.
+    d.coalesce(1)
+      .sortWithinPartitions(col("loc").desc, col("lang").asc)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("long"))
       .filter(col("rank") <= 5)
       .filter(col("loc") > 10)
       .select("rank", "lang", "loc")

@@ -40,14 +40,10 @@ object Scale {
       |ORDER BY event_type""".stripMargin
 
   private val bucketEpoch = new AtomicInteger(0)
+  private val bucketTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  /** Co-located (bucketed) fact-fact join: both sides are written
-    * bucketed by the join key, so the join itself needs NO exchange —
-    * only the final aggregation shuffles. Same result (and oracle) as
-    * the shuffle-join orderRevenueByPriority; the plan difference is
-    * asserted in the spec. At scale, bucketing is how repeated joins on
-    * the same key amortize their shuffle to write time. */
-  def bucketedOrderRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+  private def writeBucketTables(spark: SparkSession, sfDir: String): (String, String) = {
     val epoch = bucketEpoch.incrementAndGet()
     val base = s"/tmp/graft_buckets_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_$epoch"
     val oT = s"graft_orders_b$epoch"; val lT = s"graft_lineitem_b$epoch"
@@ -57,7 +53,33 @@ object Scale {
     Tables.lineitem(spark, sfDir).write
       .mode("overwrite").option("path", s"$base/lineitem")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lT)
-    val o = spark.table(oT); val l = spark.table(lT)
+    (oT, lT)
+  }
+
+  /** Ensure the bucketed twins of orders/lineitem exist for `sfDir`
+    * (written once per JVM, then reused). Bucketing amortizes the join
+    * shuffle to WRITE time by design — this is the write half,
+    * analogous to an index build, and belongs in a prepare phase, not
+    * inside every query evaluation. */
+  def prepareBuckets(spark: SparkSession, sfDir: String): (String, String) =
+    bucketTables.computeIfAbsent(sfDir, _ => writeBucketTables(spark, sfDir))
+
+  /** Co-located (bucketed) fact-fact join: both sides are written
+    * bucketed by the join key, so the join itself needs NO exchange —
+    * only the final aggregation shuffles. Same result (and oracle) as
+    * the shuffle-join orderRevenueByPriority; the plan difference is
+    * asserted in the spec. At scale, bucketing is how repeated joins on
+    * the same key amortize their shuffle to write time. */
+  def bucketedOrderRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedJoin(spark, prepareBuckets(spark, sfDir))
+
+  /** Spec variant: always re-writes the bucketed tables (fresh plan,
+    * no cross-test interference). */
+  def bucketedOrderRevenueFresh(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedJoin(spark, writeBucketTables(spark, sfDir))
+
+  private def bucketedJoin(spark: SparkSession, tables: (String, String)): DataFrame = {
+    val o = spark.table(tables._1); val l = spark.table(tables._2)
     // force a sort-merge join: at test SFs the dimension side is small
     // enough that Spark would broadcast, hiding the bucketing effect
     o.hint("merge").join(l, o("o_orderkey") === l("l_orderkey"))

@@ -31,21 +31,37 @@ object Sketches {
       .orderBy("event_type")
 
   /** Bloom-prefiltered semi-join: build a Bloom filter over the small
-    * side's keys, prefilter the big side with `might_contain` at the
-    * scan, THEN run the exact semi-join over the survivors. Results are
-    * exactly the plain semi-join (false positives are removed by the
-    * join); what changes at scale is that the big side's shuffle input
-    * shrinks to the filter's pass-rate before any exchange. */
+    * side's keys, prefilter the big side with the NATIVE
+    * BloomFilterMightContain at the scan, THEN run the exact semi-join
+    * over the survivors. Results are exactly the plain semi-join (false
+    * positives are removed by the join); what changes at scale is that
+    * the big side's shuffle input shrinks to the filter's pass-rate
+    * before any exchange.
+    *
+    * One sizing pass, zero UDFs: the filter is built by Spark's own
+    * BloomFilterAggregate (codegen'd xxhash64 keys, default
+    * expectedNumItems sizing from SQLConf — no separate count() job),
+    * and the probe is BloomFilterMightContain over a binary literal —
+    * the same expressions InjectRuntimeFilter plants, so the predicate
+    * stays inside whole-stage codegen instead of a boxed Scala UDF. */
   def bloomPrunedOrderLineitems(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.Bridge
     val o = Tables.orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
     val l = Tables.lineitem(spark, sfDir)
-    val expectedKeys = math.max(1000L, o.count())
-    val bloom = o.stat.bloomFilter("o_orderkey", expectedKeys, 0.03)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
-    l.filter(mightContain(col("l_orderkey")))         // sketch prefilter
+    val buildAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(Bridge.expression(col("o_orderkey")))))
+      .toAggregateExpression()
+    val bloomBytes = o.select(Bridge.column(buildAgg).as("bloom"))
+      .head().getAs[Array[Byte]](0) // the ONLY extra job
+    val probe = Bridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(Bridge.expression(col("l_orderkey"))))))
+    l.filter(probe)                                   // sketch prefilter
       .join(o, col("l_orderkey") === col("o_orderkey"), "left_semi") // exact
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_lines"),

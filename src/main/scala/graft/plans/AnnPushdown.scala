@@ -38,10 +38,15 @@ object AnnCatalog {
   private[plans] val entries = TrieMap.empty[String, Entry]
 
   def register(spark: SparkSession, indexDir: String): Unit = {
-    val chunks = AnnIndex.load(spark, indexDir)
-    val n = chunks.count()
-    val dim = AnnIndex.dim(chunks)
-    entries.put(s"$indexDir/chunks", Entry(indexDir, AnnIndex.sampleForest(dim, n)))
+    // prefer the persisted planes (index identity survives appends);
+    // fall back to re-sampling only for pre-planes index layouts
+    val forest =
+      if (AnnIndex.hasPlanes(indexDir)) AnnIndex.loadPlanes(spark, indexDir)
+      else {
+        val chunks = AnnIndex.load(spark, indexDir)
+        AnnIndex.sampleForest(AnnIndex.dim(chunks), chunks.count())
+      }
+    entries.put(s"$indexDir/chunks", Entry(indexDir, forest))
   }
 
   def clear(): Unit = entries.clear()

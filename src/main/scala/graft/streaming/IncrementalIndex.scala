@@ -4,18 +4,27 @@ import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.chat.{Embedder, HashingEmbedder, Language}
+import graft.chat.{AnnIndex, Embedder, HashingEmbedder, Language}
 
 /** Incremental re-indexing: the reference PROPOSES (but never built)
   * watching a repository for changes and updating the index without a
   * full rebuild (/root/reference/docs/proposals.md:75-114). Structured
   * Streaming's file source makes it one pipeline: new files appear in
   * the watched directory -> chunk -> embed -> append to the chunks
-  * parquet. Chunk ids are (batchId << 32 | row) so appends never
-  * collide with existing ids; the RP-forest leaf assignment of new
-  * chunks is computed in the same batch (a seeded forest is a pure
-  * function, so old and new assignments agree).
-  */
+  * parquet, and (when the index persists its hyperplanes) the new
+  * chunks' RP-forest leaf assignments append to `forest/` in the same
+  * batch, so approximate search stays complete after appends.
+  *
+  * Chunk ids are ((batchId+1) << 32 | rowInBatch) with rowInBatch from
+  * RDD zipWithIndex — partition-aware and dense, so rows in different
+  * partitions of one micro-batch can never collide (unlike
+  * monotonically_increasing_id, whose low 33 bits restart per
+  * partition). Base-build ids (Embed.embedChunks zipWithIndex, < 2^32)
+  * have zero high bits, batches have batchId+1 >= 1 — disjoint by
+  * construction. Restarting the stream with the same checkpoint
+  * continues the batchId sequence; a fresh checkpoint on the same
+  * index dir would restart ids at batch 0, so keep checkpoints with
+  * the watch. */
 object IncrementalIndex {
 
   private val counter = new AtomicInteger(0)
@@ -60,13 +69,29 @@ object IncrementalIndex {
             val vecs = embedder.embedBatch(group.map(_._2))
             group.zip(vecs).map { case ((f, c, lang, e), v) => (f, c, lang, e, v.toSeq) }
           }
-        }.toDF("file", "code", "language", "extension", "vector")
-          // ids disjoint from any prior batch or the base build
-          .withColumn("chunk_id",
-            lit(batchId << 32) + monotonically_increasing_id() % (1L << 32))
-          .select("chunk_id", "file", "code", "language", "extension", "vector")
-        rows.write.mode("append").partitionBy("language")
+        }
+        // ids disjoint from any prior batch or the base build:
+        // zipWithIndex is partition-aware (global dense row numbers),
+        // unlike monotonically_increasing_id whose per-partition low
+        // bits collide across partitions of the same batch
+        val withIds = rows.rdd.zipWithIndex()
+          .map { case ((f, c, lang, e, v), i) =>
+            (((batchId + 1L) << 32) | i, f, c, lang, e, v)
+          }
+          .toDF("chunk_id", "file", "code", "language", "extension", "vector")
+        withIds.cache()
+        withIds.write.mode("append").partitionBy("language")
           .parquet(s"$indexDir/chunks")
+        // keep approximate search complete: assign the new chunks to
+        // their forest leaves with the PERSISTED planes (pure function
+        // of the plane set, so old and new assignments agree)
+        if (AnnIndex.hasPlanes(indexDir)) {
+          val forest = AnnIndex.loadPlanes(spark, indexDir)
+          AnnIndex.buildForestIndex(withIds, forest)
+            .write.mode("append").partitionBy("tree", "leaf")
+            .parquet(s"$indexDir/forest")
+        }
+        withIds.unpersist()
         ()
       }
       .trigger(Trigger.ProcessingTime("1 second"))

@@ -263,11 +263,11 @@ class ChatSpec extends SparkSpec {
       3L -> emb.embed("demo repo readme"))
     val batch = AnnIndex.knnBatch(spark, chunks, queries, k = 3)
       .select("query_id", "chunk_id", "distance", "rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     queries.foreach { case (qid, v) =>
       val exact = AnnIndex.knnExact(chunks, v, 3)
         .select("chunk_id", "distance", "rank").collect()
-        .map(r => (qid, r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .map(r => (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
       assert(batch.filter(_._1 == qid).toSeq == exact.toSeq)
     }
   }

@@ -19,7 +19,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed join runs without a shuffle below the join") {
-    val df = Scale.bucketedOrderRevenue(spark, sf0001)
+    val df = Scale.bucketedOrderRevenueFresh(spark, sf0001)
     val rows = df.collect()
     // same values as the shuffle-join formulation
     val shuffled = Relational.orderRevenueByPriority(spark, sf0001).collect()

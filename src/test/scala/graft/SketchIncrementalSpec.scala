@@ -19,9 +19,16 @@ class SketchIncrementalSpec extends SparkSpec {
   }
 
   test("bloom-prefiltered semi-join equals the exact semi-join") {
-    val bloom = Sketches.bloomPrunedOrderLineitems(spark, sf0001).collect()
+    val df = Sketches.bloomPrunedOrderLineitems(spark, sf0001)
+    val bloom = df.collect()
     val exact = Sketches.exactOrderLineitems(spark, sf0001).collect()
     assert(bloom.toSeq == exact.toSeq)
+    // the probe must be the native expression, not a boxed UDF
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("UDF") && !planStr.contains("BatchEvalPython"),
+      s"bloom probe should be codegen-native, plan:\n$planStr")
+    assert(planStr.contains("might_contain"),
+      s"expected BloomFilterMightContain in plan:\n$planStr")
   }
 
   test("incremental index appends new files without a rebuild") {
@@ -54,5 +61,50 @@ class SketchIncrementalSpec extends SparkSpec {
       val chunks3 = spark.read.parquet(s"${idx.getAbsolutePath}/chunks")
       assert(chunks3.filter(col("file") === "notes.xyz").count() == 0)
     } finally q.stop()
+  }
+
+  test("incremental appends keep the forest index complete when planes are persisted") {
+    import graft.chat.{AnnIndex, ChatPipeline, HashingEmbedder}
+    val repo = Files.createTempDirectory("graft_base_repo").toFile
+    val watch = Files.createTempDirectory("graft_watch2").toFile
+    val idx = Files.createTempDirectory("graft_inc_idx2").toFile
+    Files.writeString(new java.io.File(repo, "base.rs").toPath,
+      "fn base() { let answer = 42; }\n")
+    // full build: writes chunks + planes + forest
+    ChatPipeline.index(spark, repo.getAbsolutePath, idx.getAbsolutePath)
+    assert(AnnIndex.hasPlanes(idx.getAbsolutePath))
+    val q = IncrementalIndex.start(spark, watch.getAbsolutePath, idx.getAbsolutePath)
+    try {
+      Files.writeString(new java.io.File(watch, "new.py").toPath,
+        "def added():\n    return 'appended after build'\n")
+      q.processAllAvailable()
+      val chunks = spark.read.parquet(s"${idx.getAbsolutePath}/chunks")
+      val forest = spark.read.parquet(s"${idx.getAbsolutePath}/forest")
+      // every chunk (base + appended) has one leaf assignment per tree
+      assert(forest.count() == chunks.count() * AnnIndex.NumTrees)
+      assert(forest.select("chunk_id").distinct().count() == chunks.count())
+      // approximate search with the PERSISTED planes can reach the new
+      // chunk even though the live count differs from build time
+      val planes = AnnIndex.loadPlanes(spark, idx.getAbsolutePath)
+      val emb = new HashingEmbedder()
+      val hits = AnnIndex.knnApprox(spark, chunks, forest, planes,
+        emb.embed("def added(): return 'appended after build'"), 2)
+      assert(hits.count() >= 1)
+    } finally q.stop()
+  }
+
+  test("forest planes round-trip through disk, independent of sampling parameters") {
+    import graft.chat.AnnIndex
+    val dir = Files.createTempDirectory("graft_planes").toFile.getAbsolutePath
+    // a NON-default seed: the loader must answer from the persisted
+    // planes alone, with no knowledge of how they were sampled
+    val forest = AnnIndex.sampleForest(dim = 16, nRows = 1000, seed = 4242L)
+    AnnIndex.savePlanes(spark, forest, dir)
+    val loaded = AnnIndex.loadPlanes(spark, dir)
+    assert(loaded.length == forest.length)
+    forest.zip(loaded).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (pa, pb) => assert(pa.sameElements(pb)) }
+    }
   }
 }
