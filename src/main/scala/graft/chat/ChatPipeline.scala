@@ -93,7 +93,7 @@ object ChatPipeline {
       } else AnnIndex.knnExact(chunks, qVec, k * 2)                // Step 3, over-fetch F1
     val filtered = Retrieval.applyFilters(hits, classification, k) // Step 4 + truncate
     val ordered =
-      if (rerank) Retrieval.lexicalRerank(filtered, question)      // Step 5 (R2)
+      if (rerank) Retrieval.crossRerank(filtered, question)        // Step 5 (R2)
       else filtered.orderBy(col("distance").asc)                   // F10
     val rows = ordered.select("file", "code", "language", "extension", "distance")
       .collect().zipWithIndex.map { case (r, i) =>
@@ -139,7 +139,10 @@ object ChatCli {
           spark.stop(); sys.exit(2)
         }
         val k = rest.headOption.map(_.toInt).getOrElse(3)
-        val out = ChatPipeline.query(spark, indexDir, question, k)
+        // GRAFT_OPENAI_BASE_URL switches the LLM touchpoints to a real
+        // endpoint; unset, the deterministic mock answers
+        val out = ChatPipeline.query(spark, indexDir, question, k,
+          client = OpenAiChatClient.fromEnv())
         out.results.foreach(r =>
           println(f"Chunk ${r.rank} | ${r.file} | Relevance ${r.distance}%.4f"))
         out.answer.foreach(print)
@@ -153,7 +156,8 @@ object ChatCli {
               ChatPipeline.index(spark, repo, out); indexDir = Some(out)
             case "load" :: dir :: Nil => indexDir = Some(dir)
             case "query" :: qs if indexDir.isDefined =>
-              val out = ChatPipeline.query(spark, indexDir.get, qs.mkString(" "))
+              val out = ChatPipeline.query(spark, indexDir.get, qs.mkString(" "),
+                client = OpenAiChatClient.fromEnv())
               out.answer.foreach(print); println()
             case _ => println("unrecognized (or no index loaded)")
           }

@@ -1,0 +1,59 @@
+package graft.chat
+
+/** R1/R2: reranker behind a trait, mirroring the reference's
+  * cross-encoder contract (/root/reference/src/rerank.rs:7-19 — load
+  * once, then rerank(query, documents) -> one score per document, the
+  * model seeing each (query, doc) PAIR).
+  *
+  * The offline stand-in is a char-3-gram TF-IDF cosine: a genuine
+  * interaction-model shape — the score depends on the (query, doc)
+  * pair AND on the statistics of the scored batch (idf), not on either
+  * text alone — while staying fully deterministic (no weights to
+  * download in this sandbox). A real cross-encoder (e.g. an ONNX
+  * jina-reranker session) slots in behind the same trait.
+  */
+trait Reranker extends Serializable {
+
+  /** Score the documents against the query; higher = more relevant.
+    * One call scores the whole candidate window, matching
+    * rerank.rs:16-19 where rerank() receives the full retrieve window
+    * and returns parallel scores. */
+  def rerank(query: String, docs: Seq[String]): Seq[Double]
+}
+
+/** Deterministic char-n-gram TF-IDF cosine cross-scorer. All
+  * accumulations iterate grams in sorted order so the IEEE double
+  * results are reproducible run-to-run. */
+class TfidfReranker(n: Int = 3) extends Reranker {
+
+  private[chat] def grams(s: String): Map[String, Int] = {
+    val t = s.toLowerCase
+    if (t.length < n) Map.empty
+    else t.sliding(n).toSeq.groupBy(identity).map { case (g, xs) => (g, xs.size) }
+  }
+
+  override def rerank(query: String, docs: Seq[String]): Seq[Double] = {
+    val dg = docs.map(grams)
+    val nDocs = docs.size.toDouble
+    val dfCounts = dg.flatMap(_.keySet).groupBy(identity)
+      .map { case (g, xs) => (g, xs.size) }
+    def idf(g: String): Double =
+      math.log(1.0 + nDocs / dfCounts.getOrElse(g, 1).toDouble)
+    def norm(m: Map[String, Int]): Double =
+      math.sqrt(m.toSeq.sortBy(_._1).iterator
+        .map { case (g, c) => val w = c * idf(g); w * w }.sum)
+    val qg = grams(query)
+    val qn = norm(qg)
+    dg.map { d =>
+      val dn = norm(d)
+      if (qn == 0.0 || dn == 0.0) 0.0
+      else {
+        val dot = qg.toSeq.sortBy(_._1).iterator
+          .collect { case (g, c) if d.contains(g) =>
+            (c * idf(g)) * (d(g) * idf(g))
+          }.sum
+        dot / (qn * dn)
+      }
+    }
+  }
+}

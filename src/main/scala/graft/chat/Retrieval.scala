@@ -146,6 +146,29 @@ object Retrieval {
   // descending sort (hyde.rs:529-542).
   // -------------------------------------------------------------------
 
+  /** R2 with the cross-encoder-shaped [[Reranker]]: the candidate
+    * window (<= k*2 rows by construction, F1 over-fetch) is scored in
+    * ONE rerank(query, docs) call — the reference's exact contract
+    * (rerank.rs:16-19 scores the retrieve window driver-side too) —
+    * then re-sorted descending with distance as the tiebreak. The
+    * bounded collect matches the reference's flow; this is a post-top-k
+    * presentation stage, never a corpus-sized operator. */
+  def crossRerank(results: DataFrame, query: String,
+                  rr: Reranker = new TfidfReranker()): DataFrame = {
+    val spark = results.sparkSession
+    val rows = results.collect()
+    val docIdx = results.schema.fieldIndex("code")
+    val scores = rr.rerank(query, rows.toSeq.map(_.getString(docIdx)))
+    val scored = rows.zip(scores).map { case (r, s) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)
+    }
+    val schema = results.schema.add("rerank_score",
+      org.apache.spark.sql.types.DoubleType, nullable = false)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(scored.toSeq, 1), schema)
+      .orderBy(col("rerank_score").desc, col("distance").asc)
+  }
+
   def lexicalRerank(results: DataFrame, query: String): DataFrame = {
     val qTokens = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
     val codeTokens = array_distinct(

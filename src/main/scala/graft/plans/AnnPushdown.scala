@@ -4,7 +4,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, EqualTo, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -92,36 +92,77 @@ case class AnnPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .queryExecution.optimizedPlan
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (AnnCatalog.entries.isEmpty) return plan
-    plan.transformDown {
-      case gl @ GlobalLimit(_, ll @ LocalLimit(_,
-          sort @ Sort(SortOrder(sortAttr: AttributeReference, Ascending, _, _) +: _, true,
-            proj @ Project(projList, child), _)))
-          // idempotence: skip once a semi join is already in place
-          if !child.exists { case Join(_, _, LeftSemi, _, _) => true; case _ => false } =>
-        val distDef = projList.collectFirst {
+  /** Wrap `child` in a LEFT SEMI join against the candidate chunk_ids,
+    * if the relation is registered and carries a chunk_id column. */
+  private def semiJoin(child: LogicalPlan, q: Array[Float]): Option[LogicalPlan] =
+    AnnCatalog.lookup(relationPaths(child)).flatMap { entry =>
+      val cand = candidatePlan(entry, q)
+      (child.output.find(_.name == "chunk_id"),
+        cand.output.find(_.name == "chunk_id")) match {
+        case (Some(li), Some(ri)) =>
+          Some(Join(child, cand, LeftSemi, Some(EqualTo(li, ri)), JoinHint.NONE))
+        case _ => None
+      }
+    }
+
+  /** Find the Project that aliases the sort attribute to
+    * `cosine_distance(vector, <literal>)`, descending through Filters
+    * and Deduplicates, and plant the semi join under it. Planting BELOW
+    * the filters is sound: filters only drop rows, the semi join only
+    * drops rows, and the approximate contract (search the candidate
+    * leaves) is what registration opted into. */
+  private def injectBelowAlias(plan: LogicalPlan,
+                               sortAttr: AttributeReference): Option[LogicalPlan] =
+    plan match {
+      case f: Filter =>
+        injectBelowAlias(f.child, sortAttr).map(c => f.copy(child = c))
+      case d: Deduplicate =>
+        injectBelowAlias(d.child, sortAttr).map(c => d.copy(child = c))
+      case proj @ Project(projList, pchild) =>
+        val distLit = projList.collectFirst {
           case a @ Alias(CosineDistanceExpr(_, l: Literal), _)
               if a.exprId == sortAttr.exprId => l
         }
-        (distDef, AnnCatalog.lookup(relationPaths(child))) match {
-          case (Some(lit), Some(entry)) =>
-            literalVector(lit) match {
-              case Some(q) =>
-                val cand = candidatePlan(entry, q)
-                val leftId = child.output.find(_.name == "chunk_id")
-                val rightId = cand.output.find(_.name == "chunk_id")
-                (leftId, rightId) match {
-                  case (Some(li), Some(ri)) =>
-                    val semi = Join(child, cand, LeftSemi,
-                      Some(EqualTo(li, ri)), JoinHint.NONE)
-                    gl.copy(child = ll.copy(child =
-                      sort.copy(child = proj.copy(child = semi))))
-                  case _ => gl
-                }
-              case None => gl
-            }
-          case _ => gl
+        distLit.flatMap(literalVector).flatMap(q =>
+          semiJoin(pchild, q).map(j => proj.copy(child = j)))
+      case _ => None
+    }
+
+  /** Rewrite one top-k Sort: plant the candidate semi join under it. */
+  private def rewriteSort(sort: Sort): Option[Sort] = sort match {
+    case Sort(SortOrder(sortExpr, Ascending, _, _) +: _, true, body, _)
+        // idempotence: skip once a semi join is already in place
+        if !body.exists { case Join(_, _, LeftSemi, _, _) => true; case _ => false } =>
+      val rewrittenBody = sortExpr match {
+        // SQL surface / no alias: ORDER BY cosine_distance(vector,
+        // array(...)) LIMIT k — the sort key IS the expression
+        case CosineDistanceExpr(_, l: Literal) =>
+          literalVector(l).flatMap(q => semiJoin(body, q))
+        // DataFrame surface: ORDER BY an attribute defined as the
+        // distance alias in a Project (possibly under Filter /
+        // Deduplicate nodes)
+        case sortAttr: AttributeReference =>
+          injectBelowAlias(body, sortAttr)
+        case _ => None
+      }
+      rewrittenBody.map(b => sort.copy(child = b))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (AnnCatalog.entries.isEmpty) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, sort: Sort)) =>
+        rewriteSort(sort) match {
+          case Some(s) => gl.copy(child = ll.copy(child = s))
+          case None => gl
+        }
+      // column pruning may slide a Project between the limit and the
+      // sort (the SQL-surface shape)
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, p @ Project(_, sort: Sort))) =>
+        rewriteSort(sort) match {
+          case Some(s) => gl.copy(child = ll.copy(child = p.copy(child = s)))
+          case None => gl
         }
     }
   }

@@ -30,9 +30,26 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ChunkText.description)
+    ext.injectFunction(CosineDistanceFn.description)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectOptimizerRule(session => AnnPushdownRule(session))
   }
+}
+
+/** SQL registration for the codegen cosine distance — `SELECT ...
+  * ORDER BY cosine_distance(vector, array(...)) LIMIT k` is then the
+  * pure-SQL ANN surface: the same expression the pushdown rule anchors
+  * on, so registered indexes accelerate SQL queries too (the array
+  * literal is constant-folded before the rule runs). */
+object CosineDistanceFn {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_distance"),
+    new ExpressionInfo(classOf[graft.functions.CosineDistanceExpr].getName, "cosine_distance"),
+    (args: Seq[Expression]) => args match {
+      case Seq(a, b) => graft.functions.CosineDistanceExpr(a, b)
+      case _ => throw new IllegalArgumentException(
+        "cosine_distance(a, b) takes exactly 2 array arguments")
+    })
 }
 
 /** Generator form of the line-greedy chunker (1 text -> N chunk rows).

@@ -251,6 +251,28 @@ class ChatSpec extends SparkSpec {
     assert(out.head.getString(0) == "a.rs")
   }
 
+  test("TF-IDF cross-reranker preserves the fixture ordering and is deterministic") {
+    val df = results(
+      ("a.rs", "cosine similarity search implementation", "rs", "rust", 0.5),
+      ("b.rs", "unrelated parser tokens", "rs", "rust", 0.1))
+    val out = Retrieval.crossRerank(df, "cosine similarity search").collect()
+    assert(out.head.getString(0) == "a.rs")
+    assert(out.head.getAs[Double]("rerank_score") >
+      out.last.getAs[Double]("rerank_score"))
+    // deterministic run to run (bit-identical scores)
+    val again = Retrieval.crossRerank(df, "cosine similarity search").collect()
+    assert(out.map(_.getAs[Double]("rerank_score")).toSeq ==
+      again.map(_.getAs[Double]("rerank_score")).toSeq)
+    // interaction-model property: the score is a pair function, not a
+    // doc property — the same doc scores differently for a different
+    // query
+    val rr = new graft.chat.TfidfReranker()
+    val docs = Seq("cosine similarity search implementation", "unrelated parser tokens")
+    val s1 = rr.rerank("cosine similarity search", docs)
+    val s2 = rr.rerank("parser token stream", docs)
+    assert(s1.head > s1.last && s2.head < s2.last)
+  }
+
   test("batch kNN equals per-query exact kNN, one job for all queries") {
     val repo = makeRepo()
     val out = Files.createTempDirectory("graft_idx3").toFile

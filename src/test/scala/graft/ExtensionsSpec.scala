@@ -124,6 +124,56 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.plans.AnnCatalog.clear()
   }
 
+  test("ANN pushdown fires for the pure-SQL surface and for filter-on-top shapes") {
+    import org.apache.spark.sql.functions._
+    val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo2").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(repoDir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    (1 to 40).foreach(i => w(s"src/mod$i.py",
+      s"def handler_$i():\n    return process_$i()\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx2").toFile
+    graft.chat.ChatPipeline.index(spark, repoDir.getAbsolutePath, idxDir.getAbsolutePath)
+    graft.plans.AnnCatalog.register(spark, idxDir.getAbsolutePath)
+    try {
+      val emb = new graft.chat.HashingEmbedder()
+      val q = emb.embed("process handler result")
+      val chunks = graft.chat.AnnIndex.load(spark, idxDir.getAbsolutePath)
+      chunks.createOrReplaceTempView("ann_chunks")
+      // 1. pure SQL: no alias — the sort key IS the expression
+      val qArr = q.map(v => s"cast($v as float)").mkString("array(", ",", ")")
+      val sqlKnn = spark.sql(
+        s"""SELECT chunk_id, file FROM ann_chunks
+           |ORDER BY cosine_distance(vector, $qArr) ASC, chunk_id ASC
+           |LIMIT 5""".stripMargin)
+      val sqlPlan = sqlKnn.queryExecution.optimizedPlan.toString
+      assert(sqlPlan.contains("LeftSemi"), s"SQL-surface pushdown did not fire:\n$sqlPlan")
+      assert(sqlKnn.collect().length == 5)
+      // 2. filter on the distance alias between sort and project: the
+      //    predicate cannot push below the project, so the rule must
+      //    descend through the Filter
+      val filtered = chunks
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .filter(col("distance") < 2.0)
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      val fPlan = filtered.queryExecution.optimizedPlan.toString
+      assert(fPlan.contains("LeftSemi"), s"filter-on-top pushdown did not fire:\n$fPlan")
+      assert(filtered.collect().length == 5)
+      // both agree with the explicit approximate search over the
+      // persisted planes
+      val planes = graft.chat.AnnIndex.loadPlanes(spark, idxDir.getAbsolutePath)
+      val forestIdx = spark.read.parquet(s"${idxDir.getAbsolutePath}/forest")
+      val explicit = graft.chat.AnnIndex
+        .knnApprox(spark, chunks, forestIdx, planes, q, 5)
+        .select("chunk_id").collect().map(_.getLong(0))
+      assert(sqlKnn.select("chunk_id").collect().map(_.getLong(0)).toSeq == explicit.toSeq)
+      assert(filtered.select("chunk_id").collect().map(_.getLong(0)).toSeq == explicit.toSeq)
+    } finally graft.plans.AnnCatalog.clear()
+  }
+
   test("without registration the kNN plan is untouched") {
     import org.apache.spark.sql.functions._
     graft.plans.AnnCatalog.clear()
