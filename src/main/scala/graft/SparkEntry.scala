@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Scale, Similarity, Sketches, Statistics, TextAnalytics}
+import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -67,7 +67,11 @@ object SparkEntry {
     "q45_approx_distinct"   -> Sketches.approxDistinctUsers _,
     "q46_bloom_semi_join"   -> Sketches.bloomPrunedOrderLineitems _,
     "q47_exact_corr"        -> Statistics.quantityPriceCorr _,
-    "q48_edit_distance"     -> Statistics.partNameNearDup _
+    "q48_edit_distance"     -> Statistics.partNameNearDup _,
+    "q49_dedup_clusters"    -> Dedup.nearDupClusters _,
+    "q50_hash_split"        -> Sampling.hashSplit _,
+    "q51_stratified_sample" -> Sampling.stratifiedSample _,
+    "q52_novelty"           -> Dedup.noveltyScores _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -171,6 +175,10 @@ object SparkEntry {
     "q44_time_parts"        -> Events.timePartCountsSql,
     "q46_bloom_semi_join"   -> Sketches.bloomPrunedSql,
     "q47_exact_corr"        -> Statistics.quantityPriceCorrSql,
-    "q48_edit_distance"     -> Statistics.partNameNearDupSql
+    "q48_edit_distance"     -> Statistics.partNameNearDupSql,
+    "q49_dedup_clusters"    -> Dedup.nearDupClustersSql,
+    "q50_hash_split"        -> Sampling.hashSplitSql,
+    "q51_stratified_sample" -> Sampling.stratifiedSampleSql,
+    "q52_novelty"           -> Dedup.noveltyScoresSql
   )
 }

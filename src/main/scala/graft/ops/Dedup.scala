@@ -393,6 +393,98 @@ object Dedup {
     cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------------------------
+  // Near-dup CLUSTER resolution: connected components over the MinHash
+  // pair graph. Pair detection alone is not a dedup policy — a real
+  // pipeline must resolve transitive chains (a~b, b~c => one cluster)
+  // and keep one representative per cluster.
+  // -------------------------------------------------------------------
+
+  /** Connected components via iterative min-label propagation (the
+    * standard distributed CC shape, cf. GraphX/GraphFrames): each node
+    * starts labeled with its own id; every round takes the min of its
+    * own and its neighbors' labels (one equi-join + groupBy-min per
+    * round); fixpoint in <= graph-diameter rounds. Labels only
+    * decrease, so termination is guaranteed; the driver loop carries
+    * only a converged? count per round, never data. Output: one row
+    * per cluster — (cluster_id = min doc_id, n_members), i.e. the
+    * survivorship decision (keep cluster_id, drop the rest). */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val sym = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").cache()
+    var labels = sym.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("label").as("prop_label"))
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("prop_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.alias("n")
+        .join(labels.alias("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+    sym.unpersist()
+    out
+  }
+
+  def nearDupClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${minhashLshPairsSql}) ),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id)
+       |SELECT cluster_id, count(*) AS n_members FROM (
+       |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+       |GROUP BY cluster_id
+       |ORDER BY cluster_id""".stripMargin
+
+  /** Novelty score: the fraction of a doc's distinct shingles that are
+    * globally UNIQUE (document frequency 1). Near-0 novelty flags
+    * template/boilerplate or near-copied content; this is the cheap
+    * corpus-level contamination signal a training pipeline computes
+    * alongside dedup (integer ratio, so it hash-matches the oracle). */
+  def noveltyScores(spark: SparkSession, sfDir: String): DataFrame = {
+    // hash-distinct (not just string-distinct) to mirror the oracle's
+    // DISTINCT doc_id, hv exactly if two shingles ever hash-collide
+    val sh = shingleRows(spark, sfDir).select("doc_id", "hv").distinct()
+    val dfc = sh.groupBy("hv").agg(count(lit(1)).as("df"))
+    sh.join(dfc, "hv")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  def noveltyScoresSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${shingleHashExpr("strpos", "md5(s)")} AS hv
+       |  FROM (SELECT doc_id, unnest($sqlShingles) AS s
+       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |dfc AS (SELECT hv, count(*) AS df FROM sh GROUP BY hv)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as bigint) AS n_unique,
+       |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as double) / cast(count(*) as double) AS novelty
+       |FROM sh JOIN dfc USING (hv)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** The all-pairs baseline the two-level join is spec-checked against. */
   def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simhashFrame(spark, sfDir)

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deterministic sampling / splitting operators for training-data
+  * pipelines. Both are driven by a content-independent HASH of the
+  * stable document id — never by rand() — so assignments are
+  * reproducible across runs, engines, cluster sizes, and repartitions:
+  * the property that makes train/test splits auditable and leak-free
+  * at 100 TB (a random split re-drawn per run silently contaminates
+  * evaluation sets). Scale shape: pure map-side predicates on the scan
+  * (no shuffle at all until the verification aggregate).
+  */
+object Sampling {
+
+  /** Portable 32-bit hash of the doc_id column: first 8 hex nibbles of
+    * md5(cast(doc_id as string)) — the same construction the dedup
+    * operators use for shingles, and bit-identical in DuckDB. */
+  private def docIdHash: Column =
+    (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      (expr(s"instr('0123456789abcdef', substring(md5(cast(doc_id as string)), ${j + 1}, 1))")
+        .cast("long") - 1) * w
+    }.reduce(_ + _)
+
+  private val sqlDocHash = (0 until 8).map { j =>
+    val w = 1L << (4 * (7 - j))
+    s"(cast(strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar)), ${j + 1}, 1)) as bigint) - 1) * $w"
+  }.mkString("(", " + ", ")")
+
+  val TrainPct = 80L
+  val ValPct = 10L // remainder = test
+
+  /** q50: deterministic train/val/test split — bucket = hash mod 100;
+    * <80 train, <90 val, else test. Verified by the per-split counts
+    * and token totals (the assignment itself is a scan-time map). */
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(docIdHash, lit(100L))
+    Tables.documents(spark, sfDir)
+      .withColumn("split",
+        when(bucket < TrainPct, "train")
+          .when(bucket < TrainPct + ValPct, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalytics.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy("split")
+  }
+
+  def hashSplitSql: String =
+    s"""SELECT split, count(*) AS n_docs,
+       |  cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) as bigint) AS n_tokens
+       |FROM (
+       |  SELECT text,
+       |    CASE WHEN $sqlDocHash % 100 < $TrainPct THEN 'train'
+       |         WHEN $sqlDocHash % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+
+  val SamplePerMille = 100L // 10% per stratum
+
+  /** q51: stratified deterministic sample — keep docs whose hash lands
+    * in the first 100 of 1000 buckets, WITHIN each (lang) stratum, so
+    * every language keeps ~10% regardless of its share of the corpus
+    * (plain sampling starves rare strata). Emits per-stratum totals vs
+    * sampled counts so the rate is audit-checkable. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val keep = pmod(docIdHash, lit(1000L)) < SamplePerMille
+    Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("rate",
+        col("n_sampled").cast("double") / col("n_total").cast("double"))
+      .orderBy("lang")
+  }
+
+  def stratifiedSampleSql: String =
+    s"""SELECT lang, count(*) AS n_total,
+       |  cast(sum(CASE WHEN $sqlDocHash % 1000 < $SamplePerMille THEN 1 ELSE 0 END) as bigint) AS n_sampled,
+       |  cast(sum(CASE WHEN $sqlDocHash % 1000 < $SamplePerMille THEN 1 ELSE 0 END) as double)
+       |    / cast(count(*) as double) AS rate
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+}

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Consts
-import graft.ops.{Dedup, Similarity, TextAnalytics}
+import graft.ops.{Dedup, Sampling, Similarity, TextAnalytics}
 import org.apache.spark.sql.functions._
 
 class TextDedupSimilaritySpec extends SparkSpec {
@@ -138,6 +138,56 @@ class TextDedupSimilaritySpec extends SparkSpec {
       assert(tiled.exceptAll(pairwise).count() == 0, s"tiled-only rows at $sf")
       assert(pairwise.exceptAll(tiled).count() == 0, s"pairwise-only rows at $sf")
     }
+  }
+
+  test("near-dup clusters resolve transitive chains to one representative each") {
+    val clusters = Dedup.nearDupClusters(spark, sf001).cache()
+    val pairs = Dedup.minhashLshPairs(spark, sf001)
+      .select("doc_a", "doc_b").cache()
+    val nodes = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    // every clustered doc is counted exactly once across clusters
+    assert(clusters.agg(sum("n_members")).collect()(0).getLong(0) == nodes)
+    // each cluster has >= 2 members (clusters come from pairs)
+    assert(clusters.filter(col("n_members") < 2).count() == 0)
+    // the representative is the minimum member: no pair can join two
+    // different cluster ids (fixpoint check)
+    val lbl = pairs
+      .join(clusters.select(col("cluster_id").as("ca")),
+        col("doc_a") === col("ca"), "left")
+    clusters.unpersist(); pairs.unpersist()
+  }
+
+  test("hash split is deterministic, complete, and roughly 80/10/10") {
+    val s1 = Sampling.hashSplit(spark, sf001).collect()
+    val s2 = Sampling.hashSplit(spark, sf001).collect()
+    assert(s1.toSeq == s2.toSeq)
+    val total = s1.map(_.getAs[Long]("n_docs")).sum
+    assert(total == spark.read.parquet(s"$sf001/documents.parquet").count())
+    val train = s1.find(_.getString(0) == "train").get.getAs[Long]("n_docs")
+    assert(math.abs(train.toDouble / total - 0.8) < 0.1)
+  }
+
+  test("stratified sample keeps every stratum near the target rate") {
+    val s = Sampling.stratifiedSample(spark, sf001).collect()
+    assert(s.nonEmpty)
+    s.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      assert(rate >= 0.0 && rate <= 0.35,
+        s"${r.getString(0)}: rate $rate far from 10% target")
+    }
+  }
+
+  test("novelty is 1 for unique content and low for planted duplicates") {
+    val nov = Dedup.noveltyScores(spark, sf001).cache()
+    assert(nov.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    // planted near-dups share nearly all shingles -> low novelty
+    val dups = Dedup.minhashLshPairs(spark, sf001).filter(col("jaccard") >= 0.9)
+      .select(col("doc_a").as("doc_id"))
+    val dupNov = nov.join(dups, "doc_id").agg(avg("novelty")).collect()(0).getDouble(0)
+    val allNov = nov.agg(avg("novelty")).collect()(0).getDouble(0)
+    assert(dupNov < allNov, s"dup novelty $dupNov should be below corpus avg $allNov")
+    nov.unpersist()
   }
 
   test("exact dedup keeps one row per distinct content") {
