@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{Dedup, Relational, Sampling, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Physical-plan audits: these pin the SHAPE properties the 100 TB
+  * design depends on, so a regression that silently turns a
+  * broadcast into a shuffle (or drops a pushed filter) fails a spec,
+  * not just a benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def executed(df: DataFrame): String = {
+    df.collect() // let AQE settle
+    flatten(df.queryExecution.executedPlan).mkString("\n")
+  }
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val next = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: next.flatMap(flatten)
+  }
+
+  private def shuffleCount(df: DataFrame): Int = {
+    df.collect()
+    flatten(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  test("q2: filters and column pruning reach the parquet scan") {
+    val df = Relational.revenueFilter(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"),
+      s"predicate not pushed:\n$scan")
+    // the scan must not read columns the query never touches
+    assert(!scan.contains("l_comment") && !scan.contains("l_shipmode"),
+      s"column pruning failed:\n$scan")
+  }
+
+  test("q19/q20: per-query top-k is pruned BEFORE the shuffle (WindowGroupLimit)") {
+    for (df <- Seq(Similarity.knnBruteForce(spark, sf0001),
+                   Similarity.lshKnn(spark, sf0001))) {
+      val plan = executed(df)
+      assert(plan.contains("WindowGroupLimit"),
+        s"partial top-k missing — the full candidate set would shuffle:\n$plan")
+    }
+  }
+
+  test("q13: exact dedup aggregates map-side before its single shuffle") {
+    val df = Dedup.exactDedup(spark, sf0001)
+    val plan = executed(df)
+    // partial + final aggregate pair around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    // one shuffle for the groupBy, one for the presentation sort — no more
+    assert(shuffleCount(df) <= 2, s"unexpected extra shuffles:\n$plan")
+  }
+
+  test("q50/q51: hash split and stratified sample are scan + one aggregation") {
+    // the assignment predicate is map-side; only the tiny per-split /
+    // per-stratum aggregate (and its presentation sort) may shuffle
+    assert(shuffleCount(Sampling.hashSplit(spark, sf0001)) <= 2)
+    assert(shuffleCount(Sampling.stratifiedSample(spark, sf0001)) <= 2)
+  }
+
+  test("q18: only the bid-only tile enumeration is a nested loop; payloads ride equi-joins") {
+    val df = Similarity.nearDupPairs(spark, sf0001)
+    val plan = executed(df)
+    // the quadratic block-pair enumeration (bid <= bid) must touch ONLY
+    // the tiny bid column — block payloads attach afterwards through
+    // equi-joins, which AQE is free to broadcast at this SF (they
+    // become shuffle joins once the size stats exceed the threshold)
+    val nlj = flatten(df.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(nlj.nonEmpty, s"expected the bid-only tile cross join:\n$plan")
+    nlj.foreach { j =>
+      val out = j.output.map(_.name)
+      assert(out.forall(_.startsWith("bid")),
+        s"nested loop must carry only bid columns, got $out:\n$plan")
+    }
+  }
+}
