@@ -50,6 +50,59 @@ object Chunker {
     out.toSeq
   }
 
+  /** Structure-aware chunk split — narrows the tree-sitter gap
+    * (reference chunker.rs:89-116 splits on AST node ranges, then
+    * packs to max_size): content first divides into top-level UNITS —
+    * brace-balance tracking for brace languages (a unit ends on the
+    * line where the brace depth returns to 0, i.e. a top-level fn /
+    * impl / class closes), column-0 starts for indent languages
+    * (Python) — then whole units pack greedily into chunks <= maxSize,
+    * so chunk boundaries fall between top-level declarations whenever
+    * they can. An oversized single unit falls back to the line-greedy
+    * splitter. Units are contiguous line spans, so concatenation
+    * round-trips exactly, like splitContent. */
+  def splitStructured(content: String, language: Option[String],
+                      maxSize: Int = MaxChunkSize): Seq[String] = {
+    if (content.isEmpty) return Seq.empty
+    val indentBased = language.contains("Python")
+    val parts = content.split("\n", -1)
+    val lines = parts.zipWithIndex.map { case (p, i) =>
+      if (i < parts.length - 1) p + "\n" else p
+    }.filter(_.nonEmpty)
+    // 1. top-level units
+    val units = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    def flushUnit(): Unit = if (cur.nonEmpty) { units += cur.toString; cur.clear() }
+    var depth = 0
+    lines.foreach { line =>
+      if (indentBased) {
+        // a non-blank column-0 line starts a new top-level unit
+        if (line.trim.nonEmpty && !line.head.isWhitespace) flushUnit()
+        cur ++= line
+      } else {
+        cur ++= line
+        depth = math.max(0, depth + line.count(_ == '{') - line.count(_ == '}'))
+        if (depth == 0) flushUnit() // top-level statement or block closed
+      }
+    }
+    flushUnit()
+    // 2. greedy packing of whole units; oversized units line-split
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chunk = new StringBuilder
+    def flushChunk(): Unit = if (chunk.nonEmpty) { out += chunk.toString; chunk.clear() }
+    units.foreach { u =>
+      if (u.length > maxSize) {
+        flushChunk()
+        out ++= splitContent(u, maxSize)
+      } else {
+        if (chunk.length + u.length > maxSize) flushChunk()
+        chunk ++= u
+      }
+    }
+    flushChunk()
+    out.toSeq
+  }
+
   /** Driver-side .gitignore pre-pass: returns predicate over relative
     * paths (true = keep). Supports the common subset: comment lines,
     * `dir/`, `*.ext`, bare names, leading-slash anchors. */
@@ -98,7 +151,7 @@ object Chunker {
           val bytes = row.getAs[Array[Byte]](1)
           val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
           val lang = Language.detect(e)
-          splitContent(text).map(chunk => CodeChunk(rel, chunk, lang, Some(e)))
+          splitStructured(text, lang).map(chunk => CodeChunk(rel, chunk, lang, Some(e)))
         case _ => Seq.empty
       }
     }

@@ -416,19 +416,21 @@ object Dedup {
       .toDF("src", "dst").cache()
     var labels = sym.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id")).cache()
+    var cachedStep = labels
     var changed = 1L
     while (changed > 0) {
       val prop = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("label").as("prop_label"))
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("prop_label"), col("label"))).as("label"))
+      // carry old + new label through one cached frame so the
+      // convergence check and the next round share a single job
+      val step = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("prop_label"), col("label"))).as("next_label"))
         .cache()
-      changed = next.alias("n")
-        .join(labels.alias("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("next_label") =!= col("label")).count()
+      cachedStep.unpersist()
+      cachedStep = step
+      labels = step.select(col("doc_id"), col("next_label").as("label"))
     }
     val out = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))

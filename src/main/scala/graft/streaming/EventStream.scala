@@ -77,6 +77,29 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("content_hash", "ts")
 
+  /** Stream-stream interval join: each error event joins the click
+    * events of the SAME user within the preceding 10 minutes — the
+    * streaming twin of the batch as-of/interval pattern
+    * (Events.clickErrorAsOf). Both sides carry watermarks and the join
+    * condition bounds event time in BOTH directions, so Spark can
+    * compute exactly how long to buffer each side's state and evict it
+    * as the watermark advances — the requirements for a stream-stream
+    * inner join to run unbounded. */
+  def clickErrorJoinStream(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val e = errors.withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("e_user"), col("ts").as("error_ts"),
+        col("event_id").as("error_id"))
+    e.join(c,
+      col("c_user") === col("e_user") &&
+        col("click_ts") <= col("error_ts") &&
+        col("click_ts") >= col("error_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("e_user").as("user_id"), col("error_id"), col("click_id"),
+        col("error_ts"), col("click_ts"))
+  }
+
   // -------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState).
   // -------------------------------------------------------------------

@@ -61,7 +61,9 @@ object IncrementalIndex {
           ext match {
             case Some(e) if supported.contains(e) =>
               val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-              graft.chat.Chunker.splitContent(text).map(c => (rel, c, Language.detect(e), Some(e)))
+              val lang = Language.detect(e)
+              graft.chat.Chunker.splitStructured(text, lang)
+                .map(c => (rel, c, lang, Some(e)))
             case _ => Seq.empty
           }
         }.mapPartitions { it =>

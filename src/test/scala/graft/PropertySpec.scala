@@ -41,6 +41,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("structured chunker: budget + round-trip for both brace and indent modes") {
+    forAll(textGen, Gen.chooseNum(8, 64)) { (text: String, max: Int) =>
+      for (lang <- Seq(Some("Rust"), Some("Python"), None)) {
+        val chunks = Chunker.splitStructured(text, lang, max)
+        assert(chunks.forall(_.length <= max))
+        assert(chunks.mkString("") == text)
+        assert(chunks.forall(_.nonEmpty))
+      }
+    }
+  }
+
+  test("structured chunker aligns boundaries with top-level declarations") {
+    val rust =
+      """fn first() {
+        |    let a = 1;
+        |}
+        |fn second() {
+        |    let b = 2;
+        |}
+        |""".stripMargin
+    // budget fits one function but not both -> the split lands exactly
+    // between the two top-level blocks
+    val chunks = Chunker.splitStructured(rust, Some("Rust"), maxSize = 40)
+    assert(chunks.mkString("") == rust)
+    assert(chunks.head.trim.endsWith("}"), s"chunk 0 should close first fn: ${chunks.head}")
+    assert(chunks(1).startsWith("fn second"), s"chunk 1 should start second fn: ${chunks(1)}")
+
+    val py =
+      """def first():
+        |    return 1
+        |def second():
+        |    return 2
+        |""".stripMargin
+    val pyChunks = Chunker.splitStructured(py, Some("Python"), maxSize = 30)
+    assert(pyChunks.mkString("") == py)
+    assert(pyChunks(1).startsWith("def second"), pyChunks.mkString("|"))
+    // a single unit larger than the budget falls back to line splitting
+    val big = "fn huge() {\n" + ("    xxxxxxxx;\n" * 20) + "}\n"
+    val bigChunks = Chunker.splitStructured(big, Some("Rust"), maxSize = 50)
+    assert(bigChunks.forall(_.length <= 50))
+    assert(bigChunks.mkString("") == big)
+  }
+
   test("embedder: deterministic, L2-normalized, order-insensitive to batching") {
     val emb = new HashingEmbedder()
     forAll(Gen.listOfN(5, Gen.alphaStr.suchThat(_.nonEmpty))) { words =>

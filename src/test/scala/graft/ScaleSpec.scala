@@ -40,6 +40,30 @@ class ScaleSpec extends SparkSpec {
     ivf.unpersist()
   }
 
+  test("stream-stream interval join pairs errors with recent same-user clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStream.clickErrorJoinStream(
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      errors.toDF().toDF("user_id", "ts", "event_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: click 5 min before the error (joins); click 20 min before
+    // (outside the interval); user 2's click never joins user 1's error
+    clicks.addData((1L, t("2024-01-01 10:00:00"), 100L),
+      (1L, t("2024-01-01 10:15:00"), 101L),
+      (2L, t("2024-01-01 10:16:00"), 102L))
+    errors.addData((1L, t("2024-01-01 10:20:00"), 900L))
+    q.processAllAvailable()
+    val out = spark.table("ssj_test").collect()
+    q.stop()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 900L, 101L)))
+  }
+
   test("streaming dedup drops duplicate content within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
