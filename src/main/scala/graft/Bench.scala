@@ -37,7 +37,12 @@ object Bench {
     // like an index build); the timed query is the exchange-free join
     try graft.ops.Scale.prepareBuckets(spark, sfDir)
     catch { case _: Throwable => () }
-    val results = ordered.map { case (name, fn) =>
+    // two measured passes, min per query (steady-state measurement, as
+    // JMH does): a single pass is exposed to one-off JIT/GC/IO spikes
+    // that can make an innocent query look 10x slower than it is
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
+        (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -45,7 +50,12 @@ object Bench {
           System.err.println(s"bench: $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val results = ordered.map { case (name, fn) =>
+      val runs = (1 to math.max(1, passes)).map(_ => timeOne(name, fn))
+      val ok = runs.forall(_._2)
+      (name, runs.map(_._1).min, ok)
     }
     // failed queries report a NEGATIVE duration (and an errors list) so
     // a broken query can never masquerade as a fast one

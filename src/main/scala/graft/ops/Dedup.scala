@@ -432,11 +432,16 @@ object Dedup {
       cachedStep = step
       labels = step.select(col("doc_id"), col("next_label").as("label"))
     }
-    val out = labels.groupBy(col("label").as("cluster_id"))
+    // truncate lineage into one small materialized RDD so every
+    // intermediate cache can be released NOW (leaking a cache per call
+    // degrades long sessions — measured as GC pressure on later
+    // queries in the benchmark suite)
+    val finalLabels = labels.localCheckpoint(true)
+    cachedStep.unpersist()
+    sym.unpersist()
+    finalLabels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
-    sym.unpersist()
-    out
   }
 
   def nearDupClustersSql: String =

@@ -47,6 +47,109 @@ object Multimodal {
     override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] = payloads
   }
 
+  // -------------------------------------------------------------------
+  // REAL decode for the formats the JDK itself can read — no external
+  // codec libraries needed: javax.imageio (PNG/JPEG/BMP/GIF) and
+  // javax.sound.sampled (RIFF/WAV PCM) ship with java.desktop. The
+  // heavier codecs (video, mp3, webp, ...) remain the documented stub
+  // boundary; these two prove the decode seam with actual bytes.
+  // -------------------------------------------------------------------
+
+  case class ImageInfo(media_id: Long, width: Int, height: Int, mean_luma: Double)
+  case class AudioInfo(media_id: Long, channels: Int, sample_rate: Int,
+                       n_samples: Long, duration_ms: Long, rms: Double)
+
+  /** Decode real images (PNG/JPEG/BMP/...) with the JDK's ImageIO:
+    * batched per partition, payloads never shuffle, only the tiny info
+    * rows move. mean_luma = average of the ITU-R 601 luma over all
+    * pixels. */
+  def imageInfo(images: Dataset[(Long, Array[Byte])]): Dataset[ImageInfo] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.grouped(FeatureBatch).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                sum += 0.299 * r + 0.587 * g + 0.114 * b
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageInfo(id, img.getWidth, img.getHeight,
+              sum / (img.getWidth.toLong * img.getHeight)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Resize real images executor-side (Graphics2D bilinear), returning
+    * re-encoded PNG bytes — the shape of a preprocessing stage that
+    * normalizes a 100 TB image corpus to a model's input size. */
+  def resizeImages(images: Dataset[(Long, Array[Byte])], w: Int, h: Int): Dataset[(Long, Array[Byte])] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.grouped(FeatureBatch).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Some((id, bos.toByteArray))
+          }
+        }
+      }
+    }
+  }
+
+  /** Decode real WAV (RIFF PCM) audio with the JDK's sound API:
+    * header-derived channel/rate metadata plus a full-signal RMS over
+    * the 16-bit samples. */
+  def audioInfo(audio: Dataset[(Long, Array[Byte])]): Dataset[AudioInfo] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { it =>
+      it.grouped(FeatureBatch).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val data = in.readAllBytes()
+            val bytesPerSample = fmt.getSampleSizeInBits / 8
+            val nSamples = data.length.toLong / (bytesPerSample * fmt.getChannels)
+            var sumSq = 0.0
+            if (fmt.getSampleSizeInBits == 16) {
+              val bb = java.nio.ByteBuffer.wrap(data).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              while (bb.remaining() >= 2) { val s = bb.getShort.toDouble; sumSq += s * s }
+            }
+            val total = data.length / bytesPerSample
+            Some(AudioInfo(id, fmt.getChannels, fmt.getSampleRate.toInt, nSamples,
+              (nSamples * 1000L) / fmt.getSampleRate.toLong,
+              if (total == 0) 0.0 else math.sqrt(sumSq / total)))
+          } catch { case _: Exception => None }
+        }
+      }
+    }
+  }
+
   /** Deterministic media table derived from documents: payload is the
     * utf8 text, kind cycles image/audio/video by doc_id. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

@@ -41,4 +41,72 @@ class MultimodalSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  // ---------------------------------------------------------------
+  // REAL decode paths (JDK codecs): generated PNG and WAV payloads.
+  // ---------------------------------------------------------------
+
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(sampleRate: Int, nSamples: Int, amplitude: Short): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nSamples).foreach(i =>
+      bb.putShort(if (i % 2 == 0) amplitude else (-amplitude).toShort))
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real PNG decode: dimensions and luma recovered from actual image bytes") {
+    import spark.implicits._
+    // pure gray (128,128,128): luma = 128 exactly, any size
+    val images = spark.createDataset(Seq(
+      (1L, pngBytes(8, 6, 0x808080)),
+      (2L, pngBytes(3, 5, 0xffffff)),
+      (3L, pngBytes(4, 4, 0x000000)),
+      (4L, "not an image".getBytes)))
+    val info = Multimodal.imageInfo(images).collect().sortBy(_.media_id)
+    assert(info.map(_.media_id).toSeq == Seq(1L, 2L, 3L)) // bad bytes skipped
+    assert(info(0).width == 8 && info(0).height == 6 &&
+      math.abs(info(0).mean_luma - 128.0) < 0.5)
+    assert(math.abs(info(1).mean_luma - 255.0) < 0.5)
+    assert(info(2).mean_luma == 0.0)
+  }
+
+  test("real image resize: output decodes at the target size") {
+    import spark.implicits._
+    val images = spark.createDataset(Seq((7L, pngBytes(16, 12, 0x336699))))
+    val resized = Multimodal.resizeImages(images, 4, 3).collect()
+    assert(resized.length == 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.head._2))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+  }
+
+  test("real WAV decode: header metadata and RMS from actual PCM bytes") {
+    import spark.implicits._
+    val amp: Short = 1000
+    val audio = spark.createDataset(Seq(
+      (1L, wavBytes(8000, 8000, amp)),   // 1 second
+      (2L, wavBytes(16000, 4000, amp)),  // 250 ms
+      (3L, Array[Byte](1, 2, 3))))       // not audio
+    val info = Multimodal.audioInfo(audio).collect().sortBy(_.media_id)
+    assert(info.map(_.media_id).toSeq == Seq(1L, 2L))
+    assert(info(0).sample_rate == 8000 && info(0).channels == 1)
+    assert(info(0).duration_ms == 1000 && info(1).duration_ms == 250)
+    // constant-magnitude square wave: RMS == amplitude
+    assert(math.abs(info(0).rms - amp.toDouble) < 1.0)
+  }
 }
