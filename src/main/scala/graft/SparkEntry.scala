@@ -71,7 +71,8 @@ object SparkEntry {
     "q49_dedup_clusters"    -> Dedup.nearDupClusters _,
     "q50_hash_split"        -> Sampling.hashSplit _,
     "q51_stratified_sample" -> Sampling.stratifiedSample _,
-    "q52_novelty"           -> Dedup.noveltyScores _
+    "q52_novelty"           -> Dedup.noveltyScores _,
+    "q53_source_cap"        -> Sampling.sourceCap _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -179,6 +180,7 @@ object SparkEntry {
     "q49_dedup_clusters"    -> Dedup.nearDupClustersSql,
     "q50_hash_split"        -> Sampling.hashSplitSql,
     "q51_stratified_sample" -> Sampling.stratifiedSampleSql,
-    "q52_novelty"           -> Dedup.noveltyScoresSql
+    "q52_novelty"           -> Dedup.noveltyScoresSql,
+    "q53_source_cap"        -> Sampling.sourceCapSql
   )
 }

@@ -61,6 +61,49 @@ object Sampling {
        |GROUP BY split
        |ORDER BY split""".stripMargin
 
+  val SourceCap = 60L
+
+  /** q53: per-source quota cap — keep at most SourceCap docs per
+    * source, selected deterministically by (doc hash, doc_id) order,
+    * never by rand(). This is the "cap documents per domain" step of a
+    * web-scale corpus (one domain must not dominate the training mix).
+    * Physical shape: the rank<=cap filter directly above the window
+    * triggers Spark's WindowGroupLimit, so each partition keeps only
+    * its top rows BEFORE the shuffle — per-group selection work is
+    * O(cap), not O(group). The output aggregates (count + doc_id
+    * checksum of the kept set) prove the exact selected SET matches
+    * the oracle, not just its size. */
+  def sourceCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("doc_id"))
+    val ranked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", docIdHash)
+      .withColumn("rn", row_number().over(w))
+    val kept = ranked.filter(col("rn") <= SourceCap)
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_total"))
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("kept_id_sum"))
+      .join(totals, "source")
+      .select(col("source"), col("n_total"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  def sourceCapSql: String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY $sqlDocHash, doc_id) AS rn
+       |  FROM documents)
+       |SELECT source,
+       |  (SELECT count(*) FROM documents d WHERE d.source = ranked.source) AS n_total,
+       |  count(*) AS n_kept,
+       |  cast(sum(doc_id) as bigint) AS kept_id_sum
+       |FROM ranked
+       |WHERE rn <= $SourceCap
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val SamplePerMille = 100L // 10% per stratum
 
   /** q51: stratified deterministic sample — keep docs whose hash lands

@@ -178,6 +178,21 @@ class TextDedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("source cap keeps a deterministic bounded subset per source") {
+    val s1 = Sampling.sourceCap(spark, sf001).collect()
+    val s2 = Sampling.sourceCap(spark, sf001).collect()
+    assert(s1.toSeq == s2.toSeq) // same SET selected every run
+    s1.foreach { r =>
+      val total = r.getAs[Long]("n_total"); val kept = r.getAs[Long]("n_kept")
+      assert(kept == math.min(total, Sampling.SourceCap),
+        s"${r.getString(0)}: kept $kept of $total")
+    }
+    // the cap filter must ride WindowGroupLimit (partial per-group
+    // top-k before the shuffle)
+    val plan = Sampling.sourceCap(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("novelty is 1 for unique content and low for planted duplicates") {
     val nov = Dedup.noveltyScores(spark, sf001).cache()
     assert(nov.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
