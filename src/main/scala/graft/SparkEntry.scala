@@ -72,7 +72,8 @@ object SparkEntry {
     "q50_hash_split"        -> Sampling.hashSplit _,
     "q51_stratified_sample" -> Sampling.stratifiedSample _,
     "q52_novelty"           -> Dedup.noveltyScores _,
-    "q53_source_cap"        -> Sampling.sourceCap _
+    "q53_source_cap"        -> Sampling.sourceCap _,
+    "q54_pq_knn"            -> Similarity.pqKnn _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,6 +182,7 @@ object SparkEntry {
     "q50_hash_split"        -> Sampling.hashSplitSql,
     "q51_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q52_novelty"           -> Dedup.noveltyScoresSql,
-    "q53_source_cap"        -> Sampling.sourceCapSql
+    "q53_source_cap"        -> Sampling.sourceCapSql,
+    "q54_pq_knn"            -> Similarity.pqKnnSql
   )
 }

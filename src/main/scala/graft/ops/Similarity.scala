@@ -249,6 +249,103 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------------------------
+  // Product quantization (PQ) + asymmetric distance computation (ADC),
+  // after Jegou/Douze/Schmid, "Product Quantization for Nearest
+  // Neighbor Search" (TPAMI 2011): split each vector into M subvectors,
+  // quantize each subspace against a small codebook, and answer queries
+  // by summing per-subspace lookup-table distances over the codes.
+  //
+  // Memory story at 100 TB: a 64-d float vector (256 B) compresses to
+  // M = 8 one-byte codes — 32x — so the searchable representation of a
+  // billion-vector corpus fits where the raw vectors cannot, and the
+  // per-candidate distance is M integer adds from a broadcast LUT
+  // instead of a 64-wide dot product. Codebooks here are SAMPLED (the
+  // first PqK vectors' subvectors, like ivfKnn's coarse quantizer)
+  // rather than k-means-trained: one assignment pass, no iterations,
+  // and — because subvectors are the same quantized integers as
+  // everywhere else — the encode, the LUT, and the ADC distances are
+  // all EXACT integer arithmetic, which is what makes this (unusually,
+  // for a PQ implementation) hash-checkable against the DuckDB oracle.
+  // -------------------------------------------------------------------
+
+  val PqM = 8       // subspaces
+  val PqSubDim = 8  // dims per subspace (8 x 8 = 64)
+  val PqK = 16      // codewords per subspace
+
+  def pqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    // (vec_id, m, sub): the M subvectors of every vector
+    val subs = q.select(col("vec_id"), posexplode(array(
+      (0 until PqM).map(m => slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*))
+      .as(Seq("m", "sub")))
+    val cb = broadcast(subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub")))
+    // exact integer squared distance via three codegen dot products:
+    // |a-b|^2 = a.a + b.b - 2 a.b
+    def d2(a: Column, b: Column): Column =
+      qdot(a, a) + qdot(b, b) - lit(2L) * qdot(a, b)
+    // encode: nearest codeword per (vector, subspace); min over the
+    // (d2, k) struct = deterministic argmin with k as tiebreak
+    val codes = subs.join(cb, "m")
+      .withColumn("cd2", d2(col("sub"), col("csub")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("cd2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("code"))
+    // ADC lookup table: query subvector vs every codeword
+    val lut = broadcast(
+      subs.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub").as("qsub"))
+        .join(cb, "m")
+        .select(col("query_id"), col("m"), col("k").as("code"),
+          d2(col("qsub"), col("csub")).as("qd2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    codes.join(lut, Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qd2")).as("adc_dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank"), col("adc_dist"))
+      .orderBy("query_id", "rank")
+  }
+
+  def pqKnnSql: String = {
+    val d2 = (a: String, b: String) =>
+      s"list_sum([($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]) for i in range($PqSubDim)])"
+    s"""WITH q AS ($sqlQuantized),
+       |subs AS (
+       |  SELECT vec_id, cast(m as int) AS m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub
+       |  FROM q, unnest(range($PqM)) t(m)),
+       |cb AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT s.vec_id, s.m, cb.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${d2("s.sub", "cb.csub")}, cb.k) AS rn
+       |    FROM subs s JOIN cb USING (m))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.m, cb.k AS code,
+       |    ${d2("s.sub", "cb.csub")} AS qd2
+       |  FROM subs s JOIN cb USING (m)
+       |  WHERE s.vec_id < ${Consts.KnnQueries}),
+       |adc AS (
+       |  SELECT query_id, vec_id, cast(sum(qd2) as bigint) AS adc_dist
+       |  FROM codes JOIN lut USING (m, code)
+       |  WHERE codes.vec_id != lut.query_id
+       |  GROUP BY query_id, vec_id)
+       |SELECT query_id, neighbor_id, rank, adc_dist FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_dist,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, vec_id) as bigint) AS rank
+       |  FROM adc)
+       |WHERE rank <= ${Consts.KnnK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def ivfKnnSql: String =
     s"""WITH q AS ($sqlQuantized),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),

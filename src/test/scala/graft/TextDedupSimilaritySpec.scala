@@ -205,6 +205,23 @@ class TextDedupSimilaritySpec extends SparkSpec {
     nov.unpersist()
   }
 
+  test("PQ-ADC kNN: exact integer distances, deterministic, nonzero recall vs brute force") {
+    val pq = Similarity.pqKnn(spark, sf0001).cache()
+    assert(pq.groupBy("query_id").count().collect()
+      .forall(_.getAs[Long]("count") == Consts.KnnK))
+    // integer ADC distances are exact -> bit-stable across runs
+    assert(pq.exceptAll(Similarity.pqKnn(spark, sf0001)).count() == 0)
+    // the compressed representation must still retrieve signal: some
+    // overlap with the exact top-k (random 64-d corpus, 16 sampled
+    // codewords — PQ is an approximation, not a reranker)
+    val exact = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id")
+    val overlap = pq.select("query_id", "neighbor_id")
+      .join(exact, Seq("query_id", "neighbor_id")).count()
+    assert(overlap > 0, s"PQ found none of the exact neighbors")
+    pq.unpersist()
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val d = Dedup.exactDedup(spark, sf0001)
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
