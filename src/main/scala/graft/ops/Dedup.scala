@@ -17,8 +17,11 @@ import graft.ops.TextAnalytics.{tokens, shingles3, sqlShingles}
   *    generation never goes O(n^2);
   *  - the only quadratic step left is Jaccard verification over LSH
   *    candidates, which is proportional to the true-duplicate count;
-  *  - plain `jaccardPairs` (blocked by `source`) is the small-block
-  *    baseline/oracle, not the scale path.
+  *  - `jaccardPairs` defaults to the sparse inverted-index join (work
+  *    tracks shared-shingle overlap); the blocked O(n^2) pairwise form
+  *    survives only as the spec cross-check baseline;
+  *  - near-dup pairs resolve into clusters (connected components) with
+  *    one representative each — the actual survivorship decision.
   */
 object Dedup {
 
