@@ -73,7 +73,11 @@ object SparkEntry {
     "q51_stratified_sample" -> Sampling.stratifiedSample _,
     "q52_novelty"           -> Dedup.noveltyScores _,
     "q53_source_cap"        -> Sampling.sourceCap _,
-    "q54_pq_knn"            -> Similarity.pqKnn _
+    "q54_pq_knn"            -> Similarity.pqKnn _,
+    "q55_oov_rate"          -> TextAnalytics.oovRate _,
+    // q56 has no SQL oracle (quantile sketches are engine-specific):
+    // rows-only check; the spec pins the error vs exact percentiles
+    "q56_approx_quantiles"  -> Sketches.approxValueQuantiles _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,6 +187,7 @@ object SparkEntry {
     "q51_stratified_sample" -> Sampling.stratifiedSampleSql,
     "q52_novelty"           -> Dedup.noveltyScoresSql,
     "q53_source_cap"        -> Sampling.sourceCapSql,
-    "q54_pq_knn"            -> Similarity.pqKnnSql
+    "q54_pq_knn"            -> Similarity.pqKnnSql,
+    "q55_oov_rate"          -> TextAnalytics.oovRateSql
   )
 }

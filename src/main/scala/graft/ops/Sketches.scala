@@ -69,6 +69,25 @@ object Sketches {
       .orderBy("l_returnflag")
   }
 
+  /** q56: approximate quantiles (Spark's Greenwald-Khanna-style
+    * approx_percentile sketch) next to the exact values — the sketch a
+    * 100 TB pipeline uses for length/quality distribution monitoring,
+    * where an exact per-group sort is unaffordable. Like the HLL query,
+    * sketch outputs are engine-specific, so the driver records a
+    * rows-only check and the spec pins the error against the exact
+    * percentiles. */
+  def approxValueQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, array(0.5, 0.9, 0.99))").as("exact_q"),
+        expr("approx_percentile(value, array(0.5, 0.9, 0.99), 1000)").as("approx_q"))
+      .select(col("event_type"),
+        col("exact_q")(0).as("p50_exact"), col("approx_q")(0).as("p50_approx"),
+        col("exact_q")(1).as("p90_exact"), col("approx_q")(1).as("p90_approx"),
+        col("exact_q")(2).as("p99_exact"), col("approx_q")(2).as("p99_approx"))
+      .orderBy("event_type")
+
   /** The exact formulation the Bloom variant must reproduce. */
   def exactOrderLineitems(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)

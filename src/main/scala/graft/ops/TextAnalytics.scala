@@ -31,6 +31,48 @@ object TextAnalytics {
         .otherwise(expr("cast(array() as array<string>)")))
 
   private val sqlTokens = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+  /** q55: vocabulary coverage / OOV rate. The vocabulary is the top
+    * `VocabSize` tokens by global frequency (count desc, token asc —
+    * deterministic at the boundary), computed with orderBy+limit (a
+    * TakeOrdered top-k, no global window) and then BROADCAST; the
+    * per-document out-of-vocabulary rate is a map-side join over the
+    * exploded tokens. This is the standard pre-training check that a
+    * tokenizer/vocab actually covers the corpus — at 100 TB the vocab
+    * stays driver-small while the scan never shuffles raw tokens
+    * (only per-doc partial counts). */
+  def oovRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(VocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val VocabSize = 100
+
+  def oovRateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+       |  ORDER BY cnt DESC, tok ASC LIMIT $VocabSize)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  cast(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) as bigint) AS n_oov,
+       |  cast(sum(CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END) as double)
+       |    / cast(count(*) as double) AS oov_rate
+       |FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   private[ops] val sqlShingles =
     "list_distinct(CASE WHEN len(t) >= 3 THEN [t[i+1]||' '||t[i+2]||' '||t[i+3] for i in range(len(t)-2)] ELSE [] END)"
 

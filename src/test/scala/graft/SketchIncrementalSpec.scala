@@ -18,6 +18,20 @@ class SketchIncrementalSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles land within sketch tolerance of the exact percentiles") {
+    val rows = Sketches.approxValueQuantiles(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for ((e, a) <- Seq(("p50_exact", "p50_approx"), ("p90_exact", "p90_approx"),
+                         ("p99_exact", "p99_approx"))) {
+        val exact = r.getAs[Double](e); val approx = r.getAs[Double](a)
+        // accuracy=1000 => rank error <= n/1000; generous value-space bound
+        assert(math.abs(approx - exact) <= math.max(0.05 * math.abs(exact), 0.5),
+          s"${r.getString(0)} $e=$exact vs $a=$approx")
+      }
+    }
+  }
+
   test("bloom-prefiltered semi-join equals the exact semi-join") {
     val df = Sketches.bloomPrunedOrderLineitems(spark, sf0001)
     val bloom = df.collect()
