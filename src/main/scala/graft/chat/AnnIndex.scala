@@ -146,6 +146,36 @@ object AnnIndex {
   def hasPlanes(path: String): Boolean =
     java.nio.file.Files.exists(java.nio.file.Paths.get(path, "planes"))
 
+  /** Compact the chunks table after incremental appends: every
+    * micro-batch append writes its own small parquet files, and small
+    * files are the classic slow poison of a streaming-maintained table
+    * (one scan task per file, metadata pressure). Rewrites the table —
+    * one shuffle keyed on the partition column, one file per language
+    * partition (at real scale, add a bucket-salt column sized by
+    * target file bytes to emit N size-bounded files instead) — into a
+    * fresh directory, then atomically swaps it in. Returns the number
+    * of data files after compaction. */
+  def compactChunks(spark: SparkSession, path: String): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(path, "chunks")
+    val tmp = Paths.get(path, s"chunks_compact_${System.nanoTime()}")
+    spark.read.parquet(live.toString)
+      .repartition(col("language"))
+      .write.mode("overwrite").partitionBy("language")
+      .parquet(tmp.toString)
+    val old = Paths.get(path, s"chunks_old_${System.nanoTime()}")
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    // best-effort cleanup of the replaced generation
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(c => rm(c))
+      Files.deleteIfExists(p)
+    }
+    rm(old)
+    Files.walk(live).filter(_.toString.endsWith(".parquet")).count()
+  }
+
   /** Query-side leaf ids, one per tree (driver-side tiny compute). */
   def queryLeaves(query: Array[Float], forest: Array[Array[Array[Float]]]): Seq[(Int, Long)] =
     forest.zipWithIndex.map { case (planes, t) =>

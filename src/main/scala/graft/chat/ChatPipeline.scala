@@ -131,7 +131,9 @@ object ChatCli {
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
       case "index" :: repo :: out :: Nil =>
-        val n = ChatPipeline.index(spark, repo, out)
+        // GRAFT_ONNX_MODEL selects a real model file for embeddings
+        val n = ChatPipeline.index(spark, repo, out,
+          embedder = Embedders.fromEnv())
         println(s"indexed $n chunks from $repo -> $out")
       case "query" :: indexDir :: question :: rest =>
         if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexDir, "chunks"))) {
@@ -142,7 +144,8 @@ object ChatCli {
         // GRAFT_OPENAI_BASE_URL switches the LLM touchpoints to a real
         // endpoint; unset, the deterministic mock answers
         val out = ChatPipeline.query(spark, indexDir, question, k,
-          client = OpenAiChatClient.fromEnv())
+          client = OpenAiChatClient.fromEnv(),
+          embedder = Embedders.fromEnv())
         out.results.foreach(r =>
           println(f"Chunk ${r.rank} | ${r.file} | Relevance ${r.distance}%.4f"))
         out.answer.foreach(print)

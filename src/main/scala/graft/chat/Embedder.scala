@@ -62,6 +62,21 @@ class HashingEmbedder(val dim: Int = 256) extends Embedder {
   val BatchSize = 32 // main.rs:288 app_batch_size
 }
 
+object Embedders {
+
+  /** Env-gated embedder selection, mirroring the reference's model
+    * routing (embedding.rs:38-52 from_str): GRAFT_ONNX_MODEL points at
+    * an .onnx file (optionally GRAFT_ONNX_DIM to enforce the expected
+    * output width, like the 512/1024 family check); unset, the
+    * deterministic hashing embedder drives everything. */
+  def fromEnv(env: Map[String, String] = sys.env): Embedder =
+    env.get("GRAFT_ONNX_MODEL") match {
+      case Some(path) =>
+        new OnnxEmbedder(path, env.get("GRAFT_ONNX_DIM").map(_.toInt))
+      case None => new HashingEmbedder()
+    }
+}
+
 object Embed {
 
   /** E2: batched embed over chunk rows, assigning stable chunk ids.

@@ -107,6 +107,31 @@ class SketchIncrementalSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction collapses append-generated small files without changing the data") {
+    import graft.chat.AnnIndex
+    val watch = Files.createTempDirectory("graft_watch3").toFile
+    val idx = Files.createTempDirectory("graft_inc_idx3").toFile
+    def w(rel: String, content: String): Unit =
+      Files.writeString(new java.io.File(watch, rel).toPath, content)
+    val q = IncrementalIndex.start(spark, watch.getAbsolutePath, idx.getAbsolutePath)
+    try {
+      // several micro-batches -> several small files per partition
+      for (i <- 1 to 4) { w(s"f$i.py", s"def fn_$i():\n    return $i\n"); q.processAllAvailable() }
+    } finally q.stop()
+    val before = spark.read.parquet(s"${idx.getAbsolutePath}/chunks")
+      .collect().map(_.toString).sorted.toSeq
+    def fileCount = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(idx.getAbsolutePath, "chunks"))
+      .filter(_.toString.endsWith(".parquet")).count()
+    val filesBefore = fileCount
+    assert(filesBefore >= 4, s"expected multiple append files, got $filesBefore")
+    val filesAfter = AnnIndex.compactChunks(spark, idx.getAbsolutePath)
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    val after = spark.read.parquet(s"${idx.getAbsolutePath}/chunks")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change the data")
+  }
+
   test("forest planes round-trip through disk, independent of sampling parameters") {
     import graft.chat.AnnIndex
     val dir = Files.createTempDirectory("graft_planes").toFile.getAbsolutePath
