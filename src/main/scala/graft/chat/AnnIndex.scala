@@ -154,7 +154,15 @@ object AnnIndex {
     * partition (at real scale, add a bucket-salt column sized by
     * target file bytes to emit N size-bounded files instead) — into a
     * fresh directory, then atomically swaps it in. Returns the number
-    * of data files after compaction. */
+    * of data files after compaction.
+    *
+    * MUST run with the incremental stream quiesced (stopped, or
+    * between `processAllAvailable` rounds): an append landing between
+    * the snapshot read and the swap would be moved out with the old
+    * generation and deleted. A real lakehouse table (snapshot
+    * isolation, e.g. the Iceberg/Delta protocol) is the right answer
+    * at scale; plain parquet directories have no transaction log, so
+    * the quiesce contract is the honest local equivalent. */
   def compactChunks(spark: SparkSession, path: String): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val live = Paths.get(path, "chunks")
@@ -166,14 +174,19 @@ object AnnIndex {
     val old = Paths.get(path, s"chunks_old_${System.nanoTime()}")
     Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    // best-effort cleanup of the replaced generation
+    // cleanup of the replaced generation (close directory streams —
+    // they hold file descriptors)
     def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => rm(c))
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => rm(c)) finally children.close()
+      }
       Files.deleteIfExists(p)
     }
     rm(old)
-    Files.walk(live).filter(_.toString.endsWith(".parquet")).count()
+    val walk = Files.walk(live)
+    try walk.filter(_.toString.endsWith(".parquet")).count()
+    finally walk.close()
   }
 
   /** Query-side leaf ids, one per tree (driver-side tiny compute). */

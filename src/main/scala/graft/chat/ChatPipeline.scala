@@ -156,11 +156,15 @@ object ChatCli {
         while ({ line = Option(scala.io.StdIn.readLine("> ")).getOrElse("exit"); line != "exit" }) {
           line.split("\\s+").toList match {
             case "index" :: repo :: out :: Nil =>
-              ChatPipeline.index(spark, repo, out); indexDir = Some(out)
+              // same env-selected embedder as the top-level commands —
+              // REPL-built indexes and queries must share vector space
+              ChatPipeline.index(spark, repo, out, embedder = Embedders.fromEnv())
+              indexDir = Some(out)
             case "load" :: dir :: Nil => indexDir = Some(dir)
             case "query" :: qs if indexDir.isDefined =>
               val out = ChatPipeline.query(spark, indexDir.get, qs.mkString(" "),
-                client = OpenAiChatClient.fromEnv())
+                client = OpenAiChatClient.fromEnv(),
+                embedder = Embedders.fromEnv())
               out.answer.foreach(print); println()
             case _ => println("unrecognized (or no index loaded)")
           }

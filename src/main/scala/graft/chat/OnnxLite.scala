@@ -61,6 +61,24 @@ object ProtoReader {
     val fb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
     val out = new Array[Float](fb.remaining()); fb.get(out); out
   }
+
+  /** Packed varint payload (proto3 packs repeated scalar fields into
+    * ONE length-delimited occurrence — every real ONNX exporter writes
+    * `dims` this way; unpacked per-element varints remain legal and
+    * must also parse). */
+  def packedVarints(b: Array[Byte]): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pos = 0
+    while (pos < b.length) {
+      var shift = 0; var v = 0L; var byte = 0
+      do {
+        byte = b(pos) & 0xff; pos += 1
+        v |= (byte & 0x7fL) << shift; shift += 7
+      } while ((byte & 0x80) != 0)
+      out += v
+    }
+    out.toSeq
+  }
 }
 
 /** A loaded ONNX graph restricted to the MLP subset. Tensors are
@@ -154,11 +172,21 @@ object OnnxLiteModel {
     val tensors = gf.collect { case Field(GraphInit, _, b) =>
       val tf = fields(b)
       val name = tf.collectFirst { case Field(TName, _, nb) => utf8(nb) }.getOrElse("")
-      val dims = tf.collect { case Field(TDims, v, null) => v.toInt }
+      // dims: packed (single length-delimited field — what real ONNX
+      // exporters emit) or unpacked (one varint per element)
+      val dims = tf.flatMap {
+        case Field(TDims, v, null) => Seq(v.toInt)
+        case Field(TDims, _, pb)   => packedVarints(pb).map(_.toInt)
+        case _ => Seq.empty
+      }
       val dtype = tf.collectFirst { case Field(TDataType, v, null) => v }.getOrElse(1L)
       require(dtype == 1L, s"tensor $name: only float32 supported, got $dtype")
+      // float_data may likewise be packed (one occurrence) or unpacked
+      // (one fixed32 per element) — concatenating occurrences handles both
+      val floatData = tf.collect { case Field(TFloatData, _, fb) => fb }
       val data = tf.collectFirst { case Field(TRawData, _, rb) => floats(rb) }
-        .orElse(tf.collectFirst { case Field(TFloatData, _, fb) => floats(fb) })
+        .orElse(if (floatData.isEmpty) None
+                else Some(floats(floatData.reduce(_ ++ _))))
         .getOrElse(Array.empty[Float])
       val (r, c) = dims match {
         case Seq(n)    => (1, n)

@@ -92,6 +92,11 @@ class OpenAiChatClient(baseUrl: String, apiKey: Option[String], model: String,
 
   private def completeOnce(system: String, user: String): String = {
     val resp = post(chatBody(system, user, stream = false))
+    if (resp.statusCode() / 100 != 2) {
+      val body = new String(resp.body().readAllBytes(), StandardCharsets.UTF_8)
+      throw new RuntimeException(
+        s"chat completion failed: HTTP ${resp.statusCode()}: ${body.take(500)}")
+    }
     mapper.readTree(resp.body())
       .path("choices").path(0).path("message").path("content").asText("")
   }
@@ -127,6 +132,11 @@ class OpenAiChatClient(baseUrl: String, apiKey: Option[String], model: String,
     val resp = post(chatBody(
       s"${header}Answer from the provided snippets only.",
       s"$query\n\nSnippets:\n$ctx", stream = true))
+    if (resp.statusCode() / 100 != 2) {
+      val body = new String(resp.body().readAllBytes(), StandardCharsets.UTF_8)
+      throw new RuntimeException(
+        s"chat stream failed: HTTP ${resp.statusCode()}: ${body.take(500)}")
+    }
     val lines = new BufferedReader(
       new InputStreamReader(resp.body(), StandardCharsets.UTF_8))
       .lines().iterator().asScala

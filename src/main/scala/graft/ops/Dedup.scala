@@ -51,10 +51,14 @@ object Dedup {
             // an unsigned 32-bit int — identical to the SQL-side
             // strpos-over-hex computation (shingleHashExpr)
             val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val hv = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
               ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-            (id, src, hv)
           }
+          // distinct by HASH, not just by shingle string: the oracle's
+          // set ops run over list_distinct of the hashed values, so two
+          // distinct shingles colliding to one hv must count once on
+          // both sides (set semantics over hv everywhere)
+          .distinct.map(hv => (id, src, hv))
         }
       }
       .toDF("doc_id", "source", "hv")
@@ -469,9 +473,8 @@ object Dedup {
     * corpus-level contamination signal a training pipeline computes
     * alongside dedup (integer ratio, so it hash-matches the oracle). */
   def noveltyScores(spark: SparkSession, sfDir: String): DataFrame = {
-    // hash-distinct (not just string-distinct) to mirror the oracle's
-    // DISTINCT doc_id, hv exactly if two shingles ever hash-collide
-    val sh = shingleRows(spark, sfDir).select("doc_id", "hv").distinct()
+    // shingleRows is hash-distinct per doc by construction
+    val sh = shingleRows(spark, sfDir).select("doc_id", "hv")
     val dfc = sh.groupBy("hv").agg(count(lit(1)).as("df"))
     sh.join(dfc, "hv")
       .groupBy("doc_id")

@@ -68,7 +68,13 @@ object Multimodal {
     images.mapPartitions { it =>
       it.grouped(FeatureBatch).flatMap { batch =>
         batch.flatMap { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          // ImageIO.read returns null when no reader claims the bytes
+          // but THROWS on recognized-yet-corrupt payloads — one bad
+          // image must skip, not kill the 100 TB job (4 task retries
+          // then abort)
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
           if (img == null) None
           else {
             var sum = 0.0
@@ -99,7 +105,9 @@ object Multimodal {
     images.mapPartitions { it =>
       it.grouped(FeatureBatch).flatMap { batch =>
         batch.flatMap { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
           if (img == null) None
           else {
             val out = new java.awt.image.BufferedImage(w, h,

@@ -57,12 +57,16 @@ object Scale {
   }
 
   /** Ensure the bucketed twins of orders/lineitem exist for `sfDir`
-    * (written once per JVM, then reused). Bucketing amortizes the join
-    * shuffle to WRITE time by design — this is the write half,
-    * analogous to an index build, and belongs in a prepare phase, not
-    * inside every query evaluation. */
+    * (written once per SESSION, then reused — saveAsTable registers in
+    * the creating session's catalog, so a cache shared across sessions
+    * would hand a later session table names its catalog has never
+    * seen). Bucketing amortizes the join shuffle to WRITE time by
+    * design — this is the write half, analogous to an index build, and
+    * belongs in a prepare phase, not inside every query evaluation. */
   def prepareBuckets(spark: SparkSession, sfDir: String): (String, String) =
-    bucketTables.computeIfAbsent(sfDir, _ => writeBucketTables(spark, sfDir))
+    bucketTables.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$sfDir",
+      _ => writeBucketTables(spark, sfDir))
 
   /** Co-located (bucketed) fact-fact join: both sides are written
     * bucketed by the join key, so the join itself needs NO exchange —

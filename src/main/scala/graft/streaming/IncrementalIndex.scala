@@ -75,8 +75,12 @@ object IncrementalIndex {
         // ids disjoint from any prior batch or the base build:
         // zipWithIndex is partition-aware (global dense row numbers),
         // unlike monotonically_increasing_id whose per-partition low
-        // bits collide across partitions of the same batch
-        val withIds = rows.rdd.zipWithIndex()
+        // bits collide across partitions of the same batch. Cache the
+        // embedded rows FIRST: zipWithIndex runs an internal count job
+        // over its parent, which would otherwise run chunk+embed twice
+        // per batch (embedding is the dominant cost with a real model)
+        val rowsRdd = rows.rdd.cache()
+        val withIds = rowsRdd.zipWithIndex()
           .map { case ((f, c, lang, e, v), i) =>
             (((batchId + 1L) << 32) | i, f, c, lang, e, v)
           }
@@ -94,6 +98,7 @@ object IncrementalIndex {
             .parquet(s"$indexDir/forest")
         }
         withIds.unpersist()
+        rowsRdd.unpersist()
         ()
       }
       .trigger(Trigger.ProcessingTime("1 second"))

@@ -61,6 +61,23 @@ class OnnxSpec extends SparkSpec {
     f.toString
   }
 
+  test("ONNX loader reads proto3 PACKED repeated fields (what real exporters emit)") {
+    // packed dims: ONE length-delimited occurrence holding both varints
+    def packedTensor(name: String, dims: Seq[Int], data: Array[Float]): Array[Byte] =
+      ld(1, dims.toArray.flatMap(varint(_))) ++ vint(2, 1L) ++
+        str(8, name) ++ ld(9, raw(data))
+    val graph =
+      ld(1, node("MatMul", Seq("x", "W"), "emb")) ++
+      ld(5, packedTensor("W", Seq(4, 3), Array.tabulate(12)(_.toFloat))) ++
+      ld(11, str(1, "x")) ++ ld(12, str(1, "emb"))
+    val f = Files.createTempFile("graft_packed", ".onnx")
+    Files.write(f, ld(7, graph))
+    val m = OnnxLiteModel.load(f.toString)
+    assert(m.inputDim == 4 && m.outputDim == 3)
+    val out = m.run(Array(Array(1f, 0f, 0f, 0f)))(0)
+    assert(out.toSeq == Seq(0f, 1f, 2f)) // first row of W
+  }
+
   test("ONNX loader recovers graph structure and dimensions") {
     val m = OnnxLiteModel.load(modelPath)
     assert(m.inputName == "x" && m.outputName == "emb")

@@ -150,11 +150,16 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(clusters.agg(sum("n_members")).collect()(0).getLong(0) == nodes)
     // each cluster has >= 2 members (clusters come from pairs)
     assert(clusters.filter(col("n_members") < 2).count() == 0)
-    // the representative is the minimum member: no pair can join two
-    // different cluster ids (fixpoint check)
-    val lbl = pairs
-      .join(clusters.select(col("cluster_id").as("ca")),
-        col("doc_a") === col("ca"), "left")
+    // fixpoint check: the reported (cluster_id, n_members) rows must
+    // equal an independent union-find over the same edge list
+    val m = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val uf = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = uf.getOrElse(x, x); if (p == x) x else { val r = find(p); uf(x) = r; r } }
+    m.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb) }
+    val expected = m.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .groupBy(find).map { case (root, ms) => (ms.min, ms.length.toLong) }
+    val got = clusters.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected, s"clusters $got != union-find $expected")
     clusters.unpersist(); pairs.unpersist()
   }
 
