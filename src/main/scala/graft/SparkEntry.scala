@@ -77,7 +77,8 @@ object SparkEntry {
     "q55_oov_rate"          -> TextAnalytics.oovRate _,
     // q56 has no SQL oracle (quantile sketches are engine-specific):
     // rows-only check; the spec pins the error vs exact percentiles
-    "q56_approx_quantiles"  -> Sketches.approxValueQuantiles _
+    "q56_approx_quantiles"  -> Sketches.approxValueQuantiles _,
+    "q57_interval_join"     -> Events.clickErrorInterval _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,6 +189,7 @@ object SparkEntry {
     "q52_novelty"           -> Dedup.noveltyScoresSql,
     "q53_source_cap"        -> Sampling.sourceCapSql,
     "q54_pq_knn"            -> Similarity.pqKnnSql,
-    "q55_oov_rate"          -> TextAnalytics.oovRateSql
+    "q55_oov_rate"          -> TextAnalytics.oovRateSql,
+    "q57_interval_join"     -> Events.clickErrorIntervalSql
   )
 }

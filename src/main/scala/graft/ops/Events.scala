@@ -158,6 +158,53 @@ object Events {
       |ORDER BY click_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // Binned interval join: each error matched to ALL same-user clicks
+  // within the preceding window (the batch twin of the stream-stream
+  // interval join). A naive theta join `c.ts BETWEEN e.ts - W AND
+  // e.ts` is a BroadcastNestedLoopJoin in Spark — quadratic at scale.
+  // The standard fix is time BINNING: bucket both sides into
+  // window-sized bins, join on (user_id, bin) EQUALITY with each error
+  // probing its own and the previous bin (any click within W of the
+  // error lies in one of those two bins — the interval spans at most
+  // two bins), then apply the exact range predicate to the bounded
+  // candidates. One equi-join shuffle, fan-out proportional to true
+  // matches per bin, no nested loop.
+  // -------------------------------------------------------------------
+
+  val IntervalUs: Long = 10L * 60L * 1000000L // 10 minutes
+
+  def clickErrorInterval(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+      .withColumn("bin", floor(col("click_us") / IntervalUs).cast("long"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        unix_micros(col("ts")).as("error_us"))
+      .withColumn("ebin", floor(col("error_us") / IntervalUs).cast("long"))
+      // probe the error's bin and the previous one
+      .select(col("user_id"), col("error_id"), col("error_us"),
+        explode(array(col("ebin"), col("ebin") - 1)).as("bin"))
+    errors.join(clicks, Seq("user_id", "bin"))
+      .filter(col("click_us") > col("error_us") - IntervalUs &&
+        col("click_us") <= col("error_us"))
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        (col("error_us") - col("click_us")).as("gap_us"))
+      .orderBy("error_id", "click_id")
+  }
+
+  def clickErrorIntervalSql: String =
+    s"""SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+       |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+       |FROM (SELECT * FROM events WHERE event_type = 'error') e
+       |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+       |  ON e.user_id = c.user_id
+       | AND epoch_us(c.ts) > epoch_us(e.ts) - $IntervalUs
+       | AND epoch_us(c.ts) <= epoch_us(e.ts)
+       |ORDER BY error_id, click_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // JSON scalar extraction over the props column.
   // -------------------------------------------------------------------
 

@@ -68,6 +68,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(Sampling.stratifiedSample(spark, sf0001)) <= 2)
   }
 
+  test("q57: binned interval join is an equi-join, equals the theta-join formulation") {
+    val binned = graft.ops.Events.clickErrorInterval(spark, sf0001)
+    // equivalence against the naive range predicate computed directly
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("cus"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("u2"), col("event_id").as("error_id"), unix_micros(col("ts")).as("eus"))
+    val naive = e.join(c, col("u2") === col("user_id") &&
+        col("cus") > col("eus") - graft.ops.Events.IntervalUs &&
+        col("cus") <= col("eus"))
+      .select(col("user_id"), col("error_id"), col("click_id"), (col("eus") - col("cus")).as("gap_us"))
+    assert(binned.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(binned).count() == 0)
+    // and the binned plan has NO nested-loop join
+    binned.collect()
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    assert(!this.flatten(binned.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      binned.queryExecution.executedPlan.toString)
+  }
+
   test("q18: only the bid-only tile enumeration is a nested loop; payloads ride equi-joins") {
     val df = Similarity.nearDupPairs(spark, sf0001)
     val plan = executed(df)
