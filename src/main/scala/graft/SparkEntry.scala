@@ -78,7 +78,8 @@ object SparkEntry {
     // q56 has no SQL oracle (quantile sketches are engine-specific):
     // rows-only check; the spec pins the error vs exact percentiles
     "q56_approx_quantiles"  -> Sketches.approxValueQuantiles _,
-    "q57_interval_join"     -> Events.clickErrorInterval _
+    "q57_interval_join"     -> Events.clickErrorInterval _,
+    "q58_cdc_segments"      -> Dedup.cdcSegments _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,6 +191,7 @@ object SparkEntry {
     "q53_source_cap"        -> Sampling.sourceCapSql,
     "q54_pq_knn"            -> Similarity.pqKnnSql,
     "q55_oov_rate"          -> TextAnalytics.oovRateSql,
-    "q57_interval_join"     -> Events.clickErrorIntervalSql
+    "q57_interval_join"     -> Events.clickErrorIntervalSql,
+    "q58_cdc_segments"      -> Dedup.cdcSegmentsSql
   )
 }

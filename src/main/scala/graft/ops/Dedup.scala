@@ -498,6 +498,81 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Content-defined chunking (CDC): rolling-hash boundary detection,
+  // the block-level dedup primitive (cf. LBFS/rsync-style anchoring;
+  // gear/Rabin CDC in storage dedup). Unlike fixed-size chunking, an
+  // insertion early in a document does NOT shift every later block's
+  // identity — boundaries re-synchronize at the next hash anchor — so
+  // shared passages across near-duplicate documents dedup at block
+  // granularity. Boundaries are a pure per-position predicate (window
+  // hash divisible by CdcDivisor), so the operator is a stateless
+  // flatMap on Spark and a list comprehension in the oracle: exact
+  // integer arithmetic end to end.
+  // -------------------------------------------------------------------
+
+  val CdcWindow = 8
+  val CdcBase = 31L    // small base keeps every term within i64 exactly
+  val CdcMod = 1L << 32
+  val CdcDivisor = 64L // ~1/64 boundary rate -> ~40-char mean segments
+
+  /** (doc_id, seg_idx, seg_len, seg_md5) — segments re-concatenate to
+    * the original text (spec-checked); md5 identifies shared blocks
+    * across documents for block-level dedup. */
+  def cdcSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pow = Array.iterate(1L, CdcWindow)(_ * CdcBase)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) > 0)
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val n = text.length
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = CdcWindow - 1
+        while (i < n - 1) {
+          var h = 0L; var k = 0
+          while (k < CdcWindow) { h += text.charAt(i - k).toLong * pow(k); k += 1 }
+          if ((h % CdcMod) % CdcDivisor == 0L) bounds += i
+          i += 1
+        }
+        val starts = 0 +: bounds.map(_ + 1)
+        val ends = bounds :+ (n - 1)
+        starts.zip(ends).zipWithIndex.map { case ((s, e), idx) =>
+          val seg = text.substring(s, e + 1)
+          val d = md.digest(seg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (id, idx.toLong, (e - s + 1).toLong, d.map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("doc_id", "seg_idx", "seg_len", "seg_md5")
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  def cdcSegmentsSql: String = {
+    val pow = Array.iterate(1L, CdcWindow)(_ * CdcBase)
+    val powTerms = (0 until CdcWindow).map { k =>
+      s"cast(ascii(substring(text, i - $k + 1, 1)) as bigint) * ${pow(k)}"
+    }.mkString(" + ")
+    s"""WITH bounded AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    [i for i in range(${CdcWindow - 1}, length(text) - 1)
+       |       if (($powTerms) % $CdcMod) % $CdcDivisor = 0] AS b
+       |  FROM documents WHERE length(text) > 0),
+       |segs AS (
+       |  SELECT doc_id,
+       |    cast(k as bigint) AS seg_idx,
+       |    substring(text,
+       |      cast((CASE WHEN k = 0 THEN 0 ELSE b[k] + 1 END) + 1 as int),
+       |      cast((CASE WHEN k = len(b) THEN n - 1 ELSE b[k + 1] END)
+       |           - (CASE WHEN k = 0 THEN 0 ELSE b[k] + 1 END) + 1 as int)) AS seg
+       |  FROM bounded, unnest(range(len(b) + 1)) AS t(k))
+       |SELECT doc_id, seg_idx,
+       |  cast(length(seg) as bigint) AS seg_len, md5(seg) AS seg_md5
+       |FROM segs
+       |ORDER BY doc_id, seg_idx""".stripMargin
+  }
+
   /** The all-pairs baseline the two-level join is spec-checked against. */
   def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simhashFrame(spark, sfDir)

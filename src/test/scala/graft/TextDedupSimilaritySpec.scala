@@ -227,6 +227,28 @@ class TextDedupSimilaritySpec extends SparkSpec {
     pq.unpersist()
   }
 
+  test("CDC segments round-trip, stay anchored, and dedup shared blocks across docs") {
+    import spark.implicits._
+    val segs = Dedup.cdcSegments(spark, sf001).cache()
+    // segment lengths reassemble every document exactly
+    val lens = segs.groupBy("doc_id").agg(sum("seg_len").as("total"))
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .filter(col("len") > 0)
+    assert(lens.join(docs, "doc_id").filter(col("total") =!= col("len")).count() == 0)
+    // block-level dedup: planted near-duplicates share segments, so
+    // distinct hashes < total segments
+    val total = segs.count()
+    val uniq = segs.select("seg_md5").distinct().count()
+    assert(uniq < total, s"expected shared blocks, got $uniq/$total")
+    // re-synchronization: at least one segment hash appears in MORE
+    // than one distinct document (cross-doc block sharing)
+    val crossDoc = segs.groupBy("seg_md5")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1).count()
+    assert(crossDoc > 0)
+    segs.unpersist()
+  }
+
   test("exact dedup keeps one row per distinct content") {
     val d = Dedup.exactDedup(spark, sf0001)
     val texts = spark.read.parquet(s"$sf0001/documents.parquet")
