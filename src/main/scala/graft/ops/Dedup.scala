@@ -512,53 +512,90 @@ object Dedup {
   // -------------------------------------------------------------------
 
   val CdcWindow = 8
-  val CdcBase = 31L    // small base keeps every term within i64 exactly
-  val CdcMod = 1L << 32
-  val CdcDivisor = 64L // ~1/64 boundary rate -> ~40-char mean segments
+  val CdcBase = 31L    // ord(31 mod 61) > window: all 8 powers distinct mod 61
+  val CdcDivisor = 61L // PRIME — no shared factors with the base's power
+                       // structure (the first cut used 64, where
+                       // 31^2 == 1 (mod 64) collapsed the hash to a
+                       // 6-bit alternating sum and made every run of 8
+                       // equal chars anchor at every position)
+
+  /** Byte substitution table (gear-style): window hashes of structured
+    * text mix through seeded random values instead of raw char codes.
+    * Every entry is nonzero mod 61, so a uniform window (h = T[c] *
+    * sum(31^k), and sum(31^k) ≢ 0 mod 61) can NEVER anchor — repeated-
+    * character runs (padding, separators, indentation) produce no
+    * boundaries instead of one boundary per character. */
+  val CdcSubst: Array[Long] = {
+    var s = 0x5eed5eedL
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 40) & 0xffffL }
+    Array.fill(128) {
+      var v = next() | 1L
+      if (v % CdcDivisor == 0) v += 2
+      v
+    }
+  }
 
   /** (doc_id, seg_idx, seg_len, seg_md5) — segments re-concatenate to
     * the original text (spec-checked); md5 identifies shared blocks
-    * across documents for block-level dedup. */
+    * across documents for block-level dedup. All positions/lengths are
+    * Unicode CODE POINTS (DuckDB's length/substring/ascii semantics),
+    * not UTF-16 units, so the oracle agrees beyond the BMP too. */
   def cdcSegments(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val pow = Array.iterate(1L, CdcWindow)(_ * CdcBase)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) > 0)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val n = text.length
-        val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var i = CdcWindow - 1
-        while (i < n - 1) {
-          var h = 0L; var k = 0
-          while (k < CdcWindow) { h += text.charAt(i - k).toLong * pow(k); k += 1 }
-          if ((h % CdcMod) % CdcDivisor == 0L) bounds += i
-          i += 1
-        }
-        val starts = 0 +: bounds.map(_ + 1)
-        val ends = bounds :+ (n - 1)
-        starts.zip(ends).zipWithIndex.map { case ((s, e), idx) =>
-          val seg = text.substring(s, e + 1)
+        cdcSplit(text).zipWithIndex.map { case (seg, idx) =>
           val d = md.digest(seg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          (id, idx.toLong, (e - s + 1).toLong, d.map("%02x".format(_)).mkString)
+          (id, idx.toLong, seg.codePointCount(0, seg.length).toLong,
+            d.map("%02x".format(_)).mkString)
         }
       }
       .toDF("doc_id", "seg_idx", "seg_len", "seg_md5")
       .orderBy("doc_id", "seg_idx")
   }
 
+  /** Pure split (testable without Spark): segment boundaries over the
+    * code-point sequence via the rolling substituted hash. */
+  private[graft] def cdcSplit(text: String): Seq[String] = {
+    val pow = Array.iterate(1L, CdcWindow)(_ * CdcBase)
+    val topPow = pow(CdcWindow - 1)
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return Seq.empty
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // true rolling update: h' = (h - T[old]*31^7)*31 + T[new];
+    // exact in i64 (h <= 8 * 2^16 * 31^7 ~ 1.4e16, x31 < 2^63)
+    var h = 0L
+    var i = 0
+    while (i < n - 1) {
+      val t = CdcSubst((cps(i) % 128 + 128) % 128)
+      if (i < CdcWindow) h = h * CdcBase + t
+      else h = (h - CdcSubst((cps(i - CdcWindow) % 128 + 128) % 128) * topPow) * CdcBase + t
+      if (i >= CdcWindow - 1 && h % CdcDivisor == 0L) bounds += i
+      i += 1
+    }
+    val starts = 0 +: bounds.map(_ + 1)
+    val ends = bounds :+ (n - 1)
+    starts.zip(ends).map { case (s, e) => new String(cps, s, e - s + 1) }.toSeq
+  }
+
   def cdcSegmentsSql: String = {
     val pow = Array.iterate(1L, CdcWindow)(_ * CdcBase)
+    val substList = CdcSubst.mkString("[", ", ", "]")
+    // term k reads the char k positions back (highest power = oldest)
     val powTerms = (0 until CdcWindow).map { k =>
-      s"cast(ascii(substring(text, i - $k + 1, 1)) as bigint) * ${pow(k)}"
+      s"cast(tt[(ascii(substring(text, i - $k + 1, 1)) % 128 + 128) % 128 + 1] as bigint) * ${pow(k)}"
     }.mkString(" + ")
     s"""WITH bounded AS (
        |  SELECT doc_id, text, length(text) AS n,
        |    [i for i in range(${CdcWindow - 1}, length(text) - 1)
-       |       if (($powTerms) % $CdcMod) % $CdcDivisor = 0] AS b
-       |  FROM documents WHERE length(text) > 0),
+       |       if ($powTerms) % $CdcDivisor = 0] AS b
+       |  FROM (SELECT doc_id, text, $substList AS tt
+       |        FROM documents WHERE length(text) > 0)),
        |segs AS (
        |  SELECT doc_id,
        |    cast(k as bigint) AS seg_idx,

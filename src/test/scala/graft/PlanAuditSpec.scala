@@ -69,20 +69,25 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q57: binned interval join is an equi-join, equals the theta-join formulation") {
-    val binned = graft.ops.Events.clickErrorInterval(spark, sf0001)
-    // equivalence against the naive range predicate computed directly
     import org.apache.spark.sql.functions._
-    val ev = graft.core.Tables.events(spark, sf0001)
-    val c = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("cus"))
-    val e = ev.filter(col("event_type") === "error")
-      .select(col("user_id").as("u2"), col("event_id").as("error_id"), unix_micros(col("ts")).as("eus"))
-    val naive = e.join(c, col("u2") === col("user_id") &&
-        col("cus") > col("eus") - graft.ops.Events.IntervalUs &&
-        col("cus") <= col("eus"))
-      .select(col("user_id"), col("error_id"), col("click_id"), (col("eus") - col("cus")).as("gap_us"))
-    assert(binned.exceptAll(naive).count() == 0)
-    assert(naive.exceptAll(binned).count() == 0)
+    // BOTH scale factors: sf0.001's matches all cross a bin boundary
+    // (probe = previous bin), sf0.01 also has same-bin matches — the
+    // two probe arms are each exercised
+    for (sf <- Seq(sf0001, sf001)) {
+      val binned = graft.ops.Events.clickErrorInterval(spark, sf)
+      val ev = graft.core.Tables.events(spark, sf)
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), unix_micros(col("ts")).as("cus"))
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("u2"), col("event_id").as("error_id"), unix_micros(col("ts")).as("eus"))
+      val naive = e.join(c, col("u2") === col("user_id") &&
+          col("cus") > col("eus") - graft.ops.Events.IntervalUs &&
+          col("cus") <= col("eus"))
+        .select(col("user_id"), col("error_id"), col("click_id"), (col("eus") - col("cus")).as("gap_us"))
+      assert(binned.exceptAll(naive).count() == 0, s"binned-only rows at $sf")
+      assert(naive.exceptAll(binned).count() == 0, s"naive-only rows at $sf")
+    }
+    val binned = graft.ops.Events.clickErrorInterval(spark, sf0001)
     // and the binned plan has NO nested-loop join
     binned.collect()
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec

@@ -227,6 +227,24 @@ class TextDedupSimilaritySpec extends SparkSpec {
     pq.unpersist()
   }
 
+  test("CDC never anchors inside uniform runs and re-syncs after an insertion") {
+    // regression for the degenerate first cut (31^2 == 1 mod 64 made
+    // every 8-char run anchor at every position): a run of identical
+    // characters must produce NO internal boundaries
+    for (c <- Seq(' ', '-', 'a', '=')) {
+      val run = c.toString * 64
+      assert(Dedup.cdcSplit(run) == Seq(run), s"uniform '$c' run split: ${Dedup.cdcSplit(run).length} segs")
+    }
+    // anchoring: an insertion near the front shifts early boundaries
+    // but the suffix re-synchronizes to identical segments
+    val base = "the quick brown fox jumps over the lazy dog " * 40
+    val edited = "INSERTED TEXT " + base
+    val a = Dedup.cdcSplit(base); val b = Dedup.cdcSplit(edited)
+    assert(a.mkString("") == base && b.mkString("") == edited)
+    val shared = a.toSet.intersect(b.toSet)
+    assert(shared.nonEmpty, "suffix segments should re-synchronize after an edit")
+  }
+
   test("CDC segments round-trip, stay anchored, and dedup shared blocks across docs") {
     import spark.implicits._
     val segs = Dedup.cdcSegments(spark, sf001).cache()
