@@ -68,8 +68,10 @@ object Dedup {
     * as 32-bit int hashes — set ops over longs are far cheaper than
     * over strings, and the oracle mirrors the same hash). */
   private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    shingleRows(spark, sfDir)
-      .groupBy("doc_id", "source")
+    shingleSetsFrom(shingleRows(spark, sfDir))
+
+  private def shingleSetsFrom(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id", "source")
       .agg(sort_array(collect_set(col("hv"))).as("s")) // sorted: see LongArrayIntersectCount
 
   // -------------------------------------------------------------------
@@ -106,11 +108,14 @@ object Dedup {
     * permutations are linear maps over the 32-bit hash (Consts). Min
     * aggregates get map-side partial aggregation, so the shuffle moves
     * one signature row per doc, not the shingles. */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    minhashSignaturesFrom(shingleRows(spark, sfDir))
+
+  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
     val aggs = Consts.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((col("hv") * a + b) % Consts.MinhashPrime).as(s"mh$i")
     }
-    shingleRows(spark, sfDir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate pairs from LSH bands, verified with exact Jaccard.
@@ -121,7 +126,12 @@ object Dedup {
     * reuses the exchange), instead of one join per band re-running the
     * whole MinHash lineage. */
   def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minhashSignatures(spark, sfDir)
+    // one materialization feeds BOTH the signature aggregate (shuffle
+    // by doc_id) and the shingle-set aggregate (shuffle by doc_id,
+    // source) — different keys, so without it the 5M-digest MD5
+    // lineage runs twice (the round-2 q14/q49 recompute)
+    val sh = Materialize.shared(spark, shingleRows(spark, sfDir))
+    val sig = minhashSignaturesFrom(sh)
     val bandHashes = (0 until Consts.LshBands).map { b =>
       val rows = (0 until Consts.LshRowsPerBand)
         .map(r => col(s"mh${b * Consts.LshRowsPerBand + r}"))
@@ -137,7 +147,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = shingleSets(spark, sfDir).select(col("doc_id"), col("s"))
+    val sets = shingleSetsFrom(sh).select(col("doc_id"), col("s"))
     val a = sets.alias("sa"); val b = sets.alias("sb")
     candidates
       .join(a, col("doc_a") === col("sa.doc_id"))
@@ -244,7 +254,11 @@ object Dedup {
     * approximate alternative when that trade-off matters. */
   def jaccardPairsSparse(spark: SparkSession, sfDir: String,
                          dfCap: Option[Long] = None): DataFrame = {
-    val sh = shingleRows(spark, sfDir)
+    // materialized once: the self-join sides share one exchange, but
+    // the `sizes` aggregate shuffles by a different key (doc_id) and
+    // would otherwise re-run the whole MD5 lineage — measured as 11.6 s
+    // (27% of the round-2 bench) before this fix
+    val sh = Materialize.shared(spark, shingleRows(spark, sfDir))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // exact shared-shingle counts: with dfCap=None the grouped
     // self-equi-join IS the candidate generation; with a cap, hot
@@ -473,8 +487,12 @@ object Dedup {
     * corpus-level contamination signal a training pipeline computes
     * alongside dedup (integer ratio, so it hash-matches the oracle). */
   def noveltyScores(spark: SparkSession, sfDir: String): DataFrame = {
-    // shingleRows is hash-distinct per doc by construction
-    val sh = shingleRows(spark, sfDir).select("doc_id", "hv")
+    // shingleRows is hash-distinct per doc by construction; shared so
+    // the df-count aggregate (shuffle by hv) and the per-doc aggregate
+    // (shuffle by doc_id) read one materialization
+    val sh = Materialize
+      .shared(spark, shingleRows(spark, sfDir).select("doc_id", "source", "hv"))
+      .select("doc_id", "hv")
     val dfc = sh.groupBy("hv").agg(count(lit(1)).as("df"))
     sh.join(dfc, "hv")
       .groupBy("doc_id")
