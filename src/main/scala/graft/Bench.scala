@@ -50,7 +50,12 @@ object Bench {
           System.err.println(s"bench: $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop any Materialize.shared cache so the NEXT pass measures full
+      // compute, not pass 1's still-cached blocks (which made min-of-2
+      // report a warm-cache number for q14/q15/q49)
+      graft.ops.Materialize.release(spark)
+      (sec, ok)
     }
     val results = ordered.map { case (name, fn) =>
       val runs = (1 to math.max(1, passes)).map(_ => timeOne(name, fn))

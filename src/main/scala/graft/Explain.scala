@@ -22,8 +22,12 @@ object Explain {
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
       .foreach { case (name, fn) =>
         println(s"===== $name =====")
-        try println(fn(spark, sfDir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
+        // withoutEagerness: plan inspection must not trigger the full
+        // compute job that Materialize.shared's eager count would run
+        try println(graft.ops.Materialize.withoutEagerness {
+          fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        })
         catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
       }
     spark.stop()

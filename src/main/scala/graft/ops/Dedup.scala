@@ -328,16 +328,21 @@ object Dedup {
     * in simhashPairs build on this so no useless sort sits under a
     * shuffle. */
   private def simhashFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    // One fused codegen pass extracts all 16 high-nibble bits of the
+    // md5 hex into a single long mask (NibbleHighMask); the per-bit
+    // +/-1 vote sum b_k = 2*count(bit k set) - count(*), so 16
+    // substring/isin CASE sums (the round-2 2.4x regression) become 16
+    // native shift-and-mask sums plus one count.
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-    val bitSums = (0 until Consts.SimHashBits).map { k =>
-      sum(when(substring(col("h"), k + 1, 1).isin(Consts.HexHigh: _*), 1)
-        .otherwise(-1)).as(s"b$k")
-    }
-    val sig = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("m", graft.functions.NibbleHighMask(md5(col("tok").cast("binary"))))
+    val bitCounts = (0 until Consts.SimHashBits).map { k =>
+      sum(shiftright(col("m"), k).bitwiseAND(lit(1L))).as(s"c$k")
+    } :+ count(lit(1)).as("n")
+    val sig = toks.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
     val hash = (0 until Consts.SimHashBits).map { k =>
-      when(col(s"b$k") > 0, lit(1L << k)).otherwise(lit(0L))
+      // b_k > 0  <=>  2*c_k > n (vote sum sign, oracle SQL unchanged)
+      when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
     sig.select(col("doc_id"), hash.as("simhash"))
   }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -14,34 +15,51 @@ import org.apache.spark.storage.StorageLevel
   * round-2 bench: q15 spent 11.6 s re-hashing for its `sizes`
   * aggregate, and q14/q49 repeated the pattern.
   *
-  * `shared` persists the frame and materializes it EAGERLY (one count
-  * job) so every consumer — whatever its shuffle key — reads cached
-  * blocks instead of re-running the lineage. Plain `persist` (not
-  * `localCheckpoint`) keeps the lineage intact, so block eviction under
-  * memory pressure degrades to recompute instead of job failure, and a
-  * frame that is never released is merely LRU-evictable cache, not a
-  * leak that can fail later queries.
+  * `shared` persists the frame and (by default) materializes it EAGERLY
+  * (one count job) so every consumer — whatever its shuffle key — reads
+  * cached blocks instead of re-running the lineage. Plain `persist`
+  * (not `localCheckpoint`) keeps the lineage intact, so block eviction
+  * under memory pressure degrades to recompute instead of job failure.
   *
-  * `release(spark)` unpersists everything registered by the session —
-  * Bench calls it between timed passes (each pass measures the full
-  * compute, not a warm cache) and Verify calls it per query (bounded
-  * memory across the 50+ query sweep).
+  * The eager count is a side effect at plan-CONSTRUCTION time, which is
+  * wrong for plan inspection: `Explain` only wants the physical plan,
+  * not a full compute job. `withoutEagerness` turns `shared` into a
+  * plain pass-through (no persist, no count) for such callers.
+  *
+  * `release(spark)` unpersists everything `shared` registered for that
+  * session. Bench calls it after EVERY timed run (so pass 2 measures
+  * full compute, not a warm cache) and Verify calls it after every
+  * query (bounded memory across the 50+ query sweep).
   */
 object Materialize {
+  // keyed on the SparkSession instance (reference identity — Spark
+  // does not override equals) rather than an id string: sessions are
+  // few and long-lived, and release() removes the entry
   private val registry =
-    new ConcurrentHashMap[String, ConcurrentLinkedQueue[DataFrame]]()
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+  private val eager = new AtomicBoolean(true)
 
-  def shared(spark: SparkSession, df: DataFrame): DataFrame = {
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    cached.count()
-    registry
-      .computeIfAbsent(spark.sessionUUID, _ => new ConcurrentLinkedQueue[DataFrame]())
-      .add(cached)
-    cached
-  }
+  def shared(spark: SparkSession, df: DataFrame): DataFrame =
+    if (!eager.get()) df
+    else {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      cached.count()
+      registry
+        .computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]())
+        .add(cached)
+      cached
+    }
 
   def release(spark: SparkSession): Unit = {
-    val q = registry.remove(spark.sessionUUID)
+    val q = registry.remove(spark)
     if (q != null) q.forEach(df => df.unpersist(false))
+  }
+
+  /** Run `body` with `shared` as a no-op (plan inspection, tests that
+    * assert on uncached plan shapes). Not re-entrancy-safe across
+    * concurrent sessions by design — only Explain uses it. */
+  def withoutEagerness[A](body: => A): A = {
+    eager.set(false)
+    try body finally eager.set(true)
   }
 }
