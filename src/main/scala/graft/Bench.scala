@@ -41,8 +41,17 @@ object Bench {
     // JMH does): a single pass is exposed to one-off JIT/GC/IO spikes
     // that can make an innocent query look 10x slower than it is
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // cumulative JVM GC millis: per-query deltas surface cache-leak
+    // regressions (the q48 0.7->9.2 s incident class) in the JSON
+    // itself, not just in relative timings
+    def gcNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
-        (Double, Boolean) = {
+        (Double, Boolean, Long) = {
+      val gc0 = gcNow()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -55,21 +64,26 @@ object Bench {
       // compute, not pass 1's still-cached blocks (which made min-of-2
       // report a warm-cache number for q14/q15/q49)
       graft.ops.Materialize.release(spark)
-      (sec, ok)
+      (sec, ok, gcNow() - gc0)
     }
     val results = ordered.map { case (name, fn) =>
       val runs = (1 to math.max(1, passes)).map(_ => timeOne(name, fn))
       val ok = runs.forall(_._2)
-      (name, runs.map(_._1).min, ok)
+      // gcMs rides the MIN-duration pass: that is the pass the reported
+      // seconds describe
+      val best = runs.minBy(_._1)
+      (name, best._1, ok, best._3)
     }
     // failed queries report a NEGATIVE duration (and an errors list) so
     // a broken query can never masquerade as a fast one
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
+    val qs = results.map { case (k, v, ok, _) => "\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val gcs = results.map { case (k, _, _, gc) => "\"" + k + "\":" + gc }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcMs":$gcs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
