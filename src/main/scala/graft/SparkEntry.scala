@@ -62,9 +62,9 @@ object SparkEntry {
     "q42_ivf_knn"           -> Similarity.ivfKnn _,
     "q43_json_extract"      -> Events.jsonPropStats _,
     "q44_time_parts"        -> Events.timePartCounts _,
-    // q45 has no SQL oracle (sketch outputs are engine-specific): the
-    // driver records a rows-only check; the spec pins the error bound
-    "q45_approx_distinct"   -> Sketches.approxDistinctUsers _,
+    // q45 hashes (exact, within_bound): the sketch value itself is
+    // engine-specific, but the error bound is pinned by the hash gate
+    "q45_approx_distinct"   -> Sketches.approxDistinctChecked _,
     "q46_bloom_semi_join"   -> Sketches.bloomPrunedOrderLineitems _,
     "q47_exact_corr"        -> Statistics.quantityPriceCorr _,
     "q48_edit_distance"     -> Statistics.partNameNearDup _,
@@ -75,9 +75,9 @@ object SparkEntry {
     "q53_source_cap"        -> Sampling.sourceCap _,
     "q54_pq_knn"            -> Similarity.pqKnn _,
     "q55_oov_rate"          -> TextAnalytics.oovRate _,
-    // q56 has no SQL oracle (quantile sketches are engine-specific):
-    // rows-only check; the spec pins the error vs exact percentiles
-    "q56_approx_quantiles"  -> Sketches.approxValueQuantiles _,
+    // q56 hashes quantized exact percentiles + within_bound (same
+    // pattern as q45)
+    "q56_approx_quantiles"  -> Sketches.approxQuantilesChecked _,
     "q57_interval_join"     -> Events.clickErrorInterval _,
     "q58_cdc_segments"      -> Dedup.cdcSegments _
   )
@@ -181,6 +181,7 @@ object SparkEntry {
     "q42_ivf_knn"           -> Similarity.ivfKnnSql,
     "q43_json_extract"      -> Events.jsonPropStatsSql,
     "q44_time_parts"        -> Events.timePartCountsSql,
+    "q45_approx_distinct"   -> Sketches.approxDistinctCheckedSql,
     "q46_bloom_semi_join"   -> Sketches.bloomPrunedSql,
     "q47_exact_corr"        -> Statistics.quantityPriceCorrSql,
     "q48_edit_distance"     -> Statistics.partNameNearDupSql,
@@ -191,6 +192,7 @@ object SparkEntry {
     "q53_source_cap"        -> Sampling.sourceCapSql,
     "q54_pq_knn"            -> Similarity.pqKnnSql,
     "q55_oov_rate"          -> TextAnalytics.oovRateSql,
+    "q56_approx_quantiles"  -> Sketches.approxQuantilesCheckedSql,
     "q57_interval_join"     -> Events.clickErrorIntervalSql,
     "q58_cdc_segments"      -> Dedup.cdcSegmentsSql
   )

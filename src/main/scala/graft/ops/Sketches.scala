@@ -88,6 +88,50 @@ object Sketches {
         col("exact_q")(2).as("p99_exact"), col("approx_q")(2).as("p99_approx"))
       .orderBy("event_type")
 
+  /** q45 oracle-checked form: the full sketch value is engine-specific
+    * (DuckDB cannot reproduce Spark's HLL), so the HASHED columns are
+    * the exact count plus a `within_bound` boolean computed in-query
+    * from the sketch — the oracle emits the exact count and a literal
+    * `true`, so a sketch drifting outside its 3-sigma bound (rsd 5%)
+    * fails the driver's hash gate, not just a spec. */
+  def approxDistinctChecked(spark: SparkSession, sfDir: String): DataFrame =
+    approxDistinctUsers(spark, sfDir)
+      .select(col("event_type"), col("exact_users"),
+        (col("rel_err") <= 0.15).as("within_bound"))
+      .orderBy("event_type")
+
+  def approxDistinctCheckedSql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users, true AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q56 oracle-checked form, same pattern as [[approxDistinctChecked]]:
+    * exact percentiles quantized to integer micro-units (double
+    * interpolation is not bit-stable across engines; floor-scale is the
+    * ExactSums recipe) plus one `within_bound` covering all three
+    * quantiles against the spec's value-space tolerance. */
+  def approxQuantilesChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    def micro(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000L)).cast("long")
+    def ok(e: String, a: String) =
+      abs(col(a) - col(e)) <= greatest(abs(col(e)) * 0.05, lit(0.5))
+    approxValueQuantiles(spark, sfDir)
+      .select(col("event_type"),
+        micro(col("p50_exact")).as("p50_exact_micro"),
+        micro(col("p90_exact")).as("p90_exact_micro"),
+        micro(col("p99_exact")).as("p99_exact_micro"),
+        (ok("p50_exact", "p50_approx") && ok("p90_exact", "p90_approx") &&
+          ok("p99_exact", "p99_approx")).as("within_bound"))
+      .orderBy("event_type")
+  }
+
+  def approxQuantilesCheckedSql: String =
+    """SELECT event_type,
+      |  cast(floor(quantile_cont(value, 0.5)  * 1000000) as bigint) AS p50_exact_micro,
+      |  cast(floor(quantile_cont(value, 0.9)  * 1000000) as bigint) AS p90_exact_micro,
+      |  cast(floor(quantile_cont(value, 0.99) * 1000000) as bigint) AS p99_exact_micro,
+      |  true AS within_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** The exact formulation the Bloom variant must reproduce. */
   def exactOrderLineitems(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
