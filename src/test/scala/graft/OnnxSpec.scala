@@ -35,8 +35,16 @@ class OnnxSpec extends SparkSpec {
   private def tensor(name: String, dims: Seq[Int], data: Array[Float]): Array[Byte] =
     dims.toArray.flatMap(d => vint(1, d.toLong)) ++ vint(2, 1L) ++
       str(8, name) ++ ld(9, raw(data))
-  private def node(op: String, ins: Seq[String], out: String): Array[Byte] =
-    ins.toArray.flatMap(str(1, _)) ++ str(2, out) ++ str(4, op)
+  private def node(op: String, ins: Seq[String], out: String,
+                   attrs: Array[Byte] = Array.empty): Array[Byte] =
+    ins.toArray.flatMap(str(1, _)) ++ str(2, out) ++ str(4, op) ++ attrs
+  // AttributeProto: name=1, f=2 (fixed32), ints=8, type=20 (FLOAT=1, INTS=7)
+  private def attrF(name: String, v: Float): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN); bb.putFloat(v)
+    ld(5, str(1, name) ++ (varint((2 << 3) | 5) ++ bb.array()) ++ vint(20, 1L))
+  }
+  private def attrInts(name: String, vs: Seq[Long]): Array[Byte] =
+    ld(5, str(1, name) ++ vs.toArray.flatMap(vint(8, _)) ++ vint(20, 7L))
 
   private val rng = new scala.util.Random(7)
   private val InDim = 8; private val Hidden = 16; private val OutDim = 512
@@ -121,6 +129,189 @@ class OnnxSpec extends SparkSpec {
     // batching does not change per-text results
     val batch = e.embedBatch(Seq("fn cosine_similarity(a, b)", "def other(): pass"))
     assert(batch.head.toSeq == v1.toSeq)
+  }
+
+  // ----- one-layer attention encoder (the transformer op subset:
+  // Gather token lookup, Q·Kᵀ attention with Softmax, residual Add,
+  // LayerNormalization, ReduceMean pooling — embedding.rs:22-94's
+  // model shape at toy scale) -----
+  private val V = 32; private val D = 8
+  private val emb = Array.fill(V * D)((rng.nextDouble() * 0.8 - 0.4).toFloat)
+  private val wq = Array.fill(D * D)((rng.nextDouble() * 0.5 - 0.25).toFloat)
+  private val wk = Array.fill(D * D)((rng.nextDouble() * 0.5 - 0.25).toFloat)
+  private val wv = Array.fill(D * D)((rng.nextDouble() * 0.5 - 0.25).toFloat)
+  private val gamma = Array.fill(D)(1f + (rng.nextDouble() * 0.2 - 0.1).toFloat)
+  private val beta = Array.fill(D)((rng.nextDouble() * 0.1).toFloat)
+
+  private lazy val attnModelPath: String = {
+    val graph =
+      ld(1, node("Gather", Seq("E", "ids"), "x")) ++
+      ld(1, node("MatMul", Seq("x", "Wq"), "q")) ++
+      ld(1, node("MatMul", Seq("x", "Wk"), "k")) ++
+      ld(1, node("MatMul", Seq("x", "Wv"), "v")) ++
+      ld(1, node("Transpose", Seq("k"), "kt")) ++
+      ld(1, node("MatMul", Seq("q", "kt"), "scores")) ++
+      ld(1, node("Mul", Seq("scores", "scale"), "scaled")) ++
+      ld(1, node("Softmax", Seq("scaled"), "p")) ++
+      ld(1, node("MatMul", Seq("p", "v"), "ctx")) ++
+      ld(1, node("Add", Seq("ctx", "x"), "res")) ++
+      ld(1, node("LayerNormalization", Seq("res", "gamma", "beta"), "ln",
+        attrF("epsilon", 1e-5f))) ++
+      ld(1, node("ReduceMean", Seq("ln"), "emb", attrInts("axes", Seq(0L)))) ++
+      ld(5, tensor("E", Seq(V, D), emb)) ++
+      ld(5, tensor("Wq", Seq(D, D), wq)) ++
+      ld(5, tensor("Wk", Seq(D, D), wk)) ++
+      ld(5, tensor("Wv", Seq(D, D), wv)) ++
+      ld(5, tensor("scale", Seq(1), Array((1.0 / math.sqrt(D)).toFloat))) ++
+      ld(5, tensor("gamma", Seq(D), gamma)) ++
+      ld(5, tensor("beta", Seq(D), beta)) ++
+      ld(11, str(1, "ids")) ++
+      ld(12, str(1, "emb"))
+    val f = Files.createTempFile("graft_attn", ".onnx")
+    Files.write(f, ld(7, graph))
+    f.toString
+  }
+
+  test("attention model loads as a token model with the right vocab and dim") {
+    val m = OnnxLiteModel.load(attnModelPath)
+    assert(m.tokenInput)
+    assert(m.vocabSize == V)
+    assert(m.outputDim == D)
+  }
+
+  test("attention evaluation matches a hand-computed encoder pass") {
+    val m = OnnxLiteModel.load(attnModelPath)
+    val ids = Array(3, 7, 7, 1)
+    val out = m.runTokens(ids)
+    // independent forward pass (doubles, straightforward formulation)
+    val t = ids.length
+    val x = ids.map(id => Array.tabulate(D)(j => emb(id * D + j).toDouble))
+    def proj(w: Array[Float]) = x.map(row =>
+      Array.tabulate(D)(j => (0 until D).map(i => row(i) * w(i * D + j)).sum))
+    val q = proj(wq); val k = proj(wk); val v = proj(wv)
+    val scale = 1.0 / math.sqrt(D)
+    val p = Array.tabulate(t) { i =>
+      val s = Array.tabulate(t)(j => (0 until D).map(d => q(i)(d) * k(j)(d)).sum * scale)
+      val mx = s.max
+      val e = s.map(z => math.exp(z - mx))
+      val sum = e.sum
+      e.map(_ / sum)
+    }
+    val res = Array.tabulate(t, D) { (i, j) =>
+      (0 until t).map(z => p(i)(z) * v(z)(j)).sum + x(i)(j)
+    }
+    val ln = res.map { row =>
+      val mean = row.sum / D
+      val va = row.map(z => (z - mean) * (z - mean)).sum / D
+      val inv = 1.0 / math.sqrt(va + 1e-5)
+      Array.tabulate(D)(j => (row(j) - mean) * inv * gamma(j) + beta(j))
+    }
+    val expect = Array.tabulate(D)(j => (0 until t).map(i => ln(i)(j)).sum / t)
+    assert(out.length == D)
+    out.zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-4, s"$a vs $b")
+    }
+  }
+
+  test("attention model embeds deterministically through the Embedder front end") {
+    val e = new OnnxEmbedder(attnModelPath, expectDim = Some(D))
+    assert(e.dim == D)
+    val v1 = e.embed("fn cosine_similarity(a, b)")
+    assert(v1.toSeq == e.embed("fn cosine_similarity(a, b)").toSeq)
+    val n = math.sqrt(v1.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(n - 1.0) < 1e-5)
+    // different texts produce different vectors; empty text still embeds
+    assert(e.embed("def other(): pass").toSeq != v1.toSeq)
+    assert(e.embed("").length == D)
+  }
+
+  // ----- cross-encoder: the same attention block plus a [D, 1] scalar
+  // head — rerank.rs:7-19's interaction shape at toy scale -----
+  private lazy val rerankModelPath: String = {
+    val head = Array.fill(D)((rng.nextDouble() * 0.5 - 0.25).toFloat)
+    val graph =
+      ld(1, node("Gather", Seq("E", "ids"), "x")) ++
+      ld(1, node("MatMul", Seq("x", "Wq"), "q")) ++
+      ld(1, node("MatMul", Seq("x", "Wk"), "k")) ++
+      ld(1, node("MatMul", Seq("x", "Wv"), "v")) ++
+      ld(1, node("Transpose", Seq("k"), "kt")) ++
+      ld(1, node("MatMul", Seq("q", "kt"), "scores")) ++
+      ld(1, node("Mul", Seq("scores", "scale"), "scaled")) ++
+      ld(1, node("Softmax", Seq("scaled"), "p")) ++
+      ld(1, node("MatMul", Seq("p", "v"), "ctx")) ++
+      ld(1, node("Add", Seq("ctx", "x"), "res")) ++
+      ld(1, node("LayerNormalization", Seq("res", "gamma", "beta"), "ln",
+        attrF("epsilon", 1e-5f))) ++
+      ld(1, node("ReduceMean", Seq("ln"), "pooled", attrInts("axes", Seq(0L)))) ++
+      ld(1, node("MatMul", Seq("pooled", "Whead"), "score")) ++
+      ld(5, tensor("E", Seq(V, D), emb)) ++
+      ld(5, tensor("Wq", Seq(D, D), wq)) ++
+      ld(5, tensor("Wk", Seq(D, D), wk)) ++
+      ld(5, tensor("Wv", Seq(D, D), wv)) ++
+      ld(5, tensor("scale", Seq(1), Array((1.0 / math.sqrt(D)).toFloat))) ++
+      ld(5, tensor("gamma", Seq(D), gamma)) ++
+      ld(5, tensor("beta", Seq(D), beta)) ++
+      ld(5, tensor("Whead", Seq(D, 1), head)) ++
+      ld(11, str(1, "ids")) ++
+      ld(12, str(1, "score"))
+    val f = Files.createTempFile("graft_rerank", ".onnx")
+    Files.write(f, ld(7, graph))
+    f.toString
+  }
+
+  test("ONNX cross-encoder scores (query, doc) pairs deterministically") {
+    val rr = new graft.chat.OnnxReranker(rerankModelPath)
+    val docs = Seq("fn cosine_similarity(a, b) -> f32", "use std::fs::File;", "")
+    val s1 = rr.rerank("cosine similarity search", docs)
+    val s2 = rr.rerank("cosine similarity search", docs)
+    assert(s1 == s2)
+    assert(s1.size == docs.size)
+    // the score is an interaction: changing the QUERY moves the scores
+    val s3 = rr.rerank("open a file handle", docs)
+    assert(s1 != s3)
+    // a non-cross-encoder model (wide output) is rejected loudly
+    intercept[IllegalArgumentException] {
+      new graft.chat.OnnxReranker(attnModelPath).rerank("q", Seq("d"))
+    }
+  }
+
+  test("crossRerank engages the ONNX cross-encoder over the candidate window") {
+    import spark.implicits._
+    val window = Seq(
+      ("a.rs", "fn cosine_similarity(a, b) -> f32", 0.10),
+      ("b.rs", "use std::fs::File;", 0.20),
+      ("c.rs", "fn main() { println!(\"hi\") }", 0.30)
+    ).toDF("path", "code", "distance")
+    val out = graft.chat.Retrieval.crossRerank(
+      window, "cosine similarity search", new graft.chat.OnnxReranker(rerankModelPath))
+      .collect()
+    assert(out.length == 3)
+    // R2 contract: sorted by the cross-encoder score, descending
+    val scores = out.map(_.getAs[Double]("rerank_score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    assert(out.map(_.getAs[String]("path")).toSet == Set("a.rs", "b.rs", "c.rs"))
+  }
+
+  test("crossRerank refuses a corpus-sized input (F1 window guard)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val big = spark.range(0, graft.chat.Retrieval.MaxRerankWindow + 1L)
+      .select(col("id").cast("string").as("path"), col("id").cast("string").as("code"),
+        col("id").cast("double").as("distance"))
+    intercept[IllegalArgumentException] {
+      graft.chat.Retrieval.crossRerank(big, "query")
+    }
+  }
+
+  test("embedChunks runs the attention encoder executor-side (E2 path)") {
+    import spark.implicits._
+    val chunks = spark.createDataset(
+      (1 to 40).map(i => CodeChunk(s"f$i.py", s"def code_$i(): return $i", Some("Python"), Some("py"))))
+    val rows = Embed.embedChunks(spark, chunks, new OnnxEmbedder(attnModelPath)).collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.vector.length == D))
+    val byContent = rows.groupBy(_.code).map { case (_, rs) => rs.map(_.vector.toSeq).distinct.size }
+    assert(byContent.forall(_ == 1))
   }
 
   test("embedChunks runs the ONNX session executor-side in batches") {
