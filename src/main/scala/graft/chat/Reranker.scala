@@ -21,6 +21,35 @@ trait Reranker extends Serializable {
   def rerank(query: String, docs: Seq[String]): Seq[Double]
 }
 
+/** Cross-encoder reranker over an OnnxLite token model — the real
+  * interaction shape of rerank.rs:7-19 (jina-reranker-v2 @ F16, one
+  * score per (query, doc) pair): query and document tokens are joined
+  * by the reserved separator id into ONE sequence, the encoder attends
+  * across the pair, and a scalar head (outputDim 1) emits the
+  * relevance score. TfidfReranker remains the deterministic fallback
+  * when no model file is configured (no weights ship in this sandbox;
+  * the spec generates a toy attention+head model).
+  */
+class OnnxReranker(modelPath: String) extends Reranker {
+
+  @transient private lazy val model = {
+    val m = OnnxLiteModel.session(modelPath)
+    require(m.tokenInput, s"$modelPath: a cross-encoder must take token ids")
+    require(m.outputDim == 1,
+      s"$modelPath: cross-encoder head must emit one score, got dim ${m.outputDim}")
+    m
+  }
+
+  override def rerank(query: String, docs: Seq[String]): Seq[Double] = {
+    val q = OnnxTokens.ids(query, model.vocabSize)
+    docs.map { doc =>
+      val pair = (q :+ OnnxTokens.SepId) ++ OnnxTokens.ids(doc, model.vocabSize)
+      val seq = pair.take(OnnxTokens.MaxTokens)
+      model.runTokens(if (seq.isEmpty) Array(OnnxTokens.PadId) else seq)(0).toDouble
+    }
+  }
+}
+
 /** Deterministic char-n-gram TF-IDF cosine cross-scorer. All
   * accumulations iterate grams in sorted order so the IEEE double
   * results are reproducible run-to-run. */

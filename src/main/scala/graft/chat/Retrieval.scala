@@ -20,6 +20,11 @@ import graft.chat.Schemas.QueryClassification
   */
 object Retrieval {
 
+  /** Upper bound on the crossRerank input window: comfortably above any
+    * real k*2 over-fetch (CLI k maxes in the tens) while far below
+    * anything corpus-sized. */
+  val MaxRerankWindow = 256
+
   // -------------------------------------------------------------------
   // F2: folder include-filter (hyde.rs:824-866).
   // -------------------------------------------------------------------
@@ -156,6 +161,14 @@ object Retrieval {
   def crossRerank(results: DataFrame, query: String,
                   rr: Reranker = new TfidfReranker()): DataFrame = {
     val spark = results.sparkSession
+    // F1 contract guard: the input is a post-top-k window (<= k*2
+    // rows). The count check costs one job over an already-tiny frame
+    // and turns a mis-wired corpus-sized input into a loud error
+    // instead of a silent driver OOM at collect().
+    val n = results.limit(Retrieval.MaxRerankWindow + 1).count()
+    require(n <= Retrieval.MaxRerankWindow,
+      s"crossRerank input exceeds ${Retrieval.MaxRerankWindow} rows — " +
+        "it must be the k*2 over-fetch window (F1), not a corpus-sized frame")
     val rows = results.collect()
     val docIdx = results.schema.fieldIndex("code")
     val scores = rr.rerank(query, rows.toSeq.map(_.getString(docIdx)))
