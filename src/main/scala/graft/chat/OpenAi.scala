@@ -76,10 +76,23 @@ class OpenAiChatClient(baseUrl: String, apiKey: Option[String], model: String,
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
 
-  private def chatBody(system: String, user: String, stream: Boolean): String =
-    s"""{"model":${jstr(model)},"stream":$stream,"messages":[""" +
-      s"""{"role":"system","content":${jstr(system)}},""" +
-      s"""{"role":"user","content":${jstr(user)}}]}"""
+  /** Chat-completions body with the reference's request shape
+    * (openai.rs OpenAIRequest): messages, max_tokens, temperature,
+    * stream, and optional strict json_schema response_format. */
+  private def chatBody(messages: Seq[(String, String)], maxTokens: Int,
+                       temperature: Double, stream: Boolean,
+                       jsonSchema: Option[(String, String)] = None): String = {
+    val msgs = messages
+      .map { case (role, content) =>
+        s"""{"role":${jstr(role)},"content":${jstr(content)}}""" }
+      .mkString("[", ",", "]")
+    val rf = jsonSchema.map { case (name, schema) =>
+      s""","response_format":{"type":"json_schema","json_schema":""" +
+        s"""{"name":${jstr(name)},"schema":$schema,"strict":true}}"""
+    }.getOrElse("")
+    s"""{"model":${jstr(model)},"messages":$msgs,"max_tokens":$maxTokens,""" +
+      s""""temperature":$temperature,"stream":$stream$rf}"""
+  }
 
   private def post(body: String): HttpResponse[java.io.InputStream] = {
     val b = HttpRequest.newBuilder()
@@ -90,52 +103,23 @@ class OpenAiChatClient(baseUrl: String, apiKey: Option[String], model: String,
       HttpResponse.BodyHandlers.ofInputStream())
   }
 
-  private def completeOnce(system: String, user: String): String = {
-    val resp = post(chatBody(system, user, stream = false))
+  private def completeOnce(body: String): String = {
+    val resp = post(body)
     if (resp.statusCode() / 100 != 2) {
-      val body = new String(resp.body().readAllBytes(), StandardCharsets.UTF_8)
+      val err = new String(resp.body().readAllBytes(), StandardCharsets.UTF_8)
       throw new RuntimeException(
-        s"chat completion failed: HTTP ${resp.statusCode()}: ${body.take(500)}")
+        s"chat completion failed: HTTP ${resp.statusCode()}: ${err.take(500)}")
     }
     mapper.readTree(resp.body())
       .path("choices").path(0).path("message").path("content").asText("")
   }
 
-  /** L1: ask for the classification as JSON, parse leniently (the
-    * reference strips markdown fences before parsing — hyde.rs
-    * classify JSON cleanup). */
-  override def classify(query: String): QueryClassification =
-    OpenAiChatClient.parseClassification(completeOnce(
-      "Classify the repository question. Reply ONLY with JSON: " +
-        """{"language":string|null,"intent":"how_it_works"|"implementation"|"debugging"|"explanation"|"other",""" +
-        """"wants_code":bool,"confidence":number,"target_folders":[string]|null,""" +
-        """"target_extensions":[string]|null,"exclude_patterns":[string]|null}""",
-      query))
-
-  /** L2: hypothetical document, truncated to the chunk budget
-    * (hyde.rs:317-347). */
-  override def hyde(query: String, c: QueryClassification): String =
-    completeOnce(
-      s"Write a hypothetical ${c.language.getOrElse("code")} document that would " +
-        s"answer the question (intent: ${c.intent}). No preamble.",
-      query).take(chunkSize)
-
-  /** L3+L4: streamed synthesis — each SSE event's delta content is one
-    * emitted token, ending at [DONE] (openai.rs stream loop). */
-  override def synthesize(query: String, c: QueryClassification,
-                          profile: Option[RepoProfile],
-                          snippets: Seq[(String, String, Double)]): Iterator[String] = {
-    val ctx = snippets.zipWithIndex
-      .map { case ((file, code, dist), i) => f"[$i] $file (distance $dist%.4f)\n$code" }
-      .mkString("\n\n")
-    val header = profile.map(p => s"Repository: ${p.name}. ").getOrElse("")
-    val resp = post(chatBody(
-      s"${header}Answer from the provided snippets only.",
-      s"$query\n\nSnippets:\n$ctx", stream = true))
+  private def streamTokens(body: String): Iterator[String] = {
+    val resp = post(body)
     if (resp.statusCode() / 100 != 2) {
-      val body = new String(resp.body().readAllBytes(), StandardCharsets.UTF_8)
+      val err = new String(resp.body().readAllBytes(), StandardCharsets.UTF_8)
       throw new RuntimeException(
-        s"chat stream failed: HTTP ${resp.statusCode()}: ${body.take(500)}")
+        s"chat stream failed: HTTP ${resp.statusCode()}: ${err.take(500)}")
     }
     val lines = new BufferedReader(
       new InputStreamReader(resp.body(), StandardCharsets.UTF_8))
@@ -145,6 +129,58 @@ class OpenAiChatClient(baseUrl: String, apiKey: Option[String], model: String,
         .path("choices").path(0).path("delta").path("content")
       if (delta.isTextual) Some(delta.asText) else None
     }
+  }
+
+  /** L1: the reference's classify request (hyde.rs:394-424) —
+    * QUERY_CLASSIFICATION_PROMPT system message, "Analyze this query"
+    * user message, max_tokens 200 / temperature 0.1, and STRICT
+    * `response_format.json_schema` structured output; the response is
+    * still parsed leniently (markdown-fence cleanup) for
+    * non-conforming servers. */
+  override def classify(query: String): QueryClassification =
+    OpenAiChatClient.parseClassification(completeOnce(chatBody(
+      messages = Seq(
+        "system" -> Prompts.classificationSystemPrompt,
+        "user" -> Prompts.classificationUser(query)),
+      maxTokens = 200, temperature = 0.1, stream = false,
+      jsonSchema = Some(("query_classification", Prompts.classificationSchema)))))
+
+  /** L2: hypothetical document via the intent×language HyDE template
+    * (hyde.rs:95-145) with the wants_code-gated input (:317-336),
+    * streamed and concatenated exactly like explain_code_stream
+    * (:578-603: max_tokens 1024, temperature 0.2, "Context:" wrap). */
+  override def hyde(query: String, c: QueryClassification): String = {
+    val doc = streamTokens(chatBody(
+      messages = Seq(
+        "system" -> Prompts.hydeSystemPrompt(c),
+        "user" -> Prompts.hydeContextWrap(Prompts.hydeUserInput(query, c, chunkSize))),
+      maxTokens = 1024, temperature = 0.2, stream = true)).mkString
+    if (doc.isEmpty)
+      throw new RuntimeException("Hypothetical generation returned no content.")
+    doc
+  }
+
+  /** L3+L4: streamed synthesis with the full reference prompt stack
+    * (hyde.rs:605-764): persona system message, investigative
+    * methodology system message, and the assembled user prompt with
+    * formatted code references + response template; max_tokens 2048,
+    * temperature 0.0. Each SSE delta is one emitted token (L4). */
+  override def synthesize(query: String, c: QueryClassification,
+                          profile: Option[RepoProfile],
+                          snippets: Seq[(String, String, Double)]): Iterator[String] = {
+    val formatted = snippets.zipWithIndex.map { case ((file, code, dist), i) =>
+      val ext = file.split('.').drop(1).lastOption
+      // chunk id = enumeration position: the reference's HydeResult
+      // .index rank quirk (hyde.rs:1228), preserved
+      Prompts.formatSnippet(i, file, code, dist, i.toLong,
+        ext.flatMap(Language.detect), ext)
+    }
+    streamTokens(chatBody(
+      messages = Seq(
+        "system" -> Prompts.answerPersona(c, profile),
+        "system" -> Prompts.investigativePrompt,
+        "user" -> Prompts.answerUserPrompt(query, c, profile, formatted)),
+      maxTokens = 2048, temperature = 0.0, stream = true))
   }
 }
 

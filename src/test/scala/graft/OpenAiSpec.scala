@@ -121,6 +121,111 @@ class OpenAiSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------
+  // Prompt-template fidelity: the three request bodies carry the
+  // reference's exact prompt stack (hyde.rs:17-60, 95-145, 147-295,
+  // 353-424, 615-739) and strict json_schema structured output
+  // ---------------------------------------------------------------
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  test("classify sends QUERY_CLASSIFICATION_PROMPT with strict json_schema response_format") {
+    var body: com.fasterxml.jackson.databind.JsonNode = null
+    withServer { (req, ex) =>
+      body = mapper.readTree(req)
+      respond(ex,
+        """{"choices":[{"message":{"content":
+          |"{\"language\":null,\"intent\":\"other\",\"wants_code\":true,\"confidence\":0.5}"}}]}"""
+          .stripMargin.replace("\n", ""))
+    } { base =>
+      new OpenAiChatClient(base, None, "test-model").classify("how does chunking work?")
+      val msgs = body.path("messages")
+      assert(msgs.size == 2)
+      assert(msgs.get(0).path("role").asText == "system")
+      assert(msgs.get(0).path("content").asText == graft.chat.Prompts.classificationSystemPrompt)
+      assert(msgs.get(1).path("content").asText == "Analyze this query: how does chunking work?")
+      assert(body.path("max_tokens").asInt == 200)
+      assert(body.path("temperature").asDouble == 0.1)
+      assert(!body.path("stream").asBoolean)
+      val rf = body.path("response_format")
+      assert(rf.path("type").asText == "json_schema")
+      val js = rf.path("json_schema")
+      assert(js.path("name").asText == "query_classification")
+      assert(js.path("strict").asBoolean)
+      val required = js.path("schema").path("required")
+      assert((0 until required.size).map(required.get(_).asText).toSet ==
+        Set("language", "intent", "wants_code", "confidence",
+          "target_folders", "target_extensions", "exclude_patterns"))
+      assert(!js.path("schema").path("additionalProperties").asBoolean)
+    }
+  }
+
+  test("hyde sends the intent-templated system prompt and wants_code-gated input") {
+    var body: com.fasterxml.jackson.databind.JsonNode = null
+    withServer { (req, ex) =>
+      body = mapper.readTree(req)
+      respond(ex,
+        "data: {\"choices\":[{\"delta\":{\"content\":\"fn hypothetical() {}\"}}]}\n\n" +
+          "data: [DONE]\n\n", "text/event-stream")
+    } { base =>
+      val client = new OpenAiChatClient(base, None, "test-model")
+      val c = new graft.chat.MockChatClient().classify("how does the rust parser work?")
+      assert(c.intent == "how_it_works" && c.wants_code)
+      val doc = client.hyde("how does the rust parser work?", c)
+      assert(doc == "fn hypothetical() {}")
+      val msgs = body.path("messages")
+      val sys = msgs.get(0).path("content").asText
+      assert(sys == graft.chat.Prompts.hydeSystemPrompt(c))
+      assert(sys.startsWith("You are a rust code expert."))
+      assert(sys.contains("Focus specifically on RUST code."))
+      assert(sys.contains("NO prose explanations - only executable code with comments."))
+      val user = msgs.get(1).path("content").asText
+      assert(user.startsWith("Context:\nQuery: how does the rust parser work?"))
+      assert(user.contains("Generate actual code implementation (functions, structs, methods)"))
+      assert(user.contains("Maximum 1000 characters."))
+      assert(body.path("max_tokens").asInt == 1024)
+      assert(body.path("temperature").asDouble == 0.2)
+      assert(body.path("stream").asBoolean)
+    }
+  }
+
+  test("synthesize sends persona + investigative methodology + templated user prompt") {
+    var body: com.fasterxml.jackson.databind.JsonNode = null
+    withServer { (req, ex) =>
+      body = mapper.readTree(req)
+      respond(ex, "data: {\"choices\":[{\"delta\":{\"content\":\"ok\"}}]}\n\n" +
+        "data: [DONE]\n\n", "text/event-stream")
+    } { base =>
+      val client = new OpenAiChatClient(base, None, "test-model")
+      val c = new graft.chat.MockChatClient().classify("how does the index work?")
+      val profile = Some(graft.chat.Schemas.RepoProfile(
+        "cargo-chat", Seq("Rust"), Seq("Cargo.toml"), Seq("Tokio"), None))
+      client.synthesize("how does the index work?", c, profile,
+        Seq(("./src/ann.rs", "fn build() {}", 0.123))).mkString
+      val msgs = body.path("messages")
+      assert(msgs.size == 3)
+      // system 1: the per-intent persona with repo context woven in
+      val persona = msgs.get(0).path("content").asText
+      assert(persona == graft.chat.Prompts.answerPersona(c, profile))
+      assert(persona.startsWith(
+        "You are a senior software architect analyzing 'cargo-chat', a Rust codebase built with Tokio."))
+      assert(persona.contains(
+        "memory-safe systems programming with ownership and lifetimes, async runtime and concurrent processing"))
+      // system 2: the 5-step methodology, verbatim
+      assert(msgs.get(1).path("content").asText == graft.chat.Prompts.investigativePrompt)
+      // user: query + analysis task + formatted refs + response template
+      val user = msgs.get(2).path("content").asText
+      assert(user.startsWith("# User Query\nhow does the index work?"))
+      assert(user.contains("Focus on tracing the execution flow"))
+      assert(user.contains("## Code Reference 1 - src/ann.rs.rs [RUST]"))
+      assert(user.contains("**Relevance Score:** 0.123 (lower = more relevant)"))
+      assert(user.contains("===== RESPONSE TEMPLATE ====="))
+      assert(user.contains("## 5. Core Insight"))
+      assert(body.path("max_tokens").asInt == 2048)
+      assert(body.path("temperature").asDouble == 0.0)
+    }
+  }
+
   test("fromEnv gates on the base-url variable") {
     assert(OpenAiChatClient.fromEnv(Map.empty).isInstanceOf[graft.chat.MockChatClient])
     assert(OpenAiChatClient.fromEnv(Map("GRAFT_OPENAI_BASE_URL" -> "http://x/v1"))
