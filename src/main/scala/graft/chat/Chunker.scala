@@ -65,6 +65,7 @@ object Chunker {
                       maxSize: Int = MaxChunkSize): Seq[String] = {
     if (content.isEmpty) return Seq.empty
     val indentBased = language.contains("Python")
+    val headingBased = language.contains("Markdown")
     val parts = content.split("\n", -1)
     val lines = parts.zipWithIndex.map { case (p, i) =>
       if (i < parts.length - 1) p + "\n" else p
@@ -74,11 +75,30 @@ object Chunker {
     val cur = new StringBuilder
     def flushUnit(): Unit = if (cur.nonEmpty) { units += cur.toString; cur.clear() }
     var depth = 0
+    var inFence = false
+    // decorators and comment runs bind FORWARD onto the def/class they
+    // annotate (chunker.rs's AST nodes carry leading trivia the same
+    // way), so "@decorator\ndef f():" never splits across units
+    def bindsForward: Boolean = cur.nonEmpty && cur.toString.linesIterator
+      .forall { l => val t = l.trim
+        t.isEmpty || t.startsWith("@") || t.startsWith("#") }
     lines.foreach { line =>
       if (indentBased) {
-        // a non-blank column-0 line starts a new top-level unit
-        if (line.trim.nonEmpty && !line.head.isWhitespace) flushUnit()
+        // a non-blank column-0 line starts a new top-level unit: a
+        // def/class plus its indented block stays one unit
+        if (line.trim.nonEmpty && !line.head.isWhitespace && !bindsForward)
+          flushUnit()
         cur ++= line
+      } else if (headingBased) {
+        // units are heading sections; fenced code is opaque (a '#'
+        // inside ``` is a comment, not a heading)
+        val t = line.trim
+        if (t.startsWith("```") || t.startsWith("~~~")) {
+          cur ++= line; inFence = !inFence
+        } else {
+          if (!inFence && t.startsWith("#")) flushUnit()
+          cur ++= line
+        }
       } else {
         cur ++= line
         depth = math.max(0, depth + line.count(_ == '{') - line.count(_ == '}'))

@@ -41,15 +41,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("structured chunker: budget + round-trip for both brace and indent modes") {
+  test("structured chunker: budget + round-trip for brace, indent, and heading modes") {
     forAll(textGen, Gen.chooseNum(8, 64)) { (text: String, max: Int) =>
-      for (lang <- Seq(Some("Rust"), Some("Python"), None)) {
+      for (lang <- Seq(Some("Rust"), Some("Python"), Some("Markdown"), None)) {
         val chunks = Chunker.splitStructured(text, lang, max)
         assert(chunks.forall(_.length <= max))
         assert(chunks.mkString("") == text)
         assert(chunks.forall(_.nonEmpty))
       }
     }
+  }
+
+  // The behavioral contract of chunker.rs:89-116: a unit (def + body,
+  // heading section) that FITS the budget is never split across chunks.
+  test("structured chunker never splits a def/heading unit that fits the budget") {
+    // Python: decorated defs with indented bodies, each unit <= budget
+    val pyUnits = (1 to 6).map { i =>
+      s"@deco$i\ndef f$i(x):\n    y = x + $i\n    return y\n"
+    }
+    val py = pyUnits.mkString
+    val max = pyUnits.map(_.length).max + 4
+    val pyChunks = Chunker.splitStructured(py, Some("Python"), max)
+    assert(pyChunks.mkString("") == py)
+    pyUnits.foreach { u =>
+      assert(pyChunks.count(_.contains(u)) == 1,
+        s"unit split across chunks:\n$u\n-> ${pyChunks.mkString("|")}")
+    }
+    // every chunk STARTS at a unit boundary (a decorator, never a body line)
+    pyChunks.foreach(c => assert(c.startsWith("@deco"), c))
+
+    // Markdown: heading sections, with a fenced block whose '#' line
+    // must NOT open a section boundary
+    val mdUnits = Seq(
+      "# Title\nIntro paragraph text.\n",
+      "## Usage\nSome usage notes here.\n```sh\n# comment inside fence\nrun it\n```\nAfter fence.\n",
+      "## License\nMIT licensed.\n")
+    val md = mdUnits.mkString
+    val mdMax = mdUnits.map(_.length).max + 4
+    val mdChunks = Chunker.splitStructured(md, Some("Markdown"), mdMax)
+    assert(mdChunks.mkString("") == md)
+    mdUnits.foreach { u =>
+      assert(mdChunks.count(_.contains(u)) == 1,
+        s"section split across chunks:\n$u\n-> ${mdChunks.mkString("|")}")
+    }
+    mdChunks.foreach(c => assert(c.startsWith("#"), c))
   }
 
   test("structured chunker aligns boundaries with top-level declarations") {
