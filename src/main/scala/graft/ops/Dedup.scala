@@ -419,6 +419,51 @@ object Dedup {
     cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup CLUSTERS without the doc-pair expansion.
+    *
+    * q17's pair output is answer-sized (3.35 M pairs at sf0.1 — the
+    * corpus is heavily templated, so same-signature groups alone
+    * contribute |group|²/2 pairs each), but a dedup pipeline wants the
+    * survivorship partition, not the pairs. This keeps ALL work at
+    * signature granularity: the banded equi-join produces signature
+    * EDGES (bounded by distinct-signature count, not doc count), the
+    * CC loop labels signatures, and docs join their signature's
+    * component label once at the end — the |group|² expansion never
+    * materializes. Output: (doc_id, cluster_id = min doc_id of the
+    * component); keep doc_id == cluster_id is the dedup decision.
+    *
+    * Spec-checked equal to union-find over simhashPairs' output; q17
+    * remains the oracle-checked pair formulation. */
+  def simhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    // reused by the distinct-signature edge build AND the final doc
+    // join; checkpointed so the CC rounds plan over a flat LogicalRDD
+    val sig = simhashFrame(spark, sfDir).localCheckpoint(true)
+    val sigs = sig.select("simhash").distinct()
+    val bandBits = Consts.SimHashBits / Consts.SimhashBands
+    val bandVals = (0 until Consts.SimhashBands).map { b =>
+      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+    }
+    val banded = sigs.select(col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+    val ba = banded.alias("a"); val bb = banded.alias("b")
+    val sigEdges = ba.join(bb,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.simhash") < col("b.simhash"))
+      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= Consts.SimhashMaxHamming)
+    val comp = minLabelComponents(sigEdges)
+    // signatures with no qualifying edge are their own component
+    val sigLabels = sigs.join(comp, sigs("simhash") === comp("node"), "left")
+      .select(sigs("simhash"), coalesce(col("label"), sigs("simhash")).as("sig_label"))
+    val docLabels = sig.join(sigLabels, "simhash").select("doc_id", "sig_label")
+    val clusterIds = docLabels.groupBy("sig_label").agg(min("doc_id").as("cluster_id"))
+    docLabels.join(clusterIds, "sig_label")
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------------
   // Near-dup CLUSTER resolution: connected components over the MinHash
   // pair graph. Pair detection alone is not a dedup policy — a real
@@ -435,32 +480,37 @@ object Dedup {
     * only a converged? count per round, never data. Output: one row
     * per cluster — (cluster_id = min doc_id, n_members), i.e. the
     * survivorship decision (keep cluster_id, drop the rest). */
-  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    // localCheckpoint (not cache): caching keeps the full q14 LOGICAL
-    // plan, so every round's action re-analyzes and re-optimizes the
-    // 128-column minhash tree — measured at 1.3-1.5 s of pure planning
-    // per round over a 512-edge graph. A flat LogicalRDD plans in ms.
+  /** Iterative min-label propagation over an undirected edge list
+    * (pairs of longs, one direction — symmetrized here). Returns one
+    * row per node that appears in an edge: (node, label) with label =
+    * min node id of its component.
+    *
+    * The input is localCheckpoint'ed (not cached): caching keeps the
+    * full upstream LOGICAL plan, so every round's action re-analyzes
+    * and re-optimizes it — measured at 1.3-1.5 s of pure planning per
+    * round over a 512-edge graph. A flat LogicalRDD plans in ms. */
+  private def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val Seq(a, b) = pairs.columns.toSeq
     val sym = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .unionAll(pairs.select(col(b).as(a), col(a).as(b)))
       .toDF("src", "dst").localCheckpoint(true)
-    var labels = sym.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
     var cachedStep = labels
     var changed = 1L
     while (changed > 0) {
-      val prop = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min("label").as("prop_label"))
+      val prop = sym.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("prop_label"))
       // carry old + new label through one cached frame so the
       // convergence check and the next round share a single job
-      val step = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
+      val step = labels.join(prop, Seq("node"), "left")
+        .select(col("node"), col("label"),
           least(col("label"), coalesce(col("prop_label"), col("label"))).as("next_label"))
         .cache()
       changed = step.filter(col("next_label") =!= col("label")).count()
       cachedStep.unpersist()
       cachedStep = step
-      labels = step.select(col("doc_id"), col("next_label").as("label"))
+      labels = step.select(col("node"), col("next_label").as("label"))
     }
     // truncate lineage into one small materialized RDD so every
     // intermediate cache can be released NOW (leaking a cache per call
@@ -471,10 +521,15 @@ object Dedup {
     // sym's checkpoint blocks are reclaimed by the ContextCleaner once
     // the frame is unreferenced (localCheckpoint data is RDD blocks,
     // not CacheManager entries, so unpersist() would be a no-op)
-    finalLabels.groupBy(col("label").as("cluster_id"))
+    finalLabels
+  }
+
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    minLabelComponents(
+        minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
-  }
 
   def nearDupClustersSql: String =
     s"""WITH RECURSIVE pairs AS (

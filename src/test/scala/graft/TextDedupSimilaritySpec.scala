@@ -131,6 +131,41 @@ class TextDedupSimilaritySpec extends SparkSpec {
       "banded simhash join should not contain a nested-loop join")
   }
 
+  test("simhashClusters equals union-find over the materialized pair expansion") {
+    // union-find over q17's doc-pair output (test-scale driver-side)
+    val pairs = Dedup.simhashPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clustered = Dedup.simhashClusters(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every doc appears exactly once, singletons included
+    val nDocs = Dedup.simhash(spark, sf0001).count()
+    assert(clustered.length == nDocs)
+    assert(clustered.map(_._1).distinct.length == clustered.length)
+    // same partition: docs in pairs group exactly as union-find says,
+    // docs in no pair are singletons labeled by themselves
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expect = clustered.map(_._1).map { d =>
+      d -> (if (paired.contains(d)) find(d) else d)
+    }.toMap
+    val expectGroups = expect.groupBy(_._2).values.map(_.keySet).toSet
+    val gotGroups = clustered.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(gotGroups == expectGroups)
+    // cluster_id is the min member (survivorship representative)
+    clustered.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(cid == ms.map(_._1).min)
+    }
+  }
+
   test("tiled GEMM near-dup equals the row-pair join baseline") {
     for (sf <- Seq(sf0001, sf001)) {
       val tiled = Similarity.nearDupPairs(spark, sf)
