@@ -29,8 +29,13 @@ object Bench {
         name.stripPrefix("q").takeWhile(_.isDigit).toInt
       }
     // warmup (not timed): compile + JIT every query's plan shape
-    if (warmDir.nonEmpty) ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    if (warmDir.nonEmpty) {
+      ordered.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+      // warmup registered its own shared caches; drop them so the
+      // timed runs start from a clean store
+      graft.ops.Materialize.release(spark)
     }
     // untimed prepare: the bucketed-table WRITE is q41's build half
     // (bucketing amortizes the join shuffle to write time by design,

@@ -93,7 +93,8 @@ object ChatPipeline {
       } else AnnIndex.knnExact(chunks, qVec, k * 2)                // Step 3, over-fetch F1
     val filtered = Retrieval.applyFilters(hits, classification, k) // Step 4 + truncate
     val ordered =
-      if (rerank) Retrieval.crossRerank(filtered, question)        // Step 5 (R2)
+      if (rerank) Retrieval.crossRerank(filtered, question,        // Step 5 (R2)
+        Rerankers.fromEnv())
       else filtered.orderBy(col("distance").asc)                   // F10
     val rows = ordered.select("file", "code", "language", "extension", "distance")
       .collect().zipWithIndex.map { case (r, i) =>

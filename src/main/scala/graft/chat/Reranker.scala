@@ -50,6 +50,20 @@ class OnnxReranker(modelPath: String) extends Reranker {
   }
 }
 
+object Rerankers {
+
+  /** Env-gated reranker selection, mirroring the embedder routing:
+    * GRAFT_RERANK_ONNX points at a cross-encoder .onnx (token input,
+    * scalar head); unset, the deterministic TF-IDF scorer runs — so
+    * `--rerank` always works offline and upgrades to the model when
+    * one is configured (rerank.rs:7-19's role). */
+  def fromEnv(env: Map[String, String] = sys.env): Reranker =
+    env.get("GRAFT_RERANK_ONNX") match {
+      case Some(path) => new OnnxReranker(path)
+      case None       => new TfidfReranker()
+    }
+}
+
 /** Deterministic char-n-gram TF-IDF cosine cross-scorer. All
   * accumulations iterate grams in sorted order so the IEEE double
   * results are reproducible run-to-run. */

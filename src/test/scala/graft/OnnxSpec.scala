@@ -292,6 +292,13 @@ class OnnxSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("path")).toSet == Set("a.rs", "b.rs", "c.rs"))
   }
 
+  test("Rerankers.fromEnv gates on the model-path variable") {
+    assert(graft.chat.Rerankers.fromEnv(Map.empty)
+      .isInstanceOf[graft.chat.TfidfReranker])
+    assert(graft.chat.Rerankers.fromEnv(Map("GRAFT_RERANK_ONNX" -> rerankModelPath))
+      .isInstanceOf[graft.chat.OnnxReranker])
+  }
+
   test("crossRerank refuses a corpus-sized input (F1 window guard)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
