@@ -96,6 +96,26 @@ class PlanAuditSpec extends SparkSpec {
       binned.queryExecution.executedPlan.toString)
   }
 
+  test("q16: one fused NibbleHighMask projection feeds native shift-and-mask partial sums") {
+    val df = Dedup.simhash(spark, sf0001)
+    val plan = executed(df)
+    // the per-token kernel runs ONCE per row (one codegen expression),
+    // not as 16 substring/isin walks over the hash
+    assert("nibblehighmask".r.findAllIn(plan.toLowerCase).size >= 1, plan)
+    assert(!plan.contains("substring"), s"string-walk formulation crept back:\n$plan")
+    // map-side combine: partial + final aggregate around one exchange
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("simhashClusters: signature-level edges join by band equality, never a nested loop") {
+    val df = Dedup.simhashClusters(spark, sf0001)
+    val plan = executed(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"banded signature join degenerated to a nested loop:\n$plan")
+    // output is one row per document
+    assert(df.count() == Dedup.simhash(spark, sf0001).count())
+  }
+
   test("q18: only the bid-only tile enumeration is a nested loop; payloads ride equi-joins") {
     val df = Similarity.nearDupPairs(spark, sf0001)
     val plan = executed(df)
