@@ -80,8 +80,9 @@ object ChatPipeline {
             embedder: Embedder = new HashingEmbedder(),
             approx: Boolean = false): QueryOutput = {
     val chunks = AnnIndex.load(spark, indexDir)
+    val profile = readProfile(indexDir)
     val classification = client.classify(question)                 // Step 1 (L1)
-    val hypoDoc = client.hyde(question, classification)            // Step 2 (L2)
+    val hypoDoc = client.hyde(question, classification, profile)   // Step 2 (L2)
     val qVec = embedder.embed(hypoDoc)                             // embed hypo ONLY (hyde.rs:500)
     val hits =
       if (approx) {
@@ -102,19 +103,32 @@ object ChatPipeline {
           Option(r.getString(2)), Option(r.getString(3)), r.getDouble(4), i)
       }.toSeq
     val snippets = rows.map(r => (r.file, r.code, r.distance))
-    val profile = readProfile(indexDir)
     QueryOutput(rows, client.synthesize(question, classification, profile, snippets).toSeq)
   }
 
+  /** Full round-trip of writeProfileJson: the prompt surface consumes
+    * primary_languages/frameworks/build_files (persona capabilities,
+    * HyDE language fallback), so parsing only the name would silently
+    * degrade every profile-aware template. */
   def readProfile(indexDir: String): Option[RepoProfile] = {
     val p = java.nio.file.Paths.get(s"$indexDir/profile.json")
     if (!java.nio.file.Files.exists(p)) None
     else {
-      // profile.json is produced by writeProfileJson above; parse the
-      // name field only (enough for the synthesis header)
-      val s = java.nio.file.Files.readString(p)
-      val name = "\"name\":\"([^\"]*)\"".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("repo")
-      Some(RepoProfile(name, Seq.empty, Seq.empty, Seq.empty, None))
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      def arr(f: String): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        val v = n.path(f)
+        if (v.isArray) v.elements().asScala.map(_.asText).toSeq else Seq.empty
+      }
+      Some(RepoProfile(
+        name = n.path("name").asText("repo"),
+        primary_languages = arr("primary_languages"),
+        build_files = arr("build_files"),
+        frameworks = arr("frameworks"),
+        readme_summary =
+          if (n.path("readme_summary").isTextual) Some(n.path("readme_summary").asText)
+          else None))
     }
   }
 }

@@ -78,16 +78,20 @@ object Chunker {
     var inFence = false
     // decorators and comment runs bind FORWARD onto the def/class they
     // annotate (chunker.rs's AST nodes carry leading trivia the same
-    // way), so "@decorator\ndef f():" never splits across units
-    def bindsForward: Boolean = cur.nonEmpty && cur.toString.linesIterator
-      .forall { l => val t = l.trim
-        t.isEmpty || t.startsWith("@") || t.startsWith("#") }
+    // way), so "@decorator\ndef f():" never splits across units.
+    // Tracked incrementally (true while the open unit holds only
+    // blank/decorator/comment lines) — rescanning the unit per line
+    // would be quadratic over long comment runs.
+    var onlyTrivia = true
     lines.foreach { line =>
       if (indentBased) {
         // a non-blank column-0 line starts a new top-level unit: a
         // def/class plus its indented block stays one unit
-        if (line.trim.nonEmpty && !line.head.isWhitespace && !bindsForward)
-          flushUnit()
+        val t = line.trim
+        if (t.nonEmpty && !line.head.isWhitespace && !(cur.nonEmpty && onlyTrivia)) {
+          flushUnit(); onlyTrivia = true
+        }
+        if (!(t.isEmpty || t.startsWith("@") || t.startsWith("#"))) onlyTrivia = false
         cur ++= line
       } else if (headingBased) {
         // units are heading sections; fenced code is opaque (a '#'

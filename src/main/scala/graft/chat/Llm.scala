@@ -20,8 +20,11 @@ trait ChatClient extends Serializable {
 
   /** L2: HyDE hypothetical document, budget = chunk_size chars
     * (hyde.rs:317-347; the EMBEDDED text is the hypo doc alone, not
-    * query+hypo — hyde.rs:500). */
-  def hyde(query: String, classification: QueryClassification): String
+    * query+hypo — hyde.rs:500). The profile supplies the reference's
+    * primary-language fallback for the intent template
+    * (hyde.rs:98-116) when the query names no language. */
+  def hyde(query: String, classification: QueryClassification,
+           profile: Option[RepoProfile] = None): String
 
   /** L3: answer synthesis from formatted snippets (hyde.rs:605-764);
     * streamed as an iterator of tokens (L4 analog). */
@@ -65,10 +68,14 @@ class MockChatClient(chunkSize: Int = 1000) extends ChatClient {
       exclude_patterns = None)
   }
 
-  override def hyde(query: String, c: QueryClassification): String = {
+  override def hyde(query: String, c: QueryClassification,
+                    profile: Option[RepoProfile] = None): String = {
     // a deterministic "hypothetical document": the query restated with
-    // intent/language context, truncated to the chunk budget
-    val lang = c.language.getOrElse("code")
+    // intent/language context, truncated to the chunk budget; the
+    // profile's primary language backs the query's (hyde.rs:98-116)
+    val lang = c.language
+      .orElse(profile.flatMap(_.primary_languages.headOption).map(_.toLowerCase))
+      .getOrElse("code")
     val body = c.intent match {
       case "how_it_works"   => s"This $lang module works by $query. The main flow calls each step in order."
       case "implementation" => s"fn implementation() { // $query in $lang\n}"

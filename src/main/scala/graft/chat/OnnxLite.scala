@@ -208,7 +208,12 @@ final class OnnxLiteModel(
           }
           Mat(t, table.cols, o)
         case "Transpose" =>
-          // rank-2: any non-identity perm is [1, 0]
+          // rank-2: only the [1, 0] swap (or the ONNX default, which
+          // reverses the axes — the same thing at rank 2) is honorable;
+          // silently transposing under any other perm would corrupt
+          // the tensor, so reject loudly like unsupported ops
+          attr(idx, "perm").foreach(p => require(p.ints == Seq(1L, 0L),
+            s"Transpose perm ${p.ints} unsupported at rank 2"))
           val o = new Array[Float](a.rows * a.cols)
           var i = 0
           while (i < a.rows) {
@@ -218,7 +223,10 @@ final class OnnxLiteModel(
           }
           Mat(a.cols, a.rows, o)
         case "Softmax" =>
-          // last axis (the opset-13 default), max-subtracted for stability
+          // last axis (the opset-13 default), max-subtracted for
+          // stability; any other axis would softmax the wrong way
+          attr(idx, "axis").flatMap(_.i).foreach(ax => require(ax == -1 || ax == 1,
+            s"Softmax axis $ax unsupported at rank 2"))
           val o = new Array[Float](a.rows * a.cols)
           var i = 0
           while (i < a.rows) {
@@ -238,6 +246,8 @@ final class OnnxLiteModel(
           Mat(a.rows, a.cols, o)
         case "LayerNormalization" =>
           // per-row over the last axis: (x - mean) / sqrt(var + eps) * scale + bias
+          attr(idx, "axis").flatMap(_.i).foreach(ax => require(ax == -1 || ax == 1,
+            s"LayerNormalization axis $ax unsupported at rank 2"))
           val eps = attr(idx, "epsilon").flatMap(_.f).getOrElse(1e-5f).toDouble
           val scale = get(ins(1))
           val bias = if (ins.length > 2) Some(get(ins(2))) else None
@@ -263,10 +273,13 @@ final class OnnxLiteModel(
           Mat(a.rows, a.cols, o)
         case "ReduceMean" =>
           // axes from the attribute (opset <= 13) or a second
-          // initializer input (opset 18+); the pooling use is axes=[0]
+          // initializer input (opset 18+); the pooling use is axes=[0].
+          // The ONNX no-axes default means reduce ALL axes — not
+          // expressible here, so its absence is an error, not a guess.
           val axesRaw = attr(idx, "axes").map(_.ints)
             .orElse(if (ins.length > 1) Some(tensors(ins(1))._3.map(_.toLong).toSeq) else None)
-            .getOrElse(Seq(0L))
+            .getOrElse(throw new IllegalArgumentException(
+              "ReduceMean without axes (reduce-all) is unsupported"))
           val axes = axesRaw.map(x => if (x < 0) x + 2 else x)
           if (axes == Seq(0L)) { // mean over the sequence axis -> [1, D]
             val o = new Array[Float](a.cols)

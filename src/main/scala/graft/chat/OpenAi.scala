@@ -149,10 +149,11 @@ class OpenAiChatClient(baseUrl: String, apiKey: Option[String], model: String,
     * (hyde.rs:95-145) with the wants_code-gated input (:317-336),
     * streamed and concatenated exactly like explain_code_stream
     * (:578-603: max_tokens 1024, temperature 0.2, "Context:" wrap). */
-  override def hyde(query: String, c: QueryClassification): String = {
+  override def hyde(query: String, c: QueryClassification,
+                    profile: Option[RepoProfile] = None): String = {
     val doc = streamTokens(chatBody(
       messages = Seq(
-        "system" -> Prompts.hydeSystemPrompt(c),
+        "system" -> Prompts.hydeSystemPrompt(c, profile),
         "user" -> Prompts.hydeContextWrap(Prompts.hydeUserInput(query, c, chunkSize))),
       maxTokens = 1024, temperature = 0.2, stream = true)).mkString
     if (doc.isEmpty)

@@ -41,7 +41,11 @@ class OnnxReranker(modelPath: String) extends Reranker {
   }
 
   override def rerank(query: String, docs: Seq[String]): Seq[Double] = {
-    val q = OnnxTokens.ids(query, model.vocabSize)
+    // the query may take at most half the window: an over-long query
+    // (pasted stack trace) must not starve the document out of the
+    // pair, or every doc would score identically and the rerank would
+    // silently become a no-op
+    val q = OnnxTokens.ids(query, model.vocabSize).take(OnnxTokens.MaxTokens / 2)
     docs.map { doc =>
       val pair = (q :+ OnnxTokens.SepId) ++ OnnxTokens.ids(doc, model.vocabSize)
       val seq = pair.take(OnnxTokens.MaxTokens)

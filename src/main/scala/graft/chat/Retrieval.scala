@@ -162,14 +162,15 @@ object Retrieval {
                   rr: Reranker = new TfidfReranker()): DataFrame = {
     val spark = results.sparkSession
     // F1 contract guard: the input is a post-top-k window (<= k*2
-    // rows). The count check costs one job over an already-tiny frame
-    // and turns a mis-wired corpus-sized input into a loud error
-    // instead of a silent driver OOM at collect().
-    val n = results.limit(Retrieval.MaxRerankWindow + 1).count()
-    require(n <= Retrieval.MaxRerankWindow,
+    // rows). Collecting through limit(max+1) bounds the driver-side
+    // memory to 257 rows in the SAME job that fetches the window (a
+    // separate count() would re-execute the whole retrieval lineage),
+    // and the loud failure below catches a mis-wired corpus-sized
+    // input before it can become a silent driver OOM.
+    val rows = results.limit(Retrieval.MaxRerankWindow + 1).collect()
+    require(rows.length <= Retrieval.MaxRerankWindow,
       s"crossRerank input exceeds ${Retrieval.MaxRerankWindow} rows — " +
         "it must be the k*2 over-fetch window (F1), not a corpus-sized frame")
-    val rows = results.collect()
     val docIdx = results.schema.fieldIndex("code")
     val scores = rr.rerank(query, rows.toSeq.map(_.getString(docIdx)))
     val scored = rows.zip(scores).map { case (r, s) =>

@@ -436,8 +436,10 @@ object Dedup {
     * remains the oracle-checked pair formulation. */
   def simhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
     // reused by the distinct-signature edge build AND the final doc
-    // join; checkpointed so the CC rounds plan over a flat LogicalRDD
-    val sig = simhashFrame(spark, sfDir).localCheckpoint(true)
+    // join; checkpointed so the CC rounds plan over a flat LogicalRDD,
+    // tracked so release() frees the blocks after the query runs
+    val sig = Materialize.tracked(spark,
+      simhashFrame(spark, sfDir).localCheckpoint(true))
     val sigs = sig.select("simhash").distinct()
     val bandBits = Consts.SimHashBits / Consts.SimhashBands
     val bandVals = (0 until Consts.SimhashBands).map { b =>
@@ -490,10 +492,13 @@ object Dedup {
     * and re-optimizes it — measured at 1.3-1.5 s of pure planning per
     * round over a 512-edge graph. A flat LogicalRDD plans in ms. */
   private def minLabelComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val Seq(a, b) = pairs.columns.toSeq
-    val sym = pairs
+    // tracked: Bench/Verify release the checkpoint blocks after the
+    // query's action instead of waiting for driver GC
+    val sym = Materialize.tracked(spark, pairs
       .unionAll(pairs.select(col(b).as(a), col(a).as(b)))
-      .toDF("src", "dst").localCheckpoint(true)
+      .toDF("src", "dst").localCheckpoint(true))
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
     var cachedStep = labels
@@ -516,11 +521,12 @@ object Dedup {
     // intermediate cache can be released NOW (leaking a cache per call
     // degrades long sessions — measured as GC pressure on later
     // queries in the benchmark suite)
-    val finalLabels = labels.localCheckpoint(true)
+    val finalLabels = Materialize.tracked(spark, labels.localCheckpoint(true))
     cachedStep.unpersist()
-    // sym's checkpoint blocks are reclaimed by the ContextCleaner once
-    // the frame is unreferenced (localCheckpoint data is RDD blocks,
-    // not CacheManager entries, so unpersist() would be a no-op)
+    // sym's blocks are freed NOW — the returned frame depends only on
+    // finalLabels, whose blocks the session release frees after the
+    // caller's action completes
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sym)
     finalLabels
   }
 

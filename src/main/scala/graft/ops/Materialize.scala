@@ -50,9 +50,24 @@ object Materialize {
       cached
     }
 
+  /** Register an already-materialized localCheckpoint'ed frame so
+    * `release` can free its RDD blocks deterministically (plain
+    * unpersist is a no-op for checkpoints). Callers must only release
+    * after the query's consumers have run — checkpoints have no
+    * lineage to recompute from. */
+  def tracked(spark: SparkSession, df: DataFrame): DataFrame = {
+    registry
+      .computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]())
+      .add(df)
+    df
+  }
+
   def release(spark: SparkSession): Unit = {
     val q = registry.remove(spark)
-    if (q != null) q.forEach(df => df.unpersist(false))
+    if (q != null) q.forEach { df =>
+      df.unpersist(false)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df)
+    }
   }
 
   /** Run `body` with `shared` as a no-op (plan inspection, tests that

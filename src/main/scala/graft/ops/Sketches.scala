@@ -105,10 +105,19 @@ object Sketches {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q56 oracle-checked form, same pattern as [[approxDistinctChecked]]:
-    * exact percentiles quantized to integer micro-units (double
-    * interpolation is not bit-stable across engines; floor-scale is the
-    * ExactSums recipe) plus one `within_bound` covering all three
-    * quantiles against the spec's value-space tolerance. */
+    * exact percentiles quantized to integer micro-units plus one
+    * `within_bound` covering all three quantiles against the spec's
+    * value-space tolerance.
+    *
+    * Residual risk, accepted: quantization happens AFTER the
+    * interpolation, and Spark's `percentile` and DuckDB's
+    * `quantile_cont` use algebraically-equal but differently-rounded
+    * interpolation formulas — if an interpolated value ever lands
+    * within ulps of a micro-unit boundary, the floors could disagree.
+    * With continuous-valued inputs the probability is ~1e-10 per cell
+    * and the gate is deterministic for a fixed dataset (verified at
+    * sf0.01); quantizing before interpolation would not remove the
+    * risk because the fractional rank q*(n-1) is itself inexact. */
   def approxQuantilesChecked(spark: SparkSession, sfDir: String): DataFrame = {
     def micro(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000L)).cast("long")
