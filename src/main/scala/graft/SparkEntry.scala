@@ -79,7 +79,8 @@ object SparkEntry {
     // pattern as q45)
     "q56_approx_quantiles"  -> Sketches.approxQuantilesChecked _,
     "q57_interval_join"     -> Events.clickErrorInterval _,
-    "q58_cdc_segments"      -> Dedup.cdcSegments _
+    "q58_cdc_segments"      -> Dedup.cdcSegments _,
+    "q59_zipf_quality"      -> TextAnalytics.zipfQuality _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -194,6 +195,7 @@ object SparkEntry {
     "q55_oov_rate"          -> TextAnalytics.oovRateSql,
     "q56_approx_quantiles"  -> Sketches.approxQuantilesCheckedSql,
     "q57_interval_join"     -> Events.clickErrorIntervalSql,
-    "q58_cdc_segments"      -> Dedup.cdcSegmentsSql
+    "q58_cdc_segments"      -> Dedup.cdcSegmentsSql,
+    "q59_zipf_quality"      -> TextAnalytics.zipfQualitySql
   )
 }

@@ -73,6 +73,75 @@ object TextAnalytics {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q59: Zipf-rank quality score. Each token gets its rank in the
+    * global frequency table (1 = most common; tokens outside the
+    * top-`VocabSize` share the tail rank V+1), and each document is
+    * scored by the MEDIAN and MEAN rank of its token occurrences —
+    * rare-token-heavy documents (mojibake, minified blobs, random
+    * identifiers) surface with high ranks, the standard cheap quality
+    * filter next to stopword/length ratios.
+    *
+    * Scale shape: the rank table is the same TakeOrdered top-V +
+    * broadcast as q55 (no corpus-wide sort), the per-doc median is
+    * rank arithmetic inside ONE window shuffle by doc_id (the running
+    * total rides the same frame, so mean costs no extra exchange), and
+    * everything is integer until the final exact divisions — which is
+    * what makes the oracle hash-match. */
+  def zipfQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocabRanks = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(VocabSize)
+      // rank over a V-row frame: the unpartitioned window is bounded
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select("tok", "rank")
+    val tailRank = (VocabSize + 1).toLong
+    val ranks = toks.join(broadcast(vocabRanks), Seq("tok"), "left")
+      .select(col("doc_id"), coalesce(col("rank"), lit(tailRank)).as("rank"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = ranks
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("rank").asc)).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(byDoc))
+      .withColumn("total", sum(col("rank")).over(byDoc))
+    ranked
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor(col("cnt") / 2) + 1)
+      .groupBy("doc_id")
+      .agg(
+        (sum(col("rank")) / (count(lit(1)) * lit(1.0))).as("median_rank"),
+        max(col("cnt")).as("n_tokens"),
+        (max(col("total")) / (max(col("cnt")) * lit(1.0))).as("mean_rank"))
+      .orderBy("doc_id")
+  }
+
+  def zipfQualitySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok, cast(row_number() OVER (ORDER BY cnt DESC, tok ASC) as bigint) AS rank
+       |  FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+       |  ORDER BY cnt DESC, tok ASC LIMIT $VocabSize),
+       |ranks AS (
+       |  SELECT doc_id, coalesce(vocab.rank, ${VocabSize + 1}) AS rank
+       |  FROM toks LEFT JOIN vocab ON toks.tok = vocab.tok),
+       |win AS (
+       |  SELECT doc_id, rank,
+       |    cast(row_number() OVER (PARTITION BY doc_id ORDER BY rank ASC) as bigint) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS cnt,
+       |    sum(rank) OVER (PARTITION BY doc_id) AS total
+       |  FROM ranks)
+       |SELECT doc_id,
+       |  cast(sum(rank) as bigint) / (count(*) * 1.0) AS median_rank,
+       |  max(cnt) AS n_tokens,
+       |  cast(max(total) as bigint) / (max(cnt) * 1.0) AS mean_rank
+       |FROM win
+       |WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   private[ops] val sqlShingles =
     "list_distinct(CASE WHEN len(t) >= 3 THEN [t[i+1]||' '||t[i+2]||' '||t[i+3] for i in range(len(t)-2)] ELSE [] END)"
 

@@ -43,6 +43,25 @@ class TextDedupSimilaritySpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("zipf quality: ranks bounded by the tail, rare-token docs score worst") {
+    import graft.ops.TextAnalytics
+    val rows = TextAnalytics.zipfQuality(spark, sf001).collect()
+    val nDocs = graft.core.Tables.documents(spark, sf001).count()
+    assert(rows.length == nDocs)
+    val tail = (TextAnalytics.VocabSize + 1).toDouble
+    rows.foreach { r =>
+      val med = r.getAs[Double]("median_rank")
+      val mean = r.getAs[Double]("mean_rank")
+      assert(med >= 1.0 && med <= tail, s"median $med out of range")
+      assert(mean >= 1.0 && mean <= tail, s"mean $mean out of range")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // a doc whose tokens are all OOV must hit exactly the tail rank;
+    // common-token docs must rank strictly better than it
+    val scores = rows.map(r => r.getAs[Double]("median_rank"))
+    assert(scores.min < tail, "at least one doc should use in-vocab tokens")
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = Dedup.minhashLshPairs(spark, sf0001).cache()
     val n = pairs.count()
