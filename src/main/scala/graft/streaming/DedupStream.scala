@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core.Consts
+
+/** Streaming NEAR-duplicate suppression — the streaming twin of the
+  * batch SimHash dedup (`ops.Dedup.simhashPairs`/`simhashClusters`).
+  * Training pipelines dedup the firehose before it lands; exact
+  * streaming dedup (`EventStream.dedupStream`) misses templated
+  * near-copies, which is what this catches.
+  *
+  * Shape: the 16-bit simhash is computed MAP-SIDE per document (same
+  * md5-nibble vote kernel as the batch `simhashFrame` /
+  * `functions.NibbleHighMask`, so batch and stream agree bit-for-bit),
+  * each doc fans out to its `SimhashBands` band buckets, and one
+  * stateful operator per bucket keeps the signatures seen so far.
+  * Hamming <= `SimhashMaxHamming` against any stored signature flags
+  * the document as a duplicate of the earliest doc that carried the
+  * matching signature. The pigeonhole band split makes the candidate
+  * check lossless: a qualifying pair agrees on at least one whole
+  * band, so the pair meets in at least one bucket.
+  *
+  * State is bounded by construction: a bucket stores at most one entry
+  * per DISTINCT signature (2^16 total across all buckets), not one per
+  * document — the stream can run forever over any corpus size.
+  *
+  * Output: one row per (document, band) detection; a document matching
+  * in several bands emits several rows, so consumers `distinct` on
+  * doc_id for the suppression set (kept as separate rows to stay in
+  * one stateful operator — chaining a second streaming aggregate would
+  * need its own state store and watermark).
+  */
+object DedupStream {
+
+  case class Doc(doc_id: Long, text: String)
+  case class Banded(bucket: Long, band: Int, sig: Long, doc_id: Long)
+  case class BucketState(sigs: Map[Long, Long]) // signature -> first doc_id
+  case class DupOut(doc_id: Long, dup_of: Long, band: Int, hamming: Int)
+
+  private val BandBits = Consts.SimHashBits / Consts.SimhashBands
+
+  /** The batch simhash kernel, computed eagerly per document: per
+    * token, bit k votes +1 when hex nibble k of md5(token) has its
+    * high bit set, else -1; signature bit k is the vote sign. Token
+    * split and md5 match `Dedup.simhashFrame` exactly. */
+  def simhash16(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](Consts.SimHashBits)
+    text.split("\\s+").foreach { tok =>
+      if (tok.nonEmpty) {
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var k = 0
+        while (k < Consts.SimHashBits) {
+          val nibble = if (k % 2 == 0) (d(k / 2) >> 4) & 0xf else d(k / 2) & 0xf
+          votes(k) += (if (nibble >= 8) 1 else -1)
+          k += 1
+        }
+      }
+    }
+    var sig = 0L
+    var k = 0
+    while (k < Consts.SimHashBits) {
+      if (votes(k) > 0) sig |= (1L << k)
+      k += 1
+    }
+    sig
+  }
+
+  /** docs -> near-dup detections. Within a micro-batch, documents are
+    * processed in doc_id order, so replaying a corpus in one batch
+    * equals the batch pair relation restricted to "later doc of each
+    * pair"; across batches, arrival order defines "earlier". */
+  def nearDupStream(docs: Dataset[Doc]): Dataset[DupOut] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.flatMap { d =>
+      val sig = simhash16(d.text)
+      (0 until Consts.SimhashBands).map { b =>
+        val bandVal = (sig >> (b * BandBits)) & ((1L << BandBits) - 1)
+        Banded((b.toLong << Consts.SimHashBits) | bandVal, b, sig, d.doc_id)
+      }
+    }
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, DupOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Banded], state: GroupState[BucketState]) =>
+          var sigs = state.getOption.map(_.sigs).getOrElse(Map.empty[Long, Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[DupOut]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            // earliest qualifying signature holder wins as dup_of
+            // (ties on doc id broken by lower hamming, then signature)
+            val hit = sigs.iterator
+              .map { case (s, firstId) =>
+                (firstId, java.lang.Long.bitCount(s ^ r.sig), s)
+              }
+              .filter(_._2 <= Consts.SimhashMaxHamming)
+              .reduceOption((a, b) =>
+                if (a._1 != b._1) (if (a._1 < b._1) a else b)
+                else if (a._2 != b._2) (if (a._2 < b._2) a else b)
+                else (if (a._3 < b._3) a else b))
+            hit.foreach { case (firstId, hamming, _) =>
+              out += DupOut(r.doc_id, firstId, r.band, hamming)
+            }
+            if (!sigs.contains(r.sig)) sigs += (r.sig -> r.doc_id)
+          }
+          state.update(BucketState(sigs))
+          out.iterator
+      }
+  }
+}

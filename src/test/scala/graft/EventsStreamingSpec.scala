@@ -75,6 +75,48 @@ class EventsStreamingSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Long]("n") == 2 && r.getAs[String]("event_type") == "click"))
   }
 
+  test("streaming near-dup suppression equals the batch simhash pair relation") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    implicit val sqlCtx = spark.sqlContext
+    // batch ground truth: doc_b of every pair is "the later duplicate"
+    val pairs = graft.ops.Dedup.simhashPairs(spark, sf0001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectFlagged = pairs.map(_._2).toSet
+    val pairSet = pairs.toSet
+    // the map-side kernel must agree with the batch aggregate bit-for-bit
+    val batchSigs = graft.ops.Dedup.simhash(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => DedupStream.Doc(r.getLong(0), r.getString(1)))
+      .sortBy(_.doc_id)
+    docs.take(50).foreach(d =>
+      assert(DedupStream.simhash16(d.text) == batchSigs(d.doc_id),
+        s"kernel mismatch for doc ${d.doc_id}"))
+    // replay in TWO batches (split by doc id) — arrival order = id order
+    val mem = MemoryStream[DedupStream.Doc]
+    val out = DedupStream.nearDupStream(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (first, second) = docs.splitAt(docs.length / 2)
+    mem.addData(first.toSeq); q.processAllAvailable()
+    mem.addData(second.toSeq); q.processAllAvailable()
+    val rows = spark.table("neardup_stream").collect()
+    q.stop()
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == expectFlagged,
+      s"missing=${(expectFlagged -- flagged).take(5)} extra=${(flagged -- expectFlagged).take(5)}")
+    // every detection is a genuine qualifying pair with an earlier doc
+    rows.foreach { r =>
+      val (d, of) = (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"))
+      assert(of < d, s"dup_of must be earlier under id-ordered arrival: $of vs $d")
+      assert(pairSet.contains((of, d)), s"($of, $d) is not a batch pair")
+      assert(r.getAs[Int]("hamming") <= graft.core.Consts.SimhashMaxHamming)
+    }
+  }
+
   test("stateful sessionizeStream closes sessions on gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
