@@ -80,7 +80,8 @@ object SparkEntry {
     "q56_approx_quantiles"  -> Sketches.approxQuantilesChecked _,
     "q57_interval_join"     -> Events.clickErrorInterval _,
     "q58_cdc_segments"      -> Dedup.cdcSegments _,
-    "q59_zipf_quality"      -> TextAnalytics.zipfQuality _
+    "q59_zipf_quality"      -> TextAnalytics.zipfQuality _,
+    "q60_ivfpq_knn"         -> Similarity.ivfPqKnn _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -196,6 +197,7 @@ object SparkEntry {
     "q56_approx_quantiles"  -> Sketches.approxQuantilesCheckedSql,
     "q57_interval_join"     -> Events.clickErrorIntervalSql,
     "q58_cdc_segments"      -> Dedup.cdcSegmentsSql,
-    "q59_zipf_quality"      -> TextAnalytics.zipfQualitySql
+    "q59_zipf_quality"      -> TextAnalytics.zipfQualitySql,
+    "q60_ivfpq_knn"         -> Similarity.ivfPqKnnSql
   )
 }

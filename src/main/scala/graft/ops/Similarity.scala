@@ -381,6 +381,151 @@ object Similarity {
        |WHERE rank <= ${Consts.KnnK}
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // IVF-PQ with exact re-ranking — the production large-scale ANN
+  // composition (FAISS IVFPQ + refine): the coarse quantizer prunes
+  // the corpus to NProbe inverted lists, PQ-ADC scores ONLY those
+  // candidates in compressed space (integer table lookups, no
+  // full-dimension math), and just the top RefineFactor*k ADC
+  // survivors pay the exact full-dimension distance. At 100 TB this is
+  // the shape that works: per query the exact-distance cost is
+  // O(refine window), the ADC cost is O(candidate-list length), and
+  // neither touches the corpus outside the probed lists.
+  // -------------------------------------------------------------------
+
+  val IvfPqRefineFactor = 2 // exact-refine window = factor * KnnK
+
+  def ivfPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized(spark, sfDir)
+    // IVF stage (same construction as ivfKnn)
+    val cent = broadcast(
+      q.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+    def topByCentroid(df: DataFrame, keyCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(keyCol).orderBy(col("csim").desc, col("cid").asc)
+      df.join(cent, col(keyCol) =!= lit(-1L))
+        .withColumn("csim", qcosine(col("cv"), col("v"), col("cnrm"), col("nrm")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .select(col(keyCol), col("cid"))
+    }
+    val assign = topByCentroid(q.withColumnRenamed("vec_id", "vid"), "vid", 1)
+    val probes = topByCentroid(
+      q.filter(col("vec_id") < Consts.KnnQueries).withColumnRenamed("vec_id", "qid"),
+      "qid", NProbe)
+    val cands = probes.join(assign, "cid").filter(col("qid") =!= col("vid"))
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id")).distinct()
+    // PQ stage (same construction as pqKnn)
+    val subs = q.select(col("vec_id"), posexplode(array(
+      (0 until PqM).map(m => slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*))
+      .as(Seq("m", "sub")))
+    val cb = broadcast(subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub")))
+    def d2(a: Column, b: Column): Column =
+      qdot(a, a) + qdot(b, b) - lit(2L) * qdot(a, b)
+    val codes = subs.join(cb, "m")
+      .withColumn("cd2", d2(col("sub"), col("csub")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("cd2"), col("k"))).as("best"))
+      .select(col("vec_id").as("nid"), col("m"), col("best.k").as("code"))
+    val lut = broadcast(
+      subs.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("m"), col("sub").as("qsub"))
+        .join(cb, "m")
+        .select(col("query_id"), col("m"), col("k").as("code"),
+          d2(col("qsub"), col("csub")).as("qd2")))
+    // ADC over the IVF shortlist only, then the exact refine
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    val shortlist = cands
+      .join(codes, col("neighbor_id") === col("nid"))
+      .join(lut, Seq("query_id", "m", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd2")).as("adc_dist"))
+      .withColumn("arank", row_number().over(wAdc))
+      .filter(col("arank") <= Consts.KnnK * IvfPqRefineFactor)
+      .select("query_id", "neighbor_id")
+    val qv = q.select(col("vec_id").as("qid2"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val dv = q.select(col("vec_id").as("vid2"), col("v"), col("nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    shortlist
+      .join(qv, col("query_id") === col("qid2"))
+      .join(dv, col("neighbor_id") === col("vid2"))
+      .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfPqKnnSql: String = {
+    val d2 = (a: String, b: String) =>
+      s"list_sum([($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]) for i in range($PqSubDim)])"
+    s"""WITH q AS ($sqlQuantized),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT a.vec_id AS vid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q a, cent)
+       |  WHERE crank <= 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT a.vec_id AS qid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q a, cent WHERE a.vec_id < ${Consts.KnnQueries})
+       |  WHERE crank <= $NProbe),
+       |cands AS (
+       |  SELECT DISTINCT probes.qid AS query_id, assign.vid AS neighbor_id
+       |  FROM probes JOIN assign ON probes.cid = assign.cid
+       |  WHERE probes.qid != assign.vid),
+       |subs AS (
+       |  SELECT vec_id, cast(m as int) AS m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub
+       |  FROM q, unnest(range($PqM)) t(m)),
+       |cb AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < $PqK),
+       |codes AS (
+       |  SELECT vec_id AS nid, m, k AS code FROM (
+       |    SELECT s.vec_id, s.m, cb.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY ${d2("s.sub", "cb.csub")}, cb.k) AS rn
+       |    FROM subs s JOIN cb USING (m))
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT s.vec_id AS query_id, s.m, cb.k AS code,
+       |    ${d2("s.sub", "cb.csub")} AS qd2
+       |  FROM subs s JOIN cb USING (m)
+       |  WHERE s.vec_id < ${Consts.KnnQueries}),
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id, cast(sum(lut.qd2) as bigint) AS adc_dist
+       |  FROM cands c
+       |  JOIN codes ON codes.nid = c.neighbor_id
+       |  JOIN lut ON lut.query_id = c.query_id AND lut.m = codes.m AND lut.code = codes.code
+       |  GROUP BY c.query_id, c.neighbor_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist ASC, neighbor_id ASC) AS arank
+       |    FROM adc)
+       |  WHERE arank <= ${Consts.KnnK * IvfPqRefineFactor})
+       |SELECT query_id, neighbor_id, rank, sim FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    cast(row_number() OVER (PARTITION BY s.query_id ORDER BY $sqlCos DESC, s.neighbor_id ASC) as bigint) AS rank,
+       |    $sqlCos AS sim
+       |  FROM shortlist s
+       |  JOIN q a ON a.vec_id = s.query_id
+       |  JOIN q b ON b.vec_id = s.neighbor_id)
+       |WHERE rank <= ${Consts.KnnK}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def lshKnnSql: String = {
     val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
       val lits = hp.mkString("[", ", ", "]")

@@ -264,6 +264,28 @@ class TextDedupSimilaritySpec extends SparkSpec {
     nov.unpersist()
   }
 
+  test("IVF-PQ + exact refine: results are a subset of IVF candidates with decent recall") {
+    import graft.ops.Similarity
+    val ivfpq = Similarity.ivfPqKnn(spark, sf001).collect()
+    val brute = Similarity.knnBruteForce(spark, sf001).collect()
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(ivfpq)
+    assert(got.nonEmpty)
+    // deterministic
+    assert(pairs(Similarity.ivfPqKnn(spark, sf001).collect()) == got)
+    // the refine stage scores exactly: every returned sim equals the
+    // brute-force sim for that (query, neighbor) pair
+    val bruteSims = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteSims.get(key).foreach(s => assert(math.abs(s - r.getDouble(3)) == 0.0))
+    }
+    // recall against the exact top-k: pruning is real but not absurd
+    val recall = got.intersect(pairs(brute)).size.toDouble / pairs(brute).size
+    assert(recall >= 0.2, s"recall $recall collapsed — probe/refine windows broken")
+  }
+
   test("PQ-ADC kNN: exact integer distances, deterministic, nonzero recall vs brute force") {
     val pq = Similarity.pqKnn(spark, sf0001).cache()
     assert(pq.groupBy("query_id").count().collect()
