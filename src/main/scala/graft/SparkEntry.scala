@@ -81,7 +81,8 @@ object SparkEntry {
     "q57_interval_join"     -> Events.clickErrorInterval _,
     "q58_cdc_segments"      -> Dedup.cdcSegments _,
     "q59_zipf_quality"      -> TextAnalytics.zipfQuality _,
-    "q60_ivfpq_knn"         -> Similarity.ivfPqKnn _
+    "q60_ivfpq_knn"         -> Similarity.ivfPqKnn _,
+    "q61_repetition"        -> TextAnalytics.repetitionStats _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,6 +199,7 @@ object SparkEntry {
     "q57_interval_join"     -> Events.clickErrorIntervalSql,
     "q58_cdc_segments"      -> Dedup.cdcSegmentsSql,
     "q59_zipf_quality"      -> TextAnalytics.zipfQualitySql,
-    "q60_ivfpq_knn"         -> Similarity.ivfPqKnnSql
+    "q60_ivfpq_knn"         -> Similarity.ivfPqKnnSql,
+    "q61_repetition"        -> TextAnalytics.repetitionStatsSql
   )
 }

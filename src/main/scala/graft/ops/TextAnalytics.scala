@@ -142,6 +142,81 @@ object TextAnalytics {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** q61: repetition metrics — the Gopher/C4-style internal-repetition
+    * quality filters (Rae et al. 2021 §A1.1): fraction of duplicate
+    * lines, fraction of characters inside duplicated lines, and the
+    * share of the most-common word bigram. Templated/boilerplate and
+    * crawler-looped documents light up on these before any model sees
+    * them.
+    *
+    * Scale shape: two keyed aggregations per signal ((doc, line) then
+    * doc; (doc, bigram) then doc), map-side partial combine on both,
+    * joined on doc_id. All counts are integers; the ratios are single
+    * exact divisions, so the oracle hash-matches. */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val lines = d.select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .filter(trim(col("line")) =!= "")
+    val lineCounts = lines.groupBy("doc_id", "line").agg(count(lit(1)).as("cnt"))
+    val lineStats = lineCounts.groupBy("doc_id").agg(
+      sum(col("cnt")).as("n_lines"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_dup_lines"),
+      sum(col("cnt") * length(col("line"))).as("n_line_chars"),
+      sum(when(col("cnt") > 1, col("cnt") * length(col("line"))).otherwise(0L))
+        .as("n_dup_chars"))
+    val toks = d.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bigrams = toks
+      .select(col("doc_id"), explode(
+        when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2), i =>
+            concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+          .otherwise(expr("cast(array() as array<string>)"))).as("bg"))
+    val bigramStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        max(col("cnt")).as("top_bigram_n"),
+        sum(col("cnt")).as("n_bigrams"))
+    lineStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        (col("n_dup_lines") / (col("n_lines") * lit(1.0))).as("dup_line_ratio"),
+        (col("n_dup_chars") / (col("n_line_chars") * lit(1.0))).as("dup_char_ratio"),
+        coalesce(col("top_bigram_n") / (col("n_bigrams") * lit(1.0)), lit(0.0))
+          .as("top_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionStatsSql: String =
+    s"""WITH lines AS (
+       |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+       |lc AS (
+       |  SELECT doc_id, line, count(*) AS cnt FROM lines WHERE trim(line) != ''
+       |  GROUP BY doc_id, line),
+       |ls AS (
+       |  SELECT doc_id,
+       |    cast(sum(cnt) as bigint) AS n_lines,
+       |    cast(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) as bigint) AS n_dup_lines,
+       |    cast(sum(cnt * length(line)) as bigint) AS n_line_chars,
+       |    cast(sum(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) as bigint) AS n_dup_chars
+       |  FROM lc GROUP BY doc_id),
+       |toks AS (
+       |  SELECT doc_id, $sqlTokens AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+       |    THEN [t[i+1]||' '||t[i+2] for i in range(len(t)-1)] ELSE [] END) AS bg
+       |  FROM toks),
+       |bc AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+       |bs AS (
+       |  SELECT doc_id, cast(max(cnt) as bigint) AS top_bigram_n,
+       |    cast(sum(cnt) as bigint) AS n_bigrams
+       |  FROM bc GROUP BY doc_id)
+       |SELECT ls.doc_id, n_lines,
+       |  n_dup_lines / (n_lines * 1.0) AS dup_line_ratio,
+       |  n_dup_chars / (n_line_chars * 1.0) AS dup_char_ratio,
+       |  coalesce(top_bigram_n / (n_bigrams * 1.0), 0.0) AS top_bigram_ratio
+       |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id
+       |ORDER BY ls.doc_id""".stripMargin
+
   private[ops] val sqlShingles =
     "list_distinct(CASE WHEN len(t) >= 3 THEN [t[i+1]||' '||t[i+2]||' '||t[i+3] for i in range(len(t)-2)] ELSE [] END)"
 

@@ -62,6 +62,28 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(scores.min < tail, "at least one doc should use in-vocab tokens")
   }
 
+  test("repetition stats: ratios in [0,1], planted near-dup templates repeat hardest") {
+    import graft.ops.TextAnalytics
+    val rows = TextAnalytics.repetitionStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for (c <- Seq("dup_line_ratio", "dup_char_ratio", "top_bigram_ratio")) {
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+      assert(r.getAs[Long]("n_lines") > 0)
+    }
+    // a synthetic fully-repeated doc must saturate the line ratios
+    import spark.implicits._
+    val probe = Seq((1L, "same line\nsame line\nsame line\nx y x y x y"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("rep_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pr = TextAnalytics.repetitionStats(spark, tmp.toString).collect().head
+    assert(pr.getAs[Double]("dup_line_ratio") == 0.75) // 3 of 4 lines duplicated
+    assert(pr.getAs[Double]("top_bigram_ratio") == 3.0 / 11.0) // "same line" x3 of 11
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = Dedup.minhashLshPairs(spark, sf0001).cache()
     val n = pairs.count()
