@@ -82,7 +82,8 @@ object SparkEntry {
     "q58_cdc_segments"      -> Dedup.cdcSegments _,
     "q59_zipf_quality"      -> TextAnalytics.zipfQuality _,
     "q60_ivfpq_knn"         -> Similarity.ivfPqKnn _,
-    "q61_repetition"        -> TextAnalytics.repetitionStats _
+    "q61_repetition"        -> TextAnalytics.repetitionStats _,
+    "q62_decontamination"   -> Dedup.decontamination _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -200,6 +201,7 @@ object SparkEntry {
     "q58_cdc_segments"      -> Dedup.cdcSegmentsSql,
     "q59_zipf_quality"      -> TextAnalytics.zipfQualitySql,
     "q60_ivfpq_knn"         -> Similarity.ivfPqKnnSql,
-    "q61_repetition"        -> TextAnalytics.repetitionStatsSql
+    "q61_repetition"        -> TextAnalytics.repetitionStatsSql,
+    "q62_decontamination"   -> Dedup.decontaminationSql
   )
 }

@@ -588,6 +588,52 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Benchmark decontamination: docs with doc_id below this bound act
+    * as the held-out evaluation set the corpus is screened against. */
+  val DecontamBenchmarkDocs = 50L
+
+  /** q62: benchmark decontamination — flag every corpus document that
+    * shares any 3-gram shingle with the held-out benchmark set (the
+    * screening step every serious pretraining pipeline runs so eval
+    * data cannot leak into training; q52's novelty is corpus-global,
+    * this is set-targeted).
+    *
+    * Scale shape: the benchmark's distinct shingle hashes are tiny
+    * relative to the corpus and BROADCAST; the corpus-side scan then
+    * aggregates (count, hits) per doc with map-side combine — one
+    * shuffle, no corpus-side shingle ever moves except as a partial
+    * count. Shares the materialized shingle table with q14/q15/q52. */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Materialize.shared(spark, shingleRows(spark, sfDir))
+    val bench = broadcast(
+      sh.filter(col("doc_id") < DecontamBenchmarkDocs)
+        .select("hv").distinct().withColumn("hit", lit(1L)))
+    sh.filter(col("doc_id") >= DecontamBenchmarkDocs)
+      .join(bench, Seq("hv"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"),
+        (col("n_shared") / (col("n_shingles") * lit(1.0))).as("overlap_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminationSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${shingleHashExpr("strpos", "md5(s)")} AS hv
+       |  FROM (SELECT doc_id, unnest($sqlShingles) AS s
+       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |bench AS (SELECT DISTINCT hv FROM sh WHERE doc_id < $DecontamBenchmarkDocs)
+       |SELECT sh.doc_id, count(*) AS n_shingles,
+       |  cast(sum(CASE WHEN bench.hv IS NULL THEN 0 ELSE 1 END) as bigint) AS n_shared,
+       |  sum(CASE WHEN bench.hv IS NULL THEN 0 ELSE 1 END) > 0 AS contaminated,
+       |  sum(CASE WHEN bench.hv IS NULL THEN 0 ELSE 1 END) / (count(*) * 1.0) AS overlap_ratio
+       |FROM sh LEFT JOIN bench ON sh.hv = bench.hv
+       |WHERE sh.doc_id >= $DecontamBenchmarkDocs
+       |GROUP BY sh.doc_id
+       |ORDER BY sh.doc_id""".stripMargin
+
   // -------------------------------------------------------------------
   // Content-defined chunking (CDC): rolling-hash boundary detection,
   // the block-level dedup primitive (cf. LBFS/rsync-style anchoring;

@@ -84,6 +84,30 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(pr.getAs[Double]("top_bigram_ratio") == 3.0 / 11.0) // "same line" x3 of 11
   }
 
+  test("decontamination flags exactly the docs sharing shingles with the benchmark set") {
+    import spark.implicits._
+    val bench = graft.ops.Dedup.DecontamBenchmarkDocs
+    val probe = Seq(
+      (1L, "web", "alpha beta gamma delta epsilon zeta"),            // benchmark
+      (bench + 1, "web", "alpha beta gamma delta something else"),   // leaks 'alpha beta gamma'+1
+      (bench + 2, "web", "totally different words entirely here now")) // clean
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("decontam_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.Dedup.decontamination(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toMap
+    // benchmark docs are screened out of the result
+    assert(!rows.contains(1L))
+    assert(rows(bench + 1)._2 && rows(bench + 1)._1 == 2L) // two shared 3-grams
+    assert(!rows(bench + 2)._2 && rows(bench + 2)._1 == 0L)
+    // and on the real corpus: ratio bounded, counts consistent
+    graft.ops.Dedup.decontamination(spark, sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_shingles"))
+      val ratio = r.getAs[Double]("overlap_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = Dedup.minhashLshPairs(spark, sf0001).cache()
     val n = pairs.count()
