@@ -83,7 +83,8 @@ object SparkEntry {
     "q59_zipf_quality"      -> TextAnalytics.zipfQuality _,
     "q60_ivfpq_knn"         -> Similarity.ivfPqKnn _,
     "q61_repetition"        -> TextAnalytics.repetitionStats _,
-    "q62_decontamination"   -> Dedup.decontamination _
+    "q62_decontamination"   -> Dedup.decontamination _,
+    "q63_sequence_packing"  -> TextAnalytics.sequencePacking _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -202,6 +203,7 @@ object SparkEntry {
     "q59_zipf_quality"      -> TextAnalytics.zipfQualitySql,
     "q60_ivfpq_knn"         -> Similarity.ivfPqKnnSql,
     "q61_repetition"        -> TextAnalytics.repetitionStatsSql,
-    "q62_decontamination"   -> Dedup.decontaminationSql
+    "q62_decontamination"   -> Dedup.decontaminationSql,
+    "q63_sequence_packing"  -> TextAnalytics.sequencePackingSql
   )
 }

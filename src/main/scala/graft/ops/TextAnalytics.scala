@@ -217,6 +217,40 @@ object TextAnalytics {
        |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id
        |ORDER BY ls.doc_id""".stripMargin
 
+  /** Token budget per training pack for [[sequencePacking]]. */
+  val PackBudgetTokens = 512L
+
+  /** q63: sequence packing — assign documents to fixed token-budget
+    * training packs (the sample-packing step that turns a filtered
+    * corpus into dense training sequences). Docs pack contiguously in
+    * doc_id order WITHIN their source: pack_id = the budget block the
+    * doc's preceding cumulative token count lands in. Contiguous
+    * cumsum packing is the distributed-friendly formulation — greedy
+    * first-fit is inherently sequential — and per-source partitioning
+    * is both what a curriculum actually wants (packs never mix
+    * sources) and what makes the window scale: the cumulative sum
+    * shuffles by source, never through a single global ordering. */
+  def sequencePacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / lit(PackBudgetTokens)).as("pack_id"))
+      .orderBy("source", "doc_id")
+  }
+
+  def sequencePackingSql: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  cast(floor((cum - n_tokens) / $PackBudgetTokens) as bigint) AS pack_id
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC) AS cum
+       |  FROM (SELECT doc_id, source, cast(len($sqlTokens) as bigint) AS n_tokens
+       |        FROM documents))
+       |ORDER BY source, doc_id""".stripMargin
+
   private[ops] val sqlShingles =
     "list_distinct(CASE WHEN len(t) >= 3 THEN [t[i+1]||' '||t[i+2]||' '||t[i+3] for i in range(len(t)-2)] ELSE [] END)"
 

@@ -108,6 +108,27 @@ class TextDedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: contiguous per-source packs, budget blocks consistent") {
+    import graft.ops.TextAnalytics
+    val rows = TextAnalytics.sequencePacking(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id")))
+    assert(rows.nonEmpty)
+    // within a source, pack ids are non-decreasing in doc order and
+    // reproduce the cumulative-sum block arithmetic exactly
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._2)
+      var cum = 0L
+      var lastPack = -1L
+      sorted.foreach { case (_, _, n, pack) =>
+        assert(pack == cum / TextAnalytics.PackBudgetTokens)
+        assert(pack >= lastPack)
+        lastPack = pack
+        cum += n
+      }
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = Dedup.minhashLshPairs(spark, sf0001).cache()
     val n = pairs.count()
