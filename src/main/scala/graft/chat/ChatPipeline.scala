@@ -63,8 +63,19 @@ object ChatPipeline {
   }
 
   def writeProfileJson(p: RepoProfile, path: String): Unit = {
-    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n") + "\""
+    // escape ALL control chars, not just \n: a CRLF or tabbed README
+    // leaves raw \r/\t in readme_summary, which a strict JSON parser
+    // (readProfile's Jackson) rejects — same escaping class as
+    // Verify's oracle_sql.json writer
+    def js(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     def arr(xs: Seq[String]) = xs.map(js).mkString("[", ",", "]")
     val json =
       s"""{"name":${js(p.name)},"primary_languages":${arr(p.primary_languages)},

@@ -208,20 +208,24 @@ final class OnnxLiteModel(
           }
           Mat(t, table.cols, o)
         case "Transpose" =>
-          // rank-2: only the [1, 0] swap (or the ONNX default, which
-          // reverses the axes — the same thing at rank 2) is honorable;
-          // silently transposing under any other perm would corrupt
-          // the tensor, so reject loudly like unsupported ops
-          attr(idx, "perm").foreach(p => require(p.ints == Seq(1L, 0L),
-            s"Transpose perm ${p.ints} unsupported at rank 2"))
-          val o = new Array[Float](a.rows * a.cols)
-          var i = 0
-          while (i < a.rows) {
-            var j = 0
-            while (j < a.cols) { o(j * a.rows + i) = a.data(i * a.cols + j); j += 1 }
-            i += 1
+          // rank-2: perm [0, 1] is the identity (some exporters leave
+          // it behind), [1, 0] — or the ONNX default, which reverses
+          // the axes — swaps; anything else would silently corrupt the
+          // tensor, so reject loudly like unsupported ops
+          val perm = attr(idx, "perm").map(_.ints)
+          require(perm.forall(p => p == Seq(1L, 0L) || p == Seq(0L, 1L)),
+            s"Transpose perm ${perm.get} unsupported at rank 2")
+          if (perm.contains(Seq(0L, 1L))) a
+          else {
+            val o = new Array[Float](a.rows * a.cols)
+            var i = 0
+            while (i < a.rows) {
+              var j = 0
+              while (j < a.cols) { o(j * a.rows + i) = a.data(i * a.cols + j); j += 1 }
+              i += 1
+            }
+            Mat(a.cols, a.rows, o)
           }
-          Mat(a.cols, a.rows, o)
         case "Softmax" =>
           // last axis (the opset-13 default), max-subtracted for
           // stability; any other axis would softmax the wrong way

@@ -50,23 +50,36 @@ object Materialize {
       cached
     }
 
+  // Checkpointed frames are held WEAKLY: if a caller never invokes
+  // release() (specs, interactive sessions), the registry must not pin
+  // the blocks forever — once the frame is unreachable, the
+  // ContextCleaner reclaims them exactly as before tracking existed.
+  // `shared` frames stay strongly held above: their cache entries live
+  // in the CacheManager keyed by plan, so a GC'd handle would make the
+  // entry UNRELEASABLE rather than collectable.
+  private val checkpoints =
+    new ConcurrentHashMap[SparkSession,
+      ConcurrentLinkedQueue[java.lang.ref.WeakReference[DataFrame]]]()
+
   /** Register an already-materialized localCheckpoint'ed frame so
     * `release` can free its RDD blocks deterministically (plain
     * unpersist is a no-op for checkpoints). Callers must only release
     * after the query's consumers have run — checkpoints have no
     * lineage to recompute from. */
   def tracked(spark: SparkSession, df: DataFrame): DataFrame = {
-    registry
-      .computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]())
-      .add(df)
+    checkpoints
+      .computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[java.lang.ref.WeakReference[DataFrame]]())
+      .add(new java.lang.ref.WeakReference(df))
     df
   }
 
   def release(spark: SparkSession): Unit = {
     val q = registry.remove(spark)
-    if (q != null) q.forEach { df =>
-      df.unpersist(false)
-      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df)
+    if (q != null) q.forEach(df => df.unpersist(false))
+    val cp = checkpoints.remove(spark)
+    if (cp != null) cp.forEach { ref =>
+      val df = ref.get()
+      if (df != null) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df)
     }
   }
 

@@ -216,30 +216,45 @@ object Similarity {
   val NCentroids = 16
   val NProbe = 2
 
-  def ivfKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = quantized(spark, sfDir)
-    val cent = broadcast(
-      q.filter(col("vec_id") < NCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
-    def topByCentroid(df: DataFrame, keyCol: String, keep: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCol).orderBy(col("csim").desc, col("cid").asc)
-      df.join(cent, col(keyCol) =!= lit(-1L)) // cross with broadcast centroids
-        .withColumn("csim", qcosine(col("cv"), col("v"), col("cnrm"), col("nrm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(keyCol), col("cid"))
-    }
-    val assign = topByCentroid(q.withColumnRenamed("vec_id", "vid"), "vid", 1)
-    val probes = topByCentroid(
+  /** Broadcast coarse-quantizer table (first NCentroids vectors). */
+  private def centroids(q: DataFrame): DataFrame = broadcast(
+    q.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
+
+  /** Nearest `keep` centroids per row of `df` — shared by ivfKnn and
+    * ivfPqKnn so the assignment semantics (tie-breaks included) cannot
+    * drift between the two oracle-checked queries. */
+  private def nearestCentroids(df: DataFrame, cent: DataFrame,
+                               keyCol: String, keep: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("csim").desc, col("cid").asc)
+    df.join(cent, col(keyCol) =!= lit(-1L)) // cross with broadcast centroids
+      .withColumn("csim", qcosine(col("cv"), col("v"), col("cnrm"), col("nrm")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= keep)
+      .select(col(keyCol), col("cid"))
+  }
+
+  /** IVF candidate pairs: probe lists joined to assignments. `q` feeds
+    * several consumers with different keys, so callers pass a
+    * materialized frame (Materialize.shared). */
+  private def ivfCandidates(q: DataFrame): DataFrame = {
+    val cent = centroids(q)
+    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
+    val probes = nearestCentroids(
       q.filter(col("vec_id") < Consts.KnnQueries).withColumnRenamed("vec_id", "qid"),
-      "qid", NProbe)
+      cent, "qid", NProbe)
+    probes.join(assign, "cid").filter(col("qid") =!= col("vid"))
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id")).distinct()
+  }
+
+  /** Exact top-k re-rank of candidate (query, neighbor) pairs. */
+  private def exactTopK(cands: DataFrame, q: DataFrame): DataFrame = {
     val qv = q.select(col("vec_id").as("qid2"), col("v").as("qv"), col("nrm").as("qnrm"))
     val dv = q.select(col("vec_id").as("vid2"), col("v"), col("nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    probes.join(assign, "cid").filter(col("qid") =!= col("vid"))
-      .select(col("qid").as("query_id"), col("vid").as("neighbor_id")).distinct()
+    cands
       .join(qv, col("query_id") === col("qid2"))
       .join(dv, col("neighbor_id") === col("vid2"))
       .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
@@ -247,6 +262,17 @@ object Similarity {
       .filter(col("rank") <= Consts.KnnK)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
       .orderBy("query_id", "rank")
+  }
+
+  def ivfKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    // q is consumed by several subplans with different keys, but NOT
+    // materialized: the lineage is one columnar parquet scan + codegen
+    // quantize, and re-running it is measured FASTER than a cache
+    // round-trip (persist+count added ~0.4 s per query at sf0.1) — the
+    // Materialize.shared recipe pays off for expensive lineages (the
+    // 5M-digest shingle table), not scan-speed projections
+    val q = quantized(spark, sfDir)
+    exactTopK(ivfCandidates(q), q)
   }
 
   // -------------------------------------------------------------------
@@ -273,35 +299,51 @@ object Similarity {
   val PqSubDim = 8  // dims per subspace (8 x 8 = 64)
   val PqK = 16      // codewords per subspace
 
-  def pqKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = quantized(spark, sfDir)
-    // (vec_id, m, sub): the M subvectors of every vector
-    val subs = q.select(col("vec_id"), posexplode(array(
+  /** (vec_id, m, sub): the M subvectors of every vector. */
+  private def pqSubvectors(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), posexplode(array(
       (0 until PqM).map(m => slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*))
       .as(Seq("m", "sub")))
-    val cb = broadcast(subs.filter(col("vec_id") < PqK)
+
+  /** Broadcast codebook: the first PqK vectors' subvectors. */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    broadcast(subs.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").as("k"), col("sub").as("csub")))
-    // exact integer squared distance via three codegen dot products:
-    // |a-b|^2 = a.a + b.b - 2 a.b
-    def d2(a: Column, b: Column): Column =
-      qdot(a, a) + qdot(b, b) - lit(2L) * qdot(a, b)
-    // encode: nearest codeword per (vector, subspace); min over the
-    // (d2, k) struct = deterministic argmin with k as tiebreak
-    val codes = subs.join(cb, "m")
-      .withColumn("cd2", d2(col("sub"), col("csub")))
+
+  /** Exact integer squared distance via three codegen dot products:
+    * |a-b|^2 = a.a + b.b - 2 a.b */
+  private def pqD2(a: Column, b: Column): Column =
+    qdot(a, a) + qdot(b, b) - lit(2L) * qdot(a, b)
+
+  /** Encode: nearest codeword per (vector, subspace); min over the
+    * (d2, k) struct = deterministic argmin with k as tiebreak. Shared
+    * by pqKnn and ivfPqKnn so the encoding cannot drift between the
+    * two oracle-checked queries. */
+  private def pqCodes(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(cb, "m")
+      .withColumn("cd2", pqD2(col("sub"), col("csub")))
       .groupBy("vec_id", "m")
       .agg(min(struct(col("cd2"), col("k"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.k").as("code"))
-    // ADC lookup table: query subvector vs every codeword
-    val lut = broadcast(
+
+  /** Broadcast ADC lookup table: query subvector vs every codeword. */
+  private def pqLut(subs: DataFrame, cb: DataFrame): DataFrame =
+    broadcast(
       subs.filter(col("vec_id") < Consts.KnnQueries)
         .select(col("vec_id").as("query_id"), col("m"), col("sub").as("qsub"))
         .join(cb, "m")
         .select(col("query_id"), col("m"), col("k").as("code"),
-          d2(col("qsub"), col("csub")).as("qd2")))
+          pqD2(col("qsub"), col("csub")).as("qd2")))
+
+  def pqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    // not materialized: see ivfKnn — the quantize lineage re-runs at
+    // scan speed, cheaper than a cache round-trip
+    val q = quantized(spark, sfDir)
+    val subs = pqSubvectors(q)
+    val cb = pqCodebook(subs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_dist").asc, col("vec_id").asc)
-    codes.join(lut, Seq("m", "code"))
+    pqCodes(subs, cb).join(pqLut(subs, cb), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sum(col("qd2")).as("adc_dist"))
@@ -312,11 +354,13 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def pqKnnSql: String = {
-    val d2 = (a: String, b: String) =>
-      s"list_sum([($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]) for i in range($PqSubDim)])"
-    s"""WITH q AS ($sqlQuantized),
-       |subs AS (
+  private def sqlPqD2(a: String, b: String): String =
+    s"list_sum([($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]) for i in range($PqSubDim)])"
+
+  /** PQ CTEs (subs/cb/codes/lut) shared by pqKnnSql and ivfPqKnnSql —
+    * the oracle-side twin of pqSubvectors/pqCodebook/pqCodes/pqLut. */
+  private def sqlPqCtes: String =
+    s"""subs AS (
        |  SELECT vec_id, cast(m as int) AS m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub
        |  FROM q, unnest(range($PqM)) t(m)),
        |cb AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < $PqK),
@@ -324,14 +368,18 @@ object Similarity {
        |  SELECT vec_id, m, k AS code FROM (
        |    SELECT s.vec_id, s.m, cb.k,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY ${d2("s.sub", "cb.csub")}, cb.k) AS rn
+       |        ORDER BY ${sqlPqD2("s.sub", "cb.csub")}, cb.k) AS rn
        |    FROM subs s JOIN cb USING (m))
        |  WHERE rn = 1),
        |lut AS (
        |  SELECT s.vec_id AS query_id, s.m, cb.k AS code,
-       |    ${d2("s.sub", "cb.csub")} AS qd2
+       |    ${sqlPqD2("s.sub", "cb.csub")} AS qd2
        |  FROM subs s JOIN cb USING (m)
-       |  WHERE s.vec_id < ${Consts.KnnQueries}),
+       |  WHERE s.vec_id < ${Consts.KnnQueries})""".stripMargin
+
+  def pqKnnSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |$sqlPqCtes,
        |adc AS (
        |  SELECT query_id, vec_id, cast(sum(qd2) as bigint) AS adc_dist
        |  FROM codes JOIN lut USING (m, code)
@@ -344,11 +392,12 @@ object Similarity {
        |  FROM adc)
        |WHERE rank <= ${Consts.KnnK}
        |ORDER BY query_id, rank""".stripMargin
-  }
 
-  def ivfKnnSql: String =
-    s"""WITH q AS ($sqlQuantized),
-       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
+  /** IVF CTEs (cent/assign/probes/cands) shared by ivfKnnSql and
+    * ivfPqKnnSql — the oracle-side twin of centroids/nearestCentroids/
+    * ivfCandidates. */
+  private def sqlIvfCtes: String =
+    s"""cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
        |assign AS (
        |  SELECT vid, cid FROM (
        |    SELECT a.vec_id AS vid, cent.cid,
@@ -370,7 +419,11 @@ object Similarity {
        |cands AS (
        |  SELECT DISTINCT probes.qid AS query_id, assign.vid AS neighbor_id
        |  FROM probes JOIN assign ON probes.cid = assign.cid
-       |  WHERE probes.qid != assign.vid)
+       |  WHERE probes.qid != assign.vid)""".stripMargin
+
+  def ivfKnnSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |$sqlIvfCtes
        |SELECT query_id, neighbor_id, rank, sim FROM (
        |  SELECT c.query_id, c.neighbor_id,
        |    cast(row_number() OVER (PARTITION BY c.query_id ORDER BY $sqlCos DESC, c.neighbor_id ASC) as bigint) AS rank,
@@ -397,115 +450,35 @@ object Similarity {
 
   def ivfPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // not materialized: see ivfKnn — the quantize lineage re-runs at
+    // scan speed, cheaper than a cache round-trip
     val q = quantized(spark, sfDir)
-    // IVF stage (same construction as ivfKnn)
-    val cent = broadcast(
-      q.filter(col("vec_id") < NCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm")))
-    def topByCentroid(df: DataFrame, keyCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(keyCol).orderBy(col("csim").desc, col("cid").asc)
-      df.join(cent, col(keyCol) =!= lit(-1L))
-        .withColumn("csim", qcosine(col("cv"), col("v"), col("cnrm"), col("nrm")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .select(col(keyCol), col("cid"))
-    }
-    val assign = topByCentroid(q.withColumnRenamed("vec_id", "vid"), "vid", 1)
-    val probes = topByCentroid(
-      q.filter(col("vec_id") < Consts.KnnQueries).withColumnRenamed("vec_id", "qid"),
-      "qid", NProbe)
-    val cands = probes.join(assign, "cid").filter(col("qid") =!= col("vid"))
-      .select(col("qid").as("query_id"), col("vid").as("neighbor_id")).distinct()
-    // PQ stage (same construction as pqKnn)
-    val subs = q.select(col("vec_id"), posexplode(array(
-      (0 until PqM).map(m => slice(col("v"), m * PqSubDim + 1, PqSubDim)): _*))
-      .as(Seq("m", "sub")))
-    val cb = broadcast(subs.filter(col("vec_id") < PqK)
-      .select(col("m"), col("vec_id").as("k"), col("sub").as("csub")))
-    def d2(a: Column, b: Column): Column =
-      qdot(a, a) + qdot(b, b) - lit(2L) * qdot(a, b)
-    val codes = subs.join(cb, "m")
-      .withColumn("cd2", d2(col("sub"), col("csub")))
-      .groupBy("vec_id", "m")
-      .agg(min(struct(col("cd2"), col("k"))).as("best"))
-      .select(col("vec_id").as("nid"), col("m"), col("best.k").as("code"))
-    val lut = broadcast(
-      subs.filter(col("vec_id") < Consts.KnnQueries)
-        .select(col("vec_id").as("query_id"), col("m"), col("sub").as("qsub"))
-        .join(cb, "m")
-        .select(col("query_id"), col("m"), col("k").as("code"),
-          d2(col("qsub"), col("csub")).as("qd2")))
+    val cands = ivfCandidates(q)
+    val subs = pqSubvectors(q)
+    val cb = pqCodebook(subs)
+    val codes = pqCodes(subs, cb).withColumnRenamed("vec_id", "nid")
     // ADC over the IVF shortlist only, then the exact refine
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     val shortlist = cands
       .join(codes, col("neighbor_id") === col("nid"))
-      .join(lut, Seq("query_id", "m", "code"))
+      .join(pqLut(subs, cb), Seq("query_id", "m", "code"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("qd2")).as("adc_dist"))
       .withColumn("arank", row_number().over(wAdc))
       .filter(col("arank") <= Consts.KnnK * IvfPqRefineFactor)
       .select("query_id", "neighbor_id")
-    val qv = q.select(col("vec_id").as("qid2"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val dv = q.select(col("vec_id").as("vid2"), col("v"), col("nrm"))
-    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
-    shortlist
-      .join(qv, col("query_id") === col("qid2"))
-      .join(dv, col("neighbor_id") === col("vid2"))
-      .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= Consts.KnnK)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
-      .orderBy("query_id", "rank")
+    exactTopK(shortlist, q)
   }
 
-  def ivfPqKnnSql: String = {
-    val d2 = (a: String, b: String) =>
-      s"list_sum([($a[i+1]-$b[i+1])*($a[i+1]-$b[i+1]) for i in range($PqSubDim)])"
+  def ivfPqKnnSql: String =
     s"""WITH q AS ($sqlQuantized),
-       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
-       |assign AS (
-       |  SELECT vid, cid FROM (
-       |    SELECT a.vec_id AS vid, cent.cid,
-       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
-       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
-       |        cent.cid ASC) AS crank
-       |    FROM q a, cent)
-       |  WHERE crank <= 1),
-       |probes AS (
-       |  SELECT qid, cid FROM (
-       |    SELECT a.vec_id AS qid, cent.cid,
-       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
-       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
-       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
-       |        cent.cid ASC) AS crank
-       |    FROM q a, cent WHERE a.vec_id < ${Consts.KnnQueries})
-       |  WHERE crank <= $NProbe),
-       |cands AS (
-       |  SELECT DISTINCT probes.qid AS query_id, assign.vid AS neighbor_id
-       |  FROM probes JOIN assign ON probes.cid = assign.cid
-       |  WHERE probes.qid != assign.vid),
-       |subs AS (
-       |  SELECT vec_id, cast(m as int) AS m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sub
-       |  FROM q, unnest(range($PqM)) t(m)),
-       |cb AS (SELECT m, vec_id AS k, sub AS csub FROM subs WHERE vec_id < $PqK),
-       |codes AS (
-       |  SELECT vec_id AS nid, m, k AS code FROM (
-       |    SELECT s.vec_id, s.m, cb.k,
-       |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY ${d2("s.sub", "cb.csub")}, cb.k) AS rn
-       |    FROM subs s JOIN cb USING (m))
-       |  WHERE rn = 1),
-       |lut AS (
-       |  SELECT s.vec_id AS query_id, s.m, cb.k AS code,
-       |    ${d2("s.sub", "cb.csub")} AS qd2
-       |  FROM subs s JOIN cb USING (m)
-       |  WHERE s.vec_id < ${Consts.KnnQueries}),
+       |$sqlIvfCtes,
+       |$sqlPqCtes,
        |adc AS (
        |  SELECT c.query_id, c.neighbor_id, cast(sum(lut.qd2) as bigint) AS adc_dist
        |  FROM cands c
-       |  JOIN codes ON codes.nid = c.neighbor_id
+       |  JOIN codes ON codes.vec_id = c.neighbor_id
        |  JOIN lut ON lut.query_id = c.query_id AND lut.m = codes.m AND lut.code = codes.code
        |  GROUP BY c.query_id, c.neighbor_id),
        |shortlist AS (
@@ -524,7 +497,6 @@ object Similarity {
        |  JOIN q b ON b.vec_id = s.neighbor_id)
        |WHERE rank <= ${Consts.KnnK}
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   def lshKnnSql: String = {
     val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>

@@ -22,8 +22,10 @@ import graft.core.Consts
   * band, so the pair meets in at least one bucket.
   *
   * State is bounded by construction: a bucket stores at most one entry
-  * per DISTINCT signature (2^16 total across all buckets), not one per
-  * document — the stream can run forever over any corpus size.
+  * per DISTINCT signature, and each signature lives in its
+  * `SimhashBands` buckets — at most SimhashBands * 2^SimHashBits
+  * (4 * 65536) entries in total, independent of corpus size — so the
+  * stream can run forever.
   *
   * Output: one row per (document, band) detection; a document matching
   * in several bands emits several rows, so consumers `distinct` on
