@@ -84,7 +84,8 @@ object SparkEntry {
     "q60_ivfpq_knn"         -> Similarity.ivfPqKnn _,
     "q61_repetition"        -> TextAnalytics.repetitionStats _,
     "q62_decontamination"   -> Dedup.decontamination _,
-    "q63_sequence_packing"  -> TextAnalytics.sequencePacking _
+    "q63_sequence_packing"  -> TextAnalytics.sequencePacking _,
+    "q64_pii_screen"        -> TextAnalytics.piiScreen _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -204,6 +205,7 @@ object SparkEntry {
     "q60_ivfpq_knn"         -> Similarity.ivfPqKnnSql,
     "q61_repetition"        -> TextAnalytics.repetitionStatsSql,
     "q62_decontamination"   -> Dedup.decontaminationSql,
-    "q63_sequence_packing"  -> TextAnalytics.sequencePackingSql
+    "q63_sequence_packing"  -> TextAnalytics.sequencePackingSql,
+    "q64_pii_screen"        -> TextAnalytics.piiScreenSql
   )
 }

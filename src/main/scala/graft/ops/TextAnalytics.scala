@@ -251,6 +251,47 @@ object TextAnalytics {
        |        FROM documents))
        |ORDER BY source, doc_id""".stripMargin
 
+  // PII patterns, written in the regex subset where Java's engine and
+  // RE2 (DuckDB) agree: no alternation at the top level, no backrefs,
+  // leftmost match with explicit character classes.
+  val PiiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiPhoneRe = "\\+?[0-9]{1,3}[- .]?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"
+  val PiiIpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** q64: PII screening — per-document counts of email, phone-shaped,
+    * and IPv4-shaped matches plus a has_pii flag, the privacy filter a
+    * pretraining pipeline runs before anything ships (C4 and friends
+    * drop or redact on exactly these signals). Pure map-side regex
+    * counting at scan speed: no shuffle except the presentation sort.
+    * Counts (not redacted text) are the oracle-checked surface because
+    * replacement semantics differ across regex engines; redaction
+    * itself is `regexp_replace` over the same patterns. */
+  def piiScreen(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(PiiIpRe)).cast("long").as("n_ips"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .orderBy("doc_id")
+
+  def piiScreenSql: String = {
+    // DuckDB '...' literals are RAW (no backslash processing): only
+    // quotes need escaping, the regex text passes through unchanged
+    def esc(re: String) = re.replace("'", "''")
+    s"""SELECT doc_id,
+       |  cast(len(regexp_extract_all(text, '${esc(PiiEmailRe)}')) as bigint) AS n_emails,
+       |  cast(len(regexp_extract_all(text, '${esc(PiiPhoneRe)}')) as bigint) AS n_phones,
+       |  cast(len(regexp_extract_all(text, '${esc(PiiIpRe)}')) as bigint) AS n_ips,
+       |  (len(regexp_extract_all(text, '${esc(PiiEmailRe)}'))
+       |    + len(regexp_extract_all(text, '${esc(PiiPhoneRe)}'))
+       |    + len(regexp_extract_all(text, '${esc(PiiIpRe)}'))) > 0 AS has_pii
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private[ops] val sqlShingles =
     "list_distinct(CASE WHEN len(t) >= 3 THEN [t[i+1]||' '||t[i+2]||' '||t[i+3] for i in range(len(t)-2)] ELSE [] END)"
 

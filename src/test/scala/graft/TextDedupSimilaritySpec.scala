@@ -129,6 +129,28 @@ class TextDedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PII screen counts planted emails/phones/IPs (cross-engine-pinned counts)") {
+    import spark.implicits._
+    // the synthetic corpus contains no PII (the oracle match there is
+    // trivially all-zero), so the pattern semantics are pinned on a
+    // probe with KNOWN counts, verified to produce the same matches in
+    // DuckDB's RE2 engine: 2 emails, 1 phone, 2 IPs
+    val probe = Seq(
+      (1L, "web", "contact: alice@example.com or bob.smith@test.org; " +
+        "call +1-555-123-4567 maybe; server at 10.0.0.1 and 192.168.1.100"),
+      (2L, "web", "no sensitive content in this one at all"))
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pii_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.ops.TextAnalytics.piiScreen(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_emails") == 2L)
+    assert(rows(1L).getAs[Long]("n_phones") == 1L)
+    assert(rows(1L).getAs[Long]("n_ips") == 2L)
+    assert(rows(1L).getAs[Boolean]("has_pii"))
+    assert(!rows(2L).getAs[Boolean]("has_pii"))
+  }
+
   test("minhash LSH finds the planted near-duplicates") {
     val pairs = Dedup.minhashLshPairs(spark, sf0001).cache()
     val n = pairs.count()
