@@ -85,7 +85,13 @@ object SparkEntry {
     "q61_repetition"        -> TextAnalytics.repetitionStats _,
     "q62_decontamination"   -> Dedup.decontamination _,
     "q63_sequence_packing"  -> TextAnalytics.sequencePacking _,
-    "q64_pii_screen"        -> TextAnalytics.piiScreen _
+    "q64_pii_screen"        -> TextAnalytics.piiScreen _,
+    "q65_dup_spans"         -> Dedup.dupSpans _,
+    "q66_semantic_dedup"    -> Similarity.semanticDedup _,
+    "q67_hard_negatives"    -> Similarity.hardNegatives _,
+    "q68_pii_redact"        -> TextAnalytics.piiRedact _,
+    "q69_tfidf_keywords"    -> TextAnalytics.tfidfKeywords _,
+    "q70_stream_sessions"   -> EventStream.sessionWindowStream _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -206,6 +212,13 @@ object SparkEntry {
     "q61_repetition"        -> TextAnalytics.repetitionStatsSql,
     "q62_decontamination"   -> Dedup.decontaminationSql,
     "q63_sequence_packing"  -> TextAnalytics.sequencePackingSql,
-    "q64_pii_screen"        -> TextAnalytics.piiScreenSql
+    "q64_pii_screen"        -> TextAnalytics.piiScreenSql,
+    "q65_dup_spans"         -> Dedup.dupSpansSql,
+    "q66_semantic_dedup"    -> Similarity.semanticDedupSql,
+    "q67_hard_negatives"    -> Similarity.hardNegativesSql,
+    "q68_pii_redact"        -> TextAnalytics.piiRedactSql,
+    "q69_tfidf_keywords"    -> TextAnalytics.tfidfKeywordsSql,
+    // the streaming session replay computes the same table as batch q22
+    "q70_stream_sessions"   -> Events.sessionizeSql
   )
 }

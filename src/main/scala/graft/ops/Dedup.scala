@@ -746,6 +746,90 @@ object Dedup {
        |ORDER BY doc_id, seg_idx""".stripMargin
   }
 
+  /** Span length (in word tokens) for duplicated-span detection. */
+  val DupSpanN = 5
+
+  /** q65: duplicated n-gram span detection — the occurrence-level
+    * signal behind exact SUBSTRING dedup (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * every word 5-gram occurrence is a span, and a span is duplicated
+    * when its gram also appears in at least one OTHER document. The
+    * per-doc duplicated-span ratio is the drop/trim signal — unlike the
+    * doc-level Jaccard/MinHash family (q13-q17), this catches a
+    * boilerplate paragraph pasted into thousands of otherwise-unique
+    * documents.
+    *
+    * Scale shape: grams are hashed to 32-bit ints in a typed flatMap
+    * (one md5 per occurrence — the HOF-lambda formulation is
+    * interpreted and re-inlines the tokenizer per element, see
+    * shingleRows), so the shuffles move (doc_id, i64) rows, never gram
+    * strings. Cross-doc frequency is one groupBy(gh) with map-side
+    * combine; the join back to occurrences reuses the same
+    * materialized gram table (exchange-reuse on the second shuffle),
+    * then one groupBy(doc_id). The full suffix-array construction of
+    * the paper is deliberately traded for fixed-length spans — the
+    * fixed-n formulation is embarrassingly parallel and loses only
+    * sub-n-token duplications. */
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = DupSpanN
+    val grams = Materialize.shared(spark,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, txt) =>
+            val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+            (0 to t.length - n).map { i =>
+              val g = t.slice(i, i + n).mkString(" ")
+              val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val gh = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              (id, gh)
+            }
+          }
+        }
+        .toDF("doc_id", "gh"))
+    val dfc = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
+    val per = grams.join(dfc, "gh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_spans") / (col("n_spans") * lit(1.0)), lit(0.0))
+          .as("dup_span_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def dupSpansSql: String = {
+    val n = DupSpanN
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, ${shingleHashExpr("strpos", "md5(g)")} AS gh
+       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g
+       |        FROM toks)),
+       |dfc AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM gr GROUP BY gh),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_spans
+       |  FROM gr JOIN dfc USING (gh) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_spans, 0) AS n_spans,
+       |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+       |  coalesce(n_dup_spans / (n_spans * 1.0), 0.0) AS dup_span_ratio
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** The all-pairs baseline the two-level join is spec-checked against. */
   def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simhashFrame(spark, sfDir)

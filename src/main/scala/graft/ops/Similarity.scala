@@ -498,6 +498,109 @@ object Similarity {
        |WHERE rank <= ${Consts.KnnK}
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication"): cluster the embedding
+  // space with a coarse quantizer, then search for near-duplicates ONLY
+  // within each cluster — the trick that turns the O(n^2) semantic
+  // near-dup scan into sum over clusters of O(|c|^2). Members whose
+  // cluster holds a more-senior (lower-id) vector above the cosine
+  // threshold are flagged as semantic duplicates; survivors are the
+  // deduplicated corpus.
+  // -------------------------------------------------------------------
+
+  /** q66: per-vector semantic-dup verdict. Reuses the IVF coarse
+    * quantizer (same broadcast centroid table and assignment
+    * tie-breaks as q42/q60, so the cluster geometry cannot drift
+    * between the oracle-checked queries).
+    *
+    * Scale shape: assignment is a broadcast join (the corpus never
+    * shuffles for it); the within-cluster pair join is an equi-join on
+    * cid whose cost is sum(|c|^2) — bounded by the quantizer's balance,
+    * NOT by corpus size. An oversized cluster is the skew case: tile it
+    * like nearDupPairs (the same block-GEMM kernel applies within a
+    * cluster) or split it by training more centroids. */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val cent = centroids(q)
+    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
+    val av = assign.join(q.select(col("vec_id").as("vid"), col("v"), col("nrm")), "vid")
+    val a = av.alias("a"); val b = av.alias("b")
+    val dups = a.join(b, col("a.cid") === col("b.cid") && col("b.vid") < col("a.vid"))
+      .withColumn("sim", qcosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))
+      .filter(col("sim") >= Consts.CosineNearDupThreshold)
+      .groupBy(col("a.vid").as("vid"))
+      .agg(count(lit(1)).as("n_dups"))
+    av.select("vid", "cid").join(dups, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDedupSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT a.vec_id AS vid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q a, cent)
+       |  WHERE crank <= 1),
+       |av AS (SELECT assign.vid, assign.cid, q.v, q.nrm FROM assign JOIN q ON q.vec_id = assign.vid),
+       |dups AS (
+       |  SELECT a.vid AS vid, cast(count(*) as bigint) AS n_dups
+       |  FROM av a JOIN av b ON a.cid = b.cid AND b.vid < a.vid
+       |  WHERE $sqlCos >= ${Consts.CosineNearDupThreshold}
+       |  GROUP BY a.vid)
+       |SELECT av.vid AS vec_id, av.cid, coalesce(n_dups, 0) AS n_dups,
+       |  coalesce(n_dups, 0) > 0 AS is_dup
+       |FROM av LEFT JOIN dups ON av.vid = dups.vid
+       |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Hard-negative mining: for each query, the nearest vectors with a
+  // DIFFERENT class label — the contrastive-training step that needs
+  // exactly this join shape at corpus scale (every anchor wants the
+  // most-confusable negatives, not random ones).
+  // -------------------------------------------------------------------
+
+  /** q67: label-filtered kNN. Same broadcast-queries scan shape as
+    * q19 (corpus never shuffles; per-query top-k via window with a
+    * pre-shuffle WindowGroupLimit), with the label predicate applied
+    * map-side BEFORE the similarity math — the dominant cost at scale
+    * is the scan, and rows of the anchor's own class are skipped
+    * before any dot product. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = quantized(spark, sfDir)
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+          col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    corpus.join(queries, col("label") =!= col("qlabel"))
+      .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def hardNegativesSql: String =
+    s"""WITH q AS ($sqlQuantized)
+       |SELECT query_id, neighbor_id, neg_label, rank, sim FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, b.label AS neg_label,
+       |    cast(row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) as bigint) AS rank,
+       |    $sqlCos AS sim
+       |  FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.label != a.label)
+       |WHERE rank <= ${Consts.KnnK}
+       |ORDER BY query_id, rank""".stripMargin
+
   def lshKnnSql: String = {
     val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
       val lits = hp.mkString("[", ", ", "]")

@@ -292,6 +292,100 @@ object TextAnalytics {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q68: PII redaction — the enforcement half of q64's screening:
+    * every email, phone-shaped, and IPv4-shaped match is replaced with
+    * a typed placeholder, in a fixed pass order (emails first — the
+    * placeholders contain no digits, so later passes cannot re-match
+    * inside them). The oracle hashes the REDACTED text, so replacement
+    * extents (not just counts) are pinned across engines — both
+    * engines use leftmost-first semantics on this pinned regex subset.
+    * `n_pii_matches` counts over the ORIGINAL text (well-defined
+    * regardless of pass order). Map-side scan work, no shuffle except
+    * the presentation sort; at 100 TB this runs at read speed and the
+    * redacted column writes straight back out. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val red =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(PiiEmailRe), lit("<EMAIL>")),
+          lit(PiiPhoneRe), lit("<PHONE>")),
+        lit(PiiIpRe), lit("<IP>"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), red.as("red"),
+        (regexp_count(col("text"), lit(PiiEmailRe)) +
+          regexp_count(col("text"), lit(PiiPhoneRe)) +
+          regexp_count(col("text"), lit(PiiIpRe))).cast("long").as("n_pii_matches"))
+      .select(col("doc_id"),
+        md5(col("red").cast("binary")).as("redacted_hash"),
+        length(col("red")).cast("long").as("redacted_len"),
+        col("n_pii_matches"))
+      .orderBy("doc_id")
+  }
+
+  def piiRedactSql: String = {
+    def esc(re: String) = re.replace("'", "''")
+    val red =
+      s"""regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${esc(PiiEmailRe)}', '<EMAIL>', 'g'),
+         |    '${esc(PiiPhoneRe)}', '<PHONE>', 'g'),
+         |    '${esc(PiiIpRe)}', '<IP>', 'g')""".stripMargin
+    s"""SELECT doc_id,
+       |  md5($red) AS redacted_hash,
+       |  cast(length($red) as bigint) AS redacted_len,
+       |  cast(len(regexp_extract_all(text, '${esc(PiiEmailRe)}'))
+       |    + len(regexp_extract_all(text, '${esc(PiiPhoneRe)}'))
+       |    + len(regexp_extract_all(text, '${esc(PiiIpRe)}')) as bigint) AS n_pii_matches
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Keywords kept per document by [[tfidfKeywords]]. */
+  val TfidfTopK = 3
+
+  /** q69: per-document keyword extraction by a tf-idf-style score.
+    * The score is the INTEGER ratio (tf * 1e6) div df — monotone in
+    * term frequency, anti-monotone in document frequency, which is the
+    * tf-idf ranking signal without the libm `log` whose last-ulp
+    * behavior differs across engines (rank order at equal tf/df is
+    * pinned by the (score desc, token asc) tie-break). Production can
+    * swap in log-idf; the operator shape is identical.
+    *
+    * Scale shape: tf is one (doc, tok) aggregation with map-side
+    * combine; df reuses THAT aggregate (one row per (doc, tok), so df
+    * is a cheap second-level count); the join back is on tok (shuffle
+    * or broadcast, whichever side is small); top-k per doc rides a
+    * window with a pre-shuffle WindowGroupLimit. Nothing touches raw
+    * text after the first aggregation. */
+  def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfc, "tok")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TfidfTopK)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  def tfidfKeywordsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest($sqlTokens) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+       |SELECT doc_id, rk, tok, tf, df, score FROM (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+       |    (tf.tf * 1000000) // dfc.df AS score,
+       |    cast(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY (tf.tf * 1000000) // dfc.df DESC, tf.tok ASC) as bigint) AS rk
+       |  FROM tf JOIN dfc USING (tok))
+       |WHERE rk <= $TfidfTopK
+       |ORDER BY doc_id, rk""".stripMargin
+
   private[ops] val sqlShingles =
     "list_distinct(CASE WHEN len(t) >= 3 THEN [t[i+1]||' '||t[i+2]||' '||t[i+3] for i in range(len(t)-2)] ELSE [] END)"
 

@@ -56,6 +56,61 @@ object EventStream {
     spark.table(name).orderBy("window_start_us", "event_type")
   }
 
+  /** q70: bounded streaming replay of gap sessionization through the
+    * NATIVE `session_window` operator — the engine-managed twin of the
+    * hand-rolled `sessionizeStream` below (which demonstrates the
+    * flatMapGroupsWithState escape hatch). Emits the same table as the
+    * batch `Events.sessionize`, so the batch DuckDB oracle doubles as
+    * the streaming one (the q26 pattern).
+    *
+    * Two semantic alignments make the replay bit-identical to batch:
+    *  - the gap is 30 min + 1 µs: `session_window` merges an event
+    *    into a session iff its gap is strictly LESS than the window
+    *    gap, while the batch operator starts a new session only when
+    *    the gap EXCEEDS 30 min — the 1 µs widening maps `< gap+1µs`
+    *    onto `<= gap` exactly;
+    *  - session bounds are aggregated as min/max of the member event
+    *    times, not taken from the window struct (whose `end` is
+    *    last-event + gap, not last-event).
+    * session_id is assigned after the replay: sessions of a user have
+    * strictly increasing start times, so the chronological row_number
+    * equals the batch operator's running new-session count. */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = s"$sfDir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val stream = graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val agg = stream
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${30L * 60L * 1000000L + 1L} microseconds"))
+      .agg(
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+        col("n_events"), col("sum_value"))
+    val name = s"graft_stream_sessions_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .withColumn("session_id",
+        row_number().over(
+          Window.partitionBy("user_id").orderBy("session_start_us")).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Unbounded-shape pipeline: watermarked tumbling windows in append
     * mode — what the same query looks like against a live source. */
   def withWatermarkedWindows(events: DataFrame): DataFrame =

@@ -1,0 +1,177 @@
+package graft
+
+import graft.core.{Consts, Tables}
+import graft.ops.{Dedup, Events, Similarity, TextAnalytics}
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 pipeline additions: duplicated-span detection,
+  * SemDeDup, hard-negative mining, PII redaction, tf-idf keywords, and
+  * the native session_window streaming replay. */
+class PipelineOpsSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- q65
+
+  test("dupSpans: span counts reconcile with token counts, ratios bounded") {
+    val spans = Dedup.dupSpans(spark, sf0001).cache()
+    val docs = Tables.documents(spark, sf0001)
+    assert(spans.count() == docs.count())
+    assert(spans.filter(col("n_dup_spans") > col("n_spans")).count() == 0)
+    assert(spans.filter(col("dup_span_ratio") < 0 || col("dup_span_ratio") > 1).count() == 0)
+    // n_spans is exactly max(n_tokens - (N-1), 0)
+    val toks = TextAnalytics.tokenStats(spark, sf0001).select("doc_id", "n_tokens")
+    val bad = spans.join(toks, "doc_id")
+      .filter(col("n_spans") =!=
+        greatest(col("n_tokens") - (Dedup.DupSpanN - 1), lit(0L)))
+    assert(bad.count() == 0)
+    spans.unpersist()
+  }
+
+  test("dupSpans probe: planted copies are fully duplicated, unique doc is clean") {
+    import spark.implicits._
+    val body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val probe = Seq(
+      (1L, "web", body),
+      (2L, "web", body), // exact copy: every 5-gram span is cross-doc duplicated
+      (3L, "web", "one two three four five six seven eight nine ten"),
+      (4L, "web", "too short")) // < 5 tokens: zero spans
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("dupspan_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.dupSpans(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[Long]("n_spans") == 6L)
+    assert(rows(1L).getAs[Double]("dup_span_ratio") == 1.0)
+    assert(rows(2L).getAs[Double]("dup_span_ratio") == 1.0)
+    assert(rows(3L).getAs[Long]("n_dup_spans") == 0L)
+    assert(rows(4L).getAs[Long]("n_spans") == 0L)
+    assert(rows(4L).getAs[Double]("dup_span_ratio") == 0.0)
+  }
+
+  // ---------------------------------------------------------------- q66
+
+  /** In-memory reference for the quantized integer vectors. */
+  private def quantizedVecs(): Array[(Long, Array[Long], Int)] =
+    Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding", "label").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray
+        (r.getLong(0), v, r.getInt(2))
+      }
+      .sortBy(_._1)
+
+  private def cos(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var d = 0L; var na = 0L; var nb = 0L
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  test("semanticDedup equals an in-memory SemDeDup reference") {
+    val vecs = quantizedVecs()
+    val cents = vecs.filter(_._1 < Similarity.NCentroids)
+    // nearest centroid, ties to the lower cid (same order as the op)
+    def assign(v: Array[Long]): Long =
+      cents.map { case (cid, cv, _) => (cid, cos(cv, v)) }
+        .sortBy { case (cid, s) => (-s, cid) }.head._1
+    val clusters = vecs.map { case (id, v, _) => (id, assign(v), v) }
+    val byCluster = clusters.groupBy(_._2)
+    val expected = clusters.map { case (id, cid, v) =>
+      val nd = byCluster(cid).count { case (oid, _, ov) =>
+        oid < id && cos(ov, v) >= Consts.CosineNearDupThreshold }
+      (id, cid, nd.toLong, nd > 0)
+    }.sortBy(_._1)
+    val got = Similarity.semanticDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+    // the clustering must actually spread the corpus (not one mega-cluster)
+    assert(byCluster.size > 1)
+  }
+
+  // ---------------------------------------------------------------- q67
+
+  test("hardNegatives equals a label-filtered brute-force reference") {
+    val vecs = quantizedVecs()
+    val labels = vecs.map { case (id, _, l) => id -> l }.toMap
+    val expected = vecs.filter(_._1 < Consts.KnnQueries).flatMap { case (qid, qv, ql) =>
+      vecs.filter { case (oid, _, ol) => ol != ql }
+        .map { case (oid, ov, ol) => (oid, ol, cos(qv, ov)) }
+        .sortBy { case (oid, _, s) => (-s, oid) }
+        .take(Consts.KnnK)
+        .zipWithIndex
+        .map { case ((oid, ol, s), i) => (qid, oid, ol, i + 1L) }
+    }.sortBy(t => (t._1, t._4))
+    val got = Similarity.hardNegatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == (e._1, e._2, e._3, e._4), s"got $g expected $e") }
+    // no neighbor shares its query's label
+    got.foreach { case (qid, _, nl, _) => assert(nl != labels(qid)) }
+  }
+
+  // ---------------------------------------------------------------- q68
+
+  test("piiRedact: replacement extents match the JVM regex reference") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "web", "contact: alice@example.com or bob.smith@test.org; " +
+        "call +1-555-123-4567 maybe; server at 10.0.0.1 and 192.168.1.100"),
+      (2L, "web", "no sensitive content in this one at all"))
+    val tmp = java.nio.file.Files.createTempDirectory("redact_probe")
+    texts.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalytics.piiRedact(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // independent reference: same patterns, same pass order, JVM regex
+    def redact(s: String): String = s
+      .replaceAll(TextAnalytics.PiiEmailRe, "<EMAIL>")
+      .replaceAll(TextAnalytics.PiiPhoneRe, "<PHONE>")
+      .replaceAll(TextAnalytics.PiiIpRe, "<IP>")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    texts.foreach { case (id, _, t) =>
+      val exp = redact(t)
+      assert(rows(id).getAs[String]("redacted_hash") == md5hex(exp))
+      assert(rows(id).getAs[Long]("redacted_len") == exp.length.toLong)
+    }
+    assert(rows(1L).getAs[Long]("n_pii_matches") == 5L)
+    assert(rows(2L).getAs[Long]("n_pii_matches") == 0L)
+    assert(rows(1L).getAs[String]("redacted_hash") !=
+      rows(2L).getAs[String]("redacted_hash"))
+  }
+
+  // ---------------------------------------------------------------- q69
+
+  test("tfidf keywords come from their document with dense ranks and exact scores") {
+    val kw = TextAnalytics.tfidfKeywords(spark, sf0001).cache()
+    assert(kw.filter(col("rk") < 1 || col("rk") > TextAnalytics.TfidfTopK).count() == 0)
+    // integer score definition holds row by row
+    assert(kw.filter(col("score") =!= expr("(tf * 1000000) div df")).count() == 0)
+    // every keyword occurs in its own document exactly tf times
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(TextAnalytics.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+    val bad = kw.join(toks, Seq("doc_id", "tok"), "left")
+      .filter(col("n").isNull || col("n") =!= col("tf"))
+    assert(bad.count() == 0)
+    // ranks are dense per doc: k rows have ranks 1..k
+    val dense = kw.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max(col("rk")).as("mx"))
+      .filter(col("mx") =!= col("k"))
+    assert(dense.count() == 0)
+    kw.unpersist()
+  }
+
+  // ---------------------------------------------------------------- q70
+
+  test("session_window streaming replay equals batch sessionize") {
+    val streamed = EventStream.sessionWindowStream(spark, sf0001).collect()
+    val batch = Events.sessionize(spark, sf0001).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s == b, s"stream row $s != batch row $b") }
+  }
+}
