@@ -91,7 +91,10 @@ object SparkEntry {
     "q67_hard_negatives"    -> Similarity.hardNegatives _,
     "q68_pii_redact"        -> TextAnalytics.piiRedact _,
     "q69_tfidf_keywords"    -> TextAnalytics.tfidfKeywords _,
-    "q70_stream_sessions"   -> EventStream.sessionWindowStream _
+    "q70_stream_sessions"   -> EventStream.sessionWindowStream _,
+    "q71_importance_weights" -> Sampling.importanceWeights _,
+    "q72_source_overlap"    -> Dedup.sourceOverlap _,
+    "q73_kmeans_iter"       -> Similarity.kmeansIter _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,6 +222,9 @@ object SparkEntry {
     "q68_pii_redact"        -> TextAnalytics.piiRedactSql,
     "q69_tfidf_keywords"    -> TextAnalytics.tfidfKeywordsSql,
     // the streaming session replay computes the same table as batch q22
-    "q70_stream_sessions"   -> Events.sessionizeSql
+    "q70_stream_sessions"   -> Events.sessionizeSql,
+    "q71_importance_weights" -> Sampling.importanceWeightsSql,
+    "q72_source_overlap"    -> Dedup.sourceOverlapSql,
+    "q73_kmeans_iter"       -> Similarity.kmeansIterSql
   )
 }

@@ -830,6 +830,56 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q72: cross-source contamination matrix — for every pair of
+    * sources, how many distinct 3-gram shingles they share, plus the
+    * shingle-set Jaccard. This is the corpus-curation view OVER the
+    * dedup signals: which crawls/dumps overlap, where a domain was
+    * ingested twice under different source labels, and which pairs
+    * need cross-source dedup before mixing. Complements q52 (per-doc
+    * novelty) and q62 (one targeted benchmark) with the full
+    * source×source picture.
+    *
+    * Scale shape: distinct (source, hv) is one shuffle with map-side
+    * combine (the shingle table is already hash-distinct per doc);
+    * the pair join is an equi-join on hv whose output is bounded by
+    * shingle-frequency × S² (S = #sources, small by construction) —
+    * never doc×doc. A shingle present in EVERY source contributes
+    * S²/2 rows; at web scale the q15-style document-frequency cap
+    * drops those ubiquitous shingles first (they carry no overlap
+    * signal). Per-source set sizes ride a tiny S-row broadcast. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = Materialize.shared(spark,
+      shingleRows(spark, sfDir).select("source", "hv").distinct())
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val a = ss.alias("a"); val b = ss.alias("b")
+    a.join(b, col("a.hv") === col("b.hv") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        (col("n_shared") / ((col("na") + col("nb") - col("n_shared")) * lit(1.0)))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT source, ${shingleHashExpr("strpos", "md5(s)")} AS hv
+       |  FROM (SELECT source, unnest($sqlShingles) AS s
+       |        FROM (SELECT source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.hv = b.hv AND a.source < b.source
+       |  GROUP BY a.source, b.source)
+       |SELECT source_a, source_b, n_shared,
+       |  n_shared / ((sa.n + sb.n - n_shared) * 1.0) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON sa.source = pairs.source_a
+       |JOIN sizes sb ON sb.source = pairs.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** The all-pairs baseline the two-level join is spec-checked against. */
   def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simhashFrame(spark, sfDir)

@@ -104,6 +104,97 @@ object Sampling {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Feature-hash buckets for [[importanceWeights]]. */
+  val DsirBuckets = 1024L
+  /** Target-domain predicate: English documents stand in for the
+    * "high-quality target distribution" of the DSIR formulation. */
+  val DsirTargetLang = "en"
+
+  /** q71: data-selection importance weights, after DSIR (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hash word bigrams into a small feature space, model
+    * target (English docs) and raw (whole corpus) as bucket count
+    * distributions, and score every document by the sum of its
+    * features' target-vs-raw ratios. High-weight docs look like the
+    * target domain; sampling proportional to the weight is the
+    * selection step. The per-feature score is the INTEGER ratio
+    * ((cnt_target+1) * 1e6) div (cnt_raw+1) — add-one smoothed, the
+    * same monotone surrogate-for-log-ratio trade q69 makes, so the
+    * whole computation is integer-exact and hash-checkable.
+    *
+    * Scale shape: the feature table has at most [[DsirBuckets]] rows
+    * no matter the corpus size — both distributions come out of ONE
+    * aggregation pass over the hashed bigrams (count + conditional
+    * count), and the score table BROADCASTS back onto the same
+    * materialized bigram rows (map-side join), leaving one shuffle by
+    * doc_id. Bigrams hash in a typed flatMap to i64 rows (see
+    * dupSpans for why not HOF lambdas). */
+  def importanceWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val feats = Materialize.shared(spark,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, lang, txt) =>
+            val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+            (0 to t.length - 2).map { i =>
+              val d = md.digest(s"${t(i)} ${t(i + 1)}"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val hv = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+              (id, lang, hv % DsirBuckets)
+            }
+          }
+        }
+        .toDF("doc_id", "lang", "fh"))
+    val buckets = feats.groupBy("fh").agg(
+      count(lit(1)).as("cnt_all"),
+      sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("cnt_t"))
+    val scores = broadcast(
+      buckets.withColumn("score", expr("((cnt_t + 1) * 1000000) div (cnt_all + 1)"))
+        .select("fh", "score"))
+    val per = feats.join(scores, "fh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("score")).as("weight"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight"), lit(0L)).as("weight"),
+        coalesce(expr("weight div n_feats"), lit(0L)).as("mean_score"))
+      .orderBy("doc_id")
+  }
+
+  def importanceWeightsSql: String = {
+    val bgHash = (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"(cast(strpos('0123456789abcdef', substring(md5(g), ${j + 1}, 1)) as bigint) - 1) * $w"
+    }.mkString("(", " + ", ")")
+    s"""WITH bg AS (
+       |  SELECT doc_id, lang, unnest(CASE WHEN len(t) >= 2
+       |    THEN [t[i+1]||' '||t[i+2] for i in range(len(t)-1)] ELSE [] END) AS g
+       |  FROM (SELECT doc_id, lang,
+       |          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |        FROM documents)),
+       |f AS (SELECT doc_id, lang, $bgHash % $DsirBuckets AS fh FROM bg),
+       |b AS (
+       |  SELECT fh, count(*) AS cnt_all,
+       |    cast(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) as bigint) AS cnt_t
+       |  FROM f GROUP BY fh),
+       |s AS (SELECT fh, ((cnt_t + 1) * 1000000) // (cnt_all + 1) AS score FROM b),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_feats, cast(sum(score) as bigint) AS weight
+       |  FROM f JOIN s USING (fh) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_feats, 0) AS n_feats,
+       |  coalesce(weight, 0) AS weight,
+       |  coalesce(weight // n_feats, 0) AS mean_score
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val SamplePerMille = 100L // 10% per stratum
 
   /** q51: stratified deterministic sample — keep docs whose hash lands

@@ -601,6 +601,93 @@ object Similarity {
        |WHERE rank <= ${Consts.KnnK}
        |ORDER BY query_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // One Lloyd iteration of k-means over the embedding corpus — the
+  // training loop that produces REAL coarse quantizers (the seeded
+  // first-N centroids of q42/q60/q66 are iteration zero of exactly
+  // this). Assignment, the per-dimension mean, and reassignment are
+  // each one distributed pass; a full k-means run is this operator in
+  // a driver loop with the (tiny) centroid table as the only state.
+  // -------------------------------------------------------------------
+
+  /** q73: assign → recompute centroids (element-wise integer mean,
+    * `div` truncation — exact on both engines) → reassign; emits
+    * per-cluster membership before/after plus an md5 of the new
+    * centroid vector, so the oracle pins the learned centroids
+    * themselves, not just the counts.
+    *
+    * Scale shape: the corpus is scanned twice (two broadcast-join
+    * assignment passes — it never shuffles for assignment); between
+    * them only (cid, dim) partial sums shuffle — k×64 rows of state
+    * with map-side combine, independent of corpus size. That driver-
+    * small state is what makes the full iterative loop feasible at
+    * 100 TB. */
+  def kmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
+    // not materialized: see ivfKnn — the quantize lineage re-runs at
+    // scan speed, cheaper than a cache round-trip
+    val q = quantized(spark, sfDir)
+    val cent0 = centroids(q)
+    val assign0 = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent0, "vid", 1)
+    val sums = assign0.join(q.select(col("vec_id").as("vid"), col("v")), "vid")
+      .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+    val newc = sums.withColumn("cx", expr("sx div n"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+      .withColumn("cnrm", qdot(col("cv"), col("cv")))
+    val assign1 = nearestCentroids(
+      q.withColumnRenamed("vec_id", "vid"), broadcast(newc), "vid", 1)
+    val n0 = assign0.groupBy("cid").agg(count(lit(1)).as("n_before"))
+    val n1 = assign1.groupBy("cid").agg(count(lit(1)).as("n_after"))
+    n0.join(newc.select(col("cid"),
+        md5(concat_ws(",", transform(col("cv"), _.cast("string"))).cast("binary"))
+          .as("centroid_hash")), "cid")
+      .join(n1, Seq("cid"), "left")
+      .select(col("cid"), col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"), col("centroid_hash"))
+      .orderBy("cid")
+  }
+
+  def kmeansIterSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
+       |assign0 AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT a.vec_id AS vid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q a, cent)
+       |  WHERE crank <= 1),
+       |sums AS (
+       |  SELECT a0.cid, d, cast(sum(q.v[d+1]) as bigint) AS sx, count(*) AS n
+       |  FROM assign0 a0 JOIN q ON q.vec_id = a0.vid,
+       |       unnest(range(${Consts.EmbeddingDim})) t(d)
+       |  GROUP BY a0.cid, d),
+       |newn AS (
+       |  SELECT cid, cv,
+       |    cast(list_sum([cv[i+1]*cv[i+1] for i in range(len(cv))]) as bigint) AS cnrm
+       |  FROM (SELECT cid, list(sx // n ORDER BY d) AS cv FROM sums GROUP BY cid)),
+       |assign1 AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT a.vec_id AS vid, nn.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([nn.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(nn.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        nn.cid ASC) AS crank
+       |    FROM q a, newn nn)
+       |  WHERE crank <= 1),
+       |n0 AS (SELECT cid, count(*) AS n_before FROM assign0 GROUP BY cid),
+       |n1 AS (SELECT cid, count(*) AS n_after FROM assign1 GROUP BY cid)
+       |SELECT n0.cid, n_before, coalesce(n_after, 0) AS n_after,
+       |  md5(array_to_string(newn.cv, ',')) AS centroid_hash
+       |FROM n0 JOIN newn ON newn.cid = n0.cid
+       |LEFT JOIN n1 ON n1.cid = n0.cid
+       |ORDER BY n0.cid""".stripMargin
+
   def lshKnnSql: String = {
     val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
       val lits = hp.mkString("[", ", ", "]")

@@ -165,6 +165,91 @@ class PipelineOpsSpec extends SparkSpec {
     kw.unpersist()
   }
 
+  // ---------------------------------------------------------------- q71
+
+  test("importanceWeights: scores bounded, feature counts reconcile, target lang wins") {
+    val w = graft.ops.Sampling.importanceWeights(spark, sf0001).cache()
+    // per-feature score is in (0, 1e6]: cnt_t <= cnt_all
+    assert(w.filter(col("mean_score") < 0 || col("mean_score") > 1000000L).count() == 0)
+    // n_feats = max(n_tokens - 1, 0) (word bigrams)
+    val toks = TextAnalytics.tokenStats(spark, sf0001).select("doc_id", "n_tokens")
+    assert(w.join(toks, "doc_id")
+      .filter(col("n_feats") =!= greatest(col("n_tokens") - 1, lit(0L)))
+      .count() == 0)
+    // documents of the target language score higher on average than a
+    // non-target language (the whole point of importance weighting)
+    val byLang = w.join(Tables.documents(spark, sf0001).select("doc_id", "lang"), "doc_id")
+      .filter(col("n_feats") > 0)
+      .groupBy("lang").agg(avg(col("mean_score")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang(graft.ops.Sampling.DsirTargetLang) > byLang("zh"),
+      s"target-language docs must outweigh non-target: $byLang")
+    w.unpersist()
+  }
+
+  // ---------------------------------------------------------------- q72
+
+  test("sourceOverlap equals an in-memory set reference") {
+    val got = Dedup.sourceOverlap(spark, sf0001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // independent reference over the same shingle definition
+    val sets = Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        src -> rs.flatMap { r =>
+          val t = r.getString(1).trim.split("\\s+").filter(_.nonEmpty)
+          if (t.length < 3) Seq.empty[Long]
+          else (0 to t.length - 3).map { i =>
+            val d = md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          }
+        }.toSet
+      }
+    val srcs = sets.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val shared = (sets(a) & sets(b)).size.toLong
+      if (shared > 0)
+        assert(got((a, b)) == shared, s"pair ($a,$b): got ${got.get((a, b))}, expected $shared")
+      else assert(!got.contains((a, b)))
+    }
+  }
+
+  // ---------------------------------------------------------------- q73
+
+  test("kmeansIter: memberships conserve the corpus and centroids match a reference") {
+    val vecs = quantizedVecs()
+    val got = Similarity.kmeansIter(spark, sf0001).collect()
+    val n = vecs.length.toLong
+    assert(got.map(_.getAs[Long]("n_before")).sum == n)
+    assert(got.map(_.getAs[Long]("n_after")).sum == n)
+    assert(got.length == Similarity.NCentroids)
+    // reference: assign -> integer-mean centroids -> md5
+    val cents = vecs.filter(_._1 < Similarity.NCentroids)
+    def assign(v: Array[Long], cs: Array[(Long, Array[Long])]): Long =
+      cs.map { case (cid, cv) => (cid, cos(cv, v)) }
+        .sortBy { case (cid, s) => (-s, cid) }.head._1
+    val c0 = cents.map { case (id, v, _) => (id, v) }
+    val members = vecs.groupBy { case (_, v, _) => assign(v, c0) }
+    val expected = members.map { case (cid, ms) =>
+      val dim = ms.head._2.length
+      val cv = Array.tabulate(dim) { d =>
+        val sx = ms.map(_._2(d)).sum
+        sx / ms.length // JVM integer division truncates like Spark div
+      }
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(cv.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      cid -> hex
+    }
+    got.foreach { r =>
+      assert(r.getAs[String]("centroid_hash") == expected(r.getAs[Long]("cid")))
+    }
+  }
+
   // ---------------------------------------------------------------- q70
 
   test("session_window streaming replay equals batch sessionize") {

@@ -116,6 +116,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(df.count() == Dedup.simhash(spark, sf0001).count())
   }
 
+  test("q65: the gram table materializes once and feeds both shuffles") {
+    val df = Dedup.dupSpans(spark, sf0001)
+    val plan = executed(df)
+    // the frequency aggregate AND the occurrence join must both read
+    // the shared cache, not re-run the flatMap lineage
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"gram table not shared across consumers:\n$plan")
+    graft.ops.Materialize.release(spark)
+  }
+
+  test("q66/q67: centroids and anchors broadcast; the corpus side never shuffles for them") {
+    val sem = executed(Similarity.semanticDedup(spark, sf0001))
+    // centroid assignment is a broadcast (nested-loop over the 16-row
+    // centroid table), never a corpus shuffle
+    assert(sem.contains("BroadcastNestedLoopJoin") || sem.contains("BroadcastHashJoin"),
+      s"centroid assignment lost its broadcast:\n$sem")
+    val hn = Similarity.hardNegatives(spark, sf0001)
+    val hnPlan = executed(hn)
+    assert(hnPlan.contains("BroadcastNestedLoopJoin"),
+      s"anchor set must broadcast (label predicate is non-equi):\n$hnPlan")
+    // per-query top-k prunes before the rank shuffle
+    assert(hnPlan.contains("WindowGroupLimit"), hnPlan)
+  }
+
+  test("q69: keyword top-k prunes before the shuffle") {
+    val plan = executed(graft.ops.TextAnalytics.tfidfKeywords(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q18: only the bid-only tile enumeration is a nested loop; payloads ride equi-joins") {
     val df = Similarity.nearDupPairs(spark, sf0001)
     val plan = executed(df)
