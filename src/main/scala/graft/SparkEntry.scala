@@ -94,7 +94,9 @@ object SparkEntry {
     "q70_stream_sessions"   -> EventStream.sessionWindowStream _,
     "q71_importance_weights" -> Sampling.importanceWeights _,
     "q72_source_overlap"    -> Dedup.sourceOverlap _,
-    "q73_kmeans_iter"       -> Similarity.kmeansIter _
+    "q73_kmeans_iter"       -> Similarity.kmeansIter _,
+    "q74_dedup_survivors"   -> Dedup.dedupSurvivors _,
+    "q75_normalized_dedup"  -> Dedup.normalizedDedup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -225,6 +227,8 @@ object SparkEntry {
     "q70_stream_sessions"   -> Events.sessionizeSql,
     "q71_importance_weights" -> Sampling.importanceWeightsSql,
     "q72_source_overlap"    -> Dedup.sourceOverlapSql,
-    "q73_kmeans_iter"       -> Similarity.kmeansIterSql
+    "q73_kmeans_iter"       -> Similarity.kmeansIterSql,
+    "q74_dedup_survivors"   -> Dedup.dedupSurvivorsSql,
+    "q75_normalized_dedup"  -> Dedup.normalizedDedupSql
   )
 }

@@ -880,6 +880,108 @@ object Dedup {
        |JOIN sizes sb ON sb.source = pairs.source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** q74: dedup survivorship report — the END of the dedup pipeline.
+    * Exact-duplicate edges (same content hash → link to the group's
+    * min doc) and near-duplicate edges (the q14 MinHash+LSH pair
+    * relation) union into ONE graph; each connected component keeps
+    * its minimum doc_id; everything else drops. The report is the
+    * per-source docs/tokens kept-vs-dropped — the number a curation
+    * run actually publishes ("dedup removed X% of source Y's tokens").
+    *
+    * Scale shape: exact edges cost one hash aggregation; near edges
+    * reuse the banded LSH join (never O(n²)); the component resolution
+    * is the shared diameter-bounded min-label loop (driver holds one
+    * count per round, lineage checkpoint-truncated). The final stats
+    * are one shuffle by source with map-side combine. */
+  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("text").cast("binary")).as("h"))
+    val minPerHash = docs.groupBy("h").agg(min("doc_id").as("root"))
+    val exactEdges = docs.join(minPerHash, "h")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+    val nearEdges = minhashLshPairs(spark, sfDir).select("doc_a", "doc_b")
+    val comp = minLabelComponents(exactEdges.unionAll(nearEdges))
+    docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("kept", col("doc_id") === coalesce(col("label"), col("doc_id")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+        sum(when(!col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_dropped"))
+      .orderBy("source")
+  }
+
+  def dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE
+       |docs AS (
+       |  SELECT doc_id, source,
+       |    cast(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) as bigint) AS n_tokens,
+       |    md5(text) AS h
+       |  FROM documents),
+       |mh AS (SELECT h, min(doc_id) AS root FROM docs GROUP BY h),
+       |exact_e AS (
+       |  SELECT root AS doc_a, doc_id AS doc_b FROM docs JOIN mh USING (h)
+       |  WHERE doc_id != root),
+       |near_e AS (SELECT doc_a, doc_b FROM (${minhashLshPairsSql})),
+       |edges AS (SELECT * FROM exact_e UNION ALL SELECT * FROM near_e),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id)
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
+       |  cast(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) as bigint) AS tokens_kept,
+       |  cast(sum(CASE WHEN NOT kept THEN n_tokens ELSE 0 END) as bigint) AS tokens_dropped
+       |FROM (SELECT d.source, d.n_tokens,
+       |        d.doc_id = coalesce(c.cluster, d.doc_id) AS kept
+       |      FROM docs d LEFT JOIN comp c USING (doc_id))
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** q75: normalization-collision dedup — exact dedup AFTER the
+    * canonical text normalization every pipeline applies first
+    * (lowercase, strip non-alphanumerics, collapse whitespace). Groups
+    * that only appear here (n_variants > 1) are the trivially-edited
+    * copies raw hashing misses: case changes, punctuation tweaks,
+    * re-wrapped whitespace. Pure scan-side normalization + one hash
+    * aggregation — the same single-shuffle shape as q13, and the
+    * cheapest possible recall boost in front of the MinHash tiers. */
+  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), lit("[^a-z0-9\\s]"), lit("")),
+      lit("\\s+"), lit(" ")))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("raw_hash"),
+        md5(norm.cast("binary")).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_variants"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy("norm_hash")
+  }
+
+  def normalizedDedupSql: String =
+    s"""SELECT md5(n) AS norm_hash, count(*) AS n_docs,
+       |  count(DISTINCT md5(text)) AS n_variants,
+       |  min(doc_id) AS keep_doc_id
+       |FROM (SELECT doc_id, text,
+       |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+       |             '\\s+', ' ', 'g')) AS n
+       |      FROM documents)
+       |GROUP BY md5(n)
+       |HAVING count(*) > 1
+       |ORDER BY norm_hash""".stripMargin
+
   /** The all-pairs baseline the two-level join is spec-checked against. */
   def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = simhashFrame(spark, sfDir)

@@ -250,6 +250,56 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q74
+
+  test("dedupSurvivors equals a union-find reference over exact + LSH edges") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // union-find over exact-hash groups and the q14 pair relation
+    val parent = scala.collection.mutable.Map(docs.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    docs.groupBy(_._3).values.foreach { g =>
+      val ids = g.map(_._1).sorted; ids.tail.foreach(union(ids.head, _)) }
+    Dedup.minhashLshPairs(spark, sf0001).select("doc_a", "doc_b").collect()
+      .foreach(r => union(r.getLong(0), r.getLong(1)))
+    def tokens(t: String) = t.trim.split("\\s+").count(_.nonEmpty).toLong
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.filter(d => find(d._1) == d._1)
+      src -> ((src, ds.length.toLong, kept.length.toLong,
+        kept.map(d => tokens(d._3)).sum,
+        ds.filterNot(d => find(d._1) == d._1).map(d => tokens(d._3)).sum))
+    }
+    val got = Dedup.dedupSurvivors(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == expected.size)
+    got.foreach { g => assert(g == expected(g._1), s"got $g expected ${expected(g._1)}") }
+  }
+
+  // ---------------------------------------------------------------- q75
+
+  test("normalizedDedup probe: trivial variants collapse, distinct text does not") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "web", "Hello, World!"),
+      (2L, "web", "hello world"),
+      (3L, "web", "HELLO   world"),
+      (4L, "web", "something else entirely"),
+      (5L, "web", "hello world")) // raw duplicate of 2
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("norm_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.normalizedDedup(spark, tmp.toString).collect()
+    assert(rows.length == 1, s"expected one collision group, got ${rows.toSeq}")
+    val g = rows.head
+    assert(g.getAs[Long]("n_docs") == 4L)      // docs 1, 2, 3, 5
+    assert(g.getAs[Long]("n_variants") == 3L)  // three raw spellings
+    assert(g.getAs[Long]("keep_doc_id") == 1L)
+  }
+
   // ---------------------------------------------------------------- q70
 
   test("session_window streaming replay equals batch sessionize") {
