@@ -96,7 +96,11 @@ object SparkEntry {
     "q72_source_overlap"    -> Dedup.sourceOverlap _,
     "q73_kmeans_iter"       -> Similarity.kmeansIter _,
     "q74_dedup_survivors"   -> Dedup.dedupSurvivors _,
-    "q75_normalized_dedup"  -> Dedup.normalizedDedup _
+    "q75_normalized_dedup"  -> Dedup.normalizedDedup _,
+    "q76_ann_recall"        -> Similarity.annRecall _,
+    "q77_mixture_weights"   -> Sampling.mixtureWeights _,
+    "q78_length_histogram"  -> TextAnalytics.lengthHistogram _,
+    "q79_filter_funnel"     -> TextAnalytics.filterFunnel _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -229,6 +233,10 @@ object SparkEntry {
     "q72_source_overlap"    -> Dedup.sourceOverlapSql,
     "q73_kmeans_iter"       -> Similarity.kmeansIterSql,
     "q74_dedup_survivors"   -> Dedup.dedupSurvivorsSql,
-    "q75_normalized_dedup"  -> Dedup.normalizedDedupSql
+    "q75_normalized_dedup"  -> Dedup.normalizedDedupSql,
+    "q76_ann_recall"        -> Similarity.annRecallSql,
+    "q77_mixture_weights"   -> Sampling.mixtureWeightsSql,
+    "q78_length_histogram"  -> TextAnalytics.lengthHistogramSql,
+    "q79_filter_funnel"     -> TextAnalytics.filterFunnelSql
   )
 }

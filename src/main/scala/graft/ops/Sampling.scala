@@ -195,6 +195,54 @@ object Sampling {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q77: temperature-scaled source mixture weights — the "data
+    * mixing" step that turns per-source token counts into sampling
+    * probabilities for training. Raw proportional sampling lets one
+    * huge crawl source drown everything; full uniform over-samples
+    * tiny sources into repetition. The standard compromise is
+    * p_i ∝ n_i^alpha with alpha in (0,1) (the multilingual-sampling
+    * temperature trick, e.g. XLM-R); alpha = 0.5 here because
+    * sqrt of an exactly-representable bigint is a correctly-rounded
+    * IEEE op, so floor(sqrt(n) * 1e6) is the same integer in Spark
+    * and DuckDB and the whole report stays hash-checkable.
+    *
+    * Scale shape: one aggregation by source (map-side combine carries
+    * a count + token sum per source per task), then the permille
+    * normalization joins against a ONE-ROW total frame — broadcast,
+    * no second shuffle of anything corpus-sized. */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val totals = per.agg(sum(col("n_tokens")).as("tt"), sum(col("weight")).as("tw"))
+    per.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        expr("n_tokens * 1000 div tt").as("raw_permille"),
+        expr("weight * 1000 div tw").as("sampled_permille"))
+      .orderBy("source")
+  }
+
+  def mixtureWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) as bigint) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    cast(floor(sqrt(cast(n_tokens as double)) * 1000000.0) as bigint) AS weight
+       |  FROM per),
+       |tot AS (
+       |  SELECT cast(sum(n_tokens) as bigint) AS tt, cast(sum(weight) as bigint) AS tw FROM w)
+       |SELECT source, n_docs, n_tokens, weight,
+       |  n_tokens * 1000 // tt AS raw_permille,
+       |  weight * 1000 // tw AS sampled_permille
+       |FROM w, tot
+       |ORDER BY source""".stripMargin
+
   val SamplePerMille = 100L // 10% per stratum
 
   /** q51: stratified deterministic sample — keep docs whose hash lands

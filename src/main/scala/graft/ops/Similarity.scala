@@ -688,6 +688,61 @@ object Similarity {
        |LEFT JOIN n1 ON n1.cid = n0.cid
        |ORDER BY n0.cid""".stripMargin
 
+  /** q76: ANN recall@k report — the index-quality measurement every
+    * production ANN deployment runs before trusting an approximate
+    * index: per query, |IVF results ∩ brute-force ground truth| / k.
+    * The reference ships an ANN forest with NO recall measurement
+    * (/root/reference/src/ann.rs:252-268 builds and queries blind);
+    * at 100 TB an unmeasured index silently eats retrieval quality,
+    * so this closes that gap as a first-class query.
+    *
+    * Scale shape: ground truth is computed only for the (small) query
+    * sample — the brute-force side broadcasts the queries and never
+    * shuffles the corpus (q19's shape), the IVF side probes inverted
+    * lists (q42's shape), and the comparison joins two k-row-per-query
+    * frames. Recall is emitted as an integer permille so the report is
+    * hash-checkable. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = knnBruteForce(spark, sfDir).select("query_id", "neighbor_id")
+    val approx = ivfKnn(spark, sfDir).select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000 div n_true").as("recall_permille"))
+      .orderBy("query_id")
+  }
+
+  def annRecallSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |$sqlIvfCtes,
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY $sqlCos DESC, c.neighbor_id ASC) AS rank
+       |    FROM cands c
+       |    JOIN q a ON a.vec_id = c.query_id
+       |    JOIN q b ON b.vec_id = c.neighbor_id)
+       |  WHERE rank <= ${Consts.KnnK}),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank
+       |    FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |  WHERE rank <= ${Consts.KnnK}),
+       |hits AS (
+       |  SELECT bf.query_id, count(*) AS n_hit
+       |  FROM bf JOIN ivf ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+       |  GROUP BY bf.query_id)
+       |SELECT t.query_id, t.n_true,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(h.n_hit, 0) * 1000 // t.n_true AS recall_permille
+       |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
+       |LEFT JOIN hits h ON h.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
+
   def lshKnnSql: String = {
     val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
       val lits = hp.mkString("[", ", ", "]")

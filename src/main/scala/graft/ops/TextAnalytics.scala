@@ -526,4 +526,127 @@ object TextAnalytics {
        |FROM (SELECT doc_id, text, $sqlShingles s
        |      FROM (SELECT doc_id, text, $sqlTokens t FROM documents))
        |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Sequence-length histogram: log2 buckets for token-budget planning.
+  // -------------------------------------------------------------------
+
+  /** q78: per-language log2 histogram of document token lengths — the
+    * length profile a pipeline reads before choosing packing sequence
+    * length, truncation policy, and per-bucket sampling. The bucket is
+    * the bit length of the token count (length of its binary string:
+    * bucket b covers [2^(b-1), 2^b)), computed with `bin()` — an
+    * integer construction both engines share bit-for-bit, unlike
+    * floor(log2(x)) which tempts floating error at bucket edges.
+    * Scale shape: pure map-side projection into a groupBy with at most
+    * langs x 64 output groups — partial aggregation makes the shuffle
+    * carry group state, not rows. */
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("bucket", length(bin(col("n"))).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy("lang", "bucket")
+
+  def lengthHistogramSql: String =
+    s"""SELECT lang, cast(length(bin(n)) as bigint) AS bucket,
+       |  count(*) AS n_docs,
+       |  cast(sum(n) as bigint) AS n_tokens,
+       |  min(n) AS min_tokens,
+       |  max(n) AS max_tokens
+       |FROM (SELECT lang, cast(len($sqlTokens) as bigint) AS n FROM documents)
+       |GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Filter-cascade funnel: the curation survival report.
+  // -------------------------------------------------------------------
+
+  val FunnelMinTokens = 20L
+  val FunnelMaxTokens = 90L
+  val FunnelMinUniquePermille = 400L  // distinct-token ratio >= 0.4
+  val FunnelMinStopPermille = 20L     // stopword ratio >= 0.02
+  val FunnelMaxTopPermille = 150L     // top-token ratio <= 0.15
+
+  /** q79: filter-cascade funnel — applies the standard curation
+    * cascade (length bounds, lexical diversity, stopword presence =
+    * natural-language check, exact dedup, single-token repetition cap)
+    * in a FIXED order and reports per-source survival after each
+    * stage. This is the artifact a data-curation run actually reviews:
+    * which stage costs which source how many documents/tokens. All
+    * thresholds are integer permilles so the funnel is
+    * hash-checkable.
+    *
+    * Scale shape: the per-doc stats are one scan projection; the
+    * top-token frequency is an explode + two-level hash aggregation
+    * (partial agg collapses each doc's tokens before the shuffle);
+    * exact-dup roots reuse q13's one-shuffle min-per-hash; the final
+    * report is one aggregation by source. Each stage flag derives from
+    * the previous with AND — no per-stage passes over the corpus. */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("t"))
+    val stats = d.select(
+      col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("h"),
+      size(col("t")).cast("long").as("n"),
+      size(array_distinct(col("t"))).cast("long").as("u"),
+      size(filter(col("t"), x => x.isin(Consts.Stopwords: _*))).cast("long").as("stop"))
+    val topf = d.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topf"))
+    val roots = stats.groupBy("h").agg(min(col("doc_id")).as("root"))
+    stats.join(topf, "doc_id").join(roots, "h")
+      .withColumn("s1", col("n").between(FunnelMinTokens, FunnelMaxTokens))
+      .withColumn("s2", col("s1") && expr("u * 1000 div n") >= FunnelMinUniquePermille)
+      .withColumn("s3", col("s2") && expr("stop * 1000 div n") >= FunnelMinStopPermille)
+      .withColumn("s4", col("s3") && col("doc_id") === col("root"))
+      .withColumn("s5", col("s4") && expr("topf * 1000 div n") <= FunnelMaxTopPermille)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("pass_length"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("pass_unique"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("pass_stopword"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("pass_dedup"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("pass_repetition"),
+        sum(when(col("s5"), col("n")).otherwise(0L)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  def filterFunnelSql: String = {
+    val stops = Consts.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, source, text, $sqlTokens AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, md5(text) AS h,
+       |    cast(len(t) as bigint) AS n,
+       |    cast(len(list_distinct(t)) as bigint) AS u,
+       |    cast(len(list_filter(t, x -> x IN ($stops))) as bigint) AS stop
+       |  FROM t),
+       |tf AS (
+       |  SELECT doc_id, max(c) AS topf FROM (
+       |    SELECT doc_id, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(t) AS tok FROM t)
+       |    GROUP BY doc_id, tok)
+       |  GROUP BY doc_id),
+       |r AS (SELECT h, min(doc_id) AS root FROM s GROUP BY h),
+       |f AS (
+       |  SELECT s.source, s.n,
+       |    (s.n BETWEEN $FunnelMinTokens AND $FunnelMaxTokens) AS s1,
+       |    (s1 AND s.u * 1000 // s.n >= $FunnelMinUniquePermille) AS s2,
+       |    (s2 AND s.stop * 1000 // s.n >= $FunnelMinStopPermille) AS s3,
+       |    (s3 AND s.doc_id = r.root) AS s4,
+       |    (s4 AND tf.topf * 1000 // s.n <= $FunnelMaxTopPermille) AS s5
+       |  FROM s JOIN r USING (h) JOIN tf USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN s1 THEN 1 ELSE 0 END) as bigint) AS pass_length,
+       |  cast(sum(CASE WHEN s2 THEN 1 ELSE 0 END) as bigint) AS pass_unique,
+       |  cast(sum(CASE WHEN s3 THEN 1 ELSE 0 END) as bigint) AS pass_stopword,
+       |  cast(sum(CASE WHEN s4 THEN 1 ELSE 0 END) as bigint) AS pass_dedup,
+       |  cast(sum(CASE WHEN s5 THEN 1 ELSE 0 END) as bigint) AS pass_repetition,
+       |  cast(sum(CASE WHEN s5 THEN n ELSE 0 END) as bigint) AS tokens_kept
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
 }

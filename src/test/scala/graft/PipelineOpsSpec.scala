@@ -300,6 +300,104 @@ class PipelineOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("keep_doc_id") == 1L)
   }
 
+  // ---------------------------------------------------------------- q76
+
+  test("annRecall equals hand-computed intersection of IVF and brute-force") {
+    val truth = Similarity.knnBruteForce(spark, sf0001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfKnn(spark, sf0001)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.annRecall(spark, sf0001).collect()
+    assert(got.length == Consts.KnnQueries)
+    got.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val nTrue = truth.count(_._1 == q).toLong
+      val nHit = truth.count(p => p._1 == q && approx(p)).toLong
+      assert(r.getAs[Long]("n_true") == nTrue)
+      assert(r.getAs[Long]("n_hit") == nHit)
+      assert(r.getAs[Long]("recall_permille") == nHit * 1000 / nTrue)
+    }
+  }
+
+  // ---------------------------------------------------------------- q77
+
+  test("mixtureWeights: sqrt temperature flattens shares, permilles consistent") {
+    val rows = graft.ops.Sampling.mixtureWeights(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("weight") == math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+    }
+    // permille shares each sum to ~1000 (integer division loses < #sources)
+    val rawSum = rows.map(_.getAs[Long]("raw_permille")).sum
+    val smpSum = rows.map(_.getAs[Long]("sampled_permille")).sum
+    assert(rawSum > 1000 - rows.length && rawSum <= 1000)
+    assert(smpSum > 1000 - rows.length && smpSum <= 1000)
+    // temperature scaling: the largest source's share shrinks, smallest grows
+    val byRaw = rows.sortBy(_.getAs[Long]("raw_permille"))
+    assert(byRaw.last.getAs[Long]("sampled_permille") <= byRaw.last.getAs[Long]("raw_permille"))
+    assert(byRaw.head.getAs[Long]("sampled_permille") >= byRaw.head.getAs[Long]("raw_permille"))
+  }
+
+  // ---------------------------------------------------------------- q78
+
+  test("lengthHistogram: buckets are log2-consistent and partition the corpus") {
+    val rows = TextAnalytics.lengthHistogram(spark, sf0001).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val lo = r.getAs[Long]("min_tokens"); val hi = r.getAs[Long]("max_tokens")
+      assert(lo <= hi)
+      // bucket b holds counts with bit length b: [2^(b-1), 2^b)
+      assert(lo >= (1L << (b - 1).toInt) || b == 1)
+      assert(hi < (1L << b.toInt))
+    }
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf0001).count())
+  }
+
+  // ---------------------------------------------------------------- q79
+
+  test("filterFunnel: stage counts are monotone and match per-doc recompute") {
+    val rows = TextAnalytics.filterFunnel(spark, sf0001).collect()
+    rows.foreach { r =>
+      val passes = Seq("pass_length", "pass_unique", "pass_stopword",
+        "pass_dedup", "pass_repetition").map(r.getAs[Long])
+      assert(r.getAs[Long]("n_docs") >= passes.head)
+      passes.sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
+    }
+    // the cascade must actually discriminate at this SF
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val kept = rows.map(_.getAs[Long]("pass_repetition")).sum
+    assert(kept > 0 && kept < total)
+  }
+
+  test("filterFunnel probe: each stage drops its designed offender") {
+    import spark.implicits._
+    val stops = "the a of and to in is"
+    val natural = ("the quick brown fox jumps over a lazy dog and then " +
+      "runs far away to find some more interesting words in this world").trim
+    val probe = Seq(
+      (1L, "web", natural),                                   // passes all
+      (2L, "web", "too short"),                               // fails length
+      (3L, "web", ("the " * 30).trim),                        // fails unique ratio
+      (4L, "web", (1 to 30).map(i => s"w$i").mkString(" ")),  // fails stopword
+      (5L, "web", natural),                                   // fails dedup (copy of 1)
+      (6L, "web", (stops + " unique1 unique2 unique3 unique4 unique5 unique6 " +
+        "unique7 unique8 unique9 " + ("zz " * 12)).trim))     // fails top-token cap
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextAnalytics.filterFunnel(spark, tmp.toString).collect().head
+    assert(r.getAs[Long]("n_docs") == 6L)
+    assert(r.getAs[Long]("pass_length") == 5L)     // doc 2 out
+    assert(r.getAs[Long]("pass_unique") == 4L)     // doc 3 out
+    assert(r.getAs[Long]("pass_stopword") == 3L)   // doc 4 out
+    assert(r.getAs[Long]("pass_dedup") == 2L)      // doc 5 out
+    assert(r.getAs[Long]("pass_repetition") == 1L) // doc 6 out
+  }
+
   // ---------------------------------------------------------------- q70
 
   test("session_window streaming replay equals batch sessionize") {
