@@ -31,8 +31,11 @@ object SparkEntry {
     "q11_lang_id"           -> TextAnalytics.langId _,
     "q12_fingerprint"       -> TextAnalytics.fingerprint _,
     "q13_exact_dedup"       -> Dedup.exactDedup _,
-    "q14_minhash_lsh"       -> Dedup.minhashLshPairs _,
-    "q15_jaccard_pairs"     -> Dedup.jaccardPairs _,
+    // dedup-family queries pin the DuckDB-mirrorable 32-bit hash width
+    // (Dedup.OracleHashBits); the library default is 64-bit, which has
+    // no cheap hex-nibble SQL mirror — see Dedup.DefaultHashBits
+    "q14_minhash_lsh"       -> ((s: SparkSession, d: String) => Dedup.minhashLshPairs(s, d, Dedup.OracleHashBits)),
+    "q15_jaccard_pairs"     -> ((s: SparkSession, d: String) => Dedup.jaccardPairs(s, d, Dedup.OracleHashBits)),
     "q16_simhash"           -> Dedup.simhash _,
     "q17_simhash_pairs"     -> Dedup.simhashPairs _,
     "q18_embedding_neardup" -> Similarity.nearDupPairs _,
@@ -68,10 +71,10 @@ object SparkEntry {
     "q46_bloom_semi_join"   -> Sketches.bloomPrunedOrderLineitems _,
     "q47_exact_corr"        -> Statistics.quantityPriceCorr _,
     "q48_edit_distance"     -> Statistics.partNameNearDup _,
-    "q49_dedup_clusters"    -> Dedup.nearDupClusters _,
+    "q49_dedup_clusters"    -> ((s: SparkSession, d: String) => Dedup.nearDupClusters(s, d, Dedup.OracleHashBits)),
     "q50_hash_split"        -> Sampling.hashSplit _,
     "q51_stratified_sample" -> Sampling.stratifiedSample _,
-    "q52_novelty"           -> Dedup.noveltyScores _,
+    "q52_novelty"           -> ((s: SparkSession, d: String) => Dedup.noveltyScores(s, d, Dedup.OracleHashBits)),
     "q53_source_cap"        -> Sampling.sourceCap _,
     "q54_pq_knn"            -> Similarity.pqKnn _,
     "q55_oov_rate"          -> TextAnalytics.oovRate _,
@@ -83,19 +86,19 @@ object SparkEntry {
     "q59_zipf_quality"      -> TextAnalytics.zipfQuality _,
     "q60_ivfpq_knn"         -> Similarity.ivfPqKnn _,
     "q61_repetition"        -> TextAnalytics.repetitionStats _,
-    "q62_decontamination"   -> Dedup.decontamination _,
+    "q62_decontamination"   -> ((s: SparkSession, d: String) => Dedup.decontamination(s, d, Dedup.OracleHashBits)),
     "q63_sequence_packing"  -> TextAnalytics.sequencePacking _,
     "q64_pii_screen"        -> TextAnalytics.piiScreen _,
-    "q65_dup_spans"         -> Dedup.dupSpans _,
+    "q65_dup_spans"         -> ((s: SparkSession, d: String) => Dedup.dupSpans(s, d, Dedup.OracleHashBits)),
     "q66_semantic_dedup"    -> Similarity.semanticDedup _,
     "q67_hard_negatives"    -> Similarity.hardNegatives _,
     "q68_pii_redact"        -> TextAnalytics.piiRedact _,
     "q69_tfidf_keywords"    -> TextAnalytics.tfidfKeywords _,
     "q70_stream_sessions"   -> EventStream.sessionWindowStream _,
     "q71_importance_weights" -> Sampling.importanceWeights _,
-    "q72_source_overlap"    -> Dedup.sourceOverlap _,
+    "q72_source_overlap"    -> ((s: SparkSession, d: String) => Dedup.sourceOverlap(s, d, Dedup.OracleHashBits)),
     "q73_kmeans_iter"       -> Similarity.kmeansIter _,
-    "q74_dedup_survivors"   -> Dedup.dedupSurvivors _,
+    "q74_dedup_survivors"   -> ((s: SparkSession, d: String) => Dedup.dedupSurvivors(s, d, Dedup.OracleHashBits)),
     "q75_normalized_dedup"  -> Dedup.normalizedDedup _,
     "q76_ann_recall"        -> Similarity.annRecall _,
     "q77_mixture_weights"   -> Sampling.mixtureWeights _,

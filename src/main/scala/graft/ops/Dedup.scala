@@ -25,6 +25,37 @@ import graft.ops.TextAnalytics.{tokens, shingles3, sqlShingles}
   */
 object Dedup {
 
+  /** Library-default shingle/gram hash width: 64 bits (the first two
+    * md5 words). At 100-TB corpus cardinalities the corpus holds
+    * trillions of distinct shingles; a 32-bit space (4.3e9 slots)
+    * saturates there and birthday collisions inflate every
+    * overlap-counting statistic (Jaccard, novelty, source overlap,
+    * duplicated spans). 64 bits pushes the same birthday bound past
+    * 10^18 — collision-free in practice at any realistic corpus size. */
+  val DefaultHashBits = 64
+
+  /** Oracle mode: the DuckDB-verifiable 32-bit width. The oracle SQL
+    * mirrors the hash as the first 8 hex nibbles of md5
+    * (shingleHashExpr); DuckDB has no cheap 64-bit variant of that
+    * expression, so every oracle-checked query pins this width and the
+    * CORRECTNESS gate stays byte-identical. The two widths agree
+    * whenever no 32-bit collision occurs (spec-checked at sf0.001). */
+  val OracleHashBits = 32
+
+  /** First `bits` of an md5 digest as a big-endian long. 32-bit values
+    * are non-negative (unsigned int range, identical to the SQL-side
+    * strpos-over-hex computation); 64-bit values use the full signed
+    * range — downstream set/join/count ops are sign-agnostic. */
+  private[ops] def packHash(d: Array[Byte], bits: Int): Long =
+    if (bits == 32)
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    else
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+
   /** (doc_id, source, shingle) rows — distinct 3-gram shingles per doc.
     *
     * Computed in a typed flatMap, NOT with higher-order-function
@@ -34,7 +65,8 @@ object Dedup {
     * code does in well under a second. Semantics are identical to
     * split-trim-filter + 3-gram + distinct (same Java regex on both
     * paths), so the DuckDB oracle is unaffected. */
-  private[ops] def shingleRows(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def shingleRows(spark: SparkSession, sfDir: String,
+                               bits: Int = DefaultHashBits): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"))
@@ -47,12 +79,10 @@ object Dedup {
             if (t.length < 3) Seq.empty[String]
             else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").distinct
           sh.map { s =>
-            // hv = first 8 hex nibbles of md5 = first 4 digest bytes as
-            // an unsigned 32-bit int — identical to the SQL-side
-            // strpos-over-hex computation (shingleHashExpr)
-            val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-              ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+            // hv = leading md5 bytes at the configured width; 32-bit
+            // mode is identical to the SQL-side strpos-over-hex
+            // computation (shingleHashExpr)
+            packHash(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
           }
           // distinct by HASH, not just by shingle string: the oracle's
           // set ops run over list_distinct of the hashed values, so two
@@ -67,8 +97,9 @@ object Dedup {
   /** doc_id, source, shingle-hash-set column (distinct 3-gram shingles
     * as 32-bit int hashes — set ops over longs are far cheaper than
     * over strings, and the oracle mirrors the same hash). */
-  private def shingleSets(spark: SparkSession, sfDir: String): DataFrame =
-    shingleSetsFrom(shingleRows(spark, sfDir))
+  private def shingleSets(spark: SparkSession, sfDir: String,
+                          bits: Int = DefaultHashBits): DataFrame =
+    shingleSetsFrom(shingleRows(spark, sfDir, bits))
 
   private def shingleSetsFrom(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id", "source")
@@ -108,12 +139,22 @@ object Dedup {
     * permutations are linear maps over the 32-bit hash (Consts). Min
     * aggregates get map-side partial aggregation, so the shuffle moves
     * one signature row per doc, not the shingles. */
-  def minhashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    minhashSignaturesFrom(shingleRows(spark, sfDir))
+  def minhashSignatures(spark: SparkSession, sfDir: String,
+                        bits: Int = DefaultHashBits): DataFrame =
+    minhashSignaturesFrom(shingleRows(spark, sfDir, bits))
 
   private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
+    // the affine permutations act on a 32-bit universe: params are
+    // ~2^31, so a wider operand would overflow the i64 product (ANSI
+    // error). 32-bit hv passes through the fold unchanged (high word
+    // is zero), keeping the oracle SQL byte-identical; 64-bit hv is
+    // xor-folded to its unsigned-32 image FOR BANDING ONLY — candidate
+    // generation is probabilistic either way, and the exact Jaccard
+    // verification downstream runs on the full-width sets
+    val hv32 = shiftrightunsigned(col("hv"), 32)
+      .bitwiseXOR(col("hv").bitwiseAND(lit(0xffffffffL)))
     val aggs = Consts.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min((col("hv") * a + b) % Consts.MinhashPrime).as(s"mh$i")
+      min((hv32 * a + b) % Consts.MinhashPrime).as(s"mh$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -125,12 +166,13 @@ object Dedup {
     * a single shuffle whose two sides are identical subplans (Spark
     * reuses the exchange), instead of one join per band re-running the
     * whole MinHash lineage. */
-  def minhashLshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, sfDir: String,
+                      bits: Int = DefaultHashBits): DataFrame = {
     // one materialization feeds BOTH the signature aggregate (shuffle
     // by doc_id) and the shingle-set aggregate (shuffle by doc_id,
     // source) — different keys, so without it the 5M-digest MD5
     // lineage runs twice (the round-2 q14/q49 recompute)
-    val sh = Materialize.shared(spark, shingleRows(spark, sfDir))
+    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
     val sig = minhashSignaturesFrom(sh)
     val bandHashes = (0 until Consts.LshBands).map { b =>
       val rows = (0 until Consts.LshRowsPerBand)
@@ -209,15 +251,17 @@ object Dedup {
     * to bound the fan-out of stop-shingles — that trades exactness for
     * a bounded candidate set (standard practice); the uncapped default
     * keeps the DuckDB oracle byte-identical. */
-  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardPairsSparse(spark, sfDir)
+  def jaccardPairs(spark: SparkSession, sfDir: String,
+                   bits: Int = DefaultHashBits): DataFrame =
+    jaccardPairsSparse(spark, sfDir, bits = bits)
 
   /** Blocked pairwise Jaccard: within-source pairs, hash-based
     * sorted-merge intersect over the full O(block^2) pair set. Kept as
     * the small-block correctness baseline the sparse path is
     * spec-checked against; not the benched default. */
-  def jaccardPairsBlocked(spark: SparkSession, sfDir: String): DataFrame = {
-    val sets = shingleSets(spark, sfDir)
+  def jaccardPairsBlocked(spark: SparkSession, sfDir: String,
+                          bits: Int = DefaultHashBits): DataFrame = {
+    val sets = shingleSets(spark, sfDir, bits)
     val a = sets.alias("a"); val b = sets.alias("b")
     val inter = graft.functions.LongArrayIntersectCount(col("a.s"), col("b.s"))
     a.join(b,
@@ -253,12 +297,13 @@ object Dedup {
     * is vanishingly rare — the q14 MinHash path is the principled
     * approximate alternative when that trade-off matters. */
   def jaccardPairsSparse(spark: SparkSession, sfDir: String,
-                         dfCap: Option[Long] = None): DataFrame = {
+                         dfCap: Option[Long] = None,
+                         bits: Int = DefaultHashBits): DataFrame = {
     // materialized once: the self-join sides share one exchange, but
     // the `sizes` aggregate shuffles by a different key (doc_id) and
     // would otherwise re-run the whole MD5 lineage — measured as 11.6 s
     // (27% of the round-2 bench) before this fix
-    val sh = Materialize.shared(spark, shingleRows(spark, sfDir))
+    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // exact shared-shingle counts: with dfCap=None the grouped
     // self-equi-join IS the candidate generation; with a cap, hot
@@ -530,9 +575,10 @@ object Dedup {
     finalLabels
   }
 
-  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+  def nearDupClusters(spark: SparkSession, sfDir: String,
+                      bits: Int = DefaultHashBits): DataFrame =
     minLabelComponents(
-        minhashLshPairs(spark, sfDir).select(col("doc_a"), col("doc_b")))
+        minhashLshPairs(spark, sfDir, bits).select(col("doc_a"), col("doc_b")))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster_id")
@@ -558,12 +604,13 @@ object Dedup {
     * template/boilerplate or near-copied content; this is the cheap
     * corpus-level contamination signal a training pipeline computes
     * alongside dedup (integer ratio, so it hash-matches the oracle). */
-  def noveltyScores(spark: SparkSession, sfDir: String): DataFrame = {
+  def noveltyScores(spark: SparkSession, sfDir: String,
+                    bits: Int = DefaultHashBits): DataFrame = {
     // shingleRows is hash-distinct per doc by construction; shared so
     // the df-count aggregate (shuffle by hv) and the per-doc aggregate
     // (shuffle by doc_id) read one materialization
     val sh = Materialize
-      .shared(spark, shingleRows(spark, sfDir).select("doc_id", "source", "hv"))
+      .shared(spark, shingleRows(spark, sfDir, bits).select("doc_id", "source", "hv"))
       .select("doc_id", "hv")
     val dfc = sh.groupBy("hv").agg(count(lit(1)).as("df"))
     sh.join(dfc, "hv")
@@ -603,8 +650,9 @@ object Dedup {
     * aggregates (count, hits) per doc with map-side combine — one
     * shuffle, no corpus-side shingle ever moves except as a partial
     * count. Shares the materialized shingle table with q14/q15/q52. */
-  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Materialize.shared(spark, shingleRows(spark, sfDir))
+  def decontamination(spark: SparkSession, sfDir: String,
+                      bits: Int = DefaultHashBits): DataFrame = {
+    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
     val bench = broadcast(
       sh.filter(col("doc_id") < DecontamBenchmarkDocs)
         .select("hv").distinct().withColumn("hit", lit(1L)))
@@ -770,7 +818,8 @@ object Dedup {
     * the paper is deliberately traded for fixed-length spans — the
     * fixed-n formulation is embarrassingly parallel and loses only
     * sub-n-token duplications. */
-  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+  def dupSpans(spark: SparkSession, sfDir: String,
+               bits: Int = DefaultHashBits): DataFrame = {
     import spark.implicits._
     val n = DupSpanN
     val grams = Materialize.shared(spark,
@@ -783,10 +832,7 @@ object Dedup {
             val t = txt.trim.split("\\s+").filter(_.nonEmpty)
             (0 to t.length - n).map { i =>
               val g = t.slice(i, i + n).mkString(" ")
-              val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              val gh = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-                ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-              (id, gh)
+              (id, packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits))
             }
           }
         }
@@ -844,12 +890,31 @@ object Dedup {
     * the pair join is an equi-join on hv whose output is bounded by
     * shingle-frequency × S² (S = #sources, small by construction) —
     * never doc×doc. A shingle present in EVERY source contributes
-    * S²/2 rows; at web scale the q15-style document-frequency cap
-    * drops those ubiquitous shingles first (they carry no overlap
-    * signal). Per-source set sizes ride a tiny S-row broadcast. */
-  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val ss = Materialize.shared(spark,
-      shingleRows(spark, sfDir).select("source", "hv").distinct())
+    * S²/2 rows; at web scale pass `dfCap` to drop those ubiquitous
+    * shingles BEFORE the pair join (they carry no overlap signal —
+    * a shingle in every source tells you nothing about which pair
+    * overlaps). Capping affects n_shared and the set sizes
+    * symmetrically: both are computed over the SAME capped table, so
+    * the Jaccard stays internally consistent. The uncapped default is
+    * what q72 benches and the DuckDB oracle mirrors; a spec pins
+    * capped == uncapped when no shingle's source-frequency exceeds
+    * the cap. */
+  def sourceOverlap(spark: SparkSession, sfDir: String,
+                    bits: Int = DefaultHashBits,
+                    dfCap: Option[Long] = None): DataFrame = {
+    val distinctSourceHv =
+      shingleRows(spark, sfDir, bits).select("source", "hv").distinct()
+    val capped = dfCap match {
+      case Some(cap) =>
+        // source-frequency of a shingle <= S, so this aggregate is the
+        // same shuffle shape as the pair join's build side; rows above
+        // the cap never reach the join
+        val dfOk = distinctSourceHv.groupBy("hv")
+          .agg(count(lit(1)).as("sf")).filter(col("sf") <= cap).select("hv")
+        distinctSourceHv.join(dfOk, "hv")
+      case None => distinctSourceHv
+    }
+    val ss = Materialize.shared(spark, capped)
     val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
     val a = ss.alias("a"); val b = ss.alias("b")
     a.join(b, col("a.hv") === col("b.hv") && col("a.source") < col("b.source"))
@@ -893,7 +958,8 @@ object Dedup {
     * is the shared diameter-bounded min-label loop (driver holds one
     * count per round, lineage checkpoint-truncated). The final stats
     * are one shuffle by source with map-side combine. */
-  def dedupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSurvivors(spark: SparkSession, sfDir: String,
+                     bits: Int = DefaultHashBits): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -902,7 +968,7 @@ object Dedup {
     val exactEdges = docs.join(minPerHash, "h")
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
-    val nearEdges = minhashLshPairs(spark, sfDir).select("doc_a", "doc_b")
+    val nearEdges = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
     val comp = minLabelComponents(exactEdges.unionAll(nearEdges))
     docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("kept", col("doc_id") === coalesce(col("label"), col("doc_id")))

@@ -208,6 +208,77 @@ class TextDedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hash width: 32-bit (oracle) and 64-bit (default) agree on every exact dedup operator at sf0.001") {
+    // these operators are exact given a collision-free hash; at sf0.001
+    // (~1e5 distinct shingles) no 32-bit collision lands inside one doc
+    // or one near-threshold pair, so the two widths must agree. The
+    // q14 MinHash family is excluded by design: its banding is a
+    // probabilistic function of the hash values themselves, so 32- and
+    // 64-bit runs legitimately draw different candidate sets.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val pairs = Seq[(String, Int => org.apache.spark.sql.DataFrame)](
+      ("jaccardPairsSparse", b => Dedup.jaccardPairsSparse(spark, sf0001, bits = b)),
+      ("noveltyScores",      b => Dedup.noveltyScores(spark, sf0001, b)),
+      ("decontamination",    b => Dedup.decontamination(spark, sf0001, b)),
+      ("sourceOverlap",      b => Dedup.sourceOverlap(spark, sf0001, b)),
+      ("dupSpans",           b => Dedup.dupSpans(spark, sf0001, b)))
+    pairs.foreach { case (name, f) =>
+      assert(rows(f(Dedup.OracleHashBits)) == rows(f(Dedup.DefaultHashBits)),
+        s"$name: 32- vs 64-bit drift at sf0.001")
+    }
+  }
+
+  test("hash width: a synthetic 32-bit collision separates the widths (saturation case)") {
+    // find two distinct shingle strings whose md5 digests share their
+    // first 4 bytes but differ in the first 8 — a birthday search over
+    // ~2^16 candidates. Each probe doc holds exactly one 3-token
+    // shingle, so at 32 bits the two docs look identical (jaccard 1.0)
+    // while at 64 bits they share nothing.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String, bytes: Int): Long =
+      md.digest(s.getBytes("UTF-8")).take(bytes)
+        .foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    val seen = scala.collection.mutable.HashMap.empty[Long, Int]
+    var collision: Option[(Int, Int)] = None
+    var i = 0
+    while (collision.isEmpty) {
+      val k = h(s"a b $i", 4)
+      seen.get(k) match {
+        case Some(j) if h(s"a b $j", 8) != h(s"a b $i", 8) => collision = Some((j, i))
+        case Some(_) => ()
+        case None => seen(k) = i
+      }
+      i += 1
+    }
+    val (n1, n2) = collision.get
+    import spark.implicits._
+    val probe = Seq(
+      (0L, "web", s"a b $n1"),
+      (1L, "web", s"a b $n2")).toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("hashwidth_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val at32 = Dedup.jaccardPairsSparse(spark, tmp.toString, bits = Dedup.OracleHashBits)
+    val at64 = Dedup.jaccardPairsSparse(spark, tmp.toString, bits = Dedup.DefaultHashBits)
+    assert(at32.count() == 1, "32-bit width must report the colliding docs as a duplicate pair")
+    assert(at32.collect().head.getAs[Double]("jaccard") == 1.0)
+    assert(at64.count() == 0, "64-bit width must keep the colliding shingles distinct")
+  }
+
+  test("sourceOverlap df cap: capped equals uncapped when no shingle exceeds the cap, drops ubiquitous shingles above it") {
+    // no shingle can appear in more sources than exist, so a cap of
+    // #sources is vacuous and must change nothing
+    val nSources = graft.core.Tables.documents(spark, sf0001)
+      .select("source").distinct().count()
+    val uncapped = Dedup.sourceOverlap(spark, sf0001)
+    val vacuous = Dedup.sourceOverlap(spark, sf0001, dfCap = Some(nSources))
+    assert(uncapped.exceptAll(vacuous).count() == 0)
+    assert(vacuous.exceptAll(uncapped).count() == 0)
+    // cap=1 keeps only single-source shingles: every shared count is 0,
+    // so no pair rows survive the inner pair join
+    assert(Dedup.sourceOverlap(spark, sf0001, dfCap = Some(1L)).count() == 0)
+  }
+
   test("df-capped jaccard keeps the qualifying pairs (cap above the planted dups' rare shingles)") {
     // cap=50 is far above this corpus's max df (25 at sf0.1): results exact
     val capped = Dedup.jaccardPairsSparse(spark, sf001, dfCap = Some(50L))
