@@ -500,7 +500,7 @@ object Dedup {
       .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
       .distinct()
       .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= Consts.SimhashMaxHamming)
-    val comp = minLabelComponents(sigEdges)
+    val comp = starComponents(sigEdges)
     // signatures with no qualifying edge are their own component
     val sigLabels = sigs.join(comp, sigs("simhash") === comp("node"), "left")
       .select(sigs("simhash"), coalesce(col("label"), sigs("simhash")).as("sig_label"))
@@ -536,7 +536,172 @@ object Dedup {
     * full upstream LOGICAL plan, so every round's action re-analyzes
     * and re-optimizes it — measured at 1.3-1.5 s of pure planning per
     * round over a 512-edge graph. A flat LogicalRDD plans in ms. */
-  private def minLabelComponents(pairs: DataFrame): DataFrame = {
+  /** Connected components via the alternating large-star/small-star
+    * algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond"). Each round applies two rewrites to a canonical
+    * (hi > lo) edge list:
+    *
+    *  - large-star: every node's strictly-larger neighbors re-point at
+    *    the minimum of its closed neighborhood — long chains contract
+    *    toward their minimum in parallel;
+    *  - small-star: every node's smaller neighbors (and itself) connect
+    *    directly to the smallest of them — partial stars flatten.
+    *
+    * Fixpoint = a union of stars centered at each component's minimum
+    * node, reached in O(log^2 n) rounds regardless of diameter, versus
+    * min-label propagation's one round PER DIAMETER STEP (a 1000-link
+    * chain costs ~1000 joins there, ~20 here). Per round this pays two
+    * shuffles + a convergence check over a strictly non-growing edge
+    * set; every round localCheckpoints (flat re-plans, releasable
+    * blocks), like the min-label loop below.
+    *
+    * Returns (node, label) for every node in the input edge list,
+    * label = component minimum — same contract as minLabelComponents,
+    * which survives as the spec cross-check baseline. */
+  private[graft] def starComponents(pairs: DataFrame): DataFrame =
+    starComponentsWithRounds(pairs)._1
+
+  /** Below this many edges the remaining resolution runs as ONE
+    * single-task union-find (mapPartitions over a coalesce(1) view)
+    * instead of more distributed rounds: near-dup edge sets are
+    * answer-sized (true duplicate pairs), and at this size the loop's
+    * per-round job latency exceeds the actual compute by orders of
+    * magnitude. 2M edges of two longs plus hash-map overhead is well
+    * under one task's memory. The star loop above the threshold is the
+    * 100-TB path: rounds are diameter-independent and the edge set
+    * never grows, so a huge graph either converges distributed or
+    * passes through unchanged until its answer fits one task. */
+  val LocalCcFinishEdges = 2000000L
+
+  /** Single-task union-find over an edge list: emits the canonical
+    * star forest (node, component-min) for node != min — the same
+    * shape a converged star loop leaves behind. Union-by-min keeps
+    * every tree's root at its component minimum. */
+  private def localUnionFindStars(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val Seq(c1, c2) = edges.columns.toSeq
+    edges.select(col(c1).cast("long"), col(c2).cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        // path compression mutates the map — snapshot keys first
+        val ks = parent.keys.toArray
+        ks.iterator.map(k => (k, find(k))).filter(p => p._1 != p._2)
+      }
+      .toDF("hi", "lo")
+  }
+
+  private[graft] def starComponentsWithRounds(
+      pairs: DataFrame,
+      localFinishEdges: Long = LocalCcFinishEdges): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val Seq(pa, pb) = pairs.columns.toSeq
+    // ONE checkpoint of the (possibly expensive) upstream pair pipeline;
+    // the node roster and the edge seed both derive from it. Tracked:
+    // Bench/Verify release the blocks after the query's action.
+    val input = Materialize.tracked(spark,
+      pairs.select(col(pa).cast("long").as("a"), col(pb).cast("long").as("b"))
+        .localCheckpoint(true))
+    val nodes = input.select(col("a").as("node"))
+      .unionAll(input.select(col("b").as("node"))).distinct()
+    var rounds = 0
+    var edges: DataFrame = null
+    if (input.count() <= localFinishEdges) {
+      // small regime: skip the canonical distinct AND the loop — one
+      // task resolves everything exactly (raw dups/self-loops are
+      // union-find no-ops)
+      edges = Materialize.tracked(spark,
+        localUnionFindStars(input).localCheckpoint(true))
+      rounds = 1
+    } else {
+      edges = Materialize.tracked(spark,
+        input.filter(col("a") =!= col("b"))
+          .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+          .distinct().localCheckpoint(true))
+      // convergence bookkeeping: one tiny (count, xor-of-xxhash64)
+      // aggregate per round over the checkpointed edge set. Equal
+      // summaries across a round mean "converged" with collision odds
+      // ~2^-64 — and because component labels must be EXACT, a summary
+      // match is then confirmed with one exceptAll before exiting (on
+      // the astronomically-unlikely false match the loop just
+      // continues). This replaces the count+count+exceptAll trio per
+      // round that dominated the loop's wall time.
+      def summarize(e: DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var cur = summarize(edges)
+      var done = cur._1 == 0L
+      while (!done) {
+        if (cur._1 <= localFinishEdges) {
+          // the rounds so far contracted the graph under the one-task
+          // bound — finish exactly, no more distributed rounds
+          val fin = Materialize.tracked(spark,
+            localUnionFindStars(edges).localCheckpoint(true))
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(edges)
+          edges = fin
+          done = true
+        } else {
+          // large-star over the symmetric view: for each u,
+          // m = min(N(u) ∪ {u}); each edge is re-emitted once, from its
+          // smaller endpoint's side. Window aggregates instead of
+          // groupBy+join: ONE shuffle of the big side per star step and
+          // no join build side. Duplicate (hi, lo) rows are tolerated
+          // until the round's final distinct (min is dup-safe).
+          val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+            .unionAll(edges.select(col("lo").as("u"), col("hi").as("v")))
+          val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+          val large = sym
+            .select(col("u"), col("v"), least(col("u"), min("v").over(wU)).as("m"))
+            .filter(col("v") > col("u"))
+            .select(col("v").as("hi"), col("m").as("lo"))
+          // small-star: per hi, connect hi and all its los to min(los);
+          // explode emits both rewritten edges in one pass instead of a
+          // self-union that would compute the window twice
+          val wH = org.apache.spark.sql.expressions.Window.partitionBy("hi")
+          val re = large.select(col("hi"), col("lo"), min("lo").over(wH).as("m"))
+          val small = re.select(explode(when(col("lo") =!= col("m"),
+              array(struct(col("hi").as("h"), col("m").as("l")),
+                    struct(col("lo").as("h"), col("m").as("l"))))
+            .otherwise(array(struct(col("hi").as("h"), col("m").as("l"))))).as("e"))
+            .select(col("e.h").as("hi"), col("e.l").as("lo"))
+            .distinct()
+          val next = Materialize.tracked(spark, small.localCheckpoint(true))
+          val ns = summarize(next)
+          done = ns == cur && next.exceptAll(edges).isEmpty
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(edges)
+          edges = next
+          cur = ns
+        }
+        rounds += 1
+      }
+    }
+    // the final edge set is a proper star forest: every hi points at
+    // exactly one lo = its component min; roots and isolated nodes
+    // label themselves. Left as a lazy two-checkpoint join (no extra
+    // materialization job); input/edges blocks are freed by the
+    // session release after the caller's action.
+    val labels = nodes
+      .join(edges.select(col("hi").as("node"), col("lo").as("star")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("star"), col("node")).as("label"))
+    (labels, rounds)
+  }
+
+  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val Seq(a, b) = pairs.columns.toSeq
     // tracked: Bench/Verify release the checkpoint blocks after the
@@ -544,40 +709,44 @@ object Dedup {
     val sym = Materialize.tracked(spark, pairs
       .unionAll(pairs.select(col(b).as(a), col(a).as(b)))
       .toDF("src", "dst").localCheckpoint(true))
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var cachedStep = labels
+    // each round CHECKPOINTS its step, not cache(): step_n's logical
+    // plan references labels_{n-1} twice (the propagation join and the
+    // carried old label), so a cache-based loop doubles the LOGICAL
+    // tree per round — fine at duplicate-graph diameters (2-4), an
+    // exponential treeString/planning blowup on a 30-hop chain. A
+    // checkpoint re-roots each round at a flat LogicalRDD.
+    var step = Materialize.tracked(spark,
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+        .withColumn("next_label", col("node")).localCheckpoint(true))
+    var labels = step.select(col("node"), col("label"))
     var changed = 1L
     while (changed > 0) {
       val prop = sym.join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("label").as("prop_label"))
-      // carry old + new label through one cached frame so the
+      // carry old + new label through one materialized frame so the
       // convergence check and the next round share a single job
-      val step = labels.join(prop, Seq("node"), "left")
+      val next = Materialize.tracked(spark, labels.join(prop, Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("prop_label"), col("label"))).as("next_label"))
-        .cache()
-      changed = step.filter(col("next_label") =!= col("label")).count()
-      cachedStep.unpersist()
-      cachedStep = step
+        .localCheckpoint(true))
+      changed = next.filter(col("next_label") =!= col("label")).count()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(step)
+      step = next
       labels = step.select(col("node"), col("next_label").as("label"))
     }
-    // truncate lineage into one small materialized RDD so every
-    // intermediate cache can be released NOW (leaking a cache per call
-    // degrades long sessions — measured as GC pressure on later
-    // queries in the benchmark suite)
+    // re-root the final projection so every loop block can be freed NOW
+    // (leaking blocks per call degrades long sessions — measured as GC
+    // pressure on later queries in the benchmark suite)
     val finalLabels = Materialize.tracked(spark, labels.localCheckpoint(true))
-    cachedStep.unpersist()
-    // sym's blocks are freed NOW — the returned frame depends only on
-    // finalLabels, whose blocks the session release frees after the
-    // caller's action completes
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(step)
     org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sym)
     finalLabels
   }
 
   def nearDupClusters(spark: SparkSession, sfDir: String,
                       bits: Int = DefaultHashBits): DataFrame =
-    minLabelComponents(
+    starComponents(
         minhashLshPairs(spark, sfDir, bits).select(col("doc_a"), col("doc_b")))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
@@ -969,7 +1138,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
     val nearEdges = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
-    val comp = minLabelComponents(exactEdges.unionAll(nearEdges))
+    val comp = starComponents(exactEdges.unionAll(nearEdges))
     docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("kept", col("doc_id") === coalesce(col("label"), col("doc_id")))
       .groupBy("source")

@@ -279,6 +279,52 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(Dedup.sourceOverlap(spark, sf0001, dfCap = Some(1L)).count() == 0)
   }
 
+  test("starComponents equals min-label propagation on random graphs and real LSH edges") {
+    import spark.implicits._
+    // seeded random graphs of mixed shape: cliques, chains, isolated edges
+    val rnd = new scala.util.Random(7)
+    val edges = (
+      // a chain 0-1-2-...-29
+      (0 until 29).map(i => (i.toLong, (i + 1).toLong)) ++
+      // a clique over 100..109
+      (for (i <- 100 to 109; j <- (i + 1) to 109) yield (i.toLong, j.toLong)) ++
+      // random sparse edges over 200..399 (with dups and both orders)
+      Seq.fill(150)((200 + rnd.nextInt(200)).toLong -> (200 + rnd.nextInt(200)).toLong)
+    ).toDF("a", "b")
+    // all three formulations: hybrid (single-task union-find here),
+    // forced distributed star rounds, and the min-label baseline
+    val star = Dedup.starComponents(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pure = Dedup.starComponentsWithRounds(edges, localFinishEdges = 0L)
+      ._1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mlp = Dedup.minLabelComponents(edges).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == mlp)
+    assert(pure == mlp)
+    // and on the real near-dup graph: q49 output is identical either way
+    val lsh = Dedup.minhashLshPairs(spark, sf0001).select("doc_a", "doc_b")
+    val s2 = Dedup.starComponents(lsh).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m2 = Dedup.minLabelComponents(lsh).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s2 == m2)
+  }
+
+  test("starComponents converges in logarithmic rounds on a chain (min-label needs diameter rounds)") {
+    import spark.implicits._
+    val n = 1024
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    // localFinishEdges = 0 forces the distributed star rounds (the
+    // hybrid would resolve a graph this small in one union-find task)
+    val (labels, rounds) = Dedup.starComponentsWithRounds(chain, localFinishEdges = 0L)
+    // every node collapses to the single component minimum 0
+    assert(labels.filter(col("label") =!= 0L).count() == 0)
+    assert(labels.count() == n)
+    // a 1023-hop diameter costs min-label ~1023 join rounds; the
+    // alternating star algorithm is O(log^2 n) — generous bound here
+    assert(rounds <= 15, s"expected logarithmic rounds, got $rounds")
+    // the hybrid path (star rounds + single-task union-find finish)
+    // produces identical labels
+    val hybrid = Dedup.starComponents(chain)
+    assert(hybrid.exceptAll(labels).isEmpty && labels.exceptAll(hybrid).isEmpty)
+  }
+
   test("df-capped jaccard keeps the qualifying pairs (cap above the planted dups' rare shingles)") {
     // cap=50 is far above this corpus's max df (25 at sf0.1): results exact
     val capped = Dedup.jaccardPairsSparse(spark, sf001, dfCap = Some(50L))
