@@ -515,16 +515,84 @@ object Similarity {
     * between the oracle-checked queries).
     *
     * Scale shape: assignment is a broadcast join (the corpus never
-    * shuffles for it); the within-cluster pair join is an equi-join on
-    * cid whose cost is sum(|c|^2) — bounded by the quantizer's balance,
-    * NOT by corpus size. An oversized cluster is the skew case: tile it
-    * like nearDupPairs (the same block-GEMM kernel applies within a
-    * cluster) or split it by training more centroids. */
+    * shuffles for it); the within-cluster work is sum(|c|^2) — bounded
+    * by the quantizer's balance, NOT by corpus size. The |c|^2 term is
+    * computed TILED, exactly like nearDupPairs: rows are blocked per
+    * cluster (row_number over cid / NearDupBlock), the per-cluster
+    * upper triangle of block pairs fans out through two equi-joins on
+    * (cid, block), and each tile runs the primitive-array integer-GEMM
+    * kernel. A skewed quantizer (one hot cluster of N rows) therefore
+    * becomes (N/1024)^2/2 INDEPENDENT tile tasks instead of one
+    * straggler task grinding a row-level pair join — the skew case is
+    * load-balanced by construction, with no nested-loop join anywhere
+    * in the plan. The kernel's integer dot + double sqrt/divide
+    * reproduce qcosine bit-for-bit, so the pairwise oracle is shared. */
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val thr = Consts.CosineNearDupThreshold
+    val bsz = NearDupBlock
+    val av = semanticAssigned(spark, sfDir)
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy("vid")
+    val blocks = av
+      .withColumn("bid", floor((row_number().over(wC) - 1) / bsz).cast("long"))
+      .groupBy("cid", "bid")
+      .agg(collect_list(struct(col("vid").as("vec_id"), col("v"), col("nrm"))).as("rows"))
+    val ids = blocks.select("cid", "bid")
+    val tilePairs = ids.as("x").join(ids.as("y"),
+        col("x.cid") === col("y.cid") && col("x.bid") <= col("y.bid"))
+      .select(col("x.cid").as("cid"), col("x.bid").as("ba"), col("y.bid").as("bb"))
+    val dupVids = tilePairs
+      .join(blocks.select(col("cid"), col("bid").as("ba"), col("rows").as("rows_a")), Seq("cid", "ba"))
+      .join(blocks.select(col("cid"), col("bid").as("bb"), col("rows").as("rows_b")), Seq("cid", "bb"))
+      .select(col("ba"), col("bb"), col("rows_a"), col("rows_b"))
+      .as[Tile]
+      .flatMap { t =>
+        val ra = t.rows_a.sortBy(_.vec_id)
+        val rb = if (t.ba == t.bb) ra else t.rows_b.sortBy(_.vec_id)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 0
+        while (i < ra.length) {
+          val x = ra(i); val sqa = math.sqrt(x.nrm.toDouble)
+          var j = if (t.ba == t.bb) i + 1 else 0
+          while (j < rb.length) {
+            val y = rb(j)
+            var k = 0; var dot = 0L
+            val va = x.v; val vb = y.v
+            while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+            val sim = dot.toDouble / (sqa * math.sqrt(y.nrm.toDouble))
+            // the dup verdict lands on the junior (higher-id) member
+            if (sim >= thr) out += math.max(x.vec_id, y.vec_id)
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    val dups = dupVids.groupBy(col("value").as("vid"))
+      .agg(count(lit(1)).as("n_dups"))
+    av.select("vid", "cid").join(dups, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("vec_id")
+  }
+
+  /** (vid, cid, v, nrm): corpus rows with their coarse-quantizer
+    * assignment — shared by the tiled default and the row-join
+    * baseline so both see identical cluster geometry. */
+  private def semanticAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(spark, sfDir)
     val cent = centroids(q)
     val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
-    val av = assign.join(q.select(col("vec_id").as("vid"), col("v"), col("nrm")), "vid")
+    assign.join(q.select(col("vec_id").as("vid"), col("v"), col("nrm")), "vid")
+  }
+
+  /** Row-level pair-join formulation (one Catalyst evaluation per
+    * within-cluster pair; the whole cluster lands on one join key).
+    * Kept as the spec baseline the tiled default is checked against —
+    * this is the shape that turns a hot cluster into a straggler. */
+  def semanticDedupPairwise(spark: SparkSession, sfDir: String): DataFrame = {
+    val av = semanticAssigned(spark, sfDir)
     val a = av.alias("a"); val b = av.alias("b")
     val dups = a.join(b, col("a.cid") === col("b.cid") && col("b.vid") < col("a.vid"))
       .withColumn("sim", qcosine(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")))

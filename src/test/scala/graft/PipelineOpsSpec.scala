@@ -88,6 +88,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byCluster.size > 1)
   }
 
+  test("semanticDedup tiled equals the row-join baseline at two SFs") {
+    for (sf <- Seq(sf0001, sf001)) {
+      val tiled = Similarity.semanticDedup(spark, sf)
+      val pair = Similarity.semanticDedupPairwise(spark, sf)
+      assert(tiled.exceptAll(pair).count() == 0, s"tiled-only rows at $sf")
+      assert(pair.exceptAll(tiled).count() == 0, s"pairwise-only rows at $sf")
+    }
+  }
+
   // ---------------------------------------------------------------- q67
 
   test("hardNegatives equals a label-filtered brute-force reference") {

@@ -145,6 +145,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q66: a one-mega-cluster skew stays tiled — no row-payload join keyed on cid alone") {
+    // deliberately skewed quantizer: every non-centroid vector sits on
+    // centroid 0's direction, so ONE cluster holds ~all rows (three
+    // NearDupBlock blocks' worth). The old row-level pair join would
+    // put the whole |c|^2 on a single cid key (one straggler task);
+    // the tiled plan's only cid-keyed join is the block-id tile
+    // enumeration, which carries no vector payloads.
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    val n = 2600L
+    val rows = (0L until n).map { id =>
+      val v: Array[Float] =
+        if (id == 0L) { val a = Array.fill(dim)(0f); a(0) = 1f; a }
+        else if (id < Similarity.NCentroids) {
+          val a = Array.fill(dim)(0f); a(id.toInt % dim) = -1f; a(0) = -0.5f; a
+        } else Array.tabulate(dim)(d =>
+          (if (d == 0) 1f else 0f) + (rnd.nextFloat() - 0.5f) * 0.05f)
+      (id, v, (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("semskew")
+    rows.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.semanticDedup(spark, tmp.toString)
+    got.collect()
+    // the hot cluster really formed
+    val hot = got.groupBy("cid").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count")).collect().head
+    assert(hot.getLong(1) >= n - Similarity.NCentroids, s"skew probe did not skew: $hot")
+    // results match the row-join baseline on the skewed data
+    val base = Similarity.semanticDedupPairwise(spark, tmp.toString)
+    assert(got.exceptAll(base).count() == 0 && base.exceptAll(got).count() == 0)
+    // plan audit: any equi-join keyed on cid ALONE must carry only
+    // cluster/block ids — vector payloads attach via (cid, block) joins
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    flatten(got.queryExecution.executedPlan).collect { case j: BaseJoinExec => j }
+      .filter(j => j.leftKeys.length == 1 &&
+        j.leftKeys.head.references.map(_.name.toLowerCase).toSeq == Seq("cid"))
+      .foreach { j =>
+        val out = j.output.map(_.name.toLowerCase)
+        assert(out.forall(c => c.startsWith("cid") || c.startsWith("bid") ||
+            c.startsWith("ba") || c.startsWith("bb")),
+          s"cid-keyed join carries row payloads (straggler shape): $out")
+      }
+  }
+
   test("q18: only the bid-only tile enumeration is a nested loop; payloads ride equi-joins") {
     val df = Similarity.nearDupPairs(spark, sf0001)
     val plan = executed(df)
