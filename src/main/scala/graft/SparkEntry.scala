@@ -103,7 +103,8 @@ object SparkEntry {
     "q76_ann_recall"        -> Similarity.annRecall _,
     "q77_mixture_weights"   -> Sampling.mixtureWeights _,
     "q78_length_histogram"  -> TextAnalytics.lengthHistogram _,
-    "q79_filter_funnel"     -> TextAnalytics.filterFunnel _
+    "q79_filter_funnel"     -> TextAnalytics.filterFunnel _,
+    "q80_forest_recall"     -> Similarity.forestRecall _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,6 +241,7 @@ object SparkEntry {
     "q76_ann_recall"        -> Similarity.annRecallSql,
     "q77_mixture_weights"   -> Sampling.mixtureWeightsSql,
     "q78_length_histogram"  -> TextAnalytics.lengthHistogramSql,
-    "q79_filter_funnel"     -> TextAnalytics.filterFunnelSql
+    "q79_filter_funnel"     -> TextAnalytics.filterFunnelSql,
+    "q80_forest_recall"     -> Similarity.forestRecallSql
   )
 }

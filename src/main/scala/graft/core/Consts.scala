@@ -86,4 +86,22 @@ object Consts {
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
     Seq.fill(LshPlanes)(Seq.fill(EmbeddingDim)(((next() >>> 16) % 201L) - 100L))
   }
+
+  /** RP-forest recall measurement (q80): the chat index's forest shape
+    * — 16 trees of sign-split hyperplanes, seed 42
+    * (/root/reference/src/ann.rs:252-268) — with integer plane
+    * coefficients so leaf assignment is engine-portable, and a FIXED
+    * depth of 6 (64 leaves/tree): the DuckDB oracle is a static SQL
+    * string, so the measurement forest cannot size its depth from the
+    * corpus the way chat.AnnIndex.sampleForest does. Distinct LCG
+    * stream from Hyperplanes (different multiplier path via an initial
+    * skip) so q20 and q80 don't share their first plane. */
+  val ForestTrees = 16
+  val ForestDepth = 6
+  val ForestPlanes: Seq[Seq[Seq[Long]]] = {
+    var s = 43L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    Seq.fill(ForestTrees)(Seq.fill(ForestDepth)(
+      Seq.fill(EmbeddingDim)(((next() >>> 16) % 201L) - 100L)))
+  }
 }

@@ -811,6 +811,89 @@ object Similarity {
        |LEFT JOIN hits h ON h.query_id = t.query_id
        |ORDER BY t.query_id""".stripMargin
 
+  /** q80: RP-forest recall@k — the same index-quality report as q76,
+    * for the OTHER approximate index this engine ships: the
+    * random-projection forest the chat path serves queries from
+    * (chat.AnnIndex.knnApprox over 16 trees, seed 42 —
+    * /root/reference/src/ann.rs:252-268 builds this structure with no
+    * recall measurement at all). The forest here mirrors that
+    * structure over the embeddings table with integer sign-split
+    * planes (Consts.ForestPlanes) so the DuckDB oracle hash-matches.
+    *
+    * Scale shape: leaf assignment is a scan-side projection (16 leaf
+    * ids per vector, no shuffle); the query's leaf set is k*trees rows
+    * and BROADCASTS against the leaf table (the corpus never
+    * shuffles); candidates are answer-sized (union of 16 leaves'
+    * members), re-ranked exactly like q42. Ground truth rides q19's
+    * broadcast-queries scan. Recall is an integer permille. */
+  def forestRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val leafCols = Consts.ForestPlanes.map { tp =>
+      tp.zipWithIndex.map { case (p, lvl) =>
+        when(qdot(col("v"), typedLit(p)) >= 0, lit(1L << lvl)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val leaves = q.select(col("vec_id"),
+      posexplode(array(leafCols: _*)).as(Seq("tree", "leaf")))
+    val qleaves = broadcast(leaves.filter(col("vec_id") < Consts.KnnQueries)
+      .select(col("vec_id").as("query_id"), col("tree"), col("leaf")))
+    val cands = leaves.join(qleaves, Seq("tree", "leaf"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
+    val approx = exactTopK(cands, q).select("query_id", "neighbor_id")
+    val truth = knnBruteForce(spark, sfDir).select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000 div n_true").as("recall_permille"))
+      .orderBy("query_id")
+  }
+
+  def forestRecallSql: String = {
+    val treeSelects = Consts.ForestPlanes.zipWithIndex.map { case (tp, t) =>
+      val leafExpr = tp.zipWithIndex.map { case (p, lvl) =>
+        val lits = p.mkString("[", ", ", "]")
+        s"CASE WHEN list_sum([v[i+1] * ($lits)[i+1] for i in range(len(v))]) >= 0 THEN ${1L << lvl} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tree, cast($leafExpr as bigint) AS leaf FROM q"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q AS ($sqlQuantized),
+       |leaves AS (
+       |  $treeSelects),
+       |qleaves AS (SELECT vec_id AS query_id, tree, leaf FROM leaves WHERE vec_id < ${Consts.KnnQueries}),
+       |cands AS (
+       |  SELECT DISTINCT ql.query_id, l.vec_id AS neighbor_id
+       |  FROM qleaves ql JOIN leaves l ON l.tree = ql.tree AND l.leaf = ql.leaf
+       |  WHERE l.vec_id != ql.query_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      row_number() OVER (PARTITION BY c.query_id ORDER BY $sqlCos DESC, c.neighbor_id ASC) AS rank
+       |    FROM cands c
+       |    JOIN q a ON a.vec_id = c.query_id
+       |    JOIN q b ON b.vec_id = c.neighbor_id)
+       |  WHERE rank <= ${Consts.KnnK}),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank
+       |    FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |  WHERE rank <= ${Consts.KnnK}),
+       |hits AS (
+       |  SELECT bf.query_id, count(*) AS n_hit
+       |  FROM bf JOIN approx ON bf.query_id = approx.query_id AND bf.neighbor_id = approx.neighbor_id
+       |  GROUP BY bf.query_id)
+       |SELECT t.query_id, t.n_true,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(h.n_hit, 0) * 1000 // t.n_true AS recall_permille
+       |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
+       |LEFT JOIN hits h ON h.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
+  }
+
   def lshKnnSql: String = {
     val planes = Consts.Hyperplanes.zipWithIndex.map { case (hp, j) =>
       val lits = hp.mkString("[", ", ", "]")

@@ -311,6 +311,34 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- q76
 
+  test("forestRecall equals a hand-computed RP-forest reference") {
+    val vecs = quantizedVecs()
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    def leaf(v: Array[Long], planes: Seq[Seq[Long]]): Long =
+      planes.zipWithIndex.map { case (p, lvl) =>
+        var d = 0L; var i = 0
+        while (i < v.length) { d += v(i) * p(i); i += 1 }
+        if (d >= 0) 1L << lvl else 0L
+      }.sum
+    val leaves = vecs.flatMap { case (id, v, _) =>
+      Consts.ForestPlanes.zipWithIndex.map { case (tp, t) => (id, t, leaf(v, tp)) } }
+    val expected = vecs.filter(_._1 < Consts.KnnQueries).map { case (qid, qv, _) =>
+      val qls = leaves.filter(_._1 == qid).map(l => (l._2, l._3)).toSet
+      val cands = leaves.filter(l => l._1 != qid && qls.contains((l._2, l._3))).map(_._1).distinct
+      val truth = vecs.filter(_._1 != qid).map { case (oid, ov, _) => (oid, cos(qv, ov)) }
+        .sortBy { case (oid, s) => (-s, oid) }.take(Consts.KnnK).map(_._1).toSet
+      val approx = cands.map(oid => (oid, cos(qv, byId(oid))))
+        .sortBy { case (oid, s) => (-s, oid) }.take(Consts.KnnK).map(_._1).toSet
+      val nHit = truth.intersect(approx).size.toLong
+      (qid, truth.size.toLong, nHit, nHit * 1000L / truth.size)
+    }.sortBy(_._1)
+    val got = Similarity.forestRecall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    // the forest is a live index, not a degenerate empty-candidate report
+    assert(got.map(_._3).sum > 0, s"forest retrieved nothing: ${got.mkString(",")}")
+  }
+
   test("annRecall equals hand-computed intersection of IVF and brute-force") {
     val truth = Similarity.knnBruteForce(spark, sf0001)
       .select("query_id", "neighbor_id").collect()
