@@ -26,6 +26,41 @@ class ChatSpec extends SparkSpec {
     assert(Language.detect("unknown").isEmpty)
   }
 
+  test("extension table matches the reference 1:1 across all 12 languages (language.rs:57-72)") {
+    // the full table from language.rs:57-72, transcribed as a fixture:
+    // every extension must map to exactly this language (incl. the
+    // easy-to-drop ones: mjs, pyx/pyi, hxx/hh, markdown), and the
+    // supported-extension roster must carry no extras (Kotlin is
+    // commented out in the reference — language.rs:90 — so kt/kts
+    // must NOT map)
+    val reference: Seq[(String, Seq[String])] = Seq(
+      "Rust"       -> Seq("rs"),
+      "JavaScript" -> Seq("js", "jsx", "mjs"),
+      "TypeScript" -> Seq("ts", "tsx"),
+      "Java"       -> Seq("java"),
+      "C++"        -> Seq("cpp", "cxx", "cc", "hpp", "hxx", "hh"),
+      "C"          -> Seq("c", "h"),
+      "Ruby"       -> Seq("rb"),
+      "C#"         -> Seq("cs"),
+      "Swift"      -> Seq("swift"),
+      "Go"         -> Seq("go"),
+      "Python"     -> Seq("py", "pyx", "pyi"),
+      "Markdown"   -> Seq("md", "markdown"))
+    assert(reference.map(_._1) == Language.extensionsByLanguage.map(_._1))
+    reference.foreach { case (lang, exts) =>
+      exts.foreach { e =>
+        assert(Language.detect(e).contains(lang), s"$e must map to $lang")
+        assert(Language.detect(e.toUpperCase).contains(lang), s"${e.toUpperCase} must map to $lang")
+      }
+    }
+    val allRef = reference.flatMap(_._2)
+    assert(Language.supportedExtensions.sorted == allRef.sorted,
+      "supported-extension roster drifted from language.rs")
+    Seq("kt", "kts", "txt", "json", "sh").foreach { e =>
+      assert(Language.detect(e).isEmpty, s"$e must not be supported")
+    }
+  }
+
   // ---- repo.rs tests -----------------------------------------------
 
   test("human_list over 0/1/2/3 items") {
