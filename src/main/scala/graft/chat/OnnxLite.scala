@@ -478,6 +478,23 @@ class OnnxEmbedder(modelPath: String, expectDim: Option[Int] = None) extends Emb
     m
   }
 
+  /** The checkpoint's OWN tokenizer, when its vocabulary ships next to
+    * the .onnx (vocab.txt -> WordPiece, vocab.json+merges.txt -> BPE;
+    * see ModelTokenizer.forModel) — the reference models' real
+    * tokenization path (embedding.rs:22-35). Without a shipped
+    * vocabulary the hash-bucketed OnnxTokens fallback applies.
+    * Resolved lazily beside the model so executor-side singletons see
+    * the same artifact directory they load the checkpoint from. */
+  @transient private lazy val tokenizer: Option[ModelTokenizer] = {
+    val t = ModelTokenizer.forModel(modelPath)
+    t.foreach { tk =>
+      require(tk.vocabSize <= model.vocabSize,
+        s"vocabulary (${tk.vocabSize} ids) exceeds the checkpoint's " +
+          s"embedding table (${model.vocabSize} rows)")
+    }
+    t
+  }
+
   override def dim: Int = model.outputDim
 
   private def features(text: String): Array[Float] = {
@@ -492,9 +509,11 @@ class OnnxEmbedder(modelPath: String, expectDim: Option[Int] = None) extends Emb
     if (n > 0) v.map(x => (x / n).toFloat) else v
   }
 
-  private def tokenIds(text: String): Array[Int] = {
-    val ids = OnnxTokens.ids(text, model.vocabSize).take(OnnxTokens.MaxTokens)
-    if (ids.isEmpty) Array(OnnxTokens.PadId) else ids
+  private def tokenIds(text: String): Array[Int] = tokenizer match {
+    case Some(tk) => tk.encode(text, OnnxTokens.MaxTokens)
+    case None =>
+      val ids = OnnxTokens.ids(text, model.vocabSize).take(OnnxTokens.MaxTokens)
+      if (ids.isEmpty) Array(OnnxTokens.PadId) else ids
   }
 
   private def normalize(e: Array[Float]): Array[Float] = {

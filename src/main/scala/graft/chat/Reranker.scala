@@ -40,14 +40,27 @@ class OnnxReranker(modelPath: String) extends Reranker {
     m
   }
 
+  /** The checkpoint's own tokenizer when its vocabulary ships beside
+    * the .onnx (same artifact-directory resolution as OnnxEmbedder) —
+    * with it, a real cross-encoder's shipped weights score exactly the
+    * token pairs they were trained on. Hash-bucketed OnnxTokens stays
+    * the vocab-less fallback. */
+  @transient private lazy val tokenizer: Option[ModelTokenizer] =
+    ModelTokenizer.forModel(modelPath)
+
+  private def ids(text: String, budget: Int): Array[Int] = tokenizer match {
+    case Some(tk) => tk.encode(text, budget)
+    case None => OnnxTokens.ids(text, model.vocabSize).take(budget)
+  }
+
   override def rerank(query: String, docs: Seq[String]): Seq[Double] = {
     // the query may take at most half the window: an over-long query
     // (pasted stack trace) must not starve the document out of the
     // pair, or every doc would score identically and the rerank would
     // silently become a no-op
-    val q = OnnxTokens.ids(query, model.vocabSize).take(OnnxTokens.MaxTokens / 2)
+    val q = ids(query, OnnxTokens.MaxTokens / 2)
     docs.map { doc =>
-      val pair = (q :+ OnnxTokens.SepId) ++ OnnxTokens.ids(doc, model.vocabSize)
+      val pair = (q :+ OnnxTokens.SepId) ++ ids(doc, OnnxTokens.MaxTokens)
       val seq = pair.take(OnnxTokens.MaxTokens)
       model.runTokens(if (seq.isEmpty) Array(OnnxTokens.PadId) else seq)(0).toDouble
     }

@@ -73,7 +73,7 @@ object Bpe {
 
   /** One left-to-right pass replacing adjacent (l, r) with l+r — the
     * standard greedy merge application. */
-  private[ops] def applyMerge(s: Seq[String], l: String, r: String): Seq[String] = {
+  private[graft] def applyMerge(s: Seq[String], l: String, r: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < s.length) {

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.file.Files
-import graft.chat.{Embed, OnnxEmbedder, OnnxLiteModel}
+import graft.chat.{BpeTokenizer, Embed, OnnxEmbedder, OnnxLiteModel, WordPieceTokenizer}
 import graft.chat.Schemas.CodeChunk
 
 /** E1 specs: a tiny ONNX model file is GENERATED here (protobuf wire
@@ -223,6 +223,98 @@ class OnnxSpec extends SparkSpec {
     // different texts produce different vectors; empty text still embeds
     assert(e.embed("def other(): pass").toSeq != v1.toSeq)
     assert(e.embed("").length == D)
+  }
+
+  // ----- real tokenizers: vocab artifacts + checkpoint e2e (E1) -----
+
+  test("WordPiece: greedy longest match, ## continuation, punctuation split, case folding, [UNK]") {
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "un", "##aff", "##able",
+      "runn", "##ing", ",", "fn").zipWithIndex.toMap
+    val tk = new WordPieceTokenizer(vocab)
+    assert(tk.encode("unaffable", 16).toSeq == Seq(2, 4, 5, 6, 3))
+    assert(tk.encode("UNAFFABLE", 16).toSeq == Seq(2, 4, 5, 6, 3))
+    // BasicTokenizer rule: trailing punctuation is its own token
+    assert(tk.encode("running,", 16).toSeq == Seq(2, 7, 8, 9, 3))
+    // a word with no piece cover collapses to ONE [UNK]
+    assert(tk.encode("xyzzy fn", 16).toSeq == Seq(2, 1, 10, 3))
+    // the token budget includes the [CLS]/[SEP] wrapping
+    assert(tk.encode("unaffable unaffable", 5).toSeq == Seq(2, 4, 5, 6, 3))
+  }
+
+  test("BPE: priority merge order (later merge exposes an earlier-rank pair) and space markers") {
+    val G = BpeTokenizer.SpaceMarker
+    val vocab = Seq("<unk>", "a", "b", "c", "ab", "abc", G + "ab").zipWithIndex.toMap
+    // rank 0 = (ab, c), rank 1 = (a, b): PRIORITY application merges
+    // (a, b) first, which exposes the rank-0 pair — a one-pass-per-merge
+    // scheme (Bpe.encode's training-order rule) would stop at [ab, c]
+    val merges = Seq(("ab", "c"), ("a", "b"), (G, "ab"))
+    val tk = new BpeTokenizer(vocab, merges)
+    assert(tk.encode("abc", 16).toSeq == Seq(vocab("abc")))
+    // non-initial words carry the GPT-2 space marker
+    assert(tk.encode("c ab", 16).toSeq == Seq(vocab("c"), vocab(G + "ab")))
+    // unmapped symbol -> <unk>
+    assert(tk.encode("z", 16).toSeq == Seq(0))
+  }
+
+  test("BPE artifacts load from vocab.json + merges.txt") {
+    val dir = Files.createTempDirectory("graft_bpe_artifacts")
+    val G = BpeTokenizer.SpaceMarker
+    Files.write(dir.resolve("vocab.json"),
+      s"""{"<unk>": 0, "a": 1, "b": 2, "ab": 3, "\\u0120a": 4}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("merges.txt"),
+      s"#version: 0.2\na b\n$G a\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tk = BpeTokenizer.fromFiles(s"$dir/vocab.json", s"$dir/merges.txt")
+    assert(tk.vocabSize == 5)
+    assert(tk.encode("ab", 8).toSeq == Seq(3))
+    assert(tk.encode("b a", 8).toSeq == Seq(2, 4))
+  }
+
+  /** A model DIRECTORY the way real checkpoints ship: the .onnx next
+    * to its vocab.txt. Vocab ids stay under the embedding table's
+    * V=32 rows. */
+  private lazy val realModelDir: String = {
+    val dir = Files.createTempDirectory("graft_real_model")
+    Files.copy(java.nio.file.Paths.get(attnModelPath), dir.resolve("model.onnx"))
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "fn", "cosine",
+      "similar", "##ity", "def", "other", "pass")
+    Files.write(dir.resolve("vocab.txt"),
+      vocab.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dir.toString
+  }
+
+  test("E1 e2e: checkpoint + shipped vocabulary reproduce hand-tokenized embeddings") {
+    val e = new OnnxEmbedder(s"$realModelDir/model.onnx", expectDim = Some(D))
+    val got = e.embed("fn cosine similarity")
+    // tokenization pinned by hand against the vocab above:
+    // [CLS] fn cosine similar ##ity [SEP]
+    val ids = Array(2, 4, 5, 6, 7, 3)
+    val m = OnnxLiteModel.load(attnModelPath)
+    val raw = m.runTokens(ids)
+    val n = math.sqrt(raw.map(x => x.toDouble * x.toDouble).sum)
+    val expect = raw.map(x => (x / n).toFloat)
+    assert(got.toSeq == expect.toSeq,
+      "embedder must produce exactly the checkpoint's output for the hand-derived ids")
+    // the real tokenizer changes results vs the hash fallback: same
+    // model without the vocab tokenizes differently
+    val fallback = new OnnxEmbedder(attnModelPath, expectDim = Some(D))
+    assert(fallback.embed("fn cosine similarity").toSeq != got.toSeq)
+    // distinct text -> distinct tokens -> distinct vector; determinism
+    assert(e.embed("def other pass").toSeq != got.toSeq)
+    assert(e.embed("fn cosine similarity").toSeq == got.toSeq)
+  }
+
+  test("E1+E2 e2e: the vocab-backed checkpoint embeds chunks executor-side") {
+    import spark.implicits._
+    val chunks = spark.createDataset(
+      (1 to 24).map(i => CodeChunk(s"f$i.py", s"def other pass $i", Some("Python"), Some("py"))))
+    val rows = Embed.embedChunks(spark, chunks,
+      new OnnxEmbedder(s"$realModelDir/model.onnx")).collect()
+    assert(rows.length == 24)
+    assert(rows.forall(_.vector.length == D))
+    // driver-side single-text path agrees with the executor batch path
+    val e = new OnnxEmbedder(s"$realModelDir/model.onnx")
+    rows.foreach { r => assert(r.vector.toSeq == e.embed(r.code).toSeq) }
   }
 
   // ----- cross-encoder: the same attention block plus a [D, 1] scalar
