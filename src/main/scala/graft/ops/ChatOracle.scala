@@ -213,19 +213,68 @@ object ChatOracle {
   val EmbedQueries = 5
   val EmbedK = 5
 
-  private def bucketed(spark: SparkSession, sfDir: String): DataFrame =
+  /** (doc_id, b, c): 256-bucket hash-embedding counts, computed per
+    * document inside a typed flatMap — a doc's tokens live in one row,
+    * so the bucket histogram is a local 256-slot array fill at scan
+    * speed, not an explode of the token stream through a
+    * (doc_id, bucket) shuffle. Bucket = first md5 byte, identical to
+    * the oracle's two-hex-nibble arithmetic; tokenization matches
+    * TextAnalytics.tokens over lower(text). */
+  private def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(TextAnalytics.tokens(lower(col("text")))).as("tok"))
-      .withColumn("h", md5(col("tok").cast("binary")))
-      .withColumn("b", expr(
-        "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + instr('0123456789abcdef', substring(h, 2, 1)) - 1"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, txt) =>
+          val counts = new Array[Long](256)
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) {
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              counts(d(0) & 0xff) += 1L
+            }
+          }
+          (0 until 256).iterator.collect {
+            case b if counts(b) > 0L => (id, b.toLong, counts(b))
+          }
+        }
+      }
+      .toDF("doc_id", "b", "c")
+  }
+
+  /** (doc_id, nrm): squared norm of each doc's bucket histogram —
+    * like the histogram itself, per-row local work (Σ c² over the
+    * 256-slot array), so the norm table costs a scan, not a shuffle
+    * over the bucket rows. */
+  private def docNorms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, txt) =>
+          val counts = new Array[Long](256)
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) {
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              counts(d(0) & 0xff) += 1L
+            }
+          }
+          var nrm = 0L; var b = 0
+          while (b < 256) { nrm += counts(b) * counts(b); b += 1 }
+          (id, nrm)
+        }
+      }
+      .toDF("doc_id", "nrm")
+  }
 
   def hashEmbedKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val buckets = bucketed(spark, sfDir).cache()
-    val norms = buckets.groupBy("doc_id").agg(sum(col("c") * col("c")).as("nrm"))
+    // not materialized: every consumer's lineage is a scan-speed
+    // flatMap (a cache round-trip costs more than the recompute)
+    val buckets = bucketed(spark, sfDir)
+    val norms = docNorms(spark, sfDir)
     val q = buckets.filter(col("doc_id") < EmbedQueries)
       .select(col("doc_id").as("query_id"), col("b"), col("c").as("qc"))
     val dots = broadcast(q).join(buckets, Seq("b"))

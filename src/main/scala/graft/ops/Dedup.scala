@@ -1054,41 +1054,50 @@ object Dedup {
     * novelty) and q62 (one targeted benchmark) with the full
     * source×source picture.
     *
-    * Scale shape: distinct (source, hv) is one shuffle with map-side
-    * combine (the shingle table is already hash-distinct per doc);
-    * the pair join is an equi-join on hv whose output is bounded by
-    * shingle-frequency × S² (S = #sources, small by construction) —
-    * never doc×doc. A shingle present in EVERY source contributes
-    * S²/2 rows; at web scale pass `dfCap` to drop those ubiquitous
-    * shingles BEFORE the pair join (they carry no overlap signal —
-    * a shingle in every source tells you nothing about which pair
-    * overlaps). Capping affects n_shared and the set sizes
-    * symmetrically: both are computed over the SAME capped table, so
-    * the Jaccard stays internally consistent. The uncapped default is
-    * what q72 benches and the DuckDB oracle mirrors; a spec pins
-    * capped == uncapped when no shingle's source-frequency exceeds
-    * the cap. */
+    * Scale shape: ONE shuffle keyed by hv builds the per-shingle
+    * source set (collect_set dedups map-side), and the S²/2 source
+    * pairs each shingle contributes are EMITTED by a flatMap over
+    * that set and collapsed by partial aggregation to at most S²/2
+    * rows per partition before the final ≤S²/2-row shuffle — the
+    * pair volume (shingle-frequency × S², ~19M rows at sf0.1 because
+    * the synthetic vocabulary is tiny) exists only transiently inside
+    * map tasks, never in a join or a shuffle. This replaced a
+    * self-equi-join on hv that sorted/probed the 2M-row distinct
+    * table twice and shuffled it both times (2.1 s → the pair-emit
+    * form at sf0.1; same answer, same oracle). Per-source set sizes
+    * fall out of the SAME grouped table via explode, so the corpus is
+    * scanned exactly once. A shingle in every source carries no
+    * overlap signal; at web scale pass `dfCap` to drop ubiquitous
+    * shingles (now a size() predicate on the source set, not a
+    * join). Capping affects n_shared and the set sizes symmetrically
+    * — both come from the same capped table, so the Jaccard stays
+    * internally consistent. The uncapped default is what q72 benches
+    * and the DuckDB oracle mirrors; a spec pins capped == uncapped
+    * when no shingle's source-frequency exceeds the cap. */
   def sourceOverlap(spark: SparkSession, sfDir: String,
                     bits: Int = DefaultHashBits,
                     dfCap: Option[Long] = None): DataFrame = {
-    val distinctSourceHv =
-      shingleRows(spark, sfDir, bits).select("source", "hv").distinct()
+    import spark.implicits._
+    val byHv = shingleRows(spark, sfDir, bits)
+      .groupBy("hv").agg(collect_set(col("source")).as("srcs"))
     val capped = dfCap match {
-      case Some(cap) =>
-        // source-frequency of a shingle <= S, so this aggregate is the
-        // same shuffle shape as the pair join's build side; rows above
-        // the cap never reach the join
-        val dfOk = distinctSourceHv.groupBy("hv")
-          .agg(count(lit(1)).as("sf")).filter(col("sf") <= cap).select("hv")
-        distinctSourceHv.join(dfOk, "hv")
-      case None => distinctSourceHv
+      case Some(cap) => byHv.filter(size(col("srcs")) <= cap)
+      case None => byHv
     }
+    // two consumers (sizes, pairs) with different downstream keys; the
+    // grouped table is vocabulary-sized, far smaller than its lineage
     val ss = Materialize.shared(spark, capped)
-    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n"))
-    val a = ss.alias("a"); val b = ss.alias("b")
-    a.join(b, col("a.hv") === col("b.hv") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
+    val sizes = ss.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = ss.select(col("srcs")).as[Seq[String]]
+      .flatMap { srcs =>
+        val s = srcs.sorted
+        for { i <- s.indices.iterator; j <- (i + 1) until s.length }
+          yield (s(i), s(j))
+      }
+      .toDF("source_a", "source_b")
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    pairs
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
       .select(col("source_a"), col("source_b"), col("n_shared"),

@@ -357,6 +357,61 @@ object TextAnalytics {
     * window with a pre-shuffle WindowGroupLimit. Nothing touches raw
     * text after the first aggregation. */
   def tfidfKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // (doc_id, tok, tf) at SCAN SPEED: a document's tokens live inside
+    // one row, so term frequency is per-row local work — no
+    // explode-then-groupBy shuffle of the token stream (that shuffle
+    // moves O(corpus tokens) rows, the single largest data movement in
+    // the old plan, and at 100 TB it IS the corpus)
+    val tf = tfRows(spark, sfDir)
+    // document frequency: the only genuinely global aggregate here —
+    // partial aggregation collapses each partition to its distinct
+    // vocabulary before a vocabulary-sized shuffle
+    val dfc = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // broadcast-join df back, then take per-doc top-k WITHIN the
+    // partition: tfRows emits each document's rows contiguously and a
+    // broadcast hash join streams its probe side in order, so rows of
+    // one doc_id are adjacent — top-k is a local buffer flush, not a
+    // Window shuffle of every (doc, token) row by doc_id. The
+    // contiguity contract is pinned by the spec equality against
+    // tfidfKeywordsWindowed.
+    val k = TfidfTopK
+    tf.join(broadcast(dfc), "tok")
+      .withColumn("score", expr("(tf * 1000000) div df"))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+      .as[(Long, String, Long, Long, Long)]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long)]
+        var cur = Long.MinValue
+        def flush(): Iterator[(Long, Long, String, Long, Long, Long)] = {
+          val top = buf.sortBy { case (_, tok, _, _, score) => (-score, tok) }.take(k)
+          buf.clear()
+          top.iterator.zipWithIndex.map { case ((id, tok, tf0, df0, sc), i) =>
+            (id, i + 1L, tok, tf0, df0, sc)
+          }
+        }
+        new Iterator[Iterator[(Long, Long, String, Long, Long, Long)]] {
+          private var pending: Iterator[(Long, Long, String, Long, Long, Long)] = Iterator.empty
+          def hasNext: Boolean = it.hasNext || buf.nonEmpty
+          def next(): Iterator[(Long, Long, String, Long, Long, Long)] =
+            if (!it.hasNext) flush()
+            else {
+              val r = it.next()
+              val out = if (r._1 != cur && buf.nonEmpty) flush() else Iterator.empty
+              cur = r._1
+              buf += r
+              out
+            }
+        }.flatten
+      }
+      .toDF("doc_id", "rk", "tok", "tf", "df", "score")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Window-shuffle formulation (explode → groupBy tf → window top-k):
+    * the declarative baseline the contiguous-top-k default is
+    * spec-checked against. */
+  def tfidfKeywordsWindowed(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -369,6 +424,29 @@ object TextAnalytics {
       .filter(col("rk") <= TfidfTopK)
       .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"), col("score"))
       .orderBy("doc_id", "rk")
+  }
+
+  /** (doc_id, tok, tf) computed per document inside a typed flatMap —
+    * same tokenization as tokens() (trim, split \\s+, drop empties),
+    * counted in a local map. Each document's rows are emitted
+    * CONTIGUOUSLY, which downstream per-partition group logic relies
+    * on (one input row's flatMap output never interleaves with
+    * another's). */
+  private def tfRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, txt) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          }
+          m.iterator.map { case (t, c) => (id, t, c) }
+        }
+      }
+      .toDF("doc_id", "tok", "tf")
   }
 
   def tfidfKeywordsSql: String =

@@ -174,6 +174,12 @@ class PipelineOpsSpec extends SparkSpec {
     kw.unpersist()
   }
 
+  test("tfidf contiguous top-k equals the windowed formulation") {
+    // pins the doc-contiguity contract the mapPartitions top-k relies on
+    assert(TextAnalytics.tfidfKeywords(spark, sf0001).collect().map(_.toString).toSeq ==
+      TextAnalytics.tfidfKeywordsWindowed(spark, sf0001).collect().map(_.toString).toSeq)
+  }
+
   // ---------------------------------------------------------------- q71
 
   test("importanceWeights: scores bounded, feature counts reconcile, target lang wins") {

@@ -140,9 +140,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(hnPlan.contains("WindowGroupLimit"), hnPlan)
   }
 
-  test("q69: keyword top-k prunes before the shuffle") {
+  test("q69: per-doc top-k is local — broadcast df join, no window shuffle of the token stream") {
     val plan = executed(graft.ops.TextAnalytics.tfidfKeywords(spark, sf0001))
-    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the declarative baseline keeps its pre-shuffle top-k prune
+    val wplan = executed(graft.ops.TextAnalytics.tfidfKeywordsWindowed(spark, sf0001))
+    assert(wplan.contains("WindowGroupLimit"), wplan)
   }
 
   test("q66: a one-mega-cluster skew stays tiled — no row-payload join keyed on cid alone") {
