@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, ChatOracle, Dedup, Events, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
+import graft.ops.{Analytics, ChatOracle, Classifier, Dedup, Events, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -110,7 +110,10 @@ object SparkEntry {
     // read it back and must be bit-identical to the retrain-every-time
     // formulations, so they share q66/q67's oracles
     "q81_semantic_dedup_ix" -> Similarity.semanticDedupFromIndex _,
-    "q82_hard_negatives_ix" -> Similarity.hardNegativesFromIndex _
+    "q82_hard_negatives_ix" -> Similarity.hardNegativesFromIndex _,
+    "q83_containment_pairs" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d, Dedup.OracleHashBits)),
+    "q84_perceptron_step"   -> Classifier.perceptronStep _,
+    "q85_bm25_search"       -> TextAnalytics.bm25Search _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -251,6 +254,9 @@ object SparkEntry {
     "q80_forest_recall"     -> Similarity.forestRecallSql,
     // index-served twins of q66/q67: same result, different physical life
     "q81_semantic_dedup_ix" -> Similarity.semanticDedupSql,
-    "q82_hard_negatives_ix" -> Similarity.hardNegativesSql
+    "q82_hard_negatives_ix" -> Similarity.hardNegativesSql,
+    "q83_containment_pairs" -> Dedup.containmentPairsSql,
+    "q84_perceptron_step"   -> Classifier.perceptronStepSql,
+    "q85_bm25_search"       -> TextAnalytics.bm25SearchSql
   )
 }

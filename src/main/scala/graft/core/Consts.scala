@@ -43,6 +43,12 @@ object Consts {
   val JaccardPairThreshold = 0.05
   val SimhashMaxHamming = 3
 
+  /** Containment pairs (q83): max direction-wise containment cutoff —
+    * high enough that only genuine subset/near-subset relations
+    * qualify (the planted near-dup pair sits at ~0.9; random pairs of
+    * the tiny synthetic vocabulary stay well under 0.2). */
+  val ContainmentThreshold = 0.5
+
   /** Pigeonhole bands for the simhash pair join: with 4 bands over 16
     * bits, any pair within hamming distance 3 (< number of bands) must
     * agree on at least one whole band, so band equality is a lossless

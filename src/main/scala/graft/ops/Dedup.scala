@@ -360,6 +360,59 @@ object Dedup {
        |ORDER BY source, doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // Shingle-set CONTAINMENT (Broder 1997 distinguishes resemblance —
+  // q15's Jaccard — from containment): |A∩B| / |A|. Resemblance misses
+  // the "document swallowed by a bigger document" case entirely — a
+  // 100-line doc fully embedded in a 10,000-line doc has Jaccard ~0.01
+  // but containment 1.0. That asymmetric signal is what catches quote
+  // farms, scraped-page concatenations, and superset re-crawls.
+  // -------------------------------------------------------------------
+
+  /** q83: same-source pairs where either side's shingle set is mostly
+    * contained in the other (max of the two direction-wise
+    * containments ≥ threshold). Same sparse inverted-index shape as
+    * q15 — the shared-shingle counts come from one grouped self-equi-
+    * join on (source, hv), never an all-pairs scan — and the exact
+    * same materialized shingle table feeds both queries' lineages. */
+  def containmentPairs(spark: SparkSession, sfDir: String,
+                       bits: Int = DefaultHashBits): DataFrame = {
+    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.alias("a"); val b = sh.alias("b")
+    a.join(b,
+        col("a.source") === col("b.source") &&
+        col("a.hv") === col("b.hv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.source").as("source"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("containment",
+        greatest(col("n_shared").cast("double") / col("sza").cast("double"),
+          col("n_shared").cast("double") / col("szb").cast("double")))
+      .filter(col("containment") >= Consts.ContainmentThreshold)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        col("n_shared"), col("containment"))
+      .orderBy("source", "doc_a", "doc_b")
+  }
+
+  def containmentPairsSql: String =
+    s"""WITH sets AS (
+       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, source, $sqlShingles s0
+       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents)))
+       |SELECT source, doc_a, doc_b, n_shared, containment FROM (
+       |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    cast(len(list_intersect(a.s, b.s)) as bigint) AS n_shared,
+       |    greatest(
+       |      cast(len(list_intersect(a.s, b.s)) as double) / cast(len(a.s) as double),
+       |      cast(len(list_intersect(a.s, b.s)) as double) / cast(len(b.s) as double)) AS containment
+       |  FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id)
+       |WHERE containment >= ${Consts.ContainmentThreshold}
+       |ORDER BY source, doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
   // SimHash: 16-bit signatures from token md5 nibbles + hamming pairs.
   // -------------------------------------------------------------------
 

@@ -426,6 +426,82 @@ object TextAnalytics {
       .orderBy("doc_id", "rk")
   }
 
+  // -------------------------------------------------------------------
+  // BM25 retrieval (Robertson/Spärck Jones Okapi weighting, k1 = 1.2,
+  // b = 0.75): the lexical ranking a curation pipeline uses to pull
+  // topic-relevant documents out of a web-scale corpus (targeted
+  // subset mining, eval-set neighborhood retrieval). The idf factor is
+  // the raw Robertson odds ratio (N − df + 0.5)/(df + 0.5) WITHOUT the
+  // log wrap: per-term scores are quantized to integers before the
+  // cross-term sum, and every floating step is a correctly-rounded op
+  // on exactly-representable integer inputs — the same no-libm
+  // discipline as q69's tf-idf, which is what makes a ranking function
+  // hash-checkable across engines.
+  // -------------------------------------------------------------------
+
+  /** Fixed query (constant, like q55's vocab or q62's benchmark): the
+    * three mid-df content terms of the synthetic corpus. */
+  val Bm25Terms: Seq[String] = Seq("join", "spark", "stream")
+  val Bm25TopK = 20
+
+  /** Shared Spark/DuckDB score expression over columns
+    * (tf, dl, df, nd, sdl): one source string, zero drift. */
+  private def bm25ScoreExpr: String =
+    "cast(floor((((cast(tf as double) * 2.2) / " +
+      "(cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl * nd as double) / cast(sdl as double))))) * " +
+      "((cast(nd - df as double) + 0.5) / (cast(df as double) + 0.5))) * 1000000.0) as bigint)"
+
+  /** q85: top-k documents for the fixed query under BM25.
+    *
+    * Scale shape: the token stream is filtered to QUERY TERMS before
+    * it ever explodes (array filter inside the scan projection), so
+    * the per-term tf table is |terms|·|matching docs| rows, not the
+    * corpus token stream; corpus stats (N, Σdl) are one scalar
+    * aggregate broadcast back; document frequency is a |terms|-row
+    * broadcast; and the final top-k is TakeOrderedAndProject (orderBy
+    * + limit — Spark's physical top-k), never a full sort. */
+  def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = tokens(col("text"))
+    val isQueryTerm = (t: Column) =>
+      Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
+    val perTerm = docs.select(col("doc_id"), size(toks).as("dl"),
+        explode(filter(toks, isQueryTerm)).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val stats = broadcast(docs.select(size(toks).as("dl0"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl0")).as("sdl")))
+    val dfc = broadcast(perTerm.groupBy("term").agg(count(lit(1)).as("df")))
+    perTerm.join(dfc, "term").crossJoin(stats)
+      .withColumn("tscore", expr(bm25ScoreExpr))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .select("doc_id", "n_terms", "score")
+  }
+
+  def bm25SearchSql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS t
+       |  FROM documents),
+       |per AS (
+       |  SELECT doc_id, dl, term, cast(count(*) as bigint) AS tf FROM (
+       |    SELECT doc_id, cast(len(t) as int) AS dl,
+       |      unnest(list_filter(t, x -> x IN ($inList))) AS term
+       |    FROM tok)
+       |  GROUP BY doc_id, dl, term),
+       |stats AS (
+       |  SELECT cast(count(*) as bigint) AS nd, cast(sum(len(t)) as bigint) AS sdl FROM tok),
+       |dfc AS (SELECT term, cast(count(*) as bigint) AS df FROM per GROUP BY term)
+       |SELECT doc_id, cast(count(*) as bigint) AS n_terms,
+       |  cast(sum($bm25ScoreExpr) as bigint) AS score
+       |FROM per JOIN dfc USING (term) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   /** (doc_id, tok, tf) computed per document inside a typed flatMap —
     * same tokenization as tokens() (trim, split \\s+, drop empties),
     * counted in a local map. Each document's rows are emitted

@@ -450,4 +450,75 @@ class PipelineOpsSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) =>
       assert(s == b, s"stream row $s != batch row $b") }
   }
+
+  // ---------------------------------------------------------------- q83
+
+  test("containment pairs: asymmetric subset signal bounded by the shingle sets") {
+    val pairs = Dedup.containmentPairs(spark, sf0001).collect()
+    assert(pairs.nonEmpty, "the planted near-dup pair must surface")
+    // containment dominates jaccard for the same pair: |A∩B|/min >= |A∩B|/|A∪B|
+    val jac = Dedup.jaccardPairs(spark, sf0001)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    pairs.foreach { r =>
+      val key = (r.getLong(1), r.getLong(2))
+      assert(r.getDouble(4) >= graft.core.Consts.ContainmentThreshold)
+      jac.get(key).foreach(j => assert(r.getDouble(4) >= j, s"$key: containment < jaccard"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q84
+
+  test("perceptron step equals a JVM reference (weights, scores, predictions)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val nb = graft.ops.Classifier.PerceptronBuckets.toInt
+    def feats(txt: String): Array[Long] = {
+      val c = new Array[Long](nb)
+      txt.trim.split("\\s+").foreach { t =>
+        if (t.nonEmpty) {
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val hv = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+          c((hv % nb).toInt) += 1L
+        }
+      }
+      c
+    }
+    val target = graft.ops.Classifier.PerceptronTargetLang
+    val w = new Array[Long](nb)
+    docs.foreach { case (_, lang, txt) =>
+      if (lang == target) { val x = feats(txt); var b = 0; while (b < nb) { w(b) += x(b); b += 1 } }
+    }
+    val expected = docs.map { case (id, lang, txt) =>
+      val x = feats(txt)
+      val s = x.zip(w).map { case (a, b) => a * b }.sum
+      val label = if (lang == target) 1L else -1L
+      (id, label, s, if (s > 0) 1L else -1L)
+    }
+    val got = graft.ops.Classifier.perceptronStep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  test("bm25: top-k is ordered, bounded, and every hit contains a query term") {
+    val hits = TextAnalytics.bm25Search(spark, sf0001).collect()
+    assert(hits.nonEmpty && hits.length <= TextAnalytics.Bm25TopK)
+    // (score desc, doc_id asc) ordering holds
+    hits.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) > b.getLong(2) ||
+        (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0)))
+    case _ => ()
+    }
+    assert(hits.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= TextAnalytics.Bm25Terms.length))
+    val texts = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { r =>
+      val toks = texts(r.getLong(0)).trim.split("\\s+").toSet
+      assert(TextAnalytics.Bm25Terms.exists(toks.contains), s"doc ${r.getLong(0)} has no query term")
+    }
+  }
 }
