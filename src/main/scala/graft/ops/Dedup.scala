@@ -166,21 +166,67 @@ object Dedup {
     * a single shuffle whose two sides are identical subplans (Spark
     * reuses the exchange), instead of one join per band re-running the
     * whole MinHash lineage. */
+  /** One summary row per doc, ALL computed inside the shingle flatMap:
+    * sorted distinct shingle-hash set, 16 minhash values, and the 4
+    * pre-concatenated LSH band strings. Every piece is per-document
+    * local work — the signature is a min over the doc's own shingles,
+    * the set is the doc's own hashes — so none of it needs the
+    * groupBy(doc_id) shuffles the aggregate formulation paid (the
+    * 1.45M-row shingle table never shuffles OR persists; what's cached
+    * is one narrow row per doc). Docs with <3 tokens emit nothing,
+    * mirroring the empty shingle relation. Arithmetic is identical to
+    * minhashSignaturesFrom: 64-bit hv xor-folds to its unsigned-32
+    * image for the affine maps; the set keeps full width. */
+  case class DocShingles(doc_id: Long, source: String,
+                         s: Array[Long], bands: Array[String])
+
+  private[ops] def docShingleSummary(spark: SparkSession, sfDir: String,
+                                     bits: Int = DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val params = Consts.MinhashParams.toArray
+    val prime = Consts.MinhashPrime
+    val nBands = Consts.LshBands; val rowsPer = Consts.LshRowsPerBand
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, src, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          if (t.length < 3) Iterator.empty
+          else {
+            val hvs = (0 to t.length - 3).map { i =>
+              packHash(md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
+            }.distinct.toArray
+            val mh = Array.fill(params.length)(Long.MaxValue)
+            hvs.foreach { hv =>
+              val h32 = (hv >>> 32) ^ (hv & 0xffffffffL)
+              var i = 0
+              while (i < params.length) {
+                val v = (h32 * params(i)._1 + params(i)._2) % prime
+                if (v < mh(i)) mh(i) = v
+                i += 1
+              }
+            }
+            val bands = Array.tabulate(nBands)(b =>
+              (0 until rowsPer).map(r => mh(b * rowsPer + r)).mkString("|"))
+            java.util.Arrays.sort(hvs)
+            Iterator.single(DocShingles(id, src, hvs, bands))
+          }
+        }
+      }
+      .toDF()
+  }
+
   def minhashLshPairs(spark: SparkSession, sfDir: String,
                       bits: Int = DefaultHashBits): DataFrame = {
-    // one materialization feeds BOTH the signature aggregate (shuffle
-    // by doc_id) and the shingle-set aggregate (shuffle by doc_id,
-    // source) — different keys, so without it the 5M-digest MD5
-    // lineage runs twice (the round-2 q14/q49 recompute)
-    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
-    val sig = minhashSignaturesFrom(sh)
-    val bandHashes = (0 until Consts.LshBands).map { b =>
-      val rows = (0 until Consts.LshRowsPerBand)
-        .map(r => col(s"mh${b * Consts.LshRowsPerBand + r}"))
-      concat_ws("|", rows: _*)
-    }
-    val banded = sig.select(col("doc_id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
+    // four consumers (two band-join sides, two verification sides);
+    // the cached table is one narrow row per doc, so the eager
+    // materialization is cheap and saves three md5 re-scans
+    val summary = Materialize.shared(spark, docShingleSummary(spark, sfDir, bits))
+    val banded = summary.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val x = banded.alias("x"); val y = banded.alias("y")
     val candidates = x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
@@ -189,7 +235,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sets = shingleSetsFrom(sh).select(col("doc_id"), col("s"))
+    val sets = summary.select(col("doc_id"), col("s"))
     val a = sets.alias("sa"); val b = sets.alias("sb")
     candidates
       .join(a, col("doc_a") === col("sa.doc_id"))
