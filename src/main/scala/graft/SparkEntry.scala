@@ -113,7 +113,9 @@ object SparkEntry {
     "q82_hard_negatives_ix" -> Similarity.hardNegativesFromIndex _,
     "q83_containment_pairs" -> ((s: SparkSession, d: String) => Dedup.containmentPairs(s, d, Dedup.OracleHashBits)),
     "q84_perceptron_step"   -> Classifier.perceptronStep _,
-    "q85_bm25_search"       -> TextAnalytics.bm25Search _
+    "q85_bm25_search"       -> TextAnalytics.bm25Search _,
+    "q86_funnel_stages"     -> Events.funnelStages _,
+    "q87_ssl_prototypes"    -> Similarity.prototypeScores _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -257,6 +259,8 @@ object SparkEntry {
     "q82_hard_negatives_ix" -> Similarity.hardNegativesSql,
     "q83_containment_pairs" -> Dedup.containmentPairsSql,
     "q84_perceptron_step"   -> Classifier.perceptronStepSql,
-    "q85_bm25_search"       -> TextAnalytics.bm25SearchSql
+    "q85_bm25_search"       -> TextAnalytics.bm25SearchSql,
+    "q86_funnel_stages"     -> Events.funnelStagesSql,
+    "q87_ssl_prototypes"    -> Similarity.prototypeScoresSql
   )
 }

@@ -279,4 +279,62 @@ object Events {
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Ordered funnel: view → click → purchase, each stage strictly AFTER
+  // the previous one in event time — the product-analytics sequence
+  // query (as distinct from q22's gap sessionization, which groups by
+  // proximity, not order).
+  // -------------------------------------------------------------------
+
+  /** q86: per-user stage-reach timestamps. Stage n's time is the
+    * earliest event of its type strictly after stage n−1's time; a
+    * user missing stage n has nulls from there on.
+    *
+    * Scale shape: each stage is one type-filtered scan (predicate
+    * pushdown on event_type) aggregated to a user-sized table, then
+    * joined to the next stage's filtered scan. The stage tables are
+    * |users| rows — far smaller than the event log — and every join
+    * key is user_id, so AQE broadcasts them when they fit and falls
+    * back to a co-partitioned shuffle when they don't; the event log
+    * itself is never shuffled whole, only its per-type slices. */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("view_us"))
+      .groupBy("user_id").agg(min(col("us")).as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("click_us"))
+      .groupBy("user_id").agg(min(col("us")).as("purchase_us"))
+    ev.select("user_id").distinct()
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("view_us"), col("click_us"), col("purchase_us"))
+      .orderBy("user_id")
+  }
+
+  def funnelStagesSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+      |  GROUP BY e.user_id)
+      |SELECT u.user_id, v.view_us, c.click_us, p.purchase_us
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |LEFT JOIN v ON u.user_id = v.user_id
+      |LEFT JOIN c ON u.user_id = c.user_id
+      |LEFT JOIN p ON u.user_id = p.user_id
+      |ORDER BY u.user_id""".stripMargin
 }

@@ -765,6 +765,69 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // -------------------------------------------------------------------
+  // SSL-prototype pruning scores (the second half of D4, Tirumala et
+  // al. 2023, "D4: Improving LLM Pretraining via Document De-
+  // Duplication and Diversification"): after SemDeDup removes
+  // near-duplicate clusters, the points MOST similar to their cluster
+  // centroid are the prototypical/templated mass the method prunes to
+  // diversify the corpus.
+  // -------------------------------------------------------------------
+
+  /** q87: per-vector prototypicality under the q42/q60/q66 coarse
+    * quantizer — cosine to the assigned centroid, rank within the
+    * cluster (1 = most prototypical), and the D4 prune flag for the
+    * top ~10% (integer ceil, so the cutoff is engine-exact).
+    *
+    * Scale shape: assignment and the centroid re-join are broadcast
+    * joins (the corpus never shuffles for them); the only shuffle is
+    * the per-cluster ranking window, keyed by cid — k partitions of
+    * corpus/k rows each under a balanced quantizer. */
+  def prototypeScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val cent = centroids(q)
+    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
+    val av = assign
+      .join(q.select(col("vec_id").as("vid"), col("v"), col("nrm")), "vid")
+      .join(cent, "cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("proto_sim").desc, col("vid").asc)
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
+    av.withColumn("proto_sim", qcosine(col("cv"), col("v"), col("cnrm"), col("nrm")))
+      .withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("n_c", count(lit(1)).over(wc))
+      .withColumn("prune", col("proto_rank") <= expr("(n_c + 9) div 10"))
+      .select(col("vid").as("vec_id"), col("cid"), col("proto_sim"),
+        col("proto_rank"), col("prune"))
+      .orderBy("vec_id")
+  }
+
+  def prototypeScoresSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT a.vec_id AS vid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
+       |        cent.cid ASC) AS crank
+       |    FROM q a, cent)
+       |  WHERE crank <= 1),
+       |av AS (
+       |  SELECT assign.vid, assign.cid,
+       |    cast(list_sum([cent.cv[i+1]*q.v[i+1] for i in range(len(q.v))]) as double)
+       |      / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(q.nrm as double))) AS proto_sim
+       |  FROM assign
+       |  JOIN q ON q.vec_id = assign.vid
+       |  JOIN cent ON cent.cid = assign.cid)
+       |SELECT vid AS vec_id, cid, proto_sim,
+       |  cast(row_number() OVER (PARTITION BY cid ORDER BY proto_sim DESC, vid ASC) as bigint) AS proto_rank,
+       |  cast(row_number() OVER (PARTITION BY cid ORDER BY proto_sim DESC, vid ASC) as bigint)
+       |    <= (count(*) OVER (PARTITION BY cid) + 9) // 10 AS prune
+       |FROM av
+       |ORDER BY vec_id""".stripMargin
+
   private val ivfEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ivfIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -521,4 +521,48 @@ class PipelineOpsSpec extends SparkSpec {
       assert(TextAnalytics.Bm25Terms.exists(toks.contains), s"doc ${r.getLong(0)} has no query term")
     }
   }
+
+  // ---------------------------------------------------------------- q86
+
+  test("funnel stages are strictly ordered and null-monotone") {
+    val rows = Events.funnelStages(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one row per user")
+    var reached = (0, 0, 0)
+    rows.foreach { r =>
+      val v = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val c = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val p = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      // a stage only exists if the previous one does, strictly later
+      if (v.isEmpty) assert(c.isEmpty)
+      if (c.isEmpty) assert(p.isEmpty)
+      for (vv <- v; cc <- c) assert(cc > vv)
+      for (cc <- c; pp <- p) assert(pp > cc)
+      reached = (reached._1 + v.size, reached._2 + c.size, reached._3 + p.size)
+    }
+    assert(reached._1 >= reached._2 && reached._2 >= reached._3)
+    assert(reached._3 > 0, "some user completes the funnel at sf0.001")
+  }
+
+  // ---------------------------------------------------------------- q87
+
+  test("prototype scores: cluster geometry matches q66, prune cut is ceil(10%)") {
+    val proto = Similarity.prototypeScores(spark, sf0001).collect()
+    // same coarse quantizer as SemDeDup — assignments must agree 1:1
+    val semCid = Similarity.semanticDedup(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    proto.foreach(r => assert(semCid(r.getLong(0)) == r.getLong(1)))
+    // per cluster: ranks dense from 1, prune flags = ceil(n/10), and
+    // sims non-increasing in rank
+    proto.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1L to rs.length).toSeq, s"cid $cid")
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _ => ()
+      }
+      val expectedPruned = (rs.length + 9) / 10
+      assert(rs.count(_.getBoolean(4)) == expectedPruned, s"cid $cid prune count")
+    }
+  }
 }
