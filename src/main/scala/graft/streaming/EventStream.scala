@@ -27,6 +27,23 @@ object EventStream {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Run `body` (which starts and drains a streaming query) with a
+    * replay-sized stateful-shuffle width. A streaming query captures
+    * `spark.sql.shuffle.partitions` at START and keeps it for the
+    * life of its checkpoint; the session default (32, sized for batch
+    * scans) makes every micro-batch commit 32 state-store instances —
+    * per-partition file I/O that dominates a bounded replay whose
+    * whole state fits in a handful of stores. 8 is plenty for the
+    * replay's state volume; a real unbounded deployment sizes this to
+    * its own state, which is exactly why it must be pinned per QUERY,
+    * not inherited from the batch default. Batch plans in the same
+    * session are untouched (the conf is restored before they plan). */
+  private def withReplayShufflePartitions[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Bounded streaming replay of the events parquet; returns the final
     * windowed-count table (same schema/rows as Events.hourlyTypeCounts). */
   def hourlyTypeCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -46,13 +63,15 @@ object EventStream {
         unix_micros(col("w.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_value"))
     val name = s"graft_stream_hourly_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayShufflePartitions(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("window_start_us", "event_type")
   }
 
@@ -95,13 +114,15 @@ object EventStream {
       .select(col("user_id"), col("session_start_us"), col("session_end_us"),
         col("n_events"), col("sum_value"))
     val name = s"graft_stream_sessions_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayShufflePartitions(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .withColumn("session_id",
         row_number().over(
