@@ -219,12 +219,27 @@ object Dedup {
       .toDF()
   }
 
+  /** Cached per-doc summary + the (doc_id, source, hv) row view and
+    * per-doc set sizes derived from it WITHOUT re-hashing: the md5
+    * pass runs once per query, the persisted footprint is one narrow
+    * row per doc (not the ~290×-larger row table, whose persist+count
+    * alone cost ~0.4 s at sf0.1), rows re-materialize by exploding
+    * the cached array at consume time, and sizes are a projection —
+    * not a shuffle. */
+  private def sharedSummary(spark: SparkSession, sfDir: String, bits: Int):
+      (DataFrame, DataFrame, DataFrame) = {
+    val summary = Materialize.shared(spark, docShingleSummary(spark, sfDir, bits))
+    (summary,
+      summary.select(col("doc_id"), col("source"), explode(col("s")).as("hv")),
+      summary.select(col("doc_id"), size(col("s")).cast("long").as("sz")))
+  }
+
   def minhashLshPairs(spark: SparkSession, sfDir: String,
                       bits: Int = DefaultHashBits): DataFrame = {
     // four consumers (two band-join sides, two verification sides);
     // the cached table is one narrow row per doc, so the eager
     // materialization is cheap and saves three md5 re-scans
-    val summary = Materialize.shared(spark, docShingleSummary(spark, sfDir, bits))
+    val (summary, _, _) = sharedSummary(spark, sfDir, bits)
     val banded = summary.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val x = banded.alias("x"); val y = banded.alias("y")
@@ -345,12 +360,11 @@ object Dedup {
   def jaccardPairsSparse(spark: SparkSession, sfDir: String,
                          dfCap: Option[Long] = None,
                          bits: Int = DefaultHashBits): DataFrame = {
-    // materialized once: the self-join sides share one exchange, but
-    // the `sizes` aggregate shuffles by a different key (doc_id) and
-    // would otherwise re-run the whole MD5 lineage — measured as 11.6 s
-    // (27% of the round-2 bench) before this fix
-    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // the cached summary feeds the self-join sides AND the set sizes;
+    // sizes are a projection of the cached arrays, not an aggregate
+    // (the row-table materialization this replaces was 11.6 s / 27%
+    // of the round-2 bench as a recompute, then ~0.4 s as a persist)
+    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
     // exact shared-shingle counts: with dfCap=None the grouped
     // self-equi-join IS the candidate generation; with a cap, hot
     // shingles are dropped from the candidate join only and survivors
@@ -422,8 +436,7 @@ object Dedup {
     * same materialized shingle table feeds both queries' lineages. */
   def containmentPairs(spark: SparkSession, sfDir: String,
                        bits: Int = DefaultHashBits): DataFrame = {
-    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
     val a = sh.alias("a"); val b = sh.alias("b")
     a.join(b,
         col("a.source") === col("b.source") &&
@@ -874,12 +887,10 @@ object Dedup {
     * alongside dedup (integer ratio, so it hash-matches the oracle). */
   def noveltyScores(spark: SparkSession, sfDir: String,
                     bits: Int = DefaultHashBits): DataFrame = {
-    // shingleRows is hash-distinct per doc by construction; shared so
-    // the df-count aggregate (shuffle by hv) and the per-doc aggregate
-    // (shuffle by doc_id) read one materialization
-    val sh = Materialize
-      .shared(spark, shingleRows(spark, sfDir, bits).select("doc_id", "source", "hv"))
-      .select("doc_id", "hv")
+    // shingle hashes are distinct per doc by construction; the cached
+    // summary feeds both the df-count aggregate (shuffle by hv) and
+    // the per-doc aggregate (shuffle by doc_id)
+    val sh = sharedSummary(spark, sfDir, bits)._2.select("doc_id", "hv")
     val dfc = sh.groupBy("hv").agg(count(lit(1)).as("df"))
     sh.join(dfc, "hv")
       .groupBy("doc_id")
@@ -920,7 +931,7 @@ object Dedup {
     * count. Shares the materialized shingle table with q14/q15/q52. */
   def decontamination(spark: SparkSession, sfDir: String,
                       bits: Int = DefaultHashBits): DataFrame = {
-    val sh = Materialize.shared(spark, shingleRows(spark, sfDir, bits))
+    val (_, sh, _) = sharedSummary(spark, sfDir, bits)
     val bench = broadcast(
       sh.filter(col("doc_id") < DecontamBenchmarkDocs)
         .select("hv").distinct().withColumn("hit", lit(1L)))
