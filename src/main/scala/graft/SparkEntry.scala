@@ -115,7 +115,11 @@ object SparkEntry {
     "q84_perceptron_step"   -> Classifier.perceptronStep _,
     "q85_bm25_search"       -> TextAnalytics.bm25Search _,
     "q86_funnel_stages"     -> Events.funnelStages _,
-    "q87_ssl_prototypes"    -> Similarity.prototypeScores _
+    "q87_ssl_prototypes"    -> Similarity.prototypeScores _,
+    // q88 hashes (exact top-k, within_bound): the MG sketch value is
+    // summary-dependent, but the deterministic n/m bound is pinned by
+    // the hash gate (the q45/q56 checked-sketch pattern)
+    "q88_top_tokens"        -> Sketches.topTokensChecked _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -261,6 +265,7 @@ object SparkEntry {
     "q84_perceptron_step"   -> Classifier.perceptronStepSql,
     "q85_bm25_search"       -> TextAnalytics.bm25SearchSql,
     "q86_funnel_stages"     -> Events.funnelStagesSql,
-    "q87_ssl_prototypes"    -> Similarity.prototypeScoresSql
+    "q87_ssl_prototypes"    -> Similarity.prototypeScoresSql,
+    "q88_top_tokens"        -> Sketches.topTokensCheckedSql
   )
 }

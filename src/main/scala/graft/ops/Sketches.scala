@@ -53,8 +53,16 @@ object Sketches {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
     val l = Tables.lineitem(spark, sfDir)
+    // sized to the build side: ~1/5 of orders are URGENT, and the
+    // default sizing (4M items / 8M bits = 1 MB serialized) makes the
+    // bitmap literal the dominant cost of the probe's codegen + task
+    // broadcast. 64k expected items / 512k bits = 64 KB at the same
+    // ~1% fpp — at a larger SF the estimate scales with the build
+    // cardinality, exactly like Spark's own runtime bloom join sizing
     val buildAgg = new BloomFilterAggregate(
-      new XxHash64(Seq(Bridge.expression(col("o_orderkey")))))
+      new XxHash64(Seq(Bridge.expression(col("o_orderkey")))),
+      org.apache.spark.sql.catalyst.expressions.Literal(65536L),
+      org.apache.spark.sql.catalyst.expressions.Literal(524288L))
       .toAggregateExpression()
     val bloomBytes = o.select(Bridge.column(buildAgg).as("bloom"))
       .head().getAs[Array[Byte]](0) // the ONLY extra job
@@ -164,4 +172,86 @@ object Sketches {
       |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Heavy hitters: exact top-k tokens next to a distributed
+  // Misra-Gries summary (Misra & Gries 1982; the SpaceSaving/
+  // frequent-items sketch family). At 100 TB the exact top-k needs a
+  // full vocabulary shuffle; the sketch answers the same question from
+  // per-partition summaries of fixed size m with deterministic error
+  // ≤ n/m — the monitoring view a pipeline keeps per micro-batch.
+  // -------------------------------------------------------------------
+
+  val TopTokensK = 10
+  val MgCapacity = 256
+
+  /** Per-partition Misra-Gries summaries of the token stream, merged
+    * by counter addition (the standard mergeable-summary result:
+    * summed MG summaries keep the Σ nᵢ/m = n/m error bound). Each
+    * summary is ≤ m entries regardless of partition size. */
+  private[graft] def mgMerged(spark: SparkSession, sfDir: String, m: Int):
+      scala.collection.Map[String, Long] = {
+    import spark.implicits._
+    val summaries = Tables.documents(spark, sfDir)
+      .select(col("text")).as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { txt =>
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) {
+              if (counts.contains(t) || counts.size < m) counts(t) = counts.getOrElse(t, 0L) + 1L
+              else {
+                // decrement-all on a full miss; drop zeros
+                val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+                counts.keysIterator.foreach { k =>
+                  val v = counts(k) - 1L
+                  if (v == 0L) dead += k else counts(k) = v
+                }
+                dead.foreach(counts.remove)
+              }
+            }
+          }
+        }
+        Iterator.single(counts.toMap)
+      }
+      .collect() // ≤ partitions × m entries — driver-bounded by design
+    summaries.foldLeft(Map.empty[String, Long]) { (acc, s) =>
+      s.foldLeft(acc) { case (a, (k, v)) => a.updated(k, a.getOrElse(k, 0L) + v) }
+    }
+  }
+
+  /** q88: exact top-k tokens (the oracle-pinned half) with the merged
+    * sketch's estimate checked against the deterministic MG bound:
+    * (exact − est)·m ≤ n — integer arithmetic, no tolerance knob. The
+    * synthetic vocabulary is smaller than MgCapacity so the local
+    * estimates are exact here; the eviction path is exercised by a
+    * probe spec with vocabulary ≫ m. */
+  def topTokensChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val est = mgMerged(spark, sfDir, MgCapacity)
+    val estDf = broadcast(est.toSeq.toDF("tok", "mg_est"))
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.ops.TextAnalytics.tokens(col("text"))).as("tok"))
+    val total = broadcast(toks.agg(count(lit(1)).as("n_total")))
+    toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc)
+      .limit(TopTokensK)
+      .withColumn("rank", monotonically_increasing_id() + 1L)
+      .join(estDf, Seq("tok"), "left")
+      .crossJoin(total)
+      .select(col("rank"), col("tok"), col("n_exact"),
+        ((col("n_exact") - coalesce(col("mg_est"), lit(0L))) * lit(MgCapacity.toLong)
+          <= col("n_total")).as("within_bound"))
+      .orderBy("rank")
+  }
+
+  def topTokensCheckedSql: String =
+    s"""SELECT rank, tok, n_exact, true AS within_bound FROM (
+       |  SELECT tok, cast(count(*) as bigint) AS n_exact,
+       |    cast(row_number() OVER (ORDER BY count(*) DESC, tok ASC) as bigint) AS rank
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
+       |        FROM documents)
+       |  GROUP BY tok)
+       |WHERE rank <= $TopTokensK
+       |ORDER BY rank""".stripMargin
 }

@@ -522,6 +522,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q88
+
+  test("Misra-Gries merged summary honors the n/m bound under heavy eviction") {
+    import spark.implicits._
+    // vocabulary (1 hot + 1500 singletons) far exceeds m = 64, so the
+    // decrement path runs constantly; the hot token must still surface
+    // with count error <= n/m
+    val hot = Seq.fill(500)("hot")
+    val rare = (0 until 1500).map(i => s"rare$i")
+    val words = new scala.util.Random(7).shuffle(hot ++ rare)
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "src0", ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mg_probe")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = 64
+    val est = graft.ops.Sketches.mgMerged(spark, tmp.toString, m)
+    val n = words.length.toLong
+    val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    exact.foreach { case (w, cnt) =>
+      val e = est.getOrElse(w, 0L)
+      assert(e <= cnt, s"$w overestimated: $e > $cnt")
+      assert((cnt - e) * m <= n, s"$w bound violated: exact $cnt est $e n $n m $m")
+    }
+    assert(est.getOrElse("hot", 0L) > 0L, "the heavy hitter must survive eviction")
+  }
+
   // ---------------------------------------------------------------- q86
 
   test("funnel stages are strictly ordered and null-monotone") {
