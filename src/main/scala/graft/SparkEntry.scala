@@ -119,7 +119,8 @@ object SparkEntry {
     // q88 hashes (exact top-k, within_bound): the MG sketch value is
     // summary-dependent, but the deterministic n/m bound is pinned by
     // the hash gate (the q45/q56 checked-sketch pattern)
-    "q88_top_tokens"        -> Sketches.topTokensChecked _
+    "q88_top_tokens"        -> Sketches.topTokensChecked _,
+    "q89_cohort_retention"  -> Events.cohortRetention _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -266,6 +267,7 @@ object SparkEntry {
     "q85_bm25_search"       -> TextAnalytics.bm25SearchSql,
     "q86_funnel_stages"     -> Events.funnelStagesSql,
     "q87_ssl_prototypes"    -> Similarity.prototypeScoresSql,
-    "q88_top_tokens"        -> Sketches.topTokensCheckedSql
+    "q88_top_tokens"        -> Sketches.topTokensCheckedSql,
+    "q89_cohort_retention"  -> Events.cohortRetentionSql
   )
 }

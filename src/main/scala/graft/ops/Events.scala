@@ -317,6 +317,44 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q89: cohort retention — users grouped by first-signup day, counted
+    * as active for every later day they produce any event. The third
+    * leg of the analytics trio (q22 sessions, q86 funnel, this).
+    *
+    * Scale shape: activity collapses to distinct (user, day) in one
+    * shuffle with map-side dedup; the cohort table is user-sized; the
+    * join key is user_id; the final matrix is cohorts × horizon days —
+    * tiny. The event log itself never shuffles. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(date_trunc("DAY", col("ts"))).as("day_us"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("day_us")).as("cohort_us"))
+    val active = ev.select("user_id", "day_us").distinct()
+    active.join(cohorts, "user_id")
+      .filter(col("day_us") >= col("cohort_us"))
+      .withColumn("day_offset", expr(s"(day_us - cohort_us) div $DayUs"))
+      .groupBy("cohort_us", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_us", "day_offset")
+  }
+
+  def cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(date_trunc('day', ts)) AS day_us FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day_us) AS cohort_us FROM ev
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |active AS (SELECT DISTINCT user_id, day_us FROM ev)
+      |SELECT cohort_us, (day_us - cohort_us) // 86400000000 AS day_offset,
+      |  count(DISTINCT user_id) AS n_active
+      |FROM active JOIN cohorts USING (user_id)
+      |WHERE day_us >= cohort_us
+      |GROUP BY 1, 2
+      |ORDER BY cohort_us, day_offset""".stripMargin
+
   def funnelStagesSql: String =
     """WITH v AS (
       |  SELECT user_id, min(epoch_us(ts)) AS view_us

@@ -522,6 +522,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- sink
+
+  test("curated writer: partition pruning layout, bounded files, doc_id-clustered") {
+    val src = Tables.documents(spark, sf0001)
+    val tmp = java.nio.file.Files.createTempDirectory("curated_sink").toString
+    val nFiles = graft.ops.Sink.writeCurated(src, tmp, maxRecordsPerFile = 20L)
+    assert(nFiles > 0)
+    // hive layout by lang; full fidelity on read-back
+    val langs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(langs.nonEmpty && langs.forall(_.startsWith("lang=")), langs.toSeq.toString)
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == src.count())
+    // size bound and per-file doc_id clustering hold for every file
+    import org.apache.spark.sql.functions.input_file_name
+    val perFile = back.select(input_file_name().as("f"), col("doc_id"))
+      .collect().groupBy(_.getString(0)).map { case (_, rs) => rs.map(_.getLong(1)).toSeq }
+    perFile.foreach { ids =>
+      assert(ids.length <= 20, s"file exceeds bound: ${ids.length}")
+      assert(ids == ids.sorted, "doc_id not clustered within file")
+    }
+    // partition pruning is real: a lang filter reads only its directory
+    val pruned = back.filter(col("lang") === "en")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(pruned.nonEmpty && pruned.forall(_.contains("lang=en")))
+  }
+
   // ---------------------------------------------------------------- q88
 
   test("Misra-Gries merged summary honors the n/m bound under heavy eviction") {
