@@ -696,10 +696,19 @@ object Similarity {
   // "the quantizer is a build artifact with a version".
   // -------------------------------------------------------------------
 
-  /** Train + write the IVF artifact for `sfDir`'s embeddings. */
-  def saveIvfIndex(spark: SparkSession, sfDir: String, path: String): Unit = {
+  /** Train + write the IVF artifact for `sfDir`'s embeddings.
+    * `trainIters` = 0 persists the seeded quantizer (what q81/q82's
+    * oracles pin — identical geometry to q42/q60/q66); a positive
+    * value runs that many Lloyd updates first ([[trainedCentroids]]),
+    * which is what a production build does — the artifact then stores
+    * LEARNED centroids and every serving query inherits the better
+    * cluster geometry without re-training. */
+  def saveIvfIndex(spark: SparkSession, sfDir: String, path: String,
+                   trainIters: Int = 0): Unit = {
     val q = quantized(spark, sfDir)
-    val cent = centroids(q)
+    val cent =
+      if (trainIters == 0) centroids(q)
+      else trainedCentroids(spark, sfDir, trainIters)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
     assign
@@ -873,21 +882,44 @@ object Similarity {
     * with map-side combine, independent of corpus size. That driver-
     * small state is what makes the full iterative loop feasible at
     * 100 TB. */
+  /** One Lloyd update: assign every vector to its nearest centroid,
+    * return the integer-mean replacement centroids (cid, cv, cnrm).
+    * Clusters that lose every member drop out of the result (the
+    * classic empty-cluster case; callers that iterate accept the
+    * shrink, as FAISS's default trainer does). */
+  private def lloydStep(q: DataFrame, cent: DataFrame): DataFrame = {
+    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
+    assign.join(q.select(col("vec_id").as("vid"), col("v")), "vid")
+      .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("cx", expr("sx div n"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+      .withColumn("cnrm", qdot(col("cv"), col("cv")))
+  }
+
+  /** The full training loop q73 is one step of: `iters` Lloyd updates
+    * from the seeded centroids, each iteration localCheckpoint'ed (the
+    * k-row centroid table is the ONLY driver-loop state, so lineage
+    * stays flat however many iterations run — the q49 CC discipline). */
+  def trainedCentroids(spark: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    val q = quantized(spark, sfDir)
+    var cent = centroids(q)
+    (0 until iters).foreach { _ =>
+      cent = broadcast(Materialize.tracked(spark, lloydStep(q, cent).localCheckpoint(true)))
+    }
+    cent
+  }
+
   def kmeansIter(spark: SparkSession, sfDir: String): DataFrame = {
     // not materialized: see ivfKnn — the quantize lineage re-runs at
     // scan speed, cheaper than a cache round-trip
     val q = quantized(spark, sfDir)
     val cent0 = centroids(q)
     val assign0 = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent0, "vid", 1)
-    val sums = assign0.join(q.select(col("vec_id").as("vid"), col("v")), "vid")
-      .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy("cid", "d")
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-    val newc = sums.withColumn("cx", expr("sx div n"))
-      .groupBy("cid")
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
-        s => s.getField("cx")).as("cv"))
-      .withColumn("cnrm", qdot(col("cv"), col("cv")))
+    val newc = lloydStep(q, cent0)
     val assign1 = nearestCentroids(
       q.withColumnRenamed("vec_id", "vid"), broadcast(newc), "vid", 1)
     val n0 = assign0.groupBy("cid").agg(count(lit(1)).as("n_before"))

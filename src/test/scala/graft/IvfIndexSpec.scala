@@ -45,6 +45,25 @@ class IvfIndexSpec extends SparkSpec {
       rows(Similarity.hardNegatives(spark, sf0001)))
   }
 
+  test("Lloyd-trained quantizer raises mean assigned similarity; serving API unchanged") {
+    import org.apache.spark.sql.functions._
+    val trainedDir = java.nio.file.Files.createTempDirectory("graft_ivf_trained").toString
+    Similarity.saveIvfIndex(spark, sf0001, trainedDir, trainIters = 2)
+    def meanAssignedSim(dir: String): Double = {
+      val vecs = Similarity.loadIvfVectors(spark, dir)
+      val cent = Similarity.loadIvfCentroids(spark, dir)
+      vecs.join(cent, "cid")
+        .select(Similarity.qcosine(col("cv"), col("v"), col("cnrm"), col("nrm")).as("sim"))
+        .agg(avg(col("sim"))).head().getDouble(0)
+    }
+    val seeded = meanAssignedSim(indexPath)
+    val trained = meanAssignedSim(trainedDir)
+    assert(trained > seeded, s"training must tighten clusters: $trained vs seeded $seeded")
+    // the serving paths run unchanged against learned centroids
+    val sd = Similarity.semanticDedupIndexed(spark, trainedDir)
+    assert(sd.count() == Similarity.loadIvfVectors(spark, trainedDir).count())
+  }
+
   test("pruned probes return well-formed label-filtered top-k from probed lists only") {
     val pruned = Similarity.hardNegativesProbed(spark, indexPath, Similarity.NProbe)
     val got = pruned.collect()
