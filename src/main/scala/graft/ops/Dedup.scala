@@ -1246,8 +1246,13 @@ object Dedup {
     * is the shared diameter-bounded min-label loop (driver holds one
     * count per round, lineage checkpoint-truncated). The final stats
     * are one shuffle by source with map-side combine. */
-  def dedupSurvivors(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits): DataFrame = {
+  /** Per-doc survivorship verdicts (doc_id, source, n_tokens, kept):
+    * exact-hash and MinHash near-dup edges resolve through shared
+    * connected components; a doc survives iff it is its component's
+    * minimum (or untouched by any edge). Row-level so composite
+    * pipelines act on the same verdicts the q74 report aggregates. */
+  private[graft] def survivorFlags(spark: SparkSession, sfDir: String,
+                                   bits: Int = DefaultHashBits): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
@@ -1260,6 +1265,12 @@ object Dedup {
     val comp = starComponents(exactEdges.unionAll(nearEdges))
     docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("kept", col("doc_id") === coalesce(col("label"), col("doc_id")))
+      .select("doc_id", "source", "n_tokens", "kept")
+  }
+
+  def dedupSurvivors(spark: SparkSession, sfDir: String,
+                     bits: Int = DefaultHashBits): DataFrame = {
+    survivorFlags(spark, sfDir, bits)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

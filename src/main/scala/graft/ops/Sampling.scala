@@ -18,7 +18,7 @@ object Sampling {
   /** Portable 32-bit hash of the doc_id column: first 8 hex nibbles of
     * md5(cast(doc_id as string)) — the same construction the dedup
     * operators use for shingles, and bit-identical in DuckDB. */
-  private def docIdHash: Column =
+  private[ops] def docIdHash: Column =
     (0 until 8).map { j =>
       val w = 1L << (4 * (7 - j))
       (expr(s"instr('0123456789abcdef', substring(md5(cast(doc_id as string)), ${j + 1}, 1))")

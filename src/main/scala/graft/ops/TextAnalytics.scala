@@ -739,7 +739,11 @@ object TextAnalytics {
     * exact-dup roots reuse q13's one-shuffle min-per-hash; the final
     * report is one aggregation by source. Each stage flag derives from
     * the previous with AND — no per-stage passes over the corpus. */
-  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc funnel verdicts (doc_id, source, n, s1..s5): the five
+    * cumulative quality gates of q79, exposed row-level so composite
+    * pipelines (CurationPipeline) can act on the SAME verdicts the
+    * report aggregates. */
+  private[ops] def funnelFlags(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("t"))
     val stats = d.select(
@@ -758,6 +762,11 @@ object TextAnalytics {
       .withColumn("s3", col("s2") && expr("stop * 1000 div n") >= FunnelMinStopPermille)
       .withColumn("s4", col("s3") && col("doc_id") === col("root"))
       .withColumn("s5", col("s4") && expr("topf * 1000 div n") <= FunnelMaxTopPermille)
+      .select("doc_id", "source", "n", "s1", "s2", "s3", "s4", "s5")
+  }
+
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    funnelFlags(spark, sfDir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -522,6 +522,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------- pipeline
+
+  test("curation pipeline: monotone funnel, dup-free output, report reconciles with the files") {
+    val out = java.nio.file.Files.createTempDirectory("curation_run").toString
+    val report = graft.ops.CurationPipeline.run(spark, sf0001, out).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      val (n, q, d, w) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= q && q >= d && d >= w, s"stage counts must shrink: $r")
+    }
+    val written = spark.read.parquet(out)
+    assert(written.count() == report.map(_.getLong(4)).sum)
+    // no exact duplicates survive
+    val texts = written.select("text").collect().map(_.getString(0))
+    assert(texts.distinct.length == texts.length, "exact dup in curated output")
+    // every written doc passed the quality gates (spot: token length bound)
+    val lens = written.select(size(TextAnalytics.tokens(col("text"))).cast("long")).collect().map(_.getLong(0))
+    lens.foreach(n => assert(n >= TextAnalytics.FunnelMinTokens && n <= TextAnalytics.FunnelMaxTokens))
+  }
+
   // ---------------------------------------------------------------- sink
 
   test("curated writer: partition pruning layout, bounded files, doc_id-clustered") {
