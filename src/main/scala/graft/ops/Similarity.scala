@@ -235,12 +235,74 @@ object Similarity {
       .select(col(keyCol), col("cid"))
   }
 
+  /** Scan-local nearest-centroid assignment: the k-row centroid table
+    * is collected (driver-bounded by construction — it IS the
+    * quantizer, the same bound as AnnIndex.loadPlanes) and broadcast
+    * as a plain value, and every corpus row computes its argmax
+    * IN the scan projection with the identical integer-dot /
+    * correctly-rounded double arithmetic as qcosine (same op order),
+    * ties to the lowest cid — bit-equal to the window formulation of
+    * nearestCentroids(keep=1), with NO corpus shuffle at all. The
+    * window form survives for multi-probe lookups over the (tiny)
+    * query sets, where a shuffle of 10 rows is irrelevant.
+    * Output: (vid, label, cid, v, nrm). */
+  private def collectCentroids(cent: DataFrame): Array[(Long, Array[Long], Long)] =
+    cent.select(col("cid"), col("cv"), col("cnrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+
+  // The SEEDED quantizer (first NCentroids vectors) is a pure function
+  // of (session, sfDir); memoizing its collected values spares every
+  // IVF-family query the centroid-scan job at assignment time — the
+  // same train-once discipline as preparedIvfIndex, applied to the
+  // in-session value. Trained/ad-hoc centroid tables are NOT cached
+  // (they differ per call).
+  private val seededCentroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long], Long)]]()
+  private def seededCentroidValues(spark: SparkSession, sfDir: String): Array[(Long, Array[Long], Long)] =
+    seededCentroidCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}:$sfDir",
+      _ => collectCentroids(centroids(quantized(spark, sfDir))))
+
+  private def assignedVectors(q: DataFrame, cent: DataFrame): DataFrame =
+    assignedVectors(q, collectCentroids(cent))
+
+  private def assignedVectors(q: DataFrame, cents: Array[(Long, Array[Long], Long)]): DataFrame = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    q.select(col("vec_id"), col("label").cast("int"), col("v"), col("nrm"))
+      .as[(Long, Int, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (vid, label, v, nrm) =>
+          val sq = math.sqrt(nrm.toDouble)
+          var bestCid = -1L
+          var bestSim = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val c = cs(i)
+            val cv = c._2
+            var k = 0; var dot = 0L
+            while (k < v.length) { dot += cv(k) * v(k); k += 1 }
+            // qcosine op order: dot / (sqrt(cnrm) * sqrt(nrm))
+            val sim = dot.toDouble / (math.sqrt(c._3.toDouble) * sq)
+            // strict > over ascending cids = (csim desc, cid asc) ties
+            if (sim > bestSim) { bestSim = sim; bestCid = c._1 }
+            i += 1
+          }
+          (vid, label, bestCid, v, nrm)
+        }
+      }
+      .toDF("vid", "label", "cid", "v", "nrm")
+  }
+
   /** IVF candidate pairs: probe lists joined to assignments. `q` feeds
     * several consumers with different keys, so callers pass a
     * materialized frame (Materialize.shared). */
-  private def ivfCandidates(q: DataFrame): DataFrame = {
+  private def ivfCandidates(spark: SparkSession, sfDir: String, q: DataFrame): DataFrame = {
     val cent = centroids(q)
-    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
+    val assign = assignedVectors(q, seededCentroidValues(spark, sfDir)).select("vid", "cid")
     val probes = nearestCentroids(
       q.filter(col("vec_id") < Consts.KnnQueries).withColumnRenamed("vec_id", "qid"),
       cent, "qid", NProbe)
@@ -272,7 +334,7 @@ object Similarity {
     // Materialize.shared recipe pays off for expensive lineages (the
     // 5M-digest shingle table), not scan-speed projections
     val q = quantized(spark, sfDir)
-    exactTopK(ivfCandidates(q), q)
+    exactTopK(ivfCandidates(spark, sfDir, q), q)
   }
 
   // -------------------------------------------------------------------
@@ -453,7 +515,7 @@ object Similarity {
     // not materialized: see ivfKnn — the quantize lineage re-runs at
     // scan speed, cheaper than a cache round-trip
     val q = quantized(spark, sfDir)
-    val cands = ivfCandidates(q)
+    val cands = ivfCandidates(spark, sfDir, q)
     val subs = pqSubvectors(q)
     val cb = pqCodebook(subs)
     val codes = pqCodes(subs, cb).withColumnRenamed("vec_id", "nid")
@@ -588,9 +650,8 @@ object Similarity {
     * baseline so both see identical cluster geometry. */
   private def semanticAssigned(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(spark, sfDir)
-    val cent = centroids(q)
-    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
-    assign.join(q.select(col("vec_id").as("vid"), col("v"), col("nrm")), "vid")
+    // payloads ride the assignment map — no corpus self-join on vid
+    assignedVectors(q, seededCentroidValues(spark, sfDir)).select("vid", "cid", "v", "nrm")
   }
 
   /** Row-level pair-join formulation (one Catalyst evaluation per
@@ -710,9 +771,10 @@ object Similarity {
       if (trainIters == 0) centroids(q)
       else trainedCentroids(spark, sfDir, trainIters)
     cent.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
-    assign
-      .join(q.select(col("vec_id").as("vid"), col("label"), col("v"), col("nrm")), "vid")
+    // payloads ride the scan-local assignment — the build is one pass
+    // over the corpus straight into the partitioned write
+    (if (trainIters == 0) assignedVectors(q, seededCentroidValues(spark, sfDir))
+     else assignedVectors(q, cent))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
   }
 
@@ -795,10 +857,7 @@ object Similarity {
   def prototypeScores(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(spark, sfDir)
     val cent = centroids(q)
-    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
-    val av = assign
-      .join(q.select(col("vec_id").as("vid"), col("v"), col("nrm")), "vid")
-      .join(cent, "cid")
+    val av = assignedVectors(q, seededCentroidValues(spark, sfDir)).join(cent, "cid")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(col("proto_sim").desc, col("vid").asc)
     val wc = org.apache.spark.sql.expressions.Window.partitionBy("cid")
@@ -888,8 +947,7 @@ object Similarity {
     * classic empty-cluster case; callers that iterate accept the
     * shrink, as FAISS's default trainer does). */
   private def lloydStep(q: DataFrame, cent: DataFrame): DataFrame = {
-    val assign = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent, "vid", 1)
-    assign.join(q.select(col("vec_id").as("vid"), col("v")), "vid")
+    assignedVectors(q, cent)
       .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("cid", "d")
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
@@ -918,10 +976,9 @@ object Similarity {
     // scan speed, cheaper than a cache round-trip
     val q = quantized(spark, sfDir)
     val cent0 = centroids(q)
-    val assign0 = nearestCentroids(q.withColumnRenamed("vec_id", "vid"), cent0, "vid", 1)
+    val assign0 = assignedVectors(q, seededCentroidValues(spark, sfDir)).select("vid", "cid")
     val newc = lloydStep(q, cent0)
-    val assign1 = nearestCentroids(
-      q.withColumnRenamed("vec_id", "vid"), broadcast(newc), "vid", 1)
+    val assign1 = assignedVectors(q, newc).select("vid", "cid")
     val n0 = assign0.groupBy("cid").agg(count(lit(1)).as("n_before"))
     val n1 = assign1.groupBy("cid").agg(count(lit(1)).as("n_after"))
     n0.join(newc.select(col("cid"),

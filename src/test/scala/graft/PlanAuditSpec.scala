@@ -126,12 +126,14 @@ class PlanAuditSpec extends SparkSpec {
     graft.ops.Materialize.release(spark)
   }
 
-  test("q66/q67: centroids and anchors broadcast; the corpus side never shuffles for them") {
+  test("q66/q67: assignment is scan-local; anchors broadcast; corpus never shuffles for them") {
     val sem = executed(Similarity.semanticDedup(spark, sf0001))
-    // centroid assignment is a broadcast (nested-loop over the 16-row
-    // centroid table), never a corpus shuffle
-    assert(sem.contains("BroadcastNestedLoopJoin") || sem.contains("BroadcastHashJoin"),
-      s"centroid assignment lost its broadcast:\n$sem")
+    // centroid assignment runs INSIDE the scan projection (typed map
+    // over the broadcast k-row centroid value) — no vid-keyed window
+    // shuffle, no assignment join
+    assert(sem.contains("MapPartitions"), s"assignment lost its scan-local map:\n$sem")
+    assert(!sem.contains("WindowGroupLimit"),
+      s"a per-vid window crept back into assignment:\n$sem")
     val hn = Similarity.hardNegatives(spark, sf0001)
     val hnPlan = executed(hn)
     assert(hnPlan.contains("BroadcastNestedLoopJoin"),
@@ -192,6 +194,31 @@ class PlanAuditSpec extends SparkSpec {
             c.startsWith("ba") || c.startsWith("bb")),
           s"cid-keyed join carries row payloads (straggler shape): $out")
       }
+  }
+
+  test("q83: containment candidates ride the sparse equi-join, never a nested loop") {
+    val plan = executed(Dedup.containmentPairs(spark, sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q85: BM25 top-k is physical top-k (TakeOrdered), stats and df broadcast") {
+    val plan = executed(graft.ops.TextAnalytics.bm25Search(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q86: every funnel stage pushes its event_type predicate into the scan") {
+    val plan = executed(graft.ops.Events.funnelStages(spark, sf0001))
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"), plan)
+  }
+
+  test("q87: the only corpus shuffle is the per-cluster ranking window (keyed by cid)") {
+    val df = Similarity.prototypeScores(spark, sf0001)
+    val plan = executed(df)
+    // assignment + centroid re-join are broadcast: no shuffle carries
+    // the vector payloads except the cid-keyed window and final sort
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(shuffleCount(df) <= 2, s"expected window + output sort only:\n$plan")
   }
 
   test("q18: only the bid-only tile enumeration is a nested loop; payloads ride equi-joins") {
