@@ -896,6 +896,23 @@ object Similarity {
        |FROM av
        |ORDER BY vec_id""".stripMargin
 
+  /** Assign an arbitrary embeddings frame (vec_id, embedding, label)
+    * to an artifact's PERSISTED centroids — the add() half of the
+    * FAISS train/add/search split. Streaming ingestion (IvfStream) and
+    * any external corpus go through this one function, so appended
+    * rows share the exact serving geometry of the original build
+    * (assignment is a pure function of the persisted centroid table).
+    * Output matches the artifact's vectors/ schema: (vid, label, cid,
+    * v, nrm). */
+  def assignToIndex(spark: SparkSession, indexPath: String,
+                    embeddings: DataFrame): DataFrame = {
+    val cents = collectCentroids(loadIvfCentroids(spark, indexPath))
+    val q = embeddings
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", qdot(col("v"), col("v")))
+    assignedVectors(q, cents)
+  }
+
   private val ivfEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ivfIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

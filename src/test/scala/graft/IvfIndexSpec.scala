@@ -64,6 +64,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(sd.count() == Similarity.loadIvfVectors(spark, trainedDir).count())
   }
 
+  test("streaming ingestion appends to the frozen-centroid inverted lists; serving sees the rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fresh artifact so the append does not disturb the shared one
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    Similarity.saveIvfIndex(spark, sf0001, idx)
+    val before = Similarity.loadIvfVectors(spark, idx).count()
+    // new vectors arrive: ids beyond the corpus, recognizable payloads
+    val watch = java.nio.file.Files.createTempDirectory("graft_ivf_watch").toString
+    val rnd = new scala.util.Random(3)
+    val newRows = (0 until 40).map { i =>
+      (1000000L + i, Array.fill(64)((rnd.nextFloat() - 0.5f)), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    newRows.write.mode("overwrite").parquet(s"$watch/batch1.parquet")
+    val q = graft.streaming.IvfStream.start(spark, watch, idx)
+    try q.processAllAvailable() finally q.stop()
+    val after = Similarity.loadIvfVectors(spark, idx)
+    assert(after.count() == before + 40)
+    // appended assignments equal the batch assignment of the same rows
+    // (one shared function, but prove it end-to-end through the files)
+    val expected = Similarity.assignToIndex(spark, idx, newRows)
+      .select("vid", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = after.filter(col("vid") >= 1000000L)
+      .select("vid", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // serving path reads the grown lists without retraining
+    assert(Similarity.hardNegativesIndexed(spark, idx).count() > 0)
+  }
+
   test("pruned probes return well-formed label-filtered top-k from probed lists only") {
     val pruned = Similarity.hardNegativesProbed(spark, indexPath, Similarity.NProbe)
     val got = pruned.collect()
