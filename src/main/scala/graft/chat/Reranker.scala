@@ -45,23 +45,34 @@ class OnnxReranker(modelPath: String) extends Reranker {
     * with it, a real cross-encoder's shipped weights score exactly the
     * token pairs they were trained on. Hash-bucketed OnnxTokens stays
     * the vocab-less fallback. */
-  @transient private lazy val tokenizer: Option[ModelTokenizer] =
-    ModelTokenizer.forModel(modelPath)
-
-  private def ids(text: String, budget: Int): Array[Int] = tokenizer match {
-    case Some(tk) => tk.encode(text, budget)
-    case None => OnnxTokens.ids(text, model.vocabSize).take(budget)
+  @transient private lazy val tokenizer: Option[ModelTokenizer] = {
+    val tk = ModelTokenizer.forModel(modelPath)
+    tk.foreach { t =>
+      // same fail-fast contract as OnnxEmbedder: ids must fit the
+      // checkpoint's embedding table or scoring is executor-side UB
+      require(t.vocabSize <= model.vocabSize,
+        s"vocabulary (${t.vocabSize} ids) exceeds the checkpoint's " +
+          s"embedding table (${model.vocabSize} rows)")
+    }
+    tk
   }
 
   override def rerank(query: String, docs: Seq[String]): Seq[Double] = {
     // the query may take at most half the window: an over-long query
     // (pasted stack trace) must not starve the document out of the
     // pair, or every doc would score identically and the rerank would
-    // silently become a no-op
-    val q = ids(query, OnnxTokens.MaxTokens / 2)
+    // silently become a no-op. With a shipped tokenizer the pair is
+    // built in the family's TRAINED format (encodePair — one [CLS],
+    // [SEP]-separated halves), never a concatenation of standalone
+    // encodings; the hash fallback keeps the reserved-separator join.
     docs.map { doc =>
-      val pair = (q :+ OnnxTokens.SepId) ++ ids(doc, OnnxTokens.MaxTokens)
-      val seq = pair.take(OnnxTokens.MaxTokens)
+      val seq = tokenizer match {
+        case Some(tk) => tk.encodePair(query, doc, OnnxTokens.MaxTokens)
+        case None =>
+          val q = OnnxTokens.ids(query, model.vocabSize).take(OnnxTokens.MaxTokens / 2)
+          ((q :+ OnnxTokens.SepId) ++ OnnxTokens.ids(doc, model.vocabSize))
+            .take(OnnxTokens.MaxTokens)
+      }
       model.runTokens(if (seq.isEmpty) Array(OnnxTokens.PadId) else seq)(0).toDouble
     }
   }

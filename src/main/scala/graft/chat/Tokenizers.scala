@@ -38,6 +38,13 @@ sealed trait ModelTokenizer extends Serializable {
   /** Token ids for one text, truncated to `maxTokens`, including any
     * special wrapping the model family expects. Never empty. */
   def encode(text: String, maxTokens: Int): Array[Int]
+
+  /** Cross-encoder (query, doc) PAIR in the family's trained pair
+    * format — not a concatenation of two standalone encodings (which
+    * would plant a second [CLS] mid-sequence). Query gets at most half
+    * the window; the doc fills the rest. */
+  def encodePair(query: String, doc: String, maxTokens: Int): Array[Int]
+
   def vocabSize: Int
 }
 
@@ -99,6 +106,14 @@ final class WordPieceTokenizer(
     val body = basic(text).flatMap(pieces).take(math.max(0, maxTokens - 2))
     (clsId +: body :+ sepId).toArray
   }
+
+  /** BERT pair format: [CLS] query [SEP] doc [SEP]. */
+  override def encodePair(query: String, doc: String, maxTokens: Int): Array[Int] = {
+    val room = math.max(0, maxTokens - 3) // CLS + two SEPs
+    val qb = basic(query).flatMap(pieces).take(math.max(0, maxTokens / 2 - 2))
+    val db = basic(doc).flatMap(pieces).take(math.max(0, room - qb.length))
+    ((clsId +: qb :+ sepId) ++ db :+ sepId).toArray
+  }
 }
 
 object WordPieceTokenizer {
@@ -150,6 +165,13 @@ final class BpeTokenizer(
     val out = ids.take(maxTokens)
     if (out.isEmpty) Array(unkId) else out
   }
+
+  /** GPT-family pair: no special wrapping in this vocabulary model —
+    * the halves concatenate, query capped at half the window. */
+  override def encodePair(query: String, doc: String, maxTokens: Int): Array[Int] = {
+    val q = encode(query, maxTokens / 2)
+    (q ++ encode(doc, math.max(1, maxTokens - q.length))).take(maxTokens)
+  }
 }
 
 object BpeTokenizer {
@@ -184,10 +206,16 @@ object BpeTokenizer {
     val vocab = entry.findAllMatchIn(json).map { m =>
       (unescapeJson(m.group(1)), m.group(2).toInt)
     }.toMap
+    // only the conventional FIRST-line "#version" header is a comment:
+    // '#' is a printable byte that maps to itself in the byte-level
+    // table, so real merge rules can legitimately start with '#'
+    // (they produce the '##'/'###' tokens of code-heavy vocabularies)
+    // and must not be dropped
     val merges = Files.readAllLines(Paths.get(mergesPath), StandardCharsets.UTF_8).asScala
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map { l => val Array(a, b) = l.split(" ", 2); (a, b) }
+      .zipWithIndex
+      .filterNot { case (l, i) => l.isEmpty || (i == 0 && l.startsWith("#version")) }
+      .map { case (l, _) => val Array(a, b) = l.split(" ", 2); (a, b) }
       .toSeq
     new BpeTokenizer(vocab, merges)
   }

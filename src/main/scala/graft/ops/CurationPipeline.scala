@@ -41,8 +41,6 @@ object CurationPipeline {
     val written = capped.drop("pass_quality", "kept", "cap_h", "cap_rn")
     Sink.writeCurated(written, outPath)
     judged
-      .withColumn("capped_in",
-        col("pass_quality") && col("kept")) // pre-cap survivor mask
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

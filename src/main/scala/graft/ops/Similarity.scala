@@ -256,13 +256,20 @@ object Similarity {
   // IVF-family query the centroid-scan job at assignment time — the
   // same train-once discipline as preparedIvfIndex, applied to the
   // in-session value. Trained/ad-hoc centroid tables are NOT cached
-  // (they differ per call).
+  // (they differ per call). Keyed on the SESSION INSTANCE (the
+  // Materialize discipline — sessions are few and long-lived; an
+  // identity-hash string key could alias a dead session's entry after
+  // GC). Assumes sfDir contents are immutable for the session's life,
+  // which holds for the driver's testdata and the specs' one-shot
+  // temp dirs.
   private val seededCentroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long], Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Long], Long)]]]()
   private def seededCentroidValues(spark: SparkSession, sfDir: String): Array[(Long, Array[Long], Long)] =
-    seededCentroidCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$sfDir",
-      _ => collectCentroids(centroids(quantized(spark, sfDir))))
+    seededCentroidCache
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(sfDir,
+        _ => collectCentroids(centroids(quantized(spark, sfDir))))
 
   private def assignedVectors(q: DataFrame, cent: DataFrame): DataFrame =
     assignedVectors(q, collectCentroids(cent))
@@ -278,7 +285,7 @@ object Similarity {
         it.map { case (vid, label, v, nrm) =>
           val sq = math.sqrt(nrm.toDouble)
           var bestCid = -1L
-          var bestSim = Double.NegativeInfinity
+          var bestSim = 0.0
           var i = 0
           while (i < cs.length) {
             val c = cs(i)
@@ -287,8 +294,14 @@ object Similarity {
             while (k < v.length) { dot += cv(k) * v(k); k += 1 }
             // qcosine op order: dot / (sqrt(cnrm) * sqrt(nrm))
             val sim = dot.toDouble / (math.sqrt(c._3.toDouble) * sq)
-            // strict > over ascending cids = (csim desc, cid asc) ties
-            if (sim > bestSim) { bestSim = sim; bestCid = c._1 }
+            // strict > over ascending cids = the window's (csim desc,
+            // cid asc) tie-break; Double.compare mirrors Spark's total
+            // order on doubles (NaN greatest), so a zero-norm vector —
+            // every sim NaN — lands on the lowest cid exactly like the
+            // window formulation, never on a phantom cid
+            if (bestCid == -1L || java.lang.Double.compare(sim, bestSim) > 0) {
+              bestSim = sim; bestCid = c._1
+            }
             i += 1
           }
           (vid, label, bestCid, v, nrm)
@@ -915,15 +928,16 @@ object Similarity {
 
   private val ivfEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
   private val ivfIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
 
   /** Session-cached artifact build (the q41 prepareBuckets discipline:
     * the index WRITE is the untimed build half; the timed query is the
-    * serving read). */
+    * serving read). Session-instance keyed like seededCentroidValues. */
   def preparedIvfIndex(spark: SparkSession, sfDir: String): String =
-    ivfIndexes.computeIfAbsent(
-      s"${System.identityHashCode(spark)}:$sfDir",
-      _ => {
+    ivfIndexes
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(sfDir, _ => {
         val path = s"/tmp/graft_ivf_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${ivfEpoch.incrementAndGet()}"
         saveIvfIndex(spark, sfDir, path)
         path

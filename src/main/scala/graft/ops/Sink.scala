@@ -35,8 +35,14 @@ object Sink {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("lang")
       .parquet(path)
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-    try walk.filter(_.toString.endsWith(".parquet")).count()
-    finally walk.close()
+    // count through the Hadoop FileSystem API, not java.nio: the write
+    // path accepts any Spark-writable URI (hdfs://, s3a://), and the
+    // post-write count must not fail on the non-local ones
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val it = fs.listFiles(hPath, true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1L }
+    n
   }
 }

@@ -53,16 +53,18 @@ object Sketches {
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
     val l = Tables.lineitem(spark, sfDir)
-    // sized to the build side: ~1/5 of orders are URGENT, and the
-    // default sizing (4M items / 8M bits = 1 MB serialized) makes the
-    // bitmap literal the dominant cost of the probe's codegen + task
-    // broadcast. 64k expected items / 512k bits = 64 KB at the same
-    // ~1% fpp — at a larger SF the estimate scales with the build
-    // cardinality, exactly like Spark's own runtime bloom join sizing
+    // sized to the build side: the default (4M items / 8M bits = 1 MB
+    // serialized) makes the bitmap literal the dominant cost of the
+    // probe's codegen + task broadcast. 64k items / 512k bits = 64 KB
+    // covers the tested SFs (~30k URGENT keys at sf0.1) at ~1% fpp; a
+    // production caller sizes from its own build-side estimate — an
+    // UNDERSIZED filter only loses pruning (fpp degrades toward 1),
+    // never correctness, because the exact semi-join follows
+    val bloomExpectedItems = 65536L
     val buildAgg = new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(col("o_orderkey")))),
-      org.apache.spark.sql.catalyst.expressions.Literal(65536L),
-      org.apache.spark.sql.catalyst.expressions.Literal(524288L))
+      org.apache.spark.sql.catalyst.expressions.Literal(bloomExpectedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(bloomExpectedItems * 8L))
       .toAggregateExpression()
     val bloomBytes = o.select(Bridge.column(buildAgg).as("bloom"))
       .head().getAs[Array[Byte]](0) // the ONLY extra job
@@ -233,9 +235,15 @@ object Sketches {
     val toks = Tables.documents(spark, sfDir)
       .select(explode(graft.ops.TextAnalytics.tokens(col("text"))).as("tok"))
     val total = broadcast(toks.agg(count(lit(1)).as("n_total")))
+    // rank via the knnExact discipline: the limit's output is made
+    // explicitly single-partition and locally re-sorted before ids are
+    // assigned — monotonically_increasing_id alone is NOT guaranteed
+    // to follow the orderBy once plans shift
     toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("tok").asc)
       .limit(TopTokensK)
+      .coalesce(1)
+      .sortWithinPartitions(col("n_exact").desc, col("tok").asc)
       .withColumn("rank", monotonically_increasing_id() + 1L)
       .join(estDf, Seq("tok"), "left")
       .crossJoin(total)

@@ -256,6 +256,30 @@ class OnnxSpec extends SparkSpec {
     assert(tk.encode("z", 16).toSeq == Seq(0))
   }
 
+  test("WordPiece cross-encoder pair: one CLS, SEP-separated halves, never a mid-sequence CLS") {
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "b").zipWithIndex.toMap
+    val tk = new WordPieceTokenizer(vocab)
+    // [CLS] a [SEP] b [SEP] — the BERT trained pair format
+    assert(tk.encodePair("a", "b", 16).toSeq == Seq(2, 4, 3, 5, 3))
+    // doc fills what the query leaves; a long query keeps half the window
+    val pair = tk.encodePair("a a a a a a a a a a", "b b b b b b", 8)
+    assert(pair.length <= 8)
+    assert(pair.count(_ == 2) == 1, "exactly one [CLS]")
+    assert(pair.count(_ == 3) == 2, "exactly two [SEP]s")
+  }
+
+  test("BPE merges: '#'-leading rules are real merges; only the #version header is skipped") {
+    val dir = Files.createTempDirectory("graft_bpe_hash")
+    Files.write(dir.resolve("vocab.json"),
+      """{"<unk>": 0, "#": 1, "##": 2}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(dir.resolve("merges.txt"),
+      "#version: 0.2\n# #\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tk = BpeTokenizer.fromFiles(s"$dir/vocab.json", s"$dir/merges.txt")
+    // the "# #" rule survives loading, so '##' merges to its vocab token
+    assert(tk.encode("##", 8).toSeq == Seq(2))
+  }
+
   test("BPE artifacts load from vocab.json + merges.txt") {
     val dir = Files.createTempDirectory("graft_bpe_artifacts")
     val G = BpeTokenizer.SpaceMarker
