@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(ChunkText.description)
     ext.injectFunction(CosineDistanceFn.description)
+    ext.injectFunction(SimHashFn.description)
+    ext.injectFunction(ShingleHashesFn.description)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectOptimizerRule(session => AnnPushdownRule(session))
   }
@@ -49,6 +51,32 @@ object CosineDistanceFn {
       case Seq(a, b) => graft.functions.CosineDistanceExpr(a, b)
       case _ => throw new IllegalArgumentException(
         "cosine_distance(a, b) takes exactly 2 array arguments")
+    })
+}
+
+/** `simhash16(text)` — the q16 per-doc signature as a SQL scalar. */
+object SimHashFn {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[graft.functions.SimHash16].getName, "simhash16"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => graft.functions.SimHash16(t)
+      case _ => throw new IllegalArgumentException(
+        "simhash16(text) takes exactly 1 string argument")
+    })
+}
+
+/** `shingle_hashes(text[, bits])` — the per-doc shingle-hash set as a
+  * SQL scalar (64-bit library default; 32 = oracle width). */
+object ShingleHashesFn {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("shingle_hashes"),
+    new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName, "shingle_hashes"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => graft.functions.ShingleHashes(t, graft.ops.Dedup.DefaultHashBits)
+      case Seq(t, Literal(b: Int, IntegerType)) => graft.functions.ShingleHashes(t, b)
+      case _ => throw new IllegalArgumentException(
+        "shingle_hashes(text[, bits]) takes a string and an optional int literal")
     })
 }
 

@@ -186,4 +186,41 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!knn.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
     assert(knn.collect().length == 3)
   }
+
+  test("simhash16 SQL scalar equals the q16 batch signature for every doc") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, simhash16(text) AS simhash FROM ext_docs ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaOp = graft.ops.Dedup.simhash(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaOp)
+  }
+
+  test("shingle_hashes SQL scalar matches the dedup shingle primitive at both widths") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("ext_docs2")
+    val rows = spark.sql(
+      """SELECT doc_id, shingle_hashes(text) AS s64, shingle_hashes(text, 32) AS s32
+        |FROM ext_docs2 ORDER BY doc_id""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val texts = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(20).foreach { r =>
+      val t = texts(r.getLong(0)).trim.split("\\s+").filter(_.nonEmpty)
+      val expect32 =
+        if (t.length < 3) Seq.empty[Long]
+        else (0 to t.length - 3).map { i =>
+          val d = md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }.distinct.sorted
+      assert(r.getSeq[Long](2) == expect32, s"doc ${r.getLong(0)} 32-bit mismatch")
+      // the two widths agree as SETS when no 32-bit collision occurs
+      assert(r.getSeq[Long](1).length == expect32.length)
+    }
+  }
 }
