@@ -120,7 +120,8 @@ object SparkEntry {
     // summary-dependent, but the deterministic n/m bound is pinned by
     // the hash gate (the q45/q56 checked-sketch pattern)
     "q88_top_tokens"        -> Sketches.topTokensChecked _,
-    "q89_cohort_retention"  -> Events.cohortRetention _
+    "q89_cohort_retention"  -> Events.cohortRetention _,
+    "q90_anomaly_windows"   -> Events.anomalyWindows _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -268,6 +269,7 @@ object SparkEntry {
     "q86_funnel_stages"     -> Events.funnelStagesSql,
     "q87_ssl_prototypes"    -> Similarity.prototypeScoresSql,
     "q88_top_tokens"        -> Sketches.topTokensCheckedSql,
-    "q89_cohort_retention"  -> Events.cohortRetentionSql
+    "q89_cohort_retention"  -> Events.cohortRetentionSql,
+    "q90_anomaly_windows"   -> Events.anomalyWindowsSql
   )
 }

@@ -317,6 +317,63 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** q90: volume-anomaly report — for each event type, the hours whose
+    * event count deviates most from the type's own distribution. The
+    * score is the z-score under a fixed monotone rescale that keeps
+    * every input INTEGER until the final two float ops:
+    *
+    *   score = (n·H − S) / sqrt(H·Q − S²)   (= z · sqrt(H·(H−1)/H²…),
+    *
+    * with H = hours observed, S = Σn, Q = Σn² per type — one sqrt and
+    * one divide on exactly-representable integers, so ranks and values
+    * hash-match the oracle (the q85 no-libm discipline; a textbook
+    * (n−μ)/σ chains enough cancellation-prone float ops to make
+    * cross-engine hashing fragile). Top-5 hours per type by |score|.
+    *
+    * Scale shape: the hourly count table is the q21 aggregate; the
+    * per-type moments are a 5-row broadcast; the top-k is a window
+    * with WindowGroupLimit pre-shuffle pruning. */
+  def anomalyWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    val moments = broadcast(hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("h"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(abs(col("score")).desc, col("window_start_us").asc)
+    hourly.join(moments, "event_type")
+      .withColumn("score",
+        expr("cast(n * h - s as double) / sqrt(cast(h * q2 - s * s as double))"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("window_start_us"),
+        col("n"), col("score"))
+      .orderBy("event_type", "rank")
+  }
+
+  def anomalyWindowsSql: String =
+    """WITH hourly AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      |    cast(count(*) as bigint) AS n
+      |  FROM events GROUP BY 1, 2),
+      |moments AS (
+      |  SELECT event_type, cast(count(*) as bigint) AS h,
+      |    cast(sum(n) as bigint) AS s, cast(sum(n * n) as bigint) AS q2
+      |  FROM hourly GROUP BY event_type)
+      |SELECT event_type, rank, window_start_us, n, score FROM (
+      |  SELECT hourly.event_type, window_start_us, n,
+      |    cast(n * h - s as double) / sqrt(cast(h * q2 - s * s as double)) AS score,
+      |    cast(row_number() OVER (PARTITION BY hourly.event_type
+      |      ORDER BY abs(cast(n * h - s as double) / sqrt(cast(h * q2 - s * s as double))) DESC,
+      |      window_start_us ASC) as bigint) AS rank
+      |  FROM hourly JOIN moments ON hourly.event_type = moments.event_type)
+      |WHERE rank <= 5
+      |ORDER BY event_type, rank""".stripMargin
+
   /** q89: cohort retention — users grouped by first-signup day, counted
     * as active for every later day they produce any event. The third
     * leg of the analytics trio (q22 sessions, q86 funnel, this).
