@@ -484,12 +484,47 @@ object Dedup {
   /** (doc_id, simhash) without the presentation sort — the join inputs
     * in simhashPairs build on this so no useless sort sits under a
     * shuffle. */
+  /** Per-doc 16-bit signature at SCAN SPEED: a doc's tokens live in
+    * one row, so the whole vote/threshold computation is row-local —
+    * no token-stream shuffle at all (the q69/q33/q14 discipline). The
+    * arithmetic is byte-for-byte the `functions.SimHash16` scalar (the
+    * SQL surface) and vote-equivalent to the NibbleHighMask kernel
+    * formulation below, which remains the streaming hot path
+    * (DedupStream) and the spec cross-check baseline here. */
   private def simhashFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    // One fused codegen pass extracts all 16 high-nibble bits of the
-    // md5 hex into a single long mask (NibbleHighMask); the per-bit
-    // +/-1 vote sum b_k = 2*count(bit k set) - count(*), so 16
-    // substring/isin CASE sums (the round-2 2.4x regression) become 16
-    // native shift-and-mask sums plus one count.
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, txt) =>
+          val votes = new Array[Long](Consts.SimHashBits)
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) {
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              var k = 0
+              while (k < Consts.SimHashBits) {
+                val nib = if (k % 2 == 0) (d(k / 2) >> 4) & 0xf else d(k / 2) & 0xf
+                votes(k) += (if (nib >= 8) 1L else -1L)
+                k += 1
+              }
+            }
+          }
+          var hash = 0L
+          var k = 0
+          while (k < Consts.SimHashBits) { if (votes(k) > 0L) hash |= (1L << k); k += 1 }
+          (id, hash)
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** The fused-kernel formulation (NibbleHighMask projection over the
+    * exploded token stream + 16 shift-and-mask partial sums): the
+    * declarative baseline the scan-local default is spec-checked
+    * against, and the shape the streaming path uses per micro-batch. */
+  private[graft] def simhashFrameKernel(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("m", graft.functions.NibbleHighMask(md5(col("tok").cast("binary"))))
@@ -544,7 +579,9 @@ object Dedup {
     * signatures and step 3's cost tracks the answer size — both
     * irreducible — while the doc-count-quadratic nested loop is gone. */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhashFrame(spark, sfDir)
+    // three consumers (distinct signatures, both doc-attach sides,
+    // same-signature pairs); the cached table is two longs per doc
+    val sig = Materialize.shared(spark, simhashFrame(spark, sfDir))
     val sigs = sig.select("simhash").distinct()
     val bandBits = Consts.SimHashBits / Consts.SimhashBands
     val bandVals = (0 until Consts.SimhashBands).map { b =>

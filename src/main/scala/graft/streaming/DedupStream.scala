@@ -10,9 +10,9 @@ import graft.core.Consts
   * streaming dedup (`EventStream.dedupStream`) misses templated
   * near-copies, which is what this catches.
   *
-  * Shape: the 16-bit simhash is computed MAP-SIDE per document (same
-  * md5-nibble vote kernel as the batch `simhashFrame` /
-  * `functions.NibbleHighMask`, so batch and stream agree bit-for-bit),
+  * Shape: the 16-bit simhash is computed MAP-SIDE per document (the
+  * `functions.NibbleHighMask` md5-nibble vote kernel — spec-pinned
+  * bit-for-bit equal to the batch scan-local `simhashFrame`),
   * each doc fans out to its `SimhashBands` band buckets, and one
   * stateful operator per bucket keeps the signatures seen so far.
   * Hamming <= `SimhashMaxHamming` against any stored signature flags

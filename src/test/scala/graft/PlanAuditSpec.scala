@@ -96,15 +96,22 @@ class PlanAuditSpec extends SparkSpec {
       binned.queryExecution.executedPlan.toString)
   }
 
-  test("q16: one fused NibbleHighMask projection feeds native shift-and-mask partial sums") {
+  test("q16: signatures are scan-local; the kernel baseline keeps its fused projection") {
+    // the default computes each doc's signature inside the scan
+    // projection — no token-stream shuffle at all
     val df = Dedup.simhash(spark, sf0001)
     val plan = executed(df)
-    // the per-token kernel runs ONCE per row (one codegen expression),
-    // not as 16 substring/isin walks over the hash
-    assert("nibblehighmask".r.findAllIn(plan.toLowerCase).size >= 1, plan)
+    assert(plan.contains("MapPartitions"), plan)
     assert(!plan.contains("substring"), s"string-walk formulation crept back:\n$plan")
-    // map-side combine: partial + final aggregate around one exchange
-    assert(plan.contains("partial_sum"), plan)
+    // the kernel formulation (streaming's per-batch shape) still runs
+    // NibbleHighMask once per token with map-side partial sums, and
+    // agrees bit-for-bit with the scan-local default
+    val kernel = Dedup.simhashFrameKernel(spark, sf0001)
+    val kplan = executed(kernel)
+    assert("nibblehighmask".r.findAllIn(kplan.toLowerCase).size >= 1, kplan)
+    assert(kplan.contains("partial_sum"), kplan)
+    assert(kernel.orderBy("doc_id").collect().toSeq ==
+      df.collect().toSeq, "kernel and scan-local signatures diverged")
   }
 
   test("simhashClusters: signature-level edges join by band equality, never a nested loop") {
