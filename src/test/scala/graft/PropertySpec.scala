@@ -155,6 +155,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  private val wordsGen: Gen[List[String]] =
+    Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)))
+
+  test("WordPiece encode/encodePair honor the window and the special-token contract") {
+    val vocab = (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++
+      ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c")).zipWithIndex.toMap
+    val tk = new graft.chat.WordPieceTokenizer(vocab)
+    val cls = vocab("[CLS]"); val sep = vocab("[SEP]")
+    forAll(wordsGen, Gen.chooseNum(3, 48)) { (ws: List[String], m: Int) =>
+      val enc = tk.encode(ws.mkString(" "), m)
+      assert(enc.length <= m && enc.head == cls && enc.last == sep)
+      val pair = tk.encodePair(ws.mkString(" "), ws.reverse.mkString(" "), m)
+      assert(pair.length <= m, s"pair ${pair.length} > window $m")
+      assert(pair.head == cls && pair.count(_ == cls) == 1, "exactly one leading [CLS]")
+      assert(pair.count(_ == sep) == 2 && pair.last == sep, "two [SEP]s, one trailing")
+    }
+  }
+
+  test("byte-level BPE mapping is injective (distinct strings never collide)") {
+    forAll(Gen.alphaNumStr.map(_.take(20)), Gen.alphaNumStr.map(_.take(20))) { (a, b) =>
+      val ma = graft.chat.BpeTokenizer.toByteLevel(a)
+      val mb = graft.chat.BpeTokenizer.toByteLevel(b)
+      assert((ma == mb) == (a == b), s"'$a'/'$b' -> '$ma'/'$mb'")
+    }
+  }
+
+  test("simhash16: token-order insensitive and invariant under corpus doubling") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(text: String): Long =
+      graft.functions.SimHash16(Literal(UTF8String.fromString(text),
+        org.apache.spark.sql.types.StringType)).eval(null).asInstanceOf[Long]
+    forAll(wordsGen) { ws =>
+      val text = ws.mkString(" ")
+      // votes are sums over tokens: any permutation signs identically
+      val perm = ws.reverse.mkString(" ")
+      assert(sig(text) == sig(perm))
+      // doubling every token doubles every vote: signs cannot flip
+      assert(sig(text) == sig((ws ++ ws).mkString(" ")))
+      assert(sig(text) >= 0L && sig(text) < (1L << 16))
+    }
+  }
+
   test("minhash linear permutations stay within [0, p)") {
     import graft.core.Consts
     forAll(Gen.chooseNum(0L, (1L << 32) - 1)) { hv: Long =>
