@@ -121,7 +121,8 @@ object SparkEntry {
     // the hash gate (the q45/q56 checked-sketch pattern)
     "q88_top_tokens"        -> Sketches.topTokensChecked _,
     "q89_cohort_retention"  -> Events.cohortRetention _,
-    "q90_anomaly_windows"   -> Events.anomalyWindows _
+    "q90_anomaly_windows"   -> Events.anomalyWindows _,
+    "q91_cluster_split"     -> ((s: SparkSession, d: String) => Dedup.clusterSplit(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -270,6 +271,7 @@ object SparkEntry {
     "q87_ssl_prototypes"    -> Similarity.prototypeScoresSql,
     "q88_top_tokens"        -> Sketches.topTokensCheckedSql,
     "q89_cohort_retention"  -> Events.cohortRetentionSql,
-    "q90_anomaly_windows"   -> Events.anomalyWindowsSql
+    "q90_anomaly_windows"   -> Events.anomalyWindowsSql,
+    "q91_cluster_split"     -> Dedup.clusterSplitSql
   )
 }

@@ -1349,6 +1349,99 @@ object Dedup {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** q91: CLUSTER-AWARE train/val/test split — the leakage guard a
+    * training pipeline needs between dedup and splitting: two near-
+    * duplicate documents on opposite sides of the train/test boundary
+    * are memorization leakage, so the split must be decided per
+    * CONNECTED COMPONENT, not per document. Assignment hashes the
+    * component ROOT with q50's exact bucket arithmetic — every member
+    * of a cluster lands whole in one split by construction — and the
+    * report contrasts with the naive per-doc hash split, counting the
+    * clusters naive assignment would have torn across splits.
+    *
+    * Scale shape: the component resolution is the shared star/union-
+    * find machinery (q49/q74); everything after it is one scan-time
+    * hash map and a cluster-then-split pair of keyed aggregations. */
+  def clusterSplit(spark: SparkSession, sfDir: String,
+                   bits: Int = DefaultHashBits): DataFrame = {
+    def hash32(colName: String): org.apache.spark.sql.Column =
+      (0 until 8).map { j =>
+        val w = 1L << (4 * (7 - j))
+        (expr(s"instr('0123456789abcdef', substring(md5(cast($colName as string)), ${j + 1}, 1))")
+          .cast("long") - 1) * w
+      }.reduce(_ + _)
+    def splitOf(bucket: org.apache.spark.sql.Column) =
+      when(bucket < Sampling.TrainPct, "train")
+        .when(bucket < Sampling.TrainPct + Sampling.ValPct, "val")
+        .otherwise("test")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val minPerHash = docs.groupBy("h").agg(min("doc_id").as("hroot"))
+    val exactEdges = docs.join(minPerHash, "h")
+      .filter(col("doc_id") =!= col("hroot"))
+      .select(col("hroot").as("doc_a"), col("doc_id").as("doc_b"))
+    val nearEdges = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val comp = starComponents(exactEdges.unionAll(nearEdges))
+    docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("root", coalesce(col("label"), col("doc_id")))
+      .withColumn("split", splitOf(pmod(hash32("root"), lit(100L))))
+      .withColumn("naive_split", splitOf(pmod(hash32("doc_id"), lit(100L))))
+      .groupBy("root", "split")
+      .agg(count(lit(1)).as("nd"),
+        countDistinct(col("naive_split")).as("n_naive"))
+      .groupBy("split")
+      .agg(sum(col("nd")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("n_naive") > 1, 1L).otherwise(0L)).as("naive_mixed_clusters"))
+      .orderBy("split")
+  }
+
+  def clusterSplitSql: String = {
+    def sqlHash32(colName: String) = (0 until 8).map { j =>
+      val w = 1L << (4 * (7 - j))
+      s"(cast(strpos('0123456789abcdef', substring(md5(cast($colName as varchar)), ${j + 1}, 1)) as bigint) - 1) * $w"
+    }.mkString("(", " + ", ")")
+    def sqlSplit(h: String) =
+      s"""CASE WHEN $h % 100 < ${Sampling.TrainPct} THEN 'train'
+         |     WHEN $h % 100 < ${Sampling.TrainPct + Sampling.ValPct} THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE
+       |docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |mh AS (SELECT h, min(doc_id) AS hroot FROM docs GROUP BY h),
+       |exact_e AS (
+       |  SELECT hroot AS doc_a, doc_id AS doc_b FROM docs JOIN mh USING (h)
+       |  WHERE doc_id != hroot),
+       |near_e AS (SELECT doc_a, doc_b FROM (${minhashLshPairsSql})),
+       |edges AS (SELECT * FROM exact_e UNION ALL SELECT * FROM near_e),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id),
+       |rooted AS (
+       |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS root
+       |  FROM docs d LEFT JOIN comp c USING (doc_id)),
+       |assigned AS (
+       |  SELECT root,
+       |    ${sqlSplit(sqlHash32("root"))} AS split,
+       |    ${sqlSplit(sqlHash32("doc_id"))} AS naive_split
+       |  FROM rooted),
+       |per_root AS (
+       |  SELECT root, split, cast(count(*) as bigint) AS nd,
+       |    cast(count(DISTINCT naive_split) as bigint) AS n_naive
+       |  FROM assigned GROUP BY root, split)
+       |SELECT split, cast(sum(nd) as bigint) AS n_docs,
+       |  cast(count(*) as bigint) AS n_clusters,
+       |  cast(sum(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) as bigint) AS naive_mixed_clusters
+       |FROM per_root
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
   /** q75: normalization-collision dedup — exact dedup AFTER the
     * canonical text normalization every pipeline applies first
     * (lowercase, strip non-alphanumerics, collapse whitespace). Groups

@@ -522,6 +522,51 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q91
+
+  test("cluster-aware split never tears a near-dup cluster; aggregate matches a union-find reference") {
+    // reference components over the SAME edge set (exact md5 + near pairs)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val exactPairs = docs.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap(g => g.map(_._1).sorted.sliding(2).map(p => (p(0), p(1))))
+    val nearPairs = graft.ops.Dedup.minhashLshPairs(spark, sf0001, graft.ops.Dedup.OracleHashBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    (exactPairs ++ nearPairs).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(x: Long): Long = {
+      val hex = md.digest(x.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      val h = hex.take(8).map("0123456789abcdef".indexOf(_).toLong)
+        .zipWithIndex.map { case (v, j) => v * (1L << (4 * (7 - j))) }.sum
+      h % 100L
+    }
+    def splitOf(b: Long) = if (b < 80) "train" else if (b < 90) "val" else "test"
+    val assigned = docs.map(_._1).map { id =>
+      val root = find(id)
+      (id, root, splitOf(bucket(root)), splitOf(bucket(id)))
+    }
+    // zero leakage by construction: same cluster => same split
+    assigned.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1, s"cluster torn: $g")
+    }
+    // the operator's aggregate equals the reference aggregate
+    val expected = assigned.groupBy(_._3).map { case (split, g) =>
+      val clusters = g.map(_._2).distinct
+      val mixed = clusters.count(r => g.filter(_._2 == r).map(_._4).distinct.length > 1)
+      split -> (g.length.toLong, clusters.length.toLong, mixed.toLong)
+    }
+    val got = graft.ops.Dedup.clusterSplit(spark, sf0001, graft.ops.Dedup.OracleHashBits)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, s"got $got vs $expected")
+  }
+
   // ---------------------------------------------------------- pipeline
 
   test("curation pipeline: monotone funnel, dup-free output, report reconciles with the files") {
