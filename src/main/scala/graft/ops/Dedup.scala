@@ -180,7 +180,7 @@ object Dedup {
   case class DocShingles(doc_id: Long, source: String,
                          s: Array[Long], bands: Array[String])
 
-  private[ops] def docShingleSummary(spark: SparkSession, sfDir: String,
+  private[graft] def docShingleSummary(spark: SparkSession, sfDir: String,
                                      bits: Int = DefaultHashBits): DataFrame = {
     import spark.implicits._
     val params = Consts.MinhashParams.toArray

@@ -229,6 +229,26 @@ class TextDedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scan-local doc summary reproduces the aggregate minhash signatures at both widths") {
+    import org.apache.spark.sql.functions.col
+    for (bits <- Seq(Dedup.OracleHashBits, Dedup.DefaultHashBits)) {
+      val fromSummary = Dedup.docShingleSummary(spark, sf0001, bits)
+        .collect()
+        .map { r =>
+          // signatures ride the band strings: "m0|m1|m2|m3" per band
+          r.getLong(0) -> r.getSeq[String](3).flatMap(_.split('|')).map(_.toLong)
+        }.toMap
+      val fromAgg = Dedup.minhashSignatures(spark, sf0001, bits)
+        .collect()
+        .map(r => r.getLong(0) -> (1 until 17).map(r.getLong(_)))
+        .toMap
+      assert(fromSummary.keySet == fromAgg.keySet, s"bits=$bits doc sets differ")
+      fromSummary.foreach { case (id, sig) =>
+        assert(sig == fromAgg(id), s"bits=$bits doc $id signature drift")
+      }
+    }
+  }
+
   test("hash width: a synthetic 32-bit collision separates the widths (saturation case)") {
     // find two distinct shingle strings whose md5 digests share their
     // first 4 bytes but differ in the first 8 — a birthday search over
