@@ -122,7 +122,11 @@ object SparkEntry {
     "q88_top_tokens"        -> Sketches.topTokensChecked _,
     "q89_cohort_retention"  -> Events.cohortRetention _,
     "q90_anomaly_windows"   -> Events.anomalyWindows _,
-    "q91_cluster_split"     -> ((s: SparkSession, d: String) => Dedup.clusterSplit(s, d, Dedup.OracleHashBits))
+    "q91_cluster_split"     -> ((s: SparkSession, d: String) => Dedup.clusterSplit(s, d, Dedup.OracleHashBits)),
+    "q92_gopher_gate"       -> TextAnalytics.gopherGate _,
+    "q93_pagerank_iter"     -> ((s: SparkSession, d: String) => Dedup.pagerankIter(s, d, Dedup.OracleHashBits)),
+    "q94_surprisal"         -> TextAnalytics.surprisalScores _,
+    "q95_source_datacard"   -> TextAnalytics.sourceDatacard _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -272,6 +276,10 @@ object SparkEntry {
     "q88_top_tokens"        -> Sketches.topTokensCheckedSql,
     "q89_cohort_retention"  -> Events.cohortRetentionSql,
     "q90_anomaly_windows"   -> Events.anomalyWindowsSql,
-    "q91_cluster_split"     -> Dedup.clusterSplitSql
+    "q91_cluster_split"     -> Dedup.clusterSplitSql,
+    "q92_gopher_gate"       -> TextAnalytics.gopherGateSql,
+    "q93_pagerank_iter"     -> Dedup.pagerankIterSql,
+    "q94_surprisal"         -> TextAnalytics.surprisalScoresSql,
+    "q95_source_datacard"   -> TextAnalytics.sourceDatacardSql
   )
 }

@@ -1362,6 +1362,93 @@ object Dedup {
     * Scale shape: the component resolution is the shared star/union-
     * find machinery (q49/q74); everything after it is one scan-time
     * hash map and a cluster-then-split pair of keyed aggregations. */
+  // -------------------------------------------------------------------
+  // PageRank iteration over the near-dup graph: duplication centrality.
+  // -------------------------------------------------------------------
+
+  /** Damping in micro-units: rank mass is 1_000_000 per node, the
+    * damped base is floor(0.15e6) and the propagated share is
+    * floor(85·sum/100) — all integer, so one iteration is
+    * hash-checkable (the q73/q84 train-step discipline). */
+  val PagerankUnit = 1000000L
+  val PagerankBase = 150000L
+
+  /** q93: one damped PageRank iteration over the SYMMETRIC near-dup
+    * graph (the q14 MinHash-LSH pairs). The stationary rank of this
+    * graph is "duplication centrality" — template/boilerplate hubs
+    * whose text seeds many near-copies score high, which is a
+    * curation prune signal the pairwise Jaccard number alone doesn't
+    * give (a hub with 50 spokes outranks 25 disjoint pairs). One
+    * iteration is oracle-pinned; a full run is a driver loop over
+    * this step with localCheckpoint-truncated lineage, exactly like
+    * q73's Lloyd iteration — per-iteration state is one (node, rank)
+    * table, never the graph re-derivation.
+    *
+    * Scale shape: edges are LSH-bounded (never all-pairs); degree is
+    * one keyed agg; the contribution pass is one equi-join + one
+    * keyed agg. Rank mass moves as integer micro-units with floor
+    * division, so repeated iterations stay exactly reproducible
+    * across partitionings (addition of longs commutes; no float
+    * accumulation order risk). */
+  def pagerankIter(spark: SparkSession, sfDir: String,
+                   bits: Int = DefaultHashBits): DataFrame = {
+    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+    edges.join(deg, "doc_a")
+      .select(col("doc_b").as("doc_id"), expr(s"$PagerankUnit div deg").as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("deg"), sum(col("c")).as("in_sum"))
+      .withColumn("rank_u", expr(s"$PagerankBase + (85 * in_sum) div 100"))
+      .select("doc_id", "deg", "in_sum", "rank_u")
+      .orderBy("doc_id")
+  }
+
+  /** Full damped PageRank run: `iters` repetitions of the q93 step
+    * with the q49/q73 driver-loop discipline — the graph (edges +
+    * degrees) derives ONCE and is lineage-truncated; per-iteration
+    * state is a (doc_id, rank_u) table, localCheckpoint'ed so the
+    * plan never re-grows. pagerankRun(_, _, 1) is spec-pinned equal
+    * to pagerankIter's rank column. Nodes keep full integer rank
+    * mass; isolated nodes don't occur (every node has >= 1 edge by
+    * construction of the pair graph). */
+  def pagerankRun(spark: SparkSession, sfDir: String, iters: Int,
+                  bits: Int = DefaultHashBits): DataFrame = {
+    require(iters >= 1, "iters >= 1")
+    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val edges = pairs.union(
+        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("doc_a").as("doc_id"),
+      lit(PagerankUnit).as("rank_u"))
+    for (_ <- 1 to iters) {
+      ranks = edges.join(deg, "doc_a")
+        .join(ranks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(col("doc_b").as("doc_id"), expr("rank_u div deg").as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("in_sum"))
+        .withColumn("rank_u", expr(s"$PagerankBase + (85 * in_sum) div 100"))
+        .select("doc_id", "rank_u")
+        .localCheckpoint(true)
+    }
+    ranks.orderBy("doc_id")
+  }
+
+  def pagerankIterSql: String =
+    s"""WITH p AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
+       |e AS (SELECT doc_a, doc_b FROM p
+       |      UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p),
+       |d AS (SELECT doc_a, cast(count(*) as bigint) AS deg FROM e GROUP BY doc_a),
+       |c AS (SELECT e.doc_b AS doc_id, $PagerankUnit // d.deg AS c
+       |      FROM e JOIN d USING (doc_a))
+       |SELECT doc_id, cast(count(*) as bigint) AS deg,
+       |  cast(sum(c) as bigint) AS in_sum,
+       |  $PagerankBase + (85 * cast(sum(c) as bigint)) // 100 AS rank_u
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def clusterSplit(spark: SparkSession, sfDir: String,
                    bits: Int = DefaultHashBits): DataFrame = {
     def hash32(colName: String): org.apache.spark.sql.Column =

@@ -812,4 +812,173 @@ object TextAnalytics {
        |  cast(sum(CASE WHEN s5 THEN n ELSE 0 END) as bigint) AS tokens_kept
        |FROM f GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Gopher document-quality gate (Rae et al. 2021, MassiveText rules).
+  // -------------------------------------------------------------------
+
+  // Canonical MassiveText thresholds, restricted to the rules this
+  // corpus's single-line text can express (the line-shape rules —
+  // bullet/ellipsis line fractions — need newlines the synthetic
+  // documents don't have).
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinMeanWlenC = 300L     // mean word length >= 3.00 chars
+  val GopherMaxMeanWlenC = 1000L    // mean word length <= 10.00 chars
+  val GopherMinAlphaPermille = 800L // >= 80% of words contain [a-z]
+  val GopherMinStopHits = 2L        // >= 2 stopword occurrences
+
+  /** q92: per-document Gopher rule verdicts. Unlike q79's cascade
+    * (which gates stage-over-stage), every rule here is judged
+    * independently so a curation run can see WHICH rule rejects a
+    * document — the report MassiveText-style pipelines actually tune
+    * thresholds against. All thresholds are integer permilles /
+    * centichars, so verdicts are hash-checkable with no float
+    * boundary risk.
+    *
+    * Scale shape: one scan projection per document (the token array
+    * lives in the row — counts, char sums, and class filters are
+    * per-row local work), no join, no aggregation except the final
+    * order. At 100 TB this runs at scan speed. */
+  def gopherGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+    val t = col("t")
+    d.select(
+        col("doc_id"), col("source"),
+        size(t).cast("long").as("n_words"),
+        aggregate(transform(t, x => length(x).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("char_sum"),
+        size(filter(t, x => x.rlike("[a-z]"))).cast("long").as("alpha_words"),
+        size(filter(t, x => x.isin(Consts.Stopwords: _*))).cast("long").as("stop_hits"))
+      .withColumn("mean_wlen_c", expr("char_sum * 100 div n_words"))
+      .withColumn("alpha_permille", expr("alpha_words * 1000 div n_words"))
+      .withColumn("r_words", col("n_words").between(GopherMinWords, GopherMaxWords))
+      .withColumn("r_wlen", col("mean_wlen_c").between(GopherMinMeanWlenC, GopherMaxMeanWlenC))
+      .withColumn("r_alpha", col("alpha_permille") >= GopherMinAlphaPermille)
+      .withColumn("r_stop", col("stop_hits") >= GopherMinStopHits)
+      .withColumn("keep", col("r_words") && col("r_wlen") && col("r_alpha") && col("r_stop"))
+      .select("doc_id", "source", "n_words", "mean_wlen_c", "alpha_permille",
+        "stop_hits", "r_words", "r_wlen", "r_alpha", "r_stop", "keep")
+      .orderBy("doc_id")
+  }
+
+  def gopherGateSql: String = {
+    val stops = Consts.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT doc_id, source,
+       |    cast(len(t) as bigint) AS n_words,
+       |    cast(list_sum([cast(length(x) as bigint) for x in t]) as bigint) AS char_sum,
+       |    cast(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) as bigint) AS alpha_words,
+       |    cast(len(list_filter(t, x -> x IN ($stops))) as bigint) AS stop_hits
+       |  FROM (SELECT doc_id, source, $sqlTokens t FROM documents)),
+       |g AS (
+       |  SELECT doc_id, source, n_words,
+       |    (char_sum * 100) // n_words AS mean_wlen_c,
+       |    (alpha_words * 1000) // n_words AS alpha_permille,
+       |    stop_hits
+       |  FROM s)
+       |SELECT doc_id, source, n_words, mean_wlen_c, alpha_permille, stop_hits,
+       |  (n_words BETWEEN $GopherMinWords AND $GopherMaxWords) AS r_words,
+       |  (mean_wlen_c BETWEEN $GopherMinMeanWlenC AND $GopherMaxMeanWlenC) AS r_wlen,
+       |  (alpha_permille >= $GopherMinAlphaPermille) AS r_alpha,
+       |  (stop_hits >= $GopherMinStopHits) AS r_stop,
+       |  ((n_words BETWEEN $GopherMinWords AND $GopherMaxWords)
+       |    AND (mean_wlen_c BETWEEN $GopherMinMeanWlenC AND $GopherMaxMeanWlenC)
+       |    AND (alpha_permille >= $GopherMinAlphaPermille)
+       |    AND (stop_hits >= $GopherMinStopHits)) AS keep
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Unigram-LM surprisal: the no-libm "perplexity filter" signal.
+  // -------------------------------------------------------------------
+
+  /** q94: unigram-LM surprisal scores — the CCNet/RedPajama-style
+    * perplexity filter signal, with the model's -log2 p(tok) replaced
+    * by the integer bit-length gap bitlen(N) - bitlen(cf) (floor-log2
+    * within ±1) so scores are hash-checkable across engines: the same
+    * no-libm discipline as q85's idf and the same bin() bit-length
+    * construction as q78's buckets. High mean surprisal = rare-token
+    * text (mojibake, OCR noise); low = boilerplate — both tails are
+    * what the filter prunes.
+    *
+    * Scale shape: per-doc term frequencies at scan speed (tfRows — the
+    * token stream never shuffles); the collection-frequency table is
+    * ONE vocabulary-sized aggregate joined back (broadcast here;
+    * vocabularies stay bounded at web scale, a shuffle join if not);
+    * the corpus total is a one-row cross join; the per-doc score is a
+    * keyed agg over vocabulary-collapsed rows, not token occurrences. */
+  def surprisalScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = tfRows(spark, sfDir)
+    val cf = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
+    val n = broadcast(cf.agg(sum(col("cf")).as("n_total")))
+    tf.join(broadcast(cf), "tok").crossJoin(n)
+      .withColumn("s_tok",
+        (length(bin(col("n_total"))) - length(bin(col("cf")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("s_tok")).as("surprisal_sum"))
+      .withColumn("surprisal_mean_milli",
+        expr("surprisal_sum * 1000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def surprisalScoresSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, cast(count(*) as bigint) AS tf FROM (
+       |    SELECT doc_id, unnest($sqlTokens) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |cf AS (SELECT tok, cast(sum(tf) as bigint) AS cf FROM tf GROUP BY tok),
+       |n AS (SELECT cast(sum(cf) as bigint) AS n_total FROM cf)
+       |SELECT doc_id,
+       |  cast(sum(tf) as bigint) AS n_tokens,
+       |  cast(sum(tf * (length(bin(n_total)) - length(bin(cf)))) as bigint) AS surprisal_sum,
+       |  (cast(sum(tf * (length(bin(n_total)) - length(bin(cf)))) as bigint) * 1000)
+       |    // cast(sum(tf) as bigint) AS surprisal_mean_milli
+       |FROM tf JOIN cf USING (tok) CROSS JOIN n
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Per-source datacard: the corpus summary a data release publishes.
+  // -------------------------------------------------------------------
+
+  /** q95: per-source datacard — documents, token mass, language
+    * spread, exact-duplicate rate, length extremes. This is the
+    * at-a-glance table a dataset release (or a mixture-weights
+    * decision, q77) starts from.
+    *
+    * Scale shape: one scan, one groupBy(source) with map-side
+    * partials; the two count-distincts expand to a two-level
+    * aggregation still keyed by (source, value) — no row ever carries
+    * text past the first projection. Output is |sources| rows. */
+  def sourceDatacard(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"),
+        md5(col("text").cast("binary")).as("h"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("n")).as("n_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+      .withColumn("dup_permille", expr("(n_docs - n_distinct) * 1000 div n_docs"))
+      .withColumn("mean_tokens_c", expr("n_tokens * 100 div n_docs"))
+      .orderBy("source")
+
+  def sourceDatacardSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  cast(count(DISTINCT lang) as bigint) AS n_langs,
+       |  cast(count(DISTINCT md5(text)) as bigint) AS n_distinct,
+       |  cast(sum(n) as bigint) AS n_tokens,
+       |  min(n) AS min_tokens,
+       |  max(n) AS max_tokens,
+       |  ((count(*) - cast(count(DISTINCT md5(text)) as bigint)) * 1000) // count(*) AS dup_permille,
+       |  (cast(sum(n) as bigint) * 100) // count(*) AS mean_tokens_c
+       |FROM (SELECT source, lang, text, cast(len($sqlTokens) as bigint) AS n FROM documents)
+       |GROUP BY source ORDER BY source""".stripMargin
 }

@@ -683,4 +683,128 @@ class PipelineOpsSpec extends SparkSpec {
       assert(rs.count(_.getBoolean(4)) == expectedPruned, s"cid $cid prune count")
     }
   }
+
+  // ---------------------------------------------------------------- q92
+
+  test("gopher gate equals a JVM rule reference") {
+    val got = TextAnalytics.gopherGate(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.length == docs.length && got.nonEmpty)
+    val stops = Consts.Stopwords.toSet
+    got.zip(docs).foreach { case (row, (id, _, text)) =>
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      val n = t.length.toLong
+      val charSum = t.map(_.length.toLong).sum
+      val alpha = t.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val stop = t.count(stops).toLong
+      val meanC = charSum * 100 / n
+      val alphaPm = alpha * 1000 / n
+      val rWords = n >= TextAnalytics.GopherMinWords && n <= TextAnalytics.GopherMaxWords
+      val rWlen = meanC >= TextAnalytics.GopherMinMeanWlenC && meanC <= TextAnalytics.GopherMaxMeanWlenC
+      val rAlpha = alphaPm >= TextAnalytics.GopherMinAlphaPermille
+      val rStop = stop >= TextAnalytics.GopherMinStopHits
+      assert(row.getLong(0) == id)
+      assert(row.getLong(2) == n, s"doc $id n_words")
+      assert(row.getLong(3) == meanC, s"doc $id mean_wlen_c")
+      assert(row.getLong(4) == alphaPm, s"doc $id alpha_permille")
+      assert(row.getLong(5) == stop, s"doc $id stop_hits")
+      assert(row.getBoolean(6) == rWords && row.getBoolean(7) == rWlen &&
+        row.getBoolean(8) == rAlpha && row.getBoolean(9) == rStop, s"doc $id rules")
+      assert(row.getBoolean(10) == (rWords && rWlen && rAlpha && rStop), s"doc $id keep")
+    }
+    // the gate discriminates on this corpus (not vacuously all-pass/all-fail)
+    val keeps = got.count(_.getBoolean(10))
+    assert(keeps > 0 && keeps < got.length)
+  }
+
+  // ---------------------------------------------------------------- q93
+
+  test("pagerank iteration equals an in-memory graph reference; run(1) agrees; mass is conserved under iteration") {
+    val pairs = Dedup.minhashLshPairs(spark, sf0001, Dedup.OracleHashBits)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val inSum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val inDeg = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (u, v) =>
+      inSum(v) += Dedup.PagerankUnit / deg(u); inDeg(v) += 1L
+    }
+    val got = Dedup.pagerankIter(spark, sf0001, Dedup.OracleHashBits).collect()
+    assert(got.map(_.getLong(0)).toSet == deg.keySet)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == inDeg(id), s"doc $id deg")
+      assert(r.getLong(2) == inSum(id), s"doc $id in_sum")
+      assert(r.getLong(3) == Dedup.PagerankBase + (85L * inSum(id)) / 100L, s"doc $id rank_u")
+    }
+    // run(1) is the same step from the uniform start
+    val run1 = Dedup.pagerankRun(spark, sf0001, 1, Dedup.OracleHashBits).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(run1(r.getLong(0)) == r.getLong(3), s"run(1) vs iter ${r.getLong(0)}"))
+    // after more iterations: every rank >= damped base, and total mass
+    // never exceeds the initial n*unit (floor division only loses mass)
+    val run5 = Dedup.pagerankRun(spark, sf0001, 5, Dedup.OracleHashBits).collect()
+    assert(run5.length == deg.size)
+    assert(run5.forall(_.getLong(1) >= Dedup.PagerankBase))
+    assert(run5.map(_.getLong(1)).sum <= deg.size * Dedup.PagerankUnit)
+  }
+
+  // ---------------------------------------------------------------- q94
+
+  test("surprisal equals a JVM unigram-LM reference and tracks -log2 p within 1 bit") {
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val tfs = docs.map { case (id, text) =>
+      id -> text.trim.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    }
+    val cf = tfs.flatMap(_._2).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val n = cf.values.sum
+    val got = TextAnalytics.surprisalScores(spark, sf0001).collect()
+    assert(got.length == docs.length)
+    got.zip(tfs).foreach { case (row, (id, tf)) =>
+      val nTok = tf.values.sum
+      val sSum = tf.map { case (tok, c) => c * (bitlen(n) - bitlen(cf(tok))) }.sum
+      assert(row.getLong(0) == id)
+      assert(row.getLong(1) == nTok, s"doc $id n_tokens")
+      assert(row.getLong(2) == sSum, s"doc $id surprisal_sum")
+      assert(row.getLong(3) == sSum * 1000 / nTok, s"doc $id mean_milli")
+    }
+    // the bit-length gap is floor(log2 N) - floor(log2 cf): strictly
+    // within 1 bit of the true -log2 p(tok)
+    cf.foreach { case (tok, c) =>
+      val s = bitlen(n) - bitlen(c)
+      val trueBits = math.log(n.toDouble / c.toDouble) / math.log(2.0)
+      assert(math.abs(s - trueBits) < 1.0 + 1e-9, s"token $tok: $s vs $trueBits")
+    }
+  }
+
+  // ---------------------------------------------------------------- q95
+
+  test("source datacard equals a JVM per-source reference") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val got = TextAnalytics.sourceDatacard(spark, sf0001).collect()
+    val bySource = docs.groupBy(_._1)
+    assert(got.length == bySource.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val rows = bySource(src)
+      val nDocs = rows.length.toLong
+      val toks = rows.map(_._3.trim.split("\\s+").count(_.nonEmpty).toLong)
+      val nDistinct = rows.map(_._3).distinct.length.toLong
+      assert(r.getLong(1) == nDocs, s"$src n_docs")
+      assert(r.getLong(2) == rows.map(_._2).distinct.length.toLong, s"$src n_langs")
+      assert(r.getLong(3) == nDistinct, s"$src n_distinct")
+      assert(r.getLong(4) == toks.sum, s"$src n_tokens")
+      assert(r.getLong(5) == toks.min && r.getLong(6) == toks.max, s"$src extremes")
+      assert(r.getLong(7) == (nDocs - nDistinct) * 1000 / nDocs, s"$src dup_permille")
+      assert(r.getLong(8) == toks.sum * 100 / nDocs, s"$src mean_tokens_c")
+    }
+  }
 }
