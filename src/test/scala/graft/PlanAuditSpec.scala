@@ -244,4 +244,43 @@ class PlanAuditSpec extends SparkSpec {
         s"nested loop must carry only bid columns, got $out:\n$plan")
     }
   }
+
+  test("q92/q95: gate and datacard are scan-local — no join, bounded shuffles") {
+    val gate = graft.ops.TextAnalytics.gopherGate(spark, sf0001)
+    val gatePlan = executed(gate)
+    assert(!gatePlan.contains("Join"), s"q92 must not join:\n$gatePlan")
+    // only the presentation sort moves data
+    assert(shuffleCount(gate) <= 1, s"q92 expected sort-only shuffle:\n$gatePlan")
+    val card = graft.ops.TextAnalytics.sourceDatacard(spark, sf0001)
+    val cardPlan = executed(card)
+    assert(!cardPlan.contains("Join"), s"q95 must not join:\n$cardPlan")
+    // expand-based count-distinct keyed by source + final sort; the
+    // corpus text never rides a shuffle (projection strips it first)
+    assert("HashAggregate".r.findAllIn(cardPlan).size >= 2, cardPlan)
+    assert(!cardPlan.contains("text#") ||
+      !flatten(card.queryExecution.executedPlan)
+        .filter(_.isInstanceOf[ShuffleExchangeLike])
+        .exists(_.output.exists(_.name == "text")),
+      s"q95 shuffles raw text:\n$cardPlan")
+  }
+
+  test("q93/q94: graph and LM joins are equi/broadcast — never a nested loop") {
+    val pr = Dedup.pagerankIter(spark, sf0001, Dedup.OracleHashBits)
+    val prPlan = executed(pr)
+    assert(!prPlan.contains("NestedLoop") && !prPlan.contains("CartesianProduct"),
+      s"q93 degenerated to a nested loop:\n$prPlan")
+    val sup = graft.ops.TextAnalytics.surprisalScores(spark, sf0001)
+    val supPlan = executed(sup)
+    // cf table joins back BROADCAST (vocabulary-sized); the one-row
+    // corpus total is the only nested-loop (it carries a single row)
+    assert(supPlan.contains("BroadcastHashJoin"),
+      s"q94 cf join must broadcast:\n$supPlan")
+    flatten(sup.queryExecution.executedPlan)
+      .filter(_.nodeName.contains("BroadcastNestedLoopJoin"))
+      .foreach { j =>
+        val out = j.output.map(_.name)
+        assert(out.contains("n_total"),
+          s"q94 nested loop beyond the scalar total, carries $out:\n$supPlan")
+      }
+  }
 }
