@@ -1392,7 +1392,12 @@ object Dedup {
     * accumulation order risk). */
   def pagerankIter(spark: SparkSession, sfDir: String,
                    bits: Int = DefaultHashBits): DataFrame = {
-    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    // truncate before the union: both union branches read the pair
+    // table, and an unmaterialized plan would re-run the LSH self-join
+    // once per branch (measured 2x the query at sf0.1)
+    val pairs = Materialize.tracked(spark,
+      minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+        .localCheckpoint(true))
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
@@ -1416,7 +1421,9 @@ object Dedup {
   def pagerankRun(spark: SparkSession, sfDir: String, iters: Int,
                   bits: Int = DefaultHashBits): DataFrame = {
     require(iters >= 1, "iters >= 1")
-    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val pairs = Materialize.tracked(spark,
+      minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+        .localCheckpoint(true))
     val edges = pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
