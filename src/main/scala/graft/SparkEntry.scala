@@ -126,7 +126,9 @@ object SparkEntry {
     "q92_gopher_gate"       -> TextAnalytics.gopherGate _,
     "q93_pagerank_iter"     -> ((s: SparkSession, d: String) => Dedup.pagerankIter(s, d, Dedup.OracleHashBits)),
     "q94_surprisal"         -> TextAnalytics.surprisalScores _,
-    "q95_source_datacard"   -> TextAnalytics.sourceDatacard _
+    "q95_source_datacard"   -> TextAnalytics.sourceDatacard _,
+    "q96_matryoshka_recall" -> Similarity.matryoshkaRecall _,
+    "q97_span_corruption"   -> TextAnalytics.spanCorruption _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -280,6 +282,8 @@ object SparkEntry {
     "q92_gopher_gate"       -> TextAnalytics.gopherGateSql,
     "q93_pagerank_iter"     -> Dedup.pagerankIterSql,
     "q94_surprisal"         -> TextAnalytics.surprisalScoresSql,
-    "q95_source_datacard"   -> TextAnalytics.sourceDatacardSql
+    "q95_source_datacard"   -> TextAnalytics.sourceDatacardSql,
+    "q96_matryoshka_recall" -> Similarity.matryoshkaRecallSql,
+    "q97_span_corruption"   -> TextAnalytics.spanCorruptionSql
   )
 }

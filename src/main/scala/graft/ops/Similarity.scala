@@ -1114,6 +1114,74 @@ object Similarity {
        |LEFT JOIN hits h ON h.query_id = t.query_id
        |ORDER BY t.query_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Matryoshka truncation recall: the dimension-budget quality report.
+  // -------------------------------------------------------------------
+
+  /** Prefix length kept by the truncated metric (MRL, Kusupati et al.
+    * 2022 — matryoshka-trained embeddings put the signal in the
+    * leading dims, so serving tiers keep a prefix and re-rank). */
+  val MatryoshkaDims = 16
+
+  /** q96: matryoshka recall@k — brute-force top-k under the
+    * first-`MatryoshkaDims` PREFIX metric vs top-k under the full
+    * metric, overlap per query. This is the report that decides
+    * whether a 4x cheaper serving index (16 of 64 dims) is
+    * acceptable, the same way q76/q80 grade IVF and the RP forest.
+    *
+    * Scale shape: ONE broadcast-queries scan computes both
+    * similarities per candidate row — the corpus is read and joined
+    * once, not once per metric; the two ranks are windows over the
+    * SAME query_id partitioning (one shuffle, two in-partition
+    * sorts); recall is an integer permille. Prefix norms are
+    * scan-side projections of the already-quantized vector. */
+  def matryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = quantized(spark, sfDir)
+      .withColumn("vt", slice(col("v"), 1, MatryoshkaDims))
+      .withColumn("nrmt", qdot(col("vt"), col("vt")))
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qnrm"),
+          col("vt").as("qvt"), col("nrmt").as("qnrmt")))
+    val w = org.apache.spark.sql.expressions.Window
+    val wf = w.partitionBy("query_id").orderBy(col("sim_full").desc, col("vec_id").asc)
+    val wt = w.partitionBy("query_id").orderBy(col("sim_trunc").desc, col("vec_id").asc)
+    corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("sim_full", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("sim_trunc", qcosine(col("qvt"), col("vt"), col("qnrmt"), col("nrmt")))
+      .withColumn("rank_full", row_number().over(wf))
+      .withColumn("rank_trunc", row_number().over(wt))
+      .filter(col("rank_full") <= Consts.KnnK || col("rank_trunc") <= Consts.KnnK)
+      .groupBy("query_id")
+      .agg(sum(when(col("rank_full") <= Consts.KnnK && col("rank_trunc") <= Consts.KnnK, 1L)
+        .otherwise(0L)).as("n_hit"))
+      .withColumn("n_true", lit(Consts.KnnK.toLong))
+      .withColumn("recall_permille", expr("n_hit * 1000 div n_true"))
+      .select("query_id", "n_true", "n_hit", "recall_permille")
+      .orderBy("query_id")
+  }
+
+  def matryoshkaRecallSql: String = {
+    val d = MatryoshkaDims
+    val cosT = "cast(list_sum([a.vt[i+1]*b.vt[i+1] for i in range(len(a.vt))]) as double)" +
+      " / (sqrt(cast(a.nrmt as double)) * sqrt(cast(b.nrmt as double)))"
+    s"""WITH q0 AS ($sqlQuantized),
+       |q AS (SELECT vec_id, label, v, nrm, v[1:$d] AS vt,
+       |      list_sum([v[i+1]*v[i+1] for i in range($d)]) AS nrmt FROM q0),
+       |j AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank_full,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosT DESC, b.vec_id ASC) AS rank_trunc
+       |  FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |SELECT query_id,
+       |  cast(${Consts.KnnK} as bigint) AS n_true,
+       |  cast(sum(CASE WHEN rank_full <= ${Consts.KnnK} AND rank_trunc <= ${Consts.KnnK} THEN 1 ELSE 0 END) as bigint) AS n_hit,
+       |  (cast(sum(CASE WHEN rank_full <= ${Consts.KnnK} AND rank_trunc <= ${Consts.KnnK} THEN 1 ELSE 0 END) as bigint) * 1000)
+       |    // ${Consts.KnnK} AS recall_permille
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
   /** q80: RP-forest recall@k — the same index-quality report as q76,
     * for the OTHER approximate index this engine ships: the
     * random-projection forest the chat path serves queries from

@@ -981,4 +981,99 @@ object TextAnalytics {
        |  (cast(sum(n) as bigint) * 100) // count(*) AS mean_tokens_c
        |FROM (SELECT source, lang, text, cast(len($sqlTokens) as bigint) AS n FROM documents)
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Span corruption: the T5/UL2 denoising-objective builder.
+  // -------------------------------------------------------------------
+
+  /** Mask a token when the first byte of md5("<doc_id>-<pos>") is
+    * below this bound: 0x40/0x100 = 25% expected corruption rate,
+    * decided by position hash so the objective is deterministic and
+    * cross-engine checkable (no RNG state, no seed plumbing). */
+  val SpanMaskBound = 0x40
+
+  /** q97: span-corruption pairs (Raffel et al. 2020's T5 objective) —
+    * each document becomes an (input, target) pair: contiguous masked
+    * runs collapse to one `<extra_id_K>` sentinel in the input, and
+    * the target lists each sentinel followed by the tokens it hides.
+    * This is the map from a curated corpus to actual denoising
+    * training examples — the last step of the pipeline before
+    * packing (q63).
+    *
+    * Scale shape: pure scan-local typed map (the mask decision, run
+    * detection, and string assembly are per-row work over the token
+    * array); no shuffle except the presentation sort. The hash-mask
+    * construction also means re-running the pipeline on a grown
+    * corpus reproduces identical examples for unchanged documents —
+    * a property seeded RNG masking does not have. */
+  def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val t = text.trim.split("\\s+").filter(_.nonEmpty)
+          val masked = t.indices.map { i =>
+            (md.digest(s"$id-$i".getBytes("UTF-8"))(0) & 0xff) < SpanMaskBound
+          }
+          val inB = new StringBuilder
+          val tgtB = new StringBuilder
+          var span = -1
+          var prev = false
+          var nMasked = 0L
+          for (i <- t.indices) {
+            if (masked(i)) {
+              nMasked += 1
+              if (!prev) {
+                span += 1
+                if (inB.nonEmpty) inB.append(' ')
+                inB.append("<extra_id_").append(span).append('>')
+                if (tgtB.nonEmpty) tgtB.append(' ')
+                tgtB.append("<extra_id_").append(span).append("> ").append(t(i))
+              } else tgtB.append(' ').append(t(i))
+            } else {
+              if (inB.nonEmpty) inB.append(' ')
+              inB.append(t(i))
+            }
+            prev = masked(i)
+          }
+          (id, t.length.toLong, nMasked, (span + 1).toLong,
+            inB.toString, tgtB.toString)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_masked", "n_spans", "input_text", "target_text")
+      .orderBy("doc_id")
+  }
+
+  def spanCorruptionSql: String = {
+    val bound = f"$SpanMaskBound%02x"
+    s"""WITH t AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+       |pos AS (
+       |  SELECT doc_id, i, t[i+1] AS tok,
+       |    (substr(md5(doc_id::VARCHAR || '-' || i::VARCHAR), 1, 2) < '$bound') AS m
+       |  FROM (SELECT doc_id, t, unnest(range(len(t))) AS i FROM t)),
+       |starts AS (
+       |  SELECT doc_id, i, tok, m,
+       |    (m AND NOT lag(m, 1, false) OVER (PARTITION BY doc_id ORDER BY i)) AS st
+       |  FROM pos),
+       |runs AS (
+       |  SELECT doc_id, i, tok, m, st,
+       |    sum(CASE WHEN st THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) - 1 AS span_id
+       |  FROM starts)
+       |SELECT doc_id,
+       |  cast(count(*) as bigint) AS n_tokens,
+       |  cast(sum(CASE WHEN m THEN 1 ELSE 0 END) as bigint) AS n_masked,
+       |  cast(sum(CASE WHEN st THEN 1 ELSE 0 END) as bigint) AS n_spans,
+       |  coalesce(string_agg(
+       |    CASE WHEN NOT m THEN tok
+       |         WHEN st THEN '<extra_id_' || span_id || '>' END,
+       |    ' ' ORDER BY i), '') AS input_text,
+       |  coalesce(string_agg(
+       |    CASE WHEN m AND st THEN '<extra_id_' || span_id || '> ' || tok
+       |         WHEN m THEN tok END,
+       |    ' ' ORDER BY i), '') AS target_text
+       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -783,6 +783,82 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q96
+
+  test("matryoshka recall equals a JVM prefix-metric reference") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val q = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }
+    def cos(a: Array[Long], b: Array[Long], d: Int): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      for (i <- 0 until d) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val dims = q.head._2.length
+    def topk(qid: Long, qv: Array[Long], d: Int): Seq[Long] =
+      q.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v, d)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(Consts.KnnK).map(_._1)
+    val expected = q.filter(_._1 < Consts.KnnQueries).map { case (qid, qv) =>
+      val full = topk(qid, qv, dims).toSet
+      val trunc = topk(qid, qv, Similarity.MatryoshkaDims).toSet
+      qid -> (full & trunc).size.toLong
+    }.toMap
+    val got = Similarity.matryoshkaRecall(spark, sf0001).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == Consts.KnnK.toLong)
+      assert(r.getLong(2) == expected(id), s"query $id overlap")
+      assert(r.getLong(3) == expected(id) * 1000 / Consts.KnnK, s"query $id permille")
+    }
+    // the truncated metric must be informative on this corpus: strictly
+    // better than disjoint, strictly lossier than identical on average
+    val mean = got.map(_.getLong(3)).sum / got.length
+    assert(mean > 0 && mean < 1000, s"degenerate mean recall $mean")
+  }
+
+  // ---------------------------------------------------------------- q97
+
+  test("span corruption round-trips: substituting each sentinel's target span into the input reconstructs the document") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalytics.spanCorruption(spark, sf0001).collect()
+    assert(got.length == docs.size)
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L; var total = 0L
+    got.foreach { r =>
+      val (id, nTok, nMasked, nSpans) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (input, target) = (r.getString(4), r.getString(5))
+      // parse target into span_id -> tokens
+      val spans = scala.collection.mutable.Map.empty[Int, List[String]]
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Nil
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.keySet == (0 until nSpans.toInt).toSet, s"doc $id span ids")
+      assert(spans.values.map(_.length.toLong).sum == nMasked, s"doc $id masked count")
+      // reconstruct
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }
+      val orig = docs(id).trim.split("\\s+").filter(_.nonEmpty)
+      assert(rebuilt.toSeq == orig.toSeq, s"doc $id round-trip")
+      assert(nTok == orig.length.toLong, s"doc $id n_tokens")
+      masked += nMasked; total += nTok
+    }
+    // hash-mask rate concentrates near 25%
+    val rate = masked.toDouble / total.toDouble
+    assert(rate > 0.18 && rate < 0.32, s"mask rate $rate")
+  }
+
   // ---------------------------------------------------------------- q95
 
   test("source datacard equals a JVM per-source reference") {
