@@ -128,7 +128,9 @@ object SparkEntry {
     "q94_surprisal"         -> TextAnalytics.surprisalScores _,
     "q95_source_datacard"   -> TextAnalytics.sourceDatacard _,
     "q96_matryoshka_recall" -> Similarity.matryoshkaRecall _,
-    "q97_span_corruption"   -> TextAnalytics.spanCorruption _
+    "q97_span_corruption"   -> TextAnalytics.spanCorruption _,
+    "q98_stream_anomaly"    -> EventStream.anomalyWindowsStream _,
+    "q99_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -284,6 +286,10 @@ object SparkEntry {
     "q94_surprisal"         -> TextAnalytics.surprisalScoresSql,
     "q95_source_datacard"   -> TextAnalytics.sourceDatacardSql,
     "q96_matryoshka_recall" -> Similarity.matryoshkaRecallSql,
-    "q97_span_corruption"   -> TextAnalytics.spanCorruptionSql
+    "q97_span_corruption"   -> TextAnalytics.spanCorruptionSql,
+    // streaming replay scored against frozen offline moments is
+    // bit-identical to the batch monitor, so q90's oracle serves both
+    "q98_stream_anomaly"    -> Events.anomalyWindowsSql,
+    "q99_incremental_dedup" -> Dedup.incrementalDedupSql
   )
 }

@@ -263,15 +263,19 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def minColsSql: String = Consts.MinhashParams.zipWithIndex
+    .map { case ((a, b), i) => s"min((hv * $a + $b) % ${Consts.MinhashPrime}) AS mh$i" }
+    .mkString(",\n    ")
+
+  private def bandColsSql: String = (0 until Consts.LshBands).map { b =>
+    val rows = (0 until Consts.LshRowsPerBand)
+      .map(r => s"mh${b * Consts.LshRowsPerBand + r}").mkString(" || '|' || ")
+    s"($rows) AS band$b"
+  }.mkString(",\n    ")
+
   def minhashLshPairsSql: String = {
-    val minCols = Consts.MinhashParams.zipWithIndex
-      .map { case ((a, b), i) => s"min((hv * $a + $b) % ${Consts.MinhashPrime}) AS mh$i" }
-      .mkString(",\n    ")
-    val bandCols = (0 until Consts.LshBands).map { b =>
-      val rows = (0 until Consts.LshRowsPerBand)
-        .map(r => s"mh${b * Consts.LshRowsPerBand + r}").mkString(" || '|' || ")
-      s"($rows) AS band$b"
-    }.mkString(",\n    ")
+    val minCols = minColsSql
+    val bandCols = bandColsSql
     val bandJoins = (0 until Consts.LshBands).map { b =>
       s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
     }.mkString("\n    UNION\n    ")
@@ -1455,6 +1459,112 @@ object Dedup {
        |  cast(sum(c) as bigint) AS in_sum,
        |  $PagerankBase + (85 * cast(sum(c) as bigint)) // 100 AS rank_u
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Incremental-ingest dedup: the daily-batch admission check.
+  // -------------------------------------------------------------------
+
+  /** Source treated as the INCOMING batch; every other source is the
+    * already-ingested corpus. (The synthetic corpus has no ingest
+    * timestamp, so a source plays the role of "today's crawl".) */
+  val IncrementalSource = "src0"
+
+  /** q99: incremental dedup — the admission check a continuously-fed
+    * corpus runs on each new batch: which incoming documents are
+    * exact copies of something already ingested, which are near-dups
+    * of it (MinHash-LSH at the q14 threshold), and which actually
+    * add novel content. Per-document verdicts, not a report, because
+    * the verdict column IS the ingest filter.
+    *
+    * Scale shape: the batch is small relative to the corpus, so the
+    * batch side of every join BROADCASTS (its band rows and its
+    * content hashes); the corpus is scanned, never shuffled, for the
+    * LSH candidate join, and the exact check is one keyed equi-join
+    * on the content hash. Candidate verification joins are
+    * candidate-sized. The corpus's own internal duplicates are
+    * irrelevant here by design — this op answers "is it new", not
+    * "is the corpus clean" (q74 answers that). */
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       bits: Int = DefaultHashBits): DataFrame = {
+    val (summary, _, _) = sharedSummary(spark, sfDir, bits)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+    val newDocs = docs.filter(col("source") === IncrementalSource)
+    val corpusHashes = docs.filter(col("source") =!= IncrementalSource)
+      .select("h").distinct()
+    val exact = newDocs.join(corpusHashes, Seq("h"), "left_semi")
+      .select(col("doc_id"), lit(true).as("exact_dup"))
+
+    val banded = summary.select(col("doc_id"), col("source"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val nb = banded.filter(col("source") === IncrementalSource).alias("x")
+    val cb = banded.filter(col("source") =!= IncrementalSource).alias("y")
+    val cand = cb.join(broadcast(nb),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
+      .distinct()
+    val sets = summary.select(col("doc_id"), col("s"))
+    val near = cand
+      .join(sets.alias("sa"), col("doc_new") === col("sa.doc_id"))
+      .join(sets.alias("sb"), col("doc_old") === col("sb.doc_id"))
+      .filter(size(array_intersect(col("sa.s"), col("sb.s"))).cast("double") /
+        size(array_union(col("sa.s"), col("sb.s"))).cast("double")
+        >= Consts.MinhashJaccardThreshold)
+      .select(col("doc_new").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+
+    newDocs.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"))
+      .withColumn("verdict",
+        when(col("exact_dup"), "drop_exact")
+          .when(col("near_dup"), "drop_near")
+          .otherwise("ingest"))
+      .orderBy("doc_id")
+  }
+
+  def incrementalDedupSql: String = {
+    val bandJoins = (0 until Consts.LshBands).map { b =>
+      s"SELECT x.doc_id AS doc_new, y.doc_id AS doc_old FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.source = '$IncrementalSource' AND y.source <> '$IncrementalSource'"
+    }.mkString("\n    UNION\n    ")
+    s"""WITH sets AS (
+       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, source, $sqlShingles s0
+       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |exploded AS (SELECT doc_id, source, unnest(s) AS hv FROM sets),
+       |sig AS (SELECT doc_id, source,
+       |    $minColsSql
+       |  FROM exploded GROUP BY doc_id, source),
+       |banded AS (SELECT doc_id, source,
+       |    $bandColsSql
+       |  FROM sig),
+       |cand AS (
+       |    $bandJoins),
+       |near AS (
+       |  SELECT DISTINCT doc_new FROM cand
+       |  JOIN sets sa ON doc_new = sa.doc_id
+       |  JOIN sets sb ON doc_old = sb.doc_id
+       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
+       |exact AS (
+       |  SELECT DISTINCT n.doc_id FROM documents n
+       |  JOIN documents c ON md5(n.text) = md5(c.text) AND c.source <> '$IncrementalSource'
+       |  WHERE n.source = '$IncrementalSource')
+       |SELECT d.doc_id,
+       |  (e.doc_id IS NOT NULL) AS exact_dup,
+       |  (nr.doc_new IS NOT NULL) AS near_dup,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
+       |       WHEN nr.doc_new IS NOT NULL THEN 'drop_near'
+       |       ELSE 'ingest' END AS verdict
+       |FROM documents d
+       |LEFT JOIN exact e ON d.doc_id = e.doc_id
+       |LEFT JOIN near nr ON d.doc_id = nr.doc_new
+       |WHERE d.source = '$IncrementalSource'
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   def clusterSplit(spark: SparkSession, sfDir: String,
                    bits: Int = DefaultHashBits): DataFrame = {

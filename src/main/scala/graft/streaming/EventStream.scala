@@ -132,6 +132,66 @@ object EventStream {
       .orderBy("user_id", "session_id")
   }
 
+  /** q98: streaming volume-anomaly monitor — the deployment shape of
+    * q90: per-type moments TRAIN OFFLINE (the 5-row batch aggregate,
+    * frozen and broadcast, exactly like IvfStream's frozen centroids)
+    * while the hourly count state accumulates in the stream; each
+    * replayed window is scored against the frozen moments in the
+    * post-replay projection. Because the moments derive from the same
+    * bounded replay window, the result is bit-identical to the batch
+    * q90 — so q90's DuckDB oracle doubles as this query's (the
+    * q26/q70 pattern).
+    *
+    * Scale shape: the streaming side keeps |types|x|hours| count
+    * state (bounded, watermark-evictable in the unbounded
+    * deployment); scoring is a broadcast join — no state beyond the
+    * windowed counts, no shuffle of scored rows except the top-k
+    * window. */
+  def anomalyWindowsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = s"$sfDir/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val stream = graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"))
+    val name = s"graft_stream_anomaly_${nameCounter.incrementAndGet()}"
+    withReplayShufflePartitions(spark) {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the memory-sink View resolves to the SAME attribute ids on both
+    // sides of the moments self-join (INTERNAL_ERROR: conflicting
+    // references) — checkpointing re-instances the plan as a fresh
+    // LogicalRDD, and the replay output is tiny (|types|x|hours|)
+    val hourly = graft.ops.Materialize.tracked(spark,
+      spark.table(name).localCheckpoint(true))
+    val moments = broadcast(hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("h"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("q2")))
+    val w = Window.partitionBy("event_type")
+      .orderBy(abs(col("score")).desc, col("window_start_us").asc)
+    hourly.join(moments, "event_type")
+      .withColumn("score",
+        expr("cast(n * h - s as double) / sqrt(cast(h * q2 - s * s as double))"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("window_start_us"),
+        col("n"), col("score"))
+      .orderBy("event_type", "rank")
+  }
+
   /** Unbounded-shape pipeline: watermarked tumbling windows in append
     * mode — what the same query looks like against a live source. */
   def withWatermarkedWindows(events: DataFrame): DataFrame =

@@ -136,4 +136,16 @@ class EventsStreamingSpec extends SparkSpec {
     val s = rows(0)
     assert(s.getAs[Long]("n_events") == 2 && s.getAs[Double]("sum_value") == 3.0)
   }
+
+  test("streaming anomaly monitor equals the batch q90 (frozen moments over the replayed state)") {
+    val batch = graft.ops.Events.anomalyWindows(spark, sf0001).collect()
+    val stream = EventStream.anomalyWindowsStream(spark, sf0001).collect()
+    assert(stream.length == batch.length && batch.nonEmpty)
+    batch.zip(stream).foreach { case (b, st) =>
+      assert(b.getString(0) == st.getString(0) && b.getLong(1) == st.getLong(1) &&
+        b.getLong(2) == st.getLong(2) && b.getLong(3) == st.getLong(3) &&
+        b.getDouble(4) == st.getDouble(4),
+        s"row drift: $b vs $st")
+    }
+  }
 }

@@ -859,6 +859,53 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rate > 0.18 && rate < 0.32, s"mask rate $rate")
   }
 
+  // ---------------------------------------------------------------- q99
+
+  test("incremental dedup probe: exact copy dropped, one-token edit dropped as near, novel doc ingested") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpusDoc = base.trim
+    val nearDoc = (base.trim.split(" ").dropRight(1) :+ "OMEGA").mkString(" ")
+    val novel = "one two three four five six seven eight nine ten eleven twelve " * 3
+    val probe = Seq(
+      (1L, Dedup.IncrementalSource, corpusDoc),           // exact dup of 10
+      (2L, Dedup.IncrementalSource, nearDoc),             // near dup of 10
+      (3L, Dedup.IncrementalSource, novel.trim),          // novel
+      (10L, "corpus", corpusDoc),
+      (11L, "corpus", "completely different text " * 10))
+      .map { case (id, src, txt) => (id, txt, "en", src, txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("incr_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.incrementalDedup(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getString(3))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 && got(1L)._3 == "drop_exact", s"exact copy: ${got(1L)}")
+    assert(!got(2L)._1 && got(2L)._2 && got(2L)._3 == "drop_near", s"near copy: ${got(2L)}")
+    assert(got(3L)._3 == "ingest", s"novel: ${got(3L)}")
+    graft.ops.Materialize.release(spark)
+  }
+
+  test("incremental dedup near verdicts agree with the corpus-wide LSH pair relation") {
+    val verdicts = Dedup.incrementalDedup(spark, sf0001, Dedup.OracleHashBits).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val sources = Tables.documents(spark, sf0001).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val crossNear = Dedup.minhashLshPairs(spark, sf0001, Dedup.OracleHashBits)
+      .select("doc_a", "doc_b").collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (sources(a) == Dedup.IncrementalSource, sources(b) == Dedup.IncrementalSource) match {
+          case (true, false) => Seq(a)
+          case (false, true) => Seq(b)
+          case _ => Seq.empty
+        }
+      }.toSet
+    verdicts.foreach { case (id, near) =>
+      assert(near == crossNear.contains(id), s"doc $id near verdict vs pair relation")
+    }
+  }
+
   // ---------------------------------------------------------------- q95
 
   test("source datacard equals a JVM per-source reference") {
