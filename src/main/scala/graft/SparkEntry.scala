@@ -130,7 +130,9 @@ object SparkEntry {
     "q96_matryoshka_recall" -> Similarity.matryoshkaRecall _,
     "q97_span_corruption"   -> TextAnalytics.spanCorruption _,
     "q98_stream_anomaly"    -> EventStream.anomalyWindowsStream _,
-    "q99_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d, Dedup.OracleHashBits))
+    "q99_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d, Dedup.OracleHashBits)),
+    "q100_token_budget"     -> Sampling.tokenBudget _,
+    "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksum _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -290,6 +292,10 @@ object SparkEntry {
     // streaming replay scored against frozen offline moments is
     // bit-identical to the batch monitor, so q90's oracle serves both
     "q98_stream_anomaly"    -> Events.anomalyWindowsSql,
-    "q99_incremental_dedup" -> Dedup.incrementalDedupSql
+    "q99_incremental_dedup" -> Dedup.incrementalDedupSql,
+    "q100_token_budget"     -> Sampling.tokenBudgetSql,
+    // oracle reads the parquet table; the query reads the JSONL export —
+    // a hash match proves the sink/source pair is lossless
+    "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksumSql
   )
 }

@@ -269,4 +269,68 @@ object Sampling {
        |FROM documents
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Token-budget allocation: the epochs-per-source training plan.
+  // -------------------------------------------------------------------
+
+  /** Train for the token-equivalent of this many passes over the
+    * whole corpus (the budget constant the plan divides up). */
+  val BudgetEpochsX = 2L
+
+  /** q100: token-budget allocation — q77's temperature weights turned
+    * into the actual training plan: each source's share of a fixed
+    * token budget, and therefore how many EPOCHS of that source the
+    * run will consume (epochs > 1 ⇒ the source repeats, the
+    * small-data regime of Muennighoff et al. 2023; epochs < 1 ⇒ the
+    * source is subsampled). This is the table a training run's data
+    * loader is actually configured from.
+    *
+    * Integer discipline: the share is quantized to PERMILLE before
+    * multiplying into the budget — budget × permille stays within
+    * i64 for budgets up to ~9e15 tokens (far beyond a 100 TB corpus),
+    * whereas multiplying budget × raw-weight first would overflow at
+    * web scale. Same one-aggregation + one-row-broadcast shape as
+    * q77. */
+  def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val totals = per.agg(sum(col("n_tokens")).as("tt"), sum(col("weight")).as("tw"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("share_permille", expr("weight * 1000 div tw"))
+      .withColumn("alloc_tokens",
+        expr(s"($BudgetEpochsX * tt * share_permille) div 1000"))
+      .withColumn("epochs_milli", expr("alloc_tokens * 1000 div n_tokens"))
+      .withColumn("repeats", col("epochs_milli") > 1000L)
+      .select("source", "n_docs", "n_tokens", "weight", "share_permille",
+        "alloc_tokens", "epochs_milli", "repeats")
+      .orderBy("source")
+  }
+
+  def tokenBudgetSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) as bigint) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    cast(floor(sqrt(cast(n_tokens as double)) * 1000000.0) as bigint) AS weight
+       |  FROM per),
+       |tot AS (
+       |  SELECT cast(sum(n_tokens) as bigint) AS tt, cast(sum(weight) as bigint) AS tw FROM w),
+       |s AS (
+       |  SELECT source, n_docs, n_tokens, weight,
+       |    weight * 1000 // tw AS share_permille,
+       |    ($BudgetEpochsX * tt * (weight * 1000 // tw)) // 1000 AS alloc_tokens
+       |  FROM w, tot)
+       |SELECT source, n_docs, n_tokens, weight, share_permille, alloc_tokens,
+       |  (alloc_tokens * 1000) // n_tokens AS epochs_milli,
+       |  ((alloc_tokens * 1000) // n_tokens > 1000) AS repeats
+       |FROM s
+       |ORDER BY source""".stripMargin
 }

@@ -906,6 +906,57 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q100
+
+  test("token budget equals a JVM plan reference; temperature favors small sources") {
+    val got = graft.ops.Sampling.tokenBudget(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").count(_.nonEmpty).toLong))
+    val per = docs.groupBy(_._1).map { case (s, rows) =>
+      s -> (rows.length.toLong, rows.map(_._2).sum)
+    }
+    val weights = per.map { case (s, (_, n)) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong
+    }
+    val tt = per.values.map(_._2).sum
+    val tw = weights.values.sum
+    assert(got.length == per.size)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val (nd, nt) = per(src)
+      val w = weights(src)
+      val share = w * 1000 / tw
+      val alloc = graft.ops.Sampling.BudgetEpochsX * tt * share / 1000
+      assert(r.getLong(1) == nd && r.getLong(2) == nt && r.getLong(3) == w, s"$src stats")
+      assert(r.getLong(4) == share, s"$src share")
+      assert(r.getLong(5) == alloc, s"$src alloc")
+      assert(r.getLong(6) == alloc * 1000 / nt, s"$src epochs")
+      assert(r.getBoolean(7) == (alloc * 1000 / nt > 1000), s"$src repeats")
+    }
+    // sqrt temperature: the smallest source gets MORE epochs than the
+    // largest (that is the whole point of the flattening)
+    val bySize = got.sortBy(_.getLong(2))
+    assert(bySize.head.getLong(6) >= bySize.last.getLong(6),
+      s"temperature not flattening: ${bySize.head} vs ${bySize.last}")
+    // shares are a floor-quantized partition of (at most) the whole
+    assert(got.map(_.getLong(4)).sum <= 1000)
+  }
+
+  // ---------------------------------------------------------------- q101
+
+  test("JSONL export ingests back row-identical to the parquet corpus") {
+    val dir = graft.sources.JsonlCorpus.preparedJsonl(spark, sf0001)
+    val back = spark.read.schema(graft.sources.JsonlCorpus.DocumentsSchema).json(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    val orig = Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(back == orig, "JSONL roundtrip lost or mutated documents")
+    assert(back.nonEmpty)
+  }
+
   // ---------------------------------------------------------------- q95
 
   test("source datacard equals a JVM per-source reference") {
