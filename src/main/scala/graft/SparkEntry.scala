@@ -132,7 +132,8 @@ object SparkEntry {
     "q98_stream_anomaly"    -> EventStream.anomalyWindowsStream _,
     "q99_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d, Dedup.OracleHashBits)),
     "q100_token_budget"     -> Sampling.tokenBudget _,
-    "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksum _
+    "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksum _,
+    "q102_stream_admission" -> graft.streaming.DedupStream.admissionStream _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -296,6 +297,8 @@ object SparkEntry {
     "q100_token_budget"     -> Sampling.tokenBudgetSql,
     // oracle reads the parquet table; the query reads the JSONL export —
     // a hash match proves the sink/source pair is lossless
-    "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksumSql
+    "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksumSql,
+    // the streamed replay is row-identical to batch q99, so its oracle serves both
+    "q102_stream_admission" -> Dedup.incrementalDedupSql
   )
 }

@@ -181,12 +181,22 @@ object Dedup {
                          s: Array[Long], bands: Array[String])
 
   private[graft] def docShingleSummary(spark: SparkSession, sfDir: String,
-                                     bits: Int = DefaultHashBits): DataFrame = {
+                                     bits: Int = DefaultHashBits): DataFrame =
+    docShingleSummaryOf(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"), bits)
+
+  /** The same per-doc summary over an ARBITRARY (doc_id, source, text)
+    * frame — the form a streaming micro-batch applies (q102 shares
+    * this exact kernel with the batch path, so stream and batch
+    * signatures cannot drift). */
+  private[graft] def docShingleSummaryOf(docs: DataFrame,
+                                         bits: Int = DefaultHashBits): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val params = Consts.MinhashParams.toArray
     val prime = Consts.MinhashPrime
     val nBands = Consts.LshBands; val rowsPer = Consts.LshRowsPerBand
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
@@ -1484,30 +1494,48 @@ object Dedup {
     * candidate-sized. The corpus's own internal duplicates are
     * irrelevant here by design — this op answers "is it new", not
     * "is the corpus clean" (q74 answers that). */
-  def incrementalDedup(spark: SparkSession, sfDir: String,
-                       bits: Int = DefaultHashBits): DataFrame = {
+  /** The frozen corpus reference the admission check joins against:
+    * distinct content hashes, the exploded band table, and the
+    * per-doc shingle sets — all from corpus sources only. */
+  private[graft] case class FrozenCorpus(hashes: DataFrame, banded: DataFrame,
+                                         sets: DataFrame)
+
+  private[graft] def frozenCorpus(spark: SparkSession, sfDir: String,
+                                  bits: Int = DefaultHashBits): FrozenCorpus = {
     val (summary, _, _) = sharedSummary(spark, sfDir, bits)
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
-    val newDocs = docs.filter(col("source") === IncrementalSource)
-    val corpusHashes = docs.filter(col("source") =!= IncrementalSource)
-      .select("h").distinct()
-    val exact = newDocs.join(corpusHashes, Seq("h"), "left_semi")
+    val corpusSummary = summary.filter(col("source") =!= IncrementalSource)
+    FrozenCorpus(
+      hashes = Tables.documents(spark, sfDir)
+        .filter(col("source") =!= IncrementalSource)
+        .select(md5(col("text").cast("binary")).as("h")).distinct(),
+      banded = corpusSummary.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))),
+      sets = corpusSummary.select(col("doc_id"), col("s")))
+  }
+
+  /** Admission verdicts for an arbitrary batch of incoming documents
+    * (doc_id, source, text) against a frozen corpus — the core batch
+    * q99 and the streaming q102 share. No output ordering (the
+    * caller orders; a stream appends). */
+  private[graft] def admissionVerdicts(newDocs: DataFrame, corpus: FrozenCorpus,
+                                       bits: Int = DefaultHashBits): DataFrame = {
+    val nh = newDocs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("h"))
+    val exact = nh.join(corpus.hashes, Seq("h"), "left_semi")
       .select(col("doc_id"), lit(true).as("exact_dup"))
 
-    val banded = summary.select(col("doc_id"), col("source"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val nb = banded.filter(col("source") === IncrementalSource).alias("x")
-    val cb = banded.filter(col("source") =!= IncrementalSource).alias("y")
-    val cand = cb.join(broadcast(nb),
+    val nsum = docShingleSummaryOf(newDocs, bits)
+    val nb = nsum.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))).alias("x")
+    val cand = corpus.banded.alias("y").join(broadcast(nb),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band_hash") === col("y.band_hash"))
       .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
       .distinct()
-    val sets = summary.select(col("doc_id"), col("s"))
     val near = cand
-      .join(sets.alias("sa"), col("doc_new") === col("sa.doc_id"))
-      .join(sets.alias("sb"), col("doc_old") === col("sb.doc_id"))
+      .join(nsum.select(col("doc_id"), col("s")).alias("sa"),
+        col("doc_new") === col("sa.doc_id"))
+      .join(corpus.sets.alias("sb"), col("doc_old") === col("sb.doc_id"))
       .filter(size(array_intersect(col("sa.s"), col("sb.s"))).cast("double") /
         size(array_union(col("sa.s"), col("sb.s"))).cast("double")
         >= Consts.MinhashJaccardThreshold)
@@ -1524,6 +1552,14 @@ object Dedup {
         when(col("exact_dup"), "drop_exact")
           .when(col("near_dup"), "drop_near")
           .otherwise("ingest"))
+  }
+
+  def incrementalDedup(spark: SparkSession, sfDir: String,
+                       bits: Int = DefaultHashBits): DataFrame = {
+    val newDocs = Tables.documents(spark, sfDir)
+      .filter(col("source") === IncrementalSource)
+      .select("doc_id", "source", "text")
+    admissionVerdicts(newDocs, frozenCorpus(spark, sfDir, bits), bits)
       .orderBy("doc_id")
   }
 

@@ -109,4 +109,56 @@ object DedupStream {
           out.iterator
       }
   }
+
+  private val admissionCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q102: streaming admission control — the q99 verdicts as the
+    * firehose shape. Incoming documents replay through a file stream;
+    * each micro-batch is checked against the FROZEN corpus reference
+    * (content hashes, band table, shingle sets — the IvfStream
+    * frozen-artifact discipline, lineage-truncated once before the
+    * stream starts) by the SAME `Dedup.admissionVerdicts` core the
+    * batch query runs, and verdicts append to the output sink. A
+    * replay of the whole batch therefore produces row-identical
+    * verdicts to q99, so q99's DuckDB oracle doubles as this
+    * query's.
+    *
+    * Scale shape: per micro-batch, the batch side (a crawl increment)
+    * broadcasts its band rows against the frozen corpus tables; the
+    * corpus is never re-summarized (one cached narrow row per doc)
+    * and never shuffled. State lives in the corpus reference, not the
+    * stream — any number of increments admits against it until a
+    * corpus re-freeze (same quiesce caveat as IvfStream compaction). */
+  def admissionStream(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val bits = graft.ops.Dedup.OracleHashBits
+    // freeze the corpus reference BEFORE the stream starts: checkpoint
+    // re-instances the plans so every micro-batch joins materialized
+    // rows instead of re-deriving the corpus summary
+    val c0 = graft.ops.Dedup.frozenCorpus(spark, sfDir, bits)
+    val frozen = graft.ops.Dedup.FrozenCorpus(
+      graft.ops.Materialize.tracked(spark, c0.hashes.localCheckpoint(true)),
+      graft.ops.Materialize.tracked(spark, c0.banded.localCheckpoint(true)),
+      graft.ops.Materialize.tracked(spark, c0.sets.localCheckpoint(true)))
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val outDir = java.nio.file.Files
+      .createTempDirectory(s"graft_admission_${admissionCounter.incrementAndGet()}")
+      .toString
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("source") === graft.ops.Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+    val q = stream.writeStream
+      .queryName(s"graft_admission_${admissionCounter.get()}")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.admissionVerdicts(batch, frozen, bits)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
 }

@@ -886,6 +886,17 @@ class PipelineOpsSpec extends SparkSpec {
     graft.ops.Materialize.release(spark)
   }
 
+  test("streaming admission verdicts equal the batch q99 row for row") {
+    val batch = Dedup.incrementalDedup(spark, sf0001, Dedup.OracleHashBits).collect()
+    val stream = graft.streaming.DedupStream.admissionStream(spark, sf0001).collect()
+    assert(stream.length == batch.length && batch.nonEmpty)
+    batch.zip(stream).foreach { case (b, st) =>
+      assert(b.getLong(0) == st.getLong(0) && b.getBoolean(1) == st.getBoolean(1) &&
+        b.getBoolean(2) == st.getBoolean(2) && b.getString(3) == st.getString(3),
+        s"verdict drift: $b vs $st")
+    }
+  }
+
   test("incremental dedup near verdicts agree with the corpus-wide LSH pair relation") {
     val verdicts = Dedup.incrementalDedup(spark, sf0001, Dedup.OracleHashBits).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
@@ -943,6 +954,27 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------- q101
+
+  test("JSONL probe: quotes, backslashes, newlines, tabs, unicode, and empty strings survive the roundtrip") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "a \"quoted\" phrase and a \\ backslash"),
+      (3L, "line one\nline two\r\nline three"),
+      (4L, "tab\there and control  char"),
+      (5L, "unicode: 你好 éèê 😀"),
+      (6L, ""),
+      (7L, "{\"looks\": \"like json\"}"))
+      .map { case (id, txt) => (id, txt, "en", "probe", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl_probe")
+    nasty.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val dir = graft.sources.JsonlCorpus.preparedJsonl(spark, tmp.toString)
+    val back = spark.read.schema(graft.sources.JsonlCorpus.DocumentsSchema).json(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == orig, s"escaping broke the roundtrip: $back")
+  }
 
   test("JSONL export ingests back row-identical to the parquet corpus") {
     val dir = graft.sources.JsonlCorpus.preparedJsonl(spark, sf0001)
