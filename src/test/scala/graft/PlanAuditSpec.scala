@@ -264,6 +264,15 @@ class PlanAuditSpec extends SparkSpec {
       s"q95 shuffles raw text:\n$cardPlan")
   }
 
+  test("q99: admission joins are equi/broadcast — the incoming batch is the build side, never a nested loop") {
+    val df = Dedup.incrementalDedup(spark, sf0001, Dedup.OracleHashBits)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q99 degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q99 lost its broadcast shape:\n$plan")
+  }
+
   test("q93/q94: graph and LM joins are equi/broadcast — never a nested loop") {
     val pr = Dedup.pagerankIter(spark, sf0001, Dedup.OracleHashBits)
     val prPlan = executed(pr)
