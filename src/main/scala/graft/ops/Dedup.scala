@@ -1438,22 +1438,31 @@ object Dedup {
     val pairs = Materialize.tracked(spark,
       minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
         .localCheckpoint(true))
-    val edges = pairs.union(
+    val edges = Materialize.tracked(spark,
+      pairs.union(
         pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
-    val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
+    val deg = Materialize.tracked(spark,
+      edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true))
     var ranks = deg.select(col("doc_a").as("doc_id"),
       lit(PagerankUnit).as("rank_u"))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      ranks = edges.join(deg, "doc_a")
-        .join(ranks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .select(col("doc_b").as("doc_id"), expr("rank_u div deg").as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("in_sum"))
-        .withColumn("rank_u", expr(s"$PagerankBase + (85 * in_sum) div 100"))
-        .select("doc_id", "rank_u")
-        .localCheckpoint(true)
+      val next = Materialize.tracked(spark,
+        edges.join(deg, "doc_a")
+          .join(ranks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+          .select(col("doc_b").as("doc_id"), expr("rank_u div deg").as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("in_sum"))
+          .withColumn("rank_u", expr(s"$PagerankBase + (85 * in_sum) div 100"))
+          .select("doc_id", "rank_u")
+          .localCheckpoint(true))
+      // the superseded iteration's blocks are dead the moment the next
+      // one materializes (the q49 loop's release discipline)
+      if (prev != null) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(prev)
+      prev = next
+      ranks = next
     }
     ranks.orderBy("doc_id")
   }
@@ -1605,11 +1614,7 @@ object Dedup {
   def clusterSplit(spark: SparkSession, sfDir: String,
                    bits: Int = DefaultHashBits): DataFrame = {
     def hash32(colName: String): org.apache.spark.sql.Column =
-      (0 until 8).map { j =>
-        val w = 1L << (4 * (7 - j))
-        (expr(s"instr('0123456789abcdef', substring(md5(cast($colName as string)), ${j + 1}, 1))")
-          .cast("long") - 1) * w
-      }.reduce(_ + _)
+      graft.core.Hash32.column(s"md5(cast($colName as string))")
     def splitOf(bucket: org.apache.spark.sql.Column) =
       when(bucket < Sampling.TrainPct, "train")
         .when(bucket < Sampling.TrainPct + Sampling.ValPct, "val")
@@ -1637,10 +1642,8 @@ object Dedup {
   }
 
   def clusterSplitSql: String = {
-    def sqlHash32(colName: String) = (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      s"(cast(strpos('0123456789abcdef', substring(md5(cast($colName as varchar)), ${j + 1}, 1)) as bigint) - 1) * $w"
-    }.mkString("(", " + ", ")")
+    def sqlHash32(colName: String) =
+      graft.core.Hash32.sql(s"md5(cast($colName as varchar))")
     def sqlSplit(h: String) =
       s"""CASE WHEN $h % 100 < ${Sampling.TrainPct} THEN 'train'
          |     WHEN $h % 100 < ${Sampling.TrainPct + Sampling.ValPct} THEN 'val'

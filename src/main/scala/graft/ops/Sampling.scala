@@ -16,19 +16,13 @@ import graft.core.Tables
 object Sampling {
 
   /** Portable 32-bit hash of the doc_id column: first 8 hex nibbles of
-    * md5(cast(doc_id as string)) — the same construction the dedup
-    * operators use for shingles, and bit-identical in DuckDB. */
+    * md5(cast(doc_id as string)) — the shared graft.core.Hash32
+    * construction, bit-identical in DuckDB. */
   private[ops] def docIdHash: Column =
-    (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      (expr(s"instr('0123456789abcdef', substring(md5(cast(doc_id as string)), ${j + 1}, 1))")
-        .cast("long") - 1) * w
-    }.reduce(_ + _)
+    graft.core.Hash32.column("md5(cast(doc_id as string))")
 
-  private val sqlDocHash = (0 until 8).map { j =>
-    val w = 1L << (4 * (7 - j))
-    s"(cast(strpos('0123456789abcdef', substring(md5(cast(doc_id as varchar)), ${j + 1}, 1)) as bigint) - 1) * $w"
-  }.mkString("(", " + ", ")")
+  private val sqlDocHash =
+    graft.core.Hash32.sql("md5(cast(doc_id as varchar))")
 
   val TrainPct = 80L
   val ValPct = 10L // remainder = test
@@ -211,7 +205,7 @@ object Sampling {
     * normalization joins against a ONE-ROW total frame — broadcast,
     * no second shuffle of anything corpus-sized. */
   def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+    val toks = TextAnalytics.tokens(col("text"))
     val per = Tables.documents(spark, sfDir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -293,7 +287,7 @@ object Sampling {
     * web scale. Same one-aggregation + one-row-broadcast shape as
     * q77. */
   def tokenBudget(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = filter(split(trim(col("text")), "\\s+"), x => x =!= "")
+    val toks = TextAnalytics.tokens(col("text"))
     val per = Tables.documents(spark, sfDir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

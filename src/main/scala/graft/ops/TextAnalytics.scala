@@ -851,8 +851,12 @@ object TextAnalytics {
           lit(0L), (acc, x) => acc + x).as("char_sum"),
         size(filter(t, x => x.rlike("[a-z]"))).cast("long").as("alpha_words"),
         size(filter(t, x => x.isin(Consts.Stopwords: _*))).cast("long").as("stop_hits"))
-      .withColumn("mean_wlen_c", expr("char_sum * 100 div n_words"))
-      .withColumn("alpha_permille", expr("alpha_words * 1000 div n_words"))
+      // empty/whitespace-only documents (real in scraped corpora) get
+      // definite zeros and a definite reject, not NULL verdicts
+      .withColumn("mean_wlen_c",
+        expr("case when n_words = 0 then 0L else char_sum * 100 div n_words end"))
+      .withColumn("alpha_permille",
+        expr("case when n_words = 0 then 0L else alpha_words * 1000 div n_words end"))
       .withColumn("r_words", col("n_words").between(GopherMinWords, GopherMaxWords))
       .withColumn("r_wlen", col("mean_wlen_c").between(GopherMinMeanWlenC, GopherMaxMeanWlenC))
       .withColumn("r_alpha", col("alpha_permille") >= GopherMinAlphaPermille)
@@ -874,8 +878,8 @@ object TextAnalytics {
        |  FROM (SELECT doc_id, source, $sqlTokens t FROM documents)),
        |g AS (
        |  SELECT doc_id, source, n_words,
-       |    (char_sum * 100) // n_words AS mean_wlen_c,
-       |    (alpha_words * 1000) // n_words AS alpha_permille,
+       |    CASE WHEN n_words = 0 THEN 0 ELSE (char_sum * 100) // n_words END AS mean_wlen_c,
+       |    CASE WHEN n_words = 0 THEN 0 ELSE (alpha_words * 1000) // n_words END AS alpha_permille,
        |    stop_hits
        |  FROM s)
        |SELECT doc_id, source, n_words, mean_wlen_c, alpha_permille, stop_hits,
@@ -1061,19 +1065,28 @@ object TextAnalytics {
        |  SELECT doc_id, i, tok, m, st,
        |    sum(CASE WHEN st THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY i) - 1 AS span_id
-       |  FROM starts)
-       |SELECT doc_id,
-       |  cast(count(*) as bigint) AS n_tokens,
-       |  cast(sum(CASE WHEN m THEN 1 ELSE 0 END) as bigint) AS n_masked,
-       |  cast(sum(CASE WHEN st THEN 1 ELSE 0 END) as bigint) AS n_spans,
-       |  coalesce(string_agg(
-       |    CASE WHEN NOT m THEN tok
-       |         WHEN st THEN '<extra_id_' || span_id || '>' END,
-       |    ' ' ORDER BY i), '') AS input_text,
-       |  coalesce(string_agg(
-       |    CASE WHEN m AND st THEN '<extra_id_' || span_id || '> ' || tok
-       |         WHEN m THEN tok END,
-       |    ' ' ORDER BY i), '') AS target_text
-       |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  FROM starts),
+       |agg AS (
+       |  SELECT doc_id,
+       |    cast(count(*) as bigint) AS n_tokens,
+       |    cast(sum(CASE WHEN m THEN 1 ELSE 0 END) as bigint) AS n_masked,
+       |    cast(sum(CASE WHEN st THEN 1 ELSE 0 END) as bigint) AS n_spans,
+       |    coalesce(string_agg(
+       |      CASE WHEN NOT m THEN tok
+       |           WHEN st THEN '<extra_id_' || span_id || '>' END,
+       |      ' ' ORDER BY i), '') AS input_text,
+       |    coalesce(string_agg(
+       |      CASE WHEN m AND st THEN '<extra_id_' || span_id || '> ' || tok
+       |           WHEN m THEN tok END,
+       |      ' ' ORDER BY i), '') AS target_text
+       |  FROM runs GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  coalesce(agg.n_tokens, 0) AS n_tokens,
+       |  coalesce(agg.n_masked, 0) AS n_masked,
+       |  coalesce(agg.n_spans, 0) AS n_spans,
+       |  coalesce(agg.input_text, '') AS input_text,
+       |  coalesce(agg.target_text, '') AS target_text
+       |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+       |ORDER BY t.doc_id""".stripMargin
   }
 }

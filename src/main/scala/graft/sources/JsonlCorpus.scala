@@ -31,19 +31,13 @@ object JsonlCorpus {
     StructField("n_chars", LongType)))
 
   /** Portable 32-bit content hash: first 8 hex nibbles of md5(text) —
-    * the same cross-engine construction as Sampling.docIdHash. Summed
-    * per source it is an order-independent corpus checksum. */
+    * the shared graft.core.Hash32 construction. Summed per source it
+    * is an order-independent corpus checksum. */
   private def textHash32: Column =
-    (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      (expr(s"instr('0123456789abcdef', substring(md5(cast(text as binary)), ${j + 1}, 1))")
-        .cast("long") - 1) * w
-    }.reduce(_ + _)
+    graft.core.Hash32.column("md5(cast(text as binary))")
 
-  private val sqlTextHash32: String = (0 until 8).map { j =>
-    val w = 1L << (4 * (7 - j))
-    s"(cast(strpos('0123456789abcdef', substring(md5(text), ${j + 1}, 1)) as bigint) - 1) * $w"
-  }.mkString("(", " + ", ")")
+  private val sqlTextHash32: String =
+    graft.core.Hash32.sql("md5(text)")
 
   private val jsonlEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
   private val jsonlDirs =

@@ -142,8 +142,9 @@ object DedupStream {
       graft.ops.Materialize.tracked(spark, c0.banded.localCheckpoint(true)),
       graft.ops.Materialize.tracked(spark, c0.sets.localCheckpoint(true)))
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val run = admissionCounter.incrementAndGet()
     val outDir = java.nio.file.Files
-      .createTempDirectory(s"graft_admission_${admissionCounter.incrementAndGet()}")
+      .createTempDirectory(s"graft_admission_$run")
       .toString
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -151,7 +152,7 @@ object DedupStream {
       .filter(col("source") === graft.ops.Dedup.IncrementalSource)
       .select("doc_id", "source", "text")
     val q = stream.writeStream
-      .queryName(s"graft_admission_${admissionCounter.get()}")
+      .queryName(s"graft_admission_$run")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         graft.ops.Dedup.admissionVerdicts(batch, frozen, bits)
           .write.mode("append").parquet(outDir)

@@ -719,6 +719,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keeps > 0 && keeps < got.length)
   }
 
+  test("gopher gate and span corruption probe: empty and whitespace-only docs get definite zero verdicts, not NULLs or dropped rows") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, ""),
+      (2L, "   \t  "),
+      (3L, "the quick brown fox a the and jumps over the lazy dog again"))
+      .map { case (id, txt) => (id, txt, "en", "probe", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("empty_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val gate = TextAnalytics.gopherGate(spark, tmp.toString).collect()
+    assert(gate.length == 3)
+    gate.filter(_.getLong(2) == 0L).foreach { r =>
+      assert(!r.isNullAt(3) && r.getLong(3) == 0L, s"mean_wlen_c NULL/junk: $r")
+      assert(!r.isNullAt(4) && r.getLong(4) == 0L, s"alpha_permille NULL/junk: $r")
+      assert(!r.isNullAt(10) && !r.getBoolean(10), s"empty doc must be a definite reject: $r")
+    }
+    val sc = TextAnalytics.spanCorruption(spark, tmp.toString).collect()
+    assert(sc.length == 3, "zero-token docs must not vanish from the corruption output")
+    sc.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L &&
+        r.getString(4) == "" && r.getString(5) == "", s"empty doc row: $r")
+    }
+  }
+
   // ---------------------------------------------------------------- q93
 
   test("pagerank iteration equals an in-memory graph reference; run(1) agrees; mass is conserved under iteration") {
