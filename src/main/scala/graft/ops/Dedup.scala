@@ -1502,7 +1502,10 @@ object Dedup {
     * on the content hash. Candidate verification joins are
     * candidate-sized. The corpus's own internal duplicates are
     * irrelevant here by design — this op answers "is it new", not
-    * "is the corpus clean" (q74 answers that). */
+    * "is the corpus clean" (q74 answers that). Duplicates WITHIN the
+    * incoming batch are likewise out of scope: admitted docs still
+    * pass through the corpus-internal dedup (q13/q74) on ingest, the
+    * same two-stage discipline real crawl pipelines run. */
   /** The frozen corpus reference the admission check joins against:
     * distinct content hashes, the exploded band table, and the
     * per-doc shingle sets — all from corpus sources only. */

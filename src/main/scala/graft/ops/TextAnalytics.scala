@@ -1010,41 +1010,46 @@ object TextAnalytics {
     * construction also means re-running the pipeline on a grown
     * corpus reproduces identical examples for unchanged documents —
     * a property seeded RNG masking does not have. */
+  /** The per-document corruption kernel (pure; property-tested
+    * driver-side, executed per row inside the mapPartitions below). */
+  private[graft] def corruptDoc(id: Long, text: String,
+      md: java.security.MessageDigest): (Long, Long, Long, Long, String, String) = {
+    val t = text.trim.split("\\s+").filter(_.nonEmpty)
+    val masked = t.indices.map { i =>
+      (md.digest(s"$id-$i".getBytes("UTF-8"))(0) & 0xff) < SpanMaskBound
+    }
+    val inB = new StringBuilder
+    val tgtB = new StringBuilder
+    var span = -1
+    var prev = false
+    var nMasked = 0L
+    for (i <- t.indices) {
+      if (masked(i)) {
+        nMasked += 1
+        if (!prev) {
+          span += 1
+          if (inB.nonEmpty) inB.append(' ')
+          inB.append("<extra_id_").append(span).append('>')
+          if (tgtB.nonEmpty) tgtB.append(' ')
+          tgtB.append("<extra_id_").append(span).append("> ").append(t(i))
+        } else tgtB.append(' ').append(t(i))
+      } else {
+        if (inB.nonEmpty) inB.append(' ')
+        inB.append(t(i))
+      }
+      prev = masked(i)
+    }
+    (id, t.length.toLong, nMasked, (span + 1).toLong,
+      inB.toString, tgtB.toString)
+  }
+
   def spanCorruption(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
-          val t = text.trim.split("\\s+").filter(_.nonEmpty)
-          val masked = t.indices.map { i =>
-            (md.digest(s"$id-$i".getBytes("UTF-8"))(0) & 0xff) < SpanMaskBound
-          }
-          val inB = new StringBuilder
-          val tgtB = new StringBuilder
-          var span = -1
-          var prev = false
-          var nMasked = 0L
-          for (i <- t.indices) {
-            if (masked(i)) {
-              nMasked += 1
-              if (!prev) {
-                span += 1
-                if (inB.nonEmpty) inB.append(' ')
-                inB.append("<extra_id_").append(span).append('>')
-                if (tgtB.nonEmpty) tgtB.append(' ')
-                tgtB.append("<extra_id_").append(span).append("> ").append(t(i))
-              } else tgtB.append(' ').append(t(i))
-            } else {
-              if (inB.nonEmpty) inB.append(' ')
-              inB.append(t(i))
-            }
-            prev = masked(i)
-          }
-          (id, t.length.toLong, nMasked, (span + 1).toLong,
-            inB.toString, tgtB.toString)
-        }
+        it.map { case (id, text) => corruptDoc(id, text, md) }
       }
       .toDF("doc_id", "n_tokens", "n_masked", "n_spans", "input_text", "target_text")
       .orderBy("doc_id")

@@ -208,4 +208,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("span corruption kernel: round-trips for arbitrary docs (unicode, empties, long runs)") {
+    import graft.ops.TextAnalytics
+    val tokenGen = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12)),
+      Gen.oneOf("你好", "éèê", "Ωμέγα", "токен", "🙂x"),
+      Gen.const("a"))
+    val docGen = for {
+      n <- Gen.chooseNum(0, 80)
+      toks <- Gen.listOfN(n, tokenGen)
+      sep <- Gen.oneOf(" ", "  ", " \t ")
+    } yield toks.mkString(sep)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sentinel = "<extra_id_(\\d+)>".r
+    forAll(docGen, Gen.chooseNum(0L, 1L << 40)) { (text: String, id: Long) =>
+      val (_, nTok, nMasked, nSpans, input, target) =
+        TextAnalytics.corruptDoc(id, text, md)
+      val orig = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      assert(nTok == orig.length.toLong)
+      // parse spans, check ids are dense, rebuild the document
+      val spans = scala.collection.mutable.Map.empty[Int, List[String]]
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach {
+        case sentinel(k) => cur = k.toInt; spans(cur) = Nil
+        case tok => spans(cur) = spans(cur) :+ tok
+      }
+      assert(spans.keySet == (0 until nSpans.toInt).toSet)
+      assert(spans.values.map(_.length.toLong).sum == nMasked)
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap {
+        case sentinel(k) => spans(k.toInt)
+        case tok => Seq(tok)
+      }.toSeq
+      assert(rebuilt == orig, s"round-trip failed for id=$id text=${text.take(80)}")
+      // determinism: the mask depends only on (id, position)
+      val again = TextAnalytics.corruptDoc(id, text, md)
+      assert(again == ((id, nTok, nMasked, nSpans, input, target)))
+    }
+  }
 }
