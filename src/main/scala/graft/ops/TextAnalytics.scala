@@ -917,7 +917,12 @@ object TextAnalytics {
     val tf = tfRows(spark, sfDir)
     val cf = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
     val n = broadcast(cf.agg(sum(col("cf")).as("n_total")))
-    tf.join(broadcast(cf), "tok").crossJoin(n)
+    // cf joins back UNHINTED: size stats pick broadcast at bounded
+    // vocabularies (the plan audit pins that) and degrade to a keyed
+    // shuffle join at web-scale ones — a forced broadcast hint here
+    // would be the executor-OOM at 100 TB; the one-row total stays
+    // hinted (always broadcastable by construction)
+    tf.join(cf, "tok").crossJoin(n)
       .withColumn("s_tok",
         (length(bin(col("n_total"))) - length(bin(col("cf")))).cast("long"))
       .groupBy("doc_id")
