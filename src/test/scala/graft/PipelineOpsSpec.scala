@@ -777,6 +777,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run5.map(_.getLong(1)).sum <= deg.size * Dedup.PagerankUnit)
   }
 
+  test("pagerank probe: a symmetric near-dup pair sits at the unit fixpoint; a 3-chain centers its mass") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // chain: ends are near-dups of the middle but not of each other
+    val mid = a
+    val left = (a.split(" ").dropRight(1) :+ "OMEGA").mkString(" ")
+    val right = ("PSI" +: a.split(" ").drop(1)).mkString(" ")
+    val pairDoc = "one two three four five six seven eight nine ten eleven twelve"
+    val probe = Seq(
+      (1L, left), (2L, mid), (3L, right),     // chain 1-2-3
+      (10L, pairDoc), (11L, pairDoc))         // exact pair (jaccard 1)
+      .map { case (id, txt) => (id, txt, "en", "web", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("pagerank_probe")
+    probe.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLshPairs(spark, tmp.toString)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(pairs.contains((10L, 11L)) && pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    val ranks = Dedup.pagerankRun(spark, tmp.toString, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the isolated pair: each node's full rank flows to the other and
+    // back — the damped fixpoint IS the unit (floor losses only)
+    assert(ranks(10L) == ranks(11L))
+    assert(ranks(10L) > Dedup.PagerankUnit - 100 && ranks(10L) <= Dedup.PagerankUnit,
+      s"pair fixpoint drifted: ${ranks(10L)}")
+    // the chain: the middle node (two in-edges) outranks the ends
+    if (!pairs.contains((1L, 3L))) {
+      assert(ranks(2L) > ranks(1L) && ranks(2L) > ranks(3L),
+        s"hub must outrank spokes: $ranks")
+    }
+    graft.ops.Materialize.release(spark)
+  }
+
   // ---------------------------------------------------------------- q94
 
   test("surprisal equals a JVM unigram-LM reference and tracks -log2 p within 1 bit") {
