@@ -133,7 +133,8 @@ object SparkEntry {
     "q99_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d, Dedup.OracleHashBits)),
     "q100_token_budget"     -> Sampling.tokenBudget _,
     "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksum _,
-    "q102_stream_admission" -> graft.streaming.DedupStream.admissionStream _
+    "q102_stream_admission" -> graft.streaming.DedupStream.admissionStream _,
+    "q103_multi_decontam"   -> ((s: SparkSession, d: String) => Dedup.multiDecontamination(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -299,6 +300,7 @@ object SparkEntry {
     // a hash match proves the sink/source pair is lossless
     "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksumSql,
     // the streamed replay is row-identical to batch q99, so its oracle serves both
-    "q102_stream_admission" -> Dedup.incrementalDedupSql
+    "q102_stream_admission" -> Dedup.incrementalDedupSql,
+    "q103_multi_decontam"   -> Dedup.multiDecontaminationSql
   )
 }

@@ -1012,6 +1012,75 @@ object Dedup {
        |GROUP BY sh.doc_id
        |ORDER BY sh.doc_id""".stripMargin
 
+  /** Benchmark suites for the multi-suite screen: the held-out docs
+    * (doc_id < DecontamBenchmarkDocs) split round-robin into this
+    * many suites — standing in for MMLU/GSM8K/HumanEval/... sets. */
+  val NDecontamSuites = 3
+
+  /** q103: multi-suite decontamination — q62 against EVERY eval suite
+    * at once. A real pretraining pipeline screens against dozens of
+    * benchmarks; the naive form is one corpus pass per suite, and at
+    * 100 TB the passes ARE the cost. Here the suite-tagged benchmark
+    * shingles broadcast together and a CONDITIONAL-AGGREGATION pivot
+    * carries every suite's overlap count through the same single
+    * shuffle q62 pays — k suites for one pass, plus a worst-suite
+    * argmax for triage.
+    *
+    * A shingle appearing in several suites joins once per suite (the
+    * per-suite counts need it); n_shingles therefore counts DISTINCT
+    * hv so the denominator stays per-document exact. */
+  def multiDecontamination(spark: SparkSession, sfDir: String,
+                           bits: Int = DefaultHashBits): DataFrame = {
+    val (_, sh, _) = sharedSummary(spark, sfDir, bits)
+    val bench = broadcast(
+      sh.filter(col("doc_id") < DecontamBenchmarkDocs)
+        .select((col("doc_id") % NDecontamSuites).as("suite"), col("hv"))
+        .distinct())
+    val suiteCols = (0 until NDecontamSuites).map { k =>
+      sum(when(col("suite") === k, 1L).otherwise(0L)).as(s"s${k}_shared")
+    }
+    val shared = (0 until NDecontamSuites).map(k => col(s"s${k}_shared"))
+    val worst = (0 until NDecontamSuites).foldRight(lit(-1L)) { (k, rest) =>
+      val others = (0 until NDecontamSuites).filterNot(_ == k).map(o => col(s"s${o}_shared"))
+      when(shared.reduce(_ + _) > 0 && col(s"s${k}_shared") >= greatest(others: _*),
+        lit(k.toLong)).otherwise(rest)
+    }
+    sh.filter(col("doc_id") >= DecontamBenchmarkDocs)
+      .join(bench, Seq("hv"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("hv")).as("n_shingles"), suiteCols: _*)
+      .withColumn("contaminated", shared.reduce(_ + _) > 0)
+      .withColumn("worst_suite", worst)
+      .orderBy("doc_id")
+  }
+
+  def multiDecontaminationSql: String = {
+    val n = NDecontamSuites
+    val sums = (0 until n)
+      .map(k => s"cast(sum(CASE WHEN suite = $k THEN 1 ELSE 0 END) as bigint) AS s${k}_shared")
+      .mkString(",\n  ")
+    val total = (0 until n).map(k => s"s${k}_shared").mkString(" + ")
+    val worst = (0 until n).map { k =>
+      val others = (0 until n).filterNot(_ == k).map(o => s"s${o}_shared").mkString(", ")
+      s"WHEN $total > 0 AND s${k}_shared >= greatest($others) THEN $k"
+    }.mkString("\n    ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, ${shingleHashExpr("strpos", "md5(s)")} AS hv
+       |  FROM (SELECT doc_id, unnest($sqlShingles) AS s
+       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |bench AS (SELECT DISTINCT doc_id % $n AS suite, hv FROM sh WHERE doc_id < $DecontamBenchmarkDocs),
+       |agg AS (
+       |  SELECT sh.doc_id, cast(count(DISTINCT sh.hv) as bigint) AS n_shingles,
+       |  $sums
+       |  FROM sh LEFT JOIN bench USING (hv)
+       |  WHERE sh.doc_id >= $DecontamBenchmarkDocs
+       |  GROUP BY sh.doc_id)
+       |SELECT doc_id, n_shingles, ${(0 until n).map(k => s"s${k}_shared").mkString(", ")},
+       |  ($total) > 0 AS contaminated,
+       |  cast(CASE $worst ELSE -1 END as bigint) AS worst_suite
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Content-defined chunking (CDC): rolling-hash boundary detection,
   // the block-level dedup primitive (cf. LBFS/rsync-style anchoring;

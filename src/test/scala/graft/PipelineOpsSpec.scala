@@ -975,6 +975,48 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q103
+
+  test("multi-suite decontamination: any-suite flag equals q62, per-suite counts match a JVM reference") {
+    val single = Dedup.decontamination(spark, sf0001, Dedup.OracleHashBits)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val multi = Dedup.multiDecontamination(spark, sf0001, Dedup.OracleHashBits).collect()
+    assert(multi.length == single.size && multi.nonEmpty)
+    // JVM reference: per-doc distinct shingle hashes, suite-tagged bench
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shingles(text: String): Set[Long] = {
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to t.length - 3).map { i =>
+        val d = md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}".getBytes("UTF-8"))
+        // 32-bit oracle packing: first 4 md5 bytes, unsigned
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }.toSet
+    }
+    val benchBySuite = docs.filter(_._1 < Dedup.DecontamBenchmarkDocs)
+      .groupBy(_._1 % Dedup.NDecontamSuites)
+      .map { case (k, ds) => k -> ds.flatMap(d => shingles(d._2)).toSet }
+    multi.foreach { r =>
+      val id = r.getLong(0)
+      val sh = shingles(docs.find(_._1 == id).get._2)
+      assert(r.getLong(1) == sh.size.toLong, s"doc $id n_shingles")
+      val perSuite = (0 until Dedup.NDecontamSuites).map { k =>
+        (sh & benchBySuite.getOrElse(k.toLong, Set.empty)).size.toLong
+      }
+      (0 until Dedup.NDecontamSuites).foreach { k =>
+        assert(r.getLong(2 + k) == perSuite(k), s"doc $id suite $k")
+      }
+      val total = perSuite.sum
+      assert(r.getBoolean(2 + Dedup.NDecontamSuites) == (total > 0), s"doc $id contaminated")
+      assert(r.getBoolean(2 + Dedup.NDecontamSuites) == single(id)._2, s"doc $id vs q62 flag")
+      val expectedWorst =
+        if (total == 0) -1L
+        else perSuite.zipWithIndex.maxBy { case (c, k) => (c, -k) }._2.toLong
+      assert(r.getLong(3 + Dedup.NDecontamSuites) == expectedWorst, s"doc $id worst suite")
+    }
+  }
+
   // ---------------------------------------------------------------- q100
 
   test("token budget equals a JVM plan reference; temperature favors small sources") {
