@@ -134,7 +134,8 @@ object SparkEntry {
     "q100_token_budget"     -> Sampling.tokenBudget _,
     "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksum _,
     "q102_stream_admission" -> graft.streaming.DedupStream.admissionStream _,
-    "q103_multi_decontam"   -> ((s: SparkSession, d: String) => Dedup.multiDecontamination(s, d, Dedup.OracleHashBits))
+    "q103_multi_decontam"   -> ((s: SparkSession, d: String) => Dedup.multiDecontamination(s, d, Dedup.OracleHashBits)),
+    "q104_threshold_sweep"  -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -301,6 +302,7 @@ object SparkEntry {
     "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksumSql,
     // the streamed replay is row-identical to batch q99, so its oracle serves both
     "q102_stream_admission" -> Dedup.incrementalDedupSql,
-    "q103_multi_decontam"   -> Dedup.multiDecontaminationSql
+    "q103_multi_decontam"   -> Dedup.multiDecontaminationSql,
+    "q104_threshold_sweep"  -> Dedup.thresholdSweepSql
   )
 }

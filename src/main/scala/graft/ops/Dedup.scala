@@ -1012,6 +1012,94 @@ object Dedup {
        |GROUP BY sh.doc_id
        |ORDER BY sh.doc_id""".stripMargin
 
+  /** Jaccard histogram bucket width for the threshold sweep: 1/20. */
+  val SweepBuckets = 20
+
+  /** q104: dedup threshold-calibration sweep — the Jaccard histogram
+    * of all LSH-candidate pairs, bucketed at 0.05, with a cumulative
+    * pairs-at-or-above column. This is the curve a curation run reads
+    * BEFORE committing to a threshold (q14 hard-codes 0.7): how many
+    * pairs (and docs) each candidate threshold would merge. The
+    * LSH banding biases candidate recall toward high similarity, so
+    * the curve is exact in the region where thresholds actually get
+    * chosen and sparse below — that bias is the documented trade
+    * that makes the sweep one banded equi-join instead of all pairs.
+    *
+    * Scale shape: exactly q14's candidate join (shared summary cache,
+    * banded equi-join, never all-pairs) with the threshold filter
+    * REPLACED by a 20-bucket keyed aggregation; the cumulative column
+    * is a window over ≤20 rows. The bucket expression is one shared
+    * string on both engines (the bm25ScoreExpr discipline). */
+  def thresholdSweep(spark: SparkSession, sfDir: String,
+                     bits: Int = DefaultHashBits): DataFrame = {
+    val (summary, _, _) = sharedSummary(spark, sfDir, bits)
+    val banded = summary.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val x = banded.alias("x"); val y = banded.alias("y")
+    val candidates = x.join(y,
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = summary.select(col("doc_id"), col("s"))
+    val bucketed = candidates
+      .join(sets.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.s"), col("sb.s"))).cast("long").as("inter"),
+        size(array_union(col("sa.s"), col("sb.s"))).cast("long").as("uni"))
+      .withColumn("bucket", expr(sweepBucketExpr))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_merged"))
+      .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .orderBy("bucket")
+  }
+
+  /** floor(20 * inter/uni), clamped so jaccard == 1 lands in the top
+    * bucket — one string evaluated by both engines. */
+  private def sweepBucketExpr: String =
+    s"least(cast(floor((cast(inter as double) / cast(uni as double)) * $SweepBuckets.0) as bigint), ${SweepBuckets - 1L})"
+
+  def thresholdSweepSql: String = {
+    val bandJoins = (0 until Consts.LshBands).map { b =>
+      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
+    }.mkString("\n    UNION\n    ")
+    s"""WITH sets AS (
+       |  SELECT doc_id, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, $sqlShingles s0
+       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |exploded AS (SELECT doc_id, unnest(s) AS hv FROM sets),
+       |sig AS (SELECT doc_id,
+       |    $minColsSql
+       |  FROM exploded GROUP BY doc_id),
+       |banded AS (SELECT doc_id,
+       |    $bandColsSql
+       |  FROM sig),
+       |cand AS (
+       |    $bandJoins),
+       |b AS (
+       |  SELECT doc_a, doc_b, $sweepBucketExpr AS bucket FROM (
+       |    SELECT doc_a, doc_b,
+       |      cast(len(list_intersect(sa.s, sb.s)) as bigint) AS inter,
+       |      cast(len(list_distinct(sa.s || sb.s)) as bigint) AS uni
+       |    FROM cand
+       |    JOIN sets sa ON doc_a = sa.doc_id
+       |    JOIN sets sb ON doc_b = sb.doc_id)),
+       |h AS (
+       |  SELECT bucket, count(*) AS n_pairs,
+       |    cast(count(DISTINCT doc_b) as bigint) AS n_docs_merged
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, n_pairs, n_docs_merged,
+       |  cast(sum(n_pairs) OVER (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_pairs_at_or_above
+       |FROM h ORDER BY bucket""".stripMargin
+  }
+
   /** Benchmark suites for the multi-suite screen: the held-out docs
     * (doc_id < DecontamBenchmarkDocs) split round-robin into this
     * many suites — standing in for MMLU/GSM8K/HumanEval/... sets. */

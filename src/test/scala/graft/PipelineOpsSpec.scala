@@ -1017,6 +1017,49 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q104
+
+  test("threshold sweep equals a JVM histogram over the LSH candidate pairs") {
+    val rows = Dedup.docShingleSummary(spark, sf0001, Dedup.OracleHashBits).collect()
+    val sets = rows.map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    val bands = rows.map(r => r.getLong(0) -> r.getSeq[String](3).zipWithIndex).toMap
+    val ids = sets.keySet.toSeq.sorted
+    val cands = for {
+      i <- ids; j <- ids if i < j
+      if bands(i).exists { case (h, idx) => bands(j).contains((h, idx)) }
+    } yield (i, j)
+    assume(cands.nonEmpty)
+    val bucketOf = cands.map { case (a, b) =>
+      val inter = (sets(a) & sets(b)).size.toLong
+      val uni = (sets(a) | sets(b)).size.toLong
+      val bk = math.min(
+        math.floor(inter.toDouble / uni.toDouble * Dedup.SweepBuckets.toDouble).toLong,
+        Dedup.SweepBuckets - 1L)
+      (a, b, bk)
+    }
+    val hist = bucketOf.groupBy(_._3).map { case (bk, ps) =>
+      bk -> (ps.length.toLong, ps.map(_._2).distinct.length.toLong)
+    }
+    val got = Dedup.thresholdSweep(spark, sf0001, Dedup.OracleHashBits).collect()
+    assert(got.map(_.getLong(0)).toSet == hist.keySet)
+    var cum = 0L
+    got.sortBy(-_.getLong(0)).foreach { r =>
+      val bk = r.getLong(0)
+      assert(r.getLong(1) == hist(bk)._1, s"bucket $bk n_pairs")
+      assert(r.getLong(2) == hist(bk)._2, s"bucket $bk n_docs_merged")
+      cum += hist(bk)._1
+      assert(r.getLong(3) == cum, s"bucket $bk cumulative")
+    }
+    // the chosen q14 threshold's pair count is recoverable from the curve
+    val q14pairs = Dedup.minhashLshPairs(spark, sf0001, Dedup.OracleHashBits).count()
+    val fromCurve = bucketOf.count { case (a, b, _) =>
+      val inter = (sets(a) & sets(b)).size.toDouble
+      val uni = (sets(a) | sets(b)).size.toDouble
+      inter / uni >= graft.core.Consts.MinhashJaccardThreshold
+    }
+    assert(q14pairs == fromCurve.toLong)
+  }
+
   // ---------------------------------------------------------------- q100
 
   test("token budget equals a JVM plan reference; temperature favors small sources") {
