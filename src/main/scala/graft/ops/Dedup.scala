@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Consts, Tables}
 import graft.ops.TextAnalytics.{tokens, shingles3, sqlShingles}
@@ -244,8 +244,12 @@ object Dedup {
       summary.select(col("doc_id"), size(col("s")).cast("long").as("sz")))
   }
 
-  def minhashLshPairs(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits): DataFrame = {
+  /** LSH candidate pairs with their exact shingle-overlap counts —
+    * the ONE candidate generator q14 and q104 share, so the sweep's
+    * calibration curve is guaranteed to describe the candidate set
+    * the pair query actually filters. */
+  private def candidateOverlap(spark: SparkSession, sfDir: String,
+                               bits: Int): DataFrame = {
     // four consumers (two band-join sides, two verification sides);
     // the cached table is one narrow row per doc, so the eager
     // materialization is cheap and saves three md5 re-scans
@@ -265,13 +269,19 @@ object Dedup {
     candidates
       .join(a, col("doc_a") === col("sa.doc_id"))
       .join(b, col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.s"), col("sb.s"))).cast("long").as("inter"),
+        size(array_union(col("sa.s"), col("sb.s"))).cast("long").as("uni"))
+  }
+
+  def minhashLshPairs(spark: SparkSession, sfDir: String,
+                      bits: Int = DefaultHashBits): DataFrame =
+    candidateOverlap(spark, sfDir, bits)
       .withColumn("jaccard",
-        size(array_intersect(col("sa.s"), col("sb.s"))).cast("double") /
-          size(array_union(col("sa.s"), col("sb.s"))).cast("double"))
+        col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= Consts.MinhashJaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   private def minColsSql: String = Consts.MinhashParams.zipWithIndex
     .map { case ((a, b), i) => s"min((hv * $a + $b) % ${Consts.MinhashPrime}) AS mh$i" }
@@ -283,25 +293,30 @@ object Dedup {
     s"($rows) AS band$b"
   }.mkString(",\n    ")
 
-  def minhashLshPairsSql: String = {
-    val minCols = minColsSql
-    val bandCols = bandColsSql
+  /** The shared sets/sig/banded/cand CTE prefix (no leading WITH) —
+    * one builder for q14's oracle and q104's, so the two SQL strings
+    * cannot drift apart (the minColsSql/bandColsSql discipline). */
+  private def sqlCandCtes: String = {
     val bandJoins = (0 until Consts.LshBands).map { b =>
       s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
     }.mkString("\n    UNION\n    ")
-    s"""WITH sets AS (
+    s"""sets AS (
        |  SELECT doc_id, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
        |  FROM (SELECT doc_id, $sqlShingles s0
        |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
        |exploded AS (SELECT doc_id, unnest(s) AS hv FROM sets),
        |sig AS (SELECT doc_id,
-       |    $minCols
+       |    $minColsSql
        |  FROM exploded GROUP BY doc_id),
        |banded AS (SELECT doc_id,
-       |    $bandCols
+       |    $bandColsSql
        |  FROM sig),
        |cand AS (
-       |    $bandJoins)
+       |    $bandJoins)""".stripMargin
+  }
+
+  def minhashLshPairsSql: String = {
+    s"""WITH $sqlCandCtes
        |SELECT doc_a, doc_b,
        |  cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) AS jaccard
        |FROM cand
@@ -1032,31 +1047,24 @@ object Dedup {
     * string on both engines (the bm25ScoreExpr discipline). */
   def thresholdSweep(spark: SparkSession, sfDir: String,
                      bits: Int = DefaultHashBits): DataFrame = {
-    val (summary, _, _) = sharedSummary(spark, sfDir, bits)
-    val banded = summary.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val x = banded.alias("x"); val y = banded.alias("y")
-    val candidates = x.join(y,
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sets = summary.select(col("doc_id"), col("s"))
-    val bucketed = candidates
-      .join(sets.alias("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.alias("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.s"), col("sb.s"))).cast("long").as("inter"),
-        size(array_union(col("sa.s"), col("sb.s"))).cast("long").as("uni"))
+    val bucketed = candidateOverlap(spark, sfDir, bits)
       .withColumn("bucket", expr(sweepBucketExpr))
+    // both cumulative columns are per-THRESHOLD reads: pairs at or
+    // above, and distinct merge victims (larger-id endpoints) at or
+    // above — a doc's bucket is the MAX over its pairs, so summing
+    // down the curve never double-counts a document
+    val pairHist = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    val docHist = bucketed.groupBy("doc_b").agg(max(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_docs_new"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("bucket").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    bucketed.groupBy("bucket")
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("doc_b")).as("n_docs_merged"))
+    pairHist.join(docHist, Seq("bucket"), "left")
       .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
+      .withColumn("n_docs_merged_at_or_above",
+        sum(coalesce(col("n_docs_new"), lit(0L))).over(w))
+      .select("bucket", "n_pairs", "n_pairs_at_or_above",
+        "n_docs_merged_at_or_above")
       .orderBy("bucket")
   }
 
@@ -1065,23 +1073,8 @@ object Dedup {
   private def sweepBucketExpr: String =
     s"least(cast(floor((cast(inter as double) / cast(uni as double)) * $SweepBuckets.0) as bigint), ${SweepBuckets - 1L})"
 
-  def thresholdSweepSql: String = {
-    val bandJoins = (0 until Consts.LshBands).map { b =>
-      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
-    }.mkString("\n    UNION\n    ")
-    s"""WITH sets AS (
-       |  SELECT doc_id, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, $sqlShingles s0
-       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |exploded AS (SELECT doc_id, unnest(s) AS hv FROM sets),
-       |sig AS (SELECT doc_id,
-       |    $minColsSql
-       |  FROM exploded GROUP BY doc_id),
-       |banded AS (SELECT doc_id,
-       |    $bandColsSql
-       |  FROM sig),
-       |cand AS (
-       |    $bandJoins),
+  def thresholdSweepSql: String =
+    s"""WITH $sqlCandCtes,
        |b AS (
        |  SELECT doc_a, doc_b, $sweepBucketExpr AS bucket FROM (
        |    SELECT doc_a, doc_b,
@@ -1090,15 +1083,17 @@ object Dedup {
        |    FROM cand
        |    JOIN sets sa ON doc_a = sa.doc_id
        |    JOIN sets sb ON doc_b = sb.doc_id)),
-       |h AS (
-       |  SELECT bucket, count(*) AS n_pairs,
-       |    cast(count(DISTINCT doc_b) as bigint) AS n_docs_merged
-       |  FROM b GROUP BY bucket)
-       |SELECT bucket, n_pairs, n_docs_merged,
+       |ph AS (SELECT bucket, count(*) AS n_pairs FROM b GROUP BY bucket),
+       |dh AS (
+       |  SELECT bucket, cast(count(*) as bigint) AS n_docs_new
+       |  FROM (SELECT doc_b, max(bucket) AS bucket FROM b GROUP BY doc_b)
+       |  GROUP BY bucket)
+       |SELECT bucket, n_pairs,
        |  cast(sum(n_pairs) OVER (ORDER BY bucket DESC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_pairs_at_or_above
-       |FROM h ORDER BY bucket""".stripMargin
-  }
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_pairs_at_or_above,
+       |  cast(sum(coalesce(n_docs_new, 0)) OVER (ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_docs_merged_at_or_above
+       |FROM ph LEFT JOIN dh USING (bucket) ORDER BY bucket""".stripMargin
 
   /** Benchmark suites for the multi-suite screen: the held-out docs
     * (doc_id < DecontamBenchmarkDocs) split round-robin into this
@@ -1119,7 +1114,7 @@ object Dedup {
     * hv so the denominator stays per-document exact. */
   def multiDecontamination(spark: SparkSession, sfDir: String,
                            bits: Int = DefaultHashBits): DataFrame = {
-    val (_, sh, _) = sharedSummary(spark, sfDir, bits)
+    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
     val bench = broadcast(
       sh.filter(col("doc_id") < DecontamBenchmarkDocs)
         .select((col("doc_id") % NDecontamSuites).as("suite"), col("hv"))
@@ -1128,17 +1123,29 @@ object Dedup {
       sum(when(col("suite") === k, 1L).otherwise(0L)).as(s"s${k}_shared")
     }
     val shared = (0 until NDecontamSuites).map(k => col(s"s${k}_shared"))
+    def maxOf(cols: Seq[Column]): Column =
+      if (cols.isEmpty) lit(Long.MinValue)
+      else if (cols.size == 1) cols.head
+      else greatest(cols: _*)
     val worst = (0 until NDecontamSuites).foldRight(lit(-1L)) { (k, rest) =>
       val others = (0 until NDecontamSuites).filterNot(_ == k).map(o => col(s"s${o}_shared"))
-      when(shared.reduce(_ + _) > 0 && col(s"s${k}_shared") >= greatest(others: _*),
+      when(shared.reduce(_ + _) > 0 && col(s"s${k}_shared") >= maxOf(others),
         lit(k.toLong)).otherwise(rest)
     }
+    // the shingle table's per-doc distinct count is the cached
+    // summary's set SIZE — a projection, not a countDistinct (whose
+    // two-exchange plan would shuffle the whole corpus shingle table
+    // keyed by (doc_id, hv) and break the single-shuffle shape the
+    // suite sums get from map-side partial aggregation)
     sh.filter(col("doc_id") >= DecontamBenchmarkDocs)
       .join(bench, Seq("hv"), "left")
       .groupBy("doc_id")
-      .agg(countDistinct(col("hv")).as("n_shingles"), suiteCols: _*)
+      .agg(suiteCols.head, suiteCols.tail: _*)
+      .join(sizes.select(col("doc_id"), col("sz").as("n_shingles")), "doc_id")
       .withColumn("contaminated", shared.reduce(_ + _) > 0)
       .withColumn("worst_suite", worst)
+      .select((Seq(col("doc_id"), col("n_shingles")) ++ shared :+
+        col("contaminated") :+ col("worst_suite")): _*)
       .orderBy("doc_id")
   }
 

@@ -1037,27 +1037,29 @@ class PipelineOpsSpec extends SparkSpec {
         Dedup.SweepBuckets - 1L)
       (a, b, bk)
     }
-    val hist = bucketOf.groupBy(_._3).map { case (bk, ps) =>
-      bk -> (ps.length.toLong, ps.map(_._2).distinct.length.toLong)
-    }
+    val pairHist = bucketOf.groupBy(_._3).map { case (bk, ps) => bk -> ps.length.toLong }
+    val docMax = bucketOf.groupBy(_._2).map { case (_, ps) => ps.map(_._3).max }
+    val docHist = docMax.groupBy(identity).map { case (bk, ds) => bk -> ds.size.toLong }
     val got = Dedup.thresholdSweep(spark, sf0001, Dedup.OracleHashBits).collect()
-    assert(got.map(_.getLong(0)).toSet == hist.keySet)
-    var cum = 0L
+    assert(got.map(_.getLong(0)).toSet == pairHist.keySet)
+    var cumP = 0L; var cumD = 0L
     got.sortBy(-_.getLong(0)).foreach { r =>
       val bk = r.getLong(0)
-      assert(r.getLong(1) == hist(bk)._1, s"bucket $bk n_pairs")
-      assert(r.getLong(2) == hist(bk)._2, s"bucket $bk n_docs_merged")
-      cum += hist(bk)._1
-      assert(r.getLong(3) == cum, s"bucket $bk cumulative")
+      assert(r.getLong(1) == pairHist(bk), s"bucket $bk n_pairs")
+      cumP += pairHist(bk); cumD += docHist.getOrElse(bk, 0L)
+      assert(r.getLong(2) == cumP, s"bucket $bk cumulative pairs")
+      assert(r.getLong(3) == cumD, s"bucket $bk cumulative docs")
     }
-    // the chosen q14 threshold's pair count is recoverable from the curve
+    // the chosen q14 threshold's pair count is recoverable FROM THE
+    // CURVE: reading n_pairs_at_or_above at the threshold's bucket
+    // must reproduce the pair query's count (bucket-boundary
+    // alignment of floor(j*20) with the j >= 0.7 filter)
     val q14pairs = Dedup.minhashLshPairs(spark, sf0001, Dedup.OracleHashBits).count()
-    val fromCurve = bucketOf.count { case (a, b, _) =>
-      val inter = (sets(a) & sets(b)).size.toDouble
-      val uni = (sets(a) | sets(b)).size.toDouble
-      inter / uni >= graft.core.Consts.MinhashJaccardThreshold
-    }
-    assert(q14pairs == fromCurve.toLong)
+    assume(q14pairs > 0)
+    val tb = math.round(graft.core.Consts.MinhashJaccardThreshold * Dedup.SweepBuckets)
+    val atOrAbove = got.filter(_.getLong(0) >= tb).map(_.getLong(1)).sum
+    assert(q14pairs == atOrAbove,
+      s"curve at bucket $tb reads $atOrAbove but q14 has $q14pairs pairs")
   }
 
   // ---------------------------------------------------------------- q100
