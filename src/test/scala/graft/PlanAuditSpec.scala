@@ -273,6 +273,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q99 lost its broadcast shape:\n$plan")
   }
 
+  test("q103: benchmark broadcasts; the corpus shingle stream crosses the network once (no countDistinct double exchange)") {
+    val df = Dedup.multiDecontamination(spark, sf0001, Dedup.OracleHashBits)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+    // the suite pivot must ride map-side partial aggregation straight
+    // to a doc_id-keyed exchange; a countDistinct-style expand plan
+    // would add a (doc_id, hv)-keyed exchange of the full table
+    assert(!plan.contains("Expand"), s"expand = countDistinct crept back:\n$plan")
+    assert(shuffleCount(df) <= 4,
+      s"expected doc-keyed agg + size join + sort only:\n$plan")
+  }
+
   test("q93/q94: graph and LM joins are equi/broadcast — never a nested loop") {
     val pr = Dedup.pagerankIter(spark, sf0001, Dedup.OracleHashBits)
     val prPlan = executed(pr)
