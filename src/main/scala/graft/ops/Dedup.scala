@@ -247,15 +247,40 @@ object Dedup {
   /** LSH candidate pairs with their exact shingle-overlap counts —
     * the ONE candidate generator q14 and q104 share, so the sweep's
     * calibration curve is guaranteed to describe the candidate set
-    * the pair query actually filters. */
-  private def candidateOverlap(spark: SparkSession, sfDir: String,
-                               bits: Int): DataFrame = {
+    * the pair query actually filters.
+    *
+    * `bandCap`: hot-bucket guard. The self-equi-join on
+    * (band_idx, band_hash) fans out |bucket|^2 candidate pairs per
+    * bucket; exact dedup runs first (two-stage admission scope), but a
+    * boilerplate TEMPLATE family — near-identical, not byte-identical —
+    * can still put 10^5+ docs in one bucket at web scale, and that one
+    * bucket then materializes ~10^10 pairs in a single task. The cap
+    * drops buckets larger than `cap` from candidate generation, the
+    * same discipline as `jaccardPairsSparse`'s dfCap (exact survivors,
+    * bounded fan-out): a pair is missed only if EVERY band it agrees on
+    * is oversubscribed, i.e. only inside template families too large to
+    * enumerate pairwise anyway (their dedup story is the cluster /
+    * survivorship family, not the pair list). Bucket sizes come from a
+    * count window OVER THE SAME (band_idx, band_hash) partitioning the
+    * join shuffles on, so the cap adds no extra corpus shuffle — the
+    * window's exchange IS the join's exchange (plan-audited).
+    * `None` (default, oracle mode) is uncapped — the DuckDB-checked
+    * queries stay byte-identical. */
+  private[graft] def candidateOverlap(spark: SparkSession, sfDir: String,
+                                      bits: Int,
+                                      bandCap: Option[Int] = None): DataFrame = {
     // four consumers (two band-join sides, two verification sides);
     // the cached table is one narrow row per doc, so the eager
     // materialization is cheap and saves three md5 re-scans
     val (summary, _, _) = sharedSummary(spark, sfDir, bits)
-    val banded = summary.select(col("doc_id"),
+    val banded0 = summary.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val banded = bandCap.fold(banded0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_hash")
+      banded0.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= cap).drop("bsz")
+    }
     val x = banded.alias("x"); val y = banded.alias("y")
     val candidates = x.join(y,
         col("x.band_idx") === col("y.band_idx") &&
@@ -275,8 +300,9 @@ object Dedup {
   }
 
   def minhashLshPairs(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits): DataFrame =
-    candidateOverlap(spark, sfDir, bits)
+                      bits: Int = DefaultHashBits,
+                      bandCap: Option[Int] = None): DataFrame =
+    candidateOverlap(spark, sfDir, bits, bandCap)
       .withColumn("jaccard",
         col("inter").cast("double") / col("uni").cast("double"))
       .filter(col("jaccard") >= Consts.MinhashJaccardThreshold)
@@ -1046,8 +1072,9 @@ object Dedup {
     * is a window over ≤20 rows. The bucket expression is one shared
     * string on both engines (the bm25ScoreExpr discipline). */
   def thresholdSweep(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits): DataFrame = {
-    val bucketed = candidateOverlap(spark, sfDir, bits)
+                     bits: Int = DefaultHashBits,
+                     bandCap: Option[Int] = None): DataFrame = {
+    val bucketed = candidateOverlap(spark, sfDir, bits, bandCap)
       .withColumn("bucket", expr(sweepBucketExpr))
     // both cumulative columns are per-THRESHOLD reads: pairs at or
     // above, and distinct merge victims (larger-id endpoints) at or

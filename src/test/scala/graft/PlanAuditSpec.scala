@@ -96,6 +96,23 @@ class PlanAuditSpec extends SparkSpec {
       binned.queryExecution.executedPlan.toString)
   }
 
+  test("q14 bandCap: the bucket-size window rides the band join's own exchange — no extra shuffle") {
+    // at scale the band self-join is a sort-merge join; disable the
+    // broadcast path so the audited shape is the scale-representative
+    // one. The capped plan's count-window partitions by exactly the
+    // join key (band_idx, band_hash), so the window's exchange IS the
+    // join's exchange — same shuffle count as the uncapped plan.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val uncapped = shuffleCount(Dedup.minhashLshPairs(spark, sf0001))
+      val capped = shuffleCount(
+        Dedup.minhashLshPairs(spark, sf0001, bandCap = Some(1 << 20)))
+      assert(capped == uncapped,
+        s"bandCap changed the shuffle count: $uncapped -> $capped")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q16: signatures are scan-local; the kernel baseline keeps its fused projection") {
     // the default computes each doc's signature inside the scan
     // projection — no token-stream shuffle at all

@@ -160,6 +160,48 @@ class TextDedupSimilaritySpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("bandCap: capped equals uncapped when no bucket exceeds the cap") {
+    // sf0.001 has no band bucket anywhere near this cap, so the hot-
+    // bucket guard must be a no-op — same pairs, same jaccard values
+    val uncapped = Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.minhashLshPairs(spark, sf0001, bandCap = Some(1 << 20))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty && capped == uncapped)
+  }
+
+  test("bandCap: a template family's hot bucket is dropped from candidate generation, small buckets survive") {
+    import spark.implicits._
+    // 30-doc template family (one shingle set -> one band bucket of 30
+    // per band) + one independent near-dup pair (buckets of 2). The
+    // family models the web-scale boilerplate case: the band join would
+    // enumerate all 435 within-family pairs from a single bucket.
+    val template = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val family = (1L to 30L).map(i => (i, "web", template))
+    val outsider = Seq(
+      (101L, "web", "completely unrelated sentence about distributed query engines and shuffles"),
+      (102L, "web", "completely unrelated sentence about distributed query engines and shuffles"))
+    val tmp = java.nio.file.Files.createTempDirectory("bandcap_probe")
+    (family ++ outsider).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val uncapped = Dedup.minhashLshPairs(spark, tmp.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((101L, 102L)))
+    assert(uncapped.count { case (a, b) => a <= 30 && b <= 30 } == 30 * 29 / 2)
+
+    val capped = Dedup.minhashLshPairs(spark, tmp.toString, bandCap = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // capped is a subset; the 30-wide bucket is gone; the 2-wide survives
+    assert(capped.subsetOf(uncapped))
+    assert(capped == Set((101L, 102L)),
+      s"expected only the small-bucket pair to survive, got $capped")
+
+    // cap=1: single-doc buckets cannot form pairs — empty by construction
+    assert(Dedup.minhashLshPairs(spark, tmp.toString, bandCap = Some(1)).isEmpty)
+  }
+
   test("simhash signatures stay within 16 bits; near-dups have close hashes") {
     val sig = Dedup.simhash(spark, sf0001).cache()
     assert(sig.filter(col("simhash") < 0 || col("simhash") >= (1L << 16)).count() == 0)
