@@ -14,12 +14,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_AQE=0 pins static plans, =1 pins adaptive; unset
+    // keeps Spark's default (adaptive since 3.2). AqeParitySpec proves
+    // the two modes are row-identical across every declared query.
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      builder.config("spark.sql.adaptive.enabled", (v != "0").toString))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
