@@ -107,12 +107,22 @@ object AnnIndex {
         lit(1L << lvl)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Filter metadata carried into the forest rows: lets a registered-
+    * index query evaluate folder/extension/language predicates AT the
+    * leaf-pruned forest scan — before any distance math — instead of
+    * post-filtering fetched candidates (AnnPushdownRule's filter-aware
+    * variant). Strings only, no vectors: the forest stays narrow. */
+  private val ForestMetaColumns = Seq("file", "language", "extension")
+
   /** I8: leaf assignment for every (tree, vector). The result is written
     * partitioned by (tree, leaf): queries prune to NumTrees partitions. */
-  def buildForestIndex(chunks: DataFrame, forest: Array[Array[Array[Float]]]): DataFrame =
+  def buildForestIndex(chunks: DataFrame, forest: Array[Array[Array[Float]]]): DataFrame = {
+    val meta = ForestMetaColumns.filter(chunks.columns.contains).map(col)
     forest.zipWithIndex.map { case (planes, t) =>
-      chunks.select(lit(t).as("tree"), leafExpr(planes).as("leaf"), col("chunk_id"))
+      chunks.select(lit(t).as("tree") +: leafExpr(planes).as("leaf") +:
+        col("chunk_id") +: meta: _*)
     }.reduce(_ unionAll _)
+  }
 
   def saveForestIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/forest")

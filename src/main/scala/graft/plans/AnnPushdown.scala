@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, EqualTo, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, AttributeSet, EqualTo, Expression, Literal, PredicateHelper, SortOrder}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -58,7 +58,8 @@ object AnnCatalog {
     }
 }
 
-case class AnnPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
+case class AnnPushdownRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   private def literalVector(l: Literal): Option[Array[Float]] = l.dataType match {
     case ArrayType(FloatType, _) =>
@@ -78,25 +79,64 @@ case class AnnPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
     }.flatten
 
-  /** candidate chunk_ids logical plan for this query vector. */
-  private def candidatePlan(e: AnnCatalog.Entry, q: Array[Float]): LogicalPlan = {
+  /** candidate chunk_ids logical plan for this query vector.
+    *
+    * `metaPreds` (filter-aware variant): predicates the query applies
+    * over the chunks relation, re-targeted by name onto the forest
+    * table's metadata columns (file/language/extension ride every
+    * forest row since round 6) so candidates are filtered AT the
+    * leaf-partition-pruned scan — before any distance work — instead
+    * of after candidate fetch. The original Filter stays in the main
+    * plan, so this only ever shrinks the semi-join build side; indexes
+    * built before the metadata columns existed simply skip the
+    * translation (name lookup fails) and keep the round-5 behavior. */
+  private def candidatePlan(e: AnnCatalog.Entry, q: Array[Float],
+                            metaPreds: Seq[Expression]): LogicalPlan = {
     import org.apache.spark.sql.functions.col
     val leaves = AnnIndex.queryLeaves(q, e.forest)
     val forestDf = spark.read.parquet(s"${e.indexDir}/forest")
     val cond = leaves.map { case (t, l) => col("tree") === t && col("leaf") === l }
       .reduce(_ || _)
+    val byName = forestDf.queryExecution.analyzed.output.map(a => a.name -> a).toMap
+    val translated = metaPreds.flatMap { p =>
+      if (p.references.forall(r => byName.get(r.name).exists(_.dataType == r.dataType)))
+        Some(p.transform { case a: AttributeReference => byName(a.name) })
+      else None
+    }
+    val filtered = translated.foldLeft(forestDf.filter(cond)) { (df, pr) =>
+      df.filter(org.apache.spark.sql.graft.Bridge.column(pr))
+    }
     // the OPTIMIZED subtree: this rule runs mid-optimization, after
     // ReplaceDeduplicateWithAggregate, so an analyzed Deduplicate node
     // would survive to physical planning and fail there
-    forestDf.filter(cond).select("chunk_id").distinct()
+    filtered.select("chunk_id").distinct()
       .queryExecution.optimizedPlan
   }
 
+  /** Deterministic filter conjuncts anchored entirely on the scanned
+    * relation's own attributes (by exprId — an alias that merely
+    * shares a metadata column's NAME never qualifies). Only these may
+    * re-target onto the forest table. */
+  private def pushablePreds(preds: Seq[Expression], child: LogicalPlan): Seq[Expression] = {
+    val relAttrs = AttributeSet(
+      child.collect { case r: LogicalRelation => r.output }.flatten)
+    preds.filter(p =>
+      p.deterministic && p.references.nonEmpty && p.references.subsetOf(relAttrs))
+  }
+
   /** Wrap `child` in a LEFT SEMI join against the candidate chunk_ids,
-    * if the relation is registered and carries a chunk_id column. */
-  private def semiJoin(child: LogicalPlan, q: Array[Float]): Option[LogicalPlan] =
+    * if the relation is registered and carries a chunk_id column.
+    * `outerPreds`: filter conjuncts seen ABOVE the distance alias on
+    * the descent; conjuncts from Filters inside `child` are collected
+    * here. Both sets are candidates for forest-side evaluation. */
+  private def semiJoin(child: LogicalPlan, q: Array[Float],
+                       outerPreds: Seq[Expression]): Option[LogicalPlan] =
     AnnCatalog.lookup(relationPaths(child)).flatMap { entry =>
-      val cand = candidatePlan(entry, q)
+      val innerPreds = child.collect {
+        case Filter(cond, _) => splitConjunctivePredicates(cond)
+      }.flatten
+      val cand = candidatePlan(entry, q,
+        pushablePreds(outerPreds ++ innerPreds, child))
       (child.output.find(_.name == "chunk_id"),
         cand.output.find(_.name == "chunk_id")) match {
         case (Some(li), Some(ri)) =>
@@ -110,21 +150,25 @@ case class AnnPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * and Deduplicates, and plant the semi join under it. Planting BELOW
     * the filters is sound: filters only drop rows, the semi join only
     * drops rows, and the approximate contract (search the candidate
-    * leaves) is what registration opted into. */
+    * leaves) is what registration opted into. Filter conditions seen on
+    * the way down accumulate so the forest scan can evaluate them too. */
   private def injectBelowAlias(plan: LogicalPlan,
-                               sortAttr: AttributeReference): Option[LogicalPlan] =
+                               sortAttr: AttributeReference,
+                               outerPreds: Seq[Expression] = Nil): Option[LogicalPlan] =
     plan match {
       case f: Filter =>
-        injectBelowAlias(f.child, sortAttr).map(c => f.copy(child = c))
+        injectBelowAlias(f.child, sortAttr,
+          outerPreds ++ splitConjunctivePredicates(f.condition))
+          .map(c => f.copy(child = c))
       case d: Deduplicate =>
-        injectBelowAlias(d.child, sortAttr).map(c => d.copy(child = c))
+        injectBelowAlias(d.child, sortAttr, outerPreds).map(c => d.copy(child = c))
       case proj @ Project(projList, pchild) =>
         val distLit = projList.collectFirst {
           case a @ Alias(CosineDistanceExpr(_, l: Literal), _)
               if a.exprId == sortAttr.exprId => l
         }
         distLit.flatMap(literalVector).flatMap(q =>
-          semiJoin(pchild, q).map(j => proj.copy(child = j)))
+          semiJoin(pchild, q, outerPreds).map(j => proj.copy(child = j)))
       case _ => None
     }
 
@@ -137,7 +181,7 @@ case class AnnPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
         // SQL surface / no alias: ORDER BY cosine_distance(vector,
         // array(...)) LIMIT k — the sort key IS the expression
         case CosineDistanceExpr(_, l: Literal) =>
-          literalVector(l).flatMap(q => semiJoin(body, q))
+          literalVector(l).flatMap(q => semiJoin(body, q, Nil))
         // DataFrame surface: ORDER BY an attribute defined as the
         // distance alias in a Project (possibly under Filter /
         // Deduplicate nodes)

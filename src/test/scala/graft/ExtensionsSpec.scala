@@ -174,6 +174,73 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.plans.AnnCatalog.clear()
   }
 
+  test("filter-aware ANN pushdown: metadata predicates evaluate at the leaf-pruned forest scan") {
+    import org.apache.spark.sql.functions._
+    val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo3").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(repoDir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    // two extensions so the predicate actually discriminates
+    (1 to 40).foreach(i => w(s"src/file$i.rs",
+      s"fn function_$i() { let value_$i = compute_$i(); }\n"))
+    (1 to 10).foreach(i => w(s"docs/readme$i.md",
+      s"notes about compute function value number $i\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx3").toFile
+    graft.chat.ChatPipeline.index(spark, repoDir.getAbsolutePath, idxDir.getAbsolutePath)
+    graft.plans.AnnCatalog.register(spark, idxDir.getAbsolutePath)
+    try {
+      val emb = new graft.chat.HashingEmbedder()
+      val q = emb.embed("compute function value")
+      val chunks = graft.chat.AnnIndex.load(spark, idxDir.getAbsolutePath)
+      val pred = col("extension") === "rs"
+      val knn = chunks
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .filter(pred)
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      assert(knn.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "pushdown did not fire under a metadata filter")
+      knn.collect()
+      // audit the executed plan: the forest-side scan keeps its
+      // (tree, leaf) partition pruning AND evaluates the extension
+      // predicate itself — candidates are filtered before any distance
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val next = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: next.flatMap(flatten)
+      }
+      val scans = flatten(knn.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val forestScan = scans.find(
+        _.relation.location.rootPaths.exists(_.toString.contains("/forest")))
+      assert(forestScan.nonEmpty, "no forest scan in the pushed plan")
+      assert(forestScan.get.partitionFilters.nonEmpty,
+        "leaf partition pruning lost under the metadata filter")
+      assert(forestScan.get.dataFilters.exists(
+        _.references.exists(_.name == "extension")),
+        "metadata predicate did not reach the forest scan")
+      // results equal the explicit approximate search over pre-filtered
+      // chunks (the strictly-better inverse of post-filtering)
+      val planes = graft.chat.AnnIndex.loadPlanes(spark, idxDir.getAbsolutePath)
+      val forestIdx = spark.read.parquet(s"${idxDir.getAbsolutePath}/forest")
+      val expected = graft.chat.AnnIndex
+        .knnApprox(spark, chunks.filter(pred), forestIdx, planes, q, 5)
+        .select("chunk_id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val got = knn.select("chunk_id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == expected.toSeq)
+      assert(got.nonEmpty && got.length == 5)
+    } finally graft.plans.AnnCatalog.clear()
+  }
+
   test("without registration the kNN plan is untouched") {
     import org.apache.spark.sql.functions._
     graft.plans.AnnCatalog.clear()
