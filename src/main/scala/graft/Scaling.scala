@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-exponent measurement for the dedup family: the empirical
+  * complement to PlanAuditSpec's plan-shape arguments. Plan audits pin
+  * that q14/q49/q65/q74 SHOULD scale (banded joins, no nested loop, one
+  * keyed shuffle); this main measures that they DO — wall time across
+  * three corpus decades, log-log slope per decade, hard failure if any
+  * top-decade slope exceeds [[Scaling.MaxExponent]] (a hidden n² term
+  * would show as slope → 2 once fixed overhead stops dominating).
+  *
+  * The driver's testdata spans only one usable decade for `documents`
+  * (sf0.01 = 500 docs, sf0.1 = 5 000 docs — sf0.001 duplicates
+  * sf0.01's corpus, and there is no sf1), so the upper decades come
+  * from deterministic amplification of sf0.1: replica r of each
+  * document remaps `doc_id` and suffixes every word with `_r`, so
+  * within-replica duplicate structure (shingle sets, band collisions,
+  * cluster sizes) is IDENTICAL to the original corpus while replicas
+  * share no shingles at all. Duplicate-family COUNT scales with the
+  * factor; family SIZE — the thing that would quadratically inflate
+  * pair output regardless of plan quality — stays constant, which is
+  * precisely the regime a growing crawl corpus is in (more template
+  * families, not bigger ones; the bigger-ones regime is what bandCap
+  * and AQE skew-split guard). Output rows therefore scale linearly and
+  * any super-linear TIME growth indicts the plan, not the workload.
+  *
+  * Usage: `sbt "runMain graft.Scaling"` — writes SCALING.md to the
+  * repo root and exits nonzero on an exponent violation.
+  */
+object Scaling {
+  /** Amplification factors: 5k, 40k, 320k docs (~1.5/12/96 MB text). */
+  val Factors: Seq[Int] = Seq(1, 8, 64)
+  /** Sub-quadratic gate on the top (least overhead-diluted) decade. */
+  val MaxExponent = 1.3
+
+  private val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q14_minhash_lsh" -> ((s, d) => graft.ops.Dedup.minhashLshPairs(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q15_jaccard_pairs" -> ((s, d) => graft.ops.Dedup.jaccardPairs(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q49_dedup_clusters" -> ((s, d) => graft.ops.Dedup.nearDupClusters(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q65_dup_spans" -> ((s, d) => graft.ops.Dedup.dupSpans(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, graft.ops.Dedup.OracleHashBits)))
+
+  /** Replica-suffix amplification (see class doc). Factor 1 is a
+    * byte-identical rewrite of the source corpus so every factor's
+    * input went through the same writer (file count, encoding, row
+    * order) and timings compare like for like. */
+  private[graft] def amplified(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    val base = graft.core.Tables.documents(spark, srcDir)
+    val reps = spark.range(factor).toDF("r")
+    base.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("r") * lit(10000000L)).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("r"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outMd = if (args.length > 1) args(1) else "SCALING.md"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val scratch = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm)) shm
+      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+    }
+    val root = java.nio.file.Files.createTempDirectory(scratch, "graft_scaling")
+
+    // corpus decades, written once (untimed — index/ingest build half)
+    val dirs = Factors.map { f =>
+      val dir = root.resolve(s"f$f").toString
+      // ~32MB target files so the scan-side split count grows with the
+      // corpus the way a real ingest's would
+      val parts = math.max(1, f / 8)
+      amplified(spark, srcDir, f).repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val n = spark.read.parquet(s"$dir/documents.parquet").count()
+      (f, dir, n)
+    }
+
+    def timeOne(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
+      // min-of-2 with cache release between passes: Bench's discipline
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        graft.ops.Materialize.release(spark)
+        (sec, rows)
+      }
+      (runs.map(_._1).min, runs.head._2)
+    }
+
+    // JIT warmup on the smallest decade so factor-1 timings aren't
+    // charged for codegen compilation
+    queries.foreach { case (_, fn) =>
+      try { fn(spark, dirs.head._2).count(); () } catch { case _: Throwable => () }
+      graft.ops.Materialize.release(spark)
+    }
+
+    val rows = queries.map { case (name, fn) =>
+      val times = dirs.map { case (f, dir, n) =>
+        val (sec, outRows) = timeOne(fn, dir)
+        println(f"  $name f=$f%-3d n=$n%-7d ${sec}%7.3f s  out=$outRows")
+        (f, n, sec, outRows)
+      }
+      val exps = times.sliding(2).map { case Seq((_, n1, t1, _), (_, n2, t2, _)) =>
+        math.log(t2 / t1) / math.log(n2.toDouble / n1.toDouble)
+      }.toSeq
+      (name, times, exps)
+    }
+
+    val sb = new StringBuilder
+    sb ++= "# SCALING — measured growth exponents for the dedup family\n\n"
+    sb ++= s"Generated by `sbt \"runMain graft.Scaling\"` on ${java.time.LocalDate.now} " +
+      s"(local[32], min-of-2 per cell, shared caches released between passes).\n\n"
+    sb ++= "Corpus decades are deterministic amplifications of sf0.1's `documents` " +
+      "(5 000 docs): replica r remaps `doc_id` and suffixes every word with `_r`, " +
+      "so duplicate-family structure is constant and family count scales with the " +
+      "factor — the growing-crawl regime. Output rows scale linearly by " +
+      "construction, so any super-linear time growth would indict the plan. " +
+      "`exp` is the log-log slope between adjacent corpus sizes; the gate is " +
+      s"top-decade slope ≤ $MaxExponent (an O(n²) join would converge on 2).\n\n"
+    sb ++= "| query | n=5k | n=40k | n=320k | exp 5k→40k | exp 40k→320k | out rows @320k |\n"
+    sb ++= "|---|---|---|---|---|---|---|\n"
+    var fail = false
+    rows.foreach { case (name, times, exps) =>
+      val cells = times.map { case (_, _, sec, _) => f"$sec%.2f s" }.mkString(" | ")
+      val lastOut = times.last._4
+      sb ++= f"| $name | $cells | ${exps.head}%.2f | ${exps.last}%.2f | $lastOut |\n"
+      if (exps.last > MaxExponent) { fail = true }
+    }
+    sb ++= "\nThe low first-decade slopes are fixed Spark job/stage overhead still " +
+      "dominating at 5k docs; the top decade is the honest signal. All shapes are " +
+      "pinned by PlanAuditSpec, so these exponents can rot only if the plans do.\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(sb.toString)
+
+    // scratch corpora are throwaway
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    } catch { case _: Throwable => () }
+    spark.stop()
+    if (fail) {
+      System.err.println(s"scaling: top-decade exponent above $MaxExponent")
+      sys.exit(1)
+    }
+  }
+}
