@@ -33,6 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineDistanceFn.description)
     ext.injectFunction(SimHashFn.description)
     ext.injectFunction(ShingleHashesFn.description)
+    ext.injectFunction(MinhashSigFn.description)
+    ext.injectFunction(LshBandsFn.description)
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectOptimizerRule(session => AnnPushdownRule(session))
   }
@@ -77,6 +79,38 @@ object ShingleHashesFn {
       case Seq(t, Literal(b: Int, IntegerType)) => graft.functions.ShingleHashes(t, b)
       case _ => throw new IllegalArgumentException(
         "shingle_hashes(text[, bits]) takes a string and an optional int literal")
+    })
+}
+
+/** `minhash_sig(text[, bits])` — the q14 16-value MinHash signature as
+  * a SQL scalar (64-bit library default; 32 = oracle width). With
+  * `lsh_bands` this makes the whole dedup family drivable from pure
+  * SQL: the banded candidate join, the signature columns, and the
+  * shingle sets are all scalar-expressible (SqlDedupSurfaceSpec pins a
+  * full SQL q14 to the batch operator row-for-row). */
+object MinhashSigFn {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[graft.functions.MinhashSig].getName, "minhash_sig"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => graft.functions.MinhashSig(t, graft.ops.Dedup.DefaultHashBits)
+      case Seq(t, Literal(b: Int, IntegerType)) => graft.functions.MinhashSig(t, b)
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig(text[, bits]) takes a string and an optional int literal")
+    })
+}
+
+/** `lsh_bands(text[, bits])` — the q14 LSH band strings as a SQL
+  * scalar; see [[MinhashSigFn]]. */
+object LshBandsFn {
+  val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_bands"),
+    new ExpressionInfo(classOf[graft.functions.LshBandStrings].getName, "lsh_bands"),
+    (args: Seq[Expression]) => args match {
+      case Seq(t) => graft.functions.LshBandStrings(t, graft.ops.Dedup.DefaultHashBits)
+      case Seq(t, Literal(b: Int, IntegerType)) => graft.functions.LshBandStrings(t, b)
+      case _ => throw new IllegalArgumentException(
+        "lsh_bands(text[, bits]) takes a string and an optional int literal")
     })
 }
 

@@ -290,4 +290,62 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getSeq[Long](1).length == expect32.length)
     }
   }
+
+  test("minhash_sig / lsh_bands SQL scalars equal q14's per-doc summary") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("ext_docs3")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig(text, 32) AS mh, lsh_bands(text, 32) AS bands
+        |FROM ext_docs3 WHERE minhash_sig(text, 32) IS NOT NULL
+        |ORDER BY doc_id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[String](2))).toSeq
+    // the batch summary keeps the signature only as its banded form;
+    // bands pin the signature 1:1 (4 rows of 4 values joined with '|')
+    val viaOp = graft.ops.Dedup
+      .docShingleSummary(spark, "/root/testdata/sf0.001", 32)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[String](r.fieldIndex("bands")).flatMap(_.split('|').map(_.toLong)),
+        r.getSeq[String](r.fieldIndex("bands")))).toSeq
+    assert(viaSql.map(_._1) == viaOp.map(_._1), "doc coverage differs")
+    viaSql.zip(viaOp).foreach { case ((id, mh, bands), (_, opMh, opBands)) =>
+      assert(mh == opMh, s"doc $id signature mismatch")
+      assert(bands == opBands, s"doc $id band-string mismatch")
+    }
+  }
+
+  test("pure-SQL q14 via the scalars matches the batch operator row-for-row") {
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .createOrReplaceTempView("ext_docs4")
+    val viaSql = spark.sql(
+      s"""WITH summ AS (
+         |  SELECT doc_id, shingle_hashes(text, 32) AS s, lsh_bands(text, 32) AS bands
+         |  FROM ext_docs4 WHERE lsh_bands(text, 32) IS NOT NULL
+         |), banded AS (
+         |  SELECT doc_id, band_idx, band_hash
+         |  FROM summ LATERAL VIEW posexplode(bands) AS band_idx, band_hash
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+         |   AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |  cast(size(array_intersect(sa.s, sb.s)) AS double) /
+         |  cast(size(array_union(sa.s, sb.s)) AS double) AS jaccard
+         |FROM cand
+         |JOIN summ sa ON cand.doc_a = sa.doc_id
+         |JOIN summ sb ON cand.doc_b = sb.doc_id
+         |WHERE cast(size(array_intersect(sa.s, sb.s)) AS double) /
+         |      cast(size(array_union(sa.s, sb.s)) AS double)
+         |      >= ${graft.core.Consts.MinhashJaccardThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaOp = graft.ops.Dedup
+      .minhashLshPairs(spark, "/root/testdata/sf0.001",
+        graft.ops.Dedup.OracleHashBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaSql.nonEmpty, "SQL q14 returned no pairs")
+    assert(viaSql == viaOp)
+  }
 }
