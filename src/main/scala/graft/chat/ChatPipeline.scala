@@ -145,8 +145,68 @@ object ChatPipeline {
 }
 
 /** Thin CLI mirroring main.rs:42-92 commands (index / query /
-  * interactive REPL holding one session — SURVEY.md §3.3). */
+  * interactive REPL holding one session — SURVEY.md §3.3).
+  *
+  * REPL conveniences mirror the reference's feature-gated extras
+  * (main.rs:578-601 history file, 279/378 + 510-518 elapsed prints,
+  * 695-718 status/help): a `.graft_chat_history` file under $HOME
+  * (cwd fallback) loaded at session start and appended per line, a
+  * prompt naming the loaded index, `status`/`help` commands, "Total
+  * indexing time" after index, and "Answer generated by <model> in
+  * <elapsed>:" before the answer. No terminal line editor on the JVM
+  * without a native dependency, so history persists across sessions
+  * (the file contract) without arrow-key recall (the rustyline UI). */
 object ChatCli {
+  private[graft] val HistoryFileName = ".graft_chat_history"
+
+  /** main.rs:580-596: $HOME/<file>, cwd fallback when HOME is unset. */
+  private[graft] def historyPath(env: Map[String, String] = sys.env): java.nio.file.Path =
+    env.get("HOME").filter(_.nonEmpty)
+      .map(h => java.nio.file.Paths.get(h, HistoryFileName))
+      .getOrElse(java.nio.file.Paths.get(HistoryFileName))
+
+  private[graft] def loadHistory(p: java.nio.file.Path): Seq[String] =
+    if (java.nio.file.Files.isReadable(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.toSeq
+    } else Seq.empty
+
+  private[graft] def appendHistory(p: java.nio.file.Path, line: String): Unit =
+    try {
+      java.nio.file.Files.write(p,
+        (line + System.lineSeparator).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    } catch { case _: java.io.IOException => () } // history is best-effort
+
+  /** "1.23s" — the reference's {:.2?} Duration rendering at the
+    * second scale its pipelines operate in. */
+  private[graft] def formatElapsed(nanos: Long): String =
+    f"${nanos / 1e9}%.2fs"
+
+  private def answerModelName: String =
+    if (sys.env.contains("GRAFT_OPENAI_BASE_URL"))
+      sys.env.getOrElse("GRAFT_OPENAI_MODEL", "gpt-4o-mini")
+    else "mock"
+
+  private def runQuery(spark: SparkSession, indexDir: String, question: String,
+                       k: Int): Unit = {
+    val model = answerModelName
+    // main.rs:500-508's spinner line, sans ticks (no steady-tick
+    // thread without a TTY library; the message is the contract)
+    println(s"Generating answer with $model ...")
+    val t0 = System.nanoTime()
+    val out = ChatPipeline.query(spark, indexDir, question, k,
+      client = OpenAiChatClient.fromEnv(),
+      embedder = Embedders.fromEnv())
+    val elapsed = formatElapsed(System.nanoTime() - t0)
+    out.results.foreach(r =>
+      println(f"Chunk ${r.rank} | ${r.file} | Relevance ${r.distance}%.4f"))
+    println(s"Answer generated by $model in $elapsed:")
+    out.answer.foreach(print); println()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -158,9 +218,11 @@ object ChatCli {
     args.toList match {
       case "index" :: repo :: out :: Nil =>
         // GRAFT_ONNX_MODEL selects a real model file for embeddings
+        val t0 = System.nanoTime()
         val n = ChatPipeline.index(spark, repo, out,
           embedder = Embedders.fromEnv())
         println(s"indexed $n chunks from $repo -> $out")
+        println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
       case "query" :: indexDir :: question :: rest =>
         if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexDir, "chunks"))) {
           System.err.println(s"error: no index at $indexDir (run: index <repo> $indexDir)")
@@ -169,30 +231,45 @@ object ChatCli {
         val k = rest.headOption.map(_.toInt).getOrElse(3)
         // GRAFT_OPENAI_BASE_URL switches the LLM touchpoints to a real
         // endpoint; unset, the deterministic mock answers
-        val out = ChatPipeline.query(spark, indexDir, question, k,
-          client = OpenAiChatClient.fromEnv(),
-          embedder = Embedders.fromEnv())
-        out.results.foreach(r =>
-          println(f"Chunk ${r.rank} | ${r.file} | Relevance ${r.distance}%.4f"))
-        out.answer.foreach(print)
+        runQuery(spark, indexDir, question, k)
       case "interactive" :: Nil =>
-        println("commands: index <repo> <out> | load <dir> | query <q> | exit")
+        val histFile = historyPath()
+        val prior = loadHistory(histFile)
+        if (prior.nonEmpty) println(s"Loaded ${prior.size} history entries from $histFile")
+        println("Interactive graft-chat session. Type 'help' for commands, 'exit' to quit.")
         var indexDir: Option[String] = None
         var line = ""
-        while ({ line = Option(scala.io.StdIn.readLine("> ")).getOrElse("exit"); line != "exit" }) {
-          line.split("\\s+").toList match {
+        def prompt = s"graft-chat (${indexDir.getOrElse("no index")})> "
+        while ({ line = Option(scala.io.StdIn.readLine(prompt)).getOrElse("exit"); line != "exit" }) {
+          if (line.trim.nonEmpty) appendHistory(histFile, line)
+          line.trim.split("\\s+").toList match {
             case "index" :: repo :: out :: Nil =>
               // same env-selected embedder as the top-level commands —
               // REPL-built indexes and queries must share vector space
+              val t0 = System.nanoTime()
               ChatPipeline.index(spark, repo, out, embedder = Embedders.fromEnv())
+              println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
               indexDir = Some(out)
             case "load" :: dir :: Nil => indexDir = Some(dir)
             case "query" :: qs if indexDir.isDefined =>
-              val out = ChatPipeline.query(spark, indexDir.get, qs.mkString(" "),
-                client = OpenAiChatClient.fromEnv(),
-                embedder = Embedders.fromEnv())
-              out.answer.foreach(print); println()
-            case _ => println("unrecognized (or no index loaded)")
+              runQuery(spark, indexDir.get, qs.mkString(" "), k = 3)
+            case "status" :: Nil =>
+              // main.rs:695-704
+              println("Session Status:")
+              println(s"  Model: ${sys.env.getOrElse("GRAFT_ONNX_MODEL", "hashing-256")}")
+              println("  Embedder Loaded: Yes")
+              println(indexDir.fold("  Current Index: Not loaded")(p =>
+                s"  Current Index: $p (Loaded)"))
+            case "help" :: Nil =>
+              println("Available REPL commands:")
+              println("  index <repo> <out>  : Indexes a repository.")
+              println("  load <index_dir>    : Loads an ANN index from the specified directory.")
+              println("  query <question>    : Queries the loaded index.")
+              println("  status              : Shows current session status.")
+              println("  help                : Shows this help message.")
+              println("  exit                : Exits the interactive session.")
+            case Nil | ("" :: Nil) => ()
+            case _ => println("unrecognized (or no index loaded) — type 'help'")
           }
         }
       case _ =>

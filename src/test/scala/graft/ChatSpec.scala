@@ -345,4 +345,26 @@ class ChatSpec extends SparkSpec {
     // null-language chunks (README.md has Markdown; utils.py Python) round-trip
     assert(chunks.count() > 0)
   }
+
+  test("REPL history file: HOME placement, cwd fallback, load/append round-trip") {
+    // main.rs:580-596 placement contract
+    val home = Files.createTempDirectory("graft_home").toString
+    assert(ChatCli.historyPath(Map("HOME" -> home)).toString ==
+      s"$home/${ChatCli.HistoryFileName}")
+    assert(ChatCli.historyPath(Map.empty).toString == ChatCli.HistoryFileName)
+    // round-trip: append lines, load them back in order across "sessions"
+    val p = ChatCli.historyPath(Map("HOME" -> home))
+    assert(ChatCli.loadHistory(p).isEmpty)
+    ChatCli.appendHistory(p, "query how does retry work")
+    ChatCli.appendHistory(p, "status")
+    assert(ChatCli.loadHistory(p) == Seq("query how does retry work", "status"))
+    ChatCli.appendHistory(p, "exit")
+    assert(ChatCli.loadHistory(p).last == "exit")
+  }
+
+  test("elapsed print renders at two-decimal seconds like the reference") {
+    assert(ChatCli.formatElapsed(1234567890L) == "1.23s")
+    assert(ChatCli.formatElapsed(45000000L) == "0.05s")
+    assert(ChatCli.formatElapsed(0L) == "0.00s")
+  }
 }
