@@ -49,7 +49,7 @@ object EventStream {
   def hourlyTypeCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
+    val schema = StreamScratch.schemaOf(spark, path)
     // the file source wants a directory: stream the sf dir but list only
     // the events file (the sibling tables have different schemas)
     val stream = graft.core.Tables.normalizeEventTs(
@@ -67,6 +67,7 @@ object EventStream {
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", StreamScratch.dir(name))
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow())
         .start()
@@ -98,7 +99,7 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val path = s"$sfDir/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
+    val schema = StreamScratch.schemaOf(spark, path)
     val stream = graft.core.Tables.normalizeEventTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -118,6 +119,7 @@ object EventStream {
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", StreamScratch.dir(name))
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow())
         .start()
@@ -151,7 +153,7 @@ object EventStream {
     import org.apache.spark.sql.expressions.Window
     val path = s"$sfDir/events.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(path).schema
+    val schema = StreamScratch.schemaOf(spark, path)
     val stream = graft.core.Tables.normalizeEventTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
@@ -166,6 +168,7 @@ object EventStream {
       val q = agg.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", StreamScratch.dir(name))
         .outputMode(OutputMode.Complete())
         .trigger(Trigger.AvailableNow())
         .start()
