@@ -70,12 +70,8 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scratch = {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      if (java.nio.file.Files.isWritable(shm)) shm
-      else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-    }
-    val root = java.nio.file.Files.createTempDirectory(scratch, "graft_scaling")
+    val root = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "graft_scaling")
 
     // corpus decades, written once (untimed — index/ingest build half)
     val dirs = Factors.map { f =>
@@ -120,29 +116,41 @@ object Scaling {
       (name, times, exps)
     }
 
+    // headers derive from the MEASURED corpus sizes, so a run against a
+    // different srcDir never publishes exponents attributed to corpus
+    // sizes it did not time
+    def fmtN(n: Long): String =
+      if (n % 1000 == 0 && n >= 1000) s"${n / 1000}k" else n.toString
+    val ns = dirs.map(_._3)
+    val baseN = ns.head
     val sb = new StringBuilder
     sb ++= "# SCALING — measured growth exponents for the dedup family\n\n"
     sb ++= s"Generated by `sbt \"runMain graft.Scaling\"` on ${java.time.LocalDate.now} " +
       s"(local[32], min-of-2 per cell, shared caches released between passes).\n\n"
-    sb ++= "Corpus decades are deterministic amplifications of sf0.1's `documents` " +
-      "(5 000 docs): replica r remaps `doc_id` and suffixes every word with `_r`, " +
+    sb ++= s"Corpus decades are deterministic amplifications of `$srcDir`'s `documents` " +
+      s"($baseN docs): replica r remaps `doc_id` and suffixes every word with `_r`, " +
       "so duplicate-family structure is constant and family count scales with the " +
       "factor — the growing-crawl regime. Output rows scale linearly by " +
       "construction, so any super-linear time growth would indict the plan. " +
       "`exp` is the log-log slope between adjacent corpus sizes; the gate is " +
       s"top-decade slope ≤ $MaxExponent (an O(n²) join would converge on 2).\n\n"
-    sb ++= "| query | n=5k | n=40k | n=320k | exp 5k→40k | exp 40k→320k | out rows @320k |\n"
-    sb ++= "|---|---|---|---|---|---|---|\n"
+    sb ++= "| query | " + ns.map(n => s"n=${fmtN(n)}").mkString(" | ") + " | " +
+      ns.sliding(2).map { case Seq(a, b) => s"exp ${fmtN(a)}→${fmtN(b)}" }
+        .mkString(" | ") +
+      s" | out rows @${fmtN(ns.last)} |\n"
+    sb ++= "|" + ("---|" * (ns.size * 2)) + "---|\n"
     var fail = false
     rows.foreach { case (name, times, exps) =>
       val cells = times.map { case (_, _, sec, _) => f"$sec%.2f s" }.mkString(" | ")
+      val expCells = exps.map(e => f"$e%.2f").mkString(" | ")
       val lastOut = times.last._4
-      sb ++= f"| $name | $cells | ${exps.head}%.2f | ${exps.last}%.2f | $lastOut |\n"
+      sb ++= s"| $name | $cells | $expCells | $lastOut |\n"
       if (exps.last > MaxExponent) { fail = true }
     }
-    sb ++= "\nThe low first-decade slopes are fixed Spark job/stage overhead still " +
-      "dominating at 5k docs; the top decade is the honest signal. All shapes are " +
-      "pinned by PlanAuditSpec, so these exponents can rot only if the plans do.\n"
+    sb ++= s"\nThe low first-decade slopes are fixed Spark job/stage overhead still " +
+      s"dominating at ${fmtN(baseN)} docs; the top decade is the honest signal. " +
+      "All shapes are pinned by PlanAuditSpec, so these exponents can rot only if " +
+      "the plans do.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outMd),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(sb.toString)

@@ -181,9 +181,10 @@ object ChatCli {
     } catch { case _: java.io.IOException => () } // history is best-effort
 
   /** "1.23s" — the reference's {:.2?} Duration rendering at the
-    * second scale its pipelines operate in. */
+    * second scale its pipelines operate in. Locale-pinned: a
+    * comma-decimal default locale must not turn it into "1,23s". */
   private[graft] def formatElapsed(nanos: Long): String =
-    f"${nanos / 1e9}%.2fs"
+    "%.2fs".formatLocal(java.util.Locale.ROOT, nanos / 1e9)
 
   private def answerModelName: String =
     if (sys.env.contains("GRAFT_OPENAI_BASE_URL"))
@@ -202,7 +203,8 @@ object ChatCli {
       embedder = Embedders.fromEnv())
     val elapsed = formatElapsed(System.nanoTime() - t0)
     out.results.foreach(r =>
-      println(f"Chunk ${r.rank} | ${r.file} | Relevance ${r.distance}%.4f"))
+      println(s"Chunk ${r.rank} | ${r.file} | Relevance " +
+        "%.4f".formatLocal(java.util.Locale.ROOT, r.distance)))
     println(s"Answer generated by $model in $elapsed:")
     out.answer.foreach(print); println()
   }

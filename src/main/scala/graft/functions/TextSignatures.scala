@@ -68,16 +68,8 @@ case class ShingleHashes(child: Expression, bits: Int)
     val hvs =
       if (t.length < 3) Array.empty[Long]
       else (0 to t.length - 3).map { i =>
-        val d = md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        if (bits == 32)
-          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        else
-          ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        MinhashKernel.packDigest(md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
       }.distinct.sorted.toArray
     new GenericArrayData(hvs)
   }
@@ -95,6 +87,19 @@ case class ShingleHashes(child: Expression, bits: Int)
   * path, and null is the scalar image of "no row" (`WHERE
   * minhash_sig(text) IS NOT NULL` recovers the relation). */
 private[functions] object MinhashKernel {
+  /** md5-prefix packing at the 32/64-bit widths — ONE copy for both
+    * scalar families in this file (mirrors ops.Dedup.packHash, whose
+    * agreement the scalar==batch specs pin). */
+  def packDigest(d: Array[Byte], bits: Int): Long =
+    if (bits == 32)
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    else
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+
   def minhashOf(text: String, bits: Int): Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val t = text.trim.split("\\s+").filter(_.nonEmpty)
@@ -104,17 +109,8 @@ private[functions] object MinhashKernel {
     val mh = Array.fill(params.length)(Long.MaxValue)
     var i = 0
     while (i <= t.length - 3) {
-      val d = md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val hv =
-        if (bits == 32)
-          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-        else
-          ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val hv = packDigest(md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
       // min over a multiset equals min over the set, so no distinct
       // pass is needed before the permutations
       val h32 = (hv >>> 32) ^ (hv & 0xffffffffL)

@@ -1730,6 +1730,21 @@ object Dedup {
   private val frozenCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int), FrozenCorpus]()
 
+  /** Test seam: drop every cached frozen corpus AND unpersist its
+    * pinned blocks, so the next admission rebuilds the freeze pipeline
+    * from scratch (AqeParitySpec re-freezes under each execution mode —
+    * without this the build half would run once and the "AQE on" pass
+    * would only ever join cached blocks). */
+  private[graft] def resetFrozenCorpusCache(): Unit = {
+    import scala.jdk.CollectionConverters._
+    frozenCache.values.asScala.foreach { fc =>
+      Seq(fc.hashes, fc.banded, fc.sets).foreach(df =>
+        try org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df)
+        catch { case _: Exception => () })
+    }
+    frozenCache.clear()
+  }
+
   private[graft] def preparedFrozenCorpus(spark: SparkSession, sfDir: String,
                                           bits: Int = DefaultHashBits): FrozenCorpus =
     frozenCache.computeIfAbsent((sfDir, bits), _ => {
@@ -1740,16 +1755,22 @@ object Dedup {
       // blocks the reference needs. At test SF that is ONE block —
       // every admission stage then runs one task per consumer instead
       // of 32 near-empty ones; at 100 TB the same rule yields
-      // thousands of blocks and full cluster parallelism.
-      val corpusBytes =
-        try java.nio.file.Files.size(
-          java.nio.file.Paths.get(sfDir, "documents.parquet"))
-        catch { case _: Throwable => Long.MaxValue }
-      val parts = math.max(1L, corpusBytes / (128L << 20)).toInt
-      FrozenCorpus(
-        c0.hashes.coalesce(parts).localCheckpoint(true),
-        c0.banded.coalesce(parts).localCheckpoint(true),
-        c0.sets.coalesce(parts).localCheckpoint(true))
+      // thousands of blocks and full cluster parallelism. Sizing goes
+      // through the Hadoop FileSystem so it is correct for single-file
+      // AND directory parquet layouts on any filesystem (S3/HDFS too,
+      // where java.nio cannot stat); if the filesystem cannot answer,
+      // the checkpoint keeps its natural partitioning — a wrong-sized
+      // coalesce is worse than none.
+      val parts: Option[Int] =
+        try {
+          val p = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
+          val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+          Some(math.min(math.max(1L, bytes / (128L << 20)), 1L << 20).toInt)
+        } catch { case _: Exception => None }
+      def pin(df: DataFrame): DataFrame =
+        parts.fold(df)(df.coalesce).localCheckpoint(true)
+      FrozenCorpus(pin(c0.hashes), pin(c0.banded), pin(c0.sets))
     })
 
   /** Admission verdicts for an arbitrary batch of incoming documents

@@ -51,10 +51,14 @@ object AnnCatalog {
 
   def clear(): Unit = entries.clear()
 
-  private[plans] def lookup(paths: Seq[String]): Option[Entry] =
+  /** Returns the registered chunks path WITH its entry: callers anchor
+    * predicate translation on the one relation that path names, never
+    * on other relations that happen to share the plan subtree. */
+  private[plans] def lookup(paths: Seq[String]): Option[(String, Entry)] =
     entries.collectFirst {
       case (chunksPath, e) if paths.exists(p =>
-        p.stripSuffix("/").endsWith(chunksPath.stripPrefix("file:"))) => e
+        p.stripSuffix("/").endsWith(chunksPath.stripPrefix("file:"))) =>
+        (chunksPath, e)
     }
 }
 
@@ -113,13 +117,20 @@ case class AnnPushdownRule(spark: SparkSession)
       .queryExecution.optimizedPlan
   }
 
-  /** Deterministic filter conjuncts anchored entirely on the scanned
-    * relation's own attributes (by exprId — an alias that merely
-    * shares a metadata column's NAME never qualifies). Only these may
-    * re-target onto the forest table. */
-  private def pushablePreds(preds: Seq[Expression], child: LogicalPlan): Seq[Expression] = {
+  /** Deterministic filter conjuncts anchored entirely on the REGISTERED
+    * chunks relation's own attributes (by exprId — an alias that merely
+    * shares a metadata column's NAME never qualifies, and neither does a
+    * column of some OTHER relation joined into the subtree: a side
+    * table's `language` may hold values the forest's `language` never
+    * does, so translating its predicate would silently empty the
+    * candidate set). Only these may re-target onto the forest table. */
+  private def pushablePreds(preds: Seq[Expression], child: LogicalPlan,
+                            chunksPath: String): Seq[Expression] = {
     val relAttrs = AttributeSet(
-      child.collect { case r: LogicalRelation => r.output }.flatten)
+      child.collect {
+        case r: LogicalRelation if relationPaths(r).exists(
+          _.stripSuffix("/").endsWith(chunksPath.stripPrefix("file:"))) => r.output
+      }.flatten)
     preds.filter(p =>
       p.deterministic && p.references.nonEmpty && p.references.subsetOf(relAttrs))
   }
@@ -131,12 +142,12 @@ case class AnnPushdownRule(spark: SparkSession)
     * here. Both sets are candidates for forest-side evaluation. */
   private def semiJoin(child: LogicalPlan, q: Array[Float],
                        outerPreds: Seq[Expression]): Option[LogicalPlan] =
-    AnnCatalog.lookup(relationPaths(child)).flatMap { entry =>
+    AnnCatalog.lookup(relationPaths(child)).flatMap { case (chunksPath, entry) =>
       val innerPreds = child.collect {
         case Filter(cond, _) => splitConjunctivePredicates(cond)
       }.flatten
       val cand = candidatePlan(entry, q,
-        pushablePreds(outerPreds ++ innerPreds, child))
+        pushablePreds(outerPreds ++ innerPreds, child, chunksPath))
       (child.output.find(_.name == "chunk_id"),
         cand.output.find(_.name == "chunk_id")) match {
         case (Some(li), Some(ri)) =>

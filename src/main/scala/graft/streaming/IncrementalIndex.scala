@@ -93,7 +93,18 @@ object IncrementalIndex {
         // of the plane set, so old and new assignments agree)
         if (AnnIndex.hasPlanes(indexDir)) {
           val forest = AnnIndex.loadPlanes(spark, indexDir)
-          AnnIndex.buildForestIndex(withIds, forest)
+          val newRows = AnnIndex.buildForestIndex(withIds, forest)
+          // append in the EXISTING forest's schema: a pre-metadata
+          // forest must stay uniformly metadata-free, because filter
+          // translation (plans.AnnPushdown) evaluates re-targeted
+          // predicates against forest rows — mixed generations would
+          // read old rows' metadata as null and silently drop every
+          // pre-upgrade chunk from filtered ANN results
+          val existingCols =
+            try spark.read.parquet(s"$indexDir/forest").columns.toSet
+            catch { case _: Exception => newRows.columns.toSet }
+          newRows.select(
+              newRows.columns.filter(existingCols.contains).map(org.apache.spark.sql.functions.col).toSeq: _*)
             .write.mode("append").partitionBy("tree", "leaf")
             .parquet(s"$indexDir/forest")
         }

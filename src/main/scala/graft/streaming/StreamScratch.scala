@@ -11,15 +11,35 @@ package graft.streaming
   * Production unbounded deployments keep a durable checkpointLocation
   * instead — this path is only ever chosen for throwaway replay dirs.
   */
-private[streaming] object StreamScratch {
-  private val root: java.nio.file.Path = {
+private[graft] object StreamScratch {
+  private[graft] val root: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isWritable(shm)) shm
     else java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
   }
 
-  def dir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(root, prefix).toString
+  // every dir handed out is deleted at JVM exit: tmpfs outlives the
+  // process, so without this each replay would permanently pin its
+  // state-store and sink files in RAM (an explicit checkpointLocation
+  // also opts out of Spark's own temp-checkpoint auto-delete)
+  private val issued = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      issued.asScala.foreach { d =>
+        try {
+          java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => () }
+      }
+    }, "graft-stream-scratch-cleanup"))
+  }
+
+  def dir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(root, prefix)
+    issued.add(d)
+    d.toString
+  }
 
   /** Parquet footer schemas per source file — immutable inputs, so
     * replays of the same firehose don't re-sniff per run. */

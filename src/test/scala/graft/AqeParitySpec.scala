@@ -41,11 +41,16 @@ class AqeParitySpec extends SparkSpec {
     }
     val diffs = ordered.flatMap { case (name, fn) =>
       val a = canon(fn(off, sf0001))
+      // the frozen admission corpus is JVM-lifetime state — drop it so
+      // the AQE-on pass re-runs the freeze pipeline under AQE instead
+      // of joining blocks the off pass built
+      graft.ops.Dedup.resetFrozenCorpusCache()
       val b = canon(fn(on, sf0001))
       // free the per-query shared caches (both sessions) so the sweep
       // holds at most one query's summaries at a time
       graft.ops.Materialize.release(off)
       graft.ops.Materialize.release(on)
+      graft.ops.Dedup.resetFrozenCorpusCache()
       if (a == b) None else Some(name)
     }
     assert(diffs.isEmpty, s"AQE changed results for: ${diffs.mkString(", ")}")

@@ -241,6 +241,65 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.plans.AnnCatalog.clear()
   }
 
+  test("pushdown never translates a SIDE table's same-named column onto the forest") {
+    import org.apache.spark.sql.functions._
+    val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo4").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(repoDir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    (1 to 40).foreach(i => w(s"src/file$i.rs",
+      s"fn function_$i() { let value_$i = compute_$i(); }\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx4").toFile
+    graft.chat.ChatPipeline.index(spark, repoDir.getAbsolutePath, idxDir.getAbsolutePath)
+    graft.plans.AnnCatalog.register(spark, idxDir.getAbsolutePath)
+    try {
+      val emb = new graft.chat.HashingEmbedder()
+      val q = emb.embed("compute function value")
+      val chunks = graft.chat.AnnIndex.load(spark, idxDir.getAbsolutePath)
+      // a parquet side table whose `language` column shares name+type
+      // with forest metadata but holds values the forest never does
+      // ("rust", not "Rust") — a filter on IT must not empty the
+      // candidate set by being re-anchored onto the forest scan
+      val sideDir = java.nio.file.Files.createTempDirectory("graft_ann_side").toString
+      chunks.select(col("chunk_id"), lower(col("language")).as("language"))
+        .write.mode("overwrite").parquet(sideDir)
+      val side = spark.read.parquet(sideDir)
+        .withColumnRenamed("language", "side_language")
+      val joined = chunks.join(
+          side.withColumnRenamed("side_language", "language")
+            .withColumnRenamed("chunk_id", "side_id"),
+          col("chunk_id") === col("side_id"))
+        .drop(chunks("language"))
+      val knn = joined
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(chunks("vector"), typedLit(q.toSeq)))
+        .filter(col("language") === "rust")
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      val got = knn.select("chunk_id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // ground truth: every chunk IS rust (lowercased side column), so
+      // the filter drops nothing and the query must return a full k —
+      // a mistranslated predicate (language='rust' against the
+      // forest's 'Rust' values) would return zero rows
+      assert(got.length == 5,
+        s"side-table predicate emptied the candidate set: ${got.toSeq}")
+      // ground truth with the catalog EMPTY (rule cannot fire): the
+      // same expression collected unrewritten
+      graft.plans.AnnCatalog.clear()
+      val expect = joined
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(chunks("vector"), typedLit(q.toSeq)))
+        .filter(col("language") === "rust")
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+        .select("chunk_id", "distance")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == expect.toSeq)
+    } finally graft.plans.AnnCatalog.clear()
+  }
+
   test("without registration the kNN plan is untouched") {
     import org.apache.spark.sql.functions._
     graft.plans.AnnCatalog.clear()
