@@ -40,7 +40,16 @@ object Scaling {
     "q15_jaccard_pairs" -> ((s, d) => graft.ops.Dedup.jaccardPairs(s, d, graft.ops.Dedup.OracleHashBits)),
     "q49_dedup_clusters" -> ((s, d) => graft.ops.Dedup.nearDupClusters(s, d, graft.ops.Dedup.OracleHashBits)),
     "q65_dup_spans" -> ((s, d) => graft.ops.Dedup.dupSpans(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, graft.ops.Dedup.OracleHashBits)))
+    "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, graft.ops.Dedup.OracleHashBits)),
+    // the two remaining distinct join shapes in the family: the
+    // distinct-(source,hv) inverted-index equi-join and the broadcast
+    // admission check (incoming batch ~5% of corpus, both scale with
+    // the factor). q17 is deliberately ABSENT: 16-bit simhash pair
+    // output is quadratic by the birthday bound once n >> 2^16 — a
+    // workload property, not a plan property; its scale path is the
+    // signature-level grouping q16 feeds the CC family.
+    "q72_source_overlap" -> ((s, d) => graft.ops.Dedup.sourceOverlap(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's

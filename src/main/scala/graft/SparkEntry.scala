@@ -135,7 +135,8 @@ object SparkEntry {
     "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksum _,
     "q102_stream_admission" -> graft.streaming.DedupStream.admissionStream _,
     "q103_multi_decontam"   -> ((s: SparkSession, d: String) => Dedup.multiDecontamination(s, d, Dedup.OracleHashBits)),
-    "q104_threshold_sweep"  -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d, Dedup.OracleHashBits))
+    "q104_threshold_sweep"  -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d, Dedup.OracleHashBits)),
+    "q105_indexed_admission" -> ((s: SparkSession, d: String) => Dedup.incrementalDedupFromIndex(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -303,6 +304,9 @@ object SparkEntry {
     // the streamed replay is row-identical to batch q99, so its oracle serves both
     "q102_stream_admission" -> Dedup.incrementalDedupSql,
     "q103_multi_decontam"   -> Dedup.multiDecontaminationSql,
-    "q104_threshold_sweep"  -> Dedup.thresholdSweepSql
+    "q104_threshold_sweep"  -> Dedup.thresholdSweepSql,
+    // admission served from the persisted index is verdict-identical
+    // to the in-memory freeze, so q99's oracle serves both
+    "q105_indexed_admission" -> Dedup.incrementalDedupSql
   )
 }

@@ -1823,6 +1823,85 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------------
+  // Persisted admission index — the durable-artifact half of the
+  // train-once/serve-many split for the DEDUP family, mirroring the
+  // IVF artifact (Similarity.saveIvfIndex): `preparedFrozenCorpus`
+  // makes the freeze JVM-lifetime state, but at 100 TB admission runs
+  // as MANY jobs over weeks and none of them should re-scan the corpus
+  // to rebuild band tables. The freeze becomes a versioned build
+  // artifact on shared storage:
+  //   path/hashes/                   (h)                exact-dup keys
+  //   path/banded/band_idx=<b>/      (doc_id, band_hash) LSH postings
+  //   path/sets/                     (doc_id, s)        verify shingles
+  // banded/ is PARTITIONED BY band_idx, so each of the LshBands probe
+  // joins is partition pruning at the scan; incoming-batch band rows
+  // broadcast against exactly their band's postings. Appending
+  // admitted docs is an append-mode write of the same three
+  // projections — no rebuild, the same add() discipline as
+  // assignToIndex.
+  // -------------------------------------------------------------------
+
+  /** Write the admission-index artifact for `sfDir`'s corpus (its
+    * non-incremental sources — the same reference `frozenCorpus`
+    * freezes in memory). */
+  def saveDedupIndex(spark: SparkSession, sfDir: String, path: String,
+                     bits: Int = DefaultHashBits): Unit = {
+    val c = frozenCorpus(spark, sfDir, bits)
+    c.hashes.write.mode("overwrite").parquet(s"$path/hashes")
+    c.banded.write.mode("overwrite").partitionBy("band_idx")
+      .parquet(s"$path/banded")
+    c.sets.write.mode("overwrite").parquet(s"$path/sets")
+  }
+
+  /** The artifact as a [[FrozenCorpus]]. `band_idx` is a hive
+    * partition column on read, so its inferred type is pinned back to
+    * the int `posexplode` emits in the in-memory freeze. */
+  def loadDedupIndex(spark: SparkSession, path: String): FrozenCorpus =
+    FrozenCorpus(
+      hashes = spark.read.parquet(s"$path/hashes"),
+      banded = spark.read.parquet(s"$path/banded")
+        .withColumn("band_idx", col("band_idx").cast("int")),
+      sets = spark.read.parquet(s"$path/sets"))
+
+  /** Admission verdicts for an external batch served from a persisted
+    * index — the production entry point: no corpus access at all, the
+    * three artifact scans are the only reference reads. */
+  def admissionFromIndex(spark: SparkSession, indexPath: String,
+                         newDocs: DataFrame,
+                         bits: Int = DefaultHashBits): DataFrame =
+    admissionVerdicts(newDocs, loadDedupIndex(spark, indexPath), bits)
+
+  private val dedupIndexEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val dedupIndexes =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Int), String]]()
+
+  /** Session-cached artifact build (the q41/q81 discipline: the index
+    * WRITE is the untimed build half; the timed query is the serving
+    * read). */
+  def preparedDedupIndex(spark: SparkSession, sfDir: String,
+                         bits: Int = DefaultHashBits): String =
+    dedupIndexes
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent((sfDir, bits), _ => {
+        val path = s"/tmp/graft_dedupidx_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+          s"_b${bits}_${dedupIndexEpoch.incrementAndGet()}"
+        saveDedupIndex(spark, sfDir, path, bits)
+        path
+      })
+
+  /** q105: q99 served from the persisted artifact (shares q99's
+    * oracle — the artifact round-trip must be verdict-invisible). */
+  def incrementalDedupFromIndex(spark: SparkSession, sfDir: String,
+                                bits: Int = DefaultHashBits): DataFrame = {
+    val newDocs = Tables.documents(spark, sfDir)
+      .filter(col("source") === IncrementalSource)
+      .select("doc_id", "source", "text")
+    admissionFromIndex(spark, preparedDedupIndex(spark, sfDir, bits), newDocs, bits)
+      .orderBy("doc_id")
+  }
+
   def incrementalDedupSql: String = {
     val bandJoins = (0 until Consts.LshBands).map { b =>
       s"SELECT x.doc_id AS doc_new, y.doc_id AS doc_old FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.source = '$IncrementalSource' AND y.source <> '$IncrementalSource'"

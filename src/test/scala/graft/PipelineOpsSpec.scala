@@ -955,6 +955,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("index-served admission (q105) equals the in-memory freeze row for row, from a band-partitioned artifact") {
+    val batch = Dedup.incrementalDedup(spark, sf0001, Dedup.OracleHashBits).collect()
+    val served = Dedup.incrementalDedupFromIndex(spark, sf0001, Dedup.OracleHashBits).collect()
+    assert(served.length == batch.length && batch.nonEmpty)
+    batch.zip(served).foreach { case (b, s) =>
+      assert(b.getLong(0) == s.getLong(0) && b.getBoolean(1) == s.getBoolean(1) &&
+        b.getBoolean(2) == s.getBoolean(2) && b.getString(3) == s.getString(3),
+        s"artifact round-trip changed a verdict: $b vs $s")
+    }
+    // the artifact's LSH postings are physically partitioned by band,
+    // so each probe join is partition pruning at the scan
+    val idxPath = Dedup.preparedDedupIndex(spark, sf0001, Dedup.OracleHashBits)
+    val bandDirs = new java.io.File(s"$idxPath/banded").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("band_idx=")).sorted
+    assert(bandDirs.toSeq ==
+      (0 until graft.core.Consts.LshBands).map(b => s"band_idx=$b"),
+      s"banded layout: ${bandDirs.toSeq}")
+    graft.ops.Materialize.release(spark)
+  }
+
   test("incremental dedup near verdicts agree with the corpus-wide LSH pair relation") {
     val verdicts = Dedup.incrementalDedup(spark, sf0001, Dedup.OracleHashBits).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
