@@ -1872,6 +1872,34 @@ object Dedup {
                          bits: Int = DefaultHashBits): DataFrame =
     admissionVerdicts(newDocs, loadDedupIndex(spark, indexPath), bits)
 
+  /** Append ADMITTED documents (doc_id, source, text) to a persisted
+    * admission index — the add() half of the lifecycle, mirroring
+    * `Similarity.assignToIndex`/IvfStream: the same three projections
+    * the build writes, in append mode, so the next admission's scans
+    * see the new rows with no rebuild. `hashes/` may accumulate a
+    * repeated h across append generations (exact-dup checks are
+    * left-semi, so repeats are verdict-invisible); a periodic compact
+    * is an OPTIONAL distinct rewrite, never a correctness need. The
+    * caller appends only verdict == "ingest" survivors — appending a
+    * dropped doc would be harmless but wasted bytes. `bits` must match
+    * the build's width (band hashes of different widths never
+    * collide). */
+  def appendToDedupIndex(spark: SparkSession, indexPath: String,
+                         docs: DataFrame, bits: Int = DefaultHashBits): Unit = {
+    docs.select(md5(col("text").cast("binary")).as("h")).distinct()
+      .write.mode("append").parquet(s"$indexPath/hashes")
+    // one batch-sized summary pass feeds both remaining projections
+    val summary = docShingleSummaryOf(
+      docs.select("doc_id", "source", "text"), bits).localCheckpoint(true)
+    try {
+      summary.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+        .write.mode("append").partitionBy("band_idx").parquet(s"$indexPath/banded")
+      summary.select(col("doc_id"), col("s"))
+        .write.mode("append").parquet(s"$indexPath/sets")
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(summary)
+  }
+
   private val dedupIndexEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
   private val dedupIndexes =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,

@@ -975,6 +975,47 @@ class PipelineOpsSpec extends SparkSpec {
     graft.ops.Materialize.release(spark)
   }
 
+  test("artifact append lifecycle: admitted docs are visible to the next admission wave") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpusDoc = base.trim
+    val novel = "one two three four five six seven eight nine ten eleven twelve " * 3
+    def docsDf(rows: Seq[(Long, String, String)]) =
+      rows.map { case (id, src, txt) => (id, txt, "en", src, txt.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("append_probe")
+    docsDf(Seq(
+      (1L, Dedup.IncrementalSource, corpusDoc),   // wave-1 exact dup
+      (3L, Dedup.IncrementalSource, novel.trim),  // wave-1 novel
+      (10L, "corpus", corpusDoc),
+      (11L, "corpus", "completely different text " * 10)))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("append_idx").toString
+    Dedup.saveDedupIndex(spark, tmp.toString, idx)
+    val wave1 = Dedup.incrementalDedup(spark, tmp.toString).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(wave1 == Map(1L -> "drop_exact", 3L -> "ingest"), s"wave 1: $wave1")
+    // append ONLY the admitted survivor, the documented lifecycle
+    Dedup.appendToDedupIndex(spark, idx,
+      docsDf(Seq((3L, Dedup.IncrementalSource, novel.trim)))
+        .select("doc_id", "source", "text"))
+    // wave 2 against the grown artifact: an exact copy and a one-token
+    // near-copy of the PREVIOUSLY NOVEL doc must now be dropped, and a
+    // genuinely new doc still ingests
+    val nearNovel =
+      (novel.trim.split(" ").dropRight(1) :+ "OMEGA").mkString(" ")
+    val wave2 = Dedup.admissionFromIndex(spark, idx,
+        docsDf(Seq(
+          (4L, Dedup.IncrementalSource, novel.trim),
+          (5L, Dedup.IncrementalSource, nearNovel),
+          (6L, Dedup.IncrementalSource, "fresh words never seen before anywhere at all " * 4)))
+          .select("doc_id", "source", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(wave2 == Map(4L -> "drop_exact", 5L -> "drop_near", 6L -> "ingest"),
+      s"wave 2: $wave2")
+    graft.ops.Materialize.release(spark)
+  }
+
   test("incremental dedup near verdicts agree with the corpus-wide LSH pair relation") {
     val verdicts = Dedup.incrementalDedup(spark, sf0001, Dedup.OracleHashBits).collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
