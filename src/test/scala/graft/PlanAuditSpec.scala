@@ -290,6 +290,29 @@ class PlanAuditSpec extends SparkSpec {
       s"q99 lost its broadcast shape:\n$plan")
   }
 
+  test("q105: index-served admission keeps q99's join shapes and reads the artifact via plain file scans (no corpus recompute)") {
+    val df = Dedup.incrementalDedupFromIndex(spark, sf0001, Dedup.OracleHashBits)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q105 degenerated to a non-equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q105 lost its broadcast shape:\n$plan")
+    // the reference side must be artifact SCANS: all three projections
+    // appear as parquet file scans on the index path, and the corpus
+    // parquet itself is never read
+    val idxPath = Dedup.preparedDedupIndex(spark, sf0001, Dedup.OracleHashBits)
+    val idxTag = idxPath.stripPrefix("/tmp/")
+    Seq("hashes", "banded", "sets").foreach(p =>
+      assert(plan.contains(s"$idxTag/$p"), s"q105 must scan $p from the artifact:\n$plan"))
+    // the only documents.parquet scans are the incoming batch's own —
+    // every one carries the pushed source=src0 predicate; an unfiltered
+    // corpus scan would mean the artifact did not replace the freeze
+    plan.split('\n').filter(l =>
+        l.contains("Scan parquet") && l.contains("documents.parquet"))
+      .foreach(l => assert(l.contains(Dedup.IncrementalSource),
+        s"q105 scans the corpus without the incoming-source pushdown:\n$l"))
+  }
+
   test("q103: benchmark broadcasts; the corpus shingle stream crosses the network once (no countDistinct double exchange)") {
     val df = Dedup.multiDecontamination(spark, sf0001, Dedup.OracleHashBits)
     val plan = executed(df)
