@@ -1703,16 +1703,42 @@ object Dedup {
   private[graft] case class FrozenCorpus(hashes: DataFrame, banded: DataFrame,
                                          sets: DataFrame)
 
+  /** `bandCap`: the admission-side twin of `candidateOverlap`'s
+    * hot-bucket guard. The admission join is corpus-banded ×
+    * broadcast batch (not a self-join), so its fan-out is |corpus
+    * bucket| × |batch bucket| — bounded by the batch, but a web-scale
+    * TEMPLATE family still puts 10^5+ corpus rows in one bucket, and
+    * one incoming member of that family then drags the whole bucket
+    * through candidate verification. Capping at FREEZE time drops
+    * oversized buckets from the probe side once, for every subsequent
+    * admission (batch, stream, or artifact-served): an incoming doc
+    * is missed only if every band it shares with the corpus is
+    * oversubscribed — i.e. it belongs to a template family large
+    * enough that its dedup story is the cluster/survivorship family,
+    * and the EXACT-hash check (uncapped, one equi-join) still drops
+    * byte-identical members. `None` (default, oracle mode) is
+    * uncapped — the DuckDB-checked queries stay byte-identical. */
   private[graft] def frozenCorpus(spark: SparkSession, sfDir: String,
-                                  bits: Int = DefaultHashBits): FrozenCorpus = {
+                                  bits: Int = DefaultHashBits,
+                                  bandCap: Option[Int] = None): FrozenCorpus = {
     val (summary, _, _) = sharedSummary(spark, sfDir, bits)
     val corpusSummary = summary.filter(col("source") =!= IncrementalSource)
+    val banded0 = corpusSummary.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    // same zero-extra-shuffle discipline as candidateOverlap: the
+    // count window partitions on the very keys the admission join
+    // hashes on, so the cap rides the exchange the join needs anyway
+    val banded = bandCap.fold(banded0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_hash")
+      banded0.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= cap).drop("bsz")
+    }
     FrozenCorpus(
       hashes = Tables.documents(spark, sfDir)
         .filter(col("source") =!= IncrementalSource)
         .select(md5(col("text").cast("binary")).as("h")).distinct(),
-      banded = corpusSummary.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "band_hash"))),
+      banded = banded,
       sets = corpusSummary.select(col("doc_id"), col("s")))
   }
 
@@ -1844,10 +1870,13 @@ object Dedup {
 
   /** Write the admission-index artifact for `sfDir`'s corpus (its
     * non-incremental sources — the same reference `frozenCorpus`
-    * freezes in memory). */
+    * freezes in memory). `bandCap` (see [[frozenCorpus]]) is applied
+    * at BUILD time, so every serving job inherits the bounded probe
+    * side without paying the count window per admission. */
   def saveDedupIndex(spark: SparkSession, sfDir: String, path: String,
-                     bits: Int = DefaultHashBits): Unit = {
-    val c = frozenCorpus(spark, sfDir, bits)
+                     bits: Int = DefaultHashBits,
+                     bandCap: Option[Int] = None): Unit = {
+    val c = frozenCorpus(spark, sfDir, bits, bandCap)
     c.hashes.write.mode("overwrite").parquet(s"$path/hashes")
     c.banded.write.mode("overwrite").partitionBy("band_idx")
       .parquet(s"$path/banded")

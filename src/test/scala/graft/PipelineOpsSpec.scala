@@ -975,6 +975,43 @@ class PipelineOpsSpec extends SparkSpec {
     graft.ops.Materialize.release(spark)
   }
 
+  test("freeze-side bandCap: oversized buckets leave the probe side, a permissive cap is invisible, exact checks are immune") {
+    import org.apache.spark.sql.functions.{col, max}
+    val un = Dedup.frozenCorpus(spark, sf0001, Dedup.OracleHashBits)
+    val maxB = un.banded.groupBy("band_idx", "band_hash").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxB > 1, "fixture must contain at least one multi-doc band bucket")
+    // cap at the observed max: nothing exceeds it, so the probe side
+    // is row-identical — capped == uncapped when no bucket is hot
+    val perm = Dedup.frozenCorpus(spark, sf0001, Dedup.OracleHashBits, Some(maxB.toInt))
+    assert(perm.banded.exceptAll(un.banded).count() == 0 &&
+      un.banded.exceptAll(perm.banded).count() == 0)
+    // cap=1: every surviving bucket is a singleton — the hot-bucket
+    // mass is gone from candidate generation entirely
+    val tight = Dedup.frozenCorpus(spark, sf0001, Dedup.OracleHashBits, Some(1))
+    assert(tight.banded.groupBy("band_idx", "band_hash").count()
+      .agg(max("count")).head.getLong(0) == 1)
+    val newDocs = Tables.documents(spark, sf0001)
+      .filter(col("source") === Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+    val a = Dedup.admissionVerdicts(newDocs, un, Dedup.OracleHashBits)
+      .orderBy("doc_id").collect()
+    val b = Dedup.admissionVerdicts(newDocs, perm, Dedup.OracleHashBits)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "permissive cap changed a verdict")
+    // the exact-hash join is deliberately uncapped: byte-identical
+    // incoming docs drop even when EVERY band bucket is suppressed
+    val c = Dedup.admissionVerdicts(newDocs, tight, Dedup.OracleHashBits)
+      .orderBy("doc_id").collect()
+    a.zip(c).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0))
+      if (x.getString(3) == "drop_exact")
+        assert(y.getString(3) == "drop_exact",
+          s"doc ${x.getLong(0)} lost its exact verdict under cap=1")
+    }
+    graft.ops.Materialize.release(spark)
+  }
+
   test("artifact append lifecycle: admitted docs are visible to the next admission wave") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
