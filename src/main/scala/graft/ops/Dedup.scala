@@ -1860,9 +1860,11 @@ object Dedup {
   //   path/hashes/                   (h)                exact-dup keys
   //   path/banded/band_idx=<b>/      (doc_id, band_hash) LSH postings
   //   path/sets/                     (doc_id, s)        verify shingles
-  // banded/ is PARTITIONED BY band_idx, so each of the LshBands probe
-  // joins is partition pruning at the scan; incoming-batch band rows
-  // broadcast against exactly their band's postings. Appending
+  // banded/ is PARTITIONED BY band_idx. A full admission probes every
+  // band, so the partitioning does NOT prune that scan — its value is
+  // band-parallel layout (each band's postings are contiguous files a
+  // band-restricted read, re-band, or per-band compaction prunes to
+  // directly) and the bounded per-band file listing. Appending
   // admitted docs is an append-mode write of the same three
   // projections — no rebuild, the same add() discipline as
   // assignToIndex.
