@@ -133,7 +133,7 @@ object SparkEntry {
     "q99_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d, Dedup.OracleHashBits)),
     "q100_token_budget"     -> Sampling.tokenBudget _,
     "q101_jsonl_roundtrip"  -> graft.sources.JsonlCorpus.roundtripChecksum _,
-    "q102_stream_admission" -> graft.streaming.DedupStream.admissionStream _,
+    "q102_stream_admission" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.admissionStream(s, d)),
     "q103_multi_decontam"   -> ((s: SparkSession, d: String) => Dedup.multiDecontamination(s, d, Dedup.OracleHashBits)),
     "q104_threshold_sweep"  -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d, Dedup.OracleHashBits)),
     "q105_indexed_admission" -> ((s: SparkSession, d: String) => Dedup.incrementalDedupFromIndex(s, d, Dedup.OracleHashBits))

@@ -1909,8 +1909,9 @@ object Dedup {
     * the build writes, in append mode, so the next admission's scans
     * see the new rows with no rebuild. `hashes/` may accumulate a
     * repeated h across append generations (exact-dup checks are
-    * left-semi, so repeats are verdict-invisible); a periodic compact
-    * is an OPTIONAL distinct rewrite, never a correctness need. The
+    * left-semi, so repeats are verdict-invisible); a periodic
+    * [[compactDedupIndex]] is OPTIONAL hygiene, never a correctness
+    * need. The
     * caller appends only verdict == "ingest" survivors — appending a
     * dropped doc would be harmless but wasted bytes. `bits` must match
     * the build's width (band hashes of different widths never
@@ -1929,6 +1930,26 @@ object Dedup {
       summary.select(col("doc_id"), col("s"))
         .write.mode("append").parquet(s"$indexPath/sets")
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(summary)
+  }
+
+  /** The optional hygiene pass the append scaladoc promises: rewrite
+    * an artifact into `dst` with `hashes/` deduplicated and each
+    * projection's files re-laid (append generations fragment banded/
+    * partitions into one file per wave). Compaction writes a NEW
+    * versioned path rather than rewriting in place — reading and
+    * overwriting the same parquet path races the lazy scan, and a
+    * versioned swap is the same quiesce contract as IvfStream
+    * compaction: serving jobs move to `dst` between admissions. */
+  def compactDedupIndex(spark: SparkSession, src: String, dst: String): Unit = {
+    require(src != dst, "compaction writes a new versioned path")
+    val c = loadDedupIndex(spark, src)
+    // distinct everywhere: legitimate appends never repeat a doc_id,
+    // so on a well-used artifact only hashes/ actually shrinks — but a
+    // double-appended doc's banded/sets rows normalize away too
+    c.hashes.distinct().write.mode("overwrite").parquet(s"$dst/hashes")
+    c.banded.distinct().write.mode("overwrite").partitionBy("band_idx")
+      .parquet(s"$dst/banded")
+    c.sets.distinct().write.mode("overwrite").parquet(s"$dst/sets")
   }
 
   private val dedupIndexEpoch = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -138,16 +138,24 @@ object DedupStream {
     * corpus is never re-summarized (one cached narrow row per doc)
     * and never shuffled. State lives in the corpus reference, not the
     * stream — any number of increments admits against it until a
-    * corpus re-freeze (same quiesce caveat as IvfStream compaction). */
+    * corpus re-freeze (same quiesce caveat as IvfStream compaction).
+    *
+    * `indexPath`: the production deployment shape — the reference is
+    * the DURABLE admission artifact (`Dedup.saveDedupIndex`) instead
+    * of the in-JVM freeze, so the streaming job restarts, scales out,
+    * or moves hosts without rebuilding anything; verdicts are
+    * identical by the q105 round-trip guarantee (spec-pinned). */
   def admissionStream(spark: org.apache.spark.sql.SparkSession,
-                      sfDir: String): org.apache.spark.sql.DataFrame = {
+                      sfDir: String,
+                      indexPath: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val bits = graft.ops.Dedup.OracleHashBits
     // freeze the corpus reference BEFORE the stream starts: checkpoint
     // re-instances the plans so every micro-batch joins materialized
     // rows instead of re-deriving the corpus summary; cached across
     // runs (see frozenCache — build once, admit forever)
-    val frozen = prepareFrozen(spark, sfDir, bits)
+    val frozen = indexPath.fold(prepareFrozen(spark, sfDir, bits))(
+      graft.ops.Dedup.loadDedupIndex(spark, _))
     // footer sniff cached per source file; ephemeral replay dirs on
     // tmpfs (see StreamScratch for both contracts)
     val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")

@@ -975,6 +975,19 @@ class PipelineOpsSpec extends SparkSpec {
     graft.ops.Materialize.release(spark)
   }
 
+  test("streaming admission served from the durable artifact equals the frozen-reference stream row for row") {
+    val fromFreeze = graft.streaming.DedupStream.admissionStream(spark, sf0001).collect()
+    val idx = Dedup.preparedDedupIndex(spark, sf0001, Dedup.OracleHashBits)
+    val fromArtifact = graft.streaming.DedupStream
+      .admissionStream(spark, sf0001, Some(idx)).collect()
+    assert(fromArtifact.length == fromFreeze.length && fromFreeze.nonEmpty)
+    fromFreeze.zip(fromArtifact).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getBoolean(1) == b.getBoolean(1) &&
+        a.getBoolean(2) == b.getBoolean(2) && a.getString(3) == b.getString(3),
+        s"artifact-served stream drifted: $a vs $b")
+    }
+  }
+
   test("freeze-side bandCap: oversized buckets leave the probe side, a permissive cap is invisible, exact checks are immune") {
     import org.apache.spark.sql.functions.{col, max}
     val un = Dedup.frozenCorpus(spark, sf0001, Dedup.OracleHashBits)
@@ -1041,15 +1054,29 @@ class PipelineOpsSpec extends SparkSpec {
     // genuinely new doc still ingests
     val nearNovel =
       (novel.trim.split(" ").dropRight(1) :+ "OMEGA").mkString(" ")
-    val wave2 = Dedup.admissionFromIndex(spark, idx,
-        docsDf(Seq(
-          (4L, Dedup.IncrementalSource, novel.trim),
-          (5L, Dedup.IncrementalSource, nearNovel),
-          (6L, Dedup.IncrementalSource, "fresh words never seen before anywhere at all " * 4)))
-          .select("doc_id", "source", "text"))
+    val wave2docs = docsDf(Seq(
+        (4L, Dedup.IncrementalSource, novel.trim),
+        (5L, Dedup.IncrementalSource, nearNovel),
+        (6L, Dedup.IncrementalSource, "fresh words never seen before anywhere at all " * 4)))
+      .select("doc_id", "source", "text")
+    val wave2 = Dedup.admissionFromIndex(spark, idx, wave2docs)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(wave2 == Map(4L -> "drop_exact", 5L -> "drop_near", 6L -> "ingest"),
       s"wave 2: $wave2")
+    // append the same survivor AGAIN (idempotent bytes, repeated h),
+    // compact to a versioned path: hashes deduplicate, verdicts hold
+    Dedup.appendToDedupIndex(spark, idx,
+      docsDf(Seq((3L, Dedup.IncrementalSource, novel.trim)))
+        .select("doc_id", "source", "text"))
+    val h0 = spark.read.parquet(s"$idx/hashes").count()
+    val hd = spark.read.parquet(s"$idx/hashes").distinct().count()
+    assert(h0 > hd, "double append must leave a repeated hash to compact away")
+    val idx2 = java.nio.file.Files.createTempDirectory("append_idx_v2").toString
+    Dedup.compactDedupIndex(spark, idx, idx2)
+    assert(spark.read.parquet(s"$idx2/hashes").count() == hd)
+    val wave2c = Dedup.admissionFromIndex(spark, idx2, wave2docs)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(wave2c == wave2, s"compaction changed verdicts: $wave2c")
     graft.ops.Materialize.release(spark)
   }
 
