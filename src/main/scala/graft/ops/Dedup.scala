@@ -1915,7 +1915,18 @@ object Dedup {
     * caller appends only verdict == "ingest" survivors — appending a
     * dropped doc would be harmless but wasted bytes. `bits` must match
     * the build's width (band hashes of different widths never
-    * collide). */
+    * collide).
+    *
+    * Crash recovery: the three writes are not one transaction (plain
+    * parquet dirs have no log). A crash between them leaves a partial
+    * append whose only effect is UNDER-dropping (exact checks may see
+    * the new docs before near checks do), and the recovery is simply
+    * re-running the append: duplicates in any projection are
+    * verdict-invisible (the lifecycle spec double-appends on purpose),
+    * so the append is idempotent under retry; [[compactDedupIndex]]
+    * normalizes the bytes later. Near-dups admitted during the gap are
+    * caught by the corpus-internal pass (q74) — the standard two-stage
+    * discipline. */
   def appendToDedupIndex(spark: SparkSession, indexPath: String,
                          docs: DataFrame, bits: Int = DefaultHashBits): Unit = {
     docs.select(md5(col("text").cast("binary")).as("h")).distinct()
