@@ -1033,14 +1033,14 @@ class PipelineOpsSpec extends SparkSpec {
     def docsDf(rows: Seq[(Long, String, String)]) =
       rows.map { case (id, src, txt) => (id, txt, "en", src, txt.length.toLong) }
         .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("append_probe")
+    val tmp = graft.streaming.StreamScratch.dir("append_probe")
     docsDf(Seq(
       (1L, Dedup.IncrementalSource, corpusDoc),   // wave-1 exact dup
       (3L, Dedup.IncrementalSource, novel.trim),  // wave-1 novel
       (10L, "corpus", corpusDoc),
       (11L, "corpus", "completely different text " * 10)))
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val idx = java.nio.file.Files.createTempDirectory("append_idx").toString
+    val idx = graft.streaming.StreamScratch.dir("append_idx")
     Dedup.saveDedupIndex(spark, tmp.toString, idx)
     val wave1 = Dedup.incrementalDedup(spark, tmp.toString).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
@@ -1071,12 +1071,24 @@ class PipelineOpsSpec extends SparkSpec {
     val h0 = spark.read.parquet(s"$idx/hashes").count()
     val hd = spark.read.parquet(s"$idx/hashes").distinct().count()
     assert(h0 > hd, "double append must leave a repeated hash to compact away")
-    val idx2 = java.nio.file.Files.createTempDirectory("append_idx_v2").toString
+    val idx2 = graft.streaming.StreamScratch.dir("append_idx_v2")
     Dedup.compactDedupIndex(spark, idx, idx2)
     assert(spark.read.parquet(s"$idx2/hashes").count() == hd)
     val wave2c = Dedup.admissionFromIndex(spark, idx2, wave2docs)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(wave2c == wave2, s"compaction changed verdicts: $wave2c")
+    // compaction is where a band-capped artifact re-drops buckets that
+    // regrew through uncapped appends: cap=1 leaves only singletons
+    val idx3 = graft.streaming.StreamScratch.dir("append_idx_v3")
+    Dedup.compactDedupIndex(spark, idx, idx3, bandCap = Some(1))
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, max => fmax}
+    assert(spark.read.parquet(s"$idx3/banded")
+      .groupBy("band_idx", "band_hash").agg(fcount(flit(1)).as("n"))
+      .agg(fmax("n")).head.getLong(0) == 1)
+    // and the same-path guard rejects alias spellings, not just equality
+    intercept[IllegalArgumentException] {
+      Dedup.compactDedupIndex(spark, idx, idx + "/")
+    }
     graft.ops.Materialize.release(spark)
   }
 

@@ -31,7 +31,10 @@ class ScaleSpec extends SparkSpec {
 
   test("Scaling.amplified: replicas preserve structure, share none of it, and factor 1 is the identity") {
     import graft.ops.Dedup
-    val tmp = java.nio.file.Files.createTempDirectory("graft_amp_spec")
+    // StreamScratch dirs are deleted at JVM exit — repeated test runs
+    // must not accumulate corpora in the system temp dir
+    val tmp = java.nio.file.Paths.get(
+      graft.streaming.StreamScratch.dir("graft_amp_spec"))
     def mat(f: Int): String = {
       val d = tmp.resolve(s"f$f").toString
       Scaling.amplified(spark, sf0001, f)
@@ -41,10 +44,15 @@ class ScaleSpec extends SparkSpec {
     val (d1, d2) = (mat(1), mat(2))
     val base = graft.core.Tables.documents(spark, sf0001)
     val n = base.count()
-    // factor 1 is a byte-identical rewrite of the source corpus
-    assert(graft.core.Tables.documents(spark, d1)
+    // factor 1 is a byte-identical rewrite of the source corpus —
+    // BOTH multiset directions, so dropped rows fail as loudly as
+    // invented ones
+    val d1docs = graft.core.Tables.documents(spark, d1)
       .select("doc_id", "text", "lang", "source")
-      .exceptAll(base.select("doc_id", "text", "lang", "source")).count() == 0)
+    val baseDocs = base.select("doc_id", "text", "lang", "source")
+    assert(d1docs.count() == n)
+    assert(d1docs.exceptAll(baseDocs).count() == 0 &&
+      baseDocs.exceptAll(d1docs).count() == 0)
     // row count and doc_id cardinality scale exactly (no remap collisions)
     val amp = graft.core.Tables.documents(spark, d2)
     assert(amp.count() == 2 * n && amp.select("doc_id").distinct().count() == 2 * n)
