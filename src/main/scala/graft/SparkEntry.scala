@@ -136,7 +136,13 @@ object SparkEntry {
     "q102_stream_admission" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.admissionStream(s, d)),
     "q103_multi_decontam"   -> ((s: SparkSession, d: String) => Dedup.multiDecontamination(s, d, Dedup.OracleHashBits)),
     "q104_threshold_sweep"  -> ((s: SparkSession, d: String) => Dedup.thresholdSweep(s, d, Dedup.OracleHashBits)),
-    "q105_indexed_admission" -> ((s: SparkSession, d: String) => Dedup.incrementalDedupFromIndex(s, d, Dedup.OracleHashBits))
+    "q105_indexed_admission" -> ((s: SparkSession, d: String) => Dedup.incrementalDedupFromIndex(s, d, Dedup.OracleHashBits)),
+    "q106_quality_survivors" -> ((s: SparkSession, d: String) => Dedup.qualitySurvivors(s, d, Dedup.OracleHashBits)),
+    "q107_cms_tokens"       -> Sketches.cmsTokensChecked _,
+    "q108_semantic_decontam" -> Similarity.semanticDecontam _,
+    "q109_decontam_redact"  -> ((s: SparkSession, d: String) => Dedup.decontamRedact(s, d, Dedup.OracleHashBits)),
+    "q110_sq8_recall"       -> Similarity.sq8Recall _,
+    "q111_stream_gate"      -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.gateStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -307,6 +313,17 @@ object SparkEntry {
     "q104_threshold_sweep"  -> Dedup.thresholdSweepSql,
     // admission served from the persisted index is verdict-identical
     // to the in-memory freeze, so q99's oracle serves both
-    "q105_indexed_admission" -> Dedup.incrementalDedupSql
+    "q105_indexed_admission" -> Dedup.incrementalDedupSql,
+    "q106_quality_survivors" -> Dedup.qualitySurvivorsSql,
+    // the estimate is deterministic (shared md5 row hashes), so the
+    // oracle rebuilds the same cells and every column hash-checks
+    "q107_cms_tokens"       -> Sketches.cmsTokensCheckedSql,
+    "q108_semantic_decontam" -> Similarity.semanticDecontamSql,
+    // oracle hashes the REDACTED text, so removal extents are pinned
+    "q109_decontam_redact"  -> Dedup.decontamRedactSql,
+    "q110_sq8_recall"       -> Similarity.sq8RecallSql,
+    // the gate replay is row-identical to batch q92 (shared row-level
+    // core), so q92's oracle serves both
+    "q111_stream_gate"      -> TextAnalytics.gopherGateSql
   )
 }

@@ -1053,6 +1053,103 @@ object Dedup {
        |GROUP BY sh.doc_id
        |ORDER BY sh.doc_id""".stripMargin
 
+  /** q109: decontamination REDACTION — the enforcement half of q62,
+    * exactly as q68 (PII redact) is the enforcement half of q64: every
+    * token covered by a benchmark-matching 3-gram is cut, the
+    * surviving tokens re-join, and the oracle hashes the REDACTED
+    * text so the exact removal extents are cross-engine-pinned. Span
+    * surgery is the middle ground between shipping a contaminated doc
+    * and dropping it whole — the standard practice when a long
+    * document merely QUOTES an eval item (drop the quote, keep the
+    * doc).
+    *
+    * Scale shape: the benchmark shingle set is an eval suite —
+    * answer-sized by definition — and broadcasts as a plain hash set;
+    * redaction is a scan-local typed map (re-derive the doc's grams,
+    * mark covered token positions, rebuild the string): per-doc local
+    * work, no shuffle anywhere except the final ordering. The oracle
+    * necessarily unnests per-position rows; the engine never does. */
+  def decontamRedact(spark: SparkSession, sfDir: String,
+                     bits: Int = DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val benchSet: Array[Long] = shingleRows(spark, sfDir, bits)
+      .filter(col("doc_id") < DecontamBenchmarkDocs)
+      .select("hv").distinct().as[Long].collect()
+    val bc = spark.sparkContext.broadcast(benchSet.toSet)
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= DecontamBenchmarkDocs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bench = bc.value
+        it.map { case (id, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val covered = new Array[Boolean](t.length)
+          var i = 0
+          while (i <= t.length - 3) {
+            val s = s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
+            val hv = packHash(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
+            if (bench.contains(hv)) {
+              covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
+            }
+            i += 1
+          }
+          val kept = new StringBuilder
+          var nRem = 0L
+          var j = 0
+          while (j < t.length) {
+            if (covered(j)) nRem += 1L
+            else {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(t(j))
+            }
+            j += 1
+          }
+          (id, t.length.toLong, nRem, kept.toString)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "rt")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_removed") === 0L).as("clean"),
+        md5(col("rt").cast("binary")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  def decontamRedactSql: String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT ${shingleHashExpr("strpos", "md5(s)")} AS hv
+       |  FROM (SELECT unnest($sqlShingles) AS s
+       |        FROM toksl WHERE doc_id < $DecontamBenchmarkDocs)),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(len(t))) AS i, t
+       |  FROM toksl WHERE doc_id >= $DecontamBenchmarkDocs),
+       |gram AS (
+       |  SELECT doc_id, i,
+       |    ${shingleHashExpr("strpos", "md5(t[i+1]||' '||t[i+2]||' '||t[i+3])")} AS hv
+       |  FROM pos WHERE i <= len(t) - 3),
+       |bad AS (SELECT DISTINCT g.doc_id, g.i FROM gram g JOIN bench USING (hv)),
+       |cov AS (
+       |  SELECT DISTINCT p.doc_id, p.i
+       |  FROM pos p JOIN bad b ON p.doc_id = b.doc_id AND p.i BETWEEN b.i AND b.i + 2),
+       |red AS (
+       |  SELECT p.doc_id,
+       |    cast(count(*) as bigint) AS n_tokens,
+       |    cast(sum(CASE WHEN c.i IS NULL THEN 0 ELSE 1 END) as bigint) AS n_removed,
+       |    coalesce(string_agg(CASE WHEN c.i IS NULL THEN p.t[p.i+1] END, ' ' ORDER BY p.i), '') AS rt
+       |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+       |  GROUP BY p.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(r.n_tokens, 0) AS n_tokens,
+       |  coalesce(r.n_removed, 0) AS n_removed,
+       |  coalesce(r.n_removed, 0) = 0 AS clean,
+       |  md5(coalesce(r.rt, '')) AS redacted_hash
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $DecontamBenchmarkDocs) d
+       |LEFT JOIN red r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Jaccard histogram bucket width for the threshold sweep: 1/20. */
   val SweepBuckets = 20
 
@@ -1493,18 +1590,52 @@ object Dedup {
     * connected components; a doc survives iff it is its component's
     * minimum (or untouched by any edge). Row-level so composite
     * pipelines act on the same verdicts the q74 report aggregates. */
-  private[graft] def survivorFlags(spark: SparkSession, sfDir: String,
-                                   bits: Int = DefaultHashBits): DataFrame = {
+  /** Exact-hash ∪ MinHash-LSH near-dup edges over documents — the ONE
+    * edge set every cluster-level dedup decision (q74 survivorship,
+    * q91 leakage-safe split, q106 quality-aware survivors) resolves
+    * through shared connected components, so "what counts as a
+    * duplicate" cannot drift between the decisions built on it. */
+  private[graft] def dedupGraphEdges(spark: SparkSession, sfDir: String,
+                                     bits: Int = DefaultHashBits): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
-        md5(col("text").cast("binary")).as("h"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val minPerHash = docs.groupBy("h").agg(min("doc_id").as("root"))
     val exactEdges = docs.join(minPerHash, "h")
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
-    val nearEdges = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
-    val comp = starComponents(exactEdges.unionAll(nearEdges))
+    exactEdges.unionAll(minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
+  }
+
+  /** Shared DuckDB CTE block mirroring [[dedupGraphEdges]] +
+    * [[starComponents]]: binds `ddocs(doc_id, h)`, `edges`, and
+    * `comp(doc_id, cluster)` (clustered docs only; cluster = min
+    * member id). Callers prepend `WITH RECURSIVE` and append their own
+    * CTEs — one definition for q74/q91/q106 so the three oracles agree
+    * on the graph by construction. */
+  private[ops] def sqlDedupGraphCtes: String =
+    s"""ddocs AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |mh AS (SELECT h, min(doc_id) AS hroot FROM ddocs GROUP BY h),
+       |exact_e AS (
+       |  SELECT hroot AS doc_a, doc_id AS doc_b FROM ddocs JOIN mh USING (h)
+       |  WHERE doc_id != hroot),
+       |near_e AS (SELECT doc_a, doc_b FROM (${minhashLshPairsSql})),
+       |edges AS (SELECT * FROM exact_e UNION ALL SELECT * FROM near_e),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
+
+  private[graft] def survivorFlags(spark: SparkSession, sfDir: String,
+                                   bits: Int = DefaultHashBits): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
     docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("kept", col("doc_id") === coalesce(col("label"), col("doc_id")))
       .select("doc_id", "source", "n_tokens", "kept")
@@ -1524,26 +1655,11 @@ object Dedup {
 
   def dedupSurvivorsSql: String =
     s"""WITH RECURSIVE
+       |$sqlDedupGraphCtes,
        |docs AS (
        |  SELECT doc_id, source,
-       |    cast(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) as bigint) AS n_tokens,
-       |    md5(text) AS h
-       |  FROM documents),
-       |mh AS (SELECT h, min(doc_id) AS root FROM docs GROUP BY h),
-       |exact_e AS (
-       |  SELECT root AS doc_a, doc_id AS doc_b FROM docs JOIN mh USING (h)
-       |  WHERE doc_id != root),
-       |near_e AS (SELECT doc_a, doc_b FROM (${minhashLshPairsSql})),
-       |edges AS (SELECT * FROM exact_e UNION ALL SELECT * FROM near_e),
-       |sym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM edges
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM sym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
-       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id)
+       |    cast(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) as bigint) AS n_tokens
+       |  FROM documents)
        |SELECT source, count(*) AS n_docs,
        |  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
        |  cast(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) as bigint) AS tokens_kept,
@@ -1553,6 +1669,74 @@ object Dedup {
        |      FROM docs d LEFT JOIN comp c USING (doc_id))
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** q106: QUALITY-AWARE survivor selection — the FineWeb/RefinedWeb
+    * refinement of q74's keep-the-minimum-id rule: within each near-dup
+    * cluster, keep the member with the HIGHEST quality score (q10's
+    * alpha×(1−stopword) score, the shared `qualityCol` — ties broken by
+    * doc_id). Min-id survivorship is arbitrary: when a boilerplate
+    * family contains one clean original and N mangled copies, the
+    * survivor should be chosen by content, not by crawl order. The
+    * report contrasts both rules per cluster (`upgraded` = the quality
+    * rule picked a different doc than min-id; `quality_gain` = how much
+    * better its survivor scores).
+    *
+    * Scale shape: the quality score is a scan-local projection
+    * (per-row regex + token ratios, no shuffle); the edge set and
+    * components are the SHARED `dedupGraphEdges`/`starComponents`
+    * machinery (q49/q74/q91 — banded LSH, never O(n²)); clustered
+    * members join quality by doc_id (one keyed shuffle, sized by the
+    * duplicate count, not the corpus); the argmax is a window over the
+    * cluster partitioning and the per-cluster aggregate reuses that
+    * same partitioning (Catalyst plans ONE exchange for both). */
+  def qualitySurvivors(spark: SparkSession, sfDir: String,
+                       bits: Int = DefaultHashBits): DataFrame = {
+    val qd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        TextAnalytics.qualityCol(col("text"), col("t")).as("q"))
+    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
+      .withColumnRenamed("node", "doc_id")
+      .withColumnRenamed("label", "cluster")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("q").desc, col("doc_id").asc)
+    comp.join(qd, Seq("doc_id"))
+      .withColumn("rank", row_number().over(w))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rank") === 1, col("doc_id"))).as("survivor_doc_id"),
+        max(when(col("rank") === 1, col("q"))).as("survivor_quality"),
+        min(col("doc_id")).as("naive_doc_id"),
+        min_by(col("q"), col("doc_id")).as("naive_quality"))
+      .select(col("cluster"), col("n_members"),
+        col("survivor_doc_id"), col("survivor_quality"),
+        col("naive_doc_id"), col("naive_quality"),
+        (col("survivor_doc_id") =!= col("naive_doc_id")).as("upgraded"),
+        (col("survivor_quality") - col("naive_quality")).as("quality_gain"))
+      .orderBy("cluster")
+  }
+
+  def qualitySurvivorsSql: String =
+    s"""WITH RECURSIVE
+       |$sqlDedupGraphCtes,
+       |qd AS (
+       |  SELECT doc_id, ${TextAnalytics.qualitySqlExpr} AS q
+       |  FROM (SELECT doc_id, text, ${TextAnalytics.sqlTokens} t FROM documents)),
+       |m AS (
+       |  SELECT c.cluster, c.doc_id, qd.q,
+       |    row_number() OVER (PARTITION BY c.cluster ORDER BY qd.q DESC, c.doc_id ASC) AS rank
+       |  FROM comp c JOIN qd USING (doc_id))
+       |SELECT cluster, cast(count(*) as bigint) AS n_members,
+       |  cast(max(CASE WHEN rank = 1 THEN doc_id END) as bigint) AS survivor_doc_id,
+       |  max(CASE WHEN rank = 1 THEN q END) AS survivor_quality,
+       |  cast(min(doc_id) as bigint) AS naive_doc_id,
+       |  arg_min(q, doc_id) AS naive_quality,
+       |  max(CASE WHEN rank = 1 THEN doc_id END) != min(doc_id) AS upgraded,
+       |  max(CASE WHEN rank = 1 THEN q END) - arg_min(q, doc_id) AS quality_gain
+       |FROM m
+       |GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
 
   /** q91: CLUSTER-AWARE train/val/test split — the leakage guard a
     * training pipeline needs between dedup and splitting: two near-
@@ -2070,14 +2254,8 @@ object Dedup {
       when(bucket < Sampling.TrainPct, "train")
         .when(bucket < Sampling.TrainPct + Sampling.ValPct, "val")
         .otherwise("test")
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    val minPerHash = docs.groupBy("h").agg(min("doc_id").as("hroot"))
-    val exactEdges = docs.join(minPerHash, "h")
-      .filter(col("doc_id") =!= col("hroot"))
-      .select(col("hroot").as("doc_a"), col("doc_id").as("doc_b"))
-    val nearEdges = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
-    val comp = starComponents(exactEdges.unionAll(nearEdges))
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
     docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("label"), col("doc_id")))
       .withColumn("split", splitOf(pmod(hash32("root"), lit(100L))))
@@ -2100,25 +2278,10 @@ object Dedup {
          |     WHEN $h % 100 < ${Sampling.TrainPct + Sampling.ValPct} THEN 'val'
          |     ELSE 'test' END""".stripMargin
     s"""WITH RECURSIVE
-       |docs AS (SELECT doc_id, md5(text) AS h FROM documents),
-       |mh AS (SELECT h, min(doc_id) AS hroot FROM docs GROUP BY h),
-       |exact_e AS (
-       |  SELECT hroot AS doc_a, doc_id AS doc_b FROM docs JOIN mh USING (h)
-       |  WHERE doc_id != hroot),
-       |near_e AS (SELECT doc_a, doc_b FROM (${minhashLshPairsSql})),
-       |edges AS (SELECT * FROM exact_e UNION ALL SELECT * FROM near_e),
-       |sym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM edges
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM sym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
-       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id),
+       |$sqlDedupGraphCtes,
        |rooted AS (
        |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS root
-       |  FROM docs d LEFT JOIN comp c USING (doc_id)),
+       |  FROM ddocs d LEFT JOIN comp c USING (doc_id)),
        |assigned AS (
        |  SELECT root,
        |    ${sqlSplit(sqlHash32("root"))} AS split,

@@ -1073,9 +1073,11 @@ object Similarity {
     * lists (q42's shape), and the comparison joins two k-row-per-query
     * frames. Recall is emitted as an integer permille so the report is
     * hash-checkable. */
-  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = knnBruteForce(spark, sfDir).select("query_id", "neighbor_id")
-    val approx = ivfKnn(spark, sfDir).select("query_id", "neighbor_id")
+  /** Shared recall@k report tail: overlap of an approximate result
+    * with the brute-force truth, per query, as an integer permille —
+    * ONE definition for every index-quality report (q76 IVF, q80
+    * forest, q110 SQ8), so the grading arithmetic cannot drift. */
+  private def recallVsTruth(truth: DataFrame, approx: DataFrame): DataFrame = {
     val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
     truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
@@ -1085,6 +1087,11 @@ object Similarity {
         expr("coalesce(n_hit, 0L) * 1000 div n_true").as("recall_permille"))
       .orderBy("query_id")
   }
+
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame =
+    recallVsTruth(
+      knnBruteForce(spark, sfDir).select("query_id", "neighbor_id"),
+      ivfKnn(spark, sfDir).select("query_id", "neighbor_id"))
 
   def annRecallSql: String =
     s"""WITH q AS ($sqlQuantized),
@@ -1182,6 +1189,201 @@ object Similarity {
        |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Semantic decontamination: embedding-space eval-leak screening.
+  // -------------------------------------------------------------------
+
+  /** Vec_ids below this bound play the held-out benchmark (the
+    * embedding-table analogue of Dedup.DecontamBenchmarkDocs). */
+  val SemDecontamBenchVecs = 25L
+
+  /** q108: SEMANTIC decontamination — for every corpus vector, the
+    * nearest benchmark item by cosine and a leaked verdict at the
+    * near-dup threshold. The embedding-space complement of the
+    * shingle-based screens (q62/q103): exact n-gram overlap misses
+    * paraphrased or lightly-rewritten eval leakage, which is exactly
+    * what lands nearby in embedding space (the rephrased-samples
+    * contamination result — Yang et al. 2023), so production decontam
+    * runs BOTH screens over the same corpus.
+    *
+    * Scale shape: the benchmark is an eval suite — answer-sized by
+    * definition — and broadcasts as a plain array; the corpus is
+    * scanned ONCE with a scan-local argmax per row (the IVF
+    * assignment discipline: no corpus×bench window shuffle, no join
+    * exchange, ordering aside). The JVM loop reproduces the window's
+    * (sim DESC, bench_id ASC) tie-break via Double.compare over
+    * ascending bench ids — NaN-total-order identical to both engines'
+    * window sort, so the oracle can use the window formulation. */
+  def semanticDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = quantized(spark, sfDir)
+    val bench = corpus.filter(col("vec_id") < SemDecontamBenchVecs)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Long], Long)]
+      .collect().sortBy(_._1) // ascending ids: first-wins ties = bench_id ASC
+    val bc = spark.sparkContext.broadcast(bench)
+    corpus.filter(col("vec_id") >= SemDecontamBenchVecs)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val bs = bc.value
+        it.map { case (vid, v, nrm) =>
+          val sq = math.sqrt(nrm.toDouble)
+          var bestId = -1L
+          var bestSim = 0.0
+          var i = 0
+          while (i < bs.length) {
+            val b = bs(i)
+            val bv = b._2
+            var k = 0; var dot = 0L
+            while (k < v.length) { dot += bv(k) * v(k); k += 1 }
+            // qcosine op order: dot / (sqrt(bench_nrm) * sqrt(nrm))
+            val sim = dot.toDouble / (math.sqrt(b._3.toDouble) * sq)
+            if (bestId == -1L || java.lang.Double.compare(sim, bestSim) > 0) {
+              bestSim = sim; bestId = b._1
+            }
+            i += 1
+          }
+          (vid, bestId, bestSim)
+        }
+      }
+      .toDF("vec_id", "nearest_bench_id", "max_sim")
+      // leaked evaluated as a Column so NaN comparison semantics come
+      // from the SQL engine (NaN = greatest) on BOTH sides, not Java
+      .withColumn("leaked", col("max_sim") >= lit(Consts.CosineNearDupThreshold))
+      .orderBy("vec_id")
+  }
+
+  def semanticDecontamSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS bench_id, $sqlCos AS sim
+       |  FROM q a JOIN q b ON b.vec_id < $SemDecontamBenchVecs
+       |  WHERE a.vec_id >= $SemDecontamBenchVecs),
+       |ranked AS (
+       |  SELECT vec_id, bench_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, bench_id ASC) AS rk
+       |  FROM scored)
+       |SELECT vec_id, bench_id AS nearest_bench_id, sim AS max_sim,
+       |  sim >= ${Consts.CosineNearDupThreshold} AS leaked
+       |FROM ranked WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // SQ8 scalar quantization + asymmetric search recall (FAISS SQ8).
+  // -------------------------------------------------------------------
+
+  /** q110: 8-bit SCALAR quantization recall — the third member of the
+    * compression-tier family next to PQ (q54, codebook per subspace)
+    * and matryoshka truncation (q96, fewer dims): every dimension is
+    * independently affine-coded to one byte against its corpus
+    * min/max, search runs ASYMMETRIC (full-precision query against
+    * reconstructed corpus — FAISS's SQ8 ADC mode), and the report
+    * grades the 8x-smaller index against brute-force truth exactly
+    * like q76/q80. All quantizer arithmetic is integer (nonneg
+    * truncating division = floor on both engines), so codes,
+    * reconstructions, and similarities hash-match cross-engine.
+    *
+    * Scale shape: the per-dimension min/max table is 64 rows (one
+    * tiny posexplode aggregate, collected k-sized and broadcast);
+    * coding + reconstruction are scan-local typed map work; ranking
+    * rides the same broadcast-queries scan + per-query window as
+    * q19/q96 (corpus never shuffles whole, only the query-tagged
+    * candidate rows). */
+  def sq8Recall(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = quantized(spark, sfDir)
+    // per-dimension (min, max) over the corpus: 64 rows, k-sized collect
+    val dims = corpus.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("i")
+      .as[(Int, Long, Long)].collect()
+    val mns = dims.map(_._2)
+    val rngs = dims.map(d => d._3 - d._2)
+    val bcMn = spark.sparkContext.broadcast(mns)
+    val bcRng = spark.sparkContext.broadcast(rngs)
+    // scan-local code + reconstruct: rv_d = mn + (2*c*rng + rng) div 510,
+    // c = ((v_d - mn) * 255) div rng  (all nonneg divisions => floor)
+    val rec = corpus.select(col("vec_id"), col("v"))
+      .as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val mn = bcMn.value
+        val rng = bcRng.value
+        it.map { case (vid, v) =>
+          val rv = new Array[Long](v.length)
+          var d = 0
+          var nrm = 0L
+          while (d < v.length) {
+            val r = rng(d)
+            val rvd =
+              if (r == 0L) mn(d)
+              else {
+                val c = (v(d) - mn(d)) * 255L / r
+                mn(d) + (2L * c * r + r) / 510L
+              }
+            rv(d) = rvd
+            nrm += rvd * rvd
+            d += 1
+          }
+          (vid, rv, nrm)
+        }
+      }
+      .toDF("vec_id", "rv", "rnrm")
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    val approx = rec.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("sim", qcosine(col("qv"), col("rv"), col("qnrm"), col("rnrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Consts.KnnK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    recallVsTruth(knnBruteForce(spark, sfDir).select("query_id", "neighbor_id"), approx)
+  }
+
+  def sq8RecallSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |dim AS (
+       |  SELECT i, min(v[i+1]) AS mn, max(v[i+1]) AS mx
+       |  FROM q CROSS JOIN (SELECT unnest(range(${Consts.EmbeddingDim})) AS i) rs
+       |  GROUP BY i),
+       |recd AS (
+       |  SELECT q.vec_id, d.i,
+       |    CASE WHEN d.mx = d.mn THEN d.mn
+       |         ELSE d.mn + (2 * (((q.v[d.i+1] - d.mn) * 255) // (d.mx - d.mn)) * (d.mx - d.mn)
+       |                      + (d.mx - d.mn)) // 510 END AS rvd
+       |  FROM q CROSS JOIN dim d),
+       |rec AS (
+       |  SELECT vec_id, list(rvd ORDER BY i) AS rv,
+       |    cast(sum(rvd * rvd) as bigint) AS rnrm
+       |  FROM recd GROUP BY vec_id),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |        cast(list_sum([a.v[i+1]*b.rv[i+1] for i in range(len(a.v))]) as double)
+       |          / (sqrt(cast(a.nrm as double)) * sqrt(cast(b.rnrm as double))) DESC,
+       |        b.vec_id ASC) AS rank
+       |    FROM q a JOIN rec b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |  WHERE rank <= ${Consts.KnnK}),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank
+       |    FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |  WHERE rank <= ${Consts.KnnK}),
+       |hits AS (
+       |  SELECT bf.query_id, count(*) AS n_hit
+       |  FROM bf JOIN approx ON bf.query_id = approx.query_id AND bf.neighbor_id = approx.neighbor_id
+       |  GROUP BY bf.query_id)
+       |SELECT t.query_id, t.n_true,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  coalesce(h.n_hit, 0) * 1000 // t.n_true AS recall_permille
+       |FROM (SELECT query_id, count(*) AS n_true FROM bf GROUP BY query_id) t
+       |LEFT JOIN hits h ON h.query_id = t.query_id
+       |ORDER BY t.query_id""".stripMargin
+
   /** q80: RP-forest recall@k — the same index-quality report as q76,
     * for the OTHER approximate index this engine ships: the
     * random-projection forest the chat path serves queries from
@@ -1213,14 +1415,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id")).distinct()
     val approx = exactTopK(cands, q).select("query_id", "neighbor_id")
     val truth = knnBruteForce(spark, sfDir).select("query_id", "neighbor_id")
-    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
-      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
-    truth.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-      .join(hits, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_true"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        expr("coalesce(n_hit, 0L) * 1000 div n_true").as("recall_permille"))
-      .orderBy("query_id")
+    recallVsTruth(truth, approx)
   }
 
   def forestRecallSql: String = {

@@ -282,6 +282,102 @@ object Sketches {
       .orderBy("rank")
   }
 
+  // -------------------------------------------------------------------
+  // Count-Min sketch (Cormode & Muthukrishnan 2005): the mergeable
+  // point-query frequency summary — the sketch a pipeline keeps when it
+  // wants O(1) "how often does token X occur" answers without a
+  // vocabulary-sized state (MG keeps only the heavy set; CMS answers
+  // ANY point query, always overestimating, off by at most the mass
+  // that collides into the queried cells).
+  // -------------------------------------------------------------------
+
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** md5-derived CMS row hash: Hash32 of "r:token" (the one shared
+    * 32-bit construction), modulo the width. Deterministic, so the
+    * sketch is REPRODUCIBLE cross-engine: the oracle rebuilds the same
+    * cells and the estimates hash-match exactly — a stronger gate than
+    * a bound-only check. */
+  private def cmsCol(r: Int, tok: String, md: java.security.MessageDigest): Int = {
+    val h = Dedup.packHash(md.digest(s"$r:$tok".getBytes(java.nio.charset.StandardCharsets.UTF_8)), 32)
+    (h % CmsWidth).toInt
+  }
+
+  /** The merged CMS cell table (r, c, cell_n), ≤ depth×width rows.
+    * Built the honest streaming way: each partition folds its tokens
+    * into a LOCAL depth×width long array (the token stream never
+    * shuffles — only ≤ partitions × 4096 cell rows do), and cells
+    * merge by addition (the standard mergeable-summary property). */
+  private[graft] def cmsCells(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("text")).as[String]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val cells = Array.ofDim[Long](CmsDepth * CmsWidth)
+        it.foreach { txt =>
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) {
+              var r = 0
+              while (r < CmsDepth) {
+                cells(r * CmsWidth + cmsCol(r, t, md)) += 1L
+                r += 1
+              }
+            }
+          }
+        }
+        Iterator.tabulate(cells.length)(i => (i / CmsWidth, i % CmsWidth, cells(i)))
+          .filter(_._3 != 0L)
+      }
+      .toDF("r", "c", "n")
+      .groupBy("r", "c").agg(sum(col("n")).as("cell_n"))
+  }
+
+  /** q107: every vocabulary token's exact count next to its CMS
+    * estimate. `within_bound` is the CMS guarantee est ≥ exact — and
+    * because the hash is the shared md5 construction, the ESTIMATE
+    * itself is cross-engine deterministic and hash-checked, not just
+    * bounded. The exact side exists only for the check (it needs the
+    * vocabulary shuffle CMS exists to avoid); a production pipeline
+    * serves point queries from the ≤4096-cell broadcast alone. */
+  def cmsTokensChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = broadcast(cmsCells(spark, sfDir))
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(graft.ops.TextAnalytics.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+    exact
+      .withColumn("r", explode(sequence(lit(0), lit(CmsDepth - 1))))
+      .withColumn("c",
+        pmod(graft.core.Hash32.column("md5(concat(cast(r as string), ':', tok))"),
+          lit(CmsWidth.toLong)))
+      .join(cells, Seq("r", "c"))
+      .groupBy("tok")
+      .agg(max(col("n_exact")).as("n_exact"), min(col("cell_n")).as("cms_est"))
+      .select(col("tok"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"),
+        (col("cms_est") >= col("n_exact")).as("within_bound"))
+      .orderBy("tok")
+  }
+
+  def cmsTokensCheckedSql: String = {
+    val h = graft.core.Hash32.sql("md5(cast(r as varchar) || ':' || tok)")
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |tc AS (SELECT tok, cast(count(*) as bigint) AS n_exact FROM toks GROUP BY tok),
+       |rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+       |hashed AS (SELECT tok, n_exact, r, $h % $CmsWidth AS c FROM tc CROSS JOIN rs),
+       |cells AS (SELECT r, c, cast(sum(n_exact) as bigint) AS cell_n
+       |          FROM hashed GROUP BY r, c)
+       |SELECT tok, max(n_exact) AS n_exact, min(cell_n) AS cms_est,
+       |  min(cell_n) - max(n_exact) AS overcount,
+       |  min(cell_n) >= max(n_exact) AS within_bound
+       |FROM hashed JOIN cells USING (r, c)
+       |GROUP BY tok
+       |ORDER BY tok""".stripMargin
+  }
+
   def topTokensCheckedSql: String =
     s"""SELECT rank, tok, n_exact, true AS within_bound FROM (
        |  SELECT tok, cast(count(*) as bigint) AS n_exact,

@@ -30,7 +30,7 @@ object TextAnalytics {
             element_at(toks, i + 3))))
         .otherwise(expr("cast(array() as array<string>)")))
 
-  private val sqlTokens = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
+  private[ops] val sqlTokens = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')"
   /** q55: vocabulary coverage / OOV rate. The vocabulary is the top
     * `VocabSize` tokens by global frequency (count desc, token asc —
     * deterministic at the boundary), computed with orderBy+limit (a
@@ -575,41 +575,63 @@ object TextAnalytics {
   // Quality score: character-class + stopword ratios.
   // -------------------------------------------------------------------
 
+  /** Character-class ratio (chars matching `pattern` / total chars) —
+    * the building block of the quality score. */
+  private def classRatioCol(text: Column, pattern: String): Column = {
+    val nChars = length(text).cast("double")
+    (nChars - length(regexp_replace(text, pattern, ""))) / nChars
+  }
+
+  /** Stopword-token ratio over a token array column. */
+  private def stopRatioCol(t: Column): Column =
+    size(filter(t, x => x.isin(Consts.Stopwords: _*))).cast("double") /
+      size(t).cast("double")
+
+  /** The q10 quality score (alpha_ratio x (1 - stopword_ratio)) as a
+    * Column — ONE definition shared by qualityScore and every operator
+    * that ranks documents by quality (q106 survivor selection), so the
+    * score cannot drift between the report and its consumers. */
+  private[graft] def qualityCol(text: Column, t: Column): Column =
+    classRatioCol(text, "[a-z]") * (lit(1.0) - stopRatioCol(t))
+
+  private def sqlClassRatio(p: String) =
+    s"(cast(length(text) as double) - length(regexp_replace(text, '$p', '', 'g'))) / cast(length(text) as double)"
+
+  private def sqlStopRatio = {
+    val stops = Consts.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"cast(len(list_filter(t, x -> x IN ($stops))) as double) / cast(len(t) as double)"
+  }
+
+  /** DuckDB spelling of [[qualityCol]] over columns `text` and `t`. */
+  private[ops] def qualitySqlExpr: String =
+    s"${sqlClassRatio("[a-z]")} * (1.0 - $sqlStopRatio)"
+
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
     val t = col("t")
-    val nChars = length(col("text")).cast("double")
-    def classRatio(pattern: String): Column =
-      (nChars - length(regexp_replace(col("text"), pattern, ""))) / nChars
-    val stopRatio =
-      size(filter(t, x => x.isin(Consts.Stopwords: _*))).cast("double") /
-        size(t).cast("double")
+    val text = col("text")
     d.select(
         col("doc_id"),
-        nChars.cast("long").as("n_chars"),
-        classRatio("[a-z]").as("alpha_ratio"),
-        classRatio("[0-9]").as("digit_ratio"),
-        classRatio(" ").as("space_ratio"),
-        stopRatio.as("stopword_ratio"),
-        (classRatio("[a-z]") * (lit(1.0) - stopRatio)).as("quality"))
+        length(text).cast("long").as("n_chars"),
+        classRatioCol(text, "[a-z]").as("alpha_ratio"),
+        classRatioCol(text, "[0-9]").as("digit_ratio"),
+        classRatioCol(text, " ").as("space_ratio"),
+        stopRatioCol(t).as("stopword_ratio"),
+        qualityCol(text, t).as("quality"))
       .orderBy("doc_id")
   }
 
-  def qualityScoreSql: String = {
-    val stops = Consts.Stopwords.map(s => s"'$s'").mkString(", ")
-    def ratio(p: String) =
-      s"(cast(length(text) as double) - length(regexp_replace(text, '$p', '', 'g'))) / cast(length(text) as double)"
+  def qualityScoreSql: String =
     s"""SELECT doc_id,
        |  cast(length(text) as bigint) AS n_chars,
-       |  ${ratio("[a-z]")} AS alpha_ratio,
-       |  ${ratio("[0-9]")} AS digit_ratio,
-       |  ${ratio(" ")} AS space_ratio,
-       |  cast(len(list_filter(t, x -> x IN ($stops))) as double) / cast(len(t) as double) AS stopword_ratio,
-       |  ${ratio("[a-z]")} * (1.0 - cast(len(list_filter(t, x -> x IN ($stops))) as double) / cast(len(t) as double)) AS quality
+       |  ${sqlClassRatio("[a-z]")} AS alpha_ratio,
+       |  ${sqlClassRatio("[0-9]")} AS digit_ratio,
+       |  ${sqlClassRatio(" ")} AS space_ratio,
+       |  $sqlStopRatio AS stopword_ratio,
+       |  $qualitySqlExpr AS quality
        |FROM (SELECT doc_id, text, $sqlTokens t FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // Language ID: marker-token scores, argmax with fixed tie-break order,
@@ -840,9 +862,13 @@ object TextAnalytics {
     * lives in the row — counts, char sums, and class filters are
     * per-row local work), no join, no aggregation except the final
     * order. At 100 TB this runs at scan speed. */
-  def gopherGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+  /** Row-level gate core over (doc_id, source, text) — shared by the
+    * batch report (q92) and the streaming gate-at-ingest twin (q111,
+    * DedupStream.gateStream), so the per-document verdicts a firehose
+    * applies are THE SAME projection the batch oracle checks. Pure
+    * per-row work: no shuffle, no state, safe in any micro-batch. */
+  private[graft] def gopherGateCore(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
     val t = col("t")
     d.select(
         col("doc_id"), col("source"),
@@ -864,8 +890,10 @@ object TextAnalytics {
       .withColumn("keep", col("r_words") && col("r_wlen") && col("r_alpha") && col("r_stop"))
       .select("doc_id", "source", "n_words", "mean_wlen_c", "alpha_permille",
         "stop_hits", "r_words", "r_wlen", "r_alpha", "r_stop", "keep")
-      .orderBy("doc_id")
   }
+
+  def gopherGate(spark: SparkSession, sfDir: String): DataFrame =
+    gopherGateCore(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
   def gopherGateSql: String = {
     val stops = Consts.Stopwords.map(s => s"'$s'").mkString(", ")

@@ -187,4 +187,46 @@ object DedupStream {
     q.awaitTermination()
     spark.read.parquet(outDir).orderBy("doc_id")
   }
+
+  private val gateCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q111: STREAMING quality gate — q92's Gopher-rule verdicts applied
+    * at ingest time, the gate-at-the-firehose deployment every curation
+    * pipeline actually runs (filter the crawl as it lands, don't land
+    * it and filter later). Documents replay through a file stream and
+    * each micro-batch runs the SAME row-level projection as the batch
+    * report (`TextAnalytics.gopherGateCore` — shared code, so the
+    * stream cannot drift from the oracle-checked batch). The gate is
+    * stateless per-row work: no watermark, no state store, nothing to
+    * checkpoint but source offsets — the cheapest possible streaming
+    * operator, and the replay is row-identical to batch q92 by
+    * construction, so q92's DuckDB oracle doubles as this query's.
+    *
+    * Scale shape: verdicts are scan-local; each micro-batch writes one
+    * file (verdict rows, not documents); at 100 TB/day this is
+    * embarrassingly parallel map work whose only bottleneck is source
+    * read bandwidth. */
+  def gateStream(spark: org.apache.spark.sql.SparkSession,
+                 sfDir: String): org.apache.spark.sql.DataFrame = {
+    val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    val run = gateCounter.incrementAndGet()
+    val outDir = StreamScratch.dir(s"graft_gate_$run")
+    val ckDir = StreamScratch.dir(s"graft_gate_ck_$run")
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select("doc_id", "source", "text")
+    val q = stream.writeStream
+      .queryName(s"graft_gate_$run")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.TextAnalytics.gopherGateCore(batch)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
 }

@@ -344,4 +344,24 @@ class PlanAuditSpec extends SparkSpec {
           s"q94 nested loop beyond the scalar total, carries $out:\n$supPlan")
       }
   }
+
+  test("q107: CMS cells broadcast to the check join; the token stream never sort-merges") {
+    val df = graft.ops.Sketches.cmsTokensChecked(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=4096-cell table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"cell lookup degenerated to a sort-merge join:\n$plan")
+    // cells agg + exact-count agg + presentation sort — nothing else
+    assert(shuffleCount(df) <= 3, s"unexpected extra exchange:\n$plan")
+  }
+
+  test("q108: semantic decontam is one corpus scan — no join, only the final sort shuffles") {
+    val df = Similarity.semanticDecontam(spark, sf0001)
+    val plan = executed(df)
+    assert(!plan.contains("Join"),
+      s"the broadcast-array argmax must not plan a join:\n$plan")
+    assert(shuffleCount(df) == 1,
+      s"expected only the presentation sort's exchange:\n$plan")
+  }
 }

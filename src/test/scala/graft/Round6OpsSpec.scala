@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-6 curation additions: quality-aware survivor
+  * selection (q106), the Count-Min sketch (q107), semantic
+  * decontamination (q108), decontamination redaction (q109), SQ8
+  * scalar-quantization recall (q110), and the streaming quality gate
+  * (q111). Each is checked against an INDEPENDENT in-spec reference
+  * implementation (union-find, pure-Scala hashing/argmax), not against
+  * the operator's own machinery.
+  */
+class Round6OpsSpec extends SparkSpec {
+
+  /** Pure-Scala first-4-md5-bytes hash — independent of Dedup.packHash. */
+  private def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  private def toks(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  // ---------------------------------------------------------------- q106
+
+  test("q106: quality survivor is the per-cluster quality argmax (union-find reference)") {
+    val out = graft.ops.Dedup.qualitySurvivors(spark, sf0001, 32).collect()
+    assert(out.nonEmpty, "no clusters at sf0.001 — the spec corpus has known dup families")
+    out.foreach { r =>
+      // the naive (min-id) survivor IS the component label by construction
+      assert(r.getAs[Long]("naive_doc_id") == r.getAs[Long]("cluster"))
+      assert(r.getAs[Long]("n_members") >= 2L)
+      val sq = r.getAs[Double]("survivor_quality")
+      val nq = r.getAs[Double]("naive_quality")
+      assert(sq >= nq, s"quality rule picked a worse survivor: $sq < $nq")
+      assert(r.getAs[Boolean]("upgraded") ==
+        (r.getAs[Long]("survivor_doc_id") != r.getAs[Long]("naive_doc_id")))
+      assert(r.getAs[Double]("quality_gain") == sq - nq)
+    }
+    // independent reference: union-find over the same edge set, quality
+    // from the oracle-checked q10 report
+    val edges = graft.ops.Dedup.dedupGraphEdges(spark, sf0001, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val q = graft.ops.TextAnalytics.qualityScore(spark, sf0001)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).map { case (root, ms) =>
+        (root, ms.length.toLong, ms.minBy(m => (-q(m), m)))
+      }.toSet
+    val got = out.map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("n_members"),
+      r.getAs[Long]("survivor_doc_id"))).toSet
+    assert(got == expected, s"survivor sets diverge:\n got $got\n exp $expected")
+    // the whole point: at least one cluster's best doc is not the min id
+    assert(out.exists(_.getAs[Boolean]("upgraded")),
+      "spec corpus should contain a cluster where quality beats crawl order")
+  }
+
+  // ---------------------------------------------------------------- q107
+
+  test("q107: CMS never underestimates and overestimates under forced collisions") {
+    import spark.implicits._
+    // vocabulary (4000 singletons + 1 hot) far exceeds the 1024-cell
+    // width, so every row of the sketch carries collisions
+    val hot = Seq.fill(300)("hot")
+    val rare = (0 until 4000).map(i => s"r$i")
+    val words = new scala.util.Random(11).shuffle(hot ++ rare)
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "src0", ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cms_probe")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.ops.Sketches.cmsTokensChecked(spark, tmp.toString).collect()
+    assert(out.length == 4001)
+    val exact = words.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    out.foreach { r =>
+      val tok = r.getAs[String]("tok")
+      assert(r.getAs[Long]("n_exact") == exact(tok))
+      assert(r.getAs[Boolean]("within_bound"), s"CMS underestimated $tok")
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n_exact"))
+      assert(r.getAs[Long]("overcount") == r.getAs[Long]("cms_est") - r.getAs[Long]("n_exact"))
+    }
+    assert(out.count(_.getAs[Long]("overcount") > 0) > 0,
+      "4001 tokens into 1024 columns must collide somewhere")
+    // the heavy hitter's estimate still dominates the noise floor
+    val hotRow = out.find(_.getAs[String]("tok") == "hot").get
+    assert(hotRow.getAs[Long]("cms_est") >= 300L)
+  }
+
+  // ---------------------------------------------------------------- q108
+
+  test("q108: scan-local argmax equals an independent per-row reference") {
+    val out = graft.ops.Similarity.semanticDecontam(spark, sf0001).collect()
+    val vecs = graft.core.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray))
+      .sortBy(_._1)
+    val bench = vecs.filter(_._1 < graft.ops.Similarity.SemDecontamBenchVecs)
+    val corpus = vecs.filter(_._1 >= graft.ops.Similarity.SemDecontamBenchVecs)
+    def nrm(v: Array[Long]): Long = v.map(x => x * x).sum
+    val expected = corpus.map { case (vid, v) =>
+      val sq = math.sqrt(nrm(v).toDouble)
+      var bestId = -1L; var bestSim = 0.0
+      bench.foreach { case (bid, bv) =>
+        var dot = 0L; var k = 0
+        while (k < v.length) { dot += bv(k) * v(k); k += 1 }
+        val sim = dot.toDouble / (math.sqrt(nrm(bv).toDouble) * sq)
+        if (bestId == -1L || java.lang.Double.compare(sim, bestSim) > 0) {
+          bestSim = sim; bestId = bid
+        }
+      }
+      (vid, bestId, bestSim)
+    }.toSeq
+    val got = out.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("nearest_bench_id"), r.getAs[Double]("max_sim"))).toSeq
+    assert(got == expected)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("leaked") ==
+        (r.getAs[Double]("max_sim") >= graft.core.Consts.CosineNearDupThreshold))
+    }
+  }
+
+  // ---------------------------------------------------------------- q109
+
+  test("q109: redaction rebuilds exactly the uncovered tokens (independent reference)") {
+    val out = graft.ops.Dedup.decontamRedact(spark, sf0001, 32).collect()
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val benchDocs = docs.filter(_._1 < graft.ops.Dedup.DecontamBenchmarkDocs)
+    val bench: Set[Long] = benchDocs.flatMap { case (_, txt) =>
+      val t = toks(txt)
+      (0 to t.length - 3).map(i => hash32(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+    }.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    val expected = docs.filter(_._1 >= graft.ops.Dedup.DecontamBenchmarkDocs)
+      .map { case (id, txt) =>
+        val t = toks(txt)
+        val covered = Array.fill(t.length)(false)
+        for (i <- 0 to t.length - 3)
+          if (bench.contains(hash32(s"${t(i)} ${t(i + 1)} ${t(i + 2)}")))
+            (i to i + 2).foreach(covered(_) = true)
+        val kept = t.indices.filterNot(covered).map(t)
+        (id, t.length.toLong, (t.length - kept.length).toLong,
+          kept.length == t.length, md5hex(kept.mkString(" ")))
+      }.toSeq
+    val got = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("n_removed"), r.getAs[Boolean]("clean"),
+      r.getAs[String]("redacted_hash"))).toSeq
+    assert(got == expected)
+    assert(out.exists(!_.getAs[Boolean]("clean")),
+      "spec corpus contains benchmark overlap (q62 finds it) — redaction must too")
+  }
+
+  test("q109: a planted benchmark quote is cut, surrounding text survives") {
+    import spark.implicits._
+    // doc 0 is the benchmark; doc 100 quotes 3 of its tokens verbatim
+    val docs = Seq(
+      (0L, "bench", "alpha beta gamma delta"),
+      (100L, "web", "intro words here alpha beta gamma delta trailing words stay"),
+      (101L, "web", "totally unrelated clean document text")
+    ).toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("redact_probe")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.ops.Dedup.decontamRedact(spark, tmp.toString, 32)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[Boolean]("clean"))).toMap
+    // all four quoted tokens are covered by the matching 3-grams
+    assert(out(100L)._1 == 4L && !out(100L)._2)
+    assert(out(101L)._1 == 0L && out(101L)._2)
+  }
+
+  // ---------------------------------------------------------------- q110
+
+  test("q110: SQ8 recall report is well-formed and the 8x-compressed index is usable") {
+    val out = graft.ops.Similarity.sq8Recall(spark, sf0001).collect()
+    assert(out.length == graft.core.Consts.KnnQueries.toInt)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_true") == graft.core.Consts.KnnK.toLong)
+      val hit = r.getAs[Long]("n_hit")
+      val rp = r.getAs[Long]("recall_permille")
+      assert(hit >= 0L && hit <= r.getAs[Long]("n_true"))
+      assert(rp == hit * 1000L / r.getAs[Long]("n_true"))
+    }
+    // SQ8 keeps 8 bits/dim of real signal: mean recall must beat chance
+    // by a wide margin (brute-force over reconstructions, not a prune)
+    val mean = out.map(_.getAs[Long]("recall_permille")).sum / out.length
+    assert(mean >= 500L, s"SQ8 mean recall collapsed: $mean permille")
+  }
+
+  // ---------------------------------------------------------------- q111
+
+  test("q111: streaming gate replay is row-identical to the batch gate") {
+    val streamed = graft.streaming.DedupStream.gateStream(spark, sf0001).collect().toSeq
+    val batch = graft.ops.TextAnalytics.gopherGate(spark, sf0001).collect().toSeq
+    assert(streamed == batch)
+  }
+}
