@@ -1686,9 +1686,15 @@ object Dedup {
     * components are the SHARED `dedupGraphEdges`/`starComponents`
     * machinery (q49/q74/q91 — banded LSH, never O(n²)); clustered
     * members join quality by doc_id (one keyed shuffle, sized by the
-    * duplicate count, not the corpus); the argmax is a window over the
-    * cluster partitioning and the per-cluster aggregate reuses that
-    * same partitioning (Catalyst plans ONE exchange for both). */
+    * duplicate count, not the corpus); the argmax is `max_by` over a
+    * (q, -doc_id) struct key — a PARTIAL-aggregating single shuffle,
+    * deliberately not a window: a web-scale template family puts 10⁶
+    * members in one cluster, and a window must sort that whole
+    * partition on one task while map-side-combined max_by reduces it
+    * to one row per map task before the exchange. The oracle keeps
+    * the equivalent row_number formulation (DuckDB's arg_max cannot
+    * take a struct key; the oracle only needs semantics, not the
+    * scale plan). */
   def qualitySurvivors(spark: SparkSession, sfDir: String,
                        bits: Int = DefaultHashBits): DataFrame = {
     val qd = Tables.documents(spark, sfDir)
@@ -1698,15 +1704,16 @@ object Dedup {
     val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
       .withColumnRenamed("node", "doc_id")
       .withColumnRenamed("label", "cluster")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster").orderBy(col("q").desc, col("doc_id").asc)
+    // struct ordering is lexicographic: max over (q, -doc_id) == the
+    // window's (q DESC, doc_id ASC) rank-1 row; doc_id is unique so
+    // the argmax is unambiguous, and max(q) IS the survivor's quality
     comp.join(qd, Seq("doc_id"))
-      .withColumn("rank", row_number().over(w))
       .groupBy("cluster")
       .agg(
         count(lit(1)).as("n_members"),
-        max(when(col("rank") === 1, col("doc_id"))).as("survivor_doc_id"),
-        max(when(col("rank") === 1, col("q"))).as("survivor_quality"),
+        max_by(col("doc_id"),
+          struct(col("q"), (-col("doc_id")).as("nid"))).as("survivor_doc_id"),
+        max(col("q")).as("survivor_quality"),
         min(col("doc_id")).as("naive_doc_id"),
         min_by(col("q"), col("doc_id")).as("naive_quality"))
       .select(col("cluster"), col("n_members"),

@@ -345,6 +345,15 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q106: per-cluster argmax is partial-aggregating max_by — no window sorts a cluster") {
+    val df = Dedup.qualitySurvivors(spark, sf0001, Dedup.OracleHashBits)
+    val plan = executed(df)
+    // a web-scale template family is one huge cluster: a window would
+    // sort it on one task; map-side-combined max_by must win instead
+    assert(!plan.contains("Window"), s"cluster argmax fell back to a window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("q107: CMS cells broadcast to the check join; the token stream never sort-merges") {
     val df = graft.ops.Sketches.cmsTokensChecked(spark, sf0001)
     val plan = executed(df)
