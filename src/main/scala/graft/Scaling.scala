@@ -41,6 +41,9 @@ object Scaling {
     "q49_dedup_clusters" -> ((s, d) => graft.ops.Dedup.nearDupClusters(s, d, graft.ops.Dedup.OracleHashBits)),
     "q65_dup_spans" -> ((s, d) => graft.ops.Dedup.dupSpans(s, d, graft.ops.Dedup.OracleHashBits)),
     "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, graft.ops.Dedup.OracleHashBits)),
+    // same graph, different survivor rule: the quality join + max_by
+    // argmax adds a members-sized keyed shuffle on top of q74's shape
+    "q106_quality_survivors" -> ((s, d) => graft.ops.Dedup.qualitySurvivors(s, d, graft.ops.Dedup.OracleHashBits)),
     // the two remaining distinct join shapes in the family: the
     // distinct-(source,hv) inverted-index equi-join and the broadcast
     // admission check (incoming batch ~5% of corpus, both scale with

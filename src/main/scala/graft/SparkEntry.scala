@@ -142,7 +142,8 @@ object SparkEntry {
     "q108_semantic_decontam" -> Similarity.semanticDecontam _,
     "q109_decontam_redact"  -> ((s: SparkSession, d: String) => Dedup.decontamRedact(s, d, Dedup.OracleHashBits)),
     "q110_sq8_recall"       -> Similarity.sq8Recall _,
-    "q111_stream_gate"      -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.gateStream(s, d))
+    "q111_stream_gate"      -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.gateStream(s, d)),
+    "q112_stream_decontam"  -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.decontamStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -324,6 +325,9 @@ object SparkEntry {
     "q110_sq8_recall"       -> Similarity.sq8RecallSql,
     // the gate replay is row-identical to batch q92 (shared row-level
     // core), so q92's oracle serves both
-    "q111_stream_gate"      -> TextAnalytics.gopherGateSql
+    "q111_stream_gate"      -> TextAnalytics.gopherGateSql,
+    // the screen replay is row-identical to batch q62 (shared shingle
+    // path + verdict core, frozen benchmark), so q62's oracle serves both
+    "q112_stream_decontam"  -> Dedup.decontaminationSql
   )
 }

@@ -66,9 +66,17 @@ object Dedup {
     * split-trim-filter + 3-gram + distinct (same Java regex on both
     * paths), so the DuckDB oracle is unaffected. */
   private[ops] def shingleRows(spark: SparkSession, sfDir: String,
-                               bits: Int = DefaultHashBits): DataFrame = {
+                               bits: Int = DefaultHashBits): DataFrame =
+    shingleRowsOf(Tables.documents(spark, sfDir), bits)
+
+  /** Same typed flatMap over an arbitrary (doc_id, source, text) frame —
+    * the seam that lets a STREAMING micro-batch derive its shingles
+    * through literally the batch path (q112). */
+  private[graft] def shingleRowsOf(docs: DataFrame,
+                                   bits: Int = DefaultHashBits): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
@@ -1021,20 +1029,33 @@ object Dedup {
     * aggregates (count, hits) per doc with map-side combine — one
     * shuffle, no corpus-side shingle ever moves except as a partial
     * count. Shares the materialized shingle table with q14/q15/q52. */
-  def decontamination(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits): DataFrame = {
-    val (_, sh, _) = sharedSummary(spark, sfDir, bits)
-    val bench = broadcast(
-      sh.filter(col("doc_id") < DecontamBenchmarkDocs)
-        .select("hv").distinct().withColumn("hit", lit(1L)))
-    sh.filter(col("doc_id") >= DecontamBenchmarkDocs)
-      .join(bench, Seq("hv"), "left")
+  /** Per-doc contamination verdicts from shingle rows vs a broadcast
+    * benchmark hv table (hv, hit=1) — the ONE core the batch screen
+    * (q62) and the streaming screen (q112) both run, so gate-at-ingest
+    * cannot drift from the oracle-checked batch. */
+  private[graft] def decontamVerdicts(sh: DataFrame, bench: DataFrame): DataFrame =
+    sh.join(broadcast(bench), Seq("hv"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         (col("n_shared") > 0).as("contaminated"),
         (col("n_shared") / (col("n_shingles") * lit(1.0))).as("overlap_ratio"))
+
+  /** The benchmark reference for the decontamination screens: distinct
+    * shingle hashes of the held-out docs (doc_id < DecontamBenchmarkDocs). */
+  private[graft] def benchShingles(spark: SparkSession, sfDir: String,
+                                   bits: Int = DefaultHashBits): DataFrame =
+    shingleRows(spark, sfDir, bits)
+      .filter(col("doc_id") < DecontamBenchmarkDocs)
+      .select("hv").distinct().withColumn("hit", lit(1L))
+
+  def decontamination(spark: SparkSession, sfDir: String,
+                      bits: Int = DefaultHashBits): DataFrame = {
+    val (_, sh, _) = sharedSummary(spark, sfDir, bits)
+    val bench = sh.filter(col("doc_id") < DecontamBenchmarkDocs)
+      .select("hv").distinct().withColumn("hit", lit(1L))
+    decontamVerdicts(sh.filter(col("doc_id") >= DecontamBenchmarkDocs), bench)
       .orderBy("doc_id")
   }
 

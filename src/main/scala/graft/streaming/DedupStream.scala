@@ -188,6 +188,52 @@ object DedupStream {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  private val decontamCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q112: STREAMING decontamination — q62's eval-leak screen applied
+    * at ingest time. The benchmark shingle reference is FROZEN once
+    * before the stream starts (localCheckpoint — the admission-stream
+    * discipline: micro-batches join materialized rows, never re-derive
+    * the reference), and each micro-batch derives its own shingles
+    * through literally the batch path (`Dedup.shingleRowsOf`) and runs
+    * the SAME `decontamVerdicts` core, so the replay is row-identical
+    * to batch q62 and q62's oracle serves both.
+    *
+    * Scale shape: the benchmark is answer-sized (an eval suite) and
+    * broadcasts; per micro-batch work is scan-local shingling plus a
+    * doc-keyed aggregation of that batch only. Unlike admission (q102)
+    * there is NO corpus state at all — the screen is embarrassingly
+    * parallel over the firehose. */
+  def decontamStream(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val bits = graft.ops.Dedup.OracleHashBits
+    val bench = graft.ops.Dedup.benchShingles(spark, sfDir, bits)
+      .localCheckpoint(true)
+    val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    val run = decontamCounter.incrementAndGet()
+    val outDir = StreamScratch.dir(s"graft_decontam_$run")
+    val ckDir = StreamScratch.dir(s"graft_decontam_ck_$run")
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") >= graft.ops.Dedup.DecontamBenchmarkDocs)
+      .select("doc_id", "source", "text")
+    val q = stream.writeStream
+      .queryName(s"graft_decontam_$run")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.decontamVerdicts(
+            graft.ops.Dedup.shingleRowsOf(batch, bits), bench)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   private val gateCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q111: STREAMING quality gate — q92's Gopher-rule verdicts applied

@@ -209,4 +209,14 @@ class Round6OpsSpec extends SparkSpec {
     val batch = graft.ops.TextAnalytics.gopherGate(spark, sf0001).collect().toSeq
     assert(streamed == batch)
   }
+
+  // ---------------------------------------------------------------- q112
+
+  test("q112: streaming decontamination replay is row-identical to the batch screen") {
+    val streamed = graft.streaming.DedupStream.decontamStream(spark, sf0001).collect().toSeq
+    val batch = graft.ops.Dedup.decontamination(spark, sf0001, 32).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_.getAs[Boolean]("contaminated")),
+      "the spec corpus has known benchmark overlap — the stream must flag it")
+  }
 }
