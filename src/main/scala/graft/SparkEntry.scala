@@ -143,7 +143,9 @@ object SparkEntry {
     "q109_decontam_redact"  -> ((s: SparkSession, d: String) => Dedup.decontamRedact(s, d, Dedup.OracleHashBits)),
     "q110_sq8_recall"       -> Similarity.sq8Recall _,
     "q111_stream_gate"      -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.gateStream(s, d)),
-    "q112_stream_decontam"  -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.decontamStream(s, d))
+    "q112_stream_decontam"  -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.decontamStream(s, d)),
+    "q113_unimax_alloc"     -> Sampling.uniMaxAllocation _,
+    "q114_train_order"      -> Sampling.trainOrder _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -328,6 +330,8 @@ object SparkEntry {
     "q111_stream_gate"      -> TextAnalytics.gopherGateSql,
     // the screen replay is row-identical to batch q62 (shared shingle
     // path + verdict core, frozen benchmark), so q62's oracle serves both
-    "q112_stream_decontam"  -> Dedup.decontaminationSql
+    "q112_stream_decontam"  -> Dedup.decontaminationSql,
+    "q113_unimax_alloc"     -> Sampling.uniMaxAllocationSql,
+    "q114_train_order"      -> Sampling.trainOrderSql
   )
 }

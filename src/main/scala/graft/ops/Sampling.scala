@@ -327,4 +327,151 @@ object Sampling {
        |  ((alloc_tokens * 1000) // n_tokens > 1000) AS repeats
        |FROM s
        |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // UniMax: capped-uniform language allocation (waterfilling).
+  // -------------------------------------------------------------------
+
+  /** Per-language repeat ceiling in milli-epochs: no language may
+    * contribute more than 2.5 passes over its own tokens. */
+  val UniMaxEpochCapMilli = 2500L
+  /** Total training budget, as a multiple of the corpus token count. */
+  val UniMaxBudgetX = 2L
+
+  /** q113: UniMax language allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"). Where q77/q100 soften the corpus
+    * distribution with a temperature (p ∝ n^α — big languages still
+    * get more), UniMax solves the OTHER standard formulation: spread
+    * the token budget as UNIFORMLY as possible across languages,
+    * subject to a per-language repeat ceiling (capacity_l = epoch cap
+    * × n_tokens_l). The optimum is a waterfill: languages too small to
+    * absorb an equal share are capped at their capacity, and the
+    * remainder splits equally among the rest.
+    *
+    * Closed form instead of the paper's loop: sort by capacity
+    * ascending; the saturated set is a PREFIX of that order (if a
+    * language can't absorb the equal share, neither could any smaller
+    * one), so per-row `capacity × slots_remaining ≤ budget −
+    * cum_prev_capacity` — all i64 multiplications, no division, hence
+    * exact — marks the prefix, and the water level is the first
+    * unsaturated row's `remaining div slots`. Induction on the exact
+    * inequality shows no later row can falsely re-saturate, so one
+    * window pass replaces the iteration. Integer div undershoots the
+    * budget by < n_langs tokens — stated rather than redistributed.
+    *
+    * Scale shape: ONE corpus aggregation by lang (map-side combine);
+    * everything after runs on the languages-sized frame (the window's
+    * single partition holds ≤ thousands of rows — answer-sized by
+    * construction, like q77's one-row totals). i64 headroom: capacity
+    * × slots ≤ 2.5 × 10^13 tokens × 10^4 langs ≈ 2.5 × 10^17 at
+    * 100 TB. */
+  def uniMaxAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextAnalytics.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .withColumn("capacity", expr(s"(n_tokens * $UniMaxEpochCapMilli) div 1000"))
+    val totals = per.agg(sum(col("n_tokens")).as("tt"),
+      count(lit(1)).as("nl"))
+    val w = Window.orderBy(col("capacity"), col("lang"))
+    val t = per.crossJoin(broadcast(totals))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_prev",
+        coalesce(sum(col("capacity")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("remaining", expr(s"$UniMaxBudgetX * tt - cum_prev"))
+      .withColumn("slots", col("nl") - col("rn") + 1L)
+      .withColumn("sat", col("capacity") * col("slots") <= col("remaining"))
+      .withColumn("lvl", expr("remaining div slots"))
+    val level = t.agg(
+      min_by(col("lvl"), when(!col("sat"), col("rn"))).as("level"))
+    t.crossJoin(broadcast(level))
+      .withColumn("alloc_tokens",
+        when(col("sat"), col("capacity"))
+          .otherwise(coalesce(col("level"), col("capacity"))))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("capacity"),
+        col("sat").as("saturated"), col("alloc_tokens"),
+        expr("alloc_tokens * 1000 div n_tokens").as("epochs_milli"))
+      .orderBy("lang")
+  }
+
+  def uniMaxAllocationSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) as bigint) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |cap AS (SELECT lang, n_docs, n_tokens,
+       |          (n_tokens * $UniMaxEpochCapMilli) // 1000 AS capacity FROM per),
+       |tot AS (SELECT cast(sum(n_tokens) as bigint) AS tt, count(*) AS nl FROM cap),
+       |t AS (SELECT lang, n_docs, n_tokens, capacity, tt, nl,
+       |        row_number() OVER (ORDER BY capacity, lang) AS rn,
+       |        coalesce(cast(sum(capacity) OVER (ORDER BY capacity, lang
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint), 0) AS cum_prev
+       |      FROM cap, tot),
+       |t2 AS (SELECT *, $UniMaxBudgetX * tt - cum_prev AS remaining,
+       |         nl - rn + 1 AS slots,
+       |         capacity * (nl - rn + 1) <= ($UniMaxBudgetX * tt - cum_prev) AS sat,
+       |         ($UniMaxBudgetX * tt - cum_prev) // (nl - rn + 1) AS lvl
+       |       FROM t),
+       |lev AS (SELECT arg_min(lvl, rn) FILTER (WHERE NOT sat) AS level FROM t2)
+       |SELECT lang, n_docs, n_tokens, capacity, sat AS saturated,
+       |  CASE WHEN sat THEN capacity ELSE coalesce(level, capacity) END AS alloc_tokens,
+       |  (CASE WHEN sat THEN capacity ELSE coalesce(level, capacity) END) * 1000 // n_tokens AS epochs_milli
+       |FROM t2, lev
+       |ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Deterministic training order: the reproducible global shuffle.
+  // -------------------------------------------------------------------
+
+  /** Data-parallel width at test SF. In production this is
+    * corpus_bytes / shard_target_bytes (thousands of shards), NOT the
+    * trainer's rank count — see [[trainOrder]]. */
+  val NumShards = 8L
+
+  /** q114: deterministic training-order shards — the reproducible
+    * global shuffle every training run needs. Each doc gets a shard
+    * (hash mod [[NumShards]]), a position within its shard (ordered by
+    * (hash, doc_id) — content-independent, so the order is stable
+    * across runs, engines, and repartitions, and documents from the
+    * same source/crawl-batch are interleaved rather than adjacent),
+    * and the global step at which a round-robin data-parallel reader
+    * would consume it. rand() would give none of that: resumable
+    * training and ablation reruns need byte-identical order.
+    *
+    * Scale shape: one hash-partitioned window — each shard sorts
+    * independently, and the within-shard sort IS the physical file
+    * order a shard writer must produce anyway, so nothing here is
+    * overhead. A window partition holds one shard; at 100 TB you size
+    * [[NumShards]] = corpus_bytes / shard_target (thousands), keeping
+    * every partition task-sized by construction — the same discipline
+    * as WebDataset/TFRecord sharding. No global sort, no single-
+    * partition window, no driver state. */
+  def trainOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      .withColumn("h", docIdHash)
+      .withColumn("shard", pmod(col("h"), lit(NumShards)))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .withColumn("global_step",
+        (col("position") - 1L) * lit(NumShards) + col("shard"))
+      .select("doc_id", "shard", "position", "global_step")
+      .orderBy("doc_id")
+  }
+
+  def trainOrderSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $sqlDocHash AS h FROM documents),
+       |r AS (
+       |  SELECT doc_id, h, h % $NumShards AS shard,
+       |    row_number() OVER (PARTITION BY h % $NumShards ORDER BY h, doc_id) AS position
+       |  FROM t)
+       |SELECT doc_id, shard, position,
+       |  (position - 1) * $NumShards + shard AS global_step
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
 }

@@ -219,4 +219,70 @@ class Round6OpsSpec extends SparkSpec {
     assert(streamed.exists(_.getAs[Boolean]("contaminated")),
       "the spec corpus has known benchmark overlap — the stream must flag it")
   }
+
+  // ---------------------------------------------------------------- q113
+
+  test("q113: closed-form waterfill matches the iterative UniMax reference") {
+    val rows = graft.ops.Sampling.uniMaxAllocation(spark, sf0001).collect()
+    val cap = rows.map(r => r.getAs[String]("lang") -> r.getAs[Long]("capacity")).toMap
+    val budget = graft.ops.Sampling.UniMaxBudgetX * rows.map(_.getAs[Long]("n_tokens")).sum
+    // independent reference: the paper's iterative waterfill — give every
+    // unsaturated language an equal share, cap whoever can't absorb it,
+    // repeat until the level clears all remaining capacities
+    var satSet = Map.empty[String, Long]
+    var remaining = budget
+    var live = cap.keySet
+    var level = 0L
+    var done = false
+    while (!done && live.nonEmpty) {
+      val lvl = remaining / live.size
+      val newSat = live.filter(l => cap(l) <= lvl)
+      if (newSat.isEmpty) { level = lvl; done = true }
+      else {
+        satSet ++= newSat.map(l => l -> cap(l))
+        remaining -= newSat.toSeq.map(cap).sum
+        live --= newSat
+      }
+    }
+    rows.foreach { r =>
+      val l = r.getAs[String]("lang")
+      assert(r.getAs[Boolean]("saturated") == satSet.contains(l))
+      val expect = satSet.getOrElse(l, level)
+      assert(r.getAs[Long]("alloc_tokens") == expect,
+        s"$l: operator ${r.getAs[Long]("alloc_tokens")} != reference $expect")
+    }
+    // both branches must actually be exercised by the spec corpus
+    assert(rows.exists(_.getAs[Boolean]("saturated")), "no saturated language — cap too high to test")
+    assert(rows.exists(!_.getAs[Boolean]("saturated")), "all saturated — budget exceeds total capacity")
+    // budget exhausted up to the documented integer undershoot (< live slots)
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= budget && budget - alloc < math.max(1, live.size),
+      s"undershoot ${budget - alloc} outside [0, ${live.size})")
+  }
+
+  // ---------------------------------------------------------------- q114
+
+  test("q114: training order is a bijection with contiguous per-shard positions and unique global steps") {
+    val rows = graft.ops.Sampling.trainOrder(spark, sf0001).collect()
+    val nShards = graft.ops.Sampling.NumShards
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(rows.map(_.getAs[Long]("doc_id")).sorted.toSeq == docs.toSeq,
+      "every doc appears exactly once")
+    rows.foreach { r =>
+      // shard is the independent pure-Scala hash, mod NumShards
+      assert(r.getAs[Long]("shard") == hash32(r.getAs[Long]("doc_id").toString) % nShards)
+      assert(r.getAs[Long]("global_step") ==
+        (r.getAs[Long]("position") - 1) * nShards + r.getAs[Long]("shard"))
+    }
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      // positions are 1..len, ordered by the content-independent (h, doc_id)
+      assert(rs.map(_.getAs[Long]("position")).sorted.toSeq == (1L to rs.length).toSeq)
+      val byPos = rs.sortBy(_.getAs[Long]("position"))
+        .map(r => (hash32(r.getAs[Long]("doc_id").toString), r.getAs[Long]("doc_id")))
+      assert(byPos.toSeq == byPos.sortBy(identity).toSeq, "shard order is (h, doc_id)")
+    }
+    val steps = rows.map(_.getAs[Long]("global_step"))
+    assert(steps.distinct.length == steps.length, "global steps are unique")
+  }
 }
