@@ -145,7 +145,8 @@ object SparkEntry {
     "q111_stream_gate"      -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.gateStream(s, d)),
     "q112_stream_decontam"  -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.decontamStream(s, d)),
     "q113_unimax_alloc"     -> Sampling.uniMaxAllocation _,
-    "q114_train_order"      -> Sampling.trainOrder _
+    "q114_train_order"      -> Sampling.trainOrder _,
+    "q115_dup_span_redact"  -> ((s: SparkSession, d: String) => Dedup.dupSpanRedact(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -332,6 +333,7 @@ object SparkEntry {
     // path + verdict core, frozen benchmark), so q62's oracle serves both
     "q112_stream_decontam"  -> Dedup.decontaminationSql,
     "q113_unimax_alloc"     -> Sampling.uniMaxAllocationSql,
-    "q114_train_order"      -> Sampling.trainOrderSql
+    "q114_train_order"      -> Sampling.trainOrderSql,
+    "q115_dup_span_redact"  -> Dedup.dupSpanRedactSql
   )
 }

@@ -1515,6 +1515,134 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q115: duplicated-span REDACTION — the enforcement half of q65,
+    * exactly as q109 is of q62 and q68 of q64: the ExactSubstr cut of
+    * Lee et al. 2021 re-expressed over fixed-length spans. Every word
+    * [[DupSpanN]]-gram that occurs in more than one document is KEPT
+    * only in its earliest document (min doc_id containing the gram —
+    * deterministic, the q74 survivor discipline); every other document
+    * cuts the tokens its occurrences cover, the survivors re-join, and
+    * the oracle hashes the REDACTED text so removal extents are
+    * cross-engine-pinned. This catches what doc-level dedup cannot:
+    * a boilerplate paragraph pasted into thousands of otherwise-unique
+    * documents is cut everywhere but its first appearance while the
+    * documents themselves survive. Intra-doc repeats are deliberately
+    * out of scope (the keeper keeps ALL its occurrences; q61/q65 carry
+    * that signal). Overlapping spans compose by position-union, so a
+    * keeper's copy of one gram can still lose tokens to a DIFFERENT
+    * overlapping gram it doesn't keep — inherent to span surgery and
+    * true of the reference formulation too.
+    *
+    * Scale shape: gram occurrences hash to (doc_id, pos, i64) rows in
+    * a typed flatMap (no gram strings in any shuffle — the q65
+    * discipline); the keeper table is one groupBy(gh) with map-side
+    * partial MIN; cut starts come from re-joining the same
+    * Materialize.shared gram table on gh (computed once, scanned
+    * twice from cache — same shape as q65's frequency join); per-doc
+    * cut lists collapse by doc_id
+    * (bounded by the doc's own token count, so no skew beyond doc
+    * length); the rebuild is a scan-local typed map over docs joined
+    * with their cut lists. Unlike q109, whose reference set is
+    * answer-sized and collected, the keeper table here scales with
+    * the corpus, so the code never collects or pins it — the PLANNER
+    * broadcasts it at test SF where statistics say it is small
+    * (observed in the sf0.01 plan) and falls back to a shuffled join
+    * at 100 TB, exactly the decision AQE should own. */
+  def dupSpanRedact(spark: SparkSession, sfDir: String,
+                    bits: Int = DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val n = DupSpanN
+    val grams = Materialize.shared(spark,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, txt) =>
+            val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+            (0 to t.length - n).map { i =>
+              (id, i.toLong,
+                packHash(md.digest(t.slice(i, i + n).mkString(" ")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits))
+            }
+          }
+        }
+        .toDF("doc_id", "i", "gh"))
+    val keeper = grams.groupBy("gh").agg(min(col("doc_id")).as("keeper"))
+    val cuts = grams.join(keeper, "gh")
+      .filter(col("doc_id") > col("keeper"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("i")).as("cut_starts"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .join(cuts, Seq("doc_id"), "left")
+      .as[(Long, String, Option[Seq[Long]])]
+      .mapPartitions { it =>
+        it.map { case (id, txt, starts) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val covered = new Array[Boolean](t.length)
+          starts.getOrElse(Nil).foreach { s =>
+            var j = s.toInt
+            val end = math.min(s.toInt + n, t.length)
+            while (j < end) { covered(j) = true; j += 1 }
+          }
+          val kept = new StringBuilder
+          var nRem = 0L
+          var j = 0
+          while (j < t.length) {
+            if (covered(j)) nRem += 1L
+            else {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(t(j))
+            }
+            j += 1
+          }
+          (id, t.length.toLong, nRem, kept.toString)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "rt")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_removed") === 0L).as("clean"),
+        md5(col("rt").cast("binary")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  def dupSpanRedactSql: String = {
+    val n = DupSpanN
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toksl AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(len(t))) AS i, t FROM toksl),
+       |gram AS (
+       |  SELECT doc_id, i, ${shingleHashExpr("strpos", s"md5($gramExpr)")} AS gh
+       |  FROM pos WHERE i <= len(t) - $n),
+       |keeper AS (SELECT gh, min(doc_id) AS keeper FROM gram GROUP BY gh),
+       |bad AS (
+       |  SELECT g.doc_id, g.i FROM gram g JOIN keeper USING (gh)
+       |  WHERE g.doc_id > keeper),
+       |cov AS (
+       |  SELECT DISTINCT p.doc_id, p.i
+       |  FROM pos p JOIN bad b ON p.doc_id = b.doc_id
+       |    AND p.i BETWEEN b.i AND b.i + ${n - 1}),
+       |red AS (
+       |  SELECT p.doc_id,
+       |    cast(count(*) as bigint) AS n_tokens,
+       |    cast(sum(CASE WHEN c.i IS NULL THEN 0 ELSE 1 END) as bigint) AS n_removed,
+       |    coalesce(string_agg(CASE WHEN c.i IS NULL THEN p.t[p.i+1] END, ' ' ORDER BY p.i), '') AS rt
+       |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+       |  GROUP BY p.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(r.n_tokens, 0) AS n_tokens,
+       |  coalesce(r.n_removed, 0) AS n_removed,
+       |  coalesce(r.n_removed, 0) = 0 AS clean,
+       |  md5(coalesce(r.rt, '')) AS redacted_hash
+       |FROM documents d
+       |LEFT JOIN red r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q72: cross-source contamination matrix — for every pair of
     * sources, how many distinct 3-gram shingles they share, plus the
     * shingle-set Jaccard. This is the corpus-curation view OVER the

@@ -285,4 +285,48 @@ class Round6OpsSpec extends SparkSpec {
     val steps = rows.map(_.getAs[Long]("global_step"))
     assert(steps.distinct.length == steps.length, "global steps are unique")
   }
+
+  // ---------------------------------------------------------------- q115
+
+  test("q115: dup-span redaction matches an independent keeper/cut reference over every doc") {
+    val n = graft.ops.Dedup.DupSpanN
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    // independent reference: gram -> min doc_id, then per-doc position cut
+    def grams(t: Array[String]): Seq[(Int, Long)] =
+      (0 to t.length - n).map(i => i -> (hash32(t.slice(i, i + n).mkString(" ")) & 0xffffffffL))
+    val keeper = scala.collection.mutable.Map.empty[Long, Long]
+    docs.foreach { case (id, txt) =>
+      grams(toks(txt)).foreach { case (_, gh) =>
+        if (!keeper.contains(gh) || keeper(gh) > id) keeper(gh) = id
+      }
+    }
+    val expected = docs.map { case (id, txt) =>
+      val t = toks(txt)
+      val covered = new Array[Boolean](t.length)
+      grams(t).foreach { case (i, gh) =>
+        if (keeper(gh) < id) (i until math.min(i + n, t.length)).foreach(covered(_) = true)
+      }
+      val kept = t.indices.filterNot(covered).map(t)
+      (id, t.length.toLong, covered.count(identity).toLong, kept.mkString(" "))
+    }
+    val out = graft.ops.Dedup.dupSpanRedact(spark, sf0001, 32).collect()
+    assert(out.length == docs.length)
+    out.zip(expected).foreach { case (r, (id, nt, nRem, rt)) =>
+      assert(r.getAs[Long]("doc_id") == id)
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("n_removed") == nRem, s"doc $id removed count")
+      assert(r.getAs[Boolean]("clean") == (nRem == 0L))
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(rt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(r.getAs[String]("redacted_hash") == md.map("%02x".format(_)).mkString,
+        s"doc $id redacted text")
+    }
+    // both branches fire on the spec corpus, and the earliest doc of any
+    // dup family is untouched by construction of the min-id keeper rule
+    assert(out.exists(_.getAs[Long]("n_removed") > 0L), "no spans cut — dup families exist at sf0.001")
+    assert(out.exists(r => r.getAs[Boolean]("clean") && r.getAs[Long]("n_tokens") >= n),
+      "some gram-bearing doc stays clean")
+  }
 }
