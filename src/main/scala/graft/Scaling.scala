@@ -40,6 +40,10 @@ object Scaling {
     "q15_jaccard_pairs" -> ((s, d) => graft.ops.Dedup.jaccardPairs(s, d, graft.ops.Dedup.OracleHashBits)),
     "q49_dedup_clusters" -> ((s, d) => graft.ops.Dedup.nearDupClusters(s, d, graft.ops.Dedup.OracleHashBits)),
     "q65_dup_spans" -> ((s, d) => graft.ops.Dedup.dupSpans(s, d, graft.ops.Dedup.OracleHashBits)),
+    // q65's enforcement half: positioned grams, keeper min-agg, cut-list
+    // collapse, scan-local rebuild — cut volume is per-replica so output
+    // stays linear in the factor
+    "q115_dup_span_redact" -> ((s, d) => graft.ops.Dedup.dupSpanRedact(s, d, graft.ops.Dedup.OracleHashBits)),
     "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, graft.ops.Dedup.OracleHashBits)),
     // same graph, different survivor rule: the quality join + max_by
     // argmax adds a members-sized keyed shuffle on top of q74's shape
