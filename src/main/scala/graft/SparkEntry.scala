@@ -146,7 +146,8 @@ object SparkEntry {
     "q112_stream_decontam"  -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.decontamStream(s, d)),
     "q113_unimax_alloc"     -> Sampling.uniMaxAllocation _,
     "q114_train_order"      -> Sampling.trainOrder _,
-    "q115_dup_span_redact"  -> ((s: SparkSession, d: String) => Dedup.dupSpanRedact(s, d, Dedup.OracleHashBits))
+    "q115_dup_span_redact"  -> ((s: SparkSession, d: String) => Dedup.dupSpanRedact(s, d, Dedup.OracleHashBits)),
+    "q116_perplexity_buckets" -> TextAnalytics.perplexityBuckets _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -334,6 +335,7 @@ object SparkEntry {
     "q112_stream_decontam"  -> Dedup.decontaminationSql,
     "q113_unimax_alloc"     -> Sampling.uniMaxAllocationSql,
     "q114_train_order"      -> Sampling.trainOrderSql,
-    "q115_dup_span_redact"  -> Dedup.dupSpanRedactSql
+    "q115_dup_span_redact"  -> Dedup.dupSpanRedactSql,
+    "q116_perplexity_buckets" -> TextAnalytics.perplexityBucketsSql
   )
 }

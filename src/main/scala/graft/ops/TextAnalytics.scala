@@ -941,7 +941,9 @@ object TextAnalytics {
     * vocabularies stay bounded at web scale, a shuffle join if not);
     * the corpus total is a one-row cross join; the per-doc score is a
     * keyed agg over vocabulary-collapsed rows, not token occurrences. */
-  def surprisalScores(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-doc surprisal frame WITHOUT the presentation ordering — the
+    * core q94 reports and q116 buckets (one definition, no drift). */
+  private[ops] def surprisalPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = tfRows(spark, sfDir)
     val cf = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
     val n = broadcast(cf.agg(sum(col("cf")).as("n_total")))
@@ -958,24 +960,115 @@ object TextAnalytics {
         sum(col("tf") * col("s_tok")).as("surprisal_sum"))
       .withColumn("surprisal_mean_milli",
         expr("surprisal_sum * 1000 div n_tokens"))
-      .orderBy("doc_id")
   }
 
-  def surprisalScoresSql: String =
-    s"""WITH tf AS (
+  def surprisalScores(spark: SparkSession, sfDir: String): DataFrame =
+    surprisalPerDoc(spark, sfDir).orderBy("doc_id")
+
+  /** The q94 per-doc surprisal CTE block, shared verbatim with q116's
+    * oracle so the two formulations cannot drift. */
+  private def sqlSurprisalCtes: String =
+    s"""tf AS (
        |  SELECT doc_id, tok, cast(count(*) as bigint) AS tf FROM (
        |    SELECT doc_id, unnest($sqlTokens) AS tok FROM documents)
        |  GROUP BY doc_id, tok),
        |cf AS (SELECT tok, cast(sum(tf) as bigint) AS cf FROM tf GROUP BY tok),
-       |n AS (SELECT cast(sum(cf) as bigint) AS n_total FROM cf)
-       |SELECT doc_id,
-       |  cast(sum(tf) as bigint) AS n_tokens,
-       |  cast(sum(tf * (length(bin(n_total)) - length(bin(cf)))) as bigint) AS surprisal_sum,
-       |  (cast(sum(tf * (length(bin(n_total)) - length(bin(cf)))) as bigint) * 1000)
-       |    // cast(sum(tf) as bigint) AS surprisal_mean_milli
-       |FROM tf JOIN cf USING (tok) CROSS JOIN n
-       |GROUP BY doc_id
+       |n AS (SELECT cast(sum(cf) as bigint) AS n_total FROM cf),
+       |sp AS (
+       |  SELECT doc_id,
+       |    cast(sum(tf) as bigint) AS n_tokens,
+       |    cast(sum(tf * (length(bin(n_total)) - length(bin(cf)))) as bigint) AS surprisal_sum,
+       |    (cast(sum(tf * (length(bin(n_total)) - length(bin(cf)))) as bigint) * 1000)
+       |      // cast(sum(tf) as bigint) AS surprisal_mean_milli
+       |  FROM tf JOIN cf USING (tok) CROSS JOIN n
+       |  GROUP BY doc_id)""".stripMargin
+
+  def surprisalScoresSql: String =
+    s"""WITH $sqlSurprisalCtes
+       |SELECT doc_id, n_tokens, surprisal_sum, surprisal_mean_milli
+       |FROM sp
        |ORDER BY doc_id""".stripMargin
+
+  /** q116: CCNet-style perplexity buckets (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data") — per LANGUAGE, split documents into head / middle /
+    * tail terciles of the q94 surprisal distribution (low surprisal =
+    * head = cleanest third; CCNet trains on head+middle and drops or
+    * re-ranks tail). Per-language cuts matter because surprisal is not
+    * comparable across languages (different vocabulary entropy) — a
+    * global cut would put entire languages in the tail.
+    *
+    * Tercile rule, exact and engine-portable: cut VALUES are taken
+    * from the per-(lang, surprisal) HISTOGRAM — t1 = the smallest
+    * value whose cumulative count reaches ceil(n/3), t2 likewise for
+    * ceil(2n/3); a doc's bucket is by value comparison, so ties share
+    * a bucket and sizes deviate from n/3 exactly when values tie
+    * across a cut (the value-based semantics CCNet's per-shard
+    * perplexity buckets have, and integer-deterministic — no
+    * interpolation anywhere). Zero-token docs carry no perplexity
+    * signal and are absent, exactly as they are from q94.
+    *
+    * Scale shape: reuses q94's per-doc core (one vocabulary agg + one
+    * doc-keyed agg); the cumulative window runs over the per-language
+    * HISTOGRAM, never the corpus — surprisal_mean_milli is integer-
+    * quantized so distinct values per language are bounded by the
+    * value range (tens of thousands), not the document count; the
+    * cut table is langs × 2 and broadcasts; bucketing is a map-side
+    * comparison. Output is answer-sized, and the per-bucket doc_id
+    * checksum pins the exact assignment SET cross-engine, not just
+    * its cardinality. */
+  def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .join(surprisalPerDoc(spark, sfDir)
+        .select(col("doc_id"), col("surprisal_mean_milli").as("s")), "doc_id")
+    val tot = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val hist = d.groupBy("lang", "s").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy("s")
+    val cuts = broadcast(
+      hist.withColumn("cum", sum(col("c")).over(w))
+        .join(broadcast(tot), "lang")
+        .groupBy("lang")
+        .agg(min(when(col("cum") >= expr("(n + 2) div 3"), col("s"))).as("t1"),
+          min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("s"))).as("t2")))
+    d.join(cuts, "lang")
+      .withColumn("bucket",
+        when(col("s") <= col("t1"), "head")
+          .when(col("s") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("doc_id_sum"),
+        min(col("s")).as("min_s"), max(col("s")).as("max_s"),
+        min(col("t1")).as("t1"), min(col("t2")).as("t2"))
+      .orderBy("lang", "bucket")
+  }
+
+  def perplexityBucketsSql: String =
+    s"""WITH $sqlSurprisalCtes,
+       |d AS (
+       |  SELECT sp.doc_id, documents.lang, sp.surprisal_mean_milli AS s
+       |  FROM sp JOIN documents USING (doc_id)),
+       |tot AS (SELECT lang, cast(count(*) as bigint) AS n FROM d GROUP BY lang),
+       |hist AS (SELECT lang, s, cast(count(*) as bigint) AS c FROM d GROUP BY lang, s),
+       |cum AS (
+       |  SELECT lang, s, cast(sum(c) OVER (PARTITION BY lang ORDER BY s) as bigint) AS cum
+       |  FROM hist),
+       |cuts AS (
+       |  SELECT lang,
+       |    min(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS t1,
+       |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS t2
+       |  FROM cum JOIN tot USING (lang) GROUP BY lang),
+       |b AS (
+       |  SELECT d.lang,
+       |    CASE WHEN s <= t1 THEN 'head' WHEN s <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |    d.doc_id, d.s, t1, t2
+       |  FROM d JOIN cuts USING (lang))
+       |SELECT lang, bucket, cast(count(*) as bigint) AS n_docs,
+       |  cast(sum(doc_id) as bigint) AS doc_id_sum,
+       |  cast(min(s) as bigint) AS min_s, cast(max(s) as bigint) AS max_s,
+       |  cast(min(t1) as bigint) AS t1, cast(min(t2) as bigint) AS t2
+       |FROM b GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
 
   // -------------------------------------------------------------------
   // Per-source datacard: the corpus summary a data release publishes.

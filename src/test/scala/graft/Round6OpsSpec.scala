@@ -329,4 +329,60 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.exists(r => r.getAs[Boolean]("clean") && r.getAs[Long]("n_tokens") >= n),
       "some gram-bearing doc stays clean")
   }
+
+  // ---------------------------------------------------------------- q116
+
+  test("q116: perplexity terciles match an independent per-language cut reference") {
+    // independent per-doc surprisal from the oracle-checked q94 report
+    val sp = graft.ops.TextAnalytics.surprisalScores(spark, sf0001)
+      .select("doc_id", "surprisal_mean_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val langOf = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = sp.keys.groupBy(langOf)
+    val expected = byLang.flatMap { case (lang, ids) =>
+      val vals = ids.toSeq.map(sp).sorted // toSeq FIRST: ids is a Set and mapping would dedup ties
+      val nn = vals.length
+      def atRank(k: Int) = vals(k - 1) // k-th smallest = smallest value with cum >= k
+      val t1 = atRank((nn + 2) / 3)
+      val t2 = atRank((2 * nn + 2) / 3)
+      ids.groupBy { id =>
+        val s = sp(id)
+        if (s <= t1) "head" else if (s <= t2) "middle" else "tail"
+      }.map { case (bucket, bIds) =>
+        (lang, bucket) -> (bIds.size.toLong, bIds.map(identity).sum,
+          bIds.map(sp).min, bIds.map(sp).max, t1, t2)
+      }
+    }
+    val out = graft.ops.TextAnalytics.perplexityBuckets(spark, sf0001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[String]("bucket"))
+      val (nd, idSum, minS, maxS, t1, t2) = expected(key)
+      assert(r.getAs[Long]("n_docs") == nd, s"$key n_docs")
+      assert(r.getAs[Long]("doc_id_sum") == idSum, s"$key doc_id_sum")
+      assert(r.getAs[Long]("min_s") == minS && r.getAs[Long]("max_s") == maxS, s"$key extremes")
+      assert(r.getAs[Long]("t1") == t1 && r.getAs[Long]("t2") == t2, s"$key cuts")
+    }
+    // value-based invariants (ties SHARE buckets, so on this synthetic
+    // corpus — surprisal mass concentrated at one value — the middle
+    // tercile is legitimately empty and t1 == t2 reports that): head is
+    // never empty, head holds at least its rank share, value ranges
+    // never overlap across buckets, and >1 bucket exists per language
+    val byLangOut = out.groupBy(_.getAs[String]("lang"))
+    byLangOut.foreach { case (l, rs) =>
+      val n = rs.map(_.getAs[Long]("n_docs")).sum
+      val head = rs.find(_.getAs[String]("bucket") == "head")
+      assert(head.isDefined, s"$l: head empty")
+      assert(head.get.getAs[Long]("n_docs") >= (n + 2) / 3, s"$l: head below its rank share")
+      assert(rs.length >= 2, s"$l: cuts collapsed to one bucket")
+      val ordered = Seq("head", "middle", "tail").flatMap(b => rs.find(_.getAs[String]("bucket") == b))
+      ordered.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.getAs[Long]("max_s") < b.getAs[Long]("min_s"), s"$l: bucket value ranges overlap")
+        case _ => ()
+      }
+    }
+  }
 }
