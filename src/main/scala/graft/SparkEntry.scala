@@ -147,7 +147,8 @@ object SparkEntry {
     "q113_unimax_alloc"     -> Sampling.uniMaxAllocation _,
     "q114_train_order"      -> Sampling.trainOrder _,
     "q115_dup_span_redact"  -> ((s: SparkSession, d: String) => Dedup.dupSpanRedact(s, d, Dedup.OracleHashBits)),
-    "q116_perplexity_buckets" -> TextAnalytics.perplexityBuckets _
+    "q116_perplexity_buckets" -> TextAnalytics.perplexityBuckets _,
+    "q117_cluster_sample"   -> Similarity.clusterBalancedSample _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -336,6 +337,7 @@ object SparkEntry {
     "q113_unimax_alloc"     -> Sampling.uniMaxAllocationSql,
     "q114_train_order"      -> Sampling.trainOrderSql,
     "q115_dup_span_redact"  -> Dedup.dupSpanRedactSql,
-    "q116_perplexity_buckets" -> TextAnalytics.perplexityBucketsSql
+    "q116_perplexity_buckets" -> TextAnalytics.perplexityBucketsSql,
+    "q117_cluster_sample"   -> Similarity.clusterBalancedSampleSql
   )
 }

@@ -1021,8 +1021,11 @@ object Similarity {
       .orderBy("cid")
   }
 
-  def kmeansIterSql: String =
-    s"""WITH q AS ($sqlQuantized),
+  /** The seeded-quantizer assignment CTE block (q → cent → assign0:
+    * vid, cid), shared verbatim between q73's oracle and q117's so the
+    * assignment semantics (tie-breaks included) cannot drift. */
+  private def sqlSeededAssignCtes: String =
+    s"""q AS ($sqlQuantized),
        |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
        |assign0 AS (
        |  SELECT vid, cid FROM (
@@ -1032,7 +1035,10 @@ object Similarity {
        |          / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double))) DESC,
        |        cent.cid ASC) AS crank
        |    FROM q a, cent)
-       |  WHERE crank <= 1),
+       |  WHERE crank <= 1)""".stripMargin
+
+  def kmeansIterSql: String =
+    s"""WITH $sqlSeededAssignCtes,
        |sums AS (
        |  SELECT a0.cid, d, cast(sum(q.v[d+1]) as bigint) AS sx, count(*) AS n
        |  FROM assign0 a0 JOIN q ON q.vec_id = a0.vid,
@@ -1058,6 +1064,62 @@ object Similarity {
        |FROM n0 JOIN newn ON newn.cid = n0.cid
        |LEFT JOIN n1 ON n1.cid = n0.cid
        |ORDER BY n0.cid""".stripMargin
+
+  /** Per-cluster sample quota for q117. */
+  val ClusterQuota = 20L
+
+  /** q117: cluster-balanced diversity sample — the embedding-space
+    * complement of q53's per-source cap: assign every vector to its
+    * semantic cluster (the seeded coarse quantizer all IVF queries
+    * share) and keep at most [[ClusterQuota]] per cluster, selected
+    * deterministically by (Hash32(vec_id), vec_id) — never rand().
+    * This is the topic-balancing step of embedding-driven curation
+    * (cluster-then-sample, the DataComp/SemDeDup-adjacent recipe): a
+    * corpus whose crawl is 80% one template topic contributes at most
+    * the quota from that topic's cluster, while small topics keep
+    * everything. Complements q66 (which removes near-duplicate
+    * members WITHIN a cluster); this caps the cluster's total mass.
+    *
+    * Scale shape: assignment is the scan-local argmax against the
+    * broadcast quantizer (assignedVectors — no corpus shuffle); the
+    * rank<=quota filter sits directly above its window so Spark plans
+    * WindowGroupLimit — each map task keeps only its top rows per
+    * cluster BEFORE the exchange, making per-cluster work O(quota),
+    * not O(cluster): the same skew argument as q53, which is what
+    * makes the 80%-one-cluster corpus survive. Output is
+    * clusters-sized; the kept-set checksum pins the exact selection. */
+  def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val assigned = assignedVectors(quantized(spark, sfDir),
+        seededCentroidValues(spark, sfDir))
+      .select(col("vid"), col("cid"))
+      .withColumn("h", graft.core.Hash32.column("md5(cast(vid as string))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("h"), col("vid"))
+    val kept = assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= ClusterQuota)
+    val totals = assigned.groupBy("cid").agg(count(lit(1)).as("n_total"))
+    kept.groupBy("cid")
+      .agg(count(lit(1)).as("n_kept"), sum(col("vid")).as("kept_id_sum"))
+      .join(totals, "cid")
+      .select(col("cid"), col("n_total"), col("n_kept"), col("kept_id_sum"))
+      .orderBy("cid")
+  }
+
+  def clusterBalancedSampleSql: String = {
+    val h = graft.core.Hash32.sql("md5(cast(vid as varchar))")
+    s"""WITH $sqlSeededAssignCtes,
+       |r AS (
+       |  SELECT vid, cid,
+       |    row_number() OVER (PARTITION BY cid ORDER BY $h, vid) AS rn
+       |  FROM assign0),
+       |tot AS (SELECT cid, cast(count(*) as bigint) AS n_total FROM assign0 GROUP BY cid)
+       |SELECT r.cid, n_total, cast(count(*) as bigint) AS n_kept,
+       |  cast(sum(vid) as bigint) AS kept_id_sum
+       |FROM r JOIN tot ON r.cid = tot.cid
+       |WHERE rn <= $ClusterQuota
+       |GROUP BY r.cid, n_total
+       |ORDER BY r.cid""".stripMargin
+  }
 
   /** q76: ANN recall@k report — the index-quality measurement every
     * production ANN deployment runs before trusting an approximate

@@ -385,4 +385,30 @@ class Round6OpsSpec extends SparkSpec {
       }
     }
   }
+
+  // ---------------------------------------------------------------- q117
+
+  test("q117: cluster-balanced sample caps every cluster at the quota with a hash-deterministic kept set") {
+    val out = graft.ops.Similarity.clusterBalancedSample(spark, sf0001).collect()
+    val quota = graft.ops.Similarity.ClusterQuota
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nt, nk) = (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      assert(nk == math.min(nt, quota), s"cluster ${r.getAs[Long]("cid")}: kept $nk of $nt")
+    }
+    assert(out.exists(_.getAs[Long]("n_total") > quota), "no cluster exceeds the quota — cap untested")
+    assert(out.exists(r => r.getAs[Long]("n_total") <= quota), "every cluster capped — uncapped branch untested")
+    assert(out.map(_.getAs[Long]("n_total")).sum == 500L, "every vector assigned exactly once")
+    // kept set is the hash-order prefix: recompute from the oracle-checked
+    // q73 assignment semantics via the operator's own assignment is NOT
+    // independent, so derive membership from kept_id_sum stability across
+    // a re-run (determinism) plus the quota arithmetic above
+    val again = graft.ops.Similarity.clusterBalancedSample(spark, sf0001).collect()
+    assert(out.map(r => (r.getAs[Long]("cid"), r.getAs[Long]("kept_id_sum"))).toSeq ==
+      again.map(r => (r.getAs[Long]("cid"), r.getAs[Long]("kept_id_sum"))).toSeq)
+    // the pre-shuffle group-limit shape must hold (the q53 skew argument)
+    val plan = graft.ops.Similarity.clusterBalancedSample(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
