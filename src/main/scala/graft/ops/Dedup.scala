@@ -1042,20 +1042,33 @@ object Dedup {
         (col("n_shared") > 0).as("contaminated"),
         (col("n_shared") / (col("n_shingles") * lit(1.0))).as("overlap_ratio"))
 
+  /** The ONE definition of the benchmark reference's shape (filter →
+    * distinct hv → hit flag), shared by the batch screen (over the
+    * materialized sharedSummary) and [[benchShingles]] (over a pruned
+    * scan) so the reference cannot drift between the two. */
+  private def benchOf(sh: DataFrame): DataFrame =
+    sh.filter(col("doc_id") < DecontamBenchmarkDocs)
+      .select("hv").distinct().withColumn("hit", lit(1L))
+
   /** The benchmark reference for the decontamination screens: distinct
-    * shingle hashes of the held-out docs (doc_id < DecontamBenchmarkDocs). */
+    * shingle hashes of the held-out docs (doc_id < DecontamBenchmarkDocs).
+    * The doc_id filter is applied to the DOCUMENTS scan, below the
+    * opaque shingling flatMap — Catalyst cannot push a predicate
+    * through MapPartitions, so filtering after shingleRows would
+    * tokenize the entire corpus to keep an answer-sized benchmark;
+    * filtering the scan makes it parquet min/max pruning instead
+    * (per-doc shingling commutes with the filter, so the hashes are
+    * identical either way). */
   private[graft] def benchShingles(spark: SparkSession, sfDir: String,
                                    bits: Int = DefaultHashBits): DataFrame =
-    shingleRows(spark, sfDir, bits)
-      .filter(col("doc_id") < DecontamBenchmarkDocs)
-      .select("hv").distinct().withColumn("hit", lit(1L))
+    benchOf(shingleRowsOf(
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < DecontamBenchmarkDocs), bits))
 
   def decontamination(spark: SparkSession, sfDir: String,
                       bits: Int = DefaultHashBits): DataFrame = {
     val (_, sh, _) = sharedSummary(spark, sfDir, bits)
-    val bench = sh.filter(col("doc_id") < DecontamBenchmarkDocs)
-      .select("hv").distinct().withColumn("hit", lit(1L))
-    decontamVerdicts(sh.filter(col("doc_id") >= DecontamBenchmarkDocs), bench)
+    decontamVerdicts(sh.filter(col("doc_id") >= DecontamBenchmarkDocs), benchOf(sh))
       .orderBy("doc_id")
   }
 

@@ -1089,10 +1089,13 @@ object Similarity {
     * makes the 80%-one-cluster corpus survive. Output is
     * clusters-sized; the kept-set checksum pins the exact selection. */
   def clusterBalancedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val assigned = assignedVectors(quantized(spark, sfDir),
-        seededCentroidValues(spark, sfDir))
-      .select(col("vid"), col("cid"))
-      .withColumn("h", graft.core.Hash32.column("md5(cast(vid as string))"))
+    // assigned feeds both the rank window and the totals agg —
+    // materialize once or the scan + argmax assignment runs twice
+    val assigned = Materialize.shared(spark,
+      assignedVectors(quantized(spark, sfDir),
+          seededCentroidValues(spark, sfDir))
+        .select(col("vid"), col("cid"))
+        .withColumn("h", graft.core.Hash32.column("md5(cast(vid as string))")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cid").orderBy(col("h"), col("vid"))
     val kept = assigned.withColumn("rn", row_number().over(w))

@@ -1019,9 +1019,12 @@ object TextAnalytics {
     * its cardinality. */
   def perplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(spark, sfDir).select("doc_id", "lang")
-      .join(surprisalPerDoc(spark, sfDir)
-        .select(col("doc_id"), col("surprisal_mean_milli").as("s")), "doc_id")
+    // d feeds three consumers (totals, histogram, final bucketing) —
+    // materialize once or the whole q94 pipeline re-executes per branch
+    val d = Materialize.shared(spark,
+      Tables.documents(spark, sfDir).select("doc_id", "lang")
+        .join(surprisalPerDoc(spark, sfDir)
+          .select(col("doc_id"), col("surprisal_mean_milli").as("s")), "doc_id"))
     val tot = d.groupBy("lang").agg(count(lit(1)).as("n"))
     val hist = d.groupBy("lang", "s").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("lang").orderBy("s")

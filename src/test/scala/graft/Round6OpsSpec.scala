@@ -368,15 +368,19 @@ class Round6OpsSpec extends SparkSpec {
     // value-based invariants (ties SHARE buckets, so on this synthetic
     // corpus — surprisal mass concentrated at one value — the middle
     // tercile is legitimately empty and t1 == t2 reports that): head is
-    // never empty, head holds at least its rank share, value ranges
-    // never overlap across buckets, and >1 bucket exists per language
+    // never empty, head holds at least its rank share, and value ranges
+    // never overlap across buckets. Per-language bucket MULTIPLICITY is
+    // already pinned exactly by the reference equality above (a dominant
+    // top value can legitimately collapse a language to one bucket), so
+    // only corpus meaningfulness is asserted: somewhere the cut splits.
+    assert(out.groupBy(_.getAs[String]("lang")).exists(_._2.length >= 2),
+      "no language splits at all — bucketing untested")
     val byLangOut = out.groupBy(_.getAs[String]("lang"))
     byLangOut.foreach { case (l, rs) =>
       val n = rs.map(_.getAs[Long]("n_docs")).sum
       val head = rs.find(_.getAs[String]("bucket") == "head")
       assert(head.isDefined, s"$l: head empty")
       assert(head.get.getAs[Long]("n_docs") >= (n + 2) / 3, s"$l: head below its rank share")
-      assert(rs.length >= 2, s"$l: cuts collapsed to one bucket")
       val ordered = Seq("head", "middle", "tail").flatMap(b => rs.find(_.getAs[String]("bucket") == b))
       ordered.sliding(2).foreach {
         case Seq(a, b) =>
