@@ -148,7 +148,9 @@ object SparkEntry {
     "q114_train_order"      -> Sampling.trainOrder _,
     "q115_dup_span_redact"  -> ((s: SparkSession, d: String) => Dedup.dupSpanRedact(s, d, Dedup.OracleHashBits)),
     "q116_perplexity_buckets" -> TextAnalytics.perplexityBuckets _,
-    "q117_cluster_sample"   -> Similarity.clusterBalancedSample _
+    "q117_cluster_sample"   -> Similarity.clusterBalancedSample _,
+    "q118_shard_manifest"   -> Sampling.shardManifest _,
+    "q119_stream_pii_redact" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.piiRedactStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -338,6 +340,10 @@ object SparkEntry {
     "q114_train_order"      -> Sampling.trainOrderSql,
     "q115_dup_span_redact"  -> Dedup.dupSpanRedactSql,
     "q116_perplexity_buckets" -> TextAnalytics.perplexityBucketsSql,
-    "q117_cluster_sample"   -> Similarity.clusterBalancedSampleSql
+    "q117_cluster_sample"   -> Similarity.clusterBalancedSampleSql,
+    "q118_shard_manifest"   -> Sampling.shardManifestSql,
+    // the redaction replay is row-identical to batch q68 (shared
+    // row-level core), so q68's oracle serves both
+    "q119_stream_pii_redact" -> TextAnalytics.piiRedactSql
   )
 }

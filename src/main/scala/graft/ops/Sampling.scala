@@ -449,19 +449,26 @@ object Sampling {
     * every partition task-sized by construction — the same discipline
     * as WebDataset/TFRecord sharding. No global sort, no single-
     * partition window, no driver state. */
-  def trainOrder(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The ONE definition of q114/q118's shard order: shard = hash mod
+    * [[NumShards]], position = row_number over (h, doc_id) within the
+    * shard. Shared so the manifest can never checksum a different
+    * order than the one the trainer consumes. Input must carry a
+    * `doc_id` column; any extra columns ride along (keep them NARROW —
+    * they pass through the per-shard sort). */
+  private def withShardOrder(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"))
-      .withColumn("h", docIdHash)
+    df.withColumn("h", docIdHash)
       .withColumn("shard", pmod(col("h"), lit(NumShards)))
       .withColumn("position", row_number().over(w).cast("long"))
+  }
+
+  def trainOrder(spark: SparkSession, sfDir: String): DataFrame =
+    withShardOrder(Tables.documents(spark, sfDir).select(col("doc_id")))
       .withColumn("global_step",
         (col("position") - 1L) * lit(NumShards) + col("shard"))
       .select("doc_id", "shard", "position", "global_step")
       .orderBy("doc_id")
-  }
 
   def trainOrderSql: String =
     s"""WITH t AS (
@@ -474,4 +481,60 @@ object Sampling {
        |  (position - 1) * $NumShards + shard AS global_step
        |FROM r
        |ORDER BY doc_id""".stripMargin
+
+  /** Modulus for q118's order-sensitive checksum (a prime < 2^30). */
+  val ManifestMod = 1000000007L
+
+  /** q118: shard manifest — the release artifact that rides q114's
+    * training order: per shard, the doc count, the id checksum, the
+    * token mass, and an ORDER-SENSITIVE content checksum
+    * `Σ (position × contentHash) mod p` — swapping any two unequal
+    * docs, dropping one, or altering any text changes it, so a
+    * consumer can verify both WHAT a shard contains and in WHAT ORDER
+    * without re-reading the corpus (the role a WebDataset/TFRecord
+    * release manifest plays). The per-term product is reduced mod p
+    * BEFORE summing: position ≤ 10^9 × hash < 2^32 stays inside i64
+    * per term, and the running sum of mod-p terms needs ~10^9 rows per
+    * shard to approach overflow — beyond any sane shard size, and the
+    * final reduction restores canonical form anyway.
+    *
+    * Scale shape: content hash and token count are computed BEFORE the
+    * per-shard sort, so only narrow (doc_id, h, ch, ntok) rows pass
+    * through the window — the raw text never shuffles; the shard/order
+    * derivation is literally q114's ([[withShardOrder]] — one
+    * definition, so the manifest cannot checksum a different order
+    * than the trainer consumes); the aggregate is one keyed pass with
+    * map-side combine onto shards-sized output. */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val narrow = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.core.Hash32.column("md5(text)").as("ch"),
+        size(TextAnalytics.tokens(col("text"))).cast("long").as("ntok"))
+    withShardOrder(narrow)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("ntok")).as("n_tokens"),
+        pmod(sum(pmod(col("position") * col("ch"), lit(ManifestMod))),
+          lit(ManifestMod)).as("ordered_checksum"))
+      .orderBy("shard")
+  }
+
+  def shardManifestSql: String = {
+    val ch = graft.core.Hash32.sql("md5(text)")
+    s"""WITH t AS (
+       |  SELECT doc_id, $sqlDocHash AS h, $ch AS ch,
+       |    cast(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) as bigint) AS ntok
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, ch, ntok, h % $NumShards AS shard,
+       |    row_number() OVER (PARTITION BY h % $NumShards ORDER BY h, doc_id) AS position
+       |  FROM t)
+       |SELECT shard, cast(count(*) as bigint) AS n_docs,
+       |  cast(sum(doc_id) as bigint) AS id_sum,
+       |  cast(sum(ntok) as bigint) AS n_tokens,
+       |  cast(sum((position * ch) % $ManifestMod) % $ManifestMod as bigint) AS ordered_checksum
+       |FROM r GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
 }

@@ -303,14 +303,19 @@ object TextAnalytics {
     * regardless of pass order). Map-side scan work, no shuffle except
     * the presentation sort; at 100 TB this runs at read speed and the
     * redacted column writes straight back out. */
-  def piiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The q68 row-level redaction projection over an arbitrary
+    * (doc_id, text) frame — the ONE core the batch report and the
+    * streaming twin (q119) both run, so redact-at-ingest cannot drift
+    * from the oracle-checked batch. Stateless scan work: safe per
+    * micro-batch by construction. */
+  private[graft] def piiRedactCore(docs: DataFrame): DataFrame = {
     val red =
       regexp_replace(
         regexp_replace(
           regexp_replace(col("text"), lit(PiiEmailRe), lit("<EMAIL>")),
           lit(PiiPhoneRe), lit("<PHONE>")),
         lit(PiiIpRe), lit("<IP>"))
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), red.as("red"),
         (regexp_count(col("text"), lit(PiiEmailRe)) +
           regexp_count(col("text"), lit(PiiPhoneRe)) +
@@ -319,8 +324,10 @@ object TextAnalytics {
         md5(col("red").cast("binary")).as("redacted_hash"),
         length(col("red")).cast("long").as("redacted_len"),
         col("n_pii_matches"))
-      .orderBy("doc_id")
   }
+
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    piiRedactCore(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
   def piiRedactSql: String = {
     def esc(re: String) = re.replace("'", "''")

@@ -252,6 +252,41 @@ object DedupStream {
     * file (verdict rows, not documents); at 100 TB/day this is
     * embarrassingly parallel map work whose only bottleneck is source
     * read bandwidth. */
+  private val piiCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q119: STREAMING PII redaction — q68's enforcement applied as the
+    * crawl lands, so raw PII never persists past ingest (the
+    * operational reason this runs at the firehose rather than as a
+    * later batch pass). Each micro-batch runs the SAME row-level
+    * `piiRedactCore` projection as the batch report — shared code,
+    * stateless, nothing checkpointed but source offsets; replay is
+    * row-identical to batch q68 by construction, so q68's oracle
+    * serves both. With q111 (gate) and q112 (decontam screen) this is
+    * the third stateless stage of the ingest front door. */
+  def piiRedactStream(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    val run = piiCounter.incrementAndGet()
+    val outDir = StreamScratch.dir(s"graft_pii_$run")
+    val ckDir = StreamScratch.dir(s"graft_pii_ck_$run")
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select("doc_id", "text")
+    val q = stream.writeStream
+      .queryName(s"graft_pii_$run")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.TextAnalytics.piiRedactCore(batch)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   def gateStream(spark: org.apache.spark.sql.SparkSession,
                  sfDir: String): org.apache.spark.sql.DataFrame = {
     val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
