@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, ChatOracle, Classifier, Dedup, Events, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
+import graft.ops.{Analytics, BpeTrain, ChatOracle, Classifier, Dedup, Events, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -150,7 +150,10 @@ object SparkEntry {
     "q116_perplexity_buckets" -> TextAnalytics.perplexityBuckets _,
     "q117_cluster_sample"   -> Similarity.clusterBalancedSample _,
     "q118_shard_manifest"   -> Sampling.shardManifest _,
-    "q119_stream_pii_redact" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.piiRedactStream(s, d))
+    "q119_stream_pii_redact" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.piiRedactStream(s, d)),
+    "q120_within_doc_redact" -> TextAnalytics.withinDocRedact _,
+    "q121_bpe_pairs"        -> BpeTrain.bpePairs _,
+    "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisal _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -344,6 +347,9 @@ object SparkEntry {
     "q118_shard_manifest"   -> Sampling.shardManifestSql,
     // the redaction replay is row-identical to batch q68 (shared
     // row-level core), so q68's oracle serves both
-    "q119_stream_pii_redact" -> TextAnalytics.piiRedactSql
+    "q119_stream_pii_redact" -> TextAnalytics.piiRedactSql,
+    "q120_within_doc_redact" -> TextAnalytics.withinDocRedactSql,
+    "q121_bpe_pairs"        -> BpeTrain.bpePairsSql,
+    "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisalSql
   )
 }

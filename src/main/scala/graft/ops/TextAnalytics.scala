@@ -217,6 +217,111 @@ object TextAnalytics {
        |FROM ls LEFT JOIN bs ON ls.doc_id = bs.doc_id
        |ORDER BY ls.doc_id""".stripMargin
 
+  /** Span length for q120's within-document repeat surgery. Shorter
+    * than cross-doc [[graft.ops.Dedup.DupSpanN]] (5): within one
+    * document the repeating unit is local boilerplate (a looped
+    * sentence fragment, a templated row), which repeats at shorter
+    * range than the pasted-paragraph scale cross-doc dedup targets. */
+  val WithinSpanN = 3
+
+  /** q120: within-document repeated-span removal — the ENFORCEMENT
+    * half of q61's repetition detection, completing the fourth
+    * detect→enforce pair (q62→q109, q64→q68, q65→q115, q61→q120).
+    * Where the Gopher rules (Rae et al. 2021 §A1.1) DROP a document
+    * whose internal repetition crosses a threshold, this is the
+    * surgical alternative used when the document is otherwise worth
+    * keeping (crawler loops, templated listings): every word
+    * [[WithinSpanN]]-gram occurrence whose gram already occurred at an
+    * earlier position IN THE SAME DOCUMENT is cut (position-union over
+    * repeat spans, the q115 compose rule), the first occurrence
+    * survives, and the oracle hashes the rebuilt text so removal
+    * extents are cross-engine-pinned. Cross-doc repeats are q115's
+    * scope; this pass only ever compares a document with itself.
+    *
+    * Scale shape: the ONLY span-surgery operator that is fully
+    * scan-local — repeats are defined within one row, so first-seen
+    * detection, position cover, and rebuild all happen in one typed
+    * map over the documents scan with ZERO shuffle (the presentation
+    * sort aside); at 100 TB it runs at read speed next to q68's PII
+    * pass. Grams compare by STRING equality, not hash — there is no
+    * shuffle to keep narrow, so collision-freedom is free. */
+  def withinDocRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val n = WithinSpanN
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val covered = new Array[Boolean](t.length)
+          val seen = new scala.collection.mutable.HashSet[String]
+          var i = 0
+          while (i <= t.length - n) {
+            val g = t.slice(i, i + n).mkString(" ")
+            if (!seen.add(g)) {
+              var j = i
+              while (j < i + n) { covered(j) = true; j += 1 }
+            }
+            i += 1
+          }
+          val kept = new StringBuilder
+          var nRem = 0L
+          var j = 0
+          while (j < t.length) {
+            if (covered(j)) nRem += 1L
+            else {
+              if (kept.nonEmpty) kept.append(' ')
+              kept.append(t(j))
+            }
+            j += 1
+          }
+          (id, t.length.toLong, nRem, kept.toString)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "rt")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_removed") === 0L).as("clean"),
+        md5(col("rt").cast("binary")).as("redacted_hash"))
+      .orderBy("doc_id")
+  }
+
+  def withinDocRedactSql: String = {
+    val n = WithinSpanN
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toksl AS (
+       |  SELECT doc_id, $sqlTokens t FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(len(t))) AS i, t FROM toksl),
+       |gram AS (
+       |  SELECT doc_id, i, $gramExpr AS g FROM pos WHERE i <= len(t) - $n),
+       |bad AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i,
+       |      row_number() OVER (PARTITION BY doc_id, g ORDER BY i) AS rn
+       |    FROM gram)
+       |  WHERE rn > 1),
+       |cov AS (
+       |  SELECT DISTINCT p.doc_id, p.i
+       |  FROM pos p JOIN bad b ON p.doc_id = b.doc_id
+       |    AND p.i BETWEEN b.i AND b.i + ${n - 1}),
+       |red AS (
+       |  SELECT p.doc_id,
+       |    cast(count(*) as bigint) AS n_tokens,
+       |    cast(sum(CASE WHEN c.i IS NULL THEN 0 ELSE 1 END) as bigint) AS n_removed,
+       |    coalesce(string_agg(CASE WHEN c.i IS NULL THEN p.t[p.i+1] END, ' ' ORDER BY p.i), '') AS rt
+       |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
+       |  GROUP BY p.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(r.n_tokens, 0) AS n_tokens,
+       |  coalesce(r.n_removed, 0) AS n_removed,
+       |  coalesce(r.n_removed, 0) = 0 AS clean,
+       |  md5(coalesce(r.rt, '')) AS redacted_hash
+       |FROM documents d
+       |LEFT JOIN red r USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Token budget per training pack for [[sequencePacking]]. */
   val PackBudgetTokens = 512L
 
@@ -994,6 +1099,90 @@ object TextAnalytics {
     s"""WITH $sqlSurprisalCtes
        |SELECT doc_id, n_tokens, surprisal_sum, surprisal_mean_milli
        |FROM sp
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-doc bigram frequencies, computed scan-locally (the tfRows
+    * discipline at order 2: a doc's bigram counts collapse inside the
+    * flatMap, so the shuffle carries per-doc BIGRAM-VOCAB rows, never
+    * token occurrences). */
+  private def bigramTfRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+          var i = 0
+          while (i < t.length - 1) {
+            val k = (t(i), t(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + 1L)
+            i += 1
+          }
+          m.iterator.map { case ((a, b), c) => (id, a, b, c) }
+        }
+      }
+      .toDF("doc_id", "w1", "w2", "tf")
+  }
+
+  /** q122: bigram-LM surprisal — the previous-token-conditional
+    * upgrade of q94's unigram scores, one step toward the n-gram LM
+    * CCNet actually filters with (Wenzek et al. 2020 score documents
+    * with a 5-gram KenLM; the unigram↔bigram gap is where "common
+    * words in impossible order" — shuffled/generated/spam text — first
+    * becomes visible, since q94 is permutation-blind by construction).
+    * Per position, -log2 p(w₂|w₁) is replaced by the integer bit-length
+    * gap bitlen(ctx(w₁)) - bitlen(bf(w₁,w₂)) — ctx(w₁) = how often w₁
+    * appears as a context, bf = the bigram's corpus count — the same
+    * no-libm floor-log2 (±1) discipline as q94/q85/q78, so every
+    * column hash-checks cross-engine. Scoring the corpus against its
+    * own counts means no unseen bigram ever needs backoff (bf ≥ 1 by
+    * construction); docs with fewer than two tokens carry no bigram
+    * signal and are absent, exactly as zero-token docs are from q94.
+    *
+    * Scale shape: per-doc bigram frequencies at scan speed
+    * ([[bigramTfRows]] — token occurrences never shuffle); the global
+    * bigram-count table is ONE bigram-vocabulary-sized aggregate and
+    * the context table folds out of IT (vocabulary-sized, no extra
+    * corpus pass); both join back UNHINTED — stats broadcast at
+    * bounded vocabularies and degrade to keyed shuffle joins at
+    * web-scale ones (the q94 lesson); the per-doc score is a keyed agg
+    * over vocabulary-collapsed rows. */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    // btf re-derives per consumer (the q94 tfRows precedent: exploded
+    // row tables are cheaper to recompute at scan speed than to cache)
+    val btf = bigramTfRows(spark, sfDir)
+    val bf = btf.groupBy("w1", "w2").agg(sum(col("tf")).as("bf"))
+    val ctx = bf.groupBy("w1").agg(sum(col("bf")).as("cf1"))
+    btf.join(bf, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .withColumn("s_big",
+        (length(bin(col("cf1"))) - length(bin(col("bf")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("s_big")).as("surprisal_sum"))
+      .withColumn("surprisal_mean_milli",
+        expr("surprisal_sum * 1000 div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  def bigramSurprisalSql: String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id, $sqlTokens t FROM documents),
+       |btf AS (
+       |  SELECT doc_id, w1, w2, cast(count(*) as bigint) AS tf FROM (
+       |    SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+       |    FROM (SELECT doc_id, unnest(range(len(t) - 1)) AS i, t FROM toksl))
+       |  GROUP BY doc_id, w1, w2),
+       |bf AS (SELECT w1, w2, cast(sum(tf) as bigint) AS bf FROM btf GROUP BY w1, w2),
+       |ctx AS (SELECT w1, cast(sum(bf) as bigint) AS cf1 FROM bf GROUP BY w1)
+       |SELECT doc_id,
+       |  cast(sum(tf) as bigint) AS n_bigrams,
+       |  cast(sum(tf * (length(bin(cf1)) - length(bin(bf)))) as bigint) AS surprisal_sum,
+       |  (cast(sum(tf * (length(bin(cf1)) - length(bin(bf)))) as bigint) * 1000)
+       |    // cast(sum(tf) as bigint) AS surprisal_mean_milli
+       |FROM btf JOIN bf USING (w1, w2) JOIN ctx USING (w1)
+       |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
   /** q116: CCNet-style perplexity buckets (Wenzek et al. 2020,

@@ -461,6 +461,151 @@ class Round6OpsSpec extends SparkSpec {
       assert(csOf(rs.toSeq) != csOf(swapped.toSeq), "checksum blind to order")
   }
 
+  // ---------------------------------------------------------------- q120
+
+  test("q120: within-doc span redaction matches an independent first-occurrence reference and is scan-local") {
+    val n = graft.ops.TextAnalytics.WithinSpanN
+    // independent reference: pure-Scala first-seen scan per doc
+    def ref(txt: String): (Long, Long, String) = {
+      val t = toks(txt)
+      val covered = new Array[Boolean](t.length)
+      val seen = scala.collection.mutable.Set.empty[Seq[String]]
+      for (i <- 0 to t.length - n)
+        if (!seen.add(t.slice(i, i + n).toSeq))
+          (i until i + n).foreach(covered(_) = true)
+      val kept = t.indices.filter(!covered(_)).map(t(_)).mkString(" ")
+      (t.length.toLong, covered.count(identity).toLong, kept)
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = graft.ops.TextAnalytics.withinDocRedact(spark, sf0001).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val (nt, nRem, kept) = ref(docs(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_tokens") == nt)
+      assert(r.getAs[Long]("n_removed") == nRem)
+      assert(r.getAs[Boolean]("clean") == (nRem == 0L))
+      assert(r.getAs[String]("redacted_hash") == md5hex(kept),
+        s"doc ${r.getAs[Long]("doc_id")} redacted text")
+    }
+    // the corpus must exercise both branches
+    assert(out.exists(!_.getAs[Boolean]("clean")), "no doc with a within-doc repeat")
+    assert(out.exists(_.getAs[Boolean]("clean")), "no clean doc")
+    // planted probe: the second x y z occurrence is cut, the first kept;
+    // overlapping self-repeats (a a a a) keep only the first gram's span
+    assert(ref("x y z w x y z") == (7L, 3L, "x y z w"))
+    assert(ref("a a a a") == (4L, 3L, "a"))
+    // scan-local: no join, no aggregate, no shuffle except the
+    // presentation sort's range partitioning
+    val plan = graft.ops.TextAnalytics.withinDocRedact(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert("Exchange".r.findAllIn(plan).length == 1, plan)
+  }
+
+  // ---------------------------------------------------------------- q121
+
+  test("q121: BPE trainer matches an independent JVM reference over the collected word counts") {
+    // independent reference: word counts, then k greedy merges with the
+    // (count DESC, pair ASC) tie-break, left-to-right non-overlapping
+    val words = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().flatMap(r => toks(r.getString(0)))
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }.toSeq
+    def applyOne(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: applyOne(rest, l, r)
+      case a :: rest => a :: applyOne(rest, l, r)
+      case Nil => Nil
+    }
+    def refTrain(k: Int): Seq[(Long, String, String, Long)] = {
+      var state = words.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      var rank = 1L
+      while (rank <= k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.foreach { case (syms, c) =>
+          syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) rank = k + 1L
+        else {
+          val ((l, r), n) = counts.minBy { case ((l, r), n) => (-n, l, r) }
+          out += ((rank, l, r, n))
+          state = state.map { case (syms, c) => (applyOne(syms, l, r), c) }
+          rank += 1L
+        }
+      }
+      out.toSeq
+    }
+    val k = graft.ops.BpeTrain.BpeMerges
+    val ref = refTrain(k)
+    val got = graft.ops.BpeTrain.trainBpe(spark, sf0001, k).collect()
+      .map(r => (r.getAs[Long]("merge_rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("n_weighted"))).toSeq
+    assert(got == ref)
+    // merges must actually compound: at least one learned symbol is
+    // multi-character by rank k (a merge consumed an earlier merge's
+    // output), otherwise the loop never left step-0 statistics
+    assert(ref.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 },
+      s"no compound merge in $ref — trainer state is not advancing")
+    // q121 (the oracle-checked first step) agrees with the reference's
+    // rank-1 pair and count
+    val first = graft.ops.BpeTrain.bpePairs(spark, sf0001).collect()
+      .find(_.getAs[Long]("merge_rank") == 1L).get
+    assert((first.getAs[String]("left_sym"), first.getAs[String]("right_sym"),
+      first.getAs[Long]("n_weighted")) == ((ref.head._2, ref.head._3, ref.head._4)))
+  }
+
+  // ---------------------------------------------------------------- q122
+
+  test("q122: bigram surprisal matches an independent reference and sees word order where q94 cannot") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+    // independent reference: global bigram + context counts, then per-doc
+    // sums of the bit-length gaps
+    def bitlen(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val bf = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (_, t) =>
+      t.zip(t.drop(1)).foreach(p => bf(p) = bf.getOrElse(p, 0L) + 1L)
+    }
+    val ctx = bf.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val expected = docs.filter(_._2.length >= 2).map { case (id, t) =>
+      val pairs = t.zip(t.drop(1))
+      val s = pairs.map(p => (bitlen(ctx(p._1)) - bitlen(bf(p))).toLong).sum
+      id -> ((pairs.length.toLong, s, s * 1000L / pairs.length))
+    }.toMap
+    val out = graft.ops.TextAnalytics.bigramSurprisal(spark, sf0001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (nb, s, m) = {
+        val e = expected(r.getAs[Long]("doc_id")); (e._1, e._2, e._3)
+      }
+      assert(r.getAs[Long]("n_bigrams") == nb)
+      assert(r.getAs[Long]("surprisal_sum") == s)
+      assert(r.getAs[Long]("surprisal_mean_milli") == m)
+    }
+    // order sensitivity: q94 is permutation-blind (bag-of-words), the
+    // bigram score is not — verified on the reference machinery by
+    // scoring one doc's tokens reversed: same unigram bag, different
+    // bigram sum (for any doc whose reversed bigrams differ in count)
+    val probe = docs.find { case (_, t) =>
+      t.length >= 2 && {
+        val rev = t.reverse
+        val sFwd = t.zip(t.drop(1)).map(p => (bitlen(ctx(p._1)) - bitlen(bf(p))).toLong).sum
+        rev.zip(rev.drop(1)).forall(bf.contains) && {
+          val sRev = rev.zip(rev.drop(1)).map(p => (bitlen(ctx(p._1)) - bitlen(bf(p))).toLong).sum
+          sFwd != sRev
+        }
+      }
+    }
+    assert(probe.nonEmpty, "no doc demonstrates order sensitivity")
+  }
+
   // ---------------------------------------------------------------- q119
 
   test("q119: streaming PII redaction replay is row-identical to the batch redaction") {
