@@ -35,10 +35,16 @@ object Tables {
     normalizeEventTs(table(spark, sfDir, "events"))
   }
 
-  /** ts: long (epoch nanos) -> ts: timestamp, if needed (no-op otherwise). */
+  /** ts: long (epoch nanos) or TIMESTAMP_NTZ -> ts: timestamp, if needed
+    * (no-op otherwise). The NTZ arm covers generator versions that write
+    * timestamp[us] with isAdjustedToUTC=false, which Spark 4 infers as
+    * TIMESTAMP_NTZ; sessions pin spark.sql.session.timeZone=UTC, so the
+    * wall-clock reinterpretation is the identity on the stored micros. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     else df
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
