@@ -153,7 +153,8 @@ object SparkEntry {
     "q119_stream_pii_redact" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.piiRedactStream(s, d)),
     "q120_within_doc_redact" -> TextAnalytics.withinDocRedact _,
     "q121_bpe_pairs"        -> BpeTrain.bpePairs _,
-    "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisal _
+    "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisal _,
+    "q123_vocab_coverage"   -> TextAnalytics.vocabCoverage _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -350,6 +351,7 @@ object SparkEntry {
     "q119_stream_pii_redact" -> TextAnalytics.piiRedactSql,
     "q120_within_doc_redact" -> TextAnalytics.withinDocRedactSql,
     "q121_bpe_pairs"        -> BpeTrain.bpePairsSql,
-    "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisalSql
+    "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisalSql,
+    "q123_vocab_coverage"   -> TextAnalytics.vocabCoverageSql
   )
 }

@@ -73,6 +73,108 @@ object TextAnalytics {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Vocab-size checkpoints for q123's coverage curve. Spanning the
+    * spec corpus's 31-type vocabulary so both branches run at every SF:
+    * 4/8/16 land inside the curve, 64 exhausts it. Real tokenizer
+    * sizing passes powers of two up to the candidate budget (8k…256k). */
+  val CoverageCheckpoints: Seq[Long] = Seq(4L, 8L, 16L, 64L)
+
+  /** q123: vocabulary-coverage curve — corpus token mass covered by the
+    * top-V frequency-ranked word types at each checkpoint V, the report
+    * a tokenizer-vocabulary budget is picked FROM (the complement of
+    * q55, which fixes ONE vocab and scores documents; this scores the
+    * BUDGET AXIS itself, and reads next to q121's trainer: train k
+    * merges, then ask what cumulative mass each vocab prefix buys).
+    *
+    * Exactness without a global sort: coverage at V is a function of
+    * the count-value HISTOGRAM alone — all types tied at one count are
+    * interchangeable, so "top V types" has a well-defined mass even
+    * when V splits a tie run: full runs above the boundary contribute
+    * whole mass, the split run contributes (V - types_above) × count
+    * (the q116 value-based discipline). No per-type ranking exists
+    * anywhere in the plan.
+    *
+    * Scale shape: ONE corpus pass builds the type-count table
+    * (map-side combined); the histogram collapses it to ≤
+    * distinct-count-values rows (√-ish of corpus mass under Zipf,
+    * NEVER type-count-sized); the cumulative window runs over
+    * HISTOGRAM rows only and the checkpoint lookup is a broadcast
+    * theta-join of a constants-sized frame against it. A 10⁸-type
+    * web vocabulary never sorts and never single-tasks. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverageOf(spark,
+      Tables.documents(spark, sfDir)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt")),
+      CoverageCheckpoints)
+
+  /** Core over an arbitrary (tok, cnt) type-count table — the seam the
+    * spec uses to plant tie runs the synthetic corpus may not exhibit. */
+  private[graft] def vocabCoverageOf(spark: SparkSession, wc: DataFrame,
+                                     checkpoints: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hist = wc.groupBy("cnt")
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("mass"))
+    // histogram-sized frame: ordered by count desc, ties impossible
+    // (cnt is the group key), so the running sums are deterministic
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum_types", sum(col("n_types")).over(w))
+      .withColumn("cum_mass", sum(col("mass")).over(w))
+    val totals = wc.agg(count(lit(1)).as("total_types"),
+      coalesce(sum(col("cnt")), lit(0L)).as("total_mass"))
+    val cps = checkpoints.sorted.toDF("vocab_size")
+    // the row the V-th ranked type falls in; absent iff V exhausts the
+    // vocabulary, in which case coverage is total mass by definition
+    cps.join(cum,
+        col("cum_types") >= col("vocab_size") &&
+        col("cum_types") - col("n_types") < col("vocab_size"), "left")
+      .crossJoin(totals)
+      .select(col("vocab_size"),
+        col("total_types"), col("total_mass"),
+        coalesce(
+          col("cum_mass") - (col("cum_types") - col("vocab_size")) * col("cnt"),
+          col("total_mass")).as("covered_mass"),
+        (col("vocab_size") >= col("total_types")).as("vocab_exhausted"))
+      .withColumn("coverage_permille",
+        when(col("total_mass") === 0L, lit(1000L))
+          .otherwise(expr("covered_mass * 1000 div total_mass")))
+      .orderBy("vocab_size")
+  }
+
+  def vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest($sqlTokens) AS tok FROM documents),
+       |wc AS (SELECT tok, cast(count(*) as bigint) AS cnt FROM toks GROUP BY tok),
+       |hist AS (
+       |  SELECT cnt, cast(count(*) as bigint) AS n_types,
+       |    cast(sum(cnt) as bigint) AS mass
+       |  FROM wc GROUP BY cnt),
+       |cum AS (
+       |  SELECT cnt, n_types,
+       |    cast(sum(n_types) OVER (ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_types,
+       |    cast(sum(mass) OVER (ORDER BY cnt DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum_mass
+       |  FROM hist),
+       |totals AS (
+       |  SELECT cast(count(*) as bigint) AS total_types,
+       |    cast(coalesce(sum(cnt), 0) as bigint) AS total_mass FROM wc),
+       |cps AS (SELECT unnest([${CoverageCheckpoints.sorted.mkString(", ")}]) AS vocab_size)
+       |SELECT cast(vocab_size as bigint) AS vocab_size, total_types, total_mass,
+       |  cast(coalesce(cum_mass - (cum_types - vocab_size) * cnt, total_mass) as bigint)
+       |    AS covered_mass,
+       |  vocab_size >= total_types AS vocab_exhausted,
+       |  CASE WHEN total_mass = 0 THEN 1000
+       |    ELSE cast(coalesce(cum_mass - (cum_types - vocab_size) * cnt, total_mass) as bigint)
+       |      * 1000 // total_mass END AS coverage_permille
+       |FROM cps
+       |LEFT JOIN cum ON cum_types >= vocab_size AND cum_types - n_types < vocab_size
+       |CROSS JOIN totals
+       |ORDER BY vocab_size""".stripMargin
+
   /** q59: Zipf-rank quality score. Each token gets its rank in the
     * global frequency table (1 = most common; tokens outside the
     * top-`VocabSize` share the tail rank V+1), and each document is
