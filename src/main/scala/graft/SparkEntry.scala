@@ -154,7 +154,8 @@ object SparkEntry {
     "q120_within_doc_redact" -> TextAnalytics.withinDocRedact _,
     "q121_bpe_pairs"        -> BpeTrain.bpePairs _,
     "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisal _,
-    "q123_vocab_coverage"   -> TextAnalytics.vocabCoverage _
+    "q123_vocab_coverage"   -> TextAnalytics.vocabCoverage _,
+    "q124_edit_verified_pairs" -> ((s: SparkSession, d: String) => Dedup.editVerifiedPairs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -352,6 +353,7 @@ object SparkEntry {
     "q120_within_doc_redact" -> TextAnalytics.withinDocRedactSql,
     "q121_bpe_pairs"        -> BpeTrain.bpePairsSql,
     "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisalSql,
-    "q123_vocab_coverage"   -> TextAnalytics.vocabCoverageSql
+    "q123_vocab_coverage"   -> TextAnalytics.vocabCoverageSql,
+    "q124_edit_verified_pairs" -> Dedup.editVerifiedPairsSql
   )
 }

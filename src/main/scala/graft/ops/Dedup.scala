@@ -360,6 +360,84 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Shingle-overlap screen admitting a candidate into q124's edit
+    * verification — deliberately BELOW q14's 0.7 merge threshold: the
+    * verifier's whole value is adjudicating the marginal band where
+    * bag-of-shingles similarity alone is not trustworthy. */
+  val EditScreenPermille = 400L
+
+  /** Edit similarity at or above which q124 confirms a candidate. */
+  val EditConfirmPermille = 700L
+
+  /** q124: edit-distance verification of LSH candidate pairs — the
+    * sequence-level confirmation stage of a MinHash dedup pipeline.
+    * Shingle Jaccard is a SET metric: two documents built from the same
+    * template with entities swapped, or with paragraphs reordered, can
+    * share most of their shingle bag while differing substantially as
+    * SEQUENCES — merging on bag overlap alone is how template families
+    * eat distinct documents. Every candidate above the
+    * [[EditScreenPermille]] bag screen gets the exact Levenshtein
+    * verdict: sim‰ = 1000 − lev·1000 div max(|a|,|b|) (integer, so the
+    * whole report hash-checks), `confirmed` = sim ≥
+    * [[EditConfirmPermille]]. Rejected candidates stay IN the report —
+    * what verification refused is the interesting half of the artifact.
+    *
+    * Scale shape: the O(|a|·|b|) DP is the expensive verifier, so it
+    * runs on the LSH-bounded candidate list only (never any corpus
+    * pair), AFTER the cheap set-overlap screen — [[candidateOverlap]]'s
+    * `bandCap` upstream bounds the list under template-family skew, and
+    * the two text fetches are equi-joins keyed on doc_id. Spark's
+    * `levenshtein` is a codegen'd built-in; production runs with a doc
+    * length cap or the thresholded `levenshtein(a, b, k)` variant
+    * (early-exit DP), which the oracle-checked default avoids only
+    * because its -1-beyond-k convention is not portable SQL. */
+  def editVerifiedPairs(spark: SparkSession, sfDir: String,
+                        bits: Int = DefaultHashBits,
+                        bandCap: Option[Int] = None): DataFrame =
+    editVerifyCore(
+      candidateOverlap(spark, sfDir, bits, bandCap),
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+
+  /** Core over arbitrary (doc_a, doc_b, inter, uni) candidates and
+    * (doc_id, text) documents — the seam the spec uses to plant
+    * bag-equal / sequence-different pairs the corpus lacks. */
+  private[graft] def editVerifyCore(cands: DataFrame, docs: DataFrame): DataFrame = {
+    val da = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val db = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    cands
+      .withColumn("jacc_permille", expr("inter * 1000 div uni"))
+      .filter(col("jacc_permille") >= EditScreenPermille)
+      .join(da, Seq("doc_a")).join(db, Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+      .withColumn("len_max",
+        greatest(length(col("ta")), length(col("tb"))).cast("long"))
+      .withColumn("sim_permille",
+        lit(1000L) - expr("lev * 1000 div len_max"))
+      .withColumn("confirmed", col("sim_permille") >= EditConfirmPermille)
+      .select("doc_a", "doc_b", "jacc_permille", "lev", "sim_permille", "confirmed")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def editVerifiedPairsSql: String =
+    s"""WITH $sqlCandCtes,
+       |screened AS (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.s, sb.s)) * 1000 // len(list_distinct(sa.s || sb.s)) AS jacc_permille
+       |  FROM cand
+       |  JOIN sets sa ON doc_a = sa.doc_id
+       |  JOIN sets sb ON doc_b = sb.doc_id
+       |  WHERE len(list_intersect(sa.s, sb.s)) * 1000 // len(list_distinct(sa.s || sb.s)) >= $EditScreenPermille)
+       |SELECT doc_a, doc_b, cast(jacc_permille as bigint) AS jacc_permille,
+       |  cast(levenshtein(da.text, db.text) as bigint) AS lev,
+       |  cast(1000 - levenshtein(da.text, db.text) * 1000
+       |    // greatest(length(da.text), length(db.text)) as bigint) AS sim_permille,
+       |  1000 - levenshtein(da.text, db.text) * 1000
+       |    // greatest(length(da.text), length(db.text)) >= $EditConfirmPermille AS confirmed
+       |FROM screened
+       |JOIN documents da ON doc_a = da.doc_id
+       |JOIN documents db ON doc_b = db.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------------------
   // n-gram Jaccard pairs: sparse inverted-index join (the default and
   // the scale path) + blocked pairwise baseline (spec cross-check).

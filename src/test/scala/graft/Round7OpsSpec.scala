@@ -64,6 +64,83 @@ class Round7OpsSpec extends SparkSpec {
     assert(empty(0).getAs[Boolean]("vocab_exhausted"))
   }
 
+  // ---------------------------------------------------------------- q124
+
+  /** Independent classic DP Levenshtein. */
+  private def lev(a: String, b: String): Long = {
+    val prev = Array.tabulate(b.length + 1)(_.toLong)
+    val cur = new Array[Long](b.length + 1)
+    for (i <- 1 to a.length) {
+      cur(0) = i.toLong
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0L else 1L)
+        cur(j) = math.min(math.min(prev(j) + 1L, cur(j - 1) + 1L), sub)
+      }
+      Array.copy(cur, 0, prev, 0, cur.length)
+    }
+    prev(b.length)
+  }
+
+  test("q124: edit verdicts match an independent DP reference on every reported pair") {
+    val texts = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val out = graft.ops.Dedup.editVerifiedPairs(spark, sf0001, 32).collect()
+    assert(out.nonEmpty, "no candidates above the screen at sf0.001")
+    out.foreach { r =>
+      val (a, b) = (texts(r.getAs[Long]("doc_a")), texts(r.getAs[Long]("doc_b")))
+      val l = lev(a, b)
+      val simP = 1000L - l * 1000L / math.max(a.length, b.length)
+      assert(r.getAs[Long]("lev") == l)
+      assert(r.getAs[Long]("sim_permille") == simP)
+      assert(r.getAs[Boolean]("confirmed") ==
+        (simP >= graft.ops.Dedup.EditConfirmPermille))
+      assert(r.getAs[Long]("jacc_permille") >= graft.ops.Dedup.EditScreenPermille)
+    }
+    // ordering is the presentation contract
+    val keys = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    assert(keys == keys.sorted)
+    // measured corpus property this spec RELIES on elsewhere: at sf0.001
+    // every LSH candidate is a true near-dup, so the reject branch must
+    // be exercised by the planted case below, not here
+    assert(out.forall(_.getAs[Boolean]("confirmed")))
+  }
+
+  test("q124: planted bag-similar/sequence-different pair is screened in but rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the red fox jumped over the lazy dog near the old barn today"),
+      (2L, "today barn old the near dog lazy the over jumped fox red the"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta epsilonX"),
+      (5L, "completely unrelated text here")).toDF("doc_id", "text")
+    // planted candidates: (1,2) high bag overlap, scrambled order;
+    // (3,4) one-char edit; (1,5) below the screen -> must be dropped
+    val cands = Seq((1L, 2L, 6L, 10L), (3L, 4L, 5L, 8L), (1L, 5L, 1L, 12L))
+      .toDF("doc_a", "doc_b", "inter", "uni")
+    val rows = graft.ops.Dedup.editVerifyCore(cands, docs).collect()
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq ==
+      Seq((1L, 2L), (3L, 4L)))
+    val r12 = rows(0); val r34 = rows(1)
+    assert(r12.getAs[Long]("jacc_permille") == 600L)
+    assert(!r12.getAs[Boolean]("confirmed"),
+      s"scrambled pair confirmed at sim ${r12.getAs[Long]("sim_permille")}")
+    // the exact DP values, independently computed
+    val t = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(r12.getAs[Long]("lev") == lev(t(1L), t(2L)))
+    assert(r34.getAs[Boolean]("confirmed"))
+    assert(r34.getAs[Long]("lev") == 1L)
+    assert(r34.getAs[Long]("sim_permille") ==
+      1000L - 1000L / t(4L).length)
+  }
+
+  test("q124: verification joins are equi-joins — no nested loop over candidates") {
+    val plan = graft.ops.Dedup.editVerifiedPairs(spark, sf0001, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("q123: no corpus-sized sort or window — ranking never materializes per type") {
     // the cumulative window must consume the count-value HISTOGRAM, not
     // the type table: assert the executed plan's window sits above an
