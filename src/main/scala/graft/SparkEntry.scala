@@ -155,7 +155,8 @@ object SparkEntry {
     "q121_bpe_pairs"        -> BpeTrain.bpePairs _,
     "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisal _,
     "q123_vocab_coverage"   -> TextAnalytics.vocabCoverage _,
-    "q124_edit_verified_pairs" -> ((s: SparkSession, d: String) => Dedup.editVerifiedPairs(s, d))
+    "q124_edit_verified_pairs" -> ((s: SparkSession, d: String) => Dedup.editVerifiedPairs(s, d)),
+    "q125_rp_recall"        -> Similarity.rpRecall _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -354,6 +355,7 @@ object SparkEntry {
     "q121_bpe_pairs"        -> BpeTrain.bpePairsSql,
     "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisalSql,
     "q123_vocab_coverage"   -> TextAnalytics.vocabCoverageSql,
-    "q124_edit_verified_pairs" -> Dedup.editVerifiedPairsSql
+    "q124_edit_verified_pairs" -> Dedup.editVerifiedPairsSql,
+    "q125_rp_recall"        -> Similarity.rpRecallSql
   )
 }

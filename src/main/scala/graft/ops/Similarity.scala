@@ -1255,6 +1255,110 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // Johnson-Lindenstrauss ±1 sign-projection recall (q125).
+  // -------------------------------------------------------------------
+
+  /** Output dimensionality of the JL sign projection (64 → 16, the
+    * same 4× budget point as matryoshka's prefix). */
+  val RpDims = 16
+
+  /** Input dimensionality of the embeddings table. */
+  val EmbDims = 64
+
+  /** The ±1 projection entry for (output dim j, input dim i): parity
+    * of the first md5 nibble of the literal string "rp|j|i" — a HASH
+    * FUNCTION, not a stored matrix, evaluable identically in the JVM
+    * and DuckDB (the Hash32 portability discipline). */
+  private[graft] def rpSign(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp|$j|$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((((d(0) >> 4) & 0xf) % 2) == 0) 1L else -1L
+  }
+
+  /** q125: recall of cosine top-k under a Johnson-Lindenstrauss ±1
+    * sign projection (database-friendly JL, Achlioptas 2003) against
+    * the full-space ranking — the FOURTH compression tier next to PQ
+    * (q54, trained codebooks), SQ8 (q110, per-dim statistics), and
+    * matryoshka (q96, model-baked prefixes). JL's distinguishing
+    * property: it is DATA-INDEPENDENT — no training pass, no stored
+    * codebook, no model cooperation; the matrix is a hash function of
+    * the coordinate pair, so any executor (or any other engine)
+    * regenerates it from nothing, and adding corpus vectors never
+    * invalidates previously-projected ones (the failure mode trained
+    * PQ/SQ8 codebooks have under distribution drift).
+    *
+    * Scale shape: the projection is [[RpDims]] codegen'd integer dot
+    * products against literal sign rows — scan-local arithmetic on
+    * quantized ints, exact in i64 (|p[j]| ≤ 64·2²⁰·10⁶ « 2⁶³), so the
+    * projected similarities hash-check cross-engine; the report rides
+    * q96's one-broadcast-queries-scan shape: both sims per candidate
+    * in one join, two ranks over one window partitioning = one
+    * shuffle. */
+  def rpRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val signRows: Array[Array[Long]] =
+      Array.tabulate(RpDims, EmbDims)((j, i) => rpSign(j, i))
+    def project(v: Column): Column =
+      array((0 until RpDims).map(j =>
+        qdot(typedLit(signRows(j)), v)): _*)
+    val corpus = quantized(spark, sfDir)
+      .withColumn("vp", project(col("v")))
+      .withColumn("nrmp", qdot(col("vp"), col("vp")))
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"),
+          col("v").as("qv"), col("nrm").as("qnrm"),
+          col("vp").as("qvp"), col("nrmp").as("qnrmp")))
+    val w = org.apache.spark.sql.expressions.Window
+    val wf = w.partitionBy("query_id").orderBy(col("sim_full").desc, col("vec_id").asc)
+    val wp = w.partitionBy("query_id").orderBy(col("sim_proj").desc, col("vec_id").asc)
+    corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("sim_full", qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("sim_proj", qcosine(col("qvp"), col("vp"), col("qnrmp"), col("nrmp")))
+      .withColumn("rank_full", row_number().over(wf))
+      .withColumn("rank_proj", row_number().over(wp))
+      .filter(col("rank_full") <= Consts.KnnK || col("rank_proj") <= Consts.KnnK)
+      .groupBy("query_id")
+      .agg(sum(when(col("rank_full") <= Consts.KnnK && col("rank_proj") <= Consts.KnnK, 1L)
+        .otherwise(0L)).as("n_hit"))
+      .withColumn("n_true", lit(Consts.KnnK.toLong))
+      .withColumn("recall_permille", expr("n_hit * 1000 div n_true"))
+      .select("query_id", "n_true", "n_hit", "recall_permille")
+      .orderBy("query_id")
+  }
+
+  def rpRecallSql: String = {
+    val cosP = "cast(list_sum([a.vp[k+1]*b.vp[k+1] for k in range(len(a.vp))]) as double)" +
+      " / (sqrt(cast(a.nrmp as double)) * sqrt(cast(b.nrmp as double)))"
+    s"""WITH q0 AS ($sqlQuantized),
+       |signs AS (
+       |  SELECT j, i,
+       |    CASE WHEN (strpos('0123456789abcdef',
+       |        substring(md5('rp|' || cast(j as varchar) || '|' || cast(i as varchar)), 1, 1)) - 1) % 2 = 0
+       |      THEN 1 ELSE -1 END AS sg
+       |  FROM range($RpDims) t1(j), range($EmbDims) t2(i)),
+       |proj AS (
+       |  SELECT vec_id, list(p ORDER BY j) AS vp FROM (
+       |    SELECT q0.vec_id, s.j, cast(sum(s.sg * q0.v[s.i + 1]) as bigint) AS p
+       |    FROM q0, signs s GROUP BY q0.vec_id, s.j)
+       |  GROUP BY vec_id),
+       |q AS (
+       |  SELECT q0.vec_id, v, nrm, vp,
+       |    list_sum([vp[k+1]*vp[k+1] for k in range($RpDims)]) AS nrmp
+       |  FROM q0 JOIN proj USING (vec_id)),
+       |j AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank_full,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosP DESC, b.vec_id ASC) AS rank_proj
+       |  FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |SELECT query_id,
+       |  cast(${Consts.KnnK} as bigint) AS n_true,
+       |  cast(sum(CASE WHEN rank_full <= ${Consts.KnnK} AND rank_proj <= ${Consts.KnnK} THEN 1 ELSE 0 END) as bigint) AS n_hit,
+       |  (cast(sum(CASE WHEN rank_full <= ${Consts.KnnK} AND rank_proj <= ${Consts.KnnK} THEN 1 ELSE 0 END) as bigint) * 1000)
+       |    // ${Consts.KnnK} AS recall_permille
+       |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Semantic decontamination: embedding-space eval-leak screening.
   // -------------------------------------------------------------------
 
