@@ -156,7 +156,8 @@ object SparkEntry {
     "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisal _,
     "q123_vocab_coverage"   -> TextAnalytics.vocabCoverage _,
     "q124_edit_verified_pairs" -> ((s: SparkSession, d: String) => Dedup.editVerifiedPairs(s, d)),
-    "q125_rp_recall"        -> Similarity.rpRecall _
+    "q125_rp_recall"        -> Similarity.rpRecall _,
+    "q126_source_drift"     -> TextAnalytics.sourceDrift _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -356,6 +357,7 @@ object SparkEntry {
     "q122_bigram_surprisal" -> TextAnalytics.bigramSurprisalSql,
     "q123_vocab_coverage"   -> TextAnalytics.vocabCoverageSql,
     "q124_edit_verified_pairs" -> Dedup.editVerifiedPairsSql,
-    "q125_rp_recall"        -> Similarity.rpRecallSql
+    "q125_rp_recall"        -> Similarity.rpRecallSql,
+    "q126_source_drift"     -> TextAnalytics.sourceDriftSql
   )
 }

@@ -1203,6 +1203,85 @@ object TextAnalytics {
        |FROM sp
        |ORDER BY doc_id""".stripMargin
 
+  /** q126: per-source distribution drift — for every source, the gap
+    * between the corpus-LM cross-entropy of its token stream and its
+    * own-LM entropy, i.e. an integer-quantized KL(source ‖ corpus)
+    * over unigram distributions. This is the mixture-design monitor
+    * read BEFORE q77/q100/q113 commit to sampling weights: a large
+    * positive drift marks a source whose vocabulary the corpus-wide
+    * LM finds surprising (specialized domain, another language, or
+    * rot — spam/generator drift between crawls), exactly the signal
+    * DoReMi-style mixture tuning and CCNet's per-domain filtering act
+    * on. Per token w in source s the gap term is s_corpus(w) −
+    * s_source(w) with both surprisals the bit-length-gap floor-log2 of
+    * q94 (±1 bit per term, no libm, every column hash-checks); exact
+    * KL is ≥ 0, and the quantized report may go slightly negative —
+    * reported as-is, the bound is documented rather than clipped.
+    *
+    * Scale shape: per-doc tf collapses in the scan's flatMap (token
+    * occurrences never shuffle — the tfRows discipline), then ONE
+    * keyed agg onto (source, tok); the corpus table cf and the
+    * per-source totals both FOLD out of that frame (vocab-sized input,
+    * no second corpus pass); cf joins back unhinted (broadcast at
+    * bounded vocabularies, keyed join at web-scale ones — the q94
+    * lesson) and totals is a sources-sized broadcast; the final agg is
+    * one keyed pass onto a sources-sized report. */
+  def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stf = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (src, txt) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          }
+          m.iterator.map { case (t, c) => (src, t, c) }
+        }
+      }
+      .toDF("source", "tok", "stf")
+      .groupBy("source", "tok").agg(sum(col("stf")).as("stf"))
+    val shared = Materialize.shared(spark, stf)
+    val cf = shared.groupBy("tok").agg(sum(col("stf")).as("cf"))
+    val nTotal = cf.agg(sum(col("cf")).as("n_total"))
+    val nSrc = shared.groupBy("source").agg(sum(col("stf")).as("n_src"))
+    shared
+      .join(cf, Seq("tok"))
+      .join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("gap",
+        (length(bin(col("n_total"))) - length(bin(col("cf")))).cast("long") -
+        (length(bin(col("n_src"))) - length(bin(col("stf")))).cast("long"))
+      .groupBy("source")
+      .agg(sum(col("stf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("stf") * col("gap")).as("drift_sum"))
+      .withColumn("drift_mean_milli",
+        expr("drift_sum * 1000 div n_tokens"))
+      .orderBy("source")
+  }
+
+  def sourceDriftSql: String =
+    s"""WITH stf AS (
+       |  SELECT source, tok, cast(count(*) as bigint) AS stf FROM (
+       |    SELECT source, unnest($sqlTokens) AS tok FROM documents)
+       |  GROUP BY source, tok),
+       |cf AS (SELECT tok, cast(sum(stf) as bigint) AS cf FROM stf GROUP BY tok),
+       |n AS (SELECT cast(sum(cf) as bigint) AS n_total FROM cf),
+       |ns AS (SELECT source, cast(sum(stf) as bigint) AS n_src FROM stf GROUP BY source)
+       |SELECT source,
+       |  cast(sum(stf) as bigint) AS n_tokens,
+       |  cast(count(*) as bigint) AS n_types,
+       |  cast(sum(stf * ((length(bin(n_total)) - length(bin(cf)))
+       |    - (length(bin(n_src)) - length(bin(stf))))) as bigint) AS drift_sum,
+       |  (cast(sum(stf * ((length(bin(n_total)) - length(bin(cf)))
+       |    - (length(bin(n_src)) - length(bin(stf))))) as bigint) * 1000)
+       |    // cast(sum(stf) as bigint) AS drift_mean_milli
+       |FROM stf JOIN cf USING (tok) JOIN ns USING (source) CROSS JOIN n
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** Per-doc bigram frequencies, computed scan-locally (the tfRows
     * discipline at order 2: a doc's bigram counts collapse inside the
     * flatMap, so the shuffle carries per-doc BIGRAM-VOCAB rows, never

@@ -210,6 +210,74 @@ class Round7OpsSpec extends SparkSpec {
       yield graft.ops.Similarity.rpSign(j, i)))
   }
 
+  // ---------------------------------------------------------------- q126
+
+  test("q126: source drift matches an independent JVM reference and a skewed probe is detected") {
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1))))
+    val stf = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { case (s, t) =>
+      t.foreach(w => stf((s, w)) = stf.getOrElse((s, w), 0L) + 1L)
+    }
+    val cf = stf.groupBy(_._1._2).map { case (w, m) => w -> m.values.sum }
+    val nSrc = stf.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val nTotal = cf.values.sum
+    val expected = stf.groupBy(_._1._1).map { case (s, m) =>
+      val driftSum = m.map { case ((_, w), c) =>
+        c * ((bitlen(nTotal) - bitlen(cf(w))) - (bitlen(nSrc(s)) - bitlen(c)))
+      }.sum
+      s -> ((nSrc(s), m.size.toLong, driftSum, driftSum * 1000L / nSrc(s)))
+    }
+    val out = graft.ops.TextAnalytics.sourceDrift(spark, sf0001).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val e = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_tokens") == e._1)
+      assert(r.getAs[Long]("n_types") == e._2)
+      assert(r.getAs[Long]("drift_sum") == e._3, r.getAs[String]("source"))
+      assert(r.getAs[Long]("drift_mean_milli") == e._4)
+    }
+    // quantization honesty: the floor-log2 gap is within +-1 bit per
+    // term of exact KL, which is >= 0 — so mean drift can dip slightly
+    // negative but never below -2000 milli-bits
+    assert(out.forall(r => r.getAs[Long]("drift_mean_milli") > -2000L))
+  }
+
+  test("q126: a divergent source stands out against same-distribution sources") {
+    // planted corpus through the same operator path is not reachable
+    // (the operator reads sfDir), so the detection property is pinned on
+    // the reference arithmetic: a source drawing from a disjoint
+    // vocabulary scores strictly higher drift than one drawing from the
+    // corpus-typical distribution
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def drift(sources: Map[String, Seq[String]]): Map[String, Double] = {
+      val stf = sources.toSeq.flatMap { case (s, ws) =>
+        ws.groupBy(identity).map { case (w, g) => (s, w, g.size.toLong) }
+      }
+      val cf = stf.groupBy(_._2).map { case (w, rs) => w -> rs.map(_._3).sum }
+      val nTotal = cf.values.sum
+      sources.map { case (s, ws) =>
+        val mine = stf.filter(_._1 == s)
+        val nS = ws.length.toLong
+        val d = mine.map { case (_, w, c) =>
+          c * ((bitlen(nTotal) - bitlen(cf(w))) - (bitlen(nS) - bitlen(c)))
+        }.sum
+        s -> d.toDouble / nS
+      }
+    }
+    val typical = Seq.fill(40)(Seq("the", "data", "spark", "join")).flatten
+    val d = drift(Map(
+      "web_a" -> typical, "web_b" -> typical,
+      "medical" -> Seq.fill(40)(Seq("dosage", "hepatic", "lesion", "biopsy")).flatten))
+    // a full bit of mean divergence separates the disjoint-vocabulary
+    // source; the same-distribution sources sit at exactly zero
+    assert(d("medical") >= d("web_a") + 1.0,
+      s"divergent source not separated: $d")
+    assert(d("web_a") == 0.0 && d("web_b") == 0.0, d.toString)
+  }
+
   test("q124: verification joins are equi-joins — no nested loop over candidates") {
     val plan = graft.ops.Dedup.editVerifiedPairs(spark, sf0001, 32)
       .queryExecution.executedPlan.toString
