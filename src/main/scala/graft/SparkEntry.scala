@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, BpeTrain, ChatOracle, Classifier, Dedup, Events, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
+import graft.ops.{Analytics, BpeTrain, ChatOracle, Classifier, Dedup, Events, Hybrid, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -157,7 +157,8 @@ object SparkEntry {
     "q123_vocab_coverage"   -> TextAnalytics.vocabCoverage _,
     "q124_edit_verified_pairs" -> ((s: SparkSession, d: String) => Dedup.editVerifiedPairs(s, d)),
     "q125_rp_recall"        -> Similarity.rpRecall _,
-    "q126_source_drift"     -> TextAnalytics.sourceDrift _
+    "q126_source_drift"     -> TextAnalytics.sourceDrift _,
+    "q127_rrf_hybrid"       -> Hybrid.rrfHybrid _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -358,6 +359,7 @@ object SparkEntry {
     "q123_vocab_coverage"   -> TextAnalytics.vocabCoverageSql,
     "q124_edit_verified_pairs" -> Dedup.editVerifiedPairsSql,
     "q125_rp_recall"        -> Similarity.rpRecallSql,
-    "q126_source_drift"     -> TextAnalytics.sourceDriftSql
+    "q126_source_drift"     -> TextAnalytics.sourceDriftSql,
+    "q127_rrf_hybrid"       -> Hybrid.rrfHybridSql
   )
 }

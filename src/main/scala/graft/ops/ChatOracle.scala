@@ -220,7 +220,7 @@ object ChatOracle {
     * (doc_id, bucket) shuffle. Bucket = first md5 byte, identical to
     * the oracle's two-hex-nibble arithmetic; tokenization matches
     * TextAnalytics.tokens over lower(text). */
-  private def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), lower(col("text")).as("text"))
@@ -247,7 +247,7 @@ object ChatOracle {
     * like the histogram itself, per-row local work (Σ c² over the
     * 256-slot array), so the norm table costs a scan, not a shuffle
     * over the bucket rows. */
-  private def docNorms(spark: SparkSession, sfDir: String): DataFrame = {
+  private[ops] def docNorms(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), lower(col("text")).as("text"))

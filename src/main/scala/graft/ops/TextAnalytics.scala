@@ -660,7 +660,7 @@ object TextAnalytics {
 
   /** Shared Spark/DuckDB score expression over columns
     * (tf, dl, df, nd, sdl): one source string, zero drift. */
-  private def bm25ScoreExpr: String =
+  private[ops] def bm25ScoreExpr: String =
     "cast(floor((((cast(tf as double) * 2.2) / " +
       "(cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl * nd as double) / cast(sdl as double))))) * " +
       "((cast(nd - df as double) + 0.5) / (cast(df as double) + 0.5))) * 1000000.0) as bigint)"

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-8 additions, each checked against an INDEPENDENT
+  * in-spec reference implementation (plain-Scala md5 hashing, explicit
+  * double-math rankings, literal sorts) rather than the operator's own
+  * machinery.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  private def toks(text: String): Array[String] =
+    text.trim.split("\\s+").filter(_.nonEmpty)
+
+  private def md5FirstByte(s: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+  }
+
+  // ---------------------------------------------------------------- q127
+
+  /** independent end-to-end RRF reference over a documents dir. */
+  private def rrfReference(sfDir: String): Seq[(Long, Long, Long, Long, Long)] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    // --- independent lexical ranking: literal Okapi formula, same
+    // integer per-term quantization as the operator's shared expr
+    val terms = graft.ops.TextAnalytics.Bm25Terms
+    val n = docs.length.toLong
+    val dls = docs.map { case (id, t) => id -> toks(t).length.toLong }.toMap
+    val sdl = dls.values.sum
+    val tfs = docs.flatMap { case (id, t) =>
+      toks(t).filter(terms.contains).groupBy(identity).map { case (w, ws) => ((id, w), ws.length.toLong) }
+    }.toMap
+    val dfm = tfs.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val lexScores = tfs.groupBy(_._1._1).map { case (id, g) =>
+      id -> g.map { case ((_, w), tf) =>
+        val dl = dls(id); val df = dfm(w)
+        val num = tf.toDouble * 2.2
+        val den = tf.toDouble + 1.2 * (0.25 + 0.75 * ((dl * n).toDouble / sdl.toDouble))
+        val idf = ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)
+        math.floor((num / den) * idf * 1000000.0).toLong
+      }.sum
+    }
+    val lexRank = lexScores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(graft.ops.Hybrid.CandidateDepth)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+
+    // --- independent semantic ranking: 256-bucket md5 histograms over
+    // lowercased tokens, cosine vs the query histogram
+    val qb = terms.map(t => md5FirstByte(t.toLowerCase))
+      .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val qnrm = math.sqrt(qb.values.map(c => (c * c).toDouble).sum)
+    val semScores = docs.flatMap { case (id, t) =>
+      val counts = new Array[Long](256)
+      toks(t.toLowerCase).foreach(w => counts(md5FirstByte(w)) += 1L)
+      val dot = qb.map { case (b, qc) => qc * counts(b) }.sum
+      if (dot == 0L) None
+      else {
+        val nrm = math.sqrt(counts.map(c => (c * c).toDouble).sum)
+        Some(id -> dot.toDouble / (qnrm * nrm))
+      }
+    }
+    val semRank = semScores.sortBy { case (id, s) => (-s, id) }
+      .take(graft.ops.Hybrid.CandidateDepth)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+
+    // --- independent fusion
+    def contrib(r: Long): Long = if (r > 0L) 1000000L / (graft.ops.Hybrid.RrfK + r) else 0L
+    (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+      val lr = lexRank.getOrElse(id, 0L); val sr = semRank.getOrElse(id, 0L)
+      (id, lr, sr, contrib(lr) + contrib(sr))
+    }.sortBy { case (id, _, _, f) => (-f, id) }
+      .take(graft.ops.Hybrid.FusedTopK)
+      .zipWithIndex.map { case ((id, lr, sr, f), i) => (id, lr, sr, f, i + 1L) }
+  }
+
+  private def rrfGot(sfDir: String): Seq[(Long, Long, Long, Long, Long)] =
+    graft.ops.Hybrid.rrfHybrid(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("lex_rank"),
+        r.getAs[Long]("sem_rank"), r.getAs[Long]("rrf"), r.getAs[Long]("rank")))
+      .toSeq
+
+  test("q127: RRF fusion matches an independent two-ranker reference at sf0.001") {
+    assert(rrfGot(sf0001) == rrfReference(sf0001))
+  }
+
+  test("q127: the fusion also matches at sf0.01, where the top-50 lists diverge") {
+    assert(rrfGot(sf001) == rrfReference(sf001))
+  }
+
+  test("q127: a semantic-only candidate fuses through the single-ranker branch") {
+    import spark.implicits._
+    // a token with NO query term in it whose md5 first byte collides with
+    // a query term's bucket: its doc gets a semantic rank but no lexical
+    // one, which is exactly the rank-0/contribution-0 branch
+    val qbuckets = graft.ops.TextAnalytics.Bm25Terms.map(t => md5FirstByte(t.toLowerCase)).toSet
+    val collider = Iterator.from(0).map(i => s"w$i")
+      .find(w => qbuckets.contains(md5FirstByte(w))).get
+    val dir = graft.streaming.StreamScratch.dir("q127-planted")
+    Seq(
+      (0L, "join spark stream join", "en", "s0", 22L),
+      (1L, s"$collider $collider other words here", "en", "s0", 30L),
+      (2L, "unrelated text entirely apart", "en", "s0", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = rrfGot(dir)
+    assert(got == rrfReference(dir))
+    val semOnly = got.find(_._1 == 1L).get
+    assert(semOnly._2 == 0L && semOnly._3 > 0L)
+    assert(semOnly._4 == 1000000L / (graft.ops.Hybrid.RrfK + semOnly._3))
+    // doc 2 shares neither a term nor a bucket: absent from the report
+    assert(!got.exists(_._1 == 2L))
+  }
+
+  test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
+    val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "candidate selection should be orderBy+limit (TakeOrderedAndProject)")
+  }
+}
