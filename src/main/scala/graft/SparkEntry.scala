@@ -158,7 +158,8 @@ object SparkEntry {
     "q124_edit_verified_pairs" -> ((s: SparkSession, d: String) => Dedup.editVerifiedPairs(s, d)),
     "q125_rp_recall"        -> Similarity.rpRecall _,
     "q126_source_drift"     -> TextAnalytics.sourceDrift _,
-    "q127_rrf_hybrid"       -> Hybrid.rrfHybrid _
+    "q127_rrf_hybrid"       -> Hybrid.rrfHybrid _,
+    "q128_winnow_pairs"     -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -360,6 +361,7 @@ object SparkEntry {
     "q124_edit_verified_pairs" -> Dedup.editVerifiedPairsSql,
     "q125_rp_recall"        -> Similarity.rpRecallSql,
     "q126_source_drift"     -> TextAnalytics.sourceDriftSql,
-    "q127_rrf_hybrid"       -> Hybrid.rrfHybridSql
+    "q127_rrf_hybrid"       -> Hybrid.rrfHybridSql,
+    "q128_winnow_pairs"     -> Dedup.winnowPairsSql
   )
 }

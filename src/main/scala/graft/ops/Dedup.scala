@@ -2600,4 +2600,145 @@ object Dedup {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Consts.SimhashMaxHamming}
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+  // local fingerprinting algorithm): slide a window of WinnowWindow
+  // consecutive k-gram hashes and keep each window's MINIMUM. The
+  // selection is LOCAL (a function of the window's hashes alone), which
+  // buys the guarantee MinHash cannot give: any shared token run of at
+  // least WinnowWindow + WinnowGramN - 1 tokens between two documents
+  // shares at least one fingerprint — detection is deterministic, not
+  // probabilistic — while storing only ~2/(w+1) of the gram hashes.
+  // This is the third point in the design space next to q14 (MinHash:
+  // probabilistic, fixed-size signature) and q65/q83 (full gram index:
+  // exact, but every occurrence indexed).
+  // -------------------------------------------------------------------
+
+  /** word-gram width (3, the shingle width) and hash-window width. */
+  val WinnowGramN = 3
+  val WinnowWindow = 4
+  /** pairs sharing fewer fingerprints than this are noise (a single
+    * shared fingerprint is one popular phrase). */
+  val WinnowMinShared = 2
+
+  /** (doc_id, fp) — each doc's DISTINCT winnowed fingerprints, computed
+    * entirely inside the scan's flatMap: the sliding min is a per-doc
+    * local array pass (winnowing's defining property), so the corpus
+    * token stream never shuffles and the emitted relation is already
+    * the ~2/(w+1)-density fingerprint index. Docs with fewer grams than
+    * the window fall back to one truncated window over all their grams
+    * (min of all — the standard small-document convention). */
+  private[graft] def winnowFingerprintRows(spark: SparkSession, sfDir: String,
+                                         bits: Int = DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val n = WinnowGramN; val w = WinnowWindow
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val m = t.length - n + 1
+          if (m <= 0) Iterator.empty
+          else {
+            val h = new Array[Long](m)
+            var i = 0
+            while (i < m) {
+              val g = t.slice(i, i + n).mkString(" ")
+              h(i) = packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
+              i += 1
+            }
+            val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+            var s = 0
+            val lastStart = math.max(0, m - w)
+            while (s <= lastStart) {
+              var mn = h(s)
+              var j = s + 1
+              val end = math.min(s + w, m)
+              while (j < end) { if (h(j) < mn) mn = h(j); j += 1 }
+              out += mn
+              s += 1
+            }
+            out.iterator.map(fp => (id, fp))
+          }
+        }
+      }
+      .toDF("doc_id", "fp")
+  }
+
+  /** q128: winnowing-fingerprint overlap pairs — documents sharing at
+    * least [[WinnowMinShared]] fingerprints, with the containment-style
+    * overlap permille against the smaller fingerprint set. Pairs
+    * sharing long verbatim runs (≥ w+n−1 = 6 tokens) are GUARANTEED to
+    * appear; that determinism is what makes winnowing the
+    * plagiarism/attribution primitive rather than a dedup sampler.
+    *
+    * Scale shape: the fingerprint relation arrives scan-local and
+    * already ~3× sparser than a full gram index; pair generation is the
+    * same inverted-index self-equi-join discipline as
+    * jaccardPairsSparse, fan-out bounded by Σ df² over fingerprint
+    * document frequencies, with the same optional `dfCap` remedy for
+    * power-law hot fingerprints (a fingerprint in >cap docs is
+    * boilerplate — drop it, document the recall trade; uncapped default
+    * keeps the DuckDB oracle byte-identical). One keyed agg for per-doc
+    * totals broadcasts back onto the answer-sized pair report. */
+  def winnowPairs(spark: SparkSession, sfDir: String,
+                  bits: Int = DefaultHashBits,
+                  dfCap: Option[Int] = None): DataFrame = {
+    val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
+    val capped = dfCap match {
+      case Some(cap) =>
+        val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        fps.join(dfc.filter(col("df") <= cap), "fp")
+      case None => fps
+    }
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
+    val pairs = a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= WinnowMinShared)
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("a_fps")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("b_fps")), "doc_b")
+      .withColumn("overlap_permille",
+        expr("shared_fps * 1000 div least(a_fps, b_fps)"))
+      .select("doc_a", "doc_b", "shared_fps", "a_fps", "b_fps", "overlap_permille")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def winnowPairsSql: String = {
+    val n = WinnowGramN; val w = WinnowWindow
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toksl AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(range(len(t))) AS i, t FROM toksl),
+       |gram AS (
+       |  SELECT doc_id, i, ${shingleHashExpr("strpos", s"md5($gramExpr)")} AS gh
+       |  FROM pos WHERE i <= len(t) - $n),
+       |win AS (
+       |  SELECT doc_id, i,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM gram),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= greatest(0, m - $w)),
+       |counts AS (SELECT doc_id, cast(count(*) as bigint) AS nfp FROM fps GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) as bigint) AS shared_fps
+       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared_fps, ca.nfp AS a_fps, cb.nfp AS b_fps,
+       |  shared_fps * 1000 // least(ca.nfp, cb.nfp) AS overlap_permille
+       |FROM pairs
+       |JOIN counts ca ON ca.doc_id = doc_a
+       |JOIN counts cb ON cb.doc_id = doc_b
+       |WHERE shared_fps >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

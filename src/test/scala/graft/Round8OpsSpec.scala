@@ -115,6 +115,94 @@ class Round8OpsSpec extends SparkSpec {
     assert(!got.exists(_._1 == 2L))
   }
 
+  // ---------------------------------------------------------------- q128
+
+  private def md5Hash32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** independent winnowing: literal sliding-window min over gram hashes. */
+  private def winnowRef(text: String, n: Int, w: Int): Set[Long] = {
+    val t = toks(text)
+    val m = t.length - n + 1
+    if (m <= 0) Set.empty
+    else {
+      val h = (0 until m).map(i => md5Hash32(t.slice(i, i + n).mkString(" ")))
+      (0 to math.max(0, m - w)).map(s => h.slice(s, math.min(s + w, m)).min).toSet
+    }
+  }
+
+  test("q128: pairs report matches an independent winnowing reference at sf0.001") {
+    val n = graft.ops.Dedup.WinnowGramN; val w = graft.ops.Dedup.WinnowWindow
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val fps = docs.map { case (id, t) => id -> winnowRef(t, n, w) }.toMap
+    val expected = (for {
+      (a, fa) <- fps.toSeq; (b, fb) <- fps.toSeq if a < b
+      shared = (fa & fb).size.toLong if shared >= graft.ops.Dedup.WinnowMinShared
+    } yield (a, b, shared, fa.size.toLong, fb.size.toLong,
+        shared * 1000L / math.min(fa.size, fb.size)))
+      .sortBy { case (a, b, _, _, _, _) => (a, b) }
+    val got = graft.ops.Dedup.winnowPairs(spark, sf0001, graft.ops.Dedup.OracleHashBits)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("shared_fps"),
+        r.getAs[Long]("a_fps"), r.getAs[Long]("b_fps"), r.getAs[Long]("overlap_permille")))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "spec corpus must actually produce overlapping pairs")
+  }
+
+  test("q128: a shared w+n-1 token run is deterministically fingerprinted") {
+    import spark.implicits._
+    val n = graft.ops.Dedup.WinnowGramN; val w = graft.ops.Dedup.WinnowWindow
+    // two docs sharing EXACTLY one 6-token run (w+n-1) inside otherwise
+    // disjoint text: winnowing GUARANTEES at least one shared fingerprint
+    val run = "alpha bravo charlie delta echo foxtrot"
+    val dir = graft.streaming.StreamScratch.dir("q128-planted")
+    Seq(
+      (0L, s"xx1 xx2 xx3 $run yy1 yy2 yy3", "en", "s0", 40L),
+      (1L, s"zz1 zz2 zz3 $run qq1 qq2 qq3", "en", "s0", 40L),
+      (2L, "totally different content with no shared run at all", "en", "s0", 52L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.Dedup.winnowFingerprintRows(spark, dir, graft.ops.Dedup.OracleHashBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = rows.groupBy(_._1).map { case (id, g) => id -> g.map(_._2).toSet }
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty,
+      "a shared run of w+n-1 tokens must share a fingerprint — the MOSS guarantee")
+    assert((byDoc(0L) & byDoc(2L)).isEmpty && (byDoc(1L) & byDoc(2L)).isEmpty)
+    // and each doc's fingerprints match the independent reference
+    byDoc.foreach { case (id, got) =>
+      val txt = Seq(s"xx1 xx2 xx3 $run yy1 yy2 yy3",
+        s"zz1 zz2 zz3 $run qq1 qq2 qq3",
+        "totally different content with no shared run at all")(id.toInt)
+      assert(got == winnowRef(txt, n, w), s"doc $id")
+    }
+  }
+
+  test("q128: small-doc fallback and compression density") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q128-small")
+    // 4 tokens -> 2 grams < window 4: exactly ONE fingerprint (min of all)
+    Seq((0L, "a b c d", "en", "s0", 7L), (1L, "xy", "en", "s0", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.Dedup.winnowFingerprintRows(spark, dir, graft.ops.Dedup.OracleHashBits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.count(_._1 == 0L) == 1)
+    assert(rows.head._2 == Seq("a b c", "b c d").map(md5Hash32).min)
+    // a doc below the gram width has no fingerprints at all
+    assert(!rows.exists(_._1 == 1L))
+    // corpus-level compression: winnowing stores a strict subset of grams
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val nGrams = docs.map(t => math.max(0, toks(t).length - graft.ops.Dedup.WinnowGramN + 1)).sum
+    val nFps = graft.ops.Dedup.winnowFingerprintRows(spark, sf0001, graft.ops.Dedup.OracleHashBits).count()
+    assert(nFps < nGrams / 2, s"winnowing should be sparse: $nFps fps vs $nGrams grams")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
