@@ -159,7 +159,8 @@ object SparkEntry {
     "q125_rp_recall"        -> Similarity.rpRecall _,
     "q126_source_drift"     -> TextAnalytics.sourceDrift _,
     "q127_rrf_hybrid"       -> Hybrid.rrfHybrid _,
-    "q128_winnow_pairs"     -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d, Dedup.OracleHashBits))
+    "q128_winnow_pairs"     -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d, Dedup.OracleHashBits)),
+    "q129_distinct_ngrams"  -> ((s: SparkSession, d: String) => TextAnalytics.distinctNgrams(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -362,6 +363,7 @@ object SparkEntry {
     "q125_rp_recall"        -> Similarity.rpRecallSql,
     "q126_source_drift"     -> TextAnalytics.sourceDriftSql,
     "q127_rrf_hybrid"       -> Hybrid.rrfHybridSql,
-    "q128_winnow_pairs"     -> Dedup.winnowPairsSql
+    "q128_winnow_pairs"     -> Dedup.winnowPairsSql,
+    "q129_distinct_ngrams"  -> TextAnalytics.distinctNgramsSql
   )
 }

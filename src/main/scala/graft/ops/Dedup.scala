@@ -137,6 +137,11 @@ object Dedup {
   /** Spark-SQL expression string for the 32-bit shingle hash: first 8
     * hex nibbles of md5. Mirrored 1:1 in the DuckDB oracle (instr vs
     * strpos — same 1-based semantics). */
+  /** DuckDB-dialect form of the 32-bit hash for sibling ops suites'
+    * oracle SQL (identical arithmetic to the Spark-side packHash). */
+  private[ops] def shingleHashExprSql(hExpr: String): String =
+    shingleHashExpr("strpos", hExpr)
+
   private def shingleHashExpr(instrFn: String, hExpr: String = "h"): String =
     (0 until 8).map { j =>
       val w = 1L << (4 * (7 - j))

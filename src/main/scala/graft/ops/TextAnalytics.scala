@@ -1600,4 +1600,87 @@ object TextAnalytics {
        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Distinct-n diversity: per-source unique/total n-gram ratio for
+  // n = 1, 2, 3 (distinct-1/2/3, Li et al. 2016 "A Diversity-Promoting
+  // Objective Function" — the standard corpus diversity report). Read
+  // next to q126's distribution drift and q59's Zipf slope when
+  // deciding mixture weights: a LOW distinct-n source is template spam
+  // or generator output (many tokens, few patterns) even when its
+  // unigram DISTRIBUTION looks corpus-typical — n-gram diversity and
+  // distribution drift are orthogonal failure detectors.
+  // -------------------------------------------------------------------
+
+  /** n-gram orders reported. */
+  val DiversityOrders: Seq[Int] = Seq(1, 2, 3)
+
+  /** q129: (source, n, total_ngrams, distinct_ngrams, distinct_permille).
+    *
+    * Scale shape: each document's n-gram counts for ALL THREE orders
+    * collapse to local (source, n, gh, c) rows inside the scan's
+    * flatMap (one md5 per occurrence-type, grams leave the scan as i64
+    * hashes, never strings — the q65 discipline), so the one keyed
+    * shuffle moves per-doc vocabulary rows onto (source, n, gh) with
+    * map-side combine; totals and distinct counts then FOLD out of
+    * that gram-level frame (count(*) IS the distinct count — one row
+    * per surviving gram) in a second sources×3-sized agg. Distinctness
+    * is by HASH on both engines (identical md5-prefix arithmetic), so
+    * a collision merges the same two grams on both sides and the
+    * report stays byte-identical. */
+  def distinctNgrams(spark: SparkSession, sfDir: String,
+                     bits: Int = Dedup.DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val orders = DiversityOrders
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (src, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val m = scala.collection.mutable.LinkedHashMap.empty[(Int, Long), Long]
+          orders.foreach { n =>
+            var i = 0
+            while (i <= t.length - n) {
+              val g = t.slice(i, i + n).mkString(" ")
+              val gh = Dedup.packHash(
+                md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
+              m.update((n, gh), m.getOrElse((n, gh), 0L) + 1L)
+              i += 1
+            }
+          }
+          m.iterator.map { case ((n, gh), c) => (src, n.toLong, gh, c) }
+        }
+      }
+      .toDF("source", "n", "gh", "c")
+      .groupBy("source", "n", "gh").agg(sum(col("c")).as("c"))
+    grams.groupBy("source", "n")
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("distinct_permille",
+        expr("distinct_ngrams * 1000 div total_ngrams"))
+      .orderBy("source", "n")
+  }
+
+  def distinctNgramsSql: String = {
+    def gramExpr(n: Int) = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    val arms = DiversityOrders.map { n =>
+      s"""SELECT source, cast($n as bigint) AS n,
+         |    ${Dedup.shingleHashExprSql(s"md5(${gramExpr(n)})")} AS gh
+         |  FROM pos WHERE i <= len(t) - $n""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH toksl AS (
+       |  SELECT source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |pos AS (SELECT source, unnest(range(len(t))) AS i, t FROM toksl),
+       |gr AS (
+       |  $arms)
+       |SELECT source, n,
+       |  cast(count(*) as bigint) AS total_ngrams,
+       |  cast(count(DISTINCT gh) as bigint) AS distinct_ngrams,
+       |  count(DISTINCT gh) * 1000 // count(*) AS distinct_permille
+       |FROM gr GROUP BY source, n
+       |ORDER BY source, n""".stripMargin
+  }
 }

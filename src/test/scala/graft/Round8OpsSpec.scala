@@ -203,6 +203,53 @@ class Round8OpsSpec extends SparkSpec {
     assert(nFps < nGrams / 2, s"winnowing should be sparse: $nFps fps vs $nGrams grams")
   }
 
+  // ---------------------------------------------------------------- q129
+
+  test("q129: distinct-n report matches an independent reference at sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = (for {
+      n <- graft.ops.TextAnalytics.DiversityOrders
+      (src, rows) <- docs.groupBy(_._1).toSeq
+    } yield {
+      val grams = rows.flatMap { case (_, t) =>
+        val w = toks(t)
+        (0 to w.length - n).map(i => md5Hash32(w.slice(i, i + n).mkString(" ")))
+      }
+      val total = grams.length.toLong
+      val distinct = grams.distinct.length.toLong
+      (src, n.toLong, total, distinct, distinct * 1000L / total)
+    }).sortBy { case (s, n, _, _, _) => (s, n) }
+    val got = graft.ops.TextAnalytics
+      .distinctNgrams(spark, sf0001, graft.ops.Dedup.OracleHashBits).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"), r.getAs[Long]("total_ngrams"),
+        r.getAs[Long]("distinct_ngrams"), r.getAs[Long]("distinct_permille")))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q129: a template-spam source scores below a diverse one at every order") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q129-planted")
+    // spam: one 6-token template repeated; diverse: all-distinct tokens
+    val spam = Seq.fill(10)("buy cheap pills online now fast").mkString(" ")
+    val diverse = (0 until 60).map(i => s"tok$i").mkString(" ")
+    Seq((0L, spam, "en", "spam", spam.length.toLong),
+        (1L, diverse, "en", "fine", diverse.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalytics
+      .distinctNgrams(spark, dir, graft.ops.Dedup.OracleHashBits).collect()
+      .map(r => ((r.getAs[String]("source"), r.getAs[Long]("n")), r.getAs[Long]("distinct_permille")))
+      .toMap
+    graft.ops.TextAnalytics.DiversityOrders.map(_.toLong).foreach { n =>
+      assert(got(("spam", n)) < got(("fine", n)) / 2,
+        s"order $n: spam ${got(("spam", n))} vs fine ${got(("fine", n))}")
+    }
+    // the diverse source is maximally diverse: permille exactly 1000
+    assert(graft.ops.TextAnalytics.DiversityOrders.forall(n => got(("fine", n.toLong)) == 1000L))
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
