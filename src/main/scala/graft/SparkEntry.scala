@@ -160,7 +160,8 @@ object SparkEntry {
     "q126_source_drift"     -> TextAnalytics.sourceDrift _,
     "q127_rrf_hybrid"       -> Hybrid.rrfHybrid _,
     "q128_winnow_pairs"     -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d, Dedup.OracleHashBits)),
-    "q129_distinct_ngrams"  -> ((s: SparkSession, d: String) => TextAnalytics.distinctNgrams(s, d, Dedup.OracleHashBits))
+    "q129_distinct_ngrams"  -> ((s: SparkSession, d: String) => TextAnalytics.distinctNgrams(s, d, Dedup.OracleHashBits)),
+    "q130_source_minhash"   -> ((s: SparkSession, d: String) => Dedup.sourceMinhashMatrix(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -364,6 +365,7 @@ object SparkEntry {
     "q126_source_drift"     -> TextAnalytics.sourceDriftSql,
     "q127_rrf_hybrid"       -> Hybrid.rrfHybridSql,
     "q128_winnow_pairs"     -> Dedup.winnowPairsSql,
-    "q129_distinct_ngrams"  -> TextAnalytics.distinctNgramsSql
+    "q129_distinct_ngrams"  -> TextAnalytics.distinctNgramsSql,
+    "q130_source_minhash"   -> Dedup.sourceMinhashMatrixSql
   )
 }

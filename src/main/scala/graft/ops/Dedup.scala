@@ -2607,6 +2607,74 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // Source-level MinHash similarity matrix: the SKETCH-space complement
+  // of q72's exact source×source overlap. q72 answers "exactly how many
+  // shingles do these two crawls share" with one hv-keyed shuffle whose
+  // cost scales with the corpus; this answers "approximately how
+  // Jaccard-similar are the crawls' shingle UNIONS" from a 16-value
+  // signature per source — the screening pass a curation pipeline runs
+  // FIRST (every dump pair, every refresh) to decide which few pairs
+  // are worth q72's exact join. MinHash signatures of unions compose by
+  // element-wise min, so the source signature folds out of the shingle
+  // scan without ever materializing the union sets.
+  // -------------------------------------------------------------------
+
+  /** q130: (source_a, source_b, matching_perms, est_jaccard_permille)
+    * for every source pair — est = matches·1000 div 16, the unbiased
+    * MinHash estimate of union-Jaccard quantized to the report grid.
+    *
+    * Scale shape: ONE pass over the shingle scan (per-doc hashes,
+    * scan-local as always) into a groupBy(source) whose 16 mins
+    * partial-aggregate map-side — the shuffle moves one 16-value row
+    * per (partition, source), never shingles; the pairwise matrix is a
+    * self-join of the SOURCES-sized signature frame (thousands of rows
+    * at web scale — driver-trivial, executor-trivial). The estimate's
+    * ±1/√16 standard error is inherent to the 16-perm signature and
+    * documented rather than hidden: this is a screen, not a measure. */
+  def sourceMinhashMatrix(spark: SparkSession, sfDir: String,
+                          bits: Int = DefaultHashBits): DataFrame = {
+    val sh = shingleRows(spark, sfDir, bits)
+    val hv32 = shiftrightunsigned(col("hv"), 32)
+      .bitwiseXOR(col("hv").bitwiseAND(lit(0xffffffffL)))
+    val aggs = Consts.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((hv32 * a + b) % Consts.MinhashPrime).as(s"mh$i")
+    }
+    val sig = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
+    val perms = Consts.MinhashParams.indices
+    val a = sig.select(col("source").as("source_a") +:
+      perms.map(i => col(s"mh$i").as(s"a$i")): _*)
+    val b = sig.select(col("source").as("source_b") +:
+      perms.map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = perms.map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .withColumn("matching_perms", matches)
+      .withColumn("est_jaccard_permille",
+        expr(s"matching_perms * 1000 div ${perms.size}"))
+      .select("source_a", "source_b", "matching_perms", "est_jaccard_permille")
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceMinhashMatrixSql: String = {
+    val nPerms = Consts.MinhashParams.size
+    val matchSum = (0 until nPerms).map(i =>
+      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sets AS (
+       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, source, $sqlShingles s0
+       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |exploded AS (SELECT source, unnest(s) AS hv FROM sets),
+       |sig AS (SELECT source,
+       |    $minColsSql
+       |  FROM exploded GROUP BY source)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  cast($matchSum as bigint) AS matching_perms,
+       |  cast($matchSum as bigint) * 1000 // $nPerms AS est_jaccard_permille
+       |FROM sig a JOIN sig b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
   // local fingerprinting algorithm): slide a window of WinnowWindow
   // consecutive k-gram hashes and keep each window's MINIMUM. The

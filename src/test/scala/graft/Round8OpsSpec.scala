@@ -250,6 +250,61 @@ class Round8OpsSpec extends SparkSpec {
     assert(graft.ops.TextAnalytics.DiversityOrders.forall(n => got(("fine", n.toLong)) == 1000L))
   }
 
+  // ---------------------------------------------------------------- q130
+
+  /** independent source-union minhash signature from raw text. */
+  private def sourceSigRef(docs: Seq[(String, String)]): Map[String, Seq[Long]] = {
+    val prime = graft.core.Consts.MinhashPrime
+    docs.groupBy(_._1).map { case (src, g) =>
+      val hvs = g.flatMap { case (_, t) =>
+        val w = toks(t)
+        (0 to w.length - 3).map(i => md5Hash32(w.slice(i, i + 3).mkString(" ")))
+      }.distinct
+      src -> graft.core.Consts.MinhashParams.map { case (a, b) =>
+        hvs.map(hv => (hv * a + b) % prime).min
+      }
+    }
+  }
+
+  test("q130: source matrix matches an independent union-signature reference at sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val sigs = sourceSigRef(docs)
+    val expected = (for {
+      (a, sa) <- sigs.toSeq; (b, sb) <- sigs.toSeq if a < b
+    } yield {
+      val m = sa.zip(sb).count { case (x, y) => x == y }.toLong
+      (a, b, m, m * 1000L / sa.size)
+    }).sortBy { case (a, b, _, _) => (a, b) }
+    val got = graft.ops.Dedup
+      .sourceMinhashMatrix(spark, sf0001, graft.ops.Dedup.OracleHashBits).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("matching_perms"), r.getAs[Long]("est_jaccard_permille")))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q130: identical sources estimate 1000 permille, disjoint sources 0") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q130-planted")
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val other = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10 k11"
+    Seq((0L, shared, "en", "sA", 1L), (1L, shared, "en", "sB", 1L),
+        (2L, other, "en", "sC", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup
+      .sourceMinhashMatrix(spark, dir, graft.ops.Dedup.OracleHashBits).collect()
+      .map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+        (r.getAs[Long]("matching_perms"), r.getAs[Long]("est_jaccard_permille"))))
+      .toMap
+    // identical shingle unions: every permutation's min agrees
+    assert(got(("sA", "sB")) == (16L, 1000L))
+    // disjoint shingle unions: no permutation min can agree (no shared hv)
+    assert(got(("sA", "sC")) == (0L, 0L))
+    assert(got(("sB", "sC")) == (0L, 0L))
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
