@@ -235,4 +235,170 @@ object Multimodal {
        |FROM (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
        |  unnest(range(cast(floor((length(text)-1)/$FrameSize) as bigint) + 1)) AS t(i)
        |ORDER BY media_id, frame_idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Perceptual dHash near-duplicate detection — the image-side analog
+  // of the text dedup family: a 64-bit difference hash (9×8 grayscale
+  // grid, bit = "is this pixel darker than its right neighbor") that
+  // is stable under re-encoding, mild brightness shift, and resizing —
+  // the transformations that defeat byte-level exact dedup on a 100 TB
+  // image crawl. Decode→downsample→hash runs per-partition batch-wise
+  // like every media stage; the REAL decode path (ImageIO + bilinear
+  // downsample) is exercised by spec with actual PNG bytes, while the
+  // oracle-checked query rides the documented stub-decoder seam
+  // (payload bytes ARE the grayscale grid) so the full banding/pairing
+  // plumbing is cross-engine-pinned without codecs in the oracle.
+  // -------------------------------------------------------------------
+
+  /** dHash grid: 9 columns × 8 rows of grayscale, 8 comparisons/row. */
+  val DHashCols = 9
+  val DHashRows = 8
+  /** pairs at or below this Hamming distance are near-dups. */
+  val DHashMaxHamming = 6
+  /** 8 bands × 8 bits: pigeonhole-EXACT for Hamming ≤ 7 ≥ the
+    * threshold — a qualifying pair always agrees on ≥1 whole band. */
+  val DHashBands = 8
+
+  /** The shared hash kernel: 72 grayscale values (row-major 9×8) → 64
+    * bits, bit r·8+c set iff g[r][c] < g[r][c+1]. Bit 63 lands in the
+    * sign bit — the i64 value is the same "sum of distinct powers of
+    * two" on both engines (the oracle adds −2⁶³ for bit 63). */
+  private[ops] def dhashOfGrid(g: Array[Int]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < DHashRows) {
+      var c = 0
+      while (c < DHashCols - 1) {
+        if (g(r * DHashCols + c) < g(r * DHashCols + c + 1))
+          h |= 1L << (r * (DHashCols - 1) + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Stub-decode grid: first 72 payload bytes as grayscale (unsigned),
+    * zero-padded — the documented codec seam, byte-mirrorable in SQL. */
+  private def stubGrid(bytes: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](DHashCols * DHashRows)
+    var i = 0
+    while (i < g.length) {
+      g(i) = if (i < bytes.length) bytes(i) & 0xff else 0
+      i += 1
+    }
+    g
+  }
+
+  /** (media_id, dhash) over the image-kind media rows via the stub
+    * decoder — scan-local per-partition batches, payloads never
+    * shuffle, only the 8-byte hashes move. */
+  def imageDHashes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decoder: MediaDecoder = new StubDecoder
+    mediaTable(spark, sfDir)
+      .filter(col("kind") === "image").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(FeatureBatch).flatMap { batch =>
+          val decoded = decoder.decodeBatch(batch.map(_.payload))
+          batch.zip(decoded).map { case (m, bytes) =>
+            (m.media_id, dhashOfGrid(stubGrid(bytes)))
+          }
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** REAL dHash: ImageIO decode + bilinear 9×8 grayscale downsample +
+    * the same bit kernel — the production path, spec-exercised with
+    * actual PNG bytes (undecodable payloads drop, the imageInfo
+    * convention). */
+  def imageDHash(images: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { it =>
+      it.grouped(FeatureBatch).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) None
+          else {
+            val small = new java.awt.image.BufferedImage(DHashCols, DHashRows,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gr = small.createGraphics()
+            gr.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            gr.drawImage(img, 0, 0, DHashCols, DHashRows, null)
+            gr.dispose()
+            val g = new Array[Int](DHashCols * DHashRows)
+            var i = 0
+            while (i < g.length) {
+              val rgb = small.getRGB(i % DHashCols, i / DHashCols)
+              // ITU-R 601 luma in integer arithmetic
+              g(i) = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              i += 1
+            }
+            Some((id, dhashOfGrid(g)))
+          }
+        }
+      }
+    }
+  }
+
+  /** q131: near-duplicate image pairs at Hamming ≤ [[DHashMaxHamming]].
+    *
+    * Scale shape: the q17 SimHash discipline at 64 bits — signatures
+    * band into [[DHashBands]] 8-bit keys inside the scan projection and
+    * candidates come from ONE self-equi-join on (band_idx, band_val)
+    * (union of band joins expressed as one exploded join, exchange
+    * reused), exact by pigeonhole at the threshold; the verify step is
+    * a codegen'd bit_count(xor) on the candidate rows only. An
+    * all-pairs join never happens, so a billion-image corpus pairs at
+    * banded-join cost, not n². */
+  def dhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = imageDHashes(spark, sfDir)
+    val banded = sigs.select(col("media_id"), col("dhash"),
+      explode(array((0 until DHashBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(0xffL)).as("band_val"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("dhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val a = banded.select(col("media_id").as("media_a"), col("dhash").as("ha"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("media_id").as("media_b"), col("dhash").as("hb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "ha", "hb").distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= DHashMaxHamming)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
+  def dhashPairsSql: String = {
+    // grid byte p (0-based): unsigned payload byte, zero past the end
+    def byteAt(p: Int) =
+      s"CASE WHEN $p < length(text) THEN ascii(substring(text, ${p + 1}, 1)) ELSE 0 END"
+    val bits = (for {
+      r <- 0 until DHashRows
+      c <- 0 until DHashCols - 1
+    } yield {
+      val k = r * (DHashCols - 1) + c
+      val w = if (k == 63) "-9223372036854775807 - 1" else (1L << k).toString
+      s"CASE WHEN ${byteAt(r * DHashCols + c)} < ${byteAt(r * DHashCols + c + 1)} THEN $w ELSE 0 END"
+    }).mkString("\n      + ")
+    s"""WITH sig AS (
+       |  SELECT doc_id AS media_id,
+       |    ($bits) AS dhash
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  cast(bit_count(xor(a.dhash, b.dhash)) as bigint) AS hamming
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming
+       |ORDER BY media_a, media_b""".stripMargin
+  }
 }

@@ -305,6 +305,78 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(("sB", "sC")) == (0L, 0L))
   }
 
+  // ---------------------------------------------------------------- q131
+
+  /** independent stub-path dHash: first-72-bytes grid, literal bit rule. */
+  private def dhashRef(text: String): Long = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var h = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      def b(p: Int) = if (p < bytes.length) bytes(p) & 0xff else 0
+      if (b(r * 9 + c) < b(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+    }
+    h
+  }
+
+  test("q131: banded pairs equal an independent all-pairs reference at sf0.01") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0)
+    val sigs = docs.map { case (id, t) => (id, dhashRef(t)) }
+    val expected = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb).toLong
+      if ham <= graft.ops.Multimodal.DHashMaxHamming
+    } yield (a, b, ham)).sortBy { case (a, b, _) => (a, b) }.toSeq
+    val got = graft.ops.Multimodal.dhashPairs(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"), r.getAs[Long]("hamming")))
+      .toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "the sf0.01 corpus must produce near-dup image pairs")
+    // per-image signatures match the reference kernel too
+    val gotSigs = graft.ops.Multimodal.imageDHashes(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("dhash"))).toMap
+    sigs.foreach { case (id, h) => assert(gotSigs(id) == h, s"media $id") }
+  }
+
+  test("q131: real ImageIO decode path — re-encoding and brightness shift survive, different content does not") {
+    import spark.implicits._
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) { val v = f(x, y) & 0xff; img.setRGB(x, y, (v << 16) | (v << 8) | v) }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // a diagonal gradient, the same gradient brightened by +12, the same
+    // gradient re-encoded at a different size, and unrelated noise-bars
+    val base = png(64, 48, (x, y) => 2 * x + 2 * y)
+    val bright = png(64, 48, (x, y) => math.min(255, 2 * x + 2 * y + 12))
+    val resized = png(128, 96, (x, y) => x + y)
+    val bars = png(64, 48, (x, _) => if ((x / 8) % 2 == 0) 230 else 10)
+    val hashes = graft.ops.Multimodal
+      .imageDHash(Seq((0L, base), (1L, bright), (2L, resized), (3L, bars),
+        (4L, "not an image at all".getBytes)).toDS())
+      .collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+    assert(ham(0L, 1L) <= graft.ops.Multimodal.DHashMaxHamming,
+      s"brightness shift must survive dHash (got ${ham(0L, 1L)})")
+    assert(ham(0L, 2L) <= graft.ops.Multimodal.DHashMaxHamming,
+      s"re-encode at another size must survive dHash (got ${ham(0L, 2L)})")
+    assert(ham(0L, 3L) > graft.ops.Multimodal.DHashMaxHamming,
+      s"different content must NOT collide (got ${ham(0L, 3L)})")
+    // undecodable payloads drop instead of failing the job
+    assert(!hashes.contains(4L))
+  }
+
+  test("q131: the candidate join is banded equi-join, never a cross product") {
+    val plan = graft.ops.Multimodal.dhashPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "dhash pairing must ride the banded equi-join")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
