@@ -162,7 +162,8 @@ object SparkEntry {
     "q128_winnow_pairs"     -> ((s: SparkSession, d: String) => Dedup.winnowPairs(s, d, Dedup.OracleHashBits)),
     "q129_distinct_ngrams"  -> ((s: SparkSession, d: String) => TextAnalytics.distinctNgrams(s, d, Dedup.OracleHashBits)),
     "q130_source_minhash"   -> ((s: SparkSession, d: String) => Dedup.sourceMinhashMatrix(s, d, Dedup.OracleHashBits)),
-    "q131_image_dhash"      -> Multimodal.dhashPairs _
+    "q131_image_dhash"      -> Multimodal.dhashPairs _,
+    "q132_label_centroids"  -> Similarity.labelCentroids _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -368,6 +369,7 @@ object SparkEntry {
     "q128_winnow_pairs"     -> Dedup.winnowPairsSql,
     "q129_distinct_ngrams"  -> TextAnalytics.distinctNgramsSql,
     "q130_source_minhash"   -> Dedup.sourceMinhashMatrixSql,
-    "q131_image_dhash"      -> Multimodal.dhashPairsSql
+    "q131_image_dhash"      -> Multimodal.dhashPairsSql,
+    "q132_label_centroids"  -> Similarity.labelCentroidsSql
   )
 }

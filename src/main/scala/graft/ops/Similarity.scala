@@ -1645,4 +1645,88 @@ object Similarity {
        |WHERE rank <= ${Consts.KnnK}
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Label-centroid separation matrix: the class-geometry QA report for
+  // labeled embedding data (classifier training sets, hard-negative
+  // label pools, D4/SemDeDup cluster assignments re-used as labels).
+  // Two labels whose centroids sit at high cosine are confusable —
+  // mislabeled data, duplicate classes, or a feature space that never
+  // separated them; the q67/q82 hard-negative miners read this matrix
+  // to decide which label pairs are worth mining at all.
+  // -------------------------------------------------------------------
+
+  /** q132: (label_a, label_b, n_a, n_b, cos_permille) for every label
+    * pair — cosine between FIXED-POINT per-label centroids.
+    *
+    * Numeric discipline: elements quantize to floor(x·1e6) i64 (the
+    * family's shared grid), per-(label, dim) sums are exact integers,
+    * and the centroid folds to floor(s/n) BEFORE any cross-label
+    * product — the fixed-point centroid's magnitude is bounded by the
+    * quantized value range, INDEPENDENT of n, so centroid dots can
+    * never overflow no matter how many vectors a label has (per-dim
+    * sums stay double-exact to ~9·10¹⁵, i.e. ~10⁹ vectors/label at
+    * this value range; beyond that, pre-scale the quantization down).
+    * The final cosine is correctly-rounded double ops over exact
+    * integers, floored to permille — hash-identical cross-engine.
+    *
+    * Scale shape: ONE shuffle, keyed (label, dim) with map-side
+    * combine (the scan emits 64 partial sums per partition per label,
+    * not per row); everything downstream — centroid fold, norms, the
+    * pairwise dot matrix — runs on the labels×64 frame, which is
+    * driver-trivial at any corpus size. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.select(col("label").cast("long").as("label"),
+        posexplode(quantize(col("embedding"))).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+    val c = q.withColumn("c", expr("cast(floor(cast(s as double) / n) as bigint)"))
+      .select("label", "d", "c")
+    val nrm = c.groupBy("label").agg(sum(col("c") * col("c")).as("nrm"))
+    val cnt = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n"))
+    val a = c.select(col("label").as("label_a"), col("d"), col("c").as("ca"))
+    val b = c.select(col("label").as("label_b"), col("d"), col("c").as("cb"))
+    a.join(b, Seq("d"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(nrm.select(col("label").as("label_a"), col("nrm").as("nrm_a")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("nrm").as("nrm_b")), "label_b")
+      .join(cnt.select(col("label").as("label_a"), col("n").as("n_a")), "label_a")
+      .join(cnt.select(col("label").as("label_b"), col("n").as("n_b")), "label_b")
+      .withColumn("cos_permille",
+        floor(lit(1000.0) * col("dot").cast("double") /
+          (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double")))).cast("long"))
+      .select("label_a", "label_b", "n_a", "n_b", "cos_permille")
+      .orderBy("label_a", "label_b")
+  }
+
+  def labelCentroidsSql: String =
+    s"""WITH q AS (
+       |  SELECT cast(label as bigint) AS label, d,
+       |    sum(cast(floor(cast(x as double) * ${Consts.QuantScale}.0) as bigint)) AS s,
+       |    count(*) AS n
+       |  FROM (SELECT label, unnest(embedding) AS x,
+       |          generate_subscripts(embedding, 1) AS d
+       |        FROM embeddings)
+       |  GROUP BY 1, 2),
+       |c AS (SELECT label, d, cast(floor(cast(s as double) / n) as bigint) AS c FROM q),
+       |nrm AS (SELECT label, sum(c*c) AS nrm FROM c GROUP BY label),
+       |cnt AS (SELECT cast(label as bigint) AS label, cast(count(*) as bigint) AS n
+       |        FROM embeddings GROUP BY 1),
+       |dots AS (
+       |  SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+       |  FROM c a JOIN c b ON a.d = b.d AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b, ca.n AS n_a, cb.n AS n_b,
+       |  cast(floor(1000.0 * cast(dot as double) /
+       |    (sqrt(cast(na.nrm as double)) * sqrt(cast(nb.nrm as double)))) as bigint) AS cos_permille
+       |FROM dots
+       |JOIN nrm na ON na.label = label_a
+       |JOIN nrm nb ON nb.label = label_b
+       |JOIN cnt ca ON ca.label = label_a
+       |JOIN cnt cb ON cb.label = label_b
+       |ORDER BY label_a, label_b""".stripMargin
 }

@@ -377,6 +377,59 @@ class Round8OpsSpec extends SparkSpec {
       "dhash pairing must ride the banded equi-join")
   }
 
+  // ---------------------------------------------------------------- q132
+
+  test("q132: separation matrix matches an independent fixed-point reference at sf0.001") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).toArray))
+    val byLabel = rows.groupBy(_._1)
+    val cents = byLabel.map { case (l, g) =>
+      val n = g.size.toLong
+      val sums = Array.fill(64)(0L)
+      g.foreach { case (_, v) =>
+        v.zipWithIndex.foreach { case (x, d) =>
+          sums(d) += math.floor(x.toDouble * 1e6).toLong
+        }
+      }
+      l -> sums.map(s => math.floor(s.toDouble / n).toLong)
+    }
+    val expected = (for {
+      (a, ca) <- cents.toSeq; (b, cb) <- cents.toSeq if a < b
+    } yield {
+      val dot = ca.zip(cb).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(ca.map(x => x * x).sum.toDouble)
+      val nb = math.sqrt(cb.map(x => x * x).sum.toDouble)
+      (a, b, byLabel(a).size.toLong, byLabel(b).size.toLong,
+        math.floor(1000.0 * dot.toDouble / (na * nb)).toLong)
+    }).sortBy { case (a, b, _, _, _) => (a, b) }
+    val got = graft.ops.Similarity.labelCentroids(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("label_a"), r.getAs[Long]("label_b"),
+        r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("cos_permille")))
+      .toSeq
+    assert(got == expected)
+    assert(got.size == cents.size * (cents.size - 1) / 2)
+  }
+
+  test("q132: identical labels read 1000 permille, disjoint-support labels 0") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q132-planted")
+    def vec(active: Range, v: Float): Array[Float] =
+      Array.tabulate(64)(d => if (active.contains(d)) v else 0.0f)
+    // labels 0 and 1: identical single-vector centroids on dims 0-7;
+    // label 2: disjoint support on dims 32-39
+    Seq((0L, vec(0 until 8, 0.3f), 0), (1L, vec(0 until 8, 0.3f), 1),
+        (2L, vec(32 until 40, 0.4f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.ops.Similarity.labelCentroids(spark, dir).collect()
+      .map(r => ((r.getAs[Long]("label_a"), r.getAs[Long]("label_b")), r.getAs[Long]("cos_permille")))
+      .toMap
+    assert(got((0L, 1L)) == 1000L, "identical centroids must read exactly 1000")
+    assert(got((0L, 2L)) == 0L && got((1L, 2L)) == 0L,
+      "disjoint-support centroids must read exactly 0")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
