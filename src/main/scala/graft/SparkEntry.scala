@@ -163,7 +163,8 @@ object SparkEntry {
     "q129_distinct_ngrams"  -> ((s: SparkSession, d: String) => TextAnalytics.distinctNgrams(s, d, Dedup.OracleHashBits)),
     "q130_source_minhash"   -> ((s: SparkSession, d: String) => Dedup.sourceMinhashMatrix(s, d, Dedup.OracleHashBits)),
     "q131_image_dhash"      -> Multimodal.dhashPairs _,
-    "q132_label_centroids"  -> Similarity.labelCentroids _
+    "q132_label_centroids"  -> Similarity.labelCentroids _,
+    "q133_quality_dup_audit" -> ((s: SparkSession, d: String) => Dedup.qualityDupAudit(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -370,6 +371,7 @@ object SparkEntry {
     "q129_distinct_ngrams"  -> TextAnalytics.distinctNgramsSql,
     "q130_source_minhash"   -> Dedup.sourceMinhashMatrixSql,
     "q131_image_dhash"      -> Multimodal.dhashPairsSql,
-    "q132_label_centroids"  -> Similarity.labelCentroidsSql
+    "q132_label_centroids"  -> Similarity.labelCentroidsSql,
+    "q133_quality_dup_audit" -> Dedup.qualityDupAuditSql
   )
 }

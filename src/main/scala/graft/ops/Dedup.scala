@@ -1990,6 +1990,69 @@ object Dedup {
        |GROUP BY cluster
        |ORDER BY cluster""".stripMargin
 
+  /** q133: quality×duplication calibration — the audit that tells you
+    * whether the quality score and the dedup graph agree: per quality
+    * decile band (floor(q·10), clamped to 9), how many docs sit inside
+    * ANY near-dup family and what token mass they carry. A healthy
+    * curation setup shows duplication concentrated in the low-quality
+    * bands (template spam is both low-quality and duplicated); a FLAT
+    * profile means the quality filter and the deduper are removing
+    * DIFFERENT documents and the pipeline genuinely needs both; dup
+    * mass concentrated in HIGH bands is the red flag — the "quality"
+    * signal is probably rewarding boilerplate (FineWeb's motivation
+    * for quality-aware survivorship, q106). Composes three existing
+    * seams: q10's shared qualityCol, q49's shared graph/CC machinery,
+    * q74's membership flags — no new signal, which is the point: the
+    * audit is only trustworthy because both axes are EXACTLY the
+    * production signals.
+    *
+    * Scale shape: quality and token counts are scan-local projections;
+    * the component set is the shared banded-LSH + star/union-find
+    * machinery (never O(n²)); membership is one left equi-join keyed
+    * doc_id (sized by the duplicate count); the report is one agg onto
+    * ≤10 bands. */
+  def qualityDupAudit(spark: SparkSession, sfDir: String,
+                      bits: Int = DefaultHashBits): DataFrame = {
+    val qd = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        TextAnalytics.qualityCol(col("text"), col("t")).as("q"),
+        size(col("t")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        least(floor(col("q") * lit(10.0)).cast("long"), lit(9L)))
+    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
+      .withColumnRenamed("node", "doc_id")
+      .select(col("doc_id"), lit(true).as("in_dup"))
+    qd.join(comp, Seq("doc_id"), "left")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("in_dup"), 1L).otherwise(0L)).as("n_dup_members"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("in_dup"), col("n_tokens")).otherwise(0L)).as("dup_tokens"))
+      .withColumn("dup_permille", expr("n_dup_members * 1000 div n_docs"))
+      .select("bucket", "n_docs", "n_dup_members", "dup_permille",
+        "n_tokens", "dup_tokens")
+      .orderBy("bucket")
+  }
+
+  def qualityDupAuditSql: String =
+    s"""WITH RECURSIVE
+       |$sqlDedupGraphCtes,
+       |qd AS (
+       |  SELECT doc_id,
+       |    least(cast(floor((${TextAnalytics.qualitySqlExpr}) * 10.0) as bigint), 9) AS bucket,
+       |    cast(len(t) as bigint) AS n_tokens
+       |  FROM (SELECT doc_id, text, ${TextAnalytics.sqlTokens} t FROM documents))
+       |SELECT bucket, count(*) AS n_docs,
+       |  cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dup_members,
+       |  cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) * 1000
+       |    // count(*) AS dup_permille,
+       |  cast(sum(n_tokens) as bigint) AS n_tokens,
+       |  cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN n_tokens ELSE 0 END) as bigint) AS dup_tokens
+       |FROM qd LEFT JOIN comp c USING (doc_id)
+       |GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+
   /** q91: CLUSTER-AWARE train/val/test split — the leakage guard a
     * training pipeline needs between dedup and splitting: two near-
     * duplicate documents on opposite sides of the train/test boundary

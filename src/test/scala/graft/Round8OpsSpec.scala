@@ -430,6 +430,65 @@ class Round8OpsSpec extends SparkSpec {
       "disjoint-support centroids must read exactly 0")
   }
 
+  // ---------------------------------------------------------------- q133
+
+  test("q133: audit matches an independent bucket/membership recompute at sf0.01") {
+    // independent quality + bucketing; dup membership from the pair list
+    // (itself independently referenced in TextDedupSimilaritySpec) plus a
+    // pure-Scala exact-dup group-by
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    def quality(t: String): Double = {
+      val chars = t.length.toDouble
+      val alpha = t.count(c => c >= 'a' && c <= 'z').toDouble / chars
+      val w = toks(t)
+      val stop = w.count(graft.core.Consts.Stopwords.contains).toDouble / w.length
+      alpha * (1.0 - stop)
+    }
+    val exactDup = docs.groupBy(_._2).values.filter(_.size > 1).flatMap(_.map(_._1)).toSet
+    val lshDup = graft.ops.Dedup
+      .minhashLshPairs(spark, sf001, graft.ops.Dedup.OracleHashBits)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val dup = exactDup ++ lshDup
+    val expected = docs.map { case (id, t) =>
+      (math.min(math.floor(quality(t) * 10.0).toLong, 9L), id, toks(t).length.toLong)
+    }.groupBy(_._1).toSeq.map { case (b, g) =>
+      val nd = g.count(r => dup.contains(r._2)).toLong
+      (b, g.length.toLong, nd, nd * 1000L / g.length,
+        g.map(_._3).sum, g.filter(r => dup.contains(r._2)).map(_._3).sum)
+    }.sortBy(_._1)
+    val got = graft.ops.Dedup.qualityDupAudit(spark, sf001, graft.ops.Dedup.OracleHashBits)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_members"),
+        r.getAs[Long]("dup_permille"), r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens")))
+      .toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == docs.length.toLong, "every doc lands in exactly one band")
+  }
+
+  test("q133: duplication planted in the low-quality band is reported there") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q133-planted")
+    // low-quality (digits → alpha ratio ~0) template repeated 3×;
+    // high-quality all-alpha docs unique
+    val junk = "111 222 333 444 555 666 777 888"
+    val rows = Seq(
+      (0L, junk, "en", "s0", 1L), (1L, junk, "en", "s0", 1L), (2L, junk, "en", "s0", 1L),
+      (3L, "alpha bravo charlie delta echo foxtrot golf", "en", "s0", 1L),
+      (4L, "hotel india juliet kilo lima mike november", "en", "s0", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.qualityDupAudit(spark, dir, graft.ops.Dedup.OracleHashBits)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"), r.getAs[Long]("dup_permille")))
+      .toSeq
+    // band 0 = the three junk copies, all duplicated; band 8 = the clean
+    // unique docs (spaces hold alpha-ratio just under 0.9), none duplicated
+    assert(got.contains((0L, 3L, 1000L)), s"got $got")
+    assert(got.contains((8L, 2L, 0L)), s"got $got")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
