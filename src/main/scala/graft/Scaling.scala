@@ -44,6 +44,10 @@ object Scaling {
     // collapse, scan-local rebuild — cut volume is per-replica so output
     // stays linear in the factor
     "q115_dup_span_redact" -> ((s, d) => graft.ops.Dedup.dupSpanRedact(s, d, graft.ops.Dedup.OracleHashBits)),
+    // scan-local sliding-min fingerprints + inverted-index pair join:
+    // replicas share no grams, so fingerprint overlap (and the pair
+    // report) is per-replica and output stays linear in the factor
+    "q128_winnow_pairs" -> ((s, d) => graft.ops.Dedup.winnowPairs(s, d, graft.ops.Dedup.OracleHashBits)),
     "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, graft.ops.Dedup.OracleHashBits)),
     // same graph, different survivor rule: the quality join + max_by
     // argmax adds a members-sized keyed shuffle on top of q74's shape

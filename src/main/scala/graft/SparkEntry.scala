@@ -164,7 +164,8 @@ object SparkEntry {
     "q130_source_minhash"   -> ((s: SparkSession, d: String) => Dedup.sourceMinhashMatrix(s, d, Dedup.OracleHashBits)),
     "q131_image_dhash"      -> Multimodal.dhashPairs _,
     "q132_label_centroids"  -> Similarity.labelCentroids _,
-    "q133_quality_dup_audit" -> ((s: SparkSession, d: String) => Dedup.qualityDupAudit(s, d, Dedup.OracleHashBits))
+    "q133_quality_dup_audit" -> ((s: SparkSession, d: String) => Dedup.qualityDupAudit(s, d, Dedup.OracleHashBits)),
+    "q134_stream_dhash"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.dhashStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -372,6 +373,7 @@ object SparkEntry {
     "q130_source_minhash"   -> Dedup.sourceMinhashMatrixSql,
     "q131_image_dhash"      -> Multimodal.dhashPairsSql,
     "q132_label_centroids"  -> Similarity.labelCentroidsSql,
-    "q133_quality_dup_audit" -> Dedup.qualityDupAuditSql
+    "q133_quality_dup_audit" -> Dedup.qualityDupAuditSql,
+    "q134_stream_dhash"     -> Multimodal.dhashAdmissionSql
   )
 }

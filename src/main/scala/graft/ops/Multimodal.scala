@@ -379,11 +379,120 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
-  def dhashPairsSql: String = {
-    // grid byte p (0-based): unsigned payload byte, zero past the end
+  /** (media_id, source, dhash) over an arbitrary documents-shaped
+    * frame's image rows — the seam batch q134 and its streaming twin
+    * share, so stream and batch signatures cannot drift (the
+    * shingleRowsOf discipline applied to media). */
+  private[graft] def dhashSigsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val decoder: MediaDecoder = new StubDecoder
+        it.grouped(FeatureBatch).flatMap { batch =>
+          val decoded = decoder.decodeBatch(batch.map(_._3))
+          batch.zip(decoded).map { case ((id, src, _), bytes) =>
+            (id, src, dhashOfGrid(stubGrid(bytes)))
+          }
+        }
+      }
+      .toDF("media_id", "source", "dhash")
+  }
+
+  /** Frozen banded corpus reference for dHash admission: every
+    * non-incremental image's (band_idx, band_val, corpus_id,
+    * corpus_hash) rows, lineage-truncated so each serving join hits
+    * materialized rows (the q102 freeze discipline). */
+  private[graft] def dhashCorpusRef(spark: SparkSession, sfDir: String): DataFrame = {
+    val corp = dhashSigsOf(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+      .filter(col("source") =!= Dedup.IncrementalSource)
+    corp.select(col("media_id").as("corpus_id"), col("dhash").as("corpus_hash"),
+        explode(array((0 until DHashBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(0xffL)).as("band_val"))): _*))
+          .as("band"))
+      .select(col("corpus_id"), col("corpus_hash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+      .localCheckpoint()
+  }
+
+  /** Admission verdicts for a batch of incoming images against the
+    * frozen reference: is_dup = some corpus image within Hamming ≤
+    * [[DHashMaxHamming]] (EXACT — the banded probe sees every
+    * qualifying pair by pigeonhole), match = the (hamming, corpus_id)-
+    * lexicographic best. Non-dups report the −1 sentinels, NOT the
+    * true corpus-wide minimum distance — banding cannot see beyond the
+    * threshold, and the verdict contract doesn't need it. */
+  private[graft] def dhashAdmissionVerdicts(batch: DataFrame,
+                                            ref: DataFrame): DataFrame = {
+    val sigs = dhashSigsOf(batch)
+      .filter(col("source") === Dedup.IncrementalSource)
+      .select("media_id", "dhash")
+    val probes = sigs.select(col("media_id"), col("dhash"),
+        explode(array((0 until DHashBands).map(b =>
+          struct(lit(b).as("band_idx"),
+            shiftrightunsigned(col("dhash"), b * 8).bitwiseAND(lit(0xffL)).as("band_val"))): _*))
+          .as("band"))
+      .select(col("media_id"), col("dhash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val best = probes.join(ref, Seq("band_idx", "band_val"))
+      .withColumn("hamming",
+        bit_count(col("dhash").bitwiseXOR(col("corpus_hash"))).cast("long"))
+      .filter(col("hamming") <= DHashMaxHamming)
+      .groupBy("media_id")
+      .agg(min(struct(col("hamming"), col("corpus_id"))).as("b"))
+      .select(col("media_id"), col("b.hamming").as("h"), col("b.corpus_id").as("m"))
+    sigs.join(best, Seq("media_id"), "left")
+      .select(col("media_id"),
+        col("h").isNotNull.as("is_dup"),
+        coalesce(col("m"), lit(-1L)).as("match_id"),
+        coalesce(col("h"), lit(-1L)).as("hamming"))
+      .orderBy("media_id")
+  }
+
+  /** q134 batch twin: incoming (src0) images admitted against the
+    * frozen rest-of-corpus dHash reference — the image-side q99.
+    * The registered query is the STREAMING replay (DedupStream
+    * .dhashStream), which runs this exact core per micro-batch against
+    * the same frozen reference and is therefore row-identical; this
+    * batch form is what the oracle mirrors. */
+  def dhashAdmission(spark: SparkSession, sfDir: String): DataFrame =
+    dhashAdmissionVerdicts(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"),
+      dhashCorpusRef(spark, sfDir))
+
+  def dhashAdmissionSql: String = {
+    s"""WITH sig AS (
+       |  SELECT doc_id AS media_id, source,
+       |    ($dhashBitsSql) AS dhash
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |inc AS (SELECT media_id, dhash FROM sig WHERE source = '${Dedup.IncrementalSource}'),
+       |corp AS (SELECT media_id AS cid, dhash AS ch FROM sig WHERE source != '${Dedup.IncrementalSource}'),
+       |cand AS (
+       |  SELECT i.media_id, c.cid, cast(bit_count(xor(i.dhash, c.ch)) as bigint) AS h
+       |  FROM inc i JOIN corp c ON bit_count(xor(i.dhash, c.ch)) <= $DHashMaxHamming),
+       |best AS (
+       |  SELECT media_id, cid, h FROM (
+       |    SELECT media_id, cid, h,
+       |      row_number() OVER (PARTITION BY media_id ORDER BY h, cid) AS rn
+       |    FROM cand) WHERE rn = 1)
+       |SELECT i.media_id, b.cid IS NOT NULL AS is_dup,
+       |  coalesce(b.cid, -1) AS match_id,
+       |  coalesce(b.h, -1) AS hamming
+       |FROM inc i LEFT JOIN best b USING (media_id)
+       |ORDER BY media_id""".stripMargin
+  }
+
+  /** The dHash bit expression over a `text` column — shared between
+    * q131's and q134's oracles. */
+  private def dhashBitsSql: String = {
     def byteAt(p: Int) =
       s"CASE WHEN $p < length(text) THEN ascii(substring(text, ${p + 1}, 1)) ELSE 0 END"
-    val bits = (for {
+    (for {
       r <- 0 until DHashRows
       c <- 0 until DHashCols - 1
     } yield {
@@ -391,9 +500,12 @@ object Multimodal {
       val w = if (k == 63) "-9223372036854775807 - 1" else (1L << k).toString
       s"CASE WHEN ${byteAt(r * DHashCols + c)} < ${byteAt(r * DHashCols + c + 1)} THEN $w ELSE 0 END"
     }).mkString("\n      + ")
+  }
+
+  def dhashPairsSql: String = {
     s"""WITH sig AS (
        |  SELECT doc_id AS media_id,
-       |    ($bits) AS dhash
+       |    ($dhashBitsSql) AS dhash
        |  FROM documents WHERE doc_id % 3 = 0)
        |SELECT a.media_id AS media_a, b.media_id AS media_b,
        |  cast(bit_count(xor(a.dhash, b.dhash)) as bigint) AS hamming

@@ -310,4 +310,44 @@ object DedupStream {
     q.awaitTermination()
     spark.read.parquet(outDir).orderBy("doc_id")
   }
+
+  private val dhashCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q134: STREAMING perceptual-dedup admission for images — the
+    * multimodal q102: incoming (src0) image payloads replay through a
+    * file stream, each micro-batch hashes scan-locally through the
+    * SAME `Multimodal.dhashSigsOf` kernel the batch twin uses and
+    * probes the FROZEN banded corpus reference (built once before the
+    * stream, lineage-truncated — the admission-stream discipline), so
+    * the replay is row-identical to `Multimodal.dhashAdmission` and
+    * one oracle serves both. The verdict join is stateless per batch:
+    * corpus state lives in the frozen reference, nothing accumulates
+    * in stream state, and any number of increments admits against the
+    * same artifact until a re-freeze. */
+  def dhashStream(spark: org.apache.spark.sql.SparkSession,
+                  sfDir: String): org.apache.spark.sql.DataFrame = {
+    val ref = graft.ops.Multimodal.dhashCorpusRef(spark, sfDir)
+    val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    val run = dhashCounter.incrementAndGet()
+    val outDir = StreamScratch.dir(s"graft_dhash_$run")
+    val ckDir = StreamScratch.dir(s"graft_dhash_ck_$run")
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(org.apache.spark.sql.functions.col("source") ===
+        graft.ops.Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+    val q = stream.writeStream
+      .queryName(s"graft_dhash_$run")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Multimodal.dhashAdmissionVerdicts(batch, ref)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("media_id")
+  }
 }

@@ -489,6 +489,36 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.contains((8L, 2L, 0L)), s"got $got")
   }
 
+  // ---------------------------------------------------------------- q134
+
+  test("q134: stream replay is row-identical to the batch twin and an independent reference") {
+    val stream = graft.streaming.DedupStream.dhashStream(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Long]("match_id"), r.getAs[Long]("hamming"))).toSeq
+    val batch = graft.ops.Multimodal.dhashAdmission(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Boolean]("is_dup"),
+        r.getAs[Long]("match_id"), r.getAs[Long]("hamming"))).toSeq
+    assert(stream == batch, "stream replay must be row-identical to the batch twin")
+    // independent all-pairs reference
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._1 % 3 == 0)
+    val inc = docs.filter(_._2 == graft.ops.Dedup.IncrementalSource)
+    val corp = docs.filter(_._2 != graft.ops.Dedup.IncrementalSource)
+    val expected = inc.map { case (id, _, t) =>
+      val h = dhashRef(t)
+      val hits = corp.map { case (cid, _, ct) =>
+        (java.lang.Long.bitCount(h ^ dhashRef(ct)).toLong, cid)
+      }.filter(_._1 <= graft.ops.Multimodal.DHashMaxHamming)
+      if (hits.isEmpty) (id, false, -1L, -1L)
+      else { val best = hits.min; (id, true, best._2, best._1) }
+    }.sortBy(_._1).toSeq
+    assert(stream == expected)
+    // both verdict branches must fire on this corpus
+    assert(stream.exists(_._2) && stream.exists(!_._2))
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
