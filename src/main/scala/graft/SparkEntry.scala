@@ -165,7 +165,8 @@ object SparkEntry {
     "q131_image_dhash"      -> Multimodal.dhashPairs _,
     "q132_label_centroids"  -> Similarity.labelCentroids _,
     "q133_quality_dup_audit" -> ((s: SparkSession, d: String) => Dedup.qualityDupAudit(s, d, Dedup.OracleHashBits)),
-    "q134_stream_dhash"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.dhashStream(s, d))
+    "q134_stream_dhash"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.dhashStream(s, d)),
+    "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertility _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -374,6 +375,7 @@ object SparkEntry {
     "q131_image_dhash"      -> Multimodal.dhashPairsSql,
     "q132_label_centroids"  -> Similarity.labelCentroidsSql,
     "q133_quality_dup_audit" -> Dedup.qualityDupAuditSql,
-    "q134_stream_dhash"     -> Multimodal.dhashAdmissionSql
+    "q134_stream_dhash"     -> Multimodal.dhashAdmissionSql,
+    "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertilitySql
   )
 }

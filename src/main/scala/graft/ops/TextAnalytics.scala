@@ -1602,6 +1602,53 @@ object TextAnalytics {
   }
 
   // -------------------------------------------------------------------
+  // Tokenizer fertility per language: BPE-ish tokens per word and
+  // characters per token, the budget-planning metric UniMax-style
+  // allocation (q113) and token-budget plans (q100) consume — a
+  // language whose fertility is 2× pays twice the compute per word,
+  // so "equal token budgets" and "equal text budgets" are different
+  // policies, and this report is the exchange rate between them
+  // (fertility disparity across scripts is the standard multilingual-
+  // tokenizer equity finding, e.g. Ahia et al. 2023).
+  // -------------------------------------------------------------------
+
+  /** q135: (lang, n_docs, n_words, n_bpe_tokens, n_chars,
+    * fertility_milli, chars_per_token_milli).
+    *
+    * Scale shape: both token counts are scan-local per-row work (the
+    * whitespace split and the codegen'd regexp_count — q9's exact
+    * expressions, shared Consts pattern), so the whole report is one
+    * map-side-combined aggregation onto a languages-sized frame. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        regexp_count(col("text"), lit(Consts.BpeTokenPattern)).cast("long").as("b"),
+        length(col("text")).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("b")).as("n_bpe_tokens"),
+        sum(col("c")).as("n_chars"))
+      .withColumn("fertility_milli", expr("n_bpe_tokens * 1000 div n_words"))
+      .withColumn("chars_per_token_milli", expr("n_chars * 1000 div n_bpe_tokens"))
+      .orderBy("lang")
+  }
+
+  def tokenizerFertilitySql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  cast(sum(len($sqlTokens)) as bigint) AS n_words,
+       |  cast(sum(len(regexp_extract_all(text, '${Consts.BpeTokenPattern}'))) as bigint) AS n_bpe_tokens,
+       |  cast(sum(length(text)) as bigint) AS n_chars,
+       |  cast(sum(len(regexp_extract_all(text, '${Consts.BpeTokenPattern}'))) as bigint) * 1000
+       |    // cast(sum(len($sqlTokens)) as bigint) AS fertility_milli,
+       |  cast(sum(length(text)) as bigint) * 1000
+       |    // cast(sum(len(regexp_extract_all(text, '${Consts.BpeTokenPattern}'))) as bigint) AS chars_per_token_milli
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // Distinct-n diversity: per-source unique/total n-gram ratio for
   // n = 1, 2, 3 (distinct-1/2/3, Li et al. 2016 "A Diversity-Promoting
   // Objective Function" — the standard corpus diversity report). Read

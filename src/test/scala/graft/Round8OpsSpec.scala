@@ -519,6 +519,44 @@ class Round8OpsSpec extends SparkSpec {
     assert(stream.exists(_._2) && stream.exists(!_._2))
   }
 
+  // ---------------------------------------------------------------- q135
+
+  test("q135: fertility report matches an independent regex recompute at sf0.001") {
+    val pat = java.util.regex.Pattern.compile(graft.core.Consts.BpeTokenPattern)
+    def bpe(t: String): Long = {
+      val m = pat.matcher(t); var c = 0L; while (m.find()) c += 1; c
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).toSeq.map { case (lang, g) =>
+      val w = g.map(d => toks(d._2).length.toLong).sum
+      val b = g.map(d => bpe(d._2)).sum
+      val c = g.map(d => d._2.length.toLong).sum
+      (lang, g.length.toLong, w, b, c, b * 1000L / w, c * 1000L / b)
+    }.sortBy(_._1)
+    val got = graft.ops.TextAnalytics.tokenizerFertility(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("fertility_milli"), r.getAs[Long]("chars_per_token_milli")))
+      .toSeq
+    assert(got == expected)
+  }
+
+  test("q135: a punctuation-fragmented language shows higher fertility") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q135-planted")
+    // plain words → 1 BPE token per word (fertility 1000); hyphen/digit
+    // mixed words fragment into several tokens each
+    Seq((0L, "alpha bravo charlie delta", "plain", "s0", 1L),
+        (1L, "ab-1cd ef-2gh ij-3kl mn-4op", "frag", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalytics.tokenizerFertility(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("fertility_milli"))).toMap
+    assert(got("plain") == 1000L)
+    assert(got("frag") == 4000L, s"each frag word is [ab][-][1][cd] = 4 tokens: $got")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
