@@ -166,7 +166,8 @@ object SparkEntry {
     "q132_label_centroids"  -> Similarity.labelCentroids _,
     "q133_quality_dup_audit" -> ((s: SparkSession, d: String) => Dedup.qualityDupAudit(s, d, Dedup.OracleHashBits)),
     "q134_stream_dhash"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.dhashStream(s, d)),
-    "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertility _
+    "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertility _,
+    "q136_simhash_sweep"    -> ((s: SparkSession, d: String) => Dedup.simhashSweep(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -376,6 +377,7 @@ object SparkEntry {
     "q132_label_centroids"  -> Similarity.labelCentroidsSql,
     "q133_quality_dup_audit" -> Dedup.qualityDupAuditSql,
     "q134_stream_dhash"     -> Multimodal.dhashAdmissionSql,
-    "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertilitySql
+    "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertilitySql,
+    "q136_simhash_sweep"    -> Dedup.simhashSweepSql
   )
 }

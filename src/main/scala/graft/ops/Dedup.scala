@@ -2670,6 +2670,129 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // SimHash threshold calibration sweep: q104's discipline applied to
+  // the 16-bit signature family. Before committing to a Hamming merge
+  // threshold (Consts.SimhashMaxHamming = 3), sweep every threshold
+  // 0..SimhashSweepMax and report what each would merge — pair volume
+  // AND how set-similar the merged docs actually are.
+  // -------------------------------------------------------------------
+
+  /** Sweep ceiling: past 8 of 16 bits, signatures are uncorrelated. */
+  val SimhashSweepMax = 8L
+
+  /** q136: per candidate Hamming threshold t, the CUMULATIVE merge
+    * picture: distinct-signature pairs at distance ≤ t, the EXACT
+    * count of document pairs those signature pairs imply (products of
+    * group sizes — no doc-pair expansion is ever materialized), and
+    * the shingle-set Jaccard of each signature pair's REPRESENTATIVE
+    * doc pair (min-id docs; min-id + second-min for same-signature
+    * groups). Representative Jaccard is a calibration statistic, not
+    * the all-pairs mean — the all-pairs version requires exactly the
+    * |group|² expansion this formulation exists to avoid, and for
+    * threshold selection the representative curve carries the signal
+    * (is hamming 5 still ~0.7-similar, or noise?).
+    *
+    * Scale shape: everything runs at SIGNATURE granularity (the q49
+    * cluster discipline): group stats are two keyed aggs over the
+    * two-longs-per-doc signature table; the sweep's candidate join is
+    * all-pairs over DISTINCT signatures — bounded by the 2¹⁶ signature
+    * space, a CONSTANT independent of corpus size (≤ 2×10⁹ worst-case
+    * comparisons for an occasional calibration run; the corpus itself
+    * never joins); representative shingle sets fetch by equi-join for
+    * ≤ 2·|sigs| docs; the threshold fan-out is a 9-row broadcast. */
+  def simhashSweep(spark: SparkSession, sfDir: String,
+                   bits: Int = DefaultHashBits): DataFrame = {
+    import graft.functions.LongArrayIntersectCount
+    val sig = Materialize.shared(spark, simhashFrame(spark, sfDir))
+    val groups = sig.groupBy("simhash")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("r1"))
+    val r2 = sig.join(groups, "simhash").filter(col("doc_id") > col("r1"))
+      .groupBy("simhash").agg(min("doc_id").as("r2"))
+    val g = groups.join(r2, Seq("simhash"), "left")
+    val a = g.select(col("simhash").as("sh_a"), col("cnt").as("cnt_a"), col("r1").as("rep_a"))
+    val b = g.select(col("simhash").as("sh_b"), col("cnt").as("cnt_b"), col("r1").as("rep_b"))
+    val cross = a.join(b, col("sh_a") < col("sh_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= SimhashSweepMax)
+      .select(col("hamming"), (col("cnt_a") * col("cnt_b")).as("n_doc_pairs"),
+        col("rep_a"), col("rep_b"))
+    val same = g.filter(col("cnt") >= 2L)
+      .select(lit(0L).as("hamming"),
+        expr("cnt * (cnt - 1) div 2").as("n_doc_pairs"),
+        col("r1").as("rep_a"), col("r2").as("rep_b"))
+    val sets = shingleSets(spark, sfDir, bits).select("doc_id", "s")
+    val empty = array().cast("array<bigint>")
+    val withJ = cross.unionAll(same)
+      .join(sets.select(col("doc_id").as("rep_a"), col("s").as("sa")), Seq("rep_a"), "left")
+      .join(sets.select(col("doc_id").as("rep_b"), col("s").as("sb")), Seq("rep_b"), "left")
+      .withColumn("inter",
+        LongArrayIntersectCount(coalesce(col("sa"), empty), coalesce(col("sb"), empty)).cast("long"))
+      .withColumn("uni",
+        size(coalesce(col("sa"), empty)).cast("long") +
+          size(coalesce(col("sb"), empty)).cast("long") - col("inter"))
+      .withColumn("jacc_permille",
+        when(col("uni") > 0L, expr("inter * 1000 div uni")).otherwise(lit(0L)))
+    val th = spark.range(0L, SimhashSweepMax + 1L).toDF("max_hamming")
+    th.join(withJ, col("hamming") <= col("max_hamming"), "left")
+      .groupBy("max_hamming")
+      .agg(count(col("hamming")).as("n_sig_pairs"),
+        coalesce(sum(col("n_doc_pairs")), lit(0L)).as("n_doc_pairs"),
+        coalesce(sum(col("jacc_permille")), lit(0L)).as("jsum"),
+        coalesce(min(col("jacc_permille")), lit(-1L)).as("min_rep_jacc_permille"))
+      .withColumn("mean_rep_jacc_permille",
+        when(col("n_sig_pairs") > 0L, expr("jsum div n_sig_pairs")).otherwise(lit(-1L)))
+      .select("max_hamming", "n_sig_pairs", "n_doc_pairs",
+        "mean_rep_jacc_permille", "min_rep_jacc_permille")
+      .orderBy("max_hamming")
+  }
+
+  def simhashSweepSql: String =
+    s"""WITH sig AS (${simhashSql.replace("ORDER BY doc_id", "")}),
+       |sets AS (
+       |  SELECT doc_id, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, $sqlShingles s0
+       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |g0 AS (SELECT simhash, cast(count(*) as bigint) AS cnt, min(doc_id) AS r1
+       |       FROM sig GROUP BY simhash),
+       |rr2 AS (SELECT s.simhash, min(s.doc_id) AS r2
+       |        FROM sig s JOIN g0 ON s.simhash = g0.simhash
+       |        WHERE s.doc_id > g0.r1 GROUP BY s.simhash),
+       |g AS (SELECT g0.simhash, g0.cnt, g0.r1, rr2.r2 FROM g0 LEFT JOIN rr2 USING (simhash)),
+       |cross_p AS (
+       |  SELECT cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming,
+       |    a.cnt * b.cnt AS n_doc_pairs, a.r1 AS rep_a, b.r1 AS rep_b
+       |  FROM g a JOIN g b ON a.simhash < b.simhash
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashSweepMax),
+       |same_p AS (
+       |  SELECT cast(0 as bigint) AS hamming, cnt * (cnt - 1) // 2 AS n_doc_pairs,
+       |    r1 AS rep_a, r2 AS rep_b
+       |  FROM g WHERE cnt >= 2),
+       |pairs AS (SELECT * FROM cross_p UNION ALL SELECT * FROM same_p),
+       |wj AS (
+       |  SELECT hamming, n_doc_pairs,
+       |    CASE WHEN (len(coalesce(sa.s, [])) + len(coalesce(sb.s, []))
+       |               - len(list_intersect(coalesce(sa.s, []), coalesce(sb.s, [])))) > 0
+       |      THEN len(list_intersect(coalesce(sa.s, []), coalesce(sb.s, []))) * 1000
+       |        // (len(coalesce(sa.s, [])) + len(coalesce(sb.s, []))
+       |            - len(list_intersect(coalesce(sa.s, []), coalesce(sb.s, []))))
+       |      ELSE 0 END AS jacc_permille
+       |  FROM pairs
+       |  LEFT JOIN sets sa ON rep_a = sa.doc_id
+       |  LEFT JOIN sets sb ON rep_b = sb.doc_id),
+       |th AS (SELECT cast(t as bigint) AS max_hamming FROM unnest(range($SimhashSweepMax + 1)) AS u(t))
+       |SELECT max_hamming,
+       |  cast(count(hamming) as bigint) AS n_sig_pairs,
+       |  cast(coalesce(sum(n_doc_pairs), 0) as bigint) AS n_doc_pairs,
+       |  CASE WHEN count(hamming) > 0
+       |    THEN cast(coalesce(sum(jacc_permille), 0) as bigint) // cast(count(hamming) as bigint)
+       |    ELSE -1 END AS mean_rep_jacc_permille,
+       |  cast(coalesce(min(jacc_permille), -1) as bigint) AS min_rep_jacc_permille
+       |FROM th LEFT JOIN wj ON hamming <= max_hamming
+       |GROUP BY max_hamming
+       |ORDER BY max_hamming""".stripMargin
+
+  // -------------------------------------------------------------------
   // Source-level MinHash similarity matrix: the SKETCH-space complement
   // of q72's exact source×source overlap. q72 answers "exactly how many
   // shingles do these two crawls share" with one hv-keyed shuffle whose

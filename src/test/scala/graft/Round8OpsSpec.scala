@@ -557,6 +557,70 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("frag") == 4000L, s"each frag word is [ab][-][1][cd] = 4 tokens: $got")
   }
 
+  // ---------------------------------------------------------------- q136
+
+  test("q136: sweep matches an independent signature-level reference at sf0.001") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    def simhash(t: String): Long = {
+      val votes = Array.fill(16)(0)
+      toks(t).foreach { w =>
+        val h = hex(w)
+        (0 until 16).foreach(k => votes(k) += (if (h(k) >= '8') 1 else -1))
+      }
+      (0 until 16).map(k => if (votes(k) > 0) 1L << k else 0L).sum
+    }
+    def shingleSet(t: String): Set[Long] = {
+      val w = toks(t)
+      (0 to w.length - 3).map(i => md5Hash32(w.slice(i, i + 3).mkString(" "))).toSet
+    }
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => toks(d._2).nonEmpty)
+    val sigOf = docs.map { case (id, t) => id -> simhash(t) }.toMap
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    def jacc(a: Long, b: Long): Long = {
+      val (sa, sb) = (sets(a), sets(b))
+      val inter = (sa & sb).size.toLong
+      val uni = sa.size.toLong + sb.size.toLong - inter
+      if (uni > 0) inter * 1000L / uni else 0L
+    }
+    val byGroup = docs.map(_._1).groupBy(sigOf)
+    val g = byGroup.toSeq.map { case (sh, ids) =>
+      val sorted = ids.sorted
+      (sh, ids.length.toLong, sorted.head, sorted.drop(1).headOption)
+    }
+    val cross = (for {
+      (sa, ca, ra, _) <- g; (sb, cb, rb, _) <- g if sa < sb
+      h = java.lang.Long.bitCount(sa ^ sb).toLong if h <= graft.ops.Dedup.SimhashSweepMax
+    } yield (h, ca * cb, jacc(ra, rb)))
+    val same = g.collect { case (_, c, r1, Some(r2)) if c >= 2 =>
+      (0L, c * (c - 1) / 2, jacc(r1, r2)) }
+    val all = cross ++ same
+    val expected = (0L to graft.ops.Dedup.SimhashSweepMax).map { t =>
+      val in = all.filter(_._1 <= t)
+      if (in.isEmpty) (t, 0L, 0L, -1L, -1L)
+      else (t, in.size.toLong, in.map(_._2).sum,
+        in.map(_._3).sum / in.size, in.map(_._3).min)
+    }
+    val got = graft.ops.Dedup.simhashSweep(spark, sf0001, graft.ops.Dedup.OracleHashBits)
+      .collect()
+      .map(r => (r.getAs[Long]("max_hamming"), r.getAs[Long]("n_sig_pairs"),
+        r.getAs[Long]("n_doc_pairs"), r.getAs[Long]("mean_rep_jacc_permille"),
+        r.getAs[Long]("min_rep_jacc_permille")))
+      .toSeq
+    assert(got == expected)
+    // cumulative counts are monotone and the curve decays: tighter
+    // thresholds merge more set-similar docs
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    val means = got.filter(_._2 > 0).map(_._4)
+    assert(means.nonEmpty && means.head == means.max,
+      s"hamming-0 mean similarity should top the curve: $means")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
