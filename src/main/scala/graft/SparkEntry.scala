@@ -167,7 +167,8 @@ object SparkEntry {
     "q133_quality_dup_audit" -> ((s: SparkSession, d: String) => Dedup.qualityDupAudit(s, d, Dedup.OracleHashBits)),
     "q134_stream_dhash"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.dhashStream(s, d)),
     "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertility _,
-    "q136_simhash_sweep"    -> ((s: SparkSession, d: String) => Dedup.simhashSweep(s, d, Dedup.OracleHashBits))
+    "q136_simhash_sweep"    -> ((s: SparkSession, d: String) => Dedup.simhashSweep(s, d, Dedup.OracleHashBits)),
+    "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocation _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -378,6 +379,7 @@ object SparkEntry {
     "q133_quality_dup_audit" -> Dedup.qualityDupAuditSql,
     "q134_stream_dhash"     -> Multimodal.dhashAdmissionSql,
     "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertilitySql,
-    "q136_simhash_sweep"    -> Dedup.simhashSweepSql
+    "q136_simhash_sweep"    -> Dedup.simhashSweepSql,
+    "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocationSql
   )
 }

@@ -537,4 +537,123 @@ object Sampling {
        |FROM r GROUP BY shard
        |ORDER BY shard""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Epoch-capped PROPORTIONAL allocation: the data-constrained regime
+  // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+  // Models" — repeating past ~4 epochs stops helping). Completes the
+  // mixture family's 2×2: q100 is proportional-uncapped, q113 is
+  // uniform-capped (UniMax); this is proportional-capped — spread the
+  // budget by q77's temperature weights, but no source may repeat past
+  // the epoch ceiling, and capped-out surplus waterfills into the
+  // remaining sources IN PROPORTION (not uniformly — that's q113's
+  // policy, this one preserves the temperature shape among the
+  // unsaturated).
+  // -------------------------------------------------------------------
+
+  /** Per-source repeat ceiling (milli-epochs): the ~4-epoch limit. */
+  val EpochCapMilli = 4000L
+
+  /** q137: proportional waterfill under per-source epoch caps.
+    *
+    * Closed form, one window pass (the q113 discipline generalized):
+    * sort sources by capacity/share ratio ascending — the saturation
+    * order for PROPORTIONAL targets (a source caps out exactly when
+    * its cap-to-share ratio is below the waterline, so the saturated
+    * set is a prefix of that order). The per-row saturation mark is
+    * the cross-multiplied integer inequality `capacity × rw ≤ rb ×
+    * share` (rw = share mass from this row on, rb = budget − caps
+    * already granted) — exact in i64 (share ≤ 1000, rb ≤ 2×10¹⁴
+    * tokens at 100 TB → 2×10¹⁷). The sort key itself is the double
+    * ratio capacity/share (correctly-rounded division of exact
+    * integers — identical ordering cross-engine; a tie at double
+    * precision breaks by source name, which can only swap two sources
+    * whose true ratios differ by < 1 ulp — a sub-ppm policy nuance,
+    * never an infeasibility: the marking inequality stays exact for
+    * whatever order is used). Zero-share sources sort last (ratio =
+    * +∞), never saturate, and allocate exactly 0. Unsaturated rows
+    * allocate `rb × share div rw` read at the first unsaturated row;
+    * integer div undershoots the budget by < Σshares tokens — stated,
+    * not redistributed.
+    *
+    * Scale shape: ONE corpus aggregation by source; the window and
+    * everything after run on the sources-sized frame. */
+  def epochCappedAllocation(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalytics.tokens(col("text"))
+    val per = Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+      .withColumn("capacity", expr(s"(n_tokens * $EpochCapMilli) div 1000"))
+    val totals = per.agg(sum(col("n_tokens")).as("tt"), sum(col("weight")).as("tw"))
+    val shared = per.crossJoin(broadcast(totals))
+      .withColumn("share", expr("weight * 1000 div tw"))
+      .withColumn("ratio",
+        col("capacity").cast("double") / col("share").cast("double"))
+    val w = Window.orderBy(col("ratio"), col("source"))
+    val t = shared
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum_cap",
+        coalesce(sum(col("capacity")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_share",
+        coalesce(sum(col("share")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(shared.agg(sum(col("share")).as("ts"))))
+      .withColumn("rb", expr(s"$BudgetEpochsX * tt - cum_cap"))
+      .withColumn("rw", col("ts") - col("cum_share"))
+      .withColumn("sat", col("capacity") * col("rw") <= col("rb") * col("share"))
+    val level = t.agg(
+      min_by(struct(col("rb"), col("rw")), when(!col("sat"), col("rn"))).as("lv"))
+    t.crossJoin(broadcast(level))
+      .withColumn("alloc_tokens",
+        when(col("sat"), col("capacity"))
+          .otherwise(expr("lv.rb * share div lv.rw")))
+      .select(col("source"), col("n_tokens"), col("weight"), col("share").as("share_permille"),
+        col("capacity"), col("sat").as("saturated"), col("alloc_tokens"),
+        expr("alloc_tokens * 1000 div n_tokens").as("epochs_milli"))
+      .orderBy("source")
+  }
+
+  def epochCappedAllocationSql: String =
+    s"""WITH per AS (
+       |  SELECT source,
+       |    cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) as bigint) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w0 AS (
+       |  SELECT source, n_tokens,
+       |    cast(floor(sqrt(cast(n_tokens as double)) * 1000000.0) as bigint) AS weight,
+       |    (n_tokens * $EpochCapMilli) // 1000 AS capacity
+       |  FROM per),
+       |tot AS (SELECT cast(sum(n_tokens) as bigint) AS tt, cast(sum(weight) as bigint) AS tw FROM w0),
+       |sh AS (
+       |  SELECT source, n_tokens, weight, capacity, tt,
+       |    weight * 1000 // tw AS share,
+       |    cast(capacity as double) / cast(weight * 1000 // tw as double) AS ratio
+       |  FROM w0, tot),
+       |ts AS (SELECT cast(sum(share) as bigint) AS ts FROM sh),
+       |t AS (
+       |  SELECT sh.*, ts.ts,
+       |    row_number() OVER (ORDER BY ratio, source) AS rn,
+       |    coalesce(cast(sum(capacity) OVER (ORDER BY ratio, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint), 0) AS cum_cap,
+       |    coalesce(cast(sum(share) OVER (ORDER BY ratio, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) as bigint), 0) AS cum_share
+       |  FROM sh, ts),
+       |t2 AS (
+       |  SELECT *, $BudgetEpochsX * tt - cum_cap AS rb, ts - cum_share AS rw,
+       |    capacity * (ts - cum_share) <= ($BudgetEpochsX * tt - cum_cap) * share AS sat
+       |  FROM t),
+       |lev AS (
+       |  SELECT arg_min(rb, rn) FILTER (WHERE NOT sat) AS lrb,
+       |         arg_min(rw, rn) FILTER (WHERE NOT sat) AS lrw
+       |  FROM t2)
+       |SELECT source, n_tokens, weight, share AS share_permille, capacity,
+       |  sat AS saturated,
+       |  CASE WHEN sat THEN capacity ELSE lrb * share // lrw END AS alloc_tokens,
+       |  (CASE WHEN sat THEN capacity ELSE lrb * share // lrw END) * 1000 // n_tokens AS epochs_milli
+       |FROM t2, lev
+       |ORDER BY source""".stripMargin
 }

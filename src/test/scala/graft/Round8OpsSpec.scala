@@ -621,6 +621,71 @@ class Round8OpsSpec extends SparkSpec {
       s"hamming-0 mean similarity should top the curve: $means")
   }
 
+  // ---------------------------------------------------------------- q137
+
+  /** independent proportional-waterfill reference. */
+  private def waterfillRef(perSource: Seq[(String, Long)], budgetX: Long, capMilli: Long)
+      : Seq[(String, Long, Boolean, Long)] = {
+    val w = perSource.map { case (s, n) => (s, n, math.floor(math.sqrt(n.toDouble) * 1e6).toLong) }
+    val tw = w.map(_._3).sum
+    val tt = perSource.map(_._2).sum
+    val rows = w.map { case (s, n, wt) =>
+      val share = wt * 1000L / tw
+      val cap = n * capMilli / 1000L
+      (s, n, share, cap, cap.toDouble / share.toDouble)
+    }.sortBy { case (s, _, _, _, ratio) => (ratio, s) }
+    val ts = rows.map(_._3).sum
+    var rb = budgetX * tt; var rw = ts
+    var level: Option[(Long, Long)] = None
+    val out = rows.map { case (s, n, share, cap, _) =>
+      val sat = level.isEmpty && cap * rw <= rb * share
+      if (sat) { rb -= cap; rw -= share; (s, n, true, cap) }
+      else {
+        if (level.isEmpty) level = Some((rb, rw))
+        val (lrb, lrw) = level.get
+        (s, n, false, lrb * share / lrw)
+      }
+    }
+    out.sortBy(_._1)
+  }
+
+  test("q137: allocation matches an independent waterfill reference and stays feasible at sf0.01") {
+    val per = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), toks(r.getString(1)).length.toLong))
+      .groupBy(_._1).toSeq.map { case (s, g) => (s, g.map(_._2).sum) }
+    val expected = waterfillRef(per,
+      graft.ops.Sampling.BudgetEpochsX, graft.ops.Sampling.EpochCapMilli)
+    val got = graft.ops.Sampling.epochCappedAllocation(spark, sf001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Boolean]("saturated"), r.getAs[Long]("alloc_tokens")))
+      .toSeq.sortBy(_._1)
+    assert(got == expected)
+    // feasibility: never over budget; integer-div undershoot < Σ shares
+    val budget = graft.ops.Sampling.BudgetEpochsX * per.map(_._2).sum
+    val used = got.map(_._4).sum
+    assert(used <= budget && budget - used < 1000L, s"used $used of $budget")
+  }
+
+  test("q137: a skewed corpus saturates the small source at exactly the epoch cap") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q137-planted")
+    // tiny source: sqrt-temperature share far exceeds its 4-epoch cap
+    val tiny = (0 until 10).map(i => s"t$i").mkString(" ")
+    val bigDocs = (0 until 50).map { i =>
+      (i.toLong + 1, (0 until 200).map(j => s"w${i}_$j").mkString(" "), "en", "big", 1L)
+    }
+    ((0L, tiny, "en", "tiny", 1L) +: bigDocs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Sampling.epochCappedAllocation(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"),
+        (r.getAs[Boolean]("saturated"), r.getAs[Long]("epochs_milli")))).toMap
+    assert(got("tiny") == ((true, graft.ops.Sampling.EpochCapMilli)),
+      s"tiny must cap out at exactly ${graft.ops.Sampling.EpochCapMilli} milli-epochs: $got")
+    assert(!got("big")._1 && got("big")._2 < graft.ops.Sampling.EpochCapMilli)
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
