@@ -168,7 +168,8 @@ object SparkEntry {
     "q134_stream_dhash"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.dhashStream(s, d)),
     "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertility _,
     "q136_simhash_sweep"    -> ((s: SparkSession, d: String) => Dedup.simhashSweep(s, d, Dedup.OracleHashBits)),
-    "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocation _
+    "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocation _,
+    "q138_cdc_dedup"        -> Dedup.cdcDedup _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -380,6 +381,7 @@ object SparkEntry {
     "q134_stream_dhash"     -> Multimodal.dhashAdmissionSql,
     "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertilitySql,
     "q136_simhash_sweep"    -> Dedup.simhashSweepSql,
-    "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocationSql
+    "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocationSql,
+    "q138_cdc_dedup"        -> Dedup.cdcDedupSql
   )
 }

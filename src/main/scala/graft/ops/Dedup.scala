@@ -1477,6 +1477,63 @@ object Dedup {
       .orderBy("doc_id", "seg_idx")
   }
 
+  /** q138: cross-document CDC-segment dedup — the storage-dedup view
+    * over q58's content-defined segments (the LBFS/rsync/backup-dedup
+    * discipline applied to corpus text): a segment whose hash appears
+    * in more than one document is shared content, and a document's
+    * dup-segment ratio is its redundancy against the rest of the
+    * corpus at CONTENT-DEFINED granularity. This complements q65's
+    * fixed word-5-gram spans on the other axis: CDC boundaries are
+    * byte-level, variable-length, and chosen by the rolling hash, so a
+    * shared PARAGRAPH re-wrapped with different whitespace or embedded
+    * at a different offset still resolves to the same segments, while
+    * q65's fixed grams and q13's whole-text hash both miss it.
+    *
+    * Scale shape: segmentation is q58's scan-local rolling hash (one
+    * pass per doc, no shuffle); segment frequency is ONE groupBy on
+    * seg_md5 with map-side combine over the segment relation; the join
+    * back rides the same materialized segment table (exchange-reused,
+    * the q65 frequency-join shape); the final per-doc agg is keyed by
+    * doc_id and bounded by per-doc segment counts. */
+  def cdcDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Materialize.shared(spark,
+      cdcSegments(spark, sfDir).select("doc_id", "seg_len", "seg_md5"))
+    val dfc = segs.groupBy("seg_md5").agg(countDistinct(col("doc_id")).as("nd"))
+    val per = segs.join(dfc, "seg_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_segments"),
+        sum(col("seg_len")).as("n_cps"),
+        sum(when(col("nd") > 1, col("seg_len")).otherwise(0L)).as("dup_cps"))
+    Tables.documents(spark, sfDir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dup_segments"), lit(0L)).as("n_dup_segments"),
+        coalesce(col("n_cps"), lit(0L)).as("n_cps"),
+        coalesce(col("dup_cps"), lit(0L)).as("dup_cps"),
+        coalesce(expr("dup_cps * 1000 div n_cps"), lit(0L)).as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
+  def cdcDedupSql: String =
+    s"""WITH segs AS (${cdcSegmentsSql.replace("ORDER BY doc_id, seg_idx", "")}),
+       |dfc AS (SELECT seg_md5, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg_md5),
+       |per AS (
+       |  SELECT doc_id, cast(count(*) as bigint) AS n_segments,
+       |    cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_segments,
+       |    cast(sum(seg_len) as bigint) AS n_cps,
+       |    cast(sum(CASE WHEN nd > 1 THEN seg_len ELSE 0 END) as bigint) AS dup_cps
+       |  FROM segs JOIN dfc USING (seg_md5) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_segments, 0) AS n_segments,
+       |  coalesce(n_dup_segments, 0) AS n_dup_segments,
+       |  coalesce(n_cps, 0) AS n_cps,
+       |  coalesce(dup_cps, 0) AS dup_cps,
+       |  coalesce(dup_cps * 1000 // n_cps, 0) AS dup_permille
+       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Pure split (testable without Spark): segment boundaries over the
     * code-point sequence via the rolling substituted hash. */
   private[graft] def cdcSplit(text: String): Seq[String] = {

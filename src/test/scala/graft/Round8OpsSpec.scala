@@ -686,6 +686,56 @@ class Round8OpsSpec extends SparkSpec {
     assert(!got("big")._1 && got("big")._2 < graft.ops.Sampling.EpochCapMilli)
   }
 
+  // ---------------------------------------------------------------- q138
+
+  test("q138: per-doc dup-segment report matches an independent recompute at sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val segsByDoc = docs.map { case (id, t) =>
+      id -> graft.ops.Dedup.cdcSplit(t)
+    }
+    val docCount = segsByDoc.flatMap { case (id, segs) => segs.distinct.map(s => (s, id)) }
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).distinct.size }
+    val expected = segsByDoc.map { case (id, segs) =>
+      val dup = segs.filter(s => docCount(s) > 1)
+      val total = segs.map(s => s.codePointCount(0, s.length).toLong).sum
+      val dupCps = dup.map(s => s.codePointCount(0, s.length).toLong).sum
+      (id, segs.length.toLong, dup.length.toLong, total, dupCps,
+        if (total > 0) dupCps * 1000L / total else 0L)
+    }.sortBy(_._1).toSeq
+    val got = graft.ops.Dedup.cdcDedup(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segments"),
+        r.getAs[Long]("n_dup_segments"), r.getAs[Long]("n_cps"),
+        r.getAs[Long]("dup_cps"), r.getAs[Long]("dup_permille")))
+      .toSeq
+    assert(got == expected)
+    // exact-dup docs exist in the corpus, so full-redundancy rows must too
+    assert(got.exists(_._6 == 1000L))
+    assert(got.exists(_._6 < 1000L))
+  }
+
+  test("q138: a shared paragraph at a different offset still resolves to shared segments") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q138-planted")
+    // the same long paragraph embedded after different-length prefixes:
+    // CDC boundaries resynchronize inside the shared run, so interior
+    // segments match even though byte offsets differ
+    val para = (0 until 120).map(i => s"shared$i").mkString(" ")
+    Seq((0L, s"intro one $para", "en", "s0", 1L),
+        (1L, s"a completely different and much longer introduction $para", "en", "s0", 1L),
+        (2L, "nothing in common here", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.cdcDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_dup_segments"), r.getAs[Long]("dup_permille")))
+      .toSeq.sortBy(_._1)
+    assert(got(0)._2 > 0 && got(1)._2 > 0,
+      s"offset-shifted shared paragraph must share interior segments: $got")
+    assert(got(2)._2 == 0 && got(2)._3 == 0)
+    // the shared mass dominates both docs despite the differing prefixes
+    assert(got(0)._3 > 500 && got(1)._3 > 500, s"got $got")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
