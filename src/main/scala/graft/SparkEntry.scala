@@ -169,7 +169,8 @@ object SparkEntry {
     "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertility _,
     "q136_simhash_sweep"    -> ((s: SparkSession, d: String) => Dedup.simhashSweep(s, d, Dedup.OracleHashBits)),
     "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocation _,
-    "q138_cdc_dedup"        -> Dedup.cdcDedup _
+    "q138_cdc_dedup"        -> Dedup.cdcDedup _,
+    "q139_hll_union"        -> Sketches.hllUnionReport _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -382,6 +383,7 @@ object SparkEntry {
     "q135_tokenizer_fertility" -> TextAnalytics.tokenizerFertilitySql,
     "q136_simhash_sweep"    -> Dedup.simhashSweepSql,
     "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocationSql,
-    "q138_cdc_dedup"        -> Dedup.cdcDedupSql
+    "q138_cdc_dedup"        -> Dedup.cdcDedupSql,
+    "q139_hll_union"        -> Sketches.hllUnionReportSql
   )
 }

@@ -387,4 +387,60 @@ object Sketches {
        |  GROUP BY tok)
        |WHERE rank <= $TopTokensK
        |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Mergeable-sketch union: the property that makes sketches the
+  // distributed-aggregation primitive. q45 checks ONE sketch against
+  // its bound; this one exercises the MERGE: per-source DataSketches
+  // HLL sketches (sketch once, at the shard/source where the data
+  // lives) union into a corpus-wide estimate WITHOUT rescanning or
+  // reshuffling any token — the exact-distinct alternative must move
+  // every (source, token) pair through a corpus-wide shuffle again.
+  // At 100 TB the union-of-sketches is the only affordable refresh
+  // path for vocabulary dashboards; this report keeps it honest by
+  // hash-gating each estimate against the exact count's error bound
+  // (the q45 checked-sketch discipline).
+  // -------------------------------------------------------------------
+
+  /** Relative error gate: lgK=12 DataSketches HLL has rsd ≈ 1.6%, so
+    * 5% is a ≥3σ bound — a within_bound=false is sketch breakage, not
+    * bad luck. */
+  val HllUnionRelErr = 0.05
+
+  /** q139: per-source distinct-token estimates plus the union row
+    * (scope `~union`, sorting after every source name in both
+    * engines). Hashed columns are scope + exact + within_bound — the
+    * estimates themselves are engine-specific sketch outputs, so the
+    * oracle pins exact counts and literal-true bounds exactly like
+    * q45. */
+  def hllUnionReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(TextAnalytics.tokens(col("text"))).as("tok"))
+    val per = tok.groupBy("source")
+      .agg(countDistinct(col("tok")).as("exact_distinct"),
+        hll_sketch_agg(col("tok")).as("sk"))
+    val perOut = per.select(col("source").as("scope"),
+      col("exact_distinct"),
+      (abs(hll_sketch_estimate(col("sk")).cast("double") - col("exact_distinct").cast("double"))
+        <= col("exact_distinct").cast("double") * lit(HllUnionRelErr)).as("within_bound"))
+    val exactUnion = tok.agg(countDistinct(col("tok")).as("exact_distinct"))
+    val unionOut = per.agg(hll_union_agg(col("sk")).as("usk"))
+      .crossJoin(exactUnion)
+      .select(lit("~union").as("scope"),
+        col("exact_distinct"),
+        (abs(hll_sketch_estimate(col("usk")).cast("double") - col("exact_distinct").cast("double"))
+          <= col("exact_distinct").cast("double") * lit(HllUnionRelErr)).as("within_bound"))
+    perOut.unionAll(unionOut).orderBy("scope")
+  }
+
+  def hllUnionReportSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS tok
+      |  FROM documents)
+      |SELECT source AS scope, cast(count(DISTINCT tok) as bigint) AS exact_distinct,
+      |  true AS within_bound
+      |FROM tok GROUP BY source
+      |UNION ALL
+      |SELECT '~union', cast(count(DISTINCT tok) as bigint), true FROM tok
+      |ORDER BY scope""".stripMargin
 }

@@ -736,6 +736,33 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(0)._3 > 500 && got(1)._3 > 500, s"got $got")
   }
 
+  // ---------------------------------------------------------------- q139
+
+  test("q139: every scope is within bound and union-of-sketches equals direct sketching") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.Sketches.hllUnionReport(spark, sf001).collect()
+      .map(r => (r.getAs[String]("scope"), r.getAs[Long]("exact_distinct"),
+        r.getAs[Boolean]("within_bound"))).toSeq
+    assert(got.last._1 == "~union", "the union row must sort last")
+    assert(got.forall(_._3), s"every sketch estimate must sit within bound: $got")
+    // independent exact counts
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).map { case (s, g) =>
+      s -> g.flatMap(d => toks(d._2)).distinct.size.toLong }
+    got.dropRight(1).foreach { case (s, n, _) => assert(bySrc(s) == n, s"scope $s") }
+    assert(got.last._2 == docs.flatMap(d => toks(d._2)).distinct.size.toLong)
+    // THE mergeability property: union of per-source sketches estimates
+    // exactly what sketching the whole corpus directly estimates
+    val tok = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("source"), explode(graft.ops.TextAnalytics.tokens(col("text"))).as("tok"))
+    val viaUnion = tok.groupBy("source").agg(hll_sketch_agg(col("tok")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e")).head().getLong(0)
+    val direct = tok.agg(hll_sketch_estimate(hll_sketch_agg(col("tok"))).as("e")).head().getLong(0)
+    assert(viaUnion == direct,
+      s"HLL union must commute with sketching: $viaUnion != $direct")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
