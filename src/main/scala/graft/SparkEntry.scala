@@ -170,7 +170,8 @@ object SparkEntry {
     "q136_simhash_sweep"    -> ((s: SparkSession, d: String) => Dedup.simhashSweep(s, d, Dedup.OracleHashBits)),
     "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocation _,
     "q138_cdc_dedup"        -> Dedup.cdcDedup _,
-    "q139_hll_union"        -> Sketches.hllUnionReport _
+    "q139_hll_union"        -> Sketches.hllUnionReport _,
+    "q140_source_embed_drift" -> ChatOracle.sourceEmbedDrift _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -384,6 +385,7 @@ object SparkEntry {
     "q136_simhash_sweep"    -> Dedup.simhashSweepSql,
     "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocationSql,
     "q138_cdc_dedup"        -> Dedup.cdcDedupSql,
-    "q139_hll_union"        -> Sketches.hllUnionReportSql
+    "q139_hll_union"        -> Sketches.hllUnionReportSql,
+    "q140_source_embed_drift" -> ChatOracle.sourceEmbedDriftSql
   )
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.chat.Retrieval
 import graft.core.Tables
+import graft.ops.Materialize
 
 /** DuckDB-oracle-checkable projections of the chat-engine operators
   * (SURVEY.md §2) onto the driver's `documents` table.
@@ -269,6 +270,103 @@ object ChatOracle {
       }
       .toDF("doc_id", "nrm")
   }
+
+  /** q140: per-source hash-embedding drift — the SEMANTIC companion of
+    * q126's lexical KL: each source's 256-bucket token histogram (the
+    * q33 hash-embedding, aggregated source-level) against the
+    * complement of the corpus (corpus minus the source — the
+    * self-inflation-free baseline), as a cosine. A low cosine marks a
+    * source whose token MASS distribution diverges from everything
+    * else — another language, a specialized domain, or generator rot —
+    * through the same embedding the retrieval stack serves, so "drifted
+    * here" means "retrieves differently" by construction.
+    *
+    * Everything before the final cosine is exact integer arithmetic
+    * (bucket counts, source sums, complement differences, i64 dots),
+    * so the report hash-checks; the cosine is correctly-rounded double
+    * ops over exact ints, floored to permille (the q132 discipline).
+    * i64 headroom: bucket counts ≤ corpus tokens ≈ 2×10¹³ at 100 TB;
+    * a dot of 256 products of per-source (≤10¹¹) × complement (≤10¹³)
+    * terms can exceed i64 at extreme concentration, so masses fold
+    * through the same floor(s/n)-free route as counts but the DOT runs
+    * on PERMILLE-normalized bucket shares (share = c·1000 div total,
+    * ≤1000 per bucket) — shares are exact integers, the dot is ≤
+    * 256·10⁶, and scale-independence is total.
+    *
+    * Scale shape: one scan with per-partition local 256-slot arrays
+    * keyed by source (the q33 flatMap discipline — token occurrences
+    * never shuffle), one keyed agg onto (source, bucket), and the
+    * corpus fold + complement + cosine all run on the sources×256
+    * frame. */
+  def sourceEmbedDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sb = Tables.documents(spark, sfDir)
+      .select(col("source"), lower(col("text")).as("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (src, txt) =>
+          val counts = new Array[Long](256)
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) {
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              counts(d(0) & 0xff) += 1L
+            }
+          }
+          (0 until 256).iterator.collect {
+            case b if counts(b) > 0L => (src, b.toLong, counts(b))
+          }
+        }
+      }
+      .toDF("source", "b", "c")
+      .groupBy("source", "b").agg(sum(col("c")).as("c"))
+    val shared = Materialize.shared(spark, sb)
+    val corpus = shared.groupBy("b").agg(sum(col("c")).as("cc"))
+    val totals = shared.groupBy("source").agg(sum(col("c")).as("n_tokens"))
+    val corpusTotal = corpus.agg(sum(col("cc")).as("tt"))
+    // complement shares: (corpus − source) bucket mass, permille of the
+    // complement total; source shares likewise — both exact integers
+    val j = shared.join(broadcast(corpus), "b")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("s_share", expr("c * 1000 div n_tokens"))
+      .withColumn("r_share", expr("(cc - c) * 1000 div (tt - n_tokens)"))
+    j.groupBy("source", "n_tokens")
+      .agg(sum(col("s_share") * col("r_share")).as("dot"),
+        sum(col("s_share") * col("s_share")).as("ns"),
+        sum(col("r_share") * col("r_share")).as("nr"))
+      .withColumn("cos_to_rest_permille",
+        floor(lit(1000.0) * col("dot").cast("double") /
+          (sqrt(col("ns").cast("double")) * sqrt(col("nr").cast("double")))).cast("long"))
+      .select("source", "n_tokens", "cos_to_rest_permille")
+      .orderBy("source")
+  }
+
+  def sourceEmbedDriftSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |sb AS (
+       |  SELECT source,
+       |    (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1 AS b,
+       |    cast(count(*) as bigint) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |corpus AS (SELECT b, cast(sum(c) as bigint) AS cc FROM sb GROUP BY b),
+       |totals AS (SELECT source, cast(sum(c) as bigint) AS n_tokens FROM sb GROUP BY source),
+       |tt AS (SELECT cast(sum(cc) as bigint) AS tt FROM corpus),
+       |j AS (
+       |  SELECT sb.source, totals.n_tokens,
+       |    c * 1000 // n_tokens AS s_share,
+       |    (cc - c) * 1000 // (tt - n_tokens) AS r_share
+       |  FROM sb JOIN corpus USING (b) JOIN totals ON sb.source = totals.source
+       |  CROSS JOIN tt)
+       |SELECT source, n_tokens,
+       |  cast(floor(1000.0 * cast(sum(s_share * r_share) as double) /
+       |    (sqrt(cast(sum(s_share * s_share) as double)) * sqrt(cast(sum(r_share * r_share) as double)))) as bigint)
+       |    AS cos_to_rest_permille
+       |FROM j
+       |GROUP BY source, n_tokens
+       |ORDER BY source""".stripMargin
 
   def hashEmbedKnn(spark: SparkSession, sfDir: String): DataFrame = {
     // not materialized: every consumer's lineage is a scan-speed

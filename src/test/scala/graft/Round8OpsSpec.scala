@@ -763,6 +763,58 @@ class Round8OpsSpec extends SparkSpec {
       s"HLL union must commute with sketching: $viaUnion != $direct")
   }
 
+  // ---------------------------------------------------------------- q140
+
+  /** independent drift recompute over (source, text) rows. */
+  private def embedDriftRef(docs: Seq[(String, String)]): Map[String, (Long, Long)] = {
+    val bySrc = docs.groupBy(_._1).map { case (s, g) =>
+      val counts = new Array[Long](256)
+      g.foreach { case (_, t) =>
+        toks(t.toLowerCase).foreach(w => counts(md5FirstByte(w)) += 1L)
+      }
+      s -> counts
+    }
+    val corpus = new Array[Long](256)
+    bySrc.values.foreach(c => (0 until 256).foreach(b => corpus(b) += c(b)))
+    val tt = corpus.sum
+    bySrc.map { case (s, c) =>
+      val n = c.sum
+      val sShare = c.map(_ * 1000L / n)
+      val rShare = (0 until 256).map(b => (corpus(b) - c(b)) * 1000L / (tt - n)).toArray
+      val dot = (0 until 256).map(b => sShare(b) * rShare(b)).sum.toDouble
+      val ns = math.sqrt(sShare.map(x => (x * x).toDouble).sum)
+      val nr = math.sqrt(rShare.map(x => (x * x).toDouble).sum)
+      s -> (n, math.floor(1000.0 * dot / (ns * nr)).toLong)
+    }
+  }
+
+  test("q140: drift report matches an independent recompute at sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val expected = embedDriftRef(docs).toSeq
+      .map { case (s, (n, cosm)) => (s, n, cosm) }.sortBy(_._1)
+    val got = graft.ops.ChatOracle.sourceEmbedDrift(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cos_to_rest_permille"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q140: a divergent-vocabulary source reads far below same-distribution sources") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q140-planted")
+    val common = (0 until 50).map(i => s"word$i").mkString(" ")
+    Seq((0L, common, "en", "sA", 1L), (1L, common, "en", "sB", 1L),
+        (2L, (0 until 50).map(i => s"zz$i").mkString(" "), "en", "sDrift", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.ChatOracle.sourceEmbedDrift(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("cos_to_rest_permille"))).toMap
+    // sA's complement still contains sB's identical histogram: high cosine
+    assert(got("sA") > 700L && got("sB") > 700L, s"got $got")
+    // the drifted source's complement is the common histogram: low cosine
+    assert(got("sDrift") < got("sA") / 2, s"got $got")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
