@@ -171,7 +171,8 @@ object SparkEntry {
     "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocation _,
     "q138_cdc_dedup"        -> Dedup.cdcDedup _,
     "q139_hll_union"        -> Sketches.hllUnionReport _,
-    "q140_source_embed_drift" -> ChatOracle.sourceEmbedDrift _
+    "q140_source_embed_drift" -> ChatOracle.sourceEmbedDrift _,
+    "q141_dup_spectrum"     -> ((s: SparkSession, d: String) => Dedup.dupSpectrum(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -386,6 +387,7 @@ object SparkEntry {
     "q137_epoch_capped_alloc" -> Sampling.epochCappedAllocationSql,
     "q138_cdc_dedup"        -> Dedup.cdcDedupSql,
     "q139_hll_union"        -> Sketches.hllUnionReportSql,
-    "q140_source_embed_drift" -> ChatOracle.sourceEmbedDriftSql
+    "q140_source_embed_drift" -> ChatOracle.sourceEmbedDriftSql,
+    "q141_dup_spectrum"     -> Dedup.dupSpectrumSql
   )
 }

@@ -1644,6 +1644,78 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q141: corpus duplication SPECTRUM — the frequency histogram of
+    * word-[[DupSpanN]]-gram occurrences (how much of the corpus is
+    * repeated, and how often), the corpus-level artifact over the same
+    * gram relation whose per-doc view is q65. Buckets: 1 (unique
+    * mass), 2, 3 (=3..9), 10 (=10+). The 10+ bucket is the
+    * memorized-sequence candidate mass (Lee et al. 2021 / Carlini et
+    * al. 2022: sequences repeated tens of times are the ones models
+    * regurgitate); the unique bucket is the irreducible novel mass;
+    * the spectrum's shape is what dedup changes, so before/after
+    * spectra are THE dedup-effectiveness artifact.
+    *
+    * Scale shape: the gram relation is q65's scan-local typed flatMap
+    * (i64 hashes, never strings); occurrence frequency is one keyed
+    * agg with map-side combine; the spectrum folds from the gram-level
+    * frame into 4 rows. */
+  def dupSpectrum(spark: SparkSession, sfDir: String,
+                  bits: Int = DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val n = DupSpanN
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (_, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          (0 to t.length - n).map { i =>
+            val g = t.slice(i, i + n).mkString(" ")
+            packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
+          }
+        }
+      }
+      .toDF("gh")
+    val freq = grams.groupBy("gh").agg(count(lit(1)).as("f"))
+    val bucketed = freq.withColumn("bucket",
+      when(col("f") === 1L, 1L).when(col("f") === 2L, 2L)
+        .when(col("f") < 10L, 3L).otherwise(10L))
+    val total = bucketed.agg(sum(expr("f")).as("tot"))
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_grams"), sum(col("f")).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .withColumn("mass_permille", expr("n_occurrences * 1000 div tot"))
+      .select("bucket", "n_grams", "n_occurrences", "mass_permille")
+      .orderBy("bucket")
+  }
+
+  def dupSpectrumSql: String = {
+    val n = DupSpanN
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |gr AS (
+       |  SELECT ${shingleHashExpr("strpos", "md5(g)")} AS gh
+       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g
+       |        FROM toks)),
+       |freq AS (SELECT gh, cast(count(*) as bigint) AS f FROM gr GROUP BY gh),
+       |b AS (
+       |  SELECT CASE WHEN f = 1 THEN 1 WHEN f = 2 THEN 2
+       |              WHEN f < 10 THEN 3 ELSE 10 END AS bucket, f
+       |  FROM freq),
+       |tot AS (SELECT cast(sum(f) as bigint) AS tot FROM b)
+       |SELECT cast(bucket as bigint) AS bucket,
+       |  cast(count(*) as bigint) AS n_grams,
+       |  cast(sum(f) as bigint) AS n_occurrences,
+       |  cast(sum(f) as bigint) * 1000 // tot AS mass_permille
+       |FROM b, tot
+       |GROUP BY bucket, tot
+       |ORDER BY bucket""".stripMargin
+  }
+
   def dupSpansSql: String = {
     val n = DupSpanN
     val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")

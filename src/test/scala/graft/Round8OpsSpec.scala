@@ -815,6 +815,49 @@ class Round8OpsSpec extends SparkSpec {
     assert(got("sDrift") < got("sA") / 2, s"got $got")
   }
 
+  // ---------------------------------------------------------------- q141
+
+  test("q141: spectrum matches an independent recompute at sf0.001") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val grams = docs.flatMap { t =>
+      val w = toks(t)
+      (0 to w.length - 5).map(i => md5Hash32(w.slice(i, i + 5).mkString(" ")))
+    }
+    val freq = grams.groupBy(identity).map(_._2.length.toLong)
+    val tot = freq.sum
+    val expected = freq.groupBy(f => if (f == 1L) 1L else if (f == 2L) 2L else if (f < 10L) 3L else 10L)
+      .toSeq.map { case (b, fs) =>
+        (b, fs.size.toLong, fs.sum, fs.sum * 1000L / tot) }
+      .sortBy(_._1)
+    val got = graft.ops.Dedup.dupSpectrum(spark, sf0001, graft.ops.Dedup.OracleHashBits)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_occurrences"), r.getAs[Long]("mass_permille")))
+      .toSeq
+    assert(got == expected)
+    // occurrence mass partitions the corpus: buckets sum to the total
+    assert(got.map(_._3).sum == tot)
+  }
+
+  test("q141: a memorized-sequence candidate lands in the 10+ bucket") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q141-planted")
+    // one 5-gram repeated 12 times across docs + unique filler
+    val meme = "alpha bravo charlie delta echo"
+    val rows = (0 until 12).map { i =>
+      (i.toLong, s"$meme u${i}a u${i}b u${i}c u${i}d", "en", "s0", 1L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.dupSpectrum(spark, dir, graft.ops.Dedup.OracleHashBits)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_grams"), r.getAs[Long]("n_occurrences")))
+      .toSeq.sortBy(_._1)
+    assert(got.exists { case (b, g, o) => b == 10L && g == 1L && o == 12L },
+      s"the repeated gram must land in the 10+ bucket: $got")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
