@@ -172,7 +172,8 @@ object SparkEntry {
     "q138_cdc_dedup"        -> Dedup.cdcDedup _,
     "q139_hll_union"        -> Sketches.hllUnionReport _,
     "q140_source_embed_drift" -> ChatOracle.sourceEmbedDrift _,
-    "q141_dup_spectrum"     -> ((s: SparkSession, d: String) => Dedup.dupSpectrum(s, d, Dedup.OracleHashBits))
+    "q141_dup_spectrum"     -> ((s: SparkSession, d: String) => Dedup.dupSpectrum(s, d, Dedup.OracleHashBits)),
+    "q142_stream_drift"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.driftStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -388,6 +389,7 @@ object SparkEntry {
     "q138_cdc_dedup"        -> Dedup.cdcDedupSql,
     "q139_hll_union"        -> Sketches.hllUnionReportSql,
     "q140_source_embed_drift" -> ChatOracle.sourceEmbedDriftSql,
-    "q141_dup_spectrum"     -> Dedup.dupSpectrumSql
+    "q141_dup_spectrum"     -> Dedup.dupSpectrumSql,
+    "q142_stream_drift"     -> ChatOracle.docDriftSql
   )
 }

@@ -368,6 +368,126 @@ object ChatOracle {
        |GROUP BY source, n_tokens
        |ORDER BY source""".stripMargin
 
+  /** Per-doc drift verdicts flag below this cosine. */
+  val DriftFlagPermille = 500L
+
+  /** (doc_id, b, c, n) sparse histograms over an arbitrary
+    * documents-shaped frame — the seam batch q142 and its streaming
+    * twin share (one scan, per-doc local 256-slot array). */
+  private[graft] def docBucketRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), lower(col("text")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, txt) =>
+          val counts = new Array[Long](256)
+          var n = 0L
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) {
+              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              counts(d(0) & 0xff) += 1L
+              n += 1L
+            }
+          }
+          (0 until 256).iterator.collect {
+            case b if counts(b) > 0L => (id, b.toLong, counts(b), n)
+          }
+        }
+      }
+      .toDF("doc_id", "b", "c", "n")
+  }
+
+  /** Frozen drift reference: the non-incremental corpus's 256-bucket
+    * permille shares plus the (scalar) squared norm, lineage-truncated
+    * so every micro-batch joins materialized rows. */
+  private[graft] def driftRef(spark: SparkSession, sfDir: String): DataFrame = {
+    val ref = docBucketRows(
+        Tables.documents(spark, sfDir)
+          .filter(col("source") =!= Dedup.IncrementalSource)
+          .select("doc_id", "text"))
+      .groupBy("b").agg(sum(col("c")).as("cc"))
+    val tot = ref.agg(sum(col("cc")).as("tt"))
+    val shares = ref.crossJoin(broadcast(tot))
+      .withColumn("r_share", expr("cc * 1000 div tt"))
+      .select("b", "r_share")
+    shares.crossJoin(broadcast(
+        shares.agg(sum(col("r_share") * col("r_share")).as("nr"))))
+      .localCheckpoint()
+  }
+
+  /** q142 core: per-doc cosine against the frozen reference shares.
+    * The doc-side norm sums over ALL the doc's buckets (independent of
+    * the reference join, so a bucket the reference lacks still counts
+    * against the doc's norm); the dot rides the b-keyed join where a
+    * missing reference bucket correctly contributes zero. */
+  private[graft] def docDriftVerdicts(batch: DataFrame, ref: DataFrame): DataFrame = {
+    val db = docBucketRows(
+        batch.filter(col("source") === Dedup.IncrementalSource)
+          .select("doc_id", "text"))
+      .withColumn("s_share", expr("c * 1000 div n"))
+    val ns = db.groupBy("doc_id")
+      .agg(max(col("n")).as("n_tokens"),
+        sum(col("s_share") * col("s_share")).as("ns"))
+    val dots = db.join(broadcast(ref), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("s_share") * col("r_share")).as("dot"), max(col("nr")).as("nr"))
+    ns.join(dots, Seq("doc_id"), "left")
+      .withColumn("cos_permille",
+        coalesce(floor(lit(1000.0) * col("dot").cast("double") /
+          (sqrt(col("ns").cast("double")) * sqrt(col("nr").cast("double")))).cast("long"),
+          lit(0L)))
+      .withColumn("flagged", col("cos_permille") < DriftFlagPermille)
+      .select("doc_id", "n_tokens", "cos_permille", "flagged")
+      .orderBy("doc_id")
+  }
+
+  /** q142 batch twin (the registered query is the streaming replay —
+    * DedupStream.driftStream — which runs this exact core per
+    * micro-batch against the same frozen reference). */
+  def docDrift(spark: SparkSession, sfDir: String): DataFrame =
+    docDriftVerdicts(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"),
+      driftRef(spark, sfDir))
+
+  def docDriftSql: String =
+    s"""WITH itoks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents WHERE source = '${Dedup.IncrementalSource}'),
+       |rtoks AS (
+       |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents WHERE source != '${Dedup.IncrementalSource}'),
+       |db AS (
+       |  SELECT doc_id,
+       |    (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1 AS b,
+       |    cast(count(*) as bigint) AS c
+       |  FROM itoks GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, cast(sum(c) as bigint) AS n FROM db GROUP BY doc_id),
+       |rb AS (
+       |  SELECT (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1 AS b,
+       |    cast(count(*) as bigint) AS cc
+       |  FROM rtoks GROUP BY 1),
+       |rt AS (SELECT cast(sum(cc) as bigint) AS tt FROM rb),
+       |rs AS (SELECT b, cc * 1000 // tt AS r_share FROM rb, rt),
+       |nrv AS (SELECT cast(sum(r_share * r_share) as bigint) AS nr FROM rs),
+       |sh AS (SELECT db.doc_id, db.b, db.c * 1000 // dn.n AS s_share
+       |       FROM db JOIN dn USING (doc_id)),
+       |nsv AS (SELECT doc_id, cast(sum(s_share * s_share) as bigint) AS ns FROM sh GROUP BY doc_id),
+       |dots AS (
+       |  SELECT sh.doc_id, cast(sum(s_share * r_share) as bigint) AS dot
+       |  FROM sh JOIN rs USING (b) GROUP BY sh.doc_id)
+       |SELECT dn.doc_id, dn.n AS n_tokens,
+       |  coalesce(cast(floor(1000.0 * cast(dot as double) /
+       |    (sqrt(cast(ns as double)) * sqrt(cast(nr as double)))) as bigint), 0) AS cos_permille,
+       |  coalesce(cast(floor(1000.0 * cast(dot as double) /
+       |    (sqrt(cast(ns as double)) * sqrt(cast(nr as double)))) as bigint), 0) < $DriftFlagPermille AS flagged
+       |FROM dn
+       |JOIN nsv USING (doc_id)
+       |LEFT JOIN dots USING (doc_id)
+       |CROSS JOIN nrv
+       |ORDER BY dn.doc_id""".stripMargin
+
   def hashEmbedKnn(spark: SparkSession, sfDir: String): DataFrame = {
     // not materialized: every consumer's lineage is a scan-speed
     // flatMap (a cache round-trip costs more than the recompute)

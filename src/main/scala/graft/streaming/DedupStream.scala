@@ -311,6 +311,44 @@ object DedupStream {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  private val driftCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q142: STREAMING drift monitor — the ingest-time data-drift check
+    * every production feed runs: each incoming document's hash-
+    * embedding histogram is scored against the FROZEN corpus reference
+    * shares (built once before the stream, the q102/q134 freeze
+    * discipline) and docs below the cosine floor are flagged for
+    * routing/quarantine. Stateless per batch — the reference is the
+    * only state — and the per-doc core is literally the batch twin's
+    * (`ChatOracle.docDriftVerdicts`), so the replay is row-identical
+    * to batch q142 and one oracle serves both. */
+  def driftStream(spark: org.apache.spark.sql.SparkSession,
+                  sfDir: String): org.apache.spark.sql.DataFrame = {
+    val ref = graft.ops.ChatOracle.driftRef(spark, sfDir)
+    val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    val run = driftCounter.incrementAndGet()
+    val outDir = StreamScratch.dir(s"graft_drift_$run")
+    val ckDir = StreamScratch.dir(s"graft_drift_ck_$run")
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(org.apache.spark.sql.functions.col("source") ===
+        graft.ops.Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+    val q = stream.writeStream
+      .queryName(s"graft_drift_$run")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.ChatOracle.docDriftVerdicts(batch, ref)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   private val dhashCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q134: STREAMING perceptual-dedup admission for images — the

@@ -858,6 +858,56 @@ class Round8OpsSpec extends SparkSpec {
       s"the repeated gram must land in the 10+ bucket: $got")
   }
 
+  // ---------------------------------------------------------------- q142
+
+  test("q142: stream replay is row-identical to the batch twin and an independent reference") {
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cos_permille"), r.getAs[Boolean]("flagged"))).toSeq
+    val stream = collect(graft.streaming.DedupStream.driftStream(spark, sf001))
+    val batch = collect(graft.ops.ChatOracle.docDrift(spark, sf001))
+    assert(stream == batch, "stream replay must be row-identical to the batch twin")
+    // independent reference
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val refCounts = new Array[Long](256)
+    docs.filter(_._2 != graft.ops.Dedup.IncrementalSource)
+      .foreach { case (_, _, t) => toks(t.toLowerCase).foreach(w => refCounts(md5FirstByte(w)) += 1L) }
+    val tt = refCounts.sum
+    val rShare = refCounts.map(_ * 1000L / tt)
+    val nr = math.sqrt(rShare.map(x => (x * x).toDouble).sum)
+    val expected = docs.filter(_._2 == graft.ops.Dedup.IncrementalSource)
+      .map { case (id, _, t) =>
+        val c = new Array[Long](256)
+        var n = 0L
+        toks(t.toLowerCase).foreach { w => c(md5FirstByte(w)) += 1L; n += 1L }
+        val sShare = c.map(x => x * 1000L / n)
+        val dot = (0 until 256).map(b => sShare(b) * rShare(b)).sum.toDouble
+        val ns = math.sqrt(sShare.map(x => (x * x).toDouble).sum)
+        val cos = math.floor(1000.0 * dot / (ns * nr)).toLong
+        (id, n, cos, cos < graft.ops.ChatOracle.DriftFlagPermille)
+      }.sortBy(_._1).toSeq
+    assert(stream == expected)
+    // in-distribution incoming docs must NOT flag at the floor
+    assert(stream.forall(!_._4))
+  }
+
+  test("q142: an out-of-distribution document is flagged at ingest") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q142-planted")
+    val common = (0 until 40).map(i => s"word${i % 10}").mkString(" ")
+    val rows = (0 until 5).map(i => (i.toLong, common, "en", "corpus", 1L)) ++ Seq(
+      (10L, common, "en", graft.ops.Dedup.IncrementalSource, 1L),
+      (11L, (0 until 40).map(i => s"zzz$i").mkString(" "), "en", graft.ops.Dedup.IncrementalSource, 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.ChatOracle.docDrift(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("flagged"))).toMap
+    assert(!got(10L), "an in-distribution doc must pass")
+    assert(got(11L), "a disjoint-vocabulary doc must be flagged")
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
