@@ -173,7 +173,9 @@ object SparkEntry {
     "q139_hll_union"        -> Sketches.hllUnionReport _,
     "q140_source_embed_drift" -> ChatOracle.sourceEmbedDrift _,
     "q141_dup_spectrum"     -> ((s: SparkSession, d: String) => Dedup.dupSpectrum(s, d, Dedup.OracleHashBits)),
-    "q142_stream_drift"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.driftStream(s, d))
+    "q142_stream_drift"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.driftStream(s, d)),
+    "q143_source_top_tokens" -> TextAnalytics.sourceTopTokens _,
+    "q144_neg_sampling"     -> Sampling.negativeSamplingTable _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -390,6 +392,8 @@ object SparkEntry {
     "q139_hll_union"        -> Sketches.hllUnionReportSql,
     "q140_source_embed_drift" -> ChatOracle.sourceEmbedDriftSql,
     "q141_dup_spectrum"     -> Dedup.dupSpectrumSql,
-    "q142_stream_drift"     -> ChatOracle.docDriftSql
+    "q142_stream_drift"     -> ChatOracle.docDriftSql,
+    "q143_source_top_tokens" -> TextAnalytics.sourceTopTokensSql,
+    "q144_neg_sampling"     -> Sampling.negativeSamplingTableSql
   )
 }

@@ -539,6 +539,88 @@ object Sampling {
   }
 
   // -------------------------------------------------------------------
+  // Negative-sampling distribution table (word2vec / contrastive
+  // training): the unigram^0.75 sampler of Mikolov et al. 2013 — the
+  // exponent that lifts rare words enough to be useful negatives
+  // without letting stopwords dominate. The emitted table IS the
+  // artifact a skip-gram or contrastive trainer draws from: cumulative
+  // permille ranges over the top-K vocabulary, so sampling is "draw
+  // uniform permille, binary-search the range column".
+  // -------------------------------------------------------------------
+
+  val NegSampleK = 100
+
+  /** q144: (rank, tok, cnt, weight, cum_start_permille,
+    * cum_end_permille) over the top-[[NegSampleK]] tokens.
+    *
+    * Portability: cnt^0.75 is NOT computed with pow (whose last-ulp
+    * behavior is libm-specific) but as sqrt(cnt · sqrt(cnt)) — a
+    * composition of correctly-rounded IEEE ops over an exactly-
+    * representable integer, so the floored milli-weight is the same
+    * integer in both engines.
+    *
+    * Scale shape: per-doc token counts collapse in the scan flatMap;
+    * ONE keyed agg with map-side combine builds the count table;
+    * top-K is physical top-k (TakeOrderedAndProject), and the
+    * cumulative window runs on the K-row result — the corpus
+    * vocabulary is never globally sorted. */
+  def negativeSamplingTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("text"))
+      .as[String]
+      .mapPartitions { it =>
+        it.flatMap { txt =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          }
+          m.iterator
+        }
+      }
+      .toDF("tok", "c")
+      .groupBy("tok").agg(sum(col("c")).as("cnt"))
+    val top = tf.orderBy(col("cnt").desc, col("tok").asc).limit(NegSampleK)
+      .withColumn("weight",
+        floor(sqrt(col("cnt").cast("double") * sqrt(col("cnt").cast("double"))) * lit(1000.0))
+          .cast("long"))
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    val tw = top.agg(sum(col("weight")).as("tw"))
+    top.crossJoin(broadcast(tw))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("weight")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_start_permille", expr("(cum - weight) * 1000 div tw"))
+      .withColumn("cum_end_permille", expr("cum * 1000 div tw"))
+      .select("rank", "tok", "cnt", "weight", "cum_start_permille", "cum_end_permille")
+      .orderBy("rank")
+  }
+
+  def negativeSamplingTableSql: String =
+    s"""WITH tf AS (
+       |  SELECT tok, cast(count(*) as bigint) AS cnt FROM (
+       |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) AS tok
+       |    FROM documents)
+       |  GROUP BY tok),
+       |top AS (
+       |  SELECT tok, cnt,
+       |    cast(floor(sqrt(cast(cnt as double) * sqrt(cast(cnt as double))) * 1000.0) as bigint) AS weight,
+       |    cast(row_number() OVER (ORDER BY cnt DESC, tok ASC) as bigint) AS rank
+       |  FROM tf ORDER BY cnt DESC, tok ASC LIMIT $NegSampleK),
+       |tw AS (SELECT cast(sum(weight) as bigint) AS tw FROM top),
+       |c AS (
+       |  SELECT rank, tok, cnt, weight,
+       |    cast(sum(weight) OVER (ORDER BY rank
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS cum
+       |  FROM top)
+       |SELECT rank, tok, cnt, weight,
+       |  (cum - weight) * 1000 // tw AS cum_start_permille,
+       |  cum * 1000 // tw AS cum_end_permille
+       |FROM c, tw
+       |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // Epoch-capped PROPORTIONAL allocation: the data-constrained regime
   // (Muennighoff et al. 2023, "Scaling Data-Constrained Language
   // Models" — repeating past ~4 epochs stops helping). Completes the

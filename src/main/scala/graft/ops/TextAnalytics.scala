@@ -1602,6 +1602,58 @@ object TextAnalytics {
   }
 
   // -------------------------------------------------------------------
+  // Per-source top-k tokens: the grouped heavy-hitter report (which
+  // vocabulary DOMINATES each crawl — the at-a-glance companion to
+  // q126/q129/q140's aggregate drift scores: those say "this source
+  // differs", this says what it's full of).
+  // -------------------------------------------------------------------
+
+  val SourceTopK = 5
+
+  /** q143: top-[[SourceTopK]] tokens per source by occurrence count.
+    *
+    * Scale shape: per-doc token counts collapse inside the scan's
+    * flatMap (the tfRows discipline keyed by source), ONE keyed agg
+    * onto (source, tok) with map-side combine, then the per-group
+    * top-k rides a rank window whose sort Spark's WindowGroupLimit
+    * physical rule truncates to k rows per partition BEFORE the
+    * shuffle — the full per-source vocabulary is never sorted
+    * (plan-audited). */
+  def sourceTopTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val stf = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (src, txt) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          }
+          m.iterator.map { case (t, c) => (src, t, c) }
+        }
+      }
+      .toDF("source", "tok", "c")
+      .groupBy("source", "tok").agg(sum(col("c")).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("tok").asc)
+    stf.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= SourceTopK)
+      .select("source", "rank", "tok", "cnt")
+      .orderBy("source", "rank")
+  }
+
+  def sourceTopTokensSql: String =
+    s"""SELECT source, rank, tok, cnt FROM (
+       |  SELECT source, tok, cast(count(*) as bigint) AS cnt,
+       |    cast(row_number() OVER (PARTITION BY source
+       |      ORDER BY count(*) DESC, tok ASC) as bigint) AS rank
+       |  FROM (SELECT source, unnest($sqlTokens) AS tok FROM documents)
+       |  GROUP BY source, tok)
+       |WHERE rank <= $SourceTopK
+       |ORDER BY source, rank""".stripMargin
+
+  // -------------------------------------------------------------------
   // Tokenizer fertility per language: BPE-ish tokens per word and
   // characters per token, the budget-planning metric UniMax-style
   // allocation (q113) and token-budget plans (q100) consume — a

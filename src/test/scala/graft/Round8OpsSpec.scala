@@ -908,6 +908,78 @@ class Round8OpsSpec extends SparkSpec {
     assert(got(11L), "a disjoint-vocabulary doc must be flagged")
   }
 
+  // ---------------------------------------------------------------- q143
+
+  test("q143: per-source top tokens match an independent recompute and ride WindowGroupLimit") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      val counts = g.flatMap(d => toks(d._2)).groupBy(identity)
+        .map { case (t, ts) => (t, ts.length.toLong) }
+      counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(graft.ops.TextAnalytics.SourceTopK)
+        .zipWithIndex.map { case ((t, c), i) => (src, i + 1L, t, c) }
+    }.sortBy { case (s, r, _, _) => (s, r) }
+    val got = graft.ops.TextAnalytics.sourceTopTokens(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rank"),
+        r.getAs[String]("tok"), r.getAs[Long]("cnt"))).toSeq
+    assert(got == expected)
+    val plan = graft.ops.TextAnalytics.sourceTopTokens(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "per-group top-k must truncate before the window sort (WindowGroupLimit)")
+  }
+
+  // ---------------------------------------------------------------- q144
+
+  test("q144: sampler table matches an independent unigram^0.75 recompute with contiguous ranges") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = docs.flatMap(toks).groupBy(identity).map { case (t, ts) => (t, ts.length.toLong) }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(graft.ops.Sampling.NegSampleK)
+      .map { case (t, c) =>
+        (t, c, math.floor(math.sqrt(c.toDouble * math.sqrt(c.toDouble)) * 1000.0).toLong) }
+    val tw = top.map(_._3).sum
+    var cum = 0L
+    val expected = top.zipWithIndex.map { case ((t, c, wt), i) =>
+      val start = cum * 1000L / tw; cum += wt
+      (i + 1L, t, c, wt, start, cum * 1000L / tw)
+    }
+    val got = graft.ops.Sampling.negativeSamplingTable(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("tok"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("weight"), r.getAs[Long]("cum_start_permille"),
+        r.getAs[Long]("cum_end_permille"))).toSeq
+    assert(got == expected)
+    // the ranges tile [0, 1000] with no gaps: a uniform permille draw
+    // always lands in exactly one token's range
+    assert(got.head._5 == 0L && got.last._6 == 1000L)
+    got.sliding(2).foreach { case Seq(a, b) => assert(a._6 == b._5, s"gap at rank ${b._1}") }
+    // ^0.75 flattens: the top token's share of weight is strictly below
+    // its share of raw counts
+    val topShareW = got.head._4.toDouble / got.map(_._4).sum
+    val topShareC = got.head._3.toDouble / got.map(_._3).sum
+    assert(topShareW < topShareC)
+  }
+
+  // ----------------------------------------------------- plan shapes
+
+  test("new pair-join operators never fall back to a cross product") {
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    val plans = Map(
+      "q128" -> planOf(graft.ops.Dedup.winnowPairs(spark, sf0001, graft.ops.Dedup.OracleHashBits)),
+      "q136" -> planOf(graft.ops.Dedup.simhashSweep(spark, sf0001, graft.ops.Dedup.OracleHashBits)),
+      "q138" -> planOf(graft.ops.Dedup.cdcDedup(spark, sf0001)))
+    plans.foreach { case (q, p) =>
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product in plan")
+    }
+    // q136's signature all-pairs join is the DOCUMENTED bounded-constant
+    // exception (2^16 space), so it may nested-loop — but q128/q138 must not
+    Seq("q128", "q138").foreach { q =>
+      assert(!plans(q).contains("BroadcastNestedLoopJoin"), s"$q: nested loop in plan")
+    }
+  }
+
   test("q127: rankings collapse via physical top-k, not a corpus-wide window") {
     val plan = graft.ops.Hybrid.rrfHybrid(spark, sf0001)
       .queryExecution.executedPlan.toString
