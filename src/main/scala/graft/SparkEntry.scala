@@ -175,7 +175,8 @@ object SparkEntry {
     "q141_dup_spectrum"     -> ((s: SparkSession, d: String) => Dedup.dupSpectrum(s, d, Dedup.OracleHashBits)),
     "q142_stream_drift"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.driftStream(s, d)),
     "q143_source_top_tokens" -> TextAnalytics.sourceTopTokens _,
-    "q144_neg_sampling"     -> Sampling.negativeSamplingTable _
+    "q144_neg_sampling"     -> Sampling.negativeSamplingTable _,
+    "q145_shared_runs"      -> ((s: SparkSession, d: String) => Dedup.sharedRunPairs(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -394,6 +395,7 @@ object SparkEntry {
     "q141_dup_spectrum"     -> Dedup.dupSpectrumSql,
     "q142_stream_drift"     -> ChatOracle.docDriftSql,
     "q143_source_top_tokens" -> TextAnalytics.sourceTopTokensSql,
-    "q144_neg_sampling"     -> Sampling.negativeSamplingTableSql
+    "q144_neg_sampling"     -> Sampling.negativeSamplingTableSql,
+    "q145_shared_runs"      -> Dedup.sharedRunPairsSql
   )
 }

@@ -3129,4 +3129,137 @@ object Dedup {
        |WHERE shared_fps >= $WinnowMinShared
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q146: maximal shared token-run pairs — the PAIR-EXTENT artifact of
+  // exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+  // Data Makes Language Models Better"). q65 reports each doc's
+  // duplicated-span RATIO and q115 cuts the spans; this reports, per
+  // document pair, HOW LONG the longest verbatim shared token run is
+  // and how much run mass the pair shares — the evidence a curation
+  // reviewer reads before trusting a merge, and the exact-sequence
+  // complement of q124's edit-distance verdict (a set-similar pair
+  // with a short max run is template noise; a 50+-token run is
+  // verbatim copying / memorization-grade duplication per Carlini et
+  // al. 2022).
+  //
+  // Equivalence that makes this computable without suffix arrays: two
+  // docs share a verbatim run of L >= n tokens iff they share L-n+1
+  // word n-grams at CONSECUTIVE positions on one alignment diagonal
+  // (pos_a - pos_b constant). So maximal runs = islands of consecutive
+  // pos_a within each (pair, diagonal) group, and max_run_tokens =
+  // island_length + n - 1 — the full suffix-array machinery of the
+  // paper traded for the fixed-n gram relation the family already has
+  // (reference anchor: the span relation behind dedup.go's exact pass).
+  // -------------------------------------------------------------------
+
+  /** Report floor: runs shorter than this many tokens are noise on a
+    * shared-vocabulary corpus (random 5-gram collisions chain only a
+    * little); 20 tokens is comfortably past chance and well under the
+    * paper's 50-token memorization bar, so the report keeps the band a
+    * reviewer actually triages. */
+  val SharedRunMinTokens = 20
+
+  /** (doc_id, pos, gh) — every word [[DupSpanN]]-gram occurrence WITH
+    * its token position, hashed scan-local (the q65 flatMap plus the
+    * position column; i64 hashes, never gram strings, in any shuffle). */
+  private[graft] def gramPosRows(spark: SparkSession, sfDir: String,
+                                 bits: Int = DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val n = DupSpanN
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          (0 to t.length - n).map { i =>
+            val g = t.slice(i, i + n).mkString(" ")
+            (id, i.toLong,
+              packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits))
+          }
+        }
+      }
+      .toDF("doc_id", "pos", "gh")
+  }
+
+  /** q146: per-pair maximal shared token runs. One row per unordered
+    * doc pair whose longest verbatim shared run reaches
+    * [[SharedRunMinTokens]]: `max_run_tokens` (longest run),
+    * `n_runs` (maximal runs at or above the floor), `run_token_mass`
+    * (their summed token lengths — run mass, not distinct-token mass:
+    * overlapping runs on different diagonals each count their own
+    * extent, stated rather than hidden).
+    *
+    * Scale shape: the gram relation is scan-local; candidate
+    * generation is the jaccardPairsSparse inverted-index self-equi-join
+    * on the gram hash (fan-out Σ df², optional `dfCap` drops
+    * boilerplate grams from pairing with the same documented recall
+    * trade, uncapped default keeps the oracle byte-identical); island
+    * detection is ONE windowed row_number per (pair, diagonal) group —
+    * a single keyed shuffle sized by the matched-gram relation, never
+    * by the corpus — and the report folds per pair. Hash collisions
+    * (different grams, one hv) can splice runs; the arithmetic is
+    * identical on both engines so the report still hash-checks, and at
+    * the 64-bit library default collisions are absent in practice. */
+  def sharedRunPairs(spark: SparkSession, sfDir: String,
+                     bits: Int = DefaultHashBits,
+                     dfCap: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Materialize.shared(spark, gramPosRows(spark, sfDir, bits))
+    val capped = dfCap match {
+      case Some(cap) =>
+        val dfc = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("df"))
+        grams.join(dfc.filter(col("df") <= cap), "gh")
+      case None => grams
+    }
+    val a = capped.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gh"))
+    val b = capped.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("gh"))
+    val matched = a.join(b, Seq("gh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val runs = matched
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg((count(lit(1)) + lit(DupSpanN.toLong - 1L)).as("run_tokens"))
+      .filter(col("run_tokens") >= SharedRunMinTokens.toLong)
+    runs.groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_tokens")).as("max_run_tokens"),
+        sum(col("run_tokens")).as("run_token_mass"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def sharedRunPairsSql: String = {
+    val n = DupSpanN
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, i AS pos, ${shingleHashExpr("strpos", "md5(g)")} AS gh
+       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g,
+       |          unnest(CASE WHEN len(t) >= $n
+       |          THEN range(len(t) - ${n - 1}) ELSE [] END) AS i
+       |        FROM toks)),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
+       |  FROM gr a JOIN gr b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b, diag, island, count(*) + ${n - 1} AS run_tokens
+       |  FROM isl GROUP BY doc_a, doc_b, diag, island),
+       |ok AS (SELECT * FROM runs WHERE run_tokens >= $SharedRunMinTokens)
+       |SELECT doc_a, doc_b, cast(count(*) as bigint) AS n_runs,
+       |  cast(max(run_tokens) as bigint) AS max_run_tokens,
+       |  cast(sum(run_tokens) as bigint) AS run_token_mass
+       |FROM ok GROUP BY doc_a, doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

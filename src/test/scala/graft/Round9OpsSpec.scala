@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 operator specs: q145+ (shared-run pairs and successors). */
+class Round9OpsSpec extends SparkSpec {
+
+  private def toks(t: String): Array[String] =
+    t.trim.split("\\s+").filter(_.nonEmpty)
+
+  // ---------------------------------------------------------------- q145
+
+  /** Independent reference: maximal common token RUNS per doc pair via
+    * the O(La*Lb) longest-common-substring DP over raw token equality —
+    * a different algorithm from the operator's gram-island formulation
+    * (and hash-free, so it also proves the gram hashing added no
+    * collisions at this SF). Returns (n_runs, max_run, mass) per pair
+    * with any maximal run >= minRun. */
+  private def dpRuns(a: Array[String], b: Array[String], minRun: Int): Option[(Long, Long, Long)] = {
+    val la = a.length; val lb = b.length
+    var runs = List.empty[Int]
+    var prev = new Array[Int](lb)
+    var cur = new Array[Int](lb)
+    var i = 0
+    while (i < la) {
+      var j = 0
+      while (j < lb) {
+        if (a(i) == b(j)) {
+          cur(j) = (if (j == 0) 0 else prev(j - 1)) + 1
+          // maximal iff the run cannot extend to (i+1, j+1)
+          if ((i == la - 1 || j == lb - 1 || a(i + 1) != b(j + 1)) && cur(j) >= minRun)
+            runs ::= cur(j)
+        } else cur(j) = 0
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    if (runs.isEmpty) None
+    else Some((runs.length.toLong, runs.max.toLong, runs.map(_.toLong).sum))
+  }
+
+  test("q145: pair report matches an independent LCS-DP reference over every gram-sharing pair at sf0.001") {
+    val n = graft.ops.Dedup.DupSpanN
+    val minRun = graft.ops.Dedup.SharedRunMinTokens
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1)))).sortBy(_._1)
+    // candidate pairs = share at least one word n-gram (a superset of
+    // the reported pairs, so this also checks COMPLETENESS: no pair
+    // with a qualifying run is missing from the report)
+    val byGram = scala.collection.mutable.HashMap.empty[String, List[Long]]
+    docs.foreach { case (id, t) =>
+      (0 to t.length - n).map(i => t.slice(i, i + n).mkString(" ")).distinct
+        .foreach(g => byGram(g) = id :: byGram.getOrElse(g, Nil))
+    }
+    val cand = byGram.values.filter(_.size > 1)
+      .flatMap(ids => for (x <- ids; y <- ids if x < y) yield (x, y)).toSet
+    val byId = docs.toMap
+    val expected = cand.toSeq.sorted.flatMap { case (x, y) =>
+      dpRuns(byId(x), byId(y), minRun).map { case (nr, mx, mass) => (x, y, nr, mx, mass) }
+    }
+    val got = graft.ops.Dedup.sharedRunPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_run_tokens"),
+        r.getAs[Long]("run_token_mass"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "the planted near-dup corpus must surface shared runs")
+    // memorization-grade (>=50-token) runs exist in the testdata
+    assert(got.exists(_._4 >= 50L))
+  }
+
+  test("q145: a run at exactly the floor is reported, one token shorter is not, disjoint runs both count") {
+    import spark.implicits._
+    val minRun = graft.ops.Dedup.SharedRunMinTokens
+    val dir = graft.streaming.StreamScratch.dir("q145-planted")
+    val run20 = (0 until minRun).map(i => s"ra$i").mkString(" ")
+    val run19 = (0 until minRun - 1).map(i => s"rb$i").mkString(" ")
+    val run25a = (0 until 25).map(i => s"rc$i").mkString(" ")
+    val run25b = (0 until 25).map(i => s"rd$i").mkString(" ")
+    Seq(
+      (0L, s"zero00 zero01 zero02 $run20 zero03", "en", "s0", 1L),
+      (1L, s"one00 $run20 one01 one02 one03 one04 one05", "en", "s0", 1L),
+      (2L, s"two00 $run19 two01", "en", "s0", 1L),
+      (3L, s"three00 three01 $run19 three02", "en", "s0", 1L),
+      (4L, s"four00 $run25a four01 four02 $run25b four03", "en", "s0", 1L),
+      (5L, s"five00 five01 $run25b five02 $run25a five03", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.sharedRunPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_run_tokens"),
+        r.getAs[Long]("run_token_mass"))).toSeq
+    // (0,1): exactly-at-floor run, shifted offsets. (2,3): one short,
+    // absent. (4,5): two 25-token runs on DIFFERENT diagonals (swapped
+    // order), both counted, mass = 50.
+    assert(got == Seq((0L, 1L, 1L, minRun.toLong, minRun.toLong),
+      (4L, 5L, 2L, 25L, 50L)))
+  }
+
+  test("q145: candidate generation is a gh equi-join — no cross product in the plan") {
+    val plan = graft.ops.Dedup.sharedRunPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"shared-run pairing must never fall back to a cross product:\n$plan")
+  }
+
+  test("q145: dfCap equals uncapped when no gram exceeds the cap, and bounds hot-gram fan-out when one does") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q145-cap")
+    val boiler = (0 until 30).map(i => s"tmpl$i").mkString(" ")
+    // the same 30-token boilerplate run in 6 docs (a template family)
+    val rows = (0L until 6L).map(i => (i, s"u${i}a u${i}b $boiler u${i}c", "en", "s0", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val uncapped = graft.ops.Dedup.sharedRunPairs(spark, dir).collect()
+    assert(uncapped.length == 15, "all 15 template pairs pair uncapped")
+    // cap below the family df: the boilerplate grams drop from pairing
+    val capped = graft.ops.Dedup.sharedRunPairs(spark, dir, dfCap = Some(3)).collect()
+    assert(capped.isEmpty, "capped mode drops grams hotter than the cap from candidate generation")
+    // cap above every df: byte-identical to uncapped (the oracle-mode guarantee)
+    val cappedHigh = graft.ops.Dedup.sharedRunPairs(spark, dir, dfCap = Some(100)).collect()
+    assert(cappedHigh.map(_.toString).toSeq == uncapped.map(_.toString).toSeq)
+  }
+}
