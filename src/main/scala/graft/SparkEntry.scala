@@ -176,7 +176,8 @@ object SparkEntry {
     "q142_stream_drift"     -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.driftStream(s, d)),
     "q143_source_top_tokens" -> TextAnalytics.sourceTopTokens _,
     "q144_neg_sampling"     -> Sampling.negativeSamplingTable _,
-    "q145_shared_runs"      -> ((s: SparkSession, d: String) => Dedup.sharedRunPairs(s, d, Dedup.OracleHashBits))
+    "q145_shared_runs"      -> ((s: SparkSession, d: String) => Dedup.sharedRunPairs(s, d, Dedup.OracleHashBits)),
+    "q146_cluster_cohesion" -> ((s: SparkSession, d: String) => Dedup.clusterCohesion(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -396,6 +397,7 @@ object SparkEntry {
     "q142_stream_drift"     -> ChatOracle.docDriftSql,
     "q143_source_top_tokens" -> TextAnalytics.sourceTopTokensSql,
     "q144_neg_sampling"     -> Sampling.negativeSamplingTableSql,
-    "q145_shared_runs"      -> Dedup.sharedRunPairsSql
+    "q145_shared_runs"      -> Dedup.sharedRunPairsSql,
+    "q146_cluster_cohesion" -> Dedup.clusterCohesionSql
   )
 }

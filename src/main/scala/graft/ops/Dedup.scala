@@ -3262,4 +3262,94 @@ object Dedup {
        |FROM ok GROUP BY doc_a, doc_b
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q146: cluster COHESION audit — the chaining-pathology report for
+  // connected-component dedup. CC merges by REACHABILITY: A~B and B~C
+  // put A and C in one cluster with no direct evidence they are
+  // similar, and at corpus scale long chains of marginal pairs quietly
+  // merge genuinely distinct documents into one survivor (the known
+  // failure mode of union-find dedup that SemDeDup/verification stages
+  // exist to counter). This report quantifies it per cluster: edge
+  // support (how many of the n(n-1)/2 member pairs q14 actually
+  // verified), density, and the weakest verified edge. Density 1000 =
+  // clique (every merge directly evidenced); low density on a large
+  // cluster = chain — exactly the clusters a reviewer re-verifies
+  // (q124's edit verdict) before trusting q74's survivorship.
+  // -------------------------------------------------------------------
+
+  /** q146: per-cluster edge support over q49's exact machinery: the
+    * edge set IS q14's verified pair list (banded candidates, exact
+    * Jaccard >= threshold) and the clusters ARE starComponents over it,
+    * so the audit measures precisely the graph survivorship acted on.
+    * An absent edge means "q14 did not verify this member pair" —
+    * either truly dissimilar (chaining) or an LSH banding miss; both
+    * are unsupported merges, which is what the audit counts.
+    *
+    * Scale shape: edges and labels are the q14/q49 plans unchanged;
+    * the audit itself is two keyed aggs over the answer-sized edge and
+    * label relations (a pair's cluster is its doc_a endpoint's label —
+    * both endpoints share it by construction) plus a broadcast-sized
+    * join of the two per-cluster frames. Integer columns throughout
+    * (edge strength as inter*1000 div uni permille). */
+  def clusterCohesion(spark: SparkSession, sfDir: String,
+                      bits: Int = DefaultHashBits,
+                      bandCap: Option[Int] = None): DataFrame = {
+    val pairs = Materialize.shared(spark,
+      candidateOverlap(spark, sfDir, bits, bandCap)
+        .filter(col("inter").cast("double") / col("uni").cast("double")
+          >= Consts.MinhashJaccardThreshold)
+        .withColumn("jacc_permille", expr("inter * 1000 div uni"))
+        .select(col("doc_a"), col("doc_b"), col("jacc_permille")))
+    val labels = starComponents(pairs.select(col("doc_a"), col("doc_b")))
+    val members = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val edges = pairs
+      .join(labels.select(col("node").as("doc_a"), col("label").as("cluster_id")), "doc_a")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jacc_permille")).as("min_edge_permille"))
+    members.join(edges, Seq("cluster_id"))
+      .withColumn("n_possible", expr("n_members * (n_members - 1) div 2"))
+      .withColumn("density_permille", expr("n_edges * 1000 div n_possible"))
+      .select("cluster_id", "n_members", "n_edges", "n_possible",
+        "density_permille", "min_edge_permille")
+      .orderBy("cluster_id")
+  }
+
+  def clusterCohesionSql: String =
+    s"""WITH RECURSIVE $sqlCandCtes,
+       |pairs AS (
+       |  -- DISTINCT is load-bearing: under a RECURSIVE with-clause
+       |  -- DuckDB does not collapse the multi-arm UNION inside cand,
+       |  -- so a pair agreeing on two bands arrives twice and would
+       |  -- double-count n_edges (measured; plain-WITH q14 dedups fine)
+       |  SELECT DISTINCT doc_a, doc_b,
+       |    cast(len(list_intersect(sa.s, sb.s)) as bigint) * 1000
+       |      // cast(len(list_distinct(sa.s || sb.s)) as bigint) AS jacc_permille
+       |  FROM cand
+       |  JOIN sets sa ON doc_a = sa.doc_id
+       |  JOIN sets sb ON doc_b = sb.doc_id
+       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double)
+       |      / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
+       |lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |members AS (SELECT cluster_id, cast(count(*) as bigint) AS n_members FROM lab GROUP BY cluster_id),
+       |eg AS (
+       |  SELECT l.cluster_id, cast(count(*) as bigint) AS n_edges,
+       |    cast(min(jacc_permille) as bigint) AS min_edge_permille
+       |  FROM pairs p JOIN lab l ON p.doc_a = l.doc_id GROUP BY l.cluster_id)
+       |SELECT m.cluster_id, n_members, n_edges,
+       |  n_members * (n_members - 1) // 2 AS n_possible,
+       |  n_edges * 1000 // (n_members * (n_members - 1) // 2) AS density_permille,
+       |  min_edge_permille
+       |FROM members m JOIN eg USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
 }

@@ -123,4 +123,96 @@ class Round9OpsSpec extends SparkSpec {
     val cappedHigh = graft.ops.Dedup.sharedRunPairs(spark, dir, dfCap = Some(100)).collect()
     assert(cappedHigh.map(_.toString).toSeq == uncapped.map(_.toString).toSeq)
   }
+
+  // ---------------------------------------------------------------- q146
+
+  test("q146: cohesion report matches a pure-Scala union-find + set-arithmetic reference at sf0.001") {
+    // edge set = q14's verified pairs (independently spec-pinned);
+    // the NEW logic under test is clustering + cohesion arithmetic, so
+    // the reference recomputes those from scratch: union-find over the
+    // pair list, per-pair permille from RAW STRING shingle sets (no
+    // hashes — also re-proving the 64-bit hashed intersection counts).
+    val pairs = graft.ops.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    def shingleSet(t: String): Set[String] = {
+      val w = toks(t)
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCluster = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      .groupBy(find)
+    val permille = pairs.map { case (a, b) =>
+      val (sa, sb) = (shingleSet(docs(a)), shingleSet(docs(b)))
+      val inter = (sa & sb).size.toLong
+      (a, b) -> inter * 1000L / (sa.size + sb.size - inter)
+    }.toMap
+    val expected = byCluster.toSeq.map { case (cl, members) =>
+      val e = pairs.filter { case (a, _) => find(a) == cl }
+      val n = members.length.toLong
+      val poss = n * (n - 1) / 2
+      (cl, n, e.length.toLong, poss, e.length * 1000L / poss,
+        e.map(permille).min)
+    }.sortBy(_._1)
+    val got = graft.ops.Dedup.clusterCohesion(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("n_possible"),
+        r.getAs[Long]("density_permille"), r.getAs[Long]("min_edge_permille"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q146: a clique reads density 1000; a chain reads 666 with its weakest edge exposed") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q146-planted")
+    // triangle: three docs sharing an 85-word core with 15 own words
+    // each — every pair verifies (J ~ 0.74), so the cluster is a clique.
+    // chain: B = 100 words, A = B's first 80 + 20 own, C = 20 own +
+    // B's last 80; J(A,B) = J(B,C) ~ 0.66 >= 0.5 but J(A,C) ~ 0.42
+    // stays BELOW the verification threshold no matter what the
+    // banding does, so the A-C edge can never appear and {A,B,C}
+    // merges on reachability alone — the chaining pathology this audit
+    // exists to expose. Word spellings picked offline so the (fully
+    // deterministic) 4x4 banding fires for exactly the 5 wanted edges.
+    val core = (0 until 85).map(i => s"co0x$i").mkString(" ")
+    val bw = (0 until 100).map(i => s"ch0x$i")
+    val aTxt = (bw.take(80) ++ (0 until 20).map(i => s"ax0x$i")).mkString(" ")
+    val bTxt = bw.mkString(" ")
+    val cTxt = ((0 until 20).map(i => s"cx0x$i") ++ bw.drop(20)).mkString(" ")
+    Seq(
+      (0L, s"$core " + (0 until 15).map(i => s"ta0x$i").mkString(" "), "en", "s0", 1L),
+      (1L, s"$core " + (0 until 15).map(i => s"tb0x$i").mkString(" "), "en", "s0", 1L),
+      (2L, s"$core " + (0 until 15).map(i => s"tc0x$i").mkString(" "), "en", "s0", 1L),
+      (10L, aTxt, "en", "s0", 1L),
+      (11L, bTxt, "en", "s0", 1L),
+      (12L, cTxt, "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // fixture sanity: the banding fired for exactly the 3 clique edges
+    // and the 2 chain edges (deterministic — minhash is a pure function
+    // of the text)
+    val edges = graft.ops.Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(edges == Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (11L, 12L)),
+      s"fixture banding drifted: $edges")
+    val got = graft.ops.Dedup.clusterCohesion(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_edges"), r.getAs[Long]("n_possible"),
+        r.getAs[Long]("density_permille"), r.getAs[Long]("min_edge_permille"))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3, g._4, g._5)) ==
+      Seq((0L, 3L, 3L, 3L, 1000L), (10L, 3L, 2L, 3L, 666L)))
+    // the chain's weakest verified edge is reported (the re-verify cue)
+    assert(got(1)._6 >= 600L && got(1)._6 < 1000L)
+  }
 }
