@@ -177,7 +177,8 @@ object SparkEntry {
     "q143_source_top_tokens" -> TextAnalytics.sourceTopTokens _,
     "q144_neg_sampling"     -> Sampling.negativeSamplingTable _,
     "q145_shared_runs"      -> ((s: SparkSession, d: String) => Dedup.sharedRunPairs(s, d, Dedup.OracleHashBits)),
-    "q146_cluster_cohesion" -> ((s: SparkSession, d: String) => Dedup.clusterCohesion(s, d, Dedup.OracleHashBits))
+    "q146_cluster_cohesion" -> ((s: SparkSession, d: String) => Dedup.clusterCohesion(s, d, Dedup.OracleHashBits)),
+    "q147_anisotropy"       -> Similarity.anisotropyReport _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -398,6 +399,7 @@ object SparkEntry {
     "q143_source_top_tokens" -> TextAnalytics.sourceTopTokensSql,
     "q144_neg_sampling"     -> Sampling.negativeSamplingTableSql,
     "q145_shared_runs"      -> Dedup.sharedRunPairsSql,
-    "q146_cluster_cohesion" -> Dedup.clusterCohesionSql
+    "q146_cluster_cohesion" -> Dedup.clusterCohesionSql,
+    "q147_anisotropy"       -> Similarity.anisotropyReportSql
   )
 }

@@ -1729,4 +1729,68 @@ object Similarity {
        |JOIN cnt ca ON ca.label = label_a
        |JOIN cnt cb ON cb.label = label_b
        |ORDER BY label_a, label_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q147: embedding-space ANISOTROPY — the first-moment health check of
+  // an embedding corpus (Mu & Viswanath 2018 "All-but-the-Top";
+  // Ethayarajh 2019 measured contextual embeddings at extreme values).
+  // An anisotropic space has a dominant mean direction: random pairs
+  // then share substantial expected cosine, which compresses the usable
+  // score range, mis-calibrates every fixed similarity threshold in the
+  // dedup/ANN family (q18's 0.35, SemDeDup's cut), and is the standard
+  // cue to mean-center ("all-but-the-top" step 1) before indexing. The
+  // estimator is ||mu||^2 / E[||x||^2]: for unit-ish vectors this IS
+  // E[cos(x,y)] over random pairs to first order. On the synthetic
+  // corpus it reads ~1 permille — the measured near-isotropy the
+  // similarity family's Scaladocs cite as the reason LSH cannot prune
+  // at q18's threshold, now a first-class oracle-checked artifact a
+  // production deployment re-runs on real (anisotropic) embeddings.
+  // -------------------------------------------------------------------
+
+  /** q147: one-row integer report: `n_vectors`, `mu_norm2` (squared
+    * norm of the FIXED-POINT mean vector, micro^2 units — each mean
+    * coordinate folds to floor(s/n) before squaring, the q132 centroid
+    * discipline, so its magnitude is n-independent), `avg_norm2`
+    * (mean squared vector norm, micro^2, each dim folding
+    * floor(sumsq/n) before the 64-dim sum), and `anisotropy_permille`
+    * = 1000*mu_norm2 div avg_norm2 — pure i64 arithmetic end to end,
+    * hash-identical cross-engine.
+    *
+    * Scale shape: ONE shuffle keyed by dim with map-side combine (the
+    * scan emits 64 partial (sum, sumsq, count) rows per partition),
+    * then a 64-row fold. Headroom: per-dim sums are exact to ~10^9
+    * vectors at this value range (the q132 bound); the sumsq
+    * accumulator squares micro values, so its i64 headroom is ~9*10^6
+    * vectors per dim — at web scale run the norm statistic on the
+    * milli grid instead (divide the quantized values by 1000 in the
+    * sumsq arm only; the permille report is insensitive at its
+    * resolution). */
+  def anisotropyReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables.embeddings(spark, sfDir)
+      .select(posexplode(quantize(col("embedding"))).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("n"),
+        expr("cast(floor(cast(s as double) / n) as bigint)").as("mu"),
+        expr("cast(floor(cast(ss as double) / n) as bigint)").as("m2"))
+    q.groupBy("n")
+      .agg(sum(col("mu") * col("mu")).as("mu_norm2"), sum(col("m2")).as("avg_norm2"))
+      .select(col("n").as("n_vectors"), col("mu_norm2"), col("avg_norm2"),
+        expr("mu_norm2 * 1000 div avg_norm2").as("anisotropy_permille"))
+  }
+
+  def anisotropyReportSql: String =
+    s"""WITH q AS (
+       |  SELECT d, sum(x) AS s, sum(x*x) AS ss, cast(count(*) as bigint) AS n
+       |  FROM (SELECT unnest([cast(floor(cast(x as double)*${Consts.QuantScale}.0) as bigint) for x in embedding]) AS x,
+       |          generate_subscripts(embedding, 1) AS d
+       |        FROM embeddings)
+       |  GROUP BY d),
+       |m AS (SELECT n, cast(floor(cast(s as double) / n) as bigint) AS mu,
+       |        cast(floor(cast(ss as double) / n) as bigint) AS m2 FROM q)
+       |SELECT n AS n_vectors, cast(sum(mu*mu) as bigint) AS mu_norm2,
+       |  cast(sum(m2) as bigint) AS avg_norm2,
+       |  cast(sum(mu*mu) * 1000 // sum(m2) as bigint) AS anisotropy_permille
+       |FROM m GROUP BY n""".stripMargin
 }

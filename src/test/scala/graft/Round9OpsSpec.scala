@@ -215,4 +215,72 @@ class Round9OpsSpec extends SparkSpec {
     // the chain's weakest verified edge is reported (the re-verify cue)
     assert(got(1)._6 >= 600L && got(1)._6 < 1000L)
   }
+
+  // ---------------------------------------------------------------- q147
+
+  private def quantizeRef(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1e6).toLong).toArray
+
+  test("q147: anisotropy report matches an independent recompute AND the mean pairwise cosine it estimates") {
+    val vecs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("embedding").collect()
+      .map(r => quantizeRef(r.getSeq[Float](0)))
+    val n = vecs.length
+    val d = vecs.head.length
+    val s = Array.tabulate(d)(j => vecs.map(_(j)).sum)
+    val ss = Array.tabulate(d)(j => vecs.map(v => v(j) * v(j)).sum)
+    val mu2 = s.map(x => { val m = math.floor(x.toDouble / n).toLong; m * m }).sum
+    val avg2 = ss.map(x => math.floor(x.toDouble / n).toLong).sum
+    val got = graft.ops.Similarity.anisotropyReport(spark, sf0001).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[Long]("n_vectors"), r.getAs[Long]("mu_norm2"),
+      r.getAs[Long]("avg_norm2"), r.getAs[Long]("anisotropy_permille")) ==
+      (n.toLong, mu2, avg2, mu2 * 1000L / avg2))
+    // the estimator's CONTRACT: it tracks the mean pairwise cosine.
+    // This synthetic corpus is near-isotropic (the measured property
+    // the similarity family's docs cite for LSH being non-pruning at
+    // q18's threshold) — both readings sit within a few permille of 0.
+    val norms = vecs.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    var acc = 0.0; var cnt = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += vecs(i)(k).toDouble * vecs(j)(k); k += 1 }
+        acc += dot / (norms(i) * norms(j)); cnt += 1
+        j += 1
+      }
+      i += 1
+    }
+    val meanCosPermille = acc / cnt * 1000.0
+    val aniso = r.getAs[Long]("anisotropy_permille")
+    assert(math.abs(meanCosPermille - aniso) < 20.0,
+      s"estimator $aniso vs measured mean pairwise cosine $meanCosPermille")
+    assert(aniso < 50L, s"synthetic corpus must read near-isotropic, got $aniso")
+  }
+
+  test("q147: identical vectors read 1000 permille; an antipodal cloud reads 0") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q147-planted")
+    val v = (0 until 64).map(i => (i % 7).toFloat / 7f + 0.1f)
+    val rows = (0L until 8L).map(i => (i, v, 0)) // all identical -> mu = x
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r1 = graft.ops.Similarity.anisotropyReport(spark, dir).collect().head
+    assert(r1.getAs[Long]("anisotropy_permille") == 1000L)
+    val dir2 = graft.streaming.StreamScratch.dir("q147-planted2")
+    // +v / -v in equal numbers: integer mean is exactly 0 only when
+    // the quantized grid is symmetric, so use values whose floor(x*1e6)
+    // negates cleanly (multiples of 1e-6 would; use exact halves)
+    val w = (0 until 64).map(i => (i % 5).toFloat - 2f)
+    val rows2 = (0L until 4L).map(i => (i, w, 0)) ++
+      (4L until 8L).map(i => (i, w.map(-_), 0))
+    rows2.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    val r2 = graft.ops.Similarity.anisotropyReport(spark, dir2).collect().head
+    assert(r2.getAs[Long]("anisotropy_permille") == 0L,
+      s"antipodal cloud must read 0, got ${r2.mkString(",")}")
+  }
 }
