@@ -178,7 +178,8 @@ object SparkEntry {
     "q144_neg_sampling"     -> Sampling.negativeSamplingTable _,
     "q145_shared_runs"      -> ((s: SparkSession, d: String) => Dedup.sharedRunPairs(s, d, Dedup.OracleHashBits)),
     "q146_cluster_cohesion" -> ((s: SparkSession, d: String) => Dedup.clusterCohesion(s, d, Dedup.OracleHashBits)),
-    "q147_anisotropy"       -> Similarity.anisotropyReport _
+    "q147_anisotropy"       -> Similarity.anisotropyReport _,
+    "q148_phrase_scores"    -> TextAnalytics.phraseScores _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -400,6 +401,7 @@ object SparkEntry {
     "q144_neg_sampling"     -> Sampling.negativeSamplingTableSql,
     "q145_shared_runs"      -> Dedup.sharedRunPairsSql,
     "q146_cluster_cohesion" -> Dedup.clusterCohesionSql,
-    "q147_anisotropy"       -> Similarity.anisotropyReportSql
+    "q147_anisotropy"       -> Similarity.anisotropyReportSql,
+    "q148_phrase_scores"    -> TextAnalytics.phraseScoresSql
   )
 }

@@ -722,6 +722,77 @@ object TextAnalytics {
     * CONTIGUOUSLY, which downstream per-partition group logic relies
     * on (one input row's flatMap output never interleaves with
     * another's). */
+  /** q148 discount: bigrams seen at most this often are noise and score
+    * <= 0 (word2vec's min_count role — prevents rare-word pairs from
+    * dominating the ratio by chance). */
+  val PhraseDelta = 5L
+
+  /** q148 report size: the top-k phrase candidates a vocabulary pass
+    * would actually merge. */
+  val PhraseTopK = 40
+
+  /** q148: phrase/collocation scores — word2vec's phrase-induction
+    * statistic (Mikolov et al. 2013, "Distributed Representations...",
+    * §4): score(a,b) = (c(ab) - delta) * N / (c(a) * c(b)), the
+    * discounted linear-scale PMI the word2vec phrase tool thresholds
+    * to decide which bigrams become single vocabulary units
+    * ("new_york"). This is the vocabulary-induction step between raw
+    * tokens and a trained tokenizer: collocations the corpus supports
+    * become units, and on a random-order corpus every score hovers at
+    * the independence baseline (N * c_ab ~ c_a * c_b), which is itself
+    * the diagnostic — a corpus WITHOUT collocations is shuffled or
+    * generated text (the q122 signal, read from the other side).
+    * Reported as exact micro units: score_micro = (c_ab - delta) * N *
+    * 1e6 div (c_a * c_b) — fully integer, hash-stable; the
+    * (c_ab-delta)*N*1e6 product is exact to N ~ 3e6 tokens in i64 and
+    * the web-scale form divides by c_a first (stated, not needed at
+    * driver SFs).
+    *
+    * Scale shape: per-doc unigram and bigram counts collapse at scan
+    * speed (tfRows/bigramTfRows — token occurrences never shuffle);
+    * corpus counts are vocabulary-sized keyed aggs with map-side
+    * combine; the score join runs on the bigram-vocabulary frame with
+    * unhinted count joins (broadcast at bounded vocabularies); the
+    * report is a physical top-k (TakeOrderedAndProject) under a total
+    * order (score desc, w1, w2). */
+  def phraseScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val cf = tfRows(spark, sfDir).groupBy("tok").agg(sum(col("tf")).as("cf"))
+    val n = cf.agg(sum(col("cf")).as("n_tokens"))
+    val bf = bigramTfRows(spark, sfDir).groupBy("w1", "w2")
+      .agg(sum(col("tf")).as("c_ab"))
+      .filter(col("c_ab") > PhraseDelta)
+    bf.join(cf.select(col("tok").as("w1"), col("cf").as("c_a")), "w1")
+      .join(cf.select(col("tok").as("w2"), col("cf").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        expr(s"(c_ab - $PhraseDelta) * n_tokens * 1000000 div (c_a * c_b)"))
+      .select("w1", "w2", "c_a", "c_b", "c_ab", "score_micro")
+      .orderBy(col("score_micro").desc, col("w1"), col("w2"))
+      .limit(PhraseTopK)
+  }
+
+  def phraseScoresSql: String =
+    s"""WITH toksl AS (
+       |  SELECT doc_id, $sqlTokens t FROM documents),
+       |cf AS (
+       |  SELECT tok, cast(count(*) as bigint) AS cf
+       |  FROM (SELECT unnest(t) AS tok FROM toksl) GROUP BY tok),
+       |n AS (SELECT cast(sum(cf) as bigint) AS n_tokens FROM cf),
+       |bf AS (
+       |  SELECT w1, w2, cast(count(*) as bigint) AS c_ab FROM (
+       |    SELECT t[i+1] AS w1, t[i+2] AS w2
+       |    FROM (SELECT unnest(range(len(t) - 1)) AS i, t FROM toksl))
+       |  GROUP BY w1, w2
+       |  HAVING count(*) > $PhraseDelta)
+       |SELECT w1, w2, ca.cf AS c_a, cb.cf AS c_b, c_ab,
+       |  (c_ab - $PhraseDelta) * n_tokens * 1000000 // (ca.cf * cb.cf) AS score_micro
+       |FROM bf
+       |JOIN cf ca ON ca.tok = w1
+       |JOIN cf cb ON cb.tok = w2
+       |CROSS JOIN n
+       |ORDER BY score_micro DESC, w1, w2
+       |LIMIT $PhraseTopK""".stripMargin
+
   private def tfRows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)

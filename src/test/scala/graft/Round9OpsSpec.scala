@@ -283,4 +283,53 @@ class Round9OpsSpec extends SparkSpec {
     assert(r2.getAs[Long]("anisotropy_permille") == 0L,
       s"antipodal cloud must read 0, got ${r2.mkString(",")}")
   }
+
+  // ---------------------------------------------------------------- q148
+
+  test("q148: phrase scores match an independent recompute at sf0.001") {
+    val delta = graft.ops.TextAnalytics.PhraseDelta
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text").collect().map(r => toks(r.getString(0)))
+    val cf = scala.collection.mutable.HashMap.empty[String, Long]
+    val bf = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    docs.foreach { t =>
+      t.foreach(w => cf(w) = cf.getOrElse(w, 0L) + 1L)
+      (0 until t.length - 1).foreach { i =>
+        val k = (t(i), t(i + 1)); bf(k) = bf.getOrElse(k, 0L) + 1L
+      }
+    }
+    val n = cf.values.sum
+    val expected = bf.toSeq.filter(_._2 > delta).map { case ((a, b), cab) =>
+      (a, b, cf(a), cf(b), cab, (cab - delta) * n * 1000000L / (cf(a) * cf(b)))
+    }.sortBy { case (a, b, _, _, _, s) => (-s, a, b) }
+      .take(graft.ops.TextAnalytics.PhraseTopK)
+    val got = graft.ops.TextAnalytics.phraseScores(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_a"), r.getAs[Long]("c_b"), r.getAs[Long]("c_ab"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q148: a planted collocation tops the table; independent words read the baseline") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q148-planted")
+    // 'new york' always adjacent (a true collocation); filler words
+    // appear equally often but in rotating order (independent)
+    val filler = (0 until 8).map(i => s"f$i")
+    val docRows = (0L until 12L).map { d =>
+      val rot = (0 until 8).map(i => filler(((i + d) % 8).toInt))
+      (d, (rot.take(4) ++ Seq("new", "york") ++ rot.drop(4)).mkString(" "), "en", "s0", 1L)
+    }
+    docRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalytics.phraseScores(spark, dir).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"), r.getAs[Long]("score_micro")))
+    assert(got.head._1 == "new" && got.head._2 == "york",
+      s"the always-adjacent pair must top the table: ${got.take(3).mkString(";")}")
+    // perfect collocation: c_ab = c_a = c_b = 12, N = 120 ->
+    // score = (12-5)*120*1e6/144 = 5.833e6; independence baseline ~ N*1e6/c
+    val others = got.tail
+    assert(others.forall(_._3 < got.head._3))
+  }
 }
