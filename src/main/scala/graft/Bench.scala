@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 148-query
+      // sweep holds thousands of codegen stages, so the default evicts
+      // constantly and each min-of-2 pass re-pays Janino compilation
+      // for work the warmup already compiled (measured: isolated q85 =
+      // 0.9 s vs 2.0 s inside the full sweep, zero GC attribution)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     // SPARK_GRAFT_AQE=0 pins static plans, =1 pins adaptive; unset
     // keeps Spark's default (adaptive since 3.2). AqeParitySpec proves
     // the two modes are row-identical across every declared query.

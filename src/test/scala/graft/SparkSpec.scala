@@ -20,6 +20,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench: codegen-class cache sized for a many-query sweep
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
