@@ -60,6 +60,13 @@ object Scaling {
     // workload property, not a plan property; its scale path is the
     // signature-level grouping q16 feeds the CC family.
     "q72_source_overlap" -> ((s, d) => graft.ops.Dedup.sourceOverlap(s, d, graft.ops.Dedup.OracleHashBits)),
+    // positioned-gram inverted-index join + per-(pair,diagonal) window:
+    // replicas share no grams, so the matched-gram relation (and the
+    // run report) is per-replica and output stays linear in the factor
+    "q145_shared_runs" -> ((s, d) => graft.ops.Dedup.sharedRunPairs(s, d, graft.ops.Dedup.OracleHashBits)),
+    // q14's edge set + star CC + two answer-sized keyed aggs: the audit
+    // adds only cluster-frame work on top of the q49 shape
+    "q146_cluster_cohesion" -> ((s, d) => graft.ops.Dedup.clusterCohesion(s, d, graft.ops.Dedup.OracleHashBits)),
     "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)),
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81

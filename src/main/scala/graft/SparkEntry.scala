@@ -179,7 +179,10 @@ object SparkEntry {
     "q145_shared_runs"      -> ((s: SparkSession, d: String) => Dedup.sharedRunPairs(s, d, Dedup.OracleHashBits)),
     "q146_cluster_cohesion" -> ((s: SparkSession, d: String) => Dedup.clusterCohesion(s, d, Dedup.OracleHashBits)),
     "q147_anisotropy"       -> Similarity.anisotropyReport _,
-    "q148_phrase_scores"    -> TextAnalytics.phraseScores _
+    "q148_phrase_scores"    -> TextAnalytics.phraseScores _,
+    "q149_boilerplate_grams" -> ((s: SparkSession, d: String) => Dedup.boilerplateGrams(s, d, Dedup.OracleHashBits)),
+    "q150_simhash_bit_bias" -> Dedup.simhashBitBias _,
+    "q151_audio_envelope"   -> Multimodal.audioEnvelopePairs _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -402,6 +405,9 @@ object SparkEntry {
     "q145_shared_runs"      -> Dedup.sharedRunPairsSql,
     "q146_cluster_cohesion" -> Dedup.clusterCohesionSql,
     "q147_anisotropy"       -> Similarity.anisotropyReportSql,
-    "q148_phrase_scores"    -> TextAnalytics.phraseScoresSql
+    "q148_phrase_scores"    -> TextAnalytics.phraseScoresSql,
+    "q149_boilerplate_grams" -> Dedup.boilerplateGramsSql,
+    "q150_simhash_bit_bias" -> Dedup.simhashBitBiasSql,
+    "q151_audio_envelope"   -> Multimodal.audioEnvelopePairsSql
   )
 }

@@ -3352,4 +3352,137 @@ object Dedup {
        |  min_edge_permille
        |FROM members m JOIN eg USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q149: boilerplate-gram list — the top document-frequency word
+  // n-grams, WITH their human-readable text. This is the stop-phrase
+  // artifact the dedup family's own guards consume: a gram in a large
+  // fraction of documents is navigation/footer/template boilerplate
+  // (the hot keys dfCap/bandCap drop, the lines CCNet strips), and a
+  // reviewer needs the STRING, not a hash, to adjudicate the list.
+  // -------------------------------------------------------------------
+
+  /** q149 report size. */
+  val BoilerplateTopK = 25
+
+  /** q149: top-[[BoilerplateTopK]] grams by document frequency, with
+    * occurrence counts and the corpus-doc share. Selection is
+    * threshold-exact: the k-th df value is computed first and EVERY
+    * gram at or above it enters string recovery, so ties at the cut
+    * resolve by gram text identically on both engines.
+    *
+    * Scale shape — the point of the two-phase design: the df/cf
+    * aggregation runs hash-only (gramPosRows — gram STRINGS never
+    * shuffle corpus-wide, the q65 discipline); strings surface only
+    * for the ~k winners via a broadcast hash-join against a second
+    * scan, whose min(gram)-per-hash agg collapses map-side to the
+    * winner vocabulary. Under a 32-bit oracle-mode hash two colliding
+    * grams merge on BOTH engines (counts and min-string alike), so the
+    * report still hash-checks. */
+  def boilerplateGrams(spark: SparkSession, sfDir: String,
+                       bits: Int = DefaultHashBits): DataFrame = {
+    import spark.implicits._
+    val n = DupSpanN
+    val stats = gramPosRows(spark, sfDir, bits)
+      .groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+    val thr = stats.orderBy(col("df").desc).limit(BoilerplateTopK)
+      .agg(min(col("df")).as("thr"))
+    val winners = stats.crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
+      .select("gh", "df", "cf")
+    val gramStrings = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (_, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          (0 to t.length - n).map { i =>
+            val g = t.slice(i, i + n).mkString(" ")
+            (packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits), g)
+          }
+        }
+      }
+      .toDF("gh", "gram")
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    winners
+      .join(gramStrings.join(broadcast(winners.select("gh")), "gh")
+        .groupBy("gh").agg(min(col("gram")).as("gram")), "gh")
+      .crossJoin(broadcast(nd))
+      .select(col("gram"), col("df"), col("cf"),
+        expr("df * 1000 div n_docs").as("df_permille"))
+      .orderBy(col("df").desc, col("gram"))
+      .limit(BoilerplateTopK)
+  }
+
+  def boilerplateGramsSql: String = {
+    val n = DupSpanN
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |gr AS (
+       |  SELECT doc_id, g, ${shingleHashExpr("strpos", "md5(g)")} AS gh
+       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
+       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g
+       |        FROM toks)),
+       |stats AS (
+       |  SELECT gh, min(g) AS gram, cast(count(DISTINCT doc_id) as bigint) AS df,
+       |    cast(count(*) as bigint) AS cf
+       |  FROM gr GROUP BY gh),
+       |thr AS (SELECT min(df) AS thr FROM (SELECT df FROM stats ORDER BY df DESC LIMIT $BoilerplateTopK)),
+       |nd AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents)
+       |SELECT gram, df, cf, df * 1000 // n_docs AS df_permille
+       |FROM stats, thr, nd
+       |WHERE df >= thr
+       |ORDER BY df DESC, gram
+       |LIMIT $BoilerplateTopK""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q150: SimHash bit-bias audit — the entropy health check behind the
+  // 16-bit signature family (Charikar 2002; Manku et al. 2007 run
+  // 64-bit simhash dedup at Google on the premise that bits are
+  // near-balanced). A bit whose corpus-wide ones-share sits far from
+  // 500 permille carries little information: k biased bits shrink the
+  // effective signature space below 2^16, which inflates q16/q17's
+  // band-bucket sizes and mis-calibrates the Hamming threshold the
+  // pair join verifies at. q136 MEASURED the resulting pair quality
+  // (mean representative Jaccard 55 permille at Hamming 0 on this
+  // corpus); this report explains the mechanism — a 31-token shared
+  // vocabulary votes most bits the same way in every document — and is
+  // the cheap audit a deployment runs before trusting simhash banding
+  // on a new corpus.
+  // -------------------------------------------------------------------
+
+  /** q150: one row per signature bit: ones count, ones-permille, and
+    * |ones - 500| bias. Effective entropy in milli-bits per bit would
+    * need a log; the permille pair is the same information on the
+    * integer grid (a bit at 500 is a full bit; at 0/1000 it is zero).
+    *
+    * Scale shape: signatures are scan-local (the q16 row-local kernel);
+    * the audit is one 16-group aggregate with map-side combine — each
+    * partition contributes 16 partial sums, so the shuffle is
+    * partition-count-sized regardless of corpus size. */
+  def simhashBitBias(spark: SparkSession, sfDir: String): DataFrame =
+    simhashFrame(spark, sfDir)
+      .select(col("simhash"),
+        explode(sequence(lit(0L), lit(Consts.SimHashBits - 1L))).as("bit"))
+      .groupBy("bit")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("(simhash >> CAST(bit AS INT)) & 1")).as("n_ones"))
+      .withColumn("ones_permille", expr("n_ones * 1000 div n_docs"))
+      .withColumn("bias_permille", expr("abs(ones_permille - 500)"))
+      .select("bit", "n_docs", "n_ones", "ones_permille", "bias_permille")
+      .orderBy("bit")
+
+  def simhashBitBiasSql: String =
+    s"""WITH sig AS (${simhashSql}),
+       |b AS (SELECT simhash, unnest(range(${Consts.SimHashBits})) AS bit FROM sig)
+       |SELECT cast(bit as bigint) AS bit, cast(count(*) as bigint) AS n_docs,
+       |  cast(sum((simhash >> bit) & 1) as bigint) AS n_ones,
+       |  cast(sum((simhash >> bit) & 1) as bigint) * 1000 // count(*) AS ones_permille,
+       |  abs(cast(sum((simhash >> bit) & 1) as bigint) * 1000 // count(*) - 500) AS bias_permille
+       |FROM b GROUP BY bit
+       |ORDER BY bit""".stripMargin
 }

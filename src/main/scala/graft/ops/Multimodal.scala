@@ -513,4 +513,167 @@ object Multimodal {
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= $DHashMaxHamming
        |ORDER BY media_a, media_b""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q151: audio energy-envelope fingerprint pairs — the audio member of
+  // the perceptual dedup family (text: q14/q65; image: q131/q134),
+  // after Haitsma & Kalker 2002's robust audio hashing: the SIGN of
+  // the energy difference between adjacent windows is the feature, and
+  // that sign pattern is invariant to uniform gain — turning the
+  // volume up or re-normalizing loudness, the audio-side analog of the
+  // brightness shift q131's dHash survives, flips no bit. Byte-exact
+  // re-uploads, re-encoded-at-different-gain copies, and
+  // padded/trimmed-silence twins all defeat exact hashing but keep
+  // their envelope shape.
+  // -------------------------------------------------------------------
+
+  /** 17 windows → 16 adjacent-difference bits. */
+  val AudioWindows = 17
+  /** pairs at or below this Hamming distance are near-dups. */
+  val AudioMaxHamming = 3
+  /** 4 bands × 4 bits: pigeonhole-EXACT at Hamming ≤ 3 < 4 bands. */
+  val AudioBands = 4
+
+  /** The shared bit kernel: [[AudioWindows]] window energies → 16 bits,
+    * bit k set iff e(k+1) > e(k). Any per-sample uniform gain scales
+    * every energy by the same factor and preserves each comparison —
+    * the Haitsma-Kalker invariance, shared verbatim by the stub and
+    * real-PCM paths so they cannot drift. */
+  private[ops] def envelopeSigOf(e: Array[Long]): Long = {
+    var h = 0L
+    var k = 0
+    while (k < AudioWindows - 1) {
+      if (e(k + 1) > e(k)) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Stub-decode energies: payload bytes split into [[AudioWindows]]
+    * equal spans (boundaries floor(w·L/17)), energy = unsigned byte
+    * mean (integer div) — the documented codec seam, byte-mirrorable
+    * in SQL exactly like q131's stub grid. */
+  private def stubEnergies(bytes: Array[Byte]): Array[Long] = {
+    val L = bytes.length
+    Array.tabulate(AudioWindows) { w =>
+      val lo = w * L / AudioWindows
+      val hi = (w + 1) * L / AudioWindows
+      if (hi <= lo) 0L
+      else {
+        var s = 0L; var i = lo
+        while (i < hi) { s += bytes(i) & 0xff; i += 1 }
+        s / (hi - lo)
+      }
+    }
+  }
+
+  /** (media_id, fp) over the audio-kind media rows via the stub seam —
+    * scan-local batches, payloads never shuffle, only 8-byte
+    * fingerprints move. */
+  def audioFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decoder: MediaDecoder = new StubDecoder
+    mediaTable(spark, sfDir)
+      .filter(col("kind") === "audio").as[MediaRow]
+      .mapPartitions { it =>
+        it.grouped(FeatureBatch).flatMap { batch =>
+          val decoded = decoder.decodeBatch(batch.map(_.payload))
+          batch.zip(decoded).map { case (m, bytes) =>
+            (m.media_id, envelopeSigOf(stubEnergies(bytes)))
+          }
+        }
+      }
+      .toDF("media_id", "fp")
+  }
+
+  /** REAL fingerprint: javax.sound WAV decode → 16-bit samples → mean
+    * |sample| per window → the same bit kernel. The production path,
+    * spec-exercised with synthesized PCM (gain-scaled copies must map
+    * to the identical fingerprint; undecodable payloads drop, the
+    * audioInfo convention). */
+  def audioFingerprint(audio: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { it =>
+      it.grouped(FeatureBatch).flatMap { batch =>
+        batch.flatMap { case (id, bytes) =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = in.getFormat
+            val data = in.readAllBytes()
+            if (fmt.getSampleSizeInBits != 16) None
+            else {
+              val bb = java.nio.ByteBuffer.wrap(data).order(
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN)
+              val n = data.length / 2
+              val s = new Array[Long](n)
+              var i = 0
+              while (i < n) { s(i) = math.abs(bb.getShort.toLong); i += 1 }
+              val e = Array.tabulate(AudioWindows) { w =>
+                val lo = w * n / AudioWindows
+                val hi = (w + 1) * n / AudioWindows
+                if (hi <= lo) 0L
+                else { var t = 0L; var j = lo; while (j < hi) { t += s(j); j += 1 }; t / (hi - lo) }
+              }
+              Some((id, envelopeSigOf(e)))
+            }
+          } catch { case _: Exception => None }
+        }
+      }
+    }
+  }
+
+  /** q151: near-duplicate audio pairs at Hamming ≤ [[AudioMaxHamming]]
+    * over the 16-bit envelope fingerprint.
+    *
+    * Scale shape: the q131/q17 discipline — fingerprints band into
+    * [[AudioBands]] 4-bit keys inside the scan projection, ONE exploded
+    * self-equi-join on (band_idx, band_val) generates candidates
+    * (pigeonhole-exact at the threshold: 3 differing bits cannot touch
+    * all 4 bands), and the verify is a codegen'd bit_count(xor) over
+    * candidate rows only. Payloads never shuffle; an all-pairs join
+    * never happens. */
+  def audioEnvelopePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = audioFingerprints(spark, sfDir)
+    val banded = sigs.select(col("media_id"), col("fp"),
+      explode(array((0 until AudioBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          shiftrightunsigned(col("fp"), b * 4).bitwiseAND(lit(0xfL)).as("band_val"))): _*))
+        .as("band"))
+      .select(col("media_id"), col("fp"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val a = banded.select(col("media_id").as("media_a"), col("fp").as("fa"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("media_id").as("media_b"), col("fp").as("fb"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "fa", "fb").distinct()
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= AudioMaxHamming)
+      .select("media_a", "media_b", "hamming")
+      .orderBy("media_a", "media_b")
+  }
+
+  def audioEnvelopePairsSql: String =
+    s"""WITH au AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+       |env AS (
+       |  SELECT media_id,
+       |    [ CASE WHEN ((w+1)*length(text))//$AudioWindows > (w*length(text))//$AudioWindows
+       |        THEN list_sum([ascii(substring(text, i+1, 1)) for i in range((w*length(text))//$AudioWindows, ((w+1)*length(text))//$AudioWindows)])
+       |             // (((w+1)*length(text))//$AudioWindows - (w*length(text))//$AudioWindows)
+       |        ELSE 0 END
+       |      for w in range($AudioWindows) ] AS e
+       |  FROM au),
+       |sig AS (
+       |  SELECT media_id,
+       |    cast(list_sum([CASE WHEN e[k+2] > e[k+1] THEN 1<<k ELSE 0 END for k in range(${AudioWindows - 1})]) as bigint) AS fp
+       |  FROM env)
+       |SELECT a.media_id AS media_a, b.media_id AS media_b,
+       |  cast(bit_count(xor(a.fp, b.fp)) as bigint) AS hamming
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $AudioMaxHamming
+       |ORDER BY media_a, media_b""".stripMargin
 }

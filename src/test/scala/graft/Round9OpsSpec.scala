@@ -332,4 +332,166 @@ class Round9OpsSpec extends SparkSpec {
     val others = got.tail
     assert(others.forall(_._3 < got.head._3))
   }
+
+  // ---------------------------------------------------------------- q149
+
+  test("q149: boilerplate-gram list matches an independent recompute at sf0.001") {
+    val n = graft.ops.Dedup.DupSpanN
+    val k = graft.ops.Dedup.BoilerplateTopK
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), toks(r.getString(1))))
+    val df = scala.collection.mutable.HashMap.empty[String, Set[Long]]
+    val cf = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { case (id, t) =>
+      (0 to t.length - n).foreach { i =>
+        val g = t.slice(i, i + n).mkString(" ")
+        df(g) = df.getOrElse(g, Set.empty) + id
+        cf(g) = cf.getOrElse(g, 0L) + 1L
+      }
+    }
+    val nDocs = docs.length.toLong
+    val expected = df.toSeq.map { case (g, ids) => (g, ids.size.toLong, cf(g)) }
+      .sortBy { case (g, d, _) => (-d, g) }.take(k)
+      .map { case (g, d, c) => (g, d, c, d * 1000L / nDocs) }
+    val got = graft.ops.Dedup.boilerplateGrams(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("df"),
+        r.getAs[Long]("cf"), r.getAs[Long]("df_permille"))).toSeq
+    assert(got == expected)
+    assert(got.size == k)
+  }
+
+  test("q149: a planted template gram tops the list with its readable text") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q149-planted")
+    val boiler = "all rights reserved contact us"
+    val rows = (0L until 20L).map { i =>
+      (i, s"own${i}a own${i}b own${i}c own${i}d $boiler own${i}e own${i}f own${i}g own${i}h", "en", "s0", 1L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.boilerplateGrams(spark, dir).collect()
+    assert(got.head.getAs[String]("gram") == boiler)
+    assert(got.head.getAs[Long]("df") == 20L)
+    assert(got.head.getAs[Long]("df_permille") == 1000L)
+    // every other gram contains per-doc words -> df 1
+    assert(got.tail.forall(_.getAs[Long]("df") == 1L))
+  }
+
+  // ---------------------------------------------------------------- q150
+
+  test("q150: bit-bias audit matches an independent signature recompute at sf0.001") {
+    val bits = graft.core.Consts.SimHashBits
+    val sigs = graft.ops.Dedup.simhash(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("simhash"))
+    val expected = (0 until bits).map { b =>
+      val ones = sigs.count(s => ((s >> b) & 1L) == 1L).toLong
+      val pm = ones * 1000L / sigs.length
+      (b.toLong, sigs.length.toLong, ones, pm, math.abs(pm - 500L))
+    }
+    val got = graft.ops.Dedup.simhashBitBias(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("bit"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_ones"),
+        r.getAs[Long]("ones_permille"), r.getAs[Long]("bias_permille"))).toSeq
+    assert(got == expected)
+    // the audit's finding on this corpus: the 31-token shared
+    // vocabulary votes most bits the same way in most documents, so
+    // the 16-bit signature is entropy-starved — the mechanism behind
+    // q136's weak calibration curve, now measured per bit
+    assert(got.map(_._5).max > 300L,
+      "shared-vocabulary corpus must show strongly biased bits")
+  }
+
+  test("q150: identical docs read bias 500 on every bit; a balanced split reads 0") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q150-planted")
+    // half the docs get text A, half text B whose signatures differ in
+    // every bit we check below; with a 50/50 split any differing bit
+    // reads ones_permille 500 -> bias 0, and any agreeing bit reads
+    // 0 or 1000 -> bias 500
+    val rows = (0L until 6L).map(i => (i, "alpha beta gamma delta", "en", "s0", 1L)) ++
+      (6L until 12L).map(i => (i, "omega psi chi phi", "en", "s0", 1L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sigA = graft.ops.Dedup.simhash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash"))).toMap
+    val (sa, sb) = (sigA(0L), sigA(6L))
+    val got = graft.ops.Dedup.simhashBitBias(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bit"), r.getAs[Long]("bias_permille"))).toMap
+    (0 until graft.core.Consts.SimHashBits).foreach { b =>
+      val expectBias = if (((sa >> b) & 1L) != ((sb >> b) & 1L)) 0L else 500L
+      assert(got(b.toLong) == expectBias, s"bit $b")
+    }
+    // sanity: the two planted texts do differ somewhere
+    assert(sa != sb)
+  }
+
+  // ---------------------------------------------------------------- q151
+
+  /** Independent stub-path reference: envelope → 16 bits from raw
+    * UTF-8 byte arithmetic, all-pairs Hamming — proves banded == exact
+    * and re-derives every fingerprint. */
+  private def refAudioFp(text: String): Long = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val L = bytes.length
+    val e = (0 until 17).map { w =>
+      val lo = w * L / 17; val hi = (w + 1) * L / 17
+      if (hi <= lo) 0L
+      else bytes.slice(lo, hi).map(b => (b & 0xff).toLong).sum / (hi - lo)
+    }
+    (0 until 16).map(k => if (e(k + 1) > e(k)) 1L << k else 0L).sum
+  }
+
+  test("q151: banded pairs equal an independent all-pairs reference at sf0.01") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 1)
+    val fps = docs.map { case (id, t) => (id, refAudioFp(t)) }
+    val expected = (for {
+      (a, fa) <- fps; (b, fb) <- fps if a < b
+      h = java.lang.Long.bitCount(fa ^ fb).toLong if h <= 3
+    } yield (a, b, h)).sortBy(p => (p._1, p._2)).toSeq
+    val got = graft.ops.Multimodal.audioEnvelopePairs(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Long]("hamming"))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 == 0L), "exact-dup docs must fingerprint identically")
+    assert(!got.toString.contains("Cartesian"))
+  }
+
+  test("q151: real-PCM path — a gain-scaled copy fingerprints identically, a different melody does not") {
+    import spark.implicits._
+    // synthesize 16-bit mono WAV with a controlled amplitude envelope
+    def wav(env: Int => Double): Array[Byte] = {
+      val rate = 8000f
+      val n = 8000
+      val pcm = new Array[Byte](n * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach { i =>
+        val amp = env(i)
+        val s = (amp * math.sin(2 * math.Pi * 440 * i / rate) * 8000).toShort
+        bb.putShort(s)
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val bais = new java.io.ByteArrayInputStream(pcm)
+      val ais = new javax.sound.sampled.AudioInputStream(bais, fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val rising = (i: Int) => 0.2 + 0.8 * i / 8000.0
+    val wobble = (i: Int) => 0.6 + 0.4 * math.sin(2 * math.Pi * 5 * i / 8000.0)
+    val ds = Seq(
+      (0L, wav(rising)),
+      (1L, wav(i => rising(i) * 1.3 / 1.0)), // uniform gain x1.3
+      (2L, wav(wobble)),
+      (3L, "not audio at all".getBytes)).toDS()
+    val fps = graft.ops.Multimodal.audioFingerprint(ds).collect().toMap
+    assert(fps.keySet == Set(0L, 1L, 2L), "undecodable payloads drop")
+    assert(fps(0L) == fps(1L),
+      "uniform gain must not flip any envelope-difference bit (Haitsma-Kalker invariance)")
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(2L)) > 3,
+      s"a different envelope shape must read far: ${fps(0L)} vs ${fps(2L)}")
+  }
 }
