@@ -182,7 +182,8 @@ object SparkEntry {
     "q148_phrase_scores"    -> TextAnalytics.phraseScores _,
     "q149_boilerplate_grams" -> ((s: SparkSession, d: String) => Dedup.boilerplateGrams(s, d, Dedup.OracleHashBits)),
     "q150_simhash_bit_bias" -> Dedup.simhashBitBias _,
-    "q151_audio_envelope"   -> Multimodal.audioEnvelopePairs _
+    "q151_audio_envelope"   -> Multimodal.audioEnvelopePairs _,
+    "q152_cross_source_matrix" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -408,6 +409,7 @@ object SparkEntry {
     "q148_phrase_scores"    -> TextAnalytics.phraseScoresSql,
     "q149_boilerplate_grams" -> Dedup.boilerplateGramsSql,
     "q150_simhash_bit_bias" -> Dedup.simhashBitBiasSql,
-    "q151_audio_envelope"   -> Multimodal.audioEnvelopePairsSql
+    "q151_audio_envelope"   -> Multimodal.audioEnvelopePairsSql,
+    "q152_cross_source_matrix" -> Dedup.crossSourceMatrixSql
   )
 }

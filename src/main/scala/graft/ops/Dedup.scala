@@ -3476,6 +3476,68 @@ object Dedup {
       .select("bit", "n_docs", "n_ones", "ones_permille", "bias_permille")
       .orderBy("bit")
 
+  /** q152: cross-source duplication matrix — q14's VERIFIED pair list
+    * rolled up to (source, source) cells: how many near-dup pairs link
+    * each pair of crawls, split into within-source and cross-source
+    * rows by construction (source_a <= source_b lexicographically).
+    * This is the syndication report a curation team reads next to
+    * q72's shingle-level overlap: q72 says two dumps share raw
+    * content mass; this says how many whole DOCUMENTS the verifier
+    * would actually merge across them — the difference between "these
+    * crawls quote each other" and "these crawls mirror each other",
+    * and the input to choosing which source survives survivorship.
+    *
+    * Scale shape: the pair list is answer-sized; sources attach via
+    * two doc_id equi-joins against the narrow (doc_id, source)
+    * projection, and the matrix is one keyed agg on the pair list.
+    * Integer columns plus the exact permille share of all verified
+    * pairs. */
+  def crossSourceMatrix(spark: SparkSession, sfDir: String,
+                        bits: Int = DefaultHashBits,
+                        bandCap: Option[Int] = None): DataFrame = {
+    val pairs = candidateOverlap(spark, sfDir, bits, bandCap)
+      .filter(col("inter").cast("double") / col("uni").cast("double")
+        >= Consts.MinhashJaccardThreshold)
+      .select("doc_a", "doc_b")
+    val srcs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val tagged = pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+    val total = tagged.agg(count(lit(1)).as("n_total"))
+    tagged.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") =!= col("source_b")).as("cross_source"),
+        expr("n_pairs * 1000 div n_total").as("share_permille"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def crossSourceMatrixSql: String =
+    s"""WITH $sqlCandCtes,
+       |pairs AS (
+       |  SELECT DISTINCT doc_a, doc_b
+       |  FROM cand
+       |  JOIN sets sa ON doc_a = sa.doc_id
+       |  JOIN sets sb ON doc_b = sb.doc_id
+       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double)
+       |      / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
+       |tagged AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |    greatest(da.source, db.source) AS source_b
+       |  FROM pairs
+       |  JOIN documents da ON doc_a = da.doc_id
+       |  JOIN documents db ON doc_b = db.doc_id),
+       |tot AS (SELECT cast(count(*) as bigint) AS n_total FROM tagged)
+       |SELECT source_a, source_b, cast(count(*) as bigint) AS n_pairs,
+       |  source_a != source_b AS cross_source,
+       |  cast(count(*) as bigint) * 1000 // n_total AS share_permille
+       |FROM tagged, tot
+       |GROUP BY source_a, source_b, n_total
+       |ORDER BY source_a, source_b""".stripMargin
+
   def simhashBitBiasSql: String =
     s"""WITH sig AS (${simhashSql}),
        |b AS (SELECT simhash, unnest(range(${Consts.SimHashBits})) AS bit FROM sig)

@@ -494,4 +494,49 @@ class Round9OpsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(fps(0L) ^ fps(2L)) > 3,
       s"a different envelope shape must read far: ${fps(0L)} vs ${fps(2L)}")
   }
+
+  // ---------------------------------------------------------------- q152
+
+  test("q152: cross-source matrix matches the pair list rolled up independently at sf0.001") {
+    val srcs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val pairs = graft.ops.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val cells = pairs.map { case (a, b) =>
+      val (sa, sb) = (srcs(a), srcs(b))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.groupBy(identity).map { case (k, v) => (k._1, k._2, v.length.toLong) }
+    val total = pairs.length.toLong
+    val expected = cells.toSeq.map { case (a, b, n) =>
+      (a, b, n, a != b, n * 1000L / total)
+    }.sortBy(c => (c._1, c._2))
+    val got = graft.ops.Dedup.crossSourceMatrix(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_pairs"), r.getAs[Boolean]("cross_source"),
+        r.getAs[Long]("share_permille"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q152: a planted mirror pair shows up as a cross-source cell") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q152-planted")
+    val text = (0 until 60).map(i => s"mir$i").mkString(" ")
+    Seq(
+      (0L, text, "en", "crawlA", 1L),
+      (1L, text, "en", "crawlB", 1L), // the mirror
+      (2L, text + " extra tail words here", "en", "crawlA", 1L),
+      (3L, (0 until 40).map(i => s"own$i").mkString(" "), "en", "crawlB", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.crossSourceMatrix(spark, dir).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_pairs"), r.getAs[Boolean]("cross_source"))).toSeq
+    val cross = got.filter(_._4)
+    assert(cross.nonEmpty && cross.forall(c => c._1 == "crawlA" && c._2 == "crawlB"))
+    // the identical mirror pair (0,1) plus (1,2) near-dup across sources;
+    // (0,2) is within-crawlA
+    assert(got.exists(c => c._1 == "crawlA" && c._2 == "crawlA" && !c._4))
+  }
 }
