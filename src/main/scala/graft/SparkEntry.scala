@@ -183,7 +183,10 @@ object SparkEntry {
     "q149_boilerplate_grams" -> ((s: SparkSession, d: String) => Dedup.boilerplateGrams(s, d, Dedup.OracleHashBits)),
     "q150_simhash_bit_bias" -> Dedup.simhashBitBias _,
     "q151_audio_envelope"   -> Multimodal.audioEnvelopePairs _,
-    "q152_cross_source_matrix" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d, Dedup.OracleHashBits))
+    "q152_cross_source_matrix" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d, Dedup.OracleHashBits)),
+    // the postings-artifact serving path must be bit-identical to q85's
+    // recompute, so it shares q85's oracle (the q81/q82 discipline)
+    "q153_bm25_served"      -> TextAnalytics.bm25Served _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -410,6 +413,7 @@ object SparkEntry {
     "q149_boilerplate_grams" -> Dedup.boilerplateGramsSql,
     "q150_simhash_bit_bias" -> Dedup.simhashBitBiasSql,
     "q151_audio_envelope"   -> Multimodal.audioEnvelopePairsSql,
-    "q152_cross_source_matrix" -> Dedup.crossSourceMatrixSql
+    "q152_cross_source_matrix" -> Dedup.crossSourceMatrixSql,
+    "q153_bm25_served"      -> TextAnalytics.bm25SearchSql
   )
 }

@@ -810,6 +810,73 @@ object TextAnalytics {
       .toDF("doc_id", "tok", "tf")
   }
 
+  // -------------------------------------------------------------------
+  // q153: BM25 served from a PERSISTED postings index — the
+  // build/serve split every production search engine runs (Lucene's
+  // segment files; the q81/q105 artifact discipline applied to text):
+  // the full inverted index is written ONCE, term-partitioned, and a
+  // query then reads only its own terms' partitions. q85 recomputes
+  // tf/df/stats from the corpus per query — right for a one-off
+  // analytical scan, wrong for a query workload; the served form's
+  // per-query cost is the pruned postings read, independent of corpus
+  // token volume.
+  // -------------------------------------------------------------------
+
+  private val postingsIndexes =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]]()
+  private val postingsEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Build half (untimed, session-cached — the q41/q81 discipline):
+    * writes `postings/` = (doc_id, dl, tf) PARTITIONED BY term (the
+    * partition column is the pruning key; at web scale terms hash into
+    * a bounded number of buckets instead of one dir per term),
+    * `df/` = (term, df), and `stats/` = one (nd, sdl) row. */
+  def preparedPostingsIndex(spark: SparkSession, sfDir: String): String =
+    postingsIndexes
+      .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
+      .computeIfAbsent(sfDir, _ => {
+        val path = s"/tmp/graft_postings_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${postingsEpoch.incrementAndGet()}"
+        val docs = Tables.documents(spark, sfDir)
+        val toks = tokens(col("text"))
+        val postings = docs
+          .select(col("doc_id"), size(toks).cast("long").as("dl"),
+            explode(toks).as("term"))
+          .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+        postings.write.mode("overwrite").partitionBy("term")
+          .parquet(s"$path/postings")
+        postings.groupBy("term").agg(count(lit(1)).as("df"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/df")
+        docs.select(size(toks).cast("long").as("dl0"))
+          .agg(count(lit(1)).as("nd"), sum(col("dl0")).as("sdl"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+        path
+      })
+
+  /** q153: q85's exact ranking through the artifact (shares q85's
+    * oracle — the serving read must be bit-identical to the recompute).
+    *
+    * Scale shape: the postings scan carries `term IN (...)` as a
+    * PARTITION filter — only the query terms' directories are listed
+    * or read (plan-audited), so serving cost tracks the matched
+    * postings, not the corpus; df and stats are answer-sized broadcast
+    * reads; top-k stays TakeOrderedAndProject. */
+  def bm25Served(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = preparedPostingsIndex(spark, sfDir)
+    val perTerm = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(Bm25Terms: _*))
+    val dfc = broadcast(spark.read.parquet(s"$path/df")
+      .filter(col("term").isin(Bm25Terms: _*)))
+    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    perTerm.join(dfc, "term").crossJoin(stats)
+      .withColumn("tscore", expr(bm25ScoreExpr))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .select("doc_id", "n_terms", "score")
+  }
+
   def tfidfKeywordsSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (

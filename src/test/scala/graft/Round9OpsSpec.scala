@@ -539,4 +539,19 @@ class Round9OpsSpec extends SparkSpec {
     // (0,2) is within-crawlA
     assert(got.exists(c => c._1 == "crawlA" && c._2 == "crawlA" && !c._4))
   }
+
+  // ---------------------------------------------------------------- q153
+
+  test("q153: the served ranking is bit-identical to q85's recompute, from a partition-pruned read") {
+    val recompute = graft.ops.TextAnalytics.bm25Search(spark, sf001).collect().map(_.toString).toSeq
+    val served = graft.ops.TextAnalytics.bm25Served(spark, sf001)
+    assert(served.collect().map(_.toString).toSeq == recompute)
+    // the serving read prunes to the query terms' partitions: the scan
+    // node must carry term as a PartitionFilter, not a post-scan Filter
+    val plan = served.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("postings") && l.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("term"),
+      s"postings scan must prune on term:\n$plan")
+  }
 }
