@@ -186,7 +186,8 @@ object SparkEntry {
     "q152_cross_source_matrix" -> ((s: SparkSession, d: String) => Dedup.crossSourceMatrix(s, d, Dedup.OracleHashBits)),
     // the postings-artifact serving path must be bit-identical to q85's
     // recompute, so it shares q85's oracle (the q81/q82 discipline)
-    "q153_bm25_served"      -> TextAnalytics.bm25Served _
+    "q153_bm25_served"      -> TextAnalytics.bm25Served _,
+    "q154_retrieval_eval"   -> ((s: SparkSession, d: String) => Hybrid.retrievalEval(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -414,6 +415,7 @@ object SparkEntry {
     "q150_simhash_bit_bias" -> Dedup.simhashBitBiasSql,
     "q151_audio_envelope"   -> Multimodal.audioEnvelopePairsSql,
     "q152_cross_source_matrix" -> Dedup.crossSourceMatrixSql,
-    "q153_bm25_served"      -> TextAnalytics.bm25SearchSql
+    "q153_bm25_served"      -> TextAnalytics.bm25SearchSql,
+    "q154_retrieval_eval"   -> Hybrid.retrievalEvalSql
   )
 }

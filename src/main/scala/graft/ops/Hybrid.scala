@@ -183,4 +183,174 @@ object Hybrid {
        |FROM fused
        |ORDER BY rank""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q154: retrieval EVALUATION harness — recall@k of the stack's three
+  // retrieval systems (BM25, hash-embedding cosine, their RRF fusion)
+  // against the corpus's own verified near-dup relation as relevance
+  // ground truth. This is the BEIR-style eval loop a retrieval
+  // deployment runs before trusting a ranker, pointed at the question
+  // a curation pipeline actually cares about: "given a document, does
+  // the system surface its known near-duplicate?" — i.e. the recall a
+  // RETRIEVAL-based dedup pass would achieve, measured against q14's
+  // exact-Jaccard-verified pairs (symmetric: each endpoint queries for
+  // its partners). One number per system makes regressions visible the
+  // day a ranker change lands.
+  // -------------------------------------------------------------------
+
+  /** hit window: partner must rank in the top this-many. */
+  val EvalTopK = 10
+
+  /** q154: (system, n_queries, n_hits, recall_permille), one row per
+    * system, alphabetical. A query's BM25 query string is its own full
+    * token set (distinct terms — standard bag-of-words querying);
+    * candidates exclude the query document itself; every ranking is
+    * pinned by a (score desc, doc_id) total order; RRF fuses the two
+    * top-[[CandidateDepth]] lists with the q127 integer discipline.
+    *
+    * Scale shape: the query set is answer-sized (documents with a
+    * verified near-dup — at web scale, the sampled eval set); the BM25
+    * side is a term-keyed inverted-index join of query terms against
+    * the tf relation; the embedding side is the q33 bucket join; both
+    * rank with one window per system over per-query partitions, and
+    * the report folds to three rows. */
+  def retrievalEval(spark: SparkSession, sfDir: String,
+                    bits: Int = Dedup.DefaultHashBits): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val rel = Materialize.shared(spark,
+      pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("qid", "rel_id"))
+    val queries = rel.select("qid").distinct()
+
+    val docs = Tables.documents(spark, sfDir)
+    val toks = TextAnalytics.tokens(col("text"))
+    val tf = Materialize.shared(spark,
+      docs.select(col("doc_id"), size(toks).cast("long").as("dl"), explode(toks).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val stats = broadcast(docs.select(size(toks).as("dl0"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl0")).as("sdl")))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = tf.join(queries.withColumnRenamed("qid", "doc_id"), "doc_id")
+      .select(col("doc_id").as("qid"), col("term")).distinct()
+    val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    val bmRanked = qterms.join(tf, "term")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dfc, "term").crossJoin(stats)
+      .withColumn("tscore", expr(TextAnalytics.bm25ScoreExpr))
+      .groupBy("qid", "doc_id").agg(sum(col("tscore")).as("score"))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= CandidateDepth)
+      .select("qid", "doc_id", "rank")
+
+    val buckets = Materialize.shared(spark, ChatOracle.bucketed(spark, sfDir))
+    val norms = buckets.groupBy("doc_id").agg(sum(col("c") * col("c")).as("nrm"))
+    val qb = buckets.join(queries.withColumnRenamed("qid", "doc_id"), "doc_id")
+      .select(col("doc_id").as("qid"), col("b"), col("c").as("qc"))
+    val wsem = Window.partitionBy("qid").orderBy(col("sim").desc, col("doc_id").asc)
+    val semRanked = qb.join(buckets, "b")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id").agg(sum(col("qc") * col("c")).as("dot"))
+      .join(norms.select(col("doc_id").as("qid"), col("nrm").as("qnrm")), "qid")
+      .join(norms, "doc_id")
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+      .withColumn("rank", row_number().over(wsem).cast("long"))
+      .filter(col("rank") <= CandidateDepth)
+      .select("qid", "doc_id", "rank")
+
+    val wr = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id").asc)
+    val rrfRanked = bmRanked.withColumnRenamed("rank", "lex_rank")
+      .join(semRanked.withColumnRenamed("rank", "sem_rank"), Seq("qid", "doc_id"), "full_outer")
+      .na.fill(0L, Seq("lex_rank", "sem_rank"))
+      .withColumn("rrf",
+        expr(s"CASE WHEN lex_rank > 0 THEN 1000000 div ($RrfK + lex_rank) ELSE 0 END + " +
+          s"CASE WHEN sem_rank > 0 THEN 1000000 div ($RrfK + sem_rank) ELSE 0 END"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .select("qid", "doc_id", "rank")
+
+    val nq = broadcast(queries.agg(count(lit(1)).as("n_queries")))
+    def report(system: String, ranked: DataFrame): DataFrame = {
+      val hits = ranked.filter(col("rank") <= EvalTopK)
+        .join(rel, ranked("qid") === rel("qid") && col("doc_id") === col("rel_id"))
+        .select(ranked("qid")).distinct()
+        .agg(count(lit(1)).as("n_hits"))
+      nq.crossJoin(broadcast(hits))
+        .select(lit(system).as("system"), col("n_queries"), col("n_hits"),
+          expr("n_hits * 1000 div n_queries").as("recall_permille"))
+    }
+    report("bm25", bmRanked)
+      .unionAll(report("embed", semRanked))
+      .unionAll(report("rrf", rrfRanked))
+      .orderBy("system")
+  }
+
+  def retrievalEvalSql: String = {
+    val bm25 = TextAnalytics.bm25ScoreExpr
+    s"""WITH pairs0 AS (SELECT doc_a, doc_b FROM (${Dedup.minhashLshPairsSql})),
+       |rel AS (SELECT doc_a AS qid, doc_b AS rel_id FROM pairs0
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs0),
+       |qs AS (SELECT DISTINCT qid FROM rel),
+       |tokl AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS t
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, cast(count(*) as bigint) AS tf FROM (
+       |    SELECT doc_id, cast(len(t) as bigint) AS dl, unnest(t) AS term FROM tokl)
+       |  GROUP BY doc_id, dl, term),
+       |stats AS (SELECT cast(count(*) as bigint) AS nd, cast(sum(len(t)) as bigint) AS sdl FROM tokl),
+       |dfc AS (SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term),
+       |qt AS (SELECT DISTINCT tf.doc_id AS qid, term FROM tf JOIN qs ON tf.doc_id = qs.qid),
+       |bm AS (
+       |  SELECT qt.qid, tf.doc_id, cast(sum($bm25) as bigint) AS score
+       |  FROM qt JOIN tf USING (term) JOIN dfc USING (term) CROSS JOIN stats
+       |  WHERE tf.doc_id != qt.qid
+       |  GROUP BY qt.qid, tf.doc_id),
+       |bmr AS (
+       |  SELECT qid, doc_id,
+       |    cast(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) as bigint) AS rank
+       |  FROM bm QUALIFY rank <= $CandidateDepth),
+       |ltoks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |buckets AS (
+       |  SELECT doc_id,
+       |    (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1 AS b,
+       |    cast(count(*) as bigint) AS c
+       |  FROM ltoks GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sum(c*c) AS nrm FROM buckets GROUP BY doc_id),
+       |sd AS (
+       |  SELECT q.doc_id AS qid, d.doc_id, sum(q.c * d.c) AS dot
+       |  FROM buckets q JOIN qs ON q.doc_id = qs.qid
+       |  JOIN buckets d ON q.b = d.b AND d.doc_id != q.doc_id
+       |  GROUP BY 1, 2),
+       |semr AS (
+       |  SELECT qid, sd.doc_id,
+       |    cast(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cast(dot as double) / (sqrt(cast(qn.nrm as double)) * sqrt(cast(dn.nrm as double))) DESC,
+       |               sd.doc_id ASC) as bigint) AS rank
+       |  FROM sd JOIN norms qn ON qn.doc_id = sd.qid JOIN norms dn ON dn.doc_id = sd.doc_id
+       |  QUALIFY rank <= $CandidateDepth),
+       |fused AS (
+       |  SELECT coalesce(bmr.qid, semr.qid) AS qid,
+       |    coalesce(bmr.doc_id, semr.doc_id) AS doc_id,
+       |    (CASE WHEN coalesce(bmr.rank, 0) > 0 THEN 1000000 // ($RrfK + bmr.rank) ELSE 0 END +
+       |     CASE WHEN coalesce(semr.rank, 0) > 0 THEN 1000000 // ($RrfK + semr.rank) ELSE 0 END) AS rrf
+       |  FROM bmr FULL OUTER JOIN semr ON bmr.qid = semr.qid AND bmr.doc_id = semr.doc_id),
+       |rrfr AS (
+       |  SELECT qid, doc_id,
+       |    cast(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) as bigint) AS rank
+       |  FROM fused),
+       |nq AS (SELECT cast(count(*) as bigint) AS n_queries FROM qs),
+       |hit_bm AS (SELECT cast(count(DISTINCT r.qid) as bigint) AS n_hits FROM bmr r
+       |  JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.rel_id WHERE r.rank <= $EvalTopK),
+       |hit_sem AS (SELECT cast(count(DISTINCT r.qid) as bigint) AS n_hits FROM semr r
+       |  JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.rel_id WHERE r.rank <= $EvalTopK),
+       |hit_rrf AS (SELECT cast(count(DISTINCT r.qid) as bigint) AS n_hits FROM rrfr r
+       |  JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.rel_id WHERE r.rank <= $EvalTopK)
+       |SELECT 'bm25' AS system, n_queries, n_hits, n_hits * 1000 // n_queries AS recall_permille FROM nq, hit_bm
+       |UNION ALL
+       |SELECT 'embed', n_queries, n_hits, n_hits * 1000 // n_queries FROM nq, hit_sem
+       |UNION ALL
+       |SELECT 'rrf', n_queries, n_hits, n_hits * 1000 // n_queries FROM nq, hit_rrf
+       |ORDER BY system""".stripMargin
+  }
 }

@@ -554,4 +554,81 @@ class Round9OpsSpec extends SparkSpec {
     assert(scanLine.contains("term"),
       s"postings scan must prune on term:\n$plan")
   }
+
+  // ---------------------------------------------------------------- q154
+
+  test("q154: eval report matches an independent full-protocol recompute at sf0.001") {
+    val depth = graft.ops.Hybrid.CandidateDepth
+    val topK = graft.ops.Hybrid.EvalTopK
+    val rrfK = graft.ops.Hybrid.RrfK
+    // ground truth: the separately spec-pinned pair list, symmetric
+    val pairs = graft.ops.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val rel = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val qids = rel.keySet
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // BM25 rankings from scratch
+    val tok = docs.map { case (id, t) => id -> toks(t) }.toMap
+    val tfm = tok.map { case (id, t) => id -> t.groupBy(identity).map { case (k, v) => k -> v.length.toLong } }
+    val dl = tok.map { case (id, t) => id -> t.length.toLong }
+    val nd = docs.length.toLong
+    val sdl = dl.values.sum
+    val dfm = tfm.values.flatMap(_.keys).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    def bm25(qid: Long, did: Long): Long = {
+      tfm(qid).keys.toSeq.map { term =>
+        tfm(did).get(term).fold(0L) { tf =>
+          val df = dfm(term)
+          math.floor(((tf.toDouble * 2.2) /
+            (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl(did).toDouble * nd / sdl)))) *
+            ((nd - df + 0.5) / (df + 0.5)) * 1000000.0).toLong
+        }
+      }.sum
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bk = docs.map { case (id, t) =>
+      val c = new Array[Long](256)
+      toks(t.toLowerCase).foreach { w =>
+        c(md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff) += 1L }
+      id -> c
+    }.toMap
+    val nrm = bk.map { case (id, c) => id -> c.map(x => x * x).sum }
+    def cos(a: Long, b: Long): Double = {
+      val (ca, cb) = (bk(a), bk(b))
+      var d = 0L; var i = 0
+      while (i < 256) { d += ca(i) * cb(i); i += 1 }
+      d.toDouble / (math.sqrt(nrm(a).toDouble) * math.sqrt(nrm(b).toDouble))
+    }
+    val cands = docs.map(_._1)
+    def recall(rank: Long => Seq[Long]): (Long, Long) = {
+      val hits = qids.count(q => rank(q).take(topK).exists(rel(q))).toLong
+      (qids.size.toLong, hits)
+    }
+    val bmRank = (q: Long) => cands.filter(_ != q)
+      .map(d => (d, bm25(q, d))).filter(_._2 != 0L || true)
+      .sortBy { case (d, s) => (-s, d) }.take(depth).map(_._1).toSeq
+    val semRank = (q: Long) => cands.filter(_ != q)
+      .filter(d => { val (ca, cb) = (bk(q), bk(d)); (0 until 256).exists(i => ca(i) > 0 && cb(i) > 0) })
+      .map(d => (d, cos(q, d))).sortBy { case (d, s) => (-s, d) }.take(depth).map(_._1).toSeq
+    val rrfRank = (q: Long) => {
+      val lex = bmRank(q).zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+      val sem = semRank(q).zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+      (lex.keySet ++ sem.keySet).toSeq
+        .map(d => (d, lex.get(d).fold(0L)(r => 1000000L / (rrfK + r)) +
+          sem.get(d).fold(0L)(r => 1000000L / (rrfK + r))))
+        .sortBy { case (d, s) => (-s, d) }.map(_._1)
+    }
+    val expected = Seq(
+      ("bm25", recall(bmRank)), ("embed", recall(semRank)), ("rrf", recall(rrfRank)))
+      .map { case (s, (n, h)) => (s, n, h, h * 1000L / n) }
+    val got = graft.ops.Hybrid.retrievalEval(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("system"), r.getAs[Long]("n_queries"),
+        r.getAs[Long]("n_hits"), r.getAs[Long]("recall_permille"))).toSeq
+    assert(got == expected)
+    // the measured corpus finding: histogram cosine resolves near-dups
+    // this BM25 cannot discriminate on a 31-token shared vocabulary
+    assert(got.find(_._1 == "embed").get._4 > got.find(_._1 == "bm25").get._4)
+  }
 }
