@@ -187,7 +187,8 @@ object SparkEntry {
     // the postings-artifact serving path must be bit-identical to q85's
     // recompute, so it shares q85's oracle (the q81/q82 discipline)
     "q153_bm25_served"      -> TextAnalytics.bm25Served _,
-    "q154_retrieval_eval"   -> ((s: SparkSession, d: String) => Hybrid.retrievalEval(s, d, Dedup.OracleHashBits))
+    "q154_retrieval_eval"   -> ((s: SparkSession, d: String) => Hybrid.retrievalEval(s, d, Dedup.OracleHashBits)),
+    "q155_consensus_clusters" -> ((s: SparkSession, d: String) => Dedup.consensusClusters(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,6 +417,7 @@ object SparkEntry {
     "q151_audio_envelope"   -> Multimodal.audioEnvelopePairsSql,
     "q152_cross_source_matrix" -> Dedup.crossSourceMatrixSql,
     "q153_bm25_served"      -> TextAnalytics.bm25SearchSql,
-    "q154_retrieval_eval"   -> Hybrid.retrievalEvalSql
+    "q154_retrieval_eval"   -> Hybrid.retrievalEvalSql,
+    "q155_consensus_clusters" -> Dedup.consensusClustersSql
   )
 }

@@ -3476,6 +3476,99 @@ object Dedup {
       .select("bit", "n_docs", "n_ones", "ones_permille", "bias_permille")
       .orderBy("bit")
 
+  // -------------------------------------------------------------------
+  // q155: multi-signal consensus dedup graph — production dedup does
+  // not trust one detector: MinHash (bag similarity), exact shared
+  // runs (sequence identity), and winnowing fingerprints (local
+  // selection) each catch families the others miss, and a merge
+  // supported by two or three independent signals is a different
+  // decision than one supported by a single marginal band collision.
+  // This operator unions the three pair relations into ONE edge set
+  // tagged with provenance, resolves components once, and reports per
+  // cluster how much of its edge mass each signal contributed plus the
+  // maximum per-edge agreement — the q146 cohesion discipline extended
+  // from "how many edges" to "how many DETECTORS per edge".
+  // -------------------------------------------------------------------
+
+  /** q155: per-cluster report over the consensus graph:
+    * `n_members`, per-signal edge counts, `n_edges` (distinct pairs),
+    * and `max_agreement` (most detectors agreeing on one pair, 1-3).
+    * Clusters whose every edge has agreement 1 are single-signal
+    * merges — the review queue; agreement-3 edges are
+    * beyond-reasonable-doubt duplicates.
+    *
+    * Scale shape: each signal's pair list arrives answer-sized from
+    * its own banded/inverted-index plan (q14/q145/q128 unchanged);
+    * the union is answer-sized, components run once over it
+    * (starComponents — the q49 machinery), and the report is two
+    * keyed aggs on the edge relation. */
+  def consensusClusters(spark: SparkSession, sfDir: String,
+                        bits: Int = DefaultHashBits): DataFrame = {
+    val mh = minhashLshPairs(spark, sfDir, bits)
+      .select(col("doc_a"), col("doc_b"), lit("minhash").as("signal"))
+    val runs = sharedRunPairs(spark, sfDir, bits)
+      .select(col("doc_a"), col("doc_b"), lit("runs").as("signal"))
+    val win = winnowPairs(spark, sfDir, bits)
+      .select(col("doc_a"), col("doc_b"), lit("winnow").as("signal"))
+    val edges = Materialize.shared(spark, mh.unionAll(runs).unionAll(win))
+    val pairs = edges.select("doc_a", "doc_b").distinct()
+    val labels = starComponents(pairs)
+    val tagged = edges
+      .join(labels.select(col("node").as("doc_a"), col("label").as("cluster_id")), "doc_a")
+    val perPair = tagged.groupBy("cluster_id", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("agreement"))
+    val pairStats = perPair.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"), max(col("agreement")).as("max_agreement"))
+    val sigStats = tagged.groupBy("cluster_id")
+      .agg(
+        sum(when(col("signal") === "minhash", 1L).otherwise(0L)).as("minhash_edges"),
+        sum(when(col("signal") === "runs", 1L).otherwise(0L)).as("run_edges"),
+        sum(when(col("signal") === "winnow", 1L).otherwise(0L)).as("winnow_edges"))
+    val members = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    members.join(pairStats, Seq("cluster_id")).join(sigStats, Seq("cluster_id"))
+      .select("cluster_id", "n_members", "n_edges", "minhash_edges",
+        "run_edges", "winnow_edges", "max_agreement")
+      .orderBy("cluster_id")
+  }
+
+  def consensusClustersSql: String =
+    s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
+       |runs0 AS (SELECT doc_a, doc_b FROM ($sharedRunPairsSql)),
+       |win0 AS (SELECT doc_a, doc_b FROM ($winnowPairsSql)),
+       |edges AS (
+       |  SELECT doc_a, doc_b, 'minhash' AS signal FROM mh
+       |  UNION ALL SELECT doc_a, doc_b, 'runs' FROM runs0
+       |  UNION ALL SELECT doc_a, doc_b, 'winnow' FROM win0),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION ALL SELECT doc_b, doc_a FROM edges),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
+       |lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+       |tagged AS (
+       |  SELECT l.cluster_id, doc_a, doc_b, signal
+       |  FROM edges JOIN lab l ON edges.doc_a = l.doc_id),
+       |per_pair AS (
+       |  SELECT cluster_id, doc_a, doc_b, cast(count(*) as bigint) AS agreement
+       |  FROM tagged GROUP BY cluster_id, doc_a, doc_b),
+       |pair_stats AS (
+       |  SELECT cluster_id, cast(count(*) as bigint) AS n_edges,
+       |    cast(max(agreement) as bigint) AS max_agreement
+       |  FROM per_pair GROUP BY cluster_id),
+       |sig_stats AS (
+       |  SELECT cluster_id,
+       |    cast(sum(CASE WHEN signal = 'minhash' THEN 1 ELSE 0 END) as bigint) AS minhash_edges,
+       |    cast(sum(CASE WHEN signal = 'runs' THEN 1 ELSE 0 END) as bigint) AS run_edges,
+       |    cast(sum(CASE WHEN signal = 'winnow' THEN 1 ELSE 0 END) as bigint) AS winnow_edges
+       |  FROM tagged GROUP BY cluster_id),
+       |members AS (SELECT cluster_id, cast(count(*) as bigint) AS n_members FROM lab GROUP BY cluster_id)
+       |SELECT m.cluster_id, n_members, n_edges, minhash_edges, run_edges, winnow_edges, max_agreement
+       |FROM members m JOIN pair_stats USING (cluster_id) JOIN sig_stats USING (cluster_id)
+       |ORDER BY cluster_id""".stripMargin
+
   /** q152: cross-source duplication matrix — q14's VERIFIED pair list
     * rolled up to (source, source) cells: how many near-dup pairs link
     * each pair of crawls, split into within-source and cross-source
