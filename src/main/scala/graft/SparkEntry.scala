@@ -188,7 +188,9 @@ object SparkEntry {
     // recompute, so it shares q85's oracle (the q81/q82 discipline)
     "q153_bm25_served"      -> TextAnalytics.bm25Served _,
     "q154_retrieval_eval"   -> ((s: SparkSession, d: String) => Hybrid.retrievalEval(s, d, Dedup.OracleHashBits)),
-    "q155_consensus_clusters" -> ((s: SparkSession, d: String) => Dedup.consensusClusters(s, d, Dedup.OracleHashBits))
+    "q155_consensus_clusters" -> ((s: SparkSession, d: String) => Dedup.consensusClusters(s, d, Dedup.OracleHashBits)),
+    "q156_byte_entropy"     -> TextAnalytics.byteEntropy _,
+    "q157_small_cells"      -> TextAnalytics.smallCells _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -418,6 +420,8 @@ object SparkEntry {
     "q152_cross_source_matrix" -> Dedup.crossSourceMatrixSql,
     "q153_bm25_served"      -> TextAnalytics.bm25SearchSql,
     "q154_retrieval_eval"   -> Hybrid.retrievalEvalSql,
-    "q155_consensus_clusters" -> Dedup.consensusClustersSql
+    "q155_consensus_clusters" -> Dedup.consensusClustersSql,
+    "q156_byte_entropy"     -> TextAnalytics.byteEntropySql,
+    "q157_small_cells"      -> TextAnalytics.smallCellsSql
   )
 }

@@ -811,6 +811,95 @@ object TextAnalytics {
   }
 
   // -------------------------------------------------------------------
+  // q156: byte-entropy screen — the encoding-level junk detector a web
+  // crawl runs BEFORE tokenization even makes sense: natural-language
+  // bytes concentrate on a few dozen symbols (~4 bits/byte), while
+  // compressed/encrypted/binary payloads mislabeled as text run near
+  // the 8-bit ceiling and base64 blobs sit in between (6 bits over a
+  // 64-symbol alphabet). q94/q122 score token streams — meaningless on
+  // bytes that never tokenize; this is the pre-tokenizer gate (CCNet
+  // and Gopher both carry a non-text screen ahead of the LM filters).
+  // -------------------------------------------------------------------
+
+  /** q156: per-doc `n_bytes`, `distinct_bytes`, and
+    * `entropy_milli_bits` — Shannon entropy over the UTF-8 byte
+    * histogram on the integer floor-log2 grid: each byte value
+    * contributes c·(bitlen(n)−bitlen(c)) bits (the q94/q126 no-libm
+    * discipline, ±1 bit per term), summed and scaled to milli-bits
+    * per byte. Everything is computed per document inside one
+    * mapPartitions pass — a doc's bytes live in one row, so the
+    * histogram is a local 256-slot fill and the operator is pure scan
+    * work with no shuffle but the presentation sort. */
+  def byteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    def bl(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, txt) =>
+          val bytes = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val c = new Array[Long](256)
+          bytes.foreach(b => c(b & 0xff) += 1L)
+          val n = bytes.length.toLong
+          var ent = 0L; var dist = 0L; var i = 0
+          while (i < 256) {
+            if (c(i) > 0L) { dist += 1L; ent += c(i) * (bl(n) - bl(c(i))) }
+            i += 1
+          }
+          (id, n, dist, if (n == 0L) 0L else ent * 1000L / n)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "distinct_bytes", "entropy_milli_bits")
+      .orderBy("doc_id")
+  }
+
+  def byteEntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, length(text) AS n, ascii(substring(text, i+1, 1)) AS b
+      |  FROM documents, unnest(range(length(text))) AS t(i)),
+      |hist AS (SELECT doc_id, n, b, cast(count(*) as bigint) AS c FROM ch GROUP BY 1, 2, 3)
+      |SELECT doc_id, cast(n as bigint) AS n_bytes,
+      |  cast(count(*) as bigint) AS distinct_bytes,
+      |  cast(sum(c * (length(bin(cast(n as bigint))) - length(bin(c)))) as bigint) * 1000 // n AS entropy_milli_bits
+      |FROM hist GROUP BY doc_id, n
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q157: small-cell suppression audit — the k-anonymity-style check a
+  // data release runs before publishing per-stratum statistics (the
+  // census small-cell rule): any (lang, source, length-band) cell with
+  // fewer than K documents identifies its members too narrowly to
+  // publish, and per-stratum metrics computed over it are statistical
+  // noise. The audit lists exactly the cells a datacard (q95) or
+  // mixture plan (q77/q100) must suppress or coarsen, with the
+  // affected document mass.
+  // -------------------------------------------------------------------
+
+  /** cells below this count are flagged. */
+  val SmallCellK = 5L
+
+  /** q157: flagged cells only — (lang, source, len_band, n_docs),
+    * len_band = n_chars div 100. One keyed agg with map-side combine;
+    * the flagged subset is the report, the full cell table never
+    * leaves the aggregation. */
+  def smallCells(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") < SmallCellK)
+      .orderBy("lang", "source", "len_band")
+
+  def smallCellsSql: String =
+    s"""SELECT lang, source, n_chars // 100 AS len_band,
+       |  cast(count(*) as bigint) AS n_docs
+       |FROM documents
+       |GROUP BY lang, source, n_chars // 100
+       |HAVING count(*) < $SmallCellK
+       |ORDER BY lang, source, len_band""".stripMargin
+
+  // -------------------------------------------------------------------
   // q153: BM25 served from a PERSISTED postings index — the
   // build/serve split every production search engine runs (Lucene's
   // segment files; the q81/q105 artifact discipline applied to text):

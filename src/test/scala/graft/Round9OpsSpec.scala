@@ -703,4 +703,57 @@ class Round9OpsSpec extends SparkSpec {
     assert(weak._3 == 0L && weak._4 == 0L && weak._5 >= 1L && weak._6 == 1L,
       s"the 8-token-run pair must be winnow-only: $weak")
   }
+
+  // ---------------------------------------------------------------- q156
+
+  test("q156: entropy report matches an independent recompute at sf0.001") {
+    def bl(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = docs.map { case (id, t) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val hist = bytes.groupBy(b => b & 0xff).map { case (_, v) => v.length.toLong }
+      val n = bytes.length.toLong
+      val ent = hist.map(c => c * (bl(n) - bl(c))).sum
+      (id, n, hist.size.toLong, if (n == 0) 0L else ent * 1000L / n)
+    }.toSeq
+    val got = graft.ops.TextAnalytics.byteEntropy(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("distinct_bytes"), r.getAs[Long]("entropy_milli_bits"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q156: high-entropy binary-like payloads read far above natural text") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q156-planted")
+    // pseudo-random printable bytes (a base64-blob stand-in) vs words
+    val rnd = new scala.util.Random(7)
+    val junk = (0 until 800).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+    val words = (0 until 130).map(i => Seq("alpha", "beta", "gamma", "delta")(i % 4)).mkString(" ")
+    Seq((0L, words, "en", "s0", 1L), (1L, junk, "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalytics.byteEntropy(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("entropy_milli_bits"))).toMap
+    assert(got(1L) > got(0L) + 2000L,
+      s"binary-like payload must read well over 2 bits above repetitive words: $got")
+  }
+
+  // ---------------------------------------------------------------- q157
+
+  test("q157: flagged cells match an independent recompute and respect the K floor") {
+    val k = graft.ops.TextAnalytics.SmallCellK
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100L))
+    val expected = docs.groupBy(identity).map { case (cell, v) =>
+      (cell._1, cell._2, cell._3, v.length.toLong)
+    }.filter(_._4 < k).toSeq.sortBy(c => (c._1, c._2, c._3))
+    val got = graft.ops.TextAnalytics.smallCells(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Long]("len_band"), r.getAs[Long]("n_docs"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_._4 < k))
+  }
 }
