@@ -190,7 +190,8 @@ object SparkEntry {
     "q154_retrieval_eval"   -> ((s: SparkSession, d: String) => Hybrid.retrievalEval(s, d, Dedup.OracleHashBits)),
     "q155_consensus_clusters" -> ((s: SparkSession, d: String) => Dedup.consensusClusters(s, d, Dedup.OracleHashBits)),
     "q156_byte_entropy"     -> TextAnalytics.byteEntropy _,
-    "q157_small_cells"      -> TextAnalytics.smallCells _
+    "q157_small_cells"      -> TextAnalytics.smallCells _,
+    "q158_dup_graph_walks"  -> ((s: SparkSession, d: String) => Dedup.dupGraphWalks(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -422,6 +423,7 @@ object SparkEntry {
     "q154_retrieval_eval"   -> Hybrid.retrievalEvalSql,
     "q155_consensus_clusters" -> Dedup.consensusClustersSql,
     "q156_byte_entropy"     -> TextAnalytics.byteEntropySql,
-    "q157_small_cells"      -> TextAnalytics.smallCellsSql
+    "q157_small_cells"      -> TextAnalytics.smallCellsSql,
+    "q158_dup_graph_walks"  -> Dedup.dupGraphWalksSql
   )
 }

@@ -3569,6 +3569,88 @@ object Dedup {
        |FROM members m JOIN pair_stats USING (cluster_id) JOIN sig_stats USING (cluster_id)
        |ORDER BY cluster_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q158: deterministic random walks over the near-dup graph — the
+  // DeepWalk/node2vec data-prep step (Perozzi et al. 2014): walks are
+  // the "sentences" a skip-gram model trains on to embed graph
+  // structure, and over THIS graph they embed duplication topology
+  // (which documents sit in which template neighborhood — input to
+  // cluster-aware curriculum or contrastive sampling). Randomness is
+  // the usual cross-engine poison, so the walker draws each step from
+  // a HASH of (start, current, step) — deterministic, portable,
+  // restart-stable, the q97 corruption-mask discipline applied to
+  // graph traversal (and the same trick production walk engines use
+  // for reproducible epochs).
+  // -------------------------------------------------------------------
+
+  /** walk length (steps beyond the start node). */
+  val WalkSteps = 4
+
+  /** q158: (start, step, node) rows, one walk per pair-graph node,
+    * step 0..[[WalkSteps]]. Next hop = sorted-neighbor index
+    * H(start|cur|step) mod degree, H the family's 32-bit md5 fold —
+    * every engine (and every re-run) derives the identical corpus of
+    * walks.
+    *
+    * Scale shape: the adjacency relation is answer-sized (the verified
+    * pair list, symmetric, with a per-node row_number); each step is
+    * one equi-join of the walk frontier against it (no driver state,
+    * no loop-carried lineage growth at this fixed unrolled depth); a
+    * node's neighbor pick is O(1) through the (node, idx) key. */
+  def dupGraphWalks(spark: SparkSession, sfDir: String,
+                    bits: Int = DefaultHashBits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val sym = Materialize.shared(spark,
+      pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("node", "nbr"))
+    val adj = sym.withColumn("idx",
+      (row_number().over(Window.partitionBy("node").orderBy("nbr")) - 1).cast("long"))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    val hopH = shingleHashExpr("instr",
+      "md5(concat(cast(start as string), '|', cast(cur as string), '|', cast(step as string)))")
+    var frontier = sym.select(col("node").as("start")).distinct()
+      .select(col("start"), col("start").as("cur"), lit(0L).as("step"))
+    var out = frontier
+    (1 to WalkSteps).foreach { t =>
+      val stepped = frontier
+        .withColumn("step", lit(t.toLong))
+        .join(deg.withColumnRenamed("node", "cur"), "cur")
+        .withColumn("idx", expr(s"$hopH % deg"))
+        .join(adj.withColumnRenamed("node", "cur"), Seq("cur", "idx"))
+        .select(col("start"), col("nbr").as("cur"), col("step"))
+      out = out.unionAll(stepped)
+      frontier = stepped
+    }
+    out.select(col("start"), col("step"), col("cur").as("node"))
+      .orderBy("start", "step")
+  }
+
+  def dupGraphWalksSql: String = {
+    def hop(t: Int) = shingleHashExpr("strpos",
+      s"md5(cast(start as varchar) || '|' || cast(cur as varchar) || '|' || '$t')")
+    val steps = (1 to WalkSteps).map { t =>
+      s"""w$t AS (
+         |  SELECT w.start, adj.nbr AS cur
+         |  FROM w${t - 1} w
+         |  JOIN deg ON deg.node = w.cur
+         |  JOIN adj ON adj.node = w.cur AND adj.idx = ${hop(t)} % deg.deg)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to WalkSteps).map { t =>
+      s"SELECT start, cast($t as bigint) AS step, cur AS node FROM w$t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pairs0 AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
+       |sym AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs0
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs0),
+       |adj AS (SELECT node, nbr,
+       |    cast(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 as bigint) AS idx
+       |  FROM sym),
+       |deg AS (SELECT node, cast(count(*) as bigint) AS deg FROM sym GROUP BY node),
+       |w0 AS (SELECT DISTINCT node AS start, node AS cur FROM sym),
+       |$steps
+       |$sel
+       |ORDER BY start, step""".stripMargin
+  }
+
   /** q152: cross-source duplication matrix — q14's VERIFIED pair list
     * rolled up to (source, source) cells: how many near-dup pairs link
     * each pair of crawls, split into within-source and cross-source

@@ -756,4 +756,35 @@ class Round9OpsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty && got.forall(_._4 < k))
   }
+
+  // ---------------------------------------------------------------- q158
+
+  test("q158: walks match an independent hash-driven traversal at sf0.001") {
+    val steps = graft.ops.Dedup.WalkSteps
+    val pairs = graft.ops.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (n, v) => n -> v.map(_._2).sorted }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    val expected = adj.keys.toSeq.sorted.flatMap { start =>
+      var cur = start
+      (0 to steps).map { t =>
+        if (t > 0) {
+          val nbrs = adj(cur)
+          cur = nbrs((h32(s"$start|$cur|$t") % nbrs.length).toInt)
+        }
+        (start, t.toLong, cur)
+      }
+    }
+    val got = graft.ops.Dedup.dupGraphWalks(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("start"), r.getAs[Long]("step"), r.getAs[Long]("node"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+    // walks actually move: some step-1 node differs from its start
+    assert(got.exists(w => w._2 == 1L && w._3 != w._1))
+  }
 }
