@@ -191,7 +191,8 @@ object SparkEntry {
     "q155_consensus_clusters" -> ((s: SparkSession, d: String) => Dedup.consensusClusters(s, d, Dedup.OracleHashBits)),
     "q156_byte_entropy"     -> TextAnalytics.byteEntropy _,
     "q157_small_cells"      -> TextAnalytics.smallCells _,
-    "q158_dup_graph_walks"  -> ((s: SparkSession, d: String) => Dedup.dupGraphWalks(s, d, Dedup.OracleHashBits))
+    "q158_dup_graph_walks"  -> ((s: SparkSession, d: String) => Dedup.dupGraphWalks(s, d, Dedup.OracleHashBits)),
+    "q159_dup_loss_weights" -> ((s: SparkSession, d: String) => Dedup.dupLossWeights(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -424,6 +425,7 @@ object SparkEntry {
     "q155_consensus_clusters" -> Dedup.consensusClustersSql,
     "q156_byte_entropy"     -> TextAnalytics.byteEntropySql,
     "q157_small_cells"      -> TextAnalytics.smallCellsSql,
-    "q158_dup_graph_walks"  -> Dedup.dupGraphWalksSql
+    "q158_dup_graph_walks"  -> Dedup.dupGraphWalksSql,
+    "q159_dup_loss_weights" -> Dedup.dupLossWeightsSql
   )
 }

@@ -3651,6 +3651,60 @@ object Dedup {
        |ORDER BY start, step""".stripMargin
   }
 
+  /** q159: duplication-aware loss weights — the SOFT alternative to
+    * q74's hard survivorship: instead of dropping duplicates, each
+    * document in a near-dup cluster of size s trains at weight 1/s, so
+    * every piece of CONTENT contributes one unit of loss mass no
+    * matter how many copies the crawl collected (the down-weighting
+    * variant discussed alongside SemDeDup/D4-style pruning — it keeps
+    * the copies' formatting/context diversity while removing their
+    * frequency advantage, and it is reversible where a drop is not).
+    * Output is the per-doc table a trainer's loss actually consumes:
+    * (doc_id, cluster_id, cluster_size, weight_milli), singletons at
+    * 1000, cluster members at 1000 div s (a size-3 cluster sums to
+    * 999 — the floor remainder is stated, not redistributed).
+    *
+    * Scale shape: clusters are the q49 star machinery over the
+    * answer-sized verified pair list; the weight table is one left
+    * join of the corpus's doc_id projection against the cluster
+    * labels plus a cluster-sized size join. */
+  def dupLossWeights(spark: SparkSession, sfDir: String,
+                     bits: Int = DefaultHashBits): DataFrame = {
+    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val labels = starComponents(pairs)
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val tagged = docs
+      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = tagged.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    tagged.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000 div cluster_size").as("weight_milli"))
+      .orderBy("doc_id")
+  }
+
+  def dupLossWeightsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${minhashLshPairsSql}) ),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM sym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
+       |lab AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+       |tagged AS (
+       |  SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+       |sizes AS (SELECT cluster_id, cast(count(*) as bigint) AS cluster_size
+       |          FROM tagged GROUP BY cluster_id)
+       |SELECT doc_id, cluster_id, cluster_size,
+       |  1000 // cluster_size AS weight_milli
+       |FROM tagged JOIN sizes USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** q152: cross-source duplication matrix — q14's VERIFIED pair list
     * rolled up to (source, source) cells: how many near-dup pairs link
     * each pair of crawls, split into within-source and cross-source

@@ -787,4 +787,41 @@ class Round9OpsSpec extends SparkSpec {
     // walks actually move: some step-1 node differs from its start
     assert(got.exists(w => w._2 == 1L && w._3 != w._1))
   }
+
+  // ---------------------------------------------------------------- q159
+
+  test("q159: weight table matches an independent union-find and conserves content mass") {
+    val pairs = graft.ops.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val inGraph = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val cluster = ids.map(id => id -> (if (inGraph(id)) find(id) else id)).toMap
+    val size = cluster.values.groupBy(identity).map { case (c, v) => c -> v.size.toLong }
+    val expected = ids.map { id =>
+      val c = cluster(id); val s = size(c)
+      (id, c, s, 1000L / s)
+    }.toSeq
+    val got = graft.ops.Dedup.dupLossWeights(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Long]("weight_milli"))).toSeq
+    assert(got == expected)
+    // conservation: each cluster's weights sum to 1000 minus the floor
+    // remainder (< cluster_size milli) — content counts once
+    got.groupBy(_._2).foreach { case (_, ms) =>
+      val total = ms.map(_._4).sum
+      val s = ms.head._3
+      assert(total <= 1000L && total > 1000L - s, s"cluster mass $total size $s")
+    }
+    assert(got.exists(_._4 == 1000L) && got.exists(_._4 < 1000L))
+  }
 }
