@@ -192,7 +192,8 @@ object SparkEntry {
     "q156_byte_entropy"     -> TextAnalytics.byteEntropy _,
     "q157_small_cells"      -> TextAnalytics.smallCells _,
     "q158_dup_graph_walks"  -> ((s: SparkSession, d: String) => Dedup.dupGraphWalks(s, d, Dedup.OracleHashBits)),
-    "q159_dup_loss_weights" -> ((s: SparkSession, d: String) => Dedup.dupLossWeights(s, d, Dedup.OracleHashBits))
+    "q159_dup_loss_weights" -> ((s: SparkSession, d: String) => Dedup.dupLossWeights(s, d, Dedup.OracleHashBits)),
+    "q160_nprobe_sweep"     -> Similarity.nprobeSweep _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -426,6 +427,7 @@ object SparkEntry {
     "q156_byte_entropy"     -> TextAnalytics.byteEntropySql,
     "q157_small_cells"      -> TextAnalytics.smallCellsSql,
     "q158_dup_graph_walks"  -> Dedup.dupGraphWalksSql,
-    "q159_dup_loss_weights" -> Dedup.dupLossWeightsSql
+    "q159_dup_loss_weights" -> Dedup.dupLossWeightsSql,
+    "q160_nprobe_sweep"     -> Similarity.nprobeSweepSql
   )
 }

@@ -313,12 +313,13 @@ object Similarity {
   /** IVF candidate pairs: probe lists joined to assignments. `q` feeds
     * several consumers with different keys, so callers pass a
     * materialized frame (Materialize.shared). */
-  private def ivfCandidates(spark: SparkSession, sfDir: String, q: DataFrame): DataFrame = {
+  private def ivfCandidates(spark: SparkSession, sfDir: String, q: DataFrame,
+                            nprobe: Int = NProbe): DataFrame = {
     val cent = centroids(q)
     val assign = assignedVectors(q, seededCentroidValues(spark, sfDir)).select("vid", "cid")
     val probes = nearestCentroids(
       q.filter(col("vec_id") < Consts.KnnQueries).withColumnRenamed("vec_id", "qid"),
-      cent, "qid", NProbe)
+      cent, "qid", nprobe)
     probes.join(assign, "cid").filter(col("qid") =!= col("vid"))
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id")).distinct()
   }
@@ -495,6 +496,97 @@ object Similarity {
        |  SELECT DISTINCT probes.qid AS query_id, assign.vid AS neighbor_id
        |  FROM probes JOIN assign ON probes.cid = assign.cid
        |  WHERE probes.qid != assign.vid)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q160: IVF nprobe sweep — the recall/cost tuning curve every FAISS
+  // deployment reads before fixing its serving knob: each probed list
+  // adds scanned candidates (cost) and recovers neighbors the coarse
+  // quantizer mis-binned (recall). One row per nprobe in {1,2,4,8,16};
+  // nprobe = NCentroids probes every list, so the curve's last row is
+  // the exhaustive-search anchor (recall exactly 1000 with candidate
+  // count (n-1) per query) — the sweep is self-validating.
+  // -------------------------------------------------------------------
+
+  /** probe counts swept: powers of two up to every list. */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4, 8, NCentroids)
+
+  /** q160: (nprobe, n_candidates, n_true, n_hits, recall_permille) —
+    * micro-averaged recall@k of IVF top-k vs brute-force truth at each
+    * probe depth, with the scanned-candidate count as the cost column.
+    *
+    * Scale shape: truth is the q19 broadcast-queries plan once; each
+    * sweep point reuses the SAME scan-local assignment (the seeded
+    * centroid cache) and differs only in the probe window's keep —
+    * five answer-sized candidate joins, five bounded top-k windows,
+    * and the report folds to five rows. */
+  def nprobeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val truth = Materialize.shared(spark,
+      knnBruteForce(spark, sfDir).select("query_id", "neighbor_id"))
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    NprobeSweep.map { p =>
+      val cands = ivfCandidates(spark, sfDir, q, p)
+      val top = exactTopK(cands, q).select("query_id", "neighbor_id")
+      val nc = broadcast(cands.agg(count(lit(1)).as("n_candidates")))
+      val hits = broadcast(top.join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits")))
+      nc.crossJoin(nTrue).crossJoin(hits)
+        .select(lit(p.toLong).as("nprobe"), col("n_candidates"),
+          col("n_true"), col("n_hits"),
+          expr("n_hits * 1000 div n_true").as("recall_permille"))
+    }.reduce(_.unionAll(_)).orderBy("nprobe")
+  }
+
+  def nprobeSweepSql: String = {
+    val centSim = "cast(list_sum([cent.cv[i+1]*a.v[i+1] for i in range(len(a.v))]) as double)" +
+      " / (sqrt(cast(cent.cnrm as double)) * sqrt(cast(a.nrm as double)))"
+    val perP = NprobeSweep.map { p =>
+      s"""cands_$p AS (
+         |  SELECT DISTINCT pr.qid AS query_id, assign.vid AS neighbor_id
+         |  FROM pranks pr JOIN assign ON pr.cid = assign.cid
+         |  WHERE pr.crank <= $p AND pr.qid != assign.vid),
+         |top_$p AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY c.query_id ORDER BY $sqlCos DESC, c.neighbor_id ASC) AS rank
+         |    FROM cands_$p c
+         |    JOIN q a ON a.vec_id = c.query_id
+         |    JOIN q b ON b.vec_id = c.neighbor_id)
+         |  WHERE rank <= ${Consts.KnnK})""".stripMargin
+    }.mkString(",\n")
+    val rows = NprobeSweep.map { p =>
+      s"""SELECT cast($p as bigint) AS nprobe,
+         |  (SELECT cast(count(*) as bigint) FROM cands_$p) AS n_candidates,
+         |  (SELECT cast(count(*) as bigint) FROM bf) AS n_true,
+         |  (SELECT cast(count(*) as bigint) FROM top_$p t JOIN bf
+         |     ON t.query_id = bf.query_id AND t.neighbor_id = bf.neighbor_id) AS n_hits,
+         |  (SELECT cast(count(*) as bigint) FROM top_$p t JOIN bf
+         |     ON t.query_id = bf.query_id AND t.neighbor_id = bf.neighbor_id) * 1000
+         |    // (SELECT cast(count(*) as bigint) FROM bf) AS recall_permille""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS ($sqlQuantized),
+       |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM q WHERE vec_id < $NCentroids),
+       |assign AS (
+       |  SELECT vid, cid FROM (
+       |    SELECT a.vec_id AS vid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $centSim DESC, cent.cid ASC) AS crank
+       |    FROM q a, cent)
+       |  WHERE crank <= 1),
+       |pranks AS (
+       |  SELECT qid, cid, crank FROM (
+       |    SELECT a.vec_id AS qid, cent.cid,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $centSim DESC, cent.cid ASC) AS crank
+       |    FROM q a, cent WHERE a.vec_id < ${Consts.KnnQueries})),
+       |bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $sqlCos DESC, b.vec_id ASC) AS rank
+       |    FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id)
+       |  WHERE rank <= ${Consts.KnnK}),
+       |$perP
+       |$rows
+       |ORDER BY nprobe""".stripMargin
+  }
 
   def ivfKnnSql: String =
     s"""WITH q AS ($sqlQuantized),

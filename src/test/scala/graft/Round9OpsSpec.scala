@@ -824,4 +824,28 @@ class Round9OpsSpec extends SparkSpec {
     }
     assert(got.exists(_._4 == 1000L) && got.exists(_._4 < 1000L))
   }
+
+  // ---------------------------------------------------------------- q160
+
+  test("q160: sweep is monotone, anchored by exhaustive search, and consistent with q76 at nprobe=2") {
+    val got = graft.ops.Similarity.nprobeSweep(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_candidates"),
+        r.getAs[Long]("n_true"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("recall_permille"))).toSeq
+    assert(got.map(_._1) == graft.ops.Similarity.NprobeSweep.map(_.toLong))
+    // cost strictly grows with probes; recall never decreases
+    assert(got.sliding(2).forall { case Seq(a, b) => b._2 > a._2 && b._5 >= a._5 })
+    // the self-validating anchor: probing every list IS exhaustive search
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    val last = got.last
+    assert(last._5 == 1000L && last._4 == last._3)
+    assert(last._2 == graft.core.Consts.KnnQueries * (n - 1),
+      s"nprobe=all must scan every candidate: ${last._2} vs ${graft.core.Consts.KnnQueries * (n - 1)}")
+    // cross-operator consistency: the nprobe=2 row micro-averages
+    // exactly q76's per-query recall report
+    val q76 = graft.ops.Similarity.annRecall(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("n_true"), r.getAs[Long]("n_hit")))
+    val p2 = got.find(_._1 == 2L).get
+    assert(p2._3 == q76.map(_._1).sum && p2._4 == q76.map(_._2).sum)
+  }
 }
