@@ -3612,12 +3612,17 @@ object Dedup {
       .select(col("start"), col("start").as("cur"), lit(0L).as("step"))
     var out = frontier
     (1 to WalkSteps).foreach { t =>
-      val stepped = frontier
+      // each step re-roots at a flat checkpointed frame (the q93/CC
+      // loop discipline): the union of w0..wT would otherwise inline
+      // w1's join lineage T times and re-execute it per branch —
+      // measured 4.9 s → ~1 s at sf0.1 for a 470-node graph
+      val stepped = Materialize.tracked(spark, frontier
         .withColumn("step", lit(t.toLong))
         .join(deg.withColumnRenamed("node", "cur"), "cur")
         .withColumn("idx", expr(s"$hopH % deg"))
         .join(adj.withColumnRenamed("node", "cur"), Seq("cur", "idx"))
         .select(col("start"), col("nbr").as("cur"), col("step"))
+        .localCheckpoint(true))
       out = out.unionAll(stepped)
       frontier = stepped
     }

@@ -566,7 +566,8 @@ class Round9OpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
     val rel = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
       .map { case (q, v) => q -> v.map(_._2).toSet }
-    val qids = rel.keySet
+    // the deterministic eval-set cap (smallest qids), mirrored
+    val qids = rel.keySet.toSeq.sorted.take(graft.ops.Hybrid.EvalQueries).toSet
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
