@@ -231,20 +231,29 @@ object Hybrid {
     val queries = rel.select("qid").distinct()
       .orderBy("qid").limit(EvalQueries)
 
-    // ---- broadcast-the-queries, score-at-the-data (the q19 shape) ----
-    // The relational formulation (query-terms x tf join, bucket join)
-    // materialized millions of per-(query, doc, term) rows and paid
-    // three corpus-sized shuffles; but the eval set is ANSWER-SIZED by
-    // construction, so the whole query side — texts, term sets,
-    // histograms, the query-term df table, corpus stats — is a bounded
-    // driver value (the collectCentroids discipline). Scoring then
-    // runs entirely inside one documents scan: each partition holds
-    // the query set, each doc computes all its BM25 sums and histogram
-    // dots locally, and the only shuffles left are the two per-query
-    // rank windows over (queries x corpus-matches) score rows.
-    // Measured at sf0.1: 10.2 s -> ~2.5 s with byte-identical output.
     import spark.implicits._
     val qidSeq = queries.collect().map(_.getLong(0)).sorted
+    val sharedScored = Materialize.shared(spark, denseScores(spark, sfDir, qidSeq))
+    retrievalReport(spark, sharedScored, rel, queries)
+  }
+
+  /** Dense scoring rows (qid, doc_id, score, sim, side) for a BOUNDED
+    * anchor set — broadcast-the-queries, score-at-the-data (the q19
+    * shape). The relational formulation joined the query side against
+    * corpus-sized tf/bucket relations and paid three corpus shuffles
+    * over millions of per-(query, doc, term) rows; but an eval/anchor
+    * set is answer-sized by construction, so the whole query side —
+    * texts, term sets, 256-bucket histograms, the query-term df table,
+    * corpus stats — is a driver value (the collectCentroids
+    * discipline) and scoring runs entirely inside ONE documents scan.
+    * side 0 = BM25 (byte-for-byte bm25ScoreExpr: per-term floor to
+    * i64, then the i64 sum; rows only for term-sharing docs); side 1 =
+    * histogram cosine (rows only for bucket-sharing docs). The only
+    * shuffles left to a consumer are its rank windows.
+    * Measured: q154 went 10.2 s -> ~2.5 s with byte-identical output. */
+  private[ops] def denseScores(spark: SparkSession, sfDir: String,
+                               qidSeq: Array[Long]): DataFrame = {
+    import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
     val toks = TextAnalytics.tokens(col("text"))
     val qTexts = docs.filter(col("doc_id").isin(qidSeq: _*))
@@ -278,7 +287,7 @@ object Hybrid {
     val bcHists = spark.sparkContext.broadcast(qHists)
     val bcDf = spark.sparkContext.broadcast(dfm)
 
-    val scored = docs.select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val qts = bcTerms.value; val qhs = bcHists.value; val dfs = bcDf.value
@@ -323,7 +332,107 @@ object Hybrid {
         }
       }
       .toDF("qid", "doc_id", "score", "sim", "side")
-    val sharedScored = Materialize.shared(spark, scored)
+  }
+
+  // -------------------------------------------------------------------
+  // q161: contrastive training-triplet mining — the data-prep step a
+  // sentence-embedding fine-tune (SimCSE / sentence-transformers)
+  // actually consumes: (anchor, positive, hard negative) rows where
+  // the positive is a VERIFIED near-duplicate (q14's relation — real
+  // paraphrase-grade pairs, not augmentation) and the negative is the
+  // highest-cosine candidate that is NOT a near-dup — the hard
+  // negative, mined from the serving embedding itself so training
+  // pressure lands exactly where the current space confuses documents
+  // (the q67 discipline, document-level). The margin column
+  // (pos_sim − neg_sim) is the triplet's difficulty: small or negative
+  // margins are the pairs the contrastive loss will actually move.
+  // -------------------------------------------------------------------
+
+  /** q161: one row per anchor (the q154 eval-set cap): anchor,
+    * positive (smallest-id partner), its cosine permille, the mined
+    * hard negative, its cosine permille, and the margin. Rides
+    * [[denseScores]]' broadcast-anchors scan (side 1), one rank window
+    * over non-partner candidates, and answer-sized joins. */
+  def trainingTriplets(spark: SparkSession, sfDir: String,
+                       bits: Int = Dedup.DefaultHashBits): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+    val rel = Materialize.shared(spark,
+      pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("qid", "rel_id"))
+    val anchors = rel.select("qid").distinct().orderBy("qid").limit(EvalQueries)
+    val qidSeq = anchors.collect().map(_.getLong(0)).sorted
+    val sims = Materialize.shared(spark,
+      denseScores(spark, sfDir, qidSeq).filter(col("side") === 1)
+        .select("qid", "doc_id", "sim"))
+    val positives = rel
+      .join(anchors, "qid")
+      .groupBy("qid").agg(min(col("rel_id")).as("positive"))
+    val negCand = sims.join(rel,
+        sims("qid") === rel("qid") && col("doc_id") === col("rel_id"), "left_anti")
+    val wneg = Window.partitionBy("qid").orderBy(col("sim").desc, col("doc_id").asc)
+    val negatives = negCand
+      .withColumn("rank", row_number().over(wneg))
+      .filter(col("rank") === 1)
+      .select(col("qid"), col("doc_id").as("negative"),
+        floor(col("sim") * 1000).cast("long").as("neg_sim_permille"))
+    val posSims = sims.select(col("qid"), col("doc_id").as("positive"),
+      floor(col("sim") * 1000).cast("long").as("pos_sim_permille"))
+    positives
+      .join(posSims, Seq("qid", "positive"))
+      .join(negatives, Seq("qid"))
+      .select(col("qid").as("anchor"), col("positive"), col("pos_sim_permille"),
+        col("negative"), col("neg_sim_permille"),
+        (col("pos_sim_permille") - col("neg_sim_permille")).as("margin_permille"))
+      .orderBy("anchor")
+  }
+
+  def trainingTripletsSql: String =
+    s"""WITH pairs0 AS (SELECT doc_a, doc_b FROM (${Dedup.minhashLshPairsSql})),
+       |rel AS (SELECT doc_a AS qid, doc_b AS rel_id FROM pairs0
+       |        UNION ALL SELECT doc_b, doc_a FROM pairs0),
+       |qs AS (SELECT DISTINCT qid FROM rel ORDER BY qid LIMIT $EvalQueries),
+       |ltoks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |buckets AS (
+       |  SELECT doc_id,
+       |    (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1 AS b,
+       |    cast(count(*) as bigint) AS c
+       |  FROM ltoks GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sum(c*c) AS nrm FROM buckets GROUP BY doc_id),
+       |sims AS (
+       |  SELECT q.doc_id AS qid, d.doc_id,
+       |    cast(sum(q.c * d.c) as double)
+       |      / (sqrt(cast(qn.nrm as double)) * sqrt(cast(dn.nrm as double))) AS sim
+       |  FROM buckets q JOIN qs ON q.doc_id = qs.qid
+       |  JOIN buckets d ON q.b = d.b AND d.doc_id != q.doc_id
+       |  JOIN norms qn ON qn.doc_id = q.doc_id
+       |  JOIN norms dn ON dn.doc_id = d.doc_id
+       |  GROUP BY q.doc_id, d.doc_id, qn.nrm, dn.nrm),
+       |positives AS (
+       |  SELECT rel.qid, min(rel_id) AS positive
+       |  FROM rel JOIN qs ON rel.qid = qs.qid GROUP BY rel.qid),
+       |negatives AS (
+       |  SELECT qid, doc_id AS negative,
+       |    cast(floor(sim * 1000.0) as bigint) AS neg_sim_permille
+       |  FROM (
+       |    SELECT s.qid, s.doc_id, s.sim,
+       |      row_number() OVER (PARTITION BY s.qid ORDER BY s.sim DESC, s.doc_id ASC) AS rank
+       |    FROM sims s
+       |    WHERE NOT EXISTS (SELECT 1 FROM rel WHERE rel.qid = s.qid AND rel.rel_id = s.doc_id))
+       |  WHERE rank = 1)
+       |SELECT p.qid AS anchor, p.positive,
+       |  cast(floor(ps.sim * 1000.0) as bigint) AS pos_sim_permille,
+       |  n.negative, n.neg_sim_permille,
+       |  cast(floor(ps.sim * 1000.0) as bigint) - n.neg_sim_permille AS margin_permille
+       |FROM positives p
+       |JOIN sims ps ON ps.qid = p.qid AND ps.doc_id = p.positive
+       |JOIN negatives n ON n.qid = p.qid
+       |ORDER BY anchor""".stripMargin
+
+  /** rank both sides, fuse, and fold the three recall rows — the
+    * answer-sized back half of q154 over the cached dense scores. */
+  private def retrievalReport(spark: SparkSession, sharedScored: DataFrame,
+                              rel: DataFrame, queries: DataFrame): DataFrame = {
     val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     val bmRanked = Materialize.shared(spark, sharedScored.filter(col("side") === 0)
       .withColumn("rank", row_number().over(wq).cast("long"))

@@ -849,4 +849,78 @@ class Round9OpsSpec extends SparkSpec {
     val p2 = got.find(_._1 == 2L).get
     assert(p2._3 == q76.map(_._1).sum && p2._4 == q76.map(_._2).sum)
   }
+
+  // ---------------------------------------------------------------- q161
+
+  test("q161: triplets match an independent mining recompute at sf0.001") {
+    val pairs = graft.ops.Dedup.minhashLshPairs(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val rel = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSet }
+    val anchors = rel.keySet.toSeq.sorted.take(graft.ops.Hybrid.EvalQueries)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bk = docs.map { case (id, t) =>
+      val c = new Array[Long](256)
+      toks(t.toLowerCase).foreach { w =>
+        c(md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff) += 1L }
+      id -> c
+    }.toMap
+    val nrm = bk.map { case (id, c) => id -> c.map(x => x * x).sum }
+    def cos(a: Long, b: Long): Double = {
+      val (ca, cb) = (bk(a), bk(b))
+      var d = 0L; var i = 0
+      while (i < 256) { d += ca(i) * cb(i); i += 1 }
+      d.toDouble / (math.sqrt(nrm(a).toDouble) * math.sqrt(nrm(b).toDouble))
+    }
+    val ids = docs.map(_._1)
+    val expected = anchors.map { a =>
+      val pos = rel(a).min
+      val negs = ids.filter(d => d != a && !rel(a)(d))
+        .filter(d => { val (ca, cb) = (bk(a), bk(d)); (0 until 256).exists(i => ca(i) > 0 && cb(i) > 0) })
+        .map(d => (d, cos(a, d)))
+      val (neg, negSim) = negs.minBy { case (d, s) => (-s, d) }
+      val posP = math.floor(cos(a, pos) * 1000.0).toLong
+      val negP = math.floor(negSim * 1000.0).toLong
+      (a, pos, posP, neg, negP, posP - negP)
+    }
+    val got = graft.ops.Hybrid.trainingTriplets(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Long]("pos_sim_permille"), r.getAs[Long]("negative"),
+        r.getAs[Long]("neg_sim_permille"), r.getAs[Long]("margin_permille"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q161: a bag-identical scrambled decoy is mined as a NEGATIVE-margin hard negative") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q161-planted")
+    val words = (0 until 60).map(i => s"tw1x$i")
+    val aTxt = words.mkString(" ")
+    // positive: last 10 words swapped -> shingle J ~ 0.7 (verified pair)
+    val pTxt = (words.take(50) ++ (0 until 10).map(i => s"tp1x$i")).mkString(" ")
+    // decoy: the SAME bag reversed -> identical histogram (cosine
+    // exactly 1000) but near-zero shingle overlap: never a partner
+    val dTxt = words.reverse.mkString(" ")
+    Seq((0L, aTxt, "en", "s0", 1L), (1L, pTxt, "en", "s0", 1L),
+        (2L, dTxt, "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // fixture sanity: exactly the (0,1) pair is verified
+    val edges = graft.ops.Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(edges == Set((0L, 1L)), s"fixture banding drifted: $edges")
+    val got = graft.ops.Hybrid.trainingTriplets(spark, dir).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Long]("negative"), r.getAs[Long]("neg_sim_permille"),
+        r.getAs[Long]("margin_permille"))).toSeq
+    val a0 = got.find(_._1 == 0L).get
+    assert(a0._2 == 1L && a0._3 == 2L)
+    // identical histograms: dot = n but sqrt(n)*sqrt(n) can round a
+    // half-ulp BELOW n, so the floored permille reads 999 or 1000
+    assert(a0._4 >= 999L, s"bag-identical decoy must read cosine ~1000: $a0")
+    assert(a0._5 < 0L, s"the hard negative out-similars the positive: $a0")
+  }
 }
