@@ -67,6 +67,11 @@ object Scaling {
     // q14's edge set + star CC + two answer-sized keyed aggs: the audit
     // adds only cluster-frame work on top of the q49 shape
     "q146_cluster_cohesion" -> ((s, d) => graft.ops.Dedup.clusterCohesion(s, d, graft.ops.Dedup.OracleHashBits)),
+    // the three-family union + one CC + provenance aggs: measures that
+    // COMPOSING detectors scales like its slowest member, not their sum
+    // times a blowup — replicas share nothing, so the union edge set
+    // stays linear in the factor
+    "q155_consensus_clusters" -> ((s, d) => graft.ops.Dedup.consensusClusters(s, d, graft.ops.Dedup.OracleHashBits)),
     "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)),
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81

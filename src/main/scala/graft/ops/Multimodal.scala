@@ -627,6 +627,13 @@ object Multimodal {
   /** q151: near-duplicate audio pairs at Hamming ≤ [[AudioMaxHamming]]
     * over the 16-bit envelope fingerprint.
     *
+    * 16-bit caveat (q17's documented bound, same here): once the
+    * corpus far exceeds 2^16 items, chance fingerprint collisions make
+    * the PAIR list quadratic by the birthday bound — a workload
+    * property, not a plan property. The scale path is the same as the
+    * SimHash family's: group by signature first (exact-dup envelopes
+    * collapse), or widen the envelope (more windows) before pairing.
+    *
     * Scale shape: the q131/q17 discipline — fingerprints band into
     * [[AudioBands]] 4-bit keys inside the scan projection, ONE exploded
     * self-equi-join on (band_idx, band_val) generates candidates
