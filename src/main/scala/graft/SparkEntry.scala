@@ -194,7 +194,8 @@ object SparkEntry {
     "q158_dup_graph_walks"  -> ((s: SparkSession, d: String) => Dedup.dupGraphWalks(s, d, Dedup.OracleHashBits)),
     "q159_dup_loss_weights" -> ((s: SparkSession, d: String) => Dedup.dupLossWeights(s, d, Dedup.OracleHashBits)),
     "q160_nprobe_sweep"     -> Similarity.nprobeSweep _,
-    "q161_training_triplets" -> ((s: SparkSession, d: String) => Hybrid.trainingTriplets(s, d, Dedup.OracleHashBits))
+    "q161_training_triplets" -> ((s: SparkSession, d: String) => Hybrid.trainingTriplets(s, d, Dedup.OracleHashBits)),
+    "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrix _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -430,6 +431,7 @@ object SparkEntry {
     "q158_dup_graph_walks"  -> Dedup.dupGraphWalksSql,
     "q159_dup_loss_weights" -> Dedup.dupLossWeightsSql,
     "q160_nprobe_sweep"     -> Similarity.nprobeSweepSql,
-    "q161_training_triplets" -> Hybrid.trainingTripletsSql
+    "q161_training_triplets" -> Hybrid.trainingTripletsSql,
+    "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrixSql
   )
 }

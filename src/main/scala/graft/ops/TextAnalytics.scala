@@ -1453,6 +1453,90 @@ object TextAnalytics {
     * bounded vocabularies, keyed join at web-scale ones — the q94
     * lesson) and totals is a sources-sized broadcast; the final agg is
     * one keyed pass onto a sources-sized report. */
+  /** q162: cross-source LM surprisal MATRIX — the pairwise completion
+    * of the drift family (q126 scores each source against the corpus;
+    * q140 scores the embedding against the complement; this scores
+    * EVERY source's token mass under EVERY source's unigram LM), which
+    * is the Moore-Lewis 2010 data-selection primitive: "which corpus's
+    * model best predicts this domain" picks what to up-sample, and the
+    * gap between a cell and its row's diagonal is the cross-entropy
+    * DIFFERENCE their selection criterion thresholds. Cell (model m,
+    * eval e) = mean bits per token of e's mass under m's add-one-
+    * smoothed LM: Σ_t c_e(t)·(bitlen(n_m + V) − bitlen(c_m(t) + 1))
+    * div-scaled to milli — the family's no-libm floor-log2 grid, so
+    * the whole matrix is integer and hash-checks; add-one smoothing
+    * keeps unseen-token surprisal finite and exact (no backoff
+    * machinery, stated as the deliberately simple LM it is).
+    *
+    * Scale shape: per-source counts collapse at scan speed (token
+    * occurrences never shuffle — the q126 flatMap); the DENSE
+    * (source × vocab) frame that add-one smoothing needs is built by
+    * crossing the vocabulary frame with the sources frame (bounded by
+    * S·V — at web scale cap V to the top-K vocabulary, the standard
+    * LM truncation, and the shape is unchanged); the matrix is one
+    * tok-keyed join of the dense frame with itself grouped onto S²
+    * cells. */
+  def sourceLmMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val stf = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (src, txt) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          txt.trim.split("\\s+").foreach { t =>
+            if (t.nonEmpty) m.update(t, m.getOrElse(t, 0L) + 1L)
+          }
+          m.iterator.map { case (t, c) => (src, t, c) }
+        }
+      }
+      .toDF("source", "tok", "c")
+      .groupBy("source", "tok").agg(sum(col("c")).as("c"))
+    val shared = Materialize.shared(spark, stf)
+    val vocab = shared.select("tok").distinct()
+    val vSize = broadcast(vocab.agg(count(lit(1)).as("v")))
+    val sources = shared.select("source").distinct()
+    val dense = sources.crossJoin(vocab)
+      .join(shared, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+    val totals = broadcast(shared.groupBy("source").agg(sum(col("c")).as("n")))
+    val modelSide = dense
+      .join(totals, "source").crossJoin(vSize)
+      .select(col("source").as("source_model"), col("tok"),
+        (length(bin(col("n") + col("v"))) - length(bin(col("c") + 1))).cast("long").as("bits"))
+    val evalSide = shared.select(col("source").as("source_eval"), col("tok"), col("c"))
+    modelSide.join(evalSide, "tok")
+      .groupBy("source_model", "source_eval")
+      .agg(sum(col("c") * col("bits")).as("bits_sum"), sum(col("c")).as("n_eval"))
+      .select(col("source_model"), col("source_eval"),
+        expr("bits_sum * 1000 div n_eval").as("milli_bits"))
+      .orderBy("source_model", "source_eval")
+  }
+
+  def sourceLmMatrixSql: String =
+    """WITH stf AS (
+      |  SELECT source, tok, cast(count(*) as bigint) AS c FROM (
+      |    SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS tok
+      |    FROM documents)
+      |  GROUP BY source, tok),
+      |vocab AS (SELECT DISTINCT tok FROM stf),
+      |v AS (SELECT cast(count(*) as bigint) AS v FROM vocab),
+      |sources AS (SELECT DISTINCT source FROM stf),
+      |dense AS (
+      |  SELECT s.source, vo.tok, coalesce(stf.c, 0) AS c
+      |  FROM sources s CROSS JOIN vocab vo
+      |  LEFT JOIN stf ON stf.source = s.source AND stf.tok = vo.tok),
+      |totals AS (SELECT source, cast(sum(c) as bigint) AS n FROM stf GROUP BY source),
+      |model_side AS (
+      |  SELECT dense.source AS source_model, tok,
+      |    cast(length(bin(n + v)) - length(bin(c + 1)) as bigint) AS bits
+      |  FROM dense JOIN totals ON totals.source = dense.source CROSS JOIN v)
+      |SELECT m.source_model, e.source AS source_eval,
+      |  cast(sum(e.c * m.bits) as bigint) * 1000 // cast(sum(e.c) as bigint) AS milli_bits
+      |FROM model_side m JOIN stf e USING (tok)
+      |GROUP BY m.source_model, e.source
+      |ORDER BY source_model, source_eval""".stripMargin
+
   def sourceDrift(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val stf = Tables.documents(spark, sfDir)

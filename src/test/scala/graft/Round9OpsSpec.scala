@@ -923,4 +923,61 @@ class Round9OpsSpec extends SparkSpec {
     assert(a0._4 >= 999L, s"bag-identical decoy must read cosine ~1000: $a0")
     assert(a0._5 < 0L, s"the hard negative out-similars the positive: $a0")
   }
+
+  // ---------------------------------------------------------------- q162
+
+  test("q162: LM matrix matches an independent add-one recompute at sf0.001") {
+    def bl(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    docs.foreach { case (s, t) =>
+      toks(t).foreach(w => counts((s, w)) = counts.getOrElse((s, w), 0L) + 1L) }
+    val sources = docs.map(_._1).distinct.sorted
+    val vocab = counts.keys.map(_._2).toSeq.distinct
+    val v = vocab.size.toLong
+    val totals = sources.map(s => s -> vocab.map(w => counts.getOrElse((s, w), 0L)).sum).toMap
+    val expected = (for {
+      m <- sources; e <- sources
+    } yield {
+      val (bitsSum, nEval) = vocab.foldLeft((0L, 0L)) { case ((bs, ne), w) =>
+        val ce = counts.getOrElse((e, w), 0L)
+        if (ce == 0L) (bs, ne)
+        else (bs + ce * (bl(totals(m) + v) - bl(counts.getOrElse((m, w), 0L) + 1L)), ne + ce)
+      }
+      (m, e, bitsSum * 1000L / nEval)
+    }).sortBy(c => (c._1, c._2)).toSeq
+    val got = graft.ops.TextAnalytics.sourceLmMatrix(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source_model"), r.getAs[String]("source_eval"),
+        r.getAs[Long]("milli_bits"))).toSeq
+    assert(got == expected)
+    assert(got.size == sources.size * sources.size)
+  }
+
+  test("q162: a disjoint-vocabulary source reads far above the diagonal; a twin reads at it") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q162-planted")
+    val common = (0 until 40).map(i => s"cm$i")
+    def draw(seed: Int): String =
+      (0 until 120).map(i => common((i * (seed + 3) + seed) % 40)).mkString(" ")
+    val alien = (0 until 120).map(i => s"al${i % 30}").mkString(" ")
+    Seq(
+      (0L, draw(1), "en", "twinA", 1L), (1L, draw(2), "en", "twinA", 1L),
+      (2L, draw(3), "en", "twinB", 1L), (3L, draw(4), "en", "twinB", 1L),
+      (4L, alien, "en", "alien", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalytics.sourceLmMatrix(spark, dir).collect()
+      .map(r => ((r.getAs[String]("source_model"), r.getAs[String]("source_eval")),
+        r.getAs[Long]("milli_bits"))).toMap
+    // the alien's tokens are UNSEEN by twinA's LM: every one pays the
+    // full add-one-floor surprisal, far above twinA's own diagonal
+    assert(got(("twinA", "alien")) > got(("twinA", "twinA")) + 2000L,
+      s"alien must read >2 bits above the diagonal: $got")
+    // twin sources drawn from the same vocabulary read near each other
+    val crossTwin = got(("twinA", "twinB"))
+    val diag = got(("twinA", "twinA"))
+    assert(math.abs(crossTwin - diag) < 2000L, s"twin cross $crossTwin vs diag $diag")
+  }
 }
