@@ -195,7 +195,8 @@ object SparkEntry {
     "q159_dup_loss_weights" -> ((s: SparkSession, d: String) => Dedup.dupLossWeights(s, d, Dedup.OracleHashBits)),
     "q160_nprobe_sweep"     -> Similarity.nprobeSweep _,
     "q161_training_triplets" -> ((s: SparkSession, d: String) => Hybrid.trainingTriplets(s, d, Dedup.OracleHashBits)),
-    "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrix _
+    "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrix _,
+    "q163_winnow_attribution" -> ((s: SparkSession, d: String) => Dedup.winnowAttribution(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -432,6 +433,7 @@ object SparkEntry {
     "q159_dup_loss_weights" -> Dedup.dupLossWeightsSql,
     "q160_nprobe_sweep"     -> Similarity.nprobeSweepSql,
     "q161_training_triplets" -> Hybrid.trainingTripletsSql,
-    "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrixSql
+    "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrixSql,
+    "q163_winnow_attribution" -> Dedup.winnowAttributionSql
   )
 }

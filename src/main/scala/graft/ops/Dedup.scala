@@ -3264,6 +3264,91 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // q163: winnowing source ATTRIBUTION — the provenance question the
+  // fingerprint index exists to answer (Schleimer et al. 2003 built
+  // MOSS for exactly this): for each document, which OTHER source
+  // contains the largest share of its winnowed fingerprints? A high
+  // share says the document's content circulates in that source —
+  // syndication origin, mirror lineage, or cross-crawl plagiarism —
+  // at document granularity where q152's matrix is pair-level and
+  // q72's overlap is source-level. MOSS's determinism guarantee
+  // carries over: any ≥ w+n−1-token run shared with the attributed
+  // source is certain to contribute fingerprints.
+  // -------------------------------------------------------------------
+
+  /** q163: one row per document with an attribution: the top foreign
+    * source by shared fingerprint count (ties to the lexicographically
+    * first source), the shared count, the doc's fingerprint total, and
+    * the share permille. Docs sharing fewer than [[WinnowMinShared]]
+    * fingerprints with every foreign source are absent (no attribution
+    * is a finding, not a zero row).
+    *
+    * Scale shape: doc fingerprints arrive scan-local (~2/(w+1) gram
+    * density); source fingerprint SETS are one distinct projection;
+    * the attribution join is fp-keyed with fan-out bounded by
+    * Σ_fp df_doc(fp)·|sources(fp)| ≤ S·|fp rows| (hot boilerplate
+    * fingerprints are exactly what the family's dfCap drops when that
+    * bound bites); one keyed agg onto (doc, source) and a per-doc
+    * argmax window over at most S rows per doc. */
+  def winnowAttribution(spark: SparkSession, sfDir: String,
+                        bits: Int = DefaultHashBits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
+    val srcs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val docFps = fps.join(srcs, "doc_id")
+    val counts = docFps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val srcFps = docFps.select(col("source").as("attr_source"), col("fp")).distinct()
+    val shared = docFps.join(srcFps, Seq("fp"))
+      .filter(col("attr_source") =!= col("source"))
+      .groupBy("doc_id", "attr_source").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("attr_source").asc)
+    shared.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .join(counts, "doc_id")
+      .select(col("doc_id"), col("attr_source"), col("n_shared"), col("n_fp"),
+        expr("n_shared * 1000 div n_fp").as("share_permille"))
+      .orderBy("doc_id")
+  }
+
+  def winnowAttributionSql: String = {
+    val n = WinnowGramN; val w = WinnowWindow
+    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
+    s"""WITH toksl AS (
+       |  SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, source, unnest(range(len(t))) AS i, t FROM toksl),
+       |gram AS (
+       |  SELECT doc_id, source, i, ${shingleHashExpr("strpos", s"md5($gramExpr)")} AS gh
+       |  FROM pos WHERE i <= len(t) - $n),
+       |win AS (
+       |  SELECT doc_id, source, i,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS m
+       |  FROM gram),
+       |fps AS (SELECT DISTINCT doc_id, source, fp FROM win WHERE i <= greatest(0, m - $w)),
+       |counts AS (SELECT doc_id, cast(count(*) as bigint) AS n_fp FROM fps GROUP BY doc_id),
+       |src_fps AS (SELECT DISTINCT source AS attr_source, fp FROM fps),
+       |shared AS (
+       |  SELECT f.doc_id, s.attr_source, cast(count(*) as bigint) AS n_shared
+       |  FROM fps f JOIN src_fps s ON f.fp = s.fp AND s.attr_source != f.source
+       |  GROUP BY f.doc_id, s.attr_source
+       |  HAVING count(*) >= $WinnowMinShared),
+       |best AS (
+       |  SELECT doc_id, attr_source, n_shared,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, attr_source ASC) AS rk
+       |  FROM shared)
+       |SELECT b.doc_id, attr_source, n_shared, c.n_fp,
+       |  n_shared * 1000 // c.n_fp AS share_permille
+       |FROM best b JOIN counts c ON b.doc_id = c.doc_id
+       |WHERE rk = 1
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q146: cluster COHESION audit — the chaining-pathology report for
   // connected-component dedup. CC merges by REACHABILITY: A~B and B~C
   // put A and C in one cluster with no direct evidence they are

@@ -980,4 +980,71 @@ class Round9OpsSpec extends SparkSpec {
     val diag = got(("twinA", "twinA"))
     assert(math.abs(crossTwin - diag) < 2000L, s"twin cross $crossTwin vs diag $diag")
   }
+
+  // ---------------------------------------------------------------- q163
+
+  /** Pure-Scala winnowing fingerprints (the q128 kernel re-derived). */
+  private def refWinnowFps(t: Array[String]): Set[Long] = {
+    val n = graft.ops.Dedup.WinnowGramN; val w = graft.ops.Dedup.WinnowWindow
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = t.length - n + 1
+    if (m <= 0) Set.empty
+    else {
+      val h = (0 until m).map { i =>
+        val d = md.digest(t.slice(i, i + n).mkString(" ")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+          ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      }.toArray
+      (0 to math.max(0, m - w)).map { s =>
+        h.slice(s, math.min(s + w, m)).min
+      }.toSet
+    }
+  }
+
+  test("q163: attribution matches an independent fingerprint recompute at sf0.001") {
+    val minShared = graft.ops.Dedup.WinnowMinShared
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val fps = docs.map { case (id, s, t) => (id, s, refWinnowFps(toks(t))) }
+    val bySource = fps.groupBy(_._2).map { case (s, v) => s -> v.flatMap(_._3).toSet }
+    val expected = fps.flatMap { case (id, s, f) =>
+      val cands = bySource.keys.filter(_ != s).map { os =>
+        (os, f.count(bySource(os)).toLong)
+      }.filter(_._2 >= minShared).toSeq
+      if (cands.isEmpty || f.isEmpty) None
+      else {
+        val (best, n) = cands.minBy { case (os, c) => (-c, os) }
+        Some((id, best, n, f.size.toLong, n * 1000L / f.size))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.Dedup.winnowAttribution(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("attr_source"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("n_fp"),
+        r.getAs[Long]("share_permille"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q163: a copied paragraph attributes to its origin source; a unique doc is absent") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q163-planted")
+    val para = (0 until 40).map(i => s"org$i").mkString(" ")
+    Seq(
+      (0L, para, "en", "origin", 1L),
+      // the copier quotes the paragraph after its own intro
+      (1L, s"own0 own1 own2 $para", "en", "copier", 1L),
+      (2L, (0 until 40).map(i => s"uni$i").mkString(" "), "en", "loner", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.winnowAttribution(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("attr_source"),
+        r.getAs[Long]("share_permille"))).toSeq
+    val copier = got.find(_._1 == 1L).get
+    assert(copier._2 == "origin" && copier._3 > 500L,
+      s"the quoted paragraph dominates the copier's fingerprints: $copier")
+    assert(!got.exists(_._1 == 2L), "a content-unique doc gets no attribution")
+  }
 }
