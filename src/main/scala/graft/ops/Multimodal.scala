@@ -539,7 +539,7 @@ object Multimodal {
     * every energy by the same factor and preserves each comparison —
     * the Haitsma-Kalker invariance, shared verbatim by the stub and
     * real-PCM paths so they cannot drift. */
-  private[ops] def envelopeSigOf(e: Array[Long]): Long = {
+  private[graft] def envelopeSigOf(e: Array[Long]): Long = {
     var h = 0L
     var k = 0
     while (k < AudioWindows - 1) {

@@ -22,6 +22,108 @@ class PropertySpec extends AnyFunSuite {
   private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
     forAll(for { a <- ga; b <- gb } yield (a, b)) { case (a, b) => f(a, b) }
 
+  // ------------------------------------------------------------ round-6 kernels
+
+  /** The q145 equivalence THEOREM the operator's gram-island
+    * formulation rests on: two sequences share a maximal verbatim run
+    * of length L >= n iff they share L-n+1 n-grams at consecutive
+    * positions on one alignment diagonal. Checked by computing maximal
+    * runs both ways — LCS dynamic programming over raw token equality
+    * vs diagonal islands over gram matches — on random small-alphabet
+    * sequences (small alphabet forces dense accidental overlaps, the
+    * hard case). */
+  test("q145 theorem: gram-diagonal islands == LCS-DP maximal runs on random sequences") {
+    val n = graft.ops.Dedup.DupSpanN
+    val tokGen = Gen.chooseNum(n, 50).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(0, 5).map(i => s"w$i")).map(_.toArray))
+    def dpMaxRuns(a: Array[String], b: Array[String], minRun: Int): Seq[Int] = {
+      val runs = scala.collection.mutable.ListBuffer.empty[Int]
+      val prev = new Array[Int](b.length + 1)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- a.indices) {
+        for (j <- b.indices) {
+          cur(j + 1) = if (a(i) == b(j)) prev(j) + 1 else 0
+          if (cur(j + 1) >= minRun &&
+            (i == a.length - 1 || j == b.length - 1 || a(i + 1) != b(j + 1)))
+            runs += cur(j + 1)
+        }
+        System.arraycopy(cur, 0, prev, 0, cur.length)
+        java.util.Arrays.fill(cur, 0)
+      }
+      runs.toSeq.sorted
+    }
+    def islandRuns(a: Array[String], b: Array[String], minRun: Int): Seq[Int] = {
+      def grams(t: Array[String]) =
+        (0 to t.length - n).map(i => (t.slice(i, i + n).mkString(" "), i))
+      val byGram = grams(b).groupBy(_._1)
+      val matches = grams(a).flatMap { case (g, pa) =>
+        byGram.getOrElse(g, Nil).map { case (_, pb) => (pa - pb, pa) }
+      }
+      matches.groupBy(_._1).toSeq.flatMap { case (_, ms) =>
+        val ps = ms.map(_._2).sorted
+        // islands of consecutive positions
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (Nil, p) => List(List(p))
+          case (h :: t, p) if p == h.head + 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(_.length + n - 1).filter(_ >= minRun)
+      }.sorted
+    }
+    forAll(for { a <- tokGen; b <- tokGen } yield (a, b)) { case (a, b) =>
+      for (minRun <- Seq(n, n + 3, 12)) {
+        assert(islandRuns(a, b, minRun) == dpMaxRuns(a, b, minRun),
+          s"minRun=$minRun a=${a.mkString(" ")} b=${b.mkString(" ")}")
+      }
+    }
+  }
+
+  /** The q151 invariance THEOREM (Haitsma & Kalker 2002): the sign of
+    * adjacent-window energy differences is invariant under any exact
+    * positive integer gain — k·a > k·b iff a > b. */
+  test("q151 theorem: envelope fingerprint is invariant under exact integer gain") {
+    val envGen = Gen.listOfN(graft.ops.Multimodal.AudioWindows,
+      Gen.chooseNum(0L, 100000L)).map(_.toArray)
+    forAll(for { e <- envGen; k <- Gen.oneOf(2L, 3L, 7L, 1000L) } yield (e, k)) {
+      case (e, k) =>
+        assert(graft.ops.Multimodal.envelopeSigOf(e.map(_ * k)) ==
+          graft.ops.Multimodal.envelopeSigOf(e))
+    }
+  }
+
+  /** The q128/q163 winnowing GUARANTEE (Schleimer et al. 2003 thm): any
+    * shared token run of length >= w+n-1 yields at least one shared
+    * fingerprint, whatever the surrounding context — checked with the
+    * shared run planted at random offsets inside random contexts. */
+  test("q128 theorem: a w+n-1-token shared run always shares a fingerprint") {
+    val n = graft.ops.Dedup.WinnowGramN; val w = graft.ops.Dedup.WinnowWindow
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fps(t: Array[String]): Set[Long] = {
+      val m = t.length - n + 1
+      if (m <= 0) Set.empty
+      else {
+        val h = (0 until m).map { i =>
+          val d = md.digest(t.slice(i, i + n).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+            ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        }.toArray
+        (0 to math.max(0, m - w)).map(s => h.slice(s, math.min(s + w, m)).min).toSet
+      }
+    }
+    val ctxGen = Gen.chooseNum(0, 20).flatMap(len =>
+      Gen.listOfN(len, Gen.identifier.map(_.take(8))).map(_.toArray))
+    val runGen = Gen.listOfN(w + n - 1, Gen.identifier.map("r" + _.take(8))).map(_.toArray)
+    forAll(for { c1 <- ctxGen; c2 <- ctxGen; c3 <- ctxGen; c4 <- ctxGen; r <- runGen }
+      yield (c1, c2, c3, c4, r)) { case (c1, c2, c3, c4, r) =>
+      val a = c1 ++ r ++ c2
+      val b = c3 ++ r ++ c4
+      assert((fps(a) & fps(b)).nonEmpty,
+        s"a ${a.length} toks, b ${b.length} toks must share a fingerprint")
+    }
+  }
+
   private val textGen: Gen[String] = Gen.chooseNum(0, 50).flatMap { n =>
     Gen.listOfN(n,
       Gen.oneOf(
