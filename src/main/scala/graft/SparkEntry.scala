@@ -196,7 +196,10 @@ object SparkEntry {
     "q160_nprobe_sweep"     -> Similarity.nprobeSweep _,
     "q161_training_triplets" -> ((s: SparkSession, d: String) => Hybrid.trainingTriplets(s, d, Dedup.OracleHashBits)),
     "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrix _,
-    "q163_winnow_attribution" -> ((s: SparkSession, d: String) => Dedup.winnowAttribution(s, d, Dedup.OracleHashBits))
+    "q163_winnow_attribution" -> ((s: SparkSession, d: String) => Dedup.winnowAttribution(s, d, Dedup.OracleHashBits)),
+    // the streaming replay is row-identical to batch q156 by shared
+    // core, so it shares q156's oracle (the q119/q142 discipline)
+    "q164_stream_entropy"   -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.entropyStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -434,6 +437,7 @@ object SparkEntry {
     "q160_nprobe_sweep"     -> Similarity.nprobeSweepSql,
     "q161_training_triplets" -> Hybrid.trainingTripletsSql,
     "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrixSql,
-    "q163_winnow_attribution" -> Dedup.winnowAttributionSql
+    "q163_winnow_attribution" -> Dedup.winnowAttributionSql,
+    "q164_stream_entropy"   -> TextAnalytics.byteEntropySql
   )
 }

@@ -830,10 +830,19 @@ object TextAnalytics {
     * mapPartitions pass — a doc's bytes live in one row, so the
     * histogram is a local 256-slot fill and the operator is pure scan
     * work with no shuffle but the presentation sort. */
-  def byteEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+  def byteEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    byteEntropyCore(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** The q156 row-level projection over an arbitrary (doc_id, text)
+    * frame — the seam the batch report and the streaming twin (q164)
+    * share, so screen-at-ingest cannot drift from the oracle-checked
+    * batch. Stateless scan work: safe per micro-batch by
+    * construction (the piiRedactCore discipline). */
+  private[graft] def byteEntropyCore(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
     def bl(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -851,7 +860,6 @@ object TextAnalytics {
         }
       }
       .toDF("doc_id", "n_bytes", "distinct_bytes", "entropy_milli_bits")
-      .orderBy("doc_id")
   }
 
   def byteEntropySql: String =

@@ -287,6 +287,44 @@ object DedupStream {
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 
+  private val entropyCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q164: STREAMING byte-entropy screen — q156's encoding-level junk
+    * gate applied as the crawl lands, where it belongs operationally:
+    * a mislabeled binary/compressed payload should be quarantined
+    * BEFORE tokenization, storage formatting, or any downstream stage
+    * touches it, and entropy is the one signal that needs no corpus
+    * state at all. Each micro-batch runs the SAME row-level
+    * `byteEntropyCore` projection as the batch report — shared code,
+    * stateless, nothing checkpointed but source offsets — so the
+    * replay is row-identical to batch q156 and one oracle serves both.
+    * With q111 (quality gate), q112 (decontam screen), q119 (PII
+    * redact), and q142 (drift), this completes the ingest front door:
+    * every batch screen the engine ships now has its at-ingest form. */
+  def entropyStream(spark: org.apache.spark.sql.SparkSession,
+                    sfDir: String): org.apache.spark.sql.DataFrame = {
+    val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    val run = entropyCounter.incrementAndGet()
+    val outDir = StreamScratch.dir(s"graft_entropy_$run")
+    val ckDir = StreamScratch.dir(s"graft_entropy_ck_$run")
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select("doc_id", "text")
+    val q = stream.writeStream
+      .queryName(s"graft_entropy_$run")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.TextAnalytics.byteEntropyCore(batch)
+          .coalesce(1).write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   def gateStream(spark: org.apache.spark.sql.SparkSession,
                  sfDir: String): org.apache.spark.sql.DataFrame = {
     val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")

@@ -1047,4 +1047,15 @@ class Round9OpsSpec extends SparkSpec {
       s"the quoted paragraph dominates the copier's fingerprints: $copier")
     assert(!got.exists(_._1 == 2L), "a content-unique doc gets no attribution")
   }
+
+  // ---------------------------------------------------------------- q164
+
+  test("q164: the streaming entropy screen replays row-identical to batch q156") {
+    val batch = graft.ops.TextAnalytics.byteEntropy(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    val streamed = graft.streaming.DedupStream.entropyStream(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
