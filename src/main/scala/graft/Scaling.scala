@@ -72,6 +72,9 @@ object Scaling {
     // times a blowup — replicas share nothing, so the union edge set
     // stays linear in the factor
     "q155_consensus_clusters" -> ((s, d) => graft.ops.Dedup.consensusClusters(s, d, graft.ops.Dedup.OracleHashBits)),
+    // fp-keyed attribution join: replicas share no fingerprints, so the
+    // S-bounded fan-out and the report both stay linear in the factor
+    "q163_winnow_attribution" -> ((s, d) => graft.ops.Dedup.winnowAttribution(s, d, graft.ops.Dedup.OracleHashBits)),
     "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)),
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81
