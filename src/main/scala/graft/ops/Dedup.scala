@@ -3131,7 +3131,7 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
-  // q146: maximal shared token-run pairs — the PAIR-EXTENT artifact of
+  // q145: maximal shared token-run pairs — the PAIR-EXTENT artifact of
   // exact-substring dedup (Lee et al. 2021, "Deduplicating Training
   // Data Makes Language Models Better"). q65 reports each doc's
   // duplicated-span RATIO and q115 cuts the spans; this reports, per
@@ -3184,7 +3184,7 @@ object Dedup {
       .toDF("doc_id", "pos", "gh")
   }
 
-  /** q146: per-pair maximal shared token runs. One row per unordered
+  /** q145: per-pair maximal shared token runs. One row per unordered
     * doc pair whose longest verbatim shared run reaches
     * [[SharedRunMinTokens]]: `max_run_tokens` (longest run),
     * `n_runs` (maximal runs at or above the floor), `run_token_mass`

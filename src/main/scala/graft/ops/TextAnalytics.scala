@@ -742,11 +742,13 @@ object TextAnalytics {
     * the independence baseline (N * c_ab ~ c_a * c_b), which is itself
     * the diagnostic — a corpus WITHOUT collocations is shuffled or
     * generated text (the q122 signal, read from the other side).
-    * Reported as exact micro units: score_micro = (c_ab - delta) * N *
-    * 1e6 div (c_a * c_b) — fully integer, hash-stable; the
-    * (c_ab-delta)*N*1e6 product is exact to N ~ 3e6 tokens in i64 and
-    * the web-scale form divides by c_a first (stated, not needed at
-    * driver SFs).
+    * Reported as exact micro units, in the web-scale evaluation
+    * order: score_micro = ((c_ab - delta) * 1e6 div c_a) * N div c_b
+    * — fully integer, hash-stable, and overflow-safe to N ~ 9.2e12
+    * tokens (~40 TB of text): the first factor is a ratio <= 1e6
+    * (c_ab <= c_a by construction), so the product with N stays in
+    * i64 until N itself nears 2^63/1e6. The earlier
+    * (c_ab-delta)*N*1e6 form silently wrapped past ~3e6 tokens.
     *
     * Scale shape: per-doc unigram and bigram counts collapse at scan
     * speed (tfRows/bigramTfRows — token occurrences never shuffle);
@@ -765,7 +767,7 @@ object TextAnalytics {
       .join(cf.select(col("tok").as("w2"), col("cf").as("c_b")), "w2")
       .crossJoin(broadcast(n))
       .withColumn("score_micro",
-        expr(s"(c_ab - $PhraseDelta) * n_tokens * 1000000 div (c_a * c_b)"))
+        expr(s"((c_ab - $PhraseDelta) * 1000000 div c_a) * n_tokens div c_b"))
       .select("w1", "w2", "c_a", "c_b", "c_ab", "score_micro")
       .orderBy(col("score_micro").desc, col("w1"), col("w2"))
       .limit(PhraseTopK)
@@ -785,7 +787,7 @@ object TextAnalytics {
        |  GROUP BY w1, w2
        |  HAVING count(*) > $PhraseDelta)
        |SELECT w1, w2, ca.cf AS c_a, cb.cf AS c_b, c_ab,
-       |  (c_ab - $PhraseDelta) * n_tokens * 1000000 // (ca.cf * cb.cf) AS score_micro
+       |  ((c_ab - $PhraseDelta) * 1000000 // ca.cf) * n_tokens // cb.cf AS score_micro
        |FROM bf
        |JOIN cf ca ON ca.tok = w1
        |JOIN cf cb ON cb.tok = w2
@@ -829,7 +831,15 @@ object TextAnalytics {
     * per byte. Everything is computed per document inside one
     * mapPartitions pass — a doc's bytes live in one row, so the
     * histogram is a local 256-slot fill and the operator is pure scan
-    * work with no shuffle but the presentation sort. */
+    * work with no shuffle but the presentation sort.
+    *
+    * Oracle-parity assumption, stated: [[byteEntropySql]] histograms
+    * CHARACTERS via `ascii(substring(...))` while this side histograms
+    * UTF-8 BYTES — identical only on an ASCII corpus (true of the
+    * synthetic tables; a multi-byte corpus would need a byte-level
+    * oracle). The empty-text case IS guarded on both sides: Spark
+    * emits (0, 0, 0) and the SQL left-joins documents back so an
+    * empty doc yields the same (0, 0, 0) row instead of vanishing. */
   def byteEntropy(spark: SparkSession, sfDir: String): DataFrame =
     byteEntropyCore(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
@@ -866,12 +876,17 @@ object TextAnalytics {
     """WITH ch AS (
       |  SELECT doc_id, length(text) AS n, ascii(substring(text, i+1, 1)) AS b
       |  FROM documents, unnest(range(length(text))) AS t(i)),
-      |hist AS (SELECT doc_id, n, b, cast(count(*) as bigint) AS c FROM ch GROUP BY 1, 2, 3)
-      |SELECT doc_id, cast(n as bigint) AS n_bytes,
-      |  cast(count(*) as bigint) AS distinct_bytes,
-      |  cast(sum(c * (length(bin(cast(n as bigint))) - length(bin(c)))) as bigint) * 1000 // n AS entropy_milli_bits
-      |FROM hist GROUP BY doc_id, n
-      |ORDER BY doc_id""".stripMargin
+      |hist AS (SELECT doc_id, n, b, cast(count(*) as bigint) AS c FROM ch GROUP BY 1, 2, 3),
+      |ent AS (
+      |  SELECT doc_id, cast(n as bigint) AS n_bytes,
+      |    cast(count(*) as bigint) AS distinct_bytes,
+      |    cast(sum(c * (length(bin(cast(n as bigint))) - length(bin(c)))) as bigint) * 1000 // n AS entropy_milli_bits
+      |  FROM hist GROUP BY doc_id, n)
+      |SELECT d.doc_id, cast(coalesce(e.n_bytes, 0) as bigint) AS n_bytes,
+      |  cast(coalesce(e.distinct_bytes, 0) as bigint) AS distinct_bytes,
+      |  cast(coalesce(e.entropy_milli_bits, 0) as bigint) AS entropy_milli_bits
+      |FROM documents d LEFT JOIN ent e ON e.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q157: small-cell suppression audit — the k-anonymity-style check a
@@ -922,7 +937,6 @@ object TextAnalytics {
   private val postingsIndexes =
     new java.util.concurrent.ConcurrentHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]]()
-  private val postingsEpoch = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Build half (untimed, session-cached — the q41/q81 discipline):
     * writes `postings/` = (doc_id, dl, tf) PARTITIONED BY term (the
@@ -933,7 +947,10 @@ object TextAnalytics {
     postingsIndexes
       .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
       .computeIfAbsent(sfDir, _ => {
-        val path = s"/tmp/graft_postings_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_${postingsEpoch.incrementAndGet()}"
+        // deterministic per-corpus path: mode("overwrite") below makes an
+        // epoch suffix redundant, and a fixed path means repeated sessions
+        // replace the artifact instead of accumulating orphaned copies
+        val path = s"/tmp/graft_postings_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
         val docs = Tables.documents(spark, sfDir)
         val toks = tokens(col("text"))
         val postings = docs

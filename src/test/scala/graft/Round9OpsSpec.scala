@@ -300,7 +300,7 @@ class Round9OpsSpec extends SparkSpec {
     }
     val n = cf.values.sum
     val expected = bf.toSeq.filter(_._2 > delta).map { case ((a, b), cab) =>
-      (a, b, cf(a), cf(b), cab, (cab - delta) * n * 1000000L / (cf(a) * cf(b)))
+      (a, b, cf(a), cf(b), cab, ((cab - delta) * 1000000L / cf(a)) * n / cf(b))
     }.sortBy { case (a, b, _, _, _, s) => (-s, a, b) }
       .take(graft.ops.TextAnalytics.PhraseTopK)
     val got = graft.ops.TextAnalytics.phraseScores(spark, sf0001).collect()
@@ -328,7 +328,7 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.head._1 == "new" && got.head._2 == "york",
       s"the always-adjacent pair must top the table: ${got.take(3).mkString(";")}")
     // perfect collocation: c_ab = c_a = c_b = 12, N = 120 ->
-    // score = (12-5)*120*1e6/144 = 5.833e6; independence baseline ~ N*1e6/c
+    // score = ((12-5)*1e6/12)*120/12 = 5833330; independence baseline ~ N*1e6/c
     val others = got.tail
     assert(others.forall(_._3 < got.head._3))
   }
