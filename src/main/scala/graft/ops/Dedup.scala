@@ -1970,14 +1970,22 @@ object Dedup {
     * through shared connected components, so "what counts as a
     * duplicate" cannot drift between the decisions built on it. */
   private[graft] def dedupGraphEdges(spark: SparkSession, sfDir: String,
-                                     bits: Int = DefaultHashBits): DataFrame = {
+                                     bits: Int = DefaultHashBits): DataFrame =
+    exactDupEdges(spark, sfDir)
+      .unionAll(minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
+
+  /** The exact-duplicate arm of [[dedupGraphEdges]] on its own: one
+    * content-hash aggregation linking every byte-identical copy to its
+    * group's minimum doc_id. Split out so the persisted dedup-graph
+    * build ([[saveDedupGraph]]) can write it as a standalone
+    * projection. */
+  private[graft] def exactDupEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
     val minPerHash = docs.groupBy("h").agg(min("doc_id").as("root"))
-    val exactEdges = docs.join(minPerHash, "h")
+    docs.join(minPerHash, "h")
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
-    exactEdges.unionAll(minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
   }
 
   /** Shared DuckDB CTE block mirroring [[dedupGraphEdges]] +
@@ -2005,19 +2013,31 @@ object Dedup {
        |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
 
   private[graft] def survivorFlags(spark: SparkSession, sfDir: String,
-                                   bits: Int = DefaultHashBits): DataFrame = {
+                                   bits: Int = DefaultHashBits): DataFrame =
+    survivorFlagsWith(spark, sfDir,
+      starComponents(dedupGraphEdges(spark, sfDir, bits)))
+
+  /** [[survivorFlags]] against an EXTERNAL (node, label) component
+    * table — the seam the persisted dedup-graph serving path shares
+    * with the inline form, so "who survives" cannot drift between the
+    * recompute and the artifact read. */
+  private[graft] def survivorFlagsWith(spark: SparkSession, sfDir: String,
+                                       comp: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
-    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
     docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("kept", col("doc_id") === coalesce(col("label"), col("doc_id")))
       .select("doc_id", "source", "n_tokens", "kept")
   }
 
   def dedupSurvivors(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits): DataFrame = {
-    survivorFlags(spark, sfDir, bits)
+                     bits: Int = DefaultHashBits): DataFrame =
+    dedupSurvivorsOf(survivorFlags(spark, sfDir, bits))
+
+  /** The q74 aggregation over any per-doc survivor-flag frame. */
+  private def dedupSurvivorsOf(flags: DataFrame): DataFrame = {
+    flags
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2070,12 +2090,19 @@ object Dedup {
     * take a struct key; the oracle only needs semantics, not the
     * scale plan). */
   def qualitySurvivors(spark: SparkSession, sfDir: String,
-                       bits: Int = DefaultHashBits): DataFrame = {
+                       bits: Int = DefaultHashBits): DataFrame =
+    qualitySurvivorsWith(spark, sfDir,
+      starComponents(dedupGraphEdges(spark, sfDir, bits)))
+
+  /** q106 over an external (node, label) component table (the
+    * persisted-graph serving seam). */
+  private[graft] def qualitySurvivorsWith(spark: SparkSession, sfDir: String,
+                                          compIn: DataFrame): DataFrame = {
     val qd = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
         TextAnalytics.qualityCol(col("text"), col("t")).as("q"))
-    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
+    val comp = compIn
       .withColumnRenamed("node", "doc_id")
       .withColumnRenamed("label", "cluster")
     // struct ordering is lexicographic: max over (q, -doc_id) == the
@@ -2141,7 +2168,14 @@ object Dedup {
     * doc_id (sized by the duplicate count); the report is one agg onto
     * ≤10 bands. */
   def qualityDupAudit(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits): DataFrame = {
+                      bits: Int = DefaultHashBits): DataFrame =
+    qualityDupAuditWith(spark, sfDir,
+      starComponents(dedupGraphEdges(spark, sfDir, bits)))
+
+  /** q133 over an external (node, label) component table (the
+    * persisted-graph serving seam). */
+  private[graft] def qualityDupAuditWith(spark: SparkSession, sfDir: String,
+                                         compIn: DataFrame): DataFrame = {
     val qd = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
       .select(col("doc_id"),
@@ -2149,7 +2183,7 @@ object Dedup {
         size(col("t")).cast("long").as("n_tokens"))
       .withColumn("bucket",
         least(floor(col("q") * lit(10.0)).cast("long"), lit(9L)))
-    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
+    val comp = compIn
       .withColumnRenamed("node", "doc_id")
       .select(col("doc_id"), lit(true).as("in_dup"))
     qd.join(comp, Seq("doc_id"), "left")
@@ -2224,13 +2258,19 @@ object Dedup {
     * across partitionings (addition of longs commutes; no float
     * accumulation order risk). */
   def pagerankIter(spark: SparkSession, sfDir: String,
-                   bits: Int = DefaultHashBits): DataFrame = {
+                   bits: Int = DefaultHashBits): DataFrame =
     // truncate before the union: both union branches read the pair
     // table, and an unmaterialized plan would re-run the LSH self-join
     // once per branch (measured 2x the query at sf0.1)
-    val pairs = Materialize.tracked(spark,
+    pagerankIterWith(spark, Materialize.tracked(spark,
       minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
+
+  /** q93 over an external verified (doc_a, doc_b) pair relation (the
+    * persisted-graph serving seam — an artifact scan is cheap per
+    * branch, so the serving caller skips the checkpoint). */
+  private[graft] def pagerankIterWith(spark: SparkSession,
+                                      pairs: DataFrame): DataFrame = {
     val edges = pairs.union(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
@@ -2691,7 +2731,14 @@ object Dedup {
   }
 
   def clusterSplit(spark: SparkSession, sfDir: String,
-                   bits: Int = DefaultHashBits): DataFrame = {
+                   bits: Int = DefaultHashBits): DataFrame =
+    clusterSplitWith(spark, sfDir,
+      starComponents(dedupGraphEdges(spark, sfDir, bits)))
+
+  /** q91 over an external (node, label) component table (the
+    * persisted-graph serving seam). */
+  private[graft] def clusterSplitWith(spark: SparkSession, sfDir: String,
+                                      comp: DataFrame): DataFrame = {
     def hash32(colName: String): org.apache.spark.sql.Column =
       graft.core.Hash32.column(s"md5(cast($colName as string))")
     def splitOf(bucket: org.apache.spark.sql.Column) =
@@ -2699,7 +2746,6 @@ object Dedup {
         .when(bucket < Sampling.TrainPct + Sampling.ValPct, "val")
         .otherwise("test")
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-    val comp = starComponents(dedupGraphEdges(spark, sfDir, bits))
     docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .withColumn("root", coalesce(col("label"), col("doc_id")))
       .withColumn("split", splitOf(pmod(hash32("root"), lit(100L))))
@@ -3386,7 +3432,16 @@ object Dedup {
           >= Consts.MinhashJaccardThreshold)
         .withColumn("jacc_permille", expr("inter * 1000 div uni"))
         .select(col("doc_a"), col("doc_b"), col("jacc_permille")))
-    val labels = starComponents(pairs.select(col("doc_a"), col("doc_b")))
+    clusterCohesionWith(pairs,
+      starComponents(pairs.select(col("doc_a"), col("doc_b"))))
+  }
+
+  /** q146 over an external (doc_a, doc_b, jacc_permille) verified pair
+    * relation + its PAIR-graph component labels (the persisted-graph
+    * serving seam — the artifact keeps inter/uni so jacc_permille is
+    * the same exact integer division). */
+  private[graft] def clusterCohesionWith(pairs: DataFrame,
+                                         labels: DataFrame): DataFrame = {
     val members = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
     val edges = pairs
@@ -3596,8 +3651,15 @@ object Dedup {
     val win = winnowPairs(spark, sfDir, bits)
       .select(col("doc_a"), col("doc_b"), lit("winnow").as("signal"))
     val edges = Materialize.shared(spark, mh.unionAll(runs).unionAll(win))
-    val pairs = edges.select("doc_a", "doc_b").distinct()
-    val labels = starComponents(pairs)
+    consensusReport(edges, starComponents(edges.select("doc_a", "doc_b").distinct()))
+  }
+
+  /** The q155 report over any tagged edge relation + its component
+    * labels — the seam the inline recompute and the persisted-graph
+    * serving path share, so the consensus verdicts cannot drift
+    * between the two. `labels` must cover every node of `edges`
+    * (starComponents over the same distinct pair set guarantees it). */
+  private[graft] def consensusReport(edges: DataFrame, labels: DataFrame): DataFrame = {
     val tagged = edges
       .join(labels.select(col("node").as("doc_a"), col("label").as("cluster_id")), "doc_a")
     val perPair = tagged.groupBy("cluster_id", "doc_a", "doc_b")
@@ -3683,9 +3745,20 @@ object Dedup {
     * no loop-carried lineage growth at this fixed unrolled depth); a
     * node's neighbor pick is O(1) through the (node, idx) key. */
   def dupGraphWalks(spark: SparkSession, sfDir: String,
-                    bits: Int = DefaultHashBits): DataFrame = {
+                    bits: Int = DefaultHashBits): DataFrame =
+    walksOverPairs(spark, minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
+
+  /** The q158 walker over any (doc_a, doc_b) pair relation — the seam
+    * the inline recompute and the persisted-graph serving path share.
+    * Every step is hash-derived from (start, cur, step), so the walk
+    * corpus depends only on the pair SET, never on row order or which
+    * engine materialized it. (Measured: the per-step checkpoint
+    * barriers stay ON even for the cheap artifact-scan source — the
+    * step cost is per-plan codegen/scheduling floor, not source
+    * re-execution, and un-checkpointed branch re-runs measured
+    * slightly slower at sf0.1.) */
+  private[graft] def walksOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
     val sym = Materialize.shared(spark,
       pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("node", "nbr"))
     val adj = sym.withColumn("idx",
@@ -3759,9 +3832,16 @@ object Dedup {
     * join of the corpus's doc_id projection against the cluster
     * labels plus a cluster-sized size join. */
   def dupLossWeights(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits): DataFrame = {
-    val pairs = minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
-    val labels = starComponents(pairs)
+                     bits: Int = DefaultHashBits): DataFrame =
+    dupLossWeightsWith(spark, sfDir, starComponents(
+      minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")))
+
+  /** q159 over an external (node, label) component table for the
+    * PAIR-ONLY graph (the persisted-graph serving seam; note q159's
+    * graph is verified minhash pairs without the exact-dup arm —
+    * pair_cc/, not cc/). */
+  private[graft] def dupLossWeightsWith(spark: SparkSession, sfDir: String,
+                                        labels: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     val tagged = docs
       .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -3813,11 +3893,17 @@ object Dedup {
     * pairs. */
   def crossSourceMatrix(spark: SparkSession, sfDir: String,
                         bits: Int = DefaultHashBits,
-                        bandCap: Option[Int] = None): DataFrame = {
-    val pairs = candidateOverlap(spark, sfDir, bits, bandCap)
-      .filter(col("inter").cast("double") / col("uni").cast("double")
-        >= Consts.MinhashJaccardThreshold)
-      .select("doc_a", "doc_b")
+                        bandCap: Option[Int] = None): DataFrame =
+    crossSourceMatrixWith(spark, sfDir,
+      candidateOverlap(spark, sfDir, bits, bandCap)
+        .filter(col("inter").cast("double") / col("uni").cast("double")
+          >= Consts.MinhashJaccardThreshold)
+        .select("doc_a", "doc_b"))
+
+  /** q152 over an external verified (doc_a, doc_b) pair relation (the
+    * persisted-graph serving seam). */
+  private[graft] def crossSourceMatrixWith(spark: SparkSession, sfDir: String,
+                                           pairs: DataFrame): DataFrame = {
     val srcs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
     val tagged = pairs
       .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
@@ -3866,4 +3952,270 @@ object Dedup {
        |  abs(cast(sum((simhash >> bit) & 1) as bigint) * 1000 // count(*) - 500) AS bias_permille
        |FROM b GROUP BY bit
        |ORDER BY bit""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Persisted dedup GRAPH — the q105/q153 build/serve discipline
+  // applied to the PAIR LIST itself. Eleven consumer reports
+  // (survivorship, splits, weights, walks, consensus, ...) are built
+  // on the verified near-dup relation; recomputing full-corpus
+  // candidate generation inside every one of them is the dominant
+  // operational cost of a dedup-graph consumer at 100 TB. The graph is
+  // computed ONCE per corpus snapshot and persisted; every report is
+  // then an artifact read (the persisted generalization of the
+  // reference's build/search split, ann.rs:252-268, carried from the
+  // admission index to the graph the reports consume). Layout:
+  //   path/pairs/bucket=<k>/    (doc_a, doc_b, inter, uni, jaccard)  verified q14 pairs
+  //   path/signals/signal=<s>/  (doc_a, doc_b)           3-detector tagged edges
+  //   path/exact/               (doc_a, doc_b)           exact-hash edges
+  //   path/cc/                  (node, label)            CC over exact ∪ minhash
+  //   path/pair_cc/             (node, label)            CC over minhash pairs only
+  //   path/consensus_cc/        (node, label)            CC over the 3-signal pairs
+  // pairs/ keeps the integer (inter, uni) overlap alongside the double
+  // jaccard so integer-exact consumers (q146's jacc_permille) stay
+  // bit-identical through the artifact. THREE label tables because the
+  // consumer families resolve DIFFERENT graphs: survivorship/split/
+  // audit merge on exact ∪ verified-minhash edges (the q49/q74
+  // contract), weights/cohesion cluster the pair list alone, and the
+  // consensus report clusters the union of all three detectors.
+  // Storing each keeps every served report bit-identical to its
+  // inline oracle.
+  // -------------------------------------------------------------------
+
+  /** pairs/ partition fan: doc_a mod this many hive buckets. The
+    * value is layout parallelism (concurrent readers/writers per
+    * bucket dir), not pruning — consumers read the whole answer-sized
+    * relation. */
+  val GraphPairBuckets = 16L
+
+  /** Write the dedup-graph artifact for `sfDir`'s corpus. Build-time
+    * caps (`bandCap` for LSH hot buckets, `dfCap` for the gram/
+    * fingerprint inverted indexes) freeze into the artifact the same
+    * way [[saveDedupIndex]]'s do: every serving job inherits the
+    * bounded relation without re-deciding. Defaults uncapped — the
+    * oracle-checked configuration. Each projection is written once
+    * and downstream projections READ BACK the persisted form (pairs
+    * feed signals and cc from parquet, not from a re-run detector),
+    * so the three detectors run exactly once per build. */
+  def saveDedupGraph(spark: SparkSession, sfDir: String, path: String,
+                     bits: Int = DefaultHashBits,
+                     bandCap: Option[Int] = None,
+                     dfCap: Option[Int] = None): Unit = {
+    candidateOverlap(spark, sfDir, bits, bandCap)
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= Consts.MinhashJaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
+      .withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/pairs")
+    val mh = loadGraphPairs(spark, path).select("doc_a", "doc_b")
+    sharedRunPairs(spark, sfDir, bits, dfCap)
+      .select(col("doc_a"), col("doc_b"), lit("runs").as("signal"))
+      .unionAll(winnowPairs(spark, sfDir, bits, dfCap)
+        .select(col("doc_a"), col("doc_b"), lit("winnow").as("signal")))
+      .unionAll(mh.withColumn("signal", lit("minhash")))
+      .write.mode("overwrite").partitionBy("signal").parquet(s"$path/signals")
+    exactDupEdges(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$path/exact")
+    starComponents(spark.read.parquet(s"$path/exact").unionAll(mh))
+      .write.mode("overwrite").parquet(s"$path/cc")
+    starComponents(mh)
+      .write.mode("overwrite").parquet(s"$path/pair_cc")
+    starComponents(loadGraphSignals(spark, path)
+        .select("doc_a", "doc_b").distinct())
+      .write.mode("overwrite").parquet(s"$path/consensus_cc")
+  }
+
+  /** The verified pair list from an artifact (bucket partition column
+    * dropped — it is layout, not data). */
+  def loadGraphPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs")
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+
+  /** The tagged 3-detector edge relation from an artifact. `signal`
+    * comes back as a hive partition column; the cast pins it to the
+    * string the in-memory union emits. */
+  def loadGraphSignals(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/signals")
+      .select(col("doc_a"), col("doc_b"), col("signal").cast("string").as("signal"))
+
+  private val dedupGraphs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** JVM-lifetime artifact build (the q41/q81/q105 discipline: the
+    * graph WRITE is the untimed build half; the timed consumer query
+    * is the serving read). Keyed like `dedupIndexes`: the cached value
+    * is an on-disk path any session can read. */
+  def preparedDedupGraph(spark: SparkSession, sfDir: String,
+                         bits: Int = DefaultHashBits): String =
+    dedupGraphs.computeIfAbsent((sfDir, bits), _ => {
+      val path = graft.streaming.StreamScratch.dir(s"graft_dedupgraph_b$bits")
+      saveDedupGraph(spark, sfDir, path, bits)
+      path
+    })
+
+  /** q74 SERVED from the persisted graph (shares q74's oracle — the
+    * artifact round-trip must be verdict-invisible). The timed work is
+    * the corpus's narrow (doc_id, source, n_tokens) projection plus
+    * one left join against the persisted cc/ labels; candidate
+    * generation and component resolution are build-time. */
+  def dedupSurvivorsFromGraph(spark: SparkSession, sfDir: String,
+                              bits: Int = DefaultHashBits): DataFrame = {
+    val path = preparedDedupGraph(spark, sfDir, bits)
+    dedupSurvivorsOf(
+      survivorFlagsWith(spark, sfDir, spark.read.parquet(s"$path/cc")))
+  }
+
+  /** q155 SERVED from the persisted graph (shares q155's oracle): the
+    * timed work is two keyed aggs over the answer-sized signals/ and
+    * consensus_cc/ reads — the three-detector regeneration that made
+    * the inline form the bench's worst line is build-time. */
+  def consensusClustersFromGraph(spark: SparkSession, sfDir: String,
+                                 bits: Int = DefaultHashBits): DataFrame = {
+    val path = preparedDedupGraph(spark, sfDir, bits)
+    consensusReport(loadGraphSignals(spark, path),
+      spark.read.parquet(s"$path/consensus_cc"))
+  }
+
+  /** q158 SERVED from the persisted graph (shares q158's oracle): the
+    * walker runs over the persisted pair relation; each step stays an
+    * answer-sized equi-join, now rooted at a parquet scan instead of a
+    * full LSH regeneration. */
+  def dupGraphWalksFromGraph(spark: SparkSession, sfDir: String,
+                             bits: Int = DefaultHashBits): DataFrame = {
+    val path = preparedDedupGraph(spark, sfDir, bits)
+    walksOverPairs(spark, loadGraphPairs(spark, path).select("doc_a", "doc_b"))
+  }
+
+  /** q91 SERVED from the persisted graph (shares q91's oracle): split
+    * assignment is scan-local hashing; the only graph input is the
+    * persisted cc/ labels. */
+  def clusterSplitFromGraph(spark: SparkSession, sfDir: String,
+                            bits: Int = DefaultHashBits): DataFrame =
+    clusterSplitWith(spark, sfDir,
+      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/cc"))
+
+  /** q93 SERVED from the persisted graph (shares q93's oracle). */
+  def pagerankIterFromGraph(spark: SparkSession, sfDir: String,
+                            bits: Int = DefaultHashBits): DataFrame =
+    pagerankIterWith(spark,
+      loadGraphPairs(spark, preparedDedupGraph(spark, sfDir, bits))
+        .select("doc_a", "doc_b"))
+
+  /** q106 SERVED from the persisted graph (shares q106's oracle). */
+  def qualitySurvivorsFromGraph(spark: SparkSession, sfDir: String,
+                                bits: Int = DefaultHashBits): DataFrame =
+    qualitySurvivorsWith(spark, sfDir,
+      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/cc"))
+
+  /** q133 SERVED from the persisted graph (shares q133's oracle). */
+  def qualityDupAuditFromGraph(spark: SparkSession, sfDir: String,
+                               bits: Int = DefaultHashBits): DataFrame =
+    qualityDupAuditWith(spark, sfDir,
+      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/cc"))
+
+  /** q146 SERVED from the persisted graph (shares q146's oracle): the
+    * artifact's integer (inter, uni) columns reproduce jacc_permille
+    * exactly; labels come from pair_cc/ (the pair-only graph q146
+    * audits). */
+  def clusterCohesionFromGraph(spark: SparkSession, sfDir: String,
+                               bits: Int = DefaultHashBits): DataFrame = {
+    val path = preparedDedupGraph(spark, sfDir, bits)
+    clusterCohesionWith(
+      loadGraphPairs(spark, path)
+        .withColumn("jacc_permille", expr("inter * 1000 div uni"))
+        .select("doc_a", "doc_b", "jacc_permille"),
+      spark.read.parquet(s"$path/pair_cc"))
+  }
+
+  /** q152 SERVED from the persisted graph (shares q152's oracle). */
+  def crossSourceMatrixFromGraph(spark: SparkSession, sfDir: String,
+                                 bits: Int = DefaultHashBits): DataFrame =
+    crossSourceMatrixWith(spark, sfDir,
+      loadGraphPairs(spark, preparedDedupGraph(spark, sfDir, bits))
+        .select("doc_a", "doc_b"))
+
+  /** q159 SERVED from the persisted graph (shares q159's oracle):
+    * labels from pair_cc/ — q159's graph is the pair list without the
+    * exact-dup arm. */
+  def dupLossWeightsFromGraph(spark: SparkSession, sfDir: String,
+                              bits: Int = DefaultHashBits): DataFrame =
+    dupLossWeightsWith(spark, sfDir,
+      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/pair_cc"))
+
+  /** Append a wave of newly VERIFIED near-dup pairs (doc_a, doc_b,
+    * inter, uni, jaccard — e.g. the matches an admission job emitted
+    * for an ingested batch) to a persisted graph — the add() half of the
+    * lifecycle, mirroring [[appendToDedupIndex]]: pairs/ and signals/
+    * get the same projections the build writes, in append mode, and
+    * both label tables get ATTACH rows for the delta's previously
+    * unseen nodes (label = min over each new edge's endpoint labels,
+    * aggregated across the wave's edges).
+    *
+    * Exactness contract, stated: attach labels are exact under the
+    * admission lifecycle's id discipline (appended doc_ids are fresh
+    * and larger than every snapshot id, so an edge into an existing
+    * cluster inherits that cluster's min label). An edge BRIDGING two
+    * existing clusters is recorded in pairs/ but does not relabel the
+    * old clusters until [[compactDedupGraph]] recomputes exact CC —
+    * the same snapshot+delta-then-compact contract as the admission
+    * index. Appended waves carry only the minhash signal (runs/winnow
+    * are corpus-report detectors; they refresh at the next full
+    * build), so consensus agreement counts for delta edges start at 1
+    * by construction. */
+  def appendToDedupGraph(spark: SparkSession, path: String,
+                         pairs: DataFrame): Unit = {
+    val d = pairs.select("doc_a", "doc_b", "inter", "uni", "jaccard")
+      .localCheckpoint(true)
+    try {
+      d.withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
+        .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
+      d.select(col("doc_a"), col("doc_b"), lit("minhash").as("signal"))
+        .write.mode("append").partitionBy("signal").parquet(s"$path/signals")
+      Seq("cc", "pair_cc", "consensus_cc").foreach { cc =>
+        val snap = spark.read.parquet(s"$path/$cc")
+        val e = d.select(col("doc_a"), col("doc_b"))
+          .join(snap.select(col("node").as("doc_a"), col("label").as("la")),
+            Seq("doc_a"), "left")
+          .join(snap.select(col("node").as("doc_b"), col("label").as("lb")),
+            Seq("doc_b"), "left")
+          .withColumn("m", least(coalesce(col("la"), col("doc_a")),
+            coalesce(col("lb"), col("doc_b"))))
+        // previously seen nodes keep their snapshot label; unseen ones
+        // take the wave-wide min over their incident edges' labels
+        e.select(col("doc_a").as("node"), col("m"), col("la").as("have"))
+          .unionAll(e.select(col("doc_b").as("node"), col("m"), col("lb").as("have")))
+          .filter(col("have").isNull)
+          .groupBy("node").agg(min(col("m")).as("label"))
+          .write.mode("append").parquet(s"$path/$cc")
+      }
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(d)
+  }
+
+  /** Rewrite an appended graph into `dst` with exact CC labels — the
+    * hygiene pass that resolves the bridging debt [[appendToDedupGraph]]
+    * documents: pairs/signals/exact normalize by distinct and both
+    * label tables are RECOMPUTED from the persisted edge relations via
+    * the same starComponents machinery the build uses. Writes a new
+    * versioned path (the [[compactDedupIndex]] quiesce contract: a
+    * read-and-overwrite of the same parquet dir races the lazy scan). */
+  def compactDedupGraph(spark: SparkSession, src: String, dst: String): Unit = {
+    def norm(p: String) =
+      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+    require(norm(src) != norm(dst), "compaction writes a new versioned path")
+    loadGraphPairs(spark, src).distinct()
+      .withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/pairs")
+    loadGraphSignals(spark, src).distinct()
+      .write.mode("overwrite").partitionBy("signal").parquet(s"$dst/signals")
+    spark.read.parquet(s"$src/exact").distinct()
+      .write.mode("overwrite").parquet(s"$dst/exact")
+    starComponents(spark.read.parquet(s"$dst/exact")
+        .unionAll(loadGraphPairs(spark, dst).select("doc_a", "doc_b")))
+      .write.mode("overwrite").parquet(s"$dst/cc")
+    starComponents(loadGraphPairs(spark, dst).select("doc_a", "doc_b"))
+      .write.mode("overwrite").parquet(s"$dst/pair_cc")
+    starComponents(loadGraphSignals(spark, dst)
+        .select("doc_a", "doc_b").distinct())
+      .write.mode("overwrite").parquet(s"$dst/consensus_cc")
+  }
 }

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Persisted dedup-graph artifact: the build/serve split applied to the
+  * verified pair list. The serving reads MUST be bit-identical to the
+  * inline recomputes (they share the q74/q155/q158 oracles), and the
+  * append → compact lifecycle must converge to the same graph a
+  * from-scratch build produces.
+  */
+class DedupGraphSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  private def asSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().toSet[Row].map(_.toSeq)
+
+  private val bits = Dedup.OracleHashBits
+
+  test("q74 served from the graph artifact is bit-identical to the inline recompute") {
+    val inline = Dedup.dedupSurvivors(spark, sf0001, bits)
+    val served = Dedup.dedupSurvivorsFromGraph(spark, sf0001, bits)
+    assert(inline.columns.toSeq == served.columns.toSeq)
+    assert(rows(inline) == rows(served))
+    assert(rows(served).nonEmpty)
+  }
+
+  test("q155 served from the graph artifact is bit-identical to the inline recompute") {
+    val inline = Dedup.consensusClusters(spark, sf0001, bits)
+    val served = Dedup.consensusClustersFromGraph(spark, sf0001, bits)
+    assert(inline.columns.toSeq == served.columns.toSeq)
+    assert(rows(inline) == rows(served))
+    assert(rows(served).nonEmpty)
+  }
+
+  test("q158 served from the graph artifact is bit-identical to the inline recompute") {
+    val inline = Dedup.dupGraphWalks(spark, sf0001, bits)
+    val served = Dedup.dupGraphWalksFromGraph(spark, sf0001, bits)
+    assert(inline.columns.toSeq == served.columns.toSeq)
+    assert(rows(inline) == rows(served))
+    assert(rows(served).nonEmpty)
+  }
+
+  test("all other served consumers are bit-identical to their inline recomputes") {
+    val cases: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("q91", Dedup.clusterSplit(spark, sf0001, bits),
+        Dedup.clusterSplitFromGraph(spark, sf0001, bits)),
+      ("q93", Dedup.pagerankIter(spark, sf0001, bits),
+        Dedup.pagerankIterFromGraph(spark, sf0001, bits)),
+      ("q106", Dedup.qualitySurvivors(spark, sf0001, bits),
+        Dedup.qualitySurvivorsFromGraph(spark, sf0001, bits)),
+      ("q133", Dedup.qualityDupAudit(spark, sf0001, bits),
+        Dedup.qualityDupAuditFromGraph(spark, sf0001, bits)),
+      ("q146", Dedup.clusterCohesion(spark, sf0001, bits),
+        Dedup.clusterCohesionFromGraph(spark, sf0001, bits)),
+      ("q152", Dedup.crossSourceMatrix(spark, sf0001, bits),
+        Dedup.crossSourceMatrixFromGraph(spark, sf0001, bits)),
+      ("q159", Dedup.dupLossWeights(spark, sf0001, bits),
+        Dedup.dupLossWeightsFromGraph(spark, sf0001, bits)))
+    cases.foreach { case (name, inline, served) =>
+      assert(inline.columns.toSeq == served.columns.toSeq, name)
+      assert(rows(inline) == rows(served), name)
+      assert(rows(served).nonEmpty, name)
+    }
+  }
+
+  test("artifact layout: pairs are hive-bucketed, signals carry all three detectors") {
+    val path = Dedup.preparedDedupGraph(spark, sf0001, bits)
+    val buckets = new java.io.File(s"$path/pairs").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(buckets.nonEmpty, "pairs/ must be partitioned by bucket")
+    val sigs = Dedup.loadGraphSignals(spark, path)
+      .select("signal").distinct().collect().map(_.getString(0)).toSet
+    assert(sigs == Set("minhash", "runs", "winnow"))
+    // the pair artifact IS the q14 relation
+    val art = Dedup.loadGraphPairs(spark, path).select("doc_a", "doc_b")
+    val q14 = Dedup.minhashLshPairs(spark, sf0001, bits).select("doc_a", "doc_b")
+    assert(asSet(art) == asSet(q14))
+  }
+
+  // ------------------------------------------------------------------
+  // Lifecycle: snapshot build + appended admission wave + compaction
+  // converge to the from-scratch graph. The synthetic corpus plants a
+  // near-dup family in the snapshot and an appended wave whose fresh
+  // docs (higher ids, the admission id discipline) duplicate snapshot
+  // docs — including one BRIDGE doc matching two distinct snapshot
+  // clusters, the case append defers and compact must resolve.
+  // ------------------------------------------------------------------
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  // near-dup families: long shared token runs with a one-word tail
+  // tweak keeps jaccard above the 0.7 merge threshold
+  private def fam(seed: String, tweak: String): String =
+    (1 to 60).map(i => s"$seed$i").mkString(" ") + " " + tweak
+  private val famA = (0 to 1).map(i => fam("alpha", s"tailA$i"))
+  private val famB = (0 to 1).map(i => fam("beta", s"tailB$i"))
+
+  test("append attaches labels for every delta node without touching snapshot labels") {
+    val snapDir = graft.streaming.StreamScratch.dir("dg-snap")
+    writeDocs(snapDir, Seq(
+      0L -> famA(0), 1L -> famA(1), 2L -> famB(0), 3L -> famB(1),
+      4L -> (1 to 80).map(i => s"solo$i").mkString(" ")))
+    val gPath = graft.streaming.StreamScratch.dir("dg-art")
+    Dedup.saveDedupGraph(spark, snapDir, gPath, bits)
+    val before = asSet(spark.read.parquet(s"$gPath/cc"))
+    assert(before.nonEmpty)
+
+    // admission wave: doc 10 duplicates family A; doc 11 is a bridge
+    // matching BOTH a-family and b-family members
+    import spark.implicits._
+    val wave = Seq((0L, 10L, 9L, 10L, 0.9), (1L, 10L, 9L, 10L, 0.9),
+        (2L, 11L, 9L, 10L, 0.9), (0L, 11L, 9L, 10L, 0.9))
+      .toDF("doc_a", "doc_b", "inter", "uni", "jaccard")
+    Dedup.appendToDedupGraph(spark, gPath, wave)
+
+    val after = spark.read.parquet(s"$gPath/cc")
+    // snapshot labels unchanged (append never rewrites, only adds)
+    assert(before.subsetOf(asSet(after)))
+    // both delta nodes labeled, at the min over their incident edges
+    val delta = after.filter(col("node").isin(10L, 11L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta(10L) == 0L)
+    assert(delta(11L) == 0L)
+  }
+
+  test("append + compact converges to the from-scratch build (pairs, cc)") {
+    // sliding 100-token windows over one 200-token template: shingle
+    // jaccard of shift-s windows is exactly (98-s)/(98+s) (distinct
+    // tokens, 3-gram shingles), so cluster geometry is arithmetic.
+    def win(from: Int): String = (from until from + 100).map(i => s"w$i").mkString(" ")
+    // snapshot: clusters {0,1} (shift 4, J=0.92) and {2,3}; the two
+    // clusters sit 36 apart (J=0.463 < 0.5 threshold -> separate)
+    val snapDir = graft.streaming.StreamScratch.dir("dg-snap2")
+    writeDocs(snapDir, Seq(
+      0L -> win(0), 1L -> win(4), 2L -> win(40), 3L -> win(44),
+      4L -> (1 to 80).map(i => s"solo$i").mkString(" ")))
+    // full corpus adds a fresh two-doc CHAIN between the clusters:
+    // 10 near cluster A (shift 8 from doc1), 11 near cluster B
+    // (shift 12 from doc2) and near 10 (shift 16) — exact CC merges
+    // everything into one component
+    val fullDir = graft.streaming.StreamScratch.dir("dg-full")
+    writeDocs(fullDir, Seq(
+      0L -> win(0), 1L -> win(4), 2L -> win(40), 3L -> win(44),
+      4L -> (1 to 80).map(i => s"solo$i").mkString(" "),
+      10L -> win(12), 11L -> win(28)))
+
+    val gSnap = graft.streaming.StreamScratch.dir("dg-art2")
+    Dedup.saveDedupGraph(spark, snapDir, gSnap, bits)
+    val gFull = graft.streaming.StreamScratch.dir("dg-art-full")
+    Dedup.saveDedupGraph(spark, fullDir, gFull, bits)
+
+    // the wave = exactly the verified pairs the full build found that
+    // the snapshot build didn't (what an admission job would emit)
+    val wave = Dedup.loadGraphPairs(spark, gFull)
+      .exceptAll(Dedup.loadGraphPairs(spark, gSnap))
+    assert(wave.count() > 0, "the chain docs must add verified pairs")
+    Dedup.appendToDedupGraph(spark, gSnap, wave)
+
+    val gComp = graft.streaming.StreamScratch.dir("dg-art-comp")
+    Dedup.compactDedupGraph(spark, gSnap, gComp)
+
+    // compacted == from-scratch on the pair relation and exact CC
+    // (signals/consensus_cc legitimately differ: appended waves carry
+    // only the minhash signal — the documented append contract)
+    assert(asSet(Dedup.loadGraphPairs(spark, gComp)) ==
+      asSet(Dedup.loadGraphPairs(spark, gFull)))
+    assert(asSet(spark.read.parquet(s"$gComp/cc")) ==
+      asSet(spark.read.parquet(s"$gFull/cc")))
+    assert(asSet(spark.read.parquet(s"$gComp/pair_cc")) ==
+      asSet(spark.read.parquet(s"$gFull/pair_cc")))
+    // chain resolved: all six chained docs share one component min = 0
+    val lab = spark.read.parquet(s"$gComp/cc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L, 10L, 11L).foreach(n => assert(lab(n) == 0L, s"node $n"))
+    assert(!lab.contains(4L), "the singleton never enters the graph")
+    // before compaction the bridge is honestly deferred: B-cluster
+    // keeps its snapshot label, delta nodes carry attach labels
+    val attached = spark.read.parquet(s"$gSnap/cc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(attached(2L) == 2L && attached(3L) == 2L)
+    assert(attached.contains(10L) && attached.contains(11L))
+  }
+
+  test("compaction refuses to rewrite its source path in place") {
+    val p = graft.streaming.StreamScratch.dir("dg-selfcompact")
+    intercept[IllegalArgumentException] {
+      Dedup.compactDedupGraph(spark, p, p + "/")
+    }
+  }
+}
