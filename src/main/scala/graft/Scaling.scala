@@ -101,9 +101,22 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outMd = if (args.length > 1) args(1) else "SCALING.md"
+    // dev-loop knobs (same contract as Bench's SPARK_GRAFT_ONLY): run a
+    // query subset and/or different amplification decades — used for
+    // the winnow family's fourth-decade measurement without re-timing
+    // the whole family
+    val factors = sys.env.get("SPARK_GRAFT_SCALING_FACTORS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Factors)
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY").map(_.split(",").toSet)
+    val queriesRun = queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // a real cluster scales partition count with the corpus; the
+      // fixed-32 default here means upper decades run with growing
+      // per-task working sets — overridable to separate that
+      // measurement-regime effect from true plan growth
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // see Bench: codegen-class cache sized for a many-query sweep
@@ -115,7 +128,7 @@ object Scaling {
       graft.streaming.StreamScratch.root, "graft_scaling")
 
     // corpus decades, written once (untimed — index/ingest build half)
-    val dirs = Factors.map { f =>
+    val dirs = factors.map { f =>
       val dir = root.resolve(s"f$f").toString
       // ~32MB target files so the scan-side split count grows with the
       // corpus the way a real ingest's would
@@ -140,12 +153,12 @@ object Scaling {
 
     // JIT warmup on the smallest decade so factor-1 timings aren't
     // charged for codegen compilation
-    queries.foreach { case (_, fn) =>
+    queriesRun.foreach { case (_, fn) =>
       try { fn(spark, dirs.head._2).count(); () } catch { case _: Throwable => () }
       graft.ops.Materialize.release(spark)
     }
 
-    val rows = queries.map { case (name, fn) =>
+    val rows = queriesRun.map { case (name, fn) =>
       val times = dirs.map { case (f, dir, n) =>
         val (sec, outRows) = timeOne(fn, dir)
         println(f"  $name f=$f%-3d n=$n%-7d ${sec}%7.3f s  out=$outRows")

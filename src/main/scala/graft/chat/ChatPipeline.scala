@@ -31,6 +31,14 @@ object ChatPipeline {
     val files = filesFrame(spark, repoDir)
     val profile = Profile.profile(files, repoDir.split('/').last)
     writeProfileJson(profile, s"$outDir/profile.json")
+    // freshness metadata (docs/proposals.md:9-35): timestamp + source
+    // identity recorded at the moment the build completed
+    writeIndexMeta(IndexMeta(
+      creationTimestamp = java.time.Instant.now().toString,
+      repoPath = java.nio.file.Paths.get(repoDir).toAbsolutePath.toString,
+      sourceCommitHash = gitCommitHash(repoDir),
+      contentHash = repoContentHash(repoDir),
+      nChunks = n), outDir)
     n
   }
 
@@ -142,6 +150,143 @@ object ChatPipeline {
           else None))
     }
   }
+
+  // -------------------------------------------------------------------
+  // Index freshness (docs/proposals.md:3-74 — the reference's OTHER
+  // proposal; incremental re-index already landed as
+  // streaming/IncrementalIndex). The index artifact records WHEN it
+  // was built and WHAT source state it represents; `checkIndex`
+  // answers "is this index stale?" without guessing.
+  // -------------------------------------------------------------------
+
+  /** index_meta.json payload (proposals.md:16 recommends storing the
+    * repo path explicitly — option (a)). `contentHash` is the primary
+    * identity: exact, git-independent (the proposal's checksum
+    * fallback, promoted to always-on); `sourceCommitHash` is the
+    * human-meaningful label recorded additionally when the repo is a
+    * git checkout. */
+  case class IndexMeta(creationTimestamp: String, repoPath: String,
+                       sourceCommitHash: Option[String],
+                       contentHash: String, nChunks: Long)
+
+  /** Staleness verdict: `stale` iff the repo's CURRENT content hash
+    * differs from the indexed one; `reason` states which signal said
+    * so (commit divergence is reported when visible, content hash is
+    * authoritative — branch switches with identical trees are NOT
+    * stale, exactly the accuracy gap proposals.md:69 flags in
+    * timestamp/commit comparison). */
+  case class IndexFreshness(meta: IndexMeta, currentContentHash: String,
+                            currentCommitHash: Option[String],
+                            stale: Boolean, reason: String)
+
+  /** Content identity of the repo AS THE INDEXER SEES IT: md5 over the
+    * sorted (relative path, content md5) pairs of the gitignore-
+    * filtered file walk — the same keep predicate `chunkRepo` applies,
+    * so an edit to an ignored artifact (target/, logs) can never flip
+    * staleness, and any edit to an indexed file always does. Driver-
+    * side walk, mirroring the reference proposal's walkdir check
+    * (proposals.md:57-60); the repos this CLI indexes are the
+    * reference's single-checkout scale. */
+  def repoContentHash(repoDir: String): String = {
+    val root = java.nio.file.Paths.get(repoDir).toAbsolutePath
+    val keep = Chunker.gitignorePredicate(root)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val rel = root.relativize(p).toString
+          if (keep(rel)) {
+            val h = java.security.MessageDigest.getInstance("MD5")
+              .digest(java.nio.file.Files.readAllBytes(p))
+            entries += ((rel, h.map("%02x".format(_)).mkString))
+          }
+        }
+      }
+    } finally stream.close()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.sortBy(_._1).foreach { case (rel, h) =>
+      md.update(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+      md.update(h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** `git rev-parse HEAD` of the repo, None when git is absent, the
+    * dir is not a checkout, or the command fails — the proposal's
+    * exact fallback contract (proposals.md:21-22). */
+  def gitCommitHash(repoDir: String): Option[String] =
+    try {
+      val pb = new ProcessBuilder("git", "rev-parse", "HEAD")
+      pb.directory(new java.io.File(repoDir))
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      if (proc.waitFor() == 0 && out.matches("[0-9a-f]{40}")) Some(out) else None
+    } catch { case _: Exception => None }
+
+  def writeIndexMeta(meta: IndexMeta, indexDir: String): Unit = {
+    def js(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json =
+      s"""{"creation_timestamp":${js(meta.creationTimestamp)},
+         |"repo_path":${js(meta.repoPath)},
+         |"source_commit_hash":${meta.sourceCommitHash.map(js).getOrElse("null")},
+         |"content_hash":${js(meta.contentHash)},
+         |"n_chunks":${meta.nChunks}}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$indexDir/index_meta.json"), json)
+  }
+
+  def readIndexMeta(indexDir: String): Option[IndexMeta] = {
+    val p = java.nio.file.Paths.get(s"$indexDir/index_meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      Some(IndexMeta(
+        creationTimestamp = n.path("creation_timestamp").asText(""),
+        repoPath = n.path("repo_path").asText(""),
+        sourceCommitHash =
+          if (n.path("source_commit_hash").isTextual)
+            Some(n.path("source_commit_hash").asText) else None,
+        contentHash = n.path("content_hash").asText(""),
+        nChunks = n.path("n_chunks").asLong(0L)))
+    }
+  }
+
+  /** The `check-index` staleness check (proposals.md:41-74): Left =
+    * cannot determine (no metadata — pre-freshness index — or the
+    * recorded repo path is gone), Right = verdict. */
+  def checkIndex(indexDir: String): Either[String, IndexFreshness] =
+    readIndexMeta(indexDir) match {
+      case None => Left(s"no index_meta.json under $indexDir " +
+        "(index predates freshness metadata — re-index to record it)")
+      case Some(meta) =>
+        if (!java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(meta.repoPath)))
+          Left(s"indexed repo path ${meta.repoPath} no longer exists")
+        else {
+          val cur = repoContentHash(meta.repoPath)
+          val curCommit = gitCommitHash(meta.repoPath)
+          val stale = cur != meta.contentHash
+          val reason =
+            if (!stale) "content hash matches the indexed state"
+            else (meta.sourceCommitHash, curCommit) match {
+              case (Some(a), Some(b)) if a != b =>
+                s"content changed (commit ${a.take(8)} -> ${b.take(8)})"
+              case _ => "content changed since indexing"
+            }
+          Right(IndexFreshness(meta, cur, curCommit, stale, reason))
+        }
+    }
 }
 
 /** Thin CLI mirroring main.rs:42-92 commands (index / query /
@@ -256,18 +401,37 @@ object ChatCli {
             case "query" :: qs if indexDir.isDefined =>
               runQuery(spark, indexDir.get, qs.mkString(" "), k = 3)
             case "status" :: Nil =>
-              // main.rs:695-704
+              // main.rs:695-704 + proposals.md:27 (display the
+              // freshness metadata when an index is loaded)
               println("Session Status:")
               println(s"  Model: ${sys.env.getOrElse("GRAFT_ONNX_MODEL", "hashing-256")}")
               println("  Embedder Loaded: Yes")
               println(indexDir.fold("  Current Index: Not loaded")(p =>
                 s"  Current Index: $p (Loaded)"))
+              indexDir.flatMap(ChatPipeline.readIndexMeta).foreach { m =>
+                println(s"  Index Created: ${m.creationTimestamp}")
+                println(s"  Indexed Source: ${m.repoPath}" +
+                  m.sourceCommitHash.fold("")(h => s" @ ${h.take(8)}"))
+                println(s"  Content Hash: ${m.contentHash}")
+              }
+            case "check-index" :: Nil if indexDir.isDefined =>
+              // proposals.md:41-74 — the on-demand staleness check
+              ChatPipeline.checkIndex(indexDir.get) match {
+                case Left(msg) => println(s"Cannot determine staleness: $msg")
+                case Right(f) if f.stale =>
+                  println(s"Index is STALE: ${f.reason}. Re-index with " +
+                    s"'index ${f.meta.repoPath} ${indexDir.get}'.")
+                case Right(f) =>
+                  println(s"Index is up to date (${f.reason}; " +
+                    s"created ${f.meta.creationTimestamp}).")
+              }
             case "help" :: Nil =>
               println("Available REPL commands:")
               println("  index <repo> <out>  : Indexes a repository.")
               println("  load <index_dir>    : Loads an ANN index from the specified directory.")
               println("  query <question>    : Queries the loaded index.")
               println("  status              : Shows current session status.")
+              println("  check-index         : Checks whether the loaded index is stale.")
               println("  help                : Shows this help message.")
               println("  exit                : Exits the interactive session.")
             case Nil | ("" :: Nil) => ()

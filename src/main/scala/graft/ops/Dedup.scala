@@ -3056,6 +3056,25 @@ object Dedup {
     * shared fingerprint is one popular phrase). */
   val WinnowMinShared = 2
 
+  /** Default document-frequency cap on the fingerprint inverted index
+    * — ON by default for the winnow family (q128/q163), the family's
+    * only self-join whose measured top-decade exponent (0.81,
+    * SCALING.md) warranted a bound decided in advance rather than a
+    * knob left open. A fingerprint present in more than this many
+    * documents is boilerplate (license headers, navigation chrome):
+    * it contributes ≤ cap² join fan-out instead of an unbounded
+    * hot-key, and a pair is lost only if EVERY fingerprint it shares
+    * is that popular — i.e. only inside boilerplate families whose
+    * dedup story is the cluster/survivorship path, the same recall
+    * trade as `bandCap` and `jaccardPairsSparse`'s dfCap. The value
+    * never bites on the test corpora (measured max fingerprint df:
+    * 9 at sf0.001, 7 at sf0.01, 24 at sf0.1 — and amplified Scaling
+    * decades keep per-replica df constant), which is what keeps every
+    * capped-by-default query byte-identical to its uncapped DuckDB
+    * oracle; WinnowDfCapSpec pins BOTH that invariance and the
+    * cap actually biting on a planted boilerplate corpus. */
+  val WinnowDfCap = 64
+
   /** (doc_id, fp) — each doc's DISTINCT winnowed fingerprints, computed
     * entirely inside the scan's flatMap: the sliding min is a per-doc
     * local array pass (winnowing's defining property), so the corpus
@@ -3113,14 +3132,16 @@ object Dedup {
     * already ~3× sparser than a full gram index; pair generation is the
     * same inverted-index self-equi-join discipline as
     * jaccardPairsSparse, fan-out bounded by Σ df² over fingerprint
-    * document frequencies, with the same optional `dfCap` remedy for
-    * power-law hot fingerprints (a fingerprint in >cap docs is
-    * boilerplate — drop it, document the recall trade; uncapped default
-    * keeps the DuckDB oracle byte-identical). One keyed agg for per-doc
-    * totals broadcasts back onto the answer-sized pair report. */
+    * document frequencies, with the `dfCap` remedy for power-law hot
+    * fingerprints ON BY DEFAULT at [[WinnowDfCap]] (a fingerprint in
+    * >cap docs is boilerplate — dropped, recall trade documented
+    * there; the DuckDB oracle stays byte-identical because the cap
+    * never bites on the oracle corpora, WinnowDfCapSpec-pinned). One
+    * keyed agg for per-doc totals broadcasts back onto the
+    * answer-sized pair report. */
   def winnowPairs(spark: SparkSession, sfDir: String,
                   bits: Int = DefaultHashBits,
-                  dfCap: Option[Int] = None): DataFrame = {
+                  dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
     val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
     val capped = dfCap match {
       case Some(cap) =>
@@ -3337,14 +3358,25 @@ object Dedup {
     * bound bites); one keyed agg onto (doc, source) and a per-doc
     * argmax window over at most S rows per doc. */
   def winnowAttribution(spark: SparkSession, sfDir: String,
-                        bits: Int = DefaultHashBits): DataFrame = {
+                        bits: Int = DefaultHashBits,
+                        dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
     val srcs = Tables.documents(spark, sfDir).select("doc_id", "source")
     val docFps = fps.join(srcs, "doc_id")
+    // n_fp (the share denominator) stays UNCAPPED — it is the doc's
+    // true fingerprint mass; the cap bounds only the attribution
+    // JOIN's fan-out, so capped mode is "boilerplate-blind" counting
+    // with the denominator honest (see WinnowDfCap)
     val counts = docFps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    val srcFps = docFps.select(col("source").as("attr_source"), col("fp")).distinct()
-    val shared = docFps.join(srcFps, Seq("fp"))
+    val capped = dfCap match {
+      case Some(cap) =>
+        val dfc = fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("dfd"))
+        docFps.join(dfc.filter(col("dfd") <= cap).select("fp"), "fp")
+      case None => docFps
+    }
+    val srcFps = capped.select(col("source").as("attr_source"), col("fp")).distinct()
+    val shared = capped.join(srcFps, Seq("fp"))
       .filter(col("attr_source") =!= col("source"))
       .groupBy("doc_id", "attr_source").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
@@ -3988,10 +4020,12 @@ object Dedup {
   val GraphPairBuckets = 16L
 
   /** Write the dedup-graph artifact for `sfDir`'s corpus. Build-time
-    * caps (`bandCap` for LSH hot buckets, `dfCap` for the gram/
-    * fingerprint inverted indexes) freeze into the artifact the same
-    * way [[saveDedupIndex]]'s do: every serving job inherits the
-    * bounded relation without re-deciding. Defaults uncapped — the
+    * caps (`bandCap` for LSH hot buckets, `dfCap` for the shared-run
+    * gram index, `winnowDfCap` for the winnow fingerprint index)
+    * freeze into the artifact the same way [[saveDedupIndex]]'s do:
+    * every serving job inherits the bounded relation without
+    * re-deciding. Defaults match the inline detectors' defaults
+    * (winnow capped at [[WinnowDfCap]], the rest uncapped) — the
     * oracle-checked configuration. Each projection is written once
     * and downstream projections READ BACK the persisted form (pairs
     * feed signals and cc from parquet, not from a re-run detector),
@@ -3999,7 +4033,8 @@ object Dedup {
   def saveDedupGraph(spark: SparkSession, sfDir: String, path: String,
                      bits: Int = DefaultHashBits,
                      bandCap: Option[Int] = None,
-                     dfCap: Option[Int] = None): Unit = {
+                     dfCap: Option[Int] = None,
+                     winnowDfCap: Option[Int] = Some(WinnowDfCap)): Unit = {
     candidateOverlap(spark, sfDir, bits, bandCap)
       .withColumn("jaccard",
         col("inter").cast("double") / col("uni").cast("double"))
@@ -4010,7 +4045,7 @@ object Dedup {
     val mh = loadGraphPairs(spark, path).select("doc_a", "doc_b")
     sharedRunPairs(spark, sfDir, bits, dfCap)
       .select(col("doc_a"), col("doc_b"), lit("runs").as("signal"))
-      .unionAll(winnowPairs(spark, sfDir, bits, dfCap)
+      .unionAll(winnowPairs(spark, sfDir, bits, winnowDfCap)
         .select(col("doc_a"), col("doc_b"), lit("winnow").as("signal")))
       .unionAll(mh.withColumn("signal", lit("minhash")))
       .write.mode("overwrite").partitionBy("signal").parquet(s"$path/signals")

@@ -210,8 +210,10 @@ object Hybrid {
     * resolution nobody needs (measured: 40.8 s → ~4 s at sf0.1). */
   val EvalQueries = 25
 
-  /** q154: (system, n_queries, n_hits, recall_permille), one row per
-    * system, alphabetical. A query's BM25 query string is its own full
+  /** q154: (system, n_queries, n_queries_total, n_hits,
+    * recall_permille), one row per system, alphabetical —
+    * n_queries_total states the population the [[EvalQueries]]-capped
+    * sample was drawn from, so the sampling is visible in the row. A query's BM25 query string is its own full
     * token set (distinct terms — standard bag-of-words querying);
     * candidates exclude the query document itself; every ranking is
     * pinned by a (score desc, doc_id) total order; RRF fuses the two
@@ -360,6 +362,12 @@ object Hybrid {
       pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("qid", "rel_id"))
     val anchors = rel.select("qid").distinct().orderBy("qid").limit(EvalQueries)
     val qidSeq = anchors.collect().map(_.getLong(0)).sorted
+    // surface the anchor sampling (the q154 n_queries_total discipline,
+    // as a log line here — the per-anchor rows are not the place for a
+    // constant population column)
+    println(s"[graft] q161: mining triplets over ${qidSeq.length} of " +
+      s"${rel.select("qid").distinct().count()} candidate anchors " +
+      s"(EvalQueries cap = $EvalQueries)")
     val sims = Materialize.shared(spark,
       denseScores(spark, sfDir, qidSeq).filter(col("side") === 1)
         .select("qid", "doc_id", "sim"))
@@ -458,7 +466,13 @@ object Hybrid {
     // (a 3-report formulation spawned six broadcast-agg jobs and
     // re-executed shared lineage per job — measured ~2x the whole
     // query's cost at sf0.1)
-    val nq = broadcast(queries.agg(count(lit(1)).as("n_queries")))
+    // n_queries_total surfaces the SAMPLING: the report's recall is
+    // measured over n_queries of n_queries_total candidate queries
+    // (the EvalQueries cap) — a consumer reading 468‰ should see the
+    // denominator's provenance in the row, not in a source comment
+    val nq = broadcast(queries.agg(count(lit(1)).as("n_queries"))
+      .crossJoin(rel.select("qid").distinct()
+        .agg(count(lit(1)).as("n_queries_total"))))
     val rankedAll = bmRanked.withColumn("system", lit("bm25"))
       .unionAll(semRanked.withColumn("system", lit("embed")))
       .unionAll(rrfRanked.withColumn("system", lit("rrf")))
@@ -472,8 +486,8 @@ object Hybrid {
       .join(hits, Seq("system"), "left")
       .na.fill(0L, Seq("n_hits"))
       .crossJoin(nq)
-      .select(col("system"), col("n_queries"), col("n_hits"),
-        expr("n_hits * 1000 div n_queries").as("recall_permille"))
+      .select(col("system"), col("n_queries"), col("n_queries_total"),
+        col("n_hits"), expr("n_hits * 1000 div n_queries").as("recall_permille"))
       .orderBy("system")
   }
 
@@ -533,18 +547,19 @@ object Hybrid {
        |  SELECT qid, doc_id,
        |    cast(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) as bigint) AS rank
        |  FROM fused),
-       |nq AS (SELECT cast(count(*) as bigint) AS n_queries FROM qs),
+       |nq AS (SELECT cast(count(*) as bigint) AS n_queries,
+       |  (SELECT cast(count(DISTINCT qid) as bigint) FROM rel) AS n_queries_total FROM qs),
        |hit_bm AS (SELECT cast(count(DISTINCT r.qid) as bigint) AS n_hits FROM bmr r
        |  JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.rel_id WHERE r.rank <= $EvalTopK),
        |hit_sem AS (SELECT cast(count(DISTINCT r.qid) as bigint) AS n_hits FROM semr r
        |  JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.rel_id WHERE r.rank <= $EvalTopK),
        |hit_rrf AS (SELECT cast(count(DISTINCT r.qid) as bigint) AS n_hits FROM rrfr r
        |  JOIN rel ON r.qid = rel.qid AND r.doc_id = rel.rel_id WHERE r.rank <= $EvalTopK)
-       |SELECT 'bm25' AS system, n_queries, n_hits, n_hits * 1000 // n_queries AS recall_permille FROM nq, hit_bm
+       |SELECT 'bm25' AS system, n_queries, n_queries_total, n_hits, n_hits * 1000 // n_queries AS recall_permille FROM nq, hit_bm
        |UNION ALL
-       |SELECT 'embed', n_queries, n_hits, n_hits * 1000 // n_queries FROM nq, hit_sem
+       |SELECT 'embed', n_queries, n_queries_total, n_hits, n_hits * 1000 // n_queries FROM nq, hit_sem
        |UNION ALL
-       |SELECT 'rrf', n_queries, n_hits, n_hits * 1000 // n_queries FROM nq, hit_rrf
+       |SELECT 'rrf', n_queries, n_queries_total, n_hits, n_hits * 1000 // n_queries FROM nq, hit_rrf
        |ORDER BY system""".stripMargin
   }
 }

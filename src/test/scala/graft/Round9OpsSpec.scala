@@ -624,10 +624,16 @@ class Round9OpsSpec extends SparkSpec {
     val expected = Seq(
       ("bm25", recall(bmRank)), ("embed", recall(semRank)), ("rrf", recall(rrfRank)))
       .map { case (s, (n, h)) => (s, n, h, h * 1000L / n) }
-    val got = graft.ops.Hybrid.retrievalEval(spark, sf0001).collect()
+    val gotRows = graft.ops.Hybrid.retrievalEval(spark, sf0001).collect()
+    val got = gotRows
       .map(r => (r.getAs[String]("system"), r.getAs[Long]("n_queries"),
         r.getAs[Long]("n_hits"), r.getAs[Long]("recall_permille"))).toSeq
     assert(got == expected)
+    // the sampling column: every row states the anchor population the
+    // EvalQueries cap sampled from, and it can never be below the sample
+    gotRows.foreach { r =>
+      assert(r.getAs[Long]("n_queries_total") >= r.getAs[Long]("n_queries"))
+    }
     // the measured corpus finding: histogram cosine resolves near-dups
     // this BM25 cannot discriminate on a 31-token shared vocabulary
     assert(got.find(_._1 == "embed").get._4 > got.find(_._1 == "bm25").get._4)
