@@ -203,7 +203,13 @@ object SparkEntry {
     "q163_winnow_attribution" -> ((s: SparkSession, d: String) => Dedup.winnowAttribution(s, d, Dedup.OracleHashBits)),
     // the streaming replay is row-identical to batch q156 by shared
     // core, so it shares q156's oracle (the q119/q142 discipline)
-    "q164_stream_entropy"   -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.entropyStream(s, d))
+    "q164_stream_entropy"   -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.entropyStream(s, d)),
+    // admission-wave graph attach: the append path of the persisted
+    // dedup graph exercised end-to-end (batch and at the firehose);
+    // the streaming replay shares q165's oracle by shared append +
+    // report cores
+    "q165_graph_append"     -> ((s: SparkSession, d: String) => Dedup.graphAppendReport(s, d, Dedup.OracleHashBits)),
+    "q166_stream_graph_append" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.graphAppendStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -442,6 +448,8 @@ object SparkEntry {
     "q161_training_triplets" -> Hybrid.trainingTripletsSql,
     "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrixSql,
     "q163_winnow_attribution" -> Dedup.winnowAttributionSql,
-    "q164_stream_entropy"   -> TextAnalytics.byteEntropySql
+    "q164_stream_entropy"   -> TextAnalytics.byteEntropySql,
+    "q165_graph_append"     -> Dedup.graphAppendSql,
+    "q166_stream_graph_append" -> Dedup.graphAppendSql
   )
 }

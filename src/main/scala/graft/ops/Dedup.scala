@@ -4226,6 +4226,207 @@ object Dedup {
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(d)
   }
 
+  // -------------------------------------------------------------------
+  // q165/q166: admission-wave graph ATTACH — the lifecycle moment the
+  // append path exists for: a wave of incoming documents is verified
+  // against the frozen corpus (and against itself), its pairs append
+  // to the persisted graph, and the report states which cluster each
+  // incoming doc landed in. This is the ingest-everything/dedup-later
+  // curation mode's bookkeeping (survivorship and loss-weighting read
+  // the updated graph), and the single-pass attach rule is the
+  // documented append contract — exact under the fresh-id discipline,
+  // wave-internal chains deferred to compaction.
+  // -------------------------------------------------------------------
+
+  /** Verified near-dup pairs of an admission wave: wave ↔ frozen-corpus
+    * (banded probe against the admission index's postings, broadcast
+    * wave side — the q99 shape) PLUS wave ↔ wave (self band join of the
+    * batch's own summary). Emitted as (doc_a, doc_b, inter, uni,
+    * jaccard) with doc_a < doc_b (cross pairs are (old, new) under the
+    * fresh-id contract), i.e. exactly [[appendToDedupGraph]]'s input
+    * schema. Exact byte-duplicates need no special arm: they verify at
+    * jaccard 1.0 through the same shingle screen. */
+  private[graft] def admissionPairs(newDocs: DataFrame, corpus: FrozenCorpus,
+                                    bits: Int = DefaultHashBits): DataFrame = {
+    val spark = newDocs.sparkSession
+    val nsum = Materialize.tracked(spark,
+      docShingleSummaryOf(newDocs.select("doc_id", "source", "text"), bits)
+        .localCheckpoint(true))
+    val nb = nsum.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val candNO = corpus.banded.alias("y").join(broadcast(nb.alias("x")),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band_hash") === col("y.band_hash"))
+      .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
+      .distinct()
+    val withNO = candNO
+      .join(corpus.sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(nsum.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+    val candNN = nb.alias("p").join(nb.alias("q"),
+        col("p.band_idx") === col("q.band_idx") &&
+        col("p.band_hash") === col("q.band_hash") &&
+        col("p.doc_id") < col("q.doc_id"))
+      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
+      .distinct()
+    val withNN = candNN
+      .join(nsum.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(nsum.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+    withNO.unionAll(withNN)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+        size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("uni").cast("double"))
+      .filter(col("jaccard") >= Consts.MinhashJaccardThreshold)
+      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+  }
+
+  private val frozenGraphDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, String)]()
+
+  /** (frozenCorpusDir, frozenGraphPath) for `sfDir`: the non-incremental
+    * corpus written once as its own corpus dir (so every sfDir-shaped
+    * builder runs on it unchanged) and the graph artifact built over it
+    * — the snapshot an admission wave appends to. JVM-cached build
+    * (the q41/q81 discipline). */
+  private[graft] def preparedFrozenGraph(spark: SparkSession, sfDir: String,
+                                         bits: Int = DefaultHashBits): (String, String) =
+    frozenGraphDirs.computeIfAbsent((sfDir, bits), _ => {
+      val corpusDir = graft.streaming.StreamScratch.dir("graft_frozen_corpus")
+      Tables.documents(spark, sfDir)
+        .filter(col("source") =!= IncrementalSource)
+        .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+      val g = graft.streaming.StreamScratch.dir(s"graft_frozengraph_b$bits")
+      saveDedupGraph(spark, corpusDir, g, bits)
+      (corpusDir, g)
+    })
+
+  /** Filesystem copy of a graph artifact — harness isolation for the
+    * attach report: a real deployment appends each wave ONCE; a
+    * re-run report (bench pass 2, a verify after a bench) must not
+    * double-append the same wave into the shared snapshot, so each
+    * invocation appends into its own copy. */
+  private[graft] def copyGraph(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
+      val t = d.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+
+  /** The attach-label read both q165 (batch) and q166 (stream) share:
+    * every incremental doc with its post-append cluster (own id when
+    * nothing matched) and whether the append attached it. min() over
+    * the label guards the read against harness double-appends
+    * (identical attach rows are label-identical, so the report is
+    * append-idempotent by construction). */
+  private[graft] def attachReport(spark: SparkSession, sfDir: String,
+                                  graphPath: String): DataFrame = {
+    val cc = spark.read.parquet(s"$graphPath/cc")
+    Tables.documents(spark, sfDir)
+      .filter(col("source") === IncrementalSource)
+      .select("doc_id")
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("label"), col("doc_id"))).as("cluster"),
+        max(col("label").isNotNull).as("attached"))
+      .orderBy("doc_id")
+  }
+
+  /** q165: admission-wave graph attach — verify the incremental wave
+    * (against the frozen snapshot AND within itself), append the
+    * verified pairs to a copy of the frozen graph artifact via the
+    * real [[appendToDedupGraph]] path, and report each incoming doc's
+    * landing cluster.
+    *
+    * Scale shape: wave candidates ride the broadcast banded probe
+    * (q99's shape) and the wave-sized self band join; the append
+    * writes wave-sized projections; the report is one left join of the
+    * wave's ids against the artifact's labels. The frozen graph and
+    * admission index are build-half artifacts (untimed, JVM-cached). */
+  def graphAppendReport(spark: SparkSession, sfDir: String,
+                        bits: Int = DefaultHashBits): DataFrame = {
+    val (_, frozenG) = preparedFrozenGraph(spark, sfDir, bits)
+    val work = graft.streaming.StreamScratch.dir("graft_graphappend")
+    copyGraph(frozenG, work)
+    val newDocs = Tables.documents(spark, sfDir)
+      .filter(col("source") === IncrementalSource)
+      .select("doc_id", "source", "text")
+    val idx = loadDedupIndex(spark, preparedDedupIndex(spark, sfDir, bits))
+    appendToDedupGraph(spark, work, admissionPairs(newDocs, idx, bits))
+    attachReport(spark, sfDir, work)
+  }
+
+  /** q165/q166 oracle: the frozen-corpus CC (exact ∪ verified pairs,
+    * non-incremental docs only), the wave's verified cross and
+    * within-wave pairs, and the single-pass attach rule — the SQL
+    * restatement of [[appendToDedupGraph]]'s label attachment. */
+  def graphAppendSql: String = {
+    val inc = IncrementalSource
+    def joins(cond: String) = (0 until Consts.LshBands).map { b =>
+      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND $cond"
+    }.mkString("\n    UNION\n    ")
+    val fcand = joins(s"x.source <> '$inc' AND y.source <> '$inc' AND x.doc_id < y.doc_id")
+    val ncand = joins(s"x.source <> '$inc' AND y.source = '$inc'")
+    val wcand = joins(s"x.source = '$inc' AND y.source = '$inc' AND x.doc_id < y.doc_id")
+    val thr = Consts.MinhashJaccardThreshold
+    def verified(cand: String) =
+      s"""SELECT doc_a, doc_b FROM $cand
+         |  JOIN sets sa ON doc_a = sa.doc_id
+         |  JOIN sets sb ON doc_b = sb.doc_id
+         |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= $thr""".stripMargin
+    s"""WITH RECURSIVE sets AS (
+       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, source, $sqlShingles s0
+       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |exploded AS (SELECT doc_id, source, unnest(s) AS hv FROM sets),
+       |sig AS (SELECT doc_id, source,
+       |    $minColsSql
+       |  FROM exploded GROUP BY doc_id, source),
+       |banded AS (SELECT doc_id, source,
+       |    $bandColsSql
+       |  FROM sig),
+       |fcand AS (
+       |    $fcand),
+       |fpairs AS (${verified("fcand")}),
+       |fh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source <> '$inc'),
+       |fmh AS (SELECT h, min(doc_id) AS r FROM fh GROUP BY h),
+       |fexact AS (SELECT r AS doc_a, doc_id AS doc_b FROM fh JOIN fmh USING (h) WHERE doc_id != r),
+       |fedges AS (SELECT doc_a, doc_b FROM fexact UNION ALL SELECT doc_a, doc_b FROM fpairs),
+       |fsym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM fedges
+       |  UNION ALL SELECT doc_b, doc_a FROM fedges),
+       |reach AS (
+       |  SELECT src AS doc_id, src AS label FROM fsym
+       |  UNION
+       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN fsym e ON e.src = r.doc_id),
+       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id),
+       |ncand AS (
+       |    $ncand),
+       |npairs AS (${verified("ncand")}),
+       |wcand AS (
+       |    $wcand),
+       |wpairs AS (${verified("wcand")}),
+       |m_no AS (
+       |  SELECT doc_b AS node, least(coalesce(c.cluster, doc_a), doc_b) AS m
+       |  FROM npairs LEFT JOIN comp c ON c.doc_id = doc_a),
+       |m_nn AS (
+       |  SELECT doc_a AS node, least(doc_a, doc_b) AS m FROM wpairs
+       |  UNION ALL SELECT doc_b, least(doc_a, doc_b) FROM wpairs),
+       |att AS (SELECT node, min(m) AS label
+       |        FROM (SELECT node, m FROM m_no UNION ALL SELECT node, m FROM m_nn)
+       |        GROUP BY node)
+       |SELECT d.doc_id, coalesce(a.label, d.doc_id) AS cluster,
+       |  a.node IS NOT NULL AS attached
+       |FROM documents d LEFT JOIN att a ON a.node = d.doc_id
+       |WHERE d.source = '$inc'
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Rewrite an appended graph into `dst` with exact CC labels — the
     * hygiene pass that resolves the bridging debt [[appendToDedupGraph]]
     * documents: pairs/signals/exact normalize by distinct and both

@@ -354,6 +354,50 @@ object DedupStream {
     spark.read.parquet(preparedScreenReplay(spark, sfDir)("drift"))
       .orderBy("doc_id")
 
+  private val graphAppendCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q166: STREAMING graph append — q165's admission-wave attach run
+    * at the firehose: each micro-batch of incoming documents verifies
+    * against the frozen admission index (and within the batch), its
+    * pairs append to the wave's copy of the frozen graph artifact
+    * through the SAME `appendToDedupGraph` path the batch form uses,
+    * and the final report reads the updated labels. Corpus state lives
+    * entirely in the two frozen artifacts (index + graph snapshot) —
+    * nothing accumulates in stream state, the q102 admission
+    * discipline applied to graph maintenance. Replay is row-identical
+    * to batch q165 by shared append + report cores, so one oracle
+    * serves both. */
+  def graphAppendStream(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val bits = graft.ops.Dedup.OracleHashBits
+    val (_, frozenG) = graft.ops.Dedup.preparedFrozenGraph(spark, sfDir, bits)
+    val work = StreamScratch.dir(
+      s"graft_graphappend_s_${graphAppendCounter.incrementAndGet()}")
+    graft.ops.Dedup.copyGraph(frozenG, work)
+    val idx = graft.ops.Dedup.loadDedupIndex(spark,
+      graft.ops.Dedup.preparedDedupIndex(spark, sfDir, bits))
+    val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    val ckDir = StreamScratch.dir("graft_graphappend_ck")
+    val q = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("source") === graft.ops.Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+      .writeStream
+      .queryName(s"graft_graphappend_${graphAppendCounter.get()}")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ops.Dedup.appendToDedupGraph(spark, work,
+          graft.ops.Dedup.admissionPairs(batch, idx, bits))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.ops.Dedup.attachReport(spark, sfDir, work)
+  }
+
   private val dhashCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** q134: STREAMING perceptual-dedup admission for images — the

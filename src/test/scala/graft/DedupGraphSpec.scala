@@ -190,6 +190,33 @@ class DedupGraphSpec extends SparkSpec {
     assert(attached.contains(10L) && attached.contains(11L))
   }
 
+  test("q166 streaming graph append replays row-identical to batch q165") {
+    val batch = rows(Dedup.graphAppendReport(spark, sf0001, bits))
+    val streamed = rows(
+      graft.streaming.DedupStream.graphAppendStream(spark, sf0001))
+    assert(batch == streamed)
+    assert(batch.nonEmpty)
+  }
+
+  test("q165 attach semantics: total over the wave, clusters point at snapshot-or-wave minima") {
+    val incIds = spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("source") === Dedup.IncrementalSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rep = Dedup.graphAppendReport(spark, sf0001, bits).collect()
+    // one row per incremental doc, no more, no fewer
+    assert(rep.map(_.getLong(0)).toSet == incIds)
+    rep.foreach { r =>
+      val (id, cluster, attached) =
+        (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      if (attached) assert(cluster != id || incIds.contains(cluster),
+        s"doc $id attached to itself without a wave partner")
+      else assert(cluster == id, s"unattached doc $id must self-cluster")
+    }
+    // something in the wave actually attaches on this corpus (the
+    // testdata plants near-dups across the incremental source)
+    assert(rep.exists(_.getBoolean(2)))
+  }
+
   test("compaction refuses to rewrite its source path in place") {
     val p = graft.streaming.StreamScratch.dir("dg-selfcompact")
     intercept[IllegalArgumentException] {

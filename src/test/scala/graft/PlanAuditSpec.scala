@@ -373,4 +373,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffleCount(df) == 1,
       s"expected only the presentation sort's exchange:\n$plan")
   }
+
+  test("served graph consumers read artifacts only — no typed detector kernel in any plan") {
+    // the whole point of the persisted dedup graph: a consumer report's
+    // executed plan must contain parquet scans + joins/aggs, and NEVER a
+    // typed mapPartitions stage (the shingle/md5/winnow kernels all run
+    // through DeserializeToObject -> MapPartitions -> SerializeFromObject;
+    // their presence means the query is regenerating candidates)
+    val b = Dedup.OracleHashBits
+    val served: Seq[(String, DataFrame)] = Seq(
+      "q74" -> Dedup.dedupSurvivorsFromGraph(spark, sf0001, b),
+      "q91" -> Dedup.clusterSplitFromGraph(spark, sf0001, b),
+      "q93" -> Dedup.pagerankIterFromGraph(spark, sf0001, b),
+      "q106" -> Dedup.qualitySurvivorsFromGraph(spark, sf0001, b),
+      "q133" -> Dedup.qualityDupAuditFromGraph(spark, sf0001, b),
+      "q146" -> Dedup.clusterCohesionFromGraph(spark, sf0001, b),
+      "q152" -> Dedup.crossSourceMatrixFromGraph(spark, sf0001, b),
+      "q155" -> Dedup.consensusClustersFromGraph(spark, sf0001, b),
+      "q158" -> Dedup.dupGraphWalksFromGraph(spark, sf0001, b),
+      "q159" -> Dedup.dupLossWeightsFromGraph(spark, sf0001, b))
+    served.foreach { case (name, df) =>
+      val plan = executed(df)
+      assert(!plan.contains("MapPartitions"),
+        s"$name's serving plan recomputes a detector kernel:\n$plan")
+      assert(!plan.contains("DeserializeToObject"),
+        s"$name's serving plan enters typed execution:\n$plan")
+    }
+    // and the kernel frame itself DOES carry the marker the audit greps
+    // for — asserted on the logical plan, because the inline consumers
+    // checkpoint-truncate their lineage before the final plan, hiding
+    // the kernel from an executed-plan grep
+    val kernelPlan = Dedup.docShingleSummary(spark, sf0001, b)
+      .queryExecution.optimizedPlan.toString
+    assert(kernelPlan.contains("MapPartitions") ||
+        kernelPlan.contains("DeserializeToObject"),
+      s"audit lost its discrimination — kernel marker changed:\n$kernelPlan")
+  }
 }
