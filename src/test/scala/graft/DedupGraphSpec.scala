@@ -217,6 +217,76 @@ class DedupGraphSpec extends SparkSpec {
     assert(rep.exists(_.getBoolean(2)))
   }
 
+  test("property: attach bounds exact CC from above; compact equals exact CC (8 seeded graphs)") {
+    import spark.implicits._
+    // local union-find reference (min-label roots)
+    def exactCc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      (edges.flatMap(e => Seq(e._1, e._2)).distinct)
+        .map(n => n -> find(n)).toMap
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 8).foreach { k =>
+      val snapEdges = Seq.fill(rnd.nextInt(10) + 3) {
+        val (a, b) = (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong)
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val waveEdges = Seq.fill(rnd.nextInt(8) + 2) {
+        if (rnd.nextBoolean()) (rnd.nextInt(16).toLong, 100L + rnd.nextInt(8))
+        else {
+          val (a, b) = (100L + rnd.nextInt(8), 100L + rnd.nextInt(8))
+          (math.min(a, b), math.max(a, b))
+        }
+      }.filter(e => e._1 != e._2).distinct
+      if (snapEdges.nonEmpty && waveEdges.nonEmpty) {
+        // fabricate a minimal snapshot artifact around the edge list
+        val g = graft.streaming.StreamScratch.dir(s"dg-prop-$k")
+        def pairsOf(es: Seq[(Long, Long)]) = es.toDF("doc_a", "doc_b")
+          .withColumn("inter", lit(9L)).withColumn("uni", lit(10L))
+          .withColumn("jaccard", lit(0.9))
+        pairsOf(snapEdges)
+          .withColumn("bucket", pmod(col("doc_a"), lit(Dedup.GraphPairBuckets)))
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$g/pairs")
+        pairsOf(snapEdges)
+          .select(col("doc_a"), col("doc_b"), lit("minhash").as("signal"))
+          .write.mode("overwrite").partitionBy("signal").parquet(s"$g/signals")
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+          .write.mode("overwrite").parquet(s"$g/exact")
+        val snapCc = Dedup.starComponents(snapEdges.toDF("doc_a", "doc_b"))
+        Seq("cc", "pair_cc", "consensus_cc").foreach(t =>
+          snapCc.write.mode("overwrite").parquet(s"$g/$t"))
+
+        Dedup.appendToDedupGraph(spark, g, pairsOf(waveEdges))
+        val attached = spark.read.parquet(s"$g/cc")
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).map { case (n, ls) => n -> ls.map(_._2).min }
+        val exact = exactCc(snapEdges ++ waveEdges)
+        val waveNodes = waveEdges.flatMap(e => Seq(e._1, e._2)).distinct
+        waveNodes.foreach { n =>
+          val a = attached.getOrElse(n, n)
+          // single-pass attach can only OVER-estimate the component min
+          // (bridges and wave-internal chains defer to compact), and
+          // never exceeds the node's own id
+          assert(a >= exact(n) && a <= n, s"seed $k node $n: attach $a vs exact ${exact(n)}")
+        }
+        // compact resolves everything exactly
+        val gc = graft.streaming.StreamScratch.dir(s"dg-prop-c-$k")
+        Dedup.compactDedupGraph(spark, g, gc)
+        val compacted = spark.read.parquet(s"$gc/cc")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(compacted == exact, s"seed $k: compact != exact CC")
+      }
+    }
+  }
+
   test("compaction refuses to rewrite its source path in place") {
     val p = graft.streaming.StreamScratch.dir("dg-selfcompact")
     intercept[IllegalArgumentException] {
