@@ -191,14 +191,14 @@ object SparkEntry {
     // the postings-artifact serving path must be bit-identical to q85's
     // recompute, so it shares q85's oracle (the q81/q82 discipline)
     "q153_bm25_served"      -> TextAnalytics.bm25Served _,
-    "q154_retrieval_eval"   -> ((s: SparkSession, d: String) => Hybrid.retrievalEval(s, d, Dedup.OracleHashBits)),
+    "q154_retrieval_eval"   -> ((s: SparkSession, d: String) => Hybrid.retrievalEvalFromGraph(s, d, Dedup.OracleHashBits)),
     "q155_consensus_clusters" -> ((s: SparkSession, d: String) => Dedup.consensusClustersFromGraph(s, d, Dedup.OracleHashBits)),
     "q156_byte_entropy"     -> TextAnalytics.byteEntropy _,
     "q157_small_cells"      -> TextAnalytics.smallCells _,
     "q158_dup_graph_walks"  -> ((s: SparkSession, d: String) => Dedup.dupGraphWalksFromGraph(s, d, Dedup.OracleHashBits)),
     "q159_dup_loss_weights" -> ((s: SparkSession, d: String) => Dedup.dupLossWeightsFromGraph(s, d, Dedup.OracleHashBits)),
     "q160_nprobe_sweep"     -> Similarity.nprobeSweep _,
-    "q161_training_triplets" -> ((s: SparkSession, d: String) => Hybrid.trainingTriplets(s, d, Dedup.OracleHashBits)),
+    "q161_training_triplets" -> ((s: SparkSession, d: String) => Hybrid.trainingTripletsFromGraph(s, d, Dedup.OracleHashBits)),
     "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrix _,
     "q163_winnow_attribution" -> ((s: SparkSession, d: String) => Dedup.winnowAttribution(s, d, Dedup.OracleHashBits)),
     // the streaming replay is row-identical to batch q156 by shared

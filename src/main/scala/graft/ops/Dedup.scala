@@ -4177,6 +4177,18 @@ object Dedup {
     dupLossWeightsWith(spark, sfDir,
       spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/pair_cc"))
 
+  /** q49 SERVED from the persisted graph — offered as API (spec-pinned
+    * identical to the inline recompute) but deliberately NOT the
+    * registry's q49: the inline form stays the bench's one timed
+    * end-to-end CC pipeline, so component-resolution cost keeps a
+    * measured line instead of disappearing entirely into build halves. */
+  def nearDupClustersFromGraph(spark: SparkSession, sfDir: String,
+                               bits: Int = DefaultHashBits): DataFrame =
+    spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/pair_cc")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster_id")
+
   /** Append a wave of newly VERIFIED near-dup pairs (doc_a, doc_b,
     * inter, uni, jaccard — e.g. the matches an admission job emitted
     * for an ingested batch) to a persisted graph — the add() half of the

@@ -226,14 +226,29 @@ object Hybrid {
     * rank with one window per system over per-query partitions, and
     * the report folds to three rows. */
   def retrievalEval(spark: SparkSession, sfDir: String,
-                    bits: Int = Dedup.DefaultHashBits): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+                    bits: Int = Dedup.DefaultHashBits): DataFrame =
+    retrievalEvalWith(spark, sfDir,
+      Dedup.minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
+
+  /** q154 SERVED from the persisted dedup graph (shares q154's oracle):
+    * the relevance relation is the artifact's verified pair list — at
+    * 100 TB an eval harness reads the corpus snapshot's pair list, it
+    * does not re-run candidate generation per eval. */
+  def retrievalEvalFromGraph(spark: SparkSession, sfDir: String,
+                             bits: Int = Dedup.DefaultHashBits): DataFrame =
+    retrievalEvalWith(spark, sfDir,
+      Dedup.loadGraphPairs(spark, Dedup.preparedDedupGraph(spark, sfDir, bits))
+        .select("doc_a", "doc_b"))
+
+  /** q154 over an external verified (doc_a, doc_b) pair relation (the
+    * persisted-graph serving seam). */
+  private[graft] def retrievalEvalWith(spark: SparkSession, sfDir: String,
+                                       pairs: DataFrame): DataFrame = {
     val rel = Materialize.shared(spark,
       pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("qid", "rel_id"))
     val queries = rel.select("qid").distinct()
       .orderBy("qid").limit(EvalQueries)
 
-    import spark.implicits._
     val qidSeq = queries.collect().map(_.getLong(0)).sorted
     val sharedScored = Materialize.shared(spark, denseScores(spark, sfDir, qidSeq))
     retrievalReport(spark, sharedScored, rel, queries)
@@ -356,8 +371,21 @@ object Hybrid {
     * [[denseScores]]' broadcast-anchors scan (side 1), one rank window
     * over non-partner candidates, and answer-sized joins. */
   def trainingTriplets(spark: SparkSession, sfDir: String,
-                       bits: Int = Dedup.DefaultHashBits): DataFrame = {
-    val pairs = Dedup.minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
+                       bits: Int = Dedup.DefaultHashBits): DataFrame =
+    trainingTripletsWith(spark, sfDir,
+      Dedup.minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
+
+  /** q161 SERVED from the persisted dedup graph (shares q161's oracle
+    * — the q154 serving argument verbatim). */
+  def trainingTripletsFromGraph(spark: SparkSession, sfDir: String,
+                                bits: Int = Dedup.DefaultHashBits): DataFrame =
+    trainingTripletsWith(spark, sfDir,
+      Dedup.loadGraphPairs(spark, Dedup.preparedDedupGraph(spark, sfDir, bits))
+        .select("doc_a", "doc_b"))
+
+  /** q161 over an external verified (doc_a, doc_b) pair relation. */
+  private[graft] def trainingTripletsWith(spark: SparkSession, sfDir: String,
+                                          pairs: DataFrame): DataFrame = {
     val rel = Materialize.shared(spark,
       pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("qid", "rel_id"))
     val anchors = rel.select("qid").distinct().orderBy("qid").limit(EvalQueries)

@@ -190,6 +190,21 @@ class DedupGraphSpec extends SparkSpec {
     assert(attached.contains(10L) && attached.contains(11L))
   }
 
+  test("q154/q161/q49 served from the graph artifact are bit-identical to inline") {
+    val cases: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("q154", graft.ops.Hybrid.retrievalEval(spark, sf0001, bits),
+        graft.ops.Hybrid.retrievalEvalFromGraph(spark, sf0001, bits)),
+      ("q161", graft.ops.Hybrid.trainingTriplets(spark, sf0001, bits),
+        graft.ops.Hybrid.trainingTripletsFromGraph(spark, sf0001, bits)),
+      ("q49", Dedup.nearDupClusters(spark, sf0001, bits),
+        Dedup.nearDupClustersFromGraph(spark, sf0001, bits)))
+    cases.foreach { case (name, inline, served) =>
+      assert(inline.columns.toSeq == served.columns.toSeq, name)
+      assert(rows(inline) == rows(served), name)
+      assert(rows(served).nonEmpty, name)
+    }
+  }
+
   test("q166 streaming graph append replays row-identical to batch q165") {
     val batch = rows(Dedup.graphAppendReport(spark, sf0001, bits))
     val streamed = rows(
