@@ -3793,9 +3793,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sym = Materialize.shared(spark,
       pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("node", "nbr"))
-    val adj = sym.withColumn("idx",
-      (row_number().over(Window.partitionBy("node").orderBy("nbr")) - 1).cast("long"))
-    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    // adjacency + degrees are joined by EVERY step: cache them too, or
+    // each of the four step jobs re-runs the ranking window and the
+    // degree agg from sym (4x the graph-prep work for a 4-step walk)
+    val adj = Materialize.shared(spark, sym.withColumn("idx",
+      (row_number().over(Window.partitionBy("node").orderBy("nbr")) - 1).cast("long")))
+    val deg = Materialize.shared(spark,
+      sym.groupBy("node").agg(count(lit(1)).as("deg")))
     val hopH = shingleHashExpr("instr",
       "md5(concat(cast(start as string), '|', cast(cur as string), '|', cast(step as string)))")
     var frontier = sym.select(col("node").as("start")).distinct()
