@@ -75,6 +75,17 @@ object Scaling {
     // fp-keyed attribution join: replicas share no fingerprints, so the
     // S-bounded fan-out and the report both stay linear in the factor
     "q163_winnow_attribution" -> ((s, d) => graft.ops.Dedup.winnowAttribution(s, d, graft.ops.Dedup.OracleHashBits)),
+    // the artifact-SERVED consumer reports (the persisted dedup graph's
+    // serving half): pass 1 of min-of-2 pays the per-decade graph BUILD
+    // (untimed by the min — the q105 discipline below), so these cells
+    // measure what a 100-TB consumer actually pays per report: reading
+    // answer-sized artifact relations plus the corpus's narrow
+    // projections. The measured exponents are the amortization claim's
+    // evidence — near-linear-in-corpus for q74 (one documents
+    // projection), near-flat-in-corpus-size for the pure artifact reads
+    "q74_survivors_served" -> ((s, d) => graft.ops.Dedup.dedupSurvivorsFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q155_consensus_served" -> ((s, d) => graft.ops.Dedup.consensusClustersFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q158_walks_served" -> ((s, d) => graft.ops.Dedup.dupGraphWalksFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
     "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)),
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81
