@@ -200,7 +200,7 @@ object SparkEntry {
     "q160_nprobe_sweep"     -> Similarity.nprobeSweep _,
     "q161_training_triplets" -> ((s: SparkSession, d: String) => Hybrid.trainingTripletsFromGraph(s, d, Dedup.OracleHashBits)),
     "q162_source_lm_matrix" -> TextAnalytics.sourceLmMatrix _,
-    "q163_winnow_attribution" -> ((s: SparkSession, d: String) => Dedup.winnowAttribution(s, d, Dedup.OracleHashBits)),
+    "q163_winnow_attribution" -> ((s: SparkSession, d: String) => Dedup.winnowAttributionFromIndex(s, d, Dedup.OracleHashBits)),
     // the streaming replay is row-identical to batch q156 by shared
     // core, so it shares q156's oracle (the q119/q142 discipline)
     "q164_stream_entropy"   -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.entropyStream(s, d)),

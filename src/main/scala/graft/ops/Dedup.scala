@@ -3360,8 +3360,18 @@ object Dedup {
   def winnowAttribution(spark: SparkSession, sfDir: String,
                         bits: Int = DefaultHashBits,
                         dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
+    winnowAttributionCore(spark, sfDir, fps,
+      fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("dfd")), dfCap)
+  }
+
+  /** The q163 report over any (doc_id, fp) fingerprint relation + its
+    * (fp, dfd) document frequencies — the seam the inline recompute
+    * and the persisted-index serving path share. */
+  private[graft] def winnowAttributionCore(spark: SparkSession, sfDir: String,
+                                           fps: DataFrame, dfc: DataFrame,
+                                           dfCap: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val srcs = Tables.documents(spark, sfDir).select("doc_id", "source")
     val docFps = fps.join(srcs, "doc_id")
     // n_fp (the share denominator) stays UNCAPPED — it is the doc's
@@ -3371,7 +3381,6 @@ object Dedup {
     val counts = docFps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val capped = dfCap match {
       case Some(cap) =>
-        val dfc = fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("dfd"))
         docFps.join(dfc.filter(col("dfd") <= cap).select("fp"), "fp")
       case None => docFps
     }
@@ -4180,6 +4189,57 @@ object Dedup {
                               bits: Int = DefaultHashBits): DataFrame =
     dupLossWeightsWith(spark, sfDir,
       spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/pair_cc"))
+
+  // -------------------------------------------------------------------
+  // Persisted WINNOW fingerprint index — the MOSS deployment shape
+  // (Schleimer et al. 2003 ran a fingerprint DATABASE, not a per-query
+  // recompute): the ~2/(w+1)-density (doc_id, fp) relation is written
+  // once per corpus snapshot with its df table, and provenance queries
+  // (q163 attribution) serve from it. q128's PAIR DETECTION stays the
+  // inline timed query by design — the detector/report boundary: the
+  // bench measures detection cost where detection is the operator, and
+  // amortizes it where the operator is a report over the index.
+  // -------------------------------------------------------------------
+
+  /** Write the winnow fingerprint index: `fps/` (doc_id, fp) hive-
+    * bucketed by fp for parallel layout, `df/` (fp, dfd) — the full
+    * UNCAPPED relation both times (a provenance index must hold
+    * everything; dfCap is a serve-time join filter against df/, the
+    * same decision point as the inline form). */
+  def saveWinnowIndex(spark: SparkSession, sfDir: String, path: String,
+                      bits: Int = DefaultHashBits): Unit = {
+    winnowFingerprintRows(spark, sfDir, bits)
+      .withColumn("bucket", pmod(col("fp"), lit(GraphPairBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/fps")
+    spark.read.parquet(s"$path/fps")
+      .groupBy("fp").agg(countDistinct(col("doc_id")).as("dfd"))
+      .write.mode("overwrite").parquet(s"$path/df")
+  }
+
+  private val winnowIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** JVM-lifetime index build (the q41/q81/q105 discipline). */
+  def preparedWinnowIndex(spark: SparkSession, sfDir: String,
+                          bits: Int = DefaultHashBits): String =
+    winnowIndexes.computeIfAbsent((sfDir, bits), _ => {
+      val path = graft.streaming.StreamScratch.dir(s"graft_winnowidx_b$bits")
+      saveWinnowIndex(spark, sfDir, path, bits)
+      path
+    })
+
+  /** q163 SERVED from the persisted fingerprint index (shares q163's
+    * oracle): the timed work is the fp-keyed attribution join over the
+    * index scan plus the corpus's narrow (doc_id, source) projection —
+    * the scan-local fingerprinting pass is build-time. */
+  def winnowAttributionFromIndex(spark: SparkSession, sfDir: String,
+                                 bits: Int = DefaultHashBits,
+                                 dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
+    val path = preparedWinnowIndex(spark, sfDir, bits)
+    winnowAttributionCore(spark, sfDir,
+      spark.read.parquet(s"$path/fps").select("doc_id", "fp"),
+      spark.read.parquet(s"$path/df"), dfCap)
+  }
 
   /** q49 SERVED from the persisted graph — offered as API (spec-pinned
     * identical to the inline recompute) but deliberately NOT the

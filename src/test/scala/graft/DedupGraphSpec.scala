@@ -205,6 +205,17 @@ class DedupGraphSpec extends SparkSpec {
     }
   }
 
+  test("q163 served from the winnow fingerprint index is bit-identical to inline") {
+    val inline = Dedup.winnowAttribution(spark, sf0001, bits)
+    val served = Dedup.winnowAttributionFromIndex(spark, sf0001, bits)
+    assert(inline.columns.toSeq == served.columns.toSeq)
+    assert(rows(inline) == rows(served))
+    assert(rows(served).nonEmpty)
+    // the index is uncapped: serve-time dfCap=None equals inline uncapped
+    assert(rows(Dedup.winnowAttribution(spark, sf0001, bits, dfCap = None)) ==
+      rows(Dedup.winnowAttributionFromIndex(spark, sf0001, bits, dfCap = None)))
+  }
+
   test("q166 streaming graph append replays row-identical to batch q165") {
     val batch = rows(Dedup.graphAppendReport(spark, sf0001, bits))
     val streamed = rows(
