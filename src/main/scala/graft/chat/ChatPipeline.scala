@@ -32,12 +32,20 @@ object ChatPipeline {
     val profile = Profile.profile(files, repoDir.split('/').last)
     writeProfileJson(profile, s"$outDir/profile.json")
     // freshness metadata (docs/proposals.md:9-35): timestamp + source
-    // identity recorded at the moment the build completed
+    // identity recorded at the moment the build completed; the
+    // per-file manifest gives checkIndex file-level diagnosis and the
+    // incremental-aware credit path. A rebuild clears any previous
+    // incremental processed log — the new manifest supersedes it.
+    val manifest = repoManifest(repoDir)
+    writeHashLines(
+      java.nio.file.Paths.get(s"$outDir/index_manifest.tsv"), manifest)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$outDir/processed_files.log"))
     writeIndexMeta(IndexMeta(
       creationTimestamp = java.time.Instant.now().toString,
       repoPath = java.nio.file.Paths.get(repoDir).toAbsolutePath.toString,
       sourceCommitHash = gitCommitHash(repoDir),
-      contentHash = repoContentHash(repoDir),
+      contentHash = rollupHash(manifest),
       nChunks = n), outDir)
     n
   }
@@ -187,7 +195,16 @@ object ChatPipeline {
     * side walk, mirroring the reference proposal's walkdir check
     * (proposals.md:57-60); the repos this CLI indexes are the
     * reference's single-checkout scale. */
-  def repoContentHash(repoDir: String): String = {
+  def repoContentHash(repoDir: String): String =
+    rollupHash(repoManifest(repoDir))
+
+  /** The per-file manifest behind [[repoContentHash]]: sorted
+    * (relative path, content md5) pairs of the gitignore-filtered
+    * walk. Stored alongside the index so [[checkIndex]] can DIAGNOSE
+    * staleness (modified vs deleted vs new-unprocessed) instead of
+    * only detecting it — the incremental-aware check needs the
+    * file-level resolution. */
+  def repoManifest(repoDir: String): Seq[(String, String)] = {
     val root = java.nio.file.Paths.get(repoDir).toAbsolutePath
     val keep = Chunker.gitignorePredicate(root)
     val entries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -204,14 +221,50 @@ object ChatPipeline {
         }
       }
     } finally stream.close()
+    entries.sortBy(_._1).toSeq
+  }
+
+  private def rollupHash(manifest: Seq[(String, String)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    entries.sortBy(_._1).foreach { case (rel, h) =>
+    manifest.foreach { case (rel, h) =>
       md.update(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.update(0.toByte)
       md.update(h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.update(0.toByte)
     }
     md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Manifest file format: one `md5<TAB>relpath` line per file (tab is
+    * the separator because relative paths may contain spaces). The
+    * same format is appended by the incremental indexer's processed
+    * log, so both read through [[readHashLines]]. */
+  private def writeHashLines(path: java.nio.file.Path,
+                             entries: Seq[(String, String)]): Unit =
+    java.nio.file.Files.writeString(path,
+      entries.map { case (rel, h) => s"$h\t$rel" }.mkString("", "\n", "\n"))
+
+  private def readHashLines(path: java.nio.file.Path): Seq[(String, String)] =
+    if (!java.nio.file.Files.exists(path)) Seq.empty
+    else java.nio.file.Files.readAllLines(path).toArray(Array.empty[String]).toSeq
+      .filter(_.nonEmpty).flatMap { l =>
+        val i = l.indexOf('\t')
+        if (i < 0) None else Some((l.substring(i + 1), l.substring(0, i)))
+      }
+
+  /** Append processed-file records (relpath -> content md5) to the
+    * index's incremental log — called by the incremental indexer per
+    * micro-batch, read by [[checkIndex]] to credit post-build files
+    * the stream has already indexed. */
+  def appendProcessedLog(indexDir: String,
+                         entries: Seq[(String, String)]): Unit = {
+    if (entries.nonEmpty) {
+      val p = java.nio.file.Paths.get(s"$indexDir/processed_files.log")
+      java.nio.file.Files.writeString(p,
+        entries.map { case (rel, h) => s"$h\t$rel" }.mkString("", "\n", "\n"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
   }
 
   /** `git rev-parse HEAD` of the repo, None when git is absent, the
@@ -264,7 +317,19 @@ object ChatPipeline {
 
   /** The `check-index` staleness check (proposals.md:41-74): Left =
     * cannot determine (no metadata — pre-freshness index — or the
-    * recorded repo path is gone), Right = verdict. */
+    * recorded repo path is gone), Right = verdict.
+    *
+    * INCREMENTAL-AWARE: an append-only incremental indexer
+    * (streaming/IncrementalIndex) keeps the index current for NEW
+    * files without a rebuild, so a new file whose content the
+    * processed log records is credited as fresh — the raw hash compare
+    * would report a false stale for exactly the case the incremental
+    * pipeline exists to handle. Modified and deleted files always
+    * report stale (an append-only index can neither re-chunk nor
+    * remove), as do new files the stream has not (yet) processed —
+    * including unsupported-extension files, honestly: the repo
+    * PROFILE half of the index (README summary, build files) only
+    * refreshes on rebuild. */
   def checkIndex(indexDir: String): Either[String, IndexFreshness] =
     readIndexMeta(indexDir) match {
       case None => Left(s"no index_meta.json under $indexDir " +
@@ -274,15 +339,43 @@ object ChatPipeline {
             java.nio.file.Paths.get(meta.repoPath)))
           Left(s"indexed repo path ${meta.repoPath} no longer exists")
         else {
-          val cur = repoContentHash(meta.repoPath)
+          val curManifest = repoManifest(meta.repoPath)
+          val cur = rollupHash(curManifest)
           val curCommit = gitCommitHash(meta.repoPath)
-          val stale = cur != meta.contentHash
-          val reason =
-            if (!stale) "content hash matches the indexed state"
-            else (meta.sourceCommitHash, curCommit) match {
-              case (Some(a), Some(b)) if a != b =>
-                s"content changed (commit ${a.take(8)} -> ${b.take(8)})"
-              case _ => "content changed since indexing"
+          val built = readHashLines(
+            java.nio.file.Paths.get(s"$indexDir/index_manifest.tsv")).toMap
+          val processed = readHashLines(
+            java.nio.file.Paths.get(s"$indexDir/processed_files.log")).toMap
+          val (stale, reason) =
+            if (cur == meta.contentHash)
+              (false, "content hash matches the indexed state")
+            else if (built.isEmpty)
+              // pre-manifest index: hash-only verdict (no diagnosis)
+              (true, (meta.sourceCommitHash, curCommit) match {
+                case (Some(a), Some(b)) if a != b =>
+                  s"content changed (commit ${a.take(8)} -> ${b.take(8)})"
+                case _ => "content changed since indexing"
+              })
+            else {
+              val curMap = curManifest.toMap
+              val modified = curManifest.collect {
+                case (rel, h) if built.get(rel).exists(_ != h) => rel
+              }
+              val deleted = built.keys.filterNot(curMap.contains).toSeq
+              val newUnprocessed = curManifest.collect {
+                case (rel, h) if !built.contains(rel) &&
+                  !processed.get(rel).contains(h) => rel
+              }
+              val newProcessed = curManifest.count { case (rel, h) =>
+                !built.contains(rel) && processed.get(rel).contains(h)
+              }
+              if (modified.isEmpty && deleted.isEmpty && newUnprocessed.isEmpty)
+                (false, s"$newProcessed new file(s) covered by the " +
+                  "incremental index's processed log; nothing modified or deleted")
+              else
+                (true, s"${modified.size} modified, ${deleted.size} deleted, " +
+                  s"${newUnprocessed.size} new unprocessed file(s)" +
+                  (if (newProcessed > 0) s" ($newProcessed new covered incrementally)" else ""))
             }
           Right(IndexFreshness(meta, cur, curCommit, stale, reason))
         }

@@ -108,6 +108,25 @@ object IncrementalIndex {
             .write.mode("append").partitionBy("tree", "leaf")
             .parquet(s"$indexDir/forest")
         }
+        // freshness credit (ChatPipeline.checkIndex): record which
+        // files this batch actually INDEXED, with their content hashes
+        // — check-index then treats matching post-build new files as
+        // fresh instead of false-stale. Only supported-extension files
+        // are logged: an unsupported file (README, config) was seen
+        // but not indexed, and the profile half of the index really is
+        // stale for it.
+        // hash executor-side, collect only (rel, md5) — never the bytes
+        val processed = batch
+          .select(col("path"), md5(col("content")).as("h")).collect()
+          .flatMap { r =>
+            val rel = r.getString(0).stripPrefix("file:")
+              .stripPrefix(watchDir).dropWhile(_ == '/')
+            val ext = rel.split('.').lastOption
+              .filter(_ => rel.contains('.')).map(_.toLowerCase)
+            if (ext.exists(supported.contains)) Some((rel, r.getString(1)))
+            else None
+          }
+        graft.chat.ChatPipeline.appendProcessedLog(indexDir, processed.toSeq)
         withIds.unpersist()
         rowsRdd.unpersist()
         ()

@@ -61,6 +61,47 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(again.meta.contentHash == again.currentContentHash)
   }
 
+  test("incremental appends credit new files: stale -> drain -> fresh; modification stays stale") {
+    val repo = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-inc-repo")
+    val idx = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-inc-idx").toString
+    writeRepo(repo)
+    ChatPipeline.index(spark, repo.toString, idx)
+    assert(!ChatPipeline.checkIndex(idx).toOption.get.stale)
+
+    // a new source file lands AFTER the build: raw hash says stale, and
+    // the diagnosis names it as new-unprocessed
+    java.nio.file.Files.writeString(repo.resolve("src/extra.rs"),
+      "pub fn extra() -> i32 {\n    41\n}\n")
+    val before = ChatPipeline.checkIndex(idx).toOption.get
+    assert(before.stale)
+    assert(before.reason.contains("1 new unprocessed"), before.reason)
+
+    // the incremental indexer processes it -> the index IS current for
+    // it, and check-index credits the processed log instead of
+    // reporting a false stale
+    val q = graft.streaming.IncrementalIndex.start(spark, repo.toString, idx)
+    try q.processAllAvailable() finally q.stop()
+    val after = ChatPipeline.checkIndex(idx).toOption.get
+    assert(!after.stale, after.reason)
+    assert(after.reason.contains("covered by the incremental"), after.reason)
+
+    // a MODIFIED pre-build file can never be credited: the append-only
+    // incremental index cannot re-chunk it
+    java.nio.file.Files.writeString(repo.resolve("src/lib.rs"),
+      "pub fn add(a: i32, b: i32) -> i32 {\n    b + a\n}\n")
+    val modified = ChatPipeline.checkIndex(idx).toOption.get
+    assert(modified.stale)
+    assert(modified.reason.contains("1 modified"), modified.reason)
+
+    // a rebuild re-stamps manifest + clears the processed log
+    ChatPipeline.index(spark, repo.toString, idx)
+    assert(!ChatPipeline.checkIndex(idx).toOption.get.stale)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/processed_files.log")))
+  }
+
   test("check-index on a real git checkout records the commit hash") {
     // the build repo itself is a git checkout; only the hash lookup is
     // exercised here (no full index build over the repo)
