@@ -86,6 +86,12 @@ object Scaling {
     "q74_survivors_served" -> ((s, d) => graft.ops.Dedup.dedupSurvivorsFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
     "q155_consensus_served" -> ((s, d) => graft.ops.Dedup.consensusClustersFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
     "q158_walks_served" -> ((s, d) => graft.ops.Dedup.dupGraphWalksFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
+    // the lifecycle write path: wave verification (broadcast banded
+    // probe + wave-sized self join) + artifact append + label read;
+    // the wave (src0 docs) grows with the factor, so the cell should
+    // stay linear in the corpus — measures that APPENDING scales, not
+    // just serving
+    "q165_graph_append" -> ((s, d) => graft.ops.Dedup.graphAppendReport(s, d, graft.ops.Dedup.OracleHashBits)),
     "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)),
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81
