@@ -409,4 +409,20 @@ class PlanAuditSpec extends SparkSpec {
         kernelPlan.contains("DeserializeToObject"),
       s"audit lost its discrimination — kernel marker changed:\n$kernelPlan")
   }
+
+  test("q165 wave verification: the wave broadcasts into the index probe — postings never sort-merge") {
+    val b = Dedup.OracleHashBits
+    val idx = Dedup.loadDedupIndex(spark,
+      Dedup.preparedDedupIndex(spark, sf0001, b))
+    val wave = graft.core.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("source") === Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+    val plan = executed(Dedup.admissionPairs(wave, idx, b))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the wave's banded postings must broadcast into the corpus probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"candidate generation degenerated to a corpus-side sort-merge join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"nested-loop candidate generation:\n$plan")
+  }
 }
