@@ -11,9 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// forward stdin to forked runMain processes so the ChatCli REPL is
-// drivable both interactively and from a piped script
-run / connectInput := true
+// stdin forwarding for the ChatCli REPL ONLY when asked for
+// (-Dgraft.repl=true): leaving connectInput on unconditionally measured
+// ~9 s of diffuse overhead across a full 166-query Bench sweep (sbt's
+// input-forwarding thread taxes every forked run)
+run / connectInput := sys.props.get("graft.repl").contains("true")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
