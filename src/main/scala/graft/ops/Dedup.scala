@@ -4278,11 +4278,21 @@ object Dedup {
     val d = pairs.select("doc_a", "doc_b", "inter", "uni", "jaccard")
       .localCheckpoint(true)
     try {
-      d.withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
-        .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
-      d.select(col("doc_a"), col("doc_b"), lit("minhash").as("signal"))
-        .write.mode("append").partitionBy("signal").parquet(s"$path/signals")
-      Seq("cc", "pair_cc", "consensus_cc").foreach { cc =>
+      // the five appended projections are independent (distinct target
+      // dirs, all rooted at the checkpointed wave) — run them as
+      // CONCURRENT jobs: an append is ~wave-sized work per projection,
+      // so sequential execution is job-scheduling floor, not compute
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes: Seq[Future[Unit]] = Seq(
+        Future {
+          d.withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
+            .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
+        },
+        Future {
+          d.select(col("doc_a"), col("doc_b"), lit("minhash").as("signal"))
+            .write.mode("append").partitionBy("signal").parquet(s"$path/signals")
+        }) ++ Seq("cc", "pair_cc", "consensus_cc").map { cc => Future {
         val snap = spark.read.parquet(s"$path/$cc")
         val e = d.select(col("doc_a"), col("doc_b"))
           .join(snap.select(col("node").as("doc_a"), col("label").as("la")),
@@ -4298,7 +4308,10 @@ object Dedup {
           .filter(col("have").isNull)
           .groupBy("node").agg(min(col("m")).as("label"))
           .write.mode("append").parquet(s"$path/$cc")
-      }
+      }}
+      Await.result(Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
+      ()
     } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(d)
   }
 
