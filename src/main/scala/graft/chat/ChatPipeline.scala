@@ -106,6 +106,16 @@ object ChatPipeline {
             client: ChatClient = new MockChatClient(),
             embedder: Embedder = new HashingEmbedder(),
             approx: Boolean = false): QueryOutput = {
+    // proposals.md:70-73 (automatic check on query): warn — never
+    // block — when the loaded index no longer matches its source.
+    // Only runs when freshness metadata exists and the indexed repo is
+    // still reachable; the per-file manifest walk is repo-sized driver
+    // work, the scale this CLI indexes (checkIndex documents this).
+    checkIndex(indexDir).foreach { f =>
+      if (f.stale)
+        println(s"WARN: index may be stale (${f.reason}). " +
+          s"Consider re-indexing '${f.meta.repoPath}'.")
+    }
     val chunks = AnnIndex.load(spark, indexDir)
     val profile = readProfile(indexDir)
     val classification = client.classify(question)                 // Step 1 (L1)

@@ -102,6 +102,33 @@ class IndexFreshnessSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$idx/processed_files.log")))
   }
 
+  test("query warns (and only warns) on a stale index — proposals.md automatic check") {
+    val repo = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-warn-repo")
+    val idx = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-warn-idx").toString
+    writeRepo(repo)
+    ChatPipeline.index(spark, repo.toString, idx)
+
+    def queryCapturing(): (String, ChatPipeline.QueryOutput) = {
+      val buf = new java.io.ByteArrayOutputStream()
+      val out = Console.withOut(new java.io.PrintStream(buf)) {
+        ChatPipeline.query(spark, idx, "how does add work", 1)
+      }
+      (buf.toString, out)
+    }
+    val (freshOut, r1) = queryCapturing()
+    assert(!freshOut.contains("WARN: index may be stale"), freshOut)
+    assert(r1.results.nonEmpty)
+
+    java.nio.file.Files.writeString(repo.resolve("src/lib.rs"),
+      "pub fn add(a: i32, b: i32) -> i32 {\n    b + a\n}\n")
+    val (staleOut, r2) = queryCapturing()
+    assert(staleOut.contains("WARN: index may be stale"), staleOut)
+    // warn, never block: the query still answers from the stale index
+    assert(r2.results.nonEmpty)
+  }
+
   test("check-index on a real git checkout records the commit hash") {
     // the build repo itself is a git checkout; only the hash lookup is
     // exercised here (no full index build over the repo)
