@@ -390,6 +390,155 @@ object ChatPipeline {
           Right(IndexFreshness(meta, cur, curCommit, stale, reason))
         }
     }
+
+  // -------------------------------------------------------------------
+  // refresh-index: REPAIR a stale index without a full rebuild — the
+  // operation check-index's diagnosis exists to drive. Modified and
+  // deleted files' chunks are PURGED (the append-only incremental
+  // stream cannot do this), modified and new files re-chunk + re-embed,
+  // the profile regenerates, and the freshness metadata re-stamps.
+  // Only changed files pay embedding cost; untouched chunks are
+  // rewritten (compaction-style tmp + atomic swap, the compactChunks
+  // discipline) but never re-embedded.
+  // -------------------------------------------------------------------
+
+  case class RefreshStats(purgedFiles: Long, purgedChunks: Long,
+                          reindexedFiles: Long, addedChunks: Long)
+
+  /** Rewrite a parquet dir keeping only `keep` rows: write tmp, swap
+    * atomically, drop the old generation (read-and-overwrite of the
+    * same live path would race the lazy scan). */
+  private def rewriteSwap(spark: SparkSession, dir: String,
+                          partitionCols: Seq[String],
+                          keep: DataFrame => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val live = Paths.get(dir)
+    val tmp = Paths.get(s"${dir}_refresh_${System.nanoTime()}")
+    val w = keep(spark.read.parquet(dir)).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    val old = Paths.get(s"${dir}_old_${System.nanoTime()}")
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.forEach(c => rm(c)) finally children.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(old)
+  }
+
+  /** Bring a stale index back to fresh: diff the current repo manifest
+    * against the indexed view (build manifest + incremental processed
+    * log), purge changed/deleted files' chunks from chunks/ and their
+    * ids from forest/, re-chunk + re-embed only the changed/new files
+    * (fresh ids above every existing generation), regenerate the
+    * profile, and re-stamp manifest + metadata. A no-op on a fresh
+    * index. After refresh, [[checkIndex]] reports fresh by
+    * construction. */
+  def refreshIndex(spark: SparkSession, repoDir: String, indexDir: String,
+                   embedder: Embedder = new HashingEmbedder()): RefreshStats = {
+    import spark.implicits._
+    val cur = repoManifest(repoDir)
+    val curMap = cur.toMap
+    val indexed = readHashLines(
+      java.nio.file.Paths.get(s"$indexDir/index_manifest.tsv")).toMap ++
+      readHashLines(
+        java.nio.file.Paths.get(s"$indexDir/processed_files.log")).toMap
+    // purge = indexed files whose content changed or vanished;
+    // reindex = current files whose content the index does not hold
+    val purgeFiles = indexed.keys
+      .filter(rel => !curMap.get(rel).contains(indexed(rel))).toSeq.sorted
+    val reindexFiles = cur.collect {
+      case (rel, h) if !indexed.get(rel).contains(h) => rel
+    }.sorted
+    if (purgeFiles.isEmpty && reindexFiles.isEmpty)
+      return RefreshStats(0L, 0L, 0L, 0L)
+
+    val root = java.nio.file.Paths.get(repoDir).toAbsolutePath
+    var purgedChunks = 0L
+    var nextBatch = 1L
+    if (purgeFiles.nonEmpty || reindexFiles.nonEmpty) {
+      val chunks = AnnIndex.load(spark, indexDir)
+      val mx = chunks.agg(max(col("chunk_id"))).head()
+      nextBatch = (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
+      val purgedIds = chunks
+        .filter(col("file").isin(purgeFiles: _*))
+        .select("chunk_id").collect().map(_.getLong(0)).toSet
+      purgedChunks = purgedIds.size.toLong
+      if (purgedIds.nonEmpty) {
+        rewriteSwap(spark, s"$indexDir/chunks", Seq("language"),
+          df => df.filter(!col("file").isin(purgeFiles: _*)))
+        if (AnnIndex.hasPlanes(indexDir) &&
+            java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get(s"$indexDir/forest"))) {
+          val ids = purgedIds.toSeq
+          rewriteSwap(spark, s"$indexDir/forest", Seq("tree", "leaf"),
+            df => df.filter(!col("chunk_id").isin(ids: _*)))
+        }
+      }
+    }
+    // re-chunk + re-embed only the changed/new files (driver file
+    // reads — the same per-file granularity the incremental stream
+    // uses), ids disjoint above every existing generation
+    val supported = Language.supportedExtensions.toSet
+    val newChunks = reindexFiles.flatMap { rel =>
+      val ext = rel.split('.').lastOption
+        .filter(_ => rel.contains('.')).map(_.toLowerCase)
+      ext match {
+        case Some(e) if supported.contains(e) =>
+          val text = new String(
+            java.nio.file.Files.readAllBytes(root.resolve(rel)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          Chunker.splitStructured(text, Language.detect(e))
+            .map(c => (rel, c, Language.detect(e), Some(e)))
+        case _ => Seq.empty
+      }
+    }
+    if (newChunks.nonEmpty) {
+      val vecs = newChunks.grouped(32).flatMap { g =>
+        embedder.embedBatch(g.map(_._2))
+      }.toSeq
+      val rows = newChunks.zip(vecs).zipWithIndex.map {
+        case (((f, c, lang, e), v), i) =>
+          ((nextBatch << 32) | i.toLong, f, c, lang, e, v.toSeq)
+      }.toDF("chunk_id", "file", "code", "language", "extension", "vector")
+      rows.write.mode("append").partitionBy("language")
+        .parquet(s"$indexDir/chunks")
+      if (AnnIndex.hasPlanes(indexDir)) {
+        val forest = AnnIndex.loadPlanes(spark, indexDir)
+        val newRows = AnnIndex.buildForestIndex(rows, forest)
+        val existingCols =
+          try spark.read.parquet(s"$indexDir/forest").columns.toSet
+          catch { case _: Exception => newRows.columns.toSet }
+        newRows.select(newRows.columns.filter(existingCols.contains)
+            .map(col).toSeq: _*)
+          .write.mode("append").partitionBy("tree", "leaf")
+          .parquet(s"$indexDir/forest")
+      }
+    }
+    // profile + freshness re-stamp: the refreshed index describes the
+    // CURRENT repo state, manifest included; the processed log is
+    // superseded
+    val files = filesFrame(spark, repoDir)
+    writeProfileJson(Profile.profile(files, repoDir.split('/').last),
+      s"$indexDir/profile.json")
+    writeHashLines(
+      java.nio.file.Paths.get(s"$indexDir/index_manifest.tsv"), cur)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$indexDir/processed_files.log"))
+    val n = AnnIndex.load(spark, indexDir).count()
+    writeIndexMeta(IndexMeta(
+      creationTimestamp = java.time.Instant.now().toString,
+      repoPath = root.toString,
+      sourceCommitHash = gitCommitHash(repoDir),
+      contentHash = rollupHash(cur),
+      nChunks = n), indexDir)
+    RefreshStats(purgeFiles.size.toLong, purgedChunks,
+      reindexFiles.size.toLong, newChunks.size.toLong)
+  }
 }
 
 /** Thin CLI mirroring main.rs:42-92 commands (index / query /
@@ -522,11 +671,26 @@ object ChatCli {
               ChatPipeline.checkIndex(indexDir.get) match {
                 case Left(msg) => println(s"Cannot determine staleness: $msg")
                 case Right(f) if f.stale =>
-                  println(s"Index is STALE: ${f.reason}. Re-index with " +
-                    s"'index ${f.meta.repoPath} ${indexDir.get}'.")
+                  println(s"Index is STALE: ${f.reason}. Run 'refresh-index' " +
+                    s"or re-index with 'index ${f.meta.repoPath} ${indexDir.get}'.")
                 case Right(f) =>
                   println(s"Index is up to date (${f.reason}; " +
                     s"created ${f.meta.creationTimestamp}).")
+              }
+            case "refresh-index" :: Nil if indexDir.isDefined =>
+              // repair without a full rebuild: purge changed/deleted
+              // files' chunks, re-embed only changed/new files
+              ChatPipeline.readIndexMeta(indexDir.get) match {
+                case None => println("Cannot refresh: no freshness metadata " +
+                  "(re-index to record it).")
+                case Some(m) =>
+                  val t0 = System.nanoTime()
+                  val st = ChatPipeline.refreshIndex(spark, m.repoPath,
+                    indexDir.get, embedder = Embedders.fromEnv())
+                  println(s"Refreshed: purged ${st.purgedChunks} chunk(s) of " +
+                    s"${st.purgedFiles} file(s), re-indexed ${st.reindexedFiles} " +
+                    s"file(s) (+${st.addedChunks} chunk(s)) in " +
+                    formatElapsed(System.nanoTime() - t0))
               }
             case "help" :: Nil =>
               println("Available REPL commands:")
@@ -535,6 +699,7 @@ object ChatCli {
               println("  query <question>    : Queries the loaded index.")
               println("  status              : Shows current session status.")
               println("  check-index         : Checks whether the loaded index is stale.")
+              println("  refresh-index       : Repairs a stale index without a full rebuild.")
               println("  help                : Shows this help message.")
               println("  exit                : Exits the interactive session.")
             case Nil | ("" :: Nil) => ()

@@ -102,6 +102,53 @@ class IndexFreshnessSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$idx/processed_files.log")))
   }
 
+  test("refresh-index repairs without a full rebuild: purge + targeted re-embed -> fresh") {
+    import org.apache.spark.sql.functions.col
+    val repo = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-refresh-repo")
+    val idx = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-refresh-idx").toString
+    writeRepo(repo)
+    ChatPipeline.index(spark, repo.toString, idx)
+
+    // a fresh index refreshes as a no-op
+    val noop = ChatPipeline.refreshIndex(spark, repo.toString, idx)
+    assert(noop == ChatPipeline.RefreshStats(0L, 0L, 0L, 0L))
+
+    // modify one file, delete another, add a third
+    java.nio.file.Files.writeString(repo.resolve("src/lib.rs"),
+      "pub fn add(a: i32, b: i32) -> i32 {\n    let refreshed_marker = 0;\n    a + b + refreshed_marker\n}\n")
+    java.nio.file.Files.delete(repo.resolve("src/main.rs"))
+    java.nio.file.Files.writeString(repo.resolve("src/extra.rs"),
+      "pub fn extra() -> i32 {\n    41\n}\n")
+    assert(ChatPipeline.checkIndex(idx).toOption.get.stale)
+
+    val st = ChatPipeline.refreshIndex(spark, repo.toString, idx)
+    // purged: modified lib.rs + deleted main.rs; re-embedded: lib + extra
+    assert(st.purgedFiles == 2L, st)
+    assert(st.purgedChunks > 0L, st)
+    assert(st.reindexedFiles == 2L, st)
+    assert(st.addedChunks > 0L, st)
+
+    // the index is fresh again, with the repaired content and no ghosts
+    val after = ChatPipeline.checkIndex(idx).toOption.get
+    assert(!after.stale, after.reason)
+    val chunks = graft.chat.AnnIndex.load(spark, idx)
+    assert(chunks.filter(col("file") === "src/main.rs").count() == 0L)
+    assert(chunks.filter(col("file") === "src/extra.rs").count() > 0L)
+    val libCode = chunks.filter(col("file") === "src/lib.rs")
+      .select("code").collect().map(_.getString(0)).mkString("\n")
+    assert(libCode.contains("refreshed_marker"))
+    // forest holds no purged ids: every forest chunk_id still exists
+    val forestIds = spark.read.parquet(s"$idx/forest")
+      .select("chunk_id").distinct()
+    val liveIds = chunks.select("chunk_id").distinct()
+    assert(forestIds.exceptAll(liveIds).count() == 0L,
+      "forest references purged (ghost) chunk ids")
+    // metadata re-stamped to the live chunk count
+    assert(ChatPipeline.readIndexMeta(idx).get.nChunks == chunks.count())
+  }
+
   test("query warns (and only warns) on a stale index — proposals.md automatic check") {
     val repo = java.nio.file.Files.createTempDirectory(
       graft.streaming.StreamScratch.root, "fresh-warn-repo")
