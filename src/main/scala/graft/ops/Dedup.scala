@@ -3564,9 +3564,12 @@ object Dedup {
                        bits: Int = DefaultHashBits): DataFrame = {
     import spark.implicits._
     val n = DupSpanN
-    val stats = gramPosRows(spark, sfDir, bits)
+    // cached: the vocabulary-sized stats frame feeds the threshold agg,
+    // the winner filter, and the broadcast — uncached, each consumer
+    // re-ran the full gram scan + agg (the q158 adjacency discipline)
+    val stats = Materialize.shared(spark, gramPosRows(spark, sfDir, bits)
       .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf")))
     val thr = stats.orderBy(col("df").desc).limit(BoilerplateTopK)
       .agg(min(col("df")).as("thr"))
     val winners = stats.crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
