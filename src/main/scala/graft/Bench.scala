@@ -83,6 +83,14 @@ object Bench {
     // JMH does): a single pass is exposed to one-off JIT/GC/IO spikes
     // that can make an innocent query look 10x slower than it is
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    // and the per-invocation graph-snapshot COPIES are q165/q166's
+    // harness-isolation half (a real deployment appends in place,
+    // once — the copy exists so min-of-2 cannot double-append a wave);
+    // pooling one copy per timed invocation leaves the timed lines
+    // measuring append + report only
+    try graft.ops.Dedup.prepareGraphSnapshots(spark, sfDir,
+      2 * math.max(1, passes), graft.ops.Dedup.OracleHashBits)
+    catch { case _: Throwable => () }
     // cumulative JVM GC millis: per-query deltas surface cache-leak
     // regressions (the q48 0.7->9.2 s incident class) in the JSON
     // itself, not just in relative timings

@@ -947,10 +947,13 @@ object TextAnalytics {
     postingsIndexes
       .computeIfAbsent(spark, _ => new java.util.concurrent.ConcurrentHashMap())
       .computeIfAbsent(sfDir, _ => {
-        // deterministic per-corpus path: mode("overwrite") below makes an
-        // epoch suffix redundant, and a fixed path means repeated sessions
-        // replace the artifact instead of accumulating orphaned copies
-        val path = s"/tmp/graft_postings_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        // unique per-build path (StreamScratch: fresh dir, deleted at JVM
+        // exit) — a deterministic path would let a second session building
+        // the same corpus overwrite the directory a live session is lazily
+        // reading; never writing the same path twice removes that race by
+        // construction, and the shutdown hook bounds orphan accumulation
+        val path = graft.streaming.StreamScratch.dir(
+          s"graft_postings_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}_")
         val docs = Tables.documents(spark, sfDir)
         val toks = tokens(col("text"))
         val postings = docs

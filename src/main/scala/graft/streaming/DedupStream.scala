@@ -367,29 +367,55 @@ object DedupStream {
     * discipline applied to graph maintenance. Replay is row-identical
     * to batch q165 by shared append + report cores, so one oracle
     * serves both. */
+  /** `streamSrc`/`filesPerTrigger` let a spec replay the wave as
+    * SEVERAL micro-batches (a dir of per-batch wave files + 1 file per
+    * trigger); production (and q166) streams the corpus file as one
+    * AvailableNow batch. Multi-batch waves stay row-identical to batch
+    * q165 by construction: each batch verifies against the frozen index
+    * AND against the wave docs earlier batches appended
+    * (admissionPairsWithPrior's cross-batch arm, fed by the wave-
+    * summary sidecar below), and labels resolve against the FROZEN
+    * snapshot so the accumulated appends min()-reduce to exactly the
+    * one-call single-pass attach rule. */
   def graphAppendStream(spark: org.apache.spark.sql.SparkSession,
-                        sfDir: String): org.apache.spark.sql.DataFrame = {
+                        sfDir: String,
+                        streamSrc: Option[String] = None,
+                        filesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val bits = graft.ops.Dedup.OracleHashBits
     val (_, frozenG) = graft.ops.Dedup.preparedFrozenGraph(spark, sfDir, bits)
-    val work = StreamScratch.dir(
-      s"graft_graphappend_s_${graphAppendCounter.incrementAndGet()}")
-    graft.ops.Dedup.copyGraph(frozenG, work)
+    val work = graft.ops.Dedup.takeGraphSnapshot(sfDir, bits, frozenG)
+    graphAppendCounter.incrementAndGet()
     val idx = graft.ops.Dedup.loadDedupIndex(spark,
       graft.ops.Dedup.preparedDedupIndex(spark, sfDir, bits))
     val schema = StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
     val ckDir = StreamScratch.dir("graft_graphappend_ck")
-    val q = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(sfDir)
+    // wave-summary sidecar: each batch persists its (doc_id, s, bands)
+    // summary so the NEXT batch can verify against the wave-so-far
+    // without re-shingling it
+    val waveDir = StreamScratch.dir("graft_graphappend_wave")
+    val reader = filesPerTrigger.foldLeft(spark.readStream.schema(schema))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    val src = streamSrc match {
+      case Some(d) => reader.parquet(d)
+      case None =>
+        reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    }
+    val q = src
       .filter(col("source") === graft.ops.Dedup.IncrementalSource)
       .select("doc_id", "source", "text")
       .writeStream
       .queryName(s"graft_graphappend_${graphAppendCounter.get()}")
       .option("checkpointLocation", ckDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.ops.Dedup.appendToDedupGraph(spark, work,
-          graft.ops.Dedup.admissionPairs(batch, idx, bits))
+        val prior =
+          try Some(spark.read.parquet(waveDir))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val (pairs, batchSum) =
+          graft.ops.Dedup.admissionPairsWithPrior(batch, prior, idx, bits)
+        graft.ops.Dedup.appendToDedupGraph(spark, work, pairs,
+          labelSnapshot = Some(frozenG))
+        batchSum.write.mode("append").parquet(waveDir)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

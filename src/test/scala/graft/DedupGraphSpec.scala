@@ -313,6 +313,86 @@ class DedupGraphSpec extends SparkSpec {
     }
   }
 
+  test("graphStatus: zero debt fresh, planted bridge counted after append, zero after compact") {
+    val snapDir = graft.streaming.StreamScratch.dir("dg-status-snap")
+    writeDocs(snapDir, Seq(
+      0L -> famA(0), 1L -> famA(1), 2L -> famB(0), 3L -> famB(1)))
+    val g = graft.streaming.StreamScratch.dir("dg-status-art")
+    Dedup.saveDedupGraph(spark, snapDir, g, bits)
+    val fresh = Dedup.graphStatus(spark, g).collect().head
+    assert(fresh.getAs[Long]("waves_appended") == 0L)
+    assert(fresh.getAs[Long]("bridge_cc") == 0L)
+    assert(fresh.getAs[Long]("bridge_pair_cc") == 0L)
+    assert(fresh.getAs[Long]("bridge_consensus_cc") == 0L)
+    assert(fresh.getAs[Long]("multi_label_nodes") == 0L)
+    assert(fresh.getAs[Long]("pairs_rows") > 0L)
+
+    // wave doc 11 BRIDGES clusters {0,1} and {2,3}: the single-pass
+    // attach labels 11 with min(0,2)=0 and defers relabeling {2,3} —
+    // exactly the debt graphStatus must surface
+    import spark.implicits._
+    val wave = Seq((0L, 11L, 9L, 10L, 0.9), (2L, 11L, 9L, 10L, 0.9))
+      .toDF("doc_a", "doc_b", "inter", "uni", "jaccard")
+    Dedup.appendToDedupGraph(spark, g, wave)
+    val after = Dedup.graphStatus(spark, g).collect().head
+    assert(after.getAs[Long]("waves_appended") == 1L)
+    assert(after.getAs[Long]("bridge_cc") > 0L)
+    assert(after.getAs[Long]("bridge_pair_cc") > 0L)
+    assert(after.getAs[Long]("pairs_rows") ==
+      fresh.getAs[Long]("pairs_rows") + 2L)
+
+    val gc = graft.streaming.StreamScratch.dir("dg-status-comp")
+    Dedup.compactDedupGraph(spark, g, gc)
+    val comp = Dedup.graphStatus(spark, gc).collect().head
+    assert(comp.getAs[Long]("waves_appended") == 0L)
+    assert(comp.getAs[Long]("bridge_cc") == 0L)
+    assert(comp.getAs[Long]("bridge_pair_cc") == 0L)
+    assert(comp.getAs[Long]("bridge_consensus_cc") == 0L)
+    assert(comp.getAs[Long]("multi_label_nodes") == 0L)
+  }
+
+  test("q166 multi-batch wave: cross-batch within-wave pairs keep the replay row-identical to batch q165") {
+    import spark.implicits._
+    def winF(from: Int): String = (from until from + 100).map(i => s"mbf$i").mkString(" ")
+    def winW(from: Int): String = (from until from + 100).map(i => s"mbw$i").mkString(" ")
+    val all = Seq(
+      (0L, winF(0), "s0"), (1L, winF(4), "s0"),
+      (4L, (1 to 80).map(i => s"mbsolo$i").mkString(" "), "s0"),
+      // the wave: 10 near the frozen cluster; 11 and 12 near EACH
+      // OTHER only — their pair exists solely within the wave
+      (10L, winF(8), Dedup.IncrementalSource),
+      (11L, winW(0), Dedup.IncrementalSource),
+      (12L, winW(4), Dedup.IncrementalSource))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.streaming.StreamScratch.dir("dg-mb")
+    all.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // wave files for the stream source: {10, 11} then {12}, so the
+    // (11,12) pair spans two micro-batches at maxFilesPerTrigger=1
+    def writeOneFile(df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
+      val tmp = graft.streaming.StreamScratch.dir("dg-mb-part")
+      df.repartition(1).write.mode("overwrite").parquet(s"$tmp/x")
+      val part = new java.io.File(s"$tmp/x").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dest))
+    }
+    val waveSrc = graft.streaming.StreamScratch.dir("dg-mb-wave")
+    writeOneFile(all.filter(col("doc_id").isin(10L, 11L)), s"$waveSrc/w1.parquet")
+    writeOneFile(all.filter(col("doc_id") === 12L), s"$waveSrc/w2.parquet")
+
+    val batch = rows(Dedup.graphAppendReport(spark, dir, bits))
+    val streamed = rows(graft.streaming.DedupStream.graphAppendStream(
+      spark, dir, streamSrc = Some(waveSrc), filesPerTrigger = Some(1)))
+    assert(batch == streamed)
+    // the cross-batch pair attached: 12 clusters with 11
+    val byId = streamed.map(r => r.head -> r).toMap
+    assert(byId(12L) == Seq(12L, 11L, true),
+      "doc 12 must attach to 11 across micro-batches")
+    assert(byId(11L) == Seq(11L, 11L, true))
+    assert(byId(10L) == Seq(10L, 0L, true))
+  }
+
   test("compaction refuses to rewrite its source path in place") {
     val p = graft.streaming.StreamScratch.dir("dg-selfcompact")
     intercept[IllegalArgumentException] {
