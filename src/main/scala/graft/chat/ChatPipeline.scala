@@ -108,10 +108,12 @@ object ChatPipeline {
             approx: Boolean = false): QueryOutput = {
     // proposals.md:70-73 (automatic check on query): warn — never
     // block — when the loaded index no longer matches its source.
-    // Only runs when freshness metadata exists and the indexed repo is
-    // still reachable; the per-file manifest walk is repo-sized driver
-    // work, the scale this CLI indexes (checkIndex documents this).
-    checkIndex(indexDir).foreach { f =>
+    // Cached behind a stat sketch (checkIndexCached): the per-query
+    // cost is one stat walk; hashing and the git spawn run only when
+    // something changed since the last check.
+    repairSwap(s"$indexDir/chunks")
+    repairSwap(s"$indexDir/forest")
+    checkIndexCached(indexDir).foreach { f =>
       if (f.stale)
         println(s"WARN: index may be stale (${f.reason}). " +
           s"Consider re-indexing '${f.meta.repoPath}'.")
@@ -392,6 +394,77 @@ object ChatPipeline {
     }
 
   // -------------------------------------------------------------------
+  // Cheap check-on-query. The reference proposal's Considerations flag
+  // that the on-query staleness check must be efficient; the exact
+  // check ([[checkIndex]]) walks AND md5-hashes every repo file plus
+  // shells out to git — right for the explicit REPL command, too heavy
+  // to pay on every query. The query path instead keys a cached
+  // verdict on a stat sketch (per-file size + mtime, the proposal's
+  // own mtime-walk granularity) plus the index's recorded identity:
+  // the walk stays, the hashing and the git spawn run only when
+  // something actually changed. An edit preserving both size and mtime
+  // is invisible to the sketch — the documented accuracy tradeoff the
+  // proposal's mtime sketch already makes; the exact command remains
+  // available.
+  // -------------------------------------------------------------------
+
+  private case class CheckKey(sketch: Map[String, (Long, Long)],
+                              contentHash: String, creation: String,
+                              processedLog: Option[(Long, Long)])
+
+  private val checkCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (CheckKey, Either[String, IndexFreshness])]()
+
+  /** full (hashing) checks actually run — observable cache behavior
+    * for specs and for anyone profiling the query path. */
+  private[graft] val fullCheckCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def statOf(p: java.nio.file.Path): Option[(Long, Long)] =
+    if (!java.nio.file.Files.exists(p)) None
+    else Some((java.nio.file.Files.size(p),
+      java.nio.file.Files.getLastModifiedTime(p).toMillis))
+
+  private def statSketch(repoDir: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(repoDir).toAbsolutePath
+    val keep = Chunker.gitignorePredicate(root)
+    val b = Map.newBuilder[String, (Long, Long)]
+    val stream = java.nio.file.Files.walk(root)
+    try stream.forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val rel = root.relativize(p).toString
+        if (keep(rel))
+          b += rel -> ((java.nio.file.Files.size(p),
+            java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+    } finally stream.close()
+    b.result()
+  }
+
+  /** [[checkIndex]] behind the stat-sketch cache — what [[query]] runs.
+    * Same verdict as the exact check whenever any indexed file's size
+    * or mtime changed, the index was rebuilt/refreshed (metadata
+    * identity is part of the key), or the incremental stream appended
+    * to the processed log. */
+  def checkIndexCached(indexDir: String): Either[String, IndexFreshness] =
+    readIndexMeta(indexDir) match {
+      case Some(meta) if java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(meta.repoPath)) =>
+        val key = CheckKey(statSketch(meta.repoPath), meta.contentHash,
+          meta.creationTimestamp,
+          statOf(java.nio.file.Paths.get(s"$indexDir/processed_files.log")))
+        val cached = checkCache.get(indexDir)
+        if (cached != null && cached._1 == key) cached._2
+        else {
+          fullCheckCount.incrementAndGet()
+          val v = checkIndex(indexDir)
+          checkCache.put(indexDir, (key, v))
+          v
+        }
+      // no metadata / vanished repo: the exact check's cheap arms
+      case _ => checkIndex(indexDir)
+    }
+
+  // -------------------------------------------------------------------
   // refresh-index: REPAIR a stale index without a full rebuild — the
   // operation check-index's diagnosis exists to drive. Modified and
   // deleted files' chunks are PURGED (the append-only incremental
@@ -405,42 +478,129 @@ object ChatPipeline {
   case class RefreshStats(purgedFiles: Long, purgedChunks: Long,
                           reindexedFiles: Long, addedChunks: Long)
 
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(c => rmTree(c)) finally children.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** Recover a [[rewriteSwap]] interrupted between its two renames: the
+    * journal written before the first move names the tmp and old
+    * generations, so a crash at ANY point leaves a deterministic repair
+    * — live missing + tmp present → finish the swap (tmp is the
+    * complete new generation); live missing + only old present →
+    * restore the pre-swap generation; live present → the swap either
+    * never started (drop the orphaned tmp) or completed (drop the
+    * leftovers). No-op without a journal. */
+  private[graft] def repairSwap(dir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val j = Paths.get(s"${dir}_swap_journal")
+    if (!Files.exists(j)) return
+    val lines = Files.readAllLines(j)
+    val tmp = Paths.get(lines.get(0)); val old = Paths.get(lines.get(1))
+    val live = Paths.get(dir)
+    if (!Files.isDirectory(live)) {
+      if (Files.isDirectory(tmp))
+        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+      else if (Files.isDirectory(old))
+        Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    rmTree(old)
+    if (Files.isDirectory(live)) rmTree(tmp)
+    Files.deleteIfExists(j)
+  }
+
   /** Rewrite a parquet dir keeping only `keep` rows: write tmp, swap
     * atomically, drop the old generation (read-and-overwrite of the
-    * same live path would race the lazy scan). */
+    * same live path would race the lazy scan). The two renames are not
+    * jointly atomic, so a journal written BEFORE the first move makes a
+    * crash between them recoverable ([[repairSwap]]) instead of leaving
+    * the index with no live dir. An all-rows-purged rewrite swaps in an
+    * EMPTY directory (never a schema-less parquet dir a later load
+    * would fail to infer): callers appending new rows right after —
+    * the only legal next step, [[refreshIndex]] guards the
+    * would-stay-empty case — write the first data files. */
   private def rewriteSwap(spark: SparkSession, dir: String,
                           partitionCols: Seq[String],
                           keep: DataFrame => DataFrame): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val live = Paths.get(dir)
     val tmp = Paths.get(s"${dir}_refresh_${System.nanoTime()}")
-    val w = keep(spark.read.parquet(dir)).write.mode("overwrite")
-    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-      .parquet(tmp.toString)
+    val kept = keep(spark.read.parquet(dir))
+    if (kept.isEmpty) Files.createDirectories(tmp)
+    else {
+      val w = kept.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(tmp.toString)
+    }
     val old = Paths.get(s"${dir}_old_${System.nanoTime()}")
+    val journal = Paths.get(s"${dir}_swap_journal")
+    Files.writeString(journal, s"$tmp\n$old\n")
     Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val children = Files.list(p)
-        try children.forEach(c => rm(c)) finally children.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    rm(old)
+    rmTree(old)
+    Files.deleteIfExists(journal)
   }
+
+  /** Persistent chunk-id generation counter (`next_generation` under
+    * the index): the high 32 bits of every chunk id name the
+    * generation that wrote it, and THREE writers allocate generations —
+    * the base build (gen 0), the incremental stream (one per
+    * micro-batch), and refresh-index (one per repair). Each allocator
+    * has a natural floor (stream: batchId+1 from its checkpoint;
+    * refresh: above the max existing id), but the floors don't know
+    * about each other: a refresh at generation G followed by a resumed
+    * watcher whose next batch floor is ≤ G would mint duplicate chunk
+    * ids and corrupt chunk identity across chunks/ and forest/. The
+    * shared high-water mark makes every allocation strictly increasing
+    * regardless of which writer asks. JVM-synchronized — the writers
+    * this CLI runs (one watcher, occasional refresh) share a process;
+    * a multi-process deployment would move the counter into a real
+    * metadata transaction. */
+  private val genLock = new Object
+  private[graft] def nextGeneration(indexDir: String, floor: Long): Long =
+    genLock.synchronized {
+      val p = java.nio.file.Paths.get(s"$indexDir/next_generation")
+      val recorded =
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.readString(p).trim.toLong
+        else 0L
+      val g = math.max(recorded, floor)
+      java.nio.file.Files.writeString(p, (g + 1L).toString)
+      g
+    }
+
+  /** changed-file count above which [[refreshIndex]] re-chunks and
+    * re-embeds through the DISTRIBUTED path the full build uses
+    * (binaryFile scan + partitioned embed) instead of driver-side file
+    * reads: a repair wave of a few edits is driver work by nature, but
+    * a large-scale change (a vendored tree, a sweeping reformat) must
+    * not degenerate to single-process embedding while the rebuild path
+    * is distributed. */
+  val RefreshDistributedThreshold = 64
 
   /** Bring a stale index back to fresh: diff the current repo manifest
     * against the indexed view (build manifest + incremental processed
     * log), purge changed/deleted files' chunks from chunks/ and their
-    * ids from forest/, re-chunk + re-embed only the changed/new files
-    * (fresh ids above every existing generation), regenerate the
-    * profile, and re-stamp manifest + metadata. A no-op on a fresh
-    * index. After refresh, [[checkIndex]] reports fresh by
-    * construction. */
+    * ids from forest/ (anti-joins against purge-key frames — an
+    * `isin(thousands)` In-expression is the non-scale-safe form),
+    * re-chunk + re-embed only the changed/new files (fresh ids above
+    * every existing generation, via the [[nextGeneration]] high-water
+    * mark the incremental stream shares), regenerate the profile, and
+    * re-stamp manifest + metadata. Changed-sets past
+    * [[RefreshDistributedThreshold]] re-embed through the distributed
+    * scan ([[distributedReindexRows]]); `forceDistributed` pins the
+    * path for equivalence testing. A no-op on a fresh index. After
+    * refresh, [[checkIndex]] reports fresh by construction. */
   def refreshIndex(spark: SparkSession, repoDir: String, indexDir: String,
-                   embedder: Embedder = new HashingEmbedder()): RefreshStats = {
+                   embedder: Embedder = new HashingEmbedder(),
+                   forceDistributed: Option[Boolean] = None): RefreshStats = {
     import spark.implicits._
+    repairSwap(s"$indexDir/chunks")
+    repairSwap(s"$indexDir/forest")
     val cur = repoManifest(repoDir)
     val curMap = cur.toMap
     val indexed = readHashLines(
@@ -458,53 +618,49 @@ object ChatPipeline {
       return RefreshStats(0L, 0L, 0L, 0L)
 
     val root = java.nio.file.Paths.get(repoDir).toAbsolutePath
+    val chunks = AnnIndex.load(spark, indexDir)
+    val mx = chunks.agg(max(col("chunk_id"))).head()
+    val genFloor = (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
+    val gen = nextGeneration(indexDir, genFloor)
     var purgedChunks = 0L
-    var nextBatch = 1L
-    if (purgeFiles.nonEmpty || reindexFiles.nonEmpty) {
-      val chunks = AnnIndex.load(spark, indexDir)
-      val mx = chunks.agg(max(col("chunk_id"))).head()
-      nextBatch = (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
-      val purgedIds = chunks
-        .filter(col("file").isin(purgeFiles: _*))
-        .select("chunk_id").collect().map(_.getLong(0)).toSet
-      purgedChunks = purgedIds.size.toLong
-      if (purgedIds.nonEmpty) {
+    if (purgeFiles.nonEmpty) {
+      val purgeDf = broadcast(purgeFiles.toDF("file"))
+      // materialize the purged ids BEFORE the chunks/ swap: the frame
+      // is consumed by the forest rewrite, which runs after the chunks
+      // dir it reads through has been replaced
+      val purgedIds = chunks.join(purgeDf, Seq("file"), "left_semi")
+        .select("chunk_id").localCheckpoint(true)
+      purgedChunks = purgedIds.count()
+      if (purgedChunks > 0L) {
+        // a refresh that empties the index with nothing to re-add has
+        // no valid final state (the load below could never read a
+        // schema) — that operation is a delete, not a repair
+        if (reindexFiles.isEmpty &&
+            chunks.join(purgeDf, Seq("file"), "left_anti").isEmpty)
+          throw new IllegalStateException(
+            "refresh would purge every chunk with nothing to re-index — " +
+              "remove the index directory and rebuild instead")
         rewriteSwap(spark, s"$indexDir/chunks", Seq("language"),
-          df => df.filter(!col("file").isin(purgeFiles: _*)))
+          df => df.join(purgeDf, Seq("file"), "left_anti"))
         if (AnnIndex.hasPlanes(indexDir) &&
             java.nio.file.Files.isDirectory(
-              java.nio.file.Paths.get(s"$indexDir/forest"))) {
-          val ids = purgedIds.toSeq
+              java.nio.file.Paths.get(s"$indexDir/forest")))
           rewriteSwap(spark, s"$indexDir/forest", Seq("tree", "leaf"),
-            df => df.filter(!col("chunk_id").isin(ids: _*)))
-        }
+            df => df.join(broadcast(purgedIds), Seq("chunk_id"), "left_anti"))
       }
     }
-    // re-chunk + re-embed only the changed/new files (driver file
-    // reads — the same per-file granularity the incremental stream
-    // uses), ids disjoint above every existing generation
-    val supported = Language.supportedExtensions.toSet
-    val newChunks = reindexFiles.flatMap { rel =>
-      val ext = rel.split('.').lastOption
-        .filter(_ => rel.contains('.')).map(_.toLowerCase)
-      ext match {
-        case Some(e) if supported.contains(e) =>
-          val text = new String(
-            java.nio.file.Files.readAllBytes(root.resolve(rel)),
-            java.nio.charset.StandardCharsets.UTF_8)
-          Chunker.splitStructured(text, Language.detect(e))
-            .map(c => (rel, c, Language.detect(e), Some(e)))
-        case _ => Seq.empty
-      }
-    }
-    if (newChunks.nonEmpty) {
-      val vecs = newChunks.grouped(32).flatMap { g =>
-        embedder.embedBatch(g.map(_._2))
-      }.toSeq
-      val rows = newChunks.zip(vecs).zipWithIndex.map {
-        case (((f, c, lang, e), v), i) =>
-          ((nextBatch << 32) | i.toLong, f, c, lang, e, v.toSeq)
-      }.toDF("chunk_id", "file", "code", "language", "extension", "vector")
+    // re-chunk + re-embed only the changed/new files, ids disjoint
+    // above every existing generation. Small waves read on the driver
+    // (the incremental stream's per-file granularity); large waves go
+    // through the same distributed scan the full rebuild uses.
+    val useDistributed = forceDistributed.getOrElse(
+      reindexFiles.size > RefreshDistributedThreshold)
+    val rows =
+      (if (useDistributed) distributedReindexRows(spark, root, reindexFiles, gen, embedder)
+       else driverReindexRows(spark, root, reindexFiles, gen, embedder))
+        .localCheckpoint(true)
+    val addedChunks = rows.count()
+    if (addedChunks > 0L) {
       rows.write.mode("append").partitionBy("language")
         .parquet(s"$indexDir/chunks")
       if (AnnIndex.hasPlanes(indexDir)) {
@@ -537,7 +693,90 @@ object ChatPipeline {
       contentHash = rollupHash(cur),
       nChunks = n), indexDir)
     RefreshStats(purgeFiles.size.toLong, purgedChunks,
-      reindexFiles.size.toLong, newChunks.size.toLong)
+      reindexFiles.size.toLong, addedChunks)
+  }
+
+  /** Small-wave reindex rows: driver file reads + batched embed, the
+    * incremental stream's granularity. Chunk ids are (gen << 32) | seq
+    * with seq dense over (file asc, intra-file chunk order) — the SAME
+    * contract [[distributedReindexRows]] reproduces, so the two paths
+    * yield identical indexes for a per-text-deterministic embedder. */
+  private def driverReindexRows(spark: SparkSession, root: java.nio.file.Path,
+                                reindexFiles: Seq[String], gen: Long,
+                                embedder: Embedder): DataFrame = {
+    import spark.implicits._
+    val supported = Language.supportedExtensions.toSet
+    val newChunks = reindexFiles.sorted.flatMap { rel =>
+      val ext = rel.split('.').lastOption
+        .filter(_ => rel.contains('.')).map(_.toLowerCase)
+      ext match {
+        case Some(e) if supported.contains(e) =>
+          val text = new String(
+            java.nio.file.Files.readAllBytes(root.resolve(rel)),
+            java.nio.charset.StandardCharsets.UTF_8)
+          Chunker.splitStructured(text, Language.detect(e))
+            .map(c => (rel, c, Language.detect(e), Some(e)))
+        case _ => Seq.empty
+      }
+    }
+    val vecs = newChunks.grouped(32).flatMap { g =>
+      embedder.embedBatch(g.map(_._2))
+    }.toSeq
+    newChunks.zip(vecs).zipWithIndex.map {
+      case (((f, c, lang, e), v), i) =>
+        ((gen << 32) | i.toLong, f, c, lang, e, v.toSeq)
+    }.toDF("chunk_id", "file", "code", "language", "extension", "vector")
+  }
+
+  /** Large-wave reindex rows: the distributed form of
+    * [[driverReindexRows]] — binaryFile scan of the repo restricted to
+    * the changed set (broadcast semi-join on relative path), chunking
+    * in a flatMap, embedding in per-partition batches of 32 (the
+    * incremental stream's shape), and the id sequence re-derived by a
+    * global (file, intra-file order) sort + zipWithIndex so ids land
+    * exactly where the driver path would put them. Embedding batch
+    * COMPOSITION differs between the paths (global groups of 32 vs
+    * per-partition groups), which is observable only for an embedder
+    * whose vectors depend on batch context — the hashing embedder and
+    * any per-text-deterministic model are bit-identical. */
+  private def distributedReindexRows(spark: SparkSession, root: java.nio.file.Path,
+                                     reindexFiles: Seq[String], gen: Long,
+                                     embedder: Embedder): DataFrame = {
+    import spark.implicits._
+    val supported = Language.supportedExtensions.toSet
+    val rootStr = root.toString
+    val wanted = broadcast(reindexFiles.toDF("rel"))
+    val files = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(rootStr)
+      .select(col("path"), col("content"))
+      .withColumn("rel",
+        regexp_replace(col("path"), s"^file:${java.util.regex.Pattern.quote(rootStr)}/?", ""))
+      .join(wanted, Seq("rel"), "left_semi")
+      .select(col("rel"), col("content").cast("string").as("text"))
+    val chunked = files.as[(String, String)].flatMap { case (rel, text) =>
+      val ext = rel.split('.').lastOption
+        .filter(_ => rel.contains('.')).map(_.toLowerCase)
+      ext match {
+        case Some(e) if supported.contains(e) =>
+          Chunker.splitStructured(text, Language.detect(e)).zipWithIndex
+            .map { case (c, ci) => (rel, ci, c, Language.detect(e), Some(e)) }
+        case _ => Seq.empty
+      }
+    }
+    val embedded = chunked.mapPartitions { it =>
+      it.grouped(32).flatMap { g =>
+        val vecs = embedder.embedBatch(g.map(_._3))
+        g.zip(vecs).map { case ((f, ci, c, lang, e), v) => (f, ci, c, lang, e, v.toSeq) }
+      }
+    }
+    embedded.rdd
+      .sortBy(r => (r._1, r._2))
+      .zipWithIndex()
+      .map { case ((f, _, c, lang, e, v), i) =>
+        ((gen << 32) | i, f, c, lang, e, v)
+      }
+      .toDF("chunk_id", "file", "code", "language", "extension", "vector")
   }
 }
 

@@ -15,16 +15,20 @@ import graft.chat.{AnnIndex, Embedder, HashingEmbedder, Language}
   * chunks' RP-forest leaf assignments append to `forest/` in the same
   * batch, so approximate search stays complete after appends.
   *
-  * Chunk ids are ((batchId+1) << 32 | rowInBatch) with rowInBatch from
-  * RDD zipWithIndex — partition-aware and dense, so rows in different
+  * Chunk ids are (gen << 32 | rowInBatch) with rowInBatch from RDD
+  * zipWithIndex — partition-aware and dense, so rows in different
   * partitions of one micro-batch can never collide (unlike
   * monotonically_increasing_id, whose low 33 bits restart per
-  * partition). Base-build ids (Embed.embedChunks zipWithIndex, < 2^32)
-  * have zero high bits, batches have batchId+1 >= 1 — disjoint by
-  * construction. Restarting the stream with the same checkpoint
-  * continues the batchId sequence; a fresh checkpoint on the same
-  * index dir would restart ids at batch 0, so keep checkpoints with
-  * the watch. */
+  * partition) — and gen allocated from the index's persistent
+  * high-water counter (ChatPipeline.nextGeneration) floored at the
+  * stream's own batchId+1 sequence. Base-build ids (Embed.embedChunks
+  * zipWithIndex, < 2^32) have zero high bits; every batch and every
+  * refresh-index repair allocates a strictly higher generation from
+  * the SHARED counter — so a refresh landing between batches can never
+  * collide with a resumed watcher's next batch. Restarting the stream
+  * with the same checkpoint continues the batchId floor; a fresh
+  * checkpoint on the same index dir stays safe because the persistent
+  * counter, not the restarted batchId, is authoritative. */
 object IncrementalIndex {
 
   private val counter = new AtomicInteger(0)
@@ -80,9 +84,15 @@ object IncrementalIndex {
         // over its parent, which would otherwise run chunk+embed twice
         // per batch (embedding is the dominant cost with a real model)
         val rowsRdd = rows.rdd.cache()
+        // generation from the index's shared high-water mark, floored
+        // at the stream's own batchId+1 sequence: refresh-index bumps
+        // the same counter, so a refresh between batches can never
+        // leave a resumed watcher minting a duplicate generation
+        // (ChatPipeline.nextGeneration documents the contract)
+        val gen = graft.chat.ChatPipeline.nextGeneration(indexDir, batchId + 1L)
         val withIds = rowsRdd.zipWithIndex()
           .map { case ((f, c, lang, e, v), i) =>
-            (((batchId + 1L) << 32) | i, f, c, lang, e, v)
+            ((gen << 32) | i, f, c, lang, e, v)
           }
           .toDF("chunk_id", "file", "code", "language", "extension", "vector")
         withIds.cache()

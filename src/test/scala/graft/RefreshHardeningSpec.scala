@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.chat.{AnnIndex, ChatPipeline}
+
+/** Scale/crash hardening of the refresh-index path:
+  *  - large changed-sets re-embed through the DISTRIBUTED scan and
+  *    yield an index byte-identical to the driver path on the same edit
+  *  - refresh and the incremental stream allocate chunk-id generations
+  *    from one persistent high-water counter, so a refresh between
+  *    batches can never mint duplicate ids
+  *  - an interrupted chunks/forest swap is journal-recoverable at any
+  *    crash point
+  *  - the query-time staleness check is cached behind a stat sketch
+  *    (full hashing runs only when something changed)
+  */
+class RefreshHardeningSpec extends SparkSpec {
+
+  private def scratch(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, prefix)
+
+  private def w(dir: java.nio.file.Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, content)
+  }
+
+  private def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t)
+    } finally walk.close()
+  }
+
+  private def rust(tag: String, lines: Int): String =
+    (1 to lines).map(i => s"pub fn ${tag}_$i() -> i32 {\n    ${i}\n}\n").mkString
+
+  private def writeBaseRepo(repo: java.nio.file.Path): Unit =
+    (1 to 8).foreach(i => w(repo, s"src/mod$i.rs", rust(s"base$i", 6)))
+
+  test("large-wave refresh through the distributed path is byte-identical to the driver path") {
+    val repo = scratch("rh-repo")
+    writeBaseRepo(repo)
+    val idx0 = scratch("rh-idx0")
+    ChatPipeline.index(spark, repo.toString, idx0.toString)
+
+    // the edit: modify 4 files, add 4 — an 8-file reindex wave
+    (1 to 4).foreach(i => w(repo, s"src/mod$i.rs", rust(s"edit$i", 7)))
+    (9 to 12).foreach(i => w(repo, s"src/mod$i.rs", rust(s"new$i", 5)))
+
+    val idxDriver = scratch("rh-idx-driver")
+    val idxDist = scratch("rh-idx-dist")
+    copyDir(idx0, idxDriver); copyDir(idx0, idxDist)
+
+    val sd = ChatPipeline.refreshIndex(spark, repo.toString, idxDriver.toString,
+      forceDistributed = Some(false))
+    val sx = ChatPipeline.refreshIndex(spark, repo.toString, idxDist.toString,
+      forceDistributed = Some(true))
+    assert(sd == sx, s"stats diverge: $sd vs $sx")
+    assert(sd.reindexedFiles == 8L && sd.addedChunks > 0L, sd)
+
+    def dump(idx: java.nio.file.Path): Seq[Seq[Any]] =
+      AnnIndex.load(spark, idx.toString)
+        .select("chunk_id", "file", "code", "language", "extension", "vector")
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Long])
+    assert(dump(idxDriver) == dump(idxDist),
+      "chunks tables differ between driver-path and distributed-path refresh")
+    def forestDump(idx: java.nio.file.Path): Set[Seq[Any]] =
+      spark.read.parquet(s"$idx/forest").collect().map(_.toSeq).toSet
+    assert(forestDump(idxDriver) == forestDump(idxDist),
+      "forest tables differ between the two refresh paths")
+    assert(ChatPipeline.readIndexMeta(idxDriver.toString).get.contentHash ==
+      ChatPipeline.readIndexMeta(idxDist.toString).get.contentHash)
+    assert(!ChatPipeline.checkIndex(idxDist.toString).toOption.get.stale)
+  }
+
+  test("refresh and a fresh-checkpoint watcher share the generation counter: no duplicate chunk ids") {
+    val repo = scratch("rh-gen-repo")
+    writeBaseRepo(repo)
+    val idx = scratch("rh-gen-idx").toString
+    ChatPipeline.index(spark, repo.toString, idx)
+
+    // refresh allocates generation 1 (above the base build's gen 0)
+    w(repo, "src/mod1.rs", rust("genedit", 6))
+    ChatPipeline.refreshIndex(spark, repo.toString, idx)
+    val refreshGen = AnnIndex.load(spark, idx)
+      .select((col("chunk_id") / org.apache.spark.sql.functions.lit(1L << 32))
+        .cast("long").as("g"))
+      .agg(org.apache.spark.sql.functions.max(col("g"))).head().getLong(0)
+    assert(refreshGen >= 1L)
+
+    // a watcher with a FRESH checkpoint starts at batchId 0 → floor 1 —
+    // exactly the collision window the shared counter closes
+    w(repo, "src/watched.rs", rust("watched", 4))
+    val q = graft.streaming.IncrementalIndex.start(spark, repo.toString, idx)
+    try q.processAllAvailable() finally q.stop()
+
+    val chunks = AnnIndex.load(spark, idx)
+    val total = chunks.count()
+    val distinct = chunks.select("chunk_id").distinct().count()
+    assert(total == distinct, s"duplicate chunk ids: $total rows, $distinct distinct")
+    val watchedGen = chunks.filter(col("file") === "src/watched.rs")
+      .select((col("chunk_id") / org.apache.spark.sql.functions.lit(1L << 32))
+        .cast("long").as("g"))
+      .agg(org.apache.spark.sql.functions.min(col("g"))).head().getLong(0)
+    assert(watchedGen > refreshGen,
+      s"stream generation $watchedGen did not clear the refresh generation $refreshGen")
+  }
+
+  test("repairSwap recovers an interrupted chunks swap at both crash points") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val repo = scratch("rh-swap-repo")
+    writeBaseRepo(repo)
+    val idx = scratch("rh-swap-idx").toString
+    ChatPipeline.index(spark, repo.toString, idx)
+    val before = AnnIndex.load(spark, idx).count()
+
+    // crash point A: after live->old, before tmp->live (the window
+    // with NO live dir). tmp here is a full copy = the complete new
+    // generation the swap was installing.
+    val live = Paths.get(s"$idx/chunks")
+    val tmp = Paths.get(s"$idx/chunks_refresh_777")
+    val old = Paths.get(s"$idx/chunks_old_777")
+    copyDir(live, tmp)
+    Files.writeString(Paths.get(s"$idx/chunks_swap_journal"), s"$tmp\n$old\n")
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    assert(!Files.isDirectory(live))
+    ChatPipeline.repairSwap(s"$idx/chunks")
+    assert(Files.isDirectory(live), "repair did not restore a live chunks dir")
+    assert(!Files.exists(Paths.get(s"$idx/chunks_swap_journal")))
+    assert(!Files.isDirectory(old) && !Files.isDirectory(tmp))
+    assert(AnnIndex.load(spark, idx).count() == before)
+
+    // crash point B: journal written, neither move happened (aborted
+    // refresh) — live untouched, orphaned tmp dropped
+    val tmp2 = Paths.get(s"$idx/chunks_refresh_778")
+    copyDir(live, tmp2)
+    Files.writeString(Paths.get(s"$idx/chunks_swap_journal"),
+      s"$tmp2\n$idx/chunks_old_778\n")
+    ChatPipeline.repairSwap(s"$idx/chunks")
+    assert(Files.isDirectory(live) && !Files.isDirectory(tmp2))
+    assert(!Files.exists(Paths.get(s"$idx/chunks_swap_journal")))
+    assert(AnnIndex.load(spark, idx).count() == before)
+
+    // and the query path runs the repair implicitly
+    copyDir(live, tmp)
+    Files.writeString(Paths.get(s"$idx/chunks_swap_journal"), s"$tmp\n$old\n")
+    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    val out = ChatPipeline.query(spark, idx, "base function", 1)
+    assert(out.results.nonEmpty)
+    assert(Files.isDirectory(live))
+  }
+
+  test("refresh refuses to purge every chunk with nothing to re-index") {
+    val repo = scratch("rh-empty-repo")
+    w(repo, "src/only.rs", rust("only", 4))
+    val idx = scratch("rh-empty-idx").toString
+    ChatPipeline.index(spark, repo.toString, idx)
+    // delete the only source file: the repair would empty the index
+    java.nio.file.Files.delete(repo.resolve("src/only.rs"))
+    intercept[IllegalStateException] {
+      ChatPipeline.refreshIndex(spark, repo.toString, idx)
+    }
+    // the live index is untouched by the refusal
+    assert(AnnIndex.load(spark, idx).count() > 0L)
+  }
+
+  test("check-on-query is cached behind the stat sketch: one full check until something changes") {
+    val repo = scratch("rh-cache-repo")
+    writeBaseRepo(repo)
+    val idx = scratch("rh-cache-idx").toString
+    ChatPipeline.index(spark, repo.toString, idx)
+
+    val c0 = ChatPipeline.fullCheckCount.get()
+    ChatPipeline.query(spark, idx, "base function one", 1)
+    ChatPipeline.query(spark, idx, "base function two", 1)
+    ChatPipeline.query(spark, idx, "base function three", 1)
+    val afterThree = ChatPipeline.fullCheckCount.get() - c0
+    assert(afterThree == 1L,
+      s"expected exactly 1 full check across 3 unchanged queries, got $afterThree")
+
+    // an edit invalidates the sketch: the next query re-checks fully
+    // and warns stale
+    w(repo, "src/mod1.rs", rust("cacheedit", 6))
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) {
+      ChatPipeline.query(spark, idx, "base function four", 1)
+    }
+    assert(ChatPipeline.fullCheckCount.get() - c0 == 2L)
+    assert(buf.toString.contains("WARN: index may be stale"), buf.toString)
+
+    // the cached variant agrees with the exact command on the verdict
+    val exact = ChatPipeline.checkIndex(idx).toOption.get
+    val cached = ChatPipeline.checkIndexCached(idx).toOption.get
+    assert(exact.stale == cached.stale)
+    assert(exact.currentContentHash == cached.currentContentHash)
+  }
+}
