@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Online serving-path latency harness: times the reference's actual
+  * user experience — the full composed retrieve of ChatPipeline.query
+  * (reference main.rs:440-530: classify → HyDE → embed → ANN →
+  * F1-F10 filters → rerank → synthesize) — end-to-end against a
+  * prepared index at the sf corpus's text volume, with the mock LLM
+  * client (deterministic, no network). Two measured series:
+  *
+  *  - `pushdown`: the index is registered in AnnCatalog, so the
+  *    brute-force kNN the query path declares is REWRITTEN by
+  *    AnnPushdownRule into the RP-forest semi-join. A
+  *    QueryExecutionListener audits every executed plan and counts the
+  *    ones containing a forest-side file scan — the harness FAILS
+  *    (exit 1) unless the rewrite fired for every timed query, so the
+  *    recorded latencies are guaranteed to describe the indexed path,
+  *    not a silent fallback to brute force.
+  *  - `brute`: same queries with the catalog cleared — the exact-scan
+  *    baseline the pushdown is beating.
+  *
+  * Build (corpus files + index + registration) is the untimed prepare
+  * half, reported separately. Prints ONE JSON line.
+  */
+object ServeBench {
+
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val next = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case qs: QueryStageExec => Seq(qs.plan)
+      case other => other.children
+    }
+    p +: next.flatMap(flatten)
+  }
+
+  private def pct(sorted: Seq[Double], p: Double): Double =
+    if (sorted.isEmpty) 0.0
+    else sorted(math.min(sorted.length - 1, math.ceil(p * sorted.length).toInt - 1).max(0))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nQueries = sys.env.getOrElse("SPARK_GRAFT_SERVE_QUERIES", "24").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- untimed prepare: corpus files -> index -> registration ----
+    // SPARK_GRAFT_SERVE_REPLICATE=N writes each doc N times (distinct
+    // ids) — the corpus-size axis for the brute-vs-pushdown crossover
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_SERVE_REPLICATE", "1").toInt
+    val t0 = System.nanoTime()
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val docs = (0 until replicate).flatMap(r =>
+      base.map { case (id, t) =>
+        (id + r.toLong * 1000000L, if (r == 0) t else s"copy $r of: $t")
+      }).toArray
+    val repoDir = graft.streaming.StreamScratch.dir("graft_serve_repo")
+    val docsPerFile = 8
+    docs.grouped(docsPerFile).zipWithIndex.foreach { case (g, i) =>
+      val body = g.map { case (id, t) => s"## doc $id\n\n$t\n" }.mkString("\n")
+      val p = java.nio.file.Paths.get(repoDir, f"docs/part$i%05d.md")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, body)
+    }
+    val indexDir = graft.streaming.StreamScratch.dir("graft_serve_idx")
+    val nChunks = graft.chat.ChatPipeline.index(spark, repoDir, indexDir)
+    graft.plans.AnnCatalog.register(spark, indexDir)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    // executed-plan audit: count plans whose file scans include the
+    // index's forest table — the semi-join AnnPushdownRule plants
+    val pushdownPlans = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        val hasForest = flatten(qe.executedPlan).exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(_.toString.contains(
+              s"$indexDir/forest"))
+          case _ => false
+        }
+        if (hasForest) pushdownPlans.incrementAndGet()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+    // the execution listener bus is asynchronous: poll the counter up
+    // to `timeoutMs` for an expected floor before reading it
+    def awaitPlans(expected: Long, timeoutMs: Long): Long = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (pushdownPlans.get() < expected && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      pushdownPlans.get()
+    }
+
+    // deterministic query strings drawn from the corpus itself (the
+    // mock classify/HyDE pass them through, so retrieval has signal).
+    // Phrased as explanations: the corpus is prose (.md), and the
+    // code/doc split (F5/F7) correctly yields nothing for a
+    // wants_code intent against a docs-only index
+    val step = math.max(1, docs.length / nQueries)
+    val queries = docs.indices.by(step).take(nQueries).map { i =>
+      "what is " +
+        docs(i)._2.trim.split("\\s+").filter(_.nonEmpty).take(6).mkString(" ")
+    }
+
+    def runSeries(): Seq[Double] = queries.map { q =>
+      val s0 = System.nanoTime()
+      val out = graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3,
+        rerank = true)
+      require(out.results.nonEmpty, s"no results for query '$q'")
+      (System.nanoTime() - s0) / 1e6
+    }
+
+    // warmup (JIT/codegen for the query plan shape), not timed
+    queries.take(3).foreach(q =>
+      graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3, rerank = true))
+    val warmupFloor = awaitPlans(3, 10000)
+
+    val pdStart = pushdownPlans.get()
+    val pushLat = runSeries().sorted
+    val pdFired = awaitPlans(pdStart + nQueries, 15000) - pdStart
+
+    graft.plans.AnnCatalog.clear()
+    val bruteLat = runSeries().sorted
+    graft.plans.AnnCatalog.register(spark, indexDir)
+
+    def stats(l: Seq[Double]) =
+      f"""{"p50":${pct(l, 0.50)}%.1f,"p95":${pct(l, 0.95)}%.1f,"mean":${l.sum / l.length}%.1f}"""
+    println(
+      s"""{"metric":"serve_latency","unit":"ms","n_queries":$nQueries,""" +
+        s""""pushdown":${stats(pushLat)},"brute":${stats(bruteLat)},""" +
+        s""""pushdown_plans":$pdFired,"warmup_plans":$warmupFloor,""" +
+        s""""n_chunks":$nChunks,"n_docs":${docs.length},""" +
+        f""""build_sec":$buildSec%.1f,"sf":"$sfDir"}""")
+    spark.stop()
+    // the gate: every timed query must have run through the rewritten
+    // (forest semi-join) plan — otherwise the numbers describe the
+    // wrong engine and the harness must not report success
+    if (pdFired < nQueries) {
+      System.err.println(
+        s"serve bench FAILED: pushdown fired in $pdFired/$nQueries timed plans")
+      sys.exit(1)
+    }
+  }
+}

@@ -32,7 +32,16 @@ import graft.functions.CosineDistanceExpr
   * kNN; the optimizer consults the index.
   */
 object AnnCatalog {
-  case class Entry(indexDir: String, forest: Array[Array[Array[Float]]])
+  /** `forestDf`: the forest table read ONCE at registration and reused
+    * by every rewritten query — a fresh `spark.read.parquet` per query
+    * would re-list the (tree, leaf)-partitioned directory tree (one
+    * dir per leaf — hundreds of listings) on every single query, a
+    * fixed serving-latency tax the shared InMemoryFileIndex removes.
+    * Registration pins the file listing like any index pins its
+    * segment list; an index mutated after registration (incremental
+    * append, refresh) must re-register, which rebuilds the listing. */
+  case class Entry(indexDir: String, forest: Array[Array[Array[Float]]],
+                   forestDf: org.apache.spark.sql.DataFrame)
 
   /** keyed by the chunks parquet location (path suffix match). */
   private[plans] val entries = TrieMap.empty[String, Entry]
@@ -46,7 +55,8 @@ object AnnCatalog {
         val chunks = AnnIndex.load(spark, indexDir)
         AnnIndex.sampleForest(AnnIndex.dim(chunks), chunks.count())
       }
-    entries.put(s"$indexDir/chunks", Entry(indexDir, forest))
+    entries.put(s"$indexDir/chunks",
+      Entry(indexDir, forest, spark.read.parquet(s"$indexDir/forest")))
   }
 
   def clear(): Unit = entries.clear()
@@ -98,7 +108,7 @@ case class AnnPushdownRule(spark: SparkSession)
                             metaPreds: Seq[Expression]): LogicalPlan = {
     import org.apache.spark.sql.functions.col
     val leaves = AnnIndex.queryLeaves(q, e.forest)
-    val forestDf = spark.read.parquet(s"${e.indexDir}/forest")
+    val forestDf = e.forestDf
     val cond = leaves.map { case (t, l) => col("tree") === t && col("leaf") === l }
       .reduce(_ || _)
     val byName = forestDf.queryExecution.analyzed.output.map(a => a.name -> a).toMap
@@ -110,10 +120,16 @@ case class AnnPushdownRule(spark: SparkSession)
     val filtered = translated.foldLeft(forestDf.filter(cond)) { (df, pr) =>
       df.filter(org.apache.spark.sql.graft.Bridge.column(pr))
     }
-    // the OPTIMIZED subtree: this rule runs mid-optimization, after
-    // ReplaceDeduplicateWithAggregate, so an analyzed Deduplicate node
-    // would survive to physical planning and fail there
-    filtered.select("chunk_id").distinct()
+    // NO distinct on the candidate side: a chunk in several trees'
+    // matching leaves appears several times, but the LEFT SEMI join
+    // consuming this plan has set semantics anyway — deduplicating
+    // first would add an aggregate + exchange to EVERY query's plan
+    // (measured ~2x the whole serving latency at small index sizes)
+    // for zero effect on results. The subtree is handed over OPTIMIZED:
+    // this rule runs mid-optimization, so an analyzed-only fragment
+    // would skip rules (e.g. ReplaceDeduplicateWithAggregate) that
+    // cannot run again before physical planning
+    filtered.select("chunk_id")
       .queryExecution.optimizedPlan
   }
 

@@ -300,6 +300,66 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.plans.AnnCatalog.clear()
   }
 
+  test("AnnPushdown fires inside the COMPOSED ChatPipeline.query path (executed-plan audit)") {
+    import org.apache.spark.sql.functions._
+    val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo5").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(repoDir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    (1 to 40).foreach(i => w(s"src/file$i.rs",
+      s"fn function_$i() { let value_$i = compute_$i(); }\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx5").toFile
+    graft.chat.ChatPipeline.index(spark, repoDir.getAbsolutePath, idxDir.getAbsolutePath)
+    graft.plans.AnnCatalog.register(spark, idxDir.getAbsolutePath)
+    val forestPlans = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = {
+        def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+            Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          val next = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case qs: QueryStageExec => Seq(qs.plan)
+            case other => other.children
+          }
+          p +: next.flatMap(flatten)
+        }
+        if (flatten(qe.executedPlan).exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.rootPaths.exists(
+              _.toString.contains(s"${idxDir.getAbsolutePath}/forest"))
+          case _ => false
+        }) forestPlans.incrementAndGet()
+      }
+      override def onFailure(fn: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // the full composed retrieve: classify (mock) -> HyDE (mock) ->
+      // embed -> kNN -> F1-F10 filters -> order -> synthesize. The kNN
+      // inside is written brute-force; the registered catalog must
+      // rewrite it, observable ONLY in the executed plan of this path.
+      val out = graft.chat.ChatPipeline.query(spark,
+        idxDir.getAbsolutePath, "compute function value", k = 3)
+      assert(out.results.nonEmpty)
+      assert(out.answer.nonEmpty)
+      // the execution-listener bus is async: poll briefly
+      val deadline = System.nanoTime() + 10000000000L
+      while (forestPlans.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(forestPlans.get() >= 1,
+        "no executed plan in the composed query path contained the forest semi-join scan")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      graft.plans.AnnCatalog.clear()
+    }
+  }
+
   test("without registration the kNN plan is untouched") {
     import org.apache.spark.sql.functions._
     graft.plans.AnnCatalog.clear()
