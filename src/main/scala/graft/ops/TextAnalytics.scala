@@ -833,12 +833,13 @@ object TextAnalytics {
     * histogram is a local 256-slot fill and the operator is pure scan
     * work with no shuffle but the presentation sort.
     *
-    * Oracle-parity assumption, stated: [[byteEntropySql]] histograms
-    * CHARACTERS via `ascii(substring(...))` while this side histograms
-    * UTF-8 BYTES — identical only on an ASCII corpus (true of the
-    * synthetic tables; a multi-byte corpus would need a byte-level
-    * oracle). The empty-text case IS guarded on both sides: Spark
-    * emits (0, 0, 0) and the SQL left-joins documents back so an
+    * Oracle parity is BY CONSTRUCTION: [[byteEntropySql]] histograms
+    * the same UTF-8 bytes this side does — `hex(encode(text))` is the
+    * blob's byte string and each byte is a 2-hex-char slice, so
+    * multi-byte characters contribute one histogram entry per BYTE on
+    * both sides (no ASCII-corpus assumption; the spec probes a
+    * non-ASCII doc). The empty-text case is guarded on both sides:
+    * Spark emits (0, 0, 0) and the SQL left-joins documents back so an
     * empty doc yields the same (0, 0, 0) row instead of vanishing. */
   def byteEntropy(spark: SparkSession, sfDir: String): DataFrame =
     byteEntropyCore(Tables.documents(spark, sfDir)).orderBy("doc_id")
@@ -873,9 +874,12 @@ object TextAnalytics {
   }
 
   def byteEntropySql: String =
-    """WITH ch AS (
-      |  SELECT doc_id, length(text) AS n, ascii(substring(text, i+1, 1)) AS b
-      |  FROM documents, unnest(range(length(text))) AS t(i)),
+    """WITH bs AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, n, substring(hx, 2*i+1, 2) AS b
+      |  FROM bs, unnest(range(n)) AS t(i)),
       |hist AS (SELECT doc_id, n, b, cast(count(*) as bigint) AS c FROM ch GROUP BY 1, 2, 3),
       |ent AS (
       |  SELECT doc_id, cast(n as bigint) AS n_bytes,

@@ -747,6 +747,35 @@ class Round9OpsSpec extends SparkSpec {
       s"binary-like payload must read well over 2 bits above repetitive words: $got")
   }
 
+  test("q156: non-ASCII docs histogram BYTES, not characters, matching a local byte-level reference") {
+    import spark.implicits._
+    def bl(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val dir = graft.streaming.StreamScratch.dir("q156-multibyte")
+    // 2-byte (é), 3-byte (CJK), and 4-byte (emoji) UTF-8 sequences —
+    // the byte histogram must count each byte of the encoding
+    val docs = Seq(
+      (0L, "héllo wörld café résumé"),
+      (1L, "中文文本的字节熵检查 中文文本"),
+      (2L, "ascii only words here"),
+      (3L, "mixed ascii with 😀 emoji and ümläuts"))
+    docs.map { case (id, t) => (id, t, "xx", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expected = docs.map { case (id, t) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val hist = bytes.groupBy(b => b & 0xff).map { case (_, v) => v.length.toLong }
+      val n = bytes.length.toLong
+      val ent = hist.map(c => c * (bl(n) - bl(c))).sum
+      (id, n, hist.size.toLong, if (n == 0) 0L else ent * 1000L / n)
+    }
+    val got = graft.ops.TextAnalytics.byteEntropy(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("distinct_bytes"), r.getAs[Long]("entropy_milli_bits"))).toSeq
+    assert(got == expected)
+    // the probe is genuinely multi-byte: byte length exceeds char length
+    assert(got.head._2 > docs.head._2.length.toLong)
+  }
+
   // ---------------------------------------------------------------- q157
 
   test("q157: flagged cells match an independent recompute and respect the K floor") {
