@@ -92,6 +92,19 @@ object Scaling {
     // stay linear in the corpus — measures that APPENDING scales, not
     // just serving
     "q165_graph_append" -> ((s, d) => graft.ops.Dedup.graphAppendReport(s, d, graft.ops.Dedup.OracleHashBits)),
+    // the retrieval-eval pair, inline and served: inline pays relevance
+    // regeneration (q14) + the broadcast-anchors scoring scan per eval;
+    // the served forms read the persisted graph + eval-rankings
+    // artifacts (preparedEvalScores — built untimed on pass 1 of
+    // min-of-2, the artifact discipline), so their cells measure what a
+    // recurring eval actually costs per run. The anchor set is CAPPED
+    // (EvalQueries = 25) at every decade — the eval-harness contract —
+    // so the inline cells grow with the corpus scan, the served cells
+    // with the answer-sized rankings
+    "q154_retrieval_eval" -> ((s, d) => graft.ops.Hybrid.retrievalEval(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q154_eval_served" -> ((s, d) => graft.ops.Hybrid.retrievalEvalFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q161_training_triplets" -> ((s, d) => graft.ops.Hybrid.trainingTriplets(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q161_triplets_served" -> ((s, d) => graft.ops.Hybrid.trainingTripletsFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
     "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)),
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81
