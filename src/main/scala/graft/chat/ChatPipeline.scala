@@ -487,19 +487,41 @@ object ChatPipeline {
     Files.deleteIfExists(p)
   }
 
+  /** How old a swap journal must be, with the live dir still present,
+    * before [[repairSwap]] treats it as crash leftovers rather than an
+    * IN-FLIGHT [[rewriteSwap]] in another session: the swap's
+    * journal-to-cleanup window is sub-second, so ten minutes is orders
+    * of magnitude past any live writer while still bounding leftover
+    * accumulation. A missing live dir is repaired immediately — that
+    * state is an emergency regardless of age (the writer either
+    * crashed mid-rename or is inside a microseconds-wide window, and
+    * both promote moves are atomic, so the loser of a race throws
+    * while the index stays whole). */
+  private val SwapJournalStaleMs = 10L * 60L * 1000L
+
   /** Recover a [[rewriteSwap]] interrupted between its two renames: the
     * journal written before the first move names the tmp and old
     * generations, so a crash at ANY point leaves a deterministic repair
     * — live missing + tmp present → finish the swap (tmp is the
     * complete new generation); live missing + only old present →
-    * restore the pre-swap generation; live present → the swap either
-    * never started (drop the orphaned tmp) or completed (drop the
-    * leftovers). No-op without a journal. */
+    * restore the pre-swap generation; live present + STALE journal →
+    * the swap either never started (drop the orphaned tmp) or completed
+    * (drop the leftovers). A live dir with a FRESH journal is left
+    * untouched — that is another session's swap in flight, and deleting
+    * its tmp mid-rename would strand it. A torn journal (crash during
+    * the journal write itself, before any rename could have happened)
+    * is simply deleted. No-op without a journal. */
   private[graft] def repairSwap(dir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val j = Paths.get(s"${dir}_swap_journal")
     if (!Files.exists(j)) return
     val lines = Files.readAllLines(j)
+    if (lines.size < 2) {
+      // torn journal write: rewriteSwap journals BEFORE its first
+      // rename, so the index is intact and there is nothing to repair
+      Files.deleteIfExists(j)
+      return
+    }
     val tmp = Paths.get(lines.get(0)); val old = Paths.get(lines.get(1))
     val live = Paths.get(dir)
     if (!Files.isDirectory(live)) {
@@ -507,6 +529,10 @@ object ChatPipeline {
         Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
       else if (Files.isDirectory(old))
         Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val ageMs = System.currentTimeMillis() -
+        Files.getLastModifiedTime(j).toMillis
+      if (ageMs < SwapJournalStaleMs) return // in-flight swap elsewhere
     }
     rmTree(old)
     if (Files.isDirectory(live)) rmTree(tmp)
@@ -622,6 +648,22 @@ object ChatPipeline {
     val mx = chunks.agg(max(col("chunk_id"))).head()
     val genFloor = (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
     val gen = nextGeneration(indexDir, genFloor)
+    // re-chunk + re-embed the changed/new files FIRST (eager,
+    // localCheckpoint) — the empty-index guard below must know the
+    // actual chunk yield BEFORE any destructive purge runs: a wave of
+    // reindex files can legitimately yield zero chunks (truncated-to-
+    // empty or unsupported-extension replacements), and destroying the
+    // index before discovering that would leave nothing to load. Small
+    // waves read on the driver (the incremental stream's per-file
+    // granularity); large waves go through the same distributed scan
+    // the full rebuild uses.
+    val useDistributed = forceDistributed.getOrElse(
+      reindexFiles.size > RefreshDistributedThreshold)
+    val rows =
+      (if (useDistributed) distributedReindexRows(spark, root, reindexFiles, gen, embedder)
+       else driverReindexRows(spark, root, reindexFiles, gen, embedder))
+        .localCheckpoint(true)
+    val addedChunks = rows.count()
     var purgedChunks = 0L
     if (purgeFiles.nonEmpty) {
       val purgeDf = broadcast(purgeFiles.toDF("file"))
@@ -634,8 +676,10 @@ object ChatPipeline {
       if (purgedChunks > 0L) {
         // a refresh that empties the index with nothing to re-add has
         // no valid final state (the load below could never read a
-        // schema) — that operation is a delete, not a repair
-        if (reindexFiles.isEmpty &&
+        // schema) — that operation is a delete, not a repair. The
+        // guard runs BEFORE any mutation and checks the reindex wave's
+        // ACTUAL chunk yield, not just its file count
+        if (addedChunks == 0L &&
             chunks.join(purgeDf, Seq("file"), "left_anti").isEmpty)
           throw new IllegalStateException(
             "refresh would purge every chunk with nothing to re-index — " +
@@ -649,17 +693,6 @@ object ChatPipeline {
             df => df.join(broadcast(purgedIds), Seq("chunk_id"), "left_anti"))
       }
     }
-    // re-chunk + re-embed only the changed/new files, ids disjoint
-    // above every existing generation. Small waves read on the driver
-    // (the incremental stream's per-file granularity); large waves go
-    // through the same distributed scan the full rebuild uses.
-    val useDistributed = forceDistributed.getOrElse(
-      reindexFiles.size > RefreshDistributedThreshold)
-    val rows =
-      (if (useDistributed) distributedReindexRows(spark, root, reindexFiles, gen, embedder)
-       else driverReindexRows(spark, root, reindexFiles, gen, embedder))
-        .localCheckpoint(true)
-    val addedChunks = rows.count()
     if (addedChunks > 0L) {
       rows.write.mode("append").partitionBy("language")
         .parquet(s"$indexDir/chunks")
@@ -692,6 +725,9 @@ object ChatPipeline {
       sourceCommitHash = gitCommitHash(repoDir),
       contentHash = rollupHash(cur),
       nChunks = n), indexDir)
+    // a registered serving session must not keep the pre-refresh forest
+    // listing (its files were just rewritten away)
+    graft.plans.AnnCatalog.refreshIfRegistered(spark, indexDir)
     RefreshStats(purgeFiles.size.toLong, purgedChunks,
       reindexFiles.size.toLong, addedChunks)
   }
@@ -705,19 +741,11 @@ object ChatPipeline {
                                 reindexFiles: Seq[String], gen: Long,
                                 embedder: Embedder): DataFrame = {
     import spark.implicits._
-    val supported = Language.supportedExtensions.toSet
     val newChunks = reindexFiles.sorted.flatMap { rel =>
-      val ext = rel.split('.').lastOption
-        .filter(_ => rel.contains('.')).map(_.toLowerCase)
-      ext match {
-        case Some(e) if supported.contains(e) =>
-          val text = new String(
-            java.nio.file.Files.readAllBytes(root.resolve(rel)),
-            java.nio.charset.StandardCharsets.UTF_8)
-          Chunker.splitStructured(text, Language.detect(e))
-            .map(c => (rel, c, Language.detect(e), Some(e)))
-        case _ => Seq.empty
-      }
+      Chunker.fileChunkRows(rel,
+        new String(java.nio.file.Files.readAllBytes(root.resolve(rel)),
+          java.nio.charset.StandardCharsets.UTF_8))
+        .map { case (r, _, c, lang, e) => (r, c, lang, e) }
     }
     val vecs = newChunks.grouped(32).flatMap { g =>
       embedder.embedBatch(g.map(_._2))
@@ -743,26 +771,20 @@ object ChatPipeline {
                                      reindexFiles: Seq[String], gen: Long,
                                      embedder: Embedder): DataFrame = {
     import spark.implicits._
-    val supported = Language.supportedExtensions.toSet
     val rootStr = root.toString
-    val wanted = broadcast(reindexFiles.toDF("rel"))
+    // load EXACTLY the changed files by explicit path — scanning the
+    // whole repo and semi-joining down would read every file's bytes
+    // first (binaryFile pushes down path filters, not joins), making
+    // repair cost scale with repo size instead of wave size and
+    // tripping binaryFile's size limit on any unrelated huge artifact
     val files = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .load(rootStr)
+      .load(reindexFiles.map(rel => root.resolve(rel).toString): _*)
       .select(col("path"), col("content"))
       .withColumn("rel",
         regexp_replace(col("path"), s"^file:${java.util.regex.Pattern.quote(rootStr)}/?", ""))
-      .join(wanted, Seq("rel"), "left_semi")
       .select(col("rel"), col("content").cast("string").as("text"))
     val chunked = files.as[(String, String)].flatMap { case (rel, text) =>
-      val ext = rel.split('.').lastOption
-        .filter(_ => rel.contains('.')).map(_.toLowerCase)
-      ext match {
-        case Some(e) if supported.contains(e) =>
-          Chunker.splitStructured(text, Language.detect(e)).zipWithIndex
-            .map { case (c, ci) => (rel, ci, c, Language.detect(e), Some(e)) }
-        case _ => Seq.empty
-      }
+      Chunker.fileChunkRows(rel, text)
     }
     val embedded = chunked.mapPartitions { it =>
       it.grouped(32).flatMap { g =>

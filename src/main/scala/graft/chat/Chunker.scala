@@ -152,6 +152,29 @@ object Chunker {
     }
   }
 
+  /** The ONE "relative path + text → chunk rows" contract every
+    * indexing path shares (base build, incremental stream, refresh
+    * driver path, refresh distributed path): extension detect →
+    * supported filter → language detect → splitStructured, with the
+    * intra-file chunk index preserved. `text` is by-name so callers
+    * never decode bytes for unsupported extensions. Keeping this in one
+    * place is what makes the byte-identical-across-paths guarantees
+    * (RefreshHardeningSpec, the stream==batch specs) provable rather
+    * than accidental — four drifting copies encoded it before. */
+  private[graft] def fileChunkRows(rel: String, text: => String)
+      : Seq[(String, Int, String, Option[String], Option[String])] = {
+    val ext = rel.split('.').lastOption
+      .filter(_ => rel.contains('.')).map(_.toLowerCase)
+    ext match {
+      case Some(e) if Language.supportedExtensions.contains(e) =>
+        val lang = Language.detect(e)
+        splitStructured(text, lang).zipWithIndex.map {
+          case (c, i) => (rel, i, c, lang, Some(e))
+        }
+      case _ => Seq.empty
+    }
+  }
+
   /** S1+P1-P4: scan a directory into chunk rows. Uses Spark's binaryFile
     * source for the distributed read; the gitignore pre-pass and
     * extension filter prune before content ever moves. */
@@ -164,20 +187,15 @@ object Chunker {
       .option("recursiveFileLookup", "true")
       .load(rootStr)
       .select(col("path"), col("content"))
-    val supported = Language.supportedExtensions.toSet
     files.flatMap { row =>
       val uri = row.getString(0)
       val path = uri.stripPrefix("file:")
       val rel = path.stripPrefix(rootStr).stripPrefix("/")
-      val ext = rel.split('.').lastOption.filter(_ => rel.contains('.')).map(_.toLowerCase)
-      ext match {
-        case Some(e) if supported.contains(e) && keep(rel) =>
-          val bytes = row.getAs[Array[Byte]](1)
-          val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-          val lang = Language.detect(e)
-          splitStructured(text, lang).map(chunk => CodeChunk(rel, chunk, lang, Some(e)))
-        case _ => Seq.empty
-      }
+      if (!keep(rel)) Seq.empty[CodeChunk]
+      else fileChunkRows(rel,
+          new String(row.getAs[Array[Byte]](1),
+            java.nio.charset.StandardCharsets.UTF_8))
+        .map { case (r, _, c, lang, e) => CodeChunk(r, c, lang, e) }
     }
   }
 

@@ -438,14 +438,18 @@ object Hybrid {
     * timed work is its one rank window + answer-sized joins. */
   def trainingTripletsFromGraph(spark: SparkSession, sfDir: String,
                                 bits: Int = Dedup.DefaultHashBits): DataFrame = {
+    import spark.implicits._
     val dir = preparedEvalScores(spark, sfDir, bits)
     val pairs = Dedup.loadGraphPairs(spark,
         Dedup.preparedDedupGraph(spark, sfDir, bits))
       .select("doc_a", "doc_b")
     val rel = Materialize.shared(spark,
       pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("qid", "rel_id"))
-    tripletsOver(spark, rel,
-      spark.read.parquet(s"$dir/qids"),
+    // the qids artifact is answer-sized: collect it once so the anchor
+    // frame is a local relation and the count is free
+    val qidSeq = spark.read.parquet(s"$dir/qids")
+      .collect().map(_.getLong(0)).sorted
+    tripletsOver(spark, rel, qidSeq.toSeq.toDF("qid"), qidSeq.length,
       spark.read.parquet(s"$dir/scored").filter(col("side") === 1)
         .select("qid", "doc_id", "sim"))
   }
@@ -457,7 +461,7 @@ object Hybrid {
       pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("qid", "rel_id"))
     val anchors = rel.select("qid").distinct().orderBy("qid").limit(EvalQueries)
     val qidSeq = anchors.collect().map(_.getLong(0)).sorted
-    tripletsOver(spark, rel, anchors,
+    tripletsOver(spark, rel, anchors, qidSeq.length,
       Materialize.shared(spark,
         denseScores(spark, sfDir, qidSeq).filter(col("side") === 1)
           .select("qid", "doc_id", "sim")))
@@ -465,13 +469,16 @@ object Hybrid {
 
   /** the triplet-mining tail the inline and served q161 forms share:
     * smallest-id positive, top-non-partner hard negative (one rank
-    * window over the anchor-bounded sims), margins. */
+    * window over the anchor-bounded sims), margins. `nAnchors` is
+    * passed in (both callers already hold the collected qid set) so
+    * the log line never adds a Spark job to the timed path. */
   private def tripletsOver(spark: SparkSession, rel: DataFrame,
-                           anchors: DataFrame, sims: DataFrame): DataFrame = {
+                           anchors: DataFrame, nAnchors: Int,
+                           sims: DataFrame): DataFrame = {
     // surface the anchor sampling (the q154 n_queries_total discipline,
     // as a log line here — the per-anchor rows are not the place for a
     // constant population column)
-    println(s"[graft] q161: mining triplets over ${anchors.count()} of " +
+    println(s"[graft] q161: mining triplets over $nAnchors of " +
       s"${rel.select("qid").distinct().count()} candidate anchors " +
       s"(EvalQueries cap = $EvalQueries)")
     val positives = rel

@@ -61,6 +61,15 @@ object AnnCatalog {
 
   def clear(): Unit = entries.clear()
 
+  /** Invalidation hook for index MUTATORS (incremental appends,
+    * refresh-index): re-register — rebuilding the pinned planes and the
+    * forest file listing — iff this index is currently registered. A
+    * serving session that registered once must never keep reading a
+    * listing whose files an append extended (silently incomplete ANN
+    * results) or a rewrite deleted (FileNotFound on every query). */
+  def refreshIfRegistered(spark: SparkSession, indexDir: String): Unit =
+    if (entries.contains(s"$indexDir/chunks")) register(spark, indexDir)
+
   /** Returns the registered chunks path WITH its entry: callers anchor
     * predicate translation on the one relation that path names, never
     * on other relations that happen to share the plan subtree. */

@@ -60,16 +60,11 @@ object IncrementalIndex {
         val rows = batch.as[(String, Array[Byte])].flatMap { case (uri, bytes) =>
           val path = uri.stripPrefix("file:")
           val rel = path.stripPrefix(watchDir).dropWhile(_ == '/')
-          val ext = rel.split('.').lastOption
-            .filter(_ => rel.contains('.')).map(_.toLowerCase)
-          ext match {
-            case Some(e) if supported.contains(e) =>
-              val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-              val lang = Language.detect(e)
-              graft.chat.Chunker.splitStructured(text, lang)
-                .map(c => (rel, c, lang, Some(e)))
-            case _ => Seq.empty
-          }
+          // the ONE shared chunking contract (Chunker.fileChunkRows) —
+          // base build, refresh paths, and this stream cannot drift
+          graft.chat.Chunker.fileChunkRows(rel,
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .map { case (r, _, c, lang, e) => (r, c, lang, e) }
         }.mapPartitions { it =>
           it.grouped(32).flatMap { group =>
             val vecs = embedder.embedBatch(group.map(_._2))
@@ -137,6 +132,9 @@ object IncrementalIndex {
             else None
           }
         graft.chat.ChatPipeline.appendProcessedLog(indexDir, processed.toSeq)
+        // a registered serving session must see this batch's appended
+        // chunks/forest files — its pinned listing predates them
+        graft.plans.AnnCatalog.refreshIfRegistered(spark, indexDir)
         withIds.unpersist()
         rowsRdd.unpersist()
         ()

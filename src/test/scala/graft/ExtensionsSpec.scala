@@ -360,6 +360,60 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("index mutation refreshes a registered catalog entry: pushdown survives refresh-index and sees appended chunks") {
+    import org.apache.spark.sql.functions._
+    val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo6").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(repoDir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    (1 to 30).foreach(i => w(s"src/file$i.rs",
+      s"fn function_$i() { let value_$i = compute_$i(); }\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx6").toFile.getAbsolutePath
+    graft.chat.ChatPipeline.index(spark, repoDir.getAbsolutePath, idxDir)
+    graft.plans.AnnCatalog.register(spark, idxDir)
+    try {
+      val emb = new graft.chat.HashingEmbedder()
+      def knnIds(queryText: String): Seq[Long] = {
+        val q = emb.embed(queryText)
+        val chunks = graft.chat.AnnIndex.load(spark, idxDir)
+        val knn = chunks
+          .withColumn("distance",
+            graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+          .orderBy(col("distance").asc, col("chunk_id").asc)
+          .limit(5)
+        assert(knn.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+          "pushdown must stay active after index mutation")
+        knn.select("chunk_id").collect().map(_.getLong(0)).toSeq
+      }
+      assert(knnIds("compute function value").nonEmpty)
+      // refresh-index REWRITES forest/ (the registered listing's files
+      // are deleted) — without the invalidation hook every subsequent
+      // rewritten query would throw FileNotFoundException
+      w("src/file1.rs", "fn function_1() { let value_1 = recompute_1(); }\n")
+      graft.chat.ChatPipeline.refreshIndex(spark,
+        repoDir.getAbsolutePath, idxDir)
+      assert(knnIds("recompute function value").nonEmpty)
+      // an incremental append's new chunks must be VISIBLE to the
+      // rewritten query (a stale listing would silently omit them).
+      // Query with the appended chunk's OWN text: the identical vector
+      // lands in the same leaf in every tree by construction, so the
+      // chunk is guaranteed a candidate (distance 0, rank 1) — IF the
+      // forest listing includes its batch's files
+      val freshText = "fn zzquux_unique() { let zzquux_target = zzquux_marker(); }\n"
+      w("src/fresh.rs", freshText)
+      val q = graft.streaming.IncrementalIndex.start(spark,
+        repoDir.getAbsolutePath, idxDir)
+      try q.processAllAvailable() finally q.stop()
+      val hits = knnIds(freshText)
+      val topFile = graft.chat.AnnIndex.load(spark, idxDir)
+        .filter(col("chunk_id") === hits.head)
+        .select("file").head().getString(0)
+      assert(topFile == "src/fresh.rs",
+        s"appended chunk invisible to the pushdown query: top hit from $topFile")
+    } finally graft.plans.AnnCatalog.clear()
+  }
+
   test("without registration the kNN plan is untouched") {
     import org.apache.spark.sql.functions._
     graft.plans.AnnCatalog.clear()

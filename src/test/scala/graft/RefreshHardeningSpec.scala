@@ -136,15 +136,31 @@ class RefreshHardeningSpec extends SparkSpec {
     assert(AnnIndex.load(spark, idx).count() == before)
 
     // crash point B: journal written, neither move happened (aborted
-    // refresh) — live untouched, orphaned tmp dropped
+    // refresh) — live untouched, orphaned tmp dropped. With live
+    // present, repair only acts on STALE journals (a fresh one is
+    // another session's swap in flight), so backdate it past the
+    // staleness window first — and verify the fresh-journal protection
+    // leaves an in-flight swap's tmp alone
     val tmp2 = Paths.get(s"$idx/chunks_refresh_778")
     copyDir(live, tmp2)
-    Files.writeString(Paths.get(s"$idx/chunks_swap_journal"),
-      s"$tmp2\n$idx/chunks_old_778\n")
+    val j2 = Paths.get(s"$idx/chunks_swap_journal")
+    Files.writeString(j2, s"$tmp2\n$idx/chunks_old_778\n")
+    ChatPipeline.repairSwap(s"$idx/chunks")
+    assert(Files.isDirectory(tmp2),
+      "repair deleted a FRESH journal's tmp — that is another session's in-flight swap")
+    Files.setLastModifiedTime(j2, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 11L * 60L * 1000L))
     ChatPipeline.repairSwap(s"$idx/chunks")
     assert(Files.isDirectory(live) && !Files.isDirectory(tmp2))
-    assert(!Files.exists(Paths.get(s"$idx/chunks_swap_journal")))
+    assert(!Files.exists(j2))
     assert(AnnIndex.load(spark, idx).count() == before)
+
+    // torn journal (crash during the journal write itself): no rename
+    // can have happened, so repair just deletes it
+    Files.writeString(j2, s"$tmp2")
+    ChatPipeline.repairSwap(s"$idx/chunks")
+    assert(!Files.exists(j2))
+    assert(Files.isDirectory(live))
 
     // and the query path runs the repair implicitly
     copyDir(live, tmp)
@@ -167,6 +183,17 @@ class RefreshHardeningSpec extends SparkSpec {
     }
     // the live index is untouched by the refusal
     assert(AnnIndex.load(spark, idx).count() > 0L)
+
+    // the subtler arm: the file still EXISTS but its reindex yields
+    // ZERO chunks (truncated to empty) — the wave's file count passes
+    // a naive guard, its chunk yield must not. The guard checks the
+    // actual yield BEFORE any destructive purge, so the index survives
+    w(repo, "src/only.rs", "")
+    intercept[IllegalStateException] {
+      ChatPipeline.refreshIndex(spark, repo.toString, idx)
+    }
+    assert(AnnIndex.load(spark, idx).count() > 0L,
+      "a zero-yield reindex wave must not destroy the index")
   }
 
   test("check-on-query is cached behind the stat sketch: one full check until something changes") {
