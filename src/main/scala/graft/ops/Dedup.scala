@@ -3554,44 +3554,42 @@ object Dedup {
     *
     * Scale shape — the point of the two-phase design: the df/cf
     * aggregation runs hash-only (gramPosRows — gram STRINGS never
-    * shuffle corpus-wide, the q65 discipline); strings surface only
-    * for the ~k winners via a broadcast hash-join against a second
-    * scan, whose min(gram)-per-hash agg collapses map-side to the
-    * winner vocabulary. Under a 32-bit oracle-mode hash two colliding
-    * grams merge on BOTH engines (counts and min-string alike), so the
-    * report still hash-checks. */
+    * shuffle corpus-wide, the q65 discipline) and ALSO carries each
+    * hash's first occurrence as an integer (doc_id, pos) pair — 16
+    * bytes per distinct gram, not a string. String recovery is then a
+    * broadcast join of the ~k winners' locations against one documents
+    * projection that slices the gram text out of its host doc: no
+    * second corpus-wide gram pass, no second md5 of every gram. At
+    * sf0.1 the saving is modest (~0.1 s — job floors dominate there);
+    * the point is the 100-TB shape, where the old string-recovery pass
+    * re-hashed every gram in the corpus. Under a 32-bit oracle-mode hash
+    * two colliding grams merge on BOTH engines — counts and the
+    * first-occurrence representative alike (the oracle's arg_min over
+    * the same (doc_id, pos) key) — so the report still hash-checks. */
   def boilerplateGrams(spark: SparkSession, sfDir: String,
                        bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
     val n = DupSpanN
     // cached: the vocabulary-sized stats frame feeds the threshold agg,
     // the winner filter, and the broadcast — uncached, each consumer
     // re-ran the full gram scan + agg (the q158 adjacency discipline)
     val stats = Materialize.shared(spark, gramPosRows(spark, sfDir, bits)
       .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf")))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"),
+        min(struct(col("doc_id"), col("pos"))).as("loc")))
     val thr = stats.orderBy(col("df").desc).limit(BoilerplateTopK)
       .agg(min(col("df")).as("thr"))
     val winners = stats.crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
-      .select("gh", "df", "cf")
+      .select(col("gh"), col("df"), col("cf"),
+        col("loc.doc_id").as("doc_id"), col("loc.pos").as("rep_pos"))
     val gramStrings = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (_, txt) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          (0 to t.length - n).map { i =>
-            val g = t.slice(i, i + n).mkString(" ")
-            (packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits), g)
-          }
-        }
-      }
-      .toDF("gh", "gram")
+      .join(broadcast(winners.select("gh", "doc_id", "rep_pos")), "doc_id")
+      .select(col("gh"),
+        array_join(slice(split(trim(col("text")), "\\s+"),
+          (col("rep_pos") + 1).cast("int"), lit(n)), " ").as("gram"))
     val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    winners
-      .join(gramStrings.join(broadcast(winners.select("gh")), "gh")
-        .groupBy("gh").agg(min(col("gram")).as("gram")), "gh")
+    winners.select("gh", "df", "cf")
+      .join(gramStrings, "gh")
       .crossJoin(broadcast(nd))
       .select(col("gram"), col("df"), col("cf"),
         expr("df * 1000 div n_docs").as("df_permille"))
@@ -3606,12 +3604,13 @@ object Dedup {
        |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
        |  FROM documents),
        |gr AS (
-       |  SELECT doc_id, g, ${shingleHashExpr("strpos", "md5(g)")} AS gh
-       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
-       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g
-       |        FROM toks)),
+       |  SELECT doc_id, i AS pos, g, ${shingleHashExpr("strpos", "md5(g)")} AS gh
+       |  FROM (SELECT doc_id, i, $gramExpr AS g
+       |        FROM toks, unnest(range(CASE WHEN len(t) >= $n
+       |          THEN len(t) - ${n - 1} ELSE 0 END)) AS u(i))),
        |stats AS (
-       |  SELECT gh, min(g) AS gram, cast(count(DISTINCT doc_id) as bigint) AS df,
+       |  SELECT gh, arg_min(g, doc_id * 4294967296 + pos) AS gram,
+       |    cast(count(DISTINCT doc_id) as bigint) AS df,
        |    cast(count(*) as bigint) AS cf
        |  FROM gr GROUP BY gh),
        |thr AS (SELECT min(df) AS thr FROM (SELECT df FROM stats ORDER BY df DESC LIMIT $BoilerplateTopK)),
