@@ -117,35 +117,55 @@ object ServeBench {
         docs(i)._2.trim.split("\\s+").filter(_.nonEmpty).take(6).mkString(" ")
     }
 
+    // settle: wait for the counter to reach `min`, then for it to stay
+    // UNCHANGED for 150 ms — the async listener bus can deliver a
+    // query's surplus events (multi-action plans) late, and a baseline
+    // snapshot taken before they land would falsely credit the NEXT
+    // query. The settled value is the next query's baseline, so per-
+    // query coverage cannot be satisfied by a predecessor's strays.
+    def settle(min: Long): Long = {
+      awaitPlans(min, 10000)
+      var stable = pushdownPlans.get()
+      var t0 = System.nanoTime()
+      while (System.nanoTime() - t0 < 150000000L) {
+        Thread.sleep(20)
+        val now = pushdownPlans.get()
+        if (now != stable) { stable = now; t0 = System.nanoTime() }
+      }
+      stable
+    }
+
     // checkPushdown: after EACH timed query, wait (untimed — the clock
-    // stopped before the poll) until the async listener has delivered
-    // at least one MORE forest-scan plan than before the query ran. A
-    // global end-of-series count could be satisfied by surplus events
-    // (a multi-action query, late warmup deliveries) while some query
-    // silently fell back to brute force — per-query coverage is the
-    // property the gate exists to certify.
+    // stopped before the poll) until the async listener has settled at
+    // least one MORE forest-scan plan than the previous settled
+    // baseline. A global end-of-series count could be satisfied by
+    // surplus events while some query silently fell back to brute
+    // force — per-query coverage is the property the gate certifies.
     def runSeries(checkPushdown: Boolean): (Seq[Double], Int) = {
       var covered = 0
+      var baseline = if (checkPushdown) settle(pushdownPlans.get()) else 0L
       val lat = queries.map { q =>
-        val before = pushdownPlans.get()
         val s0 = System.nanoTime()
         val out = graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3,
           rerank = true)
         val ms = (System.nanoTime() - s0) / 1e6
         require(out.results.nonEmpty, s"no results for query '$q'")
-        if (checkPushdown && awaitPlans(before + 1, 10000) > before)
-          covered += 1
+        if (checkPushdown) {
+          val settled = settle(baseline + 1)
+          if (settled > baseline) covered += 1
+          baseline = settled
+        }
         ms
       }
       (lat, covered)
     }
 
-    // warmup (JIT/codegen for the query plan shape), not timed; drain
-    // the listener bus so late warmup events never credit a timed query
+    // warmup (JIT/codegen for the query plan shape), not timed; the
+    // first settle() inside runSeries drains any late warmup events
+    // before the first timed baseline is taken
     queries.take(3).foreach(q =>
       graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3, rerank = true))
     val warmupFloor = awaitPlans(3, 10000)
-    Thread.sleep(500)
 
     val (pushLatRaw, pdFired) = runSeries(checkPushdown = true)
     val pushLat = pushLatRaw.sorted

@@ -514,29 +514,39 @@ object ChatPipeline {
   private[graft] def repairSwap(dir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val j = Paths.get(s"${dir}_swap_journal")
-    if (!Files.exists(j)) return
-    val lines = Files.readAllLines(j)
-    if (lines.size < 2) {
-      // torn journal write: rewriteSwap journals BEFORE its first
-      // rename, so the index is intact and there is nothing to repair
-      Files.deleteIfExists(j)
-      return
-    }
-    val tmp = Paths.get(lines.get(0)); val old = Paths.get(lines.get(1))
-    val live = Paths.get(dir)
-    if (!Files.isDirectory(live)) {
-      if (Files.isDirectory(tmp))
-        Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-      else if (Files.isDirectory(old))
-        Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
-    } else {
+    try {
+      if (!Files.exists(j)) return
       val ageMs = System.currentTimeMillis() -
         Files.getLastModifiedTime(j).toMillis
-      if (ageMs < SwapJournalStaleMs) return // in-flight swap elsewhere
+      val lines = Files.readAllLines(j)
+      val live = Paths.get(dir)
+      if (lines.size < 2) {
+        // torn journal: rewriteSwap journals BEFORE its first rename,
+        // so the live dir is intact and there is nothing to repair —
+        // but a FRESH torn journal may be another session's journal
+        // write IN FLIGHT (writeString is not atomic), and deleting it
+        // would strand that writer's upcoming swap with no recovery
+        // record. Only stale torn journals are cleaned.
+        if (ageMs >= SwapJournalStaleMs) Files.deleteIfExists(j)
+        return
+      }
+      val tmp = Paths.get(lines.get(0)); val old = Paths.get(lines.get(1))
+      if (!Files.isDirectory(live)) {
+        if (Files.isDirectory(tmp))
+          Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+        else if (Files.isDirectory(old))
+          Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+      } else if (ageMs < SwapJournalStaleMs) return // in-flight swap elsewhere
+      rmTree(old)
+      if (Files.isDirectory(live)) rmTree(tmp)
+      Files.deleteIfExists(j)
+    } catch {
+      // concurrent live writers are an expected state: a session
+      // completing its swap deletes the journal (or its dirs) between
+      // our existence check and the reads/moves — its success means
+      // there is nothing left to repair
+      case _: java.nio.file.NoSuchFileException => ()
     }
-    rmTree(old)
-    if (Files.isDirectory(live)) rmTree(tmp)
-    Files.deleteIfExists(j)
   }
 
   /** Rewrite a parquet dir keeping only `keep` rows: write tmp, swap
@@ -741,12 +751,18 @@ object ChatPipeline {
                                 reindexFiles: Seq[String], gen: Long,
                                 embedder: Embedder): DataFrame = {
     import spark.implicits._
-    val newChunks = reindexFiles.sorted.flatMap { rel =>
-      Chunker.fileChunkRows(rel,
-        new String(java.nio.file.Files.readAllBytes(root.resolve(rel)),
-          java.nio.charset.StandardCharsets.UTF_8))
-        .map { case (r, _, c, lang, e) => (r, c, lang, e) }
-    }
+    // a file deleted between the manifest diff and this read simply
+    // drops out of the wave (the restamped manifest still names it, so
+    // the next check-index honestly reports stale again) — aborting the
+    // whole repair on one vanished file would leave nothing repaired
+    val newChunks = reindexFiles.sorted
+      .filter(rel => java.nio.file.Files.exists(root.resolve(rel)))
+      .flatMap { rel =>
+        Chunker.fileChunkRows(rel,
+          new String(java.nio.file.Files.readAllBytes(root.resolve(rel)),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .map { case (r, _, c, lang, e) => (r, c, lang, e) }
+      }
     val vecs = newChunks.grouped(32).flatMap { g =>
       embedder.embedBatch(g.map(_._2))
     }.toSeq
@@ -776,9 +792,23 @@ object ChatPipeline {
     // whole repo and semi-joining down would read every file's bytes
     // first (binaryFile pushes down path filters, not joins), making
     // repair cost scale with repo size instead of wave size and
-    // tripping binaryFile's size limit on any unrelated huge artifact
+    // tripping binaryFile's size limit on any unrelated huge artifact.
+    // Paths are GLOB-ESCAPED (Spark's file listing glob-interprets
+    // load() paths — a literal src/pages/[id].tsx would otherwise be
+    // read as a character class and 'not exist'), and files deleted
+    // between the manifest diff and this read drop out of the wave
+    // (the driver path's contract; the restamped manifest keeps the
+    // vanished file, so the next check-index reports stale again)
+    def globEscape(p: String): String =
+      p.replaceAll("([{}\\[\\]*?\\\\])", "\\\\$1")
+    val livePaths = reindexFiles.map(rel => root.resolve(rel))
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => globEscape(p.toString))
+    if (livePaths.isEmpty)
+      return Seq.empty[(Long, String, String, Option[String], Option[String], Seq[Float])]
+        .toDF("chunk_id", "file", "code", "language", "extension", "vector")
     val files = spark.read.format("binaryFile")
-      .load(reindexFiles.map(rel => root.resolve(rel).toString): _*)
+      .load(livePaths: _*)
       .select(col("path"), col("content"))
       .withColumn("rel",
         regexp_replace(col("path"), s"^file:${java.util.regex.Pattern.quote(rootStr)}/?", ""))

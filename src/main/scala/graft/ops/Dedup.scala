@@ -3581,11 +3581,17 @@ object Dedup {
     val winners = stats.crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
       .select(col("gh"), col("df"), col("cf"),
         col("loc.doc_id").as("doc_id"), col("loc.pos").as("rep_pos"))
+    // tokenization must MATCH gramPosRows' Scala-side
+    // trim.split("\\s+").filter(_.nonEmpty): SQL trim strips only
+    // spaces (not \t/\n), so filter the empty tokens out instead —
+    // split + drop-empties is exactly the Scala pipeline's token array
+    // for any whitespace shape. HOF filter is interpreted, but this
+    // projection runs over ~k winner docs only.
     val gramStrings = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
       .join(broadcast(winners.select("gh", "doc_id", "rep_pos")), "doc_id")
       .select(col("gh"),
-        array_join(slice(split(trim(col("text")), "\\s+"),
+        array_join(slice(filter(split(col("text"), "\\s+"), t => t =!= lit("")),
           (col("rep_pos") + 1).cast("int"), lit(n)), " ").as("gram"))
     val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     winners.select("gh", "df", "cf")
@@ -3609,7 +3615,7 @@ object Dedup {
        |        FROM toks, unnest(range(CASE WHEN len(t) >= $n
        |          THEN len(t) - ${n - 1} ELSE 0 END)) AS u(i))),
        |stats AS (
-       |  SELECT gh, arg_min(g, doc_id * 4294967296 + pos) AS gram,
+       |  SELECT gh, arg_min(g, cast(doc_id as hugeint) * 4294967296 + pos) AS gram,
        |    cast(count(DISTINCT doc_id) as bigint) AS df,
        |    cast(count(*) as bigint) AS cf
        |  FROM gr GROUP BY gh),

@@ -477,10 +477,12 @@ object Hybrid {
                            sims: DataFrame): DataFrame = {
     // surface the anchor sampling (the q154 n_queries_total discipline,
     // as a log line here — the per-anchor rows are not the place for a
-    // constant population column)
-    println(s"[graft] q161: mining triplets over $nAnchors of " +
-      s"${rel.select("qid").distinct().count()} candidate anchors " +
-      s"(EvalQueries cap = $EvalQueries)")
+    // constant population column). The candidate-anchor POPULATION is
+    // deliberately not counted here: that is a distinct+count Spark job
+    // on the timed path for a number q154's n_queries_total column
+    // already reports from the same relevance snapshot.
+    println(s"[graft] q161: mining triplets over $nAnchors anchors " +
+      s"(EvalQueries cap = $EvalQueries; population = q154's n_queries_total)")
     val positives = rel
       .join(anchors, "qid")
       .groupBy("qid").agg(min(col("rel_id")).as("positive"))

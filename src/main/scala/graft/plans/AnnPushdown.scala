@@ -66,7 +66,17 @@ object AnnCatalog {
     * forest file listing — iff this index is currently registered. A
     * serving session that registered once must never keep reading a
     * listing whose files an append extended (silently incomplete ANN
-    * results) or a rewrite deleted (FileNotFound on every query). */
+    * results) or a rewrite deleted (FileNotFound on every query).
+    *
+    * SCOPE, stated honestly: the catalog is JVM-local, so this hook
+    * covers mutators running in the SAME process as the serving
+    * session (the CLI/REPL shape, and the watcher started from it). A
+    * mutation in another process is invisible here — a multi-process
+    * deployment must re-register per serving session after external
+    * mutations (the same per-session contract as the cached stat
+    * sketch), or put the registration behind a shared catalog service;
+    * the crash/concurrency classes of external REWRITES are separately
+    * covered by the swap journal (ChatPipeline.repairSwap). */
   def refreshIfRegistered(spark: SparkSession, indexDir: String): Unit =
     if (entries.contains(s"$indexDir/chunks")) register(spark, indexDir)
 

@@ -156,8 +156,15 @@ class RefreshHardeningSpec extends SparkSpec {
     assert(AnnIndex.load(spark, idx).count() == before)
 
     // torn journal (crash during the journal write itself): no rename
-    // can have happened, so repair just deletes it
+    // can have happened. A FRESH torn journal is left alone — it may be
+    // another session's journal write in flight — and a STALE one is
+    // simply deleted
     Files.writeString(j2, s"$tmp2")
+    ChatPipeline.repairSwap(s"$idx/chunks")
+    assert(Files.exists(j2),
+      "repair deleted a FRESH torn journal — possibly another writer mid-write")
+    Files.setLastModifiedTime(j2, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 11L * 60L * 1000L))
     ChatPipeline.repairSwap(s"$idx/chunks")
     assert(!Files.exists(j2))
     assert(Files.isDirectory(live))
@@ -169,6 +176,26 @@ class RefreshHardeningSpec extends SparkSpec {
     val out = ChatPipeline.query(spark, idx, "base function", 1)
     assert(out.results.nonEmpty)
     assert(Files.isDirectory(live))
+  }
+
+  test("distributed refresh handles glob-metachar filenames and mid-refresh deletions") {
+    val repo = scratch("rh-glob-repo")
+    writeBaseRepo(repo)
+    val idx = scratch("rh-glob-idx").toString
+    ChatPipeline.index(spark, repo.toString, idx)
+    // a Next.js-style bracketed filename: Spark's load() glob-interprets
+    // raw paths, so '[id]' would read as a character class and the
+    // refresh would abort with 'Path does not exist' without escaping
+    w(repo, "src/[id].rs", rust("globbed", 5))
+    w(repo, "src/mod1.rs", rust("globedit", 6))
+    val st = ChatPipeline.refreshIndex(spark, repo.toString, idx,
+      forceDistributed = Some(true))
+    assert(st.addedChunks > 0L, st)
+    val files = AnnIndex.load(spark, idx)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(files.contains("src/[id].rs"),
+      s"bracketed filename missing from the refreshed index: $files")
+    assert(!ChatPipeline.checkIndex(idx).toOption.get.stale)
   }
 
   test("refresh refuses to purge every chunk with nothing to re-index") {
