@@ -183,7 +183,7 @@ object ServeBench {
     def stats(l: Seq[Double]) =
       f"""{"p50":${pct(l, 0.50)}%.1f,"p95":${pct(l, 0.95)}%.1f,"mean":${l.sum / l.length}%.1f}"""
     println(
-      s"""{"metric":"serve_latency","unit":"ms","n_queries":$nQueries,""" +
+      s"""{"metric":"serve_latency","unit":"ms","n_queries":${queries.size},""" +
         s""""pushdown":${stats(pushLat)},"brute":${stats(bruteLat)},""" +
         s""""pushdown_covered":$pdFired,"warmup_plans":$warmupFloor,""" +
         s""""n_chunks":$nChunks,"n_docs":${docs.length},""" +
@@ -192,9 +192,13 @@ object ServeBench {
     // the gate: every timed query must have run through the rewritten
     // (forest semi-join) plan — otherwise the numbers describe the
     // wrong engine and the harness must not report success
-    if (pdFired < nQueries) {
+    // gate on the MEASURED query count: docs.indices.by(step).take(n)
+    // yields fewer queries than requested when the corpus is small, and
+    // failing a 100%-covered run over the requested count would be a
+    // false alarm
+    if (pdFired < queries.size) {
       System.err.println(
-        s"serve bench FAILED: pushdown covered $pdFired/$nQueries timed queries")
+        s"serve bench FAILED: pushdown covered $pdFired/${queries.size} timed queries")
       sys.exit(1)
     }
   }

@@ -536,6 +536,16 @@ object ChatPipeline {
           Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
         else if (Files.isDirectory(old))
           Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+        else {
+          // live, tmp AND old all missing: nothing can restore the
+          // live path, and the journal is the only surviving record of
+          // the failed swap — keep it (deleting it would erase the
+          // evidence while leaving the index headless) and say so
+          System.err.println(
+            s"repairSwap: no candidate dir can restore '$dir' " +
+              s"(tmp=$tmp old=$old both missing); keeping swap journal")
+          return
+        }
       } else if (ageMs < SwapJournalStaleMs) return // in-flight swap elsewhere
       rmTree(old)
       if (Files.isDirectory(live)) rmTree(tmp)
@@ -544,8 +554,13 @@ object ChatPipeline {
       // concurrent live writers are an expected state: a session
       // completing its swap deletes the journal (or its dirs) between
       // our existence check and the reads/moves — its success means
-      // there is nothing left to repair
+      // there is nothing left to repair. A concurrent REPAIRER racing
+      // the same promote surfaces as the target already existing (it
+      // won the tmp→live move) or the source being non-empty-dir-moved
+      // — the documented lost-race no-op, the index is whole either way
       case _: java.nio.file.NoSuchFileException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case _: java.nio.file.DirectoryNotEmptyException => ()
     }
   }
 
@@ -597,15 +612,30 @@ object ChatPipeline {
     * a multi-process deployment would move the counter into a real
     * metadata transaction. */
   private val genLock = new Object
-  private[graft] def nextGeneration(indexDir: String, floor: Long): Long =
+  private[graft] def nextGeneration(indexDir: String, floor: Long,
+                                    recoverFloor: () => Long = () => 0L): Long =
     genLock.synchronized {
-      val p = java.nio.file.Paths.get(s"$indexDir/next_generation")
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val p = Paths.get(s"$indexDir/next_generation")
       val recorded =
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.readString(p).trim.toLong
-        else 0L
+        if (!Files.exists(p)) 0L
+        else
+          try Files.readString(p).trim.toLong
+          catch {
+            case _: NumberFormatException =>
+              // torn counter file (a crash mid-write predating the
+              // atomic tmp+move below, or manual corruption): recompute
+              // the floor from the index itself — wedging every
+              // allocator on an unparsable file would turn one torn
+              // write into a permanent refresh/watcher outage
+              recoverFloor()
+          }
       val g = math.max(recorded, floor)
-      java.nio.file.Files.writeString(p, (g + 1L).toString)
+      // tmp + atomic rename: the counter is the chunk-identity
+      // authority, so it must never be observable half-written
+      val tmp = Paths.get(s"$indexDir/next_generation_tmp")
+      Files.writeString(tmp, (g + 1L).toString)
+      Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
       g
     }
 
@@ -657,7 +687,7 @@ object ChatPipeline {
     val chunks = AnnIndex.load(spark, indexDir)
     val mx = chunks.agg(max(col("chunk_id"))).head()
     val genFloor = (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
-    val gen = nextGeneration(indexDir, genFloor)
+    val gen = nextGeneration(indexDir, genFloor, () => genFloor)
     // re-chunk + re-embed the changed/new files FIRST (eager,
     // localCheckpoint) — the empty-index guard below must know the
     // actual chunk yield BEFORE any destructive purge runs: a wave of
@@ -758,10 +788,15 @@ object ChatPipeline {
     val newChunks = reindexFiles.sorted
       .filter(rel => java.nio.file.Files.exists(root.resolve(rel)))
       .flatMap { rel =>
-        Chunker.fileChunkRows(rel,
-          new String(java.nio.file.Files.readAllBytes(root.resolve(rel)),
-            java.nio.charset.StandardCharsets.UTF_8))
+        // the exists filter above has a TOCTOU window: a file deleted
+        // between it and this read must STILL drop out of the wave —
+        // aborting the whole repair on one vanished file is exactly
+        // what the contract forbids
+        try Chunker.fileChunkRows(rel,
+            new String(java.nio.file.Files.readAllBytes(root.resolve(rel)),
+              java.nio.charset.StandardCharsets.UTF_8))
           .map { case (r, _, c, lang, e) => (r, c, lang, e) }
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
       }
     val vecs = newChunks.grouped(32).flatMap { g =>
       embedder.embedBatch(g.map(_._2))

@@ -407,21 +407,62 @@ object DedupStream {
       .writeStream
       .queryName(s"graft_graphappend_${graphAppendCounter.get()}")
       .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val prior =
-          try Some(spark.read.parquet(waveDir))
-          catch { case _: org.apache.spark.sql.AnalysisException => None }
-        val (pairs, batchSum) =
-          graft.ops.Dedup.admissionPairsWithPrior(batch, prior, idx, bits)
-        graft.ops.Dedup.appendToDedupGraph(spark, work, pairs,
-          labelSnapshot = Some(frozenG))
-        batchSum.write.mode("append").parquet(waveDir)
-        ()
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        appendWaveBatch(spark, waveDir, work, frozenG, idx, bits,
+          batch, batchId)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     graft.ops.Dedup.attachReport(spark, sfDir, work)
+  }
+
+  /** One graph-append micro-batch, IDEMPOTENT under foreachBatch's
+    * at-least-once replay (a batch can re-run after a driver restart or
+    * a lost sink acknowledgment). Everything keyed by batchId: the wave
+    * summary lands in a batchId-named subdir written with overwrite (a
+    * replay rewrites identical rows instead of doubling them), the
+    * prior is the union of STRICTLY-earlier batches' subdirs (so a
+    * replay never reads its own half-written summary as "prior" and
+    * self-pair), and the graph append is gated on a batchId done-marker
+    * created only after the append committed — a replayed COMPLETED
+    * batch is a no-op and the graph never gains duplicate edges or
+    * doubled prior-summary rows. (The one residual window — a crash
+    * midway through appendToDedupGraph's projection writes — is
+    * narrower than exactly-once requires but is the parquet append's
+    * own non-transactionality, shared with the batch q165 path.) */
+  private[graft] def appendWaveBatch(spark: org.apache.spark.sql.SparkSession,
+                                     waveDir: String, work: String,
+                                     frozenG: String,
+                                     idx: graft.ops.Dedup.FrozenCorpus,
+                                     bits: Int,
+                                     batch: org.apache.spark.sql.DataFrame,
+                                     batchId: Long): Unit = {
+    val doneMarker = java.nio.file.Paths.get(waveDir, s"_done_$batchId")
+    if (java.nio.file.Files.exists(doneMarker)) return
+    val priorDirs = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(waveDir))
+      try {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        ls.forEach { p =>
+          val n = p.getFileName.toString
+          if (java.nio.file.Files.isDirectory(p) && n.startsWith("b") &&
+              n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
+              n.drop(1).toLong < batchId)
+            out += s"$waveDir/$n"
+        }
+        out.toSeq.sorted
+      } finally ls.close()
+    }
+    val prior =
+      if (priorDirs.isEmpty) None
+      else Some(spark.read.parquet(priorDirs: _*))
+    val (pairs, batchSum) =
+      graft.ops.Dedup.admissionPairsWithPrior(batch, prior, idx, bits)
+    batchSum.write.mode("overwrite").parquet(s"$waveDir/b$batchId")
+    graft.ops.Dedup.appendToDedupGraph(spark, work, pairs,
+      labelSnapshot = Some(frozenG))
+    java.nio.file.Files.createFile(doneMarker)
   }
 
   private val dhashCounter = new java.util.concurrent.atomic.AtomicInteger(0)

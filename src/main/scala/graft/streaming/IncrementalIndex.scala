@@ -84,7 +84,14 @@ object IncrementalIndex {
         // the same counter, so a refresh between batches can never
         // leave a resumed watcher minting a duplicate generation
         // (ChatPipeline.nextGeneration documents the contract)
-        val gen = graft.chat.ChatPipeline.nextGeneration(indexDir, batchId + 1L)
+        val gen = graft.chat.ChatPipeline.nextGeneration(indexDir, batchId + 1L,
+          // torn-counter recovery: the max existing chunk-id generation
+          // is the one floor that can never mint a duplicate id
+          () => {
+            val mx = AnnIndex.load(spark, indexDir)
+              .agg(max(col("chunk_id"))).head()
+            (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
+          })
         val withIds = rowsRdd.zipWithIndex()
           .map { case ((f, c, lang, e, v), i) =>
             ((gen << 32) | i, f, c, lang, e, v)

@@ -393,6 +393,66 @@ class DedupGraphSpec extends SparkSpec {
     assert(byId(10L) == Seq(10L, 0L, true))
   }
 
+  test("graph-append micro-batch replay is a no-op (foreachBatch at-least-once)") {
+    import spark.implicits._
+    def winF(from: Int): String = (from until from + 100).map(i => s"rpf$i").mkString(" ")
+    def winW(from: Int): String = (from until from + 100).map(i => s"rpw$i").mkString(" ")
+    val all = Seq(
+      (0L, winF(0), "s0"), (1L, winF(4), "s0"),
+      (10L, winF(8), Dedup.IncrementalSource),
+      (11L, winW(0), Dedup.IncrementalSource),
+      (12L, winW(4), Dedup.IncrementalSource))
+      .map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = graft.streaming.StreamScratch.dir("dg-replay")
+    all.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (_, frozenG) = Dedup.preparedFrozenGraph(spark, dir, bits)
+    val work = Dedup.takeGraphSnapshot(dir, bits, frozenG)
+    val idx = Dedup.loadDedupIndex(spark, Dedup.preparedDedupIndex(spark, dir, bits))
+    val waveDir = graft.streaming.StreamScratch.dir("dg-replay-wave")
+    val wave = all.filter(col("source") === Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+    val b0 = wave.filter(col("doc_id").isin(10L, 11L))
+    val b1 = wave.filter(col("doc_id") === 12L)
+    def append(b: DataFrame, id: Long): Unit =
+      graft.streaming.DedupStream.appendWaveBatch(
+        spark, waveDir, work, frozenG, idx, bits, b, id)
+    append(b0, 0L); append(b1, 1L)
+    def graphCounts: Seq[Long] =
+      Seq("pairs", "signals", "waves", "cc", "pair_cc", "consensus_cc")
+        .map(s => spark.read.parquet(s"$work/$s").count())
+    def summaryRows: Long =
+      spark.read.parquet(s"$waveDir/b0", s"$waveDir/b1").count()
+    val before = (graphCounts, summaryRows)
+    assert(before._1.head > 0L, "wave appended no pairs — test corpus broken")
+    // the at-least-once window: both batches replay after a lost sink
+    // acknowledgment (done-markers present) — every write must no-op
+    append(b0, 0L); append(b1, 1L)
+    assert((graphCounts, summaryRows) == before,
+      "a replayed completed batch must not double-append")
+    // and the accumulated appends still reduce to the one-call batch
+    // attach (the row-identity the idempotency exists to protect)
+    val streamedReport = rows(Dedup.attachReport(spark, dir, work))
+    val batchReport = rows(Dedup.graphAppendReport(spark, dir, bits))
+    assert(streamedReport == batchReport)
+    // crash BEFORE the summary write (no marker, no subdir): the replay
+    // recomputes from scratch against strictly-earlier priors only
+    val waveDir2 = graft.streaming.StreamScratch.dir("dg-replay-wave2")
+    val work2 = Dedup.takeGraphSnapshot(dir, bits, frozenG)
+    graft.streaming.DedupStream.appendWaveBatch(
+      spark, waveDir2, work2, frozenG, idx, bits, b0, 0L)
+    // simulate a crash between b1's summary write and its graph append:
+    // summary subdir exists, marker absent — the replay must overwrite
+    // the summary (not read it as prior / not double it) and append once
+    val (_, b1sum) = Dedup.admissionPairsWithPrior(
+      b1, Some(spark.read.parquet(s"$waveDir2/b0")), idx, bits)
+    b1sum.write.mode("overwrite").parquet(s"$waveDir2/b1")
+    graft.streaming.DedupStream.appendWaveBatch(
+      spark, waveDir2, work2, frozenG, idx, bits, b1, 1L)
+    assert(rows(Dedup.attachReport(spark, dir, work2)) == batchReport,
+      "replay after a crash-before-append must still match the batch attach")
+  }
+
   test("compaction refuses to rewrite its source path in place") {
     val p = graft.streaming.StreamScratch.dir("dg-selfcompact")
     intercept[IllegalArgumentException] {

@@ -178,6 +178,34 @@ class RefreshHardeningSpec extends SparkSpec {
     assert(Files.isDirectory(live))
   }
 
+  test("repairSwap keeps the journal when no candidate dir can restore the live path") {
+    import java.nio.file.{Files, Paths}
+    val d = scratch("rh-headless").toString
+    val target = s"$d/chunks" // never created: live, tmp and old all missing
+    val j = Paths.get(s"${target}_swap_journal")
+    Files.writeString(j,
+      s"${target}_refresh_1\n${target}_old_1\n")
+    ChatPipeline.repairSwap(target)
+    assert(Files.exists(j),
+      "journal erased while the index is headless — the only record of the failed swap")
+  }
+
+  test("nextGeneration survives a torn counter file via the recover floor") {
+    import java.nio.file.{Files, Paths}
+    val idx = scratch("rh-gen").toString
+    assert(ChatPipeline.nextGeneration(idx, 5L) == 5L)
+    assert(ChatPipeline.nextGeneration(idx, 0L) == 6L)
+    // torn counter (crash mid-write): unparsable content must not wedge
+    // the allocator — the recover floor (max existing generation in the
+    // index) takes over, and the repaired file is parsable again
+    Files.writeString(Paths.get(s"$idx/next_generation"), "12x garbage")
+    var recovered = false
+    val g = ChatPipeline.nextGeneration(idx, 3L, () => { recovered = true; 9L })
+    assert(recovered && g == 9L)
+    assert(ChatPipeline.nextGeneration(idx, 0L) == 10L)
+    assert(!Files.exists(Paths.get(s"$idx/next_generation_tmp")))
+  }
+
   test("distributed refresh handles glob-metachar filenames and mid-refresh deletions") {
     val repo = scratch("rh-glob-repo")
     writeBaseRepo(repo)
