@@ -27,15 +27,113 @@ object AnnIndex {
   val Seed = 42L     // ann.rs:254
   val LeafTarget = 100
 
-  /** Chunks are written partitioned by language: the retrieval filters
-    * (F3/F6) and language-targeted queries then prune partitions at the
-    * scan instead of reading the whole corpus (SURVEY.md §1.3). Null
-    * languages land in the hive default partition and read back null. */
-  def save(chunks: DataFrame, path: String): Unit =
-    chunks.write.mode("overwrite").partitionBy("language").parquet(s"$path/chunks")
+  /** Payload buckets — the chunks table's second partition axis:
+    * idbucket = chunk_id mod B. The ANN pushdown's rewritten plan
+    * joins its k winner candidates against chunks on (chunk_id,
+    * idbucket), so dynamic partition pruning cuts the payload fetch to
+    * the <= k winner buckets instead of scanning the corpus — the
+    * piece that makes the indexed serving path sublinear end-to-end
+    * (candidate selection is leaf-pruned and ~constant; the payload
+    * read is k buckets of ~PayloadBucketTargetRows each). A modulo on
+    * the low bits is uniform for both base-build ids (dense 0..n) and
+    * incremental ids ((gen<<32)|seq — the low word is the dense
+    * per-batch seq).
+    *
+    * B is SIZED AT BUILD — B ≈ rows / PayloadBucketTargetRows, power
+    * of two, clamped — and recorded in `payload_buckets` next to the
+    * table: one bucket stays a bounded read at any corpus size, and a
+    * small index never shatters into per-row files (the small-file
+    * scan tax would punish every FULL scan of chunks, brute kNN
+    * included). Appends read the recorded B, never re-derive it — the
+    * id->bucket mapping must stay stable for the life of the index. */
+  val PayloadBucketTargetRows = 256L
+  val PayloadBucketsMin = 8
+  val PayloadBucketsMax = 4096
+  val PayloadBucketsLegacyDefault = 64
+
+  def payloadBucketsFor(n: Long): Int = {
+    val raw = math.max(1L, n / PayloadBucketTargetRows)
+    val p = java.lang.Long.highestOneBit(raw).toInt
+    math.min(PayloadBucketsMax, math.max(PayloadBucketsMin, p))
+  }
+
+  private def writePayloadBuckets(path: String, b: Int): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "payload_buckets"), b.toString)
+  }
+
+  /** The recorded bucket count of an existing index (appenders MUST
+    * use this, never re-derive from a live count). Falls back to the
+    * one historical constant for an idbucket layout predating the
+    * recorded file. */
+  def readPayloadBuckets(path: String): Int =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "payload_buckets")).trim.toInt
+    catch { case _: Exception => PayloadBucketsLegacyDefault }
+
+  /** Add the idbucket column iff absent (idempotent). */
+  def withIdBucket(chunks: DataFrame, buckets: Int): DataFrame =
+    if (chunks.columns.contains("idbucket")) chunks
+    else chunks.withColumn("idbucket",
+      pmod(col("chunk_id"), lit(buckets.toLong)).cast("int"))
+
+  /** Whether an existing chunks table carries the idbucket partition
+    * axis (layouts from before payload bucketing existed do not;
+    * appends must match the live layout, never mix). Cached per path —
+    * the layout of a live index never changes, and re-listing a
+    * growing partitioned dir per micro-batch would be a fixed append
+    * tax. */
+  private val idBucketLayout =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  def hasIdBucket(spark: SparkSession, path: String): Boolean =
+    idBucketLayout.computeIfAbsent(path, _ =>
+      try spark.read.parquet(s"$path/chunks").columns.contains("idbucket")
+      catch { case _: org.apache.spark.sql.AnalysisException => true })
+
+  /** Chunks are written partitioned by (language, idbucket): language
+    * so the retrieval filters (F3/F6) and language-targeted queries
+    * prune partitions at the scan (SURVEY.md §1.3), idbucket for the
+    * pushdown's payload fetch (see [[payloadBucketsFor]]). Null
+    * languages land in the hive default partition and read back null.
+    * The input is checkpointed once so sizing the buckets (a count)
+    * and writing the table never recompute the embed pass — at real
+    * scale this staging materialization is a disk landing zone, not
+    * executor memory. */
+  def save(chunks: DataFrame, path: String): Unit = {
+    val snap = chunks.localCheckpoint(true)
+    try {
+      val b = payloadBucketsFor(snap.count())
+      writePayloadBuckets(path, b)
+      // repartition ON the partition keys: one file per (language,
+      // bucket) dir instead of one per (writer task x dir) — a
+      // scattered layout multiplies file opens on every scan (the
+      // serving path's per-query fixed cost, and brute kNN's too)
+      withIdBucket(snap, b)
+        .repartition(col("language"), col("idbucket"))
+        .write.mode("overwrite")
+        .partitionBy("language", "idbucket").parquet(s"$path/chunks")
+    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(snap)
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/chunks")
+
+  /** Serving read of the chunks table: the partition listing (B x
+    * language dirs) is pinned per (session, index) so a query burst
+    * doesn't re-list the tree on every request — the same
+    * registration-pins-the-listing discipline AnnCatalog applies to
+    * the forest, and it serves BOTH engines (brute kNN scans this
+    * frame too). JVM-local: the in-process mutators (refresh-index,
+    * incremental appends, compaction, swap repair) invalidate it; an
+    * out-of-process mutation needs a new session or an explicit
+    * [[invalidateServing]], the documented per-session contract. */
+  private val servingChunks = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  def loadServing(spark: SparkSession, path: String): DataFrame =
+    servingChunks.computeIfAbsent((spark, path), _ => load(spark, path))
+  def invalidateServing(path: String): Unit =
+    servingChunks.keySet.removeIf(_._2 == path)
 
   /** Dim sniffing (S4 analog): schema-on-read makes the reference's
     * 512-then-1024 deserialize fallback (main.rs:554-565) a one-liner. */
@@ -115,17 +213,38 @@ object AnnIndex {
   private val ForestMetaColumns = Seq("file", "language", "extension")
 
   /** I8: leaf assignment for every (tree, vector). The result is written
-    * partitioned by (tree, leaf): queries prune to NumTrees partitions. */
+    * partitioned by (tree, leaf): queries prune to NumTrees partitions.
+    *
+    * Forest rows also CARRY the vector (and the idbucket payload key):
+    * leaf-co-located vectors are what lets the pushdown's candidate
+    * top-k run entirely inside the partition-pruned leaf scan — the
+    * IVF discipline (vectors live in the cell) applied per tree. The
+    * cost is NumTrees copies of the vector column in the index
+    * artifact, the classic ANN space-for-time trade (the reference
+    * holds the whole index in RAM, ann.rs:7-11); text payload is NOT
+    * duplicated — it stays once in chunks/, fetched post-top-k via the
+    * bucket-pruned join. */
   def buildForestIndex(chunks: DataFrame, forest: Array[Array[Array[Float]]]): DataFrame = {
     val meta = ForestMetaColumns.filter(chunks.columns.contains).map(col)
+    // idbucket rides along when the chunks layout carries it (callers
+    // bucket append rows to match the live layout first); the vector
+    // always does
+    val extras = Seq("idbucket", "vector")
+      .filter(chunks.columns.contains).map(col)
     forest.zipWithIndex.map { case (planes, t) =>
       chunks.select(lit(t).as("tree") +: leafExpr(planes).as("leaf") +:
-        col("chunk_id") +: meta: _*)
+        col("chunk_id") +: (meta ++ extras): _*)
     }.reduce(_ unionAll _)
   }
 
+  /** One file per (tree, leaf) dir (repartition on the partition keys):
+    * a query's candidate read opens NumTrees files, not NumTrees x
+    * writer-task fragments — with leaf-co-located vectors the
+    * candidate scan IS the serving path's per-query work, and file
+    * opens are its fixed cost. */
   def saveForestIndex(index: DataFrame, path: String): Unit =
-    index.write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/forest")
+    index.repartition(col("tree"), col("leaf"))
+      .write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/forest")
 
   /** Persist the sampled hyperplanes alongside the leaf index. The
     * planes ARE the index identity: re-deriving them from (seed, dim,
@@ -177,9 +296,12 @@ object AnnIndex {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val live = Paths.get(path, "chunks")
     val tmp = Paths.get(path, s"chunks_compact_${System.nanoTime()}")
-    spark.read.parquet(live.toString)
-      .repartition(col("language"))
-      .write.mode("overwrite").partitionBy("language")
+    val df = spark.read.parquet(live.toString)
+    val parts =
+      if (df.columns.contains("idbucket")) Seq("language", "idbucket")
+      else Seq("language")
+    df.repartition(parts.map(col): _*)
+      .write.mode("overwrite").partitionBy(parts: _*)
       .parquet(tmp.toString)
     val old = Paths.get(path, s"chunks_old_${System.nanoTime()}")
     Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
@@ -194,6 +316,7 @@ object AnnIndex {
       Files.deleteIfExists(p)
     }
     rm(old)
+    invalidateServing(path)
     val walk = Files.walk(live)
     try walk.filter(_.toString.endsWith(".parquet")).count()
     finally walk.close()

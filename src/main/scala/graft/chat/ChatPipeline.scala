@@ -47,6 +47,10 @@ object ChatPipeline {
       sourceCommitHash = gitCommitHash(repoDir),
       contentHash = rollupHash(manifest),
       nChunks = n), outDir)
+    // a rebuild supersedes any TTL'd freshness verdict and any pinned
+    // serving listing for this index
+    AnnIndex.invalidateServing(outDir)
+    checkTime.remove(outDir)
     n
   }
 
@@ -118,12 +122,12 @@ object ChatPipeline {
         println(s"WARN: index may be stale (${f.reason}). " +
           s"Consider re-indexing '${f.meta.repoPath}'.")
     }
-    val chunks = AnnIndex.load(spark, indexDir)
+    val chunks = AnnIndex.loadServing(spark, indexDir)
     val profile = readProfile(indexDir)
     val classification = client.classify(question)                 // Step 1 (L1)
     val hypoDoc = client.hyde(question, classification, profile)   // Step 2 (L2)
     val qVec = embedder.embed(hypoDoc)                             // embed hypo ONLY (hyde.rs:500)
-    val hits =
+    val hits0 =
       if (approx) {
         // the persisted planes are authoritative — never re-sample from
         // the live count, which drifts after incremental appends
@@ -131,6 +135,15 @@ object ChatPipeline {
         val idx = spark.read.parquet(s"$indexDir/forest")
         AnnIndex.knnApprox(spark, chunks, idx, forest, qVec, k * 2)
       } else AnnIndex.knnExact(chunks, qVec, k * 2)                // Step 3, over-fetch F1
+    // materialize the over-fetch window ONCE: everything past F1 is a
+    // presentation stage over <= 2k rows (the reference filters its
+    // fetched window driver-side too, hyde.rs:976-1214), and leaving
+    // the corpus-side plan lazy re-executes the whole kNN at every
+    // downstream action barrier (applyFilters' code-count,
+    // crossRerank's window collect) — a 2x-3x serving-latency tax
+    val hitRows = hits0.collect()
+    val hits = spark.createDataFrame(
+      spark.sparkContext.parallelize(hitRows.toSeq, 1), hits0.schema)
     val filtered = Retrieval.applyFilters(hits, classification, k) // Step 4 + truncate
     val ordered =
       if (rerank) Retrieval.crossRerank(filtered, question,        // Step 5 (R2)
@@ -415,6 +428,18 @@ object ChatPipeline {
   private val checkCache = new java.util.concurrent.ConcurrentHashMap[
     String, (CheckKey, Either[String, IndexFreshness])]()
 
+  /** Serving-burst amortization for the stat walk itself: within this
+    * window of the last check the cached verdict is returned WITHOUT
+    * re-walking the repo. The sketch walk is O(repo files) per query —
+    * on a large repo it becomes the query path's dominant fixed tax
+    * (it grew past the whole kNN at ServeBench's 32x corpus) — and the
+    * freshness contract is warn-only advice (proposals.md:70-73), so
+    * detection delayed by at most this window is an honest trade. 0
+    * restores exact per-query sketching (specs pin that behavior). */
+  @volatile private[graft] var checkSketchTtlMs = 2000L
+  private val checkTime =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** full (hashing) checks actually run — observable cache behavior
     * for specs and for anyone profiling the query path. */
   private[graft] val fullCheckCount = new java.util.concurrent.atomic.AtomicLong(0)
@@ -445,7 +470,12 @@ object ChatPipeline {
     * or mtime changed, the index was rebuilt/refreshed (metadata
     * identity is part of the key), or the incremental stream appended
     * to the processed log. */
-  def checkIndexCached(indexDir: String): Either[String, IndexFreshness] =
+  def checkIndexCached(indexDir: String): Either[String, IndexFreshness] = {
+    val now = System.currentTimeMillis()
+    val recent = checkCache.get(indexDir)
+    val last = checkTime.get(indexDir)
+    if (recent != null && last != null && now - last < checkSketchTtlMs)
+      return recent._2
     readIndexMeta(indexDir) match {
       case Some(meta) if java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(meta.repoPath)) =>
@@ -453,6 +483,7 @@ object ChatPipeline {
           meta.creationTimestamp,
           statOf(java.nio.file.Paths.get(s"$indexDir/processed_files.log")))
         val cached = checkCache.get(indexDir)
+        checkTime.put(indexDir, now)
         if (cached != null && cached._1 == key) cached._2
         else {
           fullCheckCount.incrementAndGet()
@@ -463,6 +494,7 @@ object ChatPipeline {
       // no metadata / vanished repo: the exact check's cheap arms
       case _ => checkIndex(indexDir)
     }
+  }
 
   // -------------------------------------------------------------------
   // refresh-index: REPAIR a stale index without a full rebuild — the
@@ -516,6 +548,10 @@ object ChatPipeline {
     val j = Paths.get(s"${dir}_swap_journal")
     try {
       if (!Files.exists(j)) return
+      // a journal means dirs may be about to move — any pinned serving
+      // listing for this index could name files a repair relocates
+      Option(Paths.get(dir).getParent)
+        .foreach(p => AnnIndex.invalidateServing(p.toString))
       val ageMs = System.currentTimeMillis() -
         Files.getLastModifiedTime(j).toMillis
       val lines = Files.readAllLines(j)
@@ -685,6 +721,11 @@ object ChatPipeline {
 
     val root = java.nio.file.Paths.get(repoDir).toAbsolutePath
     val chunks = AnnIndex.load(spark, indexDir)
+    // repairs append in the LIVE layout (see IncrementalIndex: mixing
+    // idbucket-partitioned and plain-language layouts breaks the table)
+    val bucketed = chunks.columns.contains("idbucket")
+    val chunkParts =
+      if (bucketed) Seq("language", "idbucket") else Seq("language")
     val mx = chunks.agg(max(col("chunk_id"))).head()
     val genFloor = (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
     val gen = nextGeneration(indexDir, genFloor, () => genFloor)
@@ -699,10 +740,14 @@ object ChatPipeline {
     // the full rebuild uses.
     val useDistributed = forceDistributed.getOrElse(
       reindexFiles.size > RefreshDistributedThreshold)
-    val rows =
+    val rawRows =
       (if (useDistributed) distributedReindexRows(spark, root, reindexFiles, gen, embedder)
        else driverReindexRows(spark, root, reindexFiles, gen, embedder))
         .localCheckpoint(true)
+    val rows =
+      if (bucketed)
+        AnnIndex.withIdBucket(rawRows, AnnIndex.readPayloadBuckets(indexDir))
+      else rawRows
     val addedChunks = rows.count()
     var purgedChunks = 0L
     if (purgeFiles.nonEmpty) {
@@ -724,7 +769,7 @@ object ChatPipeline {
           throw new IllegalStateException(
             "refresh would purge every chunk with nothing to re-index — " +
               "remove the index directory and rebuild instead")
-        rewriteSwap(spark, s"$indexDir/chunks", Seq("language"),
+        rewriteSwap(spark, s"$indexDir/chunks", chunkParts,
           df => df.join(purgeDf, Seq("file"), "left_anti"))
         if (AnnIndex.hasPlanes(indexDir) &&
             java.nio.file.Files.isDirectory(
@@ -734,7 +779,7 @@ object ChatPipeline {
       }
     }
     if (addedChunks > 0L) {
-      rows.write.mode("append").partitionBy("language")
+      rows.write.mode("append").partitionBy(chunkParts: _*)
         .parquet(s"$indexDir/chunks")
       if (AnnIndex.hasPlanes(indexDir)) {
         val forest = AnnIndex.loadPlanes(spark, indexDir)
@@ -766,8 +811,11 @@ object ChatPipeline {
       contentHash = rollupHash(cur),
       nChunks = n), indexDir)
     // a registered serving session must not keep the pre-refresh forest
-    // listing (its files were just rewritten away)
+    // listing (its files were just rewritten away), and the freshness
+    // TTL must not serve a pre-refresh verdict for the repaired index
     graft.plans.AnnCatalog.refreshIfRegistered(spark, indexDir)
+    AnnIndex.invalidateServing(indexDir)
+    checkTime.remove(indexDir)
     RefreshStats(purgeFiles.size.toLong, purgedChunks,
       reindexFiles.size.toLong, addedChunks)
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, AttributeSet, EqualTo, Expression, Literal, PredicateHelper, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, IntegerLiteral, Literal, NullsFirst, PredicateHelper, SortOrder}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Filter, GlobalLimit, Join, JoinHint, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -152,6 +152,128 @@ case class AnnPushdownRule(spark: SparkSession)
       .queryExecution.optimizedPlan
   }
 
+  /** FAST candidate plan: the k winners, fully decided inside the
+    * leaf-pruned forest scan. Requires the round-9 index layout — the
+    * forest carries (vector, idbucket) per row — plus every pred and
+    * every tie-break sort key translating onto forest columns; returns
+    * None otherwise and the caller falls back to [[candidatePlan]].
+    *
+    * Shape: leaf-filtered forest scan → distance on the CO-LOCATED
+    * vector copy → per-chunk dedup (a chunk sits in one leaf per tree,
+    * so up to NumTrees copies reach the candidate set; min() of equal
+    * values) → top-k by the ORIGINAL sort order (distance first, then
+    * the translated tie-breaks — mirroring the outer order exactly is
+    * what makes the inner limit select the same k rows the outer sort
+    * would). The k-row (chunk_id, idbucket) result then semi-joins the
+    * chunks relation on BOTH keys, so dynamic partition pruning cuts
+    * the payload scan to the <= k winner buckets — the full-corpus
+    * vector scan that made the old rewrite linear never runs. Distance
+    * values in the query OUTPUT still come from the original Project
+    * over chunks.vector (the forest copy is bit-identical floats, so
+    * the same k rows win). */
+  private def candidateTopK(e: AnnCatalog.Entry, q: Array[Float],
+                            preds: Seq[Expression], order: Seq[SortOrder],
+                            k: Int): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions.{Or, Literal => Lit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Min
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Limit, Repartition}
+    val fd = e.forestDf
+    val rel = fd.queryExecution.analyzed
+    val byName = rel.output.map(a => a.name -> a).toMap
+    if (!Seq("vector", "idbucket", "tree", "leaf", "chunk_id")
+        .forall(byName.contains)) return None
+    def translate(p: Expression): Option[Expression] =
+      if (p.references.forall(r => byName.get(r.name).exists(_.dataType == r.dataType)))
+        Some(p.transform { case a: AttributeReference => byName(a.name) })
+      else None
+    val tPreds = preds.map(translate)
+    if (tPreds.exists(_.isEmpty)) return None
+    val tRest = order.tail.map(so => translate(so.child).map(c => so.copy(child = c)))
+    if (tRest.exists(_.isEmpty)) return None
+
+    // the fragment is CONSTRUCTED from the pinned relation's resolved
+    // attributes, never routed through a per-query analyze+optimize of
+    // its own — fragment planning was a measurable slice of serving
+    // latency, and the outer optimization (which the rewritten query
+    // runs anyway) applies every relevant rule to this subtree too
+    val treeA = byName("tree"); val leafA = byName("leaf")
+    val chunkA = byName("chunk_id"); val bucketA = byName("idbucket")
+    val vecA = byName("vector")
+    // literals minted in the ATTRIBUTE's exact type (partition-column
+    // types are directory-inferred: small leaf ids read back as int) —
+    // the DataFrame surface would insert casts via the analyzer, but
+    // this fragment never passes through analysis
+    def litAs(v: Long, dt: org.apache.spark.sql.types.DataType): Option[Expression] =
+      dt match {
+        case org.apache.spark.sql.types.LongType => Some(Lit(v))
+        case org.apache.spark.sql.types.IntegerType if v.isValidInt => Some(Lit(v.toInt))
+        case org.apache.spark.sql.types.ShortType if v.isValidShort => Some(Lit(v.toShort))
+        case _ => None
+      }
+    val leafTerms = AnnIndex.queryLeaves(q, e.forest).map { case (t, l) =>
+      for { tl <- litAs(t.toLong, treeA.dataType); ll <- litAs(l, leafA.dataType) }
+        yield And(EqualTo(treeA, tl), EqualTo(leafA, ll)) : Expression
+    }
+    if (leafTerms.exists(_.isEmpty)) return None
+    val leafCond = leafTerms.flatten.reduce(Or(_, _))
+    val filterCond = (leafCond +: tPreds.flatten).reduce(And(_, _))
+    val distAlias = Alias(
+      CosineDistanceExpr(vecA,
+        Lit.create(q.toSeq, org.apache.spark.sql.types.ArrayType(FloatType))),
+      "__ann_dist")()
+    // group keys: the join keys plus whatever the tie-breaks reference
+    // — all constant per chunk_id, so grouping by them keeps one row
+    // per candidate chunk (min() of bit-equal distances)
+    val restAttrs = tRest.flatten
+      .flatMap(_.references.toSeq).distinct
+      .filterNot(a => a.name == "chunk_id" || a.name == "idbucket")
+    val groupAttrs = Seq(chunkA, bucketA) ++ restAttrs
+    // latency shape: distances compute map-side in the PARALLEL leaf-
+    // file scan, then ONE single-partition exchange moves the
+    // ~NumTrees x LeafTarget scored rows (constant at any corpus size
+    // — forest depth scales with n, leaf size doesn't) into one task
+    // for the dedup + top-k. Without the explicit Repartition(1) the
+    // aggregate plans a shuffle.partitions-wide exchange whose tiny
+    // tasks are pure scheduling overhead per query; a coalesce would
+    // instead collapse the scan itself to one serial-file-open task.
+    // A single partition satisfies the aggregate's distribution
+    // requirement, so no second exchange lands.
+    val scoredProj = Project(groupAttrs :+ distAlias,
+      Filter(filterCond, rel))
+    val onePart = Repartition(1, shuffle = true, scoredProj)
+    val minAlias = Alias(
+      Min(distAlias.toAttribute).toAggregateExpression(), "__ann_dist")()
+    val agg = Aggregate(groupAttrs, groupAttrs :+ minAlias, onePart)
+    val sorted = Sort(
+      SortOrder(minAlias.toAttribute, Ascending) +: tRest.flatten, global = true, agg)
+    val out = Project(Seq(chunkA, bucketA), Limit(Lit(k), sorted))
+    // a mis-built fragment must fall back to the always-correct slow
+    // path, never propagate an unresolved subtree into the user's plan
+    if (out.resolved) Some(out) else None
+  }
+
+  /** Thread the chunks relation's idbucket attribute up through any
+    * intervening Projects so the bucket-keyed join condition can
+    * reference it (column pruning may already have dropped it from the
+    * subtree's output — nothing above referenced it until now). The
+    * extra column is invisible above the semi join: LeftSemi output is
+    * the left side's, and the original Project above the join prunes
+    * it right back out. */
+  private def exposeBucket(plan: LogicalPlan): Option[(LogicalPlan, Attribute)] =
+    plan.output.find(_.name == "idbucket") match {
+      case Some(a) => Some((plan, a))
+      case None => plan match {
+        case p: Project =>
+          exposeBucket(p.child).map { case (c2, a) =>
+            (p.copy(projectList = p.projectList :+ a, child = c2), a)
+          }
+        case f: Filter =>
+          exposeBucket(f.child).map { case (c2, a) => (f.copy(child = c2), a) }
+        case _ => None
+      }
+    }
+
   /** Deterministic filter conjuncts anchored entirely on the REGISTERED
     * chunks relation's own attributes (by exprId — an alias that merely
     * shares a metadata column's NAME never qualifies, and neither does a
@@ -174,20 +296,44 @@ case class AnnPushdownRule(spark: SparkSession)
     * if the relation is registered and carries a chunk_id column.
     * `outerPreds`: filter conjuncts seen ABOVE the distance alias on
     * the descent; conjuncts from Filters inside `child` are collected
-    * here. Both sets are candidates for forest-side evaluation. */
+    * here. Both sets are candidates for forest-side evaluation.
+    *
+    * `fast`: the outer (limit k, full sort order) when the plan shape
+    * allows the inner-top-k rewrite ([[candidateTopK]]). Taken only
+    * when EVERY filter between the scan and the sort is pushable AND
+    * translatable — an untranslated residual filter above an inner
+    * LIMIT would change which k rows survive, not just their cost —
+    * otherwise this falls back to the unlimited candidate set, which
+    * is always semantics-preserving. */
   private def semiJoin(child: LogicalPlan, q: Array[Float],
-                       outerPreds: Seq[Expression]): Option[LogicalPlan] =
+                       outerPreds: Seq[Expression],
+                       fast: Option[(Int, Seq[SortOrder])]): Option[LogicalPlan] =
     AnnCatalog.lookup(relationPaths(child)).flatMap { case (chunksPath, entry) =>
       val innerPreds = child.collect {
         case Filter(cond, _) => splitConjunctivePredicates(cond)
       }.flatten
-      val cand = candidatePlan(entry, q,
-        pushablePreds(outerPreds ++ innerPreds, child, chunksPath))
-      (child.output.find(_.name == "chunk_id"),
-        cand.output.find(_.name == "chunk_id")) match {
-        case (Some(li), Some(ri)) =>
-          Some(Join(child, cand, LeftSemi, Some(EqualTo(li, ri)), JoinHint.NONE))
-        case _ => None
+      val allPreds = outerPreds ++ innerPreds
+      val pushable = pushablePreds(allPreds, child, chunksPath)
+      val fastJoin = fast.flatMap { case (k, order) =>
+        if (pushable.size != allPreds.size) None
+        else candidateTopK(entry, q, pushable, order, k).flatMap { cand =>
+          for {
+            lb <- exposeBucket(child)
+            li <- lb._1.output.find(_.name == "chunk_id")
+            ri <- cand.output.find(_.name == "chunk_id")
+            rb <- cand.output.find(_.name == "idbucket")
+          } yield Join(lb._1, cand, LeftSemi,
+            Some(And(EqualTo(li, ri), EqualTo(lb._2, rb))), JoinHint.NONE)
+        }
+      }
+      fastJoin.orElse {
+        val cand = candidatePlan(entry, q, pushable)
+        (child.output.find(_.name == "chunk_id"),
+          cand.output.find(_.name == "chunk_id")) match {
+          case (Some(li), Some(ri)) =>
+            Some(Join(child, cand, LeftSemi, Some(EqualTo(li, ri)), JoinHint.NONE))
+          case _ => None
+        }
       }
     }
 
@@ -200,39 +346,49 @@ case class AnnPushdownRule(spark: SparkSession)
     * the way down accumulate so the forest scan can evaluate them too. */
   private def injectBelowAlias(plan: LogicalPlan,
                                sortAttr: AttributeReference,
-                               outerPreds: Seq[Expression] = Nil): Option[LogicalPlan] =
+                               outerPreds: Seq[Expression],
+                               fast: Option[(Int, Seq[SortOrder])]): Option[LogicalPlan] =
     plan match {
       case f: Filter =>
         injectBelowAlias(f.child, sortAttr,
-          outerPreds ++ splitConjunctivePredicates(f.condition))
+          outerPreds ++ splitConjunctivePredicates(f.condition), fast)
           .map(c => f.copy(child = c))
       case d: Deduplicate =>
-        injectBelowAlias(d.child, sortAttr, outerPreds).map(c => d.copy(child = c))
+        // a Deduplicate between sort and scan can drop rows the inner
+        // top-k already counted against the limit — fast path off
+        injectBelowAlias(d.child, sortAttr, outerPreds, None)
+          .map(c => d.copy(child = c))
       case proj @ Project(projList, pchild) =>
         val distLit = projList.collectFirst {
           case a @ Alias(CosineDistanceExpr(_, l: Literal), _)
               if a.exprId == sortAttr.exprId => l
         }
         distLit.flatMap(literalVector).flatMap(q =>
-          semiJoin(pchild, q, outerPreds).map(j => proj.copy(child = j)))
+          semiJoin(pchild, q, outerPreds, fast).map(j => proj.copy(child = j)))
       case _ => None
     }
 
-  /** Rewrite one top-k Sort: plant the candidate semi join under it. */
-  private def rewriteSort(sort: Sort): Option[Sort] = sort match {
-    case Sort(SortOrder(sortExpr, Ascending, _, _) +: _, true, body, _)
+  /** Rewrite one top-k Sort: plant the candidate semi join under it.
+    * `kOpt` (the outer limit, when literal) arms the inner-top-k fast
+    * path; its sort-order mirror requires the first key NULLS FIRST
+    * ascending (the shape every distance sort produces — a computed
+    * distance is null only for a null vector, and the inner ordering
+    * must agree on where those rows go). */
+  private def rewriteSort(sort: Sort, kOpt: Option[Int]): Option[Sort] = sort match {
+    case Sort(order @ (SortOrder(sortExpr, Ascending, firstNulls, _) +: _), true, body, _)
         // idempotence: skip once a semi join is already in place
         if !body.exists { case Join(_, _, LeftSemi, _, _) => true; case _ => false } =>
+      val fast = kOpt.filter(_ => firstNulls == NullsFirst).map(k => (k, order))
       val rewrittenBody = sortExpr match {
         // SQL surface / no alias: ORDER BY cosine_distance(vector,
         // array(...)) LIMIT k — the sort key IS the expression
         case CosineDistanceExpr(_, l: Literal) =>
-          literalVector(l).flatMap(q => semiJoin(body, q, Nil))
+          literalVector(l).flatMap(q => semiJoin(body, q, Nil, fast))
         // DataFrame surface: ORDER BY an attribute defined as the
         // distance alias in a Project (possibly under Filter /
         // Deduplicate nodes)
         case sortAttr: AttributeReference =>
-          injectBelowAlias(body, sortAttr)
+          injectBelowAlias(body, sortAttr, Nil, fast)
         case _ => None
       }
       rewrittenBody.map(b => sort.copy(child = b))
@@ -242,15 +398,17 @@ case class AnnPushdownRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (AnnCatalog.entries.isEmpty) return plan
     plan.transformDown {
-      case gl @ GlobalLimit(_, ll @ LocalLimit(_, sort: Sort)) =>
-        rewriteSort(sort) match {
+      case gl @ GlobalLimit(limitExpr, ll @ LocalLimit(_, sort: Sort)) =>
+        val kOpt = limitExpr match { case IntegerLiteral(k) => Some(k); case _ => None }
+        rewriteSort(sort, kOpt) match {
           case Some(s) => gl.copy(child = ll.copy(child = s))
           case None => gl
         }
       // column pruning may slide a Project between the limit and the
       // sort (the SQL-surface shape)
-      case gl @ GlobalLimit(_, ll @ LocalLimit(_, p @ Project(_, sort: Sort))) =>
-        rewriteSort(sort) match {
+      case gl @ GlobalLimit(limitExpr, ll @ LocalLimit(_, p @ Project(_, sort: Sort))) =>
+        val kOpt = limitExpr match { case IntegerLiteral(k) => Some(k); case _ => None }
+        rewriteSort(sort, kOpt) match {
           case Some(s) => gl.copy(child = ll.copy(child = p.copy(child = s)))
           case None => gl
         }

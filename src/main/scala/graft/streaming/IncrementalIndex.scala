@@ -92,13 +92,24 @@ object IncrementalIndex {
               .agg(max(col("chunk_id"))).head()
             (if (mx.isNullAt(0)) 0L else mx.getLong(0) >> 32) + 1L
           })
-        val withIds = rowsRdd.zipWithIndex()
+        val rawIds = rowsRdd.zipWithIndex()
           .map { case ((f, c, lang, e, v), i) =>
             ((gen << 32) | i, f, c, lang, e, v)
           }
           .toDF("chunk_id", "file", "code", "language", "extension", "vector")
+        // append in the LIVE layout: an idbucket-partitioned index gets
+        // bucketed rows (the pushdown's payload-pruning key), a
+        // pre-idbucket index stays uniformly language-only — mixing
+        // layouts would leave the table unreadable
+        val bucketed = AnnIndex.hasIdBucket(spark, indexDir)
+        val withIds =
+          if (bucketed)
+            AnnIndex.withIdBucket(rawIds, AnnIndex.readPayloadBuckets(indexDir))
+          else rawIds
         withIds.cache()
-        withIds.write.mode("append").partitionBy("language")
+        withIds.write.mode("append")
+          .partitionBy(
+            (if (bucketed) Seq("language", "idbucket") else Seq("language")): _*)
           .parquet(s"$indexDir/chunks")
         // keep approximate search complete: assign the new chunks to
         // their forest leaves with the PERSISTED planes (pure function
@@ -140,8 +151,9 @@ object IncrementalIndex {
           }
         graft.chat.ChatPipeline.appendProcessedLog(indexDir, processed.toSeq)
         // a registered serving session must see this batch's appended
-        // chunks/forest files — its pinned listing predates them
+        // chunks/forest files — its pinned listings predate them
         graft.plans.AnnCatalog.refreshIfRegistered(spark, indexDir)
+        AnnIndex.invalidateServing(indexDir)
         withIds.unpersist()
         rowsRdd.unpersist()
         ()

@@ -300,6 +300,106 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.plans.AnnCatalog.clear()
   }
 
+  test("fast ANN pushdown: inner candidate top-k + dynamic bucket pruning of the payload scan") {
+    import org.apache.spark.sql.functions._
+    val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo6").toFile
+    def w(rel: String, content: String): Unit = {
+      val f = new java.io.File(repoDir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    (1 to 120).foreach(i => w(s"src/file$i.rs",
+      s"fn function_$i() { let value_$i = compute_$i(); }\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ann_idx6").toFile
+    graft.chat.ChatPipeline.index(spark, repoDir.getAbsolutePath, idxDir.getAbsolutePath)
+    graft.plans.AnnCatalog.register(spark, idxDir.getAbsolutePath)
+    try {
+      // round-9 layout: bucketed chunks (count recorded at build) and a
+      // vector-carrying forest — the two artifacts the fast path needs
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(idxDir.getAbsolutePath, "payload_buckets")))
+      val chunks = graft.chat.AnnIndex.load(spark, idxDir.getAbsolutePath)
+      assert(chunks.columns.contains("idbucket"))
+      val forestCols =
+        spark.read.parquet(s"${idxDir.getAbsolutePath}/forest").columns.toSet
+      assert(Set("vector", "idbucket").subsetOf(forestCols))
+
+      val emb = new graft.chat.HashingEmbedder()
+      val q = emb.embed("compute function value")
+      val knn = chunks
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      // the fast path decides the winners inside the forest fragment
+      // (its dedup alias is the marker) ...
+      assert(knn.queryExecution.optimizedPlan.toString.contains("__ann_dist"),
+        "inner candidate top-k missing from the optimized plan")
+      knn.collect()
+      // ... and the executed payload scan reads only the winners'
+      // idbucket partitions via dynamic pruning
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val next = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: (next ++ p.subqueries).flatMap(flatten)
+      }
+      val scans = flatten(knn.queryExecution.executedPlan)
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val chunksScan = scans.find(_.relation.location.rootPaths
+        .exists(_.toString.contains("/chunks")))
+      assert(chunksScan.nonEmpty, "no chunks scan in the executed plan")
+      assert(chunksScan.get.partitionFilters.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression => true
+        case _ => false
+      }), s"payload scan not dynamically bucket-pruned:\n${chunksScan.get}")
+      assert(scans.exists(_.relation.location.rootPaths
+        .exists(_.toString.contains("/forest"))),
+        "candidate side not forest-backed")
+      // results equal the explicit approximate search
+      val planes = graft.chat.AnnIndex.loadPlanes(spark, idxDir.getAbsolutePath)
+      val forestIdx = spark.read.parquet(s"${idxDir.getAbsolutePath}/forest")
+      val expected = graft.chat.AnnIndex
+        .knnApprox(spark, chunks, forestIdx, planes, q, 5)
+        .select("chunk_id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val got = knn.select("chunk_id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == expected.toSeq)
+
+      // a distance filter DOES ride the fast path: the optimizer
+      // pushes it below the alias as a vector-referencing predicate,
+      // which translates onto the forest's co-located vector — so it
+      // correctly restricts candidates BEFORE the inner limit
+      val distFiltered = chunks
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .filter(col("distance") < 2.0)
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      assert(distFiltered.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(distFiltered.collect().length == 5)
+      // fallback: a predicate referencing a column the forest does NOT
+      // carry (code) cannot be applied inside the inner limit — the
+      // rewrite must take the unlimited-candidate slow path: LeftSemi
+      // still present, no inner top-k marker, results still correct
+      val codeFiltered = chunks
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .filter(length(col("code")) > 0)
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      val fPlan = codeFiltered.queryExecution.optimizedPlan.toString
+      assert(fPlan.contains("LeftSemi"), "slow-path rewrite lost under code filter")
+      assert(!fPlan.contains("__ann_dist"),
+        "inner top-k must not fire under a non-translatable filter")
+      assert(codeFiltered.collect().length == 5)
+    } finally graft.plans.AnnCatalog.clear()
+  }
+
   test("AnnPushdown fires inside the COMPOSED ChatPipeline.query path (executed-plan audit)") {
     import org.apache.spark.sql.functions._
     val repoDir = java.nio.file.Files.createTempDirectory("graft_ann_repo5").toFile

@@ -156,6 +156,10 @@ class IndexFreshnessSpec extends SparkSpec {
       graft.streaming.StreamScratch.root, "fresh-warn-idx").toString
     writeRepo(repo)
     ChatPipeline.index(spark, repo.toString, idx)
+    // exact per-query detection for this test: the serving TTL
+    // legitimately delays the warn by up to its window
+    val savedTtl = ChatPipeline.checkSketchTtlMs
+    ChatPipeline.checkSketchTtlMs = 0L
 
     def queryCapturing(): (String, ChatPipeline.QueryOutput) = {
       val buf = new java.io.ByteArrayOutputStream()
@@ -174,6 +178,7 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(staleOut.contains("WARN: index may be stale"), staleOut)
     // warn, never block: the query still answers from the stale index
     assert(r2.results.nonEmpty)
+    ChatPipeline.checkSketchTtlMs = savedTtl
   }
 
   test("check-index on a real git checkout records the commit hash") {

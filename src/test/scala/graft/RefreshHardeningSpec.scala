@@ -256,7 +256,11 @@ class RefreshHardeningSpec extends SparkSpec {
     writeBaseRepo(repo)
     val idx = scratch("rh-cache-idx").toString
     ChatPipeline.index(spark, repo.toString, idx)
-
+    // exact per-query sketching for this test: the serving TTL would
+    // legitimately delay detection of the mid-test edit
+    val savedTtl = ChatPipeline.checkSketchTtlMs
+    ChatPipeline.checkSketchTtlMs = 0L
+    try {
     val c0 = ChatPipeline.fullCheckCount.get()
     ChatPipeline.query(spark, idx, "base function one", 1)
     ChatPipeline.query(spark, idx, "base function two", 1)
@@ -280,5 +284,22 @@ class RefreshHardeningSpec extends SparkSpec {
     val cached = ChatPipeline.checkIndexCached(idx).toOption.get
     assert(exact.stale == cached.stale)
     assert(exact.currentContentHash == cached.currentContentHash)
+
+    // serving TTL: within the window the verdict comes back without a
+    // stat walk or full check — an edit inside the window is invisible
+    // until the window closes (warn-only contract), then detected
+    ChatPipeline.checkSketchTtlMs = 60000L
+    val cBefore = ChatPipeline.fullCheckCount.get()
+    ChatPipeline.checkIndexCached(idx) // primes the TTL clock
+    w(repo, "src/mod2.rs", rust("ttledit", 6))
+    val inWindow = ChatPipeline.checkIndexCached(idx).toOption.get
+    assert(ChatPipeline.fullCheckCount.get() == cBefore,
+      "a check inside the TTL window must not run the full check")
+    ChatPipeline.checkSketchTtlMs = 0L
+    val afterWindow = ChatPipeline.checkIndexCached(idx).toOption.get
+    assert(afterWindow.stale, "edit must be detected once the window closes")
+    assert(inWindow.currentContentHash != afterWindow.currentContentHash ||
+      inWindow.stale != afterWindow.stale)
+    } finally ChatPipeline.checkSketchTtlMs = savedTtl
   }
 }
