@@ -105,6 +105,10 @@ object AnnIndex {
     try {
       val b = payloadBucketsFor(snap.count())
       writePayloadBuckets(path, b)
+      // a rebuild at this path supersedes any cached layout verdict —
+      // a stale 'false' would make the next append write unbucketed
+      // rows into the bucketed table (mixed partition depth, unreadable)
+      idBucketLayout.remove(path)
       // repartition ON the partition keys: one file per (language,
       // bucket) dir instead of one per (writer task x dir) — a
       // scattered layout multiplies file opens on every scan (the

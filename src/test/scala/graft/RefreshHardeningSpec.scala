@@ -217,6 +217,25 @@ class RefreshHardeningSpec extends SparkSpec {
     Files.delete(Paths.get(s"$idx/maintenance_lock"))
   }
 
+  test("a rebuild at the same path supersedes the cached chunk-layout verdict") {
+    val repo = scratch("rh-layout-repo")
+    writeBaseRepo(repo)
+    val idx = scratch("rh-layout-idx").toString
+    // legacy layout: chunks partitioned by language only — primes the
+    // per-path layout cache with 'not bucketed'
+    import spark.implicits._
+    Seq((1L, "f.rs", "code", "Rust", Option("rs"), Seq(0.1f, 0.2f)))
+      .toDF("chunk_id", "file", "code", "language", "extension", "vector")
+      .write.partitionBy("language").parquet(s"$idx/chunks")
+    assert(!AnnIndex.hasIdBucket(spark, idx))
+    // rebuild at the SAME path writes the bucketed layout; a stale
+    // cached 'false' would make the next append write unbucketed rows
+    // into the bucketed table
+    ChatPipeline.index(spark, repo.toString, idx)
+    assert(AnnIndex.hasIdBucket(spark, idx),
+      "layout cache not invalidated by the rebuild")
+  }
+
   test("repairSwap keeps the journal when no candidate dir can restore the live path") {
     import java.nio.file.{Files, Paths}
     val d = scratch("rh-headless").toString
