@@ -72,6 +72,17 @@ object AnnIndex {
       java.nio.file.Paths.get(path, "payload_buckets")).trim.toInt
     catch { case _: Exception => PayloadBucketsLegacyDefault }
 
+  /** [[readPayloadBuckets]], RECORDING the legacy default first when
+    * the file is missing (a bucketed table created by the stream never
+    * went through save()): later appenders must read the same constant
+    * from the artifact, not inherit it from code-version coincidence. */
+  def ensurePayloadBuckets(path: String): Int = {
+    val p = java.nio.file.Paths.get(path, "payload_buckets")
+    if (!java.nio.file.Files.exists(p))
+      writePayloadBuckets(path, PayloadBucketsLegacyDefault)
+    readPayloadBuckets(path)
+  }
+
   /** Add the idbucket column iff absent (idempotent). */
   def withIdBucket(chunks: DataFrame, buckets: Int): DataFrame =
     if (chunks.columns.contains("idbucket")) chunks
@@ -86,10 +97,23 @@ object AnnIndex {
     * tax. */
   private val idBucketLayout =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  def hasIdBucket(spark: SparkSession, path: String): Boolean =
-    idBucketLayout.computeIfAbsent(path, _ =>
-      try spark.read.parquet(s"$path/chunks").columns.contains("idbucket")
-      catch { case _: org.apache.spark.sql.AnalysisException => true })
+  def hasIdBucket(spark: SparkSession, path: String): Boolean = {
+    val cached = idBucketLayout.get(path)
+    if (cached != null) cached.booleanValue()
+    else
+      try {
+        val v = spark.read.parquet(s"$path/chunks").columns.contains("idbucket")
+        idBucketLayout.put(path, v)
+        v
+      } catch {
+        // not-yet-built (or transiently unreadable) table: assume the
+        // modern layout for THIS append but cache NOTHING — a cached
+        // verdict must come from an actual read, or a transient failure
+        // over a legacy table would pin 'bucketed' for the JVM lifetime
+        // and the next append would mix partition depths
+        case _: org.apache.spark.sql.AnalysisException => true
+      }
+  }
 
   /** Chunks are written partitioned by (language, idbucket): language
     * so the retrieval filters (F3/F6) and language-targeted queries

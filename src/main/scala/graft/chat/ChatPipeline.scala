@@ -142,8 +142,11 @@ object ChatPipeline {
     // downstream action barrier (applyFilters' code-count,
     // crossRerank's window collect) — a 2x-3x serving-latency tax
     val hitRows = hits0.collect()
+    // LocalRelation, not parallelize: the window is already driver-
+    // resident, and an RDD-backed frame schedules a cluster job for
+    // every downstream action on the latency-critical serving path
     val hits = spark.createDataFrame(
-      spark.sparkContext.parallelize(hitRows.toSeq, 1), hits0.schema)
+      java.util.Arrays.asList(hitRows: _*), hits0.schema)
     val filtered = Retrieval.applyFilters(hits, classification, k) // Step 4 + truncate
     val ordered =
       if (rerank) Retrieval.crossRerank(filtered, question,        // Step 5 (R2)
@@ -440,6 +443,12 @@ object ChatPipeline {
   private val checkTime =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Every index MUTATOR calls this: a TTL'd verdict must never
+    * outlive the state it described (rebuild, refresh, incremental
+    * append). */
+  private[graft] def invalidateFreshness(indexDir: String): Unit =
+    checkTime.remove(indexDir)
+
   /** full (hashing) checks actually run — observable cache behavior
     * for specs and for anyone profiling the query path. */
   private[graft] val fullCheckCount = new java.util.concurrent.atomic.AtomicLong(0)
@@ -533,16 +542,17 @@ object ChatPipeline {
   // -------------------------------------------------------------------
 
   /** In-JVM serialization per index dir: threads of one process share
-    * a pid, so the file alone cannot arbitrate between them. */
-  private val indexMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def monitorFor(indexDir: String): Object =
-    indexMonitors.computeIfAbsent(indexDir, _ => new Object)
+    * a pid, so the file alone cannot arbitrate between them. Reentrant
+    * — a mutator holding the lock (refreshIndex, a stream batch) calls
+    * the locked primitives (nextGeneration, rewriteSwap, repairSwap)
+    * without re-acquiring the file. */
+  private val indexMonitors = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
 
   /** One CREATE_NEW attempt, with takeover of dead (or unparsable)
     * owners. Returns false only when a LIVE other process holds it. */
   private def tryLockFile(lock: java.nio.file.Path): Boolean = {
-    import java.nio.file.{Files, StandardOpenOption}
+    import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
     val self = ProcessHandle.current().pid()
     def create(): Boolean =
       try {
@@ -561,39 +571,69 @@ object ChatPipeline {
     if (alive && owner != self) false
     else {
       // dead owner, torn lock file, or our own leaked lock: take over.
-      // deleteIfExists + CREATE_NEW keeps a takeover race safe — only
-      // one racer wins the atomic create
-      try Files.deleteIfExists(lock)
-      catch { case _: java.io.IOException => () }
+      // The dead lock is MOVED aside first — an atomic rename exactly
+      // one racer wins — so a second takeover racer can never delete
+      // the winner's freshly created lock (a plain deleteIfExists +
+      // create would allow two acquirers). The losing racer's move
+      // throws NoSuchFile and its create() loses to the winner's.
+      val aside = lock.resolveSibling(
+        s"${lock.getFileName}.dead.${self}.${System.nanoTime()}")
+      try {
+        Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
+        Files.deleteIfExists(aside)
+      } catch { case _: java.io.IOException => () }
       create()
     }
   }
 
+  private def releaseLockFile(lock: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    // release only OUR lock: if a bug (or operator) replaced the file,
+    // deleting it would free someone else's critical section. A live
+    // owner's lock is never taken over, so read-then-delete is not a
+    // race for the owner itself.
+    try {
+      if (Files.readString(lock).trim ==
+          ProcessHandle.current().pid().toString)
+        Files.deleteIfExists(lock)
+    } catch { case _: java.io.IOException => () }
+  }
+
   /** Run `body` under the index's exclusive maintenance lock. Waits up
-    * to `waitMs` for a live owner to release; returns None on timeout
-    * (callers choose: mutators fail loudly, the read-path repair just
-    * skips — the live owner will finish its own swap). */
+    * to `waitMs` — covering BOTH the same-JVM monitor and the cross-
+    * process file lock, so a waitMs=0 probe (the read-path repair)
+    * never blocks behind a long-held writer — and returns None on
+    * timeout (mutators fail loudly, the read-path repair just skips:
+    * the live owner will finish its own swap). Reentrant: a nested
+    * call on the owning thread runs the body directly. */
   private[graft] def withIndexLock[T](indexDir: String, waitMs: Long = 30000L)
                                      (body: => T): Option[T] = {
     // normalize BEFORE keying: two threads reaching one index through
     // differently-spelled paths ('idx' vs 'idx/') must share a monitor,
     // or the same-pid lock file would look like a leak and be taken over
     val norm = java.nio.file.Paths.get(indexDir).toAbsolutePath.normalize
-    monitorFor(norm.toString).synchronized {
-      import java.nio.file.Files
-      val lock = norm.resolve("maintenance_lock")
-      Files.createDirectories(norm)
-      val deadline = System.nanoTime() + waitMs * 1000000L
-      var ok = tryLockFile(lock)
-      while (!ok && System.nanoTime() < deadline) {
-        Thread.sleep(25)
-        ok = tryLockFile(lock)
+    val mon = indexMonitors.computeIfAbsent(norm.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    val deadline = System.nanoTime() + waitMs * 1000000L
+    if (!mon.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      return None
+    try {
+      if (mon.getHoldCount > 1) Some(body) // outer frame owns the file
+      else {
+        import java.nio.file.Files
+        val lock = norm.resolve("maintenance_lock")
+        Files.createDirectories(norm)
+        var ok = tryLockFile(lock)
+        while (!ok && System.nanoTime() < deadline) {
+          Thread.sleep(25)
+          ok = tryLockFile(lock)
+        }
+        if (!ok) None
+        else
+          try Some(body)
+          finally releaseLockFile(lock)
       }
-      if (!ok) None
-      else
-        try Some(body)
-        finally Files.deleteIfExists(lock)
-    }
+    } finally mon.unlock()
   }
 
   /** Recover a [[rewriteSwap]] interrupted between its two renames: the
@@ -775,7 +815,22 @@ object ChatPipeline {
     * refresh, [[checkIndex]] reports fresh by construction. */
   def refreshIndex(spark: SparkSession, repoDir: String, indexDir: String,
                    embedder: Embedder = new HashingEmbedder(),
-                   forceDistributed: Option[Boolean] = None): RefreshStats = {
+                   forceDistributed: Option[Boolean] = None): RefreshStats =
+    // the WHOLE repair — snapshot reads included — runs under the
+    // maintenance lock: locking only the rename sections would let two
+    // serialized refreshes both stage from the SAME pre-swap snapshot,
+    // and the second swap would silently discard the first's committed
+    // rewrite (lost update). The nested locked primitives
+    // (repairSwap/nextGeneration/rewriteSwap) re-enter.
+    withIndexLock(indexDir) {
+      refreshIndexLocked(spark, repoDir, indexDir, embedder, forceDistributed)
+    }.getOrElse(throw new IllegalStateException(
+      s"another live session holds the maintenance lock for '$indexDir' — " +
+        "refresh aborted"))
+
+  private def refreshIndexLocked(spark: SparkSession, repoDir: String,
+                                 indexDir: String, embedder: Embedder,
+                                 forceDistributed: Option[Boolean]): RefreshStats = {
     import spark.implicits._
     repairSwap(s"$indexDir/chunks")
     repairSwap(s"$indexDir/forest")
@@ -822,7 +877,7 @@ object ChatPipeline {
         .localCheckpoint(true)
     val rows =
       if (bucketed)
-        AnnIndex.withIdBucket(rawRows, AnnIndex.readPayloadBuckets(indexDir))
+        AnnIndex.withIdBucket(rawRows, AnnIndex.ensurePayloadBuckets(indexDir))
       else rawRows
     val addedChunks = rows.count()
     var purgedChunks = 0L

@@ -178,8 +178,10 @@ object Retrieval {
     }
     val schema = results.schema.add("rerank_score",
       org.apache.spark.sql.types.DoubleType, nullable = false)
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(scored.toSeq, 1), schema)
+    // LocalRelation (see ChatPipeline.query's window materialization):
+    // the scored window lives on the driver; an RDD round-trip would
+    // cost a job per downstream action
+    spark.createDataFrame(java.util.Arrays.asList(scored: _*), schema)
       .orderBy(col("rerank_score").desc, col("distance").asc)
   }
 

@@ -253,25 +253,33 @@ case class AnnPushdownRule(spark: SparkSession)
     if (out.resolved) Some(out) else None
   }
 
-  /** Thread the chunks relation's idbucket attribute up through any
-    * intervening Projects so the bucket-keyed join condition can
-    * reference it (column pruning may already have dropped it from the
-    * subtree's output — nothing above referenced it until now). The
-    * extra column is invisible above the semi join: LeftSemi output is
-    * the left side's, and the original Project above the join prunes
-    * it right back out. */
-  private def exposeBucket(plan: LogicalPlan): Option[(LogicalPlan, Attribute)] =
-    plan.output.find(_.name == "idbucket") match {
-      case Some(a) => Some((plan, a))
-      case None => plan match {
-        case p: Project =>
-          exposeBucket(p.child).map { case (c2, a) =>
-            (p.copy(projectList = p.projectList :+ a, child = c2), a)
-          }
-        case f: Filter =>
-          exposeBucket(f.child).map { case (c2, a) => (f.copy(child = c2), a) }
-        case _ => None
-      }
+  /** Thread a specific relation attribute (BY EXPR-ID — a user alias
+    * merely sharing the name must never steer the join) up through any
+    * intervening Projects so the join condition can reference it
+    * (column pruning may already have dropped it from the subtree's
+    * output — nothing above referenced it until now). The extra column
+    * is invisible above the semi join: LeftSemi output is the left
+    * side's, and the original Project above the join prunes it right
+    * back out. */
+  private def exposeAttr(plan: LogicalPlan,
+                         attr: Attribute): Option[(LogicalPlan, Attribute)] =
+    if (plan.outputSet.contains(attr)) Some((plan, attr))
+    else plan match {
+      case p: Project =>
+        exposeAttr(p.child, attr).map { case (c2, a) =>
+          (p.copy(projectList = p.projectList :+ a, child = c2), a)
+        }
+      case f: Filter =>
+        exposeAttr(f.child, attr).map { case (c2, a) => (f.copy(child = c2), a) }
+      case _ => None
+    }
+
+  /** The REGISTERED chunks LogicalRelation inside `child`, if any. */
+  private def chunksRelation(child: LogicalPlan,
+                             chunksPath: String): Option[LogicalRelation] =
+    child.collectFirst {
+      case r: LogicalRelation if relationPaths(r).exists(
+        _.stripSuffix("/").endsWith(chunksPath.stripPrefix("file:"))) => r
     }
 
   /** Deterministic filter conjuncts anchored entirely on the REGISTERED
@@ -314,26 +322,35 @@ case class AnnPushdownRule(spark: SparkSession)
       }.flatten
       val allPreds = outerPreds ++ innerPreds
       val pushable = pushablePreds(allPreds, child, chunksPath)
+      // BOTH join keys anchor on the registered relation's own
+      // attributes by exprId (threaded up through pruning Projects if
+      // needed): a user column that merely shares the NAME chunk_id or
+      // idbucket carries different values, and joining on it would
+      // silently drop winners instead of falling back
+      val rel = chunksRelation(child, chunksPath)
       val fastJoin = fast.flatMap { case (k, order) =>
         if (pushable.size != allPreds.size) None
         else candidateTopK(entry, q, pushable, order, k).flatMap { cand =>
           for {
-            lb <- exposeBucket(child)
-            li <- lb._1.output.find(_.name == "chunk_id")
+            r <- rel
+            idA <- r.output.find(_.name == "chunk_id")
+            bkA <- r.output.find(_.name == "idbucket")
+            (c1, li) <- exposeAttr(child, idA)
+            (c2, lb) <- exposeAttr(c1, bkA)
             ri <- cand.output.find(_.name == "chunk_id")
             rb <- cand.output.find(_.name == "idbucket")
-          } yield Join(lb._1, cand, LeftSemi,
-            Some(And(EqualTo(li, ri), EqualTo(lb._2, rb))), JoinHint.NONE)
+          } yield Join(c2, cand, LeftSemi,
+            Some(And(EqualTo(li, ri), EqualTo(lb, rb))), JoinHint.NONE)
         }
       }
       fastJoin.orElse {
         val cand = candidatePlan(entry, q, pushable)
-        (child.output.find(_.name == "chunk_id"),
-          cand.output.find(_.name == "chunk_id")) match {
-          case (Some(li), Some(ri)) =>
-            Some(Join(child, cand, LeftSemi, Some(EqualTo(li, ri)), JoinHint.NONE))
-          case _ => None
-        }
+        for {
+          r <- rel
+          idA <- r.output.find(_.name == "chunk_id")
+          (c1, li) <- exposeAttr(child, idA)
+          ri <- cand.output.find(_.name == "chunk_id")
+        } yield Join(c1, cand, LeftSemi, Some(EqualTo(li, ri)), JoinHint.NONE)
       }
     }
 

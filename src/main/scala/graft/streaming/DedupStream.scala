@@ -417,20 +417,28 @@ object DedupStream {
     graft.ops.Dedup.attachReport(spark, sfDir, work)
   }
 
-  /** One graph-append micro-batch, IDEMPOTENT under foreachBatch's
-    * at-least-once replay (a batch can re-run after a driver restart or
-    * a lost sink acknowledgment). Everything keyed by batchId: the wave
-    * summary lands in a batchId-named subdir written with overwrite (a
-    * replay rewrites identical rows instead of doubling them), the
-    * prior is the union of STRICTLY-earlier batches' subdirs (so a
-    * replay never reads its own half-written summary as "prior" and
-    * self-pair), and the graph append is gated on a batchId done-marker
-    * created only after the append committed — a replayed COMPLETED
-    * batch is a no-op and the graph never gains duplicate edges or
-    * doubled prior-summary rows. (The one residual window — a crash
-    * midway through appendToDedupGraph's projection writes — is
-    * narrower than exactly-once requires but is the parquet append's
-    * own non-transactionality, shared with the batch q165 path.) */
+  /** One graph-append micro-batch, EXACTLY-ONCE in effect under
+    * foreachBatch's at-least-once replay (a batch can re-run after a
+    * driver restart or a lost sink acknowledgment). Everything keyed by
+    * batchId:
+    *
+    *  - the wave summary lands in a batchId-named subdir written with
+    *    overwrite (a replay rewrites identical rows instead of doubling
+    *    them), and the prior is the union of STRICTLY-earlier batches'
+    *    subdirs (a replay never reads its own half-written summary as
+    *    "prior" and self-pairs);
+    *  - the graph append runs inside a pending-manifest bracket: before
+    *    anything touches the graph, the batch records (atomically) the
+    *    set of files the graph held; a replay that finds the manifest
+    *    without the done-marker ROLLS the graph BACK to that snapshot
+    *    (deletes files the dead attempt added — no other writer touches
+    *    this copy) and redoes the batch. That closes BOTH replay
+    *    windows: a crash midway through the append's projection writes
+    *    AND a crash after a COMPLETED append but before the marker —
+    *    the latter would otherwise double every edge of the batch;
+    *  - the done-marker (created after the append) short-circuits the
+    *    common replay of an acknowledged-but-uncommitted batch.
+    */
   private[graft] def appendWaveBatch(spark: org.apache.spark.sql.SparkSession,
                                      waveDir: String, work: String,
                                      frozenG: String,
@@ -438,15 +446,43 @@ object DedupStream {
                                      bits: Int,
                                      batch: org.apache.spark.sql.DataFrame,
                                      batchId: Long): Unit = {
-    val doneMarker = java.nio.file.Paths.get(waveDir, s"_done_$batchId")
-    if (java.nio.file.Files.exists(doneMarker)) return
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val doneMarker = Paths.get(waveDir, s"_done_$batchId")
+    if (Files.exists(doneMarker)) return
+    def graphFiles(): Seq[String] = {
+      val root = Paths.get(work)
+      val walk = Files.walk(root)
+      try {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        walk.forEach(p => if (Files.isRegularFile(p)) out += p.toString)
+        out.toSeq.sorted
+      } finally walk.close()
+    }
+    val pending = Paths.get(waveDir, s"_pending_$batchId")
+    if (Files.exists(pending)) {
+      // a previous attempt died between its manifest and its marker:
+      // restore the graph to the manifest snapshot before redoing —
+      // whether the attempt appended nothing, half, or everything
+      import scala.jdk.CollectionConverters._
+      val keep = Files.readAllLines(pending).asScala.toSet
+      graphFiles().filterNot(keep.contains)
+        .foreach(f => Files.deleteIfExists(Paths.get(f)))
+    } else {
+      // manifest written ATOMICALLY (tmp + move): a torn manifest read
+      // back at rollback would list half the pre-batch files and the
+      // rollback would delete legitimate graph state
+      val tmp = Paths.get(waveDir, s"_pending_${batchId}_tmp")
+      Files.write(tmp, graphFiles().mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      Files.move(tmp, pending, StandardCopyOption.ATOMIC_MOVE)
+    }
     val priorDirs = {
-      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(waveDir))
+      val ls = Files.list(Paths.get(waveDir))
       try {
         val out = scala.collection.mutable.ArrayBuffer[String]()
         ls.forEach { p =>
           val n = p.getFileName.toString
-          if (java.nio.file.Files.isDirectory(p) && n.startsWith("b") &&
+          if (Files.isDirectory(p) && n.startsWith("b") &&
               n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit) &&
               n.drop(1).toLong < batchId)
             out += s"$waveDir/$n"
@@ -462,7 +498,8 @@ object DedupStream {
     batchSum.write.mode("overwrite").parquet(s"$waveDir/b$batchId")
     graft.ops.Dedup.appendToDedupGraph(spark, work, pairs,
       labelSnapshot = Some(frozenG))
-    java.nio.file.Files.createFile(doneMarker)
+    Files.createFile(doneMarker)
+    Files.deleteIfExists(pending)
   }
 
   private val dhashCounter = new java.util.concurrent.atomic.AtomicInteger(0)

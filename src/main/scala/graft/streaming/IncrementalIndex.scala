@@ -79,6 +79,12 @@ object IncrementalIndex {
         // over its parent, which would otherwise run chunk+embed twice
         // per batch (embedding is the dominant cost with a real model)
         val rowsRdd = rows.rdd.cache()
+        // gen allocation + the chunks/forest appends run as ONE locked
+        // mutation: an append interleaving with a refresh's rewriteSwap
+        // could land files in a directory mid-rename. The lock is
+        // reentrant, so the nested nextGeneration acquires nothing new;
+        // a timeout fails the batch loudly and the stream retries it.
+        val withIds = graft.chat.ChatPipeline.withIndexLock(indexDir) {
         // generation from the index's shared high-water mark, floored
         // at the stream's own batchId+1 sequence: refresh-index bumps
         // the same counter, so a refresh between batches can never
@@ -102,12 +108,12 @@ object IncrementalIndex {
         // pre-idbucket index stays uniformly language-only — mixing
         // layouts would leave the table unreadable
         val bucketed = AnnIndex.hasIdBucket(spark, indexDir)
-        val withIds =
+        val ids =
           if (bucketed)
-            AnnIndex.withIdBucket(rawIds, AnnIndex.readPayloadBuckets(indexDir))
+            AnnIndex.withIdBucket(rawIds, AnnIndex.ensurePayloadBuckets(indexDir))
           else rawIds
-        withIds.cache()
-        withIds.write.mode("append")
+        ids.cache()
+        ids.write.mode("append")
           .partitionBy(
             (if (bucketed) Seq("language", "idbucket") else Seq("language")): _*)
           .parquet(s"$indexDir/chunks")
@@ -116,7 +122,7 @@ object IncrementalIndex {
         // of the plane set, so old and new assignments agree)
         if (AnnIndex.hasPlanes(indexDir)) {
           val forest = AnnIndex.loadPlanes(spark, indexDir)
-          val newRows = AnnIndex.buildForestIndex(withIds, forest)
+          val newRows = AnnIndex.buildForestIndex(ids, forest)
           // append in the EXISTING forest's schema: a pre-metadata
           // forest must stay uniformly metadata-free, because filter
           // translation (plans.AnnPushdown) evaluates re-targeted
@@ -131,6 +137,10 @@ object IncrementalIndex {
             .write.mode("append").partitionBy("tree", "leaf")
             .parquet(s"$indexDir/forest")
         }
+        ids
+        }.getOrElse(throw new IllegalStateException(
+          s"another live session holds the maintenance lock for '$indexDir' — " +
+            "batch append aborted (the stream will retry)"))
         // freshness credit (ChatPipeline.checkIndex): record which
         // files this batch actually INDEXED, with their content hashes
         // — check-index then treats matching post-build new files as
@@ -154,6 +164,10 @@ object IncrementalIndex {
         // chunks/forest files — its pinned listings predate them
         graft.plans.AnnCatalog.refreshIfRegistered(spark, indexDir)
         AnnIndex.invalidateServing(indexDir)
+        // the freshness TTL must not serve a pre-append verdict (the
+        // processed log this batch just extended is part of the check
+        // key) — same contract as rebuild and refresh
+        graft.chat.ChatPipeline.invalidateFreshness(indexDir)
         withIds.unpersist()
         rowsRdd.unpersist()
         ()

@@ -462,6 +462,41 @@ class DedupGraphSpec extends SparkSpec {
       spark, waveDir2, work2, frozenG, idx, bits, b1, 1L)
     assert(rows(Dedup.attachReport(spark, dir, work2)) == batchReport,
       "replay after a crash-before-append must still match the batch attach")
+
+    // the WORST replay window: crash after b1's append fully committed
+    // but before its done-marker — without the pending-manifest
+    // rollback the replay would append every edge of the batch twice.
+    // Reconstruct the crash state on work2: pre-b1 file snapshot as the
+    // pending manifest, marker removed.
+    def filesUnder(root: String): Seq[String] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        w.forEach(p => if (java.nio.file.Files.isRegularFile(p)) out += p.toString)
+        out.toSeq.sorted
+      } finally w.close()
+    }
+    val waveDir3 = graft.streaming.StreamScratch.dir("dg-replay-wave3")
+    val work3 = Dedup.takeGraphSnapshot(dir, bits, frozenG)
+    graft.streaming.DedupStream.appendWaveBatch(
+      spark, waveDir3, work3, frozenG, idx, bits, b0, 0L)
+    val preB1 = filesUnder(work3)
+    graft.streaming.DedupStream.appendWaveBatch(
+      spark, waveDir3, work3, frozenG, idx, bits, b1, 1L)
+    val committed = filesUnder(work3)
+    assert(committed.size > preB1.size, "b1 appended nothing — fixture broken")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(waveDir3, "_done_1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(waveDir3, "_pending_1"), preB1.mkString("\n"))
+    graft.streaming.DedupStream.appendWaveBatch(
+      spark, waveDir3, work3, frozenG, idx, bits, b1, 1L)
+    def counts3: Seq[Long] =
+      Seq("pairs", "signals", "waves", "cc", "pair_cc", "consensus_cc")
+        .map(s => spark.read.parquet(s"$work3/$s").count())
+    assert(counts3 == graphCounts,
+      "post-append replay doubled the batch instead of rolling back first")
+    assert(rows(Dedup.attachReport(spark, dir, work3)) == batchReport)
   }
 
   test("compaction refuses to rewrite its source path in place") {

@@ -397,6 +397,22 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!fPlan.contains("__ann_dist"),
         "inner top-k must not fire under a non-translatable filter")
       assert(codeFiltered.collect().length == 5)
+
+      // join keys anchor on the RELATION's columns by exprId: a user
+      // alias that shadows 'idbucket' (different values) must not steer
+      // the bucket join — the rewrite threads the real partition column
+      // through the shadowing Project and results stay correct
+      val shadowed = chunks
+        .withColumn("idbucket", lit(0))
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      assert(shadowed.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      val shadowGot = shadowed.select("chunk_id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(shadowGot.toSeq == expected.toSeq,
+        "a user column named idbucket steered the bucket join")
     } finally graft.plans.AnnCatalog.clear()
   }
 
