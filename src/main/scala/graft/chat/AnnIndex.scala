@@ -106,12 +106,16 @@ object AnnIndex {
         idBucketLayout.put(path, v)
         v
       } catch {
-        // not-yet-built (or transiently unreadable) table: assume the
-        // modern layout for THIS append but cache NOTHING — a cached
-        // verdict must come from an actual read, or a transient failure
-        // over a legacy table would pin 'bucketed' for the JVM lifetime
-        // and the next append would mix partition depths
-        case _: org.apache.spark.sql.AnalysisException => true
+        // a genuinely ABSENT table means this append creates it: the
+        // modern layout is the right default (and nothing is cached —
+        // a verdict must come from an actual read). An EXISTING but
+        // unreadable table is a different animal: guessing a layout
+        // could write mixed partition depths into it, so fail the
+        // append loudly (the stream retries its batch) instead
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(path, "chunks"))) true
+          else throw e
       }
   }
 

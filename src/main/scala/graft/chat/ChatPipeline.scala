@@ -445,9 +445,15 @@ object ChatPipeline {
 
   /** Every index MUTATOR calls this: a TTL'd verdict must never
     * outlive the state it described (rebuild, refresh, incremental
-    * append). */
-  private[graft] def invalidateFreshness(indexDir: String): Unit =
+    * append). The epoch counter closes the check-then-act window — a
+    * query thread that computed its verdict from PRE-mutation state
+    * must not re-arm the TTL clock after the mutator cleared it. */
+  private val freshnessEpoch =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def invalidateFreshness(indexDir: String): Unit = {
+    freshnessEpoch.merge(indexDir, 1L, (a, b) => a + b)
     checkTime.remove(indexDir)
+  }
 
   /** full (hashing) checks actually run — observable cache behavior
     * for specs and for anyone profiling the query path. */
@@ -481,6 +487,7 @@ object ChatPipeline {
     * to the processed log. */
   def checkIndexCached(indexDir: String): Either[String, IndexFreshness] = {
     val now = System.currentTimeMillis()
+    val epoch = freshnessEpoch.getOrDefault(indexDir, 0L)
     val recent = checkCache.get(indexDir)
     val last = checkTime.get(indexDir)
     if (recent != null && last != null && now - last < checkSketchTtlMs)
@@ -492,7 +499,12 @@ object ChatPipeline {
           meta.creationTimestamp,
           statOf(java.nio.file.Paths.get(s"$indexDir/processed_files.log")))
         val cached = checkCache.get(indexDir)
-        checkTime.put(indexDir, now)
+        // arm the TTL clock only if no mutator invalidated since this
+        // verdict's inputs were read — otherwise a pre-mutation verdict
+        // would be served for a whole TTL window the mutator already
+        // cleared
+        if (freshnessEpoch.getOrDefault(indexDir, 0L) == epoch)
+          checkTime.put(indexDir, now)
         if (cached != null && cached._1 == key) cached._2
         else {
           fullCheckCount.incrementAndGet()
@@ -529,12 +541,13 @@ object ChatPipeline {
   }
 
   // -------------------------------------------------------------------
-  // Index maintenance lock: ONE exclusive lock file per index dir
-  // coordinates every structure mutator — swaps (rewriteSwap), swap
-  // repair, and chunk-id generation allocation — across PROCESSES, not
-  // just threads. The file is created atomically (CREATE_NEW) and
-  // carries the owner pid; a dead owner's lock is taken over, so a
-  // crashed writer never wedges the index. This replaces the former
+  // Index maintenance lock: ONE exclusive OS advisory lock per index
+  // dir coordinates every structure mutator — refresh (snapshot reads
+  // included), swaps (rewriteSwap), swap repair, incremental batch
+  // appends, and chunk-id generation allocation — across PROCESSES,
+  // not just threads. The kernel releases a crashed holder's lock
+  // automatically, so a dead writer never wedges the index and there
+  // is no stale-lock protocol to get wrong. This replaces the former
   // 10-minute journal-staleness heuristic: under the lock, any journal
   // a repairer can see is crash leftovers BY CONSTRUCTION (a live
   // writer would be holding the lock), so repair is unconditional and
@@ -549,68 +562,25 @@ object ChatPipeline {
   private val indexMonitors = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.locks.ReentrantLock]()
 
-  /** One CREATE_NEW attempt, with takeover of dead (or unparsable)
-    * owners. Returns false only when a LIVE other process holds it. */
-  private def tryLockFile(lock: java.nio.file.Path): Boolean = {
-    import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
-    val self = ProcessHandle.current().pid()
-    def create(): Boolean =
-      try {
-        Files.write(lock, self.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (create()) return true
-    val owner =
-      try Files.readString(lock).trim.toLong
-      catch { case _: Exception => -1L }
-    val alive = owner > 0L &&
-      ProcessHandle.of(owner).map[java.lang.Boolean](_.isAlive)
-        .orElse(java.lang.Boolean.FALSE).booleanValue()
-    if (alive && owner != self) false
-    else {
-      // dead owner, torn lock file, or our own leaked lock: take over.
-      // The dead lock is MOVED aside first — an atomic rename exactly
-      // one racer wins — so a second takeover racer can never delete
-      // the winner's freshly created lock (a plain deleteIfExists +
-      // create would allow two acquirers). The losing racer's move
-      // throws NoSuchFile and its create() loses to the winner's.
-      val aside = lock.resolveSibling(
-        s"${lock.getFileName}.dead.${self}.${System.nanoTime()}")
-      try {
-        Files.move(lock, aside, StandardCopyOption.ATOMIC_MOVE)
-        Files.deleteIfExists(aside)
-      } catch { case _: java.io.IOException => () }
-      create()
-    }
-  }
-
-  private def releaseLockFile(lock: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    // release only OUR lock: if a bug (or operator) replaced the file,
-    // deleting it would free someone else's critical section. A live
-    // owner's lock is never taken over, so read-then-delete is not a
-    // race for the owner itself.
-    try {
-      if (Files.readString(lock).trim ==
-          ProcessHandle.current().pid().toString)
-        Files.deleteIfExists(lock)
-    } catch { case _: java.io.IOException => () }
-  }
-
-  /** Run `body` under the index's exclusive maintenance lock. Waits up
-    * to `waitMs` — covering BOTH the same-JVM monitor and the cross-
-    * process file lock, so a waitMs=0 probe (the read-path repair)
-    * never blocks behind a long-held writer — and returns None on
-    * timeout (mutators fail loudly, the read-path repair just skips:
-    * the live owner will finish its own swap). Reentrant: a nested
-    * call on the owning thread runs the body directly. */
+  /** Run `body` under the index's exclusive maintenance lock: an OS
+    * advisory lock ([[java.nio.channels.FileChannel#tryLock()]]) on the
+    * index's `maintenance_lock` file. The KERNEL owns liveness — a
+    * crashed holder's lock is released the instant its process dies, so
+    * there is no stale-lock state, no owner-pid bookkeeping, and no
+    * takeover race (every pid-file protocol we tried had a two-reader
+    * window where a dead owner's lock could be 'taken over' twice).
+    * The file's pid content is diagnostics only.
+    *
+    * Waits up to `waitMs` — covering BOTH the same-JVM monitor and the
+    * cross-process file lock, so a waitMs=0 probe (the read-path
+    * repair) never blocks behind a long-held writer — and returns None
+    * on timeout (mutators fail loudly, the read-path repair just
+    * skips: the live owner will finish its own swap). Reentrant: a
+    * nested call on the owning thread runs the body directly. */
   private[graft] def withIndexLock[T](indexDir: String, waitMs: Long = 30000L)
                                      (body: => T): Option[T] = {
     // normalize BEFORE keying: two threads reaching one index through
-    // differently-spelled paths ('idx' vs 'idx/') must share a monitor,
-    // or the same-pid lock file would look like a leak and be taken over
+    // differently-spelled paths ('idx' vs 'idx/') must share a monitor
     val norm = java.nio.file.Paths.get(indexDir).toAbsolutePath.normalize
     val mon = indexMonitors.computeIfAbsent(norm.toString,
       _ => new java.util.concurrent.locks.ReentrantLock())
@@ -618,20 +588,39 @@ object ChatPipeline {
     if (!mon.tryLock(waitMs, java.util.concurrent.TimeUnit.MILLISECONDS))
       return None
     try {
-      if (mon.getHoldCount > 1) Some(body) // outer frame owns the file
+      if (mon.getHoldCount > 1) Some(body) // outer frame owns the file lock
       else {
-        import java.nio.file.Files
-        val lock = norm.resolve("maintenance_lock")
+        import java.nio.file.{Files, StandardOpenOption}
         Files.createDirectories(norm)
-        var ok = tryLockFile(lock)
-        while (!ok && System.nanoTime() < deadline) {
-          Thread.sleep(25)
-          ok = tryLockFile(lock)
-        }
-        if (!ok) None
-        else
-          try Some(body)
-          finally releaseLockFile(lock)
+        val ch = java.nio.channels.FileChannel.open(
+          norm.resolve("maintenance_lock"),
+          StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+        try {
+          // OverlappingFileLockException = this JVM already holds it
+          // through a channel outside this helper (a test simulating a
+          // foreign process, or a bug): treat as busy, never throw
+          def attempt(): Option[java.nio.channels.FileLock] =
+            try Option(ch.tryLock())
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException => None
+            }
+          var fl = attempt()
+          while (fl.isEmpty && System.nanoTime() < deadline) {
+            Thread.sleep(25)
+            fl = attempt()
+          }
+          fl match {
+            case None => None
+            case Some(l) =>
+              try {
+                ch.truncate(0L)
+                ch.write(java.nio.ByteBuffer.wrap(
+                  ProcessHandle.current().pid().toString.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)))
+                Some(body)
+              } finally l.release()
+          }
+        } finally ch.close()
       }
     } finally mon.unlock()
   }

@@ -288,14 +288,13 @@ case class AnnPushdownRule(spark: SparkSession)
     * column of some OTHER relation joined into the subtree: a side
     * table's `language` may hold values the forest's `language` never
     * does, so translating its predicate would silently empty the
-    * candidate set). Only these may re-target onto the forest table. */
-  private def pushablePreds(preds: Seq[Expression], child: LogicalPlan,
-                            chunksPath: String): Seq[Expression] = {
-    val relAttrs = AttributeSet(
-      child.collect {
-        case r: LogicalRelation if relationPaths(r).exists(
-          _.stripSuffix("/").endsWith(chunksPath.stripPrefix("file:"))) => r.output
-      }.flatten)
+    * candidate set). Only these may re-target onto the forest table.
+    * Anchored on the ONE relation [[chunksRelation]] found — a single
+    * copy of the registered-path matcher, so the pushable-predicate
+    * anchor and the join-key anchor can never disagree. */
+  private def pushablePreds(preds: Seq[Expression],
+                            rel: Option[LogicalRelation]): Seq[Expression] = {
+    val relAttrs = AttributeSet(rel.toSeq.flatMap(_.output))
     preds.filter(p =>
       p.deterministic && p.references.nonEmpty && p.references.subsetOf(relAttrs))
   }
@@ -321,13 +320,13 @@ case class AnnPushdownRule(spark: SparkSession)
         case Filter(cond, _) => splitConjunctivePredicates(cond)
       }.flatten
       val allPreds = outerPreds ++ innerPreds
-      val pushable = pushablePreds(allPreds, child, chunksPath)
       // BOTH join keys anchor on the registered relation's own
       // attributes by exprId (threaded up through pruning Projects if
       // needed): a user column that merely shares the NAME chunk_id or
       // idbucket carries different values, and joining on it would
       // silently drop winners instead of falling back
       val rel = chunksRelation(child, chunksPath)
+      val pushable = pushablePreds(allPreds, rel)
       val fastJoin = fast.flatMap { case (k, order) =>
         if (pushable.size != allPreds.size) None
         else candidateTopK(entry, q, pushable, order, k).flatMap { cand =>

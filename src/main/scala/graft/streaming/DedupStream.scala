@@ -438,7 +438,12 @@ object DedupStream {
     *    the latter would otherwise double every edge of the batch;
     *  - the done-marker (created after the append) short-circuits the
     *    common replay of an acknowledged-but-uncommitted batch.
-    */
+    *
+    * Scale note: the manifest walk is O(files in the graph artifact),
+    * which grows with appended waves — exactly the growth
+    * [[graft.ops.Dedup.compactAdvisory]] exists to bound: compaction
+    * folds the appends back to a constant file count, so a maintained
+    * artifact keeps the per-batch walk answer-sized. */
   private[graft] def appendWaveBatch(spark: org.apache.spark.sql.SparkSession,
                                      waveDir: String, work: String,
                                      frozenG: String,

@@ -137,10 +137,6 @@ object IncrementalIndex {
             .write.mode("append").partitionBy("tree", "leaf")
             .parquet(s"$indexDir/forest")
         }
-        ids
-        }.getOrElse(throw new IllegalStateException(
-          s"another live session holds the maintenance lock for '$indexDir' — " +
-            "batch append aborted (the stream will retry)"))
         // freshness credit (ChatPipeline.checkIndex): record which
         // files this batch actually INDEXED, with their content hashes
         // — check-index then treats matching post-build new files as
@@ -148,7 +144,12 @@ object IncrementalIndex {
         // are logged: an unsupported file (README, config) was seen
         // but not indexed, and the profile half of the index really is
         // stale for it.
-        // hash executor-side, collect only (rel, md5) — never the bytes
+        // hash executor-side, collect only (rel, md5) — never the bytes.
+        // MUST live inside the same locked mutation as the chunk
+        // append: with the lock released in between, a refresh reading
+        // the manifest + log would not yet see this batch's files,
+        // classify them as unindexed, and append a SECOND chunk set
+        // for them (and its log deletion could drop these entries)
         val processed = batch
           .select(col("path"), md5(col("content")).as("h")).collect()
           .flatMap { r =>
@@ -160,6 +161,10 @@ object IncrementalIndex {
             else None
           }
         graft.chat.ChatPipeline.appendProcessedLog(indexDir, processed.toSeq)
+        ids
+        }.getOrElse(throw new IllegalStateException(
+          s"another live session holds the maintenance lock for '$indexDir' — " +
+            "batch append aborted (the stream will retry)"))
         // a registered serving session must see this batch's appended
         // chunks/forest files — its pinned listings predate them
         graft.plans.AnnCatalog.refreshIfRegistered(spark, indexDir)

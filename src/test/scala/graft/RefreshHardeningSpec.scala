@@ -138,24 +138,27 @@ class RefreshHardeningSpec extends SparkSpec {
     // crash point B: journal written, neither move happened (aborted
     // refresh) — live untouched, orphaned tmp dropped. In-flight
     // protection is the maintenance LOCK now, not timestamps: while a
-    // LIVE process (pid 1 — always alive in this container) holds the
-    // lock, repair must leave the writer's journal and tmp alone; once
-    // the lock is a DEAD process's leftovers, repair takes over and
-    // acts immediately — no staleness window to wait out
+    // live holder (a raw channel stands in for a foreign process) has
+    // the OS lock, repair must leave the writer's journal and tmp
+    // alone; the moment the holder dies the kernel releases the lock
+    // and repair acts immediately — no staleness window to wait out
     val tmp2 = Paths.get(s"$idx/chunks_refresh_778")
     copyDir(live, tmp2)
     val j2 = Paths.get(s"$idx/chunks_swap_journal")
-    val lock = Paths.get(s"$idx/maintenance_lock")
     Files.writeString(j2, s"$tmp2\n$idx/chunks_old_778\n")
-    Files.writeString(lock, "1") // live foreign owner: in-flight swap
+    val lockCh = java.nio.channels.FileChannel.open(
+      Paths.get(s"$idx/maintenance_lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lockFl = lockCh.tryLock()
+    assert(lockFl != null)
     ChatPipeline.repairSwap(s"$idx/chunks")
     assert(Files.isDirectory(tmp2) && Files.exists(j2),
       "repair touched an in-flight swap whose owner holds the lock")
-    Files.writeString(lock, "999999999") // dead owner: crash leftovers
+    lockFl.release(); lockCh.close() // the writer "died": kernel releases
     ChatPipeline.repairSwap(s"$idx/chunks")
     assert(Files.isDirectory(live) && !Files.isDirectory(tmp2))
     assert(!Files.exists(j2))
-    assert(!Files.exists(lock), "takeover must release the lock")
     assert(AnnIndex.load(spark, idx).count() == before)
 
     // torn journal (crash during the journal write itself): no rename
@@ -198,23 +201,28 @@ class RefreshHardeningSpec extends SparkSpec {
       s"duplicate generations minted: ${all.size} allocations, ${all.distinct.size} distinct")
     assert(Files.readString(Paths.get(s"$idx/next_generation")).trim.toLong ==
       all.max + 1L)
-    assert(!Files.exists(Paths.get(s"$idx/maintenance_lock")),
-      "lock not released after allocations")
 
-    // dead-owner takeover: a crashed writer's lock never wedges the
-    // index — the next allocation takes over immediately
+    // dead-owner release is the KERNEL's job with an OS advisory lock:
+    // a leftover lock FILE (whatever its content — a crashed writer's
+    // diagnostics pid) holds no lock, so the next allocation proceeds
+    // immediately with no takeover protocol
     Files.writeString(Paths.get(s"$idx/maintenance_lock"), "999999999")
-    val g = ChatPipeline.nextGeneration(idx, 1L)
-    assert(g == all.max + 1L)
-    assert(!Files.exists(Paths.get(s"$idx/maintenance_lock")))
+    assert(ChatPipeline.nextGeneration(idx, 1L) == all.max + 1L)
 
-    // live-owner exclusion: while another LIVE process (pid 1) holds
-    // the lock, acquisition times out instead of stealing it
-    Files.writeString(Paths.get(s"$idx/maintenance_lock"), "1")
-    assert(ChatPipeline.withIndexLock(idx, waitMs = 100L) { 42 }.isEmpty)
-    assert(Files.readString(Paths.get(s"$idx/maintenance_lock")).trim == "1",
-      "a live owner's lock must not be stolen")
-    Files.delete(Paths.get(s"$idx/maintenance_lock"))
+    // live-owner exclusion: while ANOTHER holder has the OS lock (a
+    // raw channel here stands in for a foreign process), acquisition
+    // times out instead of stealing it
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(s"$idx/maintenance_lock"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val fl = ch.tryLock()
+    assert(fl != null)
+    try
+      assert(ChatPipeline.withIndexLock(idx, waitMs = 100L) { 42 }.isEmpty)
+    finally { fl.release(); ch.close() }
+    assert(ChatPipeline.withIndexLock(idx, waitMs = 100L) { 42 }.contains(42),
+      "lock not acquirable after the holder released")
   }
 
   test("a rebuild at the same path supersedes the cached chunk-layout verdict") {
