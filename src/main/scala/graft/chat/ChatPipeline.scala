@@ -47,9 +47,10 @@ object ChatPipeline {
       sourceCommitHash = gitCommitHash(repoDir),
       contentHash = rollupHash(manifest),
       nChunks = n), outDir)
-    // a rebuild supersedes any TTL'd freshness verdict and any pinned
-    // serving listing for this index
+    // a rebuild supersedes any TTL'd freshness verdict, any pinned
+    // serving listing, and any registered catalog entry for this index
     AnnIndex.invalidateServing(outDir)
+    graft.plans.AnnCatalog.refreshIfRegistered(spark, outDir)
     checkTime.remove(outDir)
     n
   }

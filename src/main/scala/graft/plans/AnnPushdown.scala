@@ -38,10 +38,27 @@ object AnnCatalog {
     * dir per leaf — hundreds of listings) on every single query, a
     * fixed serving-latency tax the shared InMemoryFileIndex removes.
     * Registration pins the file listing like any index pins its
-    * segment list; an index mutated after registration (incremental
-    * append, refresh) must re-register, which rebuilds the listing. */
+    * segment list. `stamp` records the index's mutation markers at
+    * registration; the rule revalidates it per query (two stats) so
+    * even an OUT-OF-PROCESS mutation re-registers automatically — see
+    * [[stampOf]]. */
   case class Entry(indexDir: String, forest: Array[Array[Array[Float]]],
-                   forestDf: org.apache.spark.sql.DataFrame)
+                   forestDf: org.apache.spark.sql.DataFrame,
+                   stamp: (Option[(Long, Long)], Option[(Long, Long)]))
+
+  /** Cheap mutation fingerprint of an index: (size, mtime) of the
+    * generation counter — bumped by EVERY append and refresh — and of
+    * the build metadata — rewritten by every full rebuild. Two stat
+    * calls; the stat-sketch discipline applied to catalog freshness. */
+  private[plans] def stampOf(indexDir: String)
+      : (Option[(Long, Long)], Option[(Long, Long)]) = {
+    def statOf(p: java.nio.file.Path): Option[(Long, Long)] =
+      if (!java.nio.file.Files.exists(p)) None
+      else Some((java.nio.file.Files.size(p),
+        java.nio.file.Files.getLastModifiedTime(p).toMillis))
+    (statOf(java.nio.file.Paths.get(indexDir, "next_generation")),
+      statOf(java.nio.file.Paths.get(indexDir, "index_meta.json")))
+  }
 
   /** keyed by the chunks parquet location (path suffix match). */
   private[plans] val entries = TrieMap.empty[String, Entry]
@@ -56,7 +73,8 @@ object AnnCatalog {
         AnnIndex.sampleForest(AnnIndex.dim(chunks), chunks.count())
       }
     entries.put(s"$indexDir/chunks",
-      Entry(indexDir, forest, spark.read.parquet(s"$indexDir/forest")))
+      Entry(indexDir, forest, spark.read.parquet(s"$indexDir/forest"),
+        stampOf(indexDir)))
   }
 
   def clear(): Unit = entries.clear()
@@ -68,15 +86,17 @@ object AnnCatalog {
     * listing whose files an append extended (silently incomplete ANN
     * results) or a rewrite deleted (FileNotFound on every query).
     *
-    * SCOPE, stated honestly: the catalog is JVM-local, so this hook
-    * covers mutators running in the SAME process as the serving
-    * session (the CLI/REPL shape, and the watcher started from it). A
-    * mutation in another process is invisible here — a multi-process
-    * deployment must re-register per serving session after external
-    * mutations (the same per-session contract as the cached stat
-    * sketch), or put the registration behind a shared catalog service;
-    * the crash/concurrency classes of external REWRITES are separately
-    * covered by the swap journal (ChatPipeline.repairSwap). */
+    * SCOPE: the catalog is JVM-local, so this hook covers mutators
+    * running in the SAME process as the serving session (the CLI/REPL
+    * shape, and the watcher started from it). Mutations in ANOTHER
+    * process are caught by the per-query stamp revalidation
+    * ([[stampOf]] checked in AnnPushdownRule before every rewrite —
+    * every mutator moves the generation counter or the build
+    * metadata), so a serving session re-registers automatically within
+    * one query of an external append/refresh/rebuild; the
+    * crash/concurrency classes of external REWRITES are separately
+    * covered by the swap journal (ChatPipeline.repairSwap) and the OS
+    * maintenance lock. */
   def refreshIfRegistered(spark: SparkSession, indexDir: String): Unit =
     if (entries.contains(s"$indexDir/chunks")) register(spark, indexDir)
 
@@ -315,7 +335,18 @@ case class AnnPushdownRule(spark: SparkSession)
   private def semiJoin(child: LogicalPlan, q: Array[Float],
                        outerPreds: Seq[Expression],
                        fast: Option[(Int, Seq[SortOrder])]): Option[LogicalPlan] =
-    AnnCatalog.lookup(relationPaths(child)).flatMap { case (chunksPath, entry) =>
+    AnnCatalog.lookup(relationPaths(child)).flatMap { case (chunksPath, stale) =>
+      // per-query stamp revalidation: an index mutated by ANOTHER
+      // process (append/refresh/rebuild) moved the generation counter
+      // or the build metadata — re-register so the pinned forest
+      // listing and planes describe the live index, not a dead
+      // generation (two stat calls when nothing changed)
+      val entry =
+        if (AnnCatalog.stampOf(stale.indexDir) == stale.stamp) stale
+        else {
+          AnnCatalog.register(spark, stale.indexDir)
+          AnnCatalog.lookup(relationPaths(child)).map(_._2).getOrElse(stale)
+        }
       val innerPreds = child.collect {
         case Filter(cond, _) => splitConjunctivePredicates(cond)
       }.flatten

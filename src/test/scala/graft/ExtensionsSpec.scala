@@ -530,6 +530,68 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.plans.AnnCatalog.clear()
   }
 
+  test("OUT-OF-PROCESS index mutation is caught by the per-query stamp revalidation") {
+    import org.apache.spark.sql.functions._
+    def w(dir: java.io.File, rel: String, content: String): Unit = {
+      val f = new java.io.File(dir, rel); f.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(f.toPath, content)
+    }
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally walk.close()
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val c = java.nio.file.Files.list(p)
+        try c.forEach(rmTree) finally c.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    val repo1 = java.nio.file.Files.createTempDirectory("graft_stamp_r1").toFile
+    (1 to 30).foreach(i => w(repo1, s"src/a$i.rs",
+      s"fn alpha_$i() { let first_$i = one_$i(); }\n"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_stamp_idx")
+    graft.chat.ChatPipeline.index(spark, repo1.getAbsolutePath, idxDir.toString)
+    graft.plans.AnnCatalog.register(spark, idxDir.toString)
+    try {
+      val emb = new graft.chat.HashingEmbedder()
+      val q = emb.embed("alpha first one")
+      def knn() = graft.chat.AnnIndex.load(spark, idxDir.toString)
+        .withColumn("distance",
+          graft.functions.CosineDistanceExpr(col("vector"), typedLit(q.toSeq)))
+        .orderBy(col("distance").asc, col("chunk_id").asc)
+        .limit(5)
+      assert(knn().collect().length == 5)
+
+      // "another process" rebuilds the index over a DIFFERENT repo:
+      // staged elsewhere and file-copied over — no in-process hooks
+      // fire, and the registered forest listing now names dead files.
+      // The per-query stamp check (index_meta/next_generation moved)
+      // must re-register before the rewrite uses the pinned listing.
+      val repo2 = java.nio.file.Files.createTempDirectory("graft_stamp_r2").toFile
+      (1 to 40).foreach(i => w(repo2, s"src/b$i.rs",
+        s"fn beta_$i() { let second_$i = two_$i(); }\n"))
+      val staged = java.nio.file.Files.createTempDirectory("graft_stamp_staged")
+      graft.chat.ChatPipeline.index(spark, repo2.getAbsolutePath, staged.toString)
+      rmTree(idxDir)
+      java.nio.file.Files.createDirectories(idxDir)
+      copyTree(staged, idxDir)
+      graft.chat.AnnIndex.invalidateServing(idxDir.toString) // external-read contract
+
+      val plan = knn().queryExecution.optimizedPlan.toString
+      assert(plan.contains("LeftSemi"), "rewrite lost after external rebuild")
+      val got = knn().select("file").collect().map(_.getString(0))
+      assert(got.nonEmpty && got.forall(_.contains("b")),
+        s"stale forest listing served the dead generation: ${got.toSeq}")
+    } finally graft.plans.AnnCatalog.clear()
+  }
+
   test("without registration the kNN plan is untouched") {
     import org.apache.spark.sql.functions._
     graft.plans.AnnCatalog.clear()
