@@ -214,7 +214,14 @@ object SparkEntry {
     // filters -> doc-preference quota sort -> truncate -> rank, run
     // through the REAL Retrieval pipeline with a fixed classification
     // — the end-to-end cross-engine pin of the chat query flow
-    "q167_composed_retrieve" -> ChatOracle.composedRetrieve _
+    "q167_composed_retrieve" -> ChatOracle.composedRetrieve _,
+    // round-10 family: published retrieval/sampling/graph/geometry
+    // primitives a training-data pipeline leans on, each engine-exact
+    "q168_mmr_diversify"    -> Similarity.mmrDiversify _,
+    "q169_priority_sample"  -> Sampling.prioritySample _,
+    "q170_graph_triangles"  -> Events.coVisitTriangles _,
+    "q171_twonn_dim"        -> Similarity.twoNnDim _,
+    "q172_rm3_expansion"    -> TextAnalytics.rm3Expansion _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -456,6 +463,11 @@ object SparkEntry {
     "q164_stream_entropy"   -> TextAnalytics.byteEntropySql,
     "q165_graph_append"     -> Dedup.graphAppendSql,
     "q166_stream_graph_append" -> Dedup.graphAppendSql,
-    "q167_composed_retrieve" -> ChatOracle.composedRetrieveSql
+    "q167_composed_retrieve" -> ChatOracle.composedRetrieveSql,
+    "q168_mmr_diversify"    -> Similarity.mmrDiversifySql,
+    "q169_priority_sample"  -> Sampling.prioritySampleSql,
+    "q170_graph_triangles"  -> Events.coVisitTrianglesSql,
+    "q171_twonn_dim"        -> Similarity.twoNnDimSql,
+    "q172_rm3_expansion"    -> TextAnalytics.rm3ExpansionSql
   )
 }

@@ -432,4 +432,140 @@ object Events {
       |LEFT JOIN c ON u.user_id = c.user_id
       |LEFT JOIN p ON u.user_id = p.user_id
       |ORDER BY u.user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Co-occurrence graph triangles (q170): the degree-ordered triangle
+  // count (Cohen 2009 / Suri & Vassilvitskii WWW'11 — the canonical
+  // MapReduce graph primitive). Input graph: the MUTUAL top-K
+  // strongest-ties graph — users ranked by shared (event_type, hour)
+  // activity cells, an edge kept only when each endpoint is in the
+  // other's top-K (the mutual-kNN sparsifier community detection
+  // standardly applies to co-occurrence noise). Output: one exact
+  // integer row (nodes, edges, wedges, triangles, global clustering
+  // coefficient in permille), the graph-health panel.
+  //
+  // Scale shapes, all three stages:
+  //  - pair generation is an equi-join on the cell key with a CELL CAP
+  //    (cells with > CoVisitCellCap distinct users are dropped — the
+  //    bandCap/dfCap discipline: a viral hour is boilerplate, not
+  //    affinity; the cap provably never bites on the oracle corpora,
+  //    max cell size 51 at sf0.1) so per-cell fan-out is bounded;
+  //  - a FIXED-COUNT threshold cannot sparsify co-occurrence at scale
+  //    (pair intensity grows with per-user event volume — measured: a
+  //    >=3-cells rule leaves the graph ~12% dense at BOTH sf0.01 and
+  //    sf0.1, and the wedge join quadratic in that density). The
+  //    mutual top-K rule bounds every degree by K by construction, at
+  //    any corpus size — the triangle join's input is O(n*K);
+  //  - the triangle join still orients every edge from its
+  //    (degree, id)-smaller endpoint (out-neighborhoods bounded by
+  //    arboricity) — with mutual-kNN it is belt-and-braces, but it is
+  //    what keeps the primitive safe if a caller swaps in a graph
+  //    without the degree bound.
+  // -------------------------------------------------------------------
+
+  val CoVisitTopK = 8L
+  val CoVisitCellCap = 64L
+
+  def coVisitTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cellUsers = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"), col("user_id"))
+      .distinct()
+    val capped = cellUsers
+      .withColumn("csz", count(lit(1)).over(
+        Window.partitionBy("event_type", "hour_id")))
+      .filter(col("csz") <= CoVisitCellCap)
+      .select("event_type", "hour_id", "user_id")
+    val x = capped.alias("x"); val y = capped.alias("y")
+    val pairs = x.join(y,
+        col("x.event_type") === col("y.event_type") &&
+        col("x.hour_id") === col("y.hour_id") &&
+        col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("ncells"))
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"), col("ncells"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v"), col("ncells")))
+    val topk = sym
+      .withColumn("rk", row_number().over(Window.partitionBy("u")
+        .orderBy(col("ncells").desc, col("v").asc)))
+      .filter(col("rk") <= CoVisitTopK)
+      .select("u", "v")
+    val tx = topk.alias("tx"); val ty = topk.alias("ty")
+    val edges = tx.join(ty,
+        col("tx.u") === col("ty.v") && col("tx.v") === col("ty.u") &&
+        col("tx.u") < col("tx.v"))
+      .select(col("tx.u").as("a"), col("tx.v").as("b"))
+    val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val e1 = oriented.alias("e1"); val e2 = oriented.alias("e2"); val e3 = oriented.alias("e3")
+    val wedgeBefore = col("e1.ddeg") < col("e2.ddeg") ||
+      (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+    val triangles = e1.join(e2, col("e1.src") === col("e2.src") && wedgeBefore)
+      .join(e3, col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(deg) div 2").as("n_edges"),
+      expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+    stats.crossJoin(broadcast(triangles))
+      .withColumn("gcc_permille",
+        expr("CASE WHEN n_wedges = 0 THEN 0 ELSE n_triangles * 3 * 1000 div n_wedges END"))
+  }
+
+  def coVisitTrianglesSql: String =
+    s"""WITH cu AS (
+       |  SELECT DISTINCT event_type, epoch_us(ts) // 3600000000 AS hour_id, user_id
+       |  FROM events),
+       |capped AS (
+       |  SELECT event_type, hour_id, user_id FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY event_type, hour_id) AS csz FROM cu)
+       |  WHERE csz <= $CoVisitCellCap),
+       |pairs AS (
+       |  SELECT x.user_id AS a, y.user_id AS b, cast(count(*) as bigint) AS ncells
+       |  FROM capped x JOIN capped y
+       |    ON x.event_type = y.event_type AND x.hour_id = y.hour_id AND x.user_id < y.user_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT a AS u, b AS v, ncells FROM pairs
+       |        UNION ALL SELECT b, a, ncells FROM pairs),
+       |topk AS (
+       |  SELECT u, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY u ORDER BY ncells DESC, v ASC) rk FROM sym)
+       |  WHERE rk <= $CoVisitTopK),
+       |edges AS (
+       |  SELECT tx.u AS a, tx.v AS b
+       |  FROM topk tx JOIN topk ty ON tx.u = ty.v AND tx.v = ty.u
+       |  WHERE tx.u < tx.v),
+       |deg AS (
+       |  SELECT n, cast(count(*) as bigint) AS deg FROM (
+       |    SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
+       |  GROUP BY n),
+       |oriented AS (
+       |  SELECT CASE WHEN af THEN a ELSE b END AS src,
+       |         CASE WHEN af THEN b ELSE a END AS dst,
+       |         CASE WHEN af THEN db ELSE da END AS ddeg
+       |  FROM (SELECT e.a, e.b, x.deg AS da, y.deg AS db,
+       |          (x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)) AS af
+       |        FROM edges e JOIN deg x ON e.a = x.n JOIN deg y ON e.b = y.n)),
+       |tri AS (
+       |  SELECT cast(count(*) as bigint) AS n_triangles
+       |  FROM oriented e1
+       |  JOIN oriented e2 ON e1.src = e2.src
+       |    AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+       |  JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+       |stats AS (
+       |  SELECT cast(count(*) as bigint) AS n_nodes,
+       |    cast(sum(deg) // 2 as bigint) AS n_edges,
+       |    cast(sum(deg * (deg - 1) // 2) as bigint) AS n_wedges
+       |  FROM deg)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN 0 ELSE n_triangles * 3 * 1000 // n_wedges END AS gcc_permille
+       |FROM stats, tri""".stripMargin
 }

@@ -738,4 +738,61 @@ object Sampling {
        |  (CASE WHEN sat THEN capacity ELSE lrb * share // lrw END) * 1000 // n_tokens AS epochs_milli
        |FROM t2, lev
        |ORDER BY source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Priority sampling (q169): Duffield, Lund & Thorup (JACM 2007) —
+  // the weight-aware sample a pipeline keeps when it can afford k rows
+  // but must still answer subset-sum queries over the full corpus
+  // unbiasedly: draw u_i uniform, give item i priority w_i/u_i, keep
+  // the k largest priorities, and estimate every kept item's weight as
+  // max(w_i, tau) where tau is the (k+1)-th priority. DLT prove this
+  // needs only k+1 samples to match the variance optimum.
+  //
+  // Engine-exact formulation: u_i is the portable-hash 20-bit uniform
+  // (h20 = (hash32(doc_id) >> 12) + 1, u = h20/2^20), so the priority
+  // is the exact integer (w << 20) div h20 — the DLT scheme on a 2^-20
+  // grid. No float anywhere; the sample, tau, and the estimates are
+  // deterministic integers. Unbiasedness is over the hash-induced u
+  // (one fixed realization here, as with every hash-seeded sampler in
+  // this file).
+  //
+  // Scale shape: one scan computing priorities, then top-(k+1) via
+  // orderBy+limit — Spark's TakeOrderedAndProject (per-partition
+  // top-k, merge at the driver, k+1 rows total); tau is read from the
+  // (k+1)-th row of that ANSWER-SIZED frame, never a full-corpus
+  // window. Weight = n_chars (the library convention for "cost" on
+  // the documents table; swap for token counts in deployment).
+  // -------------------------------------------------------------------
+
+  val PrioritySampleK = 25
+
+  def prioritySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val pri = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (shiftright(docIdHash, 12) + lit(1L)).as("h20"))
+      .withColumn("priority", expr("(w << 20) div h20"))
+    // top k+1 rows by (priority desc, doc_id asc): answer-sized
+    val top = pri.orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(PrioritySampleK + 1)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority").desc, col("doc_id").asc)).cast("long"))
+    val tau = top.filter(col("rank") === PrioritySampleK + 1)
+      .select(col("priority").as("tau"))
+    top.filter(col("rank") <= PrioritySampleK).crossJoin(broadcast(tau))
+      .select(col("rank"), col("doc_id"), col("w"), col("priority"),
+        greatest(col("w"), col("tau")).as("est_w"))
+      .orderBy("rank")
+  }
+
+  def prioritySampleSql: String = {
+    val k = PrioritySampleK
+    s"""WITH pri AS (
+       |  SELECT doc_id, n_chars AS w, ($sqlDocHash >> 12) + 1 AS h20
+       |  FROM documents),
+       |keyed AS (SELECT doc_id, w, (w << 20) // h20 AS priority FROM pri),
+       |ranked AS (SELECT *, cast(row_number() OVER (ORDER BY priority DESC, doc_id ASC) as bigint) AS rank FROM keyed),
+       |tau AS (SELECT priority AS t FROM ranked WHERE rank = ${k + 1})
+       |SELECT rank, doc_id, w, priority, greatest(w, (SELECT t FROM tau)) AS est_w
+       |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
 }

@@ -1937,4 +1937,213 @@ object Similarity {
        |  cast(sum(m2) as bigint) AS avg_norm2,
        |  cast(sum(mu*mu) * 1000 // sum(m2) as bigint) AS anisotropy_permille
        |FROM m GROUP BY n""".stripMargin
+
+  // -------------------------------------------------------------------
+  // MMR-diversified top-k (q168): Maximal Marginal Relevance
+  // (Carbonell & Goldstein, SIGIR 1998) — the standard redundancy
+  // breaker for retrieval results feeding a context window or a
+  // labeling budget: instead of the k most similar items (which near-
+  // dup corpora fill with copies), greedily pick argmax of
+  // lambda*rel(q,d) - (1-lambda)*max_{s in S} sim(d,s).
+  //
+  // Engine-exact formulation: similarities quantize to floor(sim*1e9)
+  // i64 BEFORE the greedy, and lambda=0.7 becomes integer weights
+  // (7*rel - 3*maxsim), so selection compares only exact integers —
+  // no float enters a tie-breakable comparison. The DuckDB oracle
+  // replays the same greedy as a recursive CTE carrying the selected
+  // set as a list column.
+  //
+  // Scale shape: the candidate pool is the over-fetched top-C per
+  // query (one corpus scan, the q19 broadcast-queries pattern); the
+  // greedy then touches only the C x C pool similarity matrix — a
+  // bounded per-query state (C=20 -> 380 rows), embarrassingly
+  // parallel across queries via groupByKey. The inherently sequential
+  // k-step selection runs where it belongs: inside one task per query,
+  // never as k driver-scheduled join rounds.
+  // -------------------------------------------------------------------
+
+  val MmrCandidates = 20
+  val MmrK = 5
+  /** lambda = 0.7 as exact integer tenths: score = 7*rel - 3*maxsim. */
+  val MmrLambdaTenths = 7L
+
+  /** One pool row: candidate `a` (with its query relevance) paired
+    * with pool-mate `b` (with their similarity). Not `private`:
+    * Spark's generated deserializer must construct it. */
+  case class MmrPoolRow(query_id: Long, a: Long, srel: Long, b: Long, sij: Long)
+
+  def mmrDiversify(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = quantized(spark, sfDir)
+    val queries = broadcast(
+      corpus.filter(col("vec_id") < Consts.KnnQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("srel").desc, col("vec_id").asc)
+    val cand = corpus.join(queries, col("vec_id") =!= col("query_id"))
+      .withColumn("srel",
+        floor(qcosine(col("qv"), col("v"), col("qnrm"), col("nrm")) * lit(1.0e9)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrCandidates)
+      .select(col("query_id"), col("vec_id"), col("srel"), col("v"), col("nrm"))
+    val ca = cand.select(col("query_id"), col("vec_id").as("a"), col("srel"),
+      col("v").as("va"), col("nrm").as("na"))
+    val cb = cand.select(col("query_id").as("qb"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pool = ca.join(cb, col("query_id") === col("qb") && col("a") =!= col("b"))
+      .withColumn("sij",
+        floor(qcosine(col("va"), col("vb"), col("na"), col("nb")) * lit(1.0e9)).cast("long"))
+      .select(col("query_id"), col("a"), col("srel"), col("b"), col("sij"))
+      .as[MmrPoolRow]
+    pool.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
+      val rows = it.toArray
+      val rel = collection.mutable.LongMap.empty[Long]
+      val sim = collection.mutable.HashMap.empty[(Long, Long), Long]
+      rows.foreach { r => rel(r.a) = r.srel; sim((r.a, r.b)) = r.sij }
+      val cands = rel.keys.toArray.sorted
+      val selected = collection.mutable.ArrayBuffer.empty[Long]
+      val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var rank = 1L
+      while (rank <= MmrK && selected.size < cands.length) {
+        var bestScore = Long.MinValue
+        var bestId = Long.MaxValue
+        cands.foreach { c =>
+          if (!selected.contains(c)) {
+            val score =
+              if (selected.isEmpty) MmrLambdaTenths * rel(c)
+              else MmrLambdaTenths * rel(c) -
+                (10L - MmrLambdaTenths) * selected.iterator.map(s => sim((c, s))).max
+            if (score > bestScore || (score == bestScore && c < bestId)) {
+              bestScore = score; bestId = c
+            }
+          }
+        }
+        selected += bestId
+        out += ((qid, rank, bestId, bestScore))
+        rank += 1
+      }
+      out.iterator
+    }.toDF("query_id", "rank", "vec_id", "mmr_score")
+      .orderBy("query_id", "rank")
+  }
+
+  def mmrDiversifySql: String = {
+    val l = MmrLambdaTenths; val m = 10L - MmrLambdaTenths
+    s"""WITH RECURSIVE q AS ($sqlQuantized),
+       |cand0 AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+       |    cast(floor(($sqlCos) * 1000000000.0) as bigint) AS srel
+       |  FROM q a JOIN q b ON a.vec_id < ${Consts.KnnQueries} AND b.vec_id != a.vec_id),
+       |cand AS (
+       |  SELECT query_id, vec_id, srel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY srel DESC, vec_id ASC) rn FROM cand0)
+       |  WHERE rn <= $MmrCandidates),
+       |psim AS (
+       |  SELECT ca.query_id, ca.vec_id AS pa, cb.vec_id AS pb,
+       |    cast(floor((cast(list_sum([av.v[i+1]*bv.v[i+1] for i in range(len(av.v))]) as double) /
+       |      (sqrt(cast(av.nrm as double)) * sqrt(cast(bv.nrm as double)))) * 1000000000.0) as bigint) AS sij
+       |  FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id AND ca.vec_id != cb.vec_id
+       |  JOIN q av ON av.vec_id = ca.vec_id
+       |  JOIN q bv ON bv.vec_id = cb.vec_id),
+       |sel AS (
+       |  SELECT query_id, cast(1 as bigint) AS rank, vec_id AS pick, [vec_id] AS sel_ids, $l*srel AS mmr_score
+       |  FROM (SELECT query_id, vec_id, srel,
+       |          row_number() OVER (PARTITION BY query_id ORDER BY srel DESC, vec_id ASC) rn FROM cand)
+       |  WHERE rn = 1
+       |  UNION ALL
+       |  SELECT query_id, rank + 1, cv, list_append(sel_ids, cv), $l*srel - $m*msim
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY $l*srel - $m*msim DESC, cv ASC) rn
+       |    FROM (
+       |      SELECT s.query_id, s.rank, s.sel_ids, c.vec_id AS cv, c.srel, max(p.sij) AS msim
+       |      FROM sel s
+       |      JOIN cand c ON c.query_id = s.query_id AND NOT list_contains(s.sel_ids, c.vec_id)
+       |      JOIN psim p ON p.query_id = s.query_id AND p.pa = c.vec_id AND list_contains(s.sel_ids, p.pb)
+       |      WHERE s.rank < $MmrK
+       |      GROUP BY s.query_id, s.rank, s.sel_ids, c.vec_id, c.srel))
+       |  WHERE rn = 1)
+       |SELECT query_id, rank, pick AS vec_id, mmr_score FROM sel ORDER BY query_id, rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // TwoNN intrinsic dimension (q171): Facco et al. 2017 — estimate the
+  // embedding manifold's intrinsic dimensionality from only each
+  // point's two nearest neighbors: mu_i = r2/r1 is Pareto(d), so the
+  // MLE is d = n / sum(ln mu_i). The signal a curation pipeline reads
+  // before choosing index geometry (IVF cells, PQ codebooks) and
+  // before trusting a pruning threshold: data on a low-d manifold
+  // inside a high-d space behaves very differently from full-rank.
+  //
+  // Engine-exact formulation: squared distances on the quantized grid
+  // are exact i64; ln(mu_i) = 0.5*ln2*log2(sq2/sq1), and log2 comes
+  // from the EXACT fixed-point iterated-squaring expression
+  // (functions.FixedLog2, 2^-16 grid) — never libm. The per-label sum
+  // of (log2(sq2)-log2(sq1)) is an exact integer; only the final
+  // presentation d_hat touches doubles (correctly-rounded ops on
+  // identical inputs).
+  //
+  // Scale shape: anchors are a fixed-rate portable-hash sample (the
+  // TwoNN estimator is routinely run on a sample; rate chosen so the
+  // anchor side broadcasts), joined label-to-label against the corpus
+  // — per-label partitioned work, one shuffle for the top-2 window
+  // keyed by anchor. At 100 TB the anchor RATE drops so the anchor
+  // count stays fixed; the corpus side is still one scan.
+  // -------------------------------------------------------------------
+
+  /** Every TwoNnAnchorMod-th vector (by portable hash) is an anchor. */
+  val TwoNnAnchorMod = 4L
+
+  /** Shared Spark/DuckDB spelling of the MLE presentation (131072 =
+    * 2^17: sum_log2_q16 carries log2(sq)=2*log2(r) at 2^16 scale). */
+  private val twoNnDhatExpr =
+    "(cast(n_anchors as double) * 131072.0) / (0.6931471805599453 * cast(sum_log2_q16 as double))"
+
+  def twoNnDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val anch = q
+      .filter(graft.core.Hash32.column("md5(cast(vec_id as string))") % TwoNnAnchorMod === 0)
+      .select(col("vec_id").as("aid"), col("label").as("albl"),
+        col("v").as("av"), col("nrm").as("anrm"))
+    val pd = anch.join(q, col("albl") === col("label") && col("aid") =!= col("vec_id"))
+      .select(col("aid"), col("albl"), col("vec_id"),
+        (col("anrm") - lit(2L) * qdot(col("av"), col("v")) + col("nrm")).as("sq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("aid").orderBy(col("sq").asc, col("vec_id").asc)
+    val two = pd.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .groupBy("aid", "albl")
+      .agg(max(when(col("rk") === 1, col("sq"))).as("sq1"),
+        max(when(col("rk") === 2, col("sq"))).as("sq2"))
+      .filter(col("sq1") > 0 && col("sq2").isNotNull)
+    two
+      .withColumn("t",
+        graft.functions.FixedLog2(col("sq2")) - graft.functions.FixedLog2(col("sq1")))
+      .groupBy(col("albl").as("label"))
+      .agg(count(lit(1)).as("n_anchors"), sum(col("t")).as("sum_log2_q16"))
+      .filter(col("sum_log2_q16") > 0)
+      .withColumn("d_hat", expr(twoNnDhatExpr))
+      .orderBy("label")
+  }
+
+  def twoNnDimSql: String = {
+    val anchorHash = graft.core.Hash32.sql("md5(cast(vec_id as varchar))")
+    val base =
+      s"""WITH q AS ($sqlQuantized),
+         |anch AS (SELECT vec_id AS aid, label AS albl, v AS av, nrm AS anrm FROM q
+         |         WHERE $anchorHash % $TwoNnAnchorMod = 0),
+         |pd AS (SELECT a.aid, a.albl, b.vec_id,
+         |        a.anrm - 2*list_sum([a.av[i+1]*b.v[i+1] for i in range(len(a.av))]) + b.nrm AS sq
+         |       FROM anch a JOIN q b ON a.albl = b.label AND a.aid != b.vec_id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY aid ORDER BY sq ASC, vec_id ASC) rk FROM pd),
+         |paf AS (SELECT aid, albl, max(CASE WHEN rk = 1 THEN sq END) AS sq1,
+         |               max(CASE WHEN rk = 2 THEN sq END) AS sq2
+         |        FROM rk WHERE rk <= 2 GROUP BY aid, albl)
+         |SELECT aid, albl, sq1, sq2 FROM paf WHERE sq1 > 0 AND sq2 IS NOT NULL""".stripMargin
+    val withLogs = graft.functions.FixedLog2.sqlNested(
+      graft.functions.FixedLog2.sqlNested(base, "sq1", "x_", "l1"), "sq2", "y_", "l2")
+    s"""SELECT label, n_anchors, sum_log2_q16, $twoNnDhatExpr AS d_hat FROM (
+       |  SELECT albl AS label, cast(count(*) as bigint) AS n_anchors,
+       |    cast(sum(l2 - l1) as bigint) AS sum_log2_q16
+       |  FROM ($withLogs) GROUP BY albl HAVING sum(l2 - l1) > 0)
+       |ORDER BY label""".stripMargin
+  }
 }

@@ -998,6 +998,135 @@ object TextAnalytics {
       .select("doc_id", "n_terms", "score")
   }
 
+  // -------------------------------------------------------------------
+  // RM3 pseudo-relevance feedback (q172): Lavrenko & Croft's relevance
+  // model as deployed in every Indri/Anserini baseline — run the
+  // query, treat the top FbDocs results as pseudo-relevant, mine their
+  // highest-mass terms, and re-rank under the expanded query. The
+  // standard recall amplifier for pulling topic neighborhoods out of a
+  // web corpus when the seed query is a few words.
+  //
+  // Integer discipline end to end: stage-1 scores are q85's exact i64
+  // BM25; the relevance-model mass of term t is
+  // sum_d floor(score_d * tf(t,d) * 1000 / dl_d) (the P(t|d)-weighted
+  // document score on a milli grid — exact i64, ties by term asc);
+  // stage 2 re-scores under origs (weight 2) + FbTerms expansions
+  // (weight 1) — the alpha=2/3 interpolation as integer term weights.
+  //
+  // Scale shape: stage 1 is q85 (terms filtered in the scan
+  // projection, stats/df broadcast, top-k via orderBy+limit); the
+  // expansion mine touches only the FbDocs pseudo-relevant docs
+  // (broadcast semi-join on doc_id before the token explode); stage 2
+  // re-scans with the expanded term set as a BROADCAST JOIN filter
+  // (the term list is data-dependent — never a driver-collected
+  // literal). Three scans total, the inherent PRF shape.
+  // -------------------------------------------------------------------
+
+  val Rm3FbDocs = 5
+  val Rm3FbTerms = 3
+  val Rm3OrigWeight = 2L
+  val Rm3ExpWeight = 1L
+
+  /** Stage-agnostic weighted BM25 over a (term, tweight) frame: the
+    * perTerm/df/stats construction of q85 with the term filter as a
+    * broadcast join and per-term scores scaled by the term weight. */
+  private def bm25WeightedScores(docs: DataFrame, terms: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val perTok = docs.select(col("doc_id"), size(toks).as("dl"),
+        explode(toks).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "dl", "term", "tweight").agg(count(lit(1)).as("tf"))
+    val stats = broadcast(docs.select(size(toks).as("dl0"))
+      .agg(count(lit(1)).as("nd"), sum(col("dl0")).as("sdl")))
+    val dfc = broadcast(perTok.groupBy("term").agg(count(lit(1)).as("df")))
+    perTok.join(dfc, "term").crossJoin(stats)
+      .withColumn("tscore", expr(bm25ScoreExpr) * col("tweight"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
+  }
+
+  def rm3Expansion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val origs = Bm25Terms.map((_, 1L)).toDF("term", "tweight")
+    // each PRF stage is a full scoring pipeline consumed by several
+    // downstream subtrees (the mined terms sit inside perTok, its df
+    // broadcast, AND the final join) — without materialization Spark
+    // re-runs stage 1 once per consumer; both frames are answer-sized
+    // (FbDocs=5 / FbTerms=3 rows), so the persist is free
+    val top = Materialize.shared(spark,
+      bm25WeightedScores(docs, broadcast(origs))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(Rm3FbDocs)
+        .select(col("doc_id"), col("score")))
+    val toks = tokens(col("text"))
+    val mined = Materialize.shared(spark,
+      docs.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), col("score"), size(toks).as("dl"),
+          explode(toks).as("term"))
+        .filter(!col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "score", "dl", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("mass", expr("score * tf * 1000 div dl"))
+        .groupBy("term").agg(sum(col("mass")).as("rm_mass"))
+        .orderBy(col("rm_mass").desc, col("term").asc).limit(Rm3FbTerms))
+    val expanded = broadcast(
+      origs.select(col("term"), lit(Rm3OrigWeight).as("tweight"))
+        .union(mined.select(col("term"), lit(Rm3ExpWeight).as("tweight"))))
+    bm25WeightedScores(docs, expanded)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .select("doc_id", "n_terms", "score")
+  }
+
+  def rm3ExpansionSql: String = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS t
+       |  FROM documents),
+       |stats AS (
+       |  SELECT cast(count(*) as bigint) AS nd, cast(sum(len(t)) as bigint) AS sdl FROM tok),
+       |per1 AS (
+       |  SELECT doc_id, dl, term, cast(count(*) as bigint) AS tf FROM (
+       |    SELECT doc_id, cast(len(t) as int) AS dl,
+       |      unnest(list_filter(t, x -> x IN ($inList))) AS term
+       |    FROM tok)
+       |  GROUP BY doc_id, dl, term),
+       |dfc1 AS (SELECT term, cast(count(*) as bigint) AS df FROM per1 GROUP BY term),
+       |s1 AS (
+       |  SELECT doc_id, cast(sum($bm25ScoreExpr) as bigint) AS score
+       |  FROM per1 JOIN dfc1 USING (term) CROSS JOIN stats
+       |  GROUP BY doc_id
+       |  ORDER BY score DESC, doc_id ASC
+       |  LIMIT $Rm3FbDocs),
+       |mined AS (
+       |  SELECT term, cast(sum(mass) as bigint) AS rm_mass FROM (
+       |    SELECT term, score * tf * 1000 // dl AS mass FROM (
+       |      SELECT f.doc_id, s1.score, f.dl, f.term, cast(count(*) as bigint) AS tf
+       |      FROM (SELECT doc_id, cast(len(t) as int) AS dl, unnest(t) AS term FROM tok) f
+       |      JOIN s1 ON f.doc_id = s1.doc_id
+       |      WHERE f.term NOT IN ($inList)
+       |      GROUP BY f.doc_id, s1.score, f.dl, f.term))
+       |  GROUP BY term
+       |  ORDER BY rm_mass DESC, term ASC
+       |  LIMIT $Rm3FbTerms),
+       |q1 AS (
+       |  SELECT term, cast($Rm3OrigWeight as bigint) AS tweight FROM (VALUES ${Bm25Terms.map(t => s"('$t')").mkString(", ")}) v(term)
+       |  UNION ALL
+       |  SELECT term, cast($Rm3ExpWeight as bigint) AS tweight FROM mined),
+       |per2 AS (
+       |  SELECT doc_id, dl, term, tweight, cast(count(*) as bigint) AS tf FROM (
+       |    SELECT u.doc_id, u.dl, u.term, q1.tweight FROM (
+       |      SELECT doc_id, cast(len(t) as int) AS dl, unnest(t) AS term FROM tok) u
+       |    JOIN q1 ON u.term = q1.term)
+       |  GROUP BY doc_id, dl, term, tweight),
+       |dfc2 AS (SELECT term, cast(count(*) as bigint) AS df FROM per2 GROUP BY term)
+       |SELECT doc_id, cast(count(*) as bigint) AS n_terms,
+       |  cast(sum(($bm25ScoreExpr) * tweight) as bigint) AS score
+       |FROM per2 JOIN dfc2 USING (term) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   def tfidfKeywordsSql: String =
     s"""WITH tf AS (
        |  SELECT doc_id, tok, count(*) AS tf FROM (
