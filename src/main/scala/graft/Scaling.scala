@@ -109,7 +109,13 @@ object Scaling {
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81
     // discipline), so the recorded cell is the pure serving read
-    "q105_indexed_admission" -> ((s, d) => graft.ops.Dedup.incrementalDedupFromIndex(s, d, graft.ops.Dedup.OracleHashBits)))
+    "q105_indexed_admission" -> ((s, d) => graft.ops.Dedup.incrementalDedupFromIndex(s, d, graft.ops.Dedup.OracleHashBits)),
+    // the events-table member: cell cap and mutual-top-K are SCALE
+    // CLAIMS (bounded per-cell fan-out, degree ≤ K by construction) —
+    // measured here, not argued. Replica r suffixes event_type, so
+    // cells never cross replicas: per-replica graph structure is
+    // identical, pair volume and triangle work scale with the factor
+    "q170_graph_triangles" -> ((s, d) => graft.ops.Events.coVisitTriangles(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's
@@ -126,6 +132,25 @@ object Scaling {
             w => concat(w, lit("_"), col("r"))), " ")).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Events-table amplification for the co-visit family: replica r
+    * remaps `user_id` and `event_id` and suffixes `event_type`, so
+    * activity CELLS never cross replicas — per-replica co-visit graph
+    * structure is identical to the source corpus while pair volume
+    * scales with the factor (the more-communities regime, matching the
+    * documents amplification's more-template-families regime). */
+  private[graft] def amplifiedEvents(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
+    val base = graft.core.Tables.events(spark, srcDir)
+    val reps = spark.range(factor).toDF("r")
+    base.crossJoin(broadcast(reps))
+      .select(
+        (col("event_id") + col("r") * lit(100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * lit(10000000L)).as("user_id"),
+        when(col("r") === 0, col("event_type"))
+          .otherwise(concat(col("event_type"), lit("_"), col("r"))).as("event_type"),
+        col("value"), col("props"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,6 +190,8 @@ object Scaling {
       val parts = math.max(1, f / 8)
       amplified(spark, srcDir, f).repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      amplifiedEvents(spark, srcDir, f).repartition(parts)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
       val n = spark.read.parquet(s"$dir/documents.parquet").count()
       (f, dir, n)
     }
@@ -214,7 +241,10 @@ object Scaling {
     sb ++= s"Corpus decades are deterministic amplifications of `$srcDir`'s `documents` " +
       s"($baseN docs): replica r remaps `doc_id` and suffixes every word with `_r`, " +
       "so duplicate-family structure is constant and family count scales with the " +
-      "factor — the growing-crawl regime. Output rows are per-replica sums " +
+      "factor — the growing-crawl regime. The events table amplifies alongside " +
+      "(replica r remaps user_id/event_id and suffixes event_type, so activity " +
+      "cells never cross replicas — the more-communities regime for the " +
+      "co-visit family). Output rows are per-replica sums " +
       "(pairs never cross replicas — spec-pinned), so they grow linearly in the " +
       "factor and any super-linear TIME growth indicts the plan. " +
       "`exp` is the log-log slope between adjacent corpus sizes; the gate is " +

@@ -110,7 +110,8 @@ object ChatPipeline {
             rerank: Boolean = false,
             client: ChatClient = new MockChatClient(),
             embedder: Embedder = new HashingEmbedder(),
-            approx: Boolean = false): QueryOutput = {
+            approx: Boolean = false,
+            reranker: Option[Reranker] = None): QueryOutput = {
     // proposals.md:70-73 (automatic check on query): warn — never
     // block — when the loaded index no longer matches its source.
     // Cached behind a stat sketch (checkIndexCached): the per-query
@@ -151,7 +152,7 @@ object ChatPipeline {
     val filtered = Retrieval.applyFilters(hits, classification, k) // Step 4 + truncate
     val ordered =
       if (rerank) Retrieval.crossRerank(filtered, question,        // Step 5 (R2)
-        Rerankers.fromEnv())
+        reranker.getOrElse(Rerankers.fromEnv()))
       else filtered.orderBy(col("distance").asc)                   // F10
     val rows = ordered.select("file", "code", "language", "extension", "distance")
       .collect().zipWithIndex.map { case (r, i) =>
@@ -1078,21 +1079,89 @@ object ChatCli {
   private[graft] def formatElapsed(nanos: Long): String =
     "%.2fs".formatLocal(java.util.Locale.ROOT, nanos / 1e9)
 
-  private def answerModelName: String =
+  /** The reference's clap flag surface (main.rs:42-150): `--model-id`
+    * overrides `--model-type` on index/query/interactive; query adds
+    * `-k`, `--use-rerank`, `--rerank-model`, `--hyde-model`,
+    * `--answer-model`. Env vars (GRAFT_ONNX_MODEL, GRAFT_RERANK_ONNX,
+    * GRAFT_OPENAI_MODEL) stay as OVERRIDES of the flags, so existing
+    * deployments keep working unchanged. */
+  private[graft] case class CliFlags(
+      modelId: Option[String] = None,
+      modelType: String = "qwen3",
+      k: Option[Int] = None,
+      useRerank: Boolean = false,
+      rerankModel: Option[String] = None,
+      hydeModel: Option[String] = None,
+      answerModel: Option[String] = None)
+
+  /** Splits an argument list into (positionals, flags). Unknown
+    * `--flags` fail fast with the flag name, like clap. */
+  private[graft] def parseFlags(args: List[String]): Either[String, (List[String], CliFlags)] = {
+    def loop(rest: List[String], pos: List[String], f: CliFlags): Either[String, (List[String], CliFlags)] =
+      rest match {
+        case Nil => Right((pos.reverse, f))
+        case "--model-id" :: v :: t => loop(t, pos, f.copy(modelId = Some(v)))
+        case "--model-type" :: v :: t => loop(t, pos, f.copy(modelType = v))
+        case ("-k" | "--k") :: v :: t =>
+          v.toIntOption match {
+            case Some(n) if n > 0 => loop(t, pos, f.copy(k = Some(n)))
+            case _ => Left(s"invalid -k value: $v")
+          }
+        case "--use-rerank" :: t => loop(t, pos, f.copy(useRerank = true))
+        case "--rerank-model" :: v :: t => loop(t, pos, f.copy(rerankModel = Some(v)))
+        case "--hyde-model" :: v :: t => loop(t, pos, f.copy(hydeModel = Some(v)))
+        case "--answer-model" :: v :: t => loop(t, pos, f.copy(answerModel = Some(v)))
+        case a :: _ if a.startsWith("--") => Left(s"unknown flag: $a")
+        case a :: t => loop(t, a :: pos, f)
+      }
+    loop(args, Nil, CliFlags())
+  }
+
+  /** Flag-aware embedder routing: env GRAFT_ONNX_MODEL wins (deployment
+    * override), else `--model-id` names an .onnx file, else the
+    * predefined `--model-type` — which, offline, resolves to the
+    * deterministic hashing embedder (the reference downloads its
+    * predefined models; this engine's offline default is the hashing
+    * family, exactly as when no flag is given). */
+  private[graft] def embedderFor(flags: CliFlags,
+                                 env: Map[String, String] = sys.env): Embedder =
+    if (env.contains("GRAFT_ONNX_MODEL")) Embedders.fromEnv(env)
+    else flags.modelId match {
+      case Some(path) if java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path)) =>
+        new OnnxEmbedder(path, env.get("GRAFT_ONNX_DIM").map(_.toInt))
+      case _ => new HashingEmbedder()
+    }
+
+  /** Flag-aware reranker routing, same precedence: env override, then
+    * `--rerank-model` as an .onnx path, then the TF-IDF default. */
+  private[graft] def rerankerFor(flags: CliFlags,
+                                 env: Map[String, String] = sys.env): Reranker =
+    if (env.contains("GRAFT_RERANK_ONNX")) Rerankers.fromEnv(env)
+    else flags.rerankModel match {
+      case Some(path) if java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(path)) =>
+        new OnnxReranker(path)
+      case _ => new TfidfReranker()
+    }
+
+  private def answerModelName(flags: CliFlags = CliFlags()): String =
     if (sys.env.contains("GRAFT_OPENAI_BASE_URL"))
-      sys.env.getOrElse("GRAFT_OPENAI_MODEL", "gpt-4o-mini")
+      sys.env.get("GRAFT_OPENAI_MODEL")
+        .orElse(flags.answerModel)
+        .getOrElse("gpt-4o-mini")
     else "mock"
 
   private def runQuery(spark: SparkSession, indexDir: String, question: String,
-                       k: Int): Unit = {
-    val model = answerModelName
+                       k: Int, flags: CliFlags = CliFlags()): Unit = {
+    val model = answerModelName(flags)
     // main.rs:500-508's spinner line, sans ticks (no steady-tick
     // thread without a TTY library; the message is the contract)
     println(s"Generating answer with $model ...")
     val t0 = System.nanoTime()
     val out = ChatPipeline.query(spark, indexDir, question, k,
-      client = OpenAiChatClient.fromEnv(),
-      embedder = Embedders.fromEnv())
+      rerank = flags.useRerank,
+      client = OpenAiChatClient.fromEnv(modelFallback = flags.answerModel),
+      embedder = embedderFor(flags),
+      reranker = Some(rerankerFor(flags)))
     val elapsed = formatElapsed(System.nanoTime() - t0)
     out.results.foreach(r =>
       println(s"Chunk ${r.rank} | ${r.file} | Relevance " +
@@ -1110,22 +1179,42 @@ object ChatCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
-      case "index" :: repo :: out :: Nil =>
-        // GRAFT_ONNX_MODEL selects a real model file for embeddings
-        val t0 = System.nanoTime()
-        val n = ChatPipeline.index(spark, repo, out,
-          embedder = Embedders.fromEnv())
-        println(s"indexed $n chunks from $repo -> $out")
-        println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
-      case "query" :: indexDir :: question :: rest =>
-        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexDir, "chunks"))) {
-          System.err.println(s"error: no index at $indexDir (run: index <repo> $indexDir)")
-          spark.stop(); sys.exit(2)
+      case "index" :: rest0 =>
+        parseFlags(rest0) match {
+          case Right((repo :: out :: Nil, flags)) =>
+            // GRAFT_ONNX_MODEL overrides --model-id/--model-type
+            val t0 = System.nanoTime()
+            val n = ChatPipeline.index(spark, repo, out,
+              embedder = embedderFor(flags))
+            println(s"indexed $n chunks from $repo -> $out")
+            println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
+          case Right(_) =>
+            System.err.println("usage: index <repo> <out> [--model-id M] [--model-type T]")
+            spark.stop(); sys.exit(2)
+          case Left(err) =>
+            System.err.println(s"error: $err"); spark.stop(); sys.exit(2)
         }
-        val k = rest.headOption.map(_.toInt).getOrElse(3)
-        // GRAFT_OPENAI_BASE_URL switches the LLM touchpoints to a real
-        // endpoint; unset, the deterministic mock answers
-        runQuery(spark, indexDir, question, k)
+      case "query" :: rest0 =>
+        parseFlags(rest0) match {
+          case Right((indexDir :: question :: rest, flags)) =>
+            if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(indexDir, "chunks"))) {
+              System.err.println(s"error: no index at $indexDir (run: index <repo> $indexDir)")
+              spark.stop(); sys.exit(2)
+            }
+            // positional k (main.rs query surface) or the -k flag
+            val k = rest.headOption.flatMap(_.toIntOption)
+              .orElse(flags.k).getOrElse(3)
+            // GRAFT_OPENAI_BASE_URL switches the LLM touchpoints to a real
+            // endpoint; unset, the deterministic mock answers
+            runQuery(spark, indexDir, question, k, flags)
+          case Right(_) =>
+            System.err.println("usage: query <indexDir> <question> [k] " +
+              "[--model-id M] [--model-type T] [--use-rerank] [--rerank-model R] " +
+              "[--hyde-model H] [--answer-model A]")
+            spark.stop(); sys.exit(2)
+          case Left(err) =>
+            System.err.println(s"error: $err"); spark.stop(); sys.exit(2)
+        }
       case "interactive" :: Nil =>
         val histFile = historyPath()
         val prior = loadHistory(histFile)
@@ -1137,16 +1226,31 @@ object ChatCli {
         while ({ line = Option(scala.io.StdIn.readLine(prompt)).getOrElse("exit"); line != "exit" }) {
           if (line.trim.nonEmpty) appendHistory(histFile, line)
           line.trim.split("\\s+").toList match {
-            case "index" :: repo :: out :: Nil =>
-              // same env-selected embedder as the top-level commands —
-              // REPL-built indexes and queries must share vector space
-              val t0 = System.nanoTime()
-              ChatPipeline.index(spark, repo, out, embedder = Embedders.fromEnv())
-              println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
-              indexDir = Some(out)
+            case "index" :: rest0 =>
+              parseFlags(rest0) match {
+                case Right((repo :: out :: Nil, flags)) =>
+                  // same flag+env embedder routing as the top-level
+                  // commands — REPL-built indexes and queries must
+                  // share vector space
+                  val t0 = System.nanoTime()
+                  ChatPipeline.index(spark, repo, out, embedder = embedderFor(flags))
+                  println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
+                  indexDir = Some(out)
+                case Right(_) => println("usage: index <repo> <out> [--model-id M] [--model-type T]")
+                case Left(err) => println(s"error: $err")
+              }
             case "load" :: dir :: Nil => indexDir = Some(dir)
             case "query" :: qs if indexDir.isDefined =>
-              runQuery(spark, indexDir.get, qs.mkString(" "), k = 3)
+              // ReplQueryArgs (main.rs:137-150): free-text query parts
+              // plus -k N and --use-rerank/--rerank-model/--hyde-model/
+              // --answer-model
+              parseFlags(qs) match {
+                case Right((parts, flags)) if parts.nonEmpty =>
+                  runQuery(spark, indexDir.get, parts.mkString(" "),
+                    k = flags.k.getOrElse(3), flags)
+                case Right(_) => println("usage: query <question> [-k N] [--use-rerank]")
+                case Left(err) => println(s"error: $err")
+              }
             case "status" :: Nil =>
               // main.rs:695-704 + proposals.md:27 (display the
               // freshness metadata when an index is loaded)
@@ -1206,9 +1310,9 @@ object ChatCli {
               }
             case "help" :: Nil =>
               println("Available REPL commands:")
-              println("  index <repo> <out>  : Indexes a repository.")
+              println("  index <repo> <out> [--model-id M] [--model-type T] : Indexes a repository.")
               println("  load <index_dir>    : Loads an ANN index from the specified directory.")
-              println("  query <question>    : Queries the loaded index.")
+              println("  query <question> [-k N] [--use-rerank] [--rerank-model R] : Queries the loaded index.")
               println("  status              : Shows current session status.")
               println("  check-index         : Checks whether the loaded index is stale.")
               println("  refresh-index       : Repairs a stale index without a full rebuild.")

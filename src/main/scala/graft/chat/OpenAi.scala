@@ -71,6 +71,9 @@ object Sse {
 class OpenAiChatClient(baseUrl: String, apiKey: Option[String], model: String,
                        chunkSize: Int = 1000) extends ChatClient {
 
+  /** The model the request bodies will carry (flag-routing spec hook). */
+  private[graft] def modelName: String = model
+
   @transient private lazy val http = HttpClient.newHttpClient()
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -191,11 +194,15 @@ object OpenAiChatClient {
     * https://api.openai.com/v1) enables the HTTP client, with
     * GRAFT_OPENAI_API_KEY / GRAFT_OPENAI_MODEL optional; unset, the
     * deterministic mock drives the pipeline. */
-  def fromEnv(env: Map[String, String] = sys.env): ChatClient =
+  /** `modelFallback` is the CLI's `--answer-model` flag; the env var
+    * stays the deployment override (main.rs:42-150 flag surface). */
+  def fromEnv(env: Map[String, String] = sys.env,
+              modelFallback: Option[String] = None): ChatClient =
     env.get("GRAFT_OPENAI_BASE_URL") match {
       case Some(base) => new OpenAiChatClient(base,
         env.get("GRAFT_OPENAI_API_KEY"),
-        env.getOrElse("GRAFT_OPENAI_MODEL", "gpt-4o-mini"))
+        env.get("GRAFT_OPENAI_MODEL").orElse(modelFallback)
+          .getOrElse("gpt-4o-mini"))
       case None => new MockChatClient()
     }
 

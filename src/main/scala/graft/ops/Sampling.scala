@@ -776,11 +776,15 @@ object Sampling {
       .limit(PrioritySampleK + 1)
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("priority").desc, col("doc_id").asc)).cast("long"))
-    val tau = top.filter(col("rank") === PrioritySampleK + 1)
-      .select(col("priority").as("tau"))
+    // n <= k degeneracy (DLT: keep everything, est_w = w): aggregate
+    // tau as a max-filter so the frame is ALWAYS one row (null tau
+    // when no (k+1)-th item exists), and coalesce the null to w —
+    // a filter-then-crossJoin would silently drop every row instead
+    val tau = top.agg(max(when(col("rank") === PrioritySampleK + 1,
+      col("priority"))).as("tau"))
     top.filter(col("rank") <= PrioritySampleK).crossJoin(broadcast(tau))
       .select(col("rank"), col("doc_id"), col("w"), col("priority"),
-        greatest(col("w"), col("tau")).as("est_w"))
+        greatest(col("w"), coalesce(col("tau"), col("w"))).as("est_w"))
       .orderBy("rank")
   }
 
@@ -792,7 +796,8 @@ object Sampling {
        |keyed AS (SELECT doc_id, w, (w << 20) // h20 AS priority FROM pri),
        |ranked AS (SELECT *, cast(row_number() OVER (ORDER BY priority DESC, doc_id ASC) as bigint) AS rank FROM keyed),
        |tau AS (SELECT priority AS t FROM ranked WHERE rank = ${k + 1})
-       |SELECT rank, doc_id, w, priority, greatest(w, (SELECT t FROM tau)) AS est_w
+       |SELECT rank, doc_id, w, priority,
+       |  greatest(w, coalesce((SELECT t FROM tau), w)) AS est_w
        |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 }

@@ -1990,16 +1990,23 @@ object Similarity {
       col("v").as("va"), col("nrm").as("na"))
     val cb = cand.select(col("query_id").as("qb"), col("vec_id").as("b"),
       col("v").as("vb"), col("nrm").as("nb"))
-    val pool = ca.join(cb, col("query_id") === col("qb") && col("a") =!= col("b"))
+    val pairRows = ca.join(cb, col("query_id") === col("qb") && col("a") =!= col("b"))
       .withColumn("sij",
         floor(qcosine(col("va"), col("vb"), col("na"), col("nb")) * lit(1.0e9)).cast("long"))
       .select(col("query_id"), col("a"), col("srel"), col("b"), col("sij"))
-      .as[MmrPoolRow]
+    // seed the greedy from the cand frame itself (self rows, ignored
+    // in the sim map): a query whose pool has exactly one candidate
+    // produces NO pair rows, and a pairs-only groupByKey would emit
+    // nothing where the oracle's recursive base case still emits the
+    // rank-1 pick
+    val seedRows = ca.select(col("query_id"), col("a"), col("srel"),
+      col("a").as("b"), lit(0L).as("sij"))
+    val pool = pairRows.unionByName(seedRows).as[MmrPoolRow]
     pool.groupByKey(_.query_id).flatMapGroups { (qid, it) =>
       val rows = it.toArray
       val rel = collection.mutable.LongMap.empty[Long]
       val sim = collection.mutable.HashMap.empty[(Long, Long), Long]
-      rows.foreach { r => rel(r.a) = r.srel; sim((r.a, r.b)) = r.sij }
+      rows.foreach { r => rel(r.a) = r.srel; if (r.a != r.b) sim((r.a, r.b)) = r.sij }
       val cands = rel.keys.toArray.sorted
       val selected = collection.mutable.ArrayBuffer.empty[Long]
       val out = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]

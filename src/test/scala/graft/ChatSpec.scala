@@ -367,4 +367,64 @@ class ChatSpec extends SparkSpec {
     assert(ChatCli.formatElapsed(45000000L) == "0.05s")
     assert(ChatCli.formatElapsed(0L) == "0.00s")
   }
+
+  test("CLI flags parse like the reference's clap surface (main.rs:42-150)") {
+    // index: positionals + model flags in any order
+    assert(ChatCli.parseFlags(List("repoA", "outB", "--model-id", "m.onnx")) ==
+      Right((List("repoA", "outB"), ChatCli.CliFlags(modelId = Some("m.onnx")))))
+    assert(ChatCli.parseFlags(List("--model-type", "jina", "repoA", "outB")) ==
+      Right((List("repoA", "outB"), ChatCli.CliFlags(modelType = "jina"))))
+    // REPL query: free-text parts + -k + rerank flags
+    val q = ChatCli.parseFlags(List("how", "does", "retry", "work",
+      "-k", "5", "--use-rerank", "--rerank-model", "r.onnx"))
+    assert(q == Right((List("how", "does", "retry", "work"),
+      ChatCli.CliFlags(k = Some(5), useRerank = true, rerankModel = Some("r.onnx")))))
+    assert(ChatCli.parseFlags(List("q", "--answer-model", "gpt-4o")).map(_._2.answerModel) ==
+      Right(Some("gpt-4o")))
+    // clap-like failure modes: unknown flag, bad -k
+    assert(ChatCli.parseFlags(List("--frobnicate")).isLeft)
+    assert(ChatCli.parseFlags(List("-k", "zero")).isLeft)
+    assert(ChatCli.parseFlags(List("-k", "0")).isLeft)
+  }
+
+  test("flag model routing: env override > --model-id file > offline default; same for rerank") {
+    val dir = Files.createTempDirectory("graft_cli_models")
+    // --model-id that is not a real file degrades to the offline default
+    assert(ChatCli.embedderFor(ChatCli.CliFlags(modelId = Some("/no/such.onnx")),
+      env = Map.empty).isInstanceOf[HashingEmbedder])
+    // --model-type alone: offline default (the reference would download)
+    assert(ChatCli.embedderFor(ChatCli.CliFlags(modelType = "qwen3"),
+      env = Map.empty).isInstanceOf[HashingEmbedder])
+    // a real .onnx path routes to the ONNX embedder (construction is
+    // lazy; the file needs to exist, not parse, at routing time)
+    val f = dir.resolve("m.onnx"); Files.write(f, Array[Byte](1, 2, 3))
+    assert(ChatCli.embedderFor(ChatCli.CliFlags(modelId = Some(f.toString)),
+      env = Map.empty).isInstanceOf[OnnxEmbedder])
+    // env var stays the deployment override even when a flag is given
+    assert(ChatCli.embedderFor(ChatCli.CliFlags(modelId = Some(f.toString)),
+      env = Map("GRAFT_ONNX_MODEL" -> f.toString)).isInstanceOf[OnnxEmbedder])
+    // rerank routing mirrors it
+    assert(ChatCli.rerankerFor(ChatCli.CliFlags(), env = Map.empty)
+      .isInstanceOf[TfidfReranker])
+    assert(ChatCli.rerankerFor(ChatCli.CliFlags(rerankModel = Some(f.toString)),
+      env = Map.empty).isInstanceOf[OnnxReranker])
+    assert(ChatCli.rerankerFor(ChatCli.CliFlags(rerankModel = Some("/no/such.onnx")),
+      env = Map.empty).isInstanceOf[TfidfReranker])
+  }
+
+  test("--answer-model reaches the HTTP client unless the env var overrides it") {
+    val withFlag = OpenAiChatClient.fromEnv(
+      Map("GRAFT_OPENAI_BASE_URL" -> "http://localhost:1"),
+      modelFallback = Some("gpt-4o"))
+    assert(withFlag.isInstanceOf[OpenAiChatClient])
+    assert(withFlag.asInstanceOf[OpenAiChatClient].modelName == "gpt-4o")
+    val envWins = OpenAiChatClient.fromEnv(
+      Map("GRAFT_OPENAI_BASE_URL" -> "http://localhost:1",
+        "GRAFT_OPENAI_MODEL" -> "env-model"),
+      modelFallback = Some("gpt-4o"))
+    assert(envWins.asInstanceOf[OpenAiChatClient].modelName == "env-model")
+    // no base URL: flags cannot turn on the network path
+    assert(OpenAiChatClient.fromEnv(Map.empty, modelFallback = Some("gpt-4o"))
+      .isInstanceOf[MockChatClient])
+  }
 }

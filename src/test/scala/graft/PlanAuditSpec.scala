@@ -425,4 +425,74 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"nested-loop candidate generation:\n$plan")
   }
+
+  test("q168: queries broadcast into the candidate scan; pool top-C prunes before its shuffle") {
+    val df = Similarity.mmrDiversify(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"the query set must broadcast — the corpus never shuffles to meet it:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the top-C pool cut must prune candidates BEFORE the per-query shuffle:\n$plan")
+  }
+
+  test("q169: the sample is physical top-k (TakeOrdered); the rank window runs on k+1 rows only") {
+    val df = Sampling.prioritySample(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-(k+1) must be per-partition top-k + driver merge, not a global sort:\n$plan")
+    // the single-partition row_number window is legal ONLY because it
+    // sits above the answer-sized limit — if the window ever moves
+    // below the TakeOrdered, this spec must start failing
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx >= 0 && windowIdx < takeIdx,
+      s"the global window must consume the limited frame, not the corpus:\n$plan")
+  }
+
+  test("q170: pair generation is aggregate-emission — no data-bearing self-join in the plan") {
+    val df = graft.ops.Events.coVisitTriangles(spark, sf0001)
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val plan = nodes.mkString("\n")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the triangle pipeline:\n$plan")
+    // the ONLY nested loop allowed is the final 1-row × 1-row report
+    // cross (stats × triangles); pair/edge/degree stages never loop
+    val bnlj = nodes.count(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"nested loop beyond the 1-row report cross:\n$plan")
+    // the cell table collapses map-side (partial collect_set before its
+    // one exchange) and pairs are emitted from the grouped sets
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"per-cell user sets must build through partial aggregation:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"pair emission must be the flatMap over grouped cells:\n$plan")
+  }
+
+  test("q171: anchors broadcast into the label join; the top-2 cut prunes before the anchor shuffle") {
+    val df = Similarity.twoNnDim(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the hash-sampled anchor set must broadcast — the corpus side never shuffles for it:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-anchor top-2 must prune BEFORE the window shuffle:\n$plan")
+  }
+
+  test("q172: term joins broadcast (never sort-merge) and each PRF stage scans the corpus once") {
+    val df = graft.ops.TextAnalytics.rm3Expansion(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (data-dependent) term list must broadcast into the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a term join degenerated to a corpus-wide sort-merge:\n$plan")
+    // stage 2's executed plan reads the documents table EXACTLY once:
+    // the df counts ride a term-keyed window over the grouped postings
+    // (not a rebuilt lineage), and stats/top/mined are materialized
+    // answer-sized frames (InMemory scans)
+    val scans = flatten(df.queryExecution.executedPlan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+      case _ => false
+    }
+    assert(scans == 1,
+      s"stage 2 must scan the corpus once, found $scans scans:\n$plan")
+  }
 }
