@@ -115,7 +115,18 @@ object Scaling {
     // measured here, not argued. Replica r suffixes event_type, so
     // cells never cross replicas: per-replica graph structure is
     // identical, pair volume and triangle work scale with the factor
-    "q170_graph_triangles" -> ((s, d) => graft.ops.Events.coVisitTriangles(s, d)))
+    "q170_graph_triangles" -> ((s, d) => graft.ops.Events.coVisitTriangles(s, d)),
+    // ONE materialized corpus tokenize + vocabulary-sized model joins:
+    // replicas suffix words, so the bigram vocabulary (and every model
+    // table) scales with the factor while the source set stays fixed —
+    // the single-corpus-pass claim is the thing measured
+    "q175_kn_xent" -> ((s, d) => graft.ops.TextAnalytics.knBigramXent(s, d)),
+    // aggregate-emission GSP: session fold + per-session supported-set
+    // flatMap; replica event_type suffixes keep sessions and the
+    // pattern vocabulary per-replica, so emission volume (bounded by
+    // |E|^2+|E|^3 per session) scales with the factor — the no-join
+    // emission claim is the thing measured
+    "q176_seq_patterns" -> ((s, d) => graft.ops.Events.seqPatterns(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's

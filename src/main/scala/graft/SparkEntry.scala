@@ -221,7 +221,19 @@ object SparkEntry {
     "q169_priority_sample"  -> Sampling.prioritySample _,
     "q170_graph_triangles"  -> Events.coVisitTriangles _,
     "q171_twonn_dim"        -> Similarity.twoNnDim _,
-    "q172_rm3_expansion"    -> TextAnalytics.rm3Expansion _
+    "q172_rm3_expansion"    -> TextAnalytics.rm3Expansion _,
+    // round-11 family: per-vector outlier audit, weighted lottery
+    // sampling, deployment-grade LM smoothing, and sequence mining
+    "q173_embed_outliers"   -> Similarity.embedOutliers _,
+    "q174_weighted_reservoir" -> Sampling.weightedReservoir _,
+    "q175_kn_xent"          -> TextAnalytics.knBigramXent _,
+    "q176_seq_patterns"     -> Events.seqPatterns _,
+    // split-integrity audit, collocation mining, and the reservoir's
+    // streaming form
+    "q177_split_leakage"    -> Sampling.splitLeakage _,
+    "q178_pmi_collocations" -> TextAnalytics.pmiCollocations _,
+    "q179_stream_reservoir" -> ((s: SparkSession, d: String) =>
+      graft.streaming.SampleStream.reservoirStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -468,6 +480,15 @@ object SparkEntry {
     "q169_priority_sample"  -> Sampling.prioritySampleSql,
     "q170_graph_triangles"  -> Events.coVisitTrianglesSql,
     "q171_twonn_dim"        -> Similarity.twoNnDimSql,
-    "q172_rm3_expansion"    -> TextAnalytics.rm3ExpansionSql
+    "q172_rm3_expansion"    -> TextAnalytics.rm3ExpansionSql,
+    "q173_embed_outliers"   -> Similarity.embedOutliersSql,
+    "q174_weighted_reservoir" -> Sampling.weightedReservoirSql,
+    "q175_kn_xent"          -> TextAnalytics.knBigramXentSql,
+    "q176_seq_patterns"     -> Events.seqPatternsSql,
+    "q177_split_leakage"    -> Sampling.splitLeakageSql,
+    "q178_pmi_collocations" -> TextAnalytics.pmiCollocationsSql,
+    // the stream is row-identical to batch q174 by shared cores, so
+    // one oracle serves both (the q164/q166 discipline)
+    "q179_stream_reservoir" -> Sampling.weightedReservoirSql
   )
 }

@@ -335,7 +335,7 @@ object Dedup {
   /** The shared sets/sig/banded/cand CTE prefix (no leading WITH) —
     * one builder for q14's oracle and q104's, so the two SQL strings
     * cannot drift apart (the minColsSql/bandColsSql discipline). */
-  private def sqlCandCtes: String = {
+  private[ops] def sqlCandCtes: String = {
     val bandJoins = (0 until Consts.LshBands).map { b =>
       s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
     }.mkString("\n    UNION\n    ")

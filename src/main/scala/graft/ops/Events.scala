@@ -599,4 +599,109 @@ object Events {
        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
        |  CASE WHEN n_wedges = 0 THEN 0 ELSE n_triangles * 3 * 1000 // n_wedges END AS gcc_permille
        |FROM stats, tri""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Sequential-pattern support (q176): GSP (Srikant & Agrawal, EDBT
+  // 1996) bounded to length-2/3 patterns — the journey-mining
+  // primitive behind funnel discovery: which event-type SEQUENCES
+  // (not sets — order matters, gaps allowed) recur across user
+  // sessions. q86's funnel counts a HAND-NAMED stage chain; this
+  // surfaces the chains worth naming, support-ranked.
+  //
+  // Semantics: a session is a user's (user_id, hour_id) activity cell
+  // (the q170 cell discipline), its sequence the event_types ordered
+  // by (ts, event_id); a pattern <a,b,c> is SUPPORTED by a session iff
+  // the types occur in that order, gaps allowed (standard subsequence
+  // containment, decided by the greedy first-occurrence scan — correct
+  // for existence). Support counts SESSIONS, not occurrences (the GSP
+  // definition), so repeats inside one session don't inflate a
+  // pattern.
+  //
+  // Scale shape: the q72/q170 aggregate-emission discipline — sessions
+  // fold in ONE keyed shuffle (sort_array over collected structs), and
+  // each session EMITS its supported-pattern set from a flatMap (the
+  // greedy first-occurrence enumeration below: pattern <a,b(,c)> is
+  // supported iff c occurs after the first b after the first a —
+  // greedy-correct for subsequence EXISTENCE, and each pattern emits
+  // at most once per session, so the downstream count is session
+  // support by construction). Map-side combine collapses the emission
+  // to pattern-vocabulary-sized rows before the only other shuffle;
+  // nothing data-bearing ever joins (a candidate×session cross-join
+  // re-scans every sequence |E|^2+|E|^3 times — the shape this
+  // replaced). Per-session emission is bounded by |E|^2 + |E|^3; at a
+  // web-scale event vocabulary, cap to the top-V types by frequency
+  // (the q162 vocabulary-cap discipline) — the shape is unchanged.
+  // -------------------------------------------------------------------
+
+  val SeqPatternTopK = 20L
+
+  def seqPatterns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("hour_id"),
+        col("ts"), col("event_id"), col("event_type"))
+    val sessions = ev
+      .groupBy("user_id", "hour_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(expr("transform(evs, e -> e.event_type)").as("seq"))
+    val emitted = sessions.as[Seq[String]].flatMap { seq =>
+      val s = seq.toArray
+      val n = s.length
+      // suff(i) = distinct types in s[i..n-1]
+      val suff = new Array[Set[String]](n + 1)
+      suff(n) = Set.empty
+      var i = n - 1
+      while (i >= 0) { suff(i) = suff(i + 1) + s(i); i -= 1 }
+      val firstOcc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      i = 0
+      while (i < n) { if (!firstOcc.contains(s(i))) firstOcc.update(s(i), i); i += 1 }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+      firstOcc.foreach { case (a, fa) =>
+        suff(fa + 1).foreach { b =>
+          out += ((a, b, null))
+          var j = fa + 1
+          while (s(j) != b) j += 1
+          suff(j + 1).foreach { c => out += ((a, b, c)) }
+        }
+      }
+      out
+    }
+    emitted.toDF("a", "b", "c")
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("support"))
+      .select(concat_ws(">", col("a"), col("b"), col("c")).as("pattern"),
+        (lit(2L) + when(col("c").isNull, 0L).otherwise(1L)).as("len"),
+        col("support"))
+      .orderBy(col("support").desc, col("pattern").asc)
+      .limit(SeqPatternTopK.toInt)
+  }
+
+  def seqPatternsSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id, ts, event_id, event_type
+       |  FROM events),
+       |sess AS (
+       |  SELECT list(event_type ORDER BY ts, event_id) AS seq
+       |  FROM ev GROUP BY user_id, hour_id),
+       |types AS (SELECT DISTINCT event_type AS t FROM events),
+       |pats AS (
+       |  SELECT a.t AS a, b.t AS b, cast(NULL as varchar) AS c FROM types a, types b
+       |  UNION ALL
+       |  SELECT a.t, b.t, c.t FROM types a, types b, types c),
+       |h1 AS (
+       |  SELECT p.a, p.b, p.c, s.seq, coalesce(list_position(s.seq, p.a), 0) AS i1
+       |  FROM sess s, pats p),
+       |h2 AS (SELECT a, b, c, seq[i1+1:] AS s2 FROM h1 WHERE i1 > 0),
+       |h3 AS (SELECT a, b, c, s2, coalesce(list_position(s2, b), 0) AS i2 FROM h2),
+       |h4 AS (SELECT a, b, c, s2[i2+1:] AS s3 FROM h3 WHERE i2 > 0),
+       |hit AS (SELECT a, b, c FROM h4
+       |  WHERE c IS NULL OR coalesce(list_position(s3, c), 0) > 0)
+       |SELECT concat_ws('>', a, b, c) AS pattern,
+       |  cast(2 + CASE WHEN c IS NULL THEN 0 ELSE 1 END as bigint) AS len,
+       |  cast(count(*) as bigint) AS support
+       |FROM hit GROUP BY a, b, c
+       |ORDER BY support DESC, pattern ASC
+       |LIMIT $SeqPatternTopK""".stripMargin
 }

@@ -800,4 +800,157 @@ object Sampling {
        |  greatest(w, coalesce((SELECT t FROM tau), w)) AS est_w
        |FROM ranked WHERE rank <= $k ORDER BY rank""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Weighted reservoir sample (q174): Efraimidis & Spirakis (IPL 2006)
+  // A-Res — THE weighted sampling-without-replacement primitive: give
+  // item i key u_i^(1/w_i) (u uniform), keep the k largest keys; the
+  // result is a probability-proportional-to-weight k-subset, and the
+  // key is computable independently per item, so the "reservoir" is
+  // just a distributed top-k. Complements q169 (DLT): DLT keeps a
+  // sample that ANSWERS subset-sum queries unbiasedly (estimator
+  // attached), A-Res draws the weighted-lottery subset itself — the
+  // curriculum/mixture-draw primitive (weighted shuffle = repeated
+  // A-Res).
+  //
+  // Engine-exact formulation: maximizing u^(1/w) is minimizing
+  // (-log2 u)/w, and -log2 u on the 2^-16 grid is EXACT integer
+  // arithmetic via functions.FixedLog2: u = h20/2^20 (q169's portable
+  // 20-bit uniform, h20 in [1, 2^20]) gives
+  // L = (20 << 16) - log2_q16(h20) >= 0, and the sort key is
+  // floor((L << 20) / w) ascending — pure i64, no libm, ties by
+  // doc_id. The 2^20 key scale keeps three decimal digits of log
+  // resolution per unit weight at w up to ~10^6.
+  //
+  // Scale shape: one scan computing keys (codegen'd FixedLog2), then
+  // physical top-k (TakeOrderedAndProject — per-partition top-k,
+  // driver merge); the rank window runs on the ANSWER-SIZED frame
+  // only, the q169-audited discipline.
+  // -------------------------------------------------------------------
+
+  val ReservoirK = 25
+
+  /** The per-row A-Res key computation — the stream/batch shared core
+    * (a row's key depends on nothing but the row, which is WHY A-Res
+    * streams). Works on any frame with (doc_id, n_chars). */
+  private[graft] def aresKeyed(docs: DataFrame): DataFrame =
+    docs.filter(col("n_chars") >= 1)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        (shiftright(docIdHash, 12) + lit(1L)).as("h20"))
+      .withColumn("nl2", lit(20L << 16) - graft.functions.FixedLog2(col("h20")))
+      .withColumn("es_key", expr("(nl2 << 20) div w"))
+
+  /** Reservoir finisher: top-k by (key, doc_id) + answer-sized rank.
+    * Shared by batch q174 and the streaming twin's final read. */
+  private[graft] def aresTop(keyed: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("es_key").asc, col("doc_id").asc)
+    keyed.orderBy(col("es_key").asc, col("doc_id").asc)
+      .limit(ReservoirK)
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .select("rank", "doc_id", "w", "es_key")
+      .orderBy("rank")
+  }
+
+  def weightedReservoir(spark: SparkSession, sfDir: String): DataFrame =
+    aresTop(aresKeyed(Tables.documents(spark, sfDir)))
+
+  // -------------------------------------------------------------------
+  // Split-leakage audit (q177): near-duplicate pairs that straddle the
+  // q50 train/val/test hash split. Splitting BEFORE deduplicating is
+  // the classic eval-contamination mechanism — a near-copy of a test
+  // document in train inflates every benchmark it touches (Lee et al.,
+  // ACL 2022; Dodge et al., EMNLP 2021 on C4) — and a hash split is
+  // exactly as blind to duplicate structure as a random one. This op
+  // is the audit a pipeline runs BEFORE trusting its splits: for every
+  // (split, split) class, how many verified near-dup pairs straddle it,
+  // how many documents are implicated, and how close the worst pair is.
+  //
+  // Composition, not regeneration: the pair relation is SERVED from the
+  // persisted dedup graph (the q74/q105 artifact discipline — candidate
+  // generation and verification are build-time), and the split is the
+  // q50 rule recomputed as a narrow projection (doc_id only — splits
+  // are a pure hash function, never a stored column). The timed work is
+  // two keyed joins of the answer-sized pair relation against that
+  // projection and one 6-row aggregate. jaccard is re-derived as exact
+  // integer permille from the artifact's inter/uni counts — the stored
+  // double never enters the report.
+  //
+  // Scale shape: the pair relation explodes to 2 doc rows per pair and
+  // meets the corpus in ONE doc-keyed join (a two-join spelling would
+  // scan the split projection once per pair side); the pair's two split
+  // tags reassemble by min/max over the pair key (least/greatest with
+  // exactly 2 rows), and the report agg runs over pair-sized frames —
+  // after the single corpus scan, nothing touches corpus-sized data.
+  // Report is <= |splits|^2 rows.
+  // -------------------------------------------------------------------
+
+  private def splitOf(bucket: Column): Column =
+    when(bucket < TrainPct, "train")
+      .when(bucket < TrainPct + ValPct, "val")
+      .otherwise("test")
+
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Dedup.preparedDedupGraph(spark, sfDir, Dedup.OracleHashBits)
+    val pairs = Dedup.loadGraphPairs(spark, path)
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(inter as bigint) * 1000 div cast(uni as bigint)").as("jac_permille"))
+    val spl = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), splitOf(pmod(docIdHash, lit(100L))).as("split"))
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("jac_permille"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(spl, Seq("doc_id"))
+      .groupBy("doc_a", "doc_b", "jac_permille")
+      .agg(min(col("split")).as("split_lo"), max(col("split")).as("split_hi"))
+      .select(col("split_lo"), col("split_hi"), col("jac_permille"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("split_lo", "split_hi")
+      .agg(expr("count(1) div 2").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs"),
+        max(col("jac_permille")).as("max_jaccard_permille"))
+      .withColumn("leak", when(col("split_lo") =!= col("split_hi"), 1L).otherwise(0L))
+      .select("split_lo", "split_hi", "leak", "n_pairs", "n_docs", "max_jaccard_permille")
+      .orderBy("split_lo", "split_hi")
+  }
+
+  def splitLeakageSql: String =
+    s"""WITH ${Dedup.sqlCandCtes},
+       |prs AS (
+       |  SELECT doc_a, doc_b,
+       |    (cast(len(list_intersect(sa.s, sb.s)) as bigint) * 1000)
+       |      // cast(len(list_distinct(sa.s || sb.s)) as bigint) AS jac_permille
+       |  FROM cand
+       |  JOIN sets sa ON doc_a = sa.doc_id
+       |  JOIN sets sb ON doc_b = sb.doc_id
+       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${graft.core.Consts.MinhashJaccardThreshold}),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $sqlDocHash % 100 < $TrainPct THEN 'train'
+       |         WHEN $sqlDocHash % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |tagged AS (
+       |  SELECT least(a.split, b.split) AS split_lo, greatest(a.split, b.split) AS split_hi,
+       |    jac_permille, unnest([doc_a, doc_b]) AS doc
+       |  FROM prs JOIN spl a ON doc_a = a.doc_id JOIN spl b ON doc_b = b.doc_id)
+       |SELECT split_lo, split_hi,
+       |  cast(CASE WHEN split_lo != split_hi THEN 1 ELSE 0 END as bigint) AS leak,
+       |  cast(count(*) // 2 as bigint) AS n_pairs,
+       |  cast(count(DISTINCT doc) as bigint) AS n_docs,
+       |  max(jac_permille) AS max_jaccard_permille
+       |FROM tagged GROUP BY split_lo, split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin
+
+  def weightedReservoirSql: String = {
+    val src = s"SELECT doc_id, n_chars AS w, ($sqlDocHash >> 12) + 1 AS h20 " +
+      "FROM documents WHERE n_chars >= 1"
+    val withLog = graft.functions.FixedLog2.sqlNested(src, "h20", "z_", "l")
+    s"""SELECT * FROM (
+       |  SELECT cast(row_number() OVER (ORDER BY es_key ASC, doc_id ASC) as bigint) AS rank,
+       |    doc_id, w, es_key
+       |  FROM (SELECT doc_id, w, ((${20L << 16} - l) << 20) // w AS es_key FROM ($withLog))
+       |  ORDER BY es_key ASC, doc_id ASC LIMIT $ReservoirK)
+       |ORDER BY rank""".stripMargin
+  }
 }

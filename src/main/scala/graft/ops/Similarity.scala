@@ -2153,4 +2153,84 @@ object Similarity {
        |  FROM ($withLogs) GROUP BY albl HAVING sum(l2 - l1) > 0)
        |ORDER BY label""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Embedding outlier report (q173): diagonal-covariance Mahalanobis
+  // distance — the classical multivariate outlier statistic
+  // (Mahalanobis 1936) in the form embedding-quality audits deploy it
+  // (per-dimension standardization; the full covariance inverse is
+  // neither affordable nor wanted at 100 TB — a diagonal model flags
+  // the same gross outliers and is exactly mergeable). The rows this
+  // surfaces are the mislabeled/corrupted/out-of-distribution vectors
+  // a curation pass quarantines before index build or training;
+  // complements q147 (global anisotropy) and q171 (manifold dimension)
+  // with a PER-VECTOR verdict.
+  //
+  // Engine-exact formulation: per-dim mean and second moment fold to
+  // the q132/q147 floor grid (mu = floor(s/n), m2 = floor(ss/n), var =
+  // m2 - mu^2 — floor interplay can make a near-constant dim's var 0
+  // or slightly negative; such dims contribute 0 BY RULE, a constant
+  // dimension carries no outlier signal); the score is
+  // sum_d floor((x_d - mu_d)^2 * 1000 / var_d) — pure i64, identical
+  // under DuckDB's // on the same operands.
+  //
+  // Scale shape: ONE dim-keyed map-side-combined shuffle for the stats
+  // (64 partial rows per partition — q147's shape), the 64-row result
+  // collected as a DRIVER VALUE (the seeded-centroid discipline:
+  // dimension-sized, corpus-independent); scoring is then a single
+  // scan through the fused-loop codegen expression
+  // (functions.MahalanobisMilli — no posexplode, no per-row HOF
+  // allocation), and top-k is physical TakeOrderedAndProject with the
+  // rank window on the ANSWER-SIZED frame only.
+  // -------------------------------------------------------------------
+
+  val OutlierTopK = 25
+
+  def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = quantized(spark, sfDir)
+    val stats = q.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("d"),
+        expr("cast(floor(cast(s as double) / n) as bigint)").as("mu"),
+        expr("cast(floor(cast(ss as double) / n) as bigint)").as("m2"))
+      .select(col("d"), col("mu"), (col("m2") - col("mu") * col("mu")).as("vr"))
+      .orderBy("d").collect()
+    val mus = stats.map(_.getAs[Long]("mu")).toSeq
+    val vrs = stats.map(_.getAs[Long]("vr")).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_milli").desc, col("vec_id").asc)
+    q.select(col("vec_id"), col("label"),
+        graft.functions.MahalanobisMilli(col("v"),
+          typedLit(mus), typedLit(vrs)).as("score_milli"))
+      .orderBy(col("score_milli").desc, col("vec_id").asc)
+      .limit(OutlierTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "vec_id", "label", "score_milli")
+      .orderBy("rank")
+  }
+
+  def embedOutliersSql: String =
+    s"""WITH q AS ($sqlQuantized),
+       |dims AS (
+       |  SELECT d,
+       |    cast(floor(cast(sum(x) as double) / count(*)) as bigint) AS mu,
+       |    cast(floor(cast(sum(x*x) as double) / count(*)) as bigint) AS m2
+       |  FROM (SELECT unnest([cast(floor(cast(x as double)*${Consts.QuantScale}.0) as bigint) for x in embedding]) AS x,
+       |          generate_subscripts(embedding, 1) AS d
+       |        FROM embeddings)
+       |  GROUP BY d),
+       |arrs AS (SELECT list(mu ORDER BY d) AS mus, list(m2 - mu*mu ORDER BY d) AS vrs FROM dims),
+       |scored AS (
+       |  SELECT vec_id, label,
+       |    cast(list_sum([CASE WHEN vrs[i+1] <= 0 THEN 0
+       |      ELSE ((v[i+1]-mus[i+1])*(v[i+1]-mus[i+1])*1000) // vrs[i+1] END
+       |      for i in range(len(v))]) as bigint) AS score_milli
+       |  FROM q, arrs)
+       |SELECT * FROM (
+       |  SELECT cast(row_number() OVER (ORDER BY score_milli DESC, vec_id ASC) as bigint) AS rank,
+       |    vec_id, label, score_milli
+       |  FROM scored ORDER BY score_milli DESC, vec_id ASC LIMIT $OutlierTopK)
+       |ORDER BY rank""".stripMargin
 }

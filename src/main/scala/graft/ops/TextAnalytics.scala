@@ -1786,6 +1786,31 @@ object TextAnalytics {
     * discipline at order 2: a doc's bigram counts collapse inside the
     * flatMap, so the shuffle carries per-doc BIGRAM-VOCAB rows, never
     * token occurrences). */
+  /** Per-(source, w1, w2) bigram counts — bigramTfRows keyed by source
+    * instead of doc: per-doc counts collapse in the scan flatMap, the
+    * keyed agg is bigram-vocabulary x sources sized. */
+  private def sourceBigramRows(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (src, txt) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val m = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+          var i = 0
+          while (i < t.length - 1) {
+            val k = (t(i), t(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + 1L)
+            i += 1
+          }
+          m.iterator.map { case ((a, b), c) => (src, a, b, c) }
+        }
+      }
+      .toDF("source", "w1", "w2", "tf")
+      .groupBy("source", "w1", "w2").agg(sum(col("tf")).as("tf"))
+  }
+
   private def bigramTfRows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
@@ -2281,5 +2306,175 @@ object TextAnalytics {
        |  count(DISTINCT gh) * 1000 // count(*) AS distinct_permille
        |FROM gr GROUP BY source, n
        |ORDER BY source, n""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Interpolated Kneser-Ney cross-entropy per source (q175): the
+  // bigram LM family's endpoint — q94 is unigram, q122 bigram-MLE,
+  // q162 add-one; interpolated KN (Kneser & Ney 1995, in Chen &
+  // Goodman 1998's absolute-discount form with D = 3/4) is what a
+  // KenLM-backed CCNet-class filter actually scores with: the
+  // continuation probability replaces raw unigram backoff, so "common
+  // word in a novel context" is scored by how PROMISCUOUS the word's
+  // contexts are, not how frequent the word is. Each source's token
+  // stream is scored under the CORPUS-trained model; high cells =
+  // out-of-distribution sources (q126/q162's reading, now on the
+  // smoothing the deployment would use).
+  //
+  // Engine-exact formulation: with D = 3/4 and every scored bigram
+  // present in the training counts (source SUBSET OF corpus, so
+  // c12 >= 1 and the max(c-D, 0) arm never bites), P_KN(w2|w1) =
+  // (4*c12-3)/(4*c1) + (3*N1p(w1·)/(4*c1)) * (N1p(·w2)/N1p(··))
+  // — a ratio of exact i64 integers after clearing denominators:
+  //   num = (4*c12-3)*Nall + 3*N1p(w1·)*N1p(·w2),  den = 4*c1*Nall.
+  // -log2 P on the 2^-16 grid is FixedLog2(den) - FixedLog2(num)
+  // (num <= den, proved by sum-to-one; num >= 1 since c12 >= 1), the
+  // per-source sum is exact i64, and the milli-bits presentation is
+  // floor(sum * 1000 / (n * 2^16)). No libm anywhere.
+  //
+  // Scale shape: per-doc bigram counts collapse in the scan flatMap
+  // (sourceBigramRows); the corpus model tables (bf, c1, the two
+  // continuation-type counts, Nall) all fold out of the ONE
+  // bigram-vocabulary-sized aggregate — no extra corpus pass; joins
+  // run UNHINTED (broadcast at bounded vocabularies, keyed shuffles at
+  // web scale — the q94/q122 lesson); the per-source fold is a keyed
+  // agg over vocabulary-collapsed rows. Headroom: num <= 4*c12*Nall
+  // <= 4 * 10^9 * 10^9 overflows past ~10^9 tokens — at web scale run
+  // the model on a top-V vocabulary (the q162 cap), which bounds both
+  // factors; the shape is unchanged.
+  // -------------------------------------------------------------------
+
+  def knBigramXent(spark: SparkSession, sfDir: String): DataFrame = {
+    // the (source, w1, w2) frame is bigram-vocabulary x sources sized —
+    // materialize it so the corpus tokenizes ONCE and all five model
+    // tables (bf, c1, nctx, nword, Nall) fold from the cached rows (the
+    // q172 lesson: an unshared grouped subtree recomputes the full
+    // tokenize+explode per consumer)
+    val srcBtf = Materialize.shared(spark, sourceBigramRows(spark, sfDir))
+    val bf = srcBtf.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
+    val c1 = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val nctx = bf.groupBy("w1").agg(count(lit(1)).as("nctx"))
+    val nword = bf.groupBy("w2").agg(count(lit(1)).as("nword"))
+    val nall = bf.agg(count(lit(1)).as("nall"))
+    val scored = srcBtf
+      .join(bf, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(nctx, Seq("w1"))
+      .join(nword, Seq("w2"))
+      .crossJoin(broadcast(nall))
+      .withColumn("num", expr("(4*c12 - 3)*nall + 3*nctx*nword"))
+      .withColumn("den", expr("4*c1*nall"))
+      .withColumn("t",
+        graft.functions.FixedLog2(col("den")) - graft.functions.FixedLog2(col("num")))
+    scored.groupBy("source")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * col("t")).as("sum_log2_q16"))
+      .withColumn("xent_milli_bits",
+        expr("sum_log2_q16 * 1000 div (n_bigrams * 65536)"))
+      .orderBy("source")
+  }
+
+  // -------------------------------------------------------------------
+  // PMI collocations (q178): Church & Hanks (CL 1990) pointwise mutual
+  // information over the corpus bigram space — THE collocation-mining
+  // primitive: PMI(w1,w2) = log2( P(w1,w2) / (P(w1)P(w2)) ) ranks word
+  // pairs by how much more often they co-occur than independence
+  // predicts. Pipeline uses: multi-word-expression discovery before
+  // tokenizer training (a high-PMI pair is a merge the BPE trainer
+  // should find), glossary/entity mining, and boilerplate phrase
+  // detection. The c12 >= PmiMinCount floor is Church & Hanks' own
+  // hapax guard — PMI's known failure mode is promoting rare typos.
+  //
+  // Engine-exact formulation: with N = total bigram tokens, marginals
+  // taken over the bigram table (c1 = occurrences of w1 as a first
+  // word, c2 = of w2 as a second — the standard collocation-space
+  // marginals), PMI = log2(c12*N) - log2(c1*c2) — both operands >= 1
+  // exact i64, so FixedLog2Q16 makes the score an exact signed integer
+  // on the 2^-16 grid; ties break (w1, w2) ascending. Headroom:
+  // c12*N <= N^2 overflows past ~3e9 bigram tokens — at web scale run
+  // the table on a top-V vocabulary (the q162 cap), which bounds c12
+  // and N_vocab; the shape is unchanged.
+  //
+  // Scale shape: per-doc bigram counts collapse in the scan flatMap;
+  // the corpus bigram table is ONE keyed shuffle, MATERIALIZED
+  // (vocabulary-sized — the q175 lesson: its three marginal consumers
+  // would each rebuild the tokenize lineage otherwise); marginals are
+  // vocabulary-keyed aggs off the cache; the report is physical top-k.
+  // -------------------------------------------------------------------
+
+  val PmiMinCount = 5L
+  val PmiTopK = 25
+
+  def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val bf = Materialize.shared(spark,
+      sourceBigramRows(spark, sfDir).groupBy("w1", "w2").agg(sum(col("tf")).as("c12")))
+    val c1 = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val c2 = bf.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val nall = bf.agg(sum(col("c12")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pmi_q16").desc, col("w1").asc, col("w2").asc)
+    bf.filter(col("c12") >= PmiMinCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(nall))
+      .withColumn("pmi_q16",
+        graft.functions.FixedLog2(expr("c12 * n")) - graft.functions.FixedLog2(expr("c1 * c2")))
+      .orderBy(col("pmi_q16").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "w1", "w2", "c12", "pmi_q16")
+      .orderBy("rank")
+  }
+
+  def pmiCollocationsSql: String = {
+    val base =
+      s"""WITH toksl AS (
+         |  SELECT $sqlTokens t FROM documents),
+         |bf AS (
+         |  SELECT w1, w2, cast(count(*) as bigint) AS c12 FROM (
+         |    SELECT t[i+1] AS w1, t[i+2] AS w2
+         |    FROM (SELECT unnest(range(len(t) - 1)) AS i, t FROM toksl))
+         |  GROUP BY w1, w2),
+         |c1t AS (SELECT w1, cast(sum(c12) as bigint) AS c1 FROM bf GROUP BY w1),
+         |c2t AS (SELECT w2, cast(sum(c12) as bigint) AS c2 FROM bf GROUP BY w2),
+         |nt AS (SELECT cast(sum(c12) as bigint) AS n FROM bf)
+         |SELECT w1, w2, c12, c12 * n AS num, c1 * c2 AS den
+         |FROM bf JOIN c1t USING (w1) JOIN c2t USING (w2) CROSS JOIN nt
+         |WHERE c12 >= $PmiMinCount""".stripMargin
+    val withLogs = graft.functions.FixedLog2.sqlNested(
+      graft.functions.FixedLog2.sqlNested(base, "num", "a_", "ln"), "den", "b_", "ld")
+    s"""SELECT cast(row_number() OVER (ORDER BY pmi_q16 DESC, w1 ASC, w2 ASC) as bigint) AS rank,
+       |  w1, w2, c12, pmi_q16
+       |FROM (SELECT w1, w2, c12, ln - ld AS pmi_q16 FROM ($withLogs))
+       |ORDER BY pmi_q16 DESC, w1 ASC, w2 ASC LIMIT $PmiTopK""".stripMargin
+  }
+
+  def knBigramXentSql: String = {
+    val base =
+      s"""WITH toksl AS (
+         |  SELECT source, $sqlTokens t FROM documents),
+         |sbtf AS (
+         |  SELECT source, w1, w2, cast(count(*) as bigint) AS tf FROM (
+         |    SELECT source, t[i+1] AS w1, t[i+2] AS w2
+         |    FROM (SELECT source, unnest(range(len(t) - 1)) AS i, t FROM toksl))
+         |  GROUP BY source, w1, w2),
+         |bf AS (SELECT w1, w2, cast(sum(tf) as bigint) AS c12 FROM sbtf GROUP BY w1, w2),
+         |c1t AS (SELECT w1, cast(sum(c12) as bigint) AS c1 FROM bf GROUP BY w1),
+         |nctxt AS (SELECT w1, cast(count(*) as bigint) AS nctx FROM bf GROUP BY w1),
+         |nwordt AS (SELECT w2, cast(count(*) as bigint) AS nword FROM bf GROUP BY w2),
+         |nallt AS (SELECT cast(count(*) as bigint) AS nall FROM bf)
+         |SELECT source, tf,
+         |  (4*c12 - 3)*nall + 3*nctx*nword AS num,
+         |  4*c1*nall AS den
+         |FROM sbtf JOIN bf USING (w1, w2) JOIN c1t USING (w1)
+         |  JOIN nctxt USING (w1) JOIN nwordt USING (w2) CROSS JOIN nallt""".stripMargin
+    val withLogs = graft.functions.FixedLog2.sqlNested(
+      graft.functions.FixedLog2.sqlNested(base, "num", "a_", "ln"), "den", "b_", "ld")
+    s"""SELECT source, n_bigrams, sum_log2_q16,
+       |  sum_log2_q16 * 1000 // (n_bigrams * 65536) AS xent_milli_bits
+       |FROM (
+       |  SELECT source, cast(sum(tf) as bigint) AS n_bigrams,
+       |    cast(sum(tf * (ld - ln)) as bigint) AS sum_log2_q16
+       |  FROM ($withLogs) GROUP BY source)
+       |ORDER BY source""".stripMargin
   }
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming twin of the sampling family's reservoir draw.
+  *
+  * q179: STREAMING weighted reservoir — Efraimidis–Spirakis A-Res
+  * (q174) in its native habitat: the algorithm was DEFINED as a
+  * one-pass reservoir over a stream (key u^(1/w) computable per item
+  * in isolation), so the firehose form is the semantics, not an
+  * approximation of it. Each micro-batch computes its rows' keys with
+  * the SAME shared core as batch q174 (`Sampling.aresKeyed`) and
+  * appends only its own top-k key rows to the scratch sink — top-k is
+  * a monoid (global top-k == top-k of the union of per-batch top-ks),
+  * so the sink is APPEND-ONLY: no read-modify-write state, no
+  * cross-batch coordination, crash-safe at-least-once appends (a
+  * replayed batch re-appends identical rows, which the final top-k
+  * absorbs — keys are deterministic hash functions of the row). The
+  * final reservoir read is `Sampling.aresTop` over the answer-sized
+  * sink: row-identical to batch q174 by construction, so q174's
+  * oracle serves both.
+  *
+  * Scale shape: per batch ONE key-computing projection +
+  * TakeOrderedAndProject (k rows out, whatever the batch size); stream
+  * state is zero — the sink holds ≤ k·batches rows. At the firehose
+  * this is the curriculum/mixture lottery running at ingest with no
+  * corpus pass at all.
+  */
+object SampleStream {
+
+  private val runs = new ConcurrentHashMap[(SparkSession, String), String]()
+  private val counter = new AtomicInteger(0)
+
+  /** `streamSrc`/`filesPerTrigger` let a spec replay the corpus as
+    * SEVERAL micro-batches (a dir of per-batch doc files, 1 file per
+    * trigger); the registry form streams `documents.parquet` as one
+    * AvailableNow batch. */
+  def reservoirStream(spark: SparkSession, sfDir: String,
+                      streamSrc: Option[String] = None,
+                      filesPerTrigger: Option[Int] = None): DataFrame = {
+    val key = (spark, sfDir + streamSrc.map("|" + _).getOrElse(""))
+    val out = runs.computeIfAbsent(key, _ => {
+      val run = counter.incrementAndGet()
+      val sink = StreamScratch.dir(s"graft_reservoir_$run")
+      val ckDir = StreamScratch.dir(s"graft_reservoir_ck_$run")
+      val (src, glob) = streamSrc match {
+        case Some(d) => (d, "*.parquet")
+        case None    => (sfDir, "documents.parquet")
+      }
+      val schema = streamSrc match {
+        case Some(d) => StreamScratch.schemaOf(spark, d)
+        case None    => StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+      }
+      val reader = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+      filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      val stream = reader.parquet(src).select("doc_id", "n_chars")
+      val q = stream.writeStream
+        .queryName(s"graft_reservoir_$run")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.Sampling.aresKeyed(batch)
+            .orderBy(org.apache.spark.sql.functions.col("es_key").asc,
+              org.apache.spark.sql.functions.col("doc_id").asc)
+            .limit(graft.ops.Sampling.ReservoirK)
+            .coalesce(1).write.mode("append").parquet(sink)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink
+    })
+    graft.ops.Sampling.aresTop(spark.read.parquet(out))
+  }
+}

@@ -495,4 +495,110 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1,
       s"stage 2 must scan the corpus once, found $scans scans:\n$plan")
   }
+
+  private def parquetScans(df: DataFrame, table: String): Int =
+    flatten(df.queryExecution.executedPlan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(table))
+      case _ => false
+    }
+
+  test("q173: scoring is one fused-expression scan + physical top-k; the window rides the limited frame") {
+    val df = graft.ops.Similarity.embedOutliers(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"outlier top-k must be per-partition top-k + driver merge, not a global sort:\n$plan")
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx >= 0 && windowIdx < takeIdx,
+      s"the global rank window must consume the k-row frame, not the corpus:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"scoring must be the fused MahalanobisMilli loop, not a posexplode re-shuffle:\n$plan")
+    assert(parquetScans(df, "embeddings.parquet") == 1,
+      s"the scoring job must read the corpus exactly once (stats are a prior driver-value job):\n$plan")
+  }
+
+  test("q174: the reservoir is physical top-k over one key-computing scan") {
+    val df = graft.ops.Sampling.weightedReservoir(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-Res selection must be per-partition top-k + driver merge:\n$plan")
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx >= 0 && windowIdx < takeIdx,
+      s"the rank window must sit above the k-row limit:\n$plan")
+    assert(parquetScans(df, "documents.parquet") == 1,
+      s"key computation is one scan:\n$plan")
+  }
+
+  test("q175: the corpus tokenizes once — every model table folds out of reused exchanges") {
+    val df = graft.ops.TextAnalytics.knBigramXent(spark, sf0001)
+    val plan = executed(df)
+    // the materialized (source, w1, w2) frame feeds all five model
+    // tables: the final plan reads the cache, never the corpus again
+    val scans = parquetScans(df, "documents.parquet")
+    assert(scans <= 1,
+      s"bigram counts, c1, continuation counts and Nall must all reuse ONE corpus pass, found $scans:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the vocabulary-sized grouped frame must be materialized, not a rebuilt lineage:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"only the 1-row Nall broadcast cross is allowed:\n$plan")
+    val bnlj = flatten(df.queryExecution.executedPlan)
+      .count(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"nested loop beyond the 1-row Nall cross:\n$plan")
+  }
+
+  test("q177: the split projection meets the pairs in ONE corpus scan; report aggs are pair-sized") {
+    val df = graft.ops.Sampling.splitLeakage(spark, sf0001)
+    val plan = executed(df)
+    val scans = parquetScans(df, "documents.parquet")
+    assert(scans == 1,
+      s"the exploded pair relation must join the split projection once — a per-side join scans twice, found $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"nested loop in the leakage audit:\n$plan")
+  }
+
+  test("q178: the bigram table materializes once; the report is physical top-k above the limit") {
+    val df = graft.ops.TextAnalytics.pmiCollocations(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") <= 1,
+      s"marginals and N must fold from the materialized bigram table, not rebuilt lineages:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the vocabulary-sized bigram table must be materialized:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the collocation top-k must be per-partition top-k + driver merge:\n$plan")
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx >= 0 && windowIdx < takeIdx,
+      s"the rank window must sit above the k-row limit:\n$plan")
+    val bnlj = flatten(df.queryExecution.executedPlan)
+      .count(_.nodeName.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 1, s"nested loop beyond the 1-row N cross:\n$plan")
+  }
+
+  test("q179: the final reservoir read is answer-sized — top-k over the sink, no corpus scan") {
+    val df = graft.streaming.SampleStream.reservoirStream(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") == 0,
+      s"the serving read must touch only the per-batch top-k sink, never the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the reservoir fold must be physical top-k:\n$plan")
+    val windowIdx = plan.indexOf("Window")
+    val takeIdx = plan.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx >= 0 && windowIdx < takeIdx,
+      s"the rank window must sit above the k-row limit:\n$plan")
+  }
+
+  test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
+    val df = graft.ops.Events.seqPatterns(spark, sf0001)
+    val plan = executed(df)
+    assert(!plan.contains("Join"),
+      s"no join of any kind belongs in the emission pipeline:\n$plan")
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      s"pattern emission must be the flatMap over folded sessions:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"session sequences must fold through partial aggregation:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the support top-k must be physical top-k, not a global sort:\n$plan")
+  }
 }

@@ -1,0 +1,294 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 operator specs: q173–q176 (diagonal Mahalanobis outliers,
+  * Efraimidis–Spirakis weighted reservoir, interpolated Kneser–Ney
+  * cross-entropy, bounded GSP sequential patterns). Each operator is
+  * oracle-green at sf0.01; these specs replay the full arithmetic
+  * against independent in-test references at sf0.001 and pin the edge
+  * arms the oracle corpus cannot reach — zero/negative variance dims,
+  * the u = 1 log edge, the P <= 1 invariant, session set-semantics. */
+class Round11OpsSpec extends SparkSpec {
+
+  /** Test-side twin of graft.core.Hash32 (plain JVM, no Spark). */
+  private def hash32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+  }
+
+  // ---------------------------------------------------------------- q173
+
+  test("q173: sf0.001 top-k matches an independent in-test Mahalanobis replay (floor grid incl.)") {
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("int"),
+        transform(col("embedding"), x => floor(x.cast("double") * lit(1e6)).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val dims = rows.head._3.length
+    val n = rows.length.toLong
+    val mus = new Array[Long](dims)
+    val vrs = new Array[Long](dims)
+    for (d <- 0 until dims) {
+      val xs = rows.map(_._3(d))
+      val mu = math.floor(xs.sum.toDouble / n).toLong
+      val m2 = math.floor(xs.map(x => x * x).sum.toDouble / n).toLong
+      mus(d) = mu; vrs(d) = m2 - mu * mu
+    }
+    val expected = rows.map { case (id, lbl, v) =>
+      var acc = 0L
+      for (d <- 0 until dims) if (vrs(d) > 0L) {
+        val dx = v(d) - mus(d)
+        acc += dx * dx * 1000L / vrs(d)
+      }
+      (id, lbl, acc)
+    }.sortBy { case (id, _, s) => (-s, id) }
+      .take(graft.ops.Similarity.OutlierTopK)
+      .zipWithIndex.map { case ((id, lbl, s), i) => (i + 1L, id, lbl, s) }.toSeq
+    val got = graft.ops.Similarity.embedOutliers(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("label"), r.getAs[Long]("score_milli"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q173: zero and negative variance dimensions contribute 0 by rule, not a crash") {
+    import spark.implicits._
+    val got = Seq(Tuple1(Array(10L, 20L, 30L))).toDF("v")
+      .select(graft.functions.MahalanobisMilli(col("v"),
+        typedLit(Seq(0L, 0L, 0L)), typedLit(Seq(4L, 0L, -5L))).as("s"))
+      .head.getLong(0)
+    // dim0: 100*1000/4 = 25000; dim1 var=0 and dim2 var<0 contribute 0
+    assert(got == 25000L)
+  }
+
+  // ---------------------------------------------------------------- q174
+
+  test("q174: sf0.001 reservoir matches an independent in-test A-Res key replay") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+      .filter(_._2 >= 1L)
+    val expected = docs.map { case (id, w) =>
+      val h20 = (hash32(id.toString) >> 12) + 1L
+      val nl2 = (20L << 16) - graft.functions.FixedLog2.q16(h20)
+      (id, w, (nl2 << 20) / w)
+    }.sortBy { case (id, _, k) => (k, id) }
+      .take(graft.ops.Sampling.ReservoirK)
+      .zipWithIndex.map { case ((id, w, k), i) => (i + 1L, id, w, k) }.toSeq
+    val got = graft.ops.Sampling.weightedReservoir(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("w"), r.getAs[Long]("es_key"))).toSeq
+    assert(got == expected)
+    assert(got.size == graft.ops.Sampling.ReservoirK)
+  }
+
+  test("q174: the u = 1 edge (h20 = 2^20) maps to key 0 — certain selection at any weight") {
+    assert(graft.functions.FixedLog2.q16(1L << 20) == (20L << 16))
+    // nl2 = 0 -> es_key = 0 for every w >= 1: the key grid's floor
+    // never pushes a certain pick out of the reservoir
+  }
+
+  // ---------------------------------------------------------------- q175
+
+  test("q175: sf0.001 per-source cross-entropy matches an independent in-test KN replay; P <= 1 holds") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def bigrams(t: String): Seq[(String, String)] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      toks.dropRight(1).zip(toks.drop(1)).toSeq
+    }
+    val srcTf = docs.flatMap { case (s, t) => bigrams(t).map(b => (s, b)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c12 = srcTf.groupBy { case ((_, b), _) => b }.view
+      .mapValues(_.values.sum).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nctx = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nword = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nall = c12.size.toLong
+    val perSource = srcTf.toSeq.map { case ((src, (w1, w2)), tf) =>
+      val num = (4L * c12((w1, w2)) - 3L) * nall + 3L * nctx(w1) * nword(w2)
+      val den = 4L * c1(w1) * nall
+      assert(num >= 1L && num <= den,
+        s"P_KN out of (0, 1] for ($w1,$w2): num=$num den=$den")
+      (src, tf, tf * (graft.functions.FixedLog2.q16(den) - graft.functions.FixedLog2.q16(num)))
+    }.groupBy(_._1).view.mapValues { ts =>
+      (ts.map(_._2).sum, ts.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val expected = perSource.map { case (src, (nb, s)) =>
+      (src, nb, s, s * 1000L / (nb * 65536L))
+    }
+    val got = graft.ops.TextAnalytics.knBigramXent(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_log2_q16"), r.getAs[Long]("xent_milli_bits"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  // ---------------------------------------------------------------- q176
+
+  /** Independent containment reference: brute-force i<j (and i<j<k)
+    * enumeration — O(n^3) per session, obviously correct, shares no
+    * code with the operator's greedy first-occurrence emission. */
+  private def bruteSupported(s: Array[String]): Set[(String, String, String)] = {
+    val out = collection.mutable.Set.empty[(String, String, String)]
+    for (i <- s.indices; j <- (i + 1) until s.length) {
+      out += ((s(i), s(j), null))
+      for (k <- (j + 1) until s.length) out += ((s(i), s(j), s(k)))
+    }
+    out.toSet
+  }
+
+  test("q176: sf0.001 support table matches a brute-force i<j<k containment reference") {
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val sessions = ev.groupBy { case (u, us, _, _) => (u, us / 3600000000L) }
+      .values.map(_.sortBy { case (_, us, eid, _) => (us, eid) }.map(_._4).toArray)
+    val support = sessions.toSeq.flatMap(s => bruteSupported(s).toSeq)
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val expected = support.map { case ((a, b, c), n) =>
+      val pat = if (c == null) s"$a>$b" else s"$a>$b>$c"
+      val len = if (c == null) 2L else 3L
+      (pat, len, n)
+    }.sortBy { case (p, _, n) => (-n, p) }
+      .take(graft.ops.Events.SeqPatternTopK.toInt)
+    val got = graft.ops.Events.seqPatterns(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("pattern"), r.getAs[Long]("len"),
+        r.getAs[Long]("support"))).toSeq
+    assert(got == expected)
+    assert(got.size == graft.ops.Events.SeqPatternTopK.toInt)
+    // the set-semantics claim must actually be exercised by the corpus:
+    // some session repeats a type
+    assert(sessions.exists(s => s.length != s.distinct.length))
+  }
+
+  // ---------------------------------------------------------------- q177
+
+  test("q177: sf0.001 report matches a plain-Scala recomposition of graph pairs x hash splits") {
+    val path = graft.ops.Dedup.preparedDedupGraph(spark, sf0001, graft.ops.Dedup.OracleHashBits)
+    val pairs = graft.ops.Dedup.loadGraphPairs(spark, path).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter") * 1000L / r.getAs[Long]("uni")))
+    def split(id: Long): String = {
+      val b = ((hash32(id.toString) % 100) + 100) % 100
+      if (b < graft.ops.Sampling.TrainPct) "train"
+      else if (b < graft.ops.Sampling.TrainPct + graft.ops.Sampling.ValPct) "val"
+      else "test"
+    }
+    val expected = pairs.map { case (a, b, j) =>
+      val (lo, hi) = {
+        val (sa, sb) = (split(a), split(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      (lo, hi, j, a, b)
+    }.groupBy { case (lo, hi, _, _, _) => (lo, hi) }
+      .map { case ((lo, hi), rs) =>
+        (lo, hi, if (lo != hi) 1L else 0L, rs.length.toLong,
+          rs.flatMap(r => Seq(r._4, r._5)).distinct.length.toLong,
+          rs.map(_._3).max)
+      }.toSeq.sortBy { case (lo, hi, _, _, _, _) => (lo, hi) }
+    val got = graft.ops.Sampling.splitLeakage(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("split_lo"), r.getAs[String]("split_hi"),
+        r.getAs[Long]("leak"), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("max_jaccard_permille"))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 == 1L), "the sf0.001 corpus must actually exhibit leakage")
+  }
+
+  test("q177: a planted near-dup pair straddling train/test surfaces as a leak row") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q177-planted")
+    def splitOf(id: Long): Long = ((hash32(id.toString) % 100) + 100) % 100
+    val trainId = (0L to 500L).find(id => splitOf(id) < graft.ops.Sampling.TrainPct).get
+    val testId = (0L to 500L).find(id => splitOf(id) >= graft.ops.Sampling.TrainPct + graft.ops.Sampling.ValPct).get
+    val para = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (trainId, para + " trailer alpha", "en", "s0"),
+      (testId, para + " trailer beta", "en", "s0"),
+      // unique filler so the corpus is not a single family
+      (900001L, (1 to 60).map(i => s"other$i").mkString(" "), "en", "s1"),
+      (900002L, (1 to 60).map(i => s"misc$i").mkString(" "), "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Sampling.splitLeakage(spark, dir).collect()
+      .map(r => (r.getAs[String]("split_lo"), r.getAs[String]("split_hi"),
+        r.getAs[Long]("leak"), r.getAs[Long]("n_pairs")))
+    assert(got.contains(("test", "train", 1L, 1L)),
+      s"the planted train/test near-dup must surface: ${got.mkString(", ")}")
+  }
+
+  // ---------------------------------------------------------------- q178
+
+  test("q178: sf0.001 collocations match an independent in-test PMI replay; min-count floor holds") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("text")).collect().map(_.getString(0))
+    val bf = docs.flatMap { t =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      toks.dropRight(1).zip(toks.drop(1))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = bf.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val c2 = bf.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = bf.values.sum
+    val expected = bf.toSeq
+      .filter { case (_, c12) => c12 >= graft.ops.TextAnalytics.PmiMinCount }
+      .map { case ((w1, w2), c12) =>
+        val pmi = graft.functions.FixedLog2.q16(c12 * n) -
+          graft.functions.FixedLog2.q16(c1(w1) * c2(w2))
+        (w1, w2, c12, pmi)
+      }.sortBy { case (w1, w2, _, p) => (-p, w1, w2) }
+      .take(graft.ops.TextAnalytics.PmiTopK)
+      .zipWithIndex.map { case ((w1, w2, c12, p), i) => (i + 1L, w1, w2, c12, p) }
+    val got = graft.ops.TextAnalytics.pmiCollocations(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c12"), r.getAs[Long]("pmi_q16"))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._4 >= graft.ops.TextAnalytics.PmiMinCount))
+  }
+
+  // ---------------------------------------------------------------- q179
+
+  test("q179: a 4-micro-batch replay folds to the EXACT batch reservoir (top-k is a monoid)") {
+    import spark.implicits._
+    val src = graft.streaming.StreamScratch.dir("q179-multibatch")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    docs.grouped(math.max(1, docs.length / 4 + 1)).zipWithIndex.foreach { case (part, i) =>
+      val tmp = graft.streaming.StreamScratch.dir(s"q179-part$i")
+      part.toSeq.toDF("doc_id", "n_chars").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(src, s"batch$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val streamed = graft.streaming.SampleStream
+      .reservoirStream(spark, sf0001, streamSrc = Some(src), filesPerTrigger = Some(1))
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("w"), r.getAs[Long]("es_key"))).toSeq
+    val batch = graft.ops.Sampling.weightedReservoir(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("w"), r.getAs[Long]("es_key"))).toSeq
+    assert(streamed == batch)
+  }
+
+  test("q176: repeats inside one session count once (GSP session support, not occurrences)") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q176-repeats")
+    def at(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 05:$m%02d:00")
+    // u1's session <a,a,b>: supports a>a, a>b, a>a>b — once each,
+    // though a>b embeds twice; u2's <a,b> supports a>b only
+    Seq((at(1), 1L, 1L, "a"), (at(2), 2L, 1L, "a"), (at(3), 3L, 1L, "b"),
+        (at(4), 4L, 2L, "a"), (at(5), 5L, 2L, "b"))
+      .toDF("ts", "event_id", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.ops.Events.seqPatterns(spark, dir).collect()
+      .map(r => (r.getAs[String]("pattern"), r.getAs[Long]("len"), r.getAs[Long]("support"))).toSeq
+    assert(got == Seq(("a>b", 2L, 2L), ("a>a", 2L, 1L), ("a>a>b", 3L, 1L)))
+  }
+}
