@@ -233,7 +233,12 @@ object SparkEntry {
     "q177_split_leakage"    -> Sampling.splitLeakage _,
     "q178_pmi_collocations" -> TextAnalytics.pmiCollocations _,
     "q179_stream_reservoir" -> ((s: SparkSession, d: String) =>
-      graft.streaming.SampleStream.reservoirStream(s, d))
+      graft.streaming.SampleStream.reservoirStream(s, d)),
+    // q177's audit moved to the admission frontier (prevent, not report)
+    "q180_admission_split_guard" -> ((s: SparkSession, d: String) =>
+      Dedup.admissionSplitGuard(s, d, Dedup.OracleHashBits)),
+    "q181_stream_split_guard" -> ((s: SparkSession, d: String) =>
+      graft.streaming.DedupStream.splitGuardStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -489,6 +494,9 @@ object SparkEntry {
     "q178_pmi_collocations" -> TextAnalytics.pmiCollocationsSql,
     // the stream is row-identical to batch q174 by shared cores, so
     // one oracle serves both (the q164/q166 discipline)
-    "q179_stream_reservoir" -> Sampling.weightedReservoirSql
+    "q179_stream_reservoir" -> Sampling.weightedReservoirSql,
+    "q180_admission_split_guard" -> Dedup.admissionSplitGuardSql,
+    // row-identical to batch q180 by the shared splitGuardReport seam
+    "q181_stream_split_guard" -> Dedup.admissionSplitGuardSql
   )
 }

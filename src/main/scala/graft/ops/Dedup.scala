@@ -2730,6 +2730,136 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Admission split guard (q180): q177's leakage audit moved to where
+  // it can still PREVENT the leak — the admission frontier. For each
+  // incoming (src0) document: the split the q50 hash rule will route it
+  // to, its verified near-dup partners against the FROZEN corpus and
+  // against the wave itself (two wave near-dups routed apart leak
+  // exactly like a wave↔corpus pair), and whether any partner lives in
+  // a different split. A cross-split dup quarantines BEFORE it lands;
+  // a same-split dup routes to the dedup path; a novel doc admits.
+  // (Lee et al. ACL 2022 / Dodge et al. EMNLP 2021 contamination, as an
+  // at-ingest gate rather than a post-hoc report.)
+  //
+  // Scale shape: candidate generation is the q99/q102 admission probe —
+  // the wave's bands BROADCAST into the frozen band postings, never the
+  // reverse — plus the wave-sized wave↔wave arm; split tags ride one
+  // doc_id-only corpus projection joined to the ANSWER-SIZED edge list
+  // (both orientations of the verified pairs); the report is one
+  // doc-keyed agg over wave-sized rows, and every incoming doc gets a
+  // row (novel docs report zeros — an admission verdict must cover the
+  // whole wave).
+  // -------------------------------------------------------------------
+
+  def admissionSplitGuard(spark: SparkSession, sfDir: String,
+                          bits: Int = DefaultHashBits): DataFrame = {
+    val newDocs = Tables.documents(spark, sfDir)
+      .filter(col("source") === IncrementalSource)
+      .select("doc_id", "source", "text")
+    splitGuardReport(spark, sfDir,
+      admissionPairs(newDocs, preparedFrozenCorpus(spark, sfDir, bits), bits))
+  }
+
+  /** The guard's report half over an externally supplied verified-pair
+    * relation (doc_a, doc_b, inter, uni) — the seam the STREAMING twin
+    * (q181) serves through: per-batch pair emission unions to exactly
+    * [[admissionPairs]]'s pair set (see admissionPairsWithPrior), so
+    * stream and batch reports are row-identical by construction. */
+  private[graft] def splitGuardReport(spark: SparkSession, sfDir: String,
+                                      rawPairs: DataFrame): DataFrame = {
+    val newDocs = Tables.documents(spark, sfDir)
+      .filter(col("source") === IncrementalSource)
+      .select("doc_id", "source", "text")
+    val pairs = rawPairs
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(inter as bigint) * 1000 div cast(uni as bigint)").as("jac_permille"))
+    val spl = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Sampling.splitOf(pmod(Sampling.docIdHash, lit(100L))).as("split"),
+        col("source"))
+    val edges = pairs
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("jac_permille"))
+      .unionAll(pairs
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("jac_permille")))
+    val waveEdges = edges
+      .join(spl.filter(col("source") === IncrementalSource)
+        .select(col("doc_id"), col("split").as("own_split")), Seq("doc_id"))
+      .join(spl.select(col("doc_id").as("partner"), col("split").as("partner_split")),
+        Seq("partner"))
+    val agg = waveEdges.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_matches"),
+        sum(when(col("own_split") =!= col("partner_split"), 1L).otherwise(0L))
+          .as("n_cross_split"),
+        max(when(col("own_split") =!= col("partner_split"), col("jac_permille"))
+          .otherwise(lit(0L))).as("max_cross_permille"))
+    newDocs.select(col("doc_id"))
+      .withColumn("own_split", Sampling.splitOf(pmod(Sampling.docIdHash, lit(100L))))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("own_split"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        coalesce(col("n_cross_split"), lit(0L)).as("n_cross_split"),
+        coalesce(col("max_cross_permille"), lit(0L)).as("max_cross_permille"))
+      .withColumn("verdict",
+        when(col("n_cross_split") > 0, "quarantine")
+          .when(col("n_dup_matches") > 0, "dedup_same_split")
+          .otherwise("admit"))
+      .orderBy("doc_id")
+  }
+
+  def admissionSplitGuardSql: String = {
+    val bandJoins = (0 until Consts.LshBands).map { b =>
+      s"SELECT x.doc_id AS d, y.doc_id AS p FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.source = '$IncrementalSource' AND x.doc_id <> y.doc_id"
+    }.mkString("\n    UNION\n    ")
+    val hash = graft.core.Hash32.sql("md5(cast(doc_id as varchar))")
+    s"""WITH sets AS (
+       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
+       |  FROM (SELECT doc_id, source, $sqlShingles s0
+       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
+       |exploded AS (SELECT doc_id, source, unnest(s) AS hv FROM sets),
+       |sig AS (SELECT doc_id, source,
+       |    $minColsSql
+       |  FROM exploded GROUP BY doc_id, source),
+       |banded AS (SELECT doc_id, source,
+       |    $bandColsSql
+       |  FROM sig),
+       |cand AS (
+       |    $bandJoins),
+       |ver AS (
+       |  SELECT DISTINCT d, p,
+       |    (cast(len(list_intersect(sa.s, sb.s)) as bigint) * 1000)
+       |      // cast(len(list_distinct(sa.s || sb.s)) as bigint) AS jac_permille
+       |  FROM cand
+       |  JOIN sets sa ON d = sa.doc_id
+       |  JOIN sets sb ON p = sb.doc_id
+       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN $hash % 100 < ${Sampling.TrainPct} THEN 'train'
+       |         WHEN $hash % 100 < ${Sampling.TrainPct + Sampling.ValPct} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |agg AS (
+       |  SELECT d AS doc_id,
+       |    cast(count(*) as bigint) AS n_dup_matches,
+       |    cast(sum(CASE WHEN so.split <> sp.split THEN 1 ELSE 0 END) as bigint) AS n_cross_split,
+       |    max(CASE WHEN so.split <> sp.split THEN jac_permille ELSE cast(0 as bigint) END) AS max_cross_permille
+       |  FROM ver JOIN spl so ON d = so.doc_id JOIN spl sp ON p = sp.doc_id
+       |  GROUP BY d)
+       |SELECT n.doc_id, s.split AS own_split,
+       |  coalesce(a.n_dup_matches, 0) AS n_dup_matches,
+       |  coalesce(a.n_cross_split, 0) AS n_cross_split,
+       |  coalesce(a.max_cross_permille, 0) AS max_cross_permille,
+       |  CASE WHEN coalesce(a.n_cross_split, 0) > 0 THEN 'quarantine'
+       |       WHEN coalesce(a.n_dup_matches, 0) > 0 THEN 'dedup_same_split'
+       |       ELSE 'admit' END AS verdict
+       |FROM documents n
+       |JOIN spl s ON n.doc_id = s.doc_id
+       |LEFT JOIN agg a ON n.doc_id = a.doc_id
+       |WHERE n.source = '$IncrementalSource'
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   def clusterSplit(spark: SparkSession, sfDir: String,
                    bits: Int = DefaultHashBits): DataFrame =
     clusterSplitWith(spark, sfDir,

@@ -885,7 +885,7 @@ object Sampling {
   // Report is <= |splits|^2 rows.
   // -------------------------------------------------------------------
 
-  private def splitOf(bucket: Column): Column =
+  private[ops] def splitOf(bucket: Column): Column =
     when(bucket < TrainPct, "train")
       .when(bucket < TrainPct + ValPct, "val")
       .otherwise("test")

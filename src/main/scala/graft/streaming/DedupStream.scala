@@ -546,4 +546,90 @@ object DedupStream {
     q.awaitTermination()
     spark.read.parquet(outDir).orderBy("media_id")
   }
+
+  private val splitGuardCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** q181: STREAMING admission split guard — q180 at the firehose. Per
+    * micro-batch the wave docs verify against the frozen corpus AND the
+    * wave-so-far (admissionPairsWithPrior's cross-batch arm, fed by the
+    * same batchId-keyed wave-summary sidecar q166 uses), and the
+    * batch's NEW verified pairs land in a batchId-named subdir
+    * (overwrite — a foreachBatch replay rewrites identical rows instead
+    * of doubling them, and pair keys are deterministic hash functions
+    * of the docs). The union over batches is exactly the single-call
+    * [[graft.ops.Dedup.admissionPairs]] pair set (prior↔prior pairs
+    * were emitted by the batches that introduced those docs), so the
+    * final read — [[graft.ops.Dedup.splitGuardReport]] over the pair
+    * sink — is ROW-IDENTICAL to batch q180 by construction: one oracle
+    * serves both.
+    *
+    * Note the semantics multi-batch forces: a train-routed doc admitted
+    * in batch 1 whose test-routed near-dup arrives in batch 3 is
+    * flagged by the FINAL report on both endpoints (the batch-3 doc
+    * quarantines before landing; the batch-1 doc surfaces as the
+    * retro-amendment the pipeline must re-route) — exactly the batch
+    * report's verdict, which is the point of the shared-core seam.
+    *
+    * Scale shape: per batch, the batch's bands BROADCAST into the
+    * frozen postings + the wave-so-far summaries (batch × accumulated
+    * wave, never corpus × corpus); the pair sink holds answer-sized
+    * verified pairs; stream state is zero beyond the two sidecars. */
+  def splitGuardStream(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String,
+                       streamSrc: Option[String] = None,
+                       filesPerTrigger: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val bits = graft.ops.Dedup.OracleHashBits
+    val corpus = graft.ops.Dedup.preparedFrozenCorpus(spark, sfDir, bits)
+    val run = splitGuardCounter.incrementAndGet()
+    val waveDir = StreamScratch.dir(s"graft_splitguard_wave_$run")
+    val pairsDir = StreamScratch.dir(s"graft_splitguard_pairs_$run")
+    val ckDir = StreamScratch.dir(s"graft_splitguard_ck_$run")
+    val schema = streamSrc match {
+      case Some(d) => StreamScratch.schemaOf(spark, d)
+      case None    => StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
+    }
+    val reader = filesPerTrigger.foldLeft(spark.readStream.schema(schema))(
+      (r, n) => r.option("maxFilesPerTrigger", n))
+    val src = streamSrc match {
+      case Some(d) => reader.option("pathGlobFilter", "*.parquet").parquet(d)
+      case None =>
+        reader.option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    }
+    val q = src
+      .filter(col("source") === graft.ops.Dedup.IncrementalSource)
+      .select("doc_id", "source", "text")
+      .writeStream
+      .queryName(s"graft_splitguard_$run")
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // prior = STRICTLY-earlier batches' summaries only: a replay
+        // never reads its own half-written summary and self-pairs
+        val priorDirs = new java.io.File(waveDir).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("sum_"))
+          .map(f => (f.getName.stripPrefix("sum_").toLong, f.getAbsolutePath))
+          .filter(_._1 < batchId).map(_._2)
+        val prior =
+          if (priorDirs.isEmpty) None
+          else Some(spark.read.parquet(priorDirs.toSeq: _*))
+        val (pairs, sum) = graft.ops.Dedup.admissionPairsWithPrior(
+          batch, prior, corpus, bits)
+        pairs.select("doc_a", "doc_b", "inter", "uni")
+          .coalesce(1).write.mode("overwrite").parquet(s"$pairsDir/b_$batchId")
+        sum.coalesce(1).write.mode("overwrite").parquet(s"$waveDir/sum_$batchId")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = new java.io.File(pairsDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b_")).map(_.getAbsolutePath)
+    val allPairs =
+      if (sunk.isEmpty)
+        spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"),
+          col("id").as("inter"), col("id").as("uni"))
+      else spark.read.parquet(sunk.toSeq: _*)
+    graft.ops.Dedup.splitGuardReport(spark, sfDir,
+      allPairs.select("doc_a", "doc_b", "inter", "uni"))
+  }
 }

@@ -589,6 +589,15 @@ class PlanAuditSpec extends SparkSpec {
       s"the rank window must sit above the k-row limit:\n$plan")
   }
 
+  test("q180: the wave probes the frozen postings by broadcast; split tags join answer-sized edges") {
+    val df = graft.ops.Dedup.admissionSplitGuard(spark, sf0001, graft.ops.Dedup.OracleHashBits)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the wave's bands must broadcast into the frozen band postings, never the reverse:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"nested-loop candidate generation in the admission guard:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

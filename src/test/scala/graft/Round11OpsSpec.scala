@@ -222,6 +222,97 @@ class Round11OpsSpec extends SparkSpec {
       s"the planted train/test near-dup must surface: ${got.mkString(", ")}")
   }
 
+  // ------------------------------------------------------------ q180/q181
+
+  /** Fixture shared by q180/q181: a frozen corpus plus a 5-doc wave
+    * exercising every guard arm. Returns the dir, the doc rows, and the
+    * named wave ids. */
+  private def splitGuardFixture(name: String)
+      : (String, Seq[(Long, String, String, String)], Map[String, Long]) = {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir(name)
+    def bucket(id: Long): Long = ((hash32(id.toString) % 100) + 100) % 100
+    val trainPct = graft.ops.Sampling.TrainPct
+    val testFloor = trainPct + graft.ops.Sampling.ValPct
+    def findId(from: Long, pred: Long => Boolean): Long =
+      Iterator.iterate(from)(_ + 1).find(pred).get
+    val cTrain = findId(0L, id => bucket(id) < trainPct)
+    val wTest1 = findId(1000L, id => bucket(id) >= testFloor)
+    val cTrain2 = findId(cTrain + 1, id => bucket(id) < trainPct)
+    val wTrain2 = findId(2000L, id => bucket(id) < trainPct)
+    val wTrain3 = findId(wTrain2 + 1, id => bucket(id) < trainPct)
+    val wTest3 = findId(wTest1 + 1, id => bucket(id) >= testFloor)
+    val wNovel = findId(3000L, id => bucket(id) < trainPct)
+    def para(p: String) = (1 to 60).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      // frozen corpus
+      (cTrain, para("aa") + " tail one", "en", "web"),
+      (cTrain2, para("bb") + " tail one", "en", "web"),
+      (8888888L, para("zz"), "en", "web"),
+      // incoming wave (src0)
+      (wTest1, para("aa") + " tail two", "en", "src0"),   // cross-split vs corpus -> quarantine
+      (wTrain2, para("bb") + " tail two", "en", "src0"),  // same-split dup -> dedup_same_split
+      (wTrain3, para("cc") + " tail one", "en", "src0"),  // wave-internal pair, train side
+      (wTest3, para("cc") + " tail two", "en", "src0"),   // wave-internal pair, test side
+      (wNovel, para("qq"), "en", "src0"))                 // novel -> admit
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    (dir, docs, Map("wTest1" -> wTest1, "wTrain2" -> wTrain2,
+      "wTrain3" -> wTrain3, "wTest3" -> wTest3, "wNovel" -> wNovel))
+  }
+
+  private def guardRows(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, (String, Long, Long, Long, String)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("own_split"), r.getAs[Long]("n_dup_matches"),
+        r.getAs[Long]("n_cross_split"), r.getAs[Long]("max_cross_permille"),
+        r.getAs[String]("verdict")))).toMap
+
+  test("q180: quarantine/dedup/admit arms all fire, including the wave-internal cross-split leak") {
+    val (dir, _, ids) = splitGuardFixture("q180-arms")
+    val got = guardRows(
+      graft.ops.Dedup.admissionSplitGuard(spark, dir, graft.ops.Dedup.OracleHashBits))
+    assert(got(ids("wTest1"))._5 == "quarantine" && got(ids("wTest1"))._1 == "test")
+    assert(got(ids("wTrain2"))._5 == "dedup_same_split" && got(ids("wTrain2"))._3 == 0L)
+    assert(got(ids("wTrain3"))._5 == "quarantine",
+      "two wave docs routed apart leak exactly like a wave-corpus pair")
+    assert(got(ids("wTest3"))._5 == "quarantine")
+    assert(got(ids("wNovel")) == (("train", 0L, 0L, 0L, "admit")))
+  }
+
+  test("q181: a 3-micro-batch wave replay is row-identical to batch q180 (cross-batch pair included)") {
+    import spark.implicits._
+    val (dir, docs, ids) = splitGuardFixture("q181-stream")
+    // the wave, split so the wave-internal pair's endpoints arrive in
+    // DIFFERENT micro-batches — only the prior-summary arm can pair them
+    val waveSrc = graft.streaming.StreamScratch.dir("q181-wavesrc")
+    val batches = Seq(
+      Seq(ids("wTest1"), ids("wTrain3")),
+      Seq(ids("wTrain2"), ids("wTest3")),
+      Seq(ids("wNovel")))
+    val byId = docs.map(d => d._1 -> d).toMap
+    batches.zipWithIndex.foreach { case (idsIn, i) =>
+      val tmp = graft.streaming.StreamScratch.dir(s"q181-b$i")
+      idsIn.map(byId).toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(waveSrc, s"wave$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val streamed = guardRows(graft.streaming.DedupStream.splitGuardStream(
+      spark, dir, streamSrc = Some(waveSrc), filesPerTrigger = Some(1)))
+    val batch = guardRows(
+      graft.ops.Dedup.admissionSplitGuard(spark, dir, graft.ops.Dedup.OracleHashBits))
+    assert(streamed == batch)
+    assert(streamed(ids("wTrain3"))._5 == "quarantine" &&
+      streamed(ids("wTest3"))._5 == "quarantine",
+      "the cross-batch wave pair must surface through the prior-summary arm")
+  }
+
   // ---------------------------------------------------------------- q178
 
   test("q178: sf0.001 collocations match an independent in-test PMI replay; min-count floor holds") {
