@@ -116,6 +116,16 @@ object Scaling {
     // cells never cross replicas: per-replica graph structure is
     // identical, pair volume and triangle work scale with the factor
     "q170_graph_triangles" -> ((s, d) => graft.ops.Events.coVisitTriangles(s, d)),
+    // graph-served pairs x one split projection: pass 1 of min-of-2
+    // pays the per-decade graph build (untimed by the min); the cell
+    // measures what the audit costs per run — one doc_id projection
+    // scan plus answer-sized edge joins
+    "q177_split_leakage" -> ((s, d) => graft.ops.Sampling.splitLeakage(s, d)),
+    // the admission-probe guard: wave (src0 replicas) grows with the
+    // factor, the frozen-corpus build is pass-1/untimed, and the timed
+    // work is the broadcast band probe + answer-sized edge tagging
+    "q180_admission_split_guard" -> ((s, d) =>
+      graft.ops.Dedup.admissionSplitGuard(s, d, graft.ops.Dedup.OracleHashBits)),
     // ONE materialized corpus tokenize + vocabulary-sized model joins:
     // replicas suffix words, so the bigram vocabulary (and every model
     // table) scales with the factor while the source set stays fixed —

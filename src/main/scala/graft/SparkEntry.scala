@@ -238,7 +238,8 @@ object SparkEntry {
     "q180_admission_split_guard" -> ((s: SparkSession, d: String) =>
       Dedup.admissionSplitGuard(s, d, Dedup.OracleHashBits)),
     "q181_stream_split_guard" -> ((s: SparkSession, d: String) =>
-      graft.streaming.DedupStream.splitGuardStream(s, d))
+      graft.streaming.DedupStream.splitGuardStream(s, d)),
+    "q182_heaps_law"        -> TextAnalytics.heapsLaw _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -497,6 +498,7 @@ object SparkEntry {
     "q179_stream_reservoir" -> Sampling.weightedReservoirSql,
     "q180_admission_split_guard" -> Dedup.admissionSplitGuardSql,
     // row-identical to batch q180 by the shared splitGuardReport seam
-    "q181_stream_split_guard" -> Dedup.admissionSplitGuardSql
+    "q181_stream_split_guard" -> Dedup.admissionSplitGuardSql,
+    "q182_heaps_law"        -> TextAnalytics.heapsLawSql
   )
 }

@@ -21,7 +21,7 @@ object Sampling {
   private[ops] def docIdHash: Column =
     graft.core.Hash32.column("md5(cast(doc_id as string))")
 
-  private val sqlDocHash =
+  private[ops] val sqlDocHash =
     graft.core.Hash32.sql("md5(cast(doc_id as varchar))")
 
   val TrainPct = 80L

@@ -2448,6 +2448,95 @@ object TextAnalytics {
        |ORDER BY pmi_q16 DESC, w1 ASC, w2 ASC LIMIT $PmiTopK""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // Heaps-law vocabulary growth per source (q182): Heaps (1978) /
+  // Herdan — V(N) ~ K·N^beta, the vocabulary-growth exponent that
+  // predicts OOV pressure and tokenizer-budget demand as a source
+  // scales. Natural language sits near beta ~ 0.4-0.6; beta -> 1 means
+  // vocabulary grows linearly with tokens (serial numbers, hashes,
+  // boilerplate IDs — a quality smell q10/q92 don't see because each
+  // individual doc looks fine); beta -> 0 is a closed vocabulary
+  // (templates). Read next to q55's OOV rate: q55 scores docs against
+  // a FIXED vocabulary, this predicts how fast that vocabulary must
+  // grow to keep up.
+  //
+  // Engine-exact formulation: two DETERMINISTIC nested samples — the
+  // half-corpus (docs with even doc_id hash, the q50 machinery) and
+  // the full corpus. beta_hat = (ln V2 − ln V1)/(ln N2 − ln N1) on the
+  // exact 2^-16 log2 grid (base cancels in the ratio):
+  // beta_milli = (q16(V2)−q16(V1))·1000 div (q16(N2)−q16(N1)) — pure
+  // i64; V2 ≥ V1 by nesting so the numerator is non-negative, and the
+  // N1 = 0 / N1 = N2 degeneracies (a source entirely outside or inside
+  // the half-sample) report the −1 sentinel rather than dividing by
+  // zero.
+  //
+  // Scale shape: per-doc token counts collapse in the scan flatMap
+  // (each doc emits its distinct tokens once, with half/full counts);
+  // ONE (source, tok)-keyed shuffle builds the per-source-vocabulary
+  // frame; the report is one source-keyed agg over vocabulary-collapsed
+  // rows. Nothing corpus-sized shuffles.
+  // -------------------------------------------------------------------
+
+  def heapsLaw(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val pt = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text"),
+        (pmod(Sampling.docIdHash, lit(2L)) === 0L).as("in_half"))
+      .as[(String, String, Boolean)]
+      .mapPartitions { it =>
+        it.flatMap { case (src, txt, half) =>
+          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          t.foreach(w => m.update(w, m.getOrElse(w, 0L) + 1L))
+          m.iterator.map { case (w, c) => (src, w, if (half) c else 0L, c) }
+        }
+      }
+      .toDF("source", "tok", "c_half", "c_all")
+      .groupBy("source", "tok")
+      .agg(sum(col("c_half")).as("c_half"), sum(col("c_all")).as("c_all"))
+    pt.groupBy("source")
+      .agg(sum(when(col("c_half") > 0, 1L).otherwise(0L)).as("v1"),
+        count(lit(1)).as("v2"),
+        sum(col("c_half")).as("n1"),
+        sum(col("c_all")).as("n2"))
+      .withColumn("lv", graft.functions.FixedLog2(col("v2")) - graft.functions.FixedLog2(col("v1")))
+      .withColumn("ln_", graft.functions.FixedLog2(col("n2")) - graft.functions.FixedLog2(col("n1")))
+      .withColumn("beta_milli",
+        when(col("n1") === 0L || col("n1") === col("n2"), -1L)
+          .otherwise(expr("lv * 1000 div ln_")))
+      .select("source", "n1", "v1", "n2", "v2", "beta_milli")
+      .orderBy("source")
+  }
+
+  def heapsLawSql: String = {
+    val base =
+      s"""WITH toks AS (
+         |  SELECT source, (${Sampling.sqlDocHash} % 2 = 0) AS in_half, unnest($sqlTokens) AS tok
+         |  FROM documents),
+         |pt AS (
+         |  SELECT source, tok,
+         |    cast(sum(CASE WHEN in_half THEN 1 ELSE 0 END) as bigint) AS c_half,
+         |    cast(count(*) as bigint) AS c_all
+         |  FROM toks GROUP BY source, tok)
+         |SELECT source,
+         |  cast(sum(CASE WHEN c_half > 0 THEN 1 ELSE 0 END) as bigint) AS v1,
+         |  cast(count(*) as bigint) AS v2,
+         |  cast(sum(c_half) as bigint) AS n1,
+         |  cast(sum(c_all) as bigint) AS n2
+         |FROM pt GROUP BY source""".stripMargin
+    val withLogs = graft.functions.FixedLog2.sqlNested(
+      graft.functions.FixedLog2.sqlNested(
+        graft.functions.FixedLog2.sqlNested(
+          graft.functions.FixedLog2.sqlNested(base, "v1", "h1_", "lv1"),
+          "v2", "h2_", "lv2"),
+        "n1", "h3_", "ln1"),
+      "n2", "h4_", "ln2")
+    s"""SELECT source, n1, v1, n2, v2,
+       |  CASE WHEN n1 = 0 OR n1 = n2 THEN cast(-1 as bigint)
+       |       ELSE ((lv2 - lv1) * 1000) // (ln2 - ln1) END AS beta_milli
+       |FROM ($withLogs) ORDER BY source""".stripMargin
+  }
+
   def knBigramXentSql: String = {
     val base =
       s"""WITH toksl AS (

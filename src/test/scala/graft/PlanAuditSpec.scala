@@ -598,6 +598,14 @@ class PlanAuditSpec extends SparkSpec {
       s"nested-loop candidate generation in the admission guard:\n$plan")
   }
 
+  test("q182: one corpus scan, two keyed aggs, no join — nothing corpus-sized shuffles twice") {
+    val df = graft.ops.TextAnalytics.heapsLaw(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") == 1,
+      s"per-doc token counts must collapse in ONE scan flatMap:\n$plan")
+    assert(!plan.contains("Join"), s"no join belongs in the Heaps fold:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

@@ -341,6 +341,54 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.forall(_._4 >= graft.ops.TextAnalytics.PmiMinCount))
   }
 
+  // ---------------------------------------------------------------- q182
+
+  test("q182: sf0.001 exponents match an independent in-test Heaps replay") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val half = ds.filter { case (id, _, _) => hash32(id.toString) % 2 == 0 }
+      val n1 = half.map(d => toks(d._3).length.toLong).sum
+      val v1 = half.flatMap(d => toks(d._3)).distinct.length.toLong
+      val n2 = ds.map(d => toks(d._3).length.toLong).sum
+      val v2 = ds.flatMap(d => toks(d._3)).distinct.length.toLong
+      val beta =
+        if (n1 == 0 || n1 == n2) -1L
+        else (graft.functions.FixedLog2.q16(v2) - graft.functions.FixedLog2.q16(v1)) * 1000L /
+          (graft.functions.FixedLog2.q16(n2) - graft.functions.FixedLog2.q16(n1))
+      (src, n1, v1, n2, v2, beta)
+    }.toSeq.sortBy(_._1)
+    val got = graft.ops.TextAnalytics.heapsLaw(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n1"), r.getAs[Long]("v1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("v2"), r.getAs[Long]("beta_milli"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q182: an open-vocabulary source reads beta near 1000; a closed template source reads 0") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q182-planted")
+    // 'openv': every doc contributes brand-new tokens (vocab grows
+    // linearly with tokens -> beta ~ 1000); 'tmpl': one fixed 20-token
+    // template repeated (vocab saturates immediately -> beta 0)
+    val docs = (0L until 40L).map { i =>
+      (i, (0 until 25).map(j => s"uniq_${i}_$j").mkString(" "), "en", "openv")
+    } ++ (100L until 140L).map { i =>
+      (i, (0 until 20).map(j => s"t$j").mkString(" "), "en", "tmpl")
+    }
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.TextAnalytics.heapsLaw(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("beta_milli")).toMap
+    assert(got("openv") == 1000L,
+      s"all-unique tokens: V doubles exactly as N does -> beta exactly 1000, got ${got("openv")}")
+    assert(got("tmpl") == 0L,
+      s"fixed template: V1 = V2 -> beta 0, got ${got("tmpl")}")
+  }
+
   // ---------------------------------------------------------------- q179
 
   test("q179: a 4-micro-batch replay folds to the EXACT batch reservoir (top-k is a monoid)") {
