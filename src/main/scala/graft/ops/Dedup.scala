@@ -2811,7 +2811,6 @@ object Dedup {
     val bandJoins = (0 until Consts.LshBands).map { b =>
       s"SELECT x.doc_id AS d, y.doc_id AS p FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.source = '$IncrementalSource' AND x.doc_id <> y.doc_id"
     }.mkString("\n    UNION\n    ")
-    val hash = graft.core.Hash32.sql("md5(cast(doc_id as varchar))")
     s"""WITH sets AS (
        |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
        |  FROM (SELECT doc_id, source, $sqlShingles s0
@@ -2834,10 +2833,7 @@ object Dedup {
        |  JOIN sets sb ON p = sb.doc_id
        |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
        |spl AS (
-       |  SELECT doc_id,
-       |    CASE WHEN $hash % 100 < ${Sampling.TrainPct} THEN 'train'
-       |         WHEN $hash % 100 < ${Sampling.TrainPct + Sampling.ValPct} THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT doc_id, ${Sampling.sqlSplitCase} AS split
        |  FROM documents),
        |agg AS (
        |  SELECT d AS doc_id,

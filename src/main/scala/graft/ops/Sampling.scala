@@ -30,27 +30,27 @@ object Sampling {
   /** q50: deterministic train/val/test split — bucket = hash mod 100;
     * <80 train, <90 val, else test. Verified by the per-split counts
     * and token totals (the assignment itself is a scan-time map). */
-  def hashSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(docIdHash, lit(100L))
+  def hashSplit(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .withColumn("split",
-        when(bucket < TrainPct, "train")
-          .when(bucket < TrainPct + ValPct, "val")
-          .otherwise("test"))
+      .withColumn("split", splitOf(pmod(docIdHash, lit(100L))))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextAnalytics.tokens(col("text"))).cast("long")).as("n_tokens"))
       .orderBy("split")
-  }
+
+  /** The ONE DuckDB spelling of the q50 split rule (the Hash32
+    * discipline: one definition per engine, so q50/q177/q180 cannot
+    * drift copy-by-copy). Spark twin: [[splitOf]]. */
+  private[ops] def sqlSplitCase: String =
+    s"""CASE WHEN $sqlDocHash % 100 < $TrainPct THEN 'train'
+       |         WHEN $sqlDocHash % 100 < ${TrainPct + ValPct} THEN 'val'
+       |         ELSE 'test' END""".stripMargin
 
   def hashSplitSql: String =
     s"""SELECT split, count(*) AS n_docs,
        |  cast(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != ''))) as bigint) AS n_tokens
        |FROM (
-       |  SELECT text,
-       |    CASE WHEN $sqlDocHash % 100 < $TrainPct THEN 'train'
-       |         WHEN $sqlDocHash % 100 < ${TrainPct + ValPct} THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT text, $sqlSplitCase AS split
        |  FROM documents)
        |GROUP BY split
        |ORDER BY split""".stripMargin
@@ -925,10 +925,7 @@ object Sampling {
        |  JOIN sets sb ON doc_b = sb.doc_id
        |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${graft.core.Consts.MinhashJaccardThreshold}),
        |spl AS (
-       |  SELECT doc_id,
-       |    CASE WHEN $sqlDocHash % 100 < $TrainPct THEN 'train'
-       |         WHEN $sqlDocHash % 100 < ${TrainPct + ValPct} THEN 'val'
-       |         ELSE 'test' END AS split
+       |  SELECT doc_id, $sqlSplitCase AS split
        |  FROM documents),
        |tagged AS (
        |  SELECT least(a.split, b.split) AS split_lo, greatest(a.split, b.split) AS split_hi,

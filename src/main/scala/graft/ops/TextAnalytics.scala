@@ -2351,15 +2351,19 @@ object TextAnalytics {
     // q172 lesson: an unshared grouped subtree recomputes the full
     // tokenize+explode per consumer)
     val srcBtf = Materialize.shared(spark, sourceBigramRows(spark, sfDir))
+    // bf is NOT separately materialized: above the cached srcBtf its
+    // aggregate exchange canonicalizes (no typed-lambda lineage below
+    // it), so its consumers ride ONE reused exchange and a second cache
+    // only adds persist overhead. c1 + nctx fold in ONE w1-keyed agg
+    // rather than two aggs and two joins.
     val bf = srcBtf.groupBy("w1", "w2").agg(sum(col("tf")).as("c12"))
-    val c1 = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val nctx = bf.groupBy("w1").agg(count(lit(1)).as("nctx"))
+    val w1Stats = bf.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nctx"))
     val nword = bf.groupBy("w2").agg(count(lit(1)).as("nword"))
     val nall = bf.agg(count(lit(1)).as("nall"))
     val scored = srcBtf
       .join(bf, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .join(nctx, Seq("w1"))
+      .join(w1Stats, Seq("w1"))
       .join(nword, Seq("w2"))
       .crossJoin(broadcast(nall))
       .withColumn("num", expr("(4*c12 - 3)*nall + 3*nctx*nword"))
@@ -2407,7 +2411,7 @@ object TextAnalytics {
 
   def pmiCollocations(spark: SparkSession, sfDir: String): DataFrame = {
     val bf = Materialize.shared(spark,
-      sourceBigramRows(spark, sfDir).groupBy("w1", "w2").agg(sum(col("tf")).as("c12")))
+      bigramTfRows(spark, sfDir).groupBy("w1", "w2").agg(sum(col("tf")).as("c12")))
     val c1 = bf.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val c2 = bf.groupBy("w2").agg(sum(col("c12")).as("c2"))
     val nall = bf.agg(sum(col("c12")).as("n"))
@@ -2466,9 +2470,10 @@ object TextAnalytics {
   // exact 2^-16 log2 grid (base cancels in the ratio):
   // beta_milli = (q16(V2)−q16(V1))·1000 div (q16(N2)−q16(N1)) — pure
   // i64; V2 ≥ V1 by nesting so the numerator is non-negative, and the
-  // N1 = 0 / N1 = N2 degeneracies (a source entirely outside or inside
-  // the half-sample) report the −1 sentinel rather than dividing by
-  // zero.
+  // degeneracies — N1 = 0 (source entirely outside the half-sample) or
+  // a zero COMPUTED denominator (N1 = N2, or N2/N1 under the grid's
+  // ~1+1.06e-5 resolution at huge nearly-equal samples) — report the
+  // −1 sentinel rather than dividing by zero.
   //
   // Scale shape: per-doc token counts collapse in the scan flatMap
   // (each doc emits its distinct tokens once, with half/full counts);
@@ -2501,8 +2506,12 @@ object TextAnalytics {
         sum(col("c_all")).as("n2"))
       .withColumn("lv", graft.functions.FixedLog2(col("v2")) - graft.functions.FixedLog2(col("v1")))
       .withColumn("ln_", graft.functions.FixedLog2(col("n2")) - graft.functions.FixedLog2(col("n1")))
+      // the sentinel guards the COMPUTED denominator, not just n1 = n2:
+      // on the 2^-16 grid q16(n2) - q16(n1) collapses to 0 whenever
+      // n2/n1 < 1 + ~1.06e-5, so huge nearly-equal samples would
+      // otherwise divide by zero (null here, a hard error in DuckDB)
       .withColumn("beta_milli",
-        when(col("n1") === 0L || col("n1") === col("n2"), -1L)
+        when(col("n1") === 0L || col("ln_") <= 0L, -1L)
           .otherwise(expr("lv * 1000 div ln_")))
       .select("source", "n1", "v1", "n2", "v2", "beta_milli")
       .orderBy("source")
@@ -2532,7 +2541,7 @@ object TextAnalytics {
         "n1", "h3_", "ln1"),
       "n2", "h4_", "ln2")
     s"""SELECT source, n1, v1, n2, v2,
-       |  CASE WHEN n1 = 0 OR n1 = n2 THEN cast(-1 as bigint)
+       |  CASE WHEN n1 = 0 OR (ln2 - ln1) <= 0 THEN cast(-1 as bigint)
        |       ELSE ((lv2 - lv1) * 1000) // (ln2 - ln1) END AS beta_milli
        |FROM ($withLogs) ORDER BY source""".stripMargin
   }

@@ -13,15 +13,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in isolation), so the firehose form is the semantics, not an
   * approximation of it. Each micro-batch computes its rows' keys with
   * the SAME shared core as batch q174 (`Sampling.aresKeyed`) and
-  * appends only its own top-k key rows to the scratch sink — top-k is
-  * a monoid (global top-k == top-k of the union of per-batch top-ks),
-  * so the sink is APPEND-ONLY: no read-modify-write state, no
-  * cross-batch coordination, crash-safe at-least-once appends (a
-  * replayed batch re-appends identical rows, which the final top-k
-  * absorbs — keys are deterministic hash functions of the row). The
-  * final reservoir read is `Sampling.aresTop` over the answer-sized
-  * sink: row-identical to batch q174 by construction, so q174's
-  * oracle serves both.
+  * writes only its own top-k key rows to a batchId-named OVERWRITE
+  * subdir of the sink — top-k is a monoid (global top-k == top-k of
+  * the union of per-batch top-ks), so batches never coordinate, and
+  * the batchId keying makes foreachBatch's at-least-once replay
+  * EXACTLY-ONCE in effect (the q181 discipline: a replayed batch
+  * rewrites its own subdir with identical deterministic rows instead
+  * of appending a duplicate copy, which would rank the same doc
+  * twice). The final reservoir read is `Sampling.aresTop` over the
+  * answer-sized sink: row-identical to batch q174 by construction, so
+  * q174's oracle serves both.
   *
   * Scale shape: per batch ONE key-computing projection +
   * TakeOrderedAndProject (k rows out, whatever the batch size); stream
@@ -61,12 +62,12 @@ object SampleStream {
       val q = stream.writeStream
         .queryName(s"graft_reservoir_$run")
         .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           graft.ops.Sampling.aresKeyed(batch)
             .orderBy(org.apache.spark.sql.functions.col("es_key").asc,
               org.apache.spark.sql.functions.col("doc_id").asc)
             .limit(graft.ops.Sampling.ReservoirK)
-            .coalesce(1).write.mode("append").parquet(sink)
+            .coalesce(1).write.mode("overwrite").parquet(s"$sink/b_$batchId")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -74,6 +75,14 @@ object SampleStream {
       q.awaitTermination()
       sink
     })
-    graft.ops.Sampling.aresTop(spark.read.parquet(out))
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b_")).map(_.getAbsolutePath)
+    val keyed =
+      if (batchDirs.isEmpty) {
+        import org.apache.spark.sql.functions.col
+        spark.range(0).select(col("id").as("doc_id"), col("id").as("w"),
+          col("id").as("es_key"))
+      } else spark.read.parquet(batchDirs.toSeq: _*)
+    graft.ops.Sampling.aresTop(keyed)
   }
 }

@@ -354,10 +354,12 @@ class Round11OpsSpec extends SparkSpec {
       val v1 = half.flatMap(d => toks(d._3)).distinct.length.toLong
       val n2 = ds.map(d => toks(d._3).length.toLong).sum
       val v2 = ds.flatMap(d => toks(d._3)).distinct.length.toLong
+      val den =
+        if (n1 == 0) 0L
+        else graft.functions.FixedLog2.q16(n2) - graft.functions.FixedLog2.q16(n1)
       val beta =
-        if (n1 == 0 || n1 == n2) -1L
-        else (graft.functions.FixedLog2.q16(v2) - graft.functions.FixedLog2.q16(v1)) * 1000L /
-          (graft.functions.FixedLog2.q16(n2) - graft.functions.FixedLog2.q16(n1))
+        if (n1 == 0 || den <= 0) -1L
+        else (graft.functions.FixedLog2.q16(v2) - graft.functions.FixedLog2.q16(v1)) * 1000L / den
       (src, n1, v1, n2, v2, beta)
     }.toSeq.sortBy(_._1)
     val got = graft.ops.TextAnalytics.heapsLaw(spark, sf0001).collect()
