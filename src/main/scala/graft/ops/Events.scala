@@ -635,6 +635,33 @@ object Events {
 
   val SeqPatternTopK = 20L
 
+  /** One session's supported length-2/3 pattern SET (each pattern at
+    * most once — GSP session support): <a,b(,c)> is supported iff c
+    * occurs after the first b after the first a, the greedy
+    * first-occurrence rule, correct for subsequence EXISTENCE. Pure
+    * function — property-tested against brute i<j<k enumeration. */
+  private[graft] def supportedPatterns(s: Array[String]): Seq[(String, String, String)] = {
+    val n = s.length
+    // suff(i) = distinct types in s[i..n-1]
+    val suff = new Array[Set[String]](n + 1)
+    suff(n) = Set.empty
+    var i = n - 1
+    while (i >= 0) { suff(i) = suff(i + 1) + s(i); i -= 1 }
+    val firstOcc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    i = 0
+    while (i < n) { if (!firstOcc.contains(s(i))) firstOcc.update(s(i), i); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    firstOcc.foreach { case (a, fa) =>
+      suff(fa + 1).foreach { b =>
+        out += ((a, b, null))
+        var j = fa + 1
+        while (s(j) != b) j += 1
+        suff(j + 1).foreach { c => out += ((a, b, c)) }
+      }
+    }
+    out.toSeq
+  }
+
   def seqPatterns(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, sfDir)
@@ -646,28 +673,7 @@ object Events {
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
       .select(expr("transform(evs, e -> e.event_type)").as("seq"))
-    val emitted = sessions.as[Seq[String]].flatMap { seq =>
-      val s = seq.toArray
-      val n = s.length
-      // suff(i) = distinct types in s[i..n-1]
-      val suff = new Array[Set[String]](n + 1)
-      suff(n) = Set.empty
-      var i = n - 1
-      while (i >= 0) { suff(i) = suff(i + 1) + s(i); i -= 1 }
-      val firstOcc = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-      i = 0
-      while (i < n) { if (!firstOcc.contains(s(i))) firstOcc.update(s(i), i); i += 1 }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
-      firstOcc.foreach { case (a, fa) =>
-        suff(fa + 1).foreach { b =>
-          out += ((a, b, null))
-          var j = fa + 1
-          while (s(j) != b) j += 1
-          suff(j + 1).foreach { c => out += ((a, b, c)) }
-        }
-      }
-      out
-    }
+    val emitted = sessions.as[Seq[String]].flatMap(seq => supportedPatterns(seq.toArray))
     emitted.toDF("a", "b", "c")
       .groupBy("a", "b", "c")
       .agg(count(lit(1)).as("support"))

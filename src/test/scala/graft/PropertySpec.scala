@@ -348,4 +348,41 @@ class PropertySpec extends AnyFunSuite {
       assert(again == ((id, nTok, nMasked, nSpans, input, target)))
     }
   }
+
+  // ------------------------------------------------------------ round-11 kernels
+
+  /** The q176 emission kernel vs brute-force i<j(<k) enumeration on
+    * random SMALL-ALPHABET sequences — the adversarial case for the
+    * greedy first-occurrence rule (dense repeats, many accidental
+    * orderings the sf corpus may never contain). Also pins the SET
+    * property: each supported pattern emitted exactly once. */
+  test("q176 kernel: greedy first-occurrence emission == brute subsequence containment") {
+    val seqGen = Gen.chooseNum(0, 14).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(0, 3).map(i => s"e$i")).map(_.toArray))
+    forAll(seqGen) { s =>
+      val brute = scala.collection.mutable.Set.empty[(String, String, String)]
+      for (i <- s.indices; j <- (i + 1) until s.length) {
+        brute += ((s(i), s(j), null))
+        for (k <- (j + 1) until s.length) brute += ((s(i), s(j), s(k)))
+      }
+      val got = graft.ops.Events.supportedPatterns(s)
+      assert(got.toSet == brute.toSet, s"seq=${s.mkString(",")}")
+      assert(got.size == got.toSet.size,
+        s"a pattern emitted twice (support would double-count): ${s.mkString(",")}")
+    }
+  }
+
+  /** The q174/q175/q178/q182 log kernel: FixedLog2.q16 is monotone and
+    * EXACT on doubling — log2(2v) = log2(v) + 1 holds bit-for-bit on
+    * the 2^-16 grid (e increments, the mantissa chain is identical),
+    * which is what makes A-Res keys and the Heaps/PMI/KN ratios
+    * engine-portable integers rather than approximations. */
+  test("q174 kernel: FixedLog2.q16 monotone; doubling adds exactly 65536") {
+    val vGen = Gen.chooseNum(1L, (1L << 40) - 1)
+    forAll(vGen, vGen) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      assert(graft.functions.FixedLog2.q16(lo) <= graft.functions.FixedLog2.q16(hi))
+      assert(graft.functions.FixedLog2.q16(2 * a) == graft.functions.FixedLog2.q16(a) + 65536L)
+    }
+  }
 }
