@@ -239,7 +239,8 @@ object SparkEntry {
       Dedup.admissionSplitGuard(s, d, Dedup.OracleHashBits)),
     "q181_stream_split_guard" -> ((s: SparkSession, d: String) =>
       graft.streaming.DedupStream.splitGuardStream(s, d)),
-    "q182_heaps_law"        -> TextAnalytics.heapsLaw _
+    "q182_heaps_law"        -> TextAnalytics.heapsLaw _,
+    "q183_neyman_alloc"     -> Sampling.neymanAlloc _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -499,6 +500,7 @@ object SparkEntry {
     "q180_admission_split_guard" -> Dedup.admissionSplitGuardSql,
     // row-identical to batch q180 by the shared splitGuardReport seam
     "q181_stream_split_guard" -> Dedup.admissionSplitGuardSql,
-    "q182_heaps_law"        -> TextAnalytics.heapsLawSql
+    "q182_heaps_law"        -> TextAnalytics.heapsLawSql,
+    "q183_neyman_alloc"     -> Sampling.neymanAllocSql
   )
 }

@@ -856,6 +856,129 @@ object Sampling {
     aresTop(aresKeyed(Tables.documents(spark, sfDir)))
 
   // -------------------------------------------------------------------
+  // Neyman optimal allocation (q183): Neyman (JRSS 1934), the
+  // stratified-sampling allocation every survey text (Cochran)
+  // canonizes — sample stratum h in proportion to N_h·S_h, so strata
+  // whose metric VARIES more get more of the budget (minimum-variance
+  // estimator for a fixed total k). q51 samples a fixed rate per
+  // stratum; this is the budgeted form an eval-set curator actually
+  // wants: "100 docs, spread so the length estimate is tightest".
+  //
+  // Engine-exact formulation: S_h is the exact integer floor-sqrt of
+  // the q173 floor-grid variance of n_chars (isqrt via float sqrt +
+  // ±1 integer correction, so the double rounding can never flip the
+  // floor); weights w_h = N_h·S_h; the k-budget apportions by
+  // Hamilton largest-remainder — base_h = floor(k·w_h / W), the
+  // k − Σbase leftovers go to the largest integer remainders
+  // k·w_h − base_h·W, ties by stratum ascending — all i64. A zero
+  // total weight (every stratum constant-length) falls back to
+  // w_h = N_h (proportional allocation). The pick itself is the
+  // deterministic (hash, doc_id)-order top-n_h per stratum, reported
+  // as counts + picked-char mass so the oracle pins WHICH docs were
+  // taken, not just how many. n_pick = min(n_alloc, N_h) — budget
+  // redistribution under caps is q113's unimax waterfill discipline,
+  // deliberately not duplicated here.
+  //
+  // Scale shape: one corpus scan folds N/Σ/Σ² per stratum (map-side
+  // combine, strata-sized result); the allocation math runs on the
+  // strata-sized frame (single-partition window is legal there — the
+  // q169 answer-sized-window discipline); the pick is one
+  // stratum-partitioned rank window over a second scan projection
+  // joined to the broadcast allocation.
+  // -------------------------------------------------------------------
+
+  val NeymanK = 100L
+
+  def neymanAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("lang"), col("n_docs"),
+        expr("cast(floor(cast(s1 as double) / n_docs) as bigint)").as("mu"),
+        expr("cast(floor(cast(s2 as double) / n_docs) as bigint)").as("m2"))
+      .withColumn("vr", greatest(col("m2") - col("mu") * col("mu"), lit(0L)))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(vr as double))) as bigint)"))
+      .withColumn("sigma", expr(
+        "CASE WHEN (s0+1)*(s0+1) <= vr THEN s0+1 WHEN s0*s0 > vr THEN s0-1 ELSE s0 END"))
+      .withColumn("w", col("n_docs") * col("sigma"))
+    val weighted = stats
+      .withColumn("wtot", sum(col("w")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()))
+      .withColumn("wx", when(col("wtot") > 0, col("w")).otherwise(col("n_docs")))
+      .withColumn("wsum", sum(col("wx")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()))
+      .withColumn("base", expr(s"($NeymanK * wx) div wsum"))
+      .withColumn("rem", expr(s"$NeymanK * wx - base * wsum"))
+      .withColumn("basesum", sum(col("base")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy()))
+      .withColumn("rr", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("lang").asc)))
+      .withColumn("n_alloc",
+        col("base") + when(col("rr") <= lit(NeymanK) - col("basesum"), 1L).otherwise(0L))
+      .select(col("lang"), col("n_docs"), col("sigma"), col("n_alloc"))
+    val picked = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        docIdHash.as("h"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
+      .join(broadcast(weighted.select(col("lang"), col("n_alloc"))), Seq("lang"))
+      .filter(col("rk") <= col("n_alloc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_picked"),
+        sum(col("n_chars")).as("picked_chars"))
+    weighted.join(picked, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("sigma"), col("n_alloc"),
+        coalesce(col("n_picked"), lit(0L)).as("n_picked"),
+        coalesce(col("picked_chars"), lit(0L)).as("picked_chars"))
+      .orderBy("lang")
+  }
+
+  def neymanAllocSql: String =
+    s"""WITH stats AS (
+       |  SELECT lang, cast(count(*) as bigint) AS n_docs,
+       |    cast(floor(cast(sum(n_chars) as double) / count(*)) as bigint) AS mu,
+       |    cast(floor(cast(sum(n_chars*n_chars) as double) / count(*)) as bigint) AS m2
+       |  FROM documents GROUP BY lang),
+       |vars AS (
+       |  SELECT lang, n_docs, greatest(m2 - mu*mu, 0) AS vr,
+       |    cast(floor(sqrt(cast(greatest(m2 - mu*mu, 0) as double))) as bigint) AS s0
+       |  FROM stats),
+       |sig AS (
+       |  SELECT lang, n_docs,
+       |    CASE WHEN (s0+1)*(s0+1) <= vr THEN s0+1 WHEN s0*s0 > vr THEN s0-1 ELSE s0 END AS sigma
+       |  FROM vars),
+       |wt AS (
+       |  SELECT lang, n_docs, sigma,
+       |    CASE WHEN sum(n_docs * sigma) OVER () > 0 THEN n_docs * sigma ELSE n_docs END AS wx
+       |  FROM sig),
+       |ap AS (
+       |  SELECT lang, n_docs, sigma, wx,
+       |    ($NeymanK * wx) // (sum(wx) OVER ()) AS base,
+       |    $NeymanK * wx - (($NeymanK * wx) // (sum(wx) OVER ())) * (sum(wx) OVER ()) AS rem
+       |  FROM wt),
+       |alloc AS (
+       |  SELECT lang, n_docs, sigma,
+       |    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+       |      <= $NeymanK - sum(base) OVER () THEN 1 ELSE 0 END AS n_alloc
+       |  FROM ap),
+       |ranked AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY $sqlDocHash ASC, doc_id ASC) AS rk
+       |  FROM documents),
+       |picked AS (
+       |  SELECT r.lang, cast(count(*) as bigint) AS n_picked,
+       |    cast(sum(r.n_chars) as bigint) AS picked_chars
+       |  FROM ranked r JOIN alloc a ON r.lang = a.lang
+       |  WHERE r.rk <= a.n_alloc GROUP BY r.lang)
+       |SELECT a.lang, a.n_docs, a.sigma, cast(a.n_alloc as bigint) AS n_alloc,
+       |  coalesce(p.n_picked, 0) AS n_picked,
+       |  coalesce(p.picked_chars, 0) AS picked_chars
+       |FROM alloc a LEFT JOIN picked p ON a.lang = p.lang
+       |ORDER BY a.lang""".stripMargin
+
+  // -------------------------------------------------------------------
   // Split-leakage audit (q177): near-duplicate pairs that straddle the
   // q50 train/val/test hash split. Splitting BEFORE deduplicating is
   // the classic eval-contamination mechanism — a near-copy of a test

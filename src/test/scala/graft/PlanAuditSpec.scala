@@ -606,6 +606,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"no join belongs in the Heaps fold:\n$plan")
   }
 
+  test("q183: two corpus scans (stats + pick); the allocation broadcasts into the rank window") {
+    val df = graft.ops.Sampling.neymanAlloc(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") == 2,
+      s"one stats fold + one pick projection — nothing else touches the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the strata-sized allocation must broadcast into the pick scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"nested loop in the allocator:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

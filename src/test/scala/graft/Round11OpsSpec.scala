@@ -391,6 +391,64 @@ class Round11OpsSpec extends SparkSpec {
       s"fixed template: V1 = V2 -> beta 0, got ${got("tmpl")}")
   }
 
+  // ---------------------------------------------------------------- q183
+
+  test("q183: sf0.001 allocation matches an independent Neyman/Hamilton replay; budget exact") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("n_chars")))
+    val k = graft.ops.Sampling.NeymanK
+    def isqrt(v: Long): Long = {
+      var s = math.floor(math.sqrt(v.toDouble)).toLong
+      while ((s + 1) * (s + 1) <= v) s += 1
+      while (s * s > v) s -= 1
+      s
+    }
+    val stats = docs.groupBy(_._2).map { case (lang, ds) =>
+      val n = ds.length.toLong
+      val mu = math.floor(ds.map(_._3).sum.toDouble / n).toLong
+      val m2 = math.floor(ds.map(d => d._3 * d._3).sum.toDouble / n).toLong
+      (lang, n, isqrt(math.max(m2 - mu * mu, 0L)))
+    }.toSeq.sortBy(_._1)
+    val wtot = stats.map { case (_, n, s) => n * s }.sum
+    val wx = stats.map { case (lang, n, s) => (lang, n, s, if (wtot > 0) n * s else n) }
+    val wsum = wx.map(_._4).sum
+    val base = wx.map { case (lang, n, s, w) => (lang, n, s, k * w / wsum, k * w - (k * w / wsum) * wsum) }
+    val extra = k - base.map(_._4).sum
+    val winners = base.sortBy { case (lang, _, _, _, rem) => (-rem, lang) }
+      .take(extra.toInt).map(_._1).toSet
+    val alloc = base.map { case (lang, n, s, b, _) =>
+      (lang, n, s, b + (if (winners.contains(lang)) 1L else 0L))
+    }
+    val expected = alloc.map { case (lang, n, s, a) =>
+      val pick = docs.filter(_._2 == lang)
+        .sortBy { case (id, _, _) => (hash32(id.toString), id) }
+        .take(a.toInt)
+      (lang, n, s, a, pick.length.toLong, pick.map(_._3).sum)
+    }
+    val got = graft.ops.Sampling.neymanAlloc(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"), r.getAs[Long]("sigma"),
+        r.getAs[Long]("n_alloc"), r.getAs[Long]("n_picked"), r.getAs[Long]("picked_chars"))).toSeq
+    assert(got == expected)
+    assert(got.map(_._4).sum == k, "Hamilton apportionment must spend the budget exactly")
+  }
+
+  test("q183: all-constant strata fall back to proportional allocation (zero total weight)") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q183-const")
+    // every doc in each stratum has IDENTICAL length -> sigma 0 for all
+    val docs = (0L until 30L).map(i => (i, "x " * 10, "en", "s0")) ++
+      (100L until 110L).map(i => (i, "y " * 10, "de", "s1"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Sampling.neymanAlloc(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_alloc")).toMap
+    val k = graft.ops.Sampling.NeymanK
+    assert(got("en") == k * 30 / 40 && got("de") == k - got("en"),
+      s"zero total weight must apportion by stratum size: $got")
+  }
+
   // ---------------------------------------------------------------- q179
 
   test("q179: a 4-micro-batch replay folds to the EXACT batch reservoir (top-k is a monoid)") {
