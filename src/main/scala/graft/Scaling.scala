@@ -126,6 +126,20 @@ object Scaling {
     // work is the broadcast band probe + answer-sized edge tagging
     "q180_admission_split_guard" -> ((s, d) =>
       graft.ops.Dedup.admissionSplitGuard(s, d, graft.ops.Dedup.OracleHashBits)),
+    // the pure top-k scan shape: one key-computing projection +
+    // TakeOrderedAndProject — should be near-linear in the scan with a
+    // tiny constant (the answer never grows)
+    "q174_weighted_reservoir" -> ((s, d) => graft.ops.Sampling.weightedReservoir(s, d)),
+    // materialized bigram table + vocabulary-keyed marginals (the q175
+    // shape minus the source dimension); replicas suffix words so the
+    // bigram vocabulary scales with the factor
+    "q178_pmi_collocations" -> ((s, d) => graft.ops.TextAnalytics.pmiCollocations(s, d)),
+    // one scan flatMap + (source, tok)-keyed fold; replica suffixes
+    // scale the vocabulary with the factor
+    "q182_heaps_law" -> ((s, d) => graft.ops.TextAnalytics.heapsLaw(s, d)),
+    // stats fold + broadcast-joined pick: two corpus projections, the
+    // allocation math answer-sized at every decade
+    "q183_neyman_alloc" -> ((s, d) => graft.ops.Sampling.neymanAlloc(s, d)),
     // ONE materialized corpus tokenize + vocabulary-sized model joins:
     // replicas suffix words, so the bigram vocabulary (and every model
     // table) scales with the factor while the source set stays fixed —
