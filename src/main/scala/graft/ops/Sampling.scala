@@ -865,9 +865,12 @@ object Sampling {
   // wants: "100 docs, spread so the length estimate is tightest".
   //
   // Engine-exact formulation: S_h is the exact integer floor-sqrt of
-  // the q173 floor-grid variance of n_chars (isqrt via float sqrt +
-  // ±1 integer correction, so the double rounding can never flip the
-  // floor); weights w_h = N_h·S_h; the k-budget apportions by
+  // the SHARED FloorGrid variance of n_chars (one kernel definition per
+  // engine — see ops.FloorGrid, which also keeps the moment sums exact
+  // past 2^63; isqrt via float sqrt + ±1 integer correction, so the
+  // double rounding can never flip the floor); weights w_h = N_h·S_h
+  // (Hamilton's k·w_h stays in i64 to w_h ~ 9e16 — beyond that, shard
+  // the apportionment per super-stratum); the k-budget apportions by
   // Hamilton largest-remainder — base_h = floor(k·w_h / W), the
   // k − Σbase leftovers go to the largest integer remainders
   // k·w_h − base_h·W, ties by stratum ascending — all i64. A zero
@@ -890,15 +893,11 @@ object Sampling {
   val NeymanK = 100L
 
   def neymanAlloc(spark: SparkSession, sfDir: String): DataFrame = {
-    val stats = Tables.documents(spark, sfDir)
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("s1"),
-        sum(col("n_chars") * col("n_chars")).as("s2"))
-      .select(col("lang"), col("n_docs"),
-        expr("cast(floor(cast(s1 as double) / n_docs) as bigint)").as("mu"),
-        expr("cast(floor(cast(s2 as double) / n_docs) as bigint)").as("m2"))
-      .withColumn("vr", greatest(col("m2") - col("mu") * col("mu"), lit(0L)))
+    val stats = FloorGrid.moments(
+        Tables.documents(spark, sfDir).select(col("lang"), col("n_chars")),
+        Seq(col("lang")), col("n_chars"))
+      .withColumnRenamed("n", "n_docs")
+      .withColumn("vr", greatest(col("vr"), lit(0L)))
       .withColumn("s0", expr("cast(floor(sqrt(cast(vr as double))) as bigint)"))
       .withColumn("sigma", expr(
         "CASE WHEN (s0+1)*(s0+1) <= vr THEN s0+1 WHEN s0*s0 > vr THEN s0-1 ELSE s0 END"))
@@ -937,13 +936,10 @@ object Sampling {
 
   def neymanAllocSql: String =
     s"""WITH stats AS (
-       |  SELECT lang, cast(count(*) as bigint) AS n_docs,
-       |    cast(floor(cast(sum(n_chars) as double) / count(*)) as bigint) AS mu,
-       |    cast(floor(cast(sum(n_chars*n_chars) as double) / count(*)) as bigint) AS m2
-       |  FROM documents GROUP BY lang),
+       |  ${graft.ops.FloorGrid.sqlMoments("SELECT lang, n_chars FROM documents", "lang", "n_chars")}),
        |vars AS (
-       |  SELECT lang, n_docs, greatest(m2 - mu*mu, 0) AS vr,
-       |    cast(floor(sqrt(cast(greatest(m2 - mu*mu, 0) as double))) as bigint) AS s0
+       |  SELECT lang, n AS n_docs, greatest(vr, 0) AS vr,
+       |    cast(floor(sqrt(cast(greatest(vr, 0) as double))) as bigint) AS s0
        |  FROM stats),
        |sig AS (
        |  SELECT lang, n_docs,

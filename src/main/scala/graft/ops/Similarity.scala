@@ -2188,14 +2188,8 @@ object Similarity {
 
   def embedOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val q = quantized(spark, sfDir)
-    val stats = q.select(posexplode(col("v")).as(Seq("d", "x")))
-      .groupBy("d")
-      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
-        count(lit(1)).as("n"))
-      .select(col("d"),
-        expr("cast(floor(cast(s as double) / n) as bigint)").as("mu"),
-        expr("cast(floor(cast(ss as double) / n) as bigint)").as("m2"))
-      .select(col("d"), col("mu"), (col("m2") - col("mu") * col("mu")).as("vr"))
+    val stats = FloorGrid.moments(
+        q.select(posexplode(col("v")).as(Seq("d", "x"))), Seq(col("d")), col("x"))
       .orderBy("d").collect()
     val mus = stats.map(_.getAs[Long]("mu")).toSeq
     val vrs = stats.map(_.getAs[Long]("vr")).toSeq
@@ -2214,14 +2208,11 @@ object Similarity {
   def embedOutliersSql: String =
     s"""WITH q AS ($sqlQuantized),
        |dims AS (
-       |  SELECT d,
-       |    cast(floor(cast(sum(x) as double) / count(*)) as bigint) AS mu,
-       |    cast(floor(cast(sum(x*x) as double) / count(*)) as bigint) AS m2
-       |  FROM (SELECT unnest([cast(floor(cast(x as double)*${Consts.QuantScale}.0) as bigint) for x in embedding]) AS x,
-       |          generate_subscripts(embedding, 1) AS d
-       |        FROM embeddings)
-       |  GROUP BY d),
-       |arrs AS (SELECT list(mu ORDER BY d) AS mus, list(m2 - mu*mu ORDER BY d) AS vrs FROM dims),
+       |  ${FloorGrid.sqlMoments(
+             s"""SELECT unnest([cast(floor(cast(x as double)*${Consts.QuantScale}.0) as bigint) for x in embedding]) AS x,
+                |          generate_subscripts(embedding, 1) AS d
+                |        FROM embeddings""".stripMargin, "d", "x")}),
+       |arrs AS (SELECT list(mu ORDER BY d) AS mus, list(vr ORDER BY d) AS vrs FROM dims),
        |scored AS (
        |  SELECT vec_id, label,
        |    cast(list_sum([CASE WHEN vrs[i+1] <= 0 THEN 0

@@ -391,6 +391,21 @@ class Round11OpsSpec extends SparkSpec {
       s"fixed template: V1 = V2 -> beta 0, got ${got("tmpl")}")
   }
 
+  test("floor-grid kernel: moment sums stay exact past the i64 boundary (decimal accumulation)") {
+    import spark.implicits._
+    // x^2 = 4e18 fits i64 per row; the 3-row SUM (1.2e19) does not — a
+    // wrapping i64 accumulator would go negative and zero the variance
+    val x = 2000000000L
+    val df = Seq(("g", x), ("g", x), ("g", x)).toDF("g", "x")
+    val r = graft.ops.FloorGrid.moments(df, Seq(col("g")), col("x")).collect().head
+    val ss = BigInt(x) * BigInt(x) * 3
+    val m2 = math.floor(ss.doubleValue / 3).toLong
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("mu") == x)
+    assert(r.getAs[Long]("vr") == m2 - x * x,
+      s"vr must come from the EXACT 1.2e19 sum, got ${r.getAs[Long]("vr")}")
+  }
+
   // ---------------------------------------------------------------- q183
 
   test("q183: sf0.001 allocation matches an independent Neyman/Hamilton replay; budget exact") {
