@@ -1575,7 +1575,14 @@ object TextAnalytics {
     * core q94 reports and q116 buckets (one definition, no drift). */
   private[ops] def surprisalPerDoc(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = tfRows(spark, sfDir)
-    val cf = tf.groupBy("tok").agg(sum(col("tf")).as("cf"))
+    // the per-doc tf rows re-derive at scan speed (caching THEM would
+    // be a corpus-sized cache); the VOCABULARY-sized model table is
+    // materialized so its consumers (the total and the score join)
+    // don't each rebuild the tokenize lineage — typed-lambda subtrees
+    // defeat exchange-reuse canonicalization (the q175 lesson), so
+    // without the cache this is three corpus scans, not one
+    val cf = Materialize.shared(spark,
+      tf.groupBy("tok").agg(sum(col("tf")).as("cf")))
     val n = broadcast(cf.agg(sum(col("cf")).as("n_total")))
     // cf joins back UNHINTED: size stats pick broadcast at bounded
     // vocabularies (the plan audit pins that) and degrade to a keyed
@@ -1856,10 +1863,14 @@ object TextAnalytics {
     * web-scale ones (the q94 lesson); the per-doc score is a keyed agg
     * over vocabulary-collapsed rows. */
   def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
-    // btf re-derives per consumer (the q94 tfRows precedent: exploded
-    // row tables are cheaper to recompute at scan speed than to cache)
+    // btf re-derives for the score join (the q94 discipline: caching
+    // the per-doc exploded table would be corpus-sized), but the
+    // VOCABULARY-sized bigram model table is materialized — its two
+    // consumers would otherwise each rebuild the tokenize lineage
+    // (typed-lambda subtrees defeat exchange reuse, the q175 lesson)
     val btf = bigramTfRows(spark, sfDir)
-    val bf = btf.groupBy("w1", "w2").agg(sum(col("tf")).as("bf"))
+    val bf = Materialize.shared(spark,
+      btf.groupBy("w1", "w2").agg(sum(col("tf")).as("bf")))
     val ctx = bf.groupBy("w1").agg(sum(col("bf")).as("cf1"))
     btf.join(bf, Seq("w1", "w2")).join(ctx, Seq("w1"))
       .withColumn("s_big",
