@@ -240,7 +240,8 @@ object SparkEntry {
     "q181_stream_split_guard" -> ((s: SparkSession, d: String) =>
       graft.streaming.DedupStream.splitGuardStream(s, d)),
     "q182_heaps_law"        -> TextAnalytics.heapsLaw _,
-    "q183_neyman_alloc"     -> Sampling.neymanAlloc _
+    "q183_neyman_alloc"     -> Sampling.neymanAlloc _,
+    "q184_audio_constellation" -> Multimodal.audioConstellation _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,6 +502,7 @@ object SparkEntry {
     // row-identical to batch q180 by the shared splitGuardReport seam
     "q181_stream_split_guard" -> Dedup.admissionSplitGuardSql,
     "q182_heaps_law"        -> TextAnalytics.heapsLawSql,
-    "q183_neyman_alloc"     -> Sampling.neymanAllocSql
+    "q183_neyman_alloc"     -> Sampling.neymanAllocSql,
+    "q184_audio_constellation" -> Multimodal.audioConstellationSql
   )
 }

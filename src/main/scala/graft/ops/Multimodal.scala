@@ -567,10 +567,12 @@ object Multimodal {
     }
   }
 
-  /** (media_id, fp) over the audio-kind media rows via the stub seam —
-    * scan-local batches, payloads never shuffle, only 8-byte
-    * fingerprints move. */
-  def audioFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (media_id, window energies) over the audio-kind media rows via the
+    * stub seam — the shared front half of the fingerprint (q151) and
+    * constellation (q184) paths: scan-local batches, payloads never
+    * shuffle, only the 17-long energy array moves. */
+  private[graft] def audioEnergyRows(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Long])] = {
     import spark.implicits._
     val decoder: MediaDecoder = new StubDecoder
     mediaTable(spark, sfDir)
@@ -579,10 +581,17 @@ object Multimodal {
         it.grouped(FeatureBatch).flatMap { batch =>
           val decoded = decoder.decodeBatch(batch.map(_.payload))
           batch.zip(decoded).map { case (m, bytes) =>
-            (m.media_id, envelopeSigOf(stubEnergies(bytes)))
+            (m.media_id, stubEnergies(bytes))
           }
         }
       }
+  }
+
+  /** (media_id, fp) — q151's front half. */
+  def audioFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioEnergyRows(spark, sfDir)
+      .map { case (id, e) => (id, envelopeSigOf(e)) }
       .toDF("media_id", "fp")
   }
 
@@ -664,8 +673,10 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
-  def audioEnvelopePairsSql: String =
-    s"""WITH au AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+  /** The au + env CTE text shared by q151's and q184's oracles — ONE
+    * DuckDB spelling of the stub-decode energy grid. */
+  private def sqlAudioEnvCtes: String =
+    s"""au AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
        |env AS (
        |  SELECT media_id,
        |    [ CASE WHEN ((w+1)*length(text))//$AudioWindows > (w*length(text))//$AudioWindows
@@ -673,7 +684,10 @@ object Multimodal {
        |             // (((w+1)*length(text))//$AudioWindows - (w*length(text))//$AudioWindows)
        |        ELSE 0 END
        |      for w in range($AudioWindows) ] AS e
-       |  FROM au),
+       |  FROM au)""".stripMargin
+
+  def audioEnvelopePairsSql: String =
+    s"""WITH $sqlAudioEnvCtes,
        |sig AS (
        |  SELECT media_id,
        |    cast(list_sum([CASE WHEN e[k+2] > e[k+1] THEN 1<<k ELSE 0 END for k in range(${AudioWindows - 1})]) as bigint) AS fp
@@ -682,5 +696,137 @@ object Multimodal {
        |  cast(bit_count(xor(a.fp, b.fp)) as bigint) AS hamming
        |FROM sig a JOIN sig b ON a.media_id < b.media_id
        |WHERE bit_count(xor(a.fp, b.fp)) <= $AudioMaxHamming
+       |ORDER BY media_a, media_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Audio constellation match (q184): Wang (ISMIR 2003) — the Shazam
+  // landmark scheme, the production shape for "which clips share
+  // time-aligned audio structure": hash (energy-band of peak 1,
+  // energy-band of peak 2, Δt) for every peak pair inside a target
+  // zone, match by EQUI-JOIN on the hash, and let an OFFSET-HISTOGRAM
+  // vote decide — true matches pile their hash hits at ONE relative
+  // offset, chance collisions scatter. Complements q151: the envelope
+  // fingerprint answers "same clip?", the constellation answers "same
+  // material, possibly time-shifted?" (re-intros, padded edits,
+  // samples) and reports WHERE it aligns.
+  //
+  // Semantics on the stub seam: peaks are interior local maxima of the
+  // 17-window energy envelope (strict left, >= right — the tie rule);
+  // hashes pair peaks w1 < w2 <= w1 + ConstellationZone with energies
+  // quantized to ConstellationQuant bands; a pair reports its
+  // best-voted offset (ties: smallest offset) when votes reach
+  // ConstellationMinVotes.
+  //
+  // Scale shape: hashes are EMITTED scan-local (<= ~C(peaks,2) rows per
+  // clip, payloads never shuffle); candidate generation is ONE
+  // hash-keyed equi-join — never cross-correlation, never all-pairs —
+  // and the vote is a keyed count with map-side combine. The hash
+  // space (q1, q2, Δt) must grow with the corpus (finer quantization,
+  // more windows) or chance collisions go quadratic by the birthday
+  // bound — the q17/q151 documented workload property; the shape is
+  // unchanged.
+  // -------------------------------------------------------------------
+
+  /** energy-band size for constellation hashing. */
+  val ConstellationQuant = 16L
+  /** a peak pairs with peaks at most this many windows ahead. */
+  val ConstellationZone = 4
+  /** minimum aligned votes for a reported match (post-cap histogram:
+    * 903/867/37 reported pairs at sf0.001/0.01/0.1). */
+  val ConstellationMinVotes = 2L
+  /** stop-hash drop: a hash present in more clips than this carries no
+    * discrimination and only quadratic candidates (the dedup family's
+    * dfCap discipline — measured: the stub corpus's hottest hash sits
+    * in 850 of sf0.1's 1.7k clips and single-handedly made the
+    * candidate join pair-quadratic, 2.6 s -> ~0.6 s once dropped). At
+    * corpus scale the honest fix is a BIGGER hash space (finer bands,
+    * more windows), which re-rarefies hashes; the cap is the guard
+    * rail, not the design. */
+  val ConstellationHashDfCap = 64L
+
+  /** One clip's constellation hashes: (w1, q1, q2, dt) per in-zone peak
+    * pair. Pure function, shared nowhere else — kept small and testable. */
+  private[graft] def constellationHashes(e: Array[Long]): Seq[(Int, Long, Long, Int)] = {
+    val peaks = (1 until AudioWindows - 1).filter(w => e(w) > e(w - 1) && e(w) >= e(w + 1))
+    for {
+      i <- peaks.indices
+      j <- (i + 1) until peaks.length
+      if peaks(j) - peaks(i) <= ConstellationZone
+    } yield (peaks(i), e(peaks(i)) / ConstellationQuant,
+      e(peaks(j)) / ConstellationQuant, peaks(j) - peaks(i))
+  }
+
+  def audioConstellation(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // the hash table is ~|peak pairs| rows per clip (tiny relative to
+    // payloads) and has THREE consumers (the df cap and both probe
+    // sides of the match join) — materialize it so the decode scan runs
+    // once (typed-lambda subtrees defeat exchange reuse, the q175
+    // lesson; the plan audit pins the single scan)
+    val hashes0 = Materialize.shared(spark, audioEnergyRows(spark, sfDir)
+      .flatMap { case (id, e) =>
+        constellationHashes(e).map { case (w1, q1, q2, dt) => (id, w1, q1, q2, dt) }
+      }
+      .toDF("media_id", "w1", "q1", "q2", "dt"))
+    // stop-hash drop (see ConstellationHashDfCap): the surviving hash
+    // table is tiny (tens of rows), so it broadcasts into both probe
+    // sides and the megahub candidates never materialize
+    val keep = broadcast(hashes0.groupBy("q1", "q2", "dt")
+      .agg(countDistinct(col("media_id")).as("df"))
+      .filter(col("df") <= ConstellationHashDfCap)
+      .select("q1", "q2", "dt"))
+    val hashes = hashes0.join(keep, Seq("q1", "q2", "dt"))
+    val a = hashes.select(col("media_id").as("media_a"), col("w1").as("wa"),
+      col("q1"), col("q2"), col("dt"))
+    val b = hashes.select(col("media_id").as("media_b"), col("w1").as("wb"),
+      col("q1"), col("q2"), col("dt"))
+    val votes = a.join(b, Seq("q1", "q2", "dt"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        (col("wa") - col("wb")).cast("long").as("offset"))
+      .groupBy("media_a", "media_b", "offset")
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_a", "media_b")
+      .orderBy(col("votes").desc, col("offset").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("votes") >= ConstellationMinVotes)
+      .select("media_a", "media_b", "offset", "votes")
+      .orderBy("media_a", "media_b")
+  }
+
+  def audioConstellationSql: String =
+    s"""WITH $sqlAudioEnvCtes,
+       |pk AS (
+       |  SELECT media_id, unnest([w for w in range(1, ${AudioWindows - 1}) if e[w+1] > e[w] AND e[w+1] >= e[w+2]]) AS w, e
+       |  FROM env),
+       |hs0 AS (
+       |  SELECT a.media_id, a.w AS w1,
+       |    a.e[a.w+1] // $ConstellationQuant AS q1,
+       |    b.e[b.w+1] // $ConstellationQuant AS q2,
+       |    b.w - a.w AS dt
+       |  FROM pk a JOIN pk b ON a.media_id = b.media_id
+       |    AND b.w > a.w AND b.w <= a.w + $ConstellationZone),
+       |hdf AS (
+       |  SELECT q1, q2, dt, count(DISTINCT media_id) AS df
+       |  FROM hs0 GROUP BY q1, q2, dt),
+       |hs AS (
+       |  SELECT hs0.* FROM hs0 JOIN hdf USING (q1, q2, dt)
+       |  WHERE df <= $ConstellationHashDfCap),
+       |cand AS (
+       |  SELECT x.media_id AS media_a, y.media_id AS media_b,
+       |    cast(x.w1 - y.w1 as bigint) AS "offset"
+       |  FROM hs x JOIN hs y ON x.q1 = y.q1 AND x.q2 = y.q2 AND x.dt = y.dt
+       |    AND x.media_id < y.media_id),
+       |vt AS (
+       |  SELECT media_a, media_b, "offset", cast(count(*) as bigint) AS votes
+       |  FROM cand GROUP BY media_a, media_b, "offset"),
+       |best AS (
+       |  SELECT media_a, media_b, "offset", votes,
+       |    row_number() OVER (PARTITION BY media_a, media_b
+       |      ORDER BY votes DESC, "offset" ASC) AS rn
+       |  FROM vt)
+       |SELECT media_a, media_b, "offset", votes FROM best
+       |WHERE rn = 1 AND votes >= $ConstellationMinVotes
        |ORDER BY media_a, media_b""".stripMargin
 }

@@ -617,6 +617,19 @@ class PlanAuditSpec extends SparkSpec {
       s"nested loop in the allocator:\n$plan")
   }
 
+  test("q184: the stop-hash keep-list broadcasts; candidates come from one hash equi-join") {
+    val df = graft.ops.Multimodal.audioConstellation(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the tiny surviving-hash table must broadcast into the probe sides:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"constellation matching must never cross-correlate:\n$plan")
+    assert(parquetScans(df, "documents.parquet") <= 1,
+      s"the materialized hash table feeds the cap and both probe sides — payloads decode ONCE:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the per-clip hash table must be materialized, not a re-decoded lineage:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

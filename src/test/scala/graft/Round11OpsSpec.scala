@@ -126,6 +126,82 @@ class Round11OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---------------------------------------------------------------- q184
+
+  /** Independent constellation replay: energies/peaks/hashes/df-cap/
+    * votes recomputed in plain Scala from the raw text bytes. */
+  private def constellationReference(docs: Seq[(Long, String)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val W = graft.ops.Multimodal.AudioWindows
+    def energies(text: String): Array[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      Array.tabulate(W) { w =>
+        val lo = w * bytes.length / W
+        val hi = (w + 1) * bytes.length / W
+        if (hi <= lo) 0L else bytes.slice(lo, hi).map(b => (b & 0xff).toLong).sum / (hi - lo)
+      }
+    }
+    val hashes = docs.flatMap { case (id, text) =>
+      val e = energies(text)
+      val peaks = (1 until W - 1).filter(w => e(w) > e(w - 1) && e(w) >= e(w + 1))
+      for {
+        i <- peaks.indices; j <- (i + 1) until peaks.length
+        if peaks(j) - peaks(i) <= graft.ops.Multimodal.ConstellationZone
+      } yield (id, peaks(i),
+        e(peaks(i)) / graft.ops.Multimodal.ConstellationQuant,
+        e(peaks(j)) / graft.ops.Multimodal.ConstellationQuant,
+        peaks(j) - peaks(i))
+    }
+    val keep = hashes.groupBy { case (_, _, q1, q2, dt) => (q1, q2, dt) }
+      .filter { case (_, hs) => hs.map(_._1).distinct.size <=
+        graft.ops.Multimodal.ConstellationHashDfCap }
+      .keySet
+    val kept = hashes.filter { case (_, _, q1, q2, dt) => keep((q1, q2, dt)) }
+    val votes = (for {
+      x <- kept; y <- kept
+      if x._1 < y._1 && (x._3, x._4, x._5) == ((y._3, y._4, y._5))
+    } yield (x._1, y._1, (x._2 - y._2).toLong))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    votes.groupBy { case ((a, b, _), _) => (a, b) }.flatMap { case ((a, b), vs) =>
+      val ((_, _, off), v) = vs.minBy { case ((_, _, o), n) => (-n, o) }
+      if (v >= graft.ops.Multimodal.ConstellationMinVotes) Some((a, b, off, v)) else None
+    }.toSeq.sortBy { case (a, b, _, _) => (a, b) }
+  }
+
+  test("q184: sf0.001 matches an independent in-test constellation replay") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 1)
+    val expected = constellationReference(docs.toSeq)
+    val got = graft.ops.Multimodal.audioConstellation(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Long]("offset"), r.getAs[Long]("votes"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q184: a clip time-shifted by two windows is matched AT offset -2 (the landmark claim)") {
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("q184-shift")
+    val s = 6 // block size; 17 equal blocks align exactly with windows
+    def clip(levels: Seq[Int]): String = levels.map(l => l.toChar.toString * s).mkString
+    val a = Seq(40, 80, 40, 70, 40, 90, 40, 75, 40, 85, 40, 65, 40, 95, 40, 60, 40)
+    val b = Seq(37, 37) ++ a.take(15) // two pad blocks, content shifted right 2 windows
+    Seq((1L, clip(a), "en", "s0"), (4L, clip(b), "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Multimodal.audioConstellation(spark, dir).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Long]("offset"), r.getAs[Long]("votes")))
+    assert(got.length == 1)
+    val (ma, mb, off, votes) = got.head
+    assert((ma, mb, off) == ((1L, 4L, -2L)),
+      s"the offset histogram must localize the 2-window shift: got $got")
+    assert(votes >= 5L, s"aligned landmarks must pile up at the true offset: $votes")
+  }
+
   // ---------------------------------------------------------------- q176
 
   /** Independent containment reference: brute-force i<j (and i<j<k)
