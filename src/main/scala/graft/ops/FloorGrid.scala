@@ -13,15 +13,21 @@ import org.apache.spark.sql.functions._
   * the grid rule is correctness-critical and must not drift
   * copy-by-copy between its consumers' Spark and DuckDB twins.
   *
-  * Exactness at scale: the raw sums accumulate in decimal(38,0) on the
-  * Spark side — a wrapping i64 Σx² silently zeroes the variance of
-  * exactly the LARGEST groups (1e11 docs × (1e5 chars)² ≈ 1e21 ≫ 2⁶³)
-  * while DuckDB's sum(bigint) → HUGEINT stays exact, an engine
-  * divergence with no error anywhere. Both engines then round the SAME
-  * exact integer through cast-to-double before the floor, so the grid
-  * stays bit-identical at any corpus size. (The PER-ROW square must
-  * still fit i64 — true for char counts and the 1e-6 quantization grid,
-  * |x| ≤ ~3e9; it is the cross-row SUM that overflows at corpus scale.)
+  * Exactness at scale, end-to-end INTEGER: the raw sums accumulate in
+  * decimal(38,0) on the Spark side — a wrapping i64 Σx² silently
+  * zeroes the variance of exactly the LARGEST groups (1e11 docs ×
+  * (1e5 chars)² ≈ 1e21 ≫ 2⁶³) while DuckDB's sum(bigint) → HUGEINT
+  * stays exact — and mu/m2 come from exact integer division, NEVER a
+  * double: past 2⁵³ a double division loses low bits even when
+  * correctly rounded, and DuckDB's HUGEINT→DOUBLE cast is measurably
+  * NOT correctly rounded (probed: composed upper·2⁶⁴ + lower
+  * conversion double-rounds on ~0.2% of values from ~2⁷⁰ up — inside
+  * the regime this kernel exists for). Both engines truncate integer
+  * division toward zero (Spark `div`, DuckDB `//`), so floor semantics
+  * for possibly-negative first moments come from an explicit
+  * remainder adjustment. (The PER-ROW square must still fit i64 —
+  * true for char counts and the 1e-6 quantization grid, |x| ≤ ~3e9;
+  * it is the cross-row SUM that overflows at corpus scale.)
   */
 object FloorGrid {
 
@@ -31,8 +37,10 @@ object FloorGrid {
       .agg(count(lit(1)).as("n"),
         sum(x.cast("decimal(38,0)")).as("s"),
         sum((x * x).cast("decimal(38,0)")).as("ss"))
-      .withColumn("mu", expr("cast(floor(cast(s as double) / n) as bigint)"))
-      .withColumn("m2", expr("cast(floor(cast(ss as double) / n) as bigint)"))
+      // floor(s/n) from truncating div: adjust when s < 0 with remainder
+      .withColumn("mu", expr(
+        "cast(s div n as bigint) - CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END"))
+      .withColumn("m2", expr("cast(ss div n as bigint)"))
       .withColumn("vr", col("m2") - col("mu") * col("mu"))
       .drop("s", "ss", "m2")
 
@@ -40,8 +48,10 @@ object FloorGrid {
     * column name in `src`; `x` an expression over its columns. */
   def sqlMoments(src: String, group: String, x: String): String =
     s"""SELECT $group, n, mu, m2 - mu*mu AS vr FROM (
-       |  SELECT $group, cast(count(*) as bigint) AS n,
-       |    cast(floor(cast(sum($x) as double) / count(*)) as bigint) AS mu,
-       |    cast(floor(cast(sum(($x)*($x)) as double) / count(*)) as bigint) AS m2
-       |  FROM ($src) GROUP BY $group)""".stripMargin
+       |  SELECT $group, n,
+       |    cast((s // n) - CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END as bigint) AS mu,
+       |    cast(ss // n as bigint) AS m2
+       |  FROM (SELECT $group, cast(count(*) as bigint) AS n,
+       |          sum($x) AS s, sum(($x)*($x)) AS ss
+       |        FROM ($src) GROUP BY $group))""".stripMargin
 }

@@ -467,19 +467,31 @@ class Round11OpsSpec extends SparkSpec {
       s"fixed template: V1 = V2 -> beta 0, got ${got("tmpl")}")
   }
 
-  test("floor-grid kernel: moment sums stay exact past the i64 boundary (decimal accumulation)") {
+  test("floor-grid kernel: moments stay exact past i64 AND past the double mantissa") {
     import spark.implicits._
-    // x^2 = 4e18 fits i64 per row; the 3-row SUM (1.2e19) does not — a
-    // wrapping i64 accumulator would go negative and zero the variance
-    val x = 2000000000L
-    val df = Seq(("g", x), ("g", x), ("g", x)).toDF("g", "x")
+    // per-row squares fit i64; the 3-row SUM (~1.2e19) exceeds BOTH
+    // Long.MaxValue (a wrapping accumulator would zero the variance)
+    // and 2^53 (a double-division path would lose the low ~10 bits —
+    // the mixed values make exact and double results provably differ)
+    val xs = Seq(2000000000L, 2000000000L, 2000000001L)
+    val df = xs.map(("g", _)).toDF("g", "x")
     val r = graft.ops.FloorGrid.moments(df, Seq(col("g")), col("x")).collect().head
-    val ss = BigInt(x) * BigInt(x) * 3
-    val m2 = math.floor(ss.doubleValue / 3).toLong
+    val s = xs.map(BigInt(_)).sum
+    val ss = xs.map(x => BigInt(x) * BigInt(x)).sum
+    val mu = (s / 3).toLong
+    val m2 = (ss / 3).toLong
+    assert(m2 != math.floor(ss.doubleValue / 3).toLong,
+      "probe self-check: this case must distinguish exact from double division")
     assert(r.getAs[Long]("n") == 3L)
-    assert(r.getAs[Long]("mu") == x)
-    assert(r.getAs[Long]("vr") == m2 - x * x,
-      s"vr must come from the EXACT 1.2e19 sum, got ${r.getAs[Long]("vr")}")
+    assert(r.getAs[Long]("mu") == mu)
+    assert(r.getAs[Long]("vr") == m2 - mu * mu,
+      s"vr must come from EXACT integer division of the 1.2e19 sum, got ${r.getAs[Long]("vr")}")
+    // the negative-sum floor adjustment (q173's embedding sums go
+    // negative): floor(-7/3) = -3, not the truncating -2
+    val neg = Seq(("h", -7L), ("h", 0L), ("h", 0L)).toDF("g", "x")
+    val rn = graft.ops.FloorGrid.moments(neg, Seq(col("g")), col("x")).collect().head
+    assert(rn.getAs[Long]("mu") == -3L,
+      s"first-moment division must FLOOR on negatives, got ${rn.getAs[Long]("mu")}")
   }
 
   // ---------------------------------------------------------------- q183
