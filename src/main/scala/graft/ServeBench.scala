@@ -165,13 +165,20 @@ object ServeBench {
     // baseline. A global end-of-series count could be satisfied by
     // surplus events while some query silently fell back to brute
     // force — per-query coverage is the property the gate certifies.
-    def runSeries(checkPushdown: Boolean): (Seq[Double], Int) = {
+    // `prepared`: route ChatPipeline.query through the round-12
+    // prepared-plan executor (its coverage is gated on the executor's
+    // own served counter — executeCollect on hand-swapped physical
+    // plans never surfaces as a QueryExecution, so the plan listener
+    // cannot see it; PreparedKnnSpec pins the plans' structure and
+    // bit-exact parity with the rule path instead).
+    def runSeries(checkPushdown: Boolean, prepared: Boolean = false): (Seq[Double], Int) = {
       var covered = 0
       var baseline = if (checkPushdown) settle(pushdownPlans.get()) else 0L
+      val servedBase = graft.plans.PreparedKnn.served.get()
       val lat = queries.map { q =>
         val s0 = System.nanoTime()
         val out = graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3,
-          rerank = true)
+          rerank = true, prepared = prepared)
         val ms = (System.nanoTime() - s0) / 1e6
         require(out.results.nonEmpty, s"no results for query '$q'")
         if (checkPushdown) {
@@ -181,6 +188,8 @@ object ServeBench {
         }
         ms
       }
+      if (prepared)
+        covered = (graft.plans.PreparedKnn.served.get() - servedBase).toInt
       (lat, covered)
     }
 
@@ -188,11 +197,19 @@ object ServeBench {
     // first settle() inside runSeries drains any late warmup events
     // before the first timed baseline is taken
     queries.take(3).foreach(q =>
-      graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3, rerank = true))
+      graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3, rerank = true,
+        prepared = false))
     val warmupFloor = awaitPlans(3, 10000)
 
     val (pushLatRaw, pdFired) = runSeries(checkPushdown = true)
     val pushLat = pushLatRaw.sorted
+
+    // prepared series: same queries through the prepared-plan executor
+    // (the interactive default lane), own warmup for its plan shapes
+    queries.take(3).foreach(q =>
+      graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3, rerank = true))
+    val (prepLatRaw, prepServed) = runSeries(checkPushdown = false, prepared = true)
+    val prepLat = prepLatRaw.sorted
 
     graft.plans.AnnCatalog.clear()
     // the brute series gets its OWN warmup: the un-rewritten plan shape
@@ -208,14 +225,18 @@ object ServeBench {
       f"""{"p50":${pct(l, 0.50)}%.1f,"p95":${pct(l, 0.95)}%.1f,"mean":${l.sum / l.length}%.1f}"""
     println(
       s"""{"metric":"serve_latency","unit":"ms","n_queries":${queries.size},""" +
-        s""""pushdown":${stats(pushLat)},"brute":${stats(bruteLat)},""" +
-        s""""pushdown_covered":$pdFired,"warmup_plans":$warmupFloor,""" +
+        s""""prepared":${stats(prepLat)},"pushdown":${stats(pushLat)},""" +
+        s""""brute":${stats(bruteLat)},""" +
+        s""""prepared_served":$prepServed,"pushdown_covered":$pdFired,""" +
+        s""""warmup_plans":$warmupFloor,""" +
         s""""n_chunks":$nChunks,"n_docs":${docs.length},""" +
         f""""build_sec":$buildSec%.1f,"sf":"$sfDir"}""")
     spark.stop()
-    // the gate: every timed query must have run through the rewritten
-    // (forest semi-join) plan — otherwise the numbers describe the
-    // wrong engine and the harness must not report success
+    // the gates: every timed pushdown-series query must have run
+    // through the rewritten (forest semi-join) plan, and every timed
+    // prepared-series query must have been answered by the prepared
+    // executor — otherwise the numbers describe the wrong engine and
+    // the harness must not report success.
     // gate on the MEASURED query count: docs.indices.by(step).take(n)
     // yields fewer queries than requested when the corpus is small, and
     // failing a 100%-covered run over the requested count would be a
@@ -223,6 +244,11 @@ object ServeBench {
     if (pdFired < queries.size) {
       System.err.println(
         s"serve bench FAILED: pushdown covered $pdFired/${queries.size} timed queries")
+      sys.exit(1)
+    }
+    if (prepServed < queries.size) {
+      System.err.println(
+        s"serve bench FAILED: prepared executor served $prepServed/${queries.size} timed queries")
       sys.exit(1)
     }
   }

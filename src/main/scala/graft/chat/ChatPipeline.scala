@@ -111,7 +111,8 @@ object ChatPipeline {
             client: ChatClient = new MockChatClient(),
             embedder: Embedder = new HashingEmbedder(),
             approx: Boolean = false,
-            reranker: Option[Reranker] = None): QueryOutput = {
+            reranker: Option[Reranker] = None,
+            prepared: Boolean = true): QueryOutput = {
     // proposals.md:70-73 (automatic check on query): warn — never
     // block — when the loaded index no longer matches its source.
     // Cached behind a stat sketch (checkIndexCached): the per-query
@@ -124,41 +125,50 @@ object ChatPipeline {
         println(s"WARN: index may be stale (${f.reason}). " +
           s"Consider re-indexing '${f.meta.repoPath}'.")
     }
-    val chunks = AnnIndex.loadServing(spark, indexDir)
     val profile = readProfile(indexDir)
     val classification = client.classify(question)                 // Step 1 (L1)
     val hypoDoc = client.hyde(question, classification, profile)   // Step 2 (L2)
     val qVec = embedder.embed(hypoDoc)                             // embed hypo ONLY (hyde.rs:500)
-    val hits0 =
-      if (approx) {
-        // the persisted planes are authoritative — never re-sample from
-        // the live count, which drifts after incremental appends
-        val forest = AnnIndex.loadPlanes(spark, indexDir)
-        val idx = spark.read.parquet(s"$indexDir/forest")
-        AnnIndex.knnApprox(spark, chunks, idx, forest, qVec, k * 2)
-      } else AnnIndex.knnExact(chunks, qVec, k * 2)                // Step 3, over-fetch F1
-    // materialize the over-fetch window ONCE: everything past F1 is a
-    // presentation stage over <= 2k rows (the reference filters its
-    // fetched window driver-side too, hyde.rs:976-1214), and leaving
-    // the corpus-side plan lazy re-executes the whole kNN at every
-    // downstream action barrier (applyFilters' code-count,
-    // crossRerank's window collect) — a 2x-3x serving-latency tax
-    val hitRows = hits0.collect()
-    // LocalRelation, not parallelize: the window is already driver-
-    // resident, and an RDD-backed frame schedules a cluster job for
-    // every downstream action on the latency-critical serving path
-    val hits = spark.createDataFrame(
-      java.util.Arrays.asList(hitRows: _*), hits0.schema)
-    val filtered = Retrieval.applyFilters(hits, classification, k) // Step 4 + truncate
+    // Step 3 + over-fetch F1. Fast lane: when the index is registered
+    // in AnnCatalog, the prepared-plan executor answers in two
+    // literal-swapped single-job plans (PreparedKnn scaladoc) —
+    // bit-identical results to the rule-rewritten DataFrame path below
+    // (PreparedKnnSpec), at a fraction of the per-query planning cost.
+    val window: Seq[Retrieval.LocalHit] =
+      (if (prepared && !approx)
+        graft.plans.PreparedKnn.search(spark, indexDir, qVec, k * 2)
+      else None).getOrElse {
+        val chunks = AnnIndex.loadServing(spark, indexDir)
+        val hits0 =
+          if (approx) {
+            // the persisted planes are authoritative — never re-sample
+            // from the live count, which drifts after incremental appends
+            val forest = AnnIndex.loadPlanes(spark, indexDir)
+            val idx = spark.read.parquet(s"$indexDir/forest")
+            AnnIndex.knnApprox(spark, chunks, idx, forest, qVec, k * 2)
+          } else AnnIndex.knnExact(chunks, qVec, k * 2)
+        // materialize the over-fetch window ONCE: everything past F1 is
+        // a presentation stage over <= 2k rows (the reference filters
+        // its fetched window driver-side too, hyde.rs:976-1214), and
+        // leaving the corpus-side plan lazy re-executes the whole kNN
+        // at every downstream action barrier — a 2x-3x latency tax
+        val hitRows = hits0.collect()
+        Retrieval.localHits(hitRows.toSeq, hits0.schema)
+      }
+    // F2-F10 + R2 run driver-local over the collected window (the
+    // Retrieval *Local twins, DataFrame-parity-pinned by
+    // RetrievalLocalParitySpec): even over a LocalRelation, the Spark
+    // actions these stages need (count barrier, window fetch, final
+    // top-k) cost ~115 ms/query of tiny-job overhead — a third of the
+    // serving latency — for <= 2k rows of driver-resident work
+    val filtered = Retrieval.applyFiltersLocal(window, classification, k) // Step 4 + truncate
     val ordered =
-      if (rerank) Retrieval.crossRerank(filtered, question,        // Step 5 (R2)
+      if (rerank) Retrieval.crossRerankLocal(filtered, question,   // Step 5 (R2)
         reranker.getOrElse(Rerankers.fromEnv()))
-      else filtered.orderBy(col("distance").asc)                   // F10
-    val rows = ordered.select("file", "code", "language", "extension", "distance")
-      .collect().zipWithIndex.map { case (r, i) =>
-        RetrievalResult(r.getString(0), r.getString(1),
-          Option(r.getString(2)), Option(r.getString(3)), r.getDouble(4), i)
-      }.toSeq
+      else filtered.sortBy(_.distance)                             // F10
+    val rows = ordered.zipWithIndex.map { case (h, i) =>
+      RetrievalResult(h.file, h.code, h.language, h.extension, h.distance, i)
+    }
     val snippets = rows.map(r => (r.file, r.code, r.distance))
     QueryOutput(rows, client.synthesize(question, classification, profile, snippets).toSeq)
   }
@@ -1157,9 +1167,19 @@ object ChatCli {
     // thread without a TTY library; the message is the contract)
     println(s"Generating answer with $model ...")
     val t0 = System.nanoTime()
+    // --hyde-model routes classify + HyDE through its own (cheaper)
+    // client, synthesis stays on the answer model — main.rs:456-476's
+    // two-client split (SplitChatClient). Without the flag one client
+    // serves all three touchpoints, as before.
+    val answerClient = OpenAiChatClient.fromEnv(modelFallback = flags.answerModel)
+    val chatClient = flags.hydeModel match {
+      case Some(_) => new SplitChatClient(
+        OpenAiChatClient.fromEnv(modelFallback = flags.hydeModel), answerClient)
+      case None => answerClient
+    }
     val out = ChatPipeline.query(spark, indexDir, question, k,
       rerank = flags.useRerank,
-      client = OpenAiChatClient.fromEnv(modelFallback = flags.answerModel),
+      client = chatClient,
       embedder = embedderFor(flags),
       reranker = Some(rerankerFor(flags)))
     val elapsed = formatElapsed(System.nanoTime() - t0)

@@ -33,6 +33,24 @@ trait ChatClient extends Serializable {
                  snippets: Seq[(String, String, Double)]): Iterator[String]
 }
 
+/** Two-model routing (main.rs:456-476): the reference builds SEPARATE
+  * clients from `--hyde-model` (cheaper) and `--answer-model`, and
+  * hyde.rs routes classify (:395) and HyDE generation (:586) through
+  * the hyde client while synthesis (:743) rides the answer client.
+  * Same contract here, as a delegating composite over the trait. */
+class SplitChatClient(hydeClient: ChatClient,
+                      answerClient: ChatClient) extends ChatClient {
+  override def classify(query: String): QueryClassification =
+    hydeClient.classify(query)
+  override def hyde(query: String, classification: QueryClassification,
+                    profile: Option[RepoProfile] = None): String =
+    hydeClient.hyde(query, classification, profile)
+  override def synthesize(query: String, classification: QueryClassification,
+                          profile: Option[RepoProfile],
+                          snippets: Seq[(String, String, Double)]): Iterator[String] =
+    answerClient.synthesize(query, classification, profile, snippets)
+}
+
 /** Deterministic rule-based client: same decision surface as the LLM
   * prompts (intents, wants_code, folder/extension extraction) but pure
   * string rules — reproducible for tests and the correctness oracle. */

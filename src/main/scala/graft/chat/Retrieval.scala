@@ -185,6 +185,150 @@ object Retrieval {
       .orderBy(col("rerank_score").desc, col("distance").asc)
   }
 
+  // -------------------------------------------------------------------
+  // Driver-local twins of the presentation stages (round-12 serving
+  // floor). ChatPipeline.query collects the F1 over-fetch window
+  // (<= k*2 rows) to the driver anyway; running F2-F10 + R2 as Spark
+  // actions over that LocalRelation cost ~115 ms/query in tiny-job
+  // overhead — a third of the serving latency — for <= 6 rows of work.
+  // The reference runs this stage driver-side too (hyde.rs:976-1214).
+  //
+  // The DataFrame operators above remain the batch/oracle path (q167
+  // composedRetrieve pins them cross-engine); these twins replicate
+  // their semantics row-for-row and RetrievalLocalParitySpec asserts
+  // DataFrame-vs-local equality over the full classification grid.
+  // -------------------------------------------------------------------
+
+  private def folderMatchLocal(path: String, folder: String): Boolean = {
+    val lastSeg = folder.split('/').lastOption.getOrElse(folder)
+    path.contains(s"/$folder/") ||
+      path.startsWith(s"$folder/") ||
+      (path.contains(s"/$folder") && path.endsWith(s"/$lastSeg"))
+  }
+
+  private def extMatchLocal(file: String, extension: Option[String],
+                            norm: Seq[String]): Boolean =
+    extension match {
+      case Some(e) => norm.contains(e.dropWhile(_ == '.'))
+      case None    => norm.exists(t => file.endsWith(s".$t"))
+    }
+
+  private def excludedLocal(file: String, patterns: Seq[String]): Boolean = {
+    val lf = file.toLowerCase
+    patterns.exists { p0 =>
+      val p = p0.toLowerCase
+      lf.contains(p) || lf.contains(s"/$p/") ||
+        lf.startsWith(s"$p/") || lf.endsWith(s"/$p")
+    }
+  }
+
+  private def isDocLocal(file: String, extension: Option[String]): Boolean =
+    extension match {
+      case Some(e) => DocExtsSplit.contains(e)
+      case None =>
+        val lf = file.toLowerCase
+        val pathIsCode = !lf.endsWith(".md") && !lf.endsWith(".txt") &&
+          !lf.contains("/docs/") && !lf.contains("readme") &&
+          !lf.contains("resources") && !lf.contains("changelog") &&
+          !lf.contains("license")
+        !pathIsCode
+    }
+
+  /** Priority under [[langMatchCol]]'s exact three-valued logic: the
+    * column is `(lower(language) = t) OR extMatch`; with a NULL
+    * language and no extension match that is SQL NULL, which the
+    * `priority DESC` sort puts after 0 (nulls last) — encoded here as
+    * -1 so the local descending sort lands identically. */
+  private def langPriorityLocal(language: Option[String], extension: Option[String],
+                                targetLang: String): Int = {
+    val t = targetLang.toLowerCase
+    val viaExt = Language.dimensionRows
+      .filter(_._2.toLowerCase == t).map(_._1)
+    val extM = viaExt.nonEmpty && extension.exists(e => viaExt.contains(e.toLowerCase))
+    if (extM) 1
+    else language match {
+      case Some(l) => if (l.toLowerCase == t) 1 else 0
+      case None    => -1 // SQL NULL: sorts after 0 under DESC
+    }
+  }
+
+  /** One over-fetch-window row, driver-resident. */
+  final case class LocalHit(file: String, code: String,
+                            language: Option[String],
+                            extension: Option[String], distance: Double)
+
+  def localHits(rows: Seq[org.apache.spark.sql.Row],
+                schema: org.apache.spark.sql.types.StructType): Seq[LocalHit] = {
+    val iF = schema.fieldIndex("file"); val iC = schema.fieldIndex("code")
+    val iL = schema.fieldIndex("language"); val iE = schema.fieldIndex("extension")
+    val iD = schema.fieldIndex("distance")
+    rows.map(r => LocalHit(r.getString(iF), r.getString(iC),
+      Option(r.getString(iL)), Option(r.getString(iE)), r.getDouble(iD)))
+  }
+
+  /** Row-level twin of [[applyFilters]] — same branches, same decision
+    * tree, same final (branch, -priority, distance) order, same k
+    * truncation. Ties beyond those keys follow input order (the
+    * DataFrame path leaves them unspecified). */
+  def applyFiltersLocal(hits: Seq[LocalHit], c: QueryClassification,
+                        k: Int): Seq[LocalHit] = {
+    var hs = hits
+    val folders = c.target_folders.getOrElse(Seq.empty)
+    if (folders.nonEmpty)
+      hs = hs.filter(h => folders.exists(f => folderMatchLocal(h.file, f)))
+    val targets = c.target_extensions.getOrElse(Seq.empty)
+    if (targets.nonEmpty) {
+      val norm = targets.map(_.dropWhile(_ == '.'))
+      hs = hs.filter(h => extMatchLocal(h.file, h.extension, norm))
+    }
+    val patterns = c.exclude_patterns.getOrElse(Seq.empty)
+    if (patterns.nonEmpty) hs = hs.filterNot(h => excludedLocal(h.file, patterns))
+
+    // (hit, branch, priority)
+    val tagged: Seq[(LocalHit, Int, Int)] =
+      if (c.wants_code && c.confidence > 0.7) {
+        val (docs, code) = hs.partition(h => isDocLocal(h.file, h.extension))
+        val sortedCode = code.map { h =>
+          val pr = c.language match {
+            case Some(lang) => langPriorityLocal(h.language, h.extension, lang)
+            case None       => 0
+          }
+          (h, 0, pr)
+        }
+        val nCode = sortedCode.size
+        val docLimit: Int =
+          if (c.confidence > 0.8) 0
+          else c.intent match {
+            case "how_it_works" => if (nCode >= 3) 0 else 1
+            case "implementation" | "debugging" => 0
+            case "explanation" => 1
+            case _ => 0
+          }
+        val quotaDocs = docs.sortBy(_.distance).take(docLimit).map(h => (h, 1, 0))
+        sortedCode ++ quotaDocs
+      } else {
+        hs.map { h =>
+          val pr =
+            if (!c.wants_code && h.extension.exists(DocExtsPrefer.contains)) 1 else 0
+          (h, 0, pr)
+        }
+      }
+    tagged.sortBy { case (h, b, p) => (b, -p, h.distance) }
+      .take(k).map(_._1)
+  }
+
+  /** Row-level twin of [[crossRerank]]: one rerank(query, docs) call
+    * over the window, then (rerank_score desc, distance asc). Same
+    * window-size guard. */
+  def crossRerankLocal(hits: Seq[LocalHit], query: String,
+                       rr: Reranker = new TfidfReranker()): Seq[LocalHit] = {
+    require(hits.length <= MaxRerankWindow,
+      s"crossRerank input exceeds $MaxRerankWindow rows — " +
+        "it must be the k*2 over-fetch window (F1), not a corpus-sized frame")
+    val scores = rr.rerank(query, hits.map(_.code))
+    hits.zip(scores).sortBy { case (h, s) => (-s, h.distance) }.map(_._1)
+  }
+
   def lexicalRerank(results: DataFrame, query: String): DataFrame = {
     val qTokens = query.toLowerCase.split("\\W+").filter(_.nonEmpty).distinct.toSeq
     val codeTokens = array_distinct(

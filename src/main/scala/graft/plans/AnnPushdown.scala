@@ -75,9 +75,11 @@ object AnnCatalog {
     entries.put(s"$indexDir/chunks",
       Entry(indexDir, forest, spark.read.parquet(s"$indexDir/forest"),
         stampOf(indexDir)))
+    // prepared serving plans captured the OLD forest listing/planes
+    PreparedKnn.invalidate(indexDir)
   }
 
-  def clear(): Unit = entries.clear()
+  def clear(): Unit = { entries.clear(); PreparedKnn.clear() }
 
   /** Invalidation hook for index MUTATORS (incremental appends,
     * refresh-index): re-register — rebuilding the pinned planes and the

@@ -387,6 +387,26 @@ class ChatSpec extends SparkSpec {
     assert(ChatCli.parseFlags(List("-k", "0")).isLeft)
   }
 
+  test("--hyde-model routes classify+HyDE to the hyde client, synthesis to the answer client (main.rs:456-476)") {
+    // recording stubs: which client served which touchpoint
+    class Probe(tag: String, log: collection.mutable.Buffer[String]) extends ChatClient {
+      override def classify(q: String) = { log += s"$tag.classify"
+        QueryClassification(None, "explanation", false, 0.5, None, None, None) }
+      override def hyde(q: String, c: QueryClassification,
+                        p: Option[RepoProfile]) = { log += s"$tag.hyde"; "hypo" }
+      override def synthesize(q: String, c: QueryClassification,
+                              p: Option[RepoProfile],
+                              s: Seq[(String, String, Double)]) = {
+        log += s"$tag.synthesize"; Iterator("ok") }
+    }
+    val log = collection.mutable.Buffer.empty[String]
+    val split = new SplitChatClient(new Probe("hyde", log), new Probe("answer", log))
+    val c = split.classify("q")
+    split.hyde("q", c, None)
+    split.synthesize("q", c, None, Seq.empty).toList
+    assert(log.toList == List("hyde.classify", "hyde.hyde", "answer.synthesize"))
+  }
+
   test("flag model routing: env override > --model-id file > offline default; same for rerank") {
     val dir = Files.createTempDirectory("graft_cli_models")
     // --model-id that is not a real file degrades to the offline default

@@ -460,8 +460,12 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // embed -> kNN -> F1-F10 filters -> order -> synthesize. The kNN
       // inside is written brute-force; the registered catalog must
       // rewrite it, observable ONLY in the executed plan of this path.
+      // prepared = false pins the RULE lane: the round-12 prepared
+      // executor (the interactive default) answers without a
+      // QueryExecution at all — its coverage is PreparedKnnSpec's job
       val out = graft.chat.ChatPipeline.query(spark,
-        idxDir.getAbsolutePath, "compute function value", k = 3)
+        idxDir.getAbsolutePath, "compute function value", k = 3,
+        prepared = false)
       assert(out.results.nonEmpty)
       assert(out.answer.nonEmpty)
       // the execution-listener bus is async: poll briefly
