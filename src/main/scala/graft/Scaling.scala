@@ -158,6 +158,13 @@ object Scaling {
     * order) and timings compare like for like. */
   private[graft] def amplified(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
     val base = graft.core.Tables.documents(spark, srcDir)
+    // same replica-collision guard as amplifiedEvents
+    if (factor > 1) {
+      val mx = base.agg(max(col("doc_id"))).head()
+      require(mx.isNullAt(0) || mx.getLong(0) < 10000000L,
+        s"amplifiedDocuments offset too small for source ids " +
+          s"(max doc_id=${mx.get(0)}): replicas would collide")
+    }
     val reps = spark.range(factor).toDF("r")
     base.crossJoin(broadcast(reps))
       .select(
@@ -177,6 +184,17 @@ object Scaling {
     * documents amplification's more-template-families regime). */
   private[graft] def amplifiedEvents(spark: SparkSession, srcDir: String, factor: Int): DataFrame = {
     val base = graft.core.Tables.events(spark, srcDir)
+    // the fixed remap offsets silently MERGE users/events across
+    // replicas if a source corpus ever carries ids at or above them —
+    // which would break the per-replica-isolation property the scaling
+    // exponents are measured under. Fail loudly instead (one tiny agg
+    // on an offline probe).
+    if (factor > 1) {
+      val mx = base.agg(max(col("event_id")), max(col("user_id"))).head()
+      require(mx.isNullAt(0) || (mx.getLong(0) < 100000000L && mx.getLong(1) < 10000000L),
+        s"amplifiedEvents offsets too small for source ids " +
+          s"(max event_id=${mx.get(0)}, max user_id=${mx.get(1)}): replicas would collide")
+    }
     val reps = spark.range(factor).toDF("r")
     base.crossJoin(broadcast(reps))
       .select(

@@ -476,12 +476,24 @@ object Events {
 
   def coVisitTriangles(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // the cap is a MEMORY guard, not just a semantic rule, so it must
+    // bind DURING aggregation: a collect_set-then-size() form builds
+    // the viral cell's unbounded (and non-spillable) buffer just to
+    // throw it away, and a window pre-count bounds memory but costs an
+    // extra distinct + exchange (measured +0.9 s at sf0.1). The
+    // CappedLongSet aggregate keeps the r11 single-exchange shape with
+    // a buffer that physically stops at cap+1 longs and yields NULL
+    // for over-cap cells (its scaladoc proves the drop rule exact).
+    val cappedUsers = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.CappedLongSet(
+        org.apache.spark.sql.graft.Bridge.expression(col("user_id")),
+        CoVisitCellCap.toInt).toAggregateExpression())
     val byCell = Tables.events(spark, sfDir)
       .select(col("event_type"),
         expr("unix_micros(ts) div 3600000000").as("hour_id"), col("user_id"))
       .groupBy("event_type", "hour_id")
-      .agg(collect_set(col("user_id")).as("users"))
-      .filter(size(col("users")) <= CoVisitCellCap)
+      .agg(cappedUsers.as("users"))
+      .filter(col("users").isNotNull)
     // Array[Long] rides the primitive-array encoder (no per-element
     // boxing on the deserialize path of the hot flatMap)
     val pairRows = byCell.select(col("users")).as[Array[Long]]

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object FloorGrid {
 
-  /** Per-group (n, mu, vr) over `x`, grouped by `groupCols`. */
+  /** Per-group (n, mu, m2, vr) over `x`, grouped by `groupCols`. `m2`
+    * (the raw floored second moment) rides along for consumers that
+    * fold moments further (q147 anisotropy sums m2 across dims). */
   def moments(df: DataFrame, groupCols: Seq[Column], x: Column): DataFrame =
     df.groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n"),
@@ -42,16 +44,37 @@ object FloorGrid {
         "cast(s div n as bigint) - CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END"))
       .withColumn("m2", expr("cast(ss div n as bigint)"))
       .withColumn("vr", col("m2") - col("mu") * col("mu"))
-      .drop("s", "ss", "m2")
+      .drop("s", "ss")
 
-  /** DuckDB twin: SELECT group, n, mu, vr FROM (src). `group` is a
+  /** DuckDB twin: SELECT group, n, mu, m2, vr FROM (src). `group` is a
     * column name in `src`; `x` an expression over its columns. */
   def sqlMoments(src: String, group: String, x: String): String =
-    s"""SELECT $group, n, mu, m2 - mu*mu AS vr FROM (
+    s"""SELECT $group, n, mu, m2, m2 - mu*mu AS vr FROM (
        |  SELECT $group, n,
        |    cast((s // n) - CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END as bigint) AS mu,
        |    cast(ss // n as bigint) AS m2
        |  FROM (SELECT $group, cast(count(*) as bigint) AS n,
        |          sum($x) AS s, sum(($x)*($x)) AS ss
        |        FROM ($src) GROUP BY $group))""".stripMargin
+
+  /** First-moment-only arm: per-group (n, <as> = floor(Σx / n)) with
+    * the same exact-integer discipline (decimal(38,0) sum, truncating
+    * div + negative-remainder adjustment). For consumers that fold a
+    * centroid coordinate but never need a variance (q132 label
+    * centroids), where carrying Σx² would double the aggregation state
+    * of the widest shuffle for nothing. */
+  def floorMean(df: DataFrame, groupCols: Seq[Column], x: Column,
+                as: String): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n"), sum(x.cast("decimal(38,0)")).as("s"))
+      .withColumn(as, expr(
+        "cast(s div n as bigint) - CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END"))
+      .drop("s")
+
+  /** DuckDB twin of [[floorMean]]: SELECT group, n, <as> FROM (src). */
+  def sqlFloorMean(src: String, group: String, x: String, as: String): String =
+    s"""SELECT $group, n,
+       |  cast((s // n) - CASE WHEN s % n != 0 AND s < 0 THEN 1 ELSE 0 END as bigint) AS $as
+       |FROM (SELECT $group, cast(count(*) as bigint) AS n, sum($x) AS s
+       |      FROM ($src) GROUP BY $group)""".stripMargin
 }

@@ -892,6 +892,13 @@ object Sampling {
 
   val NeymanK = 100L
 
+  /** Spark spelling of the overflow-free isqrt ±1 correction (the
+    * DuckDB spelling in [[neymanAllocSql]] is `//` for `div`). Exposed
+    * for the 2⁶³-regime spec. */
+  private[graft] val IsqrtSigmaSql: String =
+    "CASE WHEN (s0+1) <= vr div (s0+1) THEN s0+1 " +
+      "WHEN s0 > 0 AND s0 > vr div s0 THEN s0-1 ELSE s0 END"
+
   def neymanAlloc(spark: SparkSession, sfDir: String): DataFrame = {
     val stats = FloorGrid.moments(
         Tables.documents(spark, sfDir).select(col("lang"), col("n_chars")),
@@ -899,8 +906,14 @@ object Sampling {
       .withColumnRenamed("n", "n_docs")
       .withColumn("vr", greatest(col("vr"), lit(0L)))
       .withColumn("s0", expr("cast(floor(sqrt(cast(vr as double))) as bigint)"))
-      .withColumn("sigma", expr(
-        "CASE WHEN (s0+1)*(s0+1) <= vr THEN s0+1 WHEN s0*s0 > vr THEN s0-1 ELSE s0 END"))
+      // isqrt ±1 correction in DIVISION form: the squared probes
+      // (s0±1)² wrap i64 for vr near 2⁶³ — exactly the regime FloorGrid
+      // exists for — silently in Spark and as a bigint-overflow error
+      // in DuckDB. (s0+1) <= vr div (s0+1) ⟺ (s0+1)² <= vr for
+      // non-negative ints, overflow-free in both engines (both
+      // integer-divide non-negatives identically). s0 = 0 implies
+      // vr = 0 (floor∘sqrt), so the s0 > 0 guard loses nothing.
+      .withColumn("sigma", expr(IsqrtSigmaSql))
       .withColumn("w", col("n_docs") * col("sigma"))
     val weighted = stats
       .withColumn("wtot", sum(col("w")).over(org.apache.spark.sql.expressions.Window
@@ -943,7 +956,8 @@ object Sampling {
        |  FROM stats),
        |sig AS (
        |  SELECT lang, n_docs,
-       |    CASE WHEN (s0+1)*(s0+1) <= vr THEN s0+1 WHEN s0*s0 > vr THEN s0-1 ELSE s0 END AS sigma
+       |    CASE WHEN (s0+1) <= vr // (s0+1) THEN s0+1
+       |         WHEN s0 > 0 AND s0 > vr // s0 THEN s0-1 ELSE s0 END AS sigma
        |  FROM vars),
        |wt AS (
        |  SELECT lang, n_docs, sigma,

@@ -1809,8 +1809,8 @@ object Similarity {
     * product — the fixed-point centroid's magnitude is bounded by the
     * quantized value range, INDEPENDENT of n, so centroid dots can
     * never overflow no matter how many vectors a label has (per-dim
-    * sums stay double-exact to ~9·10¹⁵, i.e. ~10⁹ vectors/label at
-    * this value range; beyond that, pre-scale the quantization down).
+    * sums ride FloorGrid's decimal(38,0)/HUGEINT accumulators — exact
+    * at any corpus size, no 2⁵³ double ceiling).
     * The final cosine is correctly-rounded double ops over exact
     * integers, floored to permille — hash-identical cross-engine.
     *
@@ -1821,11 +1821,14 @@ object Similarity {
     * driver-trivial at any corpus size. */
   def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val q = e.select(col("label").cast("long").as("label"),
-        posexplode(quantize(col("embedding"))).as(Seq("d", "x")))
-      .groupBy("label", "d")
-      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-    val c = q.withColumn("c", expr("cast(floor(cast(s as double) / n) as bigint)"))
+    // centroid fold on the SHARED FloorGrid kernel (one owner of the
+    // floor-mean rule per engine): exact decimal(38,0)/HUGEINT sums +
+    // integer division replace the old floor(double s/n) fold, whose
+    // low bits went wrong past 2⁵³ — i.e. beyond ~10⁹ vectors/label
+    val c = FloorGrid.floorMean(
+        e.select(col("label").cast("long").as("label"),
+          posexplode(quantize(col("embedding"))).as(Seq("d", "x"))),
+        Seq(col("label"), col("d")), col("x"), "c")
       .select("label", "d", "c")
     val nrm = c.groupBy("label").agg(sum(col("c") * col("c")).as("nrm"))
     val cnt = e.groupBy(col("label").cast("long").as("label"))
@@ -1848,15 +1851,14 @@ object Similarity {
   }
 
   def labelCentroidsSql: String =
-    s"""WITH q AS (
-       |  SELECT cast(label as bigint) AS label, d,
-       |    sum(cast(floor(cast(x as double) * ${Consts.QuantScale}.0) as bigint)) AS s,
-       |    count(*) AS n
-       |  FROM (SELECT label, unnest(embedding) AS x,
-       |          generate_subscripts(embedding, 1) AS d
-       |        FROM embeddings)
-       |  GROUP BY 1, 2),
-       |c AS (SELECT label, d, cast(floor(cast(s as double) / n) as bigint) AS c FROM q),
+    s"""WITH c0 AS (
+       |  ${FloorGrid.sqlFloorMean(
+            s"""SELECT cast(label as bigint) AS label, unnest(embedding) AS x,
+               |          generate_subscripts(embedding, 1) AS d
+               |        FROM embeddings""".stripMargin,
+            "label, d",
+            s"cast(floor(cast(x as double) * ${Consts.QuantScale}.0) as bigint)", "c")}),
+       |c AS (SELECT label, d, c FROM c0),
        |nrm AS (SELECT label, sum(c*c) AS nrm FROM c GROUP BY label),
        |cnt AS (SELECT cast(label as bigint) AS label, cast(count(*) as bigint) AS n
        |        FROM embeddings GROUP BY 1),
@@ -1902,37 +1904,28 @@ object Similarity {
     *
     * Scale shape: ONE shuffle keyed by dim with map-side combine (the
     * scan emits 64 partial (sum, sumsq, count) rows per partition),
-    * then a 64-row fold. Headroom: per-dim sums are exact to ~10^9
-    * vectors at this value range (the q132 bound); the sumsq
-    * accumulator squares micro values, so its i64 headroom is ~9*10^6
-    * vectors per dim — at web scale run the norm statistic on the
-    * milli grid instead (divide the quantized values by 1000 in the
-    * sumsq arm only; the permille report is insensitive at its
-    * resolution). */
+    * then a 64-row fold. The per-dim (mu, m2) fold rides the SHARED
+    * FloorGrid kernel — decimal(38,0)/HUGEINT accumulators, exact
+    * integer division — so the old i64-sumsq headroom (~9·10⁶ vectors
+    * per dim) and its milli-grid workaround are gone; only the
+    * per-ROW square must fit i64 (micro² ≈ 10¹², always true). */
   def anisotropyReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = Tables.embeddings(spark, sfDir)
-      .select(posexplode(quantize(col("embedding"))).as(Seq("d", "x")))
-      .groupBy("d")
-      .agg(sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
-        count(lit(1)).as("n"))
-      .select(col("n"),
-        expr("cast(floor(cast(s as double) / n) as bigint)").as("mu"),
-        expr("cast(floor(cast(ss as double) / n) as bigint)").as("m2"))
-    q.groupBy("n")
+    val m = FloorGrid.moments(
+      Tables.embeddings(spark, sfDir)
+        .select(posexplode(quantize(col("embedding"))).as(Seq("d", "x"))),
+      Seq(col("d")), col("x"))
+    m.groupBy("n")
       .agg(sum(col("mu") * col("mu")).as("mu_norm2"), sum(col("m2")).as("avg_norm2"))
       .select(col("n").as("n_vectors"), col("mu_norm2"), col("avg_norm2"),
         expr("mu_norm2 * 1000 div avg_norm2").as("anisotropy_permille"))
   }
 
   def anisotropyReportSql: String =
-    s"""WITH q AS (
-       |  SELECT d, sum(x) AS s, sum(x*x) AS ss, cast(count(*) as bigint) AS n
-       |  FROM (SELECT unnest([cast(floor(cast(x as double)*${Consts.QuantScale}.0) as bigint) for x in embedding]) AS x,
-       |          generate_subscripts(embedding, 1) AS d
-       |        FROM embeddings)
-       |  GROUP BY d),
-       |m AS (SELECT n, cast(floor(cast(s as double) / n) as bigint) AS mu,
-       |        cast(floor(cast(ss as double) / n) as bigint) AS m2 FROM q)
+    s"""WITH m AS (
+       |  ${FloorGrid.sqlMoments(
+            s"""SELECT unnest([cast(floor(cast(x as double)*${Consts.QuantScale}.0) as bigint) for x in embedding]) AS x,
+               |          generate_subscripts(embedding, 1) AS d
+               |        FROM embeddings""".stripMargin, "d", "x")})
        |SELECT n AS n_vectors, cast(sum(mu*mu) as bigint) AS mu_norm2,
        |  cast(sum(m2) as bigint) AS avg_norm2,
        |  cast(sum(mu*mu) * 1000 // sum(m2) as bigint) AS anisotropy_permille
