@@ -23,4842 +23,13 @@ import graft.ops.TextAnalytics.{tokens, shingles3, sqlShingles}
   *  - near-dup pairs resolve into clusters (connected components) with
   *    one representative each — the actual survivorship decision.
   */
-object Dedup {
-
-  /** Library-default shingle/gram hash width: 64 bits (the first two
-    * md5 words). At 100-TB corpus cardinalities the corpus holds
-    * trillions of distinct shingles; a 32-bit space (4.3e9 slots)
-    * saturates there and birthday collisions inflate every
-    * overlap-counting statistic (Jaccard, novelty, source overlap,
-    * duplicated spans). 64 bits pushes the same birthday bound past
-    * 10^18 — collision-free in practice at any realistic corpus size. */
-  val DefaultHashBits = 64
-
-  /** Oracle mode: the DuckDB-verifiable 32-bit width. The oracle SQL
-    * mirrors the hash as the first 8 hex nibbles of md5
-    * (shingleHashExpr); DuckDB has no cheap 64-bit variant of that
-    * expression, so every oracle-checked query pins this width and the
-    * CORRECTNESS gate stays byte-identical. The two widths agree
-    * whenever no 32-bit collision occurs (spec-checked at sf0.001). */
-  val OracleHashBits = 32
-
-  /** First `bits` of an md5 digest as a big-endian long. 32-bit values
-    * are non-negative (unsigned int range, identical to the SQL-side
-    * strpos-over-hex computation); 64-bit values use the full signed
-    * range — downstream set/join/count ops are sign-agnostic. */
-  private[ops] def packHash(d: Array[Byte], bits: Int): Long =
-    if (bits == 32)
-      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    else
-      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-
-  /** (doc_id, source, shingle) rows — distinct 3-gram shingles per doc.
-    *
-    * Computed in a typed flatMap, NOT with higher-order-function
-    * expressions: HOF lambdas are interpreted (no codegen) and Catalyst
-    * re-inlines the tokenize subexpression into every element_at
-    * reference, which measured ~25s at sf0.1 for what plain JVM string
-    * code does in well under a second. Semantics are identical to
-    * split-trim-filter + 3-gram + distinct (same Java regex on both
-    * paths), so the DuckDB oracle is unaffected. */
-  private[ops] def shingleRows(spark: SparkSession, sfDir: String,
-                               bits: Int = DefaultHashBits): DataFrame =
-    shingleRowsOf(Tables.documents(spark, sfDir), bits)
-
-  /** Same typed flatMap over an arbitrary (doc_id, source, text) frame —
-    * the seam that lets a STREAMING micro-batch derive its shingles
-    * through literally the batch path (q112). */
-  private[graft] def shingleRowsOf(docs: DataFrame,
-                                   bits: Int = DefaultHashBits): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, src, txt) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          val sh =
-            if (t.length < 3) Seq.empty[String]
-            else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").distinct
-          sh.map { s =>
-            // hv = leading md5 bytes at the configured width; 32-bit
-            // mode is identical to the SQL-side strpos-over-hex
-            // computation (shingleHashExpr)
-            packHash(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
-          }
-          // distinct by HASH, not just by shingle string: the oracle's
-          // set ops run over list_distinct of the hashed values, so two
-          // distinct shingles colliding to one hv must count once on
-          // both sides (set semantics over hv everywhere)
-          .distinct.map(hv => (id, src, hv))
-        }
-      }
-      .toDF("doc_id", "source", "hv")
-  }
-
-  /** doc_id, source, shingle-hash-set column (distinct 3-gram shingles
-    * as 32-bit int hashes — set ops over longs are far cheaper than
-    * over strings, and the oracle mirrors the same hash). */
-  private def shingleSets(spark: SparkSession, sfDir: String,
-                          bits: Int = DefaultHashBits): DataFrame =
-    shingleSetsFrom(shingleRows(spark, sfDir, bits))
-
-  private def shingleSetsFrom(sh: DataFrame): DataFrame =
-    sh.groupBy("doc_id", "source")
-      .agg(sort_array(collect_set(col("hv"))).as("s")) // sorted: see LongArrayIntersectCount
-
-  // -------------------------------------------------------------------
-  // Exact dedup: md5 group-by, keep lowest doc_id.
-  // -------------------------------------------------------------------
-
-  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy("content_hash")
-
-  def exactDedupSql: String =
-    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
-      |  count(*) AS n_copies
-      |FROM documents
-      |GROUP BY md5(text)
-      |ORDER BY content_hash""".stripMargin
-
-  // -------------------------------------------------------------------
-  // MinHash signatures + LSH banding + Jaccard verification.
-  // -------------------------------------------------------------------
-
-  /** Spark-SQL expression string for the 32-bit shingle hash: first 8
-    * hex nibbles of md5. Mirrored 1:1 in the DuckDB oracle (instr vs
-    * strpos — same 1-based semantics). */
-  /** DuckDB-dialect form of the 32-bit hash for sibling ops suites'
-    * oracle SQL (identical arithmetic to the Spark-side packHash). */
-  private[ops] def shingleHashExprSql(hExpr: String): String =
-    shingleHashExpr("strpos", hExpr)
-
-  private def shingleHashExpr(instrFn: String, hExpr: String = "h"): String =
-    (0 until 8).map { j =>
-      val w = 1L << (4 * (7 - j))
-      s"cast($instrFn('0123456789abcdef', substring($hExpr, ${j + 1}, 1)) - 1 as bigint) * ${w}"
-    }.mkString("(", " + ", ")")
-
-  /** One row per doc: 16 minhash values. One md5 per shingle; the 16
-    * permutations are linear maps over the 32-bit hash (Consts). Min
-    * aggregates get map-side partial aggregation, so the shuffle moves
-    * one signature row per doc, not the shingles. */
-  def minhashSignatures(spark: SparkSession, sfDir: String,
-                        bits: Int = DefaultHashBits): DataFrame =
-    minhashSignaturesFrom(shingleRows(spark, sfDir, bits))
-
-  private def minhashSignaturesFrom(sh: DataFrame): DataFrame = {
-    // the affine permutations act on a 32-bit universe: params are
-    // ~2^31, so a wider operand would overflow the i64 product (ANSI
-    // error). 32-bit hv passes through the fold unchanged (high word
-    // is zero), keeping the oracle SQL byte-identical; 64-bit hv is
-    // xor-folded to its unsigned-32 image FOR BANDING ONLY — candidate
-    // generation is probabilistic either way, and the exact Jaccard
-    // verification downstream runs on the full-width sets
-    val hv32 = shiftrightunsigned(col("hv"), 32)
-      .bitwiseXOR(col("hv").bitwiseAND(lit(0xffffffffL)))
-    val aggs = Consts.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min((hv32 * a + b) % Consts.MinhashPrime).as(s"mh$i")
-    }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** Candidate pairs from LSH bands, verified with exact Jaccard.
-    *
-    * Bands are exploded to (doc_id, band_idx, band_hash) rows and the
-    * candidate join is ONE self-equi-join on (band_idx, band_hash) —
-    * a single shuffle whose two sides are identical subplans (Spark
-    * reuses the exchange), instead of one join per band re-running the
-    * whole MinHash lineage. */
-  /** One summary row per doc, ALL computed inside the shingle flatMap:
-    * sorted distinct shingle-hash set, 16 minhash values, and the 4
-    * pre-concatenated LSH band strings. Every piece is per-document
-    * local work — the signature is a min over the doc's own shingles,
-    * the set is the doc's own hashes — so none of it needs the
-    * groupBy(doc_id) shuffles the aggregate formulation paid (the
-    * 1.45M-row shingle table never shuffles OR persists; what's cached
-    * is one narrow row per doc). Docs with <3 tokens emit nothing,
-    * mirroring the empty shingle relation. Arithmetic is identical to
-    * minhashSignaturesFrom: 64-bit hv xor-folds to its unsigned-32
-    * image for the affine maps; the set keeps full width. */
-  case class DocShingles(doc_id: Long, source: String,
-                         s: Array[Long], bands: Array[String])
-
-  private[graft] def docShingleSummary(spark: SparkSession, sfDir: String,
-                                     bits: Int = DefaultHashBits): DataFrame =
-    docShingleSummaryOf(
-      Tables.documents(spark, sfDir).select("doc_id", "source", "text"), bits)
-
-  /** The same per-doc summary over an ARBITRARY (doc_id, source, text)
-    * frame — the form a streaming micro-batch applies (q102 shares
-    * this exact kernel with the batch path, so stream and batch
-    * signatures cannot drift). */
-  private[graft] def docShingleSummaryOf(docs: DataFrame,
-                                         bits: Int = DefaultHashBits): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val params = Consts.MinhashParams.toArray
-    val prime = Consts.MinhashPrime
-    val nBands = Consts.LshBands; val rowsPer = Consts.LshRowsPerBand
-    docs
-      .select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, src, txt) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          if (t.length < 3) Iterator.empty
-          else {
-            val hvs = (0 to t.length - 3).map { i =>
-              packHash(md.digest(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
-            }.distinct.toArray
-            val mh = Array.fill(params.length)(Long.MaxValue)
-            hvs.foreach { hv =>
-              val h32 = (hv >>> 32) ^ (hv & 0xffffffffL)
-              var i = 0
-              while (i < params.length) {
-                val v = (h32 * params(i)._1 + params(i)._2) % prime
-                if (v < mh(i)) mh(i) = v
-                i += 1
-              }
-            }
-            val bands = Array.tabulate(nBands)(b =>
-              (0 until rowsPer).map(r => mh(b * rowsPer + r)).mkString("|"))
-            java.util.Arrays.sort(hvs)
-            Iterator.single(DocShingles(id, src, hvs, bands))
-          }
-        }
-      }
-      .toDF()
-  }
-
-  /** Cached per-doc summary + the (doc_id, source, hv) row view and
-    * per-doc set sizes derived from it WITHOUT re-hashing: the md5
-    * pass runs once per query, the persisted footprint is one narrow
-    * row per doc (not the ~290×-larger row table, whose persist+count
-    * alone cost ~0.4 s at sf0.1), rows re-materialize by exploding
-    * the cached array at consume time, and sizes are a projection —
-    * not a shuffle. */
-  private def sharedSummary(spark: SparkSession, sfDir: String, bits: Int):
-      (DataFrame, DataFrame, DataFrame) = {
-    val summary = Materialize.shared(spark, docShingleSummary(spark, sfDir, bits))
-    (summary,
-      summary.select(col("doc_id"), col("source"), explode(col("s")).as("hv")),
-      summary.select(col("doc_id"), size(col("s")).cast("long").as("sz")))
-  }
-
-  /** LSH candidate pairs with their exact shingle-overlap counts —
-    * the ONE candidate generator q14 and q104 share, so the sweep's
-    * calibration curve is guaranteed to describe the candidate set
-    * the pair query actually filters.
-    *
-    * `bandCap`: hot-bucket guard. The self-equi-join on
-    * (band_idx, band_hash) fans out |bucket|^2 candidate pairs per
-    * bucket; exact dedup runs first (two-stage admission scope), but a
-    * boilerplate TEMPLATE family — near-identical, not byte-identical —
-    * can still put 10^5+ docs in one bucket at web scale, and that one
-    * bucket then materializes ~10^10 pairs in a single task. The cap
-    * drops buckets larger than `cap` from candidate generation, the
-    * same discipline as `jaccardPairsSparse`'s dfCap (exact survivors,
-    * bounded fan-out): a pair is missed only if EVERY band it agrees on
-    * is oversubscribed, i.e. only inside template families too large to
-    * enumerate pairwise anyway (their dedup story is the cluster /
-    * survivorship family, not the pair list). Bucket sizes come from a
-    * count window OVER THE SAME (band_idx, band_hash) partitioning the
-    * join shuffles on, so the cap adds no extra corpus shuffle — the
-    * window's exchange IS the join's exchange (plan-audited).
-    * `None` (default, oracle mode) is uncapped — the DuckDB-checked
-    * queries stay byte-identical. */
-  private[graft] def candidateOverlap(spark: SparkSession, sfDir: String,
-                                      bits: Int,
-                                      bandCap: Option[Int] = None): DataFrame = {
-    // four consumers (two band-join sides, two verification sides);
-    // the cached table is one narrow row per doc, so the eager
-    // materialization is cheap and saves three md5 re-scans
-    val (summary, _, _) = sharedSummary(spark, sfDir, bits)
-    val banded0 = summary.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val banded = bandCap.fold(banded0) { cap =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("band_idx", "band_hash")
-      banded0.withColumn("bsz", count(lit(1)).over(w))
-        .filter(col("bsz") <= cap).drop("bsz")
-    }
-    val x = banded.alias("x"); val y = banded.alias("y")
-    val candidates = x.join(y,
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-
-    val sets = summary.select(col("doc_id"), col("s"))
-    val a = sets.alias("sa"); val b = sets.alias("sb")
-    candidates
-      .join(a, col("doc_a") === col("sa.doc_id"))
-      .join(b, col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa.s"), col("sb.s"))).cast("long").as("inter"),
-        size(array_union(col("sa.s"), col("sb.s"))).cast("long").as("uni"))
-  }
-
-  def minhashLshPairs(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits,
-                      bandCap: Option[Int] = None): DataFrame =
-    candidateOverlap(spark, sfDir, bits, bandCap)
-      .withColumn("jaccard",
-        col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= Consts.MinhashJaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
-
-  private def minColsSql: String = Consts.MinhashParams.zipWithIndex
-    .map { case ((a, b), i) => s"min((hv * $a + $b) % ${Consts.MinhashPrime}) AS mh$i" }
-    .mkString(",\n    ")
-
-  private def bandColsSql: String = (0 until Consts.LshBands).map { b =>
-    val rows = (0 until Consts.LshRowsPerBand)
-      .map(r => s"mh${b * Consts.LshRowsPerBand + r}").mkString(" || '|' || ")
-    s"($rows) AS band$b"
-  }.mkString(",\n    ")
-
-  /** The shared sets/sig/banded/cand CTE prefix (no leading WITH) —
-    * one builder for q14's oracle and q104's, so the two SQL strings
-    * cannot drift apart (the minColsSql/bandColsSql discipline). */
-  private[ops] def sqlCandCtes: String = {
-    val bandJoins = (0 until Consts.LshBands).map { b =>
-      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.doc_id < y.doc_id"
-    }.mkString("\n    UNION\n    ")
-    s"""sets AS (
-       |  SELECT doc_id, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, $sqlShingles s0
-       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |exploded AS (SELECT doc_id, unnest(s) AS hv FROM sets),
-       |sig AS (SELECT doc_id,
-       |    $minColsSql
-       |  FROM exploded GROUP BY doc_id),
-       |banded AS (SELECT doc_id,
-       |    $bandColsSql
-       |  FROM sig),
-       |cand AS (
-       |    $bandJoins)""".stripMargin
-  }
-
-  def minhashLshPairsSql: String = {
-    s"""WITH $sqlCandCtes
-       |SELECT doc_a, doc_b,
-       |  cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) AS jaccard
-       |FROM cand
-       |JOIN sets sa ON doc_a = sa.doc_id
-       |JOIN sets sb ON doc_b = sb.doc_id
-       |WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  /** Shingle-overlap screen admitting a candidate into q124's edit
-    * verification — deliberately BELOW q14's 0.7 merge threshold: the
-    * verifier's whole value is adjudicating the marginal band where
-    * bag-of-shingles similarity alone is not trustworthy. */
-  val EditScreenPermille = 400L
-
-  /** Edit similarity at or above which q124 confirms a candidate. */
-  val EditConfirmPermille = 700L
-
-  /** q124: edit-distance verification of LSH candidate pairs — the
-    * sequence-level confirmation stage of a MinHash dedup pipeline.
-    * Shingle Jaccard is a SET metric: two documents built from the same
-    * template with entities swapped, or with paragraphs reordered, can
-    * share most of their shingle bag while differing substantially as
-    * SEQUENCES — merging on bag overlap alone is how template families
-    * eat distinct documents. Every candidate above the
-    * [[EditScreenPermille]] bag screen gets the exact Levenshtein
-    * verdict: sim‰ = 1000 − lev·1000 div max(|a|,|b|) (integer, so the
-    * whole report hash-checks), `confirmed` = sim ≥
-    * [[EditConfirmPermille]]. Rejected candidates stay IN the report —
-    * what verification refused is the interesting half of the artifact.
-    *
-    * Scale shape: the O(|a|·|b|) DP is the expensive verifier, so it
-    * runs on the LSH-bounded candidate list only (never any corpus
-    * pair), AFTER the cheap set-overlap screen — [[candidateOverlap]]'s
-    * `bandCap` upstream bounds the list under template-family skew, and
-    * the two text fetches are equi-joins keyed on doc_id. Spark's
-    * `levenshtein` is a codegen'd built-in; production runs with a doc
-    * length cap or the thresholded `levenshtein(a, b, k)` variant
-    * (early-exit DP), which the oracle-checked default avoids only
-    * because its -1-beyond-k convention is not portable SQL. */
-  def editVerifiedPairs(spark: SparkSession, sfDir: String,
-                        bits: Int = DefaultHashBits,
-                        bandCap: Option[Int] = None): DataFrame =
-    editVerifyCore(
-      candidateOverlap(spark, sfDir, bits, bandCap),
-      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
-
-  /** Core over arbitrary (doc_a, doc_b, inter, uni) candidates and
-    * (doc_id, text) documents — the seam the spec uses to plant
-    * bag-equal / sequence-different pairs the corpus lacks. */
-  private[graft] def editVerifyCore(cands: DataFrame, docs: DataFrame): DataFrame = {
-    val da = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-    val db = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
-    cands
-      .withColumn("jacc_permille", expr("inter * 1000 div uni"))
-      .filter(col("jacc_permille") >= EditScreenPermille)
-      .join(da, Seq("doc_a")).join(db, Seq("doc_b"))
-      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
-      .withColumn("len_max",
-        greatest(length(col("ta")), length(col("tb"))).cast("long"))
-      .withColumn("sim_permille",
-        lit(1000L) - expr("lev * 1000 div len_max"))
-      .withColumn("confirmed", col("sim_permille") >= EditConfirmPermille)
-      .select("doc_a", "doc_b", "jacc_permille", "lev", "sim_permille", "confirmed")
-      .orderBy("doc_a", "doc_b")
-  }
-
-  def editVerifiedPairsSql: String =
-    s"""WITH $sqlCandCtes,
-       |screened AS (
-       |  SELECT doc_a, doc_b,
-       |    len(list_intersect(sa.s, sb.s)) * 1000 // len(list_distinct(sa.s || sb.s)) AS jacc_permille
-       |  FROM cand
-       |  JOIN sets sa ON doc_a = sa.doc_id
-       |  JOIN sets sb ON doc_b = sb.doc_id
-       |  WHERE len(list_intersect(sa.s, sb.s)) * 1000 // len(list_distinct(sa.s || sb.s)) >= $EditScreenPermille)
-       |SELECT doc_a, doc_b, cast(jacc_permille as bigint) AS jacc_permille,
-       |  cast(levenshtein(da.text, db.text) as bigint) AS lev,
-       |  cast(1000 - levenshtein(da.text, db.text) * 1000
-       |    // greatest(length(da.text), length(db.text)) as bigint) AS sim_permille,
-       |  1000 - levenshtein(da.text, db.text) * 1000
-       |    // greatest(length(da.text), length(db.text)) >= $EditConfirmPermille AS confirmed
-       |FROM screened
-       |JOIN documents da ON doc_a = da.doc_id
-       |JOIN documents db ON doc_b = db.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
-
-  // -------------------------------------------------------------------
-  // n-gram Jaccard pairs: sparse inverted-index join (the default and
-  // the scale path) + blocked pairwise baseline (spec cross-check).
-  // -------------------------------------------------------------------
-
-  /** Default = the sparse inverted-index formulation below. It is
-    * EXACT at any threshold > 0 (a pair sharing zero shingles has
-    * jaccard 0), and its join fan-out is bounded by sum(df^2) over
-    * shingle document frequencies — measured max df on this corpus is
-    * 25 at sf0.1, so candidates are ~56k pairs instead of the ~1.2M
-    * materialized by the blocked pairwise join (58 s of bench time in
-    * round 1). At 100 TB with a power-law vocabulary, pass a `dfCap`
-    * to bound the fan-out of stop-shingles — that trades exactness for
-    * a bounded candidate set (standard practice); the uncapped default
-    * keeps the DuckDB oracle byte-identical. */
-  def jaccardPairs(spark: SparkSession, sfDir: String,
-                   bits: Int = DefaultHashBits): DataFrame =
-    jaccardPairsSparse(spark, sfDir, bits = bits)
-
-  /** Blocked pairwise Jaccard: within-source pairs, hash-based
-    * sorted-merge intersect over the full O(block^2) pair set. Kept as
-    * the small-block correctness baseline the sparse path is
-    * spec-checked against; not the benched default. */
-  def jaccardPairsBlocked(spark: SparkSession, sfDir: String,
-                          bits: Int = DefaultHashBits): DataFrame = {
-    val sets = shingleSets(spark, sfDir, bits)
-    val a = sets.alias("a"); val b = sets.alias("b")
-    val inter = graft.functions.LongArrayIntersectCount(col("a.s"), col("b.s"))
-    a.join(b,
-        col("a.source") === col("b.source") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jaccard",
-        // |A∪B| = |A| + |B| - |A∩B| over distinct-element sets — the
-        // same integer DuckDB gets from len(list_distinct(a || b))
-        inter.cast("double") /
-          (size(col("a.s")) + size(col("b.s")) - inter).cast("double"))
-      .filter(col("jaccard") >= Consts.JaccardPairThreshold)
-      .select(
-        col("a.source").as("source"),
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
-        col("jaccard"))
-      .orderBy("source", "doc_a", "doc_b")
-  }
-
-  /** Sparse (inverted-index) formulation: join on shared shingles and
-    * count them, instead of materializing all O(n^2) pairs and
-    * intersecting arrays. Identical results to the blocked pairwise
-    * join (pairs sharing no shingle have jaccard 0 < threshold), and
-    * the work tracks actual overlap: one equi-join on (source, shingle
-    * hash) whose fan-out is sum over shingles of df^2.
-    *
-    * `dfCap`: optional document-frequency cap applied to CANDIDATE
-    * GENERATION only (survivors are still verified with exact counts).
-    * With `None` (the default, and what q15 benches) results are exact.
-    * At 100 TB scale a cap bounds the quadratic fan-out of stop-phrase
-    * shingles; a pair is then missed only if ALL its shared shingles
-    * exceed the cap, which for near-duplicates (many shared shingles)
-    * is vanishingly rare — the q14 MinHash path is the principled
-    * approximate alternative when that trade-off matters. */
-  def jaccardPairsSparse(spark: SparkSession, sfDir: String,
-                         dfCap: Option[Long] = None,
-                         bits: Int = DefaultHashBits): DataFrame = {
-    // the cached summary feeds the self-join sides AND the set sizes;
-    // sizes are a projection of the cached arrays, not an aggregate
-    // (the row-table materialization this replaces was 11.6 s / 27%
-    // of the round-2 bench as a recompute, then ~0.4 s as a persist)
-    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
-    // exact shared-shingle counts: with dfCap=None the grouped
-    // self-equi-join IS the candidate generation; with a cap, hot
-    // shingles are dropped from the candidate join only and survivors
-    // are re-counted over the uncapped rows
-    val inter = dfCap match {
-      case Some(cap) =>
-        val dfOk = sh.groupBy("source", "hv").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("source", "hv")
-        val capped = sh.join(dfOk, Seq("source", "hv"))
-        val ca = capped.alias("a"); val cb = capped.alias("b")
-        val cand = ca.join(cb,
-            col("a.source") === col("b.source") &&
-            col("a.hv") === col("b.hv") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.source").as("source"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val sa = sh.select(col("doc_id").as("doc_a"), col("hv"))
-        val sb = sh.select(col("doc_id").as("doc_b"), col("hv"))
-        cand.join(sa, "doc_a").join(sb, Seq("doc_b", "hv"))
-          .groupBy("source", "doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter"))
-      case None =>
-        val a = sh.alias("a"); val b = sh.alias("b")
-        a.join(b,
-            col("a.source") === col("b.source") &&
-            col("a.hv") === col("b.hv") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.source").as("source"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-    }
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= Consts.JaccardPairThreshold)
-      .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("source", "doc_a", "doc_b")
-  }
-
-  def jaccardPairsSql: String =
-    s"""WITH sets AS (
-       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, source, $sqlShingles s0
-       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents)))
-       |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  cast(len(list_intersect(a.s, b.s)) as double) / cast(len(list_distinct(a.s || b.s)) as double) AS jaccard
-       |FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
-       |WHERE cast(len(list_intersect(a.s, b.s)) as double) / cast(len(list_distinct(a.s || b.s)) as double) >= ${Consts.JaccardPairThreshold}
-       |ORDER BY source, doc_a, doc_b""".stripMargin
-
-  // -------------------------------------------------------------------
-  // Shingle-set CONTAINMENT (Broder 1997 distinguishes resemblance —
-  // q15's Jaccard — from containment): |A∩B| / |A|. Resemblance misses
-  // the "document swallowed by a bigger document" case entirely — a
-  // 100-line doc fully embedded in a 10,000-line doc has Jaccard ~0.01
-  // but containment 1.0. That asymmetric signal is what catches quote
-  // farms, scraped-page concatenations, and superset re-crawls.
-  // -------------------------------------------------------------------
-
-  /** q83: same-source pairs where either side's shingle set is mostly
-    * contained in the other (max of the two direction-wise
-    * containments ≥ threshold). Same sparse inverted-index shape as
-    * q15 — the shared-shingle counts come from one grouped self-equi-
-    * join on (source, hv), never an all-pairs scan — and the exact
-    * same materialized shingle table feeds both queries' lineages. */
-  def containmentPairs(spark: SparkSession, sfDir: String,
-                       bits: Int = DefaultHashBits): DataFrame = {
-    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
-    val a = sh.alias("a"); val b = sh.alias("b")
-    a.join(b,
-        col("a.source") === col("b.source") &&
-        col("a.hv") === col("b.hv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.source").as("source"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
-      .withColumn("containment",
-        greatest(col("n_shared").cast("double") / col("sza").cast("double"),
-          col("n_shared").cast("double") / col("szb").cast("double")))
-      .filter(col("containment") >= Consts.ContainmentThreshold)
-      .select(col("source"), col("doc_a"), col("doc_b"),
-        col("n_shared"), col("containment"))
-      .orderBy("source", "doc_a", "doc_b")
-  }
-
-  def containmentPairsSql: String =
-    s"""WITH sets AS (
-       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, source, $sqlShingles s0
-       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents)))
-       |SELECT source, doc_a, doc_b, n_shared, containment FROM (
-       |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    cast(len(list_intersect(a.s, b.s)) as bigint) AS n_shared,
-       |    greatest(
-       |      cast(len(list_intersect(a.s, b.s)) as double) / cast(len(a.s) as double),
-       |      cast(len(list_intersect(a.s, b.s)) as double) / cast(len(b.s) as double)) AS containment
-       |  FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id)
-       |WHERE containment >= ${Consts.ContainmentThreshold}
-       |ORDER BY source, doc_a, doc_b""".stripMargin
-
-  // -------------------------------------------------------------------
-  // SimHash: 16-bit signatures from token md5 nibbles + hamming pairs.
-  // -------------------------------------------------------------------
-
-  /** doc_id, simhash (long in [0, 2^16)). Bit k is the sign of the sum
-    * over tokens of +/-1 on the high bit of hex nibble k of md5(token).
-    * Token multiplicity counts (frequency-weighted simhash). */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame =
-    simhashFrame(spark, sfDir).orderBy("doc_id")
-
-  /** (doc_id, simhash) without the presentation sort — the join inputs
-    * in simhashPairs build on this so no useless sort sits under a
-    * shuffle. */
-  /** Per-doc 16-bit signature at SCAN SPEED: a doc's tokens live in
-    * one row, so the whole vote/threshold computation is row-local —
-    * no token-stream shuffle at all (the q69/q33/q14 discipline). The
-    * arithmetic is byte-for-byte the `functions.SimHash16` scalar (the
-    * SQL surface) and vote-equivalent to the NibbleHighMask kernel
-    * formulation below, which remains the streaming hot path
-    * (DedupStream) and the spec cross-check baseline here. */
-  private def simhashFrame(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, txt) =>
-          val votes = new Array[Long](Consts.SimHashBits)
-          txt.trim.split("\\s+").foreach { t =>
-            if (t.nonEmpty) {
-              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              var k = 0
-              while (k < Consts.SimHashBits) {
-                val nib = if (k % 2 == 0) (d(k / 2) >> 4) & 0xf else d(k / 2) & 0xf
-                votes(k) += (if (nib >= 8) 1L else -1L)
-                k += 1
-              }
-            }
-          }
-          var hash = 0L
-          var k = 0
-          while (k < Consts.SimHashBits) { if (votes(k) > 0L) hash |= (1L << k); k += 1 }
-          (id, hash)
-        }
-      }
-      .toDF("doc_id", "simhash")
-  }
-
-  /** The fused-kernel formulation (NibbleHighMask projection over the
-    * exploded token stream + 16 shift-and-mask partial sums): the
-    * declarative baseline the scan-local default is spec-checked
-    * against, and the shape the streaming path uses per micro-batch. */
-  private[graft] def simhashFrameKernel(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("m", graft.functions.NibbleHighMask(md5(col("tok").cast("binary"))))
-    val bitCounts = (0 until Consts.SimHashBits).map { k =>
-      sum(shiftright(col("m"), k).bitwiseAND(lit(1L))).as(s"c$k")
-    } :+ count(lit(1)).as("n")
-    val sig = toks.groupBy("doc_id").agg(bitCounts.head, bitCounts.tail: _*)
-    val hash = (0 until Consts.SimHashBits).map { k =>
-      // b_k > 0  <=>  2*c_k > n (vote sum sign, oracle SQL unchanged)
-      when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sig.select(col("doc_id"), hash.as("simhash"))
-  }
-
-  def simhashSql: String = {
-    val bitSums = (0 until Consts.SimHashBits).map { k =>
-      val hi = Consts.HexHigh.map(h => s"'$h'").mkString(", ")
-      s"sum(CASE WHEN substring(h, ${k + 1}, 1) IN ($hi) THEN 1 ELSE -1 END) AS b$k"
-    }.mkString(",\n    ")
-    val hash = (0 until Consts.SimHashBits)
-      .map(k => s"CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END").mkString(" + ")
-    s"""SELECT doc_id, cast($hash as bigint) AS simhash FROM (
-       |  SELECT doc_id,
-       |    $bitSums
-       |  FROM (SELECT doc_id, md5(unnest(t)) AS h
-       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))
-       |  GROUP BY doc_id)
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** Near-dup candidates: simhash pairs within hamming distance <= 3.
-    *
-    * Two-level scale shape (the corpus is heavily templated — at sf0.1
-    * its 5,000 docs collapse to 1,575 distinct signatures and the
-    * answer itself is 3.3M pairs, so doc-level banding generates MORE
-    * bucket-pair work than the n^2/2 nested loop it replaces):
-    *
-    *  1. collapse to DISTINCT signatures (hamming is a function of the
-    *     signature pair, so all work above the final expansion is
-    *     per-cluster, not per-doc);
-    *  2. banded (pigeonhole) equi-join at signature level: 16 bits in
-    *     4 bands of 4; hamming <= 3 differing bits cannot touch all 4
-    *     bands, so every qualifying pair agrees on >= 1 whole band —
-    *     band equality is a lossless candidate filter and the join is
-    *     a single self-equi-join over distinct signatures (measured
-    *     ~17x fewer bucket pairs than doc-level banding at sf0.1);
-    *  3. expand qualifying signature pairs back to doc pairs with two
-    *     output-sized equi-joins; same-signature (hamming 0) doc pairs
-    *     come straight from the cluster sizes.
-    *
-    * At 100x the data, step 2's cost tracks the number of distinct
-    * signatures and step 3's cost tracks the answer size — both
-    * irreducible — while the doc-count-quadratic nested loop is gone. */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // three consumers (distinct signatures, both doc-attach sides,
-    // same-signature pairs); the cached table is two longs per doc
-    val sig = Materialize.shared(spark, simhashFrame(spark, sfDir))
-    val sigs = sig.select("simhash").distinct()
-    val bandBits = Consts.SimHashBits / Consts.SimhashBands
-    val bandVals = (0 until Consts.SimhashBands).map { b =>
-      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
-    }
-    val banded = sigs.select(col("simhash"),
-      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
-    val ba = banded.alias("a"); val bb = banded.alias("b")
-    val sigPairs = ba.join(bb,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= Consts.SimhashMaxHamming)
-    val da = sig.select(col("simhash").as("sh_a"), col("doc_id").as("id_a"))
-    val db = sig.select(col("simhash").as("sh_b"), col("doc_id").as("id_b"))
-    val cross = sigPairs.join(da, "sh_a").join(db, "sh_b")
-      .select(least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
-    val x = sig.alias("x"); val y = sig.alias("y")
-    val within = x.join(y,
-        col("x.simhash") === col("y.simhash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0L).as("hamming"))
-    cross.unionAll(within).orderBy("doc_a", "doc_b")
-  }
-
-  /** SimHash near-dup CLUSTERS without the doc-pair expansion.
-    *
-    * q17's pair output is answer-sized (3.35 M pairs at sf0.1 — the
-    * corpus is heavily templated, so same-signature groups alone
-    * contribute |group|²/2 pairs each), but a dedup pipeline wants the
-    * survivorship partition, not the pairs. This keeps ALL work at
-    * signature granularity: the banded equi-join produces signature
-    * EDGES (bounded by distinct-signature count, not doc count), the
-    * CC loop labels signatures, and docs join their signature's
-    * component label once at the end — the |group|² expansion never
-    * materializes. Output: (doc_id, cluster_id = min doc_id of the
-    * component); keep doc_id == cluster_id is the dedup decision.
-    *
-    * Spec-checked equal to union-find over simhashPairs' output; q17
-    * remains the oracle-checked pair formulation. */
-  def simhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    // reused by the distinct-signature edge build AND the final doc
-    // join; checkpointed so the CC rounds plan over a flat LogicalRDD,
-    // tracked so release() frees the blocks after the query runs
-    val sig = Materialize.tracked(spark,
-      simhashFrame(spark, sfDir).localCheckpoint(true))
-    val sigs = sig.select("simhash").distinct()
-    val bandBits = Consts.SimHashBits / Consts.SimhashBands
-    val bandVals = (0 until Consts.SimhashBands).map { b =>
-      shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
-    }
-    val banded = sigs.select(col("simhash"),
-      posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
-    val ba = banded.alias("a"); val bb = banded.alias("b")
-    val sigEdges = ba.join(bb,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.simhash") < col("b.simhash"))
-      .select(col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= Consts.SimhashMaxHamming)
-    val comp = starComponents(sigEdges)
-    // signatures with no qualifying edge are their own component
-    val sigLabels = sigs.join(comp, sigs("simhash") === comp("node"), "left")
-      .select(sigs("simhash"), coalesce(col("label"), sigs("simhash")).as("sig_label"))
-    val docLabels = sig.join(sigLabels, "simhash").select("doc_id", "sig_label")
-    val clusterIds = docLabels.groupBy("sig_label").agg(min("doc_id").as("cluster_id"))
-    docLabels.join(clusterIds, "sig_label")
-      .select(col("doc_id"), col("cluster_id"))
-      .orderBy("doc_id")
-  }
-
-  // -------------------------------------------------------------------
-  // Near-dup CLUSTER resolution: connected components over the MinHash
-  // pair graph. Pair detection alone is not a dedup policy — a real
-  // pipeline must resolve transitive chains (a~b, b~c => one cluster)
-  // and keep one representative per cluster.
-  // -------------------------------------------------------------------
-
-  /** Connected components via iterative min-label propagation (the
-    * standard distributed CC shape, cf. GraphX/GraphFrames): each node
-    * starts labeled with its own id; every round takes the min of its
-    * own and its neighbors' labels (one equi-join + groupBy-min per
-    * round); fixpoint in <= graph-diameter rounds. Labels only
-    * decrease, so termination is guaranteed; the driver loop carries
-    * only a converged? count per round, never data. Output: one row
-    * per cluster — (cluster_id = min doc_id, n_members), i.e. the
-    * survivorship decision (keep cluster_id, drop the rest). */
-  /** Iterative min-label propagation over an undirected edge list
-    * (pairs of longs, one direction — symmetrized here). Returns one
-    * row per node that appears in an edge: (node, label) with label =
-    * min node id of its component.
-    *
-    * The input is localCheckpoint'ed (not cached): caching keeps the
-    * full upstream LOGICAL plan, so every round's action re-analyzes
-    * and re-optimizes it — measured at 1.3-1.5 s of pure planning per
-    * round over a 512-edge graph. A flat LogicalRDD plans in ms. */
-  /** Connected components via the alternating large-star/small-star
-    * algorithm (Kiveris et al. 2014, "Connected Components in MapReduce
-    * and Beyond"). Each round applies two rewrites to a canonical
-    * (hi > lo) edge list:
-    *
-    *  - large-star: every node's strictly-larger neighbors re-point at
-    *    the minimum of its closed neighborhood — long chains contract
-    *    toward their minimum in parallel;
-    *  - small-star: every node's smaller neighbors (and itself) connect
-    *    directly to the smallest of them — partial stars flatten.
-    *
-    * Fixpoint = a union of stars centered at each component's minimum
-    * node, reached in O(log^2 n) rounds regardless of diameter, versus
-    * min-label propagation's one round PER DIAMETER STEP (a 1000-link
-    * chain costs ~1000 joins there, ~20 here). Per round this pays two
-    * shuffles + a convergence check over a strictly non-growing edge
-    * set; every round localCheckpoints (flat re-plans, releasable
-    * blocks), like the min-label loop below.
-    *
-    * Returns (node, label) for every node in the input edge list,
-    * label = component minimum — same contract as minLabelComponents,
-    * which survives as the spec cross-check baseline. */
-  private[graft] def starComponents(pairs: DataFrame): DataFrame =
-    starComponentsWithRounds(pairs)._1
-
-  /** Below this many edges the remaining resolution runs as ONE
-    * single-task union-find (mapPartitions over a coalesce(1) view)
-    * instead of more distributed rounds: near-dup edge sets are
-    * answer-sized (true duplicate pairs), and at this size the loop's
-    * per-round job latency exceeds the actual compute by orders of
-    * magnitude. 2M edges of two longs plus hash-map overhead is well
-    * under one task's memory. The star loop above the threshold is the
-    * 100-TB path: rounds are diameter-independent and the edge set
-    * never grows, so a huge graph either converges distributed or
-    * passes through unchanged until its answer fits one task. */
-  val LocalCcFinishEdges = 2000000L
-
-  /** Single-task union-find over an edge list: emits the canonical
-    * star forest (node, component-min) for node != min — the same
-    * shape a converged star loop leaves behind. Union-by-min keeps
-    * every tree's root at its component minimum. */
-  private def localUnionFindStars(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val Seq(c1, c2) = edges.columns.toSeq
-    edges.select(col(c1).cast("long"), col(c2).cast("long"))
-      .as[(Long, Long)]
-      .coalesce(1)
-      .mapPartitions { it =>
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
-        // path compression mutates the map — snapshot keys first
-        val ks = parent.keys.toArray
-        ks.iterator.map(k => (k, find(k))).filter(p => p._1 != p._2)
-      }
-      .toDF("hi", "lo")
-  }
-
-  private[graft] def starComponentsWithRounds(
-      pairs: DataFrame,
-      localFinishEdges: Long = LocalCcFinishEdges): (DataFrame, Int) = {
-    val spark = pairs.sparkSession
-    val Seq(pa, pb) = pairs.columns.toSeq
-    // ONE checkpoint of the (possibly expensive) upstream pair pipeline;
-    // the node roster and the edge seed both derive from it. Tracked:
-    // Bench/Verify release the blocks after the query's action.
-    val input = Materialize.tracked(spark,
-      pairs.select(col(pa).cast("long").as("a"), col(pb).cast("long").as("b"))
-        .localCheckpoint(true))
-    val nodes = input.select(col("a").as("node"))
-      .unionAll(input.select(col("b").as("node"))).distinct()
-    var rounds = 0
-    var edges: DataFrame = null
-    if (input.count() <= localFinishEdges) {
-      // small regime: skip the canonical distinct AND the loop — one
-      // task resolves everything exactly (raw dups/self-loops are
-      // union-find no-ops)
-      edges = Materialize.tracked(spark,
-        localUnionFindStars(input).localCheckpoint(true))
-      rounds = 1
-    } else {
-      edges = Materialize.tracked(spark,
-        input.filter(col("a") =!= col("b"))
-          .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
-          .distinct().localCheckpoint(true))
-      // convergence bookkeeping: one tiny (count, xor-of-xxhash64)
-      // aggregate per round over the checkpointed edge set. Equal
-      // summaries across a round mean "converged" with collision odds
-      // ~2^-64 — and because component labels must be EXACT, a summary
-      // match is then confirmed with one exceptAll before exiting (on
-      // the astronomically-unlikely false match the loop just
-      // continues). This replaces the count+count+exceptAll trio per
-      // round that dominated the loop's wall time.
-      def summarize(e: DataFrame): (Long, Long) = {
-        val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("hi"), col("lo")))).collect()(0)
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-      }
-      var cur = summarize(edges)
-      var done = cur._1 == 0L
-      while (!done) {
-        if (cur._1 <= localFinishEdges) {
-          // the rounds so far contracted the graph under the one-task
-          // bound — finish exactly, no more distributed rounds
-          val fin = Materialize.tracked(spark,
-            localUnionFindStars(edges).localCheckpoint(true))
-          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(edges)
-          edges = fin
-          done = true
-        } else {
-          // large-star over the symmetric view: for each u,
-          // m = min(N(u) ∪ {u}); each edge is re-emitted once, from its
-          // smaller endpoint's side. Window aggregates instead of
-          // groupBy+join: ONE shuffle of the big side per star step and
-          // no join build side. Duplicate (hi, lo) rows are tolerated
-          // until the round's final distinct (min is dup-safe).
-          val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
-            .unionAll(edges.select(col("lo").as("u"), col("hi").as("v")))
-          val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
-          val large = sym
-            .select(col("u"), col("v"), least(col("u"), min("v").over(wU)).as("m"))
-            .filter(col("v") > col("u"))
-            .select(col("v").as("hi"), col("m").as("lo"))
-          // small-star: per hi, connect hi and all its los to min(los);
-          // explode emits both rewritten edges in one pass instead of a
-          // self-union that would compute the window twice
-          val wH = org.apache.spark.sql.expressions.Window.partitionBy("hi")
-          val re = large.select(col("hi"), col("lo"), min("lo").over(wH).as("m"))
-          val small = re.select(explode(when(col("lo") =!= col("m"),
-              array(struct(col("hi").as("h"), col("m").as("l")),
-                    struct(col("lo").as("h"), col("m").as("l"))))
-            .otherwise(array(struct(col("hi").as("h"), col("m").as("l"))))).as("e"))
-            .select(col("e.h").as("hi"), col("e.l").as("lo"))
-            .distinct()
-          val next = Materialize.tracked(spark, small.localCheckpoint(true))
-          val ns = summarize(next)
-          done = ns == cur && next.exceptAll(edges).isEmpty
-          org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(edges)
-          edges = next
-          cur = ns
-        }
-        rounds += 1
-      }
-    }
-    // the final edge set is a proper star forest: every hi points at
-    // exactly one lo = its component min; roots and isolated nodes
-    // label themselves. Left as a lazy two-checkpoint join (no extra
-    // materialization job); input/edges blocks are freed by the
-    // session release after the caller's action.
-    val labels = nodes
-      .join(edges.select(col("hi").as("node"), col("lo").as("star")), Seq("node"), "left")
-      .select(col("node"), coalesce(col("star"), col("node")).as("label"))
-    (labels, rounds)
-  }
-
-  private[graft] def minLabelComponents(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    val Seq(a, b) = pairs.columns.toSeq
-    // tracked: Bench/Verify release the checkpoint blocks after the
-    // query's action instead of waiting for driver GC
-    val sym = Materialize.tracked(spark, pairs
-      .unionAll(pairs.select(col(b).as(a), col(a).as(b)))
-      .toDF("src", "dst").localCheckpoint(true))
-    // each round CHECKPOINTS its step, not cache(): step_n's logical
-    // plan references labels_{n-1} twice (the propagation join and the
-    // carried old label), so a cache-based loop doubles the LOGICAL
-    // tree per round — fine at duplicate-graph diameters (2-4), an
-    // exponential treeString/planning blowup on a 30-hop chain. A
-    // checkpoint re-roots each round at a flat LogicalRDD.
-    var step = Materialize.tracked(spark,
-      sym.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node"))
-        .withColumn("next_label", col("node")).localCheckpoint(true))
-    var labels = step.select(col("node"), col("label"))
-    var changed = 1L
-    while (changed > 0) {
-      val prop = sym.join(labels.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(min("label").as("prop_label"))
-      // carry old + new label through one materialized frame so the
-      // convergence check and the next round share a single job
-      val next = Materialize.tracked(spark, labels.join(prop, Seq("node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("prop_label"), col("label"))).as("next_label"))
-        .localCheckpoint(true))
-      changed = next.filter(col("next_label") =!= col("label")).count()
-      org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(step)
-      step = next
-      labels = step.select(col("node"), col("next_label").as("label"))
-    }
-    // re-root the final projection so every loop block can be freed NOW
-    // (leaking blocks per call degrades long sessions — measured as GC
-    // pressure on later queries in the benchmark suite)
-    val finalLabels = Materialize.tracked(spark, labels.localCheckpoint(true))
-    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(step)
-    org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(sym)
-    finalLabels
-  }
-
-  def nearDupClusters(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits): DataFrame =
-    starComponents(
-        minhashLshPairs(spark, sfDir, bits).select(col("doc_a"), col("doc_b")))
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy("cluster_id")
-
-  def nearDupClustersSql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (${minhashLshPairsSql}) ),
-       |sym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM sym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id)
-       |SELECT cluster_id, count(*) AS n_members FROM (
-       |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
-       |GROUP BY cluster_id
-       |ORDER BY cluster_id""".stripMargin
-
-  /** Novelty score: the fraction of a doc's distinct shingles that are
-    * globally UNIQUE (document frequency 1). Near-0 novelty flags
-    * template/boilerplate or near-copied content; this is the cheap
-    * corpus-level contamination signal a training pipeline computes
-    * alongside dedup (integer ratio, so it hash-matches the oracle). */
-  def noveltyScores(spark: SparkSession, sfDir: String,
-                    bits: Int = DefaultHashBits): DataFrame = {
-    // shingle hashes are distinct per doc by construction; the cached
-    // summary feeds both the df-count aggregate (shuffle by hv) and
-    // the per-doc aggregate (shuffle by doc_id)
-    val sh = sharedSummary(spark, sfDir, bits)._2.select("doc_id", "hv")
-    val dfc = sh.groupBy("hv").agg(count(lit(1)).as("df"))
-    sh.join(dfc, "hv")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .withColumn("novelty",
-        col("n_unique").cast("double") / col("n_shingles").cast("double"))
-      .orderBy("doc_id")
-  }
-
-  def noveltyScoresSql: String =
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, ${shingleHashExpr("strpos", "md5(s)")} AS hv
-       |  FROM (SELECT doc_id, unnest($sqlShingles) AS s
-       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |dfc AS (SELECT hv, count(*) AS df FROM sh GROUP BY hv)
-       |SELECT doc_id, count(*) AS n_shingles,
-       |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as bigint) AS n_unique,
-       |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as double) / cast(count(*) as double) AS novelty
-       |FROM sh JOIN dfc USING (hv)
-       |GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
-
-  /** Benchmark decontamination: docs with doc_id below this bound act
-    * as the held-out evaluation set the corpus is screened against. */
-  val DecontamBenchmarkDocs = 50L
-
-  /** q62: benchmark decontamination — flag every corpus document that
-    * shares any 3-gram shingle with the held-out benchmark set (the
-    * screening step every serious pretraining pipeline runs so eval
-    * data cannot leak into training; q52's novelty is corpus-global,
-    * this is set-targeted).
-    *
-    * Scale shape: the benchmark's distinct shingle hashes are tiny
-    * relative to the corpus and BROADCAST; the corpus-side scan then
-    * aggregates (count, hits) per doc with map-side combine — one
-    * shuffle, no corpus-side shingle ever moves except as a partial
-    * count. Shares the materialized shingle table with q14/q15/q52. */
-  /** Per-doc contamination verdicts from shingle rows vs a broadcast
-    * benchmark hv table (hv, hit=1) — the ONE core the batch screen
-    * (q62) and the streaming screen (q112) both run, so gate-at-ingest
-    * cannot drift from the oracle-checked batch. */
-  private[graft] def decontamVerdicts(sh: DataFrame, bench: DataFrame): DataFrame =
-    sh.join(broadcast(bench), Seq("hv"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
-      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
-        (col("n_shared") > 0).as("contaminated"),
-        (col("n_shared") / (col("n_shingles") * lit(1.0))).as("overlap_ratio"))
-
-  /** The ONE definition of the benchmark reference's shape (filter →
-    * distinct hv → hit flag), shared by the batch screen (over the
-    * materialized sharedSummary) and [[benchShingles]] (over a pruned
-    * scan) so the reference cannot drift between the two. */
-  private def benchOf(sh: DataFrame): DataFrame =
-    sh.filter(col("doc_id") < DecontamBenchmarkDocs)
-      .select("hv").distinct().withColumn("hit", lit(1L))
-
-  /** The benchmark reference for the decontamination screens: distinct
-    * shingle hashes of the held-out docs (doc_id < DecontamBenchmarkDocs).
-    * The doc_id filter is applied to the DOCUMENTS scan, below the
-    * opaque shingling flatMap — Catalyst cannot push a predicate
-    * through MapPartitions, so filtering after shingleRows would
-    * tokenize the entire corpus to keep an answer-sized benchmark;
-    * filtering the scan makes it parquet min/max pruning instead
-    * (per-doc shingling commutes with the filter, so the hashes are
-    * identical either way). */
-  private[graft] def benchShingles(spark: SparkSession, sfDir: String,
-                                   bits: Int = DefaultHashBits): DataFrame =
-    benchOf(shingleRowsOf(
-      Tables.documents(spark, sfDir)
-        .filter(col("doc_id") < DecontamBenchmarkDocs), bits))
-
-  def decontamination(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits): DataFrame = {
-    val (_, sh, _) = sharedSummary(spark, sfDir, bits)
-    decontamVerdicts(sh.filter(col("doc_id") >= DecontamBenchmarkDocs), benchOf(sh))
-      .orderBy("doc_id")
-  }
-
-  def decontaminationSql: String =
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, ${shingleHashExpr("strpos", "md5(s)")} AS hv
-       |  FROM (SELECT doc_id, unnest($sqlShingles) AS s
-       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |bench AS (SELECT DISTINCT hv FROM sh WHERE doc_id < $DecontamBenchmarkDocs)
-       |SELECT sh.doc_id, count(*) AS n_shingles,
-       |  cast(sum(CASE WHEN bench.hv IS NULL THEN 0 ELSE 1 END) as bigint) AS n_shared,
-       |  sum(CASE WHEN bench.hv IS NULL THEN 0 ELSE 1 END) > 0 AS contaminated,
-       |  sum(CASE WHEN bench.hv IS NULL THEN 0 ELSE 1 END) / (count(*) * 1.0) AS overlap_ratio
-       |FROM sh LEFT JOIN bench ON sh.hv = bench.hv
-       |WHERE sh.doc_id >= $DecontamBenchmarkDocs
-       |GROUP BY sh.doc_id
-       |ORDER BY sh.doc_id""".stripMargin
-
-  /** q109: decontamination REDACTION — the enforcement half of q62,
-    * exactly as q68 (PII redact) is the enforcement half of q64: every
-    * token covered by a benchmark-matching 3-gram is cut, the
-    * surviving tokens re-join, and the oracle hashes the REDACTED
-    * text so the exact removal extents are cross-engine-pinned. Span
-    * surgery is the middle ground between shipping a contaminated doc
-    * and dropping it whole — the standard practice when a long
-    * document merely QUOTES an eval item (drop the quote, keep the
-    * doc).
-    *
-    * Scale shape: the benchmark shingle set is an eval suite —
-    * answer-sized by definition — and broadcasts as a plain hash set;
-    * redaction is a scan-local typed map (re-derive the doc's grams,
-    * mark covered token positions, rebuild the string): per-doc local
-    * work, no shuffle anywhere except the final ordering. The oracle
-    * necessarily unnests per-position rows; the engine never does. */
-  def decontamRedact(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
-    val benchSet: Array[Long] = shingleRows(spark, sfDir, bits)
-      .filter(col("doc_id") < DecontamBenchmarkDocs)
-      .select("hv").distinct().as[Long].collect()
-    val bc = spark.sparkContext.broadcast(benchSet.toSet)
-    Tables.documents(spark, sfDir)
-      .filter(col("doc_id") >= DecontamBenchmarkDocs)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val bench = bc.value
-        it.map { case (id, txt) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          val covered = new Array[Boolean](t.length)
-          var i = 0
-          while (i <= t.length - 3) {
-            val s = s"${t(i)} ${t(i + 1)} ${t(i + 2)}"
-            val hv = packHash(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
-            if (bench.contains(hv)) {
-              covered(i) = true; covered(i + 1) = true; covered(i + 2) = true
-            }
-            i += 1
-          }
-          val kept = new StringBuilder
-          var nRem = 0L
-          var j = 0
-          while (j < t.length) {
-            if (covered(j)) nRem += 1L
-            else {
-              if (kept.nonEmpty) kept.append(' ')
-              kept.append(t(j))
-            }
-            j += 1
-          }
-          (id, t.length.toLong, nRem, kept.toString)
-        }
-      }
-      .toDF("doc_id", "n_tokens", "n_removed", "rt")
-      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-        (col("n_removed") === 0L).as("clean"),
-        md5(col("rt").cast("binary")).as("redacted_hash"))
-      .orderBy("doc_id")
-  }
-
-  def decontamRedactSql: String =
-    s"""WITH toksl AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |bench AS (
-       |  SELECT DISTINCT ${shingleHashExpr("strpos", "md5(s)")} AS hv
-       |  FROM (SELECT unnest($sqlShingles) AS s
-       |        FROM toksl WHERE doc_id < $DecontamBenchmarkDocs)),
-       |pos AS (
-       |  SELECT doc_id, unnest(range(len(t))) AS i, t
-       |  FROM toksl WHERE doc_id >= $DecontamBenchmarkDocs),
-       |gram AS (
-       |  SELECT doc_id, i,
-       |    ${shingleHashExpr("strpos", "md5(t[i+1]||' '||t[i+2]||' '||t[i+3])")} AS hv
-       |  FROM pos WHERE i <= len(t) - 3),
-       |bad AS (SELECT DISTINCT g.doc_id, g.i FROM gram g JOIN bench USING (hv)),
-       |cov AS (
-       |  SELECT DISTINCT p.doc_id, p.i
-       |  FROM pos p JOIN bad b ON p.doc_id = b.doc_id AND p.i BETWEEN b.i AND b.i + 2),
-       |red AS (
-       |  SELECT p.doc_id,
-       |    cast(count(*) as bigint) AS n_tokens,
-       |    cast(sum(CASE WHEN c.i IS NULL THEN 0 ELSE 1 END) as bigint) AS n_removed,
-       |    coalesce(string_agg(CASE WHEN c.i IS NULL THEN p.t[p.i+1] END, ' ' ORDER BY p.i), '') AS rt
-       |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
-       |  GROUP BY p.doc_id)
-       |SELECT d.doc_id,
-       |  coalesce(r.n_tokens, 0) AS n_tokens,
-       |  coalesce(r.n_removed, 0) AS n_removed,
-       |  coalesce(r.n_removed, 0) = 0 AS clean,
-       |  md5(coalesce(r.rt, '')) AS redacted_hash
-       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $DecontamBenchmarkDocs) d
-       |LEFT JOIN red r USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
-
-  /** Jaccard histogram bucket width for the threshold sweep: 1/20. */
-  val SweepBuckets = 20
-
-  /** q104: dedup threshold-calibration sweep — the Jaccard histogram
-    * of all LSH-candidate pairs, bucketed at 0.05, with a cumulative
-    * pairs-at-or-above column. This is the curve a curation run reads
-    * BEFORE committing to a threshold (q14 hard-codes 0.7): how many
-    * pairs (and docs) each candidate threshold would merge. The
-    * LSH banding biases candidate recall toward high similarity, so
-    * the curve is exact in the region where thresholds actually get
-    * chosen and sparse below — that bias is the documented trade
-    * that makes the sweep one banded equi-join instead of all pairs.
-    *
-    * Scale shape: exactly q14's candidate join (shared summary cache,
-    * banded equi-join, never all-pairs) with the threshold filter
-    * REPLACED by a 20-bucket keyed aggregation; the cumulative column
-    * is a window over ≤20 rows. The bucket expression is one shared
-    * string on both engines (the bm25ScoreExpr discipline). */
-  def thresholdSweep(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits,
-                     bandCap: Option[Int] = None): DataFrame = {
-    val bucketed = candidateOverlap(spark, sfDir, bits, bandCap)
-      .withColumn("bucket", expr(sweepBucketExpr))
-    // both cumulative columns are per-THRESHOLD reads: pairs at or
-    // above, and distinct merge victims (larger-id endpoints) at or
-    // above — a doc's bucket is the MAX over its pairs, so summing
-    // down the curve never double-counts a document
-    val pairHist = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-    val docHist = bucketed.groupBy("doc_b").agg(max(col("bucket")).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_docs_new"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bucket").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    pairHist.join(docHist, Seq("bucket"), "left")
-      .withColumn("n_pairs_at_or_above", sum(col("n_pairs")).over(w))
-      .withColumn("n_docs_merged_at_or_above",
-        sum(coalesce(col("n_docs_new"), lit(0L))).over(w))
-      .select("bucket", "n_pairs", "n_pairs_at_or_above",
-        "n_docs_merged_at_or_above")
-      .orderBy("bucket")
-  }
-
-  /** floor(20 * inter/uni), clamped so jaccard == 1 lands in the top
-    * bucket — one string evaluated by both engines. */
-  private def sweepBucketExpr: String =
-    s"least(cast(floor((cast(inter as double) / cast(uni as double)) * $SweepBuckets.0) as bigint), ${SweepBuckets - 1L})"
-
-  def thresholdSweepSql: String =
-    s"""WITH $sqlCandCtes,
-       |b AS (
-       |  SELECT doc_a, doc_b, $sweepBucketExpr AS bucket FROM (
-       |    SELECT doc_a, doc_b,
-       |      cast(len(list_intersect(sa.s, sb.s)) as bigint) AS inter,
-       |      cast(len(list_distinct(sa.s || sb.s)) as bigint) AS uni
-       |    FROM cand
-       |    JOIN sets sa ON doc_a = sa.doc_id
-       |    JOIN sets sb ON doc_b = sb.doc_id)),
-       |ph AS (SELECT bucket, count(*) AS n_pairs FROM b GROUP BY bucket),
-       |dh AS (
-       |  SELECT bucket, cast(count(*) as bigint) AS n_docs_new
-       |  FROM (SELECT doc_b, max(bucket) AS bucket FROM b GROUP BY doc_b)
-       |  GROUP BY bucket)
-       |SELECT bucket, n_pairs,
-       |  cast(sum(n_pairs) OVER (ORDER BY bucket DESC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_pairs_at_or_above,
-       |  cast(sum(coalesce(n_docs_new, 0)) OVER (ORDER BY bucket DESC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint) AS n_docs_merged_at_or_above
-       |FROM ph LEFT JOIN dh USING (bucket) ORDER BY bucket""".stripMargin
-
-  /** Benchmark suites for the multi-suite screen: the held-out docs
-    * (doc_id < DecontamBenchmarkDocs) split round-robin into this
-    * many suites — standing in for MMLU/GSM8K/HumanEval/... sets. */
-  val NDecontamSuites = 3
-
-  /** q103: multi-suite decontamination — q62 against EVERY eval suite
-    * at once. A real pretraining pipeline screens against dozens of
-    * benchmarks; the naive form is one corpus pass per suite, and at
-    * 100 TB the passes ARE the cost. Here the suite-tagged benchmark
-    * shingles broadcast together and a CONDITIONAL-AGGREGATION pivot
-    * carries every suite's overlap count through the same single
-    * shuffle q62 pays — k suites for one pass, plus a worst-suite
-    * argmax for triage.
-    *
-    * A shingle appearing in several suites joins once per suite (the
-    * per-suite counts need it); n_shingles therefore counts DISTINCT
-    * hv so the denominator stays per-document exact. */
-  def multiDecontamination(spark: SparkSession, sfDir: String,
-                           bits: Int = DefaultHashBits): DataFrame = {
-    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
-    val bench = broadcast(
-      sh.filter(col("doc_id") < DecontamBenchmarkDocs)
-        .select((col("doc_id") % NDecontamSuites).as("suite"), col("hv"))
-        .distinct())
-    val suiteCols = (0 until NDecontamSuites).map { k =>
-      sum(when(col("suite") === k, 1L).otherwise(0L)).as(s"s${k}_shared")
-    }
-    val shared = (0 until NDecontamSuites).map(k => col(s"s${k}_shared"))
-    def maxOf(cols: Seq[Column]): Column =
-      if (cols.isEmpty) lit(Long.MinValue)
-      else if (cols.size == 1) cols.head
-      else greatest(cols: _*)
-    val worst = (0 until NDecontamSuites).foldRight(lit(-1L)) { (k, rest) =>
-      val others = (0 until NDecontamSuites).filterNot(_ == k).map(o => col(s"s${o}_shared"))
-      when(shared.reduce(_ + _) > 0 && col(s"s${k}_shared") >= maxOf(others),
-        lit(k.toLong)).otherwise(rest)
-    }
-    // the shingle table's per-doc distinct count is the cached
-    // summary's set SIZE — a projection, not a countDistinct (whose
-    // two-exchange plan would shuffle the whole corpus shingle table
-    // keyed by (doc_id, hv) and break the single-shuffle shape the
-    // suite sums get from map-side partial aggregation)
-    sh.filter(col("doc_id") >= DecontamBenchmarkDocs)
-      .join(bench, Seq("hv"), "left")
-      .groupBy("doc_id")
-      .agg(suiteCols.head, suiteCols.tail: _*)
-      .join(sizes.select(col("doc_id"), col("sz").as("n_shingles")), "doc_id")
-      .withColumn("contaminated", shared.reduce(_ + _) > 0)
-      .withColumn("worst_suite", worst)
-      .select((Seq(col("doc_id"), col("n_shingles")) ++ shared :+
-        col("contaminated") :+ col("worst_suite")): _*)
-      .orderBy("doc_id")
-  }
-
-  def multiDecontaminationSql: String = {
-    val n = NDecontamSuites
-    val sums = (0 until n)
-      .map(k => s"cast(sum(CASE WHEN suite = $k THEN 1 ELSE 0 END) as bigint) AS s${k}_shared")
-      .mkString(",\n  ")
-    val total = (0 until n).map(k => s"s${k}_shared").mkString(" + ")
-    val worst = (0 until n).map { k =>
-      val others = (0 until n).filterNot(_ == k).map(o => s"s${o}_shared").mkString(", ")
-      s"WHEN $total > 0 AND s${k}_shared >= greatest($others) THEN $k"
-    }.mkString("\n    ")
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, ${shingleHashExpr("strpos", "md5(s)")} AS hv
-       |  FROM (SELECT doc_id, unnest($sqlShingles) AS s
-       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |bench AS (SELECT DISTINCT doc_id % $n AS suite, hv FROM sh WHERE doc_id < $DecontamBenchmarkDocs),
-       |agg AS (
-       |  SELECT sh.doc_id, cast(count(DISTINCT sh.hv) as bigint) AS n_shingles,
-       |  $sums
-       |  FROM sh LEFT JOIN bench USING (hv)
-       |  WHERE sh.doc_id >= $DecontamBenchmarkDocs
-       |  GROUP BY sh.doc_id)
-       |SELECT doc_id, n_shingles, ${(0 until n).map(k => s"s${k}_shared").mkString(", ")},
-       |  ($total) > 0 AS contaminated,
-       |  cast(CASE $worst ELSE -1 END as bigint) AS worst_suite
-       |FROM agg ORDER BY doc_id""".stripMargin
-  }
-
-  // -------------------------------------------------------------------
-  // Content-defined chunking (CDC): rolling-hash boundary detection,
-  // the block-level dedup primitive (cf. LBFS/rsync-style anchoring;
-  // gear/Rabin CDC in storage dedup). Unlike fixed-size chunking, an
-  // insertion early in a document does NOT shift every later block's
-  // identity — boundaries re-synchronize at the next hash anchor — so
-  // shared passages across near-duplicate documents dedup at block
-  // granularity. Boundaries are a pure per-position predicate (window
-  // hash divisible by CdcDivisor), so the operator is a stateless
-  // flatMap on Spark and a list comprehension in the oracle: exact
-  // integer arithmetic end to end.
-  // -------------------------------------------------------------------
-
-  val CdcWindow = 8
-  val CdcBase = 31L    // ord(31 mod 61) > window: all 8 powers distinct mod 61
-  val CdcDivisor = 61L // PRIME — no shared factors with the base's power
-                       // structure (the first cut used 64, where
-                       // 31^2 == 1 (mod 64) collapsed the hash to a
-                       // 6-bit alternating sum and made every run of 8
-                       // equal chars anchor at every position)
-
-  /** Byte substitution table (gear-style): window hashes of structured
-    * text mix through seeded random values instead of raw char codes.
-    * Every entry is nonzero mod 61, so a uniform window (h = T[c] *
-    * sum(31^k), and sum(31^k) ≢ 0 mod 61) can NEVER anchor — repeated-
-    * character runs (padding, separators, indentation) produce no
-    * boundaries instead of one boundary per character. */
-  val CdcSubst: Array[Long] = {
-    var s = 0x5eed5eedL
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 40) & 0xffffL }
-    Array.fill(128) {
-      var v = next() | 1L
-      if (v % CdcDivisor == 0) v += 2
-      v
-    }
-  }
-
-  /** (doc_id, seg_idx, seg_len, seg_md5) — segments re-concatenate to
-    * the original text (spec-checked); md5 identifies shared blocks
-    * across documents for block-level dedup. All positions/lengths are
-    * Unicode CODE POINTS (DuckDB's length/substring/ascii semantics),
-    * not UTF-16 units, so the oracle agrees beyond the BMP too. */
-  def cdcSegments(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) > 0)
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        cdcSplit(text).zipWithIndex.map { case (seg, idx) =>
-          val d = md.digest(seg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          (id, idx.toLong, seg.codePointCount(0, seg.length).toLong,
-            d.map("%02x".format(_)).mkString)
-        }
-      }
-      .toDF("doc_id", "seg_idx", "seg_len", "seg_md5")
-      .orderBy("doc_id", "seg_idx")
-  }
-
-  /** q138: cross-document CDC-segment dedup — the storage-dedup view
-    * over q58's content-defined segments (the LBFS/rsync/backup-dedup
-    * discipline applied to corpus text): a segment whose hash appears
-    * in more than one document is shared content, and a document's
-    * dup-segment ratio is its redundancy against the rest of the
-    * corpus at CONTENT-DEFINED granularity. This complements q65's
-    * fixed word-5-gram spans on the other axis: CDC boundaries are
-    * byte-level, variable-length, and chosen by the rolling hash, so a
-    * shared PARAGRAPH re-wrapped with different whitespace or embedded
-    * at a different offset still resolves to the same segments, while
-    * q65's fixed grams and q13's whole-text hash both miss it.
-    *
-    * Scale shape: segmentation is q58's scan-local rolling hash (one
-    * pass per doc, no shuffle); segment frequency is ONE groupBy on
-    * seg_md5 with map-side combine over the segment relation; the join
-    * back rides the same materialized segment table (exchange-reused,
-    * the q65 frequency-join shape); the final per-doc agg is keyed by
-    * doc_id and bounded by per-doc segment counts. */
-  def cdcDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val segs = Materialize.shared(spark,
-      cdcSegments(spark, sfDir).select("doc_id", "seg_len", "seg_md5"))
-    val dfc = segs.groupBy("seg_md5").agg(countDistinct(col("doc_id")).as("nd"))
-    val per = segs.join(dfc, "seg_md5")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_segments"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_segments"),
-        sum(col("seg_len")).as("n_cps"),
-        sum(when(col("nd") > 1, col("seg_len")).otherwise(0L)).as("dup_cps"))
-    Tables.documents(spark, sfDir).select("doc_id")
-      .join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-        coalesce(col("n_dup_segments"), lit(0L)).as("n_dup_segments"),
-        coalesce(col("n_cps"), lit(0L)).as("n_cps"),
-        coalesce(col("dup_cps"), lit(0L)).as("dup_cps"),
-        coalesce(expr("dup_cps * 1000 div n_cps"), lit(0L)).as("dup_permille"))
-      .orderBy("doc_id")
-  }
-
-  def cdcDedupSql: String =
-    s"""WITH segs AS (${cdcSegmentsSql.replace("ORDER BY doc_id, seg_idx", "")}),
-       |dfc AS (SELECT seg_md5, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg_md5),
-       |per AS (
-       |  SELECT doc_id, cast(count(*) as bigint) AS n_segments,
-       |    cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_segments,
-       |    cast(sum(seg_len) as bigint) AS n_cps,
-       |    cast(sum(CASE WHEN nd > 1 THEN seg_len ELSE 0 END) as bigint) AS dup_cps
-       |  FROM segs JOIN dfc USING (seg_md5) GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  coalesce(n_segments, 0) AS n_segments,
-       |  coalesce(n_dup_segments, 0) AS n_dup_segments,
-       |  coalesce(n_cps, 0) AS n_cps,
-       |  coalesce(dup_cps, 0) AS dup_cps,
-       |  coalesce(dup_cps * 1000 // n_cps, 0) AS dup_permille
-       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-
-  /** Pure split (testable without Spark): segment boundaries over the
-    * code-point sequence via the rolling substituted hash. */
-  private[graft] def cdcSplit(text: String): Seq[String] = {
-    val pow = Array.iterate(1L, CdcWindow)(_ * CdcBase)
-    val topPow = pow(CdcWindow - 1)
-    val cps = text.codePoints().toArray
-    val n = cps.length
-    if (n == 0) return Seq.empty
-    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
-    // true rolling update: h' = (h - T[old]*31^7)*31 + T[new];
-    // exact in i64 (h <= 8 * 2^16 * 31^7 ~ 1.4e16, x31 < 2^63)
-    var h = 0L
-    var i = 0
-    while (i < n - 1) {
-      val t = CdcSubst((cps(i) % 128 + 128) % 128)
-      if (i < CdcWindow) h = h * CdcBase + t
-      else h = (h - CdcSubst((cps(i - CdcWindow) % 128 + 128) % 128) * topPow) * CdcBase + t
-      if (i >= CdcWindow - 1 && h % CdcDivisor == 0L) bounds += i
-      i += 1
-    }
-    val starts = 0 +: bounds.map(_ + 1)
-    val ends = bounds :+ (n - 1)
-    starts.zip(ends).map { case (s, e) => new String(cps, s, e - s + 1) }.toSeq
-  }
-
-  def cdcSegmentsSql: String = {
-    val pow = Array.iterate(1L, CdcWindow)(_ * CdcBase)
-    val substList = CdcSubst.mkString("[", ", ", "]")
-    // term k reads the char k positions back (highest power = oldest)
-    val powTerms = (0 until CdcWindow).map { k =>
-      s"cast(tt[(ascii(substring(text, i - $k + 1, 1)) % 128 + 128) % 128 + 1] as bigint) * ${pow(k)}"
-    }.mkString(" + ")
-    s"""WITH bounded AS (
-       |  SELECT doc_id, text, length(text) AS n,
-       |    [i for i in range(${CdcWindow - 1}, length(text) - 1)
-       |       if ($powTerms) % $CdcDivisor = 0] AS b
-       |  FROM (SELECT doc_id, text, $substList AS tt
-       |        FROM documents WHERE length(text) > 0)),
-       |segs AS (
-       |  SELECT doc_id,
-       |    cast(k as bigint) AS seg_idx,
-       |    substring(text,
-       |      cast((CASE WHEN k = 0 THEN 0 ELSE b[k] + 1 END) + 1 as int),
-       |      cast((CASE WHEN k = len(b) THEN n - 1 ELSE b[k + 1] END)
-       |           - (CASE WHEN k = 0 THEN 0 ELSE b[k] + 1 END) + 1 as int)) AS seg
-       |  FROM bounded, unnest(range(len(b) + 1)) AS t(k))
-       |SELECT doc_id, seg_idx,
-       |  cast(length(seg) as bigint) AS seg_len, md5(seg) AS seg_md5
-       |FROM segs
-       |ORDER BY doc_id, seg_idx""".stripMargin
-  }
-
-  /** Span length (in word tokens) for duplicated-span detection. */
-  val DupSpanN = 5
-
-  /** q65: duplicated n-gram span detection — the occurrence-level
-    * signal behind exact SUBSTRING dedup (Lee et al. 2021,
-    * "Deduplicating Training Data Makes Language Models Better"):
-    * every word 5-gram occurrence is a span, and a span is duplicated
-    * when its gram also appears in at least one OTHER document. The
-    * per-doc duplicated-span ratio is the drop/trim signal — unlike the
-    * doc-level Jaccard/MinHash family (q13-q17), this catches a
-    * boilerplate paragraph pasted into thousands of otherwise-unique
-    * documents.
-    *
-    * Scale shape: grams are hashed to 32-bit ints in a typed flatMap
-    * (one md5 per occurrence — the HOF-lambda formulation is
-    * interpreted and re-inlines the tokenizer per element, see
-    * shingleRows), so the shuffles move (doc_id, i64) rows, never gram
-    * strings. Cross-doc frequency is one groupBy(gh) with map-side
-    * combine; the join back to occurrences reuses the same
-    * materialized gram table (exchange-reuse on the second shuffle),
-    * then one groupBy(doc_id). The full suffix-array construction of
-    * the paper is deliberately traded for fixed-length spans — the
-    * fixed-n formulation is embarrassingly parallel and loses only
-    * sub-n-token duplications. */
-  def dupSpans(spark: SparkSession, sfDir: String,
-               bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
-    val n = DupSpanN
-    val grams = Materialize.shared(spark,
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.flatMap { case (id, txt) =>
-            val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-            (0 to t.length - n).map { i =>
-              val g = t.slice(i, i + n).mkString(" ")
-              (id, packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits))
-            }
-          }
-        }
-        .toDF("doc_id", "gh"))
-    val dfc = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("nd"))
-    val per = grams.join(dfc, "gh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
-    Tables.documents(spark, sfDir).select("doc_id")
-      .join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-        coalesce(col("n_dup_spans") / (col("n_spans") * lit(1.0)), lit(0.0))
-          .as("dup_span_ratio"))
-      .orderBy("doc_id")
-  }
-
-  /** q141: corpus duplication SPECTRUM — the frequency histogram of
-    * word-[[DupSpanN]]-gram occurrences (how much of the corpus is
-    * repeated, and how often), the corpus-level artifact over the same
-    * gram relation whose per-doc view is q65. Buckets: 1 (unique
-    * mass), 2, 3 (=3..9), 10 (=10+). The 10+ bucket is the
-    * memorized-sequence candidate mass (Lee et al. 2021 / Carlini et
-    * al. 2022: sequences repeated tens of times are the ones models
-    * regurgitate); the unique bucket is the irreducible novel mass;
-    * the spectrum's shape is what dedup changes, so before/after
-    * spectra are THE dedup-effectiveness artifact.
-    *
-    * Scale shape: the gram relation is q65's scan-local typed flatMap
-    * (i64 hashes, never strings); occurrence frequency is one keyed
-    * agg with map-side combine; the spectrum folds from the gram-level
-    * frame into 4 rows. */
-  def dupSpectrum(spark: SparkSession, sfDir: String,
-                  bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
-    val n = DupSpanN
-    val grams = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (_, txt) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          (0 to t.length - n).map { i =>
-            val g = t.slice(i, i + n).mkString(" ")
-            packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
-          }
-        }
-      }
-      .toDF("gh")
-    val freq = grams.groupBy("gh").agg(count(lit(1)).as("f"))
-    val bucketed = freq.withColumn("bucket",
-      when(col("f") === 1L, 1L).when(col("f") === 2L, 2L)
-        .when(col("f") < 10L, 3L).otherwise(10L))
-    val total = bucketed.agg(sum(expr("f")).as("tot"))
-    bucketed.groupBy("bucket")
-      .agg(count(lit(1)).as("n_grams"), sum(col("f")).as("n_occurrences"))
-      .crossJoin(broadcast(total))
-      .withColumn("mass_permille", expr("n_occurrences * 1000 div tot"))
-      .select("bucket", "n_grams", "n_occurrences", "mass_permille")
-      .orderBy("bucket")
-  }
-
-  def dupSpectrumSql: String = {
-    val n = DupSpanN
-    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |gr AS (
-       |  SELECT ${shingleHashExpr("strpos", "md5(g)")} AS gh
-       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
-       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g
-       |        FROM toks)),
-       |freq AS (SELECT gh, cast(count(*) as bigint) AS f FROM gr GROUP BY gh),
-       |b AS (
-       |  SELECT CASE WHEN f = 1 THEN 1 WHEN f = 2 THEN 2
-       |              WHEN f < 10 THEN 3 ELSE 10 END AS bucket, f
-       |  FROM freq),
-       |tot AS (SELECT cast(sum(f) as bigint) AS tot FROM b)
-       |SELECT cast(bucket as bigint) AS bucket,
-       |  cast(count(*) as bigint) AS n_grams,
-       |  cast(sum(f) as bigint) AS n_occurrences,
-       |  cast(sum(f) as bigint) * 1000 // tot AS mass_permille
-       |FROM b, tot
-       |GROUP BY bucket, tot
-       |ORDER BY bucket""".stripMargin
-  }
-
-  def dupSpansSql: String = {
-    val n = DupSpanN
-    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |gr AS (
-       |  SELECT doc_id, ${shingleHashExpr("strpos", "md5(g)")} AS gh
-       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
-       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g
-       |        FROM toks)),
-       |dfc AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM gr GROUP BY gh),
-       |per AS (
-       |  SELECT doc_id, count(*) AS n_spans,
-       |    cast(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_spans
-       |  FROM gr JOIN dfc USING (gh) GROUP BY doc_id)
-       |SELECT d.doc_id,
-       |  coalesce(n_spans, 0) AS n_spans,
-       |  coalesce(n_dup_spans, 0) AS n_dup_spans,
-       |  coalesce(n_dup_spans / (n_spans * 1.0), 0.0) AS dup_span_ratio
-       |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
-       |ORDER BY d.doc_id""".stripMargin
-  }
-
-  /** q115: duplicated-span REDACTION — the enforcement half of q65,
-    * exactly as q109 is of q62 and q68 of q64: the ExactSubstr cut of
-    * Lee et al. 2021 re-expressed over fixed-length spans. Every word
-    * [[DupSpanN]]-gram that occurs in more than one document is KEPT
-    * only in its earliest document (min doc_id containing the gram —
-    * deterministic, the q74 survivor discipline); every other document
-    * cuts the tokens its occurrences cover, the survivors re-join, and
-    * the oracle hashes the REDACTED text so removal extents are
-    * cross-engine-pinned. This catches what doc-level dedup cannot:
-    * a boilerplate paragraph pasted into thousands of otherwise-unique
-    * documents is cut everywhere but its first appearance while the
-    * documents themselves survive. Intra-doc repeats are deliberately
-    * out of scope (the keeper keeps ALL its occurrences; q61/q65 carry
-    * that signal). Overlapping spans compose by position-union, so a
-    * keeper's copy of one gram can still lose tokens to a DIFFERENT
-    * overlapping gram it doesn't keep — inherent to span surgery and
-    * true of the reference formulation too.
-    *
-    * Scale shape: gram occurrences hash to (doc_id, pos, i64) rows in
-    * a typed flatMap (no gram strings in any shuffle — the q65
-    * discipline); the keeper table is one groupBy(gh) with map-side
-    * partial MIN; cut starts come from re-joining the same
-    * Materialize.shared gram table on gh (computed once, scanned
-    * twice from cache — same shape as q65's frequency join); per-doc
-    * cut lists collapse by doc_id
-    * (bounded by the doc's own token count, so no skew beyond doc
-    * length); the rebuild is a scan-local typed map over docs joined
-    * with their cut lists. Unlike q109, whose reference set is
-    * answer-sized and collected, the keeper table here scales with
-    * the corpus, so the code never collects or pins it — the PLANNER
-    * broadcasts it at test SF where statistics say it is small
-    * (observed in the sf0.01 plan) and falls back to a shuffled join
-    * at 100 TB, exactly the decision AQE should own. */
-  def dupSpanRedact(spark: SparkSession, sfDir: String,
-                    bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
-    val n = DupSpanN
-    val grams = Materialize.shared(spark,
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.flatMap { case (id, txt) =>
-            val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-            (0 to t.length - n).map { i =>
-              (id, i.toLong,
-                packHash(md.digest(t.slice(i, i + n).mkString(" ")
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits))
-            }
-          }
-        }
-        .toDF("doc_id", "i", "gh"))
-    val keeper = grams.groupBy("gh").agg(min(col("doc_id")).as("keeper"))
-    val cuts = grams.join(keeper, "gh")
-      .filter(col("doc_id") > col("keeper"))
-      .groupBy("doc_id")
-      .agg(collect_list(col("i")).as("cut_starts"))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .join(cuts, Seq("doc_id"), "left")
-      .as[(Long, String, Option[Seq[Long]])]
-      .mapPartitions { it =>
-        it.map { case (id, txt, starts) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          val covered = new Array[Boolean](t.length)
-          starts.getOrElse(Nil).foreach { s =>
-            var j = s.toInt
-            val end = math.min(s.toInt + n, t.length)
-            while (j < end) { covered(j) = true; j += 1 }
-          }
-          val kept = new StringBuilder
-          var nRem = 0L
-          var j = 0
-          while (j < t.length) {
-            if (covered(j)) nRem += 1L
-            else {
-              if (kept.nonEmpty) kept.append(' ')
-              kept.append(t(j))
-            }
-            j += 1
-          }
-          (id, t.length.toLong, nRem, kept.toString)
-        }
-      }
-      .toDF("doc_id", "n_tokens", "n_removed", "rt")
-      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
-        (col("n_removed") === 0L).as("clean"),
-        md5(col("rt").cast("binary")).as("redacted_hash"))
-      .orderBy("doc_id")
-  }
-
-  def dupSpanRedactSql: String = {
-    val n = DupSpanN
-    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
-    s"""WITH toksl AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |pos AS (
-       |  SELECT doc_id, unnest(range(len(t))) AS i, t FROM toksl),
-       |gram AS (
-       |  SELECT doc_id, i, ${shingleHashExpr("strpos", s"md5($gramExpr)")} AS gh
-       |  FROM pos WHERE i <= len(t) - $n),
-       |keeper AS (SELECT gh, min(doc_id) AS keeper FROM gram GROUP BY gh),
-       |bad AS (
-       |  SELECT g.doc_id, g.i FROM gram g JOIN keeper USING (gh)
-       |  WHERE g.doc_id > keeper),
-       |cov AS (
-       |  SELECT DISTINCT p.doc_id, p.i
-       |  FROM pos p JOIN bad b ON p.doc_id = b.doc_id
-       |    AND p.i BETWEEN b.i AND b.i + ${n - 1}),
-       |red AS (
-       |  SELECT p.doc_id,
-       |    cast(count(*) as bigint) AS n_tokens,
-       |    cast(sum(CASE WHEN c.i IS NULL THEN 0 ELSE 1 END) as bigint) AS n_removed,
-       |    coalesce(string_agg(CASE WHEN c.i IS NULL THEN p.t[p.i+1] END, ' ' ORDER BY p.i), '') AS rt
-       |  FROM pos p LEFT JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.i
-       |  GROUP BY p.doc_id)
-       |SELECT d.doc_id,
-       |  coalesce(r.n_tokens, 0) AS n_tokens,
-       |  coalesce(r.n_removed, 0) AS n_removed,
-       |  coalesce(r.n_removed, 0) = 0 AS clean,
-       |  md5(coalesce(r.rt, '')) AS redacted_hash
-       |FROM documents d
-       |LEFT JOIN red r USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
-  }
-
-  /** q72: cross-source contamination matrix — for every pair of
-    * sources, how many distinct 3-gram shingles they share, plus the
-    * shingle-set Jaccard. This is the corpus-curation view OVER the
-    * dedup signals: which crawls/dumps overlap, where a domain was
-    * ingested twice under different source labels, and which pairs
-    * need cross-source dedup before mixing. Complements q52 (per-doc
-    * novelty) and q62 (one targeted benchmark) with the full
-    * source×source picture.
-    *
-    * Scale shape: ONE shuffle keyed by hv builds the per-shingle
-    * source set (collect_set dedups map-side), and the S²/2 source
-    * pairs each shingle contributes are EMITTED by a flatMap over
-    * that set and collapsed by partial aggregation to at most S²/2
-    * rows per partition before the final ≤S²/2-row shuffle — the
-    * pair volume (shingle-frequency × S², ~19M rows at sf0.1 because
-    * the synthetic vocabulary is tiny) exists only transiently inside
-    * map tasks, never in a join or a shuffle. This replaced a
-    * self-equi-join on hv that sorted/probed the 2M-row distinct
-    * table twice and shuffled it both times (2.1 s → the pair-emit
-    * form at sf0.1; same answer, same oracle). Per-source set sizes
-    * fall out of the SAME grouped table via explode, so the corpus is
-    * scanned exactly once. A shingle in every source carries no
-    * overlap signal; at web scale pass `dfCap` to drop ubiquitous
-    * shingles (now a size() predicate on the source set, not a
-    * join). Capping affects n_shared and the set sizes symmetrically
-    * — both come from the same capped table, so the Jaccard stays
-    * internally consistent. The uncapped default is what q72 benches
-    * and the DuckDB oracle mirrors; a spec pins capped == uncapped
-    * when no shingle's source-frequency exceeds the cap. */
-  def sourceOverlap(spark: SparkSession, sfDir: String,
-                    bits: Int = DefaultHashBits,
-                    dfCap: Option[Long] = None): DataFrame = {
-    import spark.implicits._
-    val byHv = shingleRows(spark, sfDir, bits)
-      .groupBy("hv").agg(collect_set(col("source")).as("srcs"))
-    val capped = dfCap match {
-      case Some(cap) => byHv.filter(size(col("srcs")) <= cap)
-      case None => byHv
-    }
-    // two consumers (sizes, pairs) with different downstream keys; the
-    // grouped table is vocabulary-sized, far smaller than its lineage
-    val ss = Materialize.shared(spark, capped)
-    val sizes = ss.select(explode(col("srcs")).as("source"))
-      .groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = ss.select(col("srcs")).as[Seq[String]]
-      .flatMap { srcs =>
-        val s = srcs.sorted
-        for { i <- s.indices.iterator; j <- (i + 1) until s.length }
-          yield (s(i), s(j))
-      }
-      .toDF("source_a", "source_b")
-      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
-    pairs
-      .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
-      .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
-      .select(col("source_a"), col("source_b"), col("n_shared"),
-        (col("n_shared") / ((col("na") + col("nb") - col("n_shared")) * lit(1.0)))
-          .as("jaccard"))
-      .orderBy("source_a", "source_b")
-  }
-
-  def sourceOverlapSql: String =
-    s"""WITH sh AS (
-       |  SELECT DISTINCT source, ${shingleHashExpr("strpos", "md5(s)")} AS hv
-       |  FROM (SELECT source, unnest($sqlShingles) AS s
-       |        FROM (SELECT source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
-       |pairs AS (
-       |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
-       |  FROM sh a JOIN sh b ON a.hv = b.hv AND a.source < b.source
-       |  GROUP BY a.source, b.source)
-       |SELECT source_a, source_b, n_shared,
-       |  n_shared / ((sa.n + sb.n - n_shared) * 1.0) AS jaccard
-       |FROM pairs
-       |JOIN sizes sa ON sa.source = pairs.source_a
-       |JOIN sizes sb ON sb.source = pairs.source_b
-       |ORDER BY source_a, source_b""".stripMargin
-
-  /** q74: dedup survivorship report — the END of the dedup pipeline.
-    * Exact-duplicate edges (same content hash → link to the group's
-    * min doc) and near-duplicate edges (the q14 MinHash+LSH pair
-    * relation) union into ONE graph; each connected component keeps
-    * its minimum doc_id; everything else drops. The report is the
-    * per-source docs/tokens kept-vs-dropped — the number a curation
-    * run actually publishes ("dedup removed X% of source Y's tokens").
-    *
-    * Scale shape: exact edges cost one hash aggregation; near edges
-    * reuse the banded LSH join (never O(n²)); the component resolution
-    * is the shared diameter-bounded min-label loop (driver holds one
-    * count per round, lineage checkpoint-truncated). The final stats
-    * are one shuffle by source with map-side combine. */
-  /** Per-doc survivorship verdicts (doc_id, source, n_tokens, kept):
-    * exact-hash and MinHash near-dup edges resolve through shared
-    * connected components; a doc survives iff it is its component's
-    * minimum (or untouched by any edge). Row-level so composite
-    * pipelines act on the same verdicts the q74 report aggregates. */
-  /** Exact-hash ∪ MinHash-LSH near-dup edges over documents — the ONE
-    * edge set every cluster-level dedup decision (q74 survivorship,
-    * q91 leakage-safe split, q106 quality-aware survivors) resolves
-    * through shared connected components, so "what counts as a
-    * duplicate" cannot drift between the decisions built on it. */
-  private[graft] def dedupGraphEdges(spark: SparkSession, sfDir: String,
-                                     bits: Int = DefaultHashBits): DataFrame =
-    exactDupEdges(spark, sfDir)
-      .unionAll(minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
-
-  /** The exact-duplicate arm of [[dedupGraphEdges]] on its own: one
-    * content-hash aggregation linking every byte-identical copy to its
-    * group's minimum doc_id. Split out so the persisted dedup-graph
-    * build ([[saveDedupGraph]]) can write it as a standalone
-    * projection. */
-  private[graft] def exactDupEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
-    val minPerHash = docs.groupBy("h").agg(min("doc_id").as("root"))
-    docs.join(minPerHash, "h")
-      .filter(col("doc_id") =!= col("root"))
-      .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
-  }
-
-  /** Shared DuckDB CTE block mirroring [[dedupGraphEdges]] +
-    * [[starComponents]]: binds `ddocs(doc_id, h)`, `edges`, and
-    * `comp(doc_id, cluster)` (clustered docs only; cluster = min
-    * member id). Callers prepend `WITH RECURSIVE` and append their own
-    * CTEs — one definition for q74/q91/q106 so the three oracles agree
-    * on the graph by construction. */
-  private[ops] def sqlDedupGraphCtes: String =
-    s"""ddocs AS (SELECT doc_id, md5(text) AS h FROM documents),
-       |mh AS (SELECT h, min(doc_id) AS hroot FROM ddocs GROUP BY h),
-       |exact_e AS (
-       |  SELECT hroot AS doc_a, doc_id AS doc_b FROM ddocs JOIN mh USING (h)
-       |  WHERE doc_id != hroot),
-       |near_e AS (SELECT doc_a, doc_b FROM (${minhashLshPairsSql})),
-       |edges AS (SELECT * FROM exact_e UNION ALL SELECT * FROM near_e),
-       |sym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM edges
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM edges),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM sym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
-       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id)""".stripMargin
-
-  private[graft] def survivorFlags(spark: SparkSession, sfDir: String,
-                                   bits: Int = DefaultHashBits): DataFrame =
-    survivorFlagsWith(spark, sfDir,
-      starComponents(dedupGraphEdges(spark, sfDir, bits)))
-
-  /** [[survivorFlags]] against an EXTERNAL (node, label) component
-    * table — the seam the persisted dedup-graph serving path shares
-    * with the inline form, so "who survives" cannot drift between the
-    * recompute and the artifact read. */
-  private[graft] def survivorFlagsWith(spark: SparkSession, sfDir: String,
-                                       comp: DataFrame): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
-    docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("kept", col("doc_id") === coalesce(col("label"), col("doc_id")))
-      .select("doc_id", "source", "n_tokens", "kept")
-  }
-
-  def dedupSurvivors(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits): DataFrame =
-    dedupSurvivorsOf(survivorFlags(spark, sfDir, bits))
-
-  /** The q74 aggregation over any per-doc survivor-flag frame. */
-  private def dedupSurvivorsOf(flags: DataFrame): DataFrame = {
-    flags
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
-        sum(when(!col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_dropped"))
-      .orderBy("source")
-  }
-
-  def dedupSurvivorsSql: String =
-    s"""WITH RECURSIVE
-       |$sqlDedupGraphCtes,
-       |docs AS (
-       |  SELECT doc_id, source,
-       |    cast(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '')) as bigint) AS n_tokens
-       |  FROM documents)
-       |SELECT source, count(*) AS n_docs,
-       |  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as bigint) AS n_kept,
-       |  cast(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) as bigint) AS tokens_kept,
-       |  cast(sum(CASE WHEN NOT kept THEN n_tokens ELSE 0 END) as bigint) AS tokens_dropped
-       |FROM (SELECT d.source, d.n_tokens,
-       |        d.doc_id = coalesce(c.cluster, d.doc_id) AS kept
-       |      FROM docs d LEFT JOIN comp c USING (doc_id))
-       |GROUP BY source
-       |ORDER BY source""".stripMargin
-
-  /** q106: QUALITY-AWARE survivor selection — the FineWeb/RefinedWeb
-    * refinement of q74's keep-the-minimum-id rule: within each near-dup
-    * cluster, keep the member with the HIGHEST quality score (q10's
-    * alpha×(1−stopword) score, the shared `qualityCol` — ties broken by
-    * doc_id). Min-id survivorship is arbitrary: when a boilerplate
-    * family contains one clean original and N mangled copies, the
-    * survivor should be chosen by content, not by crawl order. The
-    * report contrasts both rules per cluster (`upgraded` = the quality
-    * rule picked a different doc than min-id; `quality_gain` = how much
-    * better its survivor scores).
-    *
-    * Scale shape: the quality score is a scan-local projection
-    * (per-row regex + token ratios, no shuffle); the edge set and
-    * components are the SHARED `dedupGraphEdges`/`starComponents`
-    * machinery (q49/q74/q91 — banded LSH, never O(n²)); clustered
-    * members join quality by doc_id (one keyed shuffle, sized by the
-    * duplicate count, not the corpus); the argmax is `max_by` over a
-    * (q, -doc_id) struct key — a PARTIAL-aggregating single shuffle,
-    * deliberately not a window: a web-scale template family puts 10⁶
-    * members in one cluster, and a window must sort that whole
-    * partition on one task while map-side-combined max_by reduces it
-    * to one row per map task before the exchange. The oracle keeps
-    * the equivalent row_number formulation (DuckDB's arg_max cannot
-    * take a struct key; the oracle only needs semantics, not the
-    * scale plan). */
-  def qualitySurvivors(spark: SparkSession, sfDir: String,
-                       bits: Int = DefaultHashBits): DataFrame =
-    qualitySurvivorsWith(spark, sfDir,
-      starComponents(dedupGraphEdges(spark, sfDir, bits)))
-
-  /** q106 over an external (node, label) component table (the
-    * persisted-graph serving seam). */
-  private[graft] def qualitySurvivorsWith(spark: SparkSession, sfDir: String,
-                                          compIn: DataFrame): DataFrame = {
-    val qd = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
-      .select(col("doc_id"),
-        TextAnalytics.qualityCol(col("text"), col("t")).as("q"))
-    val comp = compIn
-      .withColumnRenamed("node", "doc_id")
-      .withColumnRenamed("label", "cluster")
-    // struct ordering is lexicographic: max over (q, -doc_id) == the
-    // window's (q DESC, doc_id ASC) rank-1 row; doc_id is unique so
-    // the argmax is unambiguous, and max(q) IS the survivor's quality
-    comp.join(qd, Seq("doc_id"))
-      .groupBy("cluster")
-      .agg(
-        count(lit(1)).as("n_members"),
-        max_by(col("doc_id"),
-          struct(col("q"), (-col("doc_id")).as("nid"))).as("survivor_doc_id"),
-        max(col("q")).as("survivor_quality"),
-        min(col("doc_id")).as("naive_doc_id"),
-        min_by(col("q"), col("doc_id")).as("naive_quality"))
-      .select(col("cluster"), col("n_members"),
-        col("survivor_doc_id"), col("survivor_quality"),
-        col("naive_doc_id"), col("naive_quality"),
-        (col("survivor_doc_id") =!= col("naive_doc_id")).as("upgraded"),
-        (col("survivor_quality") - col("naive_quality")).as("quality_gain"))
-      .orderBy("cluster")
-  }
-
-  def qualitySurvivorsSql: String =
-    s"""WITH RECURSIVE
-       |$sqlDedupGraphCtes,
-       |qd AS (
-       |  SELECT doc_id, ${TextAnalytics.qualitySqlExpr} AS q
-       |  FROM (SELECT doc_id, text, ${TextAnalytics.sqlTokens} t FROM documents)),
-       |m AS (
-       |  SELECT c.cluster, c.doc_id, qd.q,
-       |    row_number() OVER (PARTITION BY c.cluster ORDER BY qd.q DESC, c.doc_id ASC) AS rank
-       |  FROM comp c JOIN qd USING (doc_id))
-       |SELECT cluster, cast(count(*) as bigint) AS n_members,
-       |  cast(max(CASE WHEN rank = 1 THEN doc_id END) as bigint) AS survivor_doc_id,
-       |  max(CASE WHEN rank = 1 THEN q END) AS survivor_quality,
-       |  cast(min(doc_id) as bigint) AS naive_doc_id,
-       |  arg_min(q, doc_id) AS naive_quality,
-       |  max(CASE WHEN rank = 1 THEN doc_id END) != min(doc_id) AS upgraded,
-       |  max(CASE WHEN rank = 1 THEN q END) - arg_min(q, doc_id) AS quality_gain
-       |FROM m
-       |GROUP BY cluster
-       |ORDER BY cluster""".stripMargin
-
-  /** q133: quality×duplication calibration — the audit that tells you
-    * whether the quality score and the dedup graph agree: per quality
-    * decile band (floor(q·10), clamped to 9), how many docs sit inside
-    * ANY near-dup family and what token mass they carry. A healthy
-    * curation setup shows duplication concentrated in the low-quality
-    * bands (template spam is both low-quality and duplicated); a FLAT
-    * profile means the quality filter and the deduper are removing
-    * DIFFERENT documents and the pipeline genuinely needs both; dup
-    * mass concentrated in HIGH bands is the red flag — the "quality"
-    * signal is probably rewarding boilerplate (FineWeb's motivation
-    * for quality-aware survivorship, q106). Composes three existing
-    * seams: q10's shared qualityCol, q49's shared graph/CC machinery,
-    * q74's membership flags — no new signal, which is the point: the
-    * audit is only trustworthy because both axes are EXACTLY the
-    * production signals.
-    *
-    * Scale shape: quality and token counts are scan-local projections;
-    * the component set is the shared banded-LSH + star/union-find
-    * machinery (never O(n²)); membership is one left equi-join keyed
-    * doc_id (sized by the duplicate count); the report is one agg onto
-    * ≤10 bands. */
-  def qualityDupAudit(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits): DataFrame =
-    qualityDupAuditWith(spark, sfDir,
-      starComponents(dedupGraphEdges(spark, sfDir, bits)))
-
-  /** q133 over an external (node, label) component table (the
-    * persisted-graph serving seam). */
-  private[graft] def qualityDupAuditWith(spark: SparkSession, sfDir: String,
-                                         compIn: DataFrame): DataFrame = {
-    val qd = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
-      .select(col("doc_id"),
-        TextAnalytics.qualityCol(col("text"), col("t")).as("q"),
-        size(col("t")).cast("long").as("n_tokens"))
-      .withColumn("bucket",
-        least(floor(col("q") * lit(10.0)).cast("long"), lit(9L)))
-    val comp = compIn
-      .withColumnRenamed("node", "doc_id")
-      .select(col("doc_id"), lit(true).as("in_dup"))
-    qd.join(comp, Seq("doc_id"), "left")
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("in_dup"), 1L).otherwise(0L)).as("n_dup_members"),
-        sum(col("n_tokens")).as("n_tokens"),
-        sum(when(col("in_dup"), col("n_tokens")).otherwise(0L)).as("dup_tokens"))
-      .withColumn("dup_permille", expr("n_dup_members * 1000 div n_docs"))
-      .select("bucket", "n_docs", "n_dup_members", "dup_permille",
-        "n_tokens", "dup_tokens")
-      .orderBy("bucket")
-  }
-
-  def qualityDupAuditSql: String =
-    s"""WITH RECURSIVE
-       |$sqlDedupGraphCtes,
-       |qd AS (
-       |  SELECT doc_id,
-       |    least(cast(floor((${TextAnalytics.qualitySqlExpr}) * 10.0) as bigint), 9) AS bucket,
-       |    cast(len(t) as bigint) AS n_tokens
-       |  FROM (SELECT doc_id, text, ${TextAnalytics.sqlTokens} t FROM documents))
-       |SELECT bucket, count(*) AS n_docs,
-       |  cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dup_members,
-       |  cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint) * 1000
-       |    // count(*) AS dup_permille,
-       |  cast(sum(n_tokens) as bigint) AS n_tokens,
-       |  cast(sum(CASE WHEN c.doc_id IS NOT NULL THEN n_tokens ELSE 0 END) as bigint) AS dup_tokens
-       |FROM qd LEFT JOIN comp c USING (doc_id)
-       |GROUP BY bucket
-       |ORDER BY bucket""".stripMargin
-
-  /** q91: CLUSTER-AWARE train/val/test split — the leakage guard a
-    * training pipeline needs between dedup and splitting: two near-
-    * duplicate documents on opposite sides of the train/test boundary
-    * are memorization leakage, so the split must be decided per
-    * CONNECTED COMPONENT, not per document. Assignment hashes the
-    * component ROOT with q50's exact bucket arithmetic — every member
-    * of a cluster lands whole in one split by construction — and the
-    * report contrasts with the naive per-doc hash split, counting the
-    * clusters naive assignment would have torn across splits.
-    *
-    * Scale shape: the component resolution is the shared star/union-
-    * find machinery (q49/q74); everything after it is one scan-time
-    * hash map and a cluster-then-split pair of keyed aggregations. */
-  // -------------------------------------------------------------------
-  // PageRank iteration over the near-dup graph: duplication centrality.
-  // -------------------------------------------------------------------
-
-  /** Damping in micro-units: rank mass is 1_000_000 per node, the
-    * damped base is floor(0.15e6) and the propagated share is
-    * floor(85·sum/100) — all integer, so one iteration is
-    * hash-checkable (the q73/q84 train-step discipline). */
-  val PagerankUnit = 1000000L
-  val PagerankBase = 150000L
-
-  /** q93: one damped PageRank iteration over the SYMMETRIC near-dup
-    * graph (the q14 MinHash-LSH pairs). The stationary rank of this
-    * graph is "duplication centrality" — template/boilerplate hubs
-    * whose text seeds many near-copies score high, which is a
-    * curation prune signal the pairwise Jaccard number alone doesn't
-    * give (a hub with 50 spokes outranks 25 disjoint pairs). One
-    * iteration is oracle-pinned; a full run is a driver loop over
-    * this step with localCheckpoint-truncated lineage, exactly like
-    * q73's Lloyd iteration — per-iteration state is one (node, rank)
-    * table, never the graph re-derivation.
-    *
-    * Scale shape: edges are LSH-bounded (never all-pairs); degree is
-    * one keyed agg; the contribution pass is one equi-join + one
-    * keyed agg. Rank mass moves as integer micro-units with floor
-    * division, so repeated iterations stay exactly reproducible
-    * across partitionings (addition of longs commutes; no float
-    * accumulation order risk). */
-  def pagerankIter(spark: SparkSession, sfDir: String,
-                   bits: Int = DefaultHashBits): DataFrame =
-    // truncate before the union: both union branches read the pair
-    // table, and an unmaterialized plan would re-run the LSH self-join
-    // once per branch (measured 2x the query at sf0.1)
-    pagerankIterWith(spark, Materialize.tracked(spark,
-      minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
-        .localCheckpoint(true)))
-
-  /** q93 over an external verified (doc_a, doc_b) pair relation (the
-    * persisted-graph serving seam — an artifact scan is cheap per
-    * branch, so the serving caller skips the checkpoint). */
-  private[graft] def pagerankIterWith(spark: SparkSession,
-                                      pairs: DataFrame): DataFrame = {
-    val edges = pairs.union(
-      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val deg = edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
-    edges.join(deg, "doc_a")
-      .select(col("doc_b").as("doc_id"), expr(s"$PagerankUnit div deg").as("c"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("deg"), sum(col("c")).as("in_sum"))
-      .withColumn("rank_u", expr(s"$PagerankBase + (85 * in_sum) div 100"))
-      .select("doc_id", "deg", "in_sum", "rank_u")
-      .orderBy("doc_id")
-  }
-
-  /** Full damped PageRank run: `iters` repetitions of the q93 step
-    * with the q49/q73 driver-loop discipline — the graph (edges +
-    * degrees) derives ONCE and is lineage-truncated; per-iteration
-    * state is a (doc_id, rank_u) table, localCheckpoint'ed so the
-    * plan never re-grows. pagerankRun(_, _, 1) is spec-pinned equal
-    * to pagerankIter's rank column. Nodes keep full integer rank
-    * mass; isolated nodes don't occur (every node has >= 1 edge by
-    * construction of the pair graph). */
-  def pagerankRun(spark: SparkSession, sfDir: String, iters: Int,
-                  bits: Int = DefaultHashBits): DataFrame = {
-    require(iters >= 1, "iters >= 1")
-    val pairs = Materialize.tracked(spark,
-      minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")
-        .localCheckpoint(true))
-    val edges = Materialize.tracked(spark,
-      pairs.union(
-        pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true))
-    val deg = Materialize.tracked(spark,
-      edges.groupBy("doc_a").agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true))
-    var ranks = deg.select(col("doc_a").as("doc_id"),
-      lit(PagerankUnit).as("rank_u"))
-    var prev: DataFrame = null
-    for (_ <- 1 to iters) {
-      val next = Materialize.tracked(spark,
-        edges.join(deg, "doc_a")
-          .join(ranks.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-          .select(col("doc_b").as("doc_id"), expr("rank_u div deg").as("c"))
-          .groupBy("doc_id")
-          .agg(sum(col("c")).as("in_sum"))
-          .withColumn("rank_u", expr(s"$PagerankBase + (85 * in_sum) div 100"))
-          .select("doc_id", "rank_u")
-          .localCheckpoint(true))
-      // the superseded iteration's blocks are dead the moment the next
-      // one materializes (the q49 loop's release discipline)
-      if (prev != null) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(prev)
-      prev = next
-      ranks = next
-    }
-    ranks.orderBy("doc_id")
-  }
-
-  def pagerankIterSql: String =
-    s"""WITH p AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
-       |e AS (SELECT doc_a, doc_b FROM p
-       |      UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p),
-       |d AS (SELECT doc_a, cast(count(*) as bigint) AS deg FROM e GROUP BY doc_a),
-       |c AS (SELECT e.doc_b AS doc_id, $PagerankUnit // d.deg AS c
-       |      FROM e JOIN d USING (doc_a))
-       |SELECT doc_id, cast(count(*) as bigint) AS deg,
-       |  cast(sum(c) as bigint) AS in_sum,
-       |  $PagerankBase + (85 * cast(sum(c) as bigint)) // 100 AS rank_u
-       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  // -------------------------------------------------------------------
-  // Incremental-ingest dedup: the daily-batch admission check.
-  // -------------------------------------------------------------------
-
-  /** Source treated as the INCOMING batch; every other source is the
-    * already-ingested corpus. (The synthetic corpus has no ingest
-    * timestamp, so a source plays the role of "today's crawl".) */
-  val IncrementalSource = "src0"
-
-  /** q99: incremental dedup — the admission check a continuously-fed
-    * corpus runs on each new batch: which incoming documents are
-    * exact copies of something already ingested, which are near-dups
-    * of it (MinHash-LSH at the q14 threshold), and which actually
-    * add novel content. Per-document verdicts, not a report, because
-    * the verdict column IS the ingest filter.
-    *
-    * Scale shape: the batch is small relative to the corpus, so the
-    * batch side of every join BROADCASTS (its band rows and its
-    * content hashes); the corpus is scanned, never shuffled, for the
-    * LSH candidate join, and the exact check is one keyed equi-join
-    * on the content hash. Candidate verification joins are
-    * candidate-sized. The corpus's own internal duplicates are
-    * irrelevant here by design — this op answers "is it new", not
-    * "is the corpus clean" (q74 answers that). Duplicates WITHIN the
-    * incoming batch are likewise out of scope: admitted docs still
-    * pass through the corpus-internal dedup (q13/q74) on ingest, the
-    * same two-stage discipline real crawl pipelines run. */
-  /** The frozen corpus reference the admission check joins against:
-    * distinct content hashes, the exploded band table, and the
-    * per-doc shingle sets — all from corpus sources only. */
-  private[graft] case class FrozenCorpus(hashes: DataFrame, banded: DataFrame,
-                                         sets: DataFrame)
-
-  /** Drop band buckets larger than `cap` — the ONE filter frozenCorpus
-    * and compactDedupIndex share, so build-time and compaction-time
-    * capping cannot drift. */
-  private def capBanded(banded: DataFrame, cap: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_idx", "band_hash")
-    banded.withColumn("bsz", count(lit(1)).over(w))
-      .filter(col("bsz") <= cap).drop("bsz")
-  }
-
-  /** `bandCap`: the admission-side twin of `candidateOverlap`'s
-    * hot-bucket guard. The admission join is corpus-banded ×
-    * broadcast batch (not a self-join), so its fan-out is |corpus
-    * bucket| × |batch bucket| — bounded by the batch, but a web-scale
-    * TEMPLATE family still puts 10^5+ corpus rows in one bucket, and
-    * one incoming member of that family then drags the whole bucket
-    * through candidate verification. Capping at FREEZE time drops
-    * oversized buckets from the probe side once, for every subsequent
-    * admission (batch, stream, or artifact-served): an incoming doc
-    * is missed only if every band it shares with the corpus is
-    * oversubscribed — i.e. it belongs to a template family large
-    * enough that its dedup story is the cluster/survivorship family,
-    * and the EXACT-hash check (uncapped, one equi-join) still drops
-    * byte-identical members. `None` (default, oracle mode) is
-    * uncapped — the DuckDB-checked queries stay byte-identical. */
-  private[graft] def frozenCorpus(spark: SparkSession, sfDir: String,
-                                  bits: Int = DefaultHashBits,
-                                  bandCap: Option[Int] = None): FrozenCorpus = {
-    val (summary, _, _) = sharedSummary(spark, sfDir, bits)
-    val corpusSummary = summary.filter(col("source") =!= IncrementalSource)
-    val banded0 = corpusSummary.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    // unlike candidateOverlap (whose count window rides the shuffle its
-    // self-join needs anyway), the admission join BROADCASTS the batch
-    // side and streams the corpus side with no exchange — so this
-    // window is one genuinely extra (band_idx, band_hash) exchange,
-    // paid ONCE at freeze/build time and amortized across every
-    // serving admission that then probes the bounded table
-    val banded = bandCap.fold(banded0)(capBanded(banded0, _))
-    FrozenCorpus(
-      hashes = Tables.documents(spark, sfDir)
-        .filter(col("source") =!= IncrementalSource)
-        .select(md5(col("text").cast("binary")).as("h")).distinct(),
-      banded = banded,
-      sets = corpusSummary.select(col("doc_id"), col("s")))
-  }
-
-  /** Checkpointed frozen-corpus reference, cached per (sfDir, bits)
-    * for the JVM lifetime. The admission reference is train-once/
-    * serve-many state (the q41 bucket-table / q81 IVF-artifact
-    * discipline): freezing — summary scan + three localCheckpoints —
-    * is the BUILD half, and every subsequent admission (batch q99 or
-    * any number of q102 stream replays) joins the same pinned blocks.
-    * Deliberately NOT Materialize-tracked: a release() between bench
-    * passes would unpersist lineage-truncated RDDs, which cannot
-    * recompute; the pinned tables are narrow (one row per corpus doc).
-    * Corpus re-freeze = new JVM or a new (sfDir, bits) key — the same
-    * quiesce contract as IvfStream compaction. */
-  private val frozenCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), FrozenCorpus]()
-
-  /** Test seam: drop every cached frozen corpus AND unpersist its
-    * pinned blocks, so the next admission rebuilds the freeze pipeline
-    * from scratch (AqeParitySpec re-freezes under each execution mode —
-    * without this the build half would run once and the "AQE on" pass
-    * would only ever join cached blocks). */
-  private[graft] def resetFrozenCorpusCache(): Unit = {
-    import scala.jdk.CollectionConverters._
-    frozenCache.values.asScala.foreach { fc =>
-      Seq(fc.hashes, fc.banded, fc.sets).foreach(df =>
-        try org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df)
-        catch { case _: Exception => () })
-    }
-    frozenCache.clear()
-  }
-
-  private[graft] def preparedFrozenCorpus(spark: SparkSession, sfDir: String,
-                                          bits: Int = DefaultHashBits): FrozenCorpus =
-    frozenCache.computeIfAbsent((sfDir, bits), _ => {
-      val c0 = frozenCorpus(spark, sfDir, bits)
-      // Size the pinned blocks to the corpus, not to shuffle.partitions:
-      // the summary rows are narrower than the raw documents, so
-      // input-bytes/128MB is a conservative upper bound on how many
-      // blocks the reference needs. At test SF that is ONE block —
-      // every admission stage then runs one task per consumer instead
-      // of 32 near-empty ones; at 100 TB the same rule yields
-      // thousands of blocks and full cluster parallelism. Sizing goes
-      // through the Hadoop FileSystem so it is correct for single-file
-      // AND directory parquet layouts on any filesystem (S3/HDFS too,
-      // where java.nio cannot stat); if the filesystem cannot answer,
-      // the checkpoint keeps its natural partitioning — a wrong-sized
-      // coalesce is worse than none.
-      val parts: Option[Int] =
-        try {
-          val p = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
-          val bytes = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .getContentSummary(p).getLength
-          Some(math.min(math.max(1L, bytes / (128L << 20)), 1L << 20).toInt)
-        } catch { case _: Exception => None }
-      def pin(df: DataFrame): DataFrame =
-        parts.fold(df)(df.coalesce).localCheckpoint(true)
-      FrozenCorpus(pin(c0.hashes), pin(c0.banded), pin(c0.sets))
-    })
-
-  /** Admission verdicts for an arbitrary batch of incoming documents
-    * (doc_id, source, text) against a frozen corpus — the core batch
-    * q99 and the streaming q102 share. No output ordering (the
-    * caller orders; a stream appends). */
-  private[graft] def admissionVerdicts(newDocs: DataFrame, corpus: FrozenCorpus,
-                                       bits: Int = DefaultHashBits): DataFrame = {
-    val nh = newDocs.select(col("doc_id"),
-      md5(col("text").cast("binary")).as("h"))
-    val exact = nh.join(corpus.hashes, Seq("h"), "left_semi")
-      .select(col("doc_id"), lit(true).as("exact_dup"))
-
-    val nsum = docShingleSummaryOf(newDocs, bits)
-    val nb = nsum.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash"))).alias("x")
-    val cand = corpus.banded.alias("y").join(broadcast(nb),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash"))
-      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_old"))
-      .distinct()
-    val near = cand
-      .join(nsum.select(col("doc_id"), col("s")).alias("sa"),
-        col("doc_new") === col("sa.doc_id"))
-      .join(corpus.sets.alias("sb"), col("doc_old") === col("sb.doc_id"))
-      .filter(size(array_intersect(col("sa.s"), col("sb.s"))).cast("double") /
-        size(array_union(col("sa.s"), col("sb.s"))).cast("double")
-        >= Consts.MinhashJaccardThreshold)
-      .select(col("doc_new").as("doc_id")).distinct()
-      .withColumn("near_dup", lit(true))
-
-    newDocs.select("doc_id")
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
-        coalesce(col("near_dup"), lit(false)).as("near_dup"))
-      .withColumn("verdict",
-        when(col("exact_dup"), "drop_exact")
-          .when(col("near_dup"), "drop_near")
-          .otherwise("ingest"))
-  }
-
-  def incrementalDedup(spark: SparkSession, sfDir: String,
-                       bits: Int = DefaultHashBits): DataFrame = {
-    val newDocs = Tables.documents(spark, sfDir)
-      .filter(col("source") === IncrementalSource)
-      .select("doc_id", "source", "text")
-    admissionVerdicts(newDocs, preparedFrozenCorpus(spark, sfDir, bits), bits)
-      .orderBy("doc_id")
-  }
-
-  // -------------------------------------------------------------------
-  // Persisted admission index — the durable-artifact half of the
-  // train-once/serve-many split for the DEDUP family, mirroring the
-  // IVF artifact (Similarity.saveIvfIndex): `preparedFrozenCorpus`
-  // makes the freeze JVM-lifetime state, but at 100 TB admission runs
-  // as MANY jobs over weeks and none of them should re-scan the corpus
-  // to rebuild band tables. The freeze becomes a versioned build
-  // artifact on shared storage:
-  //   path/hashes/                   (h)                exact-dup keys
-  //   path/banded/band_idx=<b>/      (doc_id, band_hash) LSH postings
-  //   path/sets/                     (doc_id, s)        verify shingles
-  // banded/ is PARTITIONED BY band_idx. A full admission probes every
-  // band, so the partitioning does NOT prune that scan — its value is
-  // band-parallel layout (each band's postings are contiguous files a
-  // band-restricted read, re-band, or per-band compaction prunes to
-  // directly) and the bounded per-band file listing. Appending
-  // admitted docs is an append-mode write of the same three
-  // projections — no rebuild, the same add() discipline as
-  // assignToIndex.
-  // -------------------------------------------------------------------
-
-  /** Write the admission-index artifact for `sfDir`'s corpus (its
-    * non-incremental sources — the same reference `frozenCorpus`
-    * freezes in memory). `bandCap` (see [[frozenCorpus]]) is applied
-    * at BUILD time, so every serving job inherits the bounded probe
-    * side without paying the count window per admission. */
-  def saveDedupIndex(spark: SparkSession, sfDir: String, path: String,
-                     bits: Int = DefaultHashBits,
-                     bandCap: Option[Int] = None): Unit = {
-    val c = frozenCorpus(spark, sfDir, bits, bandCap)
-    c.hashes.write.mode("overwrite").parquet(s"$path/hashes")
-    c.banded.write.mode("overwrite").partitionBy("band_idx")
-      .parquet(s"$path/banded")
-    c.sets.write.mode("overwrite").parquet(s"$path/sets")
-  }
-
-  /** The artifact as a [[FrozenCorpus]]. `band_idx` is a hive
-    * partition column on read, so its inferred type is pinned back to
-    * the int `posexplode` emits in the in-memory freeze. */
-  def loadDedupIndex(spark: SparkSession, path: String): FrozenCorpus =
-    FrozenCorpus(
-      hashes = spark.read.parquet(s"$path/hashes"),
-      banded = spark.read.parquet(s"$path/banded")
-        .withColumn("band_idx", col("band_idx").cast("int")),
-      sets = spark.read.parquet(s"$path/sets"))
-
-  /** Admission verdicts for an external batch served from a persisted
-    * index — the production entry point: no corpus access at all, the
-    * three artifact scans are the only reference reads. */
-  def admissionFromIndex(spark: SparkSession, indexPath: String,
-                         newDocs: DataFrame,
-                         bits: Int = DefaultHashBits): DataFrame =
-    admissionVerdicts(newDocs, loadDedupIndex(spark, indexPath), bits)
-
-  /** Append ADMITTED documents (doc_id, source, text) to a persisted
-    * admission index — the add() half of the lifecycle, mirroring
-    * `Similarity.assignToIndex`/IvfStream: the same three projections
-    * the build writes, in append mode, so the next admission's scans
-    * see the new rows with no rebuild. `hashes/` may accumulate a
-    * repeated h across append generations (exact-dup checks are
-    * left-semi, so repeats are verdict-invisible); a periodic
-    * [[compactDedupIndex]] is OPTIONAL hygiene, never a correctness
-    * need. The
-    * caller appends only verdict == "ingest" survivors — appending a
-    * dropped doc would be harmless but wasted bytes. `bits` must match
-    * the build's width (band hashes of different widths never
-    * collide).
-    *
-    * Crash recovery: the three writes are not one transaction (plain
-    * parquet dirs have no log). A crash between them leaves a partial
-    * append whose only effect is UNDER-dropping (exact checks may see
-    * the new docs before near checks do), and the recovery is simply
-    * re-running the append: duplicates in any projection are
-    * verdict-invisible (the lifecycle spec double-appends on purpose),
-    * so the append is idempotent under retry; [[compactDedupIndex]]
-    * normalizes the bytes later. Near-dups admitted during the gap are
-    * caught by the corpus-internal pass (q74) — the standard two-stage
-    * discipline.
-    *
-    * Appends write UNCAPPED postings even into a `bandCap`-built
-    * artifact: a per-wave cap cannot see bucket sizes across append
-    * generations, so capping here would be theater. A hot bucket that
-    * regrows through appended waves is re-dropped by the next
-    * [[compactDedupIndex]] with the same cap — capping is a build/
-    * compact-time global decision, by design. */
-  def appendToDedupIndex(spark: SparkSession, indexPath: String,
-                         docs: DataFrame, bits: Int = DefaultHashBits): Unit = {
-    // pin the narrow projection once: the caller's docs frame is
-    // typically the admission join's survivors, and without this both
-    // the hashes write and the summary pass would re-run that lineage
-    val d = docs.select("doc_id", "source", "text").localCheckpoint(true)
-    try {
-      d.select(md5(col("text").cast("binary")).as("h")).distinct()
-        .write.mode("append").parquet(s"$indexPath/hashes")
-      // one batch-sized summary pass feeds both remaining projections
-      val summary = docShingleSummaryOf(d, bits).localCheckpoint(true)
-      try {
-        summary.select(col("doc_id"),
-            posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-          .write.mode("append").partitionBy("band_idx").parquet(s"$indexPath/banded")
-        summary.select(col("doc_id"), col("s"))
-          .write.mode("append").parquet(s"$indexPath/sets")
-      } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(summary)
-    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(d)
-  }
-
-  /** The optional hygiene pass the append scaladoc promises: rewrite
-    * an artifact into `dst` with `hashes/` deduplicated and each
-    * projection's files re-laid (append generations fragment banded/
-    * partitions into one file per wave). Compaction writes a NEW
-    * versioned path rather than rewriting in place — reading and
-    * overwriting the same parquet path races the lazy scan, and a
-    * versioned swap is the same quiesce contract as IvfStream
-    * compaction: serving jobs move to `dst` between admissions.
-    * `bandCap` re-applies the build-time hot-bucket guard over the
-    * whole compacted table — the point where appended generations'
-    * bucket growth becomes globally visible (see appendToDedupIndex:
-    * appends are deliberately uncapped). */
-  def compactDedupIndex(spark: SparkSession, src: String, dst: String,
-                        bandCap: Option[Int] = None): Unit = {
-    // normalized comparison: a trailing slash or relative spelling of
-    // the same dir must not sneak past into a read-and-overwrite race
-    def norm(p: String) =
-      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
-    require(norm(src) != norm(dst), "compaction writes a new versioned path")
-    val c = loadDedupIndex(spark, src)
-    // distinct everywhere: legitimate appends never repeat a doc_id,
-    // so on a well-used artifact only hashes/ actually shrinks — but a
-    // double-appended doc's banded/sets rows normalize away too
-    c.hashes.distinct().write.mode("overwrite").parquet(s"$dst/hashes")
-    bandCap.fold(c.banded.distinct())(capBanded(c.banded.distinct(), _))
-      .write.mode("overwrite").partitionBy("band_idx")
-      .parquet(s"$dst/banded")
-    c.sets.distinct().write.mode("overwrite").parquet(s"$dst/sets")
-  }
-
-  private val dedupIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-
-  /** JVM-lifetime artifact build (the q41/q81 discipline: the index
-    * WRITE is the untimed build half; the timed query is the serving
-    * read). Keyed like `frozenCache` — the cached value is just an
-    * on-disk path any session can read, so a per-session key would
-    * only rebuild an artifact that already exists. The path comes from
-    * `StreamScratch` (unique per JVM, deleted at exit), so repeated
-    * Bench/Scaling runs never accumulate scratch artifacts and two
-    * JVMs can never collide on a shared name. */
-  def preparedDedupIndex(spark: SparkSession, sfDir: String,
-                         bits: Int = DefaultHashBits): String =
-    dedupIndexes.computeIfAbsent((sfDir, bits), _ => {
-      val path = graft.streaming.StreamScratch.dir(s"graft_dedupidx_b$bits")
-      saveDedupIndex(spark, sfDir, path, bits)
-      path
-    })
-
-  /** q105: q99 served from the persisted artifact (shares q99's
-    * oracle — the artifact round-trip must be verdict-invisible). */
-  def incrementalDedupFromIndex(spark: SparkSession, sfDir: String,
-                                bits: Int = DefaultHashBits): DataFrame = {
-    val newDocs = Tables.documents(spark, sfDir)
-      .filter(col("source") === IncrementalSource)
-      .select("doc_id", "source", "text")
-    admissionFromIndex(spark, preparedDedupIndex(spark, sfDir, bits), newDocs, bits)
-      .orderBy("doc_id")
-  }
-
-  def incrementalDedupSql: String = {
-    val bandJoins = (0 until Consts.LshBands).map { b =>
-      s"SELECT x.doc_id AS doc_new, y.doc_id AS doc_old FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.source = '$IncrementalSource' AND y.source <> '$IncrementalSource'"
-    }.mkString("\n    UNION\n    ")
-    s"""WITH sets AS (
-       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, source, $sqlShingles s0
-       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |exploded AS (SELECT doc_id, source, unnest(s) AS hv FROM sets),
-       |sig AS (SELECT doc_id, source,
-       |    $minColsSql
-       |  FROM exploded GROUP BY doc_id, source),
-       |banded AS (SELECT doc_id, source,
-       |    $bandColsSql
-       |  FROM sig),
-       |cand AS (
-       |    $bandJoins),
-       |near AS (
-       |  SELECT DISTINCT doc_new FROM cand
-       |  JOIN sets sa ON doc_new = sa.doc_id
-       |  JOIN sets sb ON doc_old = sb.doc_id
-       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
-       |exact AS (
-       |  SELECT DISTINCT n.doc_id FROM documents n
-       |  JOIN documents c ON md5(n.text) = md5(c.text) AND c.source <> '$IncrementalSource'
-       |  WHERE n.source = '$IncrementalSource')
-       |SELECT d.doc_id,
-       |  (e.doc_id IS NOT NULL) AS exact_dup,
-       |  (nr.doc_new IS NOT NULL) AS near_dup,
-       |  CASE WHEN e.doc_id IS NOT NULL THEN 'drop_exact'
-       |       WHEN nr.doc_new IS NOT NULL THEN 'drop_near'
-       |       ELSE 'ingest' END AS verdict
-       |FROM documents d
-       |LEFT JOIN exact e ON d.doc_id = e.doc_id
-       |LEFT JOIN near nr ON d.doc_id = nr.doc_new
-       |WHERE d.source = '$IncrementalSource'
-       |ORDER BY d.doc_id""".stripMargin
-  }
-
-  // -------------------------------------------------------------------
-  // Admission split guard (q180): q177's leakage audit moved to where
-  // it can still PREVENT the leak — the admission frontier. For each
-  // incoming (src0) document: the split the q50 hash rule will route it
-  // to, its verified near-dup partners against the FROZEN corpus and
-  // against the wave itself (two wave near-dups routed apart leak
-  // exactly like a wave↔corpus pair), and whether any partner lives in
-  // a different split. A cross-split dup quarantines BEFORE it lands;
-  // a same-split dup routes to the dedup path; a novel doc admits.
-  // (Lee et al. ACL 2022 / Dodge et al. EMNLP 2021 contamination, as an
-  // at-ingest gate rather than a post-hoc report.)
-  //
-  // Scale shape: candidate generation is the q99/q102 admission probe —
-  // the wave's bands BROADCAST into the frozen band postings, never the
-  // reverse — plus the wave-sized wave↔wave arm; split tags ride one
-  // doc_id-only corpus projection joined to the ANSWER-SIZED edge list
-  // (both orientations of the verified pairs); the report is one
-  // doc-keyed agg over wave-sized rows, and every incoming doc gets a
-  // row (novel docs report zeros — an admission verdict must cover the
-  // whole wave).
-  // -------------------------------------------------------------------
-
-  def admissionSplitGuard(spark: SparkSession, sfDir: String,
-                          bits: Int = DefaultHashBits): DataFrame = {
-    val newDocs = Tables.documents(spark, sfDir)
-      .filter(col("source") === IncrementalSource)
-      .select("doc_id", "source", "text")
-    splitGuardReport(spark, sfDir,
-      admissionPairs(newDocs, preparedFrozenCorpus(spark, sfDir, bits), bits))
-  }
-
-  /** The guard's report half over an externally supplied verified-pair
-    * relation (doc_a, doc_b, inter, uni) — the seam the STREAMING twin
-    * (q181) serves through: per-batch pair emission unions to exactly
-    * [[admissionPairs]]'s pair set (see admissionPairsWithPrior), so
-    * stream and batch reports are row-identical by construction. */
-  private[graft] def splitGuardReport(spark: SparkSession, sfDir: String,
-                                      rawPairs: DataFrame): DataFrame = {
-    val newDocs = Tables.documents(spark, sfDir)
-      .filter(col("source") === IncrementalSource)
-      .select("doc_id", "source", "text")
-    val pairs = rawPairs
-      .select(col("doc_a"), col("doc_b"),
-        expr("cast(inter as bigint) * 1000 div cast(uni as bigint)").as("jac_permille"))
-    val spl = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        Sampling.splitOf(pmod(Sampling.docIdHash, lit(100L))).as("split"),
-        col("source"))
-    val edges = pairs
-      .select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("jac_permille"))
-      .unionAll(pairs
-        .select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("jac_permille")))
-    val waveEdges = edges
-      .join(spl.filter(col("source") === IncrementalSource)
-        .select(col("doc_id"), col("split").as("own_split")), Seq("doc_id"))
-      .join(spl.select(col("doc_id").as("partner"), col("split").as("partner_split")),
-        Seq("partner"))
-    val agg = waveEdges.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dup_matches"),
-        sum(when(col("own_split") =!= col("partner_split"), 1L).otherwise(0L))
-          .as("n_cross_split"),
-        max(when(col("own_split") =!= col("partner_split"), col("jac_permille"))
-          .otherwise(lit(0L))).as("max_cross_permille"))
-    newDocs.select(col("doc_id"))
-      .withColumn("own_split", Sampling.splitOf(pmod(Sampling.docIdHash, lit(100L))))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("own_split"),
-        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
-        coalesce(col("n_cross_split"), lit(0L)).as("n_cross_split"),
-        coalesce(col("max_cross_permille"), lit(0L)).as("max_cross_permille"))
-      .withColumn("verdict",
-        when(col("n_cross_split") > 0, "quarantine")
-          .when(col("n_dup_matches") > 0, "dedup_same_split")
-          .otherwise("admit"))
-      .orderBy("doc_id")
-  }
-
-  def admissionSplitGuardSql: String = {
-    val bandJoins = (0 until Consts.LshBands).map { b =>
-      s"SELECT x.doc_id AS d, y.doc_id AS p FROM banded x JOIN banded y ON x.band$b = y.band$b AND x.source = '$IncrementalSource' AND x.doc_id <> y.doc_id"
-    }.mkString("\n    UNION\n    ")
-    s"""WITH sets AS (
-       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, source, $sqlShingles s0
-       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |exploded AS (SELECT doc_id, source, unnest(s) AS hv FROM sets),
-       |sig AS (SELECT doc_id, source,
-       |    $minColsSql
-       |  FROM exploded GROUP BY doc_id, source),
-       |banded AS (SELECT doc_id, source,
-       |    $bandColsSql
-       |  FROM sig),
-       |cand AS (
-       |    $bandJoins),
-       |ver AS (
-       |  SELECT DISTINCT d, p,
-       |    (cast(len(list_intersect(sa.s, sb.s)) as bigint) * 1000)
-       |      // cast(len(list_distinct(sa.s || sb.s)) as bigint) AS jac_permille
-       |  FROM cand
-       |  JOIN sets sa ON d = sa.doc_id
-       |  JOIN sets sb ON p = sb.doc_id
-       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
-       |spl AS (
-       |  SELECT doc_id, ${Sampling.sqlSplitCase} AS split
-       |  FROM documents),
-       |agg AS (
-       |  SELECT d AS doc_id,
-       |    cast(count(*) as bigint) AS n_dup_matches,
-       |    cast(sum(CASE WHEN so.split <> sp.split THEN 1 ELSE 0 END) as bigint) AS n_cross_split,
-       |    max(CASE WHEN so.split <> sp.split THEN jac_permille ELSE cast(0 as bigint) END) AS max_cross_permille
-       |  FROM ver JOIN spl so ON d = so.doc_id JOIN spl sp ON p = sp.doc_id
-       |  GROUP BY d)
-       |SELECT n.doc_id, s.split AS own_split,
-       |  coalesce(a.n_dup_matches, 0) AS n_dup_matches,
-       |  coalesce(a.n_cross_split, 0) AS n_cross_split,
-       |  coalesce(a.max_cross_permille, 0) AS max_cross_permille,
-       |  CASE WHEN coalesce(a.n_cross_split, 0) > 0 THEN 'quarantine'
-       |       WHEN coalesce(a.n_dup_matches, 0) > 0 THEN 'dedup_same_split'
-       |       ELSE 'admit' END AS verdict
-       |FROM documents n
-       |JOIN spl s ON n.doc_id = s.doc_id
-       |LEFT JOIN agg a ON n.doc_id = a.doc_id
-       |WHERE n.source = '$IncrementalSource'
-       |ORDER BY n.doc_id""".stripMargin
-  }
-
-  def clusterSplit(spark: SparkSession, sfDir: String,
-                   bits: Int = DefaultHashBits): DataFrame =
-    clusterSplitWith(spark, sfDir,
-      starComponents(dedupGraphEdges(spark, sfDir, bits)))
-
-  /** q91 over an external (node, label) component table (the
-    * persisted-graph serving seam). */
-  private[graft] def clusterSplitWith(spark: SparkSession, sfDir: String,
-                                      comp: DataFrame): DataFrame = {
-    def hash32(colName: String): org.apache.spark.sql.Column =
-      graft.core.Hash32.column(s"md5(cast($colName as string))")
-    def splitOf(bucket: org.apache.spark.sql.Column) =
-      when(bucket < Sampling.TrainPct, "train")
-        .when(bucket < Sampling.TrainPct + Sampling.ValPct, "val")
-        .otherwise("test")
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
-    docs.join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .withColumn("root", coalesce(col("label"), col("doc_id")))
-      .withColumn("split", splitOf(pmod(hash32("root"), lit(100L))))
-      .withColumn("naive_split", splitOf(pmod(hash32("doc_id"), lit(100L))))
-      .groupBy("root", "split")
-      .agg(count(lit(1)).as("nd"),
-        countDistinct(col("naive_split")).as("n_naive"))
-      .groupBy("split")
-      .agg(sum(col("nd")).as("n_docs"),
-        count(lit(1)).as("n_clusters"),
-        sum(when(col("n_naive") > 1, 1L).otherwise(0L)).as("naive_mixed_clusters"))
-      .orderBy("split")
-  }
-
-  def clusterSplitSql: String = {
-    def sqlHash32(colName: String) =
-      graft.core.Hash32.sql(s"md5(cast($colName as varchar))")
-    def sqlSplit(h: String) =
-      s"""CASE WHEN $h % 100 < ${Sampling.TrainPct} THEN 'train'
-         |     WHEN $h % 100 < ${Sampling.TrainPct + Sampling.ValPct} THEN 'val'
-         |     ELSE 'test' END""".stripMargin
-    s"""WITH RECURSIVE
-       |$sqlDedupGraphCtes,
-       |rooted AS (
-       |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS root
-       |  FROM ddocs d LEFT JOIN comp c USING (doc_id)),
-       |assigned AS (
-       |  SELECT root,
-       |    ${sqlSplit(sqlHash32("root"))} AS split,
-       |    ${sqlSplit(sqlHash32("doc_id"))} AS naive_split
-       |  FROM rooted),
-       |per_root AS (
-       |  SELECT root, split, cast(count(*) as bigint) AS nd,
-       |    cast(count(DISTINCT naive_split) as bigint) AS n_naive
-       |  FROM assigned GROUP BY root, split)
-       |SELECT split, cast(sum(nd) as bigint) AS n_docs,
-       |  cast(count(*) as bigint) AS n_clusters,
-       |  cast(sum(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) as bigint) AS naive_mixed_clusters
-       |FROM per_root
-       |GROUP BY split
-       |ORDER BY split""".stripMargin
-  }
-
-  /** q75: normalization-collision dedup — exact dedup AFTER the
-    * canonical text normalization every pipeline applies first
-    * (lowercase, strip non-alphanumerics, collapse whitespace). Groups
-    * that only appear here (n_variants > 1) are the trivially-edited
-    * copies raw hashing misses: case changes, punctuation tweaks,
-    * re-wrapped whitespace. Pure scan-side normalization + one hash
-    * aggregation — the same single-shuffle shape as q13, and the
-    * cheapest possible recall boost in front of the MinHash tiers. */
-  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), lit("[^a-z0-9\\s]"), lit("")),
-      lit("\\s+"), lit(" ")))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("raw_hash"),
-        md5(norm.cast("binary")).as("norm_hash"))
-      .groupBy("norm_hash")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("raw_hash")).as("n_variants"),
-        min(col("doc_id")).as("keep_doc_id"))
-      .filter(col("n_docs") > 1)
-      .orderBy("norm_hash")
-  }
-
-  def normalizedDedupSql: String =
-    s"""SELECT md5(n) AS norm_hash, count(*) AS n_docs,
-       |  count(DISTINCT md5(text)) AS n_variants,
-       |  min(doc_id) AS keep_doc_id
-       |FROM (SELECT doc_id, text,
-       |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
-       |             '\\s+', ' ', 'g')) AS n
-       |      FROM documents)
-       |GROUP BY md5(n)
-       |HAVING count(*) > 1
-       |ORDER BY norm_hash""".stripMargin
-
-  /** The all-pairs baseline the two-level join is spec-checked against. */
-  def simhashPairsAllPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simhashFrame(spark, sfDir)
-    val a = sig.alias("a"); val b = sig.alias("b")
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming",
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
-      .filter(col("hamming") <= Consts.SimhashMaxHamming)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
-  }
-
-  def simhashPairsSql: String =
-    s"""WITH sig AS (${simhashSql.replace("ORDER BY doc_id", "")})
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming
-       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${Consts.SimhashMaxHamming}
-       |ORDER BY doc_a, doc_b""".stripMargin
-
-  // -------------------------------------------------------------------
-  // SimHash threshold calibration sweep: q104's discipline applied to
-  // the 16-bit signature family. Before committing to a Hamming merge
-  // threshold (Consts.SimhashMaxHamming = 3), sweep every threshold
-  // 0..SimhashSweepMax and report what each would merge — pair volume
-  // AND how set-similar the merged docs actually are.
-  // -------------------------------------------------------------------
-
-  /** Sweep ceiling: past 8 of 16 bits, signatures are uncorrelated. */
-  val SimhashSweepMax = 8L
-
-  /** q136: per candidate Hamming threshold t, the CUMULATIVE merge
-    * picture: distinct-signature pairs at distance ≤ t, the EXACT
-    * count of document pairs those signature pairs imply (products of
-    * group sizes — no doc-pair expansion is ever materialized), and
-    * the shingle-set Jaccard of each signature pair's REPRESENTATIVE
-    * doc pair (min-id docs; min-id + second-min for same-signature
-    * groups). Representative Jaccard is a calibration statistic, not
-    * the all-pairs mean — the all-pairs version requires exactly the
-    * |group|² expansion this formulation exists to avoid, and for
-    * threshold selection the representative curve carries the signal
-    * (is hamming 5 still ~0.7-similar, or noise?).
-    *
-    * Scale shape: everything runs at SIGNATURE granularity (the q49
-    * cluster discipline): group stats are two keyed aggs over the
-    * two-longs-per-doc signature table; the sweep's candidate join is
-    * all-pairs over DISTINCT signatures — bounded by the 2¹⁶ signature
-    * space, a CONSTANT independent of corpus size (≤ 2×10⁹ worst-case
-    * comparisons for an occasional calibration run; the corpus itself
-    * never joins); representative shingle sets fetch by equi-join for
-    * ≤ 2·|sigs| docs; the threshold fan-out is a 9-row broadcast. */
-  def simhashSweep(spark: SparkSession, sfDir: String,
-                   bits: Int = DefaultHashBits): DataFrame = {
-    import graft.functions.LongArrayIntersectCount
-    val sig = Materialize.shared(spark, simhashFrame(spark, sfDir))
-    val groups = sig.groupBy("simhash")
-      .agg(count(lit(1)).as("cnt"), min("doc_id").as("r1"))
-    val r2 = sig.join(groups, "simhash").filter(col("doc_id") > col("r1"))
-      .groupBy("simhash").agg(min("doc_id").as("r2"))
-    val g = groups.join(r2, Seq("simhash"), "left")
-    val a = g.select(col("simhash").as("sh_a"), col("cnt").as("cnt_a"), col("r1").as("rep_a"))
-    val b = g.select(col("simhash").as("sh_b"), col("cnt").as("cnt_b"), col("r1").as("rep_b"))
-    val cross = a.join(b, col("sh_a") < col("sh_b"))
-      .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= SimhashSweepMax)
-      .select(col("hamming"), (col("cnt_a") * col("cnt_b")).as("n_doc_pairs"),
-        col("rep_a"), col("rep_b"))
-    val same = g.filter(col("cnt") >= 2L)
-      .select(lit(0L).as("hamming"),
-        expr("cnt * (cnt - 1) div 2").as("n_doc_pairs"),
-        col("r1").as("rep_a"), col("r2").as("rep_b"))
-    val sets = shingleSets(spark, sfDir, bits).select("doc_id", "s")
-    val empty = array().cast("array<bigint>")
-    val withJ = cross.unionAll(same)
-      .join(sets.select(col("doc_id").as("rep_a"), col("s").as("sa")), Seq("rep_a"), "left")
-      .join(sets.select(col("doc_id").as("rep_b"), col("s").as("sb")), Seq("rep_b"), "left")
-      .withColumn("inter",
-        LongArrayIntersectCount(coalesce(col("sa"), empty), coalesce(col("sb"), empty)).cast("long"))
-      .withColumn("uni",
-        size(coalesce(col("sa"), empty)).cast("long") +
-          size(coalesce(col("sb"), empty)).cast("long") - col("inter"))
-      .withColumn("jacc_permille",
-        when(col("uni") > 0L, expr("inter * 1000 div uni")).otherwise(lit(0L)))
-    val th = spark.range(0L, SimhashSweepMax + 1L).toDF("max_hamming")
-    th.join(withJ, col("hamming") <= col("max_hamming"), "left")
-      .groupBy("max_hamming")
-      .agg(count(col("hamming")).as("n_sig_pairs"),
-        coalesce(sum(col("n_doc_pairs")), lit(0L)).as("n_doc_pairs"),
-        coalesce(sum(col("jacc_permille")), lit(0L)).as("jsum"),
-        coalesce(min(col("jacc_permille")), lit(-1L)).as("min_rep_jacc_permille"))
-      .withColumn("mean_rep_jacc_permille",
-        when(col("n_sig_pairs") > 0L, expr("jsum div n_sig_pairs")).otherwise(lit(-1L)))
-      .select("max_hamming", "n_sig_pairs", "n_doc_pairs",
-        "mean_rep_jacc_permille", "min_rep_jacc_permille")
-      .orderBy("max_hamming")
-  }
-
-  def simhashSweepSql: String =
-    s"""WITH sig AS (${simhashSql.replace("ORDER BY doc_id", "")}),
-       |sets AS (
-       |  SELECT doc_id, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, $sqlShingles s0
-       |        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |g0 AS (SELECT simhash, cast(count(*) as bigint) AS cnt, min(doc_id) AS r1
-       |       FROM sig GROUP BY simhash),
-       |rr2 AS (SELECT s.simhash, min(s.doc_id) AS r2
-       |        FROM sig s JOIN g0 ON s.simhash = g0.simhash
-       |        WHERE s.doc_id > g0.r1 GROUP BY s.simhash),
-       |g AS (SELECT g0.simhash, g0.cnt, g0.r1, rr2.r2 FROM g0 LEFT JOIN rr2 USING (simhash)),
-       |cross_p AS (
-       |  SELECT cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS hamming,
-       |    a.cnt * b.cnt AS n_doc_pairs, a.r1 AS rep_a, b.r1 AS rep_b
-       |  FROM g a JOIN g b ON a.simhash < b.simhash
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashSweepMax),
-       |same_p AS (
-       |  SELECT cast(0 as bigint) AS hamming, cnt * (cnt - 1) // 2 AS n_doc_pairs,
-       |    r1 AS rep_a, r2 AS rep_b
-       |  FROM g WHERE cnt >= 2),
-       |pairs AS (SELECT * FROM cross_p UNION ALL SELECT * FROM same_p),
-       |wj AS (
-       |  SELECT hamming, n_doc_pairs,
-       |    CASE WHEN (len(coalesce(sa.s, [])) + len(coalesce(sb.s, []))
-       |               - len(list_intersect(coalesce(sa.s, []), coalesce(sb.s, [])))) > 0
-       |      THEN len(list_intersect(coalesce(sa.s, []), coalesce(sb.s, []))) * 1000
-       |        // (len(coalesce(sa.s, [])) + len(coalesce(sb.s, []))
-       |            - len(list_intersect(coalesce(sa.s, []), coalesce(sb.s, []))))
-       |      ELSE 0 END AS jacc_permille
-       |  FROM pairs
-       |  LEFT JOIN sets sa ON rep_a = sa.doc_id
-       |  LEFT JOIN sets sb ON rep_b = sb.doc_id),
-       |th AS (SELECT cast(t as bigint) AS max_hamming FROM unnest(range($SimhashSweepMax + 1)) AS u(t))
-       |SELECT max_hamming,
-       |  cast(count(hamming) as bigint) AS n_sig_pairs,
-       |  cast(coalesce(sum(n_doc_pairs), 0) as bigint) AS n_doc_pairs,
-       |  CASE WHEN count(hamming) > 0
-       |    THEN cast(coalesce(sum(jacc_permille), 0) as bigint) // cast(count(hamming) as bigint)
-       |    ELSE -1 END AS mean_rep_jacc_permille,
-       |  cast(coalesce(min(jacc_permille), -1) as bigint) AS min_rep_jacc_permille
-       |FROM th LEFT JOIN wj ON hamming <= max_hamming
-       |GROUP BY max_hamming
-       |ORDER BY max_hamming""".stripMargin
-
-  // -------------------------------------------------------------------
-  // Source-level MinHash similarity matrix: the SKETCH-space complement
-  // of q72's exact source×source overlap. q72 answers "exactly how many
-  // shingles do these two crawls share" with one hv-keyed shuffle whose
-  // cost scales with the corpus; this answers "approximately how
-  // Jaccard-similar are the crawls' shingle UNIONS" from a 16-value
-  // signature per source — the screening pass a curation pipeline runs
-  // FIRST (every dump pair, every refresh) to decide which few pairs
-  // are worth q72's exact join. MinHash signatures of unions compose by
-  // element-wise min, so the source signature folds out of the shingle
-  // scan without ever materializing the union sets.
-  // -------------------------------------------------------------------
-
-  /** q130: (source_a, source_b, matching_perms, est_jaccard_permille)
-    * for every source pair — est = matches·1000 div 16, the unbiased
-    * MinHash estimate of union-Jaccard quantized to the report grid.
-    *
-    * Scale shape: ONE pass over the shingle scan (per-doc hashes,
-    * scan-local as always) into a groupBy(source) whose 16 mins
-    * partial-aggregate map-side — the shuffle moves one 16-value row
-    * per (partition, source), never shingles; the pairwise matrix is a
-    * self-join of the SOURCES-sized signature frame (thousands of rows
-    * at web scale — driver-trivial, executor-trivial). The estimate's
-    * ±1/√16 standard error is inherent to the 16-perm signature and
-    * documented rather than hidden: this is a screen, not a measure. */
-  def sourceMinhashMatrix(spark: SparkSession, sfDir: String,
-                          bits: Int = DefaultHashBits): DataFrame = {
-    val sh = shingleRows(spark, sfDir, bits)
-    val hv32 = shiftrightunsigned(col("hv"), 32)
-      .bitwiseXOR(col("hv").bitwiseAND(lit(0xffffffffL)))
-    val aggs = Consts.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min((hv32 * a + b) % Consts.MinhashPrime).as(s"mh$i")
-    }
-    val sig = sh.groupBy("source").agg(aggs.head, aggs.tail: _*)
-    val perms = Consts.MinhashParams.indices
-    val a = sig.select(col("source").as("source_a") +:
-      perms.map(i => col(s"mh$i").as(s"a$i")): _*)
-    val b = sig.select(col("source").as("source_b") +:
-      perms.map(i => col(s"mh$i").as(s"b$i")): _*)
-    val matches = perms.map(i =>
-      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
-    a.join(b, col("source_a") < col("source_b"))
-      .withColumn("matching_perms", matches)
-      .withColumn("est_jaccard_permille",
-        expr(s"matching_perms * 1000 div ${perms.size}"))
-      .select("source_a", "source_b", "matching_perms", "est_jaccard_permille")
-      .orderBy("source_a", "source_b")
-  }
-
-  def sourceMinhashMatrixSql: String = {
-    val nPerms = Consts.MinhashParams.size
-    val matchSum = (0 until nPerms).map(i =>
-      s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sets AS (
-       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, source, $sqlShingles s0
-       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |exploded AS (SELECT source, unnest(s) AS hv FROM sets),
-       |sig AS (SELECT source,
-       |    $minColsSql
-       |  FROM exploded GROUP BY source)
-       |SELECT a.source AS source_a, b.source AS source_b,
-       |  cast($matchSum as bigint) AS matching_perms,
-       |  cast($matchSum as bigint) * 1000 // $nPerms AS est_jaccard_permille
-       |FROM sig a JOIN sig b ON a.source < b.source
-       |ORDER BY source_a, source_b""".stripMargin
-  }
-
-  // -------------------------------------------------------------------
-  // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
-  // local fingerprinting algorithm): slide a window of WinnowWindow
-  // consecutive k-gram hashes and keep each window's MINIMUM. The
-  // selection is LOCAL (a function of the window's hashes alone), which
-  // buys the guarantee MinHash cannot give: any shared token run of at
-  // least WinnowWindow + WinnowGramN - 1 tokens between two documents
-  // shares at least one fingerprint — detection is deterministic, not
-  // probabilistic — while storing only ~2/(w+1) of the gram hashes.
-  // This is the third point in the design space next to q14 (MinHash:
-  // probabilistic, fixed-size signature) and q65/q83 (full gram index:
-  // exact, but every occurrence indexed).
-  // -------------------------------------------------------------------
-
-  /** word-gram width (3, the shingle width) and hash-window width. */
-  val WinnowGramN = 3
-  val WinnowWindow = 4
-  /** pairs sharing fewer fingerprints than this are noise (a single
-    * shared fingerprint is one popular phrase). */
-  val WinnowMinShared = 2
-
-  /** Default document-frequency cap on the fingerprint inverted index
-    * — ON by default for the winnow family (q128/q163), the family's
-    * only self-join whose measured top-decade exponent (0.81,
-    * SCALING.md) warranted a bound decided in advance rather than a
-    * knob left open. A fingerprint present in more than this many
-    * documents is boilerplate (license headers, navigation chrome):
-    * it contributes ≤ cap² join fan-out instead of an unbounded
-    * hot-key, and a pair is lost only if EVERY fingerprint it shares
-    * is that popular — i.e. only inside boilerplate families whose
-    * dedup story is the cluster/survivorship path, the same recall
-    * trade as `bandCap` and `jaccardPairsSparse`'s dfCap. The value
-    * never bites on the test corpora (measured max fingerprint df:
-    * 9 at sf0.001, 7 at sf0.01, 24 at sf0.1 — and amplified Scaling
-    * decades keep per-replica df constant), which is what keeps every
-    * capped-by-default query byte-identical to its uncapped DuckDB
-    * oracle; WinnowDfCapSpec pins BOTH that invariance and the
-    * cap actually biting on a planted boilerplate corpus. */
-  val WinnowDfCap = 64
-
-  /** (doc_id, fp) — each doc's DISTINCT winnowed fingerprints, computed
-    * entirely inside the scan's flatMap: the sliding min is a per-doc
-    * local array pass (winnowing's defining property), so the corpus
-    * token stream never shuffles and the emitted relation is already
-    * the ~2/(w+1)-density fingerprint index. Docs with fewer grams than
-    * the window fall back to one truncated window over all their grams
-    * (min of all — the standard small-document convention). */
-  private[graft] def winnowFingerprintRows(spark: SparkSession, sfDir: String,
-                                         bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
-    val n = WinnowGramN; val w = WinnowWindow
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, txt) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          val m = t.length - n + 1
-          if (m <= 0) Iterator.empty
-          else {
-            val h = new Array[Long](m)
-            var i = 0
-            while (i < m) {
-              val g = t.slice(i, i + n).mkString(" ")
-              h(i) = packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
-              i += 1
-            }
-            val out = scala.collection.mutable.LinkedHashSet.empty[Long]
-            var s = 0
-            val lastStart = math.max(0, m - w)
-            while (s <= lastStart) {
-              var mn = h(s)
-              var j = s + 1
-              val end = math.min(s + w, m)
-              while (j < end) { if (h(j) < mn) mn = h(j); j += 1 }
-              out += mn
-              s += 1
-            }
-            out.iterator.map(fp => (id, fp))
-          }
-        }
-      }
-      .toDF("doc_id", "fp")
-  }
-
-  /** q128: winnowing-fingerprint overlap pairs — documents sharing at
-    * least [[WinnowMinShared]] fingerprints, with the containment-style
-    * overlap permille against the smaller fingerprint set. Pairs
-    * sharing long verbatim runs (≥ w+n−1 = 6 tokens) are GUARANTEED to
-    * appear; that determinism is what makes winnowing the
-    * plagiarism/attribution primitive rather than a dedup sampler.
-    *
-    * Scale shape: the fingerprint relation arrives scan-local and
-    * already ~3× sparser than a full gram index; pair generation is the
-    * same inverted-index self-equi-join discipline as
-    * jaccardPairsSparse, fan-out bounded by Σ df² over fingerprint
-    * document frequencies, with the `dfCap` remedy for power-law hot
-    * fingerprints ON BY DEFAULT at [[WinnowDfCap]] (a fingerprint in
-    * >cap docs is boilerplate — dropped, recall trade documented
-    * there; the DuckDB oracle stays byte-identical because the cap
-    * never bites on the oracle corpora, WinnowDfCapSpec-pinned). One
-    * keyed agg for per-doc totals broadcasts back onto the
-    * answer-sized pair report. */
-  def winnowPairs(spark: SparkSession, sfDir: String,
-                  bits: Int = DefaultHashBits,
-                  dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
-    val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
-    val capped = dfCap match {
-      case Some(cap) =>
-        val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        fps.join(dfc.filter(col("df") <= cap), "fp")
-      case None => fps
-    }
-    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
-    val pairs = a.join(b, Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= WinnowMinShared)
-    pairs
-      .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("a_fps")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("b_fps")), "doc_b")
-      .withColumn("overlap_permille",
-        expr("shared_fps * 1000 div least(a_fps, b_fps)"))
-      .select("doc_a", "doc_b", "shared_fps", "a_fps", "b_fps", "overlap_permille")
-      .orderBy("doc_a", "doc_b")
-  }
-
-  def winnowPairsSql: String = {
-    val n = WinnowGramN; val w = WinnowWindow
-    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
-    s"""WITH toksl AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |pos AS (
-       |  SELECT doc_id, unnest(range(len(t))) AS i, t FROM toksl),
-       |gram AS (
-       |  SELECT doc_id, i, ${shingleHashExpr("strpos", s"md5($gramExpr)")} AS gh
-       |  FROM pos WHERE i <= len(t) - $n),
-       |win AS (
-       |  SELECT doc_id, i,
-       |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
-       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
-       |    count(*) OVER (PARTITION BY doc_id) AS m
-       |  FROM gram),
-       |fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= greatest(0, m - $w)),
-       |counts AS (SELECT doc_id, cast(count(*) as bigint) AS nfp FROM fps GROUP BY doc_id),
-       |pairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, cast(count(*) as bigint) AS shared_fps
-       |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, shared_fps, ca.nfp AS a_fps, cb.nfp AS b_fps,
-       |  shared_fps * 1000 // least(ca.nfp, cb.nfp) AS overlap_permille
-       |FROM pairs
-       |JOIN counts ca ON ca.doc_id = doc_a
-       |JOIN counts cb ON cb.doc_id = doc_b
-       |WHERE shared_fps >= $WinnowMinShared
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  // -------------------------------------------------------------------
-  // q145: maximal shared token-run pairs — the PAIR-EXTENT artifact of
-  // exact-substring dedup (Lee et al. 2021, "Deduplicating Training
-  // Data Makes Language Models Better"). q65 reports each doc's
-  // duplicated-span RATIO and q115 cuts the spans; this reports, per
-  // document pair, HOW LONG the longest verbatim shared token run is
-  // and how much run mass the pair shares — the evidence a curation
-  // reviewer reads before trusting a merge, and the exact-sequence
-  // complement of q124's edit-distance verdict (a set-similar pair
-  // with a short max run is template noise; a 50+-token run is
-  // verbatim copying / memorization-grade duplication per Carlini et
-  // al. 2022).
-  //
-  // Equivalence that makes this computable without suffix arrays: two
-  // docs share a verbatim run of L >= n tokens iff they share L-n+1
-  // word n-grams at CONSECUTIVE positions on one alignment diagonal
-  // (pos_a - pos_b constant). So maximal runs = islands of consecutive
-  // pos_a within each (pair, diagonal) group, and max_run_tokens =
-  // island_length + n - 1 — the full suffix-array machinery of the
-  // paper traded for the fixed-n gram relation the family already has
-  // (reference anchor: the span relation behind dedup.go's exact pass).
-  // -------------------------------------------------------------------
-
-  /** Report floor: runs shorter than this many tokens are noise on a
-    * shared-vocabulary corpus (random 5-gram collisions chain only a
-    * little); 20 tokens is comfortably past chance and well under the
-    * paper's 50-token memorization bar, so the report keeps the band a
-    * reviewer actually triages. */
-  val SharedRunMinTokens = 20
-
-  /** (doc_id, pos, gh) — every word [[DupSpanN]]-gram occurrence WITH
-    * its token position, hashed scan-local (the q65 flatMap plus the
-    * position column; i64 hashes, never gram strings, in any shuffle). */
-  private[graft] def gramPosRows(spark: SparkSession, sfDir: String,
-                                 bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
-    val n = DupSpanN
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, txt) =>
-          val t = txt.trim.split("\\s+").filter(_.nonEmpty)
-          (0 to t.length - n).map { i =>
-            val g = t.slice(i, i + n).mkString(" ")
-            (id, i.toLong,
-              packHash(md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits))
-          }
-        }
-      }
-      .toDF("doc_id", "pos", "gh")
-  }
-
-  /** q145: per-pair maximal shared token runs. One row per unordered
-    * doc pair whose longest verbatim shared run reaches
-    * [[SharedRunMinTokens]]: `max_run_tokens` (longest run),
-    * `n_runs` (maximal runs at or above the floor), `run_token_mass`
-    * (their summed token lengths — run mass, not distinct-token mass:
-    * overlapping runs on different diagonals each count their own
-    * extent, stated rather than hidden).
-    *
-    * Scale shape: the gram relation is scan-local; candidate
-    * generation is the jaccardPairsSparse inverted-index self-equi-join
-    * on the gram hash (fan-out Σ df², optional `dfCap` drops
-    * boilerplate grams from pairing with the same documented recall
-    * trade, uncapped default keeps the oracle byte-identical); island
-    * detection is ONE windowed row_number per (pair, diagonal) group —
-    * a single keyed shuffle sized by the matched-gram relation, never
-    * by the corpus — and the report folds per pair. Hash collisions
-    * (different grams, one hv) can splice runs; the arithmetic is
-    * identical on both engines so the report still hash-checks, and at
-    * the 64-bit library default collisions are absent in practice. */
-  def sharedRunPairs(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits,
-                     dfCap: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Materialize.shared(spark, gramPosRows(spark, sfDir, bits))
-    val capped = dfCap match {
-      case Some(cap) =>
-        val dfc = grams.groupBy("gh").agg(countDistinct(col("doc_id")).as("df"))
-        grams.join(dfc.filter(col("df") <= cap), "gh")
-      case None => grams
-    }
-    val a = capped.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("gh"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("gh"))
-    val matched = a.join(b, Seq("gh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), (col("pa") - col("pb")).as("diag"))
-    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    val runs = matched
-      .withColumn("island", col("pa") - row_number().over(w))
-      .groupBy("doc_a", "doc_b", "diag", "island")
-      .agg((count(lit(1)) + lit(DupSpanN.toLong - 1L)).as("run_tokens"))
-      .filter(col("run_tokens") >= SharedRunMinTokens.toLong)
-    runs.groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_runs"),
-        max(col("run_tokens")).as("max_run_tokens"),
-        sum(col("run_tokens")).as("run_token_mass"))
-      .orderBy("doc_a", "doc_b")
-  }
-
-  def sharedRunPairsSql: String = {
-    val n = DupSpanN
-    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |gr AS (
-       |  SELECT doc_id, i AS pos, ${shingleHashExpr("strpos", "md5(g)")} AS gh
-       |  FROM (SELECT doc_id, unnest(CASE WHEN len(t) >= $n
-       |          THEN [$gramExpr for i in range(len(t) - ${n - 1})] ELSE [] END) AS g,
-       |          unnest(CASE WHEN len(t) >= $n
-       |          THEN range(len(t) - ${n - 1}) ELSE [] END) AS i
-       |        FROM toks)),
-       |m AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, a.pos - b.pos AS diag
-       |  FROM gr a JOIN gr b ON a.gh = b.gh AND a.doc_id < b.doc_id),
-       |isl AS (
-       |  SELECT doc_a, doc_b, diag,
-       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
-       |  FROM m),
-       |runs AS (
-       |  SELECT doc_a, doc_b, diag, island, count(*) + ${n - 1} AS run_tokens
-       |  FROM isl GROUP BY doc_a, doc_b, diag, island),
-       |ok AS (SELECT * FROM runs WHERE run_tokens >= $SharedRunMinTokens)
-       |SELECT doc_a, doc_b, cast(count(*) as bigint) AS n_runs,
-       |  cast(max(run_tokens) as bigint) AS max_run_tokens,
-       |  cast(sum(run_tokens) as bigint) AS run_token_mass
-       |FROM ok GROUP BY doc_a, doc_b
-       |ORDER BY doc_a, doc_b""".stripMargin
-  }
-
-  // -------------------------------------------------------------------
-  // q163: winnowing source ATTRIBUTION — the provenance question the
-  // fingerprint index exists to answer (Schleimer et al. 2003 built
-  // MOSS for exactly this): for each document, which OTHER source
-  // contains the largest share of its winnowed fingerprints? A high
-  // share says the document's content circulates in that source —
-  // syndication origin, mirror lineage, or cross-crawl plagiarism —
-  // at document granularity where q152's matrix is pair-level and
-  // q72's overlap is source-level. MOSS's determinism guarantee
-  // carries over: any ≥ w+n−1-token run shared with the attributed
-  // source is certain to contribute fingerprints.
-  // -------------------------------------------------------------------
-
-  /** q163: one row per document with an attribution: the top foreign
-    * source by shared fingerprint count (ties to the lexicographically
-    * first source), the shared count, the doc's fingerprint total, and
-    * the share permille. Docs sharing fewer than [[WinnowMinShared]]
-    * fingerprints with every foreign source are absent (no attribution
-    * is a finding, not a zero row).
-    *
-    * Scale shape: doc fingerprints arrive scan-local (~2/(w+1) gram
-    * density); source fingerprint SETS are one distinct projection;
-    * the attribution join is fp-keyed with fan-out bounded by
-    * Σ_fp df_doc(fp)·|sources(fp)| ≤ S·|fp rows| (hot boilerplate
-    * fingerprints are exactly what the family's dfCap drops when that
-    * bound bites); one keyed agg onto (doc, source) and a per-doc
-    * argmax window over at most S rows per doc. */
-  def winnowAttribution(spark: SparkSession, sfDir: String,
-                        bits: Int = DefaultHashBits,
-                        dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
-    val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
-    winnowAttributionCore(spark, sfDir, fps,
-      fps.groupBy("fp").agg(countDistinct(col("doc_id")).as("dfd")), dfCap)
-  }
-
-  /** The q163 report over any (doc_id, fp) fingerprint relation + its
-    * (fp, dfd) document frequencies — the seam the inline recompute
-    * and the persisted-index serving path share. */
-  private[graft] def winnowAttributionCore(spark: SparkSession, sfDir: String,
-                                           fps: DataFrame, dfc: DataFrame,
-                                           dfCap: Option[Int]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val srcs = Tables.documents(spark, sfDir).select("doc_id", "source")
-    val docFps = fps.join(srcs, "doc_id")
-    // n_fp (the share denominator) stays UNCAPPED — it is the doc's
-    // true fingerprint mass; the cap bounds only the attribution
-    // JOIN's fan-out, so capped mode is "boilerplate-blind" counting
-    // with the denominator honest (see WinnowDfCap)
-    val counts = docFps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-    val capped = dfCap match {
-      case Some(cap) =>
-        docFps.join(dfc.filter(col("dfd") <= cap).select("fp"), "fp")
-      case None => docFps
-    }
-    val srcFps = capped.select(col("source").as("attr_source"), col("fp")).distinct()
-    val shared = capped.join(srcFps, Seq("fp"))
-      .filter(col("attr_source") =!= col("source"))
-      .groupBy("doc_id", "attr_source").agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= WinnowMinShared)
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("n_shared").desc, col("attr_source").asc)
-    shared.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .join(counts, "doc_id")
-      .select(col("doc_id"), col("attr_source"), col("n_shared"), col("n_fp"),
-        expr("n_shared * 1000 div n_fp").as("share_permille"))
-      .orderBy("doc_id")
-  }
-
-  def winnowAttributionSql: String = {
-    val n = WinnowGramN; val w = WinnowWindow
-    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
-    s"""WITH toksl AS (
-       |  SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |pos AS (
-       |  SELECT doc_id, source, unnest(range(len(t))) AS i, t FROM toksl),
-       |gram AS (
-       |  SELECT doc_id, source, i, ${shingleHashExpr("strpos", s"md5($gramExpr)")} AS gh
-       |  FROM pos WHERE i <= len(t) - $n),
-       |win AS (
-       |  SELECT doc_id, source, i,
-       |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
-       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
-       |    count(*) OVER (PARTITION BY doc_id) AS m
-       |  FROM gram),
-       |fps AS (SELECT DISTINCT doc_id, source, fp FROM win WHERE i <= greatest(0, m - $w)),
-       |counts AS (SELECT doc_id, cast(count(*) as bigint) AS n_fp FROM fps GROUP BY doc_id),
-       |src_fps AS (SELECT DISTINCT source AS attr_source, fp FROM fps),
-       |shared AS (
-       |  SELECT f.doc_id, s.attr_source, cast(count(*) as bigint) AS n_shared
-       |  FROM fps f JOIN src_fps s ON f.fp = s.fp AND s.attr_source != f.source
-       |  GROUP BY f.doc_id, s.attr_source
-       |  HAVING count(*) >= $WinnowMinShared),
-       |best AS (
-       |  SELECT doc_id, attr_source, n_shared,
-       |    row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, attr_source ASC) AS rk
-       |  FROM shared)
-       |SELECT b.doc_id, attr_source, n_shared, c.n_fp,
-       |  n_shared * 1000 // c.n_fp AS share_permille
-       |FROM best b JOIN counts c ON b.doc_id = c.doc_id
-       |WHERE rk = 1
-       |ORDER BY b.doc_id""".stripMargin
-  }
-
-  // -------------------------------------------------------------------
-  // q146: cluster COHESION audit — the chaining-pathology report for
-  // connected-component dedup. CC merges by REACHABILITY: A~B and B~C
-  // put A and C in one cluster with no direct evidence they are
-  // similar, and at corpus scale long chains of marginal pairs quietly
-  // merge genuinely distinct documents into one survivor (the known
-  // failure mode of union-find dedup that SemDeDup/verification stages
-  // exist to counter). This report quantifies it per cluster: edge
-  // support (how many of the n(n-1)/2 member pairs q14 actually
-  // verified), density, and the weakest verified edge. Density 1000 =
-  // clique (every merge directly evidenced); low density on a large
-  // cluster = chain — exactly the clusters a reviewer re-verifies
-  // (q124's edit verdict) before trusting q74's survivorship.
-  // -------------------------------------------------------------------
-
-  /** q146: per-cluster edge support over q49's exact machinery: the
-    * edge set IS q14's verified pair list (banded candidates, exact
-    * Jaccard >= threshold) and the clusters ARE starComponents over it,
-    * so the audit measures precisely the graph survivorship acted on.
-    * An absent edge means "q14 did not verify this member pair" —
-    * either truly dissimilar (chaining) or an LSH banding miss; both
-    * are unsupported merges, which is what the audit counts.
-    *
-    * Scale shape: edges and labels are the q14/q49 plans unchanged;
-    * the audit itself is two keyed aggs over the answer-sized edge and
-    * label relations (a pair's cluster is its doc_a endpoint's label —
-    * both endpoints share it by construction) plus a broadcast-sized
-    * join of the two per-cluster frames. Integer columns throughout
-    * (edge strength as inter*1000 div uni permille). */
-  def clusterCohesion(spark: SparkSession, sfDir: String,
-                      bits: Int = DefaultHashBits,
-                      bandCap: Option[Int] = None): DataFrame = {
-    val pairs = Materialize.shared(spark,
-      candidateOverlap(spark, sfDir, bits, bandCap)
-        .filter(col("inter").cast("double") / col("uni").cast("double")
-          >= Consts.MinhashJaccardThreshold)
-        .withColumn("jacc_permille", expr("inter * 1000 div uni"))
-        .select(col("doc_a"), col("doc_b"), col("jacc_permille")))
-    clusterCohesionWith(pairs,
-      starComponents(pairs.select(col("doc_a"), col("doc_b"))))
-  }
-
-  /** q146 over an external (doc_a, doc_b, jacc_permille) verified pair
-    * relation + its PAIR-graph component labels (the persisted-graph
-    * serving seam — the artifact keeps inter/uni so jacc_permille is
-    * the same exact integer division). */
-  private[graft] def clusterCohesionWith(pairs: DataFrame,
-                                         labels: DataFrame): DataFrame = {
-    val members = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-    val edges = pairs
-      .join(labels.select(col("node").as("doc_a"), col("label").as("cluster_id")), "doc_a")
-      .groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_edges"),
-        min(col("jacc_permille")).as("min_edge_permille"))
-    members.join(edges, Seq("cluster_id"))
-      .withColumn("n_possible", expr("n_members * (n_members - 1) div 2"))
-      .withColumn("density_permille", expr("n_edges * 1000 div n_possible"))
-      .select("cluster_id", "n_members", "n_edges", "n_possible",
-        "density_permille", "min_edge_permille")
-      .orderBy("cluster_id")
-  }
-
-  def clusterCohesionSql: String =
-    s"""WITH RECURSIVE $sqlCandCtes,
-       |pairs AS (
-       |  -- DISTINCT is load-bearing: under a RECURSIVE with-clause
-       |  -- DuckDB does not collapse the multi-arm UNION inside cand,
-       |  -- so a pair agreeing on two bands arrives twice and would
-       |  -- double-count n_edges (measured; plain-WITH q14 dedups fine)
-       |  SELECT DISTINCT doc_a, doc_b,
-       |    cast(len(list_intersect(sa.s, sb.s)) as bigint) * 1000
-       |      // cast(len(list_distinct(sa.s || sb.s)) as bigint) AS jacc_permille
-       |  FROM cand
-       |  JOIN sets sa ON doc_a = sa.doc_id
-       |  JOIN sets sb ON doc_b = sb.doc_id
-       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double)
-       |      / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
-       |sym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM sym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
-       |lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
-       |members AS (SELECT cluster_id, cast(count(*) as bigint) AS n_members FROM lab GROUP BY cluster_id),
-       |eg AS (
-       |  SELECT l.cluster_id, cast(count(*) as bigint) AS n_edges,
-       |    cast(min(jacc_permille) as bigint) AS min_edge_permille
-       |  FROM pairs p JOIN lab l ON p.doc_a = l.doc_id GROUP BY l.cluster_id)
-       |SELECT m.cluster_id, n_members, n_edges,
-       |  n_members * (n_members - 1) // 2 AS n_possible,
-       |  n_edges * 1000 // (n_members * (n_members - 1) // 2) AS density_permille,
-       |  min_edge_permille
-       |FROM members m JOIN eg USING (cluster_id)
-       |ORDER BY cluster_id""".stripMargin
-
-  // -------------------------------------------------------------------
-  // q149: boilerplate-gram list — the top document-frequency word
-  // n-grams, WITH their human-readable text. This is the stop-phrase
-  // artifact the dedup family's own guards consume: a gram in a large
-  // fraction of documents is navigation/footer/template boilerplate
-  // (the hot keys dfCap/bandCap drop, the lines CCNet strips), and a
-  // reviewer needs the STRING, not a hash, to adjudicate the list.
-  // -------------------------------------------------------------------
-
-  /** q149 report size. */
-  val BoilerplateTopK = 25
-
-  /** q149: top-[[BoilerplateTopK]] grams by document frequency, with
-    * occurrence counts and the corpus-doc share. Selection is
-    * threshold-exact: the k-th df value is computed first and EVERY
-    * gram at or above it enters string recovery, so ties at the cut
-    * resolve by gram text identically on both engines.
-    *
-    * Scale shape — the point of the two-phase design: the df/cf
-    * aggregation runs hash-only (gramPosRows — gram STRINGS never
-    * shuffle corpus-wide, the q65 discipline) and ALSO carries each
-    * hash's first occurrence as an integer (doc_id, pos) pair — 16
-    * bytes per distinct gram, not a string. String recovery is then a
-    * broadcast join of the ~k winners' locations against one documents
-    * projection that slices the gram text out of its host doc: no
-    * second corpus-wide gram pass, no second md5 of every gram. At
-    * sf0.1 the saving is modest (~0.1 s — job floors dominate there);
-    * the point is the 100-TB shape, where the old string-recovery pass
-    * re-hashed every gram in the corpus. Under a 32-bit oracle-mode hash
-    * two colliding grams merge on BOTH engines — counts and the
-    * first-occurrence representative alike (the oracle's arg_min over
-    * the same (doc_id, pos) key) — so the report still hash-checks. */
-  def boilerplateGrams(spark: SparkSession, sfDir: String,
-                       bits: Int = DefaultHashBits): DataFrame = {
-    val n = DupSpanN
-    // cached: the vocabulary-sized stats frame feeds the threshold agg,
-    // the winner filter, and the broadcast — uncached, each consumer
-    // re-ran the full gram scan + agg (the q158 adjacency discipline)
-    val stats = Materialize.shared(spark, gramPosRows(spark, sfDir, bits)
-      .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"),
-        min(struct(col("doc_id"), col("pos"))).as("loc")))
-    val thr = stats.orderBy(col("df").desc).limit(BoilerplateTopK)
-      .agg(min(col("df")).as("thr"))
-    val winners = stats.crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
-      .select(col("gh"), col("df"), col("cf"),
-        col("loc.doc_id").as("doc_id"), col("loc.pos").as("rep_pos"))
-    // tokenization must MATCH gramPosRows' Scala-side
-    // trim.split("\\s+").filter(_.nonEmpty): SQL trim strips only
-    // spaces (not \t/\n), so filter the empty tokens out instead —
-    // split + drop-empties is exactly the Scala pipeline's token array
-    // for any whitespace shape. HOF filter is interpreted, but this
-    // projection runs over ~k winner docs only.
-    val gramStrings = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .join(broadcast(winners.select("gh", "doc_id", "rep_pos")), "doc_id")
-      .select(col("gh"),
-        array_join(slice(filter(split(col("text"), "\\s+"), t => t =!= lit("")),
-          (col("rep_pos") + 1).cast("int"), lit(n)), " ").as("gram"))
-    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
-    winners.select("gh", "df", "cf")
-      .join(gramStrings, "gh")
-      .crossJoin(broadcast(nd))
-      .select(col("gram"), col("df"), col("cf"),
-        expr("df * 1000 div n_docs").as("df_permille"))
-      .orderBy(col("df").desc, col("gram"))
-      .limit(BoilerplateTopK)
-  }
-
-  def boilerplateGramsSql: String = {
-    val n = DupSpanN
-    val gramExpr = (1 to n).map(j => s"t[i+$j]").mkString("||' '||")
-    s"""WITH toks AS (
-       |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t
-       |  FROM documents),
-       |gr AS (
-       |  SELECT doc_id, i AS pos, g, ${shingleHashExpr("strpos", "md5(g)")} AS gh
-       |  FROM (SELECT doc_id, i, $gramExpr AS g
-       |        FROM toks, unnest(range(CASE WHEN len(t) >= $n
-       |          THEN len(t) - ${n - 1} ELSE 0 END)) AS u(i))),
-       |stats AS (
-       |  SELECT gh, arg_min(g, cast(doc_id as hugeint) * 4294967296 + pos) AS gram,
-       |    cast(count(DISTINCT doc_id) as bigint) AS df,
-       |    cast(count(*) as bigint) AS cf
-       |  FROM gr GROUP BY gh),
-       |thr AS (SELECT min(df) AS thr FROM (SELECT df FROM stats ORDER BY df DESC LIMIT $BoilerplateTopK)),
-       |nd AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents)
-       |SELECT gram, df, cf, df * 1000 // n_docs AS df_permille
-       |FROM stats, thr, nd
-       |WHERE df >= thr
-       |ORDER BY df DESC, gram
-       |LIMIT $BoilerplateTopK""".stripMargin
-  }
-
-  // -------------------------------------------------------------------
-  // q150: SimHash bit-bias audit — the entropy health check behind the
-  // 16-bit signature family (Charikar 2002; Manku et al. 2007 run
-  // 64-bit simhash dedup at Google on the premise that bits are
-  // near-balanced). A bit whose corpus-wide ones-share sits far from
-  // 500 permille carries little information: k biased bits shrink the
-  // effective signature space below 2^16, which inflates q16/q17's
-  // band-bucket sizes and mis-calibrates the Hamming threshold the
-  // pair join verifies at. q136 MEASURED the resulting pair quality
-  // (mean representative Jaccard 55 permille at Hamming 0 on this
-  // corpus); this report explains the mechanism — a 31-token shared
-  // vocabulary votes most bits the same way in every document — and is
-  // the cheap audit a deployment runs before trusting simhash banding
-  // on a new corpus.
-  // -------------------------------------------------------------------
-
-  /** q150: one row per signature bit: ones count, ones-permille, and
-    * |ones - 500| bias. Effective entropy in milli-bits per bit would
-    * need a log; the permille pair is the same information on the
-    * integer grid (a bit at 500 is a full bit; at 0/1000 it is zero).
-    *
-    * Scale shape: signatures are scan-local (the q16 row-local kernel);
-    * the audit is one 16-group aggregate with map-side combine — each
-    * partition contributes 16 partial sums, so the shuffle is
-    * partition-count-sized regardless of corpus size. */
-  def simhashBitBias(spark: SparkSession, sfDir: String): DataFrame =
-    simhashFrame(spark, sfDir)
-      .select(col("simhash"),
-        explode(sequence(lit(0L), lit(Consts.SimHashBits - 1L))).as("bit"))
-      .groupBy("bit")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(expr("(simhash >> CAST(bit AS INT)) & 1")).as("n_ones"))
-      .withColumn("ones_permille", expr("n_ones * 1000 div n_docs"))
-      .withColumn("bias_permille", expr("abs(ones_permille - 500)"))
-      .select("bit", "n_docs", "n_ones", "ones_permille", "bias_permille")
-      .orderBy("bit")
-
-  // -------------------------------------------------------------------
-  // q155: multi-signal consensus dedup graph — production dedup does
-  // not trust one detector: MinHash (bag similarity), exact shared
-  // runs (sequence identity), and winnowing fingerprints (local
-  // selection) each catch families the others miss, and a merge
-  // supported by two or three independent signals is a different
-  // decision than one supported by a single marginal band collision.
-  // This operator unions the three pair relations into ONE edge set
-  // tagged with provenance, resolves components once, and reports per
-  // cluster how much of its edge mass each signal contributed plus the
-  // maximum per-edge agreement — the q146 cohesion discipline extended
-  // from "how many edges" to "how many DETECTORS per edge".
-  // -------------------------------------------------------------------
-
-  /** q155: per-cluster report over the consensus graph:
-    * `n_members`, per-signal edge counts, `n_edges` (distinct pairs),
-    * and `max_agreement` (most detectors agreeing on one pair, 1-3).
-    * Clusters whose every edge has agreement 1 are single-signal
-    * merges — the review queue; agreement-3 edges are
-    * beyond-reasonable-doubt duplicates.
-    *
-    * Scale shape: each signal's pair list arrives answer-sized from
-    * its own banded/inverted-index plan (q14/q145/q128 unchanged);
-    * the union is answer-sized, components run once over it
-    * (starComponents — the q49 machinery), and the report is two
-    * keyed aggs on the edge relation. */
-  def consensusClusters(spark: SparkSession, sfDir: String,
-                        bits: Int = DefaultHashBits): DataFrame = {
-    val mh = minhashLshPairs(spark, sfDir, bits)
-      .select(col("doc_a"), col("doc_b"), lit("minhash").as("signal"))
-    val runs = sharedRunPairs(spark, sfDir, bits)
-      .select(col("doc_a"), col("doc_b"), lit("runs").as("signal"))
-    val win = winnowPairs(spark, sfDir, bits)
-      .select(col("doc_a"), col("doc_b"), lit("winnow").as("signal"))
-    val edges = Materialize.shared(spark, mh.unionAll(runs).unionAll(win))
-    consensusReport(edges, starComponents(edges.select("doc_a", "doc_b").distinct()))
-  }
-
-  /** The q155 report over any tagged edge relation + its component
-    * labels — the seam the inline recompute and the persisted-graph
-    * serving path share, so the consensus verdicts cannot drift
-    * between the two. `labels` must cover every node of `edges`
-    * (starComponents over the same distinct pair set guarantees it). */
-  private[graft] def consensusReport(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val tagged = edges
-      .join(labels.select(col("node").as("doc_a"), col("label").as("cluster_id")), "doc_a")
-    val perPair = tagged.groupBy("cluster_id", "doc_a", "doc_b")
-      .agg(count(lit(1)).as("agreement"))
-    val pairStats = perPair.groupBy("cluster_id")
-      .agg(count(lit(1)).as("n_edges"), max(col("agreement")).as("max_agreement"))
-    val sigStats = tagged.groupBy("cluster_id")
-      .agg(
-        sum(when(col("signal") === "minhash", 1L).otherwise(0L)).as("minhash_edges"),
-        sum(when(col("signal") === "runs", 1L).otherwise(0L)).as("run_edges"),
-        sum(when(col("signal") === "winnow", 1L).otherwise(0L)).as("winnow_edges"))
-    val members = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-    members.join(pairStats, Seq("cluster_id")).join(sigStats, Seq("cluster_id"))
-      .select("cluster_id", "n_members", "n_edges", "minhash_edges",
-        "run_edges", "winnow_edges", "max_agreement")
-      .orderBy("cluster_id")
-  }
-
-  def consensusClustersSql: String =
-    s"""WITH RECURSIVE mh AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
-       |runs0 AS (SELECT doc_a, doc_b FROM ($sharedRunPairsSql)),
-       |win0 AS (SELECT doc_a, doc_b FROM ($winnowPairsSql)),
-       |edges AS (
-       |  SELECT doc_a, doc_b, 'minhash' AS signal FROM mh
-       |  UNION ALL SELECT doc_a, doc_b, 'runs' FROM runs0
-       |  UNION ALL SELECT doc_a, doc_b, 'winnow' FROM win0),
-       |sym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM edges
-       |  UNION ALL SELECT doc_b, doc_a FROM edges),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM sym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
-       |lab AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
-       |tagged AS (
-       |  SELECT l.cluster_id, doc_a, doc_b, signal
-       |  FROM edges JOIN lab l ON edges.doc_a = l.doc_id),
-       |per_pair AS (
-       |  SELECT cluster_id, doc_a, doc_b, cast(count(*) as bigint) AS agreement
-       |  FROM tagged GROUP BY cluster_id, doc_a, doc_b),
-       |pair_stats AS (
-       |  SELECT cluster_id, cast(count(*) as bigint) AS n_edges,
-       |    cast(max(agreement) as bigint) AS max_agreement
-       |  FROM per_pair GROUP BY cluster_id),
-       |sig_stats AS (
-       |  SELECT cluster_id,
-       |    cast(sum(CASE WHEN signal = 'minhash' THEN 1 ELSE 0 END) as bigint) AS minhash_edges,
-       |    cast(sum(CASE WHEN signal = 'runs' THEN 1 ELSE 0 END) as bigint) AS run_edges,
-       |    cast(sum(CASE WHEN signal = 'winnow' THEN 1 ELSE 0 END) as bigint) AS winnow_edges
-       |  FROM tagged GROUP BY cluster_id),
-       |members AS (SELECT cluster_id, cast(count(*) as bigint) AS n_members FROM lab GROUP BY cluster_id)
-       |SELECT m.cluster_id, n_members, n_edges, minhash_edges, run_edges, winnow_edges, max_agreement
-       |FROM members m JOIN pair_stats USING (cluster_id) JOIN sig_stats USING (cluster_id)
-       |ORDER BY cluster_id""".stripMargin
-
-  // -------------------------------------------------------------------
-  // q158: deterministic random walks over the near-dup graph — the
-  // DeepWalk/node2vec data-prep step (Perozzi et al. 2014): walks are
-  // the "sentences" a skip-gram model trains on to embed graph
-  // structure, and over THIS graph they embed duplication topology
-  // (which documents sit in which template neighborhood — input to
-  // cluster-aware curriculum or contrastive sampling). Randomness is
-  // the usual cross-engine poison, so the walker draws each step from
-  // a HASH of (start, current, step) — deterministic, portable,
-  // restart-stable, the q97 corruption-mask discipline applied to
-  // graph traversal (and the same trick production walk engines use
-  // for reproducible epochs).
-  // -------------------------------------------------------------------
-
-  /** walk length (steps beyond the start node). */
-  val WalkSteps = 4
-
-  /** q158: (start, step, node) rows, one walk per pair-graph node,
-    * step 0..[[WalkSteps]]. Next hop = sorted-neighbor index
-    * H(start|cur|step) mod degree, H the family's 32-bit md5 fold —
-    * every engine (and every re-run) derives the identical corpus of
-    * walks.
-    *
-    * Scale shape: the adjacency relation is answer-sized (the verified
-    * pair list, symmetric, with a per-node row_number); each step is
-    * one equi-join of the walk frontier against it (no driver state,
-    * no loop-carried lineage growth at this fixed unrolled depth); a
-    * node's neighbor pick is O(1) through the (node, idx) key. */
-  def dupGraphWalks(spark: SparkSession, sfDir: String,
-                    bits: Int = DefaultHashBits): DataFrame =
-    walksOverPairs(spark, minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b"))
-
-  /** The q158 walker over any (doc_a, doc_b) pair relation — the seam
-    * the inline recompute and the persisted-graph serving path share.
-    * Every step is hash-derived from (start, cur, step), so the walk
-    * corpus depends only on the pair SET, never on row order or which
-    * engine materialized it. (Measured: the per-step checkpoint
-    * barriers stay ON even for the cheap artifact-scan source — the
-    * step cost is per-plan codegen/scheduling floor, not source
-    * re-execution, and un-checkpointed branch re-runs measured
-    * slightly slower at sf0.1.) */
-  private[graft] def walksOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sym = Materialize.shared(spark,
-      pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("node", "nbr"))
-    // adjacency + degrees are joined by EVERY step: cache them too, or
-    // each of the four step jobs re-runs the ranking window and the
-    // degree agg from sym (4x the graph-prep work for a 4-step walk)
-    val adj = Materialize.shared(spark, sym.withColumn("idx",
-      (row_number().over(Window.partitionBy("node").orderBy("nbr")) - 1).cast("long")))
-    val deg = Materialize.shared(spark,
-      sym.groupBy("node").agg(count(lit(1)).as("deg")))
-    val hopH = shingleHashExpr("instr",
-      "md5(concat(cast(start as string), '|', cast(cur as string), '|', cast(step as string)))")
-    var frontier = sym.select(col("node").as("start")).distinct()
-      .select(col("start"), col("start").as("cur"), lit(0L).as("step"))
-    var out = frontier
-    (1 to WalkSteps).foreach { t =>
-      // each step re-roots at a flat checkpointed frame (the q93/CC
-      // loop discipline): the union of w0..wT would otherwise inline
-      // w1's join lineage T times and re-execute it per branch —
-      // measured 4.9 s → ~1 s at sf0.1 for a 470-node graph
-      val stepped = Materialize.tracked(spark, frontier
-        .withColumn("step", lit(t.toLong))
-        .join(deg.withColumnRenamed("node", "cur"), "cur")
-        .withColumn("idx", expr(s"$hopH % deg"))
-        .join(adj.withColumnRenamed("node", "cur"), Seq("cur", "idx"))
-        .select(col("start"), col("nbr").as("cur"), col("step"))
-        .localCheckpoint(true))
-      out = out.unionAll(stepped)
-      frontier = stepped
-    }
-    out.select(col("start"), col("step"), col("cur").as("node"))
-      .orderBy("start", "step")
-  }
-
-  def dupGraphWalksSql: String = {
-    def hop(t: Int) = shingleHashExpr("strpos",
-      s"md5(cast(start as varchar) || '|' || cast(cur as varchar) || '|' || '$t')")
-    val steps = (1 to WalkSteps).map { t =>
-      s"""w$t AS (
-         |  SELECT w.start, adj.nbr AS cur
-         |  FROM w${t - 1} w
-         |  JOIN deg ON deg.node = w.cur
-         |  JOIN adj ON adj.node = w.cur AND adj.idx = ${hop(t)} % deg.deg)""".stripMargin
-    }.mkString(",\n")
-    val sel = (0 to WalkSteps).map { t =>
-      s"SELECT start, cast($t as bigint) AS step, cur AS node FROM w$t"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH pairs0 AS (SELECT doc_a, doc_b FROM ($minhashLshPairsSql)),
-       |sym AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs0
-       |        UNION ALL SELECT doc_b, doc_a FROM pairs0),
-       |adj AS (SELECT node, nbr,
-       |    cast(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 as bigint) AS idx
-       |  FROM sym),
-       |deg AS (SELECT node, cast(count(*) as bigint) AS deg FROM sym GROUP BY node),
-       |w0 AS (SELECT DISTINCT node AS start, node AS cur FROM sym),
-       |$steps
-       |$sel
-       |ORDER BY start, step""".stripMargin
-  }
-
-  /** q159: duplication-aware loss weights — the SOFT alternative to
-    * q74's hard survivorship: instead of dropping duplicates, each
-    * document in a near-dup cluster of size s trains at weight 1/s, so
-    * every piece of CONTENT contributes one unit of loss mass no
-    * matter how many copies the crawl collected (the down-weighting
-    * variant discussed alongside SemDeDup/D4-style pruning — it keeps
-    * the copies' formatting/context diversity while removing their
-    * frequency advantage, and it is reversible where a drop is not).
-    * Output is the per-doc table a trainer's loss actually consumes:
-    * (doc_id, cluster_id, cluster_size, weight_milli), singletons at
-    * 1000, cluster members at 1000 div s (a size-3 cluster sums to
-    * 999 — the floor remainder is stated, not redistributed).
-    *
-    * Scale shape: clusters are the q49 star machinery over the
-    * answer-sized verified pair list; the weight table is one left
-    * join of the corpus's doc_id projection against the cluster
-    * labels plus a cluster-sized size join. */
-  def dupLossWeights(spark: SparkSession, sfDir: String,
-                     bits: Int = DefaultHashBits): DataFrame =
-    dupLossWeightsWith(spark, sfDir, starComponents(
-      minhashLshPairs(spark, sfDir, bits).select("doc_a", "doc_b")))
-
-  /** q159 over an external (node, label) component table for the
-    * PAIR-ONLY graph (the persisted-graph serving seam; note q159's
-    * graph is verified minhash pairs without the exact-dup arm —
-    * pair_cc/, not cc/). */
-  private[graft] def dupLossWeightsWith(spark: SparkSession, sfDir: String,
-                                        labels: DataFrame): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id")
-    val tagged = docs
-      .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    val sizes = tagged.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    tagged.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        expr("1000 div cluster_size").as("weight_milli"))
-      .orderBy("doc_id")
-  }
-
-  def dupLossWeightsSql: String =
-    s"""WITH RECURSIVE pairs AS (
-       |  SELECT doc_a, doc_b FROM (${minhashLshPairsSql}) ),
-       |sym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |  UNION ALL
-       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM sym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN sym e ON e.src = r.doc_id),
-       |lab AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
-       |tagged AS (
-       |  SELECT d.doc_id, coalesce(lab.label, d.doc_id) AS cluster_id
-       |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
-       |sizes AS (SELECT cluster_id, cast(count(*) as bigint) AS cluster_size
-       |          FROM tagged GROUP BY cluster_id)
-       |SELECT doc_id, cluster_id, cluster_size,
-       |  1000 // cluster_size AS weight_milli
-       |FROM tagged JOIN sizes USING (cluster_id)
-       |ORDER BY doc_id""".stripMargin
-
-  /** q152: cross-source duplication matrix — q14's VERIFIED pair list
-    * rolled up to (source, source) cells: how many near-dup pairs link
-    * each pair of crawls, split into within-source and cross-source
-    * rows by construction (source_a <= source_b lexicographically).
-    * This is the syndication report a curation team reads next to
-    * q72's shingle-level overlap: q72 says two dumps share raw
-    * content mass; this says how many whole DOCUMENTS the verifier
-    * would actually merge across them — the difference between "these
-    * crawls quote each other" and "these crawls mirror each other",
-    * and the input to choosing which source survives survivorship.
-    *
-    * Scale shape: the pair list is answer-sized; sources attach via
-    * two doc_id equi-joins against the narrow (doc_id, source)
-    * projection, and the matrix is one keyed agg on the pair list.
-    * Integer columns plus the exact permille share of all verified
-    * pairs. */
-  def crossSourceMatrix(spark: SparkSession, sfDir: String,
-                        bits: Int = DefaultHashBits,
-                        bandCap: Option[Int] = None): DataFrame =
-    crossSourceMatrixWith(spark, sfDir,
-      candidateOverlap(spark, sfDir, bits, bandCap)
-        .filter(col("inter").cast("double") / col("uni").cast("double")
-          >= Consts.MinhashJaccardThreshold)
-        .select("doc_a", "doc_b"))
-
-  /** q152 over an external verified (doc_a, doc_b) pair relation (the
-    * persisted-graph serving seam). */
-  private[graft] def crossSourceMatrixWith(spark: SparkSession, sfDir: String,
-                                           pairs: DataFrame): DataFrame = {
-    val srcs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
-    val tagged = pairs
-      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
-      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
-      .select(least(col("sa"), col("sb")).as("source_a"),
-        greatest(col("sa"), col("sb")).as("source_b"))
-    val total = tagged.agg(count(lit(1)).as("n_total"))
-    tagged.groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_pairs"))
-      .crossJoin(broadcast(total))
-      .select(col("source_a"), col("source_b"), col("n_pairs"),
-        (col("source_a") =!= col("source_b")).as("cross_source"),
-        expr("n_pairs * 1000 div n_total").as("share_permille"))
-      .orderBy("source_a", "source_b")
-  }
-
-  def crossSourceMatrixSql: String =
-    s"""WITH $sqlCandCtes,
-       |pairs AS (
-       |  SELECT DISTINCT doc_a, doc_b
-       |  FROM cand
-       |  JOIN sets sa ON doc_a = sa.doc_id
-       |  JOIN sets sb ON doc_b = sb.doc_id
-       |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double)
-       |      / cast(len(list_distinct(sa.s || sb.s)) as double) >= ${Consts.MinhashJaccardThreshold}),
-       |tagged AS (
-       |  SELECT least(da.source, db.source) AS source_a,
-       |    greatest(da.source, db.source) AS source_b
-       |  FROM pairs
-       |  JOIN documents da ON doc_a = da.doc_id
-       |  JOIN documents db ON doc_b = db.doc_id),
-       |tot AS (SELECT cast(count(*) as bigint) AS n_total FROM tagged)
-       |SELECT source_a, source_b, cast(count(*) as bigint) AS n_pairs,
-       |  source_a != source_b AS cross_source,
-       |  cast(count(*) as bigint) * 1000 // n_total AS share_permille
-       |FROM tagged, tot
-       |GROUP BY source_a, source_b, n_total
-       |ORDER BY source_a, source_b""".stripMargin
-
-  def simhashBitBiasSql: String =
-    s"""WITH sig AS (${simhashSql}),
-       |b AS (SELECT simhash, unnest(range(${Consts.SimHashBits})) AS bit FROM sig)
-       |SELECT cast(bit as bigint) AS bit, cast(count(*) as bigint) AS n_docs,
-       |  cast(sum((simhash >> bit) & 1) as bigint) AS n_ones,
-       |  cast(sum((simhash >> bit) & 1) as bigint) * 1000 // count(*) AS ones_permille,
-       |  abs(cast(sum((simhash >> bit) & 1) as bigint) * 1000 // count(*) - 500) AS bias_permille
-       |FROM b GROUP BY bit
-       |ORDER BY bit""".stripMargin
-
-  // -------------------------------------------------------------------
-  // Persisted dedup GRAPH — the q105/q153 build/serve discipline
-  // applied to the PAIR LIST itself. Eleven consumer reports
-  // (survivorship, splits, weights, walks, consensus, ...) are built
-  // on the verified near-dup relation; recomputing full-corpus
-  // candidate generation inside every one of them is the dominant
-  // operational cost of a dedup-graph consumer at 100 TB. The graph is
-  // computed ONCE per corpus snapshot and persisted; every report is
-  // then an artifact read (the persisted generalization of the
-  // reference's build/search split, ann.rs:252-268, carried from the
-  // admission index to the graph the reports consume). Layout:
-  //   path/pairs/bucket=<k>/    (doc_a, doc_b, inter, uni, jaccard)  verified q14 pairs
-  //   path/signals/signal=<s>/  (doc_a, doc_b)           3-detector tagged edges
-  //   path/exact/               (doc_a, doc_b)           exact-hash edges
-  //   path/cc/                  (node, label)            CC over exact ∪ minhash
-  //   path/pair_cc/             (node, label)            CC over minhash pairs only
-  //   path/consensus_cc/        (node, label)            CC over the 3-signal pairs
-  // pairs/ keeps the integer (inter, uni) overlap alongside the double
-  // jaccard so integer-exact consumers (q146's jacc_permille) stay
-  // bit-identical through the artifact. THREE label tables because the
-  // consumer families resolve DIFFERENT graphs: survivorship/split/
-  // audit merge on exact ∪ verified-minhash edges (the q49/q74
-  // contract), weights/cohesion cluster the pair list alone, and the
-  // consensus report clusters the union of all three detectors.
-  // Storing each keeps every served report bit-identical to its
-  // inline oracle.
-  // -------------------------------------------------------------------
-
-  /** pairs/ partition fan: doc_a mod this many hive buckets. The
-    * value is layout parallelism (concurrent readers/writers per
-    * bucket dir), not pruning — consumers read the whole answer-sized
-    * relation. */
-  val GraphPairBuckets = 16L
-
-  /** Write the dedup-graph artifact for `sfDir`'s corpus. Build-time
-    * caps (`bandCap` for LSH hot buckets, `dfCap` for the shared-run
-    * gram index, `winnowDfCap` for the winnow fingerprint index)
-    * freeze into the artifact the same way [[saveDedupIndex]]'s do:
-    * every serving job inherits the bounded relation without
-    * re-deciding. Defaults match the inline detectors' defaults
-    * (winnow capped at [[WinnowDfCap]], the rest uncapped) — the
-    * oracle-checked configuration. Each projection is written once
-    * and downstream projections READ BACK the persisted form (pairs
-    * feed signals and cc from parquet, not from a re-run detector),
-    * so the three detectors run exactly once per build. */
-  def saveDedupGraph(spark: SparkSession, sfDir: String, path: String,
-                     bits: Int = DefaultHashBits,
-                     bandCap: Option[Int] = None,
-                     dfCap: Option[Int] = None,
-                     winnowDfCap: Option[Int] = Some(WinnowDfCap)): Unit = {
-    candidateOverlap(spark, sfDir, bits, bandCap)
-      .withColumn("jaccard",
-        col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= Consts.MinhashJaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"), col("jaccard"))
-      .withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/pairs")
-    val mh = loadGraphPairs(spark, path).select("doc_a", "doc_b")
-    sharedRunPairs(spark, sfDir, bits, dfCap)
-      .select(col("doc_a"), col("doc_b"), lit("runs").as("signal"))
-      .unionAll(winnowPairs(spark, sfDir, bits, winnowDfCap)
-        .select(col("doc_a"), col("doc_b"), lit("winnow").as("signal")))
-      .unionAll(mh.withColumn("signal", lit("minhash")))
-      .write.mode("overwrite").partitionBy("signal").parquet(s"$path/signals")
-    exactDupEdges(spark, sfDir)
-      .write.mode("overwrite").parquet(s"$path/exact")
-    starComponents(spark.read.parquet(s"$path/exact").unionAll(mh))
-      .write.mode("overwrite").parquet(s"$path/cc")
-    starComponents(mh)
-      .write.mode("overwrite").parquet(s"$path/pair_cc")
-    starComponents(loadGraphSignals(spark, path)
-        .select("doc_a", "doc_b").distinct())
-      .write.mode("overwrite").parquet(s"$path/consensus_cc")
-  }
-
-  /** The verified pair list from an artifact (bucket partition column
-    * dropped — it is layout, not data). */
-  def loadGraphPairs(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/pairs")
-      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
-
-  /** The tagged 3-detector edge relation from an artifact. `signal`
-    * comes back as a hive partition column; the cast pins it to the
-    * string the in-memory union emits. */
-  def loadGraphSignals(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/signals")
-      .select(col("doc_a"), col("doc_b"), col("signal").cast("string").as("signal"))
-
-  private val dedupGraphs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-
-  /** JVM-lifetime artifact build (the q41/q81/q105 discipline: the
-    * graph WRITE is the untimed build half; the timed consumer query
-    * is the serving read). Keyed like `dedupIndexes`: the cached value
-    * is an on-disk path any session can read. */
-  def preparedDedupGraph(spark: SparkSession, sfDir: String,
-                         bits: Int = DefaultHashBits): String =
-    dedupGraphs.computeIfAbsent((sfDir, bits), _ => {
-      val path = graft.streaming.StreamScratch.dir(s"graft_dedupgraph_b$bits")
-      saveDedupGraph(spark, sfDir, path, bits)
-      path
-    })
-
-  /** q74 SERVED from the persisted graph (shares q74's oracle — the
-    * artifact round-trip must be verdict-invisible). The timed work is
-    * the corpus's narrow (doc_id, source, n_tokens) projection plus
-    * one left join against the persisted cc/ labels; candidate
-    * generation and component resolution are build-time. */
-  def dedupSurvivorsFromGraph(spark: SparkSession, sfDir: String,
-                              bits: Int = DefaultHashBits): DataFrame = {
-    val path = preparedDedupGraph(spark, sfDir, bits)
-    dedupSurvivorsOf(
-      survivorFlagsWith(spark, sfDir, spark.read.parquet(s"$path/cc")))
-  }
-
-  /** q155 SERVED from the persisted graph (shares q155's oracle): the
-    * timed work is two keyed aggs over the answer-sized signals/ and
-    * consensus_cc/ reads — the three-detector regeneration that made
-    * the inline form the bench's worst line is build-time. */
-  def consensusClustersFromGraph(spark: SparkSession, sfDir: String,
-                                 bits: Int = DefaultHashBits): DataFrame = {
-    val path = preparedDedupGraph(spark, sfDir, bits)
-    consensusReport(loadGraphSignals(spark, path),
-      spark.read.parquet(s"$path/consensus_cc"))
-  }
-
-  /** q158 SERVED from the persisted graph (shares q158's oracle): the
-    * walker runs over the persisted pair relation; each step stays an
-    * answer-sized equi-join, now rooted at a parquet scan instead of a
-    * full LSH regeneration. */
-  def dupGraphWalksFromGraph(spark: SparkSession, sfDir: String,
-                             bits: Int = DefaultHashBits): DataFrame = {
-    val path = preparedDedupGraph(spark, sfDir, bits)
-    walksOverPairs(spark, loadGraphPairs(spark, path).select("doc_a", "doc_b"))
-  }
-
-  /** q91 SERVED from the persisted graph (shares q91's oracle): split
-    * assignment is scan-local hashing; the only graph input is the
-    * persisted cc/ labels. */
-  def clusterSplitFromGraph(spark: SparkSession, sfDir: String,
-                            bits: Int = DefaultHashBits): DataFrame =
-    clusterSplitWith(spark, sfDir,
-      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/cc"))
-
-  /** q93 SERVED from the persisted graph (shares q93's oracle). */
-  def pagerankIterFromGraph(spark: SparkSession, sfDir: String,
-                            bits: Int = DefaultHashBits): DataFrame =
-    pagerankIterWith(spark,
-      loadGraphPairs(spark, preparedDedupGraph(spark, sfDir, bits))
-        .select("doc_a", "doc_b"))
-
-  /** q106 SERVED from the persisted graph (shares q106's oracle). */
-  def qualitySurvivorsFromGraph(spark: SparkSession, sfDir: String,
-                                bits: Int = DefaultHashBits): DataFrame =
-    qualitySurvivorsWith(spark, sfDir,
-      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/cc"))
-
-  /** q133 SERVED from the persisted graph (shares q133's oracle). */
-  def qualityDupAuditFromGraph(spark: SparkSession, sfDir: String,
-                               bits: Int = DefaultHashBits): DataFrame =
-    qualityDupAuditWith(spark, sfDir,
-      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/cc"))
-
-  /** q146 SERVED from the persisted graph (shares q146's oracle): the
-    * artifact's integer (inter, uni) columns reproduce jacc_permille
-    * exactly; labels come from pair_cc/ (the pair-only graph q146
-    * audits). */
-  def clusterCohesionFromGraph(spark: SparkSession, sfDir: String,
-                               bits: Int = DefaultHashBits): DataFrame = {
-    val path = preparedDedupGraph(spark, sfDir, bits)
-    clusterCohesionWith(
-      loadGraphPairs(spark, path)
-        .withColumn("jacc_permille", expr("inter * 1000 div uni"))
-        .select("doc_a", "doc_b", "jacc_permille"),
-      spark.read.parquet(s"$path/pair_cc"))
-  }
-
-  /** q152 SERVED from the persisted graph (shares q152's oracle). */
-  def crossSourceMatrixFromGraph(spark: SparkSession, sfDir: String,
-                                 bits: Int = DefaultHashBits): DataFrame =
-    crossSourceMatrixWith(spark, sfDir,
-      loadGraphPairs(spark, preparedDedupGraph(spark, sfDir, bits))
-        .select("doc_a", "doc_b"))
-
-  /** q159 SERVED from the persisted graph (shares q159's oracle):
-    * labels from pair_cc/ — q159's graph is the pair list without the
-    * exact-dup arm. */
-  def dupLossWeightsFromGraph(spark: SparkSession, sfDir: String,
-                              bits: Int = DefaultHashBits): DataFrame =
-    dupLossWeightsWith(spark, sfDir,
-      spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/pair_cc"))
-
-  // -------------------------------------------------------------------
-  // Persisted WINNOW fingerprint index — the MOSS deployment shape
-  // (Schleimer et al. 2003 ran a fingerprint DATABASE, not a per-query
-  // recompute): the ~2/(w+1)-density (doc_id, fp) relation is written
-  // once per corpus snapshot with its df table, and provenance queries
-  // (q163 attribution) serve from it. q128's PAIR DETECTION stays the
-  // inline timed query by design — the detector/report boundary: the
-  // bench measures detection cost where detection is the operator, and
-  // amortizes it where the operator is a report over the index.
-  // -------------------------------------------------------------------
-
-  /** Write the winnow fingerprint index: `fps/` (doc_id, fp) hive-
-    * bucketed by fp for parallel layout, `df/` (fp, dfd) — the full
-    * UNCAPPED relation both times (a provenance index must hold
-    * everything; dfCap is a serve-time join filter against df/, the
-    * same decision point as the inline form). */
-  def saveWinnowIndex(spark: SparkSession, sfDir: String, path: String,
-                      bits: Int = DefaultHashBits): Unit = {
-    winnowFingerprintRows(spark, sfDir, bits)
-      .withColumn("bucket", pmod(col("fp"), lit(GraphPairBuckets)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/fps")
-    spark.read.parquet(s"$path/fps")
-      .groupBy("fp").agg(countDistinct(col("doc_id")).as("dfd"))
-      .write.mode("overwrite").parquet(s"$path/df")
-    // default-cap attribution materialized AT BUILD: the report is a
-    // pure function of (corpus, bits, dfCap), and its answer is one
-    // row per attributed doc — so the default serving read becomes
-    // answer-sized (the graph-consumer discipline) instead of paying
-    // the fp-keyed join + per-doc argmax on every report. Non-default
-    // caps still compute from fps/ + df/.
-    winnowAttributionCore(spark, sfDir,
-      spark.read.parquet(s"$path/fps").select("doc_id", "fp"),
-      spark.read.parquet(s"$path/df"), Some(WinnowDfCap))
-      .write.mode("overwrite").parquet(s"$path/attr")
-  }
-
-  private val winnowIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
-
-  /** JVM-lifetime index build (the q41/q81/q105 discipline). */
-  def preparedWinnowIndex(spark: SparkSession, sfDir: String,
-                          bits: Int = DefaultHashBits): String =
-    winnowIndexes.computeIfAbsent((sfDir, bits), _ => {
-      val path = graft.streaming.StreamScratch.dir(s"graft_winnowidx_b$bits")
-      saveWinnowIndex(spark, sfDir, path, bits)
-      path
-    })
-
-  /** q163 SERVED from the persisted fingerprint index (shares q163's
-    * oracle): at the DEFAULT cap the attribution table was materialized
-    * at build, so the timed work is an answer-sized read + sort; any
-    * other cap computes the fp-keyed attribution join over the index
-    * scan (the scan-local fingerprinting pass is build-time either
-    * way). */
-  def winnowAttributionFromIndex(spark: SparkSession, sfDir: String,
-                                 bits: Int = DefaultHashBits,
-                                 dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
-    val path = preparedWinnowIndex(spark, sfDir, bits)
-    if (dfCap == Some(WinnowDfCap))
-      spark.read.parquet(s"$path/attr")
-        .select("doc_id", "attr_source", "n_shared", "n_fp", "share_permille")
-        .orderBy("doc_id")
-    else winnowAttributionCore(spark, sfDir,
-      spark.read.parquet(s"$path/fps").select("doc_id", "fp"),
-      spark.read.parquet(s"$path/df"), dfCap)
-  }
-
-  /** q49 SERVED from the persisted graph — offered as API (spec-pinned
-    * identical to the inline recompute) but deliberately NOT the
-    * registry's q49: the inline form stays the bench's one timed
-    * end-to-end CC pipeline, so component-resolution cost keeps a
-    * measured line instead of disappearing entirely into build halves. */
-  def nearDupClustersFromGraph(spark: SparkSession, sfDir: String,
-                               bits: Int = DefaultHashBits): DataFrame =
-    spark.read.parquet(s"${preparedDedupGraph(spark, sfDir, bits)}/pair_cc")
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy("cluster_id")
-
-  /** Append a wave of newly VERIFIED near-dup pairs (doc_a, doc_b,
-    * inter, uni, jaccard — e.g. the matches an admission job emitted
-    * for an ingested batch) to a persisted graph — the add() half of the
-    * lifecycle, mirroring [[appendToDedupIndex]]: pairs/ and signals/
-    * get the same projections the build writes, in append mode, and
-    * both label tables get ATTACH rows for the delta's previously
-    * unseen nodes (label = min over each new edge's endpoint labels,
-    * aggregated across the wave's edges).
-    *
-    * Exactness contract, stated: attach labels are exact under the
-    * admission lifecycle's id discipline (appended doc_ids are fresh
-    * and larger than every snapshot id, so an edge into an existing
-    * cluster inherits that cluster's min label). An edge BRIDGING two
-    * existing clusters is recorded in pairs/ but does not relabel the
-    * old clusters until [[compactDedupGraph]] recomputes exact CC —
-    * the same snapshot+delta-then-compact contract as the admission
-    * index. Appended waves carry only the minhash signal (runs/winnow
-    * are corpus-report detectors; they refresh at the next full
-    * build), so consensus agreement counts for delta edges start at 1
-    * by construction. */
-  def appendToDedupGraph(spark: SparkSession, path: String,
-                         pairs: DataFrame,
-                         labelSnapshot: Option[String] = None): Unit = {
-    // labelSnapshot: where the seen-node labels are READ from (appends
-    // still land in `path`). A wave appended in ONE call leaves it at
-    // the default (= path). A wave split across micro-batches passes
-    // the frozen pre-wave snapshot: resolving every batch against the
-    // frozen labels makes each appended row the single-pass attach
-    // rule's m over that batch's edges, and attachReport's min()
-    // reduction over the accumulated rows reproduces exactly the
-    // wave-wide min a one-call append computes — resolving against the
-    // evolving copy instead would both drop re-touched nodes (their
-    // own earlier append makes them look "seen") and leak transitive
-    // labels the single-pass contract defers to compaction.
-    val snap = labelSnapshot.getOrElse(path)
-    val d = pairs.select("doc_a", "doc_b", "inter", "uni", "jaccard")
-      .localCheckpoint(true)
-    try {
-      // the five appended projections are independent (distinct target
-      // dirs, all rooted at the checkpointed wave) — run them as
-      // CONCURRENT jobs: an append is ~wave-sized work per projection,
-      // so sequential execution is job-scheduling floor, not compute
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val writes: Seq[Future[Unit]] = Seq(
-        Future {
-          d.withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
-            .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
-        },
-        Future {
-          d.select(col("doc_a"), col("doc_b"), lit("minhash").as("signal"))
-            .write.mode("append").partitionBy("signal").parquet(s"$path/signals")
-        },
-        Future {
-          // hygiene sidecar for graphStatus: one row per appended wave.
-          // A fresh build has no waves/ dir and compaction writes none,
-          // so waves-since-build is the dir's row count by construction
-          import spark.implicits._
-          Seq(d.count()).toDF("wave_pairs")
-            .coalesce(1).write.mode("append").parquet(s"$path/waves")
-        }) ++ Seq("cc", "pair_cc", "consensus_cc").map { cc => Future {
-        val labels = spark.read.parquet(s"$snap/$cc")
-        val e = d.select(col("doc_a"), col("doc_b"))
-          .join(labels.select(col("node").as("doc_a"), col("label").as("la")),
-            Seq("doc_a"), "left")
-          .join(labels.select(col("node").as("doc_b"), col("label").as("lb")),
-            Seq("doc_b"), "left")
-          .withColumn("m", least(coalesce(col("la"), col("doc_a")),
-            coalesce(col("lb"), col("doc_b"))))
-        // previously seen nodes keep their snapshot label; unseen ones
-        // take the wave-wide min over their incident edges' labels
-        e.select(col("doc_a").as("node"), col("m"), col("la").as("have"))
-          .unionAll(e.select(col("doc_b").as("node"), col("m"), col("lb").as("have")))
-          .filter(col("have").isNull)
-          .groupBy("node").agg(min(col("m")).as("label"))
-          .write.mode("append").parquet(s"$path/$cc")
-      }}
-      Await.result(Future.sequence(writes),
-        scala.concurrent.duration.Duration.Inf)
-      ()
-    } finally org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(d)
-  }
-
-  // -------------------------------------------------------------------
-  // q165/q166: admission-wave graph ATTACH — the lifecycle moment the
-  // append path exists for: a wave of incoming documents is verified
-  // against the frozen corpus (and against itself), its pairs append
-  // to the persisted graph, and the report states which cluster each
-  // incoming doc landed in. This is the ingest-everything/dedup-later
-  // curation mode's bookkeeping (survivorship and loss-weighting read
-  // the updated graph), and the single-pass attach rule is the
-  // documented append contract — exact under the fresh-id discipline,
-  // wave-internal chains deferred to compaction.
-  // -------------------------------------------------------------------
-
-  /** Verified near-dup pairs of an admission wave: wave ↔ frozen-corpus
-    * (banded probe against the admission index's postings, broadcast
-    * wave side — the q99 shape) PLUS wave ↔ wave (self band join of the
-    * batch's own summary). Emitted as (doc_a, doc_b, inter, uni,
-    * jaccard) with doc_a < doc_b (cross pairs are (old, new) under the
-    * fresh-id contract), i.e. exactly [[appendToDedupGraph]]'s input
-    * schema. Exact byte-duplicates need no special arm: they verify at
-    * jaccard 1.0 through the same shingle screen. */
-  private[graft] def admissionPairs(newDocs: DataFrame, corpus: FrozenCorpus,
-                                    bits: Int = DefaultHashBits): DataFrame =
-    admissionPairsWithPrior(newDocs, None, corpus, bits)._1
-
-  /** [[admissionPairs]] generalized to a wave that arrives in several
-    * micro-batches: `priorSum` is the (doc_id, source, s, bands)
-    * summary of the wave docs earlier batches already appended. Emits
-    * this batch's NEW pairs only — batch↔frozen, batch↔batch, and
-    * batch↔prior (the cross-batch within-wave pairs a per-batch-only
-    * verify would silently miss) — plus the batch's own summary so the
-    * caller can persist it as the next batch's prior. prior↔prior and
-    * prior↔frozen pairs were emitted by the batches that introduced
-    * those docs and are never recomputed, so the union over all
-    * batches is exactly the single-batch [[admissionPairs]] pair set. */
-  private[graft] def admissionPairsWithPrior(
-      newDocs: DataFrame, priorSum: Option[DataFrame], corpus: FrozenCorpus,
-      bits: Int = DefaultHashBits): (DataFrame, DataFrame) = {
-    val spark = newDocs.sparkSession
-    val nsum = Materialize.tracked(spark,
-      docShingleSummaryOf(newDocs.select("doc_id", "source", "text"), bits)
-        .localCheckpoint(true))
-    def bandsOf(sum: DataFrame) = sum.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val nb = bandsOf(nsum)
-    val candNO = corpus.banded.alias("y").join(broadcast(nb.alias("x")),
-        col("x.band_idx") === col("y.band_idx") &&
-        col("x.band_hash") === col("y.band_hash"))
-      .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"))
-      .distinct()
-    val withNO = candNO
-      .join(corpus.sets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(nsum.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-    val candNN = nb.alias("p").join(nb.alias("q"),
-        col("p.band_idx") === col("q.band_idx") &&
-        col("p.band_hash") === col("q.band_hash") &&
-        col("p.doc_id") < col("q.doc_id"))
-      .select(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
-      .distinct()
-    val withNN = candNN
-      .join(nsum.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(nsum.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-    // cross-batch within-wave arm: this batch's bands against the
-    // prior batches' summaries, endpoints normalized to doc_a < doc_b
-    // (wave ids carry no arrival-order guarantee); no prior↔prior join
-    // ever runs, so per-batch work stays batch × (frozen + wave-so-far)
-    val withNP = priorSum.map { ps =>
-      val candNP = bandsOf(ps).alias("p").join(broadcast(nb.alias("q")),
-          col("p.band_idx") === col("q.band_idx") &&
-          col("p.band_hash") === col("q.band_hash"))
-        .select(least(col("p.doc_id"), col("q.doc_id")).as("doc_a"),
-          greatest(col("p.doc_id"), col("q.doc_id")).as("doc_b"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .distinct()
-      val allSets = ps.select(col("doc_id"), col("s"))
-        .unionByName(nsum.select(col("doc_id"), col("s")))
-      candNP
-        .join(allSets.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-        .join(allSets.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-    }
-    val pairs = (withNO.unionAll(withNN) :: withNP.toList)
-      .reduce(_ unionAll _)
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
-        size(array_union(col("sa"), col("sb"))).cast("long").as("uni"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / col("uni").cast("double"))
-      .filter(col("jaccard") >= Consts.MinhashJaccardThreshold)
-      .select("doc_a", "doc_b", "inter", "uni", "jaccard")
-    (pairs, nsum.select("doc_id", "source", "s", "bands"))
-  }
-
-  private val frozenGraphDirs =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (String, String)]()
-
-  /** (frozenCorpusDir, frozenGraphPath) for `sfDir`: the non-incremental
-    * corpus written once as its own corpus dir (so every sfDir-shaped
-    * builder runs on it unchanged) and the graph artifact built over it
-    * — the snapshot an admission wave appends to. JVM-cached build
-    * (the q41/q81 discipline). */
-  private[graft] def preparedFrozenGraph(spark: SparkSession, sfDir: String,
-                                         bits: Int = DefaultHashBits): (String, String) =
-    frozenGraphDirs.computeIfAbsent((sfDir, bits), _ => {
-      val corpusDir = graft.streaming.StreamScratch.dir("graft_frozen_corpus")
-      Tables.documents(spark, sfDir)
-        .filter(col("source") =!= IncrementalSource)
-        .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
-      val g = graft.streaming.StreamScratch.dir(s"graft_frozengraph_b$bits")
-      saveDedupGraph(spark, corpusDir, g, bits)
-      (corpusDir, g)
-    })
-
-  /** Filesystem copy of a graph artifact — harness isolation for the
-    * attach report: a real deployment appends each wave ONCE; a
-    * re-run report (bench pass 2, a verify after a bench) must not
-    * double-append the same wave into the shared snapshot, so each
-    * invocation appends into its own copy. */
-  private[graft] def copyGraph(src: String, dst: String): Unit = {
-    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
-    val walk = java.nio.file.Files.walk(s)
-    try walk.forEach { p =>
-      val t = d.resolve(s.relativize(p).toString)
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } finally walk.close()
-  }
-
-  private val graphSnapshots =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int),
-      java.util.concurrent.ConcurrentLinkedQueue[String]]()
-
-  /** Pre-copied graph snapshots for the attach harness (untimed build
-    * half — the q81/q105 discipline applied to the copy itself): the
-    * filesystem copy in [[graphAppendReport]]/q166 is harness
-    * isolation, not operator work — a real deployment appends each
-    * wave ONCE, in place — so Bench pools `n` fresh copies here before
-    * the timed passes and each invocation dequeues one; the timed line
-    * then measures append + report only. Invocations beyond the pool
-    * fall back to copying inline (Verify and specs are untimed), so
-    * the isolation invariant — every invocation appends into a dir no
-    * other invocation has touched — holds either way. */
-  def prepareGraphSnapshots(spark: SparkSession, sfDir: String, n: Int,
-                            bits: Int = DefaultHashBits): Unit = {
-    val (_, frozenG) = preparedFrozenGraph(spark, sfDir, bits)
-    val q = graphSnapshots.computeIfAbsent((sfDir, bits),
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
-    (1 to n).foreach { _ =>
-      val d = graft.streaming.StreamScratch.dir("graft_graphsnap")
-      copyGraph(frozenG, d)
-      q.add(d)
-    }
-  }
-
-  private[graft] def takeGraphSnapshot(sfDir: String, bits: Int,
-                                       frozenG: String): String =
-    Option(graphSnapshots.get((sfDir, bits))).flatMap(q => Option(q.poll()))
-      .getOrElse {
-        val d = graft.streaming.StreamScratch.dir("graft_graphappend")
-        copyGraph(frozenG, d)
-        d
-      }
-
-  /** Graph-artifact hygiene accounting — the check-index discipline
-    * applied to the dedup graph: one row stating how far the artifact
-    * has drifted from a fresh build, so an operator knows when to run
-    * [[compactDedupGraph]]. `waves_appended` counts append calls since
-    * the build (the waves/ sidecar; a fresh build has none and
-    * compaction writes none). The `bridge_*` columns are the deferred-
-    * relabeling debt the append contract documents: recorded edges
-    * whose endpoints resolve to DIFFERENT labels in the corresponding
-    * label table — zero on a fresh build by starComponents' fixpoint,
-    * zero again after compaction recomputes the labels.
-    * `multi_label_nodes` counts nodes holding more than one cc/ row
-    * (multi-batch appends; benign — attachReport min()-reduces them —
-    * but rewritten away by compaction). All columns are answer-sized
-    * aggregates over artifact reads; no detector runs. */
-  def graphStatus(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    def rows(sub: String): Long =
-      try spark.read.parquet(s"$path/$sub").count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
-    def bridge(edges: DataFrame, labelDir: String): Long = {
-      val lab = spark.read.parquet(s"$path/$labelDir")
-        .groupBy("node").agg(min(col("label")).as("label"))
-      edges
-        .join(lab.select(col("node").as("doc_a"), col("label").as("la")),
-          Seq("doc_a"), "left")
-        .join(lab.select(col("node").as("doc_b"), col("label").as("lb")),
-          Seq("doc_b"), "left")
-        .filter(coalesce(col("la"), col("doc_a")) =!=
-          coalesce(col("lb"), col("doc_b")))
-        .count()
-    }
-    val pairs = loadGraphPairs(spark, path).select("doc_a", "doc_b")
-    val exact = spark.read.parquet(s"$path/exact").select("doc_a", "doc_b")
-    val sig = loadGraphSignals(spark, path).select("doc_a", "doc_b").distinct()
-    val multiLabel = spark.read.parquet(s"$path/cc")
-      .groupBy("node").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).count()
-    Seq((rows("waves"), rows("pairs"), rows("signals"), rows("exact"),
-        rows("cc"), rows("pair_cc"), rows("consensus_cc"),
-        bridge(exact.unionAll(pairs), "cc"), bridge(pairs, "pair_cc"),
-        bridge(sig, "consensus_cc"), multiLabel))
-      .toDF("waves_appended", "pairs_rows", "signal_rows", "exact_rows",
-        "cc_rows", "pair_cc_rows", "consensus_cc_rows", "bridge_cc",
-        "bridge_pair_cc", "bridge_consensus_cc", "multi_label_nodes")
-  }
-
-  /** Waves appended since build beyond which [[compactAdvisory]] fires
-    * even with zero bridge debt: every wave fragments pairs/ and can
-    * leave benign multi-label rows, and sixteen of them is well past
-    * "occasional append" into "the artifact deserves a fold". */
-  val CompactAdviseWaves = 16L
-
-  /** The consumer [[graphStatus]] was missing: one advisory line, or
-    * None when the artifact is clean. Some(...) when the graph carries
-    * deferred-relabeling debt (bridged edges whose endpoints resolve
-    * to different labels), multi-label nodes, or more than
-    * [[CompactAdviseWaves]] appended waves — exactly the states
-    * [[compactDedupGraph]] exists to fold away. Runs graphStatus's
-    * artifact-read aggregates, so it belongs on operator surfaces
-    * (REPL `graph-status`, post-maintenance hooks), never inside a
-    * timed serving read. */
-  def compactAdvisory(spark: SparkSession, path: String): Option[String] = {
-    val r = graphStatus(spark, path).collect().head
-    val debt = r.getAs[Long]("bridge_cc") + r.getAs[Long]("bridge_pair_cc") +
-      r.getAs[Long]("bridge_consensus_cc")
-    val multi = r.getAs[Long]("multi_label_nodes")
-    val waves = r.getAs[Long]("waves_appended")
-    if (debt > 0L || multi > 0L || waves > CompactAdviseWaves)
-      Some(s"ADVISE: dedup graph at '$path' carries $debt bridged edge(s), " +
-        s"$multi multi-label node(s), $waves appended wave(s) since build — " +
-        "run compactDedupGraph to recompute exact labels and fold the appends")
-    else None
-  }
-
-  /** The attach-label read both q165 (batch) and q166 (stream) share:
-    * every incremental doc with its post-append cluster (own id when
-    * nothing matched) and whether the append attached it. min() over
-    * the label guards the read against harness double-appends
-    * (identical attach rows are label-identical, so the report is
-    * append-idempotent by construction). */
-  private[graft] def attachReport(spark: SparkSession, sfDir: String,
-                                  graphPath: String): DataFrame = {
-    val cc = spark.read.parquet(s"$graphPath/cc")
-    Tables.documents(spark, sfDir)
-      .filter(col("source") === IncrementalSource)
-      .select("doc_id")
-      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
-      .groupBy("doc_id")
-      .agg(min(coalesce(col("label"), col("doc_id"))).as("cluster"),
-        max(col("label").isNotNull).as("attached"))
-      .orderBy("doc_id")
-  }
-
-  /** q165: admission-wave graph attach — verify the incremental wave
-    * (against the frozen snapshot AND within itself), append the
-    * verified pairs to a copy of the frozen graph artifact via the
-    * real [[appendToDedupGraph]] path, and report each incoming doc's
-    * landing cluster.
-    *
-    * Scale shape: wave candidates ride the broadcast banded probe
-    * (q99's shape) and the wave-sized self band join; the append
-    * writes wave-sized projections; the report is one left join of the
-    * wave's ids against the artifact's labels. The frozen graph and
-    * admission index are build-half artifacts (untimed, JVM-cached),
-    * and the per-invocation isolation snapshot comes from the
-    * [[prepareGraphSnapshots]] pool when Bench pre-filled it — the
-    * timed line is append + report, not the harness copy. */
-  def graphAppendReport(spark: SparkSession, sfDir: String,
-                        bits: Int = DefaultHashBits): DataFrame = {
-    val (_, frozenG) = preparedFrozenGraph(spark, sfDir, bits)
-    val work = takeGraphSnapshot(sfDir, bits, frozenG)
-    val newDocs = Tables.documents(spark, sfDir)
-      .filter(col("source") === IncrementalSource)
-      .select("doc_id", "source", "text")
-    val idx = loadDedupIndex(spark, preparedDedupIndex(spark, sfDir, bits))
-    appendToDedupGraph(spark, work, admissionPairs(newDocs, idx, bits))
-    attachReport(spark, sfDir, work)
-  }
-
-  /** q165/q166 oracle: the frozen-corpus CC (exact ∪ verified pairs,
-    * non-incremental docs only), the wave's verified cross and
-    * within-wave pairs, and the single-pass attach rule — the SQL
-    * restatement of [[appendToDedupGraph]]'s label attachment. */
-  def graphAppendSql: String = {
-    val inc = IncrementalSource
-    def joins(cond: String) = (0 until Consts.LshBands).map { b =>
-      s"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM banded x JOIN banded y ON x.band$b = y.band$b AND $cond"
-    }.mkString("\n    UNION\n    ")
-    val fcand = joins(s"x.source <> '$inc' AND y.source <> '$inc' AND x.doc_id < y.doc_id")
-    val ncand = joins(s"x.source <> '$inc' AND y.source = '$inc'")
-    val wcand = joins(s"x.source = '$inc' AND y.source = '$inc' AND x.doc_id < y.doc_id")
-    val thr = Consts.MinhashJaccardThreshold
-    def verified(cand: String) =
-      s"""SELECT doc_a, doc_b FROM $cand
-         |  JOIN sets sa ON doc_a = sa.doc_id
-         |  JOIN sets sb ON doc_b = sb.doc_id
-         |  WHERE cast(len(list_intersect(sa.s, sb.s)) as double) / cast(len(list_distinct(sa.s || sb.s)) as double) >= $thr""".stripMargin
-    s"""WITH RECURSIVE sets AS (
-       |  SELECT doc_id, source, list_distinct([${shingleHashExpr("strpos", "md5(x)")} for x in s0]) AS s
-       |  FROM (SELECT doc_id, source, $sqlShingles s0
-       |        FROM (SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') t FROM documents))),
-       |exploded AS (SELECT doc_id, source, unnest(s) AS hv FROM sets),
-       |sig AS (SELECT doc_id, source,
-       |    $minColsSql
-       |  FROM exploded GROUP BY doc_id, source),
-       |banded AS (SELECT doc_id, source,
-       |    $bandColsSql
-       |  FROM sig),
-       |fcand AS (
-       |    $fcand),
-       |fpairs AS (${verified("fcand")}),
-       |fh AS (SELECT doc_id, md5(text) AS h FROM documents WHERE source <> '$inc'),
-       |fmh AS (SELECT h, min(doc_id) AS r FROM fh GROUP BY h),
-       |fexact AS (SELECT r AS doc_a, doc_id AS doc_b FROM fh JOIN fmh USING (h) WHERE doc_id != r),
-       |fedges AS (SELECT doc_a, doc_b FROM fexact UNION ALL SELECT doc_a, doc_b FROM fpairs),
-       |fsym AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM fedges
-       |  UNION ALL SELECT doc_b, doc_a FROM fedges),
-       |reach AS (
-       |  SELECT src AS doc_id, src AS label FROM fsym
-       |  UNION
-       |  SELECT e.dst AS doc_id, r.label FROM reach r JOIN fsym e ON e.src = r.doc_id),
-       |comp AS (SELECT doc_id, min(label) AS cluster FROM reach GROUP BY doc_id),
-       |ncand AS (
-       |    $ncand),
-       |npairs AS (${verified("ncand")}),
-       |wcand AS (
-       |    $wcand),
-       |wpairs AS (${verified("wcand")}),
-       |m_no AS (
-       |  SELECT doc_b AS node, least(coalesce(c.cluster, doc_a), doc_b) AS m
-       |  FROM npairs LEFT JOIN comp c ON c.doc_id = doc_a),
-       |m_nn AS (
-       |  SELECT doc_a AS node, least(doc_a, doc_b) AS m FROM wpairs
-       |  UNION ALL SELECT doc_b, least(doc_a, doc_b) FROM wpairs),
-       |att AS (SELECT node, min(m) AS label
-       |        FROM (SELECT node, m FROM m_no UNION ALL SELECT node, m FROM m_nn)
-       |        GROUP BY node)
-       |SELECT d.doc_id, coalesce(a.label, d.doc_id) AS cluster,
-       |  a.node IS NOT NULL AS attached
-       |FROM documents d LEFT JOIN att a ON a.node = d.doc_id
-       |WHERE d.source = '$inc'
-       |ORDER BY d.doc_id""".stripMargin
-  }
-
-  /** Rewrite an appended graph into `dst` with exact CC labels — the
-    * hygiene pass that resolves the bridging debt [[appendToDedupGraph]]
-    * documents: pairs/signals/exact normalize by distinct and both
-    * label tables are RECOMPUTED from the persisted edge relations via
-    * the same starComponents machinery the build uses. Writes a new
-    * versioned path (the [[compactDedupIndex]] quiesce contract: a
-    * read-and-overwrite of the same parquet dir races the lazy scan). */
-  def compactDedupGraph(spark: SparkSession, src: String, dst: String): Unit = {
-    def norm(p: String) =
-      java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
-    require(norm(src) != norm(dst), "compaction writes a new versioned path")
-    loadGraphPairs(spark, src).distinct()
-      .withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dst/pairs")
-    loadGraphSignals(spark, src).distinct()
-      .write.mode("overwrite").partitionBy("signal").parquet(s"$dst/signals")
-    spark.read.parquet(s"$src/exact").distinct()
-      .write.mode("overwrite").parquet(s"$dst/exact")
-    starComponents(spark.read.parquet(s"$dst/exact")
-        .unionAll(loadGraphPairs(spark, dst).select("doc_a", "doc_b")))
-      .write.mode("overwrite").parquet(s"$dst/cc")
-    starComponents(loadGraphPairs(spark, dst).select("doc_a", "doc_b"))
-      .write.mode("overwrite").parquet(s"$dst/pair_cc")
-    starComponents(loadGraphSignals(spark, dst)
-        .select("doc_a", "doc_b").distinct())
-      .write.mode("overwrite").parquet(s"$dst/consensus_cc")
-  }
+object Dedup
+  extends DedupSignatures with DedupOverlap with DedupWinnow
+  with DedupAdmission with DedupGraphOps with DedupGraphArtifact
+  with Serializable {
+  // Serializable: trait methods calling sibling members from Spark
+  // closures capture the module; the caches above are @transient, so
+  // the captured payload is the constants only. External alias for the
+  // one nested type consumers name through the object:
+  private[graft] type FrozenCorpus = graft.ops.FrozenCorpus
 }
