@@ -140,6 +140,13 @@ object Scaling {
     // stats fold + broadcast-joined pick: two corpus projections, the
     // allocation math answer-sized at every decade
     "q183_neyman_alloc" -> ((s, d) => graft.ops.Sampling.neymanAlloc(s, d)),
+    // one token-count scan + per-source window + (source, rank)
+    // equi-join: pair volume is n/2, everything keyed by source
+    "q185_folded_packing" -> ((s, d) => graft.ops.TextAnalytics.foldedPacking(s, d)),
+    // q94's two-scan surprisal floor + a materialized histogram whose
+    // size is bounded by the milli value range, NOT the corpus — the
+    // curricular math must stay flat across decades
+    "q186_curriculum" -> ((s, d) => graft.ops.TextAnalytics.curriculumSchedule(s, d)),
     // ONE materialized corpus tokenize + vocabulary-sized model joins:
     // replicas suffix words, so the bigram vocabulary (and every model
     // table) scales with the factor while the source set stays fixed —

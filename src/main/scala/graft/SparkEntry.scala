@@ -241,7 +241,9 @@ object SparkEntry {
       graft.streaming.DedupStream.splitGuardStream(s, d)),
     "q182_heaps_law"        -> TextAnalytics.heapsLaw _,
     "q183_neyman_alloc"     -> Sampling.neymanAlloc _,
-    "q184_audio_constellation" -> Multimodal.audioConstellation _
+    "q184_audio_constellation" -> Multimodal.audioConstellation _,
+    "q185_folded_packing"   -> TextAnalytics.foldedPacking _,
+    "q186_curriculum"       -> TextAnalytics.curriculumSchedule _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -503,6 +505,8 @@ object SparkEntry {
     "q181_stream_split_guard" -> Dedup.admissionSplitGuardSql,
     "q182_heaps_law"        -> TextAnalytics.heapsLawSql,
     "q183_neyman_alloc"     -> Sampling.neymanAllocSql,
-    "q184_audio_constellation" -> Multimodal.audioConstellationSql
+    "q184_audio_constellation" -> Multimodal.audioConstellationSql,
+    "q185_folded_packing"   -> TextAnalytics.foldedPackingSql,
+    "q186_curriculum"       -> TextAnalytics.curriculumScheduleSql
   )
 }

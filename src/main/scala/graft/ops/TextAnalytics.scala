@@ -458,6 +458,219 @@ object TextAnalytics {
        |        FROM documents))
        |ORDER BY source, doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q185: folded sequence packing — the packing-EFFICIENCY refinement
+  // of q63 (Krell et al. 2021, arXiv:2107.02027, "Efficient Sequence
+  // Packing without Cross-contamination"). q63's contiguous cumsum
+  // splits documents across pack boundaries; Krell et al. measure that
+  // packs holding at most 2-3 whole sequences already recover nearly
+  // all padding waste. True first-fit-decreasing is inherently
+  // sequential; the declarative depth-2 form is FOLDED PAIRING: sort
+  // each source's fitting docs by length desc, pair rank r with rank
+  // m+1-r (longest with shortest), keep the pair as one pack iff it
+  // fits the budget, else both go out as singleton packs. One window
+  // + one self-equi-join on (source, rank), both keyed by source —
+  // no global ordering, no driver loop; oversize docs (> budget)
+  // contribute ceil(len/budget) packs of their own (the q63 split
+  // rule). The report is the paper's acceptance metric: packs,
+  // pairs, singletons, and packing efficiency (token mass over
+  // pack capacity) per source.
+  // -------------------------------------------------------------------
+
+  def foldedPacking(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = PackBudgetTokens
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val over = d.filter(col("n_tokens") > b)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_oversize"),
+        sum(expr(s"(n_tokens + ${b - 1}) div $b")).as("oversize_packs"),
+        sum(col("n_tokens")).as("oversize_tokens"))
+    val fit = d.filter(col("n_tokens") <= b)
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val ranked = fit
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("source")))
+    val a = ranked.filter(col("r") * 2 <= col("m"))
+      .select(col("source"), col("r"), col("m"), col("n_tokens").as("na"))
+    // partner side renames every column: a self-join over the shared
+    // `ranked` lineage would otherwise carry ambiguous attribute ids
+    val partner = ranked.select(col("source").as("sourceb"), col("r").as("rb"),
+      col("n_tokens").as("nb"))
+    val pairs = a.join(partner,
+        col("sourceb") === col("source") && col("rb") === col("m") + 1 - col("r"))
+      .select(col("source"),
+        when(col("na") + col("nb") <= b, 1L).otherwise(0L).as("fits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pair_slots"), sum(col("fits")).as("n_pairs"))
+    val fitAgg = fit.groupBy("source")
+      .agg(count(lit(1)).as("n_fit"), sum(col("n_tokens")).as("fit_tokens"))
+    fitAgg
+      .join(pairs, Seq("source"), "left")
+      .join(over, Seq("source"), "full")
+      .select(col("source"),
+        (coalesce(col("n_fit"), lit(0L)) + coalesce(col("n_oversize"), lit(0L))).as("n_docs"),
+        coalesce(col("n_oversize"), lit(0L)).as("n_oversize"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        // non-fitting pair slots release two singletons each; an odd
+        // middle rank (2r = m+1) is one more
+        (coalesce(col("n_fit"), lit(0L)) - coalesce(col("n_pairs"), lit(0L)) * 2).as("n_singletons"),
+        coalesce(col("oversize_packs"), lit(0L)).as("oversize_packs"),
+        (coalesce(col("fit_tokens"), lit(0L)) + coalesce(col("oversize_tokens"), lit(0L))).as("sum_tokens"))
+      .withColumn("n_packs",
+        col("n_pairs") + col("n_singletons") + col("oversize_packs"))
+      .withColumn("packing_efficiency_permille",
+        expr(s"CASE WHEN n_packs = 0 THEN 0 ELSE sum_tokens * 1000 div (n_packs * $b) END"))
+      .orderBy("source")
+  }
+
+  def foldedPackingSql: String = {
+    val b = PackBudgetTokens
+    s"""WITH d AS (
+       |  SELECT doc_id, source, cast(len($sqlTokens) as bigint) AS n_tokens
+       |  FROM documents),
+       |over_ AS (
+       |  SELECT source, cast(count(*) as bigint) AS n_oversize,
+       |    cast(sum((n_tokens + ${b - 1}) // $b) as bigint) AS oversize_packs,
+       |    cast(sum(n_tokens) as bigint) AS oversize_tokens
+       |  FROM d WHERE n_tokens > $b GROUP BY source),
+       |fit AS (SELECT * FROM d WHERE n_tokens <= $b),
+       |ranked AS (
+       |  SELECT source, n_tokens,
+       |    cast(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_tokens DESC, doc_id ASC) as bigint) AS r,
+       |    cast(count(*) OVER (PARTITION BY source) as bigint) AS m
+       |  FROM fit),
+       |pairs AS (
+       |  SELECT a.source, cast(count(*) as bigint) AS n_pair_slots,
+       |    cast(sum(CASE WHEN a.n_tokens + p.n_tokens <= $b THEN 1 ELSE 0 END) as bigint) AS n_pairs
+       |  FROM ranked a JOIN ranked p
+       |    ON p.source = a.source AND p.r = a.m + 1 - a.r
+       |  WHERE a.r * 2 <= a.m
+       |  GROUP BY a.source),
+       |fitagg AS (
+       |  SELECT source, cast(count(*) as bigint) AS n_fit,
+       |    cast(sum(n_tokens) as bigint) AS fit_tokens
+       |  FROM fit GROUP BY source),
+       |rep AS (
+       |  SELECT coalesce(f.source, o.source) AS source,
+       |    coalesce(n_fit, 0) + coalesce(n_oversize, 0) AS n_docs,
+       |    coalesce(n_oversize, 0) AS n_oversize,
+       |    coalesce(n_pairs, 0) AS n_pairs,
+       |    coalesce(n_fit, 0) - coalesce(n_pairs, 0) * 2 AS n_singletons,
+       |    coalesce(oversize_packs, 0) AS oversize_packs,
+       |    coalesce(fit_tokens, 0) + coalesce(oversize_tokens, 0) AS sum_tokens
+       |  FROM fitagg f
+       |  LEFT JOIN pairs USING (source)
+       |  FULL JOIN over_ o ON o.source = f.source)
+       |SELECT source, n_docs, n_oversize, n_pairs, n_singletons,
+       |  oversize_packs, sum_tokens,
+       |  n_pairs + n_singletons + oversize_packs AS n_packs,
+       |  CASE WHEN n_pairs + n_singletons + oversize_packs = 0 THEN 0
+       |    ELSE sum_tokens * 1000 // ((n_pairs + n_singletons + oversize_packs) * $b)
+       |  END AS packing_efficiency_permille
+       |FROM rep
+       |ORDER BY source""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q186: competence-based curriculum schedule (Platanios et al. 2019,
+  // NAACL, "Competence-based Curriculum Learning for NMT"; Bengio et
+  // al. 2009 for the framing): at training stage e of T the model's
+  // competence is c(e) = sqrt(c0^2 + (1 - c0^2) * e / T), and the
+  // sampler may only draw from the c(e)-easiest fraction of the
+  // corpus. Difficulty here is q94's per-doc mean unigram surprisal
+  // (the published per-sentence rarity proxy, already exact on the
+  // milli grid and oracle-checked).
+  //
+  // Scale shape: the corpus-sized work is exactly q94's (one tokenize
+  // + vocab-sized model tables); everything curricular runs on the
+  // difficulty HISTOGRAM — one row per distinct surprisal-milli value,
+  // bounded by the value range (~64k rows at ANY corpus size), so the
+  // cumulative window and the epochs x histogram threshold join are
+  // answer-sized. Admission is by VALUE cutoff: epoch e admits every
+  // doc whose difficulty is <= the smallest histogram value covering
+  // floor(c(e) * n) docs — ties admit together (the deterministic rule
+  // a quantized difficulty grid forces; n_admitted >= target).
+  // Integer-exact end to end: c^2 interpolates on the permille grid
+  // and c = isqrt(c2_permille * 1000) (arguments <= 10^6, far inside
+  // the double-exact isqrt regime).
+  // -------------------------------------------------------------------
+
+  /** Curriculum length (training stages) and c0² in permille. */
+  val CurriculumEpochs = 8L
+  val CurriculumC0SqPermille = 10L
+
+  def curriculumSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the histogram is ANSWER-sized (one row per distinct milli value)
+    // and consumed three times (total, threshold join, admitted
+    // lookup) — materialize it so the corpus-sized surprisal lineage
+    // runs once, not per consumer (the q175 recompute lesson)
+    val hist = Materialize.shared(spark,
+      surprisalPerDoc(spark, sfDir)
+        .groupBy(col("surprisal_mean_milli").as("dmilli"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("ccnt", sum(col("cnt")).over(Window.orderBy(col("dmilli").asc)))
+        .withColumn("csum", sum(col("dmilli") * col("cnt"))
+          .over(Window.orderBy(col("dmilli").asc))))
+    val n = hist.agg(max(col("ccnt")).as("n_docs"))
+    val epochs = spark.range(1, CurriculumEpochs + 1).toDF("epoch")
+      .withColumn("c2_permille",
+        lit(CurriculumC0SqPermille) +
+          expr(s"(${1000 - CurriculumC0SqPermille} * epoch) div $CurriculumEpochs"))
+      .withColumn("competence_permille",
+        expr("cast(floor(sqrt(cast(c2_permille * 1000 as double))) as bigint)"))
+      .crossJoin(broadcast(n))
+      .withColumn("n_target", expr("n_docs * competence_permille div 1000"))
+    epochs.join(hist, col("ccnt") >= col("n_target"), "left")
+      .groupBy("epoch", "competence_permille", "n_target")
+      .agg(min(col("dmilli")).as("threshold_milli"))
+      .join(hist.select(col("dmilli"), col("ccnt").as("n_admitted"),
+        col("csum")), col("threshold_milli") === col("dmilli"), "left")
+      .select(col("epoch"), col("competence_permille"),
+        coalesce(col("threshold_milli"), lit(-1L)).as("threshold_milli"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(expr("csum div n_admitted"), lit(0L)).as("mean_difficulty_milli"))
+      .orderBy("epoch")
+  }
+
+  def curriculumScheduleSql: String =
+    s"""WITH $sqlSurprisalCtes,
+       |hist AS (
+       |  SELECT dmilli, cnt,
+       |    cast(sum(cnt) OVER (ORDER BY dmilli ASC) as bigint) AS ccnt,
+       |    cast(sum(dmilli * cnt) OVER (ORDER BY dmilli ASC) as bigint) AS csum
+       |  FROM (SELECT surprisal_mean_milli AS dmilli, cast(count(*) as bigint) AS cnt
+       |        FROM sp GROUP BY 1)),
+       |ndocs AS (SELECT max(ccnt) AS n_docs FROM hist),
+       |ep AS (
+       |  SELECT epoch,
+       |    cast(floor(sqrt(cast(c2_permille * 1000 as double))) as bigint) AS competence_permille,
+       |    c2_permille
+       |  FROM (SELECT e AS epoch,
+       |          $CurriculumC0SqPermille +
+       |            ((${1000 - CurriculumC0SqPermille} * e) // $CurriculumEpochs) AS c2_permille
+       |        FROM generate_series(1, $CurriculumEpochs) AS t(e))),
+       |tgt AS (
+       |  SELECT epoch, competence_permille,
+       |    (n_docs * competence_permille) // 1000 AS n_target
+       |  FROM ep CROSS JOIN ndocs),
+       |thr AS (
+       |  SELECT t.epoch, t.competence_permille, t.n_target,
+       |    min(h.dmilli) AS threshold_milli
+       |  FROM tgt t LEFT JOIN hist h ON h.ccnt >= t.n_target
+       |  GROUP BY 1, 2, 3)
+       |SELECT cast(epoch as bigint) AS epoch, competence_permille,
+       |  coalesce(threshold_milli, -1) AS threshold_milli,
+       |  coalesce(h.ccnt, 0) AS n_admitted,
+       |  coalesce(h.csum // h.ccnt, 0) AS mean_difficulty_milli
+       |FROM thr LEFT JOIN hist h ON h.dmilli = thr.threshold_milli
+       |ORDER BY epoch""".stripMargin
+
   // PII patterns, written in the regex subset where Java's engine and
   // RE2 (DuckDB) agree: no alternation at the top level, no backrefs,
   // leftmost match with explicit character classes.

@@ -630,6 +630,28 @@ class PlanAuditSpec extends SparkSpec {
       s"the per-clip hash table must be materialized, not a re-decoded lineage:\n$plan")
   }
 
+  test("q185: folded pairing is one window + one source-keyed equi-join — no cartesian, no global sort") {
+    val df = graft.ops.TextAnalytics.foldedPacking(spark, sf0001)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"rank pairing must be the (source, rank) equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"pair matching must be an equi-join:\n$plan")
+    // ranks ride per-source windows; nothing sorts the corpus globally
+    assert(parquetScans(df, "documents.parquet") <= 2,
+      s"token counts must come from the shared scan branches, not per-stage rebuilds:\n$plan")
+  }
+
+  test("q186: curriculum work is histogram-sized — the corpus pays only q94's two-scan surprisal floor") {
+    val df = graft.ops.TextAnalytics.curriculumSchedule(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") <= 2,
+      s"difficulty must fold through q94's materialized vocab tables (its 2-scan floor):\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the vocab-sized cf table must be materialized (the q175 recompute lesson):\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalytics
+
+/** Round-12 operators, each pinned against an INDEPENDENT in-test
+  * reference computed from first principles on a crafted fixture —
+  * never against the operator's own output shape. */
+class Round12OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(tag: String, docs: Seq[(Long, String, String)]): String = {
+    val dir = graft.streaming.StreamScratch.dir(s"r12-$tag")
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+
+  // ---------------------------------------------------------------- q185
+
+  /** Independent folded-pairing reference: brute force over a length
+    * list, following Krell et al.'s depth-2 rule literally. */
+  private def foldedRef(lens: Seq[Long], b: Long):
+      (Long, Long, Long, Long, Long) = { // (pairs, singletons, oversizePacks, packs, sumTokens)
+    val (over, fit0) = lens.partition(_ > b)
+    val fit = fit0.sorted.reverse
+    val m = fit.length
+    var pairs = 0L; var singles = 0L
+    for (r <- 1 to m / 2) {
+      if (fit(r - 1) + fit(m - r) <= b) pairs += 1 else singles += 2
+    }
+    if (m % 2 == 1) singles += 1
+    val overPacks = over.map(l => (l + b - 1) / b).sum
+    (pairs, singles, overPacks, pairs + singles + overPacks, lens.sum)
+  }
+
+  test("q185: folded packing matches the brute-force depth-2 reference per source") {
+    val b = TextAnalytics.PackBudgetTokens
+    // source A: classic mix incl. a non-fitting top pair and an odd
+    // middle; source B: one oversize (3 packs) + two that pair exactly
+    // at the budget; source C: oversize only
+    val lensA = Seq(500L, 400L, 300L, 200L, 100L, 50L, 12L)
+    val lensB = Seq(1100L, 312L, 200L)
+    val lensC = Seq(2000L)
+    val docs = (lensA.zipWithIndex.map { case (l, i) => (100L + i, words(l.toInt), "a") } ++
+      lensB.zipWithIndex.map { case (l, i) => (200L + i, words(l.toInt), "b") } ++
+      lensC.zipWithIndex.map { case (l, i) => (300L + i, words(l.toInt), "c") })
+    val dir = writeDocs("packing", docs)
+    val got = TextAnalytics.foldedPacking(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_singletons"),
+          r.getAs[Long]("oversize_packs"), r.getAs[Long]("n_packs"),
+          r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("packing_efficiency_permille")))).toMap
+    for ((src, lens) <- Seq("a" -> lensA, "b" -> lensB, "c" -> lensC)) {
+      val (p, s, o, k, t) = foldedRef(lens, b)
+      val eff = if (k == 0) 0L else t * 1000 / (k * b)
+      assert(got(src) == ((p, s, o, k, t, eff)), s"source $src")
+    }
+    // the depth-2 refinement must never do worse than one-doc-per-pack
+    got.values.foreach { case (_, _, _, packs, tokens, _) =>
+      assert(packs <= docs.length + tokens / b)
+    }
+  }
+
+  test("q185: pairing beats q63's doc-order contiguity on an adversarial length mix") {
+    // lengths alternating just-over-half and small: contiguous doc_id
+    // order wastes nearly half of every pack; folded pairing fills them
+    val lens = Seq(260L, 260L, 260L, 260L, 250L, 250L, 250L, 250L)
+    val dir = writeDocs("packing-adv",
+      lens.zipWithIndex.map { case (l, i) => (i.toLong, words(l.toInt), "s") })
+    val row = TextAnalytics.foldedPacking(spark, dir).collect().head
+    assert(row.getAs[Long]("n_pairs") == 4)   // every 260 pairs with a 250
+    assert(row.getAs[Long]("n_packs") == 4)
+    assert(row.getAs[Long]("packing_efficiency_permille") == 996) // 2040000 div 2048
+  }
+
+  // ---------------------------------------------------------------- q186
+
+  test("q186: competence schedule follows Platanios et al.'s sqrt ramp and admits by value cutoff") {
+    // three difficulty bands via vocabulary rarity: docs repeating one
+    // common token are LOW surprisal; docs of unique tokens are HIGH
+    val docs =
+      (0 until 10).map(i => (i.toLong, ("common " * 20).trim, "s")) ++
+      (10 until 15).map(i => (i.toLong, (s"mid$i " * 10 + "common " * 10).trim, "s")) ++
+      (15 until 20).map(i => (i.toLong, (0 until 20).map(j => s"rare${i}_$j").mkString(" "), "s"))
+    val dir = writeDocs("curriculum", docs)
+    val out = TextAnalytics.curriculumSchedule(spark, dir).collect()
+    assert(out.length == TextAnalytics.CurriculumEpochs)
+    val comp = out.map(_.getAs[Long]("competence_permille"))
+    // independent reference for the ramp: c = floor(sqrt((c0sq + (990*e) div 8) * 1000))
+    val expected = (1L to TextAnalytics.CurriculumEpochs).map { e =>
+      val c2 = TextAnalytics.CurriculumC0SqPermille +
+        (1000 - TextAnalytics.CurriculumC0SqPermille) * e / TextAnalytics.CurriculumEpochs
+      math.sqrt((c2 * 1000).toDouble).toLong
+    }
+    assert(comp.toSeq == expected)
+    // monotone admission; the final epoch (competence 1000) admits all
+    val admitted = out.map(_.getAs[Long]("n_admitted"))
+    assert(admitted.zip(admitted.tail).forall { case (x, y) => x <= y })
+    assert(admitted.last == docs.length)
+    // value-cutoff rule: every epoch's admitted count covers its target
+    val difficulties = TextAnalytics.surprisalScores(spark, dir).collect()
+      .map(_.getAs[Long]("surprisal_mean_milli")).sorted
+    out.foreach { r =>
+      val target = docs.length * r.getAs[Long]("competence_permille") / 1000
+      val nAdm = r.getAs[Long]("n_admitted")
+      assert(nAdm >= target, s"epoch ${r.getAs[Long]("epoch")}")
+      // the threshold is a real difficulty value and admits exactly the
+      // docs at or below it
+      val thr = r.getAs[Long]("threshold_milli")
+      assert(difficulties.count(_ <= thr) == nAdm)
+    }
+    // the easy band is admitted before the hard band: epoch 1 admits
+    // only low-surprisal docs
+    val firstThr = out.head.getAs[Long]("threshold_milli")
+    assert(firstThr <= difficulties(docs.length / 2),
+      "early competence must cut below the median difficulty")
+  }
+}
