@@ -450,8 +450,31 @@ object ChatPipeline {
     * (it grew past the whole kNN at ServeBench's 32x corpus) — and the
     * freshness contract is warn-only advice (proposals.md:70-73), so
     * detection delayed by at most this window is an honest trade. 0
-    * restores exact per-query sketching (specs pin that behavior). */
+    * restores exact per-query sketching (specs pin that behavior).
+    *
+    * Once a verdict exists, an EXPIRED window never blocks the serving
+    * path either: the cached verdict is served and ONE background
+    * refresh (single-flight per index) re-walks off-path. A fixed
+    * window with an in-path walk inverts at scale — at ServeBench's
+    * 512x corpus (320k repo files) the walk takes LONGER than this
+    * window, so every query re-walked and the "amortized" check became
+    * a ~1.9 s per-query tax (the round-12 serve knee, BENCH_NOTES).
+    * Staleness detection is therefore delayed by at most one window
+    * plus one walk — still warn-only advice. The synchronous arms that
+    * remain are exactly the ones that must be: the first query (no
+    * verdict to serve), TTL = 0 (exact mode), and the first query
+    * after a mutator invalidation (a TTL'd verdict must never outlive
+    * the state it described). */
   @volatile private[graft] var checkSketchTtlMs = 2000L
+
+  /** Single-flight guard + daemon executor for the off-path refresh. */
+  private val refreshInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val freshnessExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-freshness-refresh")
+      t.setDaemon(true); t
+    })
   private val checkTime =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
@@ -499,11 +522,31 @@ object ChatPipeline {
     * to the processed log. */
   def checkIndexCached(indexDir: String): Either[String, IndexFreshness] = {
     val now = System.currentTimeMillis()
-    val epoch = freshnessEpoch.getOrDefault(indexDir, 0L)
     val recent = checkCache.get(indexDir)
     val last = checkTime.get(indexDir)
-    if (recent != null && last != null && now - last < checkSketchTtlMs)
-      return recent._2
+    if (recent != null && last != null) {
+      if (now - last < checkSketchTtlMs) return recent._2
+      if (checkSketchTtlMs > 0) {
+        // expired window with a verdict in hand: serve it, refresh
+        // off-path — the walk must never sit on the serving path
+        // (scaladoc above; checkTime was NOT cleared, so `last` being
+        // present proves no mutator invalidated this verdict)
+        if (refreshInFlight.add(indexDir))
+          freshnessExecutor.execute(() =>
+            try refreshVerdict(indexDir)
+            finally refreshInFlight.remove(indexDir))
+        return recent._2
+      }
+    }
+    refreshVerdict(indexDir)
+  }
+
+  /** The synchronous sketch-compare-check core of [[checkIndexCached]]
+    * — the in-path arm for first/exact/post-mutation queries and the
+    * body of the background refresh. */
+  private def refreshVerdict(indexDir: String): Either[String, IndexFreshness] = {
+    val now = System.currentTimeMillis()
+    val epoch = freshnessEpoch.getOrDefault(indexDir, 0L)
     readIndexMeta(indexDir) match {
       case Some(meta) if java.nio.file.Files.isDirectory(
           java.nio.file.Paths.get(meta.repoPath)) =>

@@ -202,4 +202,43 @@ class IndexFreshnessSpec extends SparkSpec {
       None, "0" * 32, 1L), empty)
     assert(ChatPipeline.checkIndex(empty).isLeft)
   }
+
+  test("expired window serves the cached verdict and refreshes OFF the serving path (round-12 serve knee)") {
+    // At ServeBench's 512x corpus the stat walk (320k repo files) takes
+    // longer than the TTL window, so the old in-path re-walk ran on
+    // EVERY query — p50 1.9 s. The contract now: once a verdict exists,
+    // the serving path never walks; an expired window returns the
+    // cached verdict and triggers one single-flight background refresh.
+    val repo = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-async-repo")
+    val idx = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "fresh-async-idx").toString
+    writeRepo(repo)
+    ChatPipeline.index(spark, repo.toString, idx)
+    val savedTtl = ChatPipeline.checkSketchTtlMs
+    try {
+      ChatPipeline.checkSketchTtlMs = 40L
+      // first check is synchronous (nothing to serve yet) and arms the clock
+      assert(!ChatPipeline.checkIndexCached(idx).toOption.get.stale)
+      // edit the repo, then let the window lapse
+      java.nio.file.Files.writeString(repo.resolve("src/lib.rs"),
+        "pub fn add(a: i32, b: i32) -> i32 {\n    b + a\n}\n")
+      Thread.sleep(90)
+      // the expired-window call must return the PRE-edit verdict (the
+      // cached one, read before any refresh could land) — i.e. it did
+      // not walk in-path
+      val served = ChatPipeline.checkIndexCached(idx).toOption.get
+      assert(!served.stale,
+        "expired-window call must serve the cached (pre-edit) verdict, not block on a walk")
+      // ...and the background refresh detects the edit without any
+      // further serving-path walk: poll the cache until it flips
+      val deadline = System.currentTimeMillis() + 10000
+      var cur = served
+      while (System.currentTimeMillis() < deadline && !cur.stale) {
+        Thread.sleep(25)
+        cur = ChatPipeline.checkIndexCached(idx).toOption.get
+      }
+      assert(cur.stale, "background refresh must detect the edit eventually")
+    } finally ChatPipeline.checkSketchTtlMs = savedTtl
+  }
 }
