@@ -278,6 +278,26 @@ object AnnIndex {
     index.repartition(col("tree"), col("leaf"))
       .write.mode("overwrite").partitionBy("tree", "leaf").parquet(s"$path/forest")
 
+  /** Leaf-occupancy skew over a saved forest: (hottest leaf rows,
+    * p99 leaf rows, (tree, leaf) dir count, total rows). RP-tree
+    * hyperplanes split by dot-product sign, so near-IDENTICAL vectors
+    * land in the same leaf at ANY depth — a corpus carrying a massive
+    * near-duplicate family builds a megaleaf no deeper forest can
+    * split (measured: a 512× replicated corpus put 29% of 1.14M rows
+    * in ONE leaf), and every query that hits it pays an O(family)
+    * scan. The answer is upstream of the index — near-dup dedup (the
+    * q14 MinHash / q66 SemDeDup family) — so the BUILD measures and
+    * reports the hazard rather than hiding it. One aggregation over
+    * the (tree, leaf)-partitioned artifact, driver result is 4 longs. */
+  def leafSkew(spark: SparkSession, path: String): (Long, Long, Long, Long) = {
+    val r = spark.read.parquet(s"$path/forest")
+      .groupBy(col("tree"), col("leaf")).count()
+      .agg(max(col("count")), expr("percentile(count, 0.99)"),
+        count(lit(1)), sum(col("count")))
+      .collect()(0)
+    (r.getLong(0), r.getDouble(1).toLong, r.getLong(2), r.getLong(3))
+  }
+
   /** Persist the sampled hyperplanes alongside the leaf index. The
     * planes ARE the index identity: re-deriving them from (seed, dim,
     * live row count) silently breaks the moment the count drifts from

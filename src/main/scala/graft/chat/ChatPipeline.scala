@@ -17,6 +17,12 @@ object ChatPipeline {
 
   case class QueryOutput(results: Seq[RetrievalResult], answer: Seq[String])
 
+  /** Build-time skew warn threshold: hottest leaf > this × LeafTarget
+    * (20× clears organic imbalance — random projections leave leaves
+    * within a small factor of target on diverse corpora — while any
+    * real near-dup family is orders of magnitude past it). */
+  val LeafSkewWarnFactor = 20L
+
   def index(spark: SparkSession, repoDir: String, outDir: String,
             embedder: Embedder = new HashingEmbedder()): Long = {
     val chunks = Chunker.chunkRepo(spark, repoDir)
@@ -27,6 +33,21 @@ object ChatPipeline {
     val forest = AnnIndex.sampleForest(embedder.dim, n)
     AnnIndex.savePlanes(spark, forest, outDir)
     AnnIndex.saveForestIndex(AnnIndex.buildForestIndex(chunksDf, forest), outDir)
+    // build-time ANN skew diagnostic (AnnIndex.leafSkew scaladoc): a
+    // megaleaf means the corpus carries a near-dup family no deeper
+    // forest can split — warn AT BUILD, where the fix (dedup first)
+    // is still cheap, and stamp the sidecar for `status`/tooling
+    val (maxLeaf, p99Leaf, leafDirs, forestRows) = AnnIndex.leafSkew(spark, outDir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/leaf_skew.json"),
+      s"""{"max_leaf":$maxLeaf,"p99_leaf":$p99Leaf,"leaf_dirs":$leafDirs,""" +
+        s""""forest_rows":$forestRows,"leaf_target":${AnnIndex.LeafTarget}}""")
+    if (maxLeaf > AnnIndex.LeafTarget * LeafSkewWarnFactor)
+      println(s"WARN: hottest ANN leaf holds $maxLeaf rows " +
+        s"(expected ~${AnnIndex.LeafTarget}): the corpus likely carries a " +
+        "massive near-duplicate family, which random-projection planes " +
+        "cannot split and which every query hitting that leaf must scan. " +
+        "Near-dup dedup before indexing restores balanced leaves.")
     // profile job over the same scan
     val files = filesFrame(spark, repoDir)
     val profile = Profile.profile(files, repoDir.split('/').last)
@@ -1328,6 +1349,18 @@ object ChatCli {
                   m.sourceCommitHash.fold("")(h => s" @ ${h.take(8)}"))
                 println(s"  Content Hash: ${m.contentHash}")
               }
+              // build-time ANN skew sidecar (leaf_skew.json) when present
+              indexDir.map(d => java.nio.file.Paths.get(s"$d/leaf_skew.json"))
+                .filter(java.nio.file.Files.exists(_)).foreach { p =>
+                  val s = new com.fasterxml.jackson.databind.ObjectMapper()
+                    .readTree(java.nio.file.Files.readString(p))
+                  val mx = s.path("max_leaf").asLong()
+                  val tgt = s.path("leaf_target").asLong()
+                  println(s"  Hottest ANN Leaf: $mx rows (target ~$tgt)" +
+                    (if (mx > tgt * ChatPipeline.LeafSkewWarnFactor)
+                      " — SKEWED: near-dup family, dedup before re-indexing"
+                    else ""))
+                }
             case "check-index" :: Nil if indexDir.isDefined =>
               // proposals.md:41-74 — the on-demand staleness check
               ChatPipeline.checkIndex(indexDir.get) match {

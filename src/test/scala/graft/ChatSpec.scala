@@ -447,4 +447,54 @@ class ChatSpec extends SparkSpec {
     assert(OpenAiChatClient.fromEnv(Map.empty, modelFallback = Some("gpt-4o"))
       .isInstanceOf[MockChatClient])
   }
+
+  test("build-time ANN skew diagnostic: a near-dup corpus stamps leaf_skew.json and warns (round-12 megaleaf)") {
+    // identical chunk texts embed to IDENTICAL vectors, which land in
+    // the same leaf at any forest depth -- the megaleaf no deeper tree
+    // can split. 2,400 copies of one ~900-char unit >> the 20x
+    // LeafTarget warn threshold.
+    val repo = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "skew-repo")
+    java.nio.file.Files.createDirectories(repo.resolve("docs"))
+    val para = ("All work and no dedup makes the forest a megaleaf. " * 17).trim
+    assert(para.length > 500 && para.length <= 1000)
+    (0 until 80).foreach { i =>
+      java.nio.file.Files.writeString(repo.resolve(f"docs/f$i%03d.md"),
+        (0 until 30).map(_ => para).mkString("\n\n"))
+    }
+    val idx = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "skew-idx").toString
+    val buf = new java.io.ByteArrayOutputStream()
+    val n = Console.withOut(new java.io.PrintStream(buf)) {
+      ChatPipeline.index(spark, repo.toString, idx)
+    }
+    assert(n >= 2000L, s"expected >= 2000 identical chunks, got $n")
+    assert(buf.toString.contains("WARN: hottest ANN leaf"), buf.toString)
+    val skew = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$idx/leaf_skew.json")))
+    assert(skew.path("max_leaf").asLong() >= n,
+      "every copy of the duplicated chunk text must share one leaf per tree")
+    assert(skew.path("leaf_target").asLong() == graft.chat.AnnIndex.LeafTarget)
+    assert(skew.path("forest_rows").asLong() == n * graft.chat.AnnIndex.NumTrees)
+
+    // a small diverse corpus stays far under the threshold: no warn
+    val repo2 = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "skew-ok-repo")
+    java.nio.file.Files.createDirectories(repo2.resolve("src"))
+    (0 until 40).foreach { i =>
+      java.nio.file.Files.writeString(repo2.resolve(f"src/m$i%02d.rs"),
+        s"pub fn f$i(x: i64) -> i64 {\n    x + $i\n}\n")
+    }
+    val idx2 = java.nio.file.Files.createTempDirectory(
+      graft.streaming.StreamScratch.root, "skew-ok-idx").toString
+    val buf2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf2)) {
+      ChatPipeline.index(spark, repo2.toString, idx2)
+    }
+    assert(!buf2.toString.contains("WARN: hottest ANN leaf"), buf2.toString)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx2/leaf_skew.json")),
+      "the sidecar is stamped on every build, warn or not")
+  }
 }
