@@ -243,7 +243,8 @@ object SparkEntry {
     "q183_neyman_alloc"     -> Sampling.neymanAlloc _,
     "q184_audio_constellation" -> Multimodal.audioConstellation _,
     "q185_folded_packing"   -> TextAnalytics.foldedPacking _,
-    "q186_curriculum"       -> TextAnalytics.curriculumSchedule _
+    "q186_curriculum"       -> TextAnalytics.curriculumSchedule _,
+    "q187_ann_leaf_skew"    -> Similarity.annLeafSkew _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -507,6 +508,7 @@ object SparkEntry {
     "q183_neyman_alloc"     -> Sampling.neymanAllocSql,
     "q184_audio_constellation" -> Multimodal.audioConstellationSql,
     "q185_folded_packing"   -> TextAnalytics.foldedPackingSql,
-    "q186_curriculum"       -> TextAnalytics.curriculumScheduleSql
+    "q186_curriculum"       -> TextAnalytics.curriculumScheduleSql,
+    "q187_ann_leaf_skew"    -> Similarity.annLeafSkewSql
   )
 }

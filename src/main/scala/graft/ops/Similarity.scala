@@ -2217,4 +2217,101 @@ object Similarity {
        |    vec_id, label, score_milli
        |  FROM scored ORDER BY score_milli DESC, vec_id ASC LIMIT $OutlierTopK)
        |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q187: ANN leaf-skew audit — the PIPELINE-side pre-check of the
+  // round-12 build diagnostic (AnnIndex.leafSkew scaladoc): random-
+  // projection planes split by dot-product sign, so a corpus carrying a
+  // massive near-duplicate family concentrates in ONE leaf at any tree
+  // depth, and an ANN index built over it serves O(family)-sized
+  // candidate scans. This audit answers "is my embedding set
+  // projectable?" BEFORE any index exists: project every vector through
+  // a fixed panel of seeded integer hyperplanes (coefficients from the
+  // shared Hash32 md5 fold — the one cross-engine hash; dot products in
+  // exact i64 over the micro-quantized grid, so the sign bit can never
+  // disagree between engines), bucket by the depth-bit leaf id, and
+  // report per-tree occupancy concentration. top_share_permille -> 1000
+  // is the q14/q66 dedup-first smell; a diverse corpus sits near
+  // 1000/2^depth.
+  //
+  // Scale shape: ONE embeddings scan, exploded once to (vec, dim);
+  // the plane panel (trees x depth x dim = 2k rows) broadcasts into the
+  // join; every aggregation is keyed and partial (the exploded join
+  // output collapses map-side to n x trees x depth partial dots);
+  // report is trees rows. The panel is an AUDIT geometry (fixed depth),
+  // not the serving index's n-dependent one — concentration under any
+  // fixed panel is the property being measured.
+  // -------------------------------------------------------------------
+
+  /** Audit panel: 4 trees x 8 levels over the testdata's 64-dim
+    * embeddings (leaf space 256 per tree). */
+  val LeafAuditTrees = 4
+  val LeafAuditDepth = 8
+  val LeafAuditDim = 64
+
+  def annLeafSkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val planes = spark.range(
+        LeafAuditTrees.toLong * LeafAuditDepth * LeafAuditDim).toDF("i")
+      .selectExpr(
+        s"i div ${LeafAuditDepth * LeafAuditDim} as tree",
+        s"(i div $LeafAuditDim) % $LeafAuditDepth as level",
+        s"i % $LeafAuditDim as d")
+      .withColumn("coef",
+        graft.core.Hash32.column(
+          "md5(concat('lp-', cast(tree as string), '-', " +
+            "cast(level as string), '-', cast(d as string)))") % 2001 - 1000)
+    val ex = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        posexplode(quantize(col("embedding"))).as(Seq("d", "xq")))
+    val dots = ex.join(broadcast(planes), Seq("d"))
+      .groupBy("vec_id", "tree", "level")
+      .agg(sum(col("xq") * col("coef")).as("dot"))
+    val leaves = dots.groupBy("vec_id", "tree")
+      .agg(sum(expr(
+        "CASE WHEN dot >= 0 THEN cast(shiftleft(1, cast(level as int)) as bigint) ELSE cast(0 as bigint) END"))
+        .as("leaf"))
+    leaves.groupBy("tree", "leaf").agg(count(lit(1)).as("cnt"))
+      .groupBy("tree")
+      .agg(sum(col("cnt")).as("n_vecs"),
+        count(lit(1)).as("n_leaves"),
+        max(col("cnt")).as("max_leaf"))
+      .select(col("tree"), col("n_vecs"), col("n_leaves"), col("max_leaf"),
+        expr("max_leaf * 1000 div n_vecs").as("top_share_permille"),
+        expr("n_vecs div n_leaves").as("mean_leaf"))
+      .orderBy("tree")
+  }
+
+  def annLeafSkewSql: String = {
+    val coef = graft.core.Hash32.sql(
+      "md5('lp-' || t.t || '-' || l.l || '-' || d.d)")
+    s"""WITH planes AS (
+       |  SELECT cast(t.t as bigint) AS tree, cast(l.l as bigint) AS level,
+       |    cast(d.d as bigint) AS d,
+       |    ($coef % 2001 - 1000) AS coef
+       |  FROM generate_series(0, ${LeafAuditTrees - 1}) t(t),
+       |       generate_series(0, ${LeafAuditDepth - 1}) l(l),
+       |       generate_series(0, ${LeafAuditDim - 1}) d(d)),
+       |ex AS (
+       |  SELECT vec_id,
+       |    cast(generate_subscripts(embedding, 1) - 1 as bigint) AS d,
+       |    cast(floor(cast(unnest(embedding) as double) * ${Consts.QuantScale}.0) as bigint) AS xq
+       |  FROM embeddings),
+       |dots AS (
+       |  SELECT vec_id, tree, level, cast(sum(xq * coef) as bigint) AS dot
+       |  FROM ex JOIN planes USING (d) GROUP BY 1, 2, 3),
+       |leaves AS (
+       |  SELECT vec_id, tree,
+       |    cast(sum(CASE WHEN dot >= 0 THEN cast(1 as bigint) << level ELSE 0 END) as bigint) AS leaf
+       |  FROM dots GROUP BY 1, 2),
+       |counts AS (
+       |  SELECT tree, leaf, cast(count(*) as bigint) AS cnt
+       |  FROM leaves GROUP BY 1, 2)
+       |SELECT tree, cast(sum(cnt) as bigint) AS n_vecs,
+       |  cast(count(*) as bigint) AS n_leaves,
+       |  cast(max(cnt) as bigint) AS max_leaf,
+       |  cast(max(cnt) * 1000 // sum(cnt) as bigint) AS top_share_permille,
+       |  cast(sum(cnt) // count(*) as bigint) AS mean_leaf
+       |FROM counts GROUP BY tree ORDER BY tree""".stripMargin
+  }
+
 }

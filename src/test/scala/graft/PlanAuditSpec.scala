@@ -652,6 +652,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the vocab-sized cf table must be materialized (the q175 recompute lesson):\n$plan")
   }
 
+  test("q187: leaf-skew panel broadcasts into one exploded scan — no cartesian, embeddings read once") {
+    val df = graft.ops.Similarity.annLeafSkew(spark, sf0001)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the (d)-keyed plane join must be a broadcast equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 2k-row plane panel must broadcast:\n$plan")
+    assert(parquetScans(df, "embeddings.parquet") <= 1,
+      s"the corpus must be exploded from ONE scan:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

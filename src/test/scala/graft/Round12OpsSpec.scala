@@ -121,4 +121,66 @@ class Round12OpsSpec extends SparkSpec {
     assert(firstThr <= difficulties(docs.length / 2),
       "early competence must cut below the median difficulty")
   }
+
+  // ---------------------------------------------------------------- q187
+
+  /** Independent replay of the audit's plane/leaf math from first
+    * principles: java MessageDigest md5 -> nibble fold -> coef, exact
+    * i64 dots over the micro grid, depth-bit leaf ids. */
+  private def leafRef(vecs: Seq[(Long, Array[Float])]):
+      Map[(Long, Long), Long] = { // (tree, leaf) -> count
+    import graft.ops.Similarity.{LeafAuditTrees, LeafAuditDepth, LeafAuditDim}
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(8).foldLeft(0L)((a, c) => a * 16 + java.lang.Long.parseLong(c.toString, 16))
+    }
+    val coef = Array.tabulate(LeafAuditTrees, LeafAuditDepth, LeafAuditDim) {
+      (t, l, d) => h32(s"lp-$t-$l-$d") % 2001 - 1000
+    }
+    val counts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((_, v) <- vecs; t <- 0 until LeafAuditTrees) {
+      val xq = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      var leaf = 0L
+      for (l <- 0 until LeafAuditDepth) {
+        val dot = (0 until LeafAuditDim).map(d => xq(d) * coef(t)(l)(d)).sum
+        if (dot >= 0) leaf |= 1L << l
+      }
+      counts((t.toLong, leaf)) = counts.getOrElse((t.toLong, leaf), 0L) + 1
+    }
+    counts.toMap
+  }
+
+  test("q187: leaf-skew audit matches the first-principles md5/i64 replay, and a near-dup mass concentrates") {
+    import graft.ops.Similarity.{LeafAuditTrees, LeafAuditDim}
+    val rng = new scala.util.Random(7)
+    // 40 diverse vectors + a 60-copy near-identical family (1e-4 jitter:
+    // way inside any plane's margin at the micro grid)
+    val diverse = (0 until 40).map(i =>
+      (i.toLong, Array.fill(LeafAuditDim)(rng.nextFloat() * 2 - 1)))
+    val base = Array.fill(LeafAuditDim)(rng.nextFloat() * 2 - 1)
+    val family = (100 until 160).map(i =>
+      (i.toLong, base.clone()))
+    val vecs = diverse ++ family
+    val dir = graft.streaming.StreamScratch.dir("r12-leafskew")
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = graft.ops.Similarity.annLeafSkew(spark, dir).collect()
+    assert(got.length == LeafAuditTrees)
+    val ref = leafRef(vecs)
+    val byTree = ref.groupBy(_._1._1)
+    got.foreach { r =>
+      val t = r.getAs[Long]("tree")
+      val cnts = byTree(t).values.toSeq
+      assert(r.getAs[Long]("n_vecs") == vecs.length)
+      assert(r.getAs[Long]("n_leaves") == cnts.length, s"tree $t")
+      assert(r.getAs[Long]("max_leaf") == cnts.max, s"tree $t")
+      assert(r.getAs[Long]("top_share_permille") == cnts.max * 1000 / vecs.length)
+      // the 60-copy family shares one leaf per tree: concentration must
+      // be at least its share
+      assert(r.getAs[Long]("max_leaf") >= 60, s"tree $t")
+    }
+  }
 }
