@@ -93,4 +93,31 @@ class PreparedKnnSpec extends SparkSpec {
       }
     } finally AnnCatalog.clear()
   }
+
+  test("concurrent queries through the prepared executor equal their sequential answers") {
+    // interactive serving is inherently concurrent: the TrieMap entry,
+    // the single-flight (re)prepare, and per-query plan transforms must
+    // tolerate racing callers. 8 threads x 6 distinct queries, every
+    // result bit-equal to the sequential answer for the same vector.
+    val (_, idxDir) = buildIndex("conc")
+    AnnCatalog.register(spark, idxDir)
+    try {
+      val emb = new HashingEmbedder()
+      val questions = (0 until 6).map(i => s"compute function value $i")
+      val vecs = questions.map(emb.embed)
+      val expected = vecs.map(v => PreparedKnn.search(spark, idxDir, v, 6).get)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val runs = Future.sequence((0 until 48).map { i =>
+        Future {
+          val j = i % vecs.length
+          (j, PreparedKnn.search(spark, idxDir, vecs(j), 6).get)
+        }
+      })
+      Await.result(runs, 120.seconds).foreach { case (j, got) =>
+        assert(got == expected(j), s"concurrent result diverged for query $j")
+      }
+    } finally AnnCatalog.clear()
+  }
 }
