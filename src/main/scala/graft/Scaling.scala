@@ -157,7 +157,18 @@ object Scaling {
     // pattern vocabulary per-replica, so emission volume (bounded by
     // |E|^2+|E|^3 per session) scales with the factor — the no-join
     // emission claim is the thing measured
-    "q176_seq_patterns" -> ((s, d) => graft.ops.Events.seqPatterns(s, d)))
+    "q176_seq_patterns" -> ((s, d) => graft.ops.Events.seqPatterns(s, d)),
+    // ONE keyed corpus count; the trial fan-out and release join run on
+    // the materialized histogram frame (key-domain-sized at every
+    // decade) — the one-corpus-aggregation claim is the thing measured.
+    // q190 is deliberately ABSENT (the q17 precedent): its blocked-pair
+    // volume grows with (lang, length-band) block OCCUPANCY, and the
+    // replica amplification lands every replica in the same bands — a
+    // workload property, not a plan property. Its physical bound is
+    // LinkBlockCap (plan-audited); its scale path at a real corpus is
+    // sharper blocking keys, and its corpus-sized cost is otherwise the
+    // graph-served q74 shape already measured here.
+    "q189_dp_histogram" -> ((s, d) => graft.ops.Privacy.dpHistogram(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's

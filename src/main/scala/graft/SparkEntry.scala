@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, BpeTrain, ChatOracle, Classifier, Dedup, Events, Hybrid, Multimodal, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
+import graft.ops.{Analytics, BpeTrain, ChatOracle, Classifier, Dedup, Events, Hybrid, Multimodal, Privacy, Relational, Sampling, Scale, Similarity, Sketches, Statistics, TextAnalytics}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -244,7 +244,11 @@ object SparkEntry {
     "q184_audio_constellation" -> Multimodal.audioConstellation _,
     "q185_folded_packing"   -> TextAnalytics.foldedPacking _,
     "q186_curriculum"       -> TextAnalytics.curriculumSchedule _,
-    "q187_ann_leaf_skew"    -> Similarity.annLeafSkew _
+    "q187_ann_leaf_skew"    -> Similarity.annLeafSkew _,
+    "q188_kanon_audit"      -> Privacy.kAnonAudit _,
+    "q189_dp_histogram"     -> Privacy.dpHistogram _,
+    "q190_fs_linkage"       -> ((s: SparkSession, d: String) =>
+      Privacy.fsLinkageFromGraph(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -509,6 +513,9 @@ object SparkEntry {
     "q184_audio_constellation" -> Multimodal.audioConstellationSql,
     "q185_folded_packing"   -> TextAnalytics.foldedPackingSql,
     "q186_curriculum"       -> TextAnalytics.curriculumScheduleSql,
-    "q187_ann_leaf_skew"    -> Similarity.annLeafSkewSql
+    "q187_ann_leaf_skew"    -> Similarity.annLeafSkewSql,
+    "q188_kanon_audit"      -> Privacy.kAnonAuditSql,
+    "q189_dp_histogram"     -> Privacy.dpHistogramSql,
+    "q190_fs_linkage"       -> Privacy.fsLinkageSql
   )
 }

@@ -663,6 +663,39 @@ class PlanAuditSpec extends SparkSpec {
       s"the corpus must be exploded from ONE scan:\n$plan")
   }
 
+  test("q188: the audit is two stacked aggregations — one corpus scan, no joins") {
+    val df = graft.ops.Privacy.kAnonAudit(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "customer.parquet") <= 1,
+      s"the registry must be scanned once:\n$plan")
+    assert(!plan.contains("Join"),
+      s"equivalence classes and the per-nation roll-up are pure aggregation:\n$plan")
+  }
+
+  test("q189: the corpus pays one keyed count; trials explode on the histogram frame only") {
+    val df = graft.ops.Privacy.dpHistogram(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") <= 1,
+      s"the corpus must be aggregated once; noise is histogram-frame work:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 96-row trial fan-out must ride a broadcast, never a cartesian shuffle:\n$plan")
+  }
+
+  test("q190: blocked pairing is a capped equi-join; the weight table broadcasts; no cartesian") {
+    val df = graft.ops.Privacy.fsLinkageFromGraph(spark, sf0001,
+      graft.ops.Dedup.OracleHashBits)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"pair enumeration must stay inside blocks:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the blocked self-join must be an equi-join on (lang, nb32):\n$plan")
+    // the only nested-loop is the deliberate 16x4 pattern-x-field fan
+    // (both sides answer-sized; the field side explicitly broadcast)
+    assert(parquetScans(df, "documents.parquet") <= 2,
+      s"the served form reads the corpus for the two self-join branches only:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

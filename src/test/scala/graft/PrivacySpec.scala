@@ -1,0 +1,218 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Privacy
+
+/** The privacy/linkage family (q188-q190), each pinned against an
+  * INDEPENDENT in-test reference computed from first principles on a
+  * crafted fixture. The one shared primitive the q190 reference reuses
+  * is FixedLog2.q16 — reimplementing it with libm doubles would differ
+  * by design (that non-portability is exactly why the kernel exists);
+  * its own exactness is property-tested in PropertySpec. */
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q188
+
+  test("q188: k-anonymity/l-diversity audit matches a brute-force reference on a crafted registry") {
+    // nation 0: a 6-strong class (safe), a 2-strong class (suppress),
+    //   and a singleton (suppress); the 6-strong class has only two
+    //   distinct balances -> l-diversity violation (l=2 < 3)
+    // nation 1: one 5-strong class, all-distinct balances (fully safe)
+    val rows = Seq(
+      (1L, "c1", 0, 100.0, "AUTO"), (2L, "c2", 0, 100.0, "AUTO"),
+      (3L, "c3", 0, 150.0, "AUTO"), (4L, "c4", 0, 150.0, "AUTO"),
+      (5L, "c5", 0, 150.0, "AUTO"), (6L, "c6", 0, 100.0, "AUTO"),
+      (7L, "c7", 0, 100.0, "BIKE"), (8L, "c8", 0, 200.0, "BIKE"),
+      (9L, "c9", 0, 1100.0, "AUTO"),
+      (10L, "d1", 1, 10.0, "AUTO"), (11L, "d2", 1, 20.0, "AUTO"),
+      (12L, "d3", 1, 30.0, "AUTO"), (13L, "d4", 1, 40.0, "AUTO"),
+      (14L, "d5", 1, 50.0, "AUTO"))
+    val dir = graft.streaming.StreamScratch.dir("priv-kanon")
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    // independent reference: literal Sweeney/Machanavajjhala definitions
+    val classes = rows.groupBy(r =>
+        (r._3, r._5, math.floor(r._4 / Privacy.BalBand).toLong))
+      .map { case (qi, members) =>
+        (qi._1, members.size.toLong, members.map(_._4).distinct.size.toLong) }
+      .toSeq
+    val expect = classes.groupBy(_._1).map { case (nat, cs) =>
+      nat -> (cs.map(_._2).sum, cs.size.toLong, cs.map(_._2).min,
+        cs.count(_._2 < Privacy.KAnonK).toLong,
+        cs.filter(_._2 < Privacy.KAnonK).map(_._2).sum,
+        cs.map(_._3).min, cs.count(_._3 < Privacy.KAnonL).toLong)
+    }
+
+    val got = Privacy.kAnonAudit(spark, dir).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val (nRows, nClasses, minClass, belowK, suppressed, minL, belowL) =
+        expect(r.getAs[Int]("c_nationkey"))
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_classes") == nClasses)
+      assert(r.getAs[Long]("min_class") == minClass)
+      assert(r.getAs[Long]("classes_below_k") == belowK)
+      assert(r.getAs[Long]("rows_suppressed") == suppressed)
+      assert(r.getAs[Long]("min_l") == minL)
+      assert(r.getAs[Long]("classes_below_l") == belowL)
+      assert(r.getAs[Long]("suppressed_permille") == suppressed * 1000 / nRows)
+    }
+    // the crafted semantics: nation 0 must suppress 3 of 9 rows and
+    // flag the homogeneous class; nation 1 is fully safe
+    val n0 = got.find(_.getAs[Int]("c_nationkey") == 0).get
+    assert(n0.getAs[Long]("rows_suppressed") == 3)
+    assert(n0.getAs[Long]("classes_below_l") >= 1)
+    val n1 = got.find(_.getAs[Int]("c_nationkey") == 1).get
+    assert(n1.getAs[Long]("rows_suppressed") == 0)
+    assert(n1.getAs[Long]("min_l") == 5)
+  }
+
+  // ---------------------------------------------------------------- q189
+
+  /** Independent replay of the seeded two-sided-geometric draw: java
+    * MessageDigest md5 -> hex-nibble fold (the Hash32 construction,
+    * re-derived rather than imported) -> Bernoulli(2/3) trials ->
+    * leading-run difference. */
+  private def noiseRef(source: String, lang: String): Long = {
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(8).foldLeft(0L)((a, c) => a * 16 + java.lang.Long.parseLong(c.toString, 16))
+    }
+    def run(side: String): Long = {
+      val firstFail = (1L to Privacy.DpTrials).find { t =>
+        h32(s"$source|$lang|$side|$t") % 3 >= 2
+      }
+      firstFail.map(_ - 1).getOrElse(Privacy.DpTrials)
+    }
+    run("p") - run("n")
+  }
+
+  test("q189: DP histogram noise matches the first-principles geometric replay; release clamps at zero") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"tok$i a b c", if (i % 3 == 0) "en" else "de",
+        s"s${i % 4}", 10L))
+    val dir = graft.streaming.StreamScratch.dir("priv-dp")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val trueCounts = docs.groupBy(d => (d._4, d._3)).view.mapValues(_.size.toLong).toMap
+
+    val got = Privacy.dpHistogram(spark, dir).collect()
+    assert(got.length == trueCounts.size)
+    got.foreach { r =>
+      val (src, lang) = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val n = r.getAs[Long]("n_docs")
+      val noise = r.getAs[Long]("noise")
+      assert(n == trueCounts((src, lang)))
+      assert(noise == noiseRef(src, lang), s"$src/$lang")
+      assert(math.abs(noise) <= 2 * Privacy.DpTrials)
+      assert(r.getAs[Long]("released") == math.max(n + noise, 0L))
+    }
+    // the mechanism must actually perturb: a seeded draw that returned
+    // zero for every key would be a broken hash, not privacy
+    assert(got.map(_.getAs[Long]("noise")).distinct.length >= 2)
+  }
+
+  // ---------------------------------------------------------------- q190
+
+  /** Brute-force Fellegi-Sunter reference: literal pair enumeration,
+    * gamma patterns, add-one-smoothed clamped ppm estimates, Q16 log2
+    * weights, decision bands. */
+  private def fsRef(docs: Seq[(Long, String, String)]):
+      Map[Long, (Long, Long, Long, String)] = { // pattern -> (nPairs, nMatch, weight, band)
+    import graft.functions.FixedLog2
+    val byText = docs.groupBy(_._2).filter(_._2.size >= 2)
+    val label = byText.values.flatMap { g =>
+      val root = g.map(_._1).min; g.map(d => d._1 -> root) }.toMap
+    case class P(gs: Seq[Boolean], m: Boolean)
+    def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val pairs = for {
+      a <- docs; b <- docs if a._1 < b._1
+      if a._2.length / 32 == b._2.length / 32 // same (lang, nb32) block
+    } yield {
+      val (ta, tb) = (toks(a._2), toks(b._2))
+      P(Seq(a._3 == b._3,
+          ta.take(6).mkString(" ") == tb.take(6).mkString(" "),
+          ta.reverse.take(6).mkString(" ") == tb.reverse.take(6).mkString(" "),
+          a._2.length / 4 == b._2.length / 4),
+        label.get(a._1).exists(la => label.get(b._1).contains(la)))
+    }
+    val nm = pairs.count(_.m).toLong
+    val nu = pairs.size - nm
+    def clamp(x: Long) = math.min(math.max(x, 1L), 999999L)
+    val wts = (0 until 4).map { i =>
+      val am = pairs.count(p => p.m && p.gs(i)).toLong
+      val au = pairs.count(p => !p.m && p.gs(i)).toLong
+      val mp = clamp((am + 1) * 1000000L / (nm + 2))
+      val up = clamp((au + 1) * 1000000L / (nu + 2))
+      (FixedLog2.q16(mp) - FixedLog2.q16(up),
+        FixedLog2.q16(1000000L - mp) - FixedLog2.q16(1000000L - up))
+    }
+    pairs.groupBy(_.gs).map { case (gs, ps) =>
+      val pid = gs.zip(Seq(8L, 4L, 2L, 1L)).collect { case (true, v) => v }.sum
+      val w = (0 until 4).map(i => if (gs(i)) wts(i)._1 else wts(i)._2).sum
+      val band = if (w >= Privacy.LinkUpperQ16) "link"
+        else if (w <= Privacy.LinkLowerQ16) "nonlink" else "review"
+      pid -> ((ps.size.toLong, ps.count(_.m).toLong, w, band))
+    }
+  }
+
+  test("q190: F-S pattern weights match the brute-force reference; full agreement links, full disagreement does not") {
+    // two exact-dup families (the labeled match set) + two distinct
+    // docs, all inside one 32-char length band so they block together;
+    // token sets are disjoint across families (no near-dup edges).
+    // Lengths: A=44, B=40, C=42, D=47 chars -> one block, mixed nb4.
+    val tA = "alpha bravo charlie delta echo foxtrot golf"
+    val tB = "kilo lima mike november oscar papa quebec"
+    val tC = "romeo sierra tango uniform victor whiskey"
+    val tD = "yankee zulu binary ternary quaternary penta"
+    val docs = Seq(
+      (1L, tA, "s1"), (2L, tA, "s1"), (3L, tA, "s2"),
+      (10L, tB, "s1"), (11L, tB, "s3"),
+      (20L, tC, "s1"), (21L, tD, "s2"))
+    val dir = graft.streaming.StreamScratch.dir("priv-fs")
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val expect = fsRef(docs)
+    val got = Privacy.fsLinkage(spark, dir, graft.ops.Dedup.OracleHashBits).collect()
+    assert(got.map(_.getAs[Long]("pattern")).toSet == expect.keySet)
+    got.foreach { r =>
+      val pid = r.getAs[Long]("pattern")
+      val (np, nmm, w, band) = expect(pid)
+      assert(r.getAs[Long]("n_pairs") == np, s"pattern $pid")
+      assert(r.getAs[Long]("n_match") == nmm, s"pattern $pid")
+      assert(r.getAs[Long]("weight_q16") == w, s"pattern $pid")
+      assert(r.getAs[String]("band") == band, s"pattern $pid")
+    }
+    // F-S semantics on this fixture: the all-agree pattern is the
+    // within-source exact-dup pair and must band 'link' with positive
+    // weight; the all-disagree pattern must carry negative weight
+    val full = got.find(_.getAs[Long]("pattern") == 15L).get
+    assert(full.getAs[String]("band") == "link")
+    assert(full.getAs[Long]("weight_q16") > 0)
+    val none = got.find(_.getAs[Long]("pattern") == 0L)
+    none.foreach(r => assert(r.getAs[Long]("weight_q16") < 0))
+  }
+
+  test("q190: the graph-served form is row-identical to the inline form") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight", "sa"),
+      (2L, "one two three four five six seven eight", "sb"),
+      (3L, "nine ten eleven twelve thirteen fourteen", "sa"),
+      (4L, "gamma delta epsilon zeta eta theta iotas", "sb"))
+    val dir = graft.streaming.StreamScratch.dir("priv-fs-served")
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bits = graft.ops.Dedup.OracleHashBits
+    val inline = Privacy.fsLinkage(spark, dir, bits).collect().toSeq
+    val served = Privacy.fsLinkageFromGraph(spark, dir, bits).collect().toSeq
+    assert(inline.nonEmpty && inline == served)
+  }
+}
