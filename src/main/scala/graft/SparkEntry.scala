@@ -248,7 +248,8 @@ object SparkEntry {
     "q188_kanon_audit"      -> Privacy.kAnonAudit _,
     "q189_dp_histogram"     -> Privacy.dpHistogram _,
     "q190_fs_linkage"       -> ((s: SparkSession, d: String) =>
-      Privacy.fsLinkageFromGraph(s, d, Dedup.OracleHashBits))
+      Privacy.fsLinkageFromGraph(s, d, Dedup.OracleHashBits)),
+    "q191_mondrian"         -> Privacy.mondrian _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -516,6 +517,7 @@ object SparkEntry {
     "q187_ann_leaf_skew"    -> Similarity.annLeafSkewSql,
     "q188_kanon_audit"      -> Privacy.kAnonAuditSql,
     "q189_dp_histogram"     -> Privacy.dpHistogramSql,
-    "q190_fs_linkage"       -> Privacy.fsLinkageSql
+    "q190_fs_linkage"       -> Privacy.fsLinkageSql,
+    "q191_mondrian"         -> Privacy.mondrianSql
   )
 }

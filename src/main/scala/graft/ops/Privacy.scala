@@ -94,6 +94,114 @@ object Privacy {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  /** Fixed Mondrian recursion depth for q191. Production Mondrian cuts
+    * until no allowable cut remains (depth ~ log2(n/k)); the fixed-R
+    * form is the oracle-checkable prefix of that recursion — partitions
+    * whose cut would violate k stop early exactly as in the paper, so
+    * R only bounds how FINE the safe partitions may get. */
+  val MondrianRounds = 5
+
+  /** q191: Mondrian multidimensional k-anonymization (LeFevre, DeWitt
+    * & Ramakrishnan, ICDE 2006) — the ENFORCEMENT member of the family:
+    * q188 reports which equivalence classes are unsafe; this produces
+    * the generalization that makes a release safe. Numeric QIs
+    * (balance in exact cents, nation key) partition kd-tree-style:
+    * each round, every live partition picks the dimension with the
+    * widest GLOBALLY-normalized range (integer cross-multiplication —
+    * no division, no ties-by-rounding) and splits at its median; a cut
+    * that would leave either side below k is refused and the partition
+    * is final (the paper's allowable-cut rule). This is the RELAXED
+    * variant (LeFevre §4): the split is by (value, id) RANK, so a tie
+    * value may span both sides and intervals may touch — what makes
+    * the recursion deterministic and integer-exact. Output: one row
+    * per final partition with its generalized QI intervals — the
+    * release publishes [min,max] ranges instead of raw values.
+    *
+    * Scale shape: R passes over the registry, each ONE partition-keyed
+    * exchange carrying two window sorts (partition stats as unbounded
+    * window aggregates over the SAME partitioning the rank uses — no
+    * per-round groupBy, no join, no re-materialization, single
+    * consumption so the lineage stays linear in R); rank-based splits
+    * mean no median value extraction, no driver loop, no collect.
+    * Depth is the only sequential axis — exactly the paper's recursion
+    * depth. */
+  def mondrian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = Tables.customer(spark, sfDir).select(
+      col("c_custkey").as("id"),
+      floor(col("c_acctbal") * lit(100.0)).cast("long").as("b"),
+      col("c_nationkey").cast("long").as("g"))
+    // materialized once: the global-domain aggregate and the recursion
+    // both read it (two consumers of the registry scan)
+    val base = Materialize.shared(spark, base0)
+    // global domain widths, for normalized-range comparison by exact
+    // cross-multiplication — carried through the rounds as columns
+    // (one answer-sized frame, broadcast once)
+    val dom = base.agg((max("b") - min("b")).as("db"), (max("g") - min("g")).as("dg"))
+    val start = base.crossJoin(broadcast(dom)).withColumn("p", lit(0L))
+    val split = (0 until MondrianRounds).foldLeft(start) { (rows, _) =>
+      val wp = Window.partitionBy("p")
+      val ranged = rows
+        .withColumn("rb", max("b").over(wp) - min("b").over(wp))
+        .withColumn("rg", max("g").over(wp) - min("g").over(wp))
+        .withColumn("n", count(lit(1)).over(wp))
+        .withColumn("ck", when(col("rb") * col("dg") >= col("rg") * col("db"),
+          col("b")).otherwise(col("g")))
+      val rn = row_number()
+        .over(Window.partitionBy("p").orderBy("ck", "id")).cast("long")
+      ranged.withColumn("rn", rn)
+        .withColumn("nl", expr("(n + 1) div 2"))
+        .withColumn("p", when(col("nl") >= KAnonK && col("n") - col("nl") >= KAnonK,
+          col("p") * 2 + when(col("rn") <= col("nl"), 0L).otherwise(1L))
+          .otherwise(col("p") * 2))
+        .select("id", "b", "g", "db", "dg", "p")
+    }
+    split.groupBy("p").agg(
+        count(lit(1)).as("n_rows"),
+        min("b").as("bal_lo"), max("b").as("bal_hi"),
+        min("g").as("nat_lo"), max("g").as("nat_hi"))
+      .withColumn("is_kanon", col("n_rows") >= KAnonK)
+      .select("p", "n_rows", "bal_lo", "bal_hi", "nat_lo", "nat_hi", "is_kanon")
+      .orderBy("p")
+  }
+
+  def mondrianSql: String = {
+    val rounds = (1 to MondrianRounds).map { r =>
+      s"""s$r AS (
+         |  SELECT *,
+         |    max(b) OVER (PARTITION BY p) - min(b) OVER (PARTITION BY p) AS rb,
+         |    max(g) OVER (PARTITION BY p) - min(g) OVER (PARTITION BY p) AS rg,
+         |    count(*) OVER (PARTITION BY p) AS n
+         |  FROM r${r - 1}),
+         |w$r AS (
+         |  SELECT id, b, g, db, dg, p, n,
+         |    cast(row_number() OVER (PARTITION BY p ORDER BY
+         |      CASE WHEN rb * dg >= rg * db THEN b ELSE g END, id) as bigint) AS rn
+         |  FROM s$r),
+         |r$r AS (
+         |  SELECT id, b, g, db, dg,
+         |    CASE WHEN (n + 1) // 2 >= $KAnonK AND n - (n + 1) // 2 >= $KAnonK
+         |      THEN p * 2 + (CASE WHEN rn <= (n + 1) // 2 THEN 0 ELSE 1 END)
+         |      ELSE p * 2 END AS p
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT c_custkey AS id,
+       |    cast(floor(c_acctbal * 100.0) as bigint) AS b,
+       |    cast(c_nationkey as bigint) AS g
+       |  FROM customer),
+       |dom AS (SELECT max(b) - min(b) AS db, max(g) - min(g) AS dg FROM base),
+       |r0 AS (SELECT id, b, g, db, dg, cast(0 as bigint) AS p
+       |  FROM base CROSS JOIN dom),
+       |$rounds
+       |SELECT p, count(*) AS n_rows,
+       |  min(b) AS bal_lo, max(b) AS bal_hi,
+       |  min(g) AS nat_lo, max(g) AS nat_hi,
+       |  count(*) >= $KAnonK AS is_kanon
+       |FROM r$MondrianRounds
+       |GROUP BY p ORDER BY p""".stripMargin
+  }
+
   /** Geometric-tail cap for the q189 noise draw. P(run >= 48) at
     * alpha = 2/3 is (2/3)^48 ~ 3e-9: statistically invisible, and the
     * cap makes the draw a TOTAL deterministic function (no unbounded

@@ -696,6 +696,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the served form reads the corpus for the two self-join branches only:\n$plan")
   }
 
+  test("q191: each Mondrian round reads a materialized frame — the registry is scanned once, not 2^R times") {
+    val df = graft.ops.Privacy.mondrian(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "customer.parquet") <= 1,
+      s"the uncached fold doubles lineage per round (the q175 recompute class):\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"per-round frames must be materialized:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"partition stats must broadcast-join, never cross:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

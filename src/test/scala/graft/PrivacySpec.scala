@@ -199,6 +199,93 @@ class PrivacySpec extends SparkSpec {
     none.foreach(r => assert(r.getAs[Long]("weight_q16") < 0))
   }
 
+  // ---------------------------------------------------------------- q191
+
+  /** Literal recursive relaxed-Mondrian reference (LeFevre et al. 2006):
+    * widest globally-normalized dimension by integer cross-mult, rank
+    * split at ceil(n/2), cut refused when either side would drop below
+    * k, depth capped at MondrianRounds. Returns final partitions as
+    * id-sets with their generalized intervals. */
+  private def mondrianRef(rows: Seq[(Long, Long, Long)]):
+      Set[(Set[Long], (Long, Long, Long, Long), Boolean)] = {
+    val db = rows.map(_._2).max - rows.map(_._2).min
+    val dg = rows.map(_._3).max - rows.map(_._3).min
+    def recurse(part: Seq[(Long, Long, Long)], depth: Int): Seq[Seq[(Long, Long, Long)]] = {
+      val n = part.size
+      val nl = (n + 1) / 2
+      if (depth == Privacy.MondrianRounds || nl < Privacy.KAnonK ||
+          n - nl < Privacy.KAnonK) Seq(part)
+      else {
+        val rb = part.map(_._2).max - part.map(_._2).min
+        val rg = part.map(_._3).max - part.map(_._3).min
+        val sorted = if (rb * dg >= rg * db) part.sortBy(r => (r._2, r._1))
+          else part.sortBy(r => (r._3, r._1))
+        recurse(sorted.take(nl), depth + 1) ++ recurse(sorted.drop(nl), depth + 1)
+      }
+    }
+    recurse(rows, 0).map { p =>
+      (p.map(_._1).toSet,
+        (p.map(_._2).min, p.map(_._2).max, p.map(_._3).min, p.map(_._3).max),
+        p.size >= Privacy.KAnonK)
+    }.toSet
+  }
+
+  test("q191: relaxed Mondrian matches the literal recursion and refuses unallowable cuts") {
+    // 23 rows, balances spread over two nations: round 1 cuts 12/11,
+    // round 2 cuts to 6/6/6/5, round 3 refuses every cut (3 < k=5) —
+    // the recursion must stop on the allowable-cut rule, not on depth
+    val rows = (1L to 23L).map(i =>
+      (i, s"c$i", (i % 2).toInt, i.toDouble * 37 + (if (i % 3 == 0) -50.0 else 25.0), "SEG"))
+    val dir = graft.streaming.StreamScratch.dir("priv-mondrian")
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val expect = mondrianRef(rows.map(r =>
+      (r._1, math.floor(r._4 * 100.0).toLong, r._3.toLong)))
+    assert(expect.forall(_._1.size >= Privacy.KAnonK),
+      "fixture sanity: every final partition is k-anonymous here")
+    assert(expect.size == 4, "fixture sanity: 6/6/6/5 partitioning")
+
+    val got = Privacy.mondrian(spark, dir).collect()
+    // intervals + sizes + flags must match the reference partitioning
+    val gotSet = got.map(r =>
+      ((r.getAs[Long]("bal_lo"), r.getAs[Long]("bal_hi"),
+        r.getAs[Long]("nat_lo"), r.getAs[Long]("nat_hi")),
+       r.getAs[Long]("n_rows"), r.getAs[Boolean]("is_kanon"))).toSet
+    val expSet = expect.map(e => (e._2, e._1.size.toLong, e._3))
+    assert(gotSet == expSet)
+  }
+
+  test("q191: a sub-2k registry is never cut; a mixed-dimension registry replays the recursion exactly") {
+    // 7 rows (< 2k = 10): no allowable cut at any depth -> ONE partition
+    val tiny = (1L to 7L).map(i => (i, s"t$i", 3, i * 1000.0, "SEG"))
+    val dirT = graft.streaming.StreamScratch.dir("priv-mondrian-tiny")
+    tiny.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dirT/customer.parquet")
+    val one = Privacy.mondrian(spark, dirT).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_rows") == 7)
+    assert(one.head.getAs[Boolean]("is_kanon")) // 7 >= 5
+
+    // a registry where nation correlates with balance bands: after the
+    // root cut (always the tie -> balance, since both normalized ranges
+    // are 1 at the root), later rounds must pick dimensions by the
+    // globally-normalized cross-mult — the recursion replay pins every
+    // choice
+    val rows = (1L to 40L).map(i =>
+      (i, s"n$i", (i % 4).toInt, 1000.0 * (i % 7) + 13.0 * i, "SEG"))
+    val dirN = graft.streaming.StreamScratch.dir("priv-mondrian-norm")
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dirN/customer.parquet")
+    val expect = mondrianRef(rows.map(r =>
+      (r._1, math.floor(r._4 * 100.0).toLong, r._3.toLong)))
+      .map(e => (e._2, e._1.size.toLong, e._3))
+    val got = Privacy.mondrian(spark, dirN).collect().map(r =>
+      ((r.getAs[Long]("bal_lo"), r.getAs[Long]("bal_hi"),
+        r.getAs[Long]("nat_lo"), r.getAs[Long]("nat_hi")),
+       r.getAs[Long]("n_rows"), r.getAs[Boolean]("is_kanon"))).toSet
+    assert(got == expect)
+  }
+
   test("q190: the graph-served form is row-identical to the inline form") {
     val docs = Seq(
       (1L, "one two three four five six seven eight", "sa"),
