@@ -168,7 +168,11 @@ object Scaling {
     // LinkBlockCap (plan-audited); its scale path at a real corpus is
     // sharper blocking keys, and its corpus-sized cost is otherwise the
     // graph-served q74 shape already measured here.
-    "q189_dp_histogram" -> ((s, d) => graft.ops.Privacy.dpHistogram(s, d)))
+    "q189_dp_histogram" -> ((s, d) => graft.ops.Privacy.dpHistogram(s, d)),
+    // the wave (src0 replicas) grows with the factor; verdicts are one
+    // wave-keyed window + a broadcast of the QI-domain-sized frozen
+    // count table — no corpus-sized shuffle join at any decade
+    "q192_kanon_admission" -> ((s, d) => graft.ops.Privacy.kAnonAdmission(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's

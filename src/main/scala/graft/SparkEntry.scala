@@ -249,7 +249,10 @@ object SparkEntry {
     "q189_dp_histogram"     -> Privacy.dpHistogram _,
     "q190_fs_linkage"       -> ((s: SparkSession, d: String) =>
       Privacy.fsLinkageFromGraph(s, d, Dedup.OracleHashBits)),
-    "q191_mondrian"         -> Privacy.mondrian _
+    "q191_mondrian"         -> Privacy.mondrian _,
+    "q192_kanon_admission"  -> Privacy.kAnonAdmission _,
+    "q193_stream_kanon_gate" -> ((s: SparkSession, d: String) =>
+      graft.streaming.PrivacyStream.kAnonGateStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -518,6 +521,10 @@ object SparkEntry {
     "q188_kanon_audit"      -> Privacy.kAnonAuditSql,
     "q189_dp_histogram"     -> Privacy.dpHistogramSql,
     "q190_fs_linkage"       -> Privacy.fsLinkageSql,
-    "q191_mondrian"         -> Privacy.mondrianSql
+    "q191_mondrian"         -> Privacy.mondrianSql,
+    "q192_kanon_admission"  -> Privacy.kAnonAdmissionSql,
+    // q193 shares q192's oracle: class counts are order-independent
+    // sums, so the unioned multi-batch wave is row-identical to batch
+    "q193_stream_kanon_gate" -> Privacy.kAnonAdmissionSql
   )
 }

@@ -202,6 +202,74 @@ object Privacy {
        |GROUP BY p ORDER BY p""".stripMargin
   }
 
+  /** Width of the q192 length-band quasi-identifier on documents. */
+  val DocBand = 64L
+
+  /** q192: k-anonymity ADMISSION guard — the q188 audit moved to the
+    * admission frontier (the q177 → q180 precedent: report the unsafe
+    * class where it is still preventable). Incoming documents (the
+    * src0 wave, the admission family's shared convention) carry
+    * metadata quasi-identifiers (lang, length band): a document whose
+    * QI class in the PROPOSED release — frozen corpus plus the whole
+    * wave — has fewer than k members is re-identifiable by its
+    * metadata alone (the stylometric-metadata attack surface) and gets
+    * a 'suppress' verdict; every wave doc gets a row, the admission
+    * contract. One round against the proposed release, no suppression
+    * cascade — the iterated fixpoint is q191's generalization job, not
+    * an admission decision.
+    *
+    * Scale shape: the wave pays one scan with its class counts as an
+    * unbounded window over the SAME (lang, band) key; the frozen side
+    * collapses to a QI-domain-sized count table that BROADCASTS. No
+    * corpus-sized shuffle, no join wider than the wave. */
+  def kAnonAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(s"n_chars div $DocBand").as("band"))
+    val frozenCounts = docs.filter(col("source") =!= Dedup.IncrementalSource)
+      .groupBy("lang", "band").agg(count(lit(1)).as("n_frozen"))
+    kAnonVerdictsOf(docs.filter(col("source") === Dedup.IncrementalSource)
+      .select("doc_id", "lang", "band"), frozenCounts)
+  }
+
+  /** The q192 verdict core over any (doc_id, lang, band) wave frame —
+    * the seam the streaming twin (q193) shares, so stream and batch
+    * cannot drift: class counts are order-independent sums, so
+    * verdicts over a unioned multi-batch wave are row-identical to the
+    * single-pass batch. */
+  private[graft] def kAnonVerdictsOf(wave: DataFrame,
+                                     frozenCounts: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "band")
+    wave
+      .withColumn("n_wave", count(lit(1)).over(w))
+      .join(broadcast(frozenCounts), Seq("lang", "band"), "left")
+      .withColumn("n_frozen", coalesce(col("n_frozen"), lit(0L)))
+      .withColumn("n_release", col("n_frozen") + col("n_wave"))
+      .withColumn("verdict",
+        when(col("n_release") >= KAnonK, "admit").otherwise("suppress"))
+      .select("doc_id", "lang", "band", "n_frozen", "n_wave", "n_release", "verdict")
+      .orderBy("doc_id")
+  }
+
+  def kAnonAdmissionSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, lang, source, n_chars // $DocBand AS band
+       |  FROM documents),
+       |fc AS (
+       |  SELECT lang, band, count(*) AS n_frozen FROM docs
+       |  WHERE source != '${Dedup.IncrementalSource}' GROUP BY 1, 2),
+       |wv AS (
+       |  SELECT doc_id, lang, band,
+       |    cast(count(*) OVER (PARTITION BY lang, band) as bigint) AS n_wave
+       |  FROM docs WHERE source = '${Dedup.IncrementalSource}')
+       |SELECT doc_id, wv.lang, wv.band,
+       |  coalesce(n_frozen, 0) AS n_frozen, n_wave,
+       |  coalesce(n_frozen, 0) + n_wave AS n_release,
+       |  CASE WHEN coalesce(n_frozen, 0) + n_wave >= $KAnonK
+       |    THEN 'admit' ELSE 'suppress' END AS verdict
+       |FROM wv LEFT JOIN fc ON wv.lang = fc.lang AND wv.band = fc.band
+       |ORDER BY doc_id""".stripMargin
+
   /** Geometric-tail cap for the q189 noise draw. P(run >= 48) at
     * alpha = 2/3 is (2/3)^48 ~ 3e-9: statistically invisible, and the
     * cap makes the draw a TOTAL deterministic function (no unbounded

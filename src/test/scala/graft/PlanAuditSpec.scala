@@ -707,6 +707,17 @@ class PlanAuditSpec extends SparkSpec {
       s"partition stats must broadcast-join, never cross:\n$plan")
   }
 
+  test("q192: wave classes count in one window; frozen counts broadcast — no corpus-sized shuffle join") {
+    val df = graft.ops.Privacy.kAnonAdmission(spark, sf0001)
+    val plan = executed(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the QI-domain-sized frozen count table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"verdicts are a keyed equi-join:\n$plan")
+    assert(parquetScans(df, "documents.parquet") <= 2,
+      s"one pruned scan per side (wave, frozen):\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

@@ -286,6 +286,74 @@ class PrivacySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  // ------------------------------------------------------------ q192/q193
+
+  test("q192: admission verdicts cover frozen-backed, wave-internal, and suppressed classes") {
+    val band = Privacy.DocBand.toInt
+    def doc(id: Long, lang: String, len: Int, src: String) =
+      (id, "x" * len, lang, src, len.toLong)
+    // frozen: 4 'en' docs in band 0 (wave member makes 5 = k);
+    // wave-internal: 5 'de' docs in band 1, frozen has none;
+    // suppressed: 1 'fr' wave doc, nothing anywhere near
+    val docs =
+      (1L to 4L).map(i => doc(i, "en", 10, "frozen")) ++
+      Seq(doc(10L, "en", 12, "src0")) ++
+      (20L to 24L).map(i => doc(i, "de", band + 3, "src0")) ++
+      Seq(doc(30L, "fr", 2 * band + 1, "src0"))
+    val dir = graft.streaming.StreamScratch.dir("priv-kadm")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = Privacy.kAnonAdmission(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frozen"), r.getAs[Long]("n_wave"),
+          r.getAs[Long]("n_release"), r.getAs[String]("verdict")))).toMap
+    assert(got.keySet == Set(10L) ++ (20L to 24L) + 30L,
+      "every wave doc gets a row; frozen docs get none")
+    assert(got(10L) == ((4L, 1L, 5L, "admit")))     // frozen-backed
+    (20L to 24L).foreach(i =>
+      assert(got(i) == ((0L, 5L, 5L, "admit")), s"doc $i")) // wave-internal
+    assert(got(30L) == ((0L, 1L, 1L, "suppress")))  // metadata singleton
+  }
+
+  test("q193: a multi-batch wave is row-identical to batch q192, including classes spanning batches") {
+    val band = Privacy.DocBand.toInt
+    def doc(id: Long, lang: String, len: Int, src: String) =
+      (id, "x" * len, lang, src, len.toLong)
+    // the 'de' class reaches k=5 only across batches 1+2+3: an early
+    // arrival's verdict must reflect the whole wave (retro-amendment)
+    val frozen = (1L to 3L).map(i => doc(i, "en", 10, "frozen"))
+    val b1 = Seq(doc(10L, "de", 5, "src0"), doc(11L, "de", 7, "src0"))
+    val b2 = Seq(doc(12L, "de", 9, "src0"), doc(13L, "en", 11, "src0"))
+    val b3 = Seq(doc(14L, "de", 12, "src0"), doc(15L, "de", 3, "src0"))
+    val dir = graft.streaming.StreamScratch.dir("priv-kstream")
+    (frozen ++ b1 ++ b2 ++ b3)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val waveDir = graft.streaming.StreamScratch.dir("priv-kstream-wave")
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val tmp = graft.streaming.StreamScratch.dir(s"priv-kstream-part$i")
+      b.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(waveDir, s"batch$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val batch = Privacy.kAnonAdmission(spark, dir).collect().toSeq
+    val stream = graft.streaming.PrivacyStream.kAnonGateStream(
+      spark, dir, streamSrc = Some(waveDir), filesPerTrigger = Some(1))
+      .collect().toSeq
+    assert(batch.nonEmpty && stream == batch)
+    // the cross-batch property specifically: every 'de' doc admits —
+    // the class reaches 5 only across three batches
+    val byId = stream.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("verdict")).toMap
+    Seq(10L, 11L, 12L, 14L, 15L).foreach(i => assert(byId(i) == "admit", s"doc $i"))
+    assert(byId(13L) == "suppress") // 3 frozen + 1 wave = 4 < k
+  }
+
   test("q190: the graph-served form is row-identical to the inline form") {
     val docs = Seq(
       (1L, "one two three four five six seven eight", "sa"),
