@@ -172,7 +172,12 @@ object Scaling {
     // the wave (src0 replicas) grows with the factor; verdicts are one
     // wave-keyed window + a broadcast of the QI-domain-sized frozen
     // count table — no corpus-sized shuffle join at any decade
-    "q192_kanon_admission" -> ((s, d) => graft.ops.Privacy.kAnonAdmission(s, d)))
+    "q192_kanon_admission" -> ((s, d) => graft.ops.Privacy.kAnonAdmission(s, d)),
+    // one tokenize scan + token-keyed count; replicas suffix words so
+    // the vocabulary scales with the factor while the
+    // frequency-of-frequencies frame stays O(sqrt N) — the downstream
+    // window/regression must stay answer-sized
+    "q194_good_turing" -> ((s, d) => graft.ops.TextAnalytics.goodTuring(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's

@@ -252,7 +252,8 @@ object SparkEntry {
     "q191_mondrian"         -> Privacy.mondrian _,
     "q192_kanon_admission"  -> Privacy.kAnonAdmission _,
     "q193_stream_kanon_gate" -> ((s: SparkSession, d: String) =>
-      graft.streaming.PrivacyStream.kAnonGateStream(s, d))
+      graft.streaming.PrivacyStream.kAnonGateStream(s, d)),
+    "q194_good_turing"      -> TextAnalytics.goodTuring _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -525,6 +526,7 @@ object SparkEntry {
     "q192_kanon_admission"  -> Privacy.kAnonAdmissionSql,
     // q193 shares q192's oracle: class counts are order-independent
     // sums, so the unioned multi-batch wave is row-identical to batch
-    "q193_stream_kanon_gate" -> Privacy.kAnonAdmissionSql
+    "q193_stream_kanon_gate" -> Privacy.kAnonAdmissionSql,
+    "q194_good_turing"      -> TextAnalytics.goodTuringSql
   )
 }

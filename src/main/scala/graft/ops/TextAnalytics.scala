@@ -2770,6 +2770,125 @@ object TextAnalytics {
        |FROM ($withLogs) ORDER BY source""".stripMargin
   }
 
+  /** q194: Simple Good-Turing frequency smoothing (Good 1953; Gale &
+    * Sampson 1995, "Good-Turing frequency estimation without tears") —
+    * THE classical answer to "how much probability mass belongs to
+    * token types the corpus has never seen", the estimator under
+    * Katz backoff and the sanity check on any vocabulary-coverage
+    * claim (q55/q123 score against a FIXED vocabulary; this measures
+    * how much is missing from ANY vocabulary drawn from this corpus).
+    * Per observed frequency r: Z_r (types seen r times), the raw
+    * Turing adjusted count r* = (r+1)Z_{r+1}/Z_r (defined only when
+    * r+1 is observed — exactly the sparsity the smoothing exists for),
+    * and the SGT estimate from Gale-Sampson's log-log regression:
+    * Z'_r = 2Z_r/(t−q) (neighbor-gap averaging, t/q the adjacent
+    * observed frequencies, t = 2r−q at the tail), log Z' regressed on
+    * log r with slope b, so log2 r*_SGT = log2(r+1) + b·(log2(r+1) −
+    * log2(r)) — the intercept cancels in the ratio, which is what
+    * makes the whole report EXACT on the Q16 grid: logs via
+    * FixedLog2Q16, the OLS slope as a milli ratio of decimal(38,0)
+    * moment sums (floor-adjusted truncating division, the FloorGrid
+    * discipline), and the unseen mass P0 = Z_1/N in exact ppm.
+    *
+    * Scale shape: the corpus pays one tokenize scan + one token-keyed
+    * count; everything downstream runs on the frequency-of-frequencies
+    * frame, whose size is the number of DISTINCT counts (O(√N) by the
+    * mass bound Σ r·Z_r = N) — the global window and the regression
+    * are answer-sized at any corpus size. Per-row products are bounded
+    * by N·10³ (i64-safe for any corpus this side of 10¹⁵ tokens); the
+    * cross-row moment sums, the actual overflow risk, ride
+    * decimal(38,0). */
+  def goodTuring(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.FixedLog2
+    import org.apache.spark.sql.expressions.Window
+    // answer-sized frame: a global window here orders O(sqrt(N)) rows
+    val w = Window.orderBy("r")
+    val zr = Tables.documents(spark, sfDir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("z"))
+    val frame = Materialize.shared(spark, zr
+      .withColumn("q", coalesce(lag("r", 1).over(w), lit(0L)))
+      .withColumn("t", coalesce(lead("r", 1).over(w), lit(2) * col("r") - coalesce(lag("r", 1).over(w), lit(0L))))
+      .withColumn("rn", lead("r", 1).over(w))
+      .withColumn("zn", lead("z", 1).over(w))
+      .withColumn("x", FixedLog2(col("r")))
+      .withColumn("lr1", FixedLog2(col("r") + 1))
+      .withColumn("y", FixedLog2(lit(2) * col("z")) - FixedLog2(col("t") - col("q"))))
+    val stats = frame.agg(
+        count(lit(1)).cast("decimal(38,0)").as("nv"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum(when(col("r") === 1, col("z")).otherwise(0L)).as("z1"),
+        sum((col("r") * col("z")).cast("decimal(38,0)")).as("ntok"))
+      .withColumn("bnum", expr("(nv * sxy - sx * sy) * 1000"))
+      .withColumn("bden", expr("nv * sxx - sx * sx"))
+      // floor of a (typically negative) ratio from truncating div —
+      // the FloorGrid negative-remainder adjustment, b = 0 when the
+      // regression is degenerate (a single observed frequency)
+      .withColumn("b_milli", expr(
+        """CASE WHEN bden = 0 THEN 0 ELSE
+          |  cast(bnum div bden as bigint) -
+          |  CASE WHEN bnum % bden != 0 AND bnum < 0 THEN 1 ELSE 0 END
+          |END""".stripMargin))
+      .select(col("b_milli"), col("z1"),
+        expr("cast(z1 * 1000000 div ntok as bigint)").as("p0_ppm"))
+    frame.crossJoin(broadcast(stats))
+      .withColumn("turing_permille",
+        when(col("rn") === col("r") + 1, expr("((r + 1) * zn * 1000) div z")))
+      .withColumn("sgt_log2_q16",
+        col("lr1") + expr("(b_milli * (lr1 - x)) div 1000"))
+      .select("r", "z", "turing_permille", "sgt_log2_q16", "b_milli", "p0_ppm")
+      .orderBy("r")
+  }
+
+  def goodTuringSql: String = {
+    import graft.functions.FixedLog2
+    val logs = FixedLog2.sqlNested(
+      FixedLog2.sqlNested(
+        FixedLog2.sqlNested(
+          FixedLog2.sqlNested("SELECT * FROM fv", "r", "gx_", "x"),
+          "rp1", "gy_", "lr1"),
+        "c2z", "gz_", "la"),
+      "gap", "gw_", "lb")
+    s"""WITH tk AS (SELECT unnest($sqlTokens) AS tok FROM documents),
+       |cnt AS (SELECT tok, cast(count(*) as bigint) AS r FROM tk GROUP BY tok),
+       |zr AS (SELECT r, cast(count(*) as bigint) AS z FROM cnt GROUP BY r),
+       |fr AS (
+       |  SELECT r, z,
+       |    coalesce(lag(r) OVER (ORDER BY r), 0) AS q,
+       |    coalesce(lead(r) OVER (ORDER BY r),
+       |      2 * r - coalesce(lag(r) OVER (ORDER BY r), 0)) AS t,
+       |    lead(r) OVER (ORDER BY r) AS rn,
+       |    lead(z) OVER (ORDER BY r) AS zn
+       |  FROM zr),
+       |fv AS (SELECT r, z, rn, zn, r + 1 AS rp1, 2 * z AS c2z, t - q AS gap FROM fr),
+       |lg AS (SELECT *, la - lb AS y FROM ($logs)),
+       |st AS (
+       |  SELECT count(*) AS nv, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx,
+       |    cast(sum(CASE WHEN r = 1 THEN z ELSE 0 END) as bigint) AS z1,
+       |    sum(r * z) AS ntok
+       |  FROM lg),
+       |bs AS (
+       |  SELECT
+       |    CASE WHEN nv * sxx - sx * sx = 0 THEN 0 ELSE
+       |      cast((nv * sxy - sx * sy) * 1000 // (nv * sxx - sx * sx) as bigint) -
+       |      CASE WHEN (nv * sxy - sx * sy) * 1000 % (nv * sxx - sx * sx) != 0
+       |        AND (nv * sxy - sx * sy) * 1000 < 0 THEN 1 ELSE 0 END
+       |    END AS b_milli,
+       |    z1, cast(z1 * 1000000 // ntok as bigint) AS p0_ppm
+       |  FROM st)
+       |SELECT r, z,
+       |  CASE WHEN rn = r + 1 THEN ((r + 1) * zn * 1000) // z END AS turing_permille,
+       |  lr1 + (b_milli * (lr1 - x)) // 1000 AS sgt_log2_q16,
+       |  b_milli, p0_ppm
+       |FROM lg CROSS JOIN bs
+       |ORDER BY r""".stripMargin
+  }
+
   def knBigramXentSql: String = {
     val base =
       s"""WITH toksl AS (

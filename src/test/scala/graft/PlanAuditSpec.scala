@@ -718,6 +718,15 @@ class PlanAuditSpec extends SparkSpec {
       s"one pruned scan per side (wave, frozen):\n$plan")
   }
 
+  test("q194: the corpus pays one tokenize scan; regression and smoothing run on the materialized frequency-of-frequencies frame") {
+    val df = graft.ops.TextAnalytics.goodTuring(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") <= 1,
+      s"one tokenize scan; Z_r is answer-sized:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the Z_r frame feeds the stats row AND the report — must be materialized:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

@@ -183,4 +183,70 @@ class Round12OpsSpec extends SparkSpec {
       assert(r.getAs[Long]("max_leaf") >= 60, s"tree $t")
     }
   }
+
+  // ---------------------------------------------------------------- q194
+
+  /** Independent Simple Good-Turing replay: literal Gale-Sampson
+    * formulas over a hand-counted vocabulary, logs via the shared
+    * FixedLog2.q16 kernel (reimplementing it with libm would differ by
+    * design — its exactness is property-tested separately), sums in
+    * BigInt, floor via explicit adjustment. */
+  private def sgtRef(counts: Map[String, Long]):
+      Seq[(Long, Long, Option[Long], Long, Long, Long)] = {
+    import graft.functions.FixedLog2.q16
+    val zr = counts.values.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val n = zr.size
+    val rows = zr.zipWithIndex.map { case ((r, z), i) =>
+      val q = if (i == 0) 0L else zr(i - 1)._1
+      val t = if (i == n - 1) 2 * r - q else zr(i + 1)._1
+      val x = q16(r)
+      val y = q16(2 * z) - q16(t - q)
+      (r, z, x, y, q16(r + 1))
+    }
+    val (sx, sy, sxy, sxx) = rows.foldLeft(
+      (BigInt(0), BigInt(0), BigInt(0), BigInt(0))) { case ((a, b, c, d), r) =>
+      (a + r._3, b + r._4, c + BigInt(r._3) * r._4, d + BigInt(r._3) * r._3)
+    }
+    val bnum = (BigInt(n) * sxy - sx * sy) * 1000
+    val bden = BigInt(n) * sxx - sx * sx
+    val bMilli = if (bden == 0) 0L else {
+      val tdiv = bnum / bden // BigInt division truncates toward zero
+      (if (bnum % bden != 0 && bnum < 0) tdiv - 1 else tdiv).toLong
+    }
+    val ntok = counts.values.sum
+    val z1 = zr.find(_._1 == 1L).map(_._2).getOrElse(0L)
+    val p0 = z1 * 1000000L / ntok
+    rows.zipWithIndex.map { case ((r, z, x, _, lr1), i) =>
+      val turing = zr.lift(i + 1).collect {
+        case (rn, zn) if rn == r + 1 => (r + 1) * zn * 1000 / z
+      }
+      val sgt = lr1 + bMilli * (lr1 - x) / 1000 // both engines truncate
+      (r, z, turing, sgt, bMilli, p0)
+    }
+  }
+
+  test("q194: SGT report matches the literal Gale-Sampson replay on a Zipf-ish vocabulary") {
+    // counts: r=1 x3 (d,e,f), r=2 x1 (g), r=3 x2 (b,c), r=5 x1 (a)
+    // -> Turing estimate defined at r=1 (next is 2) and r=2 (next is
+    // 3), undefined at r=3 (next observed is 5) and at the tail
+    val counts = Map("a" -> 5L, "b" -> 3L, "c" -> 3L, "g" -> 2L,
+      "d" -> 1L, "e" -> 1L, "f" -> 1L)
+    val text = counts.toSeq.sortBy(_._1)
+      .flatMap { case (w, c) => Seq.fill(c.toInt)(w) }.mkString(" ")
+    val dir = writeDocs("sgt", Seq((1L, text, "s")))
+    val got = graft.ops.TextAnalytics.goodTuring(spark, dir).collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("z"),
+        Option(r.get(r.fieldIndex("turing_permille"))).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("sgt_log2_q16"), r.getAs[Long]("b_milli"),
+        r.getAs[Long]("p0_ppm"))).toSeq
+    val ref = sgtRef(counts)
+    assert(got == ref)
+    // the classic regime on this vocabulary: negative Zipf slope,
+    // unseen mass = 3/16 of the corpus, Turing at r=1 discounts (the
+    // adjusted count 2*1/3 < 1 signals mass flowing to the unseen)
+    assert(got.head._5 < 0, "b must be negative on a Zipf-ish tail")
+    assert(got.head._6 == 3L * 1000000L / 16L)
+    assert(got.head._3.contains(2L * 1L * 1000L / 3L))
+  }
 }
