@@ -222,15 +222,24 @@ object Privacy {
     * unbounded window over the SAME (lang, band) key; the frozen side
     * collapses to a QI-domain-sized count table that BROADCASTS. No
     * corpus-sized shuffle, no join wider than the wave. */
-  def kAnonAdmission(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr(s"n_chars div $DocBand").as("band"))
-    val frozenCounts = docs.filter(col("source") =!= Dedup.IncrementalSource)
+  def kAnonAdmission(spark: SparkSession, sfDir: String): DataFrame =
+    kAnonVerdictsOf(
+      docQiProjection(Tables.documents(spark, sfDir)
+        .filter(col("source") === Dedup.IncrementalSource)),
+      frozenQiCounts(spark, sfDir))
+
+  /** The (doc_id, lang, band) quasi-identifier projection — ONE
+    * definition for batch q192 and the q193 stream's per-batch write,
+    * so the QI cannot drift between the twins. */
+  private[graft] def docQiProjection(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), expr(s"n_chars div $DocBand").as("band"))
+
+  /** Frozen-release QI class counts (everything outside the src0
+    * wave) — shared by q192 and the q193 serving read. */
+  private[graft] def frozenQiCounts(spark: SparkSession, sfDir: String): DataFrame =
+    docQiProjection(Tables.documents(spark, sfDir)
+      .filter(col("source") =!= Dedup.IncrementalSource))
       .groupBy("lang", "band").agg(count(lit(1)).as("n_frozen"))
-    kAnonVerdictsOf(docs.filter(col("source") === Dedup.IncrementalSource)
-      .select("doc_id", "lang", "band"), frozenCounts)
-  }
 
   /** The q192 verdict core over any (doc_id, lang, band) wave frame —
     * the seam the streaming twin (q193) shares, so stream and batch
@@ -326,8 +335,10 @@ object Privacy {
     * discipline (a block of B docs fans out B²/2 pairs in one task; a
     * boilerplate flood at web scale would otherwise materialize 10¹⁰
     * pairs from one key). Never binds at the test SFs (max observed
-    * block ~2% of the cap), so the oracle is exact; the cap also bounds
-    * the ppm numerators ((count+1)·10⁶) far inside i64. */
+    * block ~2% of the cap), so the oracle is exact. Note the cap bounds
+    * PER-BLOCK fan-out only — corpus-wide pair totals still grow with
+    * the block count, which is why the m/u ppm estimation runs in
+    * decimal(38,0)/hugeint rather than i64. */
   val LinkBlockCap = 1024L
 
   /** Decision thresholds on the Q16 log₂-likelihood-ratio scale:
@@ -424,8 +435,15 @@ object Privacy {
     val fields = st.select(
       expr("stack(4, 1L, am1, au1, 2L, am2, au2, 3L, am3, au3, 4L, am4, au4) as (f, am, au)"),
       col("nm"), col("nu"))
-      .withColumn("mp", expr("least(greatest((am + 1) * 1000000 div (nm + 2), 1), 999999)"))
-      .withColumn("up", expr("least(greatest((au + 1) * 1000000 div (nu + 2), 1), 999999)"))
+      // ppm estimation in decimal(38,0): am/au/nm/nu are CORPUS-WIDE
+      // pair totals (LinkBlockCap bounds the per-block fan-out, not
+      // their sum), so the x1e6 numerator would wrap i64 near ~9e12
+      // total pairs — exactly the regime a web corpus reaches. DuckDB
+      // mirrors via its native hugeint sums.
+      .withColumn("mp", expr("cast(least(greatest(" +
+        "(cast(am as decimal(38,0)) + 1) * 1000000 div (nm + 2), 1), 999999) as bigint)"))
+      .withColumn("up", expr("cast(least(greatest(" +
+        "(cast(au as decimal(38,0)) + 1) * 1000000 div (nu + 2), 1), 999999) as bigint)"))
       .select(col("f"),
         (FixedLog2(col("mp")) - FixedLog2(col("up"))).as("wa"),
         (FixedLog2(lit(1000000L) - col("mp")) -
@@ -486,16 +504,16 @@ object Privacy {
        |    cast(sum(CASE WHEN is_m THEN 1 ELSE 0 END) as bigint) AS n_match
        |  FROM pm GROUP BY 1, 2, 3, 4),
        |st AS (
-       |  SELECT cast(sum(n_match) as bigint) AS nm,
-       |    cast(sum(n_pairs) - sum(n_match) as bigint) AS nu,
-       |    cast(sum(CASE WHEN g1 THEN n_match ELSE 0 END) as bigint) AS am1,
-       |    cast(sum(CASE WHEN g2 THEN n_match ELSE 0 END) as bigint) AS am2,
-       |    cast(sum(CASE WHEN g3 THEN n_match ELSE 0 END) as bigint) AS am3,
-       |    cast(sum(CASE WHEN g4 THEN n_match ELSE 0 END) as bigint) AS am4,
-       |    cast(sum(CASE WHEN g1 THEN n_pairs - n_match ELSE 0 END) as bigint) AS au1,
-       |    cast(sum(CASE WHEN g2 THEN n_pairs - n_match ELSE 0 END) as bigint) AS au2,
-       |    cast(sum(CASE WHEN g3 THEN n_pairs - n_match ELSE 0 END) as bigint) AS au3,
-       |    cast(sum(CASE WHEN g4 THEN n_pairs - n_match ELSE 0 END) as bigint) AS au4
+       |  SELECT sum(n_match) AS nm,
+       |    sum(n_pairs) - sum(n_match) AS nu,
+       |    sum(CASE WHEN g1 THEN n_match ELSE 0 END) AS am1,
+       |    sum(CASE WHEN g2 THEN n_match ELSE 0 END) AS am2,
+       |    sum(CASE WHEN g3 THEN n_match ELSE 0 END) AS am3,
+       |    sum(CASE WHEN g4 THEN n_match ELSE 0 END) AS am4,
+       |    sum(CASE WHEN g1 THEN n_pairs - n_match ELSE 0 END) AS au1,
+       |    sum(CASE WHEN g2 THEN n_pairs - n_match ELSE 0 END) AS au2,
+       |    sum(CASE WHEN g3 THEN n_pairs - n_match ELSE 0 END) AS au3,
+       |    sum(CASE WHEN g4 THEN n_pairs - n_match ELSE 0 END) AS au4
        |  FROM pat),
        |fr AS (
        |  SELECT 1 AS f, am1 AS am, au1 AS au, nm, nu FROM st UNION ALL
@@ -504,10 +522,10 @@ object Privacy {
        |  SELECT 4, am4, au4, nm, nu FROM st),
        |fvc AS (
        |  SELECT f,
-       |    least(greatest((am + 1) * 1000000 // (nm + 2), 1), 999999) AS mp,
-       |    least(greatest((au + 1) * 1000000 // (nu + 2), 1), 999999) AS up,
-       |    1000000 - least(greatest((am + 1) * 1000000 // (nm + 2), 1), 999999) AS mpc,
-       |    1000000 - least(greatest((au + 1) * 1000000 // (nu + 2), 1), 999999) AS upc
+       |    cast(least(greatest((am + 1) * 1000000 // (nm + 2), 1), 999999) as bigint) AS mp,
+       |    cast(least(greatest((au + 1) * 1000000 // (nu + 2), 1), 999999) as bigint) AS up,
+       |    cast(1000000 - least(greatest((am + 1) * 1000000 // (nm + 2), 1), 999999) as bigint) AS mpc,
+       |    cast(1000000 - least(greatest((au + 1) * 1000000 // (nu + 2), 1), 999999) as bigint) AS upc
        |  FROM fr),
        |wts AS (SELECT f, lm - lu AS wa, lmb - lub AS wd FROM ($logs)),
        |pw AS (

@@ -1,10 +1,7 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.col
 
 /** Streaming twin of the privacy family's admission guard.
   *
@@ -32,64 +29,25 @@ import org.apache.spark.sql.functions.{col, expr}
   */
 object PrivacyStream {
 
-  private val runs = new ConcurrentHashMap[(SparkSession, String), String]()
-  private val counter = new AtomicInteger(0)
-
   /** `streamSrc`/`filesPerTrigger` let a spec replay the wave as
     * SEVERAL micro-batches (a dir of per-batch wave files, 1 file per
     * trigger); the registry form streams `documents.parquet` as one
-    * AvailableNow batch and filters to the src0 wave. */
+    * AvailableNow batch and filters to the src0 wave. The stream
+    * mechanics live in the shared `StreamScratch.waveSink` harness;
+    * the QI projection and frozen class counts are `Privacy`'s own
+    * (`docQiProjection`/`frozenQiCounts`), so NEITHER half of the
+    * computation can drift from batch q192. */
   def kAnonGateStream(spark: SparkSession, sfDir: String,
                       streamSrc: Option[String] = None,
                       filesPerTrigger: Option[Int] = None): DataFrame = {
-    val key = (spark, sfDir + streamSrc.map("|" + _).getOrElse(""))
-    val out = runs.computeIfAbsent(key, _ => {
-      val run = counter.incrementAndGet()
-      val sink = StreamScratch.dir(s"graft_kanon_$run")
-      val ckDir = StreamScratch.dir(s"graft_kanon_ck_$run")
-      val (src, glob) = streamSrc match {
-        case Some(d) => (d, "*.parquet")
-        case None    => (sfDir, "documents.parquet")
-      }
-      val schema = streamSrc match {
-        case Some(d) => StreamScratch.schemaOf(spark, d)
-        case None    => StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
-      }
-      val reader = spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-      filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-      val stream = reader.parquet(src)
-        .filter(col("source") === graft.ops.Dedup.IncrementalSource)
-        .select(col("doc_id"), col("lang"),
-          expr(s"n_chars div ${graft.ops.Privacy.DocBand}").as("band"))
-      val q = stream.writeStream
-        .queryName(s"graft_kanon_$run")
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.coalesce(1).write.mode("overwrite").parquet(s"$sink/b_$batchId")
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      sink
-    })
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDirs = fs.listStatus(outPath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b_"))
-      .map(_.getPath.toString)
-    val wave =
-      if (batchDirs.isEmpty)
-        spark.range(0).select(col("id").as("doc_id"),
-          col("id").cast("string").as("lang"), col("id").as("band"))
-      else spark.read.parquet(batchDirs.toSeq: _*)
-    val frozenCounts = graft.core.Tables.documents(spark, sfDir)
-      .filter(col("source") =!= graft.ops.Dedup.IncrementalSource)
-      .select(col("lang"), expr(s"n_chars div ${graft.ops.Privacy.DocBand}").as("band"))
-      .groupBy("lang", "band")
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n_frozen"))
-    graft.ops.Privacy.kAnonVerdictsOf(wave, frozenCounts)
+    val read = StreamScratch.waveSink(spark, "kanon", sfDir, streamSrc,
+      filesPerTrigger, "documents.parquet",
+      batch => graft.ops.Privacy.docQiProjection(
+        batch.filter(col("source") === graft.ops.Dedup.IncrementalSource)))
+    val wave = read.getOrElse(
+      spark.range(0).select(col("id").as("doc_id"),
+        col("id").cast("string").as("lang"), col("id").as("band")))
+    graft.ops.Privacy.kAnonVerdictsOf(wave,
+      graft.ops.Privacy.frozenQiCounts(spark, sfDir))
   }
 }

@@ -1,8 +1,5 @@
 package graft.streaming
 
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Streaming twin of the sampling family's reservoir draw.
@@ -32,64 +29,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SampleStream {
 
-  private val runs = new ConcurrentHashMap[(SparkSession, String), String]()
-  private val counter = new AtomicInteger(0)
-
   /** `streamSrc`/`filesPerTrigger` let a spec replay the corpus as
     * SEVERAL micro-batches (a dir of per-batch doc files, 1 file per
     * trigger); the registry form streams `documents.parquet` as one
-    * AvailableNow batch. */
+    * AvailableNow batch. The stream mechanics (run cache, schema/glob
+    * resolution, batchId-overwrite sink, Hadoop-FS listing) live in the
+    * shared `StreamScratch.waveSink` harness — one definition for all
+    * append-only twins. */
   def reservoirStream(spark: SparkSession, sfDir: String,
                       streamSrc: Option[String] = None,
                       filesPerTrigger: Option[Int] = None): DataFrame = {
-    val key = (spark, sfDir + streamSrc.map("|" + _).getOrElse(""))
-    val out = runs.computeIfAbsent(key, _ => {
-      val run = counter.incrementAndGet()
-      val sink = StreamScratch.dir(s"graft_reservoir_$run")
-      val ckDir = StreamScratch.dir(s"graft_reservoir_ck_$run")
-      val (src, glob) = streamSrc match {
-        case Some(d) => (d, "*.parquet")
-        case None    => (sfDir, "documents.parquet")
-      }
-      val schema = streamSrc match {
-        case Some(d) => StreamScratch.schemaOf(spark, d)
-        case None    => StreamScratch.schemaOf(spark, s"$sfDir/documents.parquet")
-      }
-      val reader = spark.readStream.schema(schema)
-        .option("pathGlobFilter", glob)
-      filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-      val stream = reader.parquet(src).select("doc_id", "n_chars")
-      val q = stream.writeStream
-        .queryName(s"graft_reservoir_$run")
-        .option("checkpointLocation", ckDir)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.ops.Sampling.aresKeyed(batch)
-            .orderBy(org.apache.spark.sql.functions.col("es_key").asc,
-              org.apache.spark.sql.functions.col("doc_id").asc)
-            .limit(graft.ops.Sampling.ReservoirK)
-            .coalesce(1).write.mode("overwrite").parquet(s"$sink/b_$batchId")
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      sink
-    })
-    // Hadoop FileSystem listing, not java.io.File (VERDICT r11 "what's
-    // wrong" 2): StreamScratch is tmpfs today, but this is the one seam
-    // that would silently break on a remote FS — the same discipline
-    // the frozen-corpus sizing already uses
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDirs = fs.listStatus(outPath)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("b_"))
-      .map(_.getPath.toString)
-    val keyed =
-      if (batchDirs.isEmpty) {
-        import org.apache.spark.sql.functions.col
-        spark.range(0).select(col("id").as("doc_id"), col("id").as("w"),
-          col("id").as("es_key"))
-      } else spark.read.parquet(batchDirs.toSeq: _*)
+    val read = StreamScratch.waveSink(spark, "reservoir", sfDir, streamSrc,
+      filesPerTrigger, "documents.parquet",
+      batch => graft.ops.Sampling.aresKeyed(batch.select("doc_id", "n_chars"))
+        .orderBy(org.apache.spark.sql.functions.col("es_key").asc,
+          org.apache.spark.sql.functions.col("doc_id").asc)
+        .limit(graft.ops.Sampling.ReservoirK))
+    val keyed = read.getOrElse {
+      import org.apache.spark.sql.functions.col
+      spark.range(0).select(col("id").as("doc_id"), col("id").as("w"),
+        col("id").as("es_key"))
+    }
     graft.ops.Sampling.aresTop(keyed)
   }
 }
