@@ -177,7 +177,12 @@ object Scaling {
     // the vocabulary scales with the factor while the
     // frequency-of-frequencies frame stays O(sqrt N) — the downstream
     // window/regression must stay answer-sized
-    "q194_good_turing" -> ((s, d) => graft.ops.TextAnalytics.goodTuring(s, d)))
+    "q194_good_turing" -> ((s, d) => graft.ops.TextAnalytics.goodTuring(s, d)),
+    // one explode_outer scan materialized once; cf and the corpus
+    // total broadcast; the per-doc fold is one keyed agg and the
+    // report a physical top-k — full-QL semantics must not cost a
+    // second corpus pass at any decade
+    "q195_query_likelihood" -> ((s, d) => graft.ops.TextAnalytics.queryLikelihood(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's

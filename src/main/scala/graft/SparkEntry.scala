@@ -253,7 +253,8 @@ object SparkEntry {
     "q192_kanon_admission"  -> Privacy.kAnonAdmission _,
     "q193_stream_kanon_gate" -> ((s: SparkSession, d: String) =>
       graft.streaming.PrivacyStream.kAnonGateStream(s, d)),
-    "q194_good_turing"      -> TextAnalytics.goodTuring _
+    "q194_good_turing"      -> TextAnalytics.goodTuring _,
+    "q195_query_likelihood" -> TextAnalytics.queryLikelihood _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,6 +528,7 @@ object SparkEntry {
     // q193 shares q192's oracle: class counts are order-independent
     // sums, so the unioned multi-batch wave is row-identical to batch
     "q193_stream_kanon_gate" -> Privacy.kAnonAdmissionSql,
-    "q194_good_turing"      -> TextAnalytics.goodTuringSql
+    "q194_good_turing"      -> TextAnalytics.goodTuringSql,
+    "q195_query_likelihood" -> TextAnalytics.queryLikelihoodSql
   )
 }

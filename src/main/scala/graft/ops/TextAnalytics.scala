@@ -2770,6 +2770,114 @@ object TextAnalytics {
        |FROM ($withLogs) ORDER BY source""".stripMargin
   }
 
+  /** Dirichlet smoothing pseudo-count for q195 — Zhai & Lafferty's
+    * recommended range is 500-10000; 2000 is their reported sweet spot
+    * for title-ish queries. */
+  val QlMu = 2000L
+
+  /** q195: query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty, SIGIR 2001, "A Study of Smoothing Methods for Language
+    * Models Applied to Ad Hoc Information Retrieval") — the OTHER
+    * classical lexical ranker: score(q,d) = Σ_t log((tf + μ·cf_t/N) /
+    * (dl + μ)), ranking documents by the likelihood their language
+    * model generates the query. Same query terms and top-k as q85's
+    * BM25, so the two rankers read side-by-side on identical inputs.
+    * FULL QL semantics: unmatched query terms still contribute their
+    * smoothed mass, so even zero-match documents rank (by length —
+    * shorter docs concentrate more smoothed probability); query terms
+    * absent from the corpus entirely are dropped (P(t|C) = 0 would be
+    * -inf for every document — the standard convention).
+    *
+    * Exactness: with μ integer, every per-term probability is the
+    * integer ratio (tf·N + μ·cf) / (N·(dl+μ)), and the sparse
+    * decomposition score = Σ_matched [L(tf·N + μ·cf) − L(μ·cf)]
+    * + Σ_present L(μ·cf) − |q|·L(N·(dl+μ)) (L = FixedLog2Q16) makes
+    * the whole ranking exact Q16 integers. i64 bound: tf·N + μ·cf ≤
+    * (μ+1)·N — safe to N ~ 4.6e15 tokens (~18 PB of text).
+    *
+    * Scale shape: ONE corpus scan (explode_outer keeps zero-match
+    * docs), materialized once for its four consumers (the q175
+    * lesson); cf and the corpus total BROADCAST (term-domain / 1-row
+    * frames); the per-doc fold is one keyed agg; the report is a
+    * physical top-k. */
+  def queryLikelihood(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.FixedLog2
+    val toks = tokens(col("text"))
+    val isQueryTerm = (t: Column) =>
+      Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
+    val per = Materialize.shared(spark,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(toks).cast("long").as("dl"),
+          explode_outer(filter(toks, isQueryTerm)).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val docsD = per.select("doc_id", "dl").distinct()
+    val stats = broadcast(docsD.agg(sum("dl").as("ncorp")))
+    val cf = broadcast(per.filter(col("term").isNotNull)
+      .groupBy("term").agg(sum("tf").as("cf")))
+    val cq = broadcast(cf.crossJoin(stats)
+      .agg(sum(FixedLog2(lit(QlMu) * col("cf"))).as("cq"),
+        count(lit(1)).as("qn")))
+    val contrib = per.filter(col("term").isNotNull)
+      .join(cf, "term").crossJoin(stats)
+      .withColumn("delta",
+        FixedLog2(col("tf") * col("ncorp") + lit(QlMu) * col("cf")) -
+          FixedLog2(lit(QlMu) * col("cf")))
+      .groupBy("doc_id")
+      .agg(sum("delta").as("mdelta"), count(lit(1)).as("n_match"))
+    docsD.crossJoin(stats).crossJoin(cq)
+      .join(contrib, Seq("doc_id"), "left")
+      .withColumn("score_q16",
+        coalesce(col("mdelta"), lit(0L)) + col("cq") -
+          col("qn") * FixedLog2(col("ncorp") * (col("dl") + lit(QlMu))))
+      .withColumn("n_match", coalesce(col("n_match"), lit(0L)))
+      .orderBy(col("score_q16").desc, col("doc_id").asc)
+      .limit(Bm25TopK)
+      .select("doc_id", "n_match", "score_q16")
+  }
+
+  def queryLikelihoodSql: String = {
+    import graft.functions.FixedLog2
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val contribBase =
+      s"""SELECT p.doc_id, p.tf, p.tf * ncorp + $QlMu * cf AS vnum, $QlMu * cf AS vden
+         |FROM per p JOIN cf USING (term) CROSS JOIN stats
+         |WHERE p.term IS NOT NULL""".stripMargin
+    val contribLogs = FixedLog2.sqlNested(
+      FixedLog2.sqlNested(contribBase, "vnum", "qa_", "l1"), "vden", "qb_", "l2")
+    val docLogs = FixedLog2.sqlNested(
+      s"SELECT doc_id, dl, n_match, mdelta, ncorp * (dl + $QlMu) AS vdoc " +
+        "FROM docsd CROSS JOIN stats LEFT JOIN contrib USING (doc_id)",
+      "vdoc", "qc_", "l3")
+    val cqLogs = FixedLog2.sqlNested(
+      s"SELECT $QlMu * cf AS vq FROM cf", "vq", "qd_", "l4")
+    s"""WITH tok AS (
+       |  SELECT doc_id, $sqlTokens AS t FROM documents),
+       |per AS (
+       |  SELECT doc_id, dl, term, cast(count(*) as bigint) AS tf FROM (
+       |    SELECT doc_id, cast(len(t) as bigint) AS dl,
+       |      unnest(CASE WHEN len(qf) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE qf END) AS term
+       |    FROM (SELECT doc_id, t, list_filter(t, x -> x IN ($inList)) AS qf FROM tok))
+       |  GROUP BY doc_id, dl, term),
+       |docsd AS (SELECT DISTINCT doc_id, dl FROM per),
+       |stats AS (SELECT cast(sum(dl) as bigint) AS ncorp FROM docsd),
+       |cf AS (
+       |  SELECT term, cast(sum(tf) as bigint) AS cf FROM per
+       |  WHERE term IS NOT NULL GROUP BY term),
+       |cqs AS (
+       |  SELECT cast(sum(l4) as bigint) AS cq, count(*) AS qn
+       |  FROM ($cqLogs)),
+       |contrib AS (
+       |  SELECT doc_id, cast(sum(l1 - l2) as bigint) AS mdelta,
+       |    count(*) AS n_match
+       |  FROM ($contribLogs) GROUP BY doc_id)
+       |SELECT doc_id,
+       |  coalesce(n_match, 0) AS n_match,
+       |  coalesce(mdelta, 0) + cq - qn * l3 AS score_q16
+       |FROM ($docLogs) CROSS JOIN cqs
+       |ORDER BY score_q16 DESC, doc_id ASC
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
   /** q194: Simple Good-Turing frequency smoothing (Good 1953; Gale &
     * Sampson 1995, "Good-Turing frequency estimation without tears") —
     * THE classical answer to "how much probability mass belongs to

@@ -727,6 +727,19 @@ class PlanAuditSpec extends SparkSpec {
       s"the Z_r frame feeds the stats row AND the report — must be materialized:\n$plan")
   }
 
+  test("q195: one corpus scan, broadcast cf, physical top-k — full QL semantics without a second pass") {
+    val df = graft.ops.TextAnalytics.queryLikelihood(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "documents.parquet") <= 1,
+      s"explode_outer covers matched AND zero-match docs from ONE scan:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the (doc, term, tf) frame has four consumers — must be materialized:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the term-domain cf table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the report is a physical top-k, not a global sort:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

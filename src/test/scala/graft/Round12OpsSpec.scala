@@ -249,4 +249,53 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.head._6 == 3L * 1000000L / 16L)
     assert(got.head._3.contains(2L * 1L * 1000L / 3L))
   }
+
+  // ---------------------------------------------------------------- q195
+
+  /** Independent Dirichlet query-likelihood reference: the literal
+    * Zhai-Lafferty score over hand-tokenized docs, logs via the shared
+    * q16 kernel, ordered desc with doc_id tiebreak, top-k. */
+  private def qlRef(docs: Seq[(Long, String)]):
+      Seq[(Long, Long, Long)] = { // (doc_id, n_match, score_q16)
+    import graft.functions.FixedLog2.q16
+    import graft.ops.TextAnalytics.{Bm25Terms, QlMu, Bm25TopK}
+    val toked = docs.map { case (id, t) =>
+      (id, t.trim.split("\\s+").filter(_.nonEmpty).toSeq) }
+    val ncorp = toked.map(_._2.size.toLong).sum
+    val cf = Bm25Terms.map(t =>
+      t -> toked.map(_._2.count(_ == t).toLong).sum).filter(_._2 > 0)
+    toked.map { case (id, toks) =>
+      val dl = toks.size.toLong
+      val score = cf.map { case (t, c) =>
+        val tf = toks.count(_ == t).toLong
+        q16(tf * ncorp + QlMu * c) - q16(ncorp * (dl + QlMu))
+      }.sum
+      val nMatch = cf.count { case (t, _) => toks.contains(t) }.toLong
+      (id, nMatch, score)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(Bm25TopK)
+  }
+
+  test("q195: Dirichlet QL matches the literal Zhai-Lafferty reference; zero-match docs rank by length") {
+    // docs 1-2 contain query terms; 3-4 match nothing (3 shorter than
+    // 4, so 3 must outrank 4 on smoothed mass alone); the query term
+    // 'stream' is absent from the corpus and must be dropped, not -inf
+    val docs = Seq(
+      (1L, "spark join spark filler one two three"),
+      (2L, "join other words here padding padding padding padding"),
+      (3L, "tiny doc"),
+      (4L, "a much longer document with many many filler words inside it"))
+    val dir = writeDocs("ql", docs.map(d => (d._1, d._2, "s")))
+    val got = graft.ops.TextAnalytics.queryLikelihood(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_match"),
+        r.getAs[Long]("score_q16"))).toSeq
+    val ref = qlRef(docs)
+    assert(got == ref)
+    // semantic pins: the double-match doc wins; among zero-match docs
+    // the SHORTER one scores higher (Dirichlet mass concentrates)
+    assert(got.head._1 == 1L)
+    val byId = got.map(g => g._1 -> g._3).toMap
+    assert(byId(3L) > byId(4L))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L),
+      "every document ranks — zero-match docs still carry smoothed mass")
+  }
 }
