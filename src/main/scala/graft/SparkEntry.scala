@@ -254,7 +254,8 @@ object SparkEntry {
     "q193_stream_kanon_gate" -> ((s: SparkSession, d: String) =>
       graft.streaming.PrivacyStream.kAnonGateStream(s, d)),
     "q194_good_turing"      -> TextAnalytics.goodTuring _,
-    "q195_query_likelihood" -> TextAnalytics.queryLikelihood _
+    "q195_query_likelihood" -> TextAnalytics.queryLikelihood _,
+    "q196_rank_agreement"   -> TextAnalytics.rankAgreement _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -529,6 +530,7 @@ object SparkEntry {
     // sums, so the unioned multi-batch wave is row-identical to batch
     "q193_stream_kanon_gate" -> Privacy.kAnonAdmissionSql,
     "q194_good_turing"      -> TextAnalytics.goodTuringSql,
-    "q195_query_likelihood" -> TextAnalytics.queryLikelihoodSql
+    "q195_query_likelihood" -> TextAnalytics.queryLikelihoodSql,
+    "q196_rank_agreement"   -> TextAnalytics.rankAgreementSql
   )
 }

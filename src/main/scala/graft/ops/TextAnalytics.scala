@@ -2878,6 +2878,88 @@ object TextAnalytics {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  /** RBO persistence parameter p = 9/10 as the exact integer weight
+    * recurrence w_1 = 10^12, w_d = (w_{d-1}·9) div 10 — i.e.
+    * floor-cascaded 0.9^(d-1)·10^12. Computed ONCE here and inlined
+    * into both engines as the same literal constants, so the grid
+    * cannot drift (cumulative floor error ≤ 2e-11 relative at d=20,
+    * deterministic by construction). */
+  private[graft] val RboWeights: Seq[(Int, Long)] =
+    (1 to Bm25TopK).scanLeft((0, 1000000000000L)) {
+      case ((_, w), d) => (d, if (d == 1) w else w * 9 / 10)
+    }.tail
+
+  /** q196: rank-biased overlap between the engine's two lexical
+    * rankers (Webber, Moffat & Zobel, TOIS 2010, "A Similarity Measure
+    * for Indefinite Rankings") — the standard top-weighted agreement
+    * measure between search rankings, computed here over q85's BM25
+    * and q195's Dirichlet-QL top-k on the SAME query terms: the
+    * ranker-choice audit a retrieval pipeline actually runs ("do my
+    * two scorers agree where it matters — at the top?"). RBO@k
+    * (prefix form, documented truncation): (1−p)·Σ_d p^(d-1)·A_d with
+    * A_d the depth-d agreement |R1∩R2|@d / d and p = 0.9, reported
+    * per-depth (overlap, agreement permille) plus the final rbo_ppm.
+    *
+    * Exactness: the p-powers are the shared [[RboWeights]] integer
+    * cascade; term_d = (overlap_d·w_d) div d and rbo_ppm =
+    * (Σ term) div 10^7 are pure i64 (≤ 2e13). Both rankers are the
+    * SHARED oracle-checked cores — the comparison cannot drift from
+    * what q85/q195 actually return; ranks re-derived by the same
+    * (score desc, doc_id) order their reports are defined by.
+    *
+    * Scale shape: the corpus cost IS q85 + q195 (each one scan, audited
+    * on their own lines); everything here joins two k-row rankings —
+    * answer-sized at any corpus. */
+  def rankAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def ranked(df: DataFrame, score: String, as: String): DataFrame =
+      df.select(col("doc_id"), row_number()
+        .over(Window.orderBy(col(score).desc, col("doc_id").asc))
+        .cast("long").as(as))
+    val r1 = ranked(bm25Search(spark, sfDir), "score", "r1")
+    val r2 = ranked(queryLikelihood(spark, sfDir), "score_q16", "r2")
+    val pairs = r1.join(r2, "doc_id")
+      .select(greatest(col("r1"), col("r2")).as("dmax"))
+      .groupBy("dmax").agg(count(lit(1)).as("cnt"))
+    val depths = RboWeights.toDF("d", "w")
+      .select(col("d").cast("long").as("d"), col("w"))
+    val byDepth = depths.join(pairs, col("dmax") <= col("d"), "left")
+      .groupBy("d", "w")
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("n_overlap"))
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    val rbo = byDepth
+      .agg(expr("cast(sum((n_overlap * w) div d) div 10000000 as bigint)")
+        .as("rbo_ppm"))
+    byDepth.crossJoin(broadcast(rbo))
+      .select(col("d").as("depth"), col("n_overlap"),
+        expr("n_overlap * 1000 div d").as("a_permille"), col("rbo_ppm"))
+      .orderBy("depth")
+  }
+
+  def rankAgreementSql: String = {
+    val wvals = RboWeights.map { case (d, w) => s"($d, $w)" }.mkString(", ")
+    s"""WITH b AS (SELECT * FROM (${bm25SearchSql})),
+       |q AS (SELECT * FROM (${queryLikelihoodSql})),
+       |r1 AS (SELECT doc_id, cast(row_number() OVER (ORDER BY score DESC, doc_id) as bigint) AS r1 FROM b),
+       |r2 AS (SELECT doc_id, cast(row_number() OVER (ORDER BY score_q16 DESC, doc_id) as bigint) AS r2 FROM q),
+       |pr AS (
+       |  SELECT greatest(r1, r2) AS dmax, count(*) AS cnt
+       |  FROM r1 JOIN r2 USING (doc_id) GROUP BY 1),
+       |wt AS (SELECT cast(d as bigint) AS d, w FROM (VALUES $wvals) AS t(d, w)),
+       |bd AS (
+       |  SELECT d, w, cast(coalesce(sum(cnt), 0) as bigint) AS n_overlap
+       |  FROM wt LEFT JOIN pr ON pr.dmax <= wt.d
+       |  GROUP BY d, w),
+       |rbo AS (
+       |  SELECT cast(cast(sum((n_overlap * w) // d) as bigint) // 10000000 as bigint) AS rbo_ppm
+       |  FROM bd)
+       |SELECT d AS depth, n_overlap,
+       |  n_overlap * 1000 // d AS a_permille, rbo_ppm
+       |FROM bd CROSS JOIN rbo
+       |ORDER BY depth""".stripMargin
+  }
+
   /** q194: Simple Good-Turing frequency smoothing (Good 1953; Gale &
     * Sampson 1995, "Good-Turing frequency estimation without tears") —
     * THE classical answer to "how much probability mass belongs to

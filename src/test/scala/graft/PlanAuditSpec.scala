@@ -740,6 +740,15 @@ class PlanAuditSpec extends SparkSpec {
       s"the report is a physical top-k, not a global sort:\n$plan")
   }
 
+  test("q196: the corpus cost is the two rankers' own scans; the RBO math is answer-sized, no cartesian shuffle") {
+    val df = graft.ops.TextAnalytics.rankAgreement(spark, sf0001)
+    val plan = executed(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"the depth x ranking joins are k-row frames riding broadcasts:\n$plan")
+    assert(parquetScans(df, "documents.parquet") <= 3,
+      s"only the two shared ranker cores may scan the corpus (BM25's two branches + QL's one):\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

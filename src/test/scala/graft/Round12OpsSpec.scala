@@ -298,4 +298,39 @@ class Round12OpsSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L),
       "every document ranks — zero-match docs still carry smoothed mass")
   }
+
+  // ---------------------------------------------------------------- q196
+
+  /** Literal Webber-Moffat-Zobel RBO on two rank lists, using the
+    * shared integer weight cascade (the grid definition under test). */
+  private def rboRef(l1: Seq[Long], l2: Seq[Long]):
+      (Seq[(Long, Long, Long)], Long) = { // per-depth (d, overlap, aPermille), rboPpm
+    val ws = graft.ops.TextAnalytics.RboWeights
+    val rows = ws.map { case (d, w) =>
+      val ov = (l1.take(d).toSet intersect l2.take(d).toSet).size.toLong
+      (d.toLong, ov, ov * 1000 / d, ov * w / d)
+    }
+    (rows.map(r => (r._1, r._2, r._3)), rows.map(_._4).sum / 10000000L)
+  }
+
+  test("q196: RBO agreement matches the literal reference over the rankers' own outputs") {
+    val dir = sf0001
+    def ranksOf(df: org.apache.spark.sql.DataFrame, score: String): Seq[Long] =
+      df.collect().map(r => (r.getAs[Long](score), r.getAs[Long]("doc_id")))
+        .sortBy { case (s, id) => (-s, id) }.map(_._2).toSeq
+    val l1 = ranksOf(graft.ops.TextAnalytics.bm25Search(spark, dir)
+      .selectExpr("doc_id", "score"), "score")
+    val l2 = ranksOf(graft.ops.TextAnalytics.queryLikelihood(spark, dir), "score_q16")
+    val (refRows, refRbo) = rboRef(l1, l2)
+    val got = graft.ops.TextAnalytics.rankAgreement(spark, dir).collect()
+      .map(r => (r.getAs[Long]("depth"), r.getAs[Long]("n_overlap"),
+        r.getAs[Long]("a_permille"), r.getAs[Long]("rbo_ppm"))).toSeq
+    assert(got.map(g => (g._1, g._2, g._3)) == refRows)
+    assert(got.forall(_._4 == refRbo))
+    // weight-cascade normalization sanity: a ranking compared with
+    // itself reads RBO ~ 1 (the truncated-prefix mass at p=0.9, k=20:
+    // 1 - 0.9^20 ~ 0.878, on the floor grid)
+    val (_, self) = rboRef(l1, l1)
+    assert(self > 878000 - 10 && self <= 878424, s"self-RBO was $self")
+  }
 }
