@@ -182,7 +182,11 @@ object Scaling {
     // total broadcast; the per-doc fold is one keyed agg and the
     // report a physical top-k — full-QL semantics must not cost a
     // second corpus pass at any decade
-    "q195_query_likelihood" -> ((s, d) => graft.ops.TextAnalytics.queryLikelihood(s, d)))
+    "q195_query_likelihood" -> ((s, d) => graft.ops.TextAnalytics.queryLikelihood(s, d)),
+    // assignment is scan-local hashing; the corpus pays ONE user-keyed
+    // agg (replica user remaps scale the user population with the
+    // factor), arms/test are 2-row/1-row broadcasts
+    "q197_ab_readout" -> ((s, d) => graft.ops.Events.abReadout(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a
     * byte-identical rewrite of the source corpus so every factor's

@@ -255,7 +255,8 @@ object SparkEntry {
       graft.streaming.PrivacyStream.kAnonGateStream(s, d)),
     "q194_good_turing"      -> TextAnalytics.goodTuring _,
     "q195_query_likelihood" -> TextAnalytics.queryLikelihood _,
-    "q196_rank_agreement"   -> TextAnalytics.rankAgreement _
+    "q196_rank_agreement"   -> TextAnalytics.rankAgreement _,
+    "q197_ab_readout"       -> Events.abReadout _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -531,6 +532,7 @@ object SparkEntry {
     "q193_stream_kanon_gate" -> Privacy.kAnonAdmissionSql,
     "q194_good_turing"      -> TextAnalytics.goodTuringSql,
     "q195_query_likelihood" -> TextAnalytics.queryLikelihoodSql,
-    "q196_rank_agreement"   -> TextAnalytics.rankAgreementSql
+    "q196_rank_agreement"   -> TextAnalytics.rankAgreementSql,
+    "q197_ab_readout"       -> Events.abReadoutSql
   )
 }

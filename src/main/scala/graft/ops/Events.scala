@@ -722,4 +722,120 @@ object Events {
        |FROM hit GROUP BY a, b, c
        |ORDER BY support DESC, pattern ASC
        |LIMIT $SeqPatternTopK""".stripMargin
+
+  /** Conversion event for the q197 experiment readout, and the
+    * per-user count that counts as converting: every synthetic user
+    * purchases at least once (~13 purchases/user mean), so the
+    * meaningful binary outcome is heavy usage — ≥ [[AbGoalCount]]
+    * goal events. */
+  val AbGoalEvent = "purchase"
+  val AbGoalCount = 15L
+  /** Significance threshold for z² on the milli grid: χ²₁ at 95% is
+    * 3.84146; 3842 is the conservative integer cut (a true z² in
+    * (3.8415, 3.842) reads not-significant — the grid convention,
+    * stated rather than hidden). */
+  val AbZ2MilliCut = 3842L
+
+  /** q197: A/B experiment readout — the two-proportion z-test every
+    * product-analytics pipeline runs (the classical large-sample test,
+    * e.g. Casella & Berger §10.4; Kohavi et al.'s online-experiment
+    * methodology). Users split into two arms by the SAME deterministic
+    * hash discipline as the q50 corpus splits (never rand() — an
+    * assignment that re-draws per run is not an experiment); the
+    * metric is per-user conversion (≥ [[AbGoalCount]] [[AbGoalEvent]]
+    * events — the null design here, where nothing differs between
+    * arms, is exactly the A/A test an experimentation platform
+    * validates itself with), plus exact per-arm revenue cents as the
+    * descriptive companion.
+    *
+    * Exactness: z² has a fully RATIONAL form —
+    * z² = (cB·nA − cA·nB)²·n / (nA·nB·c·(n−c)) — so the readout
+    * (z2_milli, the significance verdict, all rates) is exact integer
+    * arithmetic end to end; the square rides decimal(38,0)/hugeint
+    * (user counts at web scale put (cB·nA)² past i64).
+    *
+    * Scale shape: ONE user-keyed aggregation with map-side combine
+    * (the assignment hash is scan-local), a 2-row arm aggregate, and a
+    * 1-row broadcast of the test statistic. Nothing corpus-sized past
+    * the first shuffle. */
+  def abReadout(spark: SparkSession, sfDir: String): DataFrame = {
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        when(sum(when(col("event_type") === AbGoalEvent, 1L).otherwise(0L))
+          >= AbGoalCount, 1L).otherwise(0L).as("conv"),
+        sum(when(col("event_type") === AbGoalEvent,
+          floor(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+      .withColumn("variant",
+        pmod(graft.core.Hash32.column("md5(concat('ab-', cast(user_id as string)))"),
+          lit(2L)))
+    // materialized: the 2-row arm frame feeds BOTH the report and the
+    // test statistic — uncached, each consumer re-scans the corpus
+    val arms = Materialize.shared(spark, perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum("conv").as("n_converted"),
+        sum("cents").as("revenue_cents")))
+    val test = broadcast(arms.agg(
+        sum(when(col("variant") === 0, col("n_users")).otherwise(0L)).as("na"),
+        sum(when(col("variant") === 1, col("n_users")).otherwise(0L)).as("nb"),
+        sum(when(col("variant") === 0, col("n_converted")).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === 1, col("n_converted")).otherwise(0L)).as("cb"))
+      // degenerate designs (an empty arm, zero or total conversion)
+      // have no variance to test against: z2 = 0 BY RULE, stated
+      .withColumn("diff_permille", expr(
+        "CASE WHEN na = 0 OR nb = 0 THEN 0 " +
+        "ELSE cb * 1000 div nb - ca * 1000 div na END"))
+      .withColumn("z2_milli", expr(
+        """CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0
+          |  OR ca + cb = na + nb THEN 0
+          |ELSE cast(cast((cb * na - ca * nb) as decimal(38,0)) *
+          |  (cb * na - ca * nb) * (na + nb) * 1000 div
+          |  (cast(na as decimal(38,0)) * nb * (ca + cb) *
+          |   (na + nb - ca - cb)) as bigint) END""".stripMargin))
+      .select(col("diff_permille"), col("z2_milli"),
+        (col("z2_milli") >= AbZ2MilliCut).as("significant")))
+    arms.crossJoin(test)
+      .withColumn("conv_permille", expr("n_converted * 1000 div n_users"))
+      .select("variant", "n_users", "n_converted", "conv_permille",
+        "revenue_cents", "diff_permille", "z2_milli", "significant")
+      .orderBy("variant")
+  }
+
+  def abReadoutSql: String = {
+    val h = graft.core.Hash32.sql("md5(concat('ab-', cast(user_id as varchar)))")
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = '$AbGoalEvent' THEN 1 ELSE 0 END)
+       |      >= $AbGoalCount THEN 1 ELSE 0 END AS conv,
+       |    cast(sum(CASE WHEN event_type = '$AbGoalEvent'
+       |      THEN cast(floor(value * 100) as bigint) ELSE 0 END) as bigint) AS cents
+       |  FROM events GROUP BY user_id),
+       |pv AS (SELECT *, $h % 2 AS variant FROM pu),
+       |arms AS (
+       |  SELECT variant, count(*) AS n_users,
+       |    cast(sum(conv) as bigint) AS n_converted,
+       |    cast(sum(cents) as bigint) AS revenue_cents
+       |  FROM pv GROUP BY variant),
+       |t AS (
+       |  SELECT cast(sum(CASE WHEN variant = 0 THEN n_users ELSE 0 END) as bigint) AS na,
+       |    cast(sum(CASE WHEN variant = 1 THEN n_users ELSE 0 END) as bigint) AS nb,
+       |    cast(sum(CASE WHEN variant = 0 THEN n_converted ELSE 0 END) as bigint) AS ca,
+       |    cast(sum(CASE WHEN variant = 1 THEN n_converted ELSE 0 END) as bigint) AS cb
+       |  FROM arms),
+       |ts AS (
+       |  SELECT
+       |    CASE WHEN na = 0 OR nb = 0 THEN 0
+       |      ELSE cb * 1000 // nb - ca * 1000 // na END AS diff_permille,
+       |    CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0
+       |        OR ca + cb = na + nb THEN 0
+       |      ELSE cast((cb * na - ca * nb) * (cb * na - ca * nb) * (na + nb) * 1000 //
+       |        (na * nb * (ca + cb) * (na + nb - ca - cb)) as bigint) END AS z2_milli
+       |  FROM t)
+       |SELECT variant, n_users, n_converted,
+       |  n_converted * 1000 // n_users AS conv_permille,
+       |  revenue_cents, diff_permille, z2_milli,
+       |  z2_milli >= $AbZ2MilliCut AS significant
+       |FROM arms CROSS JOIN ts
+       |ORDER BY variant""".stripMargin
+  }
 }

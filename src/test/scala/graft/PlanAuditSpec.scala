@@ -749,6 +749,17 @@ class PlanAuditSpec extends SparkSpec {
       s"only the two shared ranker cores may scan the corpus (BM25's two branches + QL's one):\n$plan")
   }
 
+  test("q197: one user-keyed aggregation; arms and the test statistic are answer-sized broadcasts") {
+    val df = graft.ops.Events.abReadout(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "events.parquet") <= 1,
+      s"assignment is scan-local hashing; the corpus pays one keyed agg:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 2-row arm frame meets the 1-row test row via broadcast:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"the per-user fold must combine map-side:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

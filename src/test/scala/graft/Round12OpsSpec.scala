@@ -333,4 +333,70 @@ class Round12OpsSpec extends SparkSpec {
     val (_, self) = rboRef(l1, l1)
     assert(self > 878000 - 10 && self <= 878424, s"self-RBO was $self")
   }
+
+  // ---------------------------------------------------------------- q197
+
+  private def h32(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    hex.take(8).foldLeft(0L)((a, c) => a * 16 + java.lang.Long.parseLong(c.toString, 16))
+  }
+
+  test("q197: the z-test matches the literal rational form on a planted effect, and degenerate designs read zero") {
+    import graft.ops.Events.{AbGoalEvent, AbGoalCount, AbZ2MilliCut}
+    // plant a real effect: arm-0 users convert (AbGoalCount purchases),
+    // arm-1 users never do — replaying the assignment hash to know who
+    // lands where
+    val users = (1L to 60L)
+    val byArm = users.groupBy(u => h32(s"ab-$u") % 2)
+    assert(byArm(0L).nonEmpty && byArm(1L).nonEmpty)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ev(id: Long, u: Long, tpe: String) = (id, t0, u, tpe, 10.0, "{}")
+    var eid = 0L
+    val events = users.flatMap { u =>
+      val converts = h32(s"ab-$u") % 2 == 0
+      val n = if (converts) AbGoalCount.toInt else 1
+      (1 to n).map { _ => eid += 1; ev(eid, u, AbGoalEvent) } :+
+        { eid += 1; ev(eid, u, "view") }
+    }
+    val dir = graft.streaming.StreamScratch.dir("q197-ab")
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.ops.Events.abReadout(spark, dir).collect()
+    assert(got.length == 2)
+    val na = byArm(0L).size.toLong; val nb = byArm(1L).size.toLong
+    val (ca, cb) = (na, 0L) // arm 0 all convert, arm 1 none
+    val num = BigInt(cb * na - ca * nb).pow(2) * (na + nb) * 1000
+    val den = BigInt(na) * nb * (ca + cb) * (na + nb - ca - cb)
+    val z2 = (num / den).toLong
+    got.foreach { r =>
+      assert(r.getAs[Long]("z2_milli") == z2)
+      assert(r.getAs[Boolean]("significant") == (z2 >= AbZ2MilliCut))
+    }
+    assert(z2 >= AbZ2MilliCut, "the planted effect must read significant")
+    val a0 = got.find(_.getAs[Long]("variant") == 0L).get
+    assert(a0.getAs[Long]("n_users") == na)
+    assert(a0.getAs[Long]("conv_permille") == 1000)
+    assert(a0.getAs[Long]("revenue_cents") == ca * AbGoalCount * 1000)
+
+    // degenerate design: EVERY user converts -> no variance, z2 = 0 by
+    // the stated rule (the guard, not a division error)
+    val all = users.flatMap { u =>
+      (1 to AbGoalCount.toInt).map { _ => eid += 1; ev(eid, u, AbGoalEvent) } }
+    val dir2 = graft.streaming.StreamScratch.dir("q197-ab-degen")
+    all.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val degen = graft.ops.Events.abReadout(spark, dir2).collect()
+    degen.foreach { r =>
+      assert(r.getAs[Long]("z2_milli") == 0L)
+      assert(!r.getAs[Boolean]("significant"))
+    }
+
+    // A/A property on the shipped corpus: identical arms by
+    // construction, so the readout must NOT be significant (a
+    // significant A/A reads as a broken assignment hash)
+    val aa = graft.ops.Events.abReadout(spark, sf0001).collect()
+    aa.foreach(r => assert(!r.getAs[Boolean]("significant")))
+  }
 }
