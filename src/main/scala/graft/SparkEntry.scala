@@ -256,7 +256,8 @@ object SparkEntry {
     "q194_good_turing"      -> TextAnalytics.goodTuring _,
     "q195_query_likelihood" -> TextAnalytics.queryLikelihood _,
     "q196_rank_agreement"   -> TextAnalytics.rankAgreement _,
-    "q197_ab_readout"       -> Events.abReadout _
+    "q197_ab_readout"       -> Events.abReadout _,
+    "q198_cuped"            -> Events.cupedReadout _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -533,6 +534,7 @@ object SparkEntry {
     "q194_good_turing"      -> TextAnalytics.goodTuringSql,
     "q195_query_likelihood" -> TextAnalytics.queryLikelihoodSql,
     "q196_rank_agreement"   -> TextAnalytics.rankAgreementSql,
-    "q197_ab_readout"       -> Events.abReadoutSql
+    "q197_ab_readout"       -> Events.abReadoutSql,
+    "q198_cuped"            -> Events.cupedReadoutSql
   )
 }

@@ -838,4 +838,128 @@ object Events {
        |FROM arms CROSS JOIN ts
        |ORDER BY variant""".stripMargin
   }
+
+  /** q198: CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013, "Improving the Sensitivity of Online Controlled
+    * Experiments...") — the industry-standard refinement of q197: a
+    * user's PRE-period activity predicts their post-period metric, so
+    * regressing it out (Ycuped = Y − θ·(X − X̄), θ = cov(X,Y)/var(X))
+    * shrinks metric variance without biasing the treatment effect —
+    * the same experiment detects smaller lifts. Pre/post split at the
+    * corpus midpoint timestamp (deterministic from the data, epoch
+    * micros); X = pre-period goal events per user, Y = post-period.
+    *
+    * Exactness: θ rides the q194 OLS discipline — milli ratio of
+    * decimal(38,0) moment sums, truncating-div floor adjustment — and
+    * the adjusted metric y·1000 − (θ·(x·n − Σx)) div n is exact milli
+    * integers; variances come from the shared FloorGrid kernel on the
+    * milli grid, so the variance-reduction claim itself hash-checks.
+    * var(X) ≤ 0 (constant pre-period) reads θ = 0 BY RULE — CUPED
+    * degrades to the raw metric, never a division error.
+    *
+    * Scale shape: ONE user-keyed aggregation (the pre/post counts fold
+    * in the same pass), a 1-row θ broadcast, a second pass over the
+    * USER-sized frame for adjusted moments (per-arm + pooled), all
+    * report frames 1-2 rows. */
+  def cupedReadout(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val cut = broadcast(ev.agg(
+      expr("cast((min(unix_micros(ts)) + max(unix_micros(ts))) div 2 as bigint)")
+        .as("cut_us")))
+    val perUser = Materialize.shared(spark, ev.crossJoin(cut)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === AbGoalEvent &&
+          unix_micros(col("ts")) < col("cut_us"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === AbGoalEvent &&
+          unix_micros(col("ts")) >= col("cut_us"), 1L).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        pmod(graft.core.Hash32.column("md5(concat('ab-', cast(user_id as string)))"),
+          lit(2L))))
+    val theta = broadcast(perUser.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"))
+      .withColumn("tden", expr("n * sxx - sx * sx"))
+      .withColumn("theta_milli", expr(
+        """CASE WHEN tden <= 0 THEN 0 ELSE
+          |  cast((n * sxy - sx * sy) * 1000 div tden as bigint) -
+          |  CASE WHEN (n * sxy - sx * sy) * 1000 % tden != 0
+          |    AND (n * sxy - sx * sy) < 0 THEN 1 ELSE 0 END
+          |END""".stripMargin))
+      .select(col("theta_milli"), col("n").cast("long").as("nu"),
+        col("sx").cast("long").as("sxl")))
+    val adjusted = perUser.crossJoin(theta)
+      .withColumn("ym", col("y") * 1000)
+      .withColumn("ycup", expr(
+        "y * 1000 - (theta_milli * (x * nu - sxl)) div nu"))
+    def momentsOf(df: DataFrame, x: org.apache.spark.sql.Column, as: String) =
+      graft.ops.FloorGrid.moments(df, Seq(lit(1).as("g")), x)
+        .select(col("vr").as(as))
+    val pooled = broadcast(
+      momentsOf(adjusted, col("ym"), "var_y")
+        .crossJoin(momentsOf(adjusted, col("ycup"), "var_cuped"))
+        .withColumn("var_reduction_permille", expr(
+          "CASE WHEN var_y <= 0 THEN 0 " +
+          "ELSE (var_y - var_cuped) * 1000 div var_y END")))
+    adjusted.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        expr("cast(sum(ym) div count(1) as bigint)").as("mean_y_milli"),
+        expr("cast(sum(ycup) div count(1) as bigint)").as("mean_cuped_milli"))
+      .crossJoin(theta.select("theta_milli"))
+      .crossJoin(pooled.select("var_y", "var_cuped", "var_reduction_permille"))
+      .select("variant", "n_users", "mean_y_milli", "mean_cuped_milli",
+        "theta_milli", "var_y", "var_cuped", "var_reduction_permille")
+      .orderBy("variant")
+  }
+
+  def cupedReadoutSql: String = {
+    val h = graft.core.Hash32.sql("md5(concat('ab-', cast(user_id as varchar)))")
+    val momY = graft.ops.FloorGrid.sqlMoments(
+      "SELECT 1 AS g, ym FROM adj", "g", "ym")
+    val momC = graft.ops.FloorGrid.sqlMoments(
+      "SELECT 1 AS g, ycup FROM adj", "g", "ycup")
+    s"""WITH cut AS (
+       |  SELECT cast((min(epoch_us(ts)) + max(epoch_us(ts))) // 2 as bigint) AS cut_us
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id,
+       |    cast(sum(CASE WHEN event_type = '$AbGoalEvent'
+       |      AND epoch_us(ts) < cut_us THEN 1 ELSE 0 END) as bigint) AS x,
+       |    cast(sum(CASE WHEN event_type = '$AbGoalEvent'
+       |      AND epoch_us(ts) >= cut_us THEN 1 ELSE 0 END) as bigint) AS y
+       |  FROM events CROSS JOIN cut GROUP BY user_id),
+       |pv AS (SELECT *, $h % 2 AS variant FROM pu),
+       |th AS (
+       |  SELECT
+       |    CASE WHEN n * sxx - sx * sx <= 0 THEN 0 ELSE
+       |      cast((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) as bigint) -
+       |      CASE WHEN (n * sxy - sx * sy) * 1000 % (n * sxx - sx * sx) != 0
+       |        AND (n * sxy - sx * sy) < 0 THEN 1 ELSE 0 END
+       |    END AS theta_milli,
+       |    cast(n as bigint) AS nu, cast(sx as bigint) AS sxl
+       |  FROM (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |          sum(x * y) AS sxy, sum(x * x) AS sxx FROM pv)),
+       |adj AS (
+       |  SELECT variant, y * 1000 AS ym,
+       |    y * 1000 - (theta_milli * (x * nu - sxl)) // nu AS ycup
+       |  FROM pv CROSS JOIN th),
+       |vy AS (SELECT vr AS var_y FROM ($momY)),
+       |vc AS (SELECT vr AS var_cuped FROM ($momC)),
+       |pooled AS (
+       |  SELECT var_y, var_cuped,
+       |    CASE WHEN var_y <= 0 THEN 0
+       |      ELSE (var_y - var_cuped) * 1000 // var_y END AS var_reduction_permille
+       |  FROM vy CROSS JOIN vc)
+       |SELECT variant, count(*) AS n_users,
+       |  cast(sum(ym) // count(*) as bigint) AS mean_y_milli,
+       |  cast(sum(ycup) // count(*) as bigint) AS mean_cuped_milli,
+       |  (SELECT theta_milli FROM th) AS theta_milli,
+       |  var_y, var_cuped, var_reduction_permille
+       |FROM adj CROSS JOIN pooled
+       |GROUP BY variant, var_y, var_cuped, var_reduction_permille
+       |ORDER BY variant""".stripMargin
+  }
 }

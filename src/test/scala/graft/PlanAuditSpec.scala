@@ -760,6 +760,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the per-user fold must combine map-side:\n$plan")
   }
 
+  test("q198: the corpus pays the cutoff probe plus ONE user-keyed fold; adjusted moments ride the cached user frame") {
+    val df = graft.ops.Events.cupedReadout(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "events.parquet") <= 2,
+      s"one scan for the midpoint cutoff, one for the pre/post fold — moments re-read the cache:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the per-user frame has three consumers (theta, moments x2, report):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row theta/cut frames ride broadcasts:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

@@ -399,4 +399,63 @@ class Round12OpsSpec extends SparkSpec {
     val aa = graft.ops.Events.abReadout(spark, sf0001).collect()
     aa.foreach(r => assert(!r.getAs[Boolean]("significant")))
   }
+
+  // ---------------------------------------------------------------- q198
+
+  test("q198: CUPED matches the literal Deng et al. math on a correlated fixture and buys real variance") {
+    import graft.ops.Events.AbGoalEvent
+    // plant strong pre/post correlation: user u makes x_u = (u mod 7)
+    // pre-period purchases and y_u = 2*x_u + (u mod 3) post-period —
+    // the persistent-propensity structure CUPED exists for
+    val users = (1L to 50L)
+    val pre  = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val post = java.sql.Timestamp.valueOf("2026-01-03 00:00:00")
+    var eid = 0L
+    val events = users.flatMap { u =>
+      val x = (u % 7).toInt; val y = (2 * (u % 7) + u % 3).toInt
+      (1 to x).map { _ => eid += 1; (eid, pre, u, AbGoalEvent, 1.0, "{}") } ++
+        (1 to y).map { _ => eid += 1; (eid, post, u, AbGoalEvent, 1.0, "{}") } :+
+        { eid += 1; (eid, pre, u, "view", 1.0, "{}") } // anchor min ts
+    }
+    val dir = graft.streaming.StreamScratch.dir("q198-cuped")
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    // literal reference: theta by OLS (BigInt), per-user milli
+    // adjustment, floor-grid variance with explicit floors
+    val xs = users.map(u => u % 7)
+    val ys = users.map(u => 2 * (u % 7) + u % 3)
+    val n = users.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val theta = (BigInt(n) * sxy - BigInt(sx) * sy) * 1000 /
+      (BigInt(n) * sxx - BigInt(sx) * sx) // positive here: plain div ok
+    val ycup = users.map { u =>
+      val x = u % 7; val y = 2 * (u % 7) + u % 3
+      y * 1000 - (theta.toLong * (x * n - sx)) / n
+    }
+    def vr(v: Seq[Long]): Long = {
+      val s = v.map(BigInt(_)).sum; val ss = v.map(x => BigInt(x) * x).sum
+      val mu = (s / v.size).toLong // non-negative here
+      (ss / v.size).toLong - mu * mu
+    }
+    val varY = vr(ys.map(_ * 1000)); val varC = vr(ycup)
+    val expectRed = (varY - varC) * 1000 / varY
+
+    val got = graft.ops.Events.cupedReadout(spark, dir).collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("theta_milli") == theta.toLong)
+      assert(r.getAs[Long]("var_y") == varY)
+      assert(r.getAs[Long]("var_cuped") == varC)
+      assert(r.getAs[Long]("var_reduction_permille") == expectRed)
+    }
+    assert(expectRed > 700,
+      s"the planted propensity must buy most of the variance (got $expectRed permille)")
+    // the treatment-effect estimate is unbiased: pooled mean of the
+    // adjusted metric equals the pooled raw mean (theta centers on X̄)
+    val totN = got.map(_.getAs[Long]("n_users")).sum
+    assert(totN == n)
+  }
 }
