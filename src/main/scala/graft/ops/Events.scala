@@ -736,6 +736,17 @@ object Events {
     * stated rather than hidden). */
   val AbZ2MilliCut = 3842L
 
+  /** The ONE experiment-assignment rule (both engines, both q197 and
+    * q198): variant = Hash32(md5('ab-' || user_id)) mod 2. Single
+    * definition per the Hash32/splitOf discipline — q198's CUPED is a
+    * valid refinement of q197 ONLY if both assign identical arms, so
+    * the construction must not be able to drift copy-by-copy. */
+  private[graft] def abVariantCol: org.apache.spark.sql.Column =
+    pmod(graft.core.Hash32.column("md5(concat('ab-', cast(user_id as string)))"),
+      lit(2L))
+  private[graft] def abVariantSql: String =
+    graft.core.Hash32.sql("md5(concat('ab-', cast(user_id as varchar)))") + " % 2"
+
   /** q197: A/B experiment readout — the two-proportion z-test every
     * product-analytics pipeline runs (the classical large-sample test,
     * e.g. Casella & Berger §10.4; Kohavi et al.'s online-experiment
@@ -766,9 +777,7 @@ object Events {
           >= AbGoalCount, 1L).otherwise(0L).as("conv"),
         sum(when(col("event_type") === AbGoalEvent,
           floor(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
-      .withColumn("variant",
-        pmod(graft.core.Hash32.column("md5(concat('ab-', cast(user_id as string)))"),
-          lit(2L)))
+      .withColumn("variant", abVariantCol)
     // materialized: the 2-row arm frame feeds BOTH the report and the
     // test statistic — uncached, each consumer re-scans the corpus
     val arms = Materialize.shared(spark, perUser.groupBy("variant")
@@ -802,7 +811,6 @@ object Events {
   }
 
   def abReadoutSql: String = {
-    val h = graft.core.Hash32.sql("md5(concat('ab-', cast(user_id as varchar)))")
     s"""WITH pu AS (
        |  SELECT user_id,
        |    CASE WHEN sum(CASE WHEN event_type = '$AbGoalEvent' THEN 1 ELSE 0 END)
@@ -810,22 +818,24 @@ object Events {
        |    cast(sum(CASE WHEN event_type = '$AbGoalEvent'
        |      THEN cast(floor(value * 100) as bigint) ELSE 0 END) as bigint) AS cents
        |  FROM events GROUP BY user_id),
-       |pv AS (SELECT *, $h % 2 AS variant FROM pu),
+       |pv AS (SELECT *, $abVariantSql AS variant FROM pu),
        |arms AS (
        |  SELECT variant, count(*) AS n_users,
        |    cast(sum(conv) as bigint) AS n_converted,
        |    cast(sum(cents) as bigint) AS revenue_cents
        |  FROM pv GROUP BY variant),
        |t AS (
-       |  SELECT cast(sum(CASE WHEN variant = 0 THEN n_users ELSE 0 END) as bigint) AS na,
-       |    cast(sum(CASE WHEN variant = 1 THEN n_users ELSE 0 END) as bigint) AS nb,
-       |    cast(sum(CASE WHEN variant = 0 THEN n_converted ELSE 0 END) as bigint) AS ca,
-       |    cast(sum(CASE WHEN variant = 1 THEN n_converted ELSE 0 END) as bigint) AS cb
+       |  -- sums stay HUGEINT: the z-squared products overflow i64 at
+       |  -- web-scale user counts (the Spark twin rides decimal(38,0))
+       |  SELECT sum(CASE WHEN variant = 0 THEN n_users ELSE 0 END) AS na,
+       |    sum(CASE WHEN variant = 1 THEN n_users ELSE 0 END) AS nb,
+       |    sum(CASE WHEN variant = 0 THEN n_converted ELSE 0 END) AS ca,
+       |    sum(CASE WHEN variant = 1 THEN n_converted ELSE 0 END) AS cb
        |  FROM arms),
        |ts AS (
        |  SELECT
-       |    CASE WHEN na = 0 OR nb = 0 THEN 0
-       |      ELSE cb * 1000 // nb - ca * 1000 // na END AS diff_permille,
+       |    cast(CASE WHEN na = 0 OR nb = 0 THEN 0
+       |      ELSE cb * 1000 // nb - ca * 1000 // na END as bigint) AS diff_permille,
        |    CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0
        |        OR ca + cb = na + nb THEN 0
        |      ELSE cast((cb * na - ca * nb) * (cb * na - ca * nb) * (na + nb) * 1000 //
@@ -873,10 +883,11 @@ object Events {
           unix_micros(col("ts")) < col("cut_us"), 1L).otherwise(0L)).as("x"),
         sum(when(col("event_type") === AbGoalEvent &&
           unix_micros(col("ts")) >= col("cut_us"), 1L).otherwise(0L)).as("y"))
-      .withColumn("variant",
-        pmod(graft.core.Hash32.column("md5(concat('ab-', cast(user_id as string)))"),
-          lit(2L))))
-    val theta = broadcast(perUser.agg(
+      .withColumn("variant", abVariantCol))
+    // materialized: the 1-row theta frame has FOUR consumers (two
+    // moment passes, the adjusted projection, the report) — uncached,
+    // each re-aggregates the user-sized frame
+    val theta = broadcast(Materialize.shared(spark, perUser.agg(
         count(lit(1)).cast("decimal(38,0)").as("n"),
         sum(col("x").cast("decimal(38,0)")).as("sx"),
         sum(col("y").cast("decimal(38,0)")).as("sy"),
@@ -890,7 +901,7 @@ object Events {
           |    AND (n * sxy - sx * sy) < 0 THEN 1 ELSE 0 END
           |END""".stripMargin))
       .select(col("theta_milli"), col("n").cast("long").as("nu"),
-        col("sx").cast("long").as("sxl")))
+        col("sx").cast("long").as("sxl"))))
     val adjusted = perUser.crossJoin(theta)
       .withColumn("ym", col("y") * 1000)
       .withColumn("ycup", expr(
@@ -916,7 +927,6 @@ object Events {
   }
 
   def cupedReadoutSql: String = {
-    val h = graft.core.Hash32.sql("md5(concat('ab-', cast(user_id as varchar)))")
     val momY = graft.ops.FloorGrid.sqlMoments(
       "SELECT 1 AS g, ym FROM adj", "g", "ym")
     val momC = graft.ops.FloorGrid.sqlMoments(
@@ -931,7 +941,7 @@ object Events {
        |    cast(sum(CASE WHEN event_type = '$AbGoalEvent'
        |      AND epoch_us(ts) >= cut_us THEN 1 ELSE 0 END) as bigint) AS y
        |  FROM events CROSS JOIN cut GROUP BY user_id),
-       |pv AS (SELECT *, $h % 2 AS variant FROM pu),
+       |pv AS (SELECT *, $abVariantSql AS variant FROM pu),
        |th AS (
        |  SELECT
        |    CASE WHEN n * sxx - sx * sx <= 0 THEN 0 ELSE

@@ -2792,8 +2792,13 @@ object TextAnalytics {
     * integer ratio (tf·N + μ·cf) / (N·(dl+μ)), and the sparse
     * decomposition score = Σ_matched [L(tf·N + μ·cf) − L(μ·cf)]
     * + Σ_present L(μ·cf) − |q|·L(N·(dl+μ)) (L = FixedLog2Q16) makes
-    * the whole ranking exact Q16 integers. i64 bound: tf·N + μ·cf ≤
-    * (μ+1)·N — safe to N ~ 4.6e15 tokens (~18 PB of text).
+    * the whole ranking exact Q16 integers. i64 bound: BOTH the
+    * numerator tf·N + μ·cf and the per-doc normalizer N·(dl+μ) are
+    * ≤ N·(dl_max+μ), so the real safety line is
+    * N·(dl_max+μ) < 2⁶³ — e.g. ~9e13 tokens (~360 TB of text) at
+    * dl_max ~ 10⁵. Past it, DuckDB errors loudly while Spark's
+    * non-ANSI multiply would wrap; the next widening step is the
+    * decimal(38,0) route the F-S/CUPED estimators already ride.
     *
     * Scale shape: ONE corpus scan (explode_outer keeps zero-match
     * docs), materialized once for its four consumers (the q175
@@ -2814,7 +2819,7 @@ object TextAnalytics {
     val stats = broadcast(docsD.agg(sum("dl").as("ncorp")))
     val cf = broadcast(per.filter(col("term").isNotNull)
       .groupBy("term").agg(sum("tf").as("cf")))
-    val cq = broadcast(cf.crossJoin(stats)
+    val cq = broadcast(cf
       .agg(sum(FixedLog2(lit(QlMu) * col("cf"))).as("cq"),
         count(lit(1)).as("qn")))
     val contrib = per.filter(col("term").isNotNull)
@@ -2927,7 +2932,6 @@ object TextAnalytics {
     val byDepth = depths.join(pairs, col("dmax") <= col("d"), "left")
       .groupBy("d", "w")
       .agg(sum(coalesce(col("cnt"), lit(0L))).as("n_overlap"))
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
     val rbo = byDepth
       .agg(expr("cast(sum((n_overlap * w) div d) div 10000000 as bigint)")
         .as("rbo_ppm"))
