@@ -257,7 +257,9 @@ object SparkEntry {
     "q195_query_likelihood" -> TextAnalytics.queryLikelihood _,
     "q196_rank_agreement"   -> TextAnalytics.rankAgreement _,
     "q197_ab_readout"       -> Events.abReadout _,
-    "q198_cuped"            -> Events.cupedReadout _
+    "q198_cuped"            -> Events.cupedReadout _,
+    "q199_stream_ab_monitor" -> ((s: SparkSession, d: String) =>
+      graft.streaming.EventStream.abMonitorStream(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -535,6 +537,9 @@ object SparkEntry {
     "q195_query_likelihood" -> TextAnalytics.queryLikelihoodSql,
     "q196_rank_agreement"   -> TextAnalytics.rankAgreementSql,
     "q197_ab_readout"       -> Events.abReadoutSql,
-    "q198_cuped"            -> Events.cupedReadoutSql
+    "q198_cuped"            -> Events.cupedReadoutSql,
+    // q199 shares q197's oracle: per-user goal counts are sums, so the
+    // unioned multi-batch fold is row-identical to the batch readout
+    "q199_stream_ab_monitor" -> Events.abReadoutSql
   )
 }

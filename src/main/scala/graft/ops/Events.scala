@@ -769,15 +769,40 @@ object Events {
     * (the assignment hash is scan-local), a 2-row arm aggregate, and a
     * 1-row broadcast of the test statistic. Nothing corpus-sized past
     * the first shuffle. */
-  def abReadout(spark: SparkSession, sfDir: String): DataFrame = {
-    val perUser = Tables.events(spark, sfDir)
-      .groupBy("user_id")
+  def abReadout(spark: SparkSession, sfDir: String): DataFrame =
+    abReadoutOf(abPerUser(Tables.events(spark, sfDir)))
+
+  /** The per-user experiment fold — the seam the streaming monitor
+    * (q199) shares with batch q197. Goal-event counts are SUMS, so a
+    * per-user fold over unioned per-batch partial counts is identical
+    * to the single-pass fold; conversion/revenue derive after the
+    * union (a threshold crossed mid-stream amends retroactively, the
+    * q181/q193 property). */
+  private[graft] def abGoalCounts(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
       .agg(
-        when(sum(when(col("event_type") === AbGoalEvent, 1L).otherwise(0L))
-          >= AbGoalCount, 1L).otherwise(0L).as("conv"),
+        sum(when(col("event_type") === AbGoalEvent, 1L).otherwise(0L)).as("goals"),
         sum(when(col("event_type") === AbGoalEvent,
           floor(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+
+  private[graft] def abPerUser(events: DataFrame): DataFrame =
+    abPerUserOf(abGoalCounts(events))
+
+  /** (user_id, goals, cents) — possibly PARTIAL counts from several
+    * micro-batches — folded to final per-user conversion + variant. */
+  private[graft] def abPerUserOf(goalCounts: DataFrame): DataFrame =
+    goalCounts.groupBy("user_id")
+      .agg(when(sum("goals") >= AbGoalCount, 1L).otherwise(0L).as("conv"),
+        sum("cents").as("cents"))
       .withColumn("variant", abVariantCol)
+
+  /** Full q197 readout from a (user_id, goals, cents) partial-count
+    * frame — the q199 streaming monitor's serving read. */
+  private[graft] def abReadoutFromCounts(goalCounts: DataFrame): DataFrame =
+    abReadoutOf(abPerUserOf(goalCounts))
+
+  private def abReadoutOf(perUser: DataFrame): DataFrame = {
+    val spark = perUser.sparkSession
     // materialized: the 2-row arm frame feeds BOTH the report and the
     // test statistic — uncached, each consumer re-scans the corpus
     val arms = Materialize.shared(spark, perUser.groupBy("variant")

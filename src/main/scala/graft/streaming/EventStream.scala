@@ -281,4 +281,32 @@ object EventStream {
           closed.iterator
       }
   }
+
+  /** q199: STREAMING A/B monitor — q197's readout running continuously
+    * at the event firehose, the shape an experimentation platform's
+    * live dashboard actually has. Each micro-batch folds its events to
+    * per-user PARTIAL goal counts (one keyed agg per batch, batch-sized
+    * state, nothing retained across batches) and appends them to a
+    * batchId-keyed overwrite sink; goal counts are SUMS, so the serving
+    * read's per-user re-fold over the unioned sink equals the
+    * single-pass batch fold exactly — a user who crosses the conversion
+    * threshold in batch 3 amends their batch-1 verdict retroactively
+    * (the q181/q193 property), and q197's oracle serves both forms.
+    * Mechanics ride the shared `StreamScratch.waveSink` harness. */
+  def abMonitorStream(spark: SparkSession, sfDir: String,
+                      streamSrc: Option[String] = None,
+                      filesPerTrigger: Option[Int] = None): DataFrame = {
+    // events.parquet may carry TIMESTAMP(NANOS) — same escape hatch as
+    // Tables.events, needed before the stream's schema sniff
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val read = StreamScratch.waveSink(spark, "abmon", sfDir, streamSrc,
+      filesPerTrigger, "events.parquet",
+      batch => graft.ops.Events.abGoalCounts(
+        graft.core.Tables.normalizeEventTs(batch)))
+    val counts = read.getOrElse(
+      spark.range(0).select(col("id").as("user_id"),
+        col("id").as("goals"), col("id").as("cents")))
+    graft.ops.Events.abReadoutFromCounts(counts)
+  }
+
 }

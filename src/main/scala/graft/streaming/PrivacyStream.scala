@@ -50,4 +50,5 @@ object PrivacyStream {
     graft.ops.Privacy.kAnonVerdictsOf(wave,
       graft.ops.Privacy.frozenQiCounts(spark, sfDir))
   }
+
 }

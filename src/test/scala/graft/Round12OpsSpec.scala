@@ -458,4 +458,42 @@ class Round12OpsSpec extends SparkSpec {
     val totN = got.map(_.getAs[Long]("n_users")).sum
     assert(totN == n)
   }
+
+  // ---------------------------------------------------------------- q199
+
+  test("q199: the streaming monitor is row-identical to batch q197, incl. a threshold crossed across batches") {
+    import graft.ops.Events.{AbGoalEvent, AbGoalCount}
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    var eid = 0L
+    def ev(u: Long, tpe: String) = { eid += 1; (eid, t0, u, tpe, 10.0, "{}") }
+    // user 1 converts ONLY across batches (8 + 7 goal events split over
+    // two batches, neither alone reaching 15); users 2-12 pad the arms
+    val b1 = (1 to 8).map(_ => ev(1L, AbGoalEvent)) ++
+      (2L to 12L).map(u => ev(u, "view"))
+    val b2 = (1 to 7).map(_ => ev(1L, AbGoalEvent)) ++
+      (2L to 6L).flatMap(u => (1 to AbGoalCount.toInt).map(_ => ev(u, AbGoalEvent)))
+    val b3 = (7L to 12L).map(u => ev(u, "click"))
+    val dir = graft.streaming.StreamScratch.dir("q199-ab")
+    (b1 ++ b2 ++ b3).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val waveDir = graft.streaming.StreamScratch.dir("q199-ab-wave")
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      val tmp = graft.streaming.StreamScratch.dir(s"q199-part$i")
+      b.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(waveDir, s"batch$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val batch = graft.ops.Events.abReadout(spark, dir).collect().toSeq
+    val stream = graft.streaming.EventStream.abMonitorStream(
+      spark, dir, streamSrc = Some(waveDir), filesPerTrigger = Some(1))
+      .collect().toSeq
+    assert(batch.nonEmpty && stream == batch)
+    // the cross-batch conversion specifically: user 1's 15 goals span
+    // batches, so total conversions include them
+    assert(batch.map(_.getAs[Long]("n_converted")).sum == 6) // user 1 + users 2-6
+  }
 }
