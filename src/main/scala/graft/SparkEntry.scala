@@ -259,7 +259,8 @@ object SparkEntry {
     "q197_ab_readout"       -> Events.abReadout _,
     "q198_cuped"            -> Events.cupedReadout _,
     "q199_stream_ab_monitor" -> ((s: SparkSession, d: String) =>
-      graft.streaming.EventStream.abMonitorStream(s, d))
+      graft.streaming.EventStream.abMonitorStream(s, d)),
+    "q200_srm_guard"        -> Events.srmGuard _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -540,6 +541,7 @@ object SparkEntry {
     "q198_cuped"            -> Events.cupedReadoutSql,
     // q199 shares q197's oracle: per-user goal counts are sums, so the
     // unioned multi-batch fold is row-identical to the batch readout
-    "q199_stream_ab_monitor" -> Events.abReadoutSql
+    "q199_stream_ab_monitor" -> Events.abReadoutSql,
+    "q200_srm_guard"        -> Events.srmGuardSql
   )
 }

@@ -874,6 +874,90 @@ object Events {
        |ORDER BY variant""".stripMargin
   }
 
+  /** χ²₁ cut for SRM on the milli grid at the field's conventional
+    * p < 0.001 alarm threshold (10.828; 10829 is the conservative
+    * integer cut) — SRM checks run on every experiment, so the alarm
+    * level is strict by design (Fabijan et al.). */
+  val SrmChi2MilliCut = 10829L
+
+  /** q200: sample-ratio-mismatch guard (Fabijan et al., KDD 2019,
+    * "Diagnosing Sample Ratio Mismatch in Online Controlled
+    * Experiments" — THE standard validity gate an experimentation
+    * platform runs before trusting any readout: if the realized arm
+    * split deviates from the designed 50/50 beyond chance, the
+    * assignment or logging pipeline is broken and q197/q198's numbers
+    * are meaningless). Checked at BOTH granularities the paper
+    * recommends — randomization units (users) and raw events — since
+    * a user-level match with an event-level mismatch indicts
+    * post-assignment logging loss.
+    *
+    * Exactness: the 50/50 chi-square collapses to
+    * χ² = (n_a − n_b)² / (n_a + n_b) — exact milli integers, the
+    * square on decimal(38,0)/hugeint (event counts at web scale put
+    * the ×1000 numerator past i64).
+    *
+    * The DETECTION verdict fires only at the RANDOMIZATION unit
+    * (users): events cluster by user, so event-level arm counts have
+    * super-binomial variance and the binomial chi-square over-rejects
+    * on perfectly sound splits — measured here: the shipped corpus's
+    * hash split reads users χ² 0.4-0.5 (clean) while the events row
+    * reads χ² 31-63 purely from per-user volume skew. The events row
+    * therefore reports its ratio and χ² as DIAGNOSTICS (a user-clean /
+    * event-skewed pair indicts post-assignment logging loss, per the
+    * paper) but never alarms on its own.
+    *
+    * Scale shape: ONE events scan with the scan-local assignment hash,
+    * one variant-keyed agg carrying (events, distinct users), and a
+    * 2-row unit reshape. */
+  def srmGuard(spark: SparkSession, sfDir: String): DataFrame = {
+    val byVariant = Materialize.shared(spark, Tables.events(spark, sfDir)
+      .withColumn("variant", abVariantCol)
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users")))
+    def unitRow(unit: String, cnt: String) = byVariant.agg(
+        sum(when(col("variant") === 0, col(cnt)).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, col(cnt)).otherwise(0L)).as("n_b"))
+      .select(lit(unit).as("unit"), col("n_a"), col("n_b"))
+    unitRow("events", "n_events").unionAll(unitRow("users", "n_users"))
+      .withColumn("ratio_permille", expr("n_a * 1000 div (n_a + n_b)"))
+      .withColumn("chi2_milli", expr(
+        """CASE WHEN n_a + n_b = 0 THEN 0 ELSE
+          |cast(cast(n_a - n_b as decimal(38,0)) * (n_a - n_b) * 1000
+          |  div (n_a + n_b) as bigint) END""".stripMargin))
+      .withColumn("srm_detected",
+        col("unit") === "users" && col("chi2_milli") >= SrmChi2MilliCut)
+      .orderBy("unit")
+  }
+
+  def srmGuardSql: String =
+    s"""WITH pv AS (
+       |  SELECT user_id, $abVariantSql AS variant FROM events),
+       |bv AS (
+       |  SELECT variant, count(*) AS n_events,
+       |    count(DISTINCT user_id) AS n_users
+       |  FROM pv GROUP BY variant),
+       |units AS (
+       |  SELECT 'events' AS unit,
+       |    sum(CASE WHEN variant = 0 THEN n_events ELSE 0 END) AS n_a,
+       |    sum(CASE WHEN variant = 1 THEN n_events ELSE 0 END) AS n_b
+       |  FROM bv
+       |  UNION ALL
+       |  SELECT 'users',
+       |    sum(CASE WHEN variant = 0 THEN n_users ELSE 0 END),
+       |    sum(CASE WHEN variant = 1 THEN n_users ELSE 0 END)
+       |  FROM bv)
+       |SELECT unit, cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
+       |  cast(n_a * 1000 // (n_a + n_b) as bigint) AS ratio_permille,
+       |  CASE WHEN n_a + n_b = 0 THEN 0
+       |    ELSE cast((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) as bigint)
+       |  END AS chi2_milli,
+       |  CASE WHEN n_a + n_b = 0 OR unit != 'users' THEN FALSE
+       |    ELSE cast((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) as bigint)
+       |      >= $SrmChi2MilliCut END AS srm_detected
+       |FROM units
+       |ORDER BY unit""".stripMargin
+
   /** q198: CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
     * 2013, "Improving the Sensitivity of Online Controlled
     * Experiments...") — the industry-standard refinement of q197: a

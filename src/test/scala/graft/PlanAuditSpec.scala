@@ -771,6 +771,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the 1-row theta/cut frames ride broadcasts:\n$plan")
   }
 
+  test("q200: one events scan with scan-local assignment; the unit reshape reads the cached 2-row frame") {
+    val df = graft.ops.Events.srmGuard(spark, sf0001)
+    val plan = executed(df)
+    assert(parquetScans(df, "events.parquet") <= 1,
+      s"both unit rows must derive from ONE variant-keyed aggregation:\n$plan")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the 2-row variant frame feeds both unit rows — must be materialized:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the guard is pure aggregation + union:\n$plan")
+  }
+
   test("q176: supported patterns are aggregate-emission — sessions never join a candidate table") {
     val df = graft.ops.Events.seqPatterns(spark, sf0001)
     val plan = executed(df)

@@ -496,4 +496,42 @@ class Round12OpsSpec extends SparkSpec {
     // batches, so total conversions include them
     assert(batch.map(_.getAs[Long]("n_converted")).sum == 6) // user 1 + users 2-6
   }
+
+  // ---------------------------------------------------------------- q200
+
+  test("q200: SRM fires on planted assignment loss at the user unit only; the shipped split reads clean") {
+    import graft.ops.Events.SrmChi2MilliCut
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    var eid = 0L
+    def ev(u: Long) = { eid += 1; (eid, t0, u, "view", 1.0, "{}") }
+    // plant logging loss: 400 candidate users, but 70% of arm-1 users
+    // never reach the log (their events dropped) — the realized split
+    // deviates way beyond chance at the user unit
+    val users = (1L to 400L)
+    val kept = users.filter(u => h32(s"ab-$u") % 2 == 0 || u % 10 < 3)
+    val events = kept.flatMap(u => Seq.fill(1 + (u % 3).toInt)(ev(u)))
+    val dir = graft.streaming.StreamScratch.dir("q200-srm")
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = graft.ops.Events.srmGuard(spark, dir).collect()
+      .map(r => r.getAs[String]("unit") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("chi2_milli"), r.getAs[Boolean]("srm_detected")))).toMap
+    // literal replay at the user unit
+    val na = kept.count(u => h32(s"ab-$u") % 2 == 0).toLong
+    val nb = kept.size - na
+    val chi2 = (BigInt(na - nb).pow(2) * 1000 / (na + nb)).toLong
+    assert(got("users") == ((na, nb, chi2, chi2 >= SrmChi2MilliCut)))
+    assert(got("users")._4, "the planted loss must alarm")
+    // events-unit: diagnostic only — never alarms even when its chi2
+    // is large (clustered events violate the binomial assumption)
+    assert(!got("events")._4)
+
+    // the shipped corpus's hash split is sound: users row clean, and
+    // the events row's big chi2 (per-user volume skew) must NOT alarm
+    val ship = graft.ops.Events.srmGuard(spark, sf0001).collect()
+      .map(r => r.getAs[String]("unit") -> r.getAs[Boolean]("srm_detected")).toMap
+    assert(!ship("users") && !ship("events"))
+  }
 }
