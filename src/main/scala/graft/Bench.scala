@@ -180,6 +180,14 @@ object Bench {
     val aqe = sys.env.get("SPARK_GRAFT_AQE")
       .map(v => (v != "0").toString).getOrElse("default")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gcMs":$gcs,"errors":$errors,"aqe":"$aqe","sf":"$sfDir"}""")
+    // compact summary LAST (VERDICT r12 harness nit): the driver's
+    // bounded tail-capture truncates the FRONT of long lines, which ate
+    // the detailed line's "metric"/"value" prefix on 200-query sweeps —
+    // a short final line always survives the tail and parses standalone
+    val worst = results.filter(_._3).sortBy(-_._2).headOption
+      .map { case (k, v, _, _) => f""","worst":"$k","worst_sec":$v%.3f""" }
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"errors":$errors,"aqe":"$aqe","sf":"$sfDir"$worst}""")
     spark.stop()
     // flat-profile envelope, self-enforcing — see [[flatProfileFailure]]
     val maxLine = sys.env.getOrElse("SPARK_GRAFT_MAX_LINE_S", "3.5").toDouble

@@ -185,7 +185,15 @@ object Scaling {
     "q195_query_likelihood" -> ((s, d) => graft.ops.TextAnalytics.queryLikelihood(s, d)),
     // assignment is scan-local hashing; the corpus pays ONE user-keyed
     // agg (replica user remaps scale the user population with the
-    // factor), arms/test are 2-row/1-row broadcasts
+    // factor), arms/test are 2-row/1-row broadcasts.
+    // Remaining round-12 absentees, each justified: q191 (Mondrian)
+    // reads the customer registry table, outside the documents/events
+    // amplification harness — the q188 situation; q196 (RBO) is
+    // answer-sized over the two rankers' top-k lists from q154's
+    // measured artifact; q198 (CUPED) and q200 (SRM) share q197's
+    // single events-scan + user-keyed-agg shape measured here; q199 is
+    // q197's streaming twin, spec-proven row-identical per batch, so
+    // the batch shape is the one measured
     "q197_ab_readout" -> ((s, d) => graft.ops.Events.abReadout(s, d)))
 
   /** Replica-suffix amplification (see class doc). Factor 1 is a

@@ -819,11 +819,17 @@ object Events {
       .withColumn("diff_permille", expr(
         "CASE WHEN na = 0 OR nb = 0 THEN 0 " +
         "ELSE cb * 1000 div nb - ca * 1000 div na END"))
+      // the count-product difference rides decimal(38,0) from the FIRST
+      // multiply (cast before the product, the fsLinkage ppm pattern):
+      // cb*na wraps silently in non-ANSI i64 past ~4e9 users per arm,
+      // exactly the web-scale regime the decimal route exists for —
+      // DuckDB's twin computes the same products in hugeint
+      .withColumn("zdiff", expr(
+        "cast(cb as decimal(38,0)) * na - cast(ca as decimal(38,0)) * nb"))
       .withColumn("z2_milli", expr(
         """CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0
           |  OR ca + cb = na + nb THEN 0
-          |ELSE cast(cast((cb * na - ca * nb) as decimal(38,0)) *
-          |  (cb * na - ca * nb) * (na + nb) * 1000 div
+          |ELSE cast(zdiff * zdiff * (na + nb) * 1000 div
           |  (cast(na as decimal(38,0)) * nb * (ca + cb) *
           |   (na + nb - ca - cb)) as bigint) END""".stripMargin))
       .select(col("diff_permille"), col("z2_milli"),

@@ -3030,8 +3030,12 @@ object TextAnalytics {
       .select(col("b_milli"), col("z1"),
         expr("cast(z1 * 1000000 div ntok as bigint)").as("p0_ppm"))
     frame.crossJoin(broadcast(stats))
-      .withColumn("turing_permille",
-        when(col("rn") === col("r") + 1, expr("((r + 1) * zn * 1000) div z")))
+      // -1 sentinel, not NULL, when r+1 is unobserved: the repo-wide
+      // nullable-bigint convention (null int64 degrades to float64 in
+      // arrow/pandas, destabilizing downstream dtypes)
+      .withColumn("turing_permille", coalesce(
+        when(col("rn") === col("r") + 1, expr("((r + 1) * zn * 1000) div z")),
+        lit(-1L)))
       .withColumn("sgt_log2_q16",
         col("lr1") + expr("(b_milli * (lr1 - x)) div 1000"))
       .select("r", "z", "turing_permille", "sgt_log2_q16", "b_milli", "p0_ppm")
@@ -3076,7 +3080,8 @@ object TextAnalytics {
        |    z1, cast(z1 * 1000000 // ntok as bigint) AS p0_ppm
        |  FROM st)
        |SELECT r, z,
-       |  CASE WHEN rn = r + 1 THEN ((r + 1) * zn * 1000) // z END AS turing_permille,
+       |  coalesce(CASE WHEN rn = r + 1 THEN ((r + 1) * zn * 1000) // z END,
+       |    cast(-1 as bigint)) AS turing_permille,
        |  lr1 + (b_milli * (lr1 - x)) // 1000 AS sgt_log2_q16,
        |  b_milli, p0_ppm
        |FROM lg CROSS JOIN bs

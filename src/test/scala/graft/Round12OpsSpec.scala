@@ -192,7 +192,7 @@ class Round12OpsSpec extends SparkSpec {
     * design — its exactness is property-tested separately), sums in
     * BigInt, floor via explicit adjustment. */
   private def sgtRef(counts: Map[String, Long]):
-      Seq[(Long, Long, Option[Long], Long, Long, Long)] = {
+      Seq[(Long, Long, Long, Long, Long, Long)] = {
     import graft.functions.FixedLog2.q16
     val zr = counts.values.groupBy(identity).view.mapValues(_.size.toLong)
       .toSeq.sortBy(_._1)
@@ -218,9 +218,11 @@ class Round12OpsSpec extends SparkSpec {
     val z1 = zr.find(_._1 == 1L).map(_._2).getOrElse(0L)
     val p0 = z1 * 1000000L / ntok
     rows.zipWithIndex.map { case ((r, z, x, _, lr1), i) =>
+      // -1 sentinel where r+1 is unobserved (the nullable-bigint
+      // convention; q194 coalesces in both engines)
       val turing = zr.lift(i + 1).collect {
         case (rn, zn) if rn == r + 1 => (r + 1) * zn * 1000 / z
-      }
+      }.getOrElse(-1L)
       val sgt = lr1 + bMilli * (lr1 - x) / 1000 // both engines truncate
       (r, z, turing, sgt, bMilli, p0)
     }
@@ -237,7 +239,7 @@ class Round12OpsSpec extends SparkSpec {
     val dir = writeDocs("sgt", Seq((1L, text, "s")))
     val got = graft.ops.TextAnalytics.goodTuring(spark, dir).collect()
       .map(r => (r.getAs[Long]("r"), r.getAs[Long]("z"),
-        Option(r.get(r.fieldIndex("turing_permille"))).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("turing_permille"),
         r.getAs[Long]("sgt_log2_q16"), r.getAs[Long]("b_milli"),
         r.getAs[Long]("p0_ppm"))).toSeq
     val ref = sgtRef(counts)
@@ -247,7 +249,7 @@ class Round12OpsSpec extends SparkSpec {
     // adjusted count 2*1/3 < 1 signals mass flowing to the unseen)
     assert(got.head._5 < 0, "b must be negative on a Zipf-ish tail")
     assert(got.head._6 == 3L * 1000000L / 16L)
-    assert(got.head._3.contains(2L * 1L * 1000L / 3L))
+    assert(got.head._3 == 2L * 1L * 1000L / 3L)
   }
 
   // ---------------------------------------------------------------- q195
