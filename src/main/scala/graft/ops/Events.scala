@@ -505,19 +505,34 @@ object Events {
       .toDF("a", "b")
       .groupBy("a", "b")
       .agg(count(lit(1)).as("ncells"))
-    // The duplicate-consumer subtrees below (sym's two pair arms, the
-    // triangle join's three oriented aliases) deliberately ride
-    // EXCHANGE REUSE, not persist(): measured at sf0.1, caching the
-    // pair frame poisons downstream size estimation badly enough to
-    // flip the mutual-edge plan (27 s vs 3 s), while identical
-    // exchanges dedup for free inside the one AQE query.
-    val sym = pairRows.select(col("a").as("u"), col("b").as("v"), col("ncells"))
-      .union(pairRows.select(col("b").as("u"), col("a").as("v"), col("ncells")))
-    val topk = sym
-      .withColumn("rk", row_number().over(Window.partitionBy("u")
-        .orderBy(col("ncells").desc, col("v").asc)))
-      .filter(col("rk") <= CoVisitTopK)
-      .select("u", "v")
+    // The duplicate-consumer subtrees below (the triangle join's three
+    // oriented aliases) deliberately ride EXCHANGE REUSE, not
+    // persist(): measured at sf0.1, caching the pair frame poisons
+    // downstream size estimation badly enough to flip the mutual-edge
+    // plan (27 s vs 3 s), while identical exchanges dedup for free
+    // inside the one AQE query.
+    //
+    // Per-user top-K via the BOUNDED aggregate, not a row_number
+    // window: the window form shuffled and sorted the FULL directed
+    // pair frame (2x pairs — ~100M rows at the scaling harness's top
+    // decade, measured 19 s of the 34 s cell) to keep 8 rows per user;
+    // TopKByScore folds map-side, so only K-capped buffers reach the
+    // exchange. Same total order (ncells desc, v asc), same edge set —
+    // the r13 scaling-exponent fix.
+    val topPartners = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.TopKByScore(
+        org.apache.spark.sql.graft.Bridge.expression(col("v")),
+        org.apache.spark.sql.graft.Bridge.expression(col("ncells")),
+        CoVisitTopK.toInt).toAggregateExpression())
+    // both directions from ONE scan of the pair aggregate (explode, not
+    // a self-union, so the pair exchange has a single consumer)
+    val topk = pairRows
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v"), col("ncells")),
+        struct(col("b").as("u"), col("a").as("v"), col("ncells")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.ncells").as("ncells"))
+      .groupBy("u").agg(topPartners.as("vs"))
+      .select(col("u"), explode(col("vs")).as("v"))
     // mutual edge = the unordered pair appears in BOTH directed top-K
     // lists: one groupBy on the unordered key counts directions — no
     // self-join of the ranked frame (the r10 form's tx/ty join was two
