@@ -161,14 +161,20 @@ object Scaling {
     // ONE keyed corpus count; the trial fan-out and release join run on
     // the materialized histogram frame (key-domain-sized at every
     // decade) — the one-corpus-aggregation claim is the thing measured.
-    // q190 is deliberately ABSENT (the q17 precedent): its blocked-pair
-    // volume grows with (lang, length-band) block OCCUPANCY, and the
-    // replica amplification lands every replica in the same bands — a
-    // workload property, not a plan property. Its physical bound is
-    // LinkBlockCap (plan-audited); its scale path at a real corpus is
-    // sharper blocking keys, and its corpus-sized cost is otherwise the
-    // graph-served q74 shape already measured here.
     "q189_dp_histogram" -> ((s, d) => graft.ops.Privacy.dpHistogram(s, d)),
+    // measurable since the round-13 hierarchical-blocking refinement:
+    // coarse (lang, length-band) blocks above LinkSplitThreshold
+    // re-key by min-md5-token, so the amplified decades — where word
+    // suffixes land whole replica GROUPS in shared bands but give each
+    // replica a disjoint vocabulary — resolve back to per-replica
+    // occupancy and pair volume stays linear in the factor. Before the
+    // refinement this line was absent (the q17 precedent): merged
+    // bands made pair volume quadratic by workload, then LinkBlockCap
+    // dropped them outright at f=64. The timed work includes the
+    // per-decade label build (dedupGraphEdges + star CC, the q155
+    // composition discipline).
+    "q190_fs_linkage" -> ((s, d) =>
+      graft.ops.Privacy.fsLinkage(s, d, graft.ops.Dedup.OracleHashBits)),
     // the wave (src0 replicas) grows with the factor; verdicts are one
     // wave-keyed window + a broadcast of the QI-domain-sized frozen
     // count table — no corpus-sized shuffle join at any decade

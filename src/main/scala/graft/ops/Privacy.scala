@@ -330,16 +330,35 @@ object Privacy {
       .orderBy("source", "lang")
   }
 
-  /** Blocking-key cap for q190: blocks (lang, n_chars div 32) larger
-    * than this are dropped from pair enumeration — the df-cap / bandCap
-    * discipline (a block of B docs fans out B²/2 pairs in one task; a
-    * boilerplate flood at web scale would otherwise materialize 10¹⁰
-    * pairs from one key). Never binds at the test SFs (max observed
-    * block ~2% of the cap), so the oracle is exact. Note the cap bounds
-    * PER-BLOCK fan-out only — corpus-wide pair totals still grow with
-    * the block count, which is why the m/u ppm estimation runs in
-    * decimal(38,0)/hugeint rather than i64. */
+  /** Blocking-key cap for q190: REFINED blocks larger than this are
+    * dropped from pair enumeration — the df-cap / bandCap discipline
+    * (a block of B docs fans out B²/2 pairs in one task; a boilerplate
+    * flood at web scale would otherwise materialize 10¹⁰ pairs from one
+    * key). Never binds at the test SFs, so the oracle is exact. Note
+    * the cap bounds PER-BLOCK fan-out only — corpus-wide pair totals
+    * still grow with the block count, which is why the m/u ppm
+    * estimation runs in decimal(38,0)/hugeint rather than i64. */
   val LinkBlockCap = 1024L
+
+  /** Hierarchical-blocking refinement threshold for q190: a coarse
+    * (lang, n_chars div 32) block larger than this re-blocks by a
+    * second-order content key — the doc's minimum md5-hashed token, a
+    * 1-permutation minhash, so near-identical records (which share
+    * their rare-token minimum with high probability) stay co-blocked
+    * while a band flood fragments by content. This is the standard
+    * multi-pass/hierarchical blocking move from the record-linkage
+    * literature (Winkler 2006 §4, "Overview of Record Linkage and
+    * Current Research Directions"): sharper keys where occupancy
+    * explodes, instead of dropping the block outright. LinkBlockCap
+    * remains the final guard on REFINED blocks (a flood of byte-equal
+    * boilerplate shares every token, so its refined block is the
+    * coarse block). Above every un-amplified test-SF block (max
+    * observed: 153 at sf0.1, 23 at sf0.01), so oracle output is
+    * byte-identical to the unrefined form; it binds — and is measured,
+    * SCALING.md — under the replica-amplified decades, where replica
+    * vocabularies are disjoint and the refinement resolves merged
+    * bands back to per-replica occupancy. */
+  val LinkSplitThreshold = 256L
 
   /** Decision thresholds on the Q16 log₂-likelihood-ratio scale:
     * ≥ upper → 'link' (posterior odds ≥ 2⁴ = 16:1), ≤ lower →
@@ -399,13 +418,27 @@ object Privacy {
       col("doc_id"), col("lang"), col("source"),
       expr("n_chars div 4").as("nb4"), expr("n_chars div 32").as("nb32"),
       array_join(slice(toks, 1, 6), " ").as("pre"),
-      array_join(slice(reverse(toks), 1, 6), " ").as("suf"))
+      array_join(slice(reverse(toks), 1, 6), " ").as("suf"),
+      // 1-perm minhash of the token set: the refinement key for
+      // oversized coarse blocks (LinkSplitThreshold doc)
+      coalesce(array_min(transform(toks, t => md5(t.cast("binary")))), lit(""))
+        .as("mintok"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lang", "nb32")
-    val blk = docs.withColumn("bsz", count(lit(1)).over(w))
+    // hierarchical blocking: coarse occupancy decides whether the
+    // content subkey participates; the size cap applies to the REFINED
+    // block (two window exchanges over answer-free narrow rows — the
+    // pair join below dominates)
+    val sub = docs.withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("sub",
+        when(col("bsz") > LinkSplitThreshold, col("mintok")).otherwise(lit("")))
+      .drop("bsz", "mintok")
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("lang", "nb32", "sub")
+    val blk = sub.withColumn("bsz", count(lit(1)).over(w2))
       .filter(col("bsz") <= LinkBlockCap).drop("bsz")
     val a = blk.alias("a"); val b = blk.alias("b")
     val pairs = a.join(b,
         col("a.lang") === col("b.lang") && col("a.nb32") === col("b.nb32") &&
+        col("a.sub") === col("b.sub") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("a.source") === col("b.source")).as("g1"),
@@ -486,17 +519,23 @@ object Privacy {
        |docs AS (
        |  SELECT doc_id, lang, source, n_chars // 4 AS nb4, n_chars // 32 AS nb32,
        |    array_to_string(t[1:6], ' ') AS pre,
-       |    array_to_string(list_reverse(t)[1:6], ' ') AS suf
+       |    array_to_string(list_reverse(t)[1:6], ' ') AS suf,
+       |    coalesce(list_min(list_transform(t, x -> md5(x))), '') AS mintok
        |  FROM ltoks),
+       |sub AS (
+       |  SELECT doc_id, lang, source, nb4, nb32, pre, suf,
+       |    CASE WHEN bsz > $LinkSplitThreshold THEN mintok ELSE '' END AS sub
+       |  FROM (SELECT *, count(*) OVER (PARTITION BY lang, nb32) AS bsz FROM docs)),
        |blk AS (SELECT * FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY lang, nb32) AS bsz FROM docs)
+       |    SELECT *, count(*) OVER (PARTITION BY lang, nb32, sub) AS bsz FROM sub)
        |  WHERE bsz <= $LinkBlockCap),
        |pm AS (
        |  SELECT (a.source = b.source) AS g1, (a.pre = b.pre) AS g2,
        |    (a.suf = b.suf) AS g3, (a.nb4 = b.nb4) AS g4,
        |    (ca.cluster IS NOT NULL AND ca.cluster = cb.cluster) AS is_m
        |  FROM blk a JOIN blk b
-       |    ON a.lang = b.lang AND a.nb32 = b.nb32 AND a.doc_id < b.doc_id
+       |    ON a.lang = b.lang AND a.nb32 = b.nb32 AND a.sub = b.sub
+       |    AND a.doc_id < b.doc_id
        |  LEFT JOIN comp ca ON a.doc_id = ca.doc_id
        |  LEFT JOIN comp cb ON b.doc_id = cb.doc_id),
        |pat AS (

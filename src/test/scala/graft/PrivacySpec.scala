@@ -119,8 +119,11 @@ class PrivacySpec extends SparkSpec {
 
   /** Brute-force Fellegi-Sunter reference: literal pair enumeration,
     * gamma patterns, add-one-smoothed clamped ppm estimates, Q16 log2
-    * weights, decision bands. */
-  private def fsRef(docs: Seq[(Long, String, String)]):
+    * weights, decision bands. `refined = true` restates the production
+    * hierarchical-blocking rule literally: a coarse nb32 block larger
+    * than LinkSplitThreshold re-keys by the min md5-hashed token. */
+  private def fsRef(docs: Seq[(Long, String, String)],
+                    refined: Boolean = false):
       Map[Long, (Long, Long, Long, String)] = { // pattern -> (nPairs, nMatch, weight, band)
     import graft.functions.FixedLog2
     val byText = docs.groupBy(_._2).filter(_._2.size >= 2)
@@ -128,9 +131,21 @@ class PrivacySpec extends SparkSpec {
       val root = g.map(_._1).min; g.map(d => d._1 -> root) }.toMap
     case class P(gs: Seq[Boolean], m: Boolean)
     def toks(s: String) = s.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def minTok(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = toks(s).map(t =>
+        md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      if (hs.isEmpty) "" else hs.min
+    }
+    val coarseSize = docs.groupBy(_._2.length / 32).view.mapValues(_.size).toMap
+    def sub(d: (Long, String, String)): String =
+      if (refined && coarseSize(d._2.length / 32) > Privacy.LinkSplitThreshold)
+        minTok(d._2)
+      else ""
     val pairs = for {
       a <- docs; b <- docs if a._1 < b._1
       if a._2.length / 32 == b._2.length / 32 // same (lang, nb32) block
+      if sub(a) == sub(b)
     } yield {
       val (ta, tb) = (toks(a._2), toks(b._2))
       P(Seq(a._3 == b._3,
@@ -197,6 +212,41 @@ class PrivacySpec extends SparkSpec {
     assert(full.getAs[Long]("weight_q16") > 0)
     val none = got.find(_.getAs[Long]("pattern") == 0L)
     none.foreach(r => assert(r.getAs[Long]("weight_q16") < 0))
+  }
+
+  test("q190: an oversized coarse block re-blocks by min-token subkey — cross-content pairs drop, dup families stay co-blocked") {
+    // 300 docs in ONE (lang, nb32) coarse block (> LinkSplitThreshold =
+    // 256): two 150-doc exact-dup families with disjoint token sets and
+    // equal lengths. The hierarchical refinement must split the block
+    // by content (min md5 token), so the 150x150 cross-family pairs are
+    // never enumerated while every within-family pair survives.
+    val tX = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val tY = "kilo lima mike november oscar papa quebec romeo x"
+    assert(tX.length / 32 == tY.length / 32)
+    val docs = (0 until 150).map(i => (i.toLong, tX, if (i % 2 == 0) "s1" else "s2")) ++
+      (0 until 150).map(i => (1000L + i, tY, if (i % 3 == 0) "s1" else "s2"))
+    val dir = graft.streaming.StreamScratch.dir("priv-fs-split")
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val expect = fsRef(docs, refined = true)
+    val got = Privacy.fsLinkage(spark, dir, graft.ops.Dedup.OracleHashBits).collect()
+    // only within-family pairs: 2 * C(150,2), none enumerated across
+    assert(got.map(_.getAs[Long]("n_pairs")).sum == 2L * 150 * 149 / 2)
+    // cross-family pairs would disagree on prefix (g2=false); within an
+    // exact-dup family every non-source field agrees
+    assert(got.forall(_.getAs[Boolean]("agree_prefix")))
+    assert(got.map(_.getAs[Long]("pattern")).toSet == expect.keySet)
+    got.foreach { r =>
+      val pid = r.getAs[Long]("pattern")
+      val (np, nmm, w, band) = expect(pid)
+      assert(r.getAs[Long]("n_pairs") == np, s"pattern $pid")
+      assert(r.getAs[Long]("n_match") == nmm, s"pattern $pid")
+      assert(r.getAs[Long]("weight_q16") == w, s"pattern $pid")
+      assert(r.getAs[String]("band") == band, s"pattern $pid")
+    }
   }
 
   // ---------------------------------------------------------------- q191
