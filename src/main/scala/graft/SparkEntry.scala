@@ -260,7 +260,8 @@ object SparkEntry {
     "q198_cuped"            -> Events.cupedReadout _,
     "q199_stream_ab_monitor" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.abMonitorStream(s, d)),
-    "q200_srm_guard"        -> Events.srmGuard _
+    "q200_srm_guard"        -> Events.srmGuard _,
+    "q201_chunk_parity"     -> graft.ops.ChunkParity.chunkParity _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -542,6 +543,10 @@ object SparkEntry {
     // q199 shares q197's oracle: per-user goal counts are sums, so the
     // unioned multi-batch fold is row-identical to the batch readout
     "q199_stream_ab_monitor" -> Events.abReadoutSql,
-    "q200_srm_guard"        -> Events.srmGuardSql
+    "q200_srm_guard"        -> Events.srmGuardSql,
+    // q201's oracle is the pinned parity VALUES table: the Spark side
+    // re-chunks the 12-language fixture corpus through the production
+    // splitter; the DuckDB side holds the hand-verified expectation
+    "q201_chunk_parity"     -> graft.ops.ChunkParity.chunkParitySql
   )
 }

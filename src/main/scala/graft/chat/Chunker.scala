@@ -51,76 +51,218 @@ object Chunker {
   }
 
   /** Structure-aware chunk split — narrows the tree-sitter gap
-    * (reference chunker.rs:89-116 splits on AST node ranges, then
-    * packs to max_size): content first divides into top-level UNITS —
-    * brace-balance tracking for brace languages (a unit ends on the
-    * line where the brace depth returns to 0, i.e. a top-level fn /
-    * impl / class closes), column-0 starts for indent languages
-    * (Python) — then whole units pack greedily into chunks <= maxSize,
-    * so chunk boundaries fall between top-level declarations whenever
-    * they can. An oversized single unit falls back to the line-greedy
-    * splitter. Units are contiguous line spans, so concatenation
-    * round-trips exactly, like splitContent. */
+    * (reference chunker.rs:89-116 delegates to the code-splitter crate:
+    * parse to an AST, recursively descend into nodes larger than
+    * max_size, greedily merge adjacent siblings that fit): content
+    * first divides into top-level UNITS — brace-balance tracking for
+    * brace languages (a unit ends on the line where the brace depth
+    * returns to 0, i.e. a top-level fn / impl / class closes), column-0
+    * starts for indent languages (Python), def/end keyword tracking for
+    * Ruby, heading sections for Markdown — then whole units pack
+    * greedily into chunks <= maxSize, so chunk boundaries fall between
+    * top-level declarations whenever they can. An oversized BRACE unit
+    * (a class/namespace wrapper bigger than the budget, the Java/C#
+    * shape) recursively peels its header and closing line and re-splits
+    * the interior at the next brace level — the same descend-and-merge
+    * the crate does on AST children, so chunk boundaries inside a big
+    * class land between METHODS, not mid-statement. Oversized
+    * indent/heading/Ruby units fall back to the line-greedy splitter
+    * (documented delta, SURVEY §8). Units are contiguous line spans, so
+    * concatenation round-trips exactly, like splitContent — unlike the
+    * reference, whose chunks are node-aligned byte ranges that drop
+    * inter-chunk whitespace (SURVEY §8 delta table). */
   def splitStructured(content: String, language: Option[String],
                       maxSize: Int = MaxChunkSize): Seq[String] = {
     if (content.isEmpty) return Seq.empty
-    val indentBased = language.contains("Python")
-    val headingBased = language.contains("Markdown")
+    val mode: UnitMode =
+      if (language.contains("Python")) IndentMode
+      else if (language.contains("Markdown")) HeadingMode
+      else if (language.contains("Ruby")) RubyMode
+      else BraceMode
+    packUnits(unitsOf(toLines(content), mode), maxSize,
+      braceRecurse = mode == BraceMode)
+  }
+
+  private sealed trait UnitMode
+  private case object BraceMode extends UnitMode
+  private case object IndentMode extends UnitMode
+  private case object HeadingMode extends UnitMode
+  private case object RubyMode extends UnitMode
+
+  /** Column-0 keywords that CONTINUE an open Ruby construct rather than
+    * starting a new top-level unit. */
+  private val RubyContinuations =
+    Set("end", "else", "elsif", "rescue", "ensure", "when", "in", "then")
+
+  private def toLines(content: String): IndexedSeq[String] = {
     val parts = content.split("\n", -1)
-    val lines = parts.zipWithIndex.map { case (p, i) =>
+    parts.zipWithIndex.map { case (p, i) =>
       if (i < parts.length - 1) p + "\n" else p
-    }.filter(_.nonEmpty)
-    // 1. top-level units
-    val units = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    def flushUnit(): Unit = if (cur.nonEmpty) { units += cur.toString; cur.clear() }
+    }.filter(_.nonEmpty).toIndexedSeq
+  }
+
+  /** Top-level unit grouping: maximal contiguous line spans ending at a
+    * structural boundary for the mode. */
+  private def unitsOf(lines: IndexedSeq[String], mode: UnitMode)
+      : Seq[IndexedSeq[String]] = {
+    val units = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flushUnit(): Unit =
+      if (cur.nonEmpty) { units += cur.toIndexedSeq; cur.clear() }
     var depth = 0
+    var paren = 0
+    var brack = 0
+    var parenHold = 0
     var inFence = false
     // decorators and comment runs bind FORWARD onto the def/class they
-    // annotate (chunker.rs's AST nodes carry leading trivia the same
+    // annotate (the reference's AST nodes carry leading trivia the same
     // way), so "@decorator\ndef f():" never splits across units.
     // Tracked incrementally (true while the open unit holds only
     // blank/decorator/comment lines) — rescanning the unit per line
     // would be quadratic over long comment runs.
     var onlyTrivia = true
     lines.foreach { line =>
-      if (indentBased) {
-        // a non-blank column-0 line starts a new top-level unit: a
-        // def/class plus its indented block stays one unit
-        val t = line.trim
-        if (t.nonEmpty && !line.head.isWhitespace && !(cur.nonEmpty && onlyTrivia)) {
-          flushUnit(); onlyTrivia = true
-        }
-        if (!(t.isEmpty || t.startsWith("@") || t.startsWith("#"))) onlyTrivia = false
-        cur ++= line
-      } else if (headingBased) {
-        // units are heading sections; fenced code is opaque (a '#'
-        // inside ``` is a comment, not a heading)
-        val t = line.trim
-        if (t.startsWith("```") || t.startsWith("~~~")) {
-          cur ++= line; inFence = !inFence
-        } else {
-          if (!inFence && t.startsWith("#")) flushUnit()
-          cur ++= line
-        }
-      } else {
-        cur ++= line
-        depth = math.max(0, depth + line.count(_ == '{') - line.count(_ == '}'))
-        if (depth == 0) flushUnit() // top-level statement or block closed
+      mode match {
+        case IndentMode =>
+          // a non-blank column-0 line starts a new top-level unit: a
+          // def/class plus its indented block stays one unit
+          val t = line.trim
+          if (t.nonEmpty && !line.head.isWhitespace && !(cur.nonEmpty && onlyTrivia)) {
+            flushUnit(); onlyTrivia = true
+          }
+          if (!(t.isEmpty || t.startsWith("@") || t.startsWith("#"))) onlyTrivia = false
+          cur += line
+        case RubyMode =>
+          // Python's column-0 rule, except a continuation keyword
+          // (end/else/rescue/...) never opens a unit, and a column-0
+          // `end` CLOSES one — so `def ... end` / `class ... end`
+          // blocks stay whole, matching tree-sitter-ruby's method and
+          // class nodes
+          val t = line.trim
+          val word = t.takeWhile(c => c.isLetterOrDigit || c == '_')
+          val col0 = t.nonEmpty && !line.head.isWhitespace
+          if (col0 && !RubyContinuations.contains(word) &&
+              !(cur.nonEmpty && onlyTrivia)) {
+            flushUnit(); onlyTrivia = true
+          }
+          if (!(t.isEmpty || t.startsWith("#"))) onlyTrivia = false
+          cur += line
+          if (col0 && word == "end") { flushUnit(); onlyTrivia = true }
+        case HeadingMode =>
+          // units are heading sections; fenced code is opaque (a '#'
+          // inside ``` is a comment, not a heading)
+          val t = line.trim
+          if (t.startsWith("```") || t.startsWith("~~~")) {
+            cur += line; inFence = !inFence
+          } else {
+            if (!inFence && t.startsWith("#")) flushUnit()
+            cur += line
+          }
+        case BraceMode =>
+          // Allman-style bare `{`: the brace belongs to the header
+          // line just flushed (`namespace X` / `public void F()`), so
+          // pull it back — tree-sitter's declaration node spans both.
+          // Only a brace-free unit whose last line can't be a complete
+          // statement (no trailing `;`/`}`, not a comment/preprocessor
+          // line) qualifies as a dangling header.
+          val t = line.trim
+          if (t.startsWith("{") && cur.isEmpty && units.nonEmpty) {
+            val lastU = units.last
+            val lt = lastU.last.trim
+            if (lt.nonEmpty && !lt.endsWith(";") && !lt.endsWith("}") &&
+                !lt.startsWith("//") && !lt.startsWith("/*") &&
+                !lt.startsWith("*") && !lt.startsWith("#") &&
+                !lastU.exists(l => l.contains('{') || l.contains('}'))) {
+              cur ++= lastU
+              units.remove(units.length - 1)
+            }
+          }
+          cur += line
+          depth = math.max(0, depth + line.count(_ == '{') - line.count(_ == '}'))
+          // open parens/brackets keep a unit alive across a multi-line
+          // signature or call (tree-sitter's declaration node spans
+          // the whole parameter list) — but only for a bounded run:
+          // the tracker is lexical, so an unbalanced `(` in a comment
+          // or string must not glue the rest of the file into one unit
+          paren = math.max(0, paren + line.count(_ == '(') - line.count(_ == ')'))
+          brack = math.max(0, brack + line.count(_ == '[') - line.count(_ == ']'))
+          if (depth == 0 && paren == 0 && brack == 0) {
+            flushUnit() // top-level statement or block closed
+            parenHold = 0
+          } else if (depth == 0) {
+            parenHold += 1
+            if (parenHold > 8) { paren = 0; brack = 0; flushUnit(); parenHold = 0 }
+          } else parenHold = 0
       }
     }
     flushUnit()
-    // 2. greedy packing of whole units; oversized units line-split
+    units.toSeq
+  }
+
+  /** Greedy packing of whole units into <= maxSize chunks; an oversized
+    * unit recursively brace-peels (brace mode) or line-splits. */
+  private def packUnits(units: Seq[IndexedSeq[String]], maxSize: Int,
+                        braceRecurse: Boolean): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val chunk = new StringBuilder
-    def flushChunk(): Unit = if (chunk.nonEmpty) { out += chunk.toString; chunk.clear() }
+    def flushChunk(): Unit =
+      if (chunk.nonEmpty) { out += chunk.toString; chunk.clear() }
     units.foreach { u =>
-      if (u.length > maxSize) {
+      val s = u.mkString
+      if (s.length > maxSize) {
         flushChunk()
-        out ++= splitContent(u, maxSize)
+        out ++= (if (braceRecurse) splitBraceUnit(u, maxSize)
+                 else splitContent(s, maxSize))
       } else {
-        if (chunk.length + u.length > maxSize) flushChunk()
-        chunk ++= u
+        if (chunk.length + s.length > maxSize) flushChunk()
+        chunk ++= s
+      }
+    }
+    flushChunk()
+    out.toSeq
+  }
+
+  /** Oversized brace unit: if it is ONE brace-wrapped block (header
+    * line opens, depth stays >= 1 until the closing line — a class,
+    * impl, namespace, or long function), peel header and footer and
+    * re-split the interior at the next brace level, then greedily pack
+    * header + interior chunks + footer. This is the descend-into-
+    * children step of the reference's splitter (code-splitter's
+    * recursive split over AST nodes larger than max_size); anything
+    * that doesn't peel cleanly falls back to the line-greedy split. */
+  private def splitBraceUnit(u: IndexedSeq[String], maxSize: Int): Seq[String] = {
+    if (u.length >= 3) {
+      val depths = u.scanLeft(0)((d, l) =>
+        math.max(0, d + l.count(_ == '{') - l.count(_ == '}'))).tail
+      // the header may span several lines (an Allman-style `{` on its
+      // own line, a multi-line signature): it ends on the first line
+      // after which the block is open, and the block must then stay
+      // open until the closing line
+      val openIdx = depths.indexWhere(_ >= 1)
+      if (openIdx >= 0 && openIdx < u.length - 2 && depths.last == 0 &&
+          depths.slice(openIdx, depths.length - 1).forall(_ >= 1)) {
+        val innerChunks =
+          packUnits(unitsOf(u.slice(openIdx + 1, u.length - 1), BraceMode),
+            maxSize, braceRecurse = true)
+        return packPieces(
+          u.take(openIdx + 1).mkString +: innerChunks :+ u.last, maxSize)
+      }
+    }
+    splitContent(u.mkString, maxSize)
+  }
+
+  /** Greedy re-pack of already-sized pieces (each <= maxSize except a
+    * pathological single line, which line-splits). */
+  private def packPieces(pieces: Seq[String], maxSize: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val chunk = new StringBuilder
+    def flushChunk(): Unit =
+      if (chunk.nonEmpty) { out += chunk.toString; chunk.clear() }
+    pieces.foreach { p =>
+      if (p.length > maxSize) { flushChunk(); out ++= splitContent(p, maxSize) }
+      else {
+        if (chunk.length + p.length > maxSize) flushChunk()
+        chunk ++= p
       }
     }
     flushChunk()

@@ -1,0 +1,929 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** q201: chunk-boundary parity corpus for the P3 splitter (reference
+  * chunker.rs:89-116, which delegates to the public code-splitter
+  * crate: tree-sitter parse, recursive descent into nodes larger than
+  * max_size = 1000 chars, greedy merge of adjacent siblings that fit).
+  *
+  * One pinned fixture file per supported language (language.rs:4-17's
+  * twelve: Rust, JavaScript, TypeScript, Java, C++, C, Ruby, C#,
+  * Swift, Go, Python, Markdown), each sized to force packing decisions
+  * (multiple chunks) and to exercise the language's structural trivia:
+  * attribute/decorator binding, doc comments, class wrappers larger
+  * than the budget (the recursive-descent case), def/end blocks,
+  * heading sections with opaque fences.
+  *
+  * The Spark side runs each fixture through the PRODUCTION indexing
+  * seam (Chunker.fileChunkRows: extension detect -> language detect ->
+  * splitStructured), so q201 pins the full P1+P3 path, not a test
+  * double. The DuckDB side is the expected chunk table as a literal
+  * VALUES relation — regenerate with `printExpected()` (ChunkParitySpec
+  * prints it on mismatch) after any DELIBERATE splitter change.
+  *
+  * What the pin certifies, and what it doesn't (SURVEY §8 has the
+  * per-language table): chunk boundaries land between top-level
+  * declarations exactly as the reference's AST-node packing does on
+  * these fixtures (verified per-fixture by ChunkParitySpec's boundary
+  * invariants: every chunk starts at a declaration/comment/heading
+  * line, no fitting declaration is ever split, budget respected,
+  * byte-exact round-trip). Chunk CONTENT deliberately differs from the
+  * reference in whitespace ownership: this splitter's chunks are
+  * contiguous line spans (concatenation round-trips, blank lines
+  * belong to the preceding chunk), while code-splitter emits
+  * node-aligned byte ranges that drop whitespace BETWEEN chunks and
+  * never carry a trailing newline. A user diffing chunk tables sees
+  * identical grouping with trailing-whitespace deltas.
+  */
+object ChunkParity {
+
+  /** (file name, fixture content) per supported language. */
+  val fixtures: Seq[(String, String)] = Seq(
+    "fixture.rs" ->
+      """//! Geometry primitives for the parity corpus.
+        ~
+        ~use std::fmt;
+        ~
+        ~const SCALE: f64 = 2.0;
+        ~
+        ~#[derive(Debug, Clone, Copy)]
+        ~pub struct Point {
+        ~    pub x: f64,
+        ~    pub y: f64,
+        ~}
+        ~
+        ~impl Point {
+        ~    pub fn new(x: f64, y: f64) -> Point {
+        ~        Point { x, y }
+        ~    }
+        ~
+        ~    pub fn norm(&self) -> f64 {
+        ~        (self.x * self.x + self.y * self.y).sqrt()
+        ~    }
+        ~
+        ~    pub fn scaled(&self) -> Point {
+        ~        Point::new(self.x * SCALE, self.y * SCALE)
+        ~    }
+        ~}
+        ~
+        ~impl fmt::Display for Point {
+        ~    fn fmt(&self, f: &mut fmt::Formatter) -> fmt::Result {
+        ~        write!(f, "({}, {})", self.x, self.y)
+        ~    }
+        ~}
+        ~
+        ~/// Midpoint of two points.
+        ~pub fn midpoint(a: Point, b: Point) -> Point {
+        ~    Point::new((a.x + b.x) / 2.0, (a.y + b.y) / 2.0)
+        ~}
+        ~
+        ~/// Euclidean distance between two points.
+        ~pub fn distance(a: Point, b: Point) -> f64 {
+        ~    let dx = a.x - b.x;
+        ~    let dy = a.y - b.y;
+        ~    (dx * dx + dy * dy).sqrt()
+        ~}
+        ~
+        ~#[derive(Debug, Clone, Copy)]
+        ~pub struct Rect {
+        ~    pub lo: Point,
+        ~    pub hi: Point,
+        ~}
+        ~
+        ~impl Rect {
+        ~    pub fn area(&self) -> f64 {
+        ~        (self.hi.x - self.lo.x) * (self.hi.y - self.lo.y)
+        ~    }
+        ~
+        ~    pub fn contains(&self, p: Point) -> bool {
+        ~        p.x >= self.lo.x && p.x <= self.hi.x
+        ~            && p.y >= self.lo.y && p.y <= self.hi.y
+        ~    }
+        ~
+        ~    pub fn expanded(&self, by: f64) -> Rect {
+        ~        Rect {
+        ~            lo: Point::new(self.lo.x - by, self.lo.y - by),
+        ~            hi: Point::new(self.hi.x + by, self.hi.y + by),
+        ~        }
+        ~    }
+        ~}
+        ~
+        ~/// Bounding box of a point slice.
+        ~pub fn bounds(points: &[Point]) -> Rect {
+        ~    let mut lo = Point::new(f64::MAX, f64::MAX);
+        ~    let mut hi = Point::new(f64::MIN, f64::MIN);
+        ~    for p in points {
+        ~        lo = Point::new(lo.x.min(p.x), lo.y.min(p.y));
+        ~        hi = Point::new(hi.x.max(p.x), hi.y.max(p.y));
+        ~    }
+        ~    Rect { lo, hi }
+        ~}
+        ~""".stripMargin('~'),
+
+    "fixture.js" ->
+      """// Event bus for the parity corpus.
+        ~
+        ~const listeners = new Map();
+        ~
+        ~function on(name, fn) {
+        ~    if (!listeners.has(name)) {
+        ~        listeners.set(name, []);
+        ~    }
+        ~    listeners.get(name).push(fn);
+        ~}
+        ~
+        ~function off(name, fn) {
+        ~    const fns = listeners.get(name) || [];
+        ~    const idx = fns.indexOf(fn);
+        ~    if (idx >= 0) {
+        ~        fns.splice(idx, 1);
+        ~    }
+        ~}
+        ~
+        ~function emit(name, payload) {
+        ~    const fns = listeners.get(name) || [];
+        ~    for (const fn of fns) {
+        ~        fn(payload);
+        ~    }
+        ~    return fns.length;
+        ~}
+        ~
+        ~function once(name, fn) {
+        ~    const wrapper = (payload) => {
+        ~        off(name, wrapper);
+        ~        fn(payload);
+        ~    };
+        ~    on(name, wrapper);
+        ~}
+        ~
+        ~function listenerCount(name) {
+        ~    const fns = listeners.get(name) || [];
+        ~    return fns.length;
+        ~}
+        ~
+        ~function clear(name) {
+        ~    if (name === undefined) {
+        ~        listeners.clear();
+        ~        return;
+        ~    }
+        ~    listeners.delete(name);
+        ~}
+        ~
+        ~function names() {
+        ~    const out = [];
+        ~    for (const key of listeners.keys()) {
+        ~        out.push(key);
+        ~    }
+        ~    out.sort();
+        ~    return out;
+        ~}
+        ~
+        ~function emitAll(payload) {
+        ~    let total = 0;
+        ~    for (const key of names()) {
+        ~        total += emit(key, payload);
+        ~    }
+        ~    return total;
+        ~}
+        ~
+        ~module.exports = { on, off, emit, once, listenerCount, clear, names, emitAll };
+        ~""".stripMargin('~'),
+
+    "fixture.ts" ->
+      """// Typed cache for the parity corpus.
+        ~
+        ~export interface Entry<V> {
+        ~    value: V;
+        ~    expiresAt: number;
+        ~}
+        ~
+        ~export class TtlCache<V> {
+        ~    private store = new Map<string, Entry<V>>();
+        ~
+        ~    constructor(private ttlMs: number) {}
+        ~
+        ~    get(key: string, now: number): V | undefined {
+        ~        const e = this.store.get(key);
+        ~        if (e === undefined) {
+        ~            return undefined;
+        ~        }
+        ~        if (e.expiresAt <= now) {
+        ~            this.store.delete(key);
+        ~            return undefined;
+        ~        }
+        ~        return e.value;
+        ~    }
+        ~
+        ~    put(key: string, value: V, now: number): void {
+        ~        this.store.set(key, { value, expiresAt: now + this.ttlMs });
+        ~    }
+        ~
+        ~    size(): number {
+        ~        return this.store.size;
+        ~    }
+        ~}
+        ~
+        ~export function memoize<V>(cache: TtlCache<V>, key: string,
+        ~                           now: number, make: () => V): V {
+        ~    const hit = cache.get(key, now);
+        ~    if (hit !== undefined) {
+        ~        return hit;
+        ~    }
+        ~    const value = make();
+        ~    cache.put(key, value, now);
+        ~    return value;
+        ~}
+        ~
+        ~export function sweep<V>(cache: TtlCache<V>, keys: string[],
+        ~                         now: number): number {
+        ~    let evicted = 0;
+        ~    for (const key of keys) {
+        ~        if (cache.get(key, now) === undefined) {
+        ~            evicted += 1;
+        ~        }
+        ~    }
+        ~    return evicted;
+        ~}
+        ~
+        ~export const DEFAULT_TTL_MS = 60000;
+        ~
+        ~export function withDefault<V>(make: () => V): TtlCache<V> {
+        ~    return new TtlCache<V>(DEFAULT_TTL_MS);
+        ~}
+        ~""".stripMargin('~'),
+
+    "fixture.java" ->
+      """package graft.parity;
+        ~
+        ~import java.util.ArrayList;
+        ~import java.util.List;
+        ~
+        ~/** Running statistics accumulator for the parity corpus. */
+        ~public final class RunningStats {
+        ~    private long count = 0;
+        ~    private double mean = 0.0;
+        ~    private double m2 = 0.0;
+        ~    private final List<Double> window = new ArrayList<>();
+        ~
+        ~    public void add(double x) {
+        ~        count += 1;
+        ~        double delta = x - mean;
+        ~        mean += delta / count;
+        ~        m2 += delta * (x - mean);
+        ~        window.add(x);
+        ~    }
+        ~
+        ~    public long getCount() {
+        ~        return count;
+        ~    }
+        ~
+        ~    public double getMean() {
+        ~        return mean;
+        ~    }
+        ~
+        ~    public double getVariance() {
+        ~        if (count < 2) {
+        ~            return 0.0;
+        ~        }
+        ~        return m2 / (count - 1);
+        ~    }
+        ~
+        ~    public double getMax() {
+        ~        double best = Double.NEGATIVE_INFINITY;
+        ~        for (double x : window) {
+        ~            if (x > best) {
+        ~                best = x;
+        ~            }
+        ~        }
+        ~        return best;
+        ~    }
+        ~
+        ~    public double getMin() {
+        ~        double best = Double.POSITIVE_INFINITY;
+        ~        for (double x : window) {
+        ~            if (x < best) {
+        ~                best = x;
+        ~            }
+        ~        }
+        ~        return best;
+        ~    }
+        ~
+        ~    public void reset() {
+        ~        count = 0;
+        ~        mean = 0.0;
+        ~        m2 = 0.0;
+        ~        window.clear();
+        ~    }
+        ~}
+        ~""".stripMargin('~'),
+
+    "fixture.cpp" ->
+      """// Ring buffer for the parity corpus.
+        ~#include <cstddef>
+        ~#include <vector>
+        ~
+        ~namespace parity {
+        ~
+        ~class RingBuffer {
+        ~public:
+        ~    explicit RingBuffer(std::size_t cap)
+        ~        : data_(cap), head_(0), size_(0) {}
+        ~
+        ~    void push(int v) {
+        ~        data_[(head_ + size_) % data_.size()] = v;
+        ~        if (size_ < data_.size()) {
+        ~            size_ += 1;
+        ~        } else {
+        ~            head_ = (head_ + 1) % data_.size();
+        ~        }
+        ~    }
+        ~
+        ~    int at(std::size_t i) const {
+        ~        return data_[(head_ + i) % data_.size()];
+        ~    }
+        ~
+        ~    std::size_t size() const {
+        ~        return size_;
+        ~    }
+        ~
+        ~private:
+        ~    std::vector<int> data_;
+        ~    std::size_t head_;
+        ~    std::size_t size_;
+        ~};
+        ~
+        ~int sum(const RingBuffer& rb) {
+        ~    int total = 0;
+        ~    for (std::size_t i = 0; i < rb.size(); ++i) {
+        ~        total += rb.at(i);
+        ~    }
+        ~    return total;
+        ~}
+        ~
+        ~int maxval(const RingBuffer& rb) {
+        ~    int best = 0;
+        ~    for (std::size_t i = 0; i < rb.size(); ++i) {
+        ~        if (rb.at(i) > best) {
+        ~            best = rb.at(i);
+        ~        }
+        ~    }
+        ~    return best;
+        ~}
+        ~
+        ~double mean(const RingBuffer& rb) {
+        ~    if (rb.size() == 0) {
+        ~        return 0.0;
+        ~    }
+        ~    return static_cast<double>(sum(rb)) / rb.size();
+        ~}
+        ~
+        ~bool any_negative(const RingBuffer& rb) {
+        ~    for (std::size_t i = 0; i < rb.size(); ++i) {
+        ~        if (rb.at(i) < 0) {
+        ~            return true;
+        ~        }
+        ~    }
+        ~    return false;
+        ~}
+        ~
+        ~}  // namespace parity
+        ~""".stripMargin('~'),
+
+    "fixture.c" ->
+      """/* Checksum helpers for the parity corpus. */
+        ~#include <stddef.h>
+        ~#include <stdint.h>
+        ~
+        ~#define SEED 2166136261u
+        ~
+        ~uint32_t fnv1a(const uint8_t *buf, size_t len) {
+        ~    uint32_t h = SEED;
+        ~    for (size_t i = 0; i < len; i++) {
+        ~        h ^= buf[i];
+        ~        h *= 16777619u;
+        ~    }
+        ~    return h;
+        ~}
+        ~
+        ~uint32_t adler32(const uint8_t *buf, size_t len) {
+        ~    uint32_t a = 1, b = 0;
+        ~    for (size_t i = 0; i < len; i++) {
+        ~        a = (a + buf[i]) % 65521u;
+        ~        b = (b + a) % 65521u;
+        ~    }
+        ~    return (b << 16) | a;
+        ~}
+        ~
+        ~int checksums_match(const uint8_t *buf, size_t len, uint32_t want) {
+        ~    uint32_t got = fnv1a(buf, len);
+        ~    if (got == want) {
+        ~        return 1;
+        ~    }
+        ~    return 0;
+        ~}
+        ~
+        ~uint32_t crc_combine(uint32_t a, uint32_t b) {
+        ~    uint32_t mixed = a ^ (b + 0x9e3779b9u + (a << 6) + (a >> 2));
+        ~    return mixed;
+        ~}
+        ~
+        ~size_t chunk_count(size_t len, size_t chunk) {
+        ~    if (chunk == 0) {
+        ~        return 0;
+        ~    }
+        ~    return (len + chunk - 1) / chunk;
+        ~}
+        ~
+        ~uint32_t digest_chunks(const uint8_t *buf, size_t len, size_t chunk) {
+        ~    uint32_t acc = 0;
+        ~    size_t n = chunk_count(len, chunk);
+        ~    for (size_t i = 0; i < n; i++) {
+        ~        size_t off = i * chunk;
+        ~        size_t take = len - off < chunk ? len - off : chunk;
+        ~        acc = crc_combine(acc, fnv1a(buf + off, take));
+        ~    }
+        ~    return acc;
+        ~}
+        ~""".stripMargin('~'),
+
+    "fixture.rb" ->
+      """# Inventory tracker for the parity corpus.
+        ~require 'json'
+        ~
+        ~class Inventory
+        ~  def initialize
+        ~    @items = Hash.new(0)
+        ~  end
+        ~
+        ~  def add(name, qty)
+        ~    @items[name] += qty
+        ~  end
+        ~
+        ~  def remove(name, qty)
+        ~    have = @items[name]
+        ~    take = [have, qty].min
+        ~    @items[name] = have - take
+        ~    take
+        ~  end
+        ~
+        ~  def total
+        ~    @items.values.sum
+        ~  end
+        ~
+        ~  def to_json
+        ~    JSON.generate(@items)
+        ~  end
+        ~end
+        ~
+        ~# Merge two inventories into a new one.
+        ~def merge(a, b)
+        ~  out = Inventory.new
+        ~  [a, b].each do |inv|
+        ~    JSON.parse(inv.to_json).each do |name, qty|
+        ~      out.add(name, qty)
+        ~    end
+        ~  end
+        ~  out
+        ~end
+        ~
+        ~def empty?(inv)
+        ~  inv.total.zero?
+        ~end
+        ~
+        ~# Report lines for an inventory, sorted by name.
+        ~class Reporter
+        ~  def initialize(inv)
+        ~    @inv = inv
+        ~  end
+        ~
+        ~  def lines
+        ~    parsed = JSON.parse(@inv.to_json)
+        ~    parsed.keys.sort.map do |name|
+        ~      format('%s: %d', name, parsed[name])
+        ~    end
+        ~  end
+        ~
+        ~  def summary
+        ~    "#{lines.size} kinds, #{@inv.total} items"
+        ~  end
+        ~end
+        ~
+        ~module Audit
+        ~  def self.diff(before, after)
+        ~    a = JSON.parse(before.to_json)
+        ~    b = JSON.parse(after.to_json)
+        ~    (a.keys + b.keys).uniq.sort.map do |name|
+        ~      [name, b.fetch(name, 0) - a.fetch(name, 0)]
+        ~    end
+        ~  end
+        ~end
+        ~""".stripMargin('~'),
+
+    "fixture.cs" ->
+      """using System;
+        ~using System.Collections.Generic;
+        ~
+        ~namespace Graft.Parity
+        ~{
+        ~    /// <summary>Priority task queue for the parity corpus.</summary>
+        ~    public sealed class TaskQueue
+        ~    {
+        ~        private readonly SortedDictionary<int, Queue<string>> lanes =
+        ~            new SortedDictionary<int, Queue<string>>();
+        ~
+        ~        public int Count { get; private set; }
+        ~
+        ~        public void Enqueue(string task, int priority)
+        ~        {
+        ~            if (!lanes.TryGetValue(priority, out var lane))
+        ~            {
+        ~                lane = new Queue<string>();
+        ~                lanes[priority] = lane;
+        ~            }
+        ~            lane.Enqueue(task);
+        ~            Count += 1;
+        ~        }
+        ~
+        ~        public string Dequeue()
+        ~        {
+        ~            foreach (var kv in lanes)
+        ~            {
+        ~                if (kv.Value.Count > 0)
+        ~                {
+        ~                    Count -= 1;
+        ~                    return kv.Value.Dequeue();
+        ~                }
+        ~            }
+        ~            throw new InvalidOperationException("empty queue");
+        ~        }
+        ~
+        ~        public bool IsEmpty()
+        ~        {
+        ~            return Count == 0;
+        ~        }
+        ~
+        ~        public void Clear()
+        ~        {
+        ~            lanes.Clear();
+        ~            Count = 0;
+        ~        }
+        ~    }
+        ~}
+        ~""".stripMargin('~'),
+
+    "fixture.swift" ->
+      """// Temperature series for the parity corpus.
+        ~import Foundation
+        ~
+        ~struct Reading {
+        ~    let celsius: Double
+        ~    let at: Int
+        ~}
+        ~
+        ~enum Trend {
+        ~    case rising
+        ~    case falling
+        ~    case flat
+        ~}
+        ~
+        ~func trend(of readings: [Reading]) -> Trend {
+        ~    guard let first = readings.first, let last = readings.last else {
+        ~        return .flat
+        ~    }
+        ~    if last.celsius > first.celsius + 0.5 {
+        ~        return .rising
+        ~    }
+        ~    if last.celsius < first.celsius - 0.5 {
+        ~        return .falling
+        ~    }
+        ~    return .flat
+        ~}
+        ~
+        ~func average(_ readings: [Reading]) -> Double {
+        ~    if readings.isEmpty {
+        ~        return 0.0
+        ~    }
+        ~    let total = readings.reduce(0.0) { acc, r in acc + r.celsius }
+        ~    return total / Double(readings.count)
+        ~}
+        ~
+        ~func toFahrenheit(_ c: Double) -> Double {
+        ~    return c * 9.0 / 5.0 + 32.0
+        ~}
+        ~
+        ~struct Summary {
+        ~    let min: Double
+        ~    let max: Double
+        ~    let mean: Double
+        ~}
+        ~
+        ~func summarize(_ readings: [Reading]) -> Summary {
+        ~    var lo = Double.infinity
+        ~    var hi = -Double.infinity
+        ~    for r in readings {
+        ~        if r.celsius < lo {
+        ~            lo = r.celsius
+        ~        }
+        ~        if r.celsius > hi {
+        ~            hi = r.celsius
+        ~        }
+        ~    }
+        ~    return Summary(min: lo, max: hi, mean: average(readings))
+        ~}
+        ~
+        ~func anomalies(_ readings: [Reading], tolerance: Double) -> [Reading] {
+        ~    let avg = average(readings)
+        ~    return readings.filter { r in
+        ~        abs(r.celsius - avg) > tolerance
+        ~    }
+        ~}
+        ~""".stripMargin('~'),
+
+    "fixture.go" ->
+      """// Package parity holds the Go parity fixture.
+        ~package parity
+        ~
+        ~import (
+        ~	"sort"
+        ~	"strings"
+        ~)
+        ~
+        ~// WordCount tallies whitespace-separated words.
+        ~func WordCount(text string) map[string]int {
+        ~	counts := make(map[string]int)
+        ~	for _, w := range strings.Fields(text) {
+        ~		counts[w]++
+        ~	}
+        ~	return counts
+        ~}
+        ~
+        ~// TopWords returns the k most frequent words, ties by word.
+        ~func TopWords(text string, k int) []string {
+        ~	counts := WordCount(text)
+        ~	words := make([]string, 0, len(counts))
+        ~	for w := range counts {
+        ~		words = append(words, w)
+        ~	}
+        ~	sort.Slice(words, func(i, j int) bool {
+        ~		if counts[words[i]] != counts[words[j]] {
+        ~			return counts[words[i]] > counts[words[j]]
+        ~		}
+        ~		return words[i] < words[j]
+        ~	})
+        ~	if k > len(words) {
+        ~		k = len(words)
+        ~	}
+        ~	return words[:k]
+        ~}
+        ~
+        ~// Join concatenates words with a separator.
+        ~func Join(words []string, sep string) string {
+        ~	return strings.Join(words, sep)
+        ~}
+        ~
+        ~// Histogram buckets counts by frequency.
+        ~func Histogram(text string) map[int]int {
+        ~	hist := make(map[int]int)
+        ~	for _, n := range WordCount(text) {
+        ~		hist[n]++
+        ~	}
+        ~	return hist
+        ~}
+        ~
+        ~// Vocabulary returns the sorted distinct words.
+        ~func Vocabulary(text string) []string {
+        ~	counts := WordCount(text)
+        ~	words := make([]string, 0, len(counts))
+        ~	for w := range counts {
+        ~		words = append(words, w)
+        ~	}
+        ~	sort.Strings(words)
+        ~	return words
+        ~}
+        ~
+        ~// TypeToken reports whether the vocabulary is rich.
+        ~func TypeToken(text string, threshold float64) bool {
+        ~	counts := WordCount(text)
+        ~	total := 0
+        ~	for _, n := range counts {
+        ~		total += n
+        ~	}
+        ~	if total == 0 {
+        ~		return false
+        ~	}
+        ~	return float64(len(counts))/float64(total) >= threshold
+        ~}
+        ~""".stripMargin('~'),
+
+    "fixture.py" ->
+      """%Q%Retry helpers for the parity corpus.%Q%
+        ~
+        ~import time
+        ~
+        ~MAX_ATTEMPTS = 3
+        ~
+        ~
+        ~def backoff(attempt):
+        ~    %Q%Exponential backoff in milliseconds.%Q%
+        ~    return 100 * (2 ** attempt)
+        ~
+        ~
+        ~@staticmethod
+        ~def jitter(ms, seed):
+        ~    %Q%Deterministic pseudo-jitter from a seed.%Q%
+        ~    return ms + (seed * 37) % 50
+        ~
+        ~
+        ~class Retrier:
+        ~    %Q%Calls a function until it succeeds or attempts run out.%Q%
+        ~
+        ~    def __init__(self, attempts=MAX_ATTEMPTS):
+        ~        self.attempts = attempts
+        ~        self.calls = 0
+        ~
+        ~    def run(self, fn):
+        ~        last = None
+        ~        for attempt in range(self.attempts):
+        ~            self.calls += 1
+        ~            try:
+        ~                return fn()
+        ~            except ValueError as exc:
+        ~                last = exc
+        ~                time.sleep(backoff(attempt) / 1000.0)
+        ~        raise last
+        ~
+        ~
+        ~def always_fails():
+        ~    raise ValueError("nope")
+        ~
+        ~
+        ~class CountingRetrier(Retrier):
+        ~    %Q%Retrier that also tracks successes and failures.%Q%
+        ~
+        ~    def __init__(self, attempts=MAX_ATTEMPTS):
+        ~        super().__init__(attempts)
+        ~        self.successes = 0
+        ~        self.failures = 0
+        ~
+        ~    def run(self, fn):
+        ~        try:
+        ~            result = super().run(fn)
+        ~            self.successes += 1
+        ~            return result
+        ~        except ValueError:
+        ~            self.failures += 1
+        ~            raise
+        ~
+        ~    @property
+        ~    def ratio(self):
+        ~        total = self.successes + self.failures
+        ~        if total == 0:
+        ~            return 0.0
+        ~        return self.successes / total
+        ~
+        ~
+        ~def run_all(fns, attempts=MAX_ATTEMPTS):
+        ~    %Q%Run every function under one retrier, collecting results.%Q%
+        ~    r = CountingRetrier(attempts)
+        ~    out = []
+        ~    for fn in fns:
+        ~        out.append(r.run(fn))
+        ~    return out
+        ~""".stripMargin('~')
+        // triple-quoted Scala literals cannot hold a `"""` docstring
+        // marker, so the fixture carries %Q% and swaps it here
+        .replace("%Q%", "\"\"\""),
+
+    "fixture.md" ->
+      """# Parity Corpus Guide
+        ~
+        ~This fixture exercises heading sections and opaque fences.
+        ~
+        ~## Install
+        ~
+        ~Run the installer:
+        ~
+        ~```sh
+        ~# this hash line is a comment, not a heading
+        ~make install
+        ~```
+        ~
+        ~Then check the version.
+        ~
+        ~## Usage
+        ~
+        ~Call the entry point with a path and a budget. The splitter
+        ~packs declaration units greedily and never breaks a fitting
+        ~unit across chunks.
+        ~
+        ~### Flags
+        ~
+        ~Two flags matter: `--max-size` and `--language`.
+        ~
+        ~## Architecture
+        ~
+        ~The engine reads a repository, detects languages by extension,
+        ~splits files into declaration-aligned chunks, embeds each chunk,
+        ~and builds a random-projection forest over the vectors.
+        ~
+        ~Retrieval over-fetches twice the requested k, applies folder,
+        ~extension, and exclude filters, splits code from docs, then
+        ~packs the answer window.
+        ~
+        ~```python
+        ~# a fence in the middle keeps this section opaque
+        ~def not_a_heading():
+        ~    return "# still not a heading"
+        ~```
+        ~
+        ~## Troubleshooting
+        ~
+        ~If the index is stale, re-run the indexer with the same root.
+        ~If a query returns nothing, loosen the filters: the folder
+        ~filter matches path substrings, and excludes win over includes.
+        ~
+        ~## License
+        ~
+        ~MIT. See the LICENSE file for details.
+        ~""".stripMargin('~'))
+
+  /** The q201 query: every fixture through the production indexing
+    * seam, projected to the pinned parity schema. */
+  def chunkParity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = fixtures.flatMap { case (file, text) =>
+      graft.chat.Chunker.fileChunkRows(file, text).map {
+        case (_, idx, chunk, lang, _) =>
+          (lang.getOrElse(""), idx.toLong, chunk.length.toLong,
+            chunk.linesIterator.find(_.trim.nonEmpty).map(_.trim).getOrElse(""),
+            md5Hex(chunk))
+      }
+    }
+    rows.toDF("language", "chunk_idx", "chunk_len", "first_line", "chunk_md5")
+      .orderBy("language", "chunk_idx")
+  }
+
+  private def md5Hex(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** The expected chunk table as DuckDB VALUES literals — the pinned
+    * cross-engine oracle. Regenerated by printExpected() after any
+    * deliberate splitter change; ChunkParitySpec fails (and prints the
+    * fresh table) if the splitter drifts from this pin. */
+  def chunkParitySql: String = {
+    val rows = expected.map { case (lang, idx, len, first, h) =>
+      s"('${lang}', ${idx}, ${len}, '${first.replace("'", "''")}', '${h}')"
+    }.mkString(",\n  ")
+    s"""SELECT language, cast(chunk_idx as bigint) AS chunk_idx,
+       |  cast(chunk_len as bigint) AS chunk_len, first_line, chunk_md5
+       |FROM (VALUES
+       |  $rows)
+       |  AS t(language, chunk_idx, chunk_len, first_line, chunk_md5)
+       |ORDER BY language, chunk_idx""".stripMargin
+  }
+
+  /** The pinned expectation (language, chunk_idx, chunk_len,
+    * first_line, chunk_md5) — authored by running the splitter over
+    * the fixtures and HAND-VERIFYING every boundary against the
+    * reference's packing rule (greedy <= 1000 over declaration nodes,
+    * descent into oversized ones — see ChunkParitySpec's invariants
+    * and the SURVEY §8 walkthrough): Rust breaks before `impl Rect`
+    * (adding it would pass 1000), Java/C++/C# descend into the
+    * oversized class/namespace wrapper and break between members,
+    * Ruby breaks at a module boundary, Python at a class boundary,
+    * Markdown at a section heading with the fenced `#` kept opaque. */
+  val expected: Seq[(String, Long, Long, String, String)] = Seq(
+    ("Rust", 0L, 977L, "//! Geometry primitives for the parity corpus.", "848c26a9cae3d10a07852990efb5158d"),
+    ("Rust", 1L, 795L, "impl Rect {", "a17284c91f1b720787dea1d4c2b8e0ae"),
+    ("JavaScript", 0L, 888L, "// Event bus for the parity corpus.", "68a6474639fcb25c3a224c9102948802"),
+    ("JavaScript", 1L, 369L, "function names() {", "4a7aed1754f19dc26b04a3a96593ab37"),
+    ("TypeScript", 0L, 719L, "// Typed cache for the parity corpus.", "9248d7079ce8aa2cb88e2150c972d480"),
+    ("TypeScript", 1L, 710L, "export function memoize<V>(cache: TtlCache<V>, key: string,", "a270a27030ede53e72ece8d57e3c75a0"),
+    ("Java", 0L, 136L, "package graft.parity;", "2aa07969b6e190549c23c82706b698f1"),
+    ("Java", 1L, 828L, "public final class RunningStats {", "55a66fcf398e0e6102f4ee686944b59d"),
+    ("Java", 2L, 332L, "public double getMin() {", "f78966b6ae5493812281d66ae2095022"),
+    ("C++", 0L, 76L, "// Ring buffer for the parity corpus.", "6ecade4bd0a706e227030ccc75fbc848"),
+    ("C++", 1L, 941L, "namespace parity {", "4f0ba25c3463e58598eaf7f466a0ec86"),
+    ("C++", 2L, 349L, "double mean(const RingBuffer& rb) {", "ff8272b32a85b0003b718b29bed9fe61"),
+    ("C", 0L, 946L, "/* Checksum helpers for the parity corpus. */", "4bd49b5f3060ade30c8038957f77b0be"),
+    ("C", 1L, 343L, "uint32_t digest_chunks(const uint8_t *buf, size_t len, size_t chunk) {", "b43bb60088b877079be0e114311d000e"),
+    ("Ruby", 0L, 950L, "# Inventory tracker for the parity corpus.", "0a3454d1d31c62793a27eeff4e2dbf3b"),
+    ("Ruby", 1L, 228L, "module Audit", "54f362e33f498d2a1fe1ee918f7ad2fa"),
+    ("C#", 0L, 49L, "using System;", "446c51a2ef0d549aa97e3405d08cf5b5"),
+    ("C#", 1L, 135L, "namespace Graft.Parity", "8f2c2baf664311ac853c151f3c618e65"),
+    ("C#", 2L, 997L, "private readonly SortedDictionary<int, Queue<string>> lanes =", "37b76842e872f9a2a7e739e57f64a1a3"),
+    ("C#", 3L, 8L, "}", "24b9118a1cd86bfb9315ef5a576d5540"),
+    ("Swift", 0L, 867L, "// Temperature series for the parity corpus.", "7d3f4bcda942617dc96498e26e19339e"),
+    ("Swift", 1L, 522L, "func summarize(_ readings: [Reading]) -> Summary {", "ba8c872eafb0035fc5db76189a2515ee"),
+    ("Go", 0L, 926L, "// Package parity holds the Go parity fixture.", "93d407e5a452808d376152ad58cca753"),
+    ("Go", 1L, 671L, "func Histogram(text string) map[int]int {", "e847396750cfe337fb344490ea1adf0b"),
+    ("Python", 0L, 839L, "\"\"\"Retry helpers for the parity corpus.\"\"\"", "31909b2b88d594aad8356e03d7c69a1b"),
+    ("Python", 1L, 824L, "class CountingRetrier(Retrier):", "7767ffb954311bc8c8827f20bfc3a92d"),
+    ("Markdown", 0L, 892L, "# Parity Corpus Guide", "2cab24576e0bacd9bfa138f322bca9ac"),
+    ("Markdown", 1L, 257L, "## Troubleshooting", "3a0012c8b58d51b8325f49316dfc1e72"))
+}
