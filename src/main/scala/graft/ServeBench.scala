@@ -211,6 +211,43 @@ object ServeBench {
     val (prepLatRaw, prepServed) = runSeries(checkPushdown = false, prepared = true)
     val prepLat = prepLatRaw.sorted
 
+    // concurrent prepared series: N streams drive the SAME prepared
+    // lane at once (the interactive default) — a serving story is a
+    // p95 under load, not a single client. Each stream rotates its
+    // start offset so the threads are never in lockstep on one query
+    // (identical in-flight queries would share whatever the plan or OS
+    // page cache holds and flatter the tail). Coverage gates on the
+    // prepared executor's own served counter, the single-stream
+    // discipline. PreparedKnnSpec pins thread-safety of the executor;
+    // this measures what that safety COSTS under contention.
+    val nStreams = sys.env.getOrElse("SPARK_GRAFT_SERVE_STREAMS", "8").toInt
+    val concServedBase = graft.plans.PreparedKnn.served.get()
+    val concLats = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.lang.Double]())
+    val cT0 = System.nanoTime()
+    val threads = (0 until nStreams).map { t =>
+      val th = new Thread(() => {
+        val n = queries.size
+        (0 until n).foreach { i =>
+          val q = queries((i + t * n / nStreams) % n)
+          val s0 = System.nanoTime()
+          val out = graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3,
+            rerank = true, prepared = true)
+          concLats.add((System.nanoTime() - s0) / 1e6)
+          require(out.results.nonEmpty, s"no results for query '$q'")
+        }
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    threads.foreach(_.join())
+    val concWallSec = (System.nanoTime() - cT0) / 1e9
+    val concServed = (graft.plans.PreparedKnn.served.get() - concServedBase).toInt
+    val concLat = {
+      import scala.jdk.CollectionConverters._
+      concLats.asScala.map(_.doubleValue()).toSeq.sorted
+    }
+    val concQps = concLat.size / concWallSec
+
     graft.plans.AnnCatalog.clear()
     // the brute series gets its OWN warmup: the un-rewritten plan shape
     // was never compiled in this JVM, and charging its first queries
@@ -227,6 +264,9 @@ object ServeBench {
       s"""{"metric":"serve_latency","unit":"ms","n_queries":${queries.size},""" +
         s""""prepared":${stats(prepLat)},"pushdown":${stats(pushLat)},""" +
         s""""brute":${stats(bruteLat)},""" +
+        s""""concurrent":{"n_streams":$nStreams,""" +
+        stats(concLat).stripPrefix("{").stripSuffix("}") +
+        f""","qps":$concQps%.1f,"served":$concServed},""" +
         s""""prepared_served":$prepServed,"pushdown_covered":$pdFired,""" +
         s""""warmup_plans":$warmupFloor,""" +
         s""""n_chunks":$nChunks,"n_docs":${docs.length},""" +
@@ -249,6 +289,12 @@ object ServeBench {
     if (prepServed < queries.size) {
       System.err.println(
         s"serve bench FAILED: prepared executor served $prepServed/${queries.size} timed queries")
+      sys.exit(1)
+    }
+    if (concServed < nStreams * queries.size) {
+      System.err.println(
+        s"serve bench FAILED: concurrent series served $concServed/" +
+          s"${nStreams * queries.size} timed queries through the prepared executor")
       sys.exit(1)
     }
   }

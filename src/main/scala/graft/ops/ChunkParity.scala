@@ -849,20 +849,79 @@ object ChunkParity {
         ~MIT. See the LICENSE file for details.
         ~""".stripMargin('~'))
 
+  /** Alias-extension fixtures: the reference maps several extensions
+    * onto one grammar (language.rs:57-72 — jsx/mjs, tsx, cxx/cc/hpp,
+    * `.h` to C (not C++), pyx/pyi, markdown) and lowercases before the
+    * lookup (language.rs:77, tested with RS/JS/TS at :131-154). Each
+    * alias file is small (one chunk); what q201 pins here is the
+    * P1 extension→language dimension through the production path. */
+  val aliasFixtures: Seq[(String, String)] = Seq(
+    "alias.mjs" ->
+      """export const VERSION = 3;
+        ~
+        ~export function bump(v) {
+        ~    return v + 1;
+        ~}
+        ~""".stripMargin('~'),
+    "alias.tsx" ->
+      """export function label(name: string): string {
+        ~    return name.toUpperCase();
+        ~}
+        ~""".stripMargin('~'),
+    "alias.hpp" ->
+      """#pragma once
+        ~
+        ~namespace parity {
+        ~inline int twice(int x) {
+        ~    return x * 2;
+        ~}
+        ~}  // namespace parity
+        ~""".stripMargin('~'),
+    "alias.h" ->
+      """#ifndef PARITY_ALIAS_H
+        ~#define PARITY_ALIAS_H
+        ~
+        ~int parity_add(int a, int b);
+        ~int parity_sub(int a, int b);
+        ~
+        ~#endif
+        ~""".stripMargin('~'),
+    "alias.pyi" ->
+      """from typing import List
+        ~
+        ~def tokenize(text: str) -> List[str]: ...
+        ~
+        ~def detokenize(tokens: List[str]) -> str: ...
+        ~""".stripMargin('~'),
+    "alias.markdown" ->
+      """# Alias
+        ~
+        ~The `.markdown` extension resolves to the same grammar as `.md`.
+        ~""".stripMargin('~'),
+    "alias.GO" ->
+      """package parity
+        ~
+        ~// Upper-case extensions resolve case-insensitively.
+        ~func Alias() string {
+        ~	return "GO"
+        ~}
+        ~""".stripMargin('~'))
+
   /** The q201 query: every fixture through the production indexing
-    * seam, projected to the pinned parity schema. */
+    * seam, projected to the pinned parity schema. `file` keys the rows
+    * (two fixtures may share a language). */
   def chunkParity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val rows = fixtures.flatMap { case (file, text) =>
+    val rows = (fixtures ++ aliasFixtures).flatMap { case (file, text) =>
       graft.chat.Chunker.fileChunkRows(file, text).map {
         case (_, idx, chunk, lang, _) =>
-          (lang.getOrElse(""), idx.toLong, chunk.length.toLong,
+          (file, lang.getOrElse(""), idx.toLong, chunk.length.toLong,
             chunk.linesIterator.find(_.trim.nonEmpty).map(_.trim).getOrElse(""),
             md5Hex(chunk))
       }
     }
-    rows.toDF("language", "chunk_idx", "chunk_len", "first_line", "chunk_md5")
-      .orderBy("language", "chunk_idx")
+    rows.toDF("file", "language", "chunk_idx", "chunk_len", "first_line", "chunk_md5")
+      .orderBy("file", "chunk_idx")
   }
 
   private def md5Hex(s: String): String = {
@@ -876,15 +935,15 @@ object ChunkParity {
     * deliberate splitter change; ChunkParitySpec fails (and prints the
     * fresh table) if the splitter drifts from this pin. */
   def chunkParitySql: String = {
-    val rows = expected.map { case (lang, idx, len, first, h) =>
-      s"('${lang}', ${idx}, ${len}, '${first.replace("'", "''")}', '${h}')"
+    val rows = expected.map { case (file, lang, idx, len, first, h) =>
+      s"('${file}', '${lang}', ${idx}, ${len}, '${first.replace("'", "''")}', '${h}')"
     }.mkString(",\n  ")
-    s"""SELECT language, cast(chunk_idx as bigint) AS chunk_idx,
+    s"""SELECT file, language, cast(chunk_idx as bigint) AS chunk_idx,
        |  cast(chunk_len as bigint) AS chunk_len, first_line, chunk_md5
        |FROM (VALUES
        |  $rows)
-       |  AS t(language, chunk_idx, chunk_len, first_line, chunk_md5)
-       |ORDER BY language, chunk_idx""".stripMargin
+       |  AS t(file, language, chunk_idx, chunk_len, first_line, chunk_md5)
+       |ORDER BY file, chunk_idx""".stripMargin
   }
 
   /** The pinned expectation (language, chunk_idx, chunk_len,
@@ -897,33 +956,40 @@ object ChunkParity {
     * oversized class/namespace wrapper and break between members,
     * Ruby breaks at a module boundary, Python at a class boundary,
     * Markdown at a section heading with the fenced `#` kept opaque. */
-  val expected: Seq[(String, Long, Long, String, String)] = Seq(
-    ("Rust", 0L, 977L, "//! Geometry primitives for the parity corpus.", "848c26a9cae3d10a07852990efb5158d"),
-    ("Rust", 1L, 795L, "impl Rect {", "a17284c91f1b720787dea1d4c2b8e0ae"),
-    ("JavaScript", 0L, 888L, "// Event bus for the parity corpus.", "68a6474639fcb25c3a224c9102948802"),
-    ("JavaScript", 1L, 369L, "function names() {", "4a7aed1754f19dc26b04a3a96593ab37"),
-    ("TypeScript", 0L, 719L, "// Typed cache for the parity corpus.", "9248d7079ce8aa2cb88e2150c972d480"),
-    ("TypeScript", 1L, 710L, "export function memoize<V>(cache: TtlCache<V>, key: string,", "a270a27030ede53e72ece8d57e3c75a0"),
-    ("Java", 0L, 136L, "package graft.parity;", "2aa07969b6e190549c23c82706b698f1"),
-    ("Java", 1L, 828L, "public final class RunningStats {", "55a66fcf398e0e6102f4ee686944b59d"),
-    ("Java", 2L, 332L, "public double getMin() {", "f78966b6ae5493812281d66ae2095022"),
-    ("C++", 0L, 76L, "// Ring buffer for the parity corpus.", "6ecade4bd0a706e227030ccc75fbc848"),
-    ("C++", 1L, 941L, "namespace parity {", "4f0ba25c3463e58598eaf7f466a0ec86"),
-    ("C++", 2L, 349L, "double mean(const RingBuffer& rb) {", "ff8272b32a85b0003b718b29bed9fe61"),
-    ("C", 0L, 946L, "/* Checksum helpers for the parity corpus. */", "4bd49b5f3060ade30c8038957f77b0be"),
-    ("C", 1L, 343L, "uint32_t digest_chunks(const uint8_t *buf, size_t len, size_t chunk) {", "b43bb60088b877079be0e114311d000e"),
-    ("Ruby", 0L, 950L, "# Inventory tracker for the parity corpus.", "0a3454d1d31c62793a27eeff4e2dbf3b"),
-    ("Ruby", 1L, 228L, "module Audit", "54f362e33f498d2a1fe1ee918f7ad2fa"),
-    ("C#", 0L, 49L, "using System;", "446c51a2ef0d549aa97e3405d08cf5b5"),
-    ("C#", 1L, 135L, "namespace Graft.Parity", "8f2c2baf664311ac853c151f3c618e65"),
-    ("C#", 2L, 997L, "private readonly SortedDictionary<int, Queue<string>> lanes =", "37b76842e872f9a2a7e739e57f64a1a3"),
-    ("C#", 3L, 8L, "}", "24b9118a1cd86bfb9315ef5a576d5540"),
-    ("Swift", 0L, 867L, "// Temperature series for the parity corpus.", "7d3f4bcda942617dc96498e26e19339e"),
-    ("Swift", 1L, 522L, "func summarize(_ readings: [Reading]) -> Summary {", "ba8c872eafb0035fc5db76189a2515ee"),
-    ("Go", 0L, 926L, "// Package parity holds the Go parity fixture.", "93d407e5a452808d376152ad58cca753"),
-    ("Go", 1L, 671L, "func Histogram(text string) map[int]int {", "e847396750cfe337fb344490ea1adf0b"),
-    ("Python", 0L, 839L, "\"\"\"Retry helpers for the parity corpus.\"\"\"", "31909b2b88d594aad8356e03d7c69a1b"),
-    ("Python", 1L, 824L, "class CountingRetrier(Retrier):", "7767ffb954311bc8c8827f20bfc3a92d"),
-    ("Markdown", 0L, 892L, "# Parity Corpus Guide", "2cab24576e0bacd9bfa138f322bca9ac"),
-    ("Markdown", 1L, 257L, "## Troubleshooting", "3a0012c8b58d51b8325f49316dfc1e72"))
+  val expected: Seq[(String, String, Long, Long, String, String)] = Seq(
+    ("fixture.rs", "Rust", 0L, 977L, "//! Geometry primitives for the parity corpus.", "848c26a9cae3d10a07852990efb5158d"),
+    ("fixture.rs", "Rust", 1L, 795L, "impl Rect {", "a17284c91f1b720787dea1d4c2b8e0ae"),
+    ("fixture.js", "JavaScript", 0L, 888L, "// Event bus for the parity corpus.", "68a6474639fcb25c3a224c9102948802"),
+    ("fixture.js", "JavaScript", 1L, 369L, "function names() {", "4a7aed1754f19dc26b04a3a96593ab37"),
+    ("fixture.ts", "TypeScript", 0L, 719L, "// Typed cache for the parity corpus.", "9248d7079ce8aa2cb88e2150c972d480"),
+    ("fixture.ts", "TypeScript", 1L, 710L, "export function memoize<V>(cache: TtlCache<V>, key: string,", "a270a27030ede53e72ece8d57e3c75a0"),
+    ("fixture.java", "Java", 0L, 136L, "package graft.parity;", "2aa07969b6e190549c23c82706b698f1"),
+    ("fixture.java", "Java", 1L, 828L, "public final class RunningStats {", "55a66fcf398e0e6102f4ee686944b59d"),
+    ("fixture.java", "Java", 2L, 332L, "public double getMin() {", "f78966b6ae5493812281d66ae2095022"),
+    ("fixture.cpp", "C++", 0L, 76L, "// Ring buffer for the parity corpus.", "6ecade4bd0a706e227030ccc75fbc848"),
+    ("fixture.cpp", "C++", 1L, 941L, "namespace parity {", "4f0ba25c3463e58598eaf7f466a0ec86"),
+    ("fixture.cpp", "C++", 2L, 349L, "double mean(const RingBuffer& rb) {", "ff8272b32a85b0003b718b29bed9fe61"),
+    ("fixture.c", "C", 0L, 946L, "/* Checksum helpers for the parity corpus. */", "4bd49b5f3060ade30c8038957f77b0be"),
+    ("fixture.c", "C", 1L, 343L, "uint32_t digest_chunks(const uint8_t *buf, size_t len, size_t chunk) {", "b43bb60088b877079be0e114311d000e"),
+    ("fixture.rb", "Ruby", 0L, 950L, "# Inventory tracker for the parity corpus.", "0a3454d1d31c62793a27eeff4e2dbf3b"),
+    ("fixture.rb", "Ruby", 1L, 228L, "module Audit", "54f362e33f498d2a1fe1ee918f7ad2fa"),
+    ("fixture.cs", "C#", 0L, 49L, "using System;", "446c51a2ef0d549aa97e3405d08cf5b5"),
+    ("fixture.cs", "C#", 1L, 135L, "namespace Graft.Parity", "8f2c2baf664311ac853c151f3c618e65"),
+    ("fixture.cs", "C#", 2L, 997L, "private readonly SortedDictionary<int, Queue<string>> lanes =", "37b76842e872f9a2a7e739e57f64a1a3"),
+    ("fixture.cs", "C#", 3L, 8L, "}", "24b9118a1cd86bfb9315ef5a576d5540"),
+    ("fixture.swift", "Swift", 0L, 867L, "// Temperature series for the parity corpus.", "7d3f4bcda942617dc96498e26e19339e"),
+    ("fixture.swift", "Swift", 1L, 522L, "func summarize(_ readings: [Reading]) -> Summary {", "ba8c872eafb0035fc5db76189a2515ee"),
+    ("fixture.go", "Go", 0L, 926L, "// Package parity holds the Go parity fixture.", "93d407e5a452808d376152ad58cca753"),
+    ("fixture.go", "Go", 1L, 671L, "func Histogram(text string) map[int]int {", "e847396750cfe337fb344490ea1adf0b"),
+    ("fixture.py", "Python", 0L, 839L, "\"\"\"Retry helpers for the parity corpus.\"\"\"", "31909b2b88d594aad8356e03d7c69a1b"),
+    ("fixture.py", "Python", 1L, 824L, "class CountingRetrier(Retrier):", "7767ffb954311bc8c8827f20bfc3a92d"),
+    ("fixture.md", "Markdown", 0L, 892L, "# Parity Corpus Guide", "2cab24576e0bacd9bfa138f322bca9ac"),
+    ("fixture.md", "Markdown", 1L, 257L, "## Troubleshooting", "3a0012c8b58d51b8325f49316dfc1e72"),
+    ("alias.mjs", "JavaScript", 0L, 73L, "export const VERSION = 3;", "3b35adef67597c99741d5fc99cb17f78"),
+    ("alias.tsx", "TypeScript", 0L, 79L, "export function label(name: string): string {", "4fa8b6da09cc2a1a82344e6551320400"),
+    ("alias.hpp", "C++", 0L, 102L, "#pragma once", "382e946a4686050c05de7b69fc7bc38f"),
+    ("alias.h", "C", 0L, 115L, "#ifndef PARITY_ALIAS_H", "aac3fcb3218bade29ba14f3b516294f4"),
+    ("alias.pyi", "Python", 0L, 114L, "from typing import List", "8c40bf8802729e08bed8a91e5d7b8edb"),
+    ("alias.markdown", "Markdown", 0L, 74L, "# Alias", "1810b2886f47f12166f4c4cef677ac99"),
+    ("alias.GO", "Go", 0L, 106L, "package parity", "ed9d2f7eabd5e262b17f001e64ba4b9f"))
 }

@@ -94,21 +94,37 @@ class ChunkParitySpec extends AnyFunSuite {
     assert(!csFirst.startsWith("return"), "C# must not line-split mid-method")
   }
 
+  test("q201 alias extensions resolve through the P1 dimension (jsx/mjs/tsx/hpp/h/pyi/markdown, case-insensitive)") {
+    val want = Map(
+      "alias.mjs" -> "JavaScript", "alias.tsx" -> "TypeScript",
+      "alias.hpp" -> "C++", "alias.h" -> "C", "alias.pyi" -> "Python",
+      "alias.markdown" -> "Markdown", "alias.GO" -> "Go")
+    assert(ChunkParity.aliasFixtures.map(_._1).toSet == want.keySet)
+    ChunkParity.aliasFixtures.foreach { case (file, text) =>
+      val rows = graft.chat.Chunker.fileChunkRows(file, text)
+      assert(rows.nonEmpty, s"$file must chunk")
+      assert(rows.forall(_._4.contains(want(file))),
+        s"$file must resolve to ${want(file)}, got ${rows.head._4}")
+      assert(rows.map(_._3).mkString("") == text, s"$file must round-trip")
+    }
+  }
+
   test("q201 pinned table matches the splitter output (prints regenerated pin on drift)") {
-    val got = ChunkParity.fixtures.flatMap { case (file, text) =>
-      graft.chat.Chunker.fileChunkRows(file, text).map {
-        case (_, idx, chunk, lang, _) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val h = md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
-          val first = chunk.linesIterator.find(_.trim.nonEmpty)
-            .map(_.trim).getOrElse("")
-          (lang.getOrElse(""), idx.toLong, chunk.length.toLong, first, h)
-      }
+    val got = (ChunkParity.fixtures ++ ChunkParity.aliasFixtures).flatMap {
+      case (file, text) =>
+        graft.chat.Chunker.fileChunkRows(file, text).map {
+          case (_, idx, chunk, lang, _) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val h = md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val first = chunk.linesIterator.find(_.trim.nonEmpty)
+              .map(_.trim).getOrElse("")
+            (file, lang.getOrElse(""), idx.toLong, chunk.length.toLong, first, h)
+        }
     }
     if (got != ChunkParity.expected) {
       println("=== ChunkParity.expected regeneration (paste into ChunkParity.scala):")
-      got.foreach { case (l, i, n, f, h) =>
-        println(s"""    ("$l", ${i}L, ${n}L, "${f.replace("\"", "\\\"")}", "$h"),""")
+      got.foreach { case (fl, l, i, n, f, h) =>
+        println(s"""    ("$fl", "$l", ${i}L, ${n}L, "${f.replace("\"", "\\\"")}", "$h"),""")
       }
     }
     assert(got == ChunkParity.expected,
