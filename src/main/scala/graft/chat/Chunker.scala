@@ -79,8 +79,7 @@ object Chunker {
       else if (language.contains("Markdown")) HeadingMode
       else if (language.contains("Ruby")) RubyMode
       else BraceMode
-    packUnits(unitsOf(toLines(content), mode), maxSize,
-      braceRecurse = mode == BraceMode)
+    packUnits(unitsOf(toLines(content), mode), maxSize, mode)
   }
 
   private sealed trait UnitMode
@@ -101,9 +100,16 @@ object Chunker {
     }.filter(_.nonEmpty).toIndexedSeq
   }
 
+  private def indentOf(line: String): Int =
+    line.takeWhile(_.isWhitespace).length
+
   /** Top-level unit grouping: maximal contiguous line spans ending at a
-    * structural boundary for the mode. */
-  private def unitsOf(lines: IndexedSeq[String], mode: UnitMode)
+    * structural boundary for the mode. `baseIndent` generalizes the
+    * indent/ruby column-0 rule to an interior nesting level, which is
+    * how the oversized-unit descent re-splits a class body at its
+    * members (tree-sitter's children live one level deeper). */
+  private def unitsOf(lines: IndexedSeq[String], mode: UnitMode,
+                      baseIndent: Int = 0)
       : Seq[IndexedSeq[String]] = {
     val units = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[String]]
     val cur = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -124,23 +130,24 @@ object Chunker {
     lines.foreach { line =>
       mode match {
         case IndentMode =>
-          // a non-blank column-0 line starts a new top-level unit: a
-          // def/class plus its indented block stays one unit
+          // a non-blank base-level line starts a new unit: a def/class
+          // plus its deeper-indented block stays one unit
           val t = line.trim
-          if (t.nonEmpty && !line.head.isWhitespace && !(cur.nonEmpty && onlyTrivia)) {
+          if (t.nonEmpty && indentOf(line) <= baseIndent &&
+              !(cur.nonEmpty && onlyTrivia)) {
             flushUnit(); onlyTrivia = true
           }
           if (!(t.isEmpty || t.startsWith("@") || t.startsWith("#"))) onlyTrivia = false
           cur += line
         case RubyMode =>
-          // Python's column-0 rule, except a continuation keyword
-          // (end/else/rescue/...) never opens a unit, and a column-0
+          // Python's base-level rule, except a continuation keyword
+          // (end/else/rescue/...) never opens a unit, and a base-level
           // `end` CLOSES one — so `def ... end` / `class ... end`
           // blocks stay whole, matching tree-sitter-ruby's method and
           // class nodes
           val t = line.trim
           val word = t.takeWhile(c => c.isLetterOrDigit || c == '_')
-          val col0 = t.nonEmpty && !line.head.isWhitespace
+          val col0 = t.nonEmpty && indentOf(line) <= baseIndent
           if (col0 && !RubyContinuations.contains(word) &&
               !(cur.nonEmpty && onlyTrivia)) {
             flushUnit(); onlyTrivia = true
@@ -200,9 +207,12 @@ object Chunker {
   }
 
   /** Greedy packing of whole units into <= maxSize chunks; an oversized
-    * unit recursively brace-peels (brace mode) or line-splits. */
+    * unit recursively descends one structural level (brace peel, indent
+    * level, paragraph split) before any line-greedy fallback — the
+    * descend-into-children step of the reference's AST splitter, per
+    * mode. */
   private def packUnits(units: Seq[IndexedSeq[String]], maxSize: Int,
-                        braceRecurse: Boolean): Seq[String] = {
+                        mode: UnitMode): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val chunk = new StringBuilder
     def flushChunk(): Unit =
@@ -211,8 +221,12 @@ object Chunker {
       val s = u.mkString
       if (s.length > maxSize) {
         flushChunk()
-        out ++= (if (braceRecurse) splitBraceUnit(u, maxSize)
-                 else splitContent(s, maxSize))
+        out ++= (mode match {
+          case BraceMode   => splitBraceUnit(u, maxSize)
+          case IndentMode  => splitIndentUnit(u, maxSize, ruby = false)
+          case RubyMode    => splitIndentUnit(u, maxSize, ruby = true)
+          case HeadingMode => splitHeadingUnit(u, maxSize)
+        })
       } else {
         if (chunk.length + s.length > maxSize) flushChunk()
         chunk ++= s
@@ -243,12 +257,65 @@ object Chunker {
           depths.slice(openIdx, depths.length - 1).forall(_ >= 1)) {
         val innerChunks =
           packUnits(unitsOf(u.slice(openIdx + 1, u.length - 1), BraceMode),
-            maxSize, braceRecurse = true)
+            maxSize, BraceMode)
         return packPieces(
           u.take(openIdx + 1).mkString +: innerChunks :+ u.last, maxSize)
       }
     }
     splitContent(u.mkString, maxSize)
+  }
+
+  /** Oversized indent/Ruby unit (a class bigger than the budget whose
+    * body is one indent level deeper — tree-sitter's class_definition
+    * with a block child): peel the base-level header lines (and, for
+    * Ruby, the closing base-level `end`), re-split the body at ITS
+    * indent level, and greedily re-pack — so a big Python/Ruby class
+    * breaks between METHODS. Anything that doesn't descend cleanly
+    * (no deeper body, mixed indentation) falls back to the line-greedy
+    * split. */
+  private def splitIndentUnit(u: IndexedSeq[String], maxSize: Int,
+                              ruby: Boolean): Seq[String] = {
+    val baseI = u.filter(_.trim.nonEmpty).map(indentOf).min
+    val bodyStart = u.indexWhere(l => l.trim.nonEmpty && indentOf(l) > baseI)
+    if (bodyStart > 0) {
+      val hasEnd = ruby && u.last.trim == "end" && indentOf(u.last) <= baseI
+      val body = if (hasEnd) u.slice(bodyStart, u.length - 1) else u.drop(bodyStart)
+      val nonBlank = body.filter(_.trim.nonEmpty)
+      val bodyI = if (nonBlank.isEmpty) baseI else nonBlank.map(indentOf).min
+      // base-indent lines inside the body (a top-level else:, a dedent
+      // mid-unit) mean the unit is not a single header+block — line-split
+      if (body.nonEmpty && bodyI > baseI) {
+        val mode: UnitMode = if (ruby) RubyMode else IndentMode
+        val inner = packUnits(unitsOf(body, mode, bodyI), maxSize, mode)
+        val pieces = (u.take(bodyStart).mkString +: inner) ++
+          (if (hasEnd) Seq(u.last) else Seq.empty)
+        return packPieces(pieces, maxSize)
+      }
+    }
+    splitContent(u.mkString, maxSize)
+  }
+
+  /** Oversized Markdown section (no internal headings by construction —
+    * unitsOf flushes on every heading line): descend to PARAGRAPHS,
+    * tree-sitter-md's block children. A new paragraph starts at a
+    * non-blank line after a blank one; fenced code stays opaque, so a
+    * blank line inside ``` never splits the fence. */
+  private def splitHeadingUnit(u: IndexedSeq[String], maxSize: Int): Seq[String] = {
+    val units = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inFence = false
+    var prevBlank = false
+    u.foreach { line =>
+      val t = line.trim
+      if (!inFence && t.nonEmpty && prevBlank && cur.nonEmpty) {
+        units += cur.toString; cur.clear()
+      }
+      cur ++= line
+      if (t.startsWith("```") || t.startsWith("~~~")) inFence = !inFence
+      prevBlank = t.isEmpty && !inFence
+    }
+    if (cur.nonEmpty) units += cur.toString
+    packPieces(units.toSeq, maxSize)
   }
 
   /** Greedy re-pack of already-sized pieces (each <= maxSize except a

@@ -519,6 +519,68 @@ object ChunkParity {
         ~    end
         ~  end
         ~end
+        ~
+        ~# A big class (over the budget) exercising def/end descent.
+        ~class Warehouse
+        ~  def initialize(name)
+        ~    @name = name
+        ~    @bays = {}
+        ~    @sealed = false
+        ~  end
+        ~
+        ~  def store(bay, item, qty)
+        ~    raise 'sealed' if @sealed
+        ~    @bays[bay] ||= Hash.new(0)
+        ~    @bays[bay][item] += qty
+        ~  end
+        ~
+        ~  def retrieve(bay, item, qty)
+        ~    raise 'sealed' if @sealed
+        ~    have = @bays.fetch(bay, {}).fetch(item, 0)
+        ~    take = [have, qty].min
+        ~    @bays[bay][item] = have - take if take > 0
+        ~    take
+        ~  end
+        ~
+        ~  def occupancy
+        ~    @bays.transform_values do |items|
+        ~      items.values.sum
+        ~    end
+        ~  end
+        ~
+        ~  def heaviest_bay
+        ~    occupancy.max_by do |bay, total|
+        ~      [total, bay]
+        ~    end
+        ~  end
+        ~
+        ~  def transfer(other, bay, item, qty)
+        ~    moved = retrieve(bay, item, qty)
+        ~    other.store(bay, item, moved) if moved > 0
+        ~    moved
+        ~  end
+        ~
+        ~  def manifest
+        ~    occupancy.keys.sort.map do |bay|
+        ~      format('%s: %d items', bay, occupancy[bay])
+        ~    end
+        ~  end
+        ~
+        ~  def empty_bays
+        ~    occupancy.select do |bay, total|
+        ~      total.zero?
+        ~    end.keys.sort
+        ~  end
+        ~
+        ~  def seal!
+        ~    @sealed = true
+        ~    @name
+        ~  end
+        ~
+        ~  def sealed?
+        ~    @sealed
+        ~  end
+        ~end
         ~""".stripMargin('~'),
 
     "fixture.cs" ->
@@ -791,6 +853,43 @@ object ChunkParity {
         ~    for fn in fns:
         ~        out.append(r.run(fn))
         ~    return out
+        ~
+        ~
+        ~class RetryPolicyTable:
+        ~    %Q%A big class (over the budget) exercising indent descent.%Q%
+        ~
+        ~    def __init__(self):
+        ~        self.policies = {}
+        ~        self.default_attempts = MAX_ATTEMPTS
+        ~        self.default_backoff_ms = 100
+        ~
+        ~    def register(self, name, attempts, backoff_ms):
+        ~        if attempts < 1:
+        ~            raise ValueError("attempts must be positive")
+        ~        self.policies[name] = (attempts, backoff_ms)
+        ~
+        ~    def lookup(self, name):
+        ~        if name in self.policies:
+        ~            return self.policies[name]
+        ~        return (self.default_attempts, self.default_backoff_ms)
+        ~
+        ~    def budget_ms(self, name):
+        ~        attempts, base = self.lookup(name)
+        ~        total = 0
+        ~        for attempt in range(attempts):
+        ~            total += base * (2 ** attempt)
+        ~        return total
+        ~
+        ~    def names(self):
+        ~        return sorted(self.policies.keys())
+        ~
+        ~    def merge(self, other):
+        ~        merged = RetryPolicyTable()
+        ~        for name in self.names():
+        ~            merged.policies[name] = self.policies[name]
+        ~        for name in other.names():
+        ~            merged.policies[name] = other.policies[name]
+        ~        return merged
         ~""".stripMargin('~')
         // triple-quoted Scala literals cannot hold a `"""` docstring
         // marker, so the fixture carries %Q% and swaps it here
@@ -847,6 +946,36 @@ object ChunkParity {
         ~## License
         ~
         ~MIT. See the LICENSE file for details.
+        ~
+        ~## Appendix: a long section exercising paragraph descent
+        ~
+        ~This section is deliberately larger than the chunk budget and has
+        ~no sub-headings, so the splitter must descend to paragraphs, the
+        ~way the reference descends into a section node's block children.
+        ~
+        ~The first consideration is corpus layout. A repository of mixed
+        ~prose and code produces chunk tables whose size distribution is
+        ~bimodal: prose sections pack near the budget, while code files
+        ~break at declaration boundaries well short of it.
+        ~
+        ~The second consideration is determinism. Every boundary decision
+        ~in the splitter is a pure function of the bytes, so two runs over
+        ~the same corpus produce byte-identical chunk tables, which is the
+        ~property the incremental indexer's change detection relies on.
+        ~
+        ~```text
+        ~a fence inside the long section stays opaque
+        ~
+        ~even across a blank line inside the fence
+        ~```
+        ~
+        ~The third consideration is the budget itself. One thousand
+        ~characters approximates the embedding model's effective context;
+        ~chunks much longer than that dilute the vector, and chunks much
+        ~shorter than it waste index entries on fragments.
+        ~
+        ~A final paragraph closes out the appendix so the section ends on
+        ~prose rather than on the fence.
         ~""".stripMargin('~'))
 
   /** Alias-extension fixtures: the reference maps several extensions
@@ -973,6 +1102,9 @@ object ChunkParity {
     ("fixture.c", "C", 1L, 343L, "uint32_t digest_chunks(const uint8_t *buf, size_t len, size_t chunk) {", "b43bb60088b877079be0e114311d000e"),
     ("fixture.rb", "Ruby", 0L, 950L, "# Inventory tracker for the parity corpus.", "0a3454d1d31c62793a27eeff4e2dbf3b"),
     ("fixture.rb", "Ruby", 1L, 228L, "module Audit", "54f362e33f498d2a1fe1ee918f7ad2fa"),
+    ("fixture.rb", "Ruby", 2L, 77L, "# A big class (over the budget) exercising def/end descent.", "2cec44a4ebe2f919c501728136a0266c"),
+    ("fixture.rb", "Ruby", 3L, 986L, "def initialize(name)", "15fdb4a5a8dfea9803414cddc4548106"),
+    ("fixture.rb", "Ruby", 4L, 37L, "def sealed?", "6822734ab6a935320697951605586e4d"),
     ("fixture.cs", "C#", 0L, 49L, "using System;", "446c51a2ef0d549aa97e3405d08cf5b5"),
     ("fixture.cs", "C#", 1L, 135L, "namespace Graft.Parity", "8f2c2baf664311ac853c151f3c618e65"),
     ("fixture.cs", "C#", 2L, 997L, "private readonly SortedDictionary<int, Queue<string>> lanes =", "37b76842e872f9a2a7e739e57f64a1a3"),
@@ -982,9 +1114,13 @@ object ChunkParity {
     ("fixture.go", "Go", 0L, 926L, "// Package parity holds the Go parity fixture.", "93d407e5a452808d376152ad58cca753"),
     ("fixture.go", "Go", 1L, 671L, "func Histogram(text string) map[int]int {", "e847396750cfe337fb344490ea1adf0b"),
     ("fixture.py", "Python", 0L, 839L, "\"\"\"Retry helpers for the parity corpus.\"\"\"", "31909b2b88d594aad8356e03d7c69a1b"),
-    ("fixture.py", "Python", 1L, 824L, "class CountingRetrier(Retrier):", "7767ffb954311bc8c8827f20bfc3a92d"),
+    ("fixture.py", "Python", 1L, 826L, "class CountingRetrier(Retrier):", "7ad0fc1aee18a2f6bb0f888732df6e89"),
+    ("fixture.py", "Python", 2L, 845L, "class RetryPolicyTable:", "6f255d9f76488548f5783d5e05f65f0f"),
+    ("fixture.py", "Python", 3L, 268L, "def merge(self, other):", "71a0637fe2168eb953a26a147b2d3cf5"),
     ("fixture.md", "Markdown", 0L, 892L, "# Parity Corpus Guide", "2cab24576e0bacd9bfa138f322bca9ac"),
-    ("fixture.md", "Markdown", 1L, 257L, "## Troubleshooting", "3a0012c8b58d51b8325f49316dfc1e72"),
+    ("fixture.md", "Markdown", 1L, 258L, "## Troubleshooting", "a7dcf6d7e7be466f43e44b894bfdb72f"),
+    ("fixture.md", "Markdown", 2L, 859L, "## Appendix: a long section exercising paragraph descent", "9a5508f68136160cb68ec2ad11755ccc"),
+    ("fixture.md", "Markdown", 3L, 336L, "The third consideration is the budget itself. One thousand", "ae26721d29897598030abe2d9268c367"),
     ("alias.mjs", "JavaScript", 0L, 73L, "export const VERSION = 3;", "3b35adef67597c99741d5fc99cb17f78"),
     ("alias.tsx", "TypeScript", 0L, 79L, "export function label(name: string): string {", "4fa8b6da09cc2a1a82344e6551320400"),
     ("alias.hpp", "C++", 0L, 102L, "#pragma once", "382e946a4686050c05de7b69fc7bc38f"),
