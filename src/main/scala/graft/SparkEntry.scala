@@ -261,7 +261,8 @@ object SparkEntry {
     "q199_stream_ab_monitor" -> ((s: SparkSession, d: String) =>
       graft.streaming.EventStream.abMonitorStream(s, d)),
     "q200_srm_guard"        -> Events.srmGuard _,
-    "q201_chunk_parity"     -> graft.ops.ChunkParity.chunkParity _
+    "q201_chunk_parity"     -> graft.ops.ChunkParity.chunkParity _,
+    "q202_tokenizer_parity" -> graft.ops.TokenizerParity.tokenizerParity _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -547,6 +548,10 @@ object SparkEntry {
     // q201's oracle is the pinned parity VALUES table: the Spark side
     // re-chunks the 12-language fixture corpus through the production
     // splitter; the DuckDB side holds the hand-verified expectation
-    "q201_chunk_parity"     -> graft.ops.ChunkParity.chunkParitySql
+    "q201_chunk_parity"     -> graft.ops.ChunkParity.chunkParitySql,
+    // q202's oracle is the hand-derived token-id table (VALUES): the
+    // Spark side runs the production WordPiece/BPE tokenizers over the
+    // pinned toy vocabularies
+    "q202_tokenizer_parity" -> graft.ops.TokenizerParity.tokenizerParitySql
   )
 }
