@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * seam (Chunker.fileChunkRows: extension detect -> language detect ->
   * splitStructured), so q201 pins the full P1+P3 path, not a test
   * double. The DuckDB side is the expected chunk table as a literal
-  * VALUES relation — regenerate with `printExpected()` (ChunkParitySpec
-  * prints it on mismatch) after any DELIBERATE splitter change.
+  * VALUES relation — after any DELIBERATE splitter change, run
+  * ChunkParitySpec: on mismatch it prints the regenerated `expected`
+  * block to paste here.
   *
   * What the pin certifies, and what it doesn't (SURVEY §8 has the
   * per-language table): chunk boundaries land between top-level
