@@ -224,22 +224,40 @@ object ServeBench {
     val concServedBase = graft.plans.PreparedKnn.served.get()
     val concLats = java.util.Collections.synchronizedList(
       new java.util.ArrayList[java.lang.Double]())
+    // a Throwable inside a stream thread only kills THAT thread; the
+    // served-counter gate below misses a failure on a stream's FINAL
+    // query (the counter already incremented) and the latency list
+    // would be silently truncated — so every stream records its own
+    // failure and the bench fails after join() if any stream did
+    // (ADVICE r13)
+    val concFailures = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
     val cT0 = System.nanoTime()
     val threads = (0 until nStreams).map { t =>
       val th = new Thread(() => {
-        val n = queries.size
-        (0 until n).foreach { i =>
-          val q = queries((i + t * n / nStreams) % n)
-          val s0 = System.nanoTime()
-          val out = graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3,
-            rerank = true, prepared = true)
-          concLats.add((System.nanoTime() - s0) / 1e6)
-          require(out.results.nonEmpty, s"no results for query '$q'")
+        try {
+          val n = queries.size
+          (0 until n).foreach { i =>
+            val q = queries((i + t * n / nStreams) % n)
+            val s0 = System.nanoTime()
+            val out = graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3,
+              rerank = true, prepared = true)
+            concLats.add((System.nanoTime() - s0) / 1e6)
+            require(out.results.nonEmpty, s"no results for query '$q'")
+          }
+        } catch { case e: Throwable =>
+          concFailures.add(s"stream $t: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       })
       th.setDaemon(true); th.start(); th
     }
     threads.foreach(_.join())
+    if (!concFailures.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      System.err.println("serve bench FAILED: concurrent stream errors: " +
+        concFailures.asScala.mkString("; "))
+      sys.exit(1)
+    }
     val concWallSec = (System.nanoTime() - cT0) / 1e9
     val concServed = (graft.plans.PreparedKnn.served.get() - concServedBase).toInt
     val concLat = {

@@ -193,6 +193,20 @@ object Chunker {
           // or string must not glue the rest of the file into one unit
           paren = math.max(0, paren + line.count(_ == '(') - line.count(_ == ')'))
           brack = math.max(0, brack + line.count(_ == '[') - line.count(_ == ']'))
+          // a depth-0 line that ENDS a statement (trailing ';' or '}')
+          // while parens/brackets still read open means the imbalance
+          // came from a '(' inside a comment or string literal (a real
+          // multi-line signature or call never completes a statement
+          // mid-parens) — reset the lexical tracker so one stray paren
+          // can't glue a run of subsequent top-level declarations into
+          // a single unit (ADVICE r13: bound the blast radius). Cost: a
+          // depth-0 multi-line `for (a;\n b;\n c)` header re-splits at
+          // its ';' lines — the pre-tracker behavior, and far rarer
+          // than a parenthesis in prose.
+          if (depth == 0 && (paren > 0 || brack > 0)) {
+            val te = line.trim
+            if (te.endsWith(";") || te.endsWith("}")) { paren = 0; brack = 0 }
+          }
           if (depth == 0 && paren == 0 && brack == 0) {
             flushUnit() // top-level statement or block closed
             parenHold = 0
@@ -275,7 +289,13 @@ object Chunker {
     * split. */
   private def splitIndentUnit(u: IndexedSeq[String], maxSize: Int,
                               ruby: Boolean): Seq[String] = {
-    val baseI = u.filter(_.trim.nonEmpty).map(indentOf).min
+    // an oversized unit of ONLY blank/whitespace lines (indent modes
+    // never flush blank-only runs) has no indent to descend into —
+    // without this guard the .min below throws on the empty collection
+    // and kills the whole chunking job on one degenerate file
+    val nonBlankAll = u.filter(_.trim.nonEmpty)
+    if (nonBlankAll.isEmpty) return splitContent(u.mkString, maxSize)
+    val baseI = nonBlankAll.map(indentOf).min
     val bodyStart = u.indexWhere(l => l.trim.nonEmpty && indentOf(l) > baseI)
     if (bodyStart > 0) {
       val hasEnd = ruby && u.last.trim == "end" && indentOf(u.last) <= baseI

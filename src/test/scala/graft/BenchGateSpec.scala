@@ -37,4 +37,64 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.flatProfileFailure(slow, 0.0, sweep).isEmpty)
     assert(Bench.flatProfileFailure(slow, -1.0, sweep).isEmpty)
   }
+
+  // --- breach-retry discipline (VERDICT r13 item 1) ---------------------
+
+  private def fourCol(rows: (String, Double, Boolean)*): Seq[(String, Double, Boolean, Long)] =
+    rows.map { case (k, v, ok) => (k, v, ok, 7L) }
+
+  test("retry: a regime spike (fast re-measure) clears the gate and is evidenced") {
+    val sweep13 = fourCol(("q1_agg", 0.4, true), ("q62_decontamination", 5.35, true))
+    var remeasured = List.empty[String]
+    val (resolved, failure) = Bench.gateWithRetry(sweep13, 3.5, sweep, { name =>
+      remeasured ::= name; (0.31, true, 3L)
+    })
+    assert(failure.isEmpty, failure)
+    // ONLY the breaching line is re-measured
+    assert(remeasured == List("q62_decontamination"))
+    // reported seconds = best of all measures; evidence carries both
+    val q62 = resolved.find(_._1 == "q62_decontamination").get
+    assert(q62._2 == 0.31 && q62._3 && q62._4 == 3L)
+    assert(q62._5.contains((5.35, 0.31)))
+    // the untouched fast line carries no retry evidence
+    assert(resolved.find(_._1 == "q1_agg").get._5.isEmpty)
+  }
+
+  test("retry: a TRUE regression (slow re-measure) still fails, naming both measures") {
+    val sweep13 = fourCol(("q88_top_tokens", 6.64, true))
+    val (resolved, failure) = Bench.gateWithRetry(sweep13, 3.5, sweep,
+      _ => (6.1, true, 900L))
+    assert(failure.isDefined)
+    assert(failure.get.contains("q88_top_tokens=6.10s"))
+    assert(failure.get.contains("first 6.64s") && failure.get.contains("retry 6.10s"))
+    // reported seconds stay min-of-all-measures even on failure
+    assert(resolved.head._2 == 6.1 && resolved.head._3)
+  }
+
+  test("retry: a retry that lands between gate and first measure still fails") {
+    val (_, failure) = Bench.gateWithRetry(fourCol(("q90_anomaly_windows", 5.8, true)),
+      3.5, sweep, _ => (4.2, true, 0L))
+    assert(failure.isDefined && failure.get.contains("q90_anomaly_windows=4.20s"))
+  }
+
+  test("retry: an ERRORING re-measure rides the errors channel, not the envelope") {
+    val (resolved, failure) = Bench.gateWithRetry(fourCol(("q62_decontamination", 5.35, true)),
+      3.5, sweep, _ => (1.0, false, 0L))
+    assert(failure.isEmpty) // failed lines are the errors list's job
+    assert(!resolved.head._3, "line must be marked failed")
+  }
+
+  test("retry: disabled gate (amplified SF / opt-out) never re-measures") {
+    var calls = 0
+    val slow = fourCol(("q1_agg", 9.0, true))
+    val (_, f1) = Bench.gateWithRetry(slow, 3.5, "/tmp/amplified_x32",
+      { _ => calls += 1; (0.1, true, 0L) })
+    val (_, f2) = Bench.gateWithRetry(slow, 0.0, sweep,
+      { _ => calls += 1; (0.1, true, 0L) })
+    assert(f1.isEmpty && f2.isEmpty && calls == 0)
+    // and an already-failed line is never re-measured either
+    val (_, f3) = Bench.gateWithRetry(fourCol(("q9_broken", 9.9, false)), 3.5, sweep,
+      { _ => calls += 1; (0.1, true, 0L) })
+    assert(f3.isEmpty && calls == 0)
+  }
 }

@@ -221,6 +221,61 @@ class PropertySpec extends AnyFunSuite {
     assert(bigChunks.mkString("") == big)
   }
 
+  // ADVICE r13 (medium): an oversized unit of ONLY blank lines (indent
+  // modes never flush blank-only runs) used to crash splitIndentUnit on
+  // an empty .min — one degenerate whitespace file must not kill the
+  // chunking job
+  test("structured chunker survives an oversized all-blank unit (indent + ruby)") {
+    for (lang <- Seq(Some("Python"), Some("Ruby"))) {
+      for (blank <- Seq("\n" * 60, ("   \n" * 40) + "  ")) {
+        val chunks = Chunker.splitStructured(blank, lang, maxSize = 50)
+        assert(chunks.forall(_.length <= 50))
+        assert(chunks.mkString("") == blank, s"round-trip failed for $lang")
+      }
+      // blank run larger than budget INSIDE otherwise-normal code
+      val mixed = "def f():\n    return 1\n" + ("\n" * 60) + "def g():\n    return 2\n"
+      val mixedChunks = Chunker.splitStructured(mixed, lang, maxSize = 50)
+      assert(mixedChunks.mkString("") == mixed)
+      assert(mixedChunks.forall(_.length <= 50))
+    }
+  }
+
+  // ADVICE r13 (low): a stray '(' in a top-level comment must not glue
+  // the following declarations into one unit — the tracker resets on
+  // the next depth-0 statement-ending line
+  test("brace mode: unbalanced paren in a comment does not glue later declarations") {
+    val src =
+      """// see note (unbalanced
+        |int a = 1;
+        |fn first() {
+        |    let x = 1;
+        |}
+        |fn second() {
+        |    let y = 2;
+        |}
+        |""".stripMargin
+    // budget fits one function but not both: with the stray '(' reset on
+    // `int a = 1;`, the split still lands between the two fns
+    val chunks = Chunker.splitStructured(src, Some("Rust"), maxSize = 60)
+    assert(chunks.mkString("") == src)
+    assert(chunks.exists(_.startsWith("fn second")),
+      s"declarations glued past the stray paren: ${chunks.mkString("|")}")
+    // a stray '(' in a comment INSIDE a block resets on the closing '}'
+    val src2 =
+      """fn holder() {
+        |    // math (see docs
+        |    let x = 1;
+        |}
+        |fn after() {
+        |    let y = 2;
+        |}
+        |""".stripMargin
+    val chunks2 = Chunker.splitStructured(src2, Some("Rust"), maxSize = 50)
+    assert(chunks2.mkString("") == src2)
+    assert(chunks2.exists(_.startsWith("fn after")),
+      s"block-comment paren glued the next fn: ${chunks2.mkString("|")}")
+  }
+
   test("embedder: deterministic, L2-normalized, order-insensitive to batching") {
     val emb = new HashingEmbedder()
     forAll(Gen.listOfN(5, Gen.alphaStr.suchThat(_.nonEmpty))) { words =>
