@@ -381,6 +381,26 @@ object Chunker {
     }
   }
 
+  /** Reference-whitespace content projection (round 14, the last
+    * chunk-content delta in SURVEY §8): the reference's chunks are
+    * node-aligned BYTE RANGES (chunker.rs:89-116 via code-splitter —
+    * each chunk spans from the first byte of its first AST node to the
+    * last byte of its last node), so its chunk text never carries the
+    * whitespace that falls BETWEEN chunks: no indentation or blank
+    * lines before the first declaration, no trailing newline or blank
+    * run after the last. This splitter's chunks are contiguous line
+    * spans (byte-exact round-trip, the default everywhere); with
+    * boundary parity certified (q201: every chunk starts at the line
+    * of a declaration/comment/heading node and ends after its last
+    * node's line), the node-aligned text of each chunk is exactly the
+    * line-span text stripped of leading and trailing whitespace —
+    * interior whitespace between merged siblings lies INSIDE the byte
+    * range and is kept. A chunk that is all whitespace corresponds to
+    * no node and is not emitted (indices renumber). q201's
+    * ref_len/ref_md5 columns pin this projection per fixture chunk. */
+  def refWhitespace(chunks: Seq[String]): Seq[String] =
+    chunks.map(_.trim).filter(_.nonEmpty)
+
   /** The ONE "relative path + text → chunk rows" contract every
     * indexing path shares (base build, incremental stream, refresh
     * driver path, refresh distributed path): extension detect →
@@ -389,15 +409,20 @@ object Chunker {
     * never decode bytes for unsupported extensions. Keeping this in one
     * place is what makes the byte-identical-across-paths guarantees
     * (RefreshHardeningSpec, the stream==batch specs) provable rather
-    * than accidental — four drifting copies encoded it before. */
-  private[graft] def fileChunkRows(rel: String, text: => String)
+    * than accidental — four drifting copies encoded it before.
+    * `refContent` switches chunk text to the [[refWhitespace]]
+    * node-aligned projection; boundaries are identical either way. */
+  private[graft] def fileChunkRows(rel: String, text: => String,
+                                   refContent: Boolean = false)
       : Seq[(String, Int, String, Option[String], Option[String])] = {
     val ext = rel.split('.').lastOption
       .filter(_ => rel.contains('.')).map(_.toLowerCase)
     ext match {
       case Some(e) if Language.supportedExtensions.contains(e) =>
         val lang = Language.detect(e)
-        splitStructured(text, lang).zipWithIndex.map {
+        val raw = splitStructured(text, lang)
+        val chunks = if (refContent) refWhitespace(raw) else raw
+        chunks.zipWithIndex.map {
           case (c, i) => (rel, i, c, lang, Some(e))
         }
       case _ => Seq.empty

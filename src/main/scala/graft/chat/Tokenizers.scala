@@ -60,16 +60,32 @@ final class WordPieceTokenizer(
   private val sepId = vocab.getOrElse("[SEP]", unkId)
   override val vocabSize: Int = if (vocab.isEmpty) 1 else vocab.values.max + 1
 
+  /** CJK ideograph (BMP ranges of BERT's `_is_chinese_char`): the
+    * BasicTokenizer isolates each such character into its own word
+    * BEFORE whitespace splitting (`tokenize_chinese_chars`), because
+    * the training corpora space-segmented CJK per character.
+    * Supplementary-plane CJK (surrogate pairs here) is out of scope
+    * for the checkpoint families this feeds. */
+  private def isCjk(c: Char): Boolean = {
+    val cp = c.toInt
+    (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+    (cp >= 0xF900 && cp <= 0xFAFF)
+  }
+
   /** Basic tokenization: fold case, split on whitespace, split each
     * punctuation character into its own token (BERT's BasicTokenizer
-    * rule — "don't," -> don | ' | t | ,). */
+    * rule — "don't," -> don | ' | t | ,), and isolate every CJK
+    * ideograph as its own word. */
   private def basic(text: String): Seq[String] = {
     val t = if (lowercase) text.toLowerCase else text
     t.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { w =>
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       val cur = new StringBuilder
       w.foreach { c =>
-        if (c.isLetterOrDigit) cur.append(c)
+        if (isCjk(c)) {
+          if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+          out += c.toString
+        } else if (c.isLetterOrDigit) cur.append(c)
         else {
           if (cur.nonEmpty) { out += cur.toString; cur.clear() }
           out += c.toString
@@ -81,8 +97,12 @@ final class WordPieceTokenizer(
   }
 
   /** Greedy longest-match-first subword split; whole word becomes
-    * [UNK] when any position has no matching piece. */
+    * [UNK] when any position has no matching piece, or when the word
+    * exceeds [[WordPieceTokenizer.MaxCharsPerWord]] characters (the
+    * published WordpieceTokenizer guard: a pathological unbroken run
+    * must not pay O(len²) greedy matching — it is [UNK] outright). */
   private def pieces(word: String): Seq[Int] = {
+    if (word.length > WordPieceTokenizer.MaxCharsPerWord) return Seq(unkId)
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var start = 0
     while (start < word.length) {
@@ -117,6 +137,10 @@ final class WordPieceTokenizer(
 }
 
 object WordPieceTokenizer {
+  /** BERT WordpieceTokenizer's `max_input_chars_per_word` default:
+    * words longer than this become [UNK] without subword matching. */
+  val MaxCharsPerWord = 100
+
   /** vocab.txt: one token per line, id = line number. */
   def fromFile(path: String, lowercase: Boolean = true): WordPieceTokenizer = {
     val lines = Files.readAllLines(Paths.get(path), StandardCharsets.UTF_8).asScala

@@ -24,19 +24,25 @@ import org.apache.spark.sql.functions._
   * ChunkParitySpec: on mismatch it prints the regenerated `expected`
   * block to paste here.
   *
-  * What the pin certifies, and what it doesn't (SURVEY §8 has the
-  * per-language table): chunk boundaries land between top-level
-  * declarations exactly as the reference's AST-node packing does on
-  * these fixtures (verified per-fixture by ChunkParitySpec's boundary
-  * invariants: every chunk starts at a declaration/comment/heading
-  * line, no fitting declaration is ever split, budget respected,
-  * byte-exact round-trip). Chunk CONTENT deliberately differs from the
+  * What the pin certifies (SURVEY §8 has the per-language table):
+  * chunk boundaries land between top-level declarations exactly as
+  * the reference's AST-node packing does on these fixtures (verified
+  * per-fixture by ChunkParitySpec's boundary invariants: every chunk
+  * starts at a declaration/comment/heading line, no fitting
+  * declaration is ever split, budget respected, byte-exact
+  * round-trip). DEFAULT chunk content deliberately differs from the
   * reference in whitespace ownership: this splitter's chunks are
   * contiguous line spans (concatenation round-trips, blank lines
   * belong to the preceding chunk), while code-splitter emits
   * node-aligned byte ranges that drop whitespace BETWEEN chunks and
-  * never carry a trailing newline. A user diffing chunk tables sees
-  * identical grouping with trailing-whitespace deltas.
+  * never carry a trailing newline. Round 14 closed that last delta:
+  * the ref_len/ref_md5 columns pin the
+  * [[graft.chat.Chunker.refWhitespace]] projection, whose chunk text
+  * is byte-identical to the reference's node-aligned ranges on these
+  * fixtures (given boundary parity, each chunk's node-aligned bytes
+  * are its line span stripped of edge whitespace — interior
+  * whitespace between merged siblings lies inside the byte range both
+  * ways). The default mode is unchanged.
   */
 object ChunkParity {
 
@@ -1039,18 +1045,29 @@ object ChunkParity {
 
   /** The q201 query: every fixture through the production indexing
     * seam, projected to the pinned parity schema. `file` keys the rows
-    * (two fixtures may share a language). */
+    * (two fixtures may share a language). ref_len/ref_md5 pin the
+    * [[graft.chat.Chunker.refWhitespace]] node-aligned content
+    * projection (round 14 — the reference's chunks are byte ranges
+    * that drop inter-chunk whitespace; with grouping parity certified
+    * by the other columns, the ref columns certify BYTE-identical
+    * chunk text on these fixtures). The two modes are zipped by
+    * position: on these fixtures no chunk is all-whitespace, so the
+    * ref run emits the same row count — the spec pins that too. */
   def chunkParity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val rows = (fixtures ++ aliasFixtures).flatMap { case (file, text) =>
+      val ref = graft.chat.Chunker.fileChunkRows(file, text, refContent = true)
+        .map { case (_, idx, chunk, _, _) => idx -> chunk }.toMap
       graft.chat.Chunker.fileChunkRows(file, text).map {
         case (_, idx, chunk, lang, _) =>
+          val rc = ref(idx) // throws if the mode pair ever drifts in count
           (file, lang.getOrElse(""), idx.toLong, chunk.length.toLong,
             chunk.linesIterator.find(_.trim.nonEmpty).map(_.trim).getOrElse(""),
-            md5Hex(chunk))
+            md5Hex(chunk), rc.length.toLong, md5Hex(rc))
       }
     }
-    rows.toDF("file", "language", "chunk_idx", "chunk_len", "first_line", "chunk_md5")
+    rows.toDF("file", "language", "chunk_idx", "chunk_len", "first_line",
+        "chunk_md5", "ref_len", "ref_md5")
       .orderBy("file", "chunk_idx")
   }
 
@@ -1065,14 +1082,15 @@ object ChunkParity {
     * deliberate splitter change; ChunkParitySpec fails (and prints the
     * fresh table) if the splitter drifts from this pin. */
   def chunkParitySql: String = {
-    val rows = expected.map { case (file, lang, idx, len, first, h) =>
-      s"('${file}', '${lang}', ${idx}, ${len}, '${first.replace("'", "''")}', '${h}')"
+    val rows = expected.map { case (file, lang, idx, len, first, h, rl, rh) =>
+      s"('${file}', '${lang}', ${idx}, ${len}, '${first.replace("'", "''")}', '${h}', ${rl}, '${rh}')"
     }.mkString(",\n  ")
     s"""SELECT file, language, cast(chunk_idx as bigint) AS chunk_idx,
-       |  cast(chunk_len as bigint) AS chunk_len, first_line, chunk_md5
+       |  cast(chunk_len as bigint) AS chunk_len, first_line, chunk_md5,
+       |  cast(ref_len as bigint) AS ref_len, ref_md5
        |FROM (VALUES
        |  $rows)
-       |  AS t(file, language, chunk_idx, chunk_len, first_line, chunk_md5)
+       |  AS t(file, language, chunk_idx, chunk_len, first_line, chunk_md5, ref_len, ref_md5)
        |ORDER BY file, chunk_idx""".stripMargin
   }
 
@@ -1086,47 +1104,47 @@ object ChunkParity {
     * oversized class/namespace wrapper and break between members,
     * Ruby breaks at a module boundary, Python at a class boundary,
     * Markdown at a section heading with the fenced `#` kept opaque. */
-  val expected: Seq[(String, String, Long, Long, String, String)] = Seq(
-    ("fixture.rs", "Rust", 0L, 977L, "//! Geometry primitives for the parity corpus.", "848c26a9cae3d10a07852990efb5158d"),
-    ("fixture.rs", "Rust", 1L, 795L, "impl Rect {", "a17284c91f1b720787dea1d4c2b8e0ae"),
-    ("fixture.js", "JavaScript", 0L, 888L, "// Event bus for the parity corpus.", "68a6474639fcb25c3a224c9102948802"),
-    ("fixture.js", "JavaScript", 1L, 369L, "function names() {", "4a7aed1754f19dc26b04a3a96593ab37"),
-    ("fixture.ts", "TypeScript", 0L, 719L, "// Typed cache for the parity corpus.", "9248d7079ce8aa2cb88e2150c972d480"),
-    ("fixture.ts", "TypeScript", 1L, 710L, "export function memoize<V>(cache: TtlCache<V>, key: string,", "a270a27030ede53e72ece8d57e3c75a0"),
-    ("fixture.java", "Java", 0L, 136L, "package graft.parity;", "2aa07969b6e190549c23c82706b698f1"),
-    ("fixture.java", "Java", 1L, 828L, "public final class RunningStats {", "55a66fcf398e0e6102f4ee686944b59d"),
-    ("fixture.java", "Java", 2L, 332L, "public double getMin() {", "f78966b6ae5493812281d66ae2095022"),
-    ("fixture.cpp", "C++", 0L, 76L, "// Ring buffer for the parity corpus.", "6ecade4bd0a706e227030ccc75fbc848"),
-    ("fixture.cpp", "C++", 1L, 941L, "namespace parity {", "4f0ba25c3463e58598eaf7f466a0ec86"),
-    ("fixture.cpp", "C++", 2L, 349L, "double mean(const RingBuffer& rb) {", "ff8272b32a85b0003b718b29bed9fe61"),
-    ("fixture.c", "C", 0L, 946L, "/* Checksum helpers for the parity corpus. */", "4bd49b5f3060ade30c8038957f77b0be"),
-    ("fixture.c", "C", 1L, 343L, "uint32_t digest_chunks(const uint8_t *buf, size_t len, size_t chunk) {", "b43bb60088b877079be0e114311d000e"),
-    ("fixture.rb", "Ruby", 0L, 950L, "# Inventory tracker for the parity corpus.", "0a3454d1d31c62793a27eeff4e2dbf3b"),
-    ("fixture.rb", "Ruby", 1L, 228L, "module Audit", "54f362e33f498d2a1fe1ee918f7ad2fa"),
-    ("fixture.rb", "Ruby", 2L, 77L, "# A big class (over the budget) exercising def/end descent.", "2cec44a4ebe2f919c501728136a0266c"),
-    ("fixture.rb", "Ruby", 3L, 986L, "def initialize(name)", "15fdb4a5a8dfea9803414cddc4548106"),
-    ("fixture.rb", "Ruby", 4L, 37L, "def sealed?", "6822734ab6a935320697951605586e4d"),
-    ("fixture.cs", "C#", 0L, 49L, "using System;", "446c51a2ef0d549aa97e3405d08cf5b5"),
-    ("fixture.cs", "C#", 1L, 135L, "namespace Graft.Parity", "8f2c2baf664311ac853c151f3c618e65"),
-    ("fixture.cs", "C#", 2L, 997L, "private readonly SortedDictionary<int, Queue<string>> lanes =", "37b76842e872f9a2a7e739e57f64a1a3"),
-    ("fixture.cs", "C#", 3L, 8L, "}", "24b9118a1cd86bfb9315ef5a576d5540"),
-    ("fixture.swift", "Swift", 0L, 867L, "// Temperature series for the parity corpus.", "7d3f4bcda942617dc96498e26e19339e"),
-    ("fixture.swift", "Swift", 1L, 522L, "func summarize(_ readings: [Reading]) -> Summary {", "ba8c872eafb0035fc5db76189a2515ee"),
-    ("fixture.go", "Go", 0L, 926L, "// Package parity holds the Go parity fixture.", "93d407e5a452808d376152ad58cca753"),
-    ("fixture.go", "Go", 1L, 671L, "func Histogram(text string) map[int]int {", "e847396750cfe337fb344490ea1adf0b"),
-    ("fixture.py", "Python", 0L, 839L, "\"\"\"Retry helpers for the parity corpus.\"\"\"", "31909b2b88d594aad8356e03d7c69a1b"),
-    ("fixture.py", "Python", 1L, 826L, "class CountingRetrier(Retrier):", "7ad0fc1aee18a2f6bb0f888732df6e89"),
-    ("fixture.py", "Python", 2L, 845L, "class RetryPolicyTable:", "6f255d9f76488548f5783d5e05f65f0f"),
-    ("fixture.py", "Python", 3L, 268L, "def merge(self, other):", "71a0637fe2168eb953a26a147b2d3cf5"),
-    ("fixture.md", "Markdown", 0L, 892L, "# Parity Corpus Guide", "2cab24576e0bacd9bfa138f322bca9ac"),
-    ("fixture.md", "Markdown", 1L, 258L, "## Troubleshooting", "a7dcf6d7e7be466f43e44b894bfdb72f"),
-    ("fixture.md", "Markdown", 2L, 859L, "## Appendix: a long section exercising paragraph descent", "9a5508f68136160cb68ec2ad11755ccc"),
-    ("fixture.md", "Markdown", 3L, 336L, "The third consideration is the budget itself. One thousand", "ae26721d29897598030abe2d9268c367"),
-    ("alias.mjs", "JavaScript", 0L, 73L, "export const VERSION = 3;", "3b35adef67597c99741d5fc99cb17f78"),
-    ("alias.tsx", "TypeScript", 0L, 79L, "export function label(name: string): string {", "4fa8b6da09cc2a1a82344e6551320400"),
-    ("alias.hpp", "C++", 0L, 102L, "#pragma once", "382e946a4686050c05de7b69fc7bc38f"),
-    ("alias.h", "C", 0L, 115L, "#ifndef PARITY_ALIAS_H", "aac3fcb3218bade29ba14f3b516294f4"),
-    ("alias.pyi", "Python", 0L, 114L, "from typing import List", "8c40bf8802729e08bed8a91e5d7b8edb"),
-    ("alias.markdown", "Markdown", 0L, 74L, "# Alias", "1810b2886f47f12166f4c4cef677ac99"),
-    ("alias.GO", "Go", 0L, 106L, "package parity", "ed9d2f7eabd5e262b17f001e64ba4b9f"))
+  val expected: Seq[(String, String, Long, Long, String, String, Long, String)] = Seq(
+    ("fixture.rs", "Rust", 0L, 977L, "//! Geometry primitives for the parity corpus.", "848c26a9cae3d10a07852990efb5158d", 975L, "454ca7eec911d3dff7ab81b3c729d5d3"),
+    ("fixture.rs", "Rust", 1L, 795L, "impl Rect {", "a17284c91f1b720787dea1d4c2b8e0ae", 794L, "428a90c5f88517f4781d36ca1064adba"),
+    ("fixture.js", "JavaScript", 0L, 888L, "// Event bus for the parity corpus.", "68a6474639fcb25c3a224c9102948802", 886L, "edba28dfce7f5f06ccdee35a76369505"),
+    ("fixture.js", "JavaScript", 1L, 369L, "function names() {", "4a7aed1754f19dc26b04a3a96593ab37", 368L, "3a8249144cc1bfa7a68935332f698c13"),
+    ("fixture.ts", "TypeScript", 0L, 719L, "// Typed cache for the parity corpus.", "9248d7079ce8aa2cb88e2150c972d480", 717L, "20d980581bdd2009eb170251203b66ac"),
+    ("fixture.ts", "TypeScript", 1L, 710L, "export function memoize<V>(cache: TtlCache<V>, key: string,", "a270a27030ede53e72ece8d57e3c75a0", 709L, "044f7c291d6f74080ee8c010ac8c2c0f"),
+    ("fixture.java", "Java", 0L, 136L, "package graft.parity;", "2aa07969b6e190549c23c82706b698f1", 135L, "165f3072f05afc9ce27442687c710ffa"),
+    ("fixture.java", "Java", 1L, 828L, "public final class RunningStats {", "55a66fcf398e0e6102f4ee686944b59d", 826L, "800ebb735892cb0625195d8c7374b7d3"),
+    ("fixture.java", "Java", 2L, 332L, "public double getMin() {", "f78966b6ae5493812281d66ae2095022", 327L, "45ab4f05b810f004f427bb2e9091ae8c"),
+    ("fixture.cpp", "C++", 0L, 76L, "// Ring buffer for the parity corpus.", "6ecade4bd0a706e227030ccc75fbc848", 74L, "c99241d77de41edadaaf1b2f7dea27a6"),
+    ("fixture.cpp", "C++", 1L, 941L, "namespace parity {", "4f0ba25c3463e58598eaf7f466a0ec86", 939L, "62148befca6c2d83f1e5e3789b605e62"),
+    ("fixture.cpp", "C++", 2L, 349L, "double mean(const RingBuffer& rb) {", "ff8272b32a85b0003b718b29bed9fe61", 348L, "7d7ee3b01555b54e18b4b69eb326cb26"),
+    ("fixture.c", "C", 0L, 946L, "/* Checksum helpers for the parity corpus. */", "4bd49b5f3060ade30c8038957f77b0be", 944L, "71730060fb6986a1c62b1a704139ba19"),
+    ("fixture.c", "C", 1L, 343L, "uint32_t digest_chunks(const uint8_t *buf, size_t len, size_t chunk) {", "b43bb60088b877079be0e114311d000e", 342L, "48aa6e2df2623ba67a6b62c687529ea4"),
+    ("fixture.rb", "Ruby", 0L, 950L, "# Inventory tracker for the parity corpus.", "0a3454d1d31c62793a27eeff4e2dbf3b", 949L, "8fd0e9e8dfb85a3f6439b85cd2ca0d37"),
+    ("fixture.rb", "Ruby", 1L, 228L, "module Audit", "54f362e33f498d2a1fe1ee918f7ad2fa", 226L, "25be722f6632c3fd1aee7efaabe34934"),
+    ("fixture.rb", "Ruby", 2L, 77L, "# A big class (over the budget) exercising def/end descent.", "2cec44a4ebe2f919c501728136a0266c", 75L, "058b21444508f8e393334ec2228b48a2"),
+    ("fixture.rb", "Ruby", 3L, 986L, "def initialize(name)", "15fdb4a5a8dfea9803414cddc4548106", 983L, "b80fc0d1fff2ba3616835271fae47746"),
+    ("fixture.rb", "Ruby", 4L, 37L, "def sealed?", "6822734ab6a935320697951605586e4d", 33L, "29acf6e559502870e44785fc44c267af"),
+    ("fixture.cs", "C#", 0L, 49L, "using System;", "446c51a2ef0d549aa97e3405d08cf5b5", 47L, "5fec9cd3993360f65af0ee0a06a67034"),
+    ("fixture.cs", "C#", 1L, 135L, "namespace Graft.Parity", "8f2c2baf664311ac853c151f3c618e65", 134L, "4f4fc8b557a934c47357820ef8370c03"),
+    ("fixture.cs", "C#", 2L, 997L, "private readonly SortedDictionary<int, Queue<string>> lanes =", "37b76842e872f9a2a7e739e57f64a1a3", 988L, "13329bb2e29b45b4d66868cc4e422d2c"),
+    ("fixture.cs", "C#", 3L, 8L, "}", "24b9118a1cd86bfb9315ef5a576d5540", 3L, "66f20ceb47fc90e9bbe6358b5d0358b0"),
+    ("fixture.swift", "Swift", 0L, 867L, "// Temperature series for the parity corpus.", "7d3f4bcda942617dc96498e26e19339e", 865L, "b8df591e16e4bcec642fed9c0c5a06a8"),
+    ("fixture.swift", "Swift", 1L, 522L, "func summarize(_ readings: [Reading]) -> Summary {", "ba8c872eafb0035fc5db76189a2515ee", 521L, "3d733932be2d5956fa6224822849827b"),
+    ("fixture.go", "Go", 0L, 926L, "// Package parity holds the Go parity fixture.", "93d407e5a452808d376152ad58cca753", 925L, "8be3a63d099613186025b563441b972e"),
+    ("fixture.go", "Go", 1L, 671L, "func Histogram(text string) map[int]int {", "e847396750cfe337fb344490ea1adf0b", 670L, "00394ef58730b7ffacd1c42f9835857e"),
+    ("fixture.py", "Python", 0L, 839L, "\"\"\"Retry helpers for the parity corpus.\"\"\"", "31909b2b88d594aad8356e03d7c69a1b", 836L, "350b7ad7d62021bdfca6bae71dffc084"),
+    ("fixture.py", "Python", 1L, 826L, "class CountingRetrier(Retrier):", "7ad0fc1aee18a2f6bb0f888732df6e89", 823L, "e01991d81d699b313dd1b85c7c98954b"),
+    ("fixture.py", "Python", 2L, 845L, "class RetryPolicyTable:", "6f255d9f76488548f5783d5e05f65f0f", 843L, "4d8969025b43b76654350a9e1908d6b6"),
+    ("fixture.py", "Python", 3L, 268L, "def merge(self, other):", "71a0637fe2168eb953a26a147b2d3cf5", 263L, "177291d7bba16638b0e1b0e3cf9bbc00"),
+    ("fixture.md", "Markdown", 0L, 892L, "# Parity Corpus Guide", "2cab24576e0bacd9bfa138f322bca9ac", 890L, "dcccb3ea5ef1e49b6ad6949f4dc35dac"),
+    ("fixture.md", "Markdown", 1L, 258L, "## Troubleshooting", "a7dcf6d7e7be466f43e44b894bfdb72f", 256L, "7203f7172f1c8561ca2586eb8d06708a"),
+    ("fixture.md", "Markdown", 2L, 859L, "## Appendix: a long section exercising paragraph descent", "9a5508f68136160cb68ec2ad11755ccc", 857L, "df928fc3f537aa80dc621b3a36baa042"),
+    ("fixture.md", "Markdown", 3L, 336L, "The third consideration is the budget itself. One thousand", "ae26721d29897598030abe2d9268c367", 335L, "165dba932fa5903465ad8ff4e09bc242"),
+    ("alias.mjs", "JavaScript", 0L, 73L, "export const VERSION = 3;", "3b35adef67597c99741d5fc99cb17f78", 72L, "59f0182825d216f49c40e467127c4341"),
+    ("alias.tsx", "TypeScript", 0L, 79L, "export function label(name: string): string {", "4fa8b6da09cc2a1a82344e6551320400", 78L, "760f1bbecd8de27511c6bad5005e0349"),
+    ("alias.hpp", "C++", 0L, 102L, "#pragma once", "382e946a4686050c05de7b69fc7bc38f", 101L, "66e5808fbd91915082453038ea99d490"),
+    ("alias.h", "C", 0L, 115L, "#ifndef PARITY_ALIAS_H", "aac3fcb3218bade29ba14f3b516294f4", 114L, "36fc56b7864180f9b230c8c47549e01b"),
+    ("alias.pyi", "Python", 0L, 114L, "from typing import List", "8c40bf8802729e08bed8a91e5d7b8edb", 113L, "62026364494d9b711429bb4cb9662c4c"),
+    ("alias.markdown", "Markdown", 0L, 74L, "# Alias", "1810b2886f47f12166f4c4cef677ac99", 73L, "5ad00c67b00c8b050c6ffc5a90b220e3"),
+    ("alias.GO", "Go", 0L, 106L, "package parity", "ed9d2f7eabd5e262b17f001e64ba4b9f", 105L, "042b56d62a8590d83415908152202da4"))
 }

@@ -62,61 +62,82 @@ trait DedupOverlap { this: Dedup.type =>
       .orderBy("source", "doc_a", "doc_b")
   }
 
-  /** Sparse (inverted-index) formulation: join on shared shingles and
-    * count them, instead of materializing all O(n^2) pairs and
-    * intersecting arrays. Identical results to the blocked pairwise
-    * join (pairs sharing no shingle have jaccard 0 < threshold), and
-    * the work tracks actual overlap: one equi-join on (source, shingle
-    * hash) whose fan-out is sum over shingles of df^2.
+  /** Default document-frequency cap on q15's shingle inverted index —
+    * ON by default (round-14: the [[graft.ops.DedupWinnow]] WinnowDfCap
+    * discipline, decided in advance rather than left as a knob). A
+    * 3-gram present in more than this many documents of one source is
+    * a stop-phrase / boilerplate shingle: it contributes ≤ cap² pair
+    * fan-out instead of an unbounded hot key, and dropping it only
+    * UNDERcounts intersections (jaccard is conservative), so a pair is
+    * lost only when its similarity evidence is mostly boilerplate —
+    * the q14 MinHash family is the principled approximate path when
+    * that trade matters. The value never bites on the test corpora
+    * (measured max shingle df: 25 at sf0.1; amplified Scaling decades
+    * keep per-replica df constant), which keeps the capped-by-default
+    * query byte-identical to its uncapped DuckDB oracle —
+    * TextDedupSimilaritySpec pins BOTH that invariance and the cap
+    * actually biting on a planted boilerplate corpus. */
+  val JaccardDfCap = 64L
+
+  /** Sparse (inverted-index) formulation: count shared shingles via
+    * per-(source, shingle) POSTING LISTS instead of materializing all
+    * O(n^2) pairs and intersecting arrays. Identical results to the
+    * blocked pairwise join (pairs sharing no shingle have jaccard
+    * 0 < threshold), and the work tracks actual overlap: pair fan-out
+    * is sum over shingles of df^2.
     *
-    * `dfCap`: optional document-frequency cap applied to CANDIDATE
-    * GENERATION only (survivors are still verified with exact counts).
-    * With `None` (the default, and what q15 benches) results are exact.
-    * At 100 TB scale a cap bounds the quadratic fan-out of stop-phrase
-    * shingles; a pair is then missed only if ALL its shared shingles
-    * exceed the cap, which for near-duplicates (many shared shingles)
-    * is vanishingly rare — the q14 MinHash path is the principled
-    * approximate alternative when that trade-off matters. */
+    * Plan shape (round-14 rewrite of the self-equi-join form): ONE
+    * exchange of the exploded shingle table builds the posting lists
+    * (the old a-join-b form exchanged and sorted that table TWICE as
+    * the two join sides — measured 64 s / top-decade exponent 1.06 at
+    * the f=512 Scaling decade); pair emission is then a map-side
+    * flatMap over each list (i<j, list sorted ascending), and the
+    * exact intersection counts are one grouped count over candidate
+    * rows, the same Σ df² volume the join produced.
+    *
+    * `dfCap` (default [[JaccardDfCap]], see there for the recall
+    * trade): posting lists are collected through the
+    * [[graft.functions.CappedLongSet]] aggregate, so the cap is a
+    * PHYSICAL memory bound — no aggregation buffer ever holds more
+    * than cap+1 doc ids, and a saturated (over-cap) shingle evaluates
+    * to NULL and drops out before pair emission. `None` collects
+    * uncapped exact posting lists (the spec's cross-check mode). */
   def jaccardPairsSparse(spark: SparkSession, sfDir: String,
-                         dfCap: Option[Long] = None,
+                         dfCap: Option[Long] = Some(JaccardDfCap),
                          bits: Int = DefaultHashBits): DataFrame = {
-    // the cached summary feeds the self-join sides AND the set sizes;
+    import spark.implicits._
+    // the cached summary feeds the posting build AND the set sizes;
     // sizes are a projection of the cached arrays, not an aggregate
     // (the row-table materialization this replaces was 11.6 s / 27%
     // of the round-2 bench as a recompute, then ~0.4 s as a persist)
     val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
-    // exact shared-shingle counts: with dfCap=None the grouped
-    // self-equi-join IS the candidate generation; with a cap, hot
-    // shingles are dropped from the candidate join only and survivors
-    // are re-counted over the uncapped rows
-    val inter = dfCap match {
+    val postings = dfCap match {
       case Some(cap) =>
-        val dfOk = sh.groupBy("source", "hv").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("source", "hv")
-        val capped = sh.join(dfOk, Seq("source", "hv"))
-        val ca = capped.alias("a"); val cb = capped.alias("b")
-        val cand = ca.join(cb,
-            col("a.source") === col("b.source") &&
-            col("a.hv") === col("b.hv") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.source").as("source"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        val sa = sh.select(col("doc_id").as("doc_a"), col("hv"))
-        val sb = sh.select(col("doc_id").as("doc_b"), col("hv"))
-        cand.join(sa, "doc_a").join(sb, Seq("doc_b", "hv"))
-          .groupBy("source", "doc_a", "doc_b")
-          .agg(count(lit(1)).as("inter"))
+        val capped = org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.CappedLongSet(
+            org.apache.spark.sql.graft.Bridge.expression(col("doc_id")),
+            cap.toInt).toAggregateExpression())
+        sh.groupBy("source", "hv").agg(capped.as("ds"))
+          .filter(col("ds").isNotNull && size(col("ds")) >= 2)
       case None =>
-        val a = sh.alias("a"); val b = sh.alias("b")
-        a.join(b,
-            col("a.source") === col("b.source") &&
-            col("a.hv") === col("b.hv") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.source").as("source"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
+        sh.groupBy("source", "hv")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
     }
+    // per-list pair emission: ds is sorted ascending (CappedLongSet
+    // sorts on eval; the uncapped arm sorts explicitly), so i<j yields
+    // doc_a < doc_b without a post-filter. Array[Long] rides the
+    // primitive-array encoder — no per-element boxing in the flatMap.
+    val inter = postings.select(col("source"), col("ds"))
+      .as[(String, Array[Long])]
+      .flatMap { case (src, ds) =>
+        val n = ds.length
+        for { i <- Iterator.range(0, n - 1); j <- Iterator.range(i + 1, n) }
+          yield (src, ds(i), ds(j))
+      }
+      .toDF("source", "doc_a", "doc_b")
+      .groupBy("source", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")

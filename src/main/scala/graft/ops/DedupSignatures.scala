@@ -265,8 +265,8 @@ trait DedupSignatures { this: Dedup.type =>
     * can still put 10^5+ docs in one bucket at web scale, and that one
     * bucket then materializes ~10^10 pairs in a single task. The cap
     * drops buckets larger than `cap` from candidate generation, the
-    * same discipline as `jaccardPairsSparse`'s dfCap (exact survivors,
-    * bounded fan-out): a pair is missed only if EVERY band it agrees on
+    * same discipline as `jaccardPairsSparse`'s on-by-default dfCap
+    * (bounded fan-out): a pair is missed only if EVERY band it agrees on
     * is oversubscribed, i.e. only inside template families too large to
     * enumerate pairwise anyway (their dedup story is the cluster /
     * survivorship family, not the pair list). Bucket sizes come from a

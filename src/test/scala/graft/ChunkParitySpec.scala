@@ -110,24 +110,56 @@ class ChunkParitySpec extends AnyFunSuite {
   }
 
   test("q201 pinned table matches the splitter output (prints regenerated pin on drift)") {
+    def md5(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
     val got = (ChunkParity.fixtures ++ ChunkParity.aliasFixtures).flatMap {
       case (file, text) =>
+        val ref = graft.chat.Chunker.fileChunkRows(file, text, refContent = true)
+          .map { case (_, idx, chunk, _, _) => idx -> chunk }.toMap
         graft.chat.Chunker.fileChunkRows(file, text).map {
           case (_, idx, chunk, lang, _) =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-            val h = md.digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
             val first = chunk.linesIterator.find(_.trim.nonEmpty)
               .map(_.trim).getOrElse("")
-            (file, lang.getOrElse(""), idx.toLong, chunk.length.toLong, first, h)
+            val rc = ref(idx)
+            (file, lang.getOrElse(""), idx.toLong, chunk.length.toLong, first,
+              md5(chunk), rc.length.toLong, md5(rc))
         }
     }
     if (got != ChunkParity.expected) {
       println("=== ChunkParity.expected regeneration (paste into ChunkParity.scala):")
-      got.foreach { case (fl, l, i, n, f, h) =>
-        println(s"""    ("$fl", "$l", ${i}L, ${n}L, "${f.replace("\"", "\\\"")}", "$h"),""")
+      got.foreach { case (fl, l, i, n, f, h, rl, rh) =>
+        println(s"""    ("$fl", "$l", ${i}L, ${n}L, "${f.replace("\"", "\\\"")}", "$h", ${rl}L, "$rh"),""")
       }
     }
     assert(got == ChunkParity.expected,
       "splitter output drifted from the pinned parity table (see regeneration above)")
+  }
+
+  // round-14 refWhitespace projection (the reference's node-aligned byte
+  // ranges): grouping identical to default mode, content = the line span
+  // stripped of the whitespace that falls between chunks
+  test("refWhitespace mode: node-trimmed content, identical grouping, whitespace-only chunks dropped") {
+    (ChunkParity.fixtures ++ ChunkParity.aliasFixtures).foreach { case (file, text) =>
+      val def_ = graft.chat.Chunker.fileChunkRows(file, text)
+      val ref = graft.chat.Chunker.fileChunkRows(file, text, refContent = true)
+      // no fixture chunk is all-whitespace -> 1:1 by position
+      assert(ref.size == def_.size, s"$file: mode pair drifted in count")
+      def_.zip(ref).foreach { case ((_, i, c, l, e), (_, ri, rc, rl, re)) =>
+        assert(i == ri && l == rl && e == re)
+        assert(rc == c.trim, s"$file chunk $i: ref content must be the trimmed span")
+        assert(rc.nonEmpty && rc == rc.trim, s"$file chunk $i: no edge whitespace")
+      }
+    }
+    // an all-whitespace chunk (oversized blank run between declarations)
+    // corresponds to no AST node: ref mode drops it and renumbers
+    val blanky = "def a():\n    return 1\n" + ("\n" * 1200) + "def b():\n    return 2\n"
+    val d = graft.chat.Chunker.fileChunkRows("w.py", blanky)
+    val r = graft.chat.Chunker.fileChunkRows("w.py", blanky, refContent = true)
+    assert(d.exists(_._3.trim.isEmpty), "planted corpus must produce a blank chunk")
+    assert(r.forall(_._3.trim.nonEmpty))
+    assert(r.map(_._2) == r.indices.toSeq, "ref indices renumber densely")
+    assert(r.map(_._3) == d.map(_._3.trim).filter(_.nonEmpty))
   }
 }

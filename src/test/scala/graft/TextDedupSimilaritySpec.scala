@@ -395,6 +395,57 @@ class TextDedupSimilaritySpec extends SparkSpec {
     assert(exact.exceptAll(capped).count() == 0)
   }
 
+  // the JaccardDfCap-on-by-default decision (round 14, the WinnowDfCap
+  // discipline): the DEFAULT must be byte-identical to uncapped on the
+  // oracle corpora — that invariance is what keeps q15's DuckDB oracle
+  // green — and must actually bite on a planted boilerplate corpus,
+  // dropping ONLY pairs whose every shared shingle is oversubscribed
+  test("q15 default df cap: invisible on oracle corpora, bites on planted boilerplate") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    for (sf <- Seq(sf0001, sf001)) {
+      assert(rows(Dedup.jaccardPairsSparse(spark, sf)) ==
+        rows(Dedup.jaccardPairsSparse(spark, sf, dfCap = None)), s"cap bit at $sf")
+    }
+
+    import spark.implicits._
+    val dir = graft.streaming.StreamScratch.dir("jaccard-dfcap")
+    // JaccardDfCap+8 same-SOURCE docs all opening with the same
+    // 30-token boilerplate header (every boilerplate shingle's
+    // per-source df > cap), each followed by unique filler; docs
+    // 9000/9001 share a rare 30-token run no one else has. df for q15
+    // is per (source, shingle), so everything lives in one source.
+    val boiler = (1 to 30).map(i => s"license$i").mkString(" ")
+    val rare = (1 to 30).map(i => s"rare$i").mkString(" ")
+    val nBoiler = (Dedup.JaccardDfCap + 8).toInt
+    val docs =
+      (0 until nBoiler).map { d =>
+        (d.toLong, boiler + " " + (1 to 40).map(i => s"u${d}x$i").mkString(" "))
+      } ++ Seq(
+        9000L -> (rare + " " + (1 to 40).map(i => s"a$i").mkString(" ")),
+        9001L -> (rare + " " + (1 to 40).map(i => s"b$i").mkString(" ")))
+    docs.map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cappedP = rows(Dedup.jaccardPairsSparse(spark, dir, bits = Dedup.OracleHashBits))
+    val uncapped = rows(Dedup.jaccardPairsSparse(spark, dir, dfCap = None,
+      bits = Dedup.OracleHashBits))
+    val cp = cappedP.map(r => (r(1), r(2))).toSet
+    val up = uncapped.map(r => (r(1), r(2))).toSet
+    // uncapped enumerates the boilerplate family pairwise; capped does not
+    assert(up.size > cp.size, s"cap must bite: capped=${cp.size} uncapped=${up.size}")
+    assert(cp.subsetOf(up))
+    assert(up.contains((0L, 1L)), "boilerplate pair present uncapped")
+    assert(!cp.contains((0L, 1L)), "boilerplate-only pair dropped capped")
+    // the rare pair survives with an IDENTICAL row (jaccard included):
+    // none of its shared shingles is popular
+    val rareC = cappedP.filter(r => r(1) == 9000L && r(2) == 9001L)
+    val rareU = uncapped.filter(r => r(1) == 9000L && r(2) == 9001L)
+    assert(rareC.nonEmpty, "rare-run pair must survive the cap")
+    assert(rareC == rareU)
+  }
+
   test("banded simhash pair join equals the all-pairs baseline and avoids the nested loop") {
     for (sf <- Seq(sf0001, sf001)) {
       val banded = Dedup.simhashPairs(spark, sf)
