@@ -204,11 +204,23 @@ object ServeBench {
     val (pushLatRaw, pdFired) = runSeries(checkPushdown = true)
     val pushLat = pushLatRaw.sorted
 
+    // per-phase attribution (PreparedKnn.phaseNanos): snapshot/diff
+    // around a series; printed as mean ms/query so single-stream and
+    // concurrent contention are attributable from the artifact
+    def phaseSnap(): Seq[Long] = graft.plans.PreparedKnn.phaseNanos.toSeq.map(_.get())
+    def phaseJson(before: Seq[Long], after: Seq[Long], n: Int): String = {
+      val names = Seq("prep", "cand_job", "merge_swap", "payload_job")
+      names.zip(before.zip(after)).map { case (nm, (b, a)) =>
+        f""""$nm":${(a - b) / 1e6 / math.max(1, n)}%.1f""" }.mkString("{", ",", "}")
+    }
+
     // prepared series: same queries through the prepared-plan executor
     // (the interactive default lane), own warmup for its plan shapes
     queries.take(3).foreach(q =>
       graft.chat.ChatPipeline.query(spark, indexDir, q, k = 3, rerank = true))
+    val prepPhase0 = phaseSnap()
     val (prepLatRaw, prepServed) = runSeries(checkPushdown = false, prepared = true)
+    val prepPhases = phaseJson(prepPhase0, phaseSnap(), prepLatRaw.size)
     val prepLat = prepLatRaw.sorted
 
     // concurrent prepared series: N streams drive the SAME prepared
@@ -232,6 +244,7 @@ object ServeBench {
     // (ADVICE r13)
     val concFailures = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
+    val concPhase0 = phaseSnap()
     val cT0 = System.nanoTime()
     val threads = (0 until nStreams).map { t =>
       val th = new Thread(() => {
@@ -259,6 +272,11 @@ object ServeBench {
       sys.exit(1)
     }
     val concWallSec = (System.nanoTime() - cT0) / 1e9
+    // mean ms/query of wall time INSIDE each phase across all streams:
+    // a phase whose concurrent mean grows far past its single-stream
+    // mean is where the 8 streams actually queue
+    val concPhases = phaseJson(concPhase0, phaseSnap(),
+      math.max(1, concLats.size()))
     val concServed = (graft.plans.PreparedKnn.served.get() - concServedBase).toInt
     val concLat = {
       import scala.jdk.CollectionConverters._
@@ -284,7 +302,8 @@ object ServeBench {
         s""""brute":${stats(bruteLat)},""" +
         s""""concurrent":{"n_streams":$nStreams,""" +
         stats(concLat).stripPrefix("{").stripSuffix("}") +
-        f""","qps":$concQps%.1f,"served":$concServed},""" +
+        f""","qps":$concQps%.1f,"served":$concServed,"phases_ms":$concPhases},""" +
+        s""""prepared_phases_ms":$prepPhases,""" +
         s""""prepared_served":$prepServed,"pushdown_covered":$pdFired,""" +
         s""""warmup_plans":$warmupFloor,""" +
         s""""n_chunks":$nChunks,"n_docs":${docs.length},""" +

@@ -96,12 +96,18 @@ trait DedupOverlap { this: Dedup.type =>
     * rows, the same Σ df² volume the join produced.
     *
     * `dfCap` (default [[JaccardDfCap]], see there for the recall
-    * trade): posting lists are collected through the
-    * [[graft.functions.CappedLongSet]] aggregate, so the cap is a
-    * PHYSICAL memory bound — no aggregation buffer ever holds more
-    * than cap+1 doc ids, and a saturated (over-cap) shingle evaluates
-    * to NULL and drops out before pair emission. `None` collects
-    * uncapped exact posting lists (the spec's cross-check mode). */
+    * trade): the posting buffer is a PHYSICAL memory bound — the group
+    * scan holds at most cap+1 doc ids at a time and a saturated
+    * (over-cap) shingle emits nothing. `None` runs the same scan with
+    * an unbounded buffer (the spec's exact cross-check mode).
+    *
+    * The posting scan is repartition-by-key + in-partition sort + one
+    * streaming pass (mapPartitions) rather than a collect_list-style
+    * aggregate: the exchange and sort are exactly what a sort-based
+    * aggregation pays anyway, and the streaming pass allocates ZERO
+    * per-group state (a typed-aggregate form measured 2× slower at
+    * f=8/f=64 purely on per-group buffer alloc + serde across millions
+    * of df=1 singleton groups). */
   def jaccardPairsSparse(spark: SparkSession, sfDir: String,
                          dfCap: Option[Long] = Some(JaccardDfCap),
                          bits: Int = DefaultHashBits): DataFrame = {
@@ -111,29 +117,67 @@ trait DedupOverlap { this: Dedup.type =>
     // (the row-table materialization this replaces was 11.6 s / 27%
     // of the round-2 bench as a recompute, then ~0.4 s as a persist)
     val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
-    val postings = dfCap match {
-      case Some(cap) =>
-        val capped = org.apache.spark.sql.graft.Bridge.column(
-          graft.functions.CappedLongSet(
-            org.apache.spark.sql.graft.Bridge.expression(col("doc_id")),
-            cap.toInt).toAggregateExpression())
-        sh.groupBy("source", "hv").agg(capped.as("ds"))
-          .filter(col("ds").isNotNull && size(col("ds")) >= 2)
-      case None =>
-        sh.groupBy("source", "hv")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-    }
-    // per-list pair emission: ds is sorted ascending (CappedLongSet
-    // sorts on eval; the uncapped arm sorts explicitly), so i<j yields
-    // doc_a < doc_b without a post-filter. Array[Long] rides the
-    // primitive-array encoder — no per-element boxing in the flatMap.
-    val inter = postings.select(col("source"), col("ds"))
-      .as[(String, Array[Long])]
-      .flatMap { case (src, ds) =>
-        val n = ds.length
-        for { i <- Iterator.range(0, n - 1); j <- Iterator.range(i + 1, n) }
-          yield (src, ds(i), ds(j))
+    val cap = dfCap.map(_.toInt).getOrElse(Int.MaxValue)
+    // a real cluster scales partition count with the corpus; under the
+    // harness's fixed spark.sql.shuffle.partitions the posting scan's
+    // per-task sort would grow with the corpus instead (measured: the
+    // f=512 Scaling decade read exponent 0.97 at 32 fixed partitions,
+    // ~86 MB sorted per task). The exchange width therefore scales at
+    // ~20k docs/partition, never below the session default — at the
+    // oracle and bench SFs (≤5k docs) that clamp makes this exactly
+    // the session default, so test-SF plans are byte-identical. The
+    // doc count is one count() over the already-materialized per-doc
+    // summary (metadata a production pipeline has for free).
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(defaultParts, math.ceil(sizes.count() / 20000.0).toInt)
+    // null-source rows can never pair (the join form's a.source =
+    // b.source drops them); the group scan must drop them too
+    val inter = sh.filter(col("source").isNotNull)
+      .select(col("source"), col("hv"), col("doc_id"))
+      .as[(String, Long, Long)]
+      .repartition(parts, col("source"), col("hv"))
+      .sortWithinPartitions("source", "hv", "doc_id")
+      .mapPartitions { it =>
+        // stream (source, hv) runs: doc ids arrive sorted, so pair
+        // emission is i<j over the run buffer; a run past the cap is
+        // boilerplate — emit nothing and skip to the next run
+        new Iterator[(String, Long, Long)] {
+          var out: Iterator[(String, Long, Long)] = Iterator.empty
+          var curSrc: String = null
+          var curHv: Long = 0L
+          val run = new scala.collection.mutable.ArrayBuffer[Long]()
+          var saturated = false
+          def flushRun(): Iterator[(String, Long, Long)] = {
+            val n = run.length
+            val res =
+              if (saturated || n < 2) Iterator.empty
+              else {
+                val ids = run.toArray // sorted ascending by the sort above
+                val src = curSrc
+                for {
+                  i <- Iterator.range(0, n - 1)
+                  j <- Iterator.range(i + 1, n)
+                } yield (src, ids(i), ids(j))
+              }
+            run.clear(); saturated = false
+            res
+          }
+          def advance(): Unit = {
+            while (out.isEmpty && it.hasNext) {
+              val (src, hv, id) = it.next()
+              if (src != curSrc || hv != curHv) {
+                out = flushRun()
+                curSrc = src; curHv = hv
+              }
+              if (saturated) ()
+              else if (run.length >= cap) { run.clear(); saturated = true }
+              else run += id
+            }
+            if (out.isEmpty && !it.hasNext) out = flushRun()
+          }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (String, Long, Long) = { advance(); out.next() }
+        }
       }
       .toDF("source", "doc_a", "doc_b")
       .groupBy("source", "doc_a", "doc_b")

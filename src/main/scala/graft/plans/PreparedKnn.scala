@@ -74,6 +74,16 @@ object PreparedKnn {
     * queries answered through the prepared plans (reset per series). */
   val served = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Cumulative per-phase serving time (nanos) across the JVM, for
+    * tail-latency ATTRIBUTION under concurrency (ServeBench snapshots
+    * before/after a series and prints the deltas): 0 = driver prep
+    * (stamp revalidation, cache lookup, forest leaf walk, literal
+    * swap), 1 = candidate job executeCollect, 2 = driver merge +
+    * payload swap, 3 = payload job executeCollect. Two atomic adds per
+    * phase per query — noise next to a ~100 ms query. */
+  val phaseNanos: Array[java.util.concurrent.atomic.AtomicLong] =
+    Array.fill(4)(new java.util.concurrent.atomic.AtomicLong(0))
+
   def invalidate(indexDir: String): Unit =
     entries.keys.filter(_._2 == indexDir).foreach(entries.remove)
 
@@ -201,6 +211,7 @@ object PreparedKnn {
     // the per-query transform copies nodes on a caller thread that may
     // have none set (SparkPlan.session would be null at executeQuery)
     SparkSession.setActiveSession(spark)
+    val tPrep0 = System.nanoTime()
     val chunksKey = s"$indexDir/chunks"
     val entry0 = AnnCatalog.entries.get(chunksKey).getOrElse(return None)
     val key = (spark, indexDir, k2)
@@ -235,7 +246,11 @@ object PreparedKnn {
     }
 
     // ---- job 1: candidate top-(k2 x NumTrees), driver merge ----
+    val tJob1 = System.nanoTime()
+    phaseNanos(0).addAndGet(tJob1 - tPrep0)
     val raw = cand.executeCollect()
+    val tMerge0 = System.nanoTime()
+    phaseNanos(1).addAndGet(tMerge0 - tJob1)
     // dedup in sort order: first copy per chunk == min distance; stop
     // at k2 distinct winners
     val seen = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Double)]
@@ -260,7 +275,10 @@ object PreparedKnn {
       case InSet(a: AttributeReference, _) if a.name == "idbucket" => InSet(a, bucketSet)
       case InSet(a: AttributeReference, _) if a.name == "chunk_id" => InSet(a, idSet)
     }
+    val tJob2 = System.nanoTime()
+    phaseNanos(2).addAndGet(tJob2 - tMerge0)
     val rows = payload.executeCollect()
+    phaseNanos(3).addAndGet(System.nanoTime() - tJob2)
     val byId = new java.util.HashMap[Long, (String, String, Option[String], Option[String])]()
     rows.foreach { r =>
       def s(j: Int) = if (r.isNullAt(j)) null else r.getUTF8String(j).toString
