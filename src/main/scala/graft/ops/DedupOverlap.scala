@@ -111,11 +111,34 @@ trait DedupOverlap { this: Dedup.type =>
   def jaccardPairsSparse(spark: SparkSession, sfDir: String,
                          dfCap: Option[Long] = Some(JaccardDfCap),
                          bits: Int = DefaultHashBits): DataFrame = {
-    import spark.implicits._
     // the cached summary feeds the posting build AND the set sizes;
     // sizes are a projection of the cached arrays, not an aggregate
     // (the row-table materialization this replaces was 11.6 s / 27%
     // of the round-2 bench as a recompute, then ~0.4 s as a persist)
+    val (_, _, sizes) = sharedSummary(spark, sfDir, bits)
+    val inter = sharedShingleCounts(spark, sfDir, dfCap, bits)
+      .withColumnRenamed("cnt", "inter")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= Consts.JaccardPairThreshold)
+      .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("source", "doc_a", "doc_b")
+  }
+
+  /** The one shared-shingle pair-count kernel q15 AND q83 build on:
+    * (source, doc_a, doc_b, cnt) where cnt = |shingles(doc_a) ∩
+    * shingles(doc_b)| over same-source pairs sharing ≥ 1 (uncapped)
+    * shingle, doc_a < doc_b. Plan shape per the q15 scaladoc above:
+    * one keyed exchange + in-partition sort + streaming group scan +
+    * one grouped count. */
+  private def sharedShingleCounts(spark: SparkSession, sfDir: String,
+                                  dfCap: Option[Long],
+                                  bits: Int): DataFrame = {
+    import spark.implicits._
     val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
     val cap = dfCap.map(_.toInt).getOrElse(Int.MaxValue)
     // a real cluster scales partition count with the corpus; under the
@@ -132,7 +155,7 @@ trait DedupOverlap { this: Dedup.type =>
     val parts = math.max(defaultParts, math.ceil(sizes.count() / 20000.0).toInt)
     // null-source rows can never pair (the join form's a.source =
     // b.source drops them); the group scan must drop them too
-    val inter = sh.filter(col("source").isNotNull)
+    sh.filter(col("source").isNotNull)
       .select(col("source"), col("hv"), col("doc_id"))
       .as[(String, Long, Long)]
       .repartition(parts, col("source"), col("hv"))
@@ -181,16 +204,7 @@ trait DedupOverlap { this: Dedup.type =>
       }
       .toDF("source", "doc_a", "doc_b")
       .groupBy("source", "doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= Consts.JaccardPairThreshold)
-      .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy("source", "doc_a", "doc_b")
+      .agg(count(lit(1)).as("cnt"))
   }
 
   def jaccardPairsSql: String =
@@ -215,21 +229,19 @@ trait DedupOverlap { this: Dedup.type =>
 
   /** q83: same-source pairs where either side's shingle set is mostly
     * contained in the other (max of the two direction-wise
-    * containments ≥ threshold). Same sparse inverted-index shape as
-    * q15 — the shared-shingle counts come from one grouped self-equi-
-    * join on (source, hv), never an all-pairs scan — and the exact
-    * same materialized shingle table feeds both queries' lineages. */
+    * containments ≥ threshold). Round 14: built on the SAME
+    * [[sharedShingleCounts]] posting-scan kernel as q15 (one keyed
+    * exchange instead of the two-sided self-equi-join), so the two
+    * set-overlap reports share one plan shape, one materialized
+    * shingle lineage, and one dfCap discipline (the default cap never
+    * binds at test SFs — oracle byte-identical; a dropped hot shingle
+    * only UNDERcounts containment, the conservative direction). */
   def containmentPairs(spark: SparkSession, sfDir: String,
-                       bits: Int = DefaultHashBits): DataFrame = {
-    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
-    val a = sh.alias("a"); val b = sh.alias("b")
-    a.join(b,
-        col("a.source") === col("b.source") &&
-        col("a.hv") === col("b.hv") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.source").as("source"),
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+                       bits: Int = DefaultHashBits,
+                       dfCap: Option[Long] = Some(JaccardDfCap)): DataFrame = {
+    val (_, _, sizes) = sharedSummary(spark, sfDir, bits)
+    sharedShingleCounts(spark, sfDir, dfCap, bits)
+      .withColumnRenamed("cnt", "n_shared")
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
       .withColumn("containment",
