@@ -53,8 +53,14 @@ object Bench {
     * retry evidence = (first, retry) so regime is attributable from the
     * artifact alone) and the gate failure message, which names both
     * measures for any line that stayed slow. `remeasure` must return
-    * (seconds, ok, gcMs) like the sweep's own timer; a retry that ERRORS
-    * marks the line failed (the errors channel, not the envelope).
+    * (seconds, ok, gcMs) like the sweep's own timer; a retry that
+    * ERRORS is a REPRODUCED breach (the line could not demonstrate a
+    * fast measure — e.g. it OOMs under the post-sweep cache state),
+    * so the gate fails naming the erroring retry, while the line
+    * itself stays ok (both sweep passes succeeded; reclassifying it
+    * failed would report a sweep-passing line with negative seconds).
+    * Retry evidence encodes an erroring retry as a NEGATIVE retry
+    * duration — the artifact's existing failed-measure convention.
     */
   def gateWithRetry(
       results: Seq[(String, Double, Boolean, Long)],
@@ -65,13 +71,16 @@ object Bench {
     val resolved = results.map { case (name, sec, ok, gc) =>
       if (gateOn && ok && sec > maxLine) {
         val (rSec, rOk, rGc) = remeasure(name)
-        if (!rOk) (name, sec, false, gc, Some((sec, rSec)))
+        if (!rOk) (name, sec, true, gc, Some((sec, -rSec)))
         else if (rSec < sec) (name, rSec, true, rGc, Some((sec, rSec)))
         else (name, sec, true, gc, Some((sec, rSec)))
       } else (name, sec, ok, gc, None)
     }
     val slow = resolved.collect { case (k, v, true, _, ev) if gateOn && v > maxLine =>
-      val suffix = ev.map { case (f, r) => f" (first $f%.2fs, retry $r%.2fs)" }.getOrElse("")
+      val suffix = ev.map {
+        case (f, r) if r < 0 => f" (first $f%.2fs, retry ERRORED after ${-r}%.2fs)"
+        case (f, r) => f" (first $f%.2fs, retry $r%.2fs)"
+      }.getOrElse("")
       f"$k=$v%.2fs$suffix" }
     val failure =
       if (slow.isEmpty) None
@@ -158,6 +167,11 @@ object Bench {
     // default-cap attribution table) is q163's build half; the timed
     // line is an answer-sized artifact read + sort
     try graft.ops.Dedup.preparedWinnowIndex(spark, sfDir, graft.ops.Dedup.OracleHashBits)
+    catch { case _: Throwable => () }
+    // and the overlap postings WRITE (postings/ + pairs/ + sizes/) is
+    // q203/q204's build half; the timed lines are formula passes over
+    // the materialized pair counts (q15/q83 stay the inline detectors)
+    try graft.ops.Dedup.preparedOverlapPostings(spark, sfDir, graft.ops.Dedup.OracleHashBits)
     catch { case _: Throwable => () }
     // two measured passes, min per query (steady-state measurement, as
     // JMH does): a single pass is exposed to one-off JIT/GC/IO spikes

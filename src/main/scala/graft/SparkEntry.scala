@@ -262,7 +262,15 @@ object SparkEntry {
       graft.streaming.EventStream.abMonitorStream(s, d)),
     "q200_srm_guard"        -> Events.srmGuard _,
     "q201_chunk_parity"     -> graft.ops.ChunkParity.chunkParity _,
-    "q202_tokenizer_parity" -> graft.ops.TokenizerParity.tokenizerParity _
+    "q202_tokenizer_parity" -> graft.ops.TokenizerParity.tokenizerParity _,
+    // round-15 family: the set-overlap reports SERVED from the
+    // persisted postings artifact (build/serve split, VERDICT r14
+    // item 1) — same counts, same formula code, same oracles as the
+    // inline q15/q83 detectors
+    "q203_jaccard_served"   -> ((s: SparkSession, d: String) =>
+      Dedup.jaccardPairsFromPostings(s, d, Dedup.OracleHashBits)),
+    "q204_containment_served" -> ((s: SparkSession, d: String) =>
+      Dedup.containmentPairsFromPostings(s, d, Dedup.OracleHashBits))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -552,6 +560,11 @@ object SparkEntry {
     // q202's oracle is the hand-derived token-id table (VALUES): the
     // Spark side runs the production WordPiece/BPE tokenizers over the
     // pinned toy vocabularies
-    "q202_tokenizer_parity" -> graft.ops.TokenizerParity.tokenizerParitySql
+    "q202_tokenizer_parity" -> graft.ops.TokenizerParity.tokenizerParitySql,
+    // the served overlap reports are row-identical to their inline
+    // detectors by shared counts + shared formula code (the q163/q164
+    // shared-oracle discipline)
+    "q203_jaccard_served"   -> Dedup.jaccardPairsSql,
+    "q204_containment_served" -> Dedup.containmentPairsSql
   )
 }

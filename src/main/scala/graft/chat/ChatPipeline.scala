@@ -23,9 +23,17 @@ object ChatPipeline {
     * real near-dup family is orders of magnitude past it). */
   val LeafSkewWarnFactor = 20L
 
+  /** `refContent` (round 15): build the index with the
+    * [[Chunker.refWhitespace]] node-aligned chunk content — the
+    * reference's byte-range text — instead of the byte-round-trip
+    * line spans. The mode is STAMPED into index_meta.json
+    * (`content_mode`), and every maintenance path (incremental
+    * stream, refresh repair) reads the stamp so an index can never
+    * silently mix content modes across build and repair waves. */
   def index(spark: SparkSession, repoDir: String, outDir: String,
-            embedder: Embedder = new HashingEmbedder()): Long = {
-    val chunks = Chunker.chunkRepo(spark, repoDir)
+            embedder: Embedder = new HashingEmbedder(),
+            refContent: Boolean = false): Long = {
+    val chunks = Chunker.chunkRepo(spark, repoDir, refContent = refContent)
     val rows = Embed.embedChunks(spark, chunks, embedder).toDF()
     AnnIndex.save(rows, outDir)
     val chunksDf = AnnIndex.load(spark, outDir)
@@ -67,7 +75,8 @@ object ChatPipeline {
       repoPath = java.nio.file.Paths.get(repoDir).toAbsolutePath.toString,
       sourceCommitHash = gitCommitHash(repoDir),
       contentHash = rollupHash(manifest),
-      nChunks = n), outDir)
+      nChunks = n,
+      contentMode = if (refContent) "ref" else "default"), outDir)
     // a rebuild supersedes any TTL'd freshness verdict, any pinned
     // serving listing, and any registered catalog entry for this index
     AnnIndex.invalidateServing(outDir)
@@ -236,7 +245,8 @@ object ChatPipeline {
     * git checkout. */
   case class IndexMeta(creationTimestamp: String, repoPath: String,
                        sourceCommitHash: Option[String],
-                       contentHash: String, nChunks: Long)
+                       contentHash: String, nChunks: Long,
+                       contentMode: String = "default")
 
   /** Staleness verdict: `stale` iff the repo's CURRENT content hash
     * differs from the indexed one; `reason` states which signal said
@@ -354,10 +364,17 @@ object ChatPipeline {
          |"repo_path":${js(meta.repoPath)},
          |"source_commit_hash":${meta.sourceCommitHash.map(js).getOrElse("null")},
          |"content_hash":${js(meta.contentHash)},
-         |"n_chunks":${meta.nChunks}}""".stripMargin
+         |"n_chunks":${meta.nChunks},
+         |"content_mode":${js(meta.contentMode)}}""".stripMargin
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$indexDir/index_meta.json"), json)
   }
+
+  /** True when the index at `indexDir` was built in ref content mode
+    * (index_meta.json `content_mode` stamp) — the one switch every
+    * maintenance path consults so repair waves chunk like the build. */
+  private[graft] def indexRefContent(indexDir: String): Boolean =
+    readIndexMeta(indexDir).exists(_.contentMode == "ref")
 
   def readIndexMeta(indexDir: String): Option[IndexMeta] = {
     val p = java.nio.file.Paths.get(s"$indexDir/index_meta.json")
@@ -372,7 +389,12 @@ object ChatPipeline {
           if (n.path("source_commit_hash").isTextual)
             Some(n.path("source_commit_hash").asText) else None,
         contentHash = n.path("content_hash").asText(""),
-        nChunks = n.path("n_chunks").asLong(0L)))
+        nChunks = n.path("n_chunks").asLong(0L),
+        // pre-round-15 metadata carries no mode field → default mode
+        contentMode = {
+          val m = n.path("content_mode").asText("default")
+          if (m.isEmpty) "default" else m
+        }))
     }
   }
 
@@ -936,9 +958,13 @@ object ChatPipeline {
     // the full rebuild uses.
     val useDistributed = forceDistributed.getOrElse(
       reindexFiles.size > RefreshDistributedThreshold)
+    // the repair wave must chunk in the SAME content mode the index
+    // was built with (index_meta.json content_mode stamp, round 15) —
+    // a default-mode repair of a ref-mode index would mix projections
+    val refC = indexRefContent(indexDir)
     val rawRows =
-      (if (useDistributed) distributedReindexRows(spark, root, reindexFiles, gen, embedder)
-       else driverReindexRows(spark, root, reindexFiles, gen, embedder))
+      (if (useDistributed) distributedReindexRows(spark, root, reindexFiles, gen, embedder, refC)
+       else driverReindexRows(spark, root, reindexFiles, gen, embedder, refC))
         .localCheckpoint(true)
     val rows =
       if (bucketed)
@@ -1005,7 +1031,8 @@ object ChatPipeline {
       repoPath = root.toString,
       sourceCommitHash = gitCommitHash(repoDir),
       contentHash = rollupHash(cur),
-      nChunks = n), indexDir)
+      nChunks = n,
+      contentMode = if (refC) "ref" else "default"), indexDir)
     // a registered serving session must not keep the pre-refresh forest
     // listing (its files were just rewritten away), and the freshness
     // TTL must not serve a pre-refresh verdict for the repaired index
@@ -1023,7 +1050,8 @@ object ChatPipeline {
     * yield identical indexes for a per-text-deterministic embedder. */
   private def driverReindexRows(spark: SparkSession, root: java.nio.file.Path,
                                 reindexFiles: Seq[String], gen: Long,
-                                embedder: Embedder): DataFrame = {
+                                embedder: Embedder,
+                                refContent: Boolean = false): DataFrame = {
     import spark.implicits._
     // a file deleted between the manifest diff and this read simply
     // drops out of the wave (the restamped manifest still names it, so
@@ -1038,7 +1066,7 @@ object ChatPipeline {
         // what the contract forbids
         try Chunker.fileChunkRows(rel,
             new String(java.nio.file.Files.readAllBytes(root.resolve(rel)),
-              java.nio.charset.StandardCharsets.UTF_8))
+              java.nio.charset.StandardCharsets.UTF_8), refContent = refContent)
           .map { case (r, _, c, lang, e) => (r, c, lang, e) }
         catch { case _: java.nio.file.NoSuchFileException => Seq.empty }
       }
@@ -1064,7 +1092,8 @@ object ChatPipeline {
     * any per-text-deterministic model are bit-identical. */
   private def distributedReindexRows(spark: SparkSession, root: java.nio.file.Path,
                                      reindexFiles: Seq[String], gen: Long,
-                                     embedder: Embedder): DataFrame = {
+                                     embedder: Embedder,
+                                     refContent: Boolean = false): DataFrame = {
     import spark.implicits._
     val rootStr = root.toString
     // load EXACTLY the changed files by explicit path — scanning the
@@ -1092,8 +1121,9 @@ object ChatPipeline {
       .withColumn("rel",
         regexp_replace(col("path"), s"^file:${java.util.regex.Pattern.quote(rootStr)}/?", ""))
       .select(col("rel"), col("content").cast("string").as("text"))
+    val ref = refContent
     val chunked = files.as[(String, String)].flatMap { case (rel, text) =>
-      Chunker.fileChunkRows(rel, text)
+      Chunker.fileChunkRows(rel, text, refContent = ref)
     }
     val embedded = chunked.mapPartitions { it =>
       it.grouped(32).flatMap { g =>
@@ -1166,7 +1196,8 @@ object ChatCli {
       useRerank: Boolean = false,
       rerankModel: Option[String] = None,
       hydeModel: Option[String] = None,
-      answerModel: Option[String] = None)
+      answerModel: Option[String] = None,
+      refContent: Boolean = false)
 
   /** Splits an argument list into (positionals, flags). Unknown
     * `--flags` fail fast with the flag name, like clap. */
@@ -1182,6 +1213,7 @@ object ChatCli {
             case _ => Left(s"invalid -k value: $v")
           }
         case "--use-rerank" :: t => loop(t, pos, f.copy(useRerank = true))
+        case "--ref-content" :: t => loop(t, pos, f.copy(refContent = true))
         case "--rerank-model" :: v :: t => loop(t, pos, f.copy(rerankModel = Some(v)))
         case "--hyde-model" :: v :: t => loop(t, pos, f.copy(hydeModel = Some(v)))
         case "--answer-model" :: v :: t => loop(t, pos, f.copy(answerModel = Some(v)))
@@ -1269,11 +1301,11 @@ object ChatCli {
             // GRAFT_ONNX_MODEL overrides --model-id/--model-type
             val t0 = System.nanoTime()
             val n = ChatPipeline.index(spark, repo, out,
-              embedder = embedderFor(flags))
+              embedder = embedderFor(flags), refContent = flags.refContent)
             println(s"indexed $n chunks from $repo -> $out")
             println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
           case Right(_) =>
-            System.err.println("usage: index <repo> <out> [--model-id M] [--model-type T]")
+            System.err.println("usage: index <repo> <out> [--model-id M] [--model-type T] [--ref-content]")
             spark.stop(); sys.exit(2)
           case Left(err) =>
             System.err.println(s"error: $err"); spark.stop(); sys.exit(2)
@@ -1317,10 +1349,11 @@ object ChatCli {
                   // commands — REPL-built indexes and queries must
                   // share vector space
                   val t0 = System.nanoTime()
-                  ChatPipeline.index(spark, repo, out, embedder = embedderFor(flags))
+                  ChatPipeline.index(spark, repo, out, embedder = embedderFor(flags),
+                    refContent = flags.refContent)
                   println(s"Total indexing time: ${formatElapsed(System.nanoTime() - t0)}")
                   indexDir = Some(out)
-                case Right(_) => println("usage: index <repo> <out> [--model-id M] [--model-type T]")
+                case Right(_) => println("usage: index <repo> <out> [--model-id M] [--model-type T] [--ref-content]")
                 case Left(err) => println(s"error: $err")
               }
             case "load" :: dir :: Nil => indexDir = Some(dir)

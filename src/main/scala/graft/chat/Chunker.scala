@@ -93,6 +93,58 @@ object Chunker {
   private val RubyContinuations =
     Set("end", "else", "elsif", "rescue", "ensure", "when", "in", "then")
 
+  /** One-line lexical pass that blanks what a real lexer would not
+    * count as code: `//` line comments, `/* ... */` block comments
+    * (state threads across lines via `inBlock`), double-quoted string
+    * bodies (backslash escapes honored), and short char literals
+    * (`'x'` / `'\n'` — a lone `'` such as a Rust lifetime is left
+    * alone). Delimiter counting over the stripped view is what keeps
+    * a parenthesis in prose or a brace in a string from steering the
+    * brace tracker (the r13 stray-paren class at its root). Stripped
+    * regions are dropped, not blanked — callers only count and check
+    * line endings. Returns (strippedLine, inBlockAfter). */
+  private[graft] def stripLiterals(line: String, inBlock: Boolean): (String, Boolean) = {
+    val sb = new StringBuilder(line.length)
+    var i = 0
+    var block = inBlock
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (block) {
+        if (c == '*' && i + 1 < n && line.charAt(i + 1) == '/') { block = false; i += 2 }
+        else i += 1
+      } else if (c == '/' && i + 1 < n && line.charAt(i + 1) == '/') {
+        i = n // line comment: drop the rest
+      } else if (c == '/' && i + 1 < n && line.charAt(i + 1) == '*') {
+        block = true; i += 2
+      } else if (c == '"') {
+        // consume to the closing quote (or EOL for an unterminated /
+        // multi-line string — the backstop reset covers that leak)
+        i += 1
+        var closed = false
+        while (i < n && !closed) {
+          val sc = line.charAt(i)
+          if (sc == '\\') i += 2
+          else if (sc == '"') { closed = true; i += 1 }
+          else i += 1
+        }
+      } else if (c == '\'') {
+        // char literal only when it closes within 2 chars (escaped: 3);
+        // otherwise keep scanning — `'a` lifetimes, apostrophes in
+        // identifiers-adjacent positions
+        val lit =
+          if (i + 3 < n && line.charAt(i + 1) == '\\' && line.charAt(i + 3) == '\'') 4
+          else if (i + 2 < n && line.charAt(i + 1) != '\'' && line.charAt(i + 2) == '\'') 3
+          else 0
+        if (lit > 0) i += lit
+        else { sb.append(c); i += 1 }
+      } else {
+        sb.append(c); i += 1
+      }
+    }
+    (sb.toString, block)
+  }
+
   private def toLines(content: String): IndexedSeq[String] = {
     val parts = content.split("\n", -1)
     parts.zipWithIndex.map { case (p, i) =>
@@ -119,6 +171,7 @@ object Chunker {
     var paren = 0
     var brack = 0
     var parenHold = 0
+    var inBlockComment = false
     var inFence = false
     // decorators and comment runs bind FORWARD onto the def/class they
     // annotate (the reference's AST nodes carry leading trivia the same
@@ -185,26 +238,33 @@ object Chunker {
             }
           }
           cur += line
-          depth = math.max(0, depth + line.count(_ == '{') - line.count(_ == '}'))
+          // delimiters are counted on the COMMENT-AND-STRING-STRIPPED
+          // view of the line (round 15): tree-sitter never counts a
+          // brace in a string literal or a paren in prose, and raw
+          // counting was the root cause of the r13 stray-paren glue —
+          // a '(' in a comment read as an open call
+          val code = stripLiterals(line, inBlockComment)
+          inBlockComment = code._2
+          val cl = code._1
+          depth = math.max(0, depth + cl.count(_ == '{') - cl.count(_ == '}'))
           // open parens/brackets keep a unit alive across a multi-line
           // signature or call (tree-sitter's declaration node spans
           // the whole parameter list) — but only for a bounded run:
-          // the tracker is lexical, so an unbalanced `(` in a comment
-          // or string must not glue the rest of the file into one unit
-          paren = math.max(0, paren + line.count(_ == '(') - line.count(_ == ')'))
-          brack = math.max(0, brack + line.count(_ == '[') - line.count(_ == ']'))
-          // a depth-0 line that ENDS a statement (trailing ';' or '}')
-          // while parens/brackets still read open means the imbalance
-          // came from a '(' inside a comment or string literal (a real
-          // multi-line signature or call never completes a statement
-          // mid-parens) — reset the lexical tracker so one stray paren
-          // can't glue a run of subsequent top-level declarations into
-          // a single unit (ADVICE r13: bound the blast radius). Cost: a
-          // depth-0 multi-line `for (a;\n b;\n c)` header re-splits at
-          // its ';' lines — the pre-tracker behavior, and far rarer
-          // than a parenthesis in prose.
-          if (depth == 0 && (paren > 0 || brack > 0)) {
-            val te = line.trim
+          // unlexable content (an unterminated raw string spanning
+          // lines) can still leak an unbalanced '(' into the counts
+          paren = math.max(0, paren + cl.count(_ == '(') - cl.count(_ == ')'))
+          brack = math.max(0, brack + cl.count(_ == '[') - cl.count(_ == ']'))
+          // backstop (ADVICE r13, narrowed r14): a depth-0 line that
+          // ENDS a statement (trailing ';' or '}') while parens read
+          // open AND the imbalance has already persisted across a
+          // depth-0 line boundary (parenHold grew) is treated as a
+          // leaked stray — reset so it can't glue the rest of the
+          // file. The parenHold gate spares a legal multi-line call
+          // whose block-lambda argument line ends `}` (the depth
+          // excursion through the block zeroes parenHold), which the
+          // r13 form re-split at the argument line (ADVICE r14 low).
+          if (depth == 0 && (paren > 0 || brack > 0) && parenHold > 0) {
+            val te = cl.trim // stripped: `x = 1; // note` still ends ';'
             if (te.endsWith(";") || te.endsWith("}")) { paren = 0; brack = 0 }
           }
           if (depth == 0 && paren == 0 && brack == 0) {
@@ -260,8 +320,13 @@ object Chunker {
     * that doesn't peel cleanly falls back to the line-greedy split. */
   private def splitBraceUnit(u: IndexedSeq[String], maxSize: Int): Seq[String] = {
     if (u.length >= 3) {
-      val depths = u.scanLeft(0)((d, l) =>
-        math.max(0, d + l.count(_ == '{') - l.count(_ == '}'))).tail
+      // same stripped-view counting as unitsOf, so the peel sees the
+      // depths the unit grouping saw (a brace in a string must not
+      // desynchronize the two passes)
+      val depths = u.scanLeft((0, false)) { case ((d, ib), l) =>
+        val (cl, ib2) = stripLiterals(l, ib)
+        (math.max(0, d + cl.count(_ == '{') - cl.count(_ == '}')), ib2)
+      }.tail.map(_._1)
       // the header may span several lines (an Allman-style `{` on its
       // own line, a multi-line signature): it ends on the first line
       // after which the block is open, and the block must then stay
@@ -431,12 +496,17 @@ object Chunker {
 
   /** S1+P1-P4: scan a directory into chunk rows. Uses Spark's binaryFile
     * source for the distributed read; the gitignore pre-pass and
-    * extension filter prune before content ever moves. */
-  def chunkRepo(spark: SparkSession, root: String): Dataset[CodeChunk] = {
+    * extension filter prune before content ever moves. `refContent`
+    * (round 15, VERDICT r14 item 5) selects the [[refWhitespace]]
+    * node-aligned content projection for every chunk — boundaries
+    * identical, text byte-identical to the reference's byte ranges. */
+  def chunkRepo(spark: SparkSession, root: String,
+                refContent: Boolean = false): Dataset[CodeChunk] = {
     import spark.implicits._
     val rootPath = Paths.get(root).toAbsolutePath
     val keep = gitignorePredicate(rootPath)
     val rootStr = rootPath.toString
+    val ref = refContent
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .load(rootStr)
@@ -448,7 +518,7 @@ object Chunker {
       if (!keep(rel)) Seq.empty[CodeChunk]
       else fileChunkRows(rel,
           new String(row.getAs[Array[Byte]](1),
-            java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.charset.StandardCharsets.UTF_8), refContent = ref)
         .map { case (r, _, c, lang, e) => CodeChunk(r, c, lang, e) }
     }
   }

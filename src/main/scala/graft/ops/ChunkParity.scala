@@ -1058,9 +1058,17 @@ object ChunkParity {
     val rows = (fixtures ++ aliasFixtures).flatMap { case (file, text) =>
       val ref = graft.chat.Chunker.fileChunkRows(file, text, refContent = true)
         .map { case (_, idx, chunk, _, _) => idx -> chunk }.toMap
-      graft.chat.Chunker.fileChunkRows(file, text).map {
+      val default = graft.chat.Chunker.fileChunkRows(file, text)
+      // ADVICE r14: a count drift between the modes would silently
+      // pair every post-drop chunk with the WRONG ref chunk and only
+      // surface as a tail-index NoSuchElementException — assert the
+      // pairing precondition with the file named instead
+      require(ref.size == default.size,
+        s"$file: refWhitespace emitted ${ref.size} chunks vs ${default.size} default — " +
+          "positional mode pairing broken")
+      default.map {
         case (_, idx, chunk, lang, _) =>
-          val rc = ref(idx) // throws if the mode pair ever drifts in count
+          val rc = ref(idx)
           (file, lang.getOrElse(""), idx.toLong, chunk.length.toLong,
             chunk.linesIterator.find(_.trim.nonEmpty).map(_.trim).getOrElse(""),
             md5Hex(chunk), rc.length.toLong, md5Hex(rc))

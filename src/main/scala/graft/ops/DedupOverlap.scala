@@ -22,16 +22,22 @@ trait DedupOverlap { this: Dedup.type =>
   // the scale path) + blocked pairwise baseline (spec cross-check).
   // -------------------------------------------------------------------
 
-  /** Default = the sparse inverted-index formulation below. It is
-    * EXACT at any threshold > 0 (a pair sharing zero shingles has
-    * jaccard 0), and its join fan-out is bounded by sum(df^2) over
-    * shingle document frequencies — measured max df on this corpus is
-    * 25 at sf0.1, so candidates are ~56k pairs instead of the ~1.2M
-    * materialized by the blocked pairwise join (58 s of bench time in
-    * round 1). At 100 TB with a power-law vocabulary, pass a `dfCap`
-    * to bound the fan-out of stop-shingles — that trades exactness for
-    * a bounded candidate set (standard practice); the uncapped default
-    * keeps the DuckDB oracle byte-identical. */
+  /** Default = the sparse inverted-index formulation below, which is
+    * CAPPED BY DEFAULT at [[JaccardDfCap]] (round 14): a per-source
+    * shingle with document frequency over the cap is treated as
+    * boilerplate and contributes NOTHING to intersection counts — no
+    * re-verification pass recovers it — so whenever any (source,
+    * shingle) df exceeds the cap, surviving pairs that share the hot
+    * shingle get UNDERcounted jaccard and a pair whose evidence is
+    * mostly boilerplate can drop below threshold. Oracle equality with
+    * the uncapped DuckDB SQL therefore holds exactly when max
+    * per-source shingle df ≤ [[JaccardDfCap]] — true on every test
+    * corpus (measured max df 25 at sf0.1; TextDedupSimilaritySpec pins
+    * both the invariance and the cap biting on planted boilerplate).
+    * Below threshold-0 exactness still holds (a pair sharing zero
+    * shingles has jaccard 0); fan-out is bounded by Σ min(df, cap)²
+    * over shingle document frequencies. Pass `dfCap = None` through
+    * [[jaccardPairsSparse]] for the exact uncapped scan. */
   def jaccardPairs(spark: SparkSession, sfDir: String,
                    bits: Int = DefaultHashBits): DataFrame =
     jaccardPairsSparse(spark, sfDir, bits = bits)
@@ -116,9 +122,15 @@ trait DedupOverlap { this: Dedup.type =>
     // (the row-table materialization this replaces was 11.6 s / 27%
     // of the round-2 bench as a recompute, then ~0.4 s as a persist)
     val (_, _, sizes) = sharedSummary(spark, sfDir, bits)
-    val inter = sharedShingleCounts(spark, sfDir, dfCap, bits)
-      .withColumnRenamed("cnt", "inter")
-    inter
+    jaccardFromCounts(sharedShingleCounts(spark, sfDir, dfCap, bits), sizes)
+  }
+
+  /** The q15 report over any (source, doc_a, doc_b, cnt) shared-count
+    * relation + (doc_id, sz) set sizes — the ONE formula the inline
+    * form and the postings-artifact serve share, so serve==inline is
+    * structural, not coincidental. */
+  private def jaccardFromCounts(counts: DataFrame, sizes: DataFrame): DataFrame =
+    counts.withColumnRenamed("cnt", "inter")
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
       .withColumn("jaccard",
@@ -127,7 +139,6 @@ trait DedupOverlap { this: Dedup.type =>
       .filter(col("jaccard") >= Consts.JaccardPairThreshold)
       .select(col("source"), col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("source", "doc_a", "doc_b")
-  }
 
   /** The one shared-shingle pair-count kernel q15 AND q83 build on:
     * (source, doc_a, doc_b, cnt) where cnt = |shingles(doc_a) ∩
@@ -240,8 +251,13 @@ trait DedupOverlap { this: Dedup.type =>
                        bits: Int = DefaultHashBits,
                        dfCap: Option[Long] = Some(JaccardDfCap)): DataFrame = {
     val (_, _, sizes) = sharedSummary(spark, sfDir, bits)
-    sharedShingleCounts(spark, sfDir, dfCap, bits)
-      .withColumnRenamed("cnt", "n_shared")
+    containmentFromCounts(sharedShingleCounts(spark, sfDir, dfCap, bits), sizes)
+  }
+
+  /** The q83 report over a shared-count relation + sizes (see
+    * [[jaccardFromCounts]]). */
+  private def containmentFromCounts(counts: DataFrame, sizes: DataFrame): DataFrame =
+    counts.withColumnRenamed("cnt", "n_shared")
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
       .withColumn("containment",
@@ -251,7 +267,6 @@ trait DedupOverlap { this: Dedup.type =>
       .select(col("source"), col("doc_a"), col("doc_b"),
         col("n_shared"), col("containment"))
       .orderBy("source", "doc_a", "doc_b")
-  }
 
   def containmentPairsSql: String =
     s"""WITH sets AS (
@@ -894,6 +909,103 @@ trait DedupOverlap { this: Dedup.type =>
         (col("n_shared") / ((col("na") + col("nb") - col("n_shared")) * lit(1.0)))
           .as("jaccard"))
       .orderBy("source_a", "source_b")
+  }
+
+  // -------------------------------------------------------------------
+  // Persisted OVERLAP POSTINGS artifact (round 15, VERDICT r14 item 1)
+  // — the build/serve split for the set-overlap family. SCALING's
+  // five-decade record names q15's residual linear floor precisely:
+  // per-pass MD5 shingle-summary rebuild over the full corpus + one
+  // exchange of the exploded shingle relation. That is the cost the
+  // engine's artifact discipline already amortizes elsewhere (q105
+  // saveDedupIndex, q163 saveWinnowIndex, the ten graph-served
+  // reports): pay it ONCE per corpus snapshot at build, serve every
+  // report after that from the materialized relations. q15/q83 stay
+  // in the registry as the inline end-to-end detectors (the q128/q49
+  // detector/report boundary); q203/q204 are the served forms a
+  // production pipeline would actually run per-report, and they share
+  // the inline oracles because [[jaccardFromCounts]] /
+  // [[containmentFromCounts]] are the SAME code over the same counts.
+  // -------------------------------------------------------------------
+
+  /** Write the overlap postings artifact:
+    *
+    *  - `postings/` — the (source, hv, doc_id) inverted-index relation,
+    *    DF-CAPPED AT BUILD (a per-source shingle over `dfCap` is
+    *    boilerplate under the family's standing contract and is
+    *    dropped whole, exactly what the streaming posting scan does),
+    *    hive-partitioned by pmod(hv, [[GraphPairBuckets]])
+    *    so a provenance probe ("which docs contain this shingle?")
+    *    prunes to one bucket.
+    *  - `pairs/` — the (source, doc_a, doc_b, cnt) shared-shingle
+    *    count relation, the expensive kernel output, bucketed by
+    *    pmod(doc_a, buckets). Both q15 and q83 are answer-shaped
+    *    formula passes over THIS table.
+    *  - `sizes/` — (doc_id, sz) distinct-shingle set sizes.
+    *
+    * The cap is part of the artifact's identity (it changes pairs/ and
+    * postings/), so it is a build parameter, not a serve filter —
+    * unlike the winnow index, whose uncapped fps/ supports any cap at
+    * serve, an overlap artifact built uncapped would re-pay the full
+    * Σ df² pair fan-out it exists to amortize. */
+  def saveOverlapPostings(spark: SparkSession, sfDir: String, path: String,
+                          bits: Int = DefaultHashBits,
+                          dfCap: Option[Long] = Some(JaccardDfCap)): Unit = {
+    val (_, sh0, sizes) = sharedSummary(spark, sfDir, bits)
+    val sh = sh0.filter(col("source").isNotNull)
+    val capped = dfCap match {
+      case Some(cap) =>
+        // keyed df count + join-filter: both sides key on (source, hv),
+        // so the second exchange reuses the first's partitioning
+        val df = sh.groupBy("source", "hv").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).drop("df")
+        sh.join(df, Seq("source", "hv"))
+      case None => sh
+    }
+    capped.select(col("source"), col("hv"), col("doc_id"))
+      .withColumn("bucket", pmod(col("hv"), lit(GraphPairBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    sharedShingleCounts(spark, sfDir, dfCap, bits)
+      .withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/pairs")
+    sizes.write.mode("overwrite").parquet(s"$path/sizes")
+  }
+
+  @transient private val overlapPostings =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** JVM-lifetime artifact build (the q41/q81/q105/q163 discipline):
+    * the bench's untimed prepare calls this so the timed q203/q204
+    * lines measure the serving read, not the build. */
+  def preparedOverlapPostings(spark: SparkSession, sfDir: String,
+                              bits: Int = DefaultHashBits): String =
+    overlapPostings.computeIfAbsent((sfDir, bits), _ => {
+      val path = graft.streaming.StreamScratch.dir(s"graft_overlapidx_b$bits")
+      saveOverlapPostings(spark, sfDir, path, bits)
+      path
+    })
+
+  /** q203: q15 SERVED from the postings artifact (shares q15's oracle
+    * — same counts, same [[jaccardFromCounts]] formula). The timed
+    * work is a read of the pairs/ relation + two sizes joins + the
+    * threshold filter: no MD5 pass, no shingle exchange, no corpus
+    * scan — the linear floor moved to build time. */
+  def jaccardPairsFromPostings(spark: SparkSession, sfDir: String,
+                               bits: Int = DefaultHashBits): DataFrame = {
+    val path = preparedOverlapPostings(spark, sfDir, bits)
+    jaccardFromCounts(
+      spark.read.parquet(s"$path/pairs").select("source", "doc_a", "doc_b", "cnt"),
+      spark.read.parquet(s"$path/sizes"))
+  }
+
+  /** q204: q83 SERVED from the postings artifact (shares q83's
+    * oracle; see [[jaccardPairsFromPostings]]). */
+  def containmentPairsFromPostings(spark: SparkSession, sfDir: String,
+                                   bits: Int = DefaultHashBits): DataFrame = {
+    val path = preparedOverlapPostings(spark, sfDir, bits)
+    containmentFromCounts(
+      spark.read.parquet(s"$path/pairs").select("source", "doc_a", "doc_b", "cnt"),
+      spark.read.parquet(s"$path/sizes"))
   }
 
   def sourceOverlapSql: String =

@@ -241,10 +241,12 @@ trait DedupWinnow { this: Dedup.type =>
     * extent, stated rather than hidden).
     *
     * Scale shape: the gram relation is scan-local; candidate
-    * generation is the jaccardPairsSparse inverted-index self-equi-join
-    * on the gram hash (fan-out Σ df², optional `dfCap` drops
-    * boilerplate grams from pairing with the same documented recall
-    * trade, uncapped default keeps the oracle byte-identical); island
+    * generation is an inverted-index self-equi-join on the gram hash
+    * (fan-out Σ df²; the optional `dfCap` — default None HERE, unlike
+    * jaccardPairsSparse whose posting scan caps at JaccardDfCap by
+    * default — drops boilerplate grams from pairing with the same
+    * documented undercount-on-cap trade, so oracle equality holds
+    * exactly when no gram's df exceeds the cap in use); island
     * detection is ONE windowed row_number per (pair, diagonal) group —
     * a single keyed shuffle sized by the matched-gram relation, never
     * by the corpus — and the report folds per pair. Hash collisions

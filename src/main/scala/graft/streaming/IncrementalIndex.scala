@@ -40,6 +40,10 @@ object IncrementalIndex {
             embedder: Embedder = new HashingEmbedder()): StreamingQuery = {
     import spark.implicits._
     val supported = Language.supportedExtensions.toSet
+    // chunk in the content mode the index was BUILT with (the
+    // index_meta.json content_mode stamp, round 15) — an append wave
+    // must not mix content projections into a ref-mode index
+    val refContent = graft.chat.ChatPipeline.indexRefContent(indexDir)
     // the streaming file source requires an explicit schema; this is
     // the fixed schema of the binaryFile format
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -63,7 +67,8 @@ object IncrementalIndex {
           // the ONE shared chunking contract (Chunker.fileChunkRows) —
           // base build, refresh paths, and this stream cannot drift
           graft.chat.Chunker.fileChunkRows(rel,
-              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8),
+              refContent = refContent)
             .map { case (r, _, c, lang, e) => (r, c, lang, e) }
         }.mapPartitions { it =>
           it.grouped(32).flatMap { group =>

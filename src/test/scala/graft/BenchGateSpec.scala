@@ -77,11 +77,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(failure.isDefined && failure.get.contains("q90_anomaly_windows=4.20s"))
   }
 
-  test("retry: an ERRORING re-measure rides the errors channel, not the envelope") {
+  test("retry: an ERRORING re-measure is a reproduced breach, not a soft error") {
+    // ADVICE r14: the old behavior reclassified a sweep-passing line
+    // as failed (errors channel) and let the gate pass — a query that
+    // crashes when slow converted a reproducible breach into exit 0
     val (resolved, failure) = Bench.gateWithRetry(fourCol(("q62_decontamination", 5.35, true)),
       3.5, sweep, _ => (1.0, false, 0L))
-    assert(failure.isEmpty) // failed lines are the errors list's job
-    assert(!resolved.head._3, "line must be marked failed")
+    assert(failure.isDefined, "an unreproducibly-fast line must fail the gate")
+    assert(failure.get.contains("retry ERRORED"))
+    // the line itself keeps its valid sweep measure and ok status
+    assert(resolved.head._3, "sweep-passing line must not be reclassified failed")
+    assert(resolved.head._2 == 5.35)
+    // evidence encodes the erroring retry as a negative duration
+    assert(resolved.head._5.contains((5.35, -1.0)))
   }
 
   test("retry: disabled gate (amplified SF / opt-out) never re-measures") {

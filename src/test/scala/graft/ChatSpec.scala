@@ -258,6 +258,56 @@ class ChatSpec extends SparkSpec {
     assert(profileJson.contains("Cargo.toml"))
   }
 
+  test("ref-content index end-to-end: node-aligned chunk text, mode stamped, repair keeps the mode") {
+    val repo = makeRepo()
+    val out = Files.createTempDirectory("graft_idx_ref").toFile
+    val n = ChatPipeline.index(spark, repo.getAbsolutePath, out.getAbsolutePath,
+      refContent = true)
+    assert(n > 0)
+    // the build stamped its content mode
+    assert(ChatPipeline.readIndexMeta(out.getAbsolutePath).get.contentMode == "ref")
+    // every stored chunk is byte-identical to the refWhitespace
+    // projection the shared per-file contract produces (md5 compare,
+    // the q201 ref_md5 discipline run against a REAL built index)
+    def md5(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+    }
+    def chunkHashes(): Map[String, Seq[String]] =
+      AnnIndex.load(spark, out.getAbsolutePath)
+        .select("file", "code").collect()
+        .map(r => (r.getString(0), md5(r.getString(1))))
+        .groupBy(_._1).map { case (f, rs) => f -> rs.map(_._2).sorted.toSeq }
+    def expectedHashes(): Map[String, Seq[String]] =
+      chunkHashes().keys.map { rel =>
+        val text = Files.readString(new java.io.File(repo, rel).toPath)
+        rel -> Chunker.fileChunkRows(rel, text, refContent = true)
+          .map(t => md5(t._3)).sorted
+      }.toMap
+    assert(chunkHashes() == expectedHashes())
+    // and the projection is visible: no chunk carries edge whitespace
+    AnnIndex.load(spark, out.getAbsolutePath).select("code").collect()
+      .foreach(r => assert(r.getString(0) == r.getString(0).trim))
+    // a refresh wave re-chunks IN THE STAMPED MODE: modify a file and
+    // repair — the re-indexed chunks must still be ref-projected
+    Files.writeString(new java.io.File(repo, "src/main.rs").toPath,
+      "fn main() {\n    println!(\"changed entry\");\n}\n\nfn extra() {\n    let x = 1;\n}\n")
+    val stats = ChatPipeline.refreshIndex(spark, repo.getAbsolutePath, out.getAbsolutePath)
+    assert(stats.reindexedFiles >= 1L)
+    assert(ChatPipeline.readIndexMeta(out.getAbsolutePath).get.contentMode == "ref")
+    assert(chunkHashes() == expectedHashes(),
+      "repair wave drifted from the stamped ref content mode")
+    // the ref-mode index still answers queries
+    val res = ChatPipeline.query(spark, out.getAbsolutePath,
+      "rust similarity search", k = 2)
+    assert(res.results.nonEmpty)
+    // a default build remains default-stamped (back-compat unchanged)
+    val outD = Files.createTempDirectory("graft_idx_refd").toFile
+    ChatPipeline.index(spark, repo.getAbsolutePath, outD.getAbsolutePath)
+    assert(ChatPipeline.readIndexMeta(outD.getAbsolutePath).get.contentMode == "default")
+  }
+
   test("approximate kNN agrees with exact on overlapping hits") {
     val repo = makeRepo()
     val out = Files.createTempDirectory("graft_idx2").toFile

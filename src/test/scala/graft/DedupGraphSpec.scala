@@ -216,6 +216,19 @@ class DedupGraphSpec extends SparkSpec {
       rows(Dedup.winnowAttributionFromIndex(spark, sf0001, bits, dfCap = None)))
   }
 
+  test("q203/q204 served from the overlap postings artifact are bit-identical to inline q15/q83") {
+    val cases = Seq(
+      ("q203", Dedup.jaccardPairs(spark, sf0001, bits),
+        Dedup.jaccardPairsFromPostings(spark, sf0001, bits)),
+      ("q204", Dedup.containmentPairs(spark, sf0001, bits),
+        Dedup.containmentPairsFromPostings(spark, sf0001, bits)))
+    cases.foreach { case (name, inline, served) =>
+      assert(inline.columns.toSeq == served.columns.toSeq, name)
+      assert(rows(inline) == rows(served), name)
+      assert(rows(served).nonEmpty, name)
+    }
+  }
+
   test("q166 streaming graph append replays row-identical to batch q165") {
     val batch = rows(Dedup.graphAppendReport(spark, sf0001, bits))
     val streamed = rows(

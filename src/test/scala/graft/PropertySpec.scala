@@ -276,6 +276,45 @@ class PropertySpec extends AnyFunSuite {
       s"block-comment paren glued the next fn: ${chunks2.mkString("|")}")
   }
 
+  // ADVICE r14 (low): a depth-0 multi-line call whose block-lambda
+  // argument line ends '}' must NOT trip the stray-paren reset — the
+  // closing `));` line belongs to the same statement, so a chunk
+  // boundary may never land between the lambda body and the `));`
+  test("brace mode: block-lambda argument inside a multi-line call stays one unit") {
+    val call =
+      """register(handler(
+        |    |x| {
+        |        go();
+        |    }
+        |));
+        |""".stripMargin
+    val src = call + "fn later() {\n    let z = 3;\n}\n"
+    // budget fits the call alone: the boundary must land AFTER `));`
+    val chunks = Chunker.splitStructured(src, Some("Rust"), maxSize = call.length + 5)
+    assert(chunks.mkString("") == src)
+    assert(chunks.exists(_.startsWith("fn later")),
+      s"boundary did not land between statements: ${chunks.mkString("|")}")
+    assert(!chunks.exists(_.startsWith("));")),
+      s"`));` split off its own statement: ${chunks.mkString("|")}")
+  }
+
+  test("stripLiterals: comments and string bodies do not reach the delimiter counts") {
+    // line comment dropped entirely
+    assert(Chunker.stripLiterals("int a = 1; // note (unbalanced", false)._1 == "int a = 1; ")
+    // string body consumed, quotes and code kept out
+    assert(Chunker.stripLiterals("""s = "ab{c(" + x;""", false)._1 == "s =  + x;")
+    // escaped quote inside a string does not end it
+    assert(Chunker.stripLiterals("""t = "a\"b(";""", false)._1 == "t = ;")
+    // block comment opens and threads state across lines
+    val (l1, b1) = Chunker.stripLiterals("x = 1; /* prose (", false)
+    assert(l1 == "x = 1; " && b1)
+    val (l2, b2) = Chunker.stripLiterals("still prose ( */ y = 2;", b1)
+    assert(l2 == " y = 2;" && !b2)
+    // char literal consumed; a Rust lifetime's lone quote survives
+    assert(Chunker.stripLiterals("c = '('; d = ')';", false)._1 == "c = ; d = ;")
+    assert(Chunker.stripLiterals("fn f<'a>(x: &'a str)", false)._1 == "fn f<'a>(x: &'a str)")
+  }
+
   test("embedder: deterministic, L2-normalized, order-insensitive to batching") {
     val emb = new HashingEmbedder()
     forAll(Gen.listOfN(5, Gen.alphaStr.suchThat(_.nonEmpty))) { words =>

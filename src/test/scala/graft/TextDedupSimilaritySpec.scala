@@ -444,6 +444,14 @@ class TextDedupSimilaritySpec extends SparkSpec {
     val rareU = uncapped.filter(r => r(1) == 9000L && r(2) == 9001L)
     assert(rareC.nonEmpty, "rare-run pair must survive the cap")
     assert(rareC == rareU)
+
+    // round 15: the postings ARTIFACT bakes the same cap in at build —
+    // serving from it reproduces the capped inline report exactly
+    // (boilerplate-only pairs absent, the rare pair byte-identical)
+    val served = rows(Dedup.jaccardPairsFromPostings(spark, dir,
+      bits = Dedup.OracleHashBits))
+    assert(served == cappedP,
+      "artifact-served report must equal the capped inline report")
   }
 
   test("banded simhash pair join equals the all-pairs baseline and avoids the nested loop") {
