@@ -185,6 +185,27 @@ object Bench {
     try graft.ops.Dedup.prepareGraphSnapshots(spark, sfDir,
       2 * math.max(1, passes), graft.ops.Dedup.OracleHashBits)
     catch { case _: Throwable => () }
+    // untimed TARGET-SF warm pass for the recurring first-measure
+    // spike set (VERDICT r14 item 7): the streaming-replay lines pay
+    // one-time target-SF machinery costs the sf0.001 warmup cannot
+    // reach (scratch dirs, state-store instantiation, target-sized
+    // footer schemas), and a handful of heavy agg lines (q170/q172/
+    // q175) recur as 4-5 s first measures with gcMs 0 — the regime
+    // signature — retrying at 1-2 s. Warming exactly that set at the
+    // target SF makes both timed passes steady-state, so the gate's
+    // breach-retry path becomes the exception again. Kept selective:
+    // a full untimed target-SF sweep would double the bench's wall
+    // clock for lines that never spike.
+    val spikeProne = Set("q70", "q98", "q102", "q112", "q119", "q134",
+      "q142", "q164", "q166", "q170", "q172", "q175", "q179", "q181",
+      "q199")
+    ordered.foreach { case (name, fn) =>
+      val qn = name.takeWhile(_ != '_')
+      if (spikeProne.contains(qn)) {
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        graft.ops.Materialize.release(spark)
+      }
+    }
     // cumulative JVM GC millis: per-query deltas surface cache-leak
     // regressions (the q48 0.7->9.2 s incident class) in the JSON
     // itself, not just in relative timings

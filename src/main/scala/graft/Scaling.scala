@@ -35,23 +35,39 @@ object Scaling {
   /** Sub-quadratic gate on the top (least overhead-diluted) decade. */
   val MaxExponent = 1.3
 
+  /** Shingle/gram hash width for the measured cells — the LIBRARY
+    * default (64-bit), not the 32-bit oracle width (round 15, VERDICT
+    * r14 item 2): scaling runs don't need DuckDB parity, and the
+    * 32-bit width's birthday collisions at upper decades (~0.3%
+    * output-row inflation at 440M distinct shingles) made output-row
+    * accounting diverge from replica construction. Overridable for
+    * A/B against the old records. */
+  val ScalingBits: Int = sys.env.get("SPARK_GRAFT_SCALING_BITS")
+    .map(_.toInt).getOrElse(graft.ops.Dedup.DefaultHashBits)
+
   private val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q14_minhash_lsh" -> ((s, d) => graft.ops.Dedup.minhashLshPairs(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q15_jaccard_pairs" -> ((s, d) => graft.ops.Dedup.jaccardPairs(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q49_dedup_clusters" -> ((s, d) => graft.ops.Dedup.nearDupClusters(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q65_dup_spans" -> ((s, d) => graft.ops.Dedup.dupSpans(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q14_minhash_lsh" -> ((s, d) => graft.ops.Dedup.minhashLshPairs(s, d, ScalingBits)),
+    "q15_jaccard_pairs" -> ((s, d) => graft.ops.Dedup.jaccardPairs(s, d, ScalingBits)),
+    // round-15 served forms (VERDICT r14 item 1): pass 1 of min-of-2
+    // pays the session-cached postings-artifact BUILD (untimed by the
+    // min — the q105/q41 discipline); the recorded cell is the
+    // formula pass over the materialized pair counts
+    "q15_jaccard_served" -> ((s, d) => graft.ops.Dedup.jaccardPairsFromPostings(s, d, ScalingBits)),
+    "q83_containment_served" -> ((s, d) => graft.ops.Dedup.containmentPairsFromPostings(s, d, ScalingBits)),
+    "q49_dedup_clusters" -> ((s, d) => graft.ops.Dedup.nearDupClusters(s, d, ScalingBits)),
+    "q65_dup_spans" -> ((s, d) => graft.ops.Dedup.dupSpans(s, d, ScalingBits)),
     // q65's enforcement half: positioned grams, keeper min-agg, cut-list
     // collapse, scan-local rebuild — cut volume is per-replica so output
     // stays linear in the factor
-    "q115_dup_span_redact" -> ((s, d) => graft.ops.Dedup.dupSpanRedact(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q115_dup_span_redact" -> ((s, d) => graft.ops.Dedup.dupSpanRedact(s, d, ScalingBits)),
     // scan-local sliding-min fingerprints + inverted-index pair join:
     // replicas share no grams, so fingerprint overlap (and the pair
     // report) is per-replica and output stays linear in the factor
-    "q128_winnow_pairs" -> ((s, d) => graft.ops.Dedup.winnowPairs(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q128_winnow_pairs" -> ((s, d) => graft.ops.Dedup.winnowPairs(s, d, ScalingBits)),
+    "q74_dedup_survivors" -> ((s, d) => graft.ops.Dedup.dedupSurvivors(s, d, ScalingBits)),
     // same graph, different survivor rule: the quality join + max_by
     // argmax adds a members-sized keyed shuffle on top of q74's shape
-    "q106_quality_survivors" -> ((s, d) => graft.ops.Dedup.qualitySurvivors(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q106_quality_survivors" -> ((s, d) => graft.ops.Dedup.qualitySurvivors(s, d, ScalingBits)),
     // the two remaining distinct join shapes in the family: the
     // distinct-(source,hv) inverted-index equi-join and the broadcast
     // admission check (incoming batch ~5% of corpus, both scale with
@@ -59,22 +75,22 @@ object Scaling {
     // output is quadratic by the birthday bound once n >> 2^16 — a
     // workload property, not a plan property; its scale path is the
     // signature-level grouping q16 feeds the CC family.
-    "q72_source_overlap" -> ((s, d) => graft.ops.Dedup.sourceOverlap(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q72_source_overlap" -> ((s, d) => graft.ops.Dedup.sourceOverlap(s, d, ScalingBits)),
     // positioned-gram inverted-index join + per-(pair,diagonal) window:
     // replicas share no grams, so the matched-gram relation (and the
     // run report) is per-replica and output stays linear in the factor
-    "q145_shared_runs" -> ((s, d) => graft.ops.Dedup.sharedRunPairs(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q145_shared_runs" -> ((s, d) => graft.ops.Dedup.sharedRunPairs(s, d, ScalingBits)),
     // q14's edge set + star CC + two answer-sized keyed aggs: the audit
     // adds only cluster-frame work on top of the q49 shape
-    "q146_cluster_cohesion" -> ((s, d) => graft.ops.Dedup.clusterCohesion(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q146_cluster_cohesion" -> ((s, d) => graft.ops.Dedup.clusterCohesion(s, d, ScalingBits)),
     // the three-family union + one CC + provenance aggs: measures that
     // COMPOSING detectors scales like its slowest member, not their sum
     // times a blowup — replicas share nothing, so the union edge set
     // stays linear in the factor
-    "q155_consensus_clusters" -> ((s, d) => graft.ops.Dedup.consensusClusters(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q155_consensus_clusters" -> ((s, d) => graft.ops.Dedup.consensusClusters(s, d, ScalingBits)),
     // fp-keyed attribution join: replicas share no fingerprints, so the
     // S-bounded fan-out and the report both stay linear in the factor
-    "q163_winnow_attribution" -> ((s, d) => graft.ops.Dedup.winnowAttribution(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q163_winnow_attribution" -> ((s, d) => graft.ops.Dedup.winnowAttribution(s, d, ScalingBits)),
     // the artifact-SERVED consumer reports (the persisted dedup graph's
     // serving half): pass 1 of min-of-2 pays the per-decade graph BUILD
     // (untimed by the min — the q105 discipline below), so these cells
@@ -83,15 +99,15 @@ object Scaling {
     // projections. The measured exponents are the amortization claim's
     // evidence — near-linear-in-corpus for q74 (one documents
     // projection), near-flat-in-corpus-size for the pure artifact reads
-    "q74_survivors_served" -> ((s, d) => graft.ops.Dedup.dedupSurvivorsFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q155_consensus_served" -> ((s, d) => graft.ops.Dedup.consensusClustersFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q158_walks_served" -> ((s, d) => graft.ops.Dedup.dupGraphWalksFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q74_survivors_served" -> ((s, d) => graft.ops.Dedup.dedupSurvivorsFromGraph(s, d, ScalingBits)),
+    "q155_consensus_served" -> ((s, d) => graft.ops.Dedup.consensusClustersFromGraph(s, d, ScalingBits)),
+    "q158_walks_served" -> ((s, d) => graft.ops.Dedup.dupGraphWalksFromGraph(s, d, ScalingBits)),
     // the lifecycle write path: wave verification (broadcast banded
     // probe + wave-sized self join) + artifact append + label read;
     // the wave (src0 docs) grows with the factor, so the cell should
     // stay linear in the corpus — measures that APPENDING scales, not
     // just serving
-    "q165_graph_append" -> ((s, d) => graft.ops.Dedup.graphAppendReport(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q165_graph_append" -> ((s, d) => graft.ops.Dedup.graphAppendReport(s, d, ScalingBits)),
     // the retrieval-eval pair, inline and served: inline pays relevance
     // regeneration (q14) + the broadcast-anchors scoring scan per eval;
     // the served forms read the persisted graph + eval-rankings
@@ -101,15 +117,15 @@ object Scaling {
     // (EvalQueries = 25) at every decade — the eval-harness contract —
     // so the inline cells grow with the corpus scan, the served cells
     // with the answer-sized rankings
-    "q154_retrieval_eval" -> ((s, d) => graft.ops.Hybrid.retrievalEval(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q154_eval_served" -> ((s, d) => graft.ops.Hybrid.retrievalEvalFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q161_training_triplets" -> ((s, d) => graft.ops.Hybrid.trainingTriplets(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q161_triplets_served" -> ((s, d) => graft.ops.Hybrid.trainingTripletsFromGraph(s, d, graft.ops.Dedup.OracleHashBits)),
-    "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q154_retrieval_eval" -> ((s, d) => graft.ops.Hybrid.retrievalEval(s, d, ScalingBits)),
+    "q154_eval_served" -> ((s, d) => graft.ops.Hybrid.retrievalEvalFromGraph(s, d, ScalingBits)),
+    "q161_training_triplets" -> ((s, d) => graft.ops.Hybrid.trainingTriplets(s, d, ScalingBits)),
+    "q161_triplets_served" -> ((s, d) => graft.ops.Hybrid.trainingTripletsFromGraph(s, d, ScalingBits)),
+    "q99_incremental_dedup" -> ((s, d) => graft.ops.Dedup.incrementalDedup(s, d, ScalingBits)),
     // the artifact-served admission: pass 1 of min-of-2 pays the
     // session-cached index BUILD (untimed by the min, the q41/q81
     // discipline), so the recorded cell is the pure serving read
-    "q105_indexed_admission" -> ((s, d) => graft.ops.Dedup.incrementalDedupFromIndex(s, d, graft.ops.Dedup.OracleHashBits)),
+    "q105_indexed_admission" -> ((s, d) => graft.ops.Dedup.incrementalDedupFromIndex(s, d, ScalingBits)),
     // the events-table member: cell cap and mutual-top-K are SCALE
     // CLAIMS (bounded per-cell fan-out, degree ≤ K by construction) —
     // measured here, not argued. Replica r suffixes event_type, so
@@ -125,7 +141,7 @@ object Scaling {
     // factor, the frozen-corpus build is pass-1/untimed, and the timed
     // work is the broadcast band probe + answer-sized edge tagging
     "q180_admission_split_guard" -> ((s, d) =>
-      graft.ops.Dedup.admissionSplitGuard(s, d, graft.ops.Dedup.OracleHashBits)),
+      graft.ops.Dedup.admissionSplitGuard(s, d, ScalingBits)),
     // the pure top-k scan shape: one key-computing projection +
     // TakeOrderedAndProject — should be near-linear in the scan with a
     // tiny constant (the answer never grows)
@@ -174,7 +190,7 @@ object Scaling {
     // per-decade label build (dedupGraphEdges + star CC, the q155
     // composition discipline).
     "q190_fs_linkage" -> ((s, d) =>
-      graft.ops.Privacy.fsLinkage(s, d, graft.ops.Dedup.OracleHashBits)),
+      graft.ops.Privacy.fsLinkage(s, d, ScalingBits)),
     // the wave (src0 replicas) grows with the factor; verdicts are one
     // wave-keyed window + a broadcast of the QI-domain-sized frozen
     // count table — no corpus-sized shuffle join at any decade
@@ -282,21 +298,62 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val root = java.nio.file.Files.createTempDirectory(
-      graft.streaming.StreamScratch.root, "graft_scaling")
+    // warm-cell discipline (round 15, VERDICT r14 item 3): the first
+    // timed cells after an untimed multi-GB tmpfs corpus write read
+    // 2-6× high (q15 f=64: 64.1 s vs 9.7 s same day) — memory-reclaim
+    // pressure from the write, not the plan — which poisons
+    // cross-session absolute comparisons. Two remedies, compounding:
+    //  - SPARK_GRAFT_SCALING_CORPUS_DIR pins the corpora to a FIXED
+    //    path and reuses decades already on disk, so a measurement
+    //    session performs no big writes at all (the verdict's
+    //    "separate corpus-generation from measurement sessions");
+    //    SPARK_GRAFT_SCALING_MODE=generate writes them and exits.
+    //  - any decade this session DID write gets an untimed read-through
+    //    settle pass (below) before timing starts.
+    val corpusRoot = sys.env.get("SPARK_GRAFT_SCALING_CORPUS_DIR")
+    val generateOnly = sys.env.get("SPARK_GRAFT_SCALING_MODE").contains("generate")
+    val root = corpusRoot
+      .map(p => { java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)) })
+      .getOrElse(java.nio.file.Files.createTempDirectory(
+        graft.streaming.StreamScratch.root, "graft_scaling"))
 
-    // corpus decades, written once (untimed — index/ingest build half)
+    // corpus decades, written once (untimed — index/ingest build half);
+    // a decade already complete under a pinned corpus root is reused
+    def complete(dir: String): Boolean =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/documents.parquet/_SUCCESS")) &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/events.parquet/_SUCCESS"))
+    var wroteAny = false
     val dirs = factors.map { f =>
       val dir = root.resolve(s"f$f").toString
-      // ~32MB target files so the scan-side split count grows with the
-      // corpus the way a real ingest's would
-      val parts = math.max(1, f / 8)
-      amplified(spark, srcDir, f).repartition(parts)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      amplifiedEvents(spark, srcDir, f).repartition(parts)
-        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      if (!(corpusRoot.isDefined && complete(dir))) {
+        // ~32MB target files so the scan-side split count grows with the
+        // corpus the way a real ingest's would
+        val parts = math.max(1, f / 8)
+        amplified(spark, srcDir, f).repartition(parts)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        amplifiedEvents(spark, srcDir, f).repartition(parts)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        wroteAny = true
+      }
       val n = spark.read.parquet(s"$dir/documents.parquet").count()
       (f, dir, n)
+    }
+    if (generateOnly) {
+      println(s"scaling: generated ${dirs.size} corpus decades under $root; exiting (generate mode)")
+      spark.stop()
+      return
+    }
+    if (wroteAny) {
+      // settle: page every decade back through the scan path (untimed)
+      // and let the JVM shed the write-side garbage before any cell is
+      // timed — the same-session mitigation for the write distortion
+      dirs.foreach { case (_, dir, _) =>
+        spark.read.parquet(s"$dir/documents.parquet").count()
+        spark.read.parquet(s"$dir/events.parquet").count()
+      }
+      System.gc()
     }
 
     def timeOne(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
@@ -373,8 +430,9 @@ object Scaling {
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(sb.toString)
 
-    // scratch corpora are throwaway
-    try {
+    // scratch corpora are throwaway; a PINNED corpus root persists for
+    // the next measurement session (that persistence is its point)
+    if (corpusRoot.isEmpty) try {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(p => { java.nio.file.Files.deleteIfExists(p); () })

@@ -313,6 +313,27 @@ class PlanAuditSpec extends SparkSpec {
         s"q105 scans the corpus without the incoming-source pushdown:\n$l"))
   }
 
+  test("q203/q204: postings-served overlap reports read the artifact only — no corpus scan, no shingle kernel") {
+    // the amortization claim as a checkable plan property: the served
+    // forms must contain parquet scans of the artifact's pairs/ and
+    // sizes/ relations and NOTHING that re-derives them — no
+    // documents.parquet scan (the MD5 shingle pass lives at build
+    // time) and no MapPartitions posting kernel
+    for ((name, df) <- Seq(
+        "q203" -> Dedup.jaccardPairsFromPostings(spark, sf0001, Dedup.OracleHashBits),
+        "q204" -> Dedup.containmentPairsFromPostings(spark, sf0001, Dedup.OracleHashBits))) {
+      val plan = executed(df)
+      val idxPath = Dedup.preparedOverlapPostings(spark, sf0001, Dedup.OracleHashBits)
+      val idxTag = idxPath.stripPrefix("/tmp/")
+      Seq("pairs", "sizes").foreach(p =>
+        assert(plan.contains(s"$idxTag/$p"), s"$name must scan $p from the artifact:\n$plan"))
+      assert(!plan.contains("documents.parquet"),
+        s"$name re-scanned the corpus the artifact exists to amortize:\n$plan")
+      assert(!plan.contains("MapPartitions"),
+        s"$name re-ran a typed detector kernel at serve time:\n$plan")
+    }
+  }
+
   test("q103: benchmark broadcasts; the corpus shingle stream crosses the network once (no countDistinct double exchange)") {
     val df = Dedup.multiDecontamination(spark, sf0001, Dedup.OracleHashBits)
     val plan = executed(df)

@@ -94,6 +94,32 @@ class PreparedKnnSpec extends SparkSpec {
     } finally AnnCatalog.clear()
   }
 
+  test("payload-store lane and parquet payload lane return identical hits") {
+    // round 15: the executor-resident PayloadStore replaces the
+    // per-query parquet payload scan; correctness must never depend on
+    // it — with the store dropped, the same search must fall back to
+    // the prepared payload plan and return bit-identical rows
+    val (_, idxDir) = buildIndex("store")
+    AnnCatalog.register(spark, idxDir)
+    try {
+      val emb = new HashingEmbedder()
+      for (question <- Seq("compute function value", "function 17 compute")) {
+        // re-prepare so every iteration exercises a LIVE store first
+        // (clear() below leaves the store absent until re-prepare)
+        PreparedKnn.clear()
+        val q = emb.embed(question)
+        val withStore = PreparedKnn.search(spark, idxDir, q, 6)
+        assert(withStore.isDefined && withStore.get.nonEmpty)
+        graft.plans.PayloadStore.clear()
+        val fallback = PreparedKnn.search(spark, idxDir, q, 6)
+        assert(fallback.isDefined)
+        assert(withStore.get == fallback.get, s"store/fallback diverge for '$question'")
+        // and both equal the rule path (the standing parity bar)
+        assert(withStore.get == rulePathHits(idxDir, q, 6))
+      }
+    } finally AnnCatalog.clear()
+  }
+
   test("concurrent queries through the prepared executor equal their sequential answers") {
     // interactive serving is inherently concurrent: the TrieMap entry,
     // the single-flight (re)prepare, and per-query plan transforms must
