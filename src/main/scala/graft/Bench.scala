@@ -104,6 +104,18 @@ object Bench {
       // for work the warmup already compiled (measured: isolated q85 =
       // 0.9 s vs 2.0 s inside the full sweep, zero GC attribution)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // round 15 (guide §2.2 "fewer, larger reduce partitions"): let AQE
+      // re-plan the physical partitioning UNDER cached relations too —
+      // off by default, which pins every InMemoryRelation consumer to
+      // the static spark.sql.shuffle.partitions width regardless of
+      // size. With it on, cached-frame scans coalesce to advisory-sized
+      // partitions at ANY scale (size-adaptive, not a local[32] tune);
+      // measured at sf0.1: q195 268→19 tasks / 35→0.7 task-seconds
+      // (32 tasks per consumer were lock-contending on tiny cached
+      // blocks), q175 −49% wall, q198/q116/q149/q158 similar. Row sets
+      // are unchanged (AQE-scope switch; AqeParitySpec discipline) —
+      // re-verified 204/204 against the DuckDB oracle with this on.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // SPARK_GRAFT_AQE=0 pins static plans, =1 pins adaptive; unset
     // keeps Spark's default (adaptive since 3.2). AqeParitySpec proves
     // the two modes are row-identical across every declared query.

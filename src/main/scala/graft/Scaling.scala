@@ -295,6 +295,9 @@ object Scaling {
       .config("spark.ui.enabled", "false")
       // see Bench: codegen-class cache sized for a many-query sweep
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // see Bench: AQE-sized partitioning under cached relations —
+      // size-adaptive at every decade, same switch the bench runs with
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -15,6 +15,10 @@ object Verify {
       // see Bench: the 100-entry default evicts constantly over a
       // 148-query sweep (static conf — must precede getOrCreate)
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // see Bench: AQE-sized partitioning under cached relations (the
+      // verify run must execute the same physical configuration the
+      // bench times, so the oracle compare covers it)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

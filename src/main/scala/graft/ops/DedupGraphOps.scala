@@ -907,19 +907,25 @@ trait DedupGraphOps { this: Dedup.type =>
     * re-execution, and un-checkpointed branch re-runs measured
     * slightly slower at sf0.1.) */
   private[graft] def walksOverPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sym = Materialize.shared(spark,
-      pairs.unionAll(pairs.select(col("doc_b"), col("doc_a"))).toDF("node", "nbr"))
-    // adjacency + degrees are joined by EVERY step: cache them too, or
-    // each of the four step jobs re-runs the ranking window and the
-    // degree agg from sym (4x the graph-prep work for a 4-step walk)
-    val adj = Materialize.shared(spark, sym.withColumn("idx",
-      (row_number().over(Window.partitionBy("node").orderBy("nbr")) - 1).cast("long")))
-    val deg = Materialize.shared(spark,
-      sym.groupBy("node").agg(count(lit(1)).as("deg")))
+    // ONE cached relation: node → ascending neighbor list. Replaces the
+    // round-14 three-frame form (sym + row_number-ranked adj + deg):
+    // element_at(nbrs, H mod size(nbrs) + 1) over the sorted array IS
+    // the sorted-neighbor-index hop the ranked row table encoded, so
+    // each step is ONE equi-join on `cur` instead of a deg join + a
+    // (cur, idx) point join, the ranking window and its exchange
+    // disappear, and the eager-materialization count jobs drop 3 → 1
+    // (guide §2.4: same answer, fewer exchanges/passes). Multiplicity
+    // is preserved (sort_array over collect_list, not collect_set), so
+    // a duplicated edge still widens the hash-index range exactly as
+    // the row_number form did. Per-node arrays are degree-bounded —
+    // the same per-key footprint the ranking window's partitions had.
+    val sym = pairs.unionAll(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("node", "nbr")
+    val adj = Materialize.shared(spark,
+      sym.groupBy("node").agg(sort_array(collect_list(col("nbr"))).as("nbrs")))
     val hopH = shingleHashExpr("instr",
       "md5(concat(cast(start as string), '|', cast(cur as string), '|', cast(step as string)))")
-    var frontier = sym.select(col("node").as("start")).distinct()
+    var frontier = adj.select(col("node").as("start"))
       .select(col("start"), col("start").as("cur"), lit(0L).as("step"))
     var out = frontier
     (1 to WalkSteps).foreach { t =>
@@ -929,10 +935,11 @@ trait DedupGraphOps { this: Dedup.type =>
       // measured 4.9 s → ~1 s at sf0.1 for a 470-node graph
       val stepped = Materialize.tracked(spark, frontier
         .withColumn("step", lit(t.toLong))
-        .join(deg.withColumnRenamed("node", "cur"), "cur")
-        .withColumn("idx", expr(s"$hopH % deg"))
-        .join(adj.withColumnRenamed("node", "cur"), Seq("cur", "idx"))
-        .select(col("start"), col("nbr").as("cur"), col("step"))
+        .join(adj.withColumnRenamed("node", "cur"), "cur")
+        .select(col("start"),
+          element_at(col("nbrs"),
+            (expr(s"$hopH % size(nbrs)") + lit(1)).cast("int")).as("cur"),
+          col("step"))
         .localCheckpoint(true))
       out = out.unionAll(stepped)
       frontier = stepped

@@ -894,14 +894,38 @@ trait DedupOverlap { this: Dedup.type =>
     val ss = Materialize.shared(spark, capped)
     val sizes = ss.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n"))
+    // round 15 (guide §1.2 per-task work): the pair emission aggregates
+    // INSIDE the task. The flatMap form emitted one (String, String)
+    // tuple per (shingle, source-pair) — ~19M transient rows at sf0.1 —
+    // and every one crossed the typed SerializeFromObject boundary just
+    // to be collapsed by the partial HashAggregate on the other side.
+    // Counting into a per-task map first bounds the emitted (and
+    // serialized) volume at S²/2 rows per partition (S = distinct
+    // sources), the same bound the partial aggregate converged to;
+    // the grouped sum downstream is unchanged, so the answer and the
+    // DuckDB oracle are untouched (PipelineOpsSpec's set reference and
+    // the df-cap invariance spec pin it).
     val pairs = ss.select(col("srcs")).as[Seq[String]]
-      .flatMap { srcs =>
-        val s = srcs.sorted
-        for { i <- s.indices.iterator; j <- (i + 1) until s.length }
-          yield (s(i), s(j))
+      .mapPartitions { it =>
+        val acc = new java.util.HashMap[(String, String), Long]()
+        it.foreach { srcs =>
+          val s = srcs.sorted
+          var i = 0
+          while (i < s.length - 1) {
+            var j = i + 1
+            while (j < s.length) {
+              acc.merge((s(i), s(j)), 1L, (a, b) => a + b)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        acc.entrySet().iterator().asScala
+          .map(e => (e.getKey._1, e.getKey._2, e.getValue))
       }
-      .toDF("source_a", "source_b")
-      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      .toDF("source_a", "source_b", "cnt")
+      .groupBy("source_a", "source_b").agg(sum(col("cnt")).as("n_shared"))
     pairs
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")

@@ -474,7 +474,12 @@ object Events {
   val CoVisitTopK = 8L
   val CoVisitCellCap = 64L
 
-  def coVisitTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The un-checkpointed mutual-edge half of q170 (events → capped
+    * cells → pair flatMap → directed top-K → mutual filter) — exposed
+    * as a seam so PlanAuditSpec can pin the pair-generation plan shape
+    * that [[coVisitTriangles]]'s answer-sized checkpoint truncates out
+    * of the final report's lineage. */
+  private[graft] def coVisitMutualEdges(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // the cap is a MEMORY guard, not just a semantic rule, so it must
     // bind DURING aggregation: a collect_set-then-size() form builds
@@ -537,11 +542,29 @@ object Events {
     // lists: one groupBy on the unordered key counts directions — no
     // self-join of the ranked frame (the r10 form's tx/ty join was two
     // extra exchanges plus a doubled window compute)
-    val und = topk
+    topk
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .filter(col("c") === 2)
       .select("a", "b")
+  }
+
+  def coVisitTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    // round 15: the mutual-edge list is re-rooted at an answer-sized
+    // eager checkpoint. Downstream it feeds FOUR subtrees (the three
+    // oriented join aliases + the degree/stats arm), each of which
+    // statically inlines the whole events→cells→pairs→topk pipeline —
+    // a ~40-exchange plan the driver re-optimizes on every AQE stage
+    // round (measured: 13 jobs, 2.5-3.1 s wall, <4 task-seconds — the
+    // wall was driver latency, not compute). Exchange reuse already
+    // deduped the runtime compute; the checkpoint dedups the PLANNING.
+    // und is answer-sized (mutual top-K edges, ≤ TopK per node), so the
+    // checkpoint itself is wave-cheap at any corpus size, and unlike
+    // persist() on the pair frame (the documented 27 s estimation
+    // poisoning) a checkpointed LogicalRDD carries its real size, so
+    // downstream join strategies stay correct.
+    val und = Materialize.tracked(spark,
+      coVisitMutualEdges(spark, sfDir).localCheckpoint(true))
     // degree via ONE window over the bidirectional frame (no deg join):
     // each undirected edge contributes a row per endpoint, so count
     // over (partition by n) IS the mutual degree, bounded by 2*TopK

@@ -471,6 +471,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q170: pair generation is aggregate-emission — no data-bearing self-join in the plan") {
+    // round 15: the report re-roots at an answer-sized checkpoint of
+    // the mutual-edge list (the three oriented aliases + the stats arm
+    // each inlined the full pipeline statically — pure planning cost),
+    // so the audit covers BOTH halves: the pair-generation plan through
+    // the un-checkpointed seam, and the report plan end-to-end.
+    val edges = graft.ops.Events.coVisitMutualEdges(spark, sf0001)
+    edges.collect()
+    val edgePlan = flatten(edges.queryExecution.executedPlan).mkString("\n")
+    assert(!edgePlan.contains("CartesianProduct"),
+      s"cartesian in the pair-generation pipeline:\n$edgePlan")
+    // the cell table collapses map-side (partial collect_set before its
+    // one exchange) and pairs are emitted from the grouped sets
+    assert(edgePlan.contains("ObjectHashAggregate") || edgePlan.contains("SortAggregate"),
+      s"per-cell user sets must build through partial aggregation:\n$edgePlan")
+    assert(edgePlan.contains("MapPartitions") || edgePlan.contains("SerializeFromObject"),
+      s"pair emission must be the flatMap over grouped cells:\n$edgePlan")
     val df = graft.ops.Events.coVisitTriangles(spark, sf0001)
     df.collect()
     val nodes = flatten(df.queryExecution.executedPlan)
@@ -480,12 +496,10 @@ class PlanAuditSpec extends SparkSpec {
     // cross (stats × triangles); pair/edge/degree stages never loop
     val bnlj = nodes.count(_.nodeName.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"nested loop beyond the 1-row report cross:\n$plan")
-    // the cell table collapses map-side (partial collect_set before its
-    // one exchange) and pairs are emitted from the grouped sets
-    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
-      s"per-cell user sets must build through partial aggregation:\n$plan")
-    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
-      s"pair emission must be the flatMap over grouped cells:\n$plan")
+    // and the report plan is checkpoint-rooted: the events scan ran
+    // once, in the edge half, not once per oriented alias
+    assert(!plan.contains("Scan parquet") || !plan.contains("MapPartitions"),
+      s"the report half re-ran the pair pipeline instead of the checkpoint:\n$plan")
   }
 
   test("q171: anchors broadcast into the label join; the top-2 cut prunes before the anchor shuffle") {
