@@ -150,7 +150,7 @@ trait DedupOverlap { this: Dedup.type =>
                                   dfCap: Option[Long],
                                   bits: Int): DataFrame = {
     import spark.implicits._
-    val (_, sh, sizes) = sharedSummary(spark, sfDir, bits)
+    val (_, sh, _, nDocs) = sharedSummaryN(spark, sfDir, bits)
     val cap = dfCap.map(_.toInt).getOrElse(Int.MaxValue)
     // a real cluster scales partition count with the corpus; under the
     // harness's fixed spark.sql.shuffle.partitions the posting scan's
@@ -160,10 +160,10 @@ trait DedupOverlap { this: Dedup.type =>
     // ~20k docs/partition, never below the session default — at the
     // oracle and bench SFs (≤5k docs) that clamp makes this exactly
     // the session default, so test-SF plans are byte-identical. The
-    // doc count is one count() over the already-materialized per-doc
-    // summary (metadata a production pipeline has for free).
+    // doc count rides the summary materialization's own eager count
+    // (round 15: the separate sizes.count() job is gone).
     val defaultParts = spark.sessionState.conf.numShufflePartitions
-    val parts = math.max(defaultParts, math.ceil(sizes.count() / 20000.0).toInt)
+    val parts = math.max(defaultParts, math.ceil(nDocs / 20000.0).toInt)
     // null-source rows can never pair (the join form's a.source =
     // b.source drops them); the group scan must drop them too
     sh.filter(col("source").isNotNull)

@@ -247,10 +247,27 @@ trait DedupSignatures { this: Dedup.type =>
     * not a shuffle. */
   private[ops] def sharedSummary(spark: SparkSession, sfDir: String, bits: Int):
       (DataFrame, DataFrame, DataFrame) = {
-    val summary = Materialize.shared(spark, docShingleSummary(spark, sfDir, bits))
+    val (summary, _, _, _) = sharedSummaryN(spark, sfDir, bits)
     (summary,
       summary.select(col("doc_id"), col("source"), explode(col("s")).as("hv")),
       summary.select(col("doc_id"), size(col("s")).cast("long").as("sz")))
+  }
+
+  /** [[sharedSummary]] plus the summary's row count (= docs with ≥3
+    * tokens), carried from the keyed materialization's eager count so
+    * consumers that size an exchange by corpus size (the q15/q83
+    * posting scan) need no extra count job — and a query reaching the
+    * summary through two helper paths materializes it ONCE (round 15;
+    * the second reach used to pay a duplicate persist + count per
+    * invocation). −1 in plan-inspection mode. */
+  private[ops] def sharedSummaryN(spark: SparkSession, sfDir: String, bits: Int):
+      (DataFrame, DataFrame, DataFrame, Long) = {
+    val (summary, n) = Materialize.sharedKeyed(spark, ("docShingleSummary", sfDir, bits),
+      docShingleSummary(spark, sfDir, bits))
+    (summary,
+      summary.select(col("doc_id"), col("source"), explode(col("s")).as("hv")),
+      summary.select(col("doc_id"), size(col("s")).cast("long").as("sz")),
+      n)
   }
 
   /** LSH candidate pairs with their exact shingle-overlap counts —

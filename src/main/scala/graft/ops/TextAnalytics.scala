@@ -880,25 +880,30 @@ object TextAnalytics {
 
   /** q85: top-k documents for the fixed query under BM25.
     *
-    * Scale shape: the token stream is filtered to QUERY TERMS before
-    * it ever explodes (array filter inside the scan projection), so
-    * the per-term tf table is |terms|·|matching docs| rows, not the
-    * corpus token stream; corpus stats (N, Σdl) are one scalar
-    * aggregate broadcast back; document frequency is a |terms|-row
-    * broadcast; and the final top-k is TakeOrderedAndProject (orderBy
-    * + limit — Spark's physical top-k), never a full sort. */
+    * Scale shape (round 15: ONE corpus scan — the q195 discipline):
+    * the token stream is filtered to QUERY TERMS before it ever
+    * explodes, with `explode_outer` so every document keeps a row and
+    * corpus stats (N, Σdl) fall out of the SAME materialized per-term
+    * frame instead of a second scan; document frequency is a
+    * |terms|-row broadcast off the cache (the round-14 form re-ran the
+    * tokenize lineage inside the df broadcast build — three corpus
+    * scans per invocation for one ranking); and the final top-k is
+    * TakeOrderedAndProject (orderBy + limit — Spark's physical top-k),
+    * never a full sort. */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val toks = tokens(col("text"))
     val isQueryTerm = (t: Column) =>
       Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
-    val perTerm = docs.select(col("doc_id"), size(toks).as("dl"),
-        explode(filter(toks, isQueryTerm)).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val stats = broadcast(docs.select(size(toks).as("dl0"))
-      .agg(count(lit(1)).as("nd"), sum(col("dl0")).as("sdl")))
-    val dfc = broadcast(perTerm.groupBy("term").agg(count(lit(1)).as("df")))
-    perTerm.join(dfc, "term").crossJoin(stats)
+    val per = Materialize.shared(spark, docs
+      .select(col("doc_id"), size(toks).as("dl"),
+        explode_outer(filter(toks, isQueryTerm)).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val stats = broadcast(per.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl")))
+    val matched = per.filter(col("term").isNotNull)
+    val dfc = broadcast(matched.groupBy("term").agg(count(lit(1)).as("df")))
+    matched.join(dfc, "term").crossJoin(stats)
       .withColumn("tscore", expr(bm25ScoreExpr))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("tscore")).as("score"))
@@ -1282,23 +1287,40 @@ object TextAnalytics {
 
   def rm3Expansion(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
     val origs = Bm25Terms.map((_, 1L)).toDF("term", "tweight")
-    // (nd, sdl) is stage-invariant: compute the stats scan once and
-    // share the 1-row result across both scoring stages
+    // round 15 (guide §1.2 step 1 — fewer passes): stage 1 and the
+    // stage-invariant corpus stats ride ONE materialized scan (the
+    // q195/q85 explode_outer discipline: every doc keeps a row, so
+    // (nd, sdl) is a distinct+agg over the cache, not its own corpus
+    // scan), and `top` is an answer-sized derivation off that cache —
+    // its old eager materialization re-ran nothing but still paid a
+    // persist + count job per invocation. The round-14 form paid four
+    // corpus scans per invocation (stats, stage 1, mine, stage 2);
+    // this one pays three, the inherent PRF floor (the mine needs the
+    // full tokens of the FbDocs winners, stage 2 needs the
+    // data-dependent expanded term set).
     val toksS = tokens(col("text"))
-    val stats = Materialize.shared(spark,
-      docs.select(size(toksS).as("dl0"))
-        .agg(count(lit(1)).as("nd"), sum(col("dl0")).as("sdl")))
-    // each PRF stage is a full scoring pipeline consumed by several
-    // downstream subtrees (the mined terms sit inside perTok, its df
-    // broadcast, AND the final join) — without materialization Spark
-    // re-runs stage 1 once per consumer; both frames are answer-sized
-    // (FbDocs=5 / FbTerms=3 rows), so the persist is free
-    val top = Materialize.shared(spark,
-      bm25WeightedScores(docs, broadcast(origs), stats)
-        .orderBy(col("score").desc, col("doc_id").asc).limit(Rm3FbDocs)
-        .select(col("doc_id"), col("score")))
+    val isQueryTerm = (t: Column) =>
+      Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
+    val per1 = Materialize.shared(spark, docs
+      .select(col("doc_id"), size(toksS).as("dl"),
+        explode_outer(filter(toksS, isQueryTerm)).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    val stats = broadcast(per1.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl")))
+    val top = per1.filter(col("term").isNotNull)
+      .join(broadcast(origs), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(stats)
+      .withColumn("tscore", expr(bm25ScoreExpr) * col("tweight"))
+      .groupBy("doc_id").agg(sum(col("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(Rm3FbDocs)
+      .select(col("doc_id"), col("score"))
+    // mined stays eagerly materialized: it is the second corpus scan,
+    // and holding it as an answer-sized cached frame keeps stage 2's
+    // executed plan at exactly one documents scan (PlanAuditSpec)
     val mined = Materialize.shared(spark,
       docs.join(broadcast(top), "doc_id")
         .select(col("doc_id"), col("score"), tokens(col("text")).as("tk"))
