@@ -65,15 +65,13 @@ object Hybrid {
     * and the rank materialized (window over the already-limited N-row
     * frame, so the window task is constant-sized). */
   private def lexicalRanked(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val toks = TextAnalytics.tokens(col("text"))
-    val isQueryTerm = (t: Column) =>
-      TextAnalytics.Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
-    val perTerm = docs.select(col("doc_id"), size(toks).as("dl"),
-        explode(filter(toks, isQueryTerm)).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val stats = broadcast(docs.select(size(toks).as("dl0"))
-      .agg(count(lit(1)).as("nd"), sum(col("dl0")).as("sdl")))
+    // round 15: one corpus scan through the lexical family's shared
+    // keyed per-term frame (see TextAnalytics.queryTermPer) — the old
+    // inline copy paid three (per-term scan, stats scan, df broadcast
+    // re-running the tokenize lineage)
+    val per = TextAnalytics.queryTermPer(spark, sfDir)
+    val stats = TextAnalytics.queryTermStats(per)
+    val perTerm = per.filter(col("term").isNotNull)
     val dfc = broadcast(perTerm.groupBy("term").agg(count(lit(1)).as("df")))
     val top = perTerm.join(dfc, "term").crossJoin(stats)
       .withColumn("tscore", expr(TextAnalytics.bm25ScoreExpr))

@@ -878,6 +878,34 @@ object TextAnalytics {
       "(cast(tf as double) + 1.2 * (0.25 + 0.75 * (cast(dl * nd as double) / cast(sdl as double))))) * " +
       "((cast(nd - df as double) + 0.5) / (cast(df as double) + 0.5))) * 1000000.0) as bigint)"
 
+  /** The ONE query-term scan the lexical family shares (round 15):
+    * (doc_id, dl, term, tf) with `explode_outer` so EVERY document
+    * keeps a row (term NULL when none of [[Bm25Terms]] occur) — corpus
+    * stats (nd, Σdl), per-term df, and per-doc scores all derive from
+    * this frame, so q85 / q195 / q172-stage-1 / q127's lexical arm each
+    * pay exactly one corpus scan, and a query that runs SEVERAL rankers
+    * (q196 runs two, q127 fuses one with the semantic arm) materializes
+    * it ONCE per invocation through the keyed registry. dl is long
+    * (q195's grid needs it; BM25's double math is value-identical
+    * either way, so every consumer can share the same plan). */
+  private[graft] def queryTermPer(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val isQueryTerm = (t: Column) =>
+      Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
+    Materialize.sharedKeyed(spark, ("queryTermPer", sfDir),
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), size(toks).cast("long").as("dl"),
+          explode_outer(filter(toks, isQueryTerm)).as("term"))
+        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))._1
+  }
+
+  /** The (nd, Σdl) corpus stats frame off [[queryTermPer]]'s cache —
+    * no separate corpus scan (docs with multiple matched terms hold
+    * several per rows, so the distinct collapses to one row per doc). */
+  private[graft] def queryTermStats(per: DataFrame): DataFrame =
+    broadcast(per.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl")))
+
   /** q85: top-k documents for the fixed query under BM25.
     *
     * Scale shape (round 15: ONE corpus scan — the q195 discipline):
@@ -891,16 +919,8 @@ object TextAnalytics {
     * TakeOrderedAndProject (orderBy + limit — Spark's physical top-k),
     * never a full sort. */
   def bm25Search(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val toks = tokens(col("text"))
-    val isQueryTerm = (t: Column) =>
-      Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
-    val per = Materialize.shared(spark, docs
-      .select(col("doc_id"), size(toks).as("dl"),
-        explode_outer(filter(toks, isQueryTerm)).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
-    val stats = broadcast(per.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl")))
+    val per = queryTermPer(spark, sfDir)
+    val stats = queryTermStats(per)
     val matched = per.filter(col("term").isNotNull)
     val dfc = broadcast(matched.groupBy("term").agg(count(lit(1)).as("df")))
     matched.join(dfc, "term").crossJoin(stats)
@@ -1301,15 +1321,8 @@ object TextAnalytics {
     // this one pays three, the inherent PRF floor (the mine needs the
     // full tokens of the FbDocs winners, stage 2 needs the
     // data-dependent expanded term set).
-    val toksS = tokens(col("text"))
-    val isQueryTerm = (t: Column) =>
-      Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
-    val per1 = Materialize.shared(spark, docs
-      .select(col("doc_id"), size(toksS).as("dl"),
-        explode_outer(filter(toksS, isQueryTerm)).as("term"))
-      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
-    val stats = broadcast(per1.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl")))
+    val per1 = queryTermPer(spark, sfDir)
+    val stats = queryTermStats(per1)
     val top = per1.filter(col("term").isNotNull)
       .join(broadcast(origs), "term")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
@@ -2829,14 +2842,10 @@ object TextAnalytics {
     * physical top-k. */
   def queryLikelihood(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.FixedLog2
-    val toks = tokens(col("text"))
-    val isQueryTerm = (t: Column) =>
-      Bm25Terms.map(q => t === lit(q)).reduce(_ || _)
-    val per = Materialize.shared(spark,
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), size(toks).cast("long").as("dl"),
-          explode_outer(filter(toks, isQueryTerm)).as("term"))
-        .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf")))
+    // round 15: the per-term frame is the lexical family's ONE shared
+    // keyed materialization (see queryTermPer) — q196, which runs this
+    // ranker AND q85's in one invocation, persists it once
+    val per = queryTermPer(spark, sfDir)
     val docsD = per.select("doc_id", "dl").distinct()
     val stats = broadcast(docsD.agg(sum("dl").as("ncorp")))
     val cf = broadcast(per.filter(col("term").isNotNull)
