@@ -22,13 +22,21 @@ object Explain {
       .filter { case (n, _) => wanted.isEmpty || wanted.contains(n) }
       .foreach { case (name, fn) =>
         println(s"===== $name =====")
-        // withoutEagerness: plan inspection must not trigger the full
-        // compute job that Materialize.shared's eager count would run
-        try println(graft.ops.Materialize.withoutEagerness {
-          fn(spark, sfDir).queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
-        })
+        // default: withoutEagerness — plan inspection must not trigger
+        // the full compute job that Materialize.shared's eager count
+        // would run. SPARK_GRAFT_EXPLAIN_EAGER=1 keeps the eager
+        // materializations so the printed plan is the RUNTIME shape
+        // (InMemoryTableScan under cached consumers) — the form the
+        // optimization round's before/after plan files use, at the
+        // cost of running each query's shared-cache builds.
+        val eagerMode = sys.env.get("SPARK_GRAFT_EXPLAIN_EAGER").contains("1")
+        def plan(): String = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        try println(
+          if (eagerMode) plan()
+          else graft.ops.Materialize.withoutEagerness(plan()))
         catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+        finally graft.ops.Materialize.release(spark)
       }
     spark.stop()
   }

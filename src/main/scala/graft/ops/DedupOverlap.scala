@@ -894,38 +894,33 @@ trait DedupOverlap { this: Dedup.type =>
     val ss = Materialize.shared(spark, capped)
     val sizes = ss.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n"))
-    // round 15 (guide §1.2 per-task work): the pair emission aggregates
-    // INSIDE the task. The flatMap form emitted one (String, String)
-    // tuple per (shingle, source-pair) — ~19M transient rows at sf0.1 —
-    // and every one crossed the typed SerializeFromObject boundary just
-    // to be collapsed by the partial HashAggregate on the other side.
-    // Counting into a per-task map first bounds the emitted (and
-    // serialized) volume at S²/2 rows per partition (S = distinct
-    // sources), the same bound the partial aggregate converged to;
-    // the grouped sum downstream is unchanged, so the answer and the
-    // DuckDB oracle are untouched (PipelineOpsSpec's set reference and
-    // the df-cap invariance spec pin it).
-    val pairs = ss.select(col("srcs")).as[Seq[String]]
-      .mapPartitions { it =>
-        val acc = new java.util.HashMap[(String, String), Long]()
-        it.foreach { srcs =>
-          val s = srcs.sorted
-          var i = 0
-          while (i < s.length - 1) {
-            var j = i + 1
-            while (j < s.length) {
-              acc.merge((s(i), s(j)), 1L, (a, b) => a + b)
-              j += 1
-            }
-            i += 1
-          }
-        }
-        import scala.jdk.CollectionConverters._
-        acc.entrySet().iterator().asScala
-          .map(e => (e.getKey._1, e.getKey._2, e.getValue))
+    // Pair emission is the round-11 flatMap through Spark's partial
+    // HashAggregate (round 15 A/B'd an in-closure HashMap count — it
+    // bounded the serialized volume but read ~2× slower per emission
+    // at the f=64 amplified decade's ~1.2B enumerations, 11.8-17.7 s
+    // vs 7.9 s: the codegen'd UnsafeRow write + hash-agg probe beats a
+    // boxed-tuple map merge; the partial aggregate already collapses
+    // output to ≤ S²/2 rows per partition).
+    //
+    // The explicit repartition (round 15) exists because this
+    // operator's WORK is fan-out-amplified (Σ|srcs|² per input row)
+    // while its input BYTES are only vocabulary-sized: any
+    // byte-proportional width — AQE coalescing over the cached scan
+    // (measured: ONE partition for the 19M-pair enumeration at sf0.1
+    // under cached-plan AQE, 4.7 s vs 0.9) — under-parallelizes it.
+    // The session shuffle width is the cluster-sized knob a real
+    // deployment scales, and the exchange itself moves narrow
+    // vocabulary-sized rows.
+    val pairs = ss.select(col("srcs"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .as[Seq[String]]
+      .flatMap { srcs =>
+        val s = srcs.sorted
+        for { i <- s.indices.iterator; j <- (i + 1) until s.length }
+          yield (s(i), s(j))
       }
-      .toDF("source_a", "source_b", "cnt")
-      .groupBy("source_a", "source_b").agg(sum(col("cnt")).as("n_shared"))
+      .toDF("source_a", "source_b")
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
     pairs
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")

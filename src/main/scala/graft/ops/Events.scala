@@ -565,25 +565,29 @@ object Events {
     // downstream join strategies stay correct.
     val und = Materialize.tracked(spark,
       coVisitMutualEdges(spark, sfDir).localCheckpoint(true))
-    // round 15: mutual degree as ONE count aggregate over the edge
-    // endpoints + two keyed joins back onto the (a < b) edge rows —
-    // the round-11 form symmetrized und, ran a count window over the
-    // doubled frame, and folded it back with a second unordered-pair
-    // groupBy: two exchanges and a window to recover per-endpoint
-    // degrees the degree table already holds. Same degrees (dn of the
-    // n = a endpoint IS deg(a)), same orientation rule, two fewer
-    // exchanges post-checkpoint. deg doubles as the stats source.
-    // Orientation: the (degree, id)-smaller endpoint becomes src
-    // (out-neighborhoods bounded by arboricity — Cohen 2009's
-    // orientation, kept so the primitive stays safe for graphs
-    // without the mutual-kNN bound).
-    val deg = und.select(col("a").as("n"))
-      .unionAll(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // degree via ONE window over the bidirectional frame (no deg join):
+    // each undirected edge contributes a row per endpoint, so count
+    // over (partition by n) IS the mutual degree, bounded by 2*TopK.
+    // (Round 15 tried the "simpler" degree-aggregate + two joins form
+    // here; it read two fewer exchanges at sf0.1 but regressed the
+    // f=64 amplified decade 13.8 → 31.6 s — the orientation joins'
+    // strategy degrades once und outgrows broadcast range and the
+    // oriented subtree, now rooted in joins instead of a reusable
+    // exchange, re-executes per triangle alias. Q170Probe carries the
+    // A/B; the window form stays.)
+    val bi = und.select(col("a").as("n"), col("b").as("m"))
+      .union(und.select(col("b").as("n"), col("a").as("m")))
+      .withColumn("dn", count(lit(1)).over(Window.partitionBy("n")))
+    // fold the two endpoint rows back to one oriented edge: a second
+    // unordered-pair groupBy carries both endpoint degrees, then the
+    // (degree, id)-smaller endpoint becomes src (out-neighborhoods
+    // bounded by arboricity — Cohen 2009's orientation, kept so the
+    // primitive stays safe for graphs without the mutual-kNN bound)
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val oriented = und
-      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val oriented = bi
+      .groupBy(least(col("n"), col("m")).as("a"), greatest(col("n"), col("m")).as("b"))
+      .agg(max(when(col("n") < col("m"), col("dn"))).as("da"),
+        max(when(col("n") > col("m"), col("dn"))).as("db"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
@@ -594,6 +598,7 @@ object Events {
     val triangles = e1.join(e2, col("e1.src") === col("e2.src") && wedgeBefore)
       .join(e3, col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .agg(count(lit(1)).as("n_triangles"))
+    val deg = bi.select(col("n"), col("dn")).groupBy("n").agg(max(col("dn")).as("deg"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       expr("sum(deg) div 2").as("n_edges"),
