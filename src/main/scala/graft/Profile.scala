@@ -30,8 +30,14 @@ object Profile {
     // A/B lever: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies arbitrary
     // session confs so config hypotheses can be measured side by side
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      // tolerate malformed entries (trailing ';', missing '=') instead
+      // of crashing the profiler with an opaque MatchError (ADVICE r15)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ if kv.trim.isEmpty => ()
+        case _ => System.err.println(
+          s"Profile: ignoring malformed SPARK_GRAFT_EXTRA_CONF entry '$kv'")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -563,8 +563,14 @@ object Events {
     // persist() on the pair frame (the documented 27 s estimation
     // poisoning) a checkpointed LogicalRDD carries its real size, so
     // downstream join strategies stay correct.
-    val und = Materialize.tracked(spark,
-      coVisitMutualEdges(spark, sfDir).localCheckpoint(true))
+    // plan-inspection mode (Materialize.withoutEagerness) must stay
+    // job-free: localCheckpoint(true) executes at CONSTRUCTION time,
+    // which withoutEagerness cannot suppress — fall back to the lazy
+    // un-checkpointed lineage there (ADVICE r15)
+    val und =
+      if (!Materialize.eagerEnabled) coVisitMutualEdges(spark, sfDir)
+      else Materialize.tracked(spark,
+        coVisitMutualEdges(spark, sfDir).localCheckpoint(true))
     // degree via ONE window over the bidirectional frame (no deg join):
     // each undirected edge contributes a row per endpoint, so count
     // over (partition by n) IS the mutual degree, bounded by 2*TopK.

@@ -63,20 +63,38 @@ object Materialize {
   private val keyed =
     new ConcurrentHashMap[SparkSession, ConcurrentHashMap[Any, (DataFrame, Long)]]()
 
+  // guards the CHM contract below: the persist+count runs INSIDE
+  // computeIfAbsent's map lock, so a builder thunk that (transitively)
+  // reaches sharedKeyed again on the same session would hit CHM's
+  // recursive-update IllegalStateException or deadlock. No current
+  // call site nests (docShingleSummary, queryTermPer are leaf
+  // lineages); this trips a clear error if one ever does (ADVICE r15).
+  private val inKeyedBuild: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
   /** [[shared]] with a reuse key and the eager count returned (−1 in
-    * the `withoutEagerness` plan-inspection mode). */
+    * the `withoutEagerness` plan-inspection mode). Builder thunks must
+    * not call sharedKeyed themselves — see [[inKeyedBuild]]. */
   def sharedKeyed(spark: SparkSession, key: Any, df: => DataFrame): (DataFrame, Long) =
     if (!eager.get()) (df, -1L)
-    else keyed
-      .computeIfAbsent(spark, _ => new ConcurrentHashMap[Any, (DataFrame, Long)]())
-      .computeIfAbsent(key, _ => {
-        val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-        val n = cached.count()
-        registry
-          .computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]())
-          .add(cached)
-        (cached, n)
-      })
+    else {
+      require(!inKeyedBuild.get(),
+        s"sharedKeyed builder thunk re-entered sharedKeyed (key=$key): " +
+          "builder lineages must be leaves, or CHM recursive update corrupts the map")
+      keyed
+        .computeIfAbsent(spark, _ => new ConcurrentHashMap[Any, (DataFrame, Long)]())
+        .computeIfAbsent(key, _ => {
+          inKeyedBuild.set(true)
+          try {
+            val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+            val n = cached.count()
+            registry
+              .computeIfAbsent(spark, _ => new ConcurrentLinkedQueue[DataFrame]())
+              .add(cached)
+            (cached, n)
+          } finally inKeyedBuild.set(false)
+        })
+    }
 
   // Checkpointed frames are held WEAKLY: if a caller never invokes
   // release() (specs, interactive sessions), the registry must not pin
@@ -111,6 +129,12 @@ object Materialize {
       if (df != null) org.apache.spark.sql.graft.Bridge.unpersistCheckpoint(df)
     }
   }
+
+  /** Whether eager materialization is active — false only inside
+    * [[withoutEagerness]]. Operators that run a compute job at
+    * DataFrame-CONSTRUCTION time (q170's answer-sized localCheckpoint)
+    * consult this so plan inspection stays job-free (ADVICE r15). */
+  def eagerEnabled: Boolean = eager.get()
 
   /** Run `body` with `shared` as a no-op (plan inspection, tests that
     * assert on uncached plan shapes). Not re-entrancy-safe across

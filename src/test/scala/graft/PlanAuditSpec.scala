@@ -497,8 +497,11 @@ class PlanAuditSpec extends SparkSpec {
     val bnlj = nodes.count(_.nodeName.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 1, s"nested loop beyond the 1-row report cross:\n$plan")
     // and the report plan is checkpoint-rooted: the events scan ran
-    // once, in the edge half, not once per oriented alias
-    assert(!plan.contains("Scan parquet") || !plan.contains("MapPartitions"),
+    // once, in the edge half, not once per oriented alias. BOTH
+    // markers must be absent (ADVICE r15): a partial re-inline — a
+    // parquet scan leaking into the report half without the flatMap,
+    // or vice versa — is already a breach of the checkpoint rooting
+    assert(!plan.contains("Scan parquet") && !plan.contains("MapPartitions"),
       s"the report half re-ran the pair pipeline instead of the checkpoint:\n$plan")
   }
 
