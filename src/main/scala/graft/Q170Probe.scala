@@ -38,6 +38,46 @@ object Q170Probe {
     timed("full coVisitTriangles (HEAD)")(graft.ops.Events.coVisitTriangles(spark, dir).count())
     // pre-checkpoint half alone
     timed("coVisitMutualEdges only")(graft.ops.Events.coVisitMutualEdges(spark, dir).count())
+    // round-16 candidate: the pair emission as pure-codegen generators
+    // (sort_array + posexplode + explode(slice)) instead of the typed
+    // flatMap — removes the SerializeFromObject boundary and the
+    // per-pair Tuple2 allocation; partial aggregation identical
+    timed("mutualEdges CODEGEN emission") {
+      val cappedUsers = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.CappedLongSet(
+          org.apache.spark.sql.graft.Bridge.expression(col("user_id")),
+          graft.ops.Events.CoVisitCellCap.toInt).toAggregateExpression())
+      val byCell = graft.core.Tables.events(spark, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hour_id"), col("user_id"))
+        .groupBy("event_type", "hour_id")
+        .agg(cappedUsers.as("users"))
+        .filter(col("users").isNotNull)
+      val pairRows = byCell
+        .select(sort_array(col("users")).as("s"))
+        .select(col("s"), posexplode(col("s")))
+        .select(col("col").as("a"),
+          explode(slice(col("s"), col("pos") + lit(2), size(col("s")))).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("ncells"))
+      val topPartners = org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.TopKByScore(
+          org.apache.spark.sql.graft.Bridge.expression(col("v")),
+          org.apache.spark.sql.graft.Bridge.expression(col("ncells")),
+          graft.ops.Events.CoVisitTopK.toInt).toAggregateExpression())
+      val topk = pairRows
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v"), col("ncells")),
+          struct(col("b").as("u"), col("a").as("v"), col("ncells")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"), col("e.ncells").as("ncells"))
+        .groupBy("u").agg(topPartners.as("vs"))
+        .select(col("u"), explode(col("vs")).as("v"))
+      topk
+        .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+        .select("a", "b")
+        .count()
+    }
     // checkpoint of the half
     timed("mutualEdges + localCheckpoint") {
       val d = graft.ops.Events.coVisitMutualEdges(spark, dir).localCheckpoint(true)

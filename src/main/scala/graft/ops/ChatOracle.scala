@@ -214,16 +214,35 @@ object ChatOracle {
   val EmbedQueries = 5
   val EmbedK = 5
 
-  /** (doc_id, b, c): 256-bucket hash-embedding counts, computed per
-    * document inside a typed flatMap — a doc's tokens live in one row,
-    * so the bucket histogram is a local 256-slot array fill at scan
-    * speed, not an explode of the token stream through a
+  /** (doc_id, b, c, nrm): 256-bucket hash-embedding counts, computed
+    * per document inside a typed flatMap — a doc's tokens live in one
+    * row, so the bucket histogram is a local 256-slot array fill at
+    * scan speed, not an explode of the token stream through a
     * (doc_id, bucket) shuffle. Bucket = first md5 byte, identical to
     * the oracle's two-hex-nibble arithmetic; tokenization matches
-    * TextAnalytics.tokens over lower(text). */
-  private[ops] def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    * TextAnalytics.tokens over lower(text).
+    *
+    * nrm is each doc's squared
+    * norm (Σ c² over the 256-slot array) ATTACHED to every bucket row.
+    * Round 16 (guide §1.2 step 1): `bucketed` and a separate `docNorms`
+    * scan were two identical tokenize+md5 corpus passes that every
+    * cosine consumer (q33, q127's semantic arm, q167) then re-joined on
+    * doc_id — a corpus-keyed exchange whose only payload was the 8-byte
+    * norm. Carrying nrm on the bucket rows costs ≤ 8 bytes × 256
+    * rows/doc through the first shuffle and deletes both the second
+    * pass and the norm join: consumers take max(nrm) inside the dot
+    * aggregation they already run. */
+  private[ops] def bucketedWithNorm(spark: SparkSession, sfDir: String): DataFrame =
+    bucketedWithNormOf(Tables.documents(spark, sfDir))
+
+  /** [[bucketedWithNorm]] over a caller-filtered documents frame: a
+    * doc_id predicate applied HERE (below the opaque mapPartitions)
+    * pushes to the parquet scan, so a query-side consumer reads its
+    * handful of docs instead of re-hashing the corpus to keep 5 rows. */
+  private[ops] def bucketedWithNormOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), lower(col("text")).as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -236,39 +255,14 @@ object ChatOracle {
               counts(d(0) & 0xff) += 1L
             }
           }
-          (0 until 256).iterator.collect {
-            case b if counts(b) > 0L => (id, b.toLong, counts(b))
-          }
-        }
-      }
-      .toDF("doc_id", "b", "c")
-  }
-
-  /** (doc_id, nrm): squared norm of each doc's bucket histogram —
-    * like the histogram itself, per-row local work (Σ c² over the
-    * 256-slot array), so the norm table costs a scan, not a shuffle
-    * over the bucket rows. */
-  private[ops] def docNorms(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), lower(col("text")).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, txt) =>
-          val counts = new Array[Long](256)
-          txt.trim.split("\\s+").foreach { t =>
-            if (t.nonEmpty) {
-              val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              counts(d(0) & 0xff) += 1L
-            }
-          }
           var nrm = 0L; var b = 0
           while (b < 256) { nrm += counts(b) * counts(b); b += 1 }
-          (id, nrm)
+          (0 until 256).iterator.collect {
+            case b if counts(b) > 0L => (id, b.toLong, counts(b), nrm)
+          }
         }
       }
-      .toDF("doc_id", "nrm")
+      .toDF("doc_id", "b", "c", "nrm")
   }
 
   /** q140: per-source hash-embedding drift — the SEMANTIC companion of
@@ -518,8 +512,9 @@ object ChatOracle {
 
   def composedRetrieve(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = withPath(Tables.documents(spark, sfDir))
-    val buckets = bucketed(spark, sfDir)
-    val norms = docNorms(spark, sfDir)
+    // one histogram pass; norms ride the bucket rows (round 16 — see
+    // bucketedWithNorm)
+    val buckets = bucketedWithNorm(spark, sfDir)
     // candidates are the EXACT-DEDUPED corpus (min doc_id per text,
     // the engine's own ingest front door): byte-duplicate docs carry
     // identical histograms and therefore identical distances, and a
@@ -531,15 +526,17 @@ object ChatOracle {
       .select("doc_id")
     // embed the hypo doc = doc 0's histogram (broadcast: the query is
     // one row; the corpus never shuffles — the q33 discipline)
-    val q = broadcast(buckets.filter(col("doc_id") === RetrieveQueryDoc)
-      .select(col("b"), col("c").as("qc")))
-    val qn = broadcast(norms.filter(col("doc_id") === RetrieveQueryDoc)
-      .select(col("nrm").as("qnrm")))
+    // query histogram from a pre-filtered scan (see hashEmbedKnn): one
+    // doc read, not a corpus re-hash filtered to one row
+    val q = broadcast(bucketedWithNormOf(
+        Tables.documents(spark, sfDir).filter(col("doc_id") === RetrieveQueryDoc))
+      .select(col("b"), col("c").as("qc"), col("nrm").as("qnrm")))
     val dots = buckets.join(q, Seq("b"))
       .filter(col("doc_id") =!= RetrieveQueryDoc)
       .join(canon, "doc_id")
-      .groupBy("doc_id").agg(sum(col("qc") * col("c")).as("dot"))
-    val scored = dots.join(norms, "doc_id").crossJoin(qn)
+      .groupBy("doc_id").agg(sum(col("qc") * col("c")).as("dot"),
+        max(col("nrm")).as("nrm"), max(col("qnrm")).as("qnrm"))
+    val scored = dots
       .withColumn("distance", lit(1.0) - col("dot").cast("double") /
         (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))))
     // F1 over-fetch: top k*2 by (distance, doc_id)
@@ -603,18 +600,26 @@ object ChatOracle {
 
   def hashEmbedKnn(spark: SparkSession, sfDir: String): DataFrame = {
     // not materialized: every consumer's lineage is a scan-speed
-    // flatMap (a cache round-trip costs more than the recompute)
-    val buckets = bucketed(spark, sfDir)
-    val norms = docNorms(spark, sfDir)
-    val q = buckets.filter(col("doc_id") < EmbedQueries)
-      .select(col("doc_id").as("query_id"), col("b"), col("c").as("qc"))
+    // flatMap (a cache round-trip costs more than the recompute).
+    // norms ride the bucket rows (bucketedWithNorm): the query side's
+    // qnrm broadcasts with its buckets and the doc side's nrm folds as
+    // max() inside the dot aggregation — the second tokenize+md5 pass
+    // and both norm joins are gone (round 16)
+    val buckets = bucketedWithNorm(spark, sfDir)
+    // query side built from a PRE-filtered documents frame: the doc_id
+    // predicate cannot push through the opaque flatMap, so filtering
+    // the histogram output re-hashed the whole corpus to keep 5 docs
+    val q = bucketedWithNormOf(
+        Tables.documents(spark, sfDir).filter(col("doc_id") < EmbedQueries))
+      .select(col("doc_id").as("query_id"), col("b"), col("c").as("qc"),
+        col("nrm").as("qnrm"))
     val dots = broadcast(q).join(buckets, Seq("b"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("qc") * col("c")).as("dot"))
-    val qn = norms.select(col("doc_id").as("query_id"), col("nrm").as("qnrm"))
+      .agg(sum(col("qc") * col("c")).as("dot"),
+        max(col("qnrm")).as("qnrm"), max(col("nrm")).as("nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("doc_id").asc)
-    dots.join(broadcast(qn), "query_id").join(norms, "doc_id")
+    dots
       .withColumn("sim",
         col("dot").cast("double") / (sqrt(col("qnrm").cast("double")) * sqrt(col("nrm").cast("double"))))
       .withColumn("rank", row_number().over(w).cast("long"))

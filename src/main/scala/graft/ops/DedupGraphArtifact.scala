@@ -266,7 +266,16 @@ trait DedupGraphArtifact { this: Dedup.type =>
       import scala.concurrent.ExecutionContext.Implicits.global
       val writes: Seq[Future[Unit]] = Seq(
         Future {
+          // round 16 (guide §6): repartition BY BUCKET before the
+          // partitioned write. Without it the dynamic-partition writer
+          // emits up to 16 bucket files PER INPUT TASK — sequentially
+          // when the checkpointed wave is one answer-sized partition
+          // (Profile: this write was q165/q166's single largest stage,
+          // 5.2 task-s in one task), and P×16 small files per wave at
+          // scale. Keyed on bucket, each task writes exactly its
+          // buckets' rows: ≤16 files per wave, created in parallel.
           d.withColumn("bucket", pmod(col("doc_a"), lit(GraphPairBuckets)))
+            .repartition(GraphPairBuckets.toInt, col("bucket"))
             .write.mode("append").partitionBy("bucket").parquet(s"$path/pairs")
         },
         Future {

@@ -756,7 +756,14 @@ trait DedupSignatures { this: Dedup.type =>
     * across documents for block-level dedup. All positions/lengths are
     * Unicode CODE POINTS (DuckDB's length/substring/ascii semantics),
     * not UTF-16 units, so the oracle agrees beyond the BMP too. */
-  def cdcSegments(spark: SparkSession, sfDir: String): DataFrame = {
+  def cdcSegments(spark: SparkSession, sfDir: String): DataFrame =
+    cdcSegmentRows(spark, sfDir).orderBy("doc_id", "seg_idx")
+
+  /** The unsorted segment relation: q58's report adds the ordered-output
+    * contract above; q138's aggregation consumer reads this form so its
+    * cached segment table does not materialize a corpus-wide range
+    * exchange + sort it immediately re-aggregates away (round 16). */
+  private[graft] def cdcSegmentRows(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
@@ -771,7 +778,6 @@ trait DedupSignatures { this: Dedup.type =>
         }
       }
       .toDF("doc_id", "seg_idx", "seg_len", "seg_md5")
-      .orderBy("doc_id", "seg_idx")
   }
 
   /** q138: cross-document CDC-segment dedup — the storage-dedup view
@@ -794,7 +800,7 @@ trait DedupSignatures { this: Dedup.type =>
     * doc_id and bounded by per-doc segment counts. */
   def cdcDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val segs = Materialize.shared(spark,
-      cdcSegments(spark, sfDir).select("doc_id", "seg_len", "seg_md5"))
+      cdcSegmentRows(spark, sfDir).select("doc_id", "seg_len", "seg_md5"))
     val dfc = segs.groupBy("seg_md5").agg(countDistinct(col("doc_id")).as("nd"))
     val per = segs.join(dfc, "seg_md5")
       .groupBy("doc_id")

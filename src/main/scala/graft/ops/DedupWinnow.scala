@@ -123,20 +123,46 @@ trait DedupWinnow { this: Dedup.type =>
   def winnowPairs(spark: SparkSession, sfDir: String,
                   bits: Int = DefaultHashBits,
                   dfCap: Option[Int] = Some(WinnowDfCap)): DataFrame = {
+    import spark.implicits._
     val fps = Materialize.shared(spark, winnowFingerprintRows(spark, sfDir, bits))
-    val capped = dfCap match {
-      case Some(cap) =>
-        val dfc = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        fps.join(dfc.filter(col("df") <= cap), "fp")
-      case None => fps
-    }
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
-    val a = capped.select(col("doc_id").as("doc_a"), col("fp"))
-    val b = capped.select(col("doc_id").as("doc_b"), col("fp"))
-    val pairs = a.join(b, Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= WinnowMinShared)
+    // round 16 (guide §2.4, the q72/q170 aggregate-emission discipline):
+    // the capped arm — the default, and the only one q128 benches —
+    // replaces [df agg + cap join + self-equi-join on fp + pair agg]
+    // with ONE fp-keyed aggregation whose buffer is the memory-bounded
+    // CappedLongSet (NULL over cap = exactly the dfCap drop rule: df
+    // here is distinct docs per fp, and fps is distinct per (doc, fp)),
+    // followed by map-side C(docs,2) pair emission collapsed by partial
+    // aggregation. Two exchanges instead of four, no join, and the
+    // boilerplate hot-fingerprint buffer physically stops at cap+1.
+    // The uncapped arm keeps the classic inverted-index self-join (an
+    // uncapped collect would be an unbounded aggregation buffer);
+    // WinnowDfCapSpec pins capped == uncapped where the cap never bites.
+    val pairs0 = dfCap match {
+      case Some(cap) =>
+        val cappedDocs = org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.CappedLongSet(
+            org.apache.spark.sql.graft.Bridge.expression(col("doc_id")),
+            cap).toAggregateExpression())
+        fps.groupBy("fp").agg(cappedDocs.as("docs"))
+          .filter(col("docs").isNotNull)
+          .select(col("docs")).as[Array[Long]]
+          .flatMap { docs =>
+            // CappedLongSet output is sorted ascending, so i<j emits
+            // each unordered pair once with doc_a < doc_b
+            for { i <- docs.indices.iterator; j <- (i + 1) until docs.length }
+              yield (docs(i), docs(j))
+          }
+          .toDF("doc_a", "doc_b")
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+      case None =>
+        val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+        val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+        a.join(b, Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
+    }
+    val pairs = pairs0.filter(col("shared_fps") >= WinnowMinShared)
     pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("nfp").as("a_fps")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("nfp").as("b_fps")), "doc_b")

@@ -92,9 +92,13 @@ object Hybrid {
     val qb = queryBuckets(TextAnalytics.Bm25Terms)
     val qnrm = qb.map { case (_, c) => c * c }.sum
     val qbDf = broadcast(qb.toDF("b", "qc"))
-    val dots = ChatOracle.bucketed(spark, sfDir).join(qbDf, Seq("b"))
-      .groupBy("doc_id").agg(sum(col("qc") * col("c")).as("dot"))
-    val top = dots.join(ChatOracle.docNorms(spark, sfDir), "doc_id")
+    // one histogram pass; the doc norm folds inside the dot aggregation
+    // (round 16 — see ChatOracle.bucketedWithNorm; previously a second
+    // full tokenize+md5 pass plus a corpus-keyed norm join)
+    val dots = ChatOracle.bucketedWithNorm(spark, sfDir).join(qbDf, Seq("b"))
+      .groupBy("doc_id").agg(sum(col("qc") * col("c")).as("dot"),
+        max(col("nrm")).as("nrm"))
+    val top = dots
       .withColumn("sim", col("dot").cast("double") /
         (sqrt(lit(qnrm).cast("double")) * sqrt(col("nrm").cast("double"))))
       .orderBy(col("sim").desc, col("doc_id").asc)

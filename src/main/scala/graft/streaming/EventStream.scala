@@ -40,8 +40,22 @@ object EventStream {
     * session are untouched (the conf is restored before they plan). */
   private def withReplayShufflePartitions[A](spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    // width A/B-able without a recompile (round 16 profiling knob);
+    // the default stays the replay-sized 8 documented above
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_REPLAY_SHUFFLE", "8"))
+    // a BOUNDED complete-mode replay needs no trailing no-data
+    // micro-batch (that batch exists to advance watermarks/timeouts on
+    // a live stream); skipping it saves one full state-store
+    // commit round per replay — output rows unchanged (complete mode
+    // emits the whole result on the data batch; parity specs + oracle
+    // pin it)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
   }
 
   /** Bounded streaming replay of the events parquet; returns the final
@@ -73,7 +87,12 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name).orderBy("window_start_us", "event_type")
+    // memory-sink tables are DRIVER-RESIDENT LocalRelations that
+    // parallelize to defaultParallelism slices when scanned — 32 tiny
+    // tasks lock-contending over an aggregate-sized replay result (the
+    // q195 signature; round 16 Profile). coalesce(1) keeps the bounded
+    // replay read one task; downstream exchanges stay AQE-sized.
+    spark.table(name).coalesce(1).orderBy("window_start_us", "event_type")
   }
 
   /** q70: bounded streaming replay of gap sessionization through the
@@ -125,7 +144,9 @@ object EventStream {
         .start()
       q.awaitTermination()
     }
-    spark.table(name)
+    // coalesce(1): see hourlyTypeCountsStream — one task scans the
+    // driver-resident session table instead of 32 contending slices
+    spark.table(name).coalesce(1)
       .withColumn("session_id",
         row_number().over(
           Window.partitionBy("user_id").orderBy("session_start_us")).cast("long"))
@@ -177,9 +198,14 @@ object EventStream {
     // the memory-sink View resolves to the SAME attribute ids on both
     // sides of the moments self-join (INTERNAL_ERROR: conflicting
     // references) — checkpointing re-instances the plan as a fresh
-    // LogicalRDD, and the replay output is tiny (|types|x|hours|)
+    // LogicalRDD, and the replay output is tiny (|types|x|hours|).
+    // coalesce(1) BEFORE the checkpoint (round 16): uncoalesced, the
+    // LocalRelation parallelizes to defaultParallelism slices and the
+    // checkpoint pins 32 tiny partitions that every downstream stage
+    // then contends over (Profile: two 32-task stages, 6.9 task-s, for
+    // a |types|x|hours| table)
     val hourly = graft.ops.Materialize.tracked(spark,
-      spark.table(name).localCheckpoint(true))
+      spark.table(name).coalesce(1).localCheckpoint(true))
     val moments = broadcast(hourly.groupBy("event_type")
       .agg(count(lit(1)).as("h"), sum(col("n")).as("s"),
         sum(col("n") * col("n")).as("q2")))

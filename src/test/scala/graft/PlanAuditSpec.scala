@@ -505,6 +505,45 @@ class PlanAuditSpec extends SparkSpec {
       s"the report half re-ran the pair pipeline instead of the checkpoint:\n$plan")
   }
 
+  test("q128: capped pair generation is the bounded aggregate-emission, not a fp self-join") {
+    // round 16: the default (capped) arm generates pairs by a
+    // CappedLongSet aggregation + map-side C(docs,2) emission — the
+    // q72/q170 discipline. A fp-keyed self-join reappearing here would
+    // reintroduce the Σ df² join fan-out the cap existed to bound.
+    val plan = executed(Dedup.winnowPairs(spark, sf0001, Dedup.OracleHashBits))
+    assert(plan.contains("capped_long_set"),
+      s"pair generation must ride the bounded set aggregate:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fp self-join reappeared in the capped arm:\n$plan")
+  }
+
+  test("q33: norms ride the bucket rows and the query side's doc_id filter reaches parquet") {
+    // round 16: bucketedWithNorm carries each doc's squared norm on its
+    // bucket rows, so the separate docNorms pass and BOTH norm joins
+    // are gone — exactly two documents scans remain (corpus probe +
+    // query build), and the query build's scan must carry the pushed
+    // doc_id predicate instead of re-hashing the corpus to keep 5 rows
+    val df = graft.ops.ChatOracle.hashEmbedKnn(spark, sf0001)
+    df.collect()
+    val scans = flatten(df.queryExecution.executedPlan)
+      .filter(p => p.nodeName.contains("Scan") && p.toString.contains("documents.parquet"))
+    assert(scans.size == 2,
+      s"expected corpus probe + filtered query build, got ${scans.size} documents scans")
+    assert(scans.exists(_.toString.contains("LessThan(doc_id")),
+      s"query-side doc_id filter not pushed to parquet:\n${scans.mkString("\n")}")
+  }
+
+  test("q138: the cached segment table is unsorted — only the report orderBy range-partitions") {
+    // round 16: q138 builds from cdcSegmentRows (no orderBy), so the
+    // corpus-wide range sort belongs to q58's report alone
+    val df = Dedup.cdcDedup(spark, sf0001)
+    df.collect()
+    val ranges = flatten(df.queryExecution.executedPlan)
+      .count(p => p.isInstanceOf[ShuffleExchangeLike] &&
+        p.toString.contains("rangepartitioning"))
+    assert(ranges <= 1, s"cached segment lineage re-grew a range sort ($ranges found)")
+  }
+
   test("q171: anchors broadcast into the label join; the top-2 cut prunes before the anchor shuffle") {
     val df = Similarity.twoNnDim(spark, sf0001)
     val plan = executed(df)
