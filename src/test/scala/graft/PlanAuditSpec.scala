@@ -485,8 +485,15 @@ class PlanAuditSpec extends SparkSpec {
     // one exchange) and pairs are emitted from the grouped sets
     assert(edgePlan.contains("ObjectHashAggregate") || edgePlan.contains("SortAggregate"),
       s"per-cell user sets must build through partial aggregation:\n$edgePlan")
-    assert(edgePlan.contains("MapPartitions") || edgePlan.contains("SerializeFromObject"),
-      s"pair emission must be the flatMap over grouped cells:\n$edgePlan")
+    // round 16: emission is pure-codegen generators (posexplode +
+    // explode(slice)) over the grouped sets — no typed boundary; a
+    // join-shaped emission reappearing would trip the cartesian/SMJ
+    // guards, and a reverted flatMap would reintroduce the
+    // SerializeFromObject this assertion now rejects
+    assert(edgePlan.contains("Generate"),
+      s"pair emission must be generator-based over grouped cells:\n$edgePlan")
+    assert(!edgePlan.contains("SerializeFromObject"),
+      s"pair emission regressed to the typed flatMap boundary:\n$edgePlan")
     val df = graft.ops.Events.coVisitTriangles(spark, sf0001)
     df.collect()
     val nodes = flatten(df.queryExecution.executedPlan)
