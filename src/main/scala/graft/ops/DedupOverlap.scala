@@ -759,7 +759,7 @@ trait DedupOverlap { this: Dedup.type =>
                     bits: Int = DefaultHashBits): DataFrame = {
     import spark.implicits._
     val n = DupSpanN
-    val grams = Materialize.shared(spark,
+    val grams =
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"))
         .as[(Long, String)]
@@ -774,9 +774,17 @@ trait DedupOverlap { this: Dedup.type =>
             }
           }
         }
-        .toDF("doc_id", "i", "gh"))
-    val keeper = grams.groupBy("gh").agg(min(col("doc_id")).as("keeper"))
-    val cuts = grams.join(keeper, "gh")
+        .toDF("doc_id", "i", "gh")
+    // round 16 (guide §2.4): keeper = min(doc_id) per gram rides a
+    // window over ONE gh-keyed exchange of the gram relation, replacing
+    // the old [cache grams + groupBy(gh).min + join grams back on gh]
+    // — which paid a persist+count job and, at scale, a second
+    // corpus-sized exchange for the join (the cache that hid it locally
+    // cannot hold a 100-TB gram relation anyway). Same keeper per gh,
+    // same cut set; the gram relation is computed exactly once.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gh")
+    val cuts = grams
+      .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") > col("keeper"))
       .groupBy("doc_id")
       .agg(collect_list(col("i")).as("cut_starts"))

@@ -481,11 +481,55 @@ trait DedupWinnow { this: Dedup.type =>
     val n = DupSpanN
     // cached: the vocabulary-sized stats frame feeds the threshold agg,
     // the winner filter, and the broadcast — uncached, each consumer
-    // re-ran the full gram scan + agg (the q158 adjacency discipline)
-    val stats = Materialize.shared(spark, gramPosRows(spark, sfDir, bits)
+    // re-ran the full gram scan + agg (the q158 adjacency discipline).
+    // round 16 (guide §2.3/§2.4): each document is ONE input row, so
+    // the per-doc distinct-gram stats (count + first position) fold
+    // inside the emitting flatMap — the groupBy(gh) then needs plain
+    // count/sum/min, collapsing Spark's two-exchange single-distinct
+    // rewrite (hash(gh,doc_id) then hash(gh)) to ONE gh-keyed exchange
+    // carrying one row per distinct (doc, gram), not per occurrence.
+    // df = one row per doc; cf = Σ per-doc counts; loc = min struct
+    // (doc_id first, then that doc's first pos) — identical to the old
+    // min over all occurrences.
+    val perDoc = {
+      import spark.implicits._
+      val n2 = DupSpanN
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, txt) =>
+            val t = txt.trim.split("\\s+").filter(_.nonEmpty)
+            val m = new java.util.HashMap[Long, Array[Long]]()
+            var i = 0
+            val last = t.length - n2
+            while (i <= last) {
+              val g = t.slice(i, i + n2).mkString(" ")
+              val gh = packHash(
+                md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8)), bits)
+              val e = m.get(gh)
+              if (e == null) m.put(gh, Array(1L, i.toLong))
+              else e(0) += 1L
+              i += 1
+            }
+            val out = new Array[(Long, Long, Long, Long)](m.size)
+            val itv = m.entrySet().iterator()
+            var k = 0
+            while (itv.hasNext) {
+              val e = itv.next()
+              out(k) = (id, e.getKey, e.getValue()(0), e.getValue()(1))
+              k += 1
+            }
+            out.iterator
+          }
+        }
+        .toDF("doc_id", "gh", "cnt", "pos0")
+    }
+    val stats = Materialize.shared(spark, perDoc
       .groupBy("gh")
-      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("cf"),
-        min(struct(col("doc_id"), col("pos"))).as("loc")))
+      .agg(count(lit(1)).as("df"), sum(col("cnt")).as("cf"),
+        min(struct(col("doc_id"), col("pos0").as("pos"))).as("loc")))
     val thr = stats.orderBy(col("df").desc).limit(BoilerplateTopK)
       .agg(min(col("df")).as("thr"))
     val winners = stats.crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
