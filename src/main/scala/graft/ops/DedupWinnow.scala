@@ -144,16 +144,27 @@ trait DedupWinnow { this: Dedup.type =>
           graft.functions.CappedLongSet(
             org.apache.spark.sql.graft.Bridge.expression(col("doc_id")),
             cap).toAggregateExpression())
+        // round 16 follow-up: the first aggregate-emission form (typed
+        // flatMap straight off the agg output) read 208.98 s / exp 1.73
+        // at the f=512 decade — over the 1.3 gate — because the
+        // emission AND its pair partial-agg ran at the agg output's
+        // byte-proportional width while the WORK is fan-out-amplified
+        // (Σ C(df,2) per vocab row): exactly the q72 hazard, plus a
+        // SerializeFromObject boundary per emitted pair. Fixes, both
+        // measured at the pinned f=512 corpus: the q72 explicit
+        // repartition to the session shuffle width (the cluster-sized
+        // knob; the exchange moves narrow (fp, docs) rows), and the
+        // q170 generator emission — posexplode + explode(slice) over
+        // the sorted capped set stays inside whole-stage codegen.
+        // CappedLongSet output is sorted ascending, so suffix pairing
+        // emits each unordered pair once with doc_a < doc_b.
         fps.groupBy("fp").agg(cappedDocs.as("docs"))
           .filter(col("docs").isNotNull)
-          .select(col("docs")).as[Array[Long]]
-          .flatMap { docs =>
-            // CappedLongSet output is sorted ascending, so i<j emits
-            // each unordered pair once with doc_a < doc_b
-            for { i <- docs.indices.iterator; j <- (i + 1) until docs.length }
-              yield (docs(i), docs(j))
-          }
-          .toDF("doc_a", "doc_b")
+          .select(col("docs").as("s"))
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .select(col("s"), posexplode(col("s")))
+          .select(col("col").as("doc_a"),
+            explode(slice(col("s"), col("pos") + lit(2), size(col("s")))).as("doc_b"))
           .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared_fps"))
       case None =>
         val a = fps.select(col("doc_id").as("doc_a"), col("fp"))

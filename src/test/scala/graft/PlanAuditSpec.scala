@@ -522,6 +522,15 @@ class PlanAuditSpec extends SparkSpec {
       s"pair generation must ride the bounded set aggregate:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"fp self-join reappeared in the capped arm:\n$plan")
+    // round 16 follow-up (f=512 decade fix): emission is generator-
+    // based (posexplode + explode(slice)) behind an explicit
+    // round-robin repartition — the fan-out-amplified stage must not
+    // run at the agg output's byte-proportional width (209 s → 79 s at
+    // f=512, exp 1.73 → 1.19)
+    assert(plan.contains("Generate"),
+      s"pair emission must be generator-based over the capped sets:\n$plan")
+    assert(plan.contains("RoundRobinPartitioning") || plan.contains("ROUND_ROBIN"),
+      s"the emission stage lost its explicit corpus-knob repartition:\n$plan")
   }
 
   test("q33: norms ride the bucket rows and the query side's doc_id filter reaches parquet") {
